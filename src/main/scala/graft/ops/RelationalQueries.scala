@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Driver-contract queries for the relational operator inventory of
+  * SURVEY.md §2 (P/J/A/W/O/U/F rows), each paired with a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Conventions that make the DuckDB hash-compare deterministic:
+  *  - monetary/quantity doubles are cast to DECIMAL before aggregation
+  *    (float sums are order-dependent; decimal sums are exact on both
+  *    engines) and result types are pinned with explicit casts;
+  *  - every query ends in a total ORDER BY over a unique key;
+  *  - `events.ts` stays the raw INT64 nanos on the Spark side and is
+  *    compared as `epoch_ns(ts)` on the DuckDB side (see [[Tables]]).
+  *
+  * Scale notes are per-query; all aggregates are partial-agg friendly
+  * (map-side combine) and all filters/projections push into the parquet
+  * scan — verified via `.explain("formatted")` in OpsQueriesSpec.
+  */
+object RelationalQueries {
+
+  /** A1/A2.4 group-agg (TPC-H Q1 shape): partial aggregation on 6 groups —
+    * shuffle carries only group keys + partial sums, not rows.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** P4-P6 filter + projection; predicates and 4-column ReadSchema push to
+    * the scan (no full-row materialization).
+    */
+  def filterPushdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** J1 inner equi-join. customer is the small side — Catalyst broadcasts
+    * it (verified in the plan), so no shuffle of orders at scale.
+    */
+  def joinInner(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders").join(
+      Tables.load(spark, dir, "customer"),
+      col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"),
+        col("o_totalprice").cast("decimal(18,2)").as("total_price"))
+      .orderBy("o_orderkey")
+
+  /** J2 left-anti join: customers with no currently-open order (plain
+    * "no orders at all" is vacuously empty in this dataset). Broadcast of
+    * the filtered build side at dimension scale.
+    */
+  def joinLeftAnti(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer").join(
+      Tables.load(spark, dir, "orders").filter(col("o_orderstatus") === "O"),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** W1 latest-row-per-key window (the snapshot-dedup shape,
+    * scd_handler.py:73-74) over events. Single hash-partition by key;
+    * `ts` tie-broken by `event_id` for determinism.
+    */
+  def windowLatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    // order on µs-truncated ts: the oracle engine cannot see sub-µs, so
+    // ranking must not depend on it (event_id breaks exact-µs ties)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(expr("ts div 1000").desc, col("event_id").desc)
+    Tables.load(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      // µs truncation: DuckDB's parquet_scan floors ns→µs timestamps, so
+      // the oracle can only see microseconds — compare at that precision.
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_micros"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** U1 unionByName: branches project in different column orders —
+    * by-name resolution is the point (plain union would be positional,
+    * SURVEY.md §2.7).
+    */
+  def unionByNameBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val open = orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), lit("open").as("bucket"))
+    val done = orders.filter(col("o_orderstatus") === "F")
+      .select(lit("finished").as("bucket"), col("o_orderkey"))
+    open.unionByName(done).orderBy("o_orderkey", "bucket")
+  }
+
+  /** F1 hash keys (scd_key/upd_key build) over customer: sha2-256 of the
+    * empty-separator concat, doubles pinned to DECIMAL(12,2) so both
+    * engines stringify identically.
+    */
+  def hashKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .withColumn("scd_key", graft.scd.Hashing.key(
+        col("c_acctbal").cast("decimal(12,2)"), col("c_custkey"), col("c_name")))
+      .withColumn("upd_key", graft.scd.Hashing.key(
+        col("c_custkey"), col("c_name"), col("c_mktsegment")))
+      .select(col("c_custkey"), col("scd_key"), col("upd_key"))
+      .orderBy("c_custkey")
+
+  /** A2 multi-column distinct count (the one-active-row-per-key check,
+    * test_scd_handler.py:109).
+    */
+  def countDistinctKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .agg(count_distinct(col("user_id"), col("event_type")).as("n_keys"))
+
+  /** A3 DISTINCT projection (distinct effective dates,
+    * test_scd_handler.py:209-210).
+    */
+  def distinctDates(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("order_date"))
+      .distinct()
+      .orderBy("order_date")
+
+  /** O1 total sort + top-k. Catalyst plans TakeOrderedAndProject — a
+    * per-partition top-k then a k-row merge on the driver, never a full
+    * sort of the table.
+    */
+  def topKOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("total_price"))
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_inner" ->
+      """SELECT o_orderkey, c_name, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "window_latest_per_key" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_micros FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "union_by_name" ->
+      """SELECT o_orderkey, 'open' AS bucket FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT o_orderkey, 'finished' AS bucket FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey, bucket""".stripMargin,
+    "hash_keys" ->
+      """SELECT c_custkey,
+        |  sha256(concat_ws('', CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), CAST(c_custkey AS VARCHAR), c_name)) AS scd_key,
+        |  sha256(concat_ws('', CAST(c_custkey AS VARCHAR), c_name, c_mktsegment)) AS upd_key
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "count_distinct_keys" ->
+      "SELECT count(DISTINCT (user_id, event_type)) AS n_keys FROM events",
+    "distinct_dates" ->
+      """SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders
+        |ORDER BY order_date""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg _,
+    "filter_pushdown" -> filterPushdown _,
+    "join_inner" -> joinInner _,
+    "join_left_anti" -> joinLeftAnti _,
+    "window_latest_per_key" -> windowLatestPerKey _,
+    "union_by_name" -> unionByNameBuckets _,
+    "hash_keys" -> hashKeys _,
+    "count_distinct_keys" -> countDistinctKeys _,
+    "distinct_dates" -> distinctDates _,
+    "topk_orders" -> topKOrders _
+  )
+}

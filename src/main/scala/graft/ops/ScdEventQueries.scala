@@ -1,0 +1,150 @@
+package graft.ops
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.scd.{ScdApply, ScdConfig}
+
+/** The flagship driver-contract query: the reference's composite
+  * `apply_scd` operator (SURVEY.md §2.11) run as a pure two-batch
+  * pipeline over the `events` testdata, fully reproducible by a DuckDB
+  * CTE oracle because the clock is pinned per batch.
+  *
+  * Dimension derivation (FIXTURES.md §2): key = (user_id, event_type),
+  * SCD2-tracked column = `value_cents` (value pinned to integer cents —
+  * raw doubles don't stringify identically across engines inside the
+  * hash), SCD1 column = `props`, event time = `ts`.
+  */
+object ScdEventQueries {
+
+  private val Clock1 = "2025-06-01T00:00:00Z"
+  private val Clock2 = "2025-06-02T00:00:00Z"
+
+  private val targetSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value_cents", LongType),
+    StructField("props", StringType),
+    StructField("record_status", StringType),
+    StructField("effective_from", TimestampType),
+    StructField("effective_to", TimestampType),
+    StructField("dw_inserted_at", TimestampType),
+    StructField("dw_updated_at", TimestampType),
+    StructField("scd_key", StringType),
+    StructField("upd_key", StringType)))
+
+  private def cfg(runAt: String) = ScdConfig(
+    pkCols = Seq("user_id", "event_type"),
+    scdKeyCols = Seq("value_cents"),
+    selectCols = Some(Seq("user_id", "event_type", "value_cents", "props")),
+    effectiveFromCol = Some("ts_utc"),
+    clock = () => Instant.parse(runAt))
+
+  /** One source batch: the latest event per key on `day` (ties broken by
+    * event_id, so the batch is deterministic and single-row-per-key —
+    * multi-row sources are UB in the reference, SURVEY.md §2.11).
+    */
+  def dimSource(spark: SparkSession, dir: String, day: String): DataFrame = {
+    // µs-truncated ordering — the DuckDB oracle can't see sub-µs (see
+    // RelationalQueries.windowLatestPerKey)
+    val w = Window.partitionBy("user_id", "event_type", "day")
+      .orderBy(expr("ts div 1000").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("value_cents", expr("cast(round(value * 100) as bigint)"))
+      .withColumn("day", to_date(col("ts_utc")))
+      .filter(col("day") === lit(day).cast("date"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "value_cents", "props", "ts_utc")
+  }
+
+  /** Day-1 initial load then day-2 incremental, as one lazy plan over an
+    * empty in-memory target (S2) — exercises the full §2.11 pipeline:
+    * snapshot dedup, stamping, both joins, both hash keys, unionByName
+    * and both emulated merges, twice.
+    */
+  def scdApplyDay2(spark: SparkSession, dir: String): DataFrame = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], targetSchema)
+    val s1 = ScdApply.nextState(empty, dimSource(spark, dir, "2024-01-01"), cfg(Clock1))
+    val s2 = ScdApply.nextState(s1, dimSource(spark, dir, "2024-01-02"), cfg(Clock2))
+    s2.orderBy("user_id", "event_type", "effective_from", "record_status")
+  }
+
+  /** The same two-batch apply, written as portable ANSI SQL (CTEs +
+    * window functions) for the DuckDB oracle. Structure mirrors
+    * SURVEY.md §7.3's unified next-state algebra: closed ∪ new-version ∪
+    * scd1-updated ∪ unchanged ∪ brand-new.
+    */
+  val oracle: Map[String, String] = {
+    val c1 = "TIMESTAMP '2025-06-01 00:00:00'"
+    val c2 = "TIMESTAMP '2025-06-02 00:00:00'"
+    Map("scd_apply_day2" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type,
+         |         CAST(round(value * 100) AS BIGINT) AS value_cents, props,
+         |         make_timestamp(epoch_ns(ts) // 1000) AS ts_utc,
+         |         CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+         |         ts, event_id
+         |  FROM events),
+         |src AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type, day
+         |                                 ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM ev) WHERE rn = 1),
+         |s1 AS (
+         |  SELECT user_id, event_type, value_cents, props,
+         |         'A' AS record_status, ts_utc AS effective_from,
+         |         CAST(NULL AS TIMESTAMP) AS effective_to,
+         |         $c1 AS dw_inserted_at, $c1 AS dw_updated_at,
+         |         sha256(concat_ws('', CAST(value_cents AS VARCHAR), CAST(user_id AS VARCHAR), event_type)) AS scd_key,
+         |         sha256(concat_ws('', CAST(user_id AS VARCHAR), event_type, props)) AS upd_key
+         |  FROM src WHERE day = DATE '2024-01-01'),
+         |b2 AS (
+         |  SELECT user_id, event_type, value_cents, props,
+         |         'A' AS record_status, ts_utc AS effective_from,
+         |         CAST(NULL AS TIMESTAMP) AS effective_to,
+         |         $c2 AS dw_inserted_at, $c2 AS dw_updated_at,
+         |         sha256(concat_ws('', CAST(value_cents AS VARCHAR), CAST(user_id AS VARCHAR), event_type)) AS scd_key,
+         |         sha256(concat_ws('', CAST(user_id AS VARCHAR), event_type, props)) AS upd_key
+         |  FROM src WHERE day = DATE '2024-01-02'),
+         |closed AS (
+         |  SELECT s.user_id, s.event_type, s.value_cents, s.props,
+         |         'I' AS record_status, s.effective_from,
+         |         b.effective_from AS effective_to,
+         |         s.dw_inserted_at, $c2 AS dw_updated_at, s.scd_key, s.upd_key
+         |  FROM s1 s JOIN b2 b ON s.user_id = b.user_id AND s.event_type = b.event_type
+         |  WHERE s.scd_key <> b.scd_key),
+         |newver AS (
+         |  SELECT b.* FROM b2 b JOIN s1 s
+         |    ON s.user_id = b.user_id AND s.event_type = b.event_type
+         |  WHERE s.scd_key <> b.scd_key),
+         |scd1 AS (
+         |  SELECT s.user_id, s.event_type, b.value_cents, b.props,
+         |         b.record_status, s.effective_from, b.effective_to,
+         |         s.dw_inserted_at, b.dw_updated_at, b.scd_key, b.upd_key
+         |  FROM s1 s JOIN b2 b ON s.user_id = b.user_id AND s.event_type = b.event_type
+         |  WHERE s.scd_key = b.scd_key AND s.upd_key <> b.upd_key),
+         |unchanged AS (
+         |  SELECT s.* FROM s1 s LEFT JOIN b2 b
+         |    ON s.user_id = b.user_id AND s.event_type = b.event_type
+         |  WHERE b.user_id IS NULL OR (s.scd_key = b.scd_key AND s.upd_key = b.upd_key)),
+         |brandnew AS (
+         |  SELECT b.* FROM b2 b
+         |  WHERE NOT EXISTS (SELECT 1 FROM s1 s
+         |    WHERE s.user_id = b.user_id AND s.event_type = b.event_type))
+         |SELECT * FROM (
+         |  SELECT * FROM closed UNION ALL SELECT * FROM newver
+         |  UNION ALL SELECT * FROM scd1 UNION ALL SELECT * FROM unchanged
+         |  UNION ALL SELECT * FROM brandnew)
+         |ORDER BY user_id, event_type, effective_from, record_status""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd_apply_day2" -> scdApplyDay2 _)
+}

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local pre-check of SparkEntry.queries vs their DuckDB oracles.
+
+Replicates the driver's t2 gate: run graft.Verify first
+(`sbt "runMain graft.Verify <sfDir> <outDir>"`), then:
+
+    python3 tools/oracle_check.py <sfDir> <outDir>
+
+For each query: loads the Spark parquet result and the DuckDB oracle
+result, sorts columns by name, compares row counts, schemas (loosely)
+and cell values. Exit 1 on any mismatch.
+"""
+import sys, json, glob, math
+import duckdb
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    # duckdb sha256 may return blobs in some versions
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = []
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            failures.append((name, "no spark output"))
+            continue
+        spark_rel = con.execute(
+            f"SELECT * FROM parquet_scan({files!r})")
+        spark_cols = [d[0] for d in spark_rel.description]
+        spark_rows = spark_rel.fetchall()
+        try:
+            ora_rel = con.execute(sql)
+        except Exception as e:
+            failures.append((name, f"oracle sql error: {e}"))
+            continue
+        ora_cols = [d[0] for d in ora_rel.description]
+        ora_rows = ora_rel.fetchall()
+        if sorted(spark_cols) != sorted(ora_cols):
+            failures.append((name, f"columns differ: {sorted(spark_cols)} vs {sorted(ora_cols)}"))
+            continue
+        s_ix = [spark_cols.index(c) for c in sorted(spark_cols)]
+        o_ix = [ora_cols.index(c) for c in sorted(ora_cols)]
+        s = sorted(tuple(norm(r[i]) for i in s_ix) for r in spark_rows)
+        o = sorted(tuple(norm(r[i]) for i in o_ix) for r in ora_rows)
+        if len(s) != len(o):
+            failures.append((name, f"row count: spark={len(s)} oracle={len(o)}"))
+            continue
+        bad = [(a, b) for a, b in zip(s, o) if a != b]
+        if bad:
+            failures.append((name, f"{len(bad)} mismatched rows, first: {bad[0]}"))
+            continue
+        print(f"OK   {name}: {len(s)} rows")
+    for name, why in failures:
+        print(f"FAIL {name}: {why}")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
