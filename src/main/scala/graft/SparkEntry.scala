@@ -20,12 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.RelationalQueries.queries ++
-      ops.ScdEventQueries.queries
+      ops.ScdEventQueries.queries ++
+      ops.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     ops.RelationalQueries.oracle ++
-      ops.ScdEventQueries.oracle
+      ops.ScdEventQueries.oracle ++
+      ops.PipelineQueries.oracle
 }

@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.{ExactDedup, MinHashLSH, NgramJaccard, SimHash, Shingles}
+import graft.sim.CosineSim
+import graft.text.TextFunctions
+
+/** Driver-contract queries for the training-data pipeline operators
+  * (dedup, similarity search, text analysis) over `documents` /
+  * `embeddings`, with DuckDB oracles.
+  *
+  * Shared oracle SQL fragments live in private vals; every hash / rehash
+  * / quantization is exact integer arithmetic so both engines agree
+  * bit-for-bit (see Shingles/CosineSim Scaladoc).
+  */
+object PipelineQueries {
+
+  private val K = 8          // minhash signature length
+  private val BANDS = 4      // LSH bands (rows per band = 2)
+  private val NGRAM = 3      // word shingle width
+
+  // ---------------- Spark queries ----------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    ExactDedup.groups(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("content_hash")
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    NgramJaccard.similarPairs(Tables.load(spark, dir, "documents"),
+      "doc_id", "text", NGRAM, num = 1, den = 2)
+      .orderBy("a", "b")
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDuplicates(Tables.load(spark, dir, "documents"),
+      "doc_id", "text", NGRAM, k = K, bands = BANDS, num = 3, den = 10)
+      .orderBy("a", "b")
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    SimHash.nearPairs(Tables.load(spark, dir, "documents"),
+      "doc_id", "text", maxHamming = 3)
+      .orderBy("a", "b")
+
+  /** Threshold 0.4: the synthetic embeddings top out at pairwise cosine
+    * ≈0.51, so 0.95-style production thresholds select nothing here.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    CosineSim.similarPairs(Tables.load(spark, dir, "embeddings"),
+      "vec_id", "embedding", num = 2, den = 5)
+      .orderBy("a", "b")
+
+  def annBruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    CosineSim.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.tokenCount(t).cast("long").as("token_cnt"),
+      TextFunctions.charCount(t).cast("long").as("char_cnt"),
+      TextFunctions.punctCount(t).cast("long").as("punct_cnt"),
+      TextFunctions.wordHits(t, TextFunctions.langLexicons.head._2)
+        .cast("long").as("stop_hits"),
+      TextFunctions.fingerprint(t).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  // ---------------- DuckDB oracle fragments ----------------
+
+  /** tokens CTE (single-space normalized split, = TextFunctions.tokens) */
+  private val toksCte =
+    raw"""toks AS (
+         |  SELECT doc_id,
+         |         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
+         |  FROM documents)""".stripMargin
+
+  /** distinct word-3-gram 60-bit shingle hashes per doc (= Shingles) */
+  private val shCte =
+    raw"""sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         CAST('0x' || substr(sha256(array_to_string(tk[i:i+${NGRAM - 1}], ' ')), 1, 15) AS BIGINT) AS h
+         |  FROM toks, unnest(generate_series(1, len(tk) - ${NGRAM - 1})) AS g(i))""".stripMargin
+
+  private val sizesCte =
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"
+
+  private def qCte(src: String = "embeddings") =
+    s"""q AS (
+       |  SELECT vec_id,
+       |         -- CAST to DOUBLE first: float×int stays float32 in DuckDB
+       |         -- and rounds differently than Spark's double math
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM $src)""".stripMargin
+
+  private val dot = (a: String, b: String) =>
+    s"CAST(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) AS BIGINT)"
+
+  // ---------------- oracles ----------------
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      raw"""WITH norm AS (
+           |  SELECT doc_id,
+           |         sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash
+           |  FROM documents)
+           |SELECT content_hash, min(doc_id) AS keep_id, count(*) AS group_size
+           |FROM norm GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $toksCte, $shCte, $sizesCte,
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter_size
+         |  FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, inter_size, sa.sz AS a_size, sb.sz AS b_size
+         |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |WHERE 2 * inter_size >= 1 * (sa.sz + sb.sz - inter_size)
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val mins = (0 until K)
+        .map(i => s"min(${Shingles.rehashSql("h", i)}) AS mh$i").mkString(",\n         ")
+      val bandSelects = (0 until BANDS).map { j =>
+        val cols = (j * 2 until j * 2 + 2)
+          .map(i => s"CAST(mh$i AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, $j AS band_no, concat_ws('-', $cols) AS bucket FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $toksCte, $shCte, $sizesCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |         $mins
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS bands_hit
+         |  FROM bands x JOIN bands y
+         |    ON x.band_no = y.band_no AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS inter_size
+         |  FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND y.h = x.h
+         |  GROUP BY 1, 2)
+         |SELECT c.a, c.b, c.bands_hit, i.inter_size, sa.sz AS a_size, sb.sz AS b_size
+         |FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
+         |  JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
+         |WHERE 10 * i.inter_size >= 3 * (sa.sz + sb.sz - i.inter_size)
+         |ORDER BY c.a, c.b""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      val bitSums = (0 until 32)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n         ")
+      val sigExpr = (0 until 32)
+        .map(b => s"(CASE WHEN s$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $toksCte,
+         |th AS (
+         |  SELECT doc_id, CAST('0x' || substr(sha256(t), 1, 15) AS BIGINT) AS h
+         |  FROM toks, unnest(tk) AS u(t)),
+         |bitsums AS (
+         |  SELECT doc_id,
+         |         $bitSums
+         |  FROM th GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sigExpr AS simhash FROM bitsums),
+         |chunks AS (
+         |  SELECT doc_id, simhash, c AS chunk_no, (simhash >> (c * 8)) & 255 AS chunk
+         |  FROM sig, unnest(generate_series(0, 3)) AS g(c)),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |         x.simhash AS sig_a, y.simhash AS sig_b
+         |  FROM chunks x JOIN chunks y
+         |    ON x.chunk_no = y.chunk_no AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+         |SELECT a, b, sig_a, sig_b, bit_count(xor(sig_a, sig_b)) AS hamming
+         |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+         |ORDER BY a, b""".stripMargin
+    },
+
+    "dedup_embedding" ->
+      s"""WITH ${qCte()}
+         |SELECT x.vec_id AS a, y.vec_id AS b,
+         |       ${dot("x.qv", "y.qv")} AS dot,
+         |       ${dot("x.qv", "x.qv")} AS na,
+         |       ${dot("y.qv", "y.qv")} AS nb
+         |FROM q x JOIN q y ON x.vec_id < y.vec_id
+         |WHERE ${dot("x.qv", "y.qv")} >= 0
+         |  AND ${dot("x.qv", "y.qv")} * ${dot("x.qv", "y.qv")} * 25
+         |      >= 4 * ${dot("x.qv", "x.qv")} * ${dot("y.qv", "y.qv")}
+         |ORDER BY a, b""".stripMargin,
+
+    "ann_brute_topk" ->
+      s"""WITH ${qCte()},
+         |scored AS (
+         |  SELECT qs.vec_id AS q_id, c.vec_id AS nn_id,
+         |         ${dot("qs.qv", "c.qv")} AS dot,
+         |         ${dot("qs.qv", "qs.qv")} AS na,
+         |         ${dot("c.qv", "c.qv")} AS nb
+         |  FROM q qs JOIN q c ON qs.vec_id < 10 AND c.vec_id <> qs.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id
+         |    ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) DESC,
+         |             nn_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, nn_id, dot, na, nb FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "text_stats" ->
+      raw"""WITH $toksCte
+           |SELECT d.doc_id,
+           |  CAST(len(tk) AS BIGINT) AS token_cnt,
+           |  CAST(length(text) AS BIGINT) AS char_cnt,
+           |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS BIGINT) AS punct_cnt,
+           |  CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_hits,
+           |  sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+           |FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+
+    "lang_id" -> {
+      val hits = TextFunctions.langLexicons.map { case (lang, ws) =>
+        s"len(list_filter(tk, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS h_$lang"
+      }.mkString(",\n       ")
+      val langs = TextFunctions.langLexicons.map(_._1)
+      val best = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+      val cases = langs
+        .map(l => s"WHEN h_$l = best AND h_$l > 0 THEN '$l'").mkString("\n         ")
+      s"""WITH $toksCte,
+         |hits AS (
+         |  SELECT doc_id,
+         |       $hits
+         |  FROM toks),
+         |scored AS (SELECT *, $best AS best FROM hits)
+         |SELECT doc_id,
+         |       CASE $cases
+         |         ELSE 'und' END AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin
+    }
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_simhash" -> dedupSimhash _,
+    "dedup_embedding" -> dedupEmbedding _,
+    "ann_brute_topk" -> annBruteTopK _,
+    "text_stats" -> textStats _,
+    "lang_id" -> langId _
+  )
+}

@@ -1,0 +1,95 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity in fixed-point integer arithmetic.
+  *
+  * Floats are quantized once to integer milli-units
+  * (`round(x·1000) : BIGINT`); dot products and squared norms are then
+  * EXACT int64 sums (unit-norm dim-64 vectors ⇒ dot ≤ ~1e6, norms ≤
+  * ~1e6 — far inside both int64 and double's 53-bit exact range), so
+  * Spark and any oracle engine agree bit-for-bit, and cosine
+  * thresholds become pure integer predicates:
+  * `cos ≥ t  ⇔  dot ≥ 0 ∧ dot²·den² ≥ num²·na·nb`.
+  *
+  * Scale notes: [[bruteForceTopK]] broadcasts the (small) query set and
+  * scans the corpus once — the right baseline shape. [[signBuckets]]
+  * gives the LSH path: bucket by the sign pattern of d deterministic
+  * pseudo-hyperplanes, search only matching buckets (see AnnLsh).
+  */
+object CosineSim {
+
+  /** `array<long>` milli-quantized embedding. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact int64 dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact int64 squared norm of a quantized vector. */
+  def normQ(a: Column): Column =
+    aggregate(a, lit(0L), (acc, v) => acc + v * v)
+
+  /** Pairs (a < b) with cosine ≥ num/den, exact integer predicate.
+    * `blockCol`: optional coarse blocking column (e.g. label or LSH
+    * bucket) — at scale the all-pairs join must be blocked.
+    */
+  def similarPairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      num: Long, den: Long, blockCol: Option[String] = None): DataFrame = {
+    val q = emb.select(col(idCol) +: blockCol.map(col).toSeq :+
+      quantize(col(vecCol)).as("q"): _*)
+    val joinCond = blockCol
+      .map(bc => col(s"x.$bc") === col(s"y.$bc"))
+      .getOrElse(lit(true)) && col(s"x.$idCol") < col(s"y.$idCol")
+    q.as("x").join(q.as("y"), joinCond)
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        dotQ(col("x.q"), col("y.q")).as("dot"),
+        normQ(col("x.q")).as("na"), normQ(col("y.q")).as("nb"))
+      .filter(col("dot") >= 0 &&
+        col("dot") * col("dot") * lit(den * den) >= lit(num * num) * col("na") * col("nb"))
+  }
+
+  /** Brute-force cosine top-k: exact baseline for ANN. Query set =
+    * `queries` (small, broadcast); ranking is by the deterministic
+    * double `dot/√(na·nb)` with id tie-break, but emitted columns are
+    * the exact integers.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), quantize(col(vecCol)).as("cq"))
+    val qs = queries.select(col(idCol).as("q_id"), quantize(col(vecCol)).as("qq"))
+    val scored = c.join(broadcast(qs), col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"),
+        dotQ(col("qq"), col("cq")).as("dot"),
+        normQ(col("qq")).as("na"), normQ(col("cq")).as("nb"))
+      .withColumn("sim",
+        col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "nn_id", "dot", "na", "nb")
+  }
+
+  /** Sign-LSH bucket id: bit j = sign of <v, p_j> for `planes`
+    * deterministic pseudo-hyperplanes
+    * `p_j[d] = ((2654435761·(d+1)·(j+1) + 40503·(j+1)) mod 2001) − 1000`
+    * (integer-valued, so the projection of a quantized vector is an
+    * exact int64).
+    */
+  def signBucket(qvec: Column, planes: Int): Column = {
+    val proj = (0 until planes).map { j =>
+      val dot = aggregate(
+        zip_with(qvec, sequence(lit(1), size(qvec)), (x, d) =>
+          x * ((lit(2654435761L) * d.cast("long") * lit(j + 1L) +
+            lit(40503L) * lit(j + 1L)) % 2001L - 1000L)),
+        lit(0L), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    proj.reduce(_ + _)
+  }
+}

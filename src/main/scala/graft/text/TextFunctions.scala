@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: tokenization,
+  * counting, quality ratios, language ID, fingerprinting. All are pure
+  * codegen'd Column expressions (no UDFs — SURVEY.md §2.10 note), so
+  * they stay inside whole-stage codegen and scale linearly per
+  * partition with no shuffle.
+  *
+  * Cross-engine notes (the DuckDB oracle must reproduce results
+  * bit-for-bit): tokenization is a literal single-space split, ratios
+  * are kept as exact integer counts wherever hashed, and fingerprints
+  * are sha2-256 over deterministic normalizations.
+  */
+object TextFunctions {
+
+  /** Whitespace-normalized tokens: trim + collapse runs of whitespace,
+    * split on single space (identical semantics in DuckDB via
+    * `string_split(regexp_replace(trim(x), '\s+', ' ', 'g'), ' ')`).
+    */
+  def tokens(text: Column): Column =
+    split(regexp_replace(trim(text), "\\s+", " "), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Count of punctuation characters from an explicit class (explicit,
+    * not `\p{Punct}`/`[[:punct:]]`, because Java and RE2 class
+    * membership differs).
+    */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:'\"()-]", ""))
+
+  /** Number of tokens found in `words` (e.g. a stopword list). */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  /** Tiny per-language function-word lexicons for the n-gram/stopword
+    * language-ID heuristic. Deliberately small so the oracle SQL stays
+    * writable; extend per deployment.
+    */
+  val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "y", "es", "una", "por"))
+
+  /** Language-ID: argmax of lexicon hits; 'und' when no lexicon matches.
+    * Ties break by lexicon order (first wins), matching the oracle's
+    * CASE chain.
+    */
+  def langId(text: Column): Column = {
+    val hits = langLexicons.map { case (lang, words) => lang -> wordHits(text, words) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und")) { case ((lang, h), els) =>
+      when(h === best && h > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Stable document fingerprint: sha2-256 of the lower-cased,
+    * whitespace-collapsed text. Equal fingerprints = exact duplicates
+    * modulo case/whitespace.
+    */
+  def fingerprint(text: Column): Column =
+    sha2(concat_ws(" ", tokens(lower(text))), 256)
+
+  /** Heuristic quality score in [0,1]: rewards reasonable length and
+    * penalizes punctuation soup. Double-valued — verified by property
+    * tests, not by the hash oracle (see PipelineQueries).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val punct = punctCount(text).cast("double")
+    val chars = charCount(text).cast("double")
+    val lengthTerm = least(toks / lit(64.0), lit(1.0))
+    val punctTerm = lit(1.0) - least(punct / greatest(chars, lit(1.0)) * lit(4.0), lit(1.0))
+    lengthTerm * lit(0.6) + punctTerm * lit(0.4)
+  }
+}
