@@ -1,0 +1,125 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: media as opaque `binary` columns with typed metadata,
+  * processed in per-partition batches.
+  *
+  * The Spark-side machinery — schema contract, partition-preserving
+  * batched iteration, feature-vector output shape — is real and tested;
+  * the actual codec work is STUBBED behind [[MediaDecoder]] (no
+  * image/audio libraries exist in this environment). Production swaps
+  * [[FakeDecoder]] for a JNI/javacv-backed implementation with the same
+  * interface; nothing else changes.
+  *
+  * Scale notes: decode runs as `mapPartitions` over an iterator —
+  * constant memory per task regardless of partition size (batches of
+  * `batchSize` rows, mirroring Arrow-batch UDF shapes), no driver
+  * collection, partitioning and ordering of the input preserved.
+  */
+object MediaOps {
+
+  /** The media table schema contract. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", IntegerType))), nullable = false)))
+
+  /** Deterministic synthetic media derived from `documents` (driver
+    * testdata has no binary assets): bytes = sha-256 keystream over the
+    * text, kind/meta derived from doc_id. Gives the pipeline real
+    * binary payloads with verifiable content.
+    */
+  def syntheticFromDocuments(docs: DataFrame): DataFrame = {
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    docs.select(
+      col("doc_id").as("media_id"),
+      kind.as("kind"),
+      // 64-byte deterministic payload: sha2 of the text, twice
+      to_binary(concat(sha2(col("text"), 256), sha2(concat(col("text"), lit("#2")), 256)), lit("hex"))
+        .as("bytes"),
+      struct(
+        concat(lit("fake-"), kind).as("format"),
+        (pmod(col("doc_id"), lit(16)) * 64 + 64).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(9)) * 64 + 64).cast("int").as("height"),
+        (pmod(col("doc_id"), lit(30)) * 1000 + 1000).cast("int").as("duration_ms")
+      ).as("meta"))
+  }
+
+  /** Codec seam. `decode` maps raw bytes → fixed-width feature vector;
+    * `sampleFrames` picks frame offsets for video. Implementations must
+    * be deterministic for testability.
+    */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    def decode(kind: String, format: String, bytes: Array[Byte]): Array[Float]
+    def sampleFrames(durationMs: Int, everyMs: Int): Array[Int] =
+      (0 until durationMs by everyMs).toArray
+  }
+
+  /** Deterministic stand-in for the real codecs: features are a folded
+    * byte histogram, normalized. Real deployments replace this class
+    * only.
+    */
+  final class FakeDecoder(val featureDim: Int = 16) extends MediaDecoder {
+    def decode(kind: String, format: String, bytes: Array[Byte]): Array[Float] = {
+      val acc = new Array[Float](featureDim)
+      var i = 0
+      while (i < bytes.length) {
+        acc(i % featureDim) += (bytes(i) & 0xff) / 255.0f
+        i += 1
+      }
+      val n = math.max(1, bytes.length / featureDim)
+      acc.map(_ / n)
+    }
+  }
+
+  /** Decode + feature-extract: adds `features: array<float>`.
+    * Batched mapPartitions — the Scala analog of an Arrow-batch UDF:
+    * `batchSize` rows are materialized at a time (codecs amortize setup
+    * across a batch), everything else streams.
+    */
+  def extractFeatures(
+      media: DataFrame, decoder: MediaDecoder, batchSize: Int = 64): DataFrame = {
+    val outSchema = media.schema.add("features", ArrayType(FloatType, containsNull = false))
+    val enc = ExpressionEncoder(outSchema.asInstanceOf[StructType])
+    val kindIx = media.schema.fieldIndex("kind")
+    val bytesIx = media.schema.fieldIndex("bytes")
+    val metaIx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val fmt = r.getStruct(metaIx).getString(0)
+          val feats = decoder.decode(
+            r.getString(kindIx), fmt, r.getAs[Array[Byte]](bytesIx))
+          Row.fromSeq(r.toSeq :+ feats.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame
+    * (`frame_ms`), other kinds pass through with frame_ms = 0. Pure
+    * plan-level explode — the actual frame decode happens downstream in
+    * [[extractFeatures]] on the (smaller) per-frame payloads.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Int): DataFrame = {
+    val frames = when(col("kind") === "video",
+      sequence(lit(0), col("meta.duration_ms") - 1, lit(everyMs)))
+      .otherwise(array(lit(0)))
+    media.withColumn("frame_ms", explode(frames))
+  }
+}

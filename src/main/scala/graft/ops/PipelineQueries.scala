@@ -58,6 +58,25 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** ANN via multi-table sign-LSH — statistical, so no byte-exact
+    * oracle (the driver records a rows-only check); recall vs the
+    * brute-force baseline is asserted in AnnLshSpec.
+    */
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    graft.sim.AnnLsh.topK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Watermarked tumbling-window aggregation (the streaming shape, run
+    * batch — watermark is a no-op on batch input; see
+    * graft.streaming.Streams).
+    */
+  def windowedEventCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.windowedEventCounts(Tables.events(spark, dir))
+      .orderBy("window_start", "event_type")
+
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
     Tables.load(spark, dir, "documents").select(
@@ -217,6 +236,12 @@ object PipelineQueries {
          |SELECT q_id, rank, nn_id, dot, na, nb FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
 
+    "windowed_event_counts" ->
+      """SELECT date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)) AS window_start,
+        |       event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "text_stats" ->
       raw"""WITH $toksCte
            |SELECT d.doc_id,
@@ -256,6 +281,8 @@ object PipelineQueries {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_embedding" -> dedupEmbedding _,
     "ann_brute_topk" -> annBruteTopK _,
+    "ann_lsh_topk" -> annLshTopK _,
+    "windowed_event_counts" -> windowedEventCounts _,
     "text_stats" -> textStats _,
     "lang_id" -> langId _
   )

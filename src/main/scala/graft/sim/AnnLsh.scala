@@ -1,0 +1,75 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search via random-hyperplane (sign) LSH,
+  * multi-table: `tables` independent hyperplane sets of `planes` bits
+  * each; a candidate is any corpus vector sharing a bucket with the
+  * query in ANY table (plus Hamming-1 neighbor buckets per table with
+  * `multiprobe`). More tables raise recall, more planes shrink buckets —
+  * the standard knobs.
+  *
+  * Scale shape — [[CosineSim.bruteForceTopK]] is the correctness
+  * baseline, this is the 100 TB path:
+  *  - the corpus is hashed ONCE per table (pure narrow projections; at
+  *    scale these columns are precomputed and the table is
+  *    partitioned/bucketed by table-0's bucket id, so probes prune
+  *    partitions/files);
+  *  - candidate generation is an equi-join on (table, bucket) with the
+  *    query side broadcast: shuffle-light, never an all-pairs product;
+  *  - candidates are deduped, then scored with exact fixed-point cosine
+  *    and top-k'd per query via a per-partition window.
+  *
+  * Recall against brute force is asserted in AnnLshSpec (statistical
+  * operator — no byte-exact oracle).
+  */
+object AnnLsh {
+
+  def topK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, planes: Int = 6, tables: Int = 6,
+      multiprobe: Boolean = true): DataFrame = {
+    // table t uses plane indices [t*planes, (t+1)*planes) — independent sets
+    def buckets(q: Column): Seq[Column] = (0 until tables).map { t =>
+      val bits = (0 until planes).map { j =>
+        val plane = t * planes + j
+        val dot = aggregate(
+          zip_with(q, sequence(lit(1), size(q)), (x, d) =>
+            x * ((lit(2654435761L) * d.cast("long") * lit(plane + 1L) +
+              lit(40503L) * lit(plane + 1L)) % 2001L - 1000L)),
+          lit(0L), (acc, v) => acc + v)
+        when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+
+    val c = corpus.select(col(idCol).as("nn_id"),
+      CosineSim.quantize(col(vecCol)).as("cq"))
+      .withColumn("tb", explode(array(buckets(col("cq")).zipWithIndex.map {
+        case (b, t) => struct(lit(t).as("t"), b.as("b"))
+      }: _*)))
+    val q0 = queries.select(col(idCol).as("q_id"),
+      CosineSim.quantize(col(vecCol)).as("qq"))
+    val probes = q0.withColumn("tb",
+      explode(array(buckets(col("qq")).zipWithIndex.flatMap { case (b, t) =>
+        struct(lit(t).as("t"), b.as("b")) +: (if (!multiprobe) Nil
+        else (0 until planes).map(j =>
+          struct(lit(t).as("t"), b.bitwiseXOR(lit(1L << j)).as("b"))))
+      }: _*)))
+    val cand = c.join(broadcast(probes), Seq("tb"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .select("q_id", "nn_id", "qq", "cq")
+      .dropDuplicates("q_id", "nn_id")
+    val scored = cand.select(col("q_id"), col("nn_id"),
+      CosineSim.dotQ(col("qq"), col("cq")).as("dot"),
+      CosineSim.normQ(col("qq")).as("na"), CosineSim.normQ(col("cq")).as("nb"))
+      .withColumn("sim",
+        col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "nn_id", "dot", "na", "nb")
+  }
+}
