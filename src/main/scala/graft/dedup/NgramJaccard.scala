@@ -28,6 +28,10 @@ object NgramJaccard {
   def similarPairs(
       df: DataFrame, idCol: String, textCol: String, n: Int,
       num: Int, den: Int, maxShingleDf: Int = 0): DataFrame = {
+    // NOTE: deliberately not persisted — at this scale recomputing the
+    // shingle scan is cheaper than caching (serialization + lost stage
+    // fusion); at 100 TB the shingle table would be a materialized
+    // intermediate instead
     val sh = Shingles.shingleHashes(df, idCol, textCol, n)
     val pruned =
       if (maxShingleDf <= 0) sh

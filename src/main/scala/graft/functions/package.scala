@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.Column
+
+/** Public entry points for graft's custom Catalyst expressions. */
+package object functions {
+
+  /** Exact int64 dot product of two `array<long>` columns (codegen'd;
+    * see org.apache.spark.sql.graftexpr.LongArrayDotExpr).
+    */
+  object LongArrayDot {
+    def apply(a: Column, b: Column): Column =
+      org.apache.spark.sql.graftexpr.LongArrayDotExpr.column(a, b)
+  }
+}

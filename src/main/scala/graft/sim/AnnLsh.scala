@@ -47,11 +47,13 @@ object AnnLsh {
 
     val c = corpus.select(col(idCol).as("nn_id"),
       CosineSim.quantize(col(vecCol)).as("cq"))
+      .withColumn("nb", CosineSim.normQ(col("cq")))
       .withColumn("tb", explode(array(buckets(col("cq")).zipWithIndex.map {
         case (b, t) => struct(lit(t).as("t"), b.as("b"))
       }: _*)))
     val q0 = queries.select(col(idCol).as("q_id"),
       CosineSim.quantize(col(vecCol)).as("qq"))
+      .withColumn("na", CosineSim.normQ(col("qq")))
     val probes = q0.withColumn("tb",
       explode(array(buckets(col("qq")).zipWithIndex.flatMap { case (b, t) =>
         struct(lit(t).as("t"), b.as("b")) +: (if (!multiprobe) Nil
@@ -60,11 +62,10 @@ object AnnLsh {
       }: _*)))
     val cand = c.join(broadcast(probes), Seq("tb"))
       .filter(col("q_id") =!= col("nn_id"))
-      .select("q_id", "nn_id", "qq", "cq")
+      .select("q_id", "nn_id", "qq", "cq", "na", "nb")
       .dropDuplicates("q_id", "nn_id")
     val scored = cand.select(col("q_id"), col("nn_id"),
-      CosineSim.dotQ(col("qq"), col("cq")).as("dot"),
-      CosineSim.normQ(col("qq")).as("na"), CosineSim.normQ(col("cq")).as("nb"))
+      CosineSim.dotQ(col("qq"), col("cq")).as("dot"), col("na"), col("nb"))
       .withColumn("sim",
         col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nn_id").asc)

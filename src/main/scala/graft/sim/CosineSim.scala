@@ -24,30 +24,34 @@ object CosineSim {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact int64 dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact int64 dot product of two quantized vectors — a native
+    * codegen'd expression, NOT `aggregate(zip_with(...))`: interpreted
+    * higher-order functions are ~5× slower in the all-pairs hot loop
+    * (see [[graft.functions.LongArrayDot]]).
+    */
+  def dotQ(a: Column, b: Column): Column = graft.functions.LongArrayDot(a, b)
 
   /** Exact int64 squared norm of a quantized vector. */
-  def normQ(a: Column): Column =
-    aggregate(a, lit(0L), (acc, v) => acc + v * v)
+  def normQ(a: Column): Column = graft.functions.LongArrayDot(a, a)
 
   /** Pairs (a < b) with cosine ≥ num/den, exact integer predicate.
-    * `blockCol`: optional coarse blocking column (e.g. label or LSH
-    * bucket) — at scale the all-pairs join must be blocked.
+    * Norms are computed ONCE per vector before the join — never inside
+    * the pair loop. `blockCol`: optional coarse blocking column (e.g.
+    * label or LSH bucket) — at scale the all-pairs join must be blocked.
     */
   def similarPairs(
       emb: DataFrame, idCol: String, vecCol: String,
       num: Long, den: Long, blockCol: Option[String] = None): DataFrame = {
     val q = emb.select(col(idCol) +: blockCol.map(col).toSeq :+
       quantize(col(vecCol)).as("q"): _*)
+      .withColumn("nrm", normQ(col("q")))
     val joinCond = blockCol
       .map(bc => col(s"x.$bc") === col(s"y.$bc"))
       .getOrElse(lit(true)) && col(s"x.$idCol") < col(s"y.$idCol")
     q.as("x").join(q.as("y"), joinCond)
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
         dotQ(col("x.q"), col("y.q")).as("dot"),
-        normQ(col("x.q")).as("na"), normQ(col("y.q")).as("nb"))
+        col("x.nrm").as("na"), col("y.nrm").as("nb"))
       .filter(col("dot") >= 0 &&
         col("dot") * col("dot") * lit(den * den) >= lit(num * num) * col("na") * col("nb"))
   }
@@ -61,11 +65,12 @@ object CosineSim {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("nn_id"), quantize(col(vecCol)).as("cq"))
+      .withColumn("nb", normQ(col("cq")))
     val qs = queries.select(col(idCol).as("q_id"), quantize(col(vecCol)).as("qq"))
+      .withColumn("na", normQ(col("qq")))
     val scored = c.join(broadcast(qs), col("q_id") =!= col("nn_id"))
       .select(col("q_id"), col("nn_id"),
-        dotQ(col("qq"), col("cq")).as("dot"),
-        normQ(col("qq")).as("na"), normQ(col("cq")).as("nb"))
+        dotQ(col("qq"), col("cq")).as("dot"), col("na"), col("nb"))
       .withColumn("sim",
         col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double")))
     val w = org.apache.spark.sql.expressions.Window
