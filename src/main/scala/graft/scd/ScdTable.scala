@@ -32,7 +32,7 @@ import org.apache.spark.sql.types.StructType
   *   but intentionally NOT promising the gap-free monotonicity Delta
   *   doesn't promise either.
   */
-final class ScdTable(
+class ScdTable(
     spark: SparkSession,
     val path: String,
     identityCol: Option[String] = None,
@@ -60,6 +60,9 @@ final class ScdTable(
       .write.mode("overwrite").parquet(path)
 
   def snapshot(): DataFrame = spark.read.parquet(path)
+
+  protected def emptyFrame(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Atomic-swap overwrite; see class Scaladoc for the protocol. */
   def overwrite(next: DataFrame): Unit = {

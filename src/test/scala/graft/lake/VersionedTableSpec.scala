@@ -1,0 +1,81 @@
+package graft.lake
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.scd.ScdConfig
+
+class VersionedTableSpec extends AnyFunSuite with SparkSpec {
+
+  test("write / time-travel / history / compact / vacuum round-trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vt").toString
+    val t = new VersionedTable(spark, s"$dir/t")
+    assert(!t.exists && t.latestVersion.isEmpty)
+
+    val v0 = t.write(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val v1 = t.write(Seq((1, "a"), (2, "b2"), (3, "c")).toDF("id", "v"))
+    assert((v0, v1) === (0L, 1L))
+    assert(t.snapshot().count() === 3)
+    // time travel reads the untouched old version
+    assert(t.snapshotAt(0).orderBy("id").collect().map(_.getString(1)).toSeq ===
+      Seq("a", "b"))
+
+    val v2 = t.compact(targetFiles = 1)
+    assert(t.snapshotAt(v2).orderBy("id").collect() ===
+      t.snapshotAt(v1).orderBy("id").collect())
+    val h = t.history().collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(2L, 1L, 0L)) // newest first
+    assert(h.head.getString(1) === "compact")
+
+    t.vacuum(keepLast = 2) // drops v0's data + manifest
+    assert(intercept[IllegalArgumentException](t.snapshotAt(0)).getMessage
+      .contains("version 0 does not exist"))
+    assert(t.snapshot().count() === 3) // latest unaffected
+  }
+
+  test("a version directory without a manifest is invisible to readers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vt2").toString
+    val t = new VersionedTable(spark, s"$dir/t")
+    t.write(Seq((1, "a")).toDF("id", "v"))
+    // simulate a crashed writer: data dir for v=1 exists, no manifest
+    Seq((9, "zz")).toDF("id", "v").write.parquet(s"$dir/t/v=1")
+    assert(t.latestVersion.contains(0L))
+    assert(t.snapshot().collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
+
+  test("VersionedScdTable: SCD applies commit versions; time travel = day snapshots") {
+    val dir = Files.createTempDirectory("vscd").toString
+    val table = new VersionedScdTable(spark, s"$dir/dim")
+    table.create(StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)) ++
+      ScdConfig.SystemCols.map(c => StructField(c,
+        if (c == "record_status" || c.endsWith("_key")) StringType else TimestampType))))
+    val cfg = ScdConfig(pkCols = Seq("k"), scdKeyCols = Seq("v"),
+      selectCols = Some(Seq("k", "v")))
+    def batch(rows: (Long, String)*) = {
+      import spark.implicits._
+      rows.toDF("k", "v")
+    }
+    table.applyScd(batch((1L, "a"), (2L, "b")),
+      cfg.copy(clock = () => Instant.parse("2025-07-01T00:00:00Z")))
+    table.applyScd(batch((1L, "a2")),
+      cfg.copy(clock = () => Instant.parse("2025-07-02T00:00:00Z")))
+    // v0 = create, v1 = day1 merge, v2 = day2 merge
+    assert(table.versions.latestVersion.contains(2L))
+    assert(table.snapshotAt(1).count() === 2) // day-1 state preserved
+    assert(table.snapshot().count() === 3)    // day-2: k=1 versioned
+    assert(table.history().collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((2L, "merge"), (1L, "merge"), (0L, "create")))
+    // the reference's day-snapshot assertions, via time travel instead of CTAS
+    val day1Eth = table.snapshotAt(1).filter("k = 1").head()
+    assert(day1Eth.getAs[String]("v") === "a")
+  }
+}
