@@ -99,7 +99,7 @@ class ScdTable(
     overwrite(withIdentity(upsert.next))
   }
 
-  private def withIdentity(next: DataFrame): DataFrame = identityCol match {
+  protected def withIdentity(next: DataFrame): DataFrame = identityCol match {
     case None => next
     case Some(idCol) if !next.columns.contains(idCol) => next
     case Some(idCol) =>

@@ -1,0 +1,73 @@
+package graft.lake
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class MergeIntoSpec extends AnyFunSuite with SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def target = {
+    import spark.implicits._
+    Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "v", "n")
+  }
+  private def updates = {
+    import spark.implicits._
+    Seq((2, "B2", 200L), (3, "c", 999L), (4, "d", 40L)).toDF("id", "v", "n")
+  }
+
+  test("update + insert with conditional update (reference delta_merge shape)") {
+    val next = MergeInto(target, updates, "target.id = updates.id")
+      .whenMatchedUpdate(
+        Map("v" -> "updates.v", "n" -> "updates.n"),
+        condition = Some("target.v != updates.v"))
+      .whenNotMatchedInsert(Map("id" -> "updates.id", "v" -> "updates.v", "n" -> "updates.n"))
+      .resolve()
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(next.toSeq === Seq(
+      (1, "a", 10),    // untouched (no match)
+      (2, "B2", 200),  // updated, long 200 cast to target INT
+      (3, "c", 30),    // matched but condition false → byte-identical
+      (4, "d", 40)))   // inserted
+  }
+
+  test("partial update-set leaves unlisted target columns alone") {
+    val next = MergeInto(target, updates, "target.id = updates.id")
+      .whenMatchedUpdate(Map("v" -> "upper(updates.v)"))
+      .resolve()
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(next.toSeq === Seq((1, "a", 10), (2, "B2", 20), (3, "C", 30)))
+  }
+
+  test("whenMatchedDelete with first-match-wins clause ordering") {
+    // clause 1: delete matched rows whose incoming n > 500
+    // clause 2: otherwise update v
+    val next = MergeInto(target, updates, "target.id = updates.id")
+      .whenMatchedDelete(Some("updates.n > 500"))
+      .whenMatchedUpdate(Map("v" -> "updates.v"))
+      .whenNotMatchedInsert(Map("id" -> "updates.id", "v" -> "updates.v", "n" -> "updates.n"))
+      .resolve()
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(next.toSeq === Seq(
+      (1, "a", 10),   // unmatched target kept
+      (2, "B2", 20),  // updated by clause 2
+      (4, "d", 40)))  // id=3 deleted (n=999 > 500); id=4 inserted
+  }
+
+  test("no insert clause drops unmatched source rows") {
+    val next = MergeInto(target, updates, "target.id = updates.id")
+      .whenMatchedUpdate(Map("n" -> "updates.n"))
+      .resolve()
+    assert(next.count() === 3) // id=4 not inserted
+    assert(next.filter(col("id") === 2).head().getInt(2) === 200)
+  }
+
+  test("insert values may be expressions; missing columns become NULL") {
+    val next = MergeInto(target, updates, "target.id = updates.id")
+      .whenNotMatchedInsert(Map("id" -> "updates.id", "v" -> "concat(updates.v, '!')"))
+      .resolve()
+      .filter(col("id") === 4).head()
+    assert(next.getString(1) === "d!")
+    assert(next.isNullAt(2))
+  }
+}
