@@ -147,7 +147,71 @@ object RelationalQueries {
       .select(col("o_orderkey"),
         col("o_totalprice").cast("decimal(18,2)").as("total_price"))
 
+  /** TPC-H Q3 shape: 3-table join + group-agg + top-k by computed
+    * measure. customer filter broadcasts; revenue in exact decimal.
+    */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-30").cast("timestamp")
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(18,4)")
+    Tables.load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.load(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(Tables.load(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(rev).cast("decimal(38,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-table star join through nation/region with a
+    * same-nation residual (c_nationkey = s_nationkey). Dimensions
+    * broadcast; one shuffle agg on n_name.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(18,4)")
+    Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(Tables.load(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.load(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.load(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.load(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(rev).cast("decimal(38,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
@@ -202,6 +266,8 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
+    "q3_shipping" -> q3Shipping _,
+    "q5_local_supplier" -> q5LocalSupplier _,
     "filter_pushdown" -> filterPushdown _,
     "join_inner" -> joinInner _,
     "join_left_anti" -> joinLeftAnti _,

@@ -1,11 +1,21 @@
 package graft.streaming
 
+import java.sql.Timestamp
 import java.time.Instant
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.scd.{ScdConfig, ScdTable}
+
+/** Input/output records for [[Streams.sessionize]]. */
+final case class SessionEvent(user_id: Long, ts_utc: Timestamp, value: Double)
+final case class UserSession(
+    user_id: Long, session_start: Timestamp, session_end: Timestamp,
+    n_events: Long, sum_value: Double)
+private[streaming] final case class SessionState(
+    start: Long, last: Long, n: Long, sum: Double)
 
 /** Structured Streaming surface.
   *
@@ -30,6 +40,66 @@ object Streams {
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     table.applyScd(batch,
       cfg.copy(clock = () => baseClock.plusSeconds(batchId)))
+  }
+
+  /** Custom-state sessionization via `flatMapGroupsWithState`: events
+    * within `gapMs` of each other (per user) form one session; a
+    * session closes — and is emitted, append-mode — when the event-time
+    * watermark passes its last event + gap.
+    *
+    * This is the stateful-operator shape the built-in windowed aggs
+    * can't express (variable-length, data-driven windows). State per
+    * key is O(1) (start/last/count/sum), the watermark bounds state
+    * lifetime, and partitioning is by the group key — the standard
+    * scale story for keyed state.
+    *
+    * On a batch Dataset the operator still runs (state starts empty, no
+    * timeouts), so only sessions CLOSED by a later event in the same
+    * batch are emitted — trailing open sessions are stream semantics'
+    * "not final yet".
+    */
+  def sessionize(
+      events: Dataset[SessionEvent], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+
+    def emit(userId: Long, s: SessionState) = UserSession(
+      userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+
+    def fn(userId: Long, rows: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[UserSession] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(emit(userId, _)).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts_utc.getTime)
+        var closed = List.empty[UserSession]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts_utc.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+            case Some(s) =>
+              closed ::= emit(userId, s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          try state.setTimeoutTimestamp(s.last + gapMs)
+          catch { case _: UnsupportedOperationException => () } // batch mode
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts_utc", s"${gapMs / 1000} seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   /** Event-time windowed counts with late-data handling: the canonical

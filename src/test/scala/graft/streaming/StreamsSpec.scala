@@ -41,6 +41,49 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SessionEvent]
+    val sessions = Streams.sessionize(input.toDS(), gapMs = 60000) // 1-min gap
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 30s apart = one session; user 2: one event
+      input.addData(
+        SessionEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+        SessionEvent(1L, ts("2024-01-01 10:00:30"), 2.0),
+        SessionEvent(2L, ts("2024-01-01 10:00:10"), 5.0))
+      q.processAllAvailable()
+      // advance watermark far past both sessions' gap timeouts
+      input.addData(SessionEvent(3L, ts("2024-01-01 10:30:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(3L, ts("2024-01-01 11:30:00"), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .orderBy("user_id", "session_start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4)))
+      assert(out.toSeq.take(2) === Seq(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:30"), 2L, 3.0),
+        (2L, ts("2024-01-01 10:00:10"), ts("2024-01-01 10:00:10"), 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize splits on gaps within one batch (batch-mode semantics)") {
+    import spark.implicits._
+    val events = Seq(
+      SessionEvent(7L, ts("2024-01-01 09:00:00"), 1.0),
+      SessionEvent(7L, ts("2024-01-01 09:00:20"), 1.0),
+      SessionEvent(7L, ts("2024-01-01 09:10:00"), 9.0), // >1min gap → closes first
+      SessionEvent(7L, ts("2024-01-01 09:20:00"), 4.0)  // closes second, stays open
+    ).toDS()
+    val out = Streams.sessionize(events, gapMs = 60000).collect()
+    assert(out.toSeq === Seq(
+      UserSession(7L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:20"), 2L, 2.0),
+      UserSession(7L, ts("2024-01-01 09:10:00"), ts("2024-01-01 09:10:00"), 1L, 9.0)))
+  }
+
   test("foreachBatch SCD sink versions a streamed dimension across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
