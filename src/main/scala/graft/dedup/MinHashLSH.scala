@@ -23,12 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** MinHash signatures: one row per doc, columns mh0..mh{k-1}. */
+  /** MinHash signatures: one row per doc, columns mh0..mh{k-1}, plus
+    * the shingle-set size `sz` — one aggregation pass produces both
+    * (the Jaccard verify needs sizes anyway; a second groupBy over the
+    * shingle table would re-execute the whole shingling scan).
+    */
   def signatures(sh: DataFrame, idCol: String, k: Int): DataFrame =
     sh.groupBy(col(idCol))
       .agg(
         min(Shingles.rehash(col("h"), 0)).as("mh0"),
-        (1 until k).map(i => min(Shingles.rehash(col("h"), i)).as(s"mh$i")): _*)
+        (1 until k).map(i => min(Shingles.rehash(col("h"), i)).as(s"mh$i")) :+
+          count(lit(1)).as("sz"): _*)
 
   /** Candidate pairs (a < b) with the number of colliding bands. */
   def candidates(
@@ -40,9 +45,13 @@ object MinHashLSH {
       val sigCols = (j * r until (j + 1) * r).map(i => col(s"mh$i"))
       val bucketed = sig.select(col(idCol),
         concat_ws("-", sigCols: _*).as("bucket"))
+      // hot-bucket cap via window count (measured faster here than an
+      // aggregate + semi-join variant — the window rides the same
+      // bucket-hash exchange the pair join needs anyway)
       val capped = bucketed.withColumn("bsz",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
         .filter(col("bsz") <= maxBucketSize)
+        .drop("bsz")
       capped.as("x").join(capped.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -60,8 +69,12 @@ object MinHashLSH {
       df: DataFrame, idCol: String, textCol: String, n: Int,
       k: Int, bands: Int, num: Int, den: Int): DataFrame = {
     val sh = Shingles.shingleHashes(df, idCol, textCol, n)
-    val cand = candidates(signatures(sh, idCol, k), idCol, k, bands)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // NOT checkpointed: the band branches are identical subplans and
+    // Catalyst already shares their shuffle via ReusedExchange —
+    // measured, an eager materialization here is strictly slower
+    val sig = signatures(sh, idCol, k)
+    val cand = candidates(sig, idCol, k, bands)
+    val sizes = sig.select(col(idCol), col("sz"))
     // equi-join on (b, h): each of a's shingles matches b's equal
     // shingle directly — never the |A|·|B| per-pair cross product
     val inter = cand.join(sh.withColumnRenamed(idCol, "a"), "a")

@@ -82,11 +82,30 @@ object PipelineQueries {
     Tables.load(spark, dir, "documents").select(
       col("doc_id"),
       TextFunctions.tokenCount(t).cast("long").as("token_cnt"),
+      TextFunctions.bpeTokenCount(t).cast("long").as("bpe_token_cnt"),
       TextFunctions.charCount(t).cast("long").as("char_cnt"),
       TextFunctions.punctCount(t).cast("long").as("punct_cnt"),
       TextFunctions.wordHits(t, TextFunctions.langLexicons.head._2)
         .cast("long").as("stop_hits"),
       TextFunctions.fingerprint(t).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end corpus cleaning, the composition a training-data run
+    * actually ships: exact-dedup survivors → minimum length → English
+    * prediction → emit with integer quality stats. One narrow scan +
+    * one hash-agg semi-join; linear at any scale.
+    */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val deduped = graft.dedup.ExactDedup.dedup(docs, "doc_id", "text")
+    deduped
+      .withColumn("token_cnt", TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .filter(col("token_cnt") >= 30 && col("lang_pred") === "en")
+      .select(col("doc_id"), col("token_cnt"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("bpe_token_cnt"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
   }
 
@@ -246,12 +265,43 @@ object PipelineQueries {
       raw"""WITH $toksCte
            |SELECT d.doc_id,
            |  CAST(len(tk) AS BIGINT) AS token_cnt,
+           |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS bpe_token_cnt,
            |  CAST(length(text) AS BIGINT) AS char_cnt,
            |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS BIGINT) AS punct_cnt,
            |  CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_hits,
            |  sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
            |FROM documents d JOIN toks ON toks.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+
+    "corpus_clean" -> {
+      val hits = TextFunctions.langLexicons.map { case (lang, ws) =>
+        s"len(list_filter(tk, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS h_$lang"
+      }.mkString(",\n         ")
+      val langs = TextFunctions.langLexicons.map(_._1)
+      val best = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+      val cases = langs
+        .map(l => s"WHEN h_$l = best AND h_$l > 0 THEN '$l'").mkString(" ")
+      raw"""WITH $toksCte,
+           |norm AS (
+           |  SELECT doc_id,
+           |         sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash
+           |  FROM documents),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY content_hash),
+           |hits AS (SELECT doc_id, $hits FROM toks),
+           |pred AS (
+           |  SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+           |  FROM (SELECT *, $best AS best FROM hits))
+           |SELECT d.doc_id,
+           |  CAST(len(tk) AS BIGINT) AS token_cnt,
+           |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS bpe_token_cnt,
+           |  sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+           |FROM documents d
+           |JOIN toks ON toks.doc_id = d.doc_id
+           |JOIN pred ON pred.doc_id = d.doc_id
+           |WHERE d.doc_id IN (SELECT doc_id FROM keep)
+           |  AND len(tk) >= 30 AND pred.lang_pred = 'en'
+           |ORDER BY d.doc_id""".stripMargin
+    },
 
     "lang_id" -> {
       val hits = TextFunctions.langLexicons.map { case (lang, ws) =>
@@ -284,6 +334,7 @@ object PipelineQueries {
     "ann_lsh_topk" -> annLshTopK _,
     "windowed_event_counts" -> windowedEventCounts _,
     "text_stats" -> textStats _,
-    "lang_id" -> langId _
+    "lang_id" -> langId _,
+    "corpus_clean" -> corpusClean _
   )
 }

@@ -60,6 +60,14 @@ object TextFunctions {
     }
   }
 
+  /** BPE-ish subword-boundary token count: words and standalone
+    * punctuation marks each count once (`\w+|[^\w\s]`) — the cheap
+    * pre-tokenizer approximation of byte-pair-encoding vocabularies
+    * (ASCII-safe across Java and RE2 regex engines).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
   /** Stable document fingerprint: sha2-256 of the lower-cased,
     * whitespace-collapsed text. Equal fingerprints = exact duplicates
     * modulo case/whitespace.
