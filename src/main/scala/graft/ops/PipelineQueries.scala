@@ -221,7 +221,7 @@ object PipelineQueries {
          |         x.simhash AS sig_a, y.simhash AS sig_b
          |  FROM chunks x JOIN chunks y
          |    ON x.chunk_no = y.chunk_no AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
-         |SELECT a, b, sig_a, sig_b, bit_count(xor(sig_a, sig_b)) AS hamming
+         |SELECT a, b, sig_a, sig_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
          |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
          |ORDER BY a, b""".stripMargin
     },

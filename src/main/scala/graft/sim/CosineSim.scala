@@ -75,7 +75,7 @@ object CosineSim {
         col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("sim").desc, col("nn_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "nn_id", "dot", "na", "nb")
   }
