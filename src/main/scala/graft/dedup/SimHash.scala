@@ -43,11 +43,13 @@ object SimHash {
   def nearPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sig = signatures(df, idCol, textCol)
-    val chunks = (0 until 4).map { c =>
-      sig.select(col(idCol), col("simhash"),
-        shiftright(col("simhash"), c * 8).bitwiseAND(lit(255L)).as("chunk"),
-        lit(c).as("chunk_no"))
-    }.reduce(_ unionByName _)
+    // one posexplode, not a 4-branch union: all chunks ride a single
+    // exchange into the pair join (same shape as MinHashLSH.candidates)
+    val chunks = sig.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 8).bitwiseAND(lit(255L))): _*)))
+      .withColumnRenamed("pos", "chunk_no")
+      .withColumnRenamed("col", "chunk")
     chunks.as("x").join(chunks.as("y"),
       col("x.chunk_no") === col("y.chunk_no") &&
         col("x.chunk") === col("y.chunk") &&

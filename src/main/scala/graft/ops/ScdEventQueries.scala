@@ -71,13 +71,15 @@ object ScdEventQueries {
   def scdApplyDay2(spark: SparkSession, dir: String): DataFrame = {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], targetSchema)
+    // materialize day-1 state and the day-2 batch: the SCD plan
+    // references each from the snapshot window, both split joins and
+    // both merges — left lazy, Spark re-executes the whole upstream DAG
+    // (events scan + per-day window) at every reference. In real use
+    // ScdTable persists the state and the batch arrives materialized.
     val s1 = ScdApply.nextState(empty, dimSource(spark, dir, "2024-01-01"), cfg(Clock1))
-      // materialize day-1 state: the day-2 plan references it from the
-      // snapshot window, both split joins and both merges — left lazy,
-      // Spark re-executes the whole day-1 DAG at each reference. In real
-      // use ScdTable persists between batches (same effect).
       .localCheckpoint()
-    val s2 = ScdApply.nextState(s1, dimSource(spark, dir, "2024-01-02"), cfg(Clock2))
+    val b2 = dimSource(spark, dir, "2024-01-02").localCheckpoint()
+    val s2 = ScdApply.nextState(s1, b2, cfg(Clock2))
     s2.orderBy("user_id", "event_type", "effective_from", "record_status")
   }
 
