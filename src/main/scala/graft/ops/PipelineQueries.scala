@@ -114,6 +114,42 @@ object PipelineQueries {
       col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** Pair detection → transitive closure: the cluster assignment a
+    * dedup pipeline actually keys its keep/drop decision on.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHashLSH.nearDuplicates(Tables.load(spark, dir, "documents"),
+      "doc_id", "text", NGRAM, k = K, bands = BANDS, num = 3, den = 10)
+    graft.dedup.Clusters.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  private val SessionGapUs = 7200000000L // 2 hours
+
+  /** Batch sessionization (gap-based, window-function form). */
+  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.sessionizeBatch(
+      Tables.load(spark, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", "event_id", SessionGapUs)
+      .orderBy("user_id", "session_no")
+
+  /** Top-5 salient terms per document (integer tf/df ranking). */
+  def topTerms(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.topTermsPerDoc(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", k = 5)
+      .orderBy("doc_id", "rank")
+
+  /** IVF ANN — statistical like [[annLshTopK]]: rows-only driver check;
+    * recall vs brute force asserted in IvfAnnSpec.
+    */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    graft.sim.IvfAnn.topK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+      .orderBy("q_id", "rank")
+  }
+
   // ---------------- DuckDB oracle fragments ----------------
 
   /** tokens CTE (single-space normalized split, = TextFunctions.tokens) */
@@ -144,6 +180,35 @@ object PipelineQueries {
   private val dot = (a: String, b: String) =>
     s"CAST(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) AS BIGINT)"
 
+  /** Shared CTE chain for the MinHash+LSH pipeline up to verified pairs
+    * (used by both the pair-list oracle and the cluster oracle).
+    */
+  private val minhashCtes: String = {
+    val mins = (0 until K)
+      .map(i => s"min(${Shingles.rehashSql("h", i)}) AS mh$i").mkString(",\n         ")
+    val bandSelects = (0 until BANDS).map { j =>
+      val cols = (j * 2 until j * 2 + 2)
+        .map(i => s"CAST(mh$i AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $j AS band_no, concat_ws('-', $cols) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$toksCte, $shCte, $sizesCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS bands_hit
+       |  FROM bands x JOIN bands y
+       |    ON x.band_no = y.band_no AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS inter_size
+       |  FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND y.h = x.h
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   // ---------------- oracles ----------------
 
   val oracle: Map[String, String] = Map(
@@ -166,36 +231,66 @@ object PipelineQueries {
          |WHERE 2 * inter_size >= 1 * (sa.sz + sb.sz - inter_size)
          |ORDER BY a, b""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      val mins = (0 until K)
-        .map(i => s"min(${Shingles.rehashSql("h", i)}) AS mh$i").mkString(",\n         ")
-      val bandSelects = (0 until BANDS).map { j =>
-        val cols = (j * 2 until j * 2 + 2)
-          .map(i => s"CAST(mh$i AS VARCHAR)").mkString(", ")
-        s"SELECT doc_id, $j AS band_no, concat_ws('-', $cols) AS bucket FROM sig"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH $toksCte, $shCte, $sizesCte,
-         |sig AS (
-         |  SELECT doc_id,
-         |         $mins
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS bands_hit
-         |  FROM bands x JOIN bands y
-         |    ON x.band_no = y.band_no AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2),
-         |inter AS (
-         |  SELECT c.a, c.b, count(*) AS inter_size
-         |  FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND y.h = x.h
-         |  GROUP BY 1, 2)
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashCtes
          |SELECT c.a, c.b, c.bands_hit, i.inter_size, sa.sz AS a_size, sb.sz AS b_size
          |FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
          |  JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
          |WHERE 10 * i.inter_size >= 3 * (sa.sz + sb.sz - i.inter_size)
-         |ORDER BY c.a, c.b""".stripMargin
-    },
+         |ORDER BY c.a, c.b""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (
+         |  SELECT c.a, c.b
+         |  FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
+         |    JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
+         |  WHERE 10 * i.inter_size >= 3 * (sa.sz + sb.sz - i.inter_size)),
+         |nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "sessionize_events" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         |brk AS (
+         |  SELECT user_id, event_id, ts_us,
+         |         CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 7200000000
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+         |                                   ORDER BY ts_us, event_id) AS prev_ts
+         |        FROM e)),
+         |numbered AS (
+         |  SELECT user_id, ts_us,
+         |         CAST(sum(brk) OVER (PARTITION BY user_id
+         |                             ORDER BY ts_us, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+         |  FROM brk)
+         |SELECT user_id, session_no,
+         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+         |       count(*) AS n_events
+         |FROM numbered GROUP BY user_id, session_no
+         |ORDER BY user_id, session_no""".stripMargin,
+
+    "top_terms" ->
+      s"""WITH $toksCte,
+         |tf AS (
+         |  SELECT doc_id, t AS term, count(*) AS tf
+         |  FROM toks, unnest(tk) AS u(t) GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |ranked AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |         row_number() OVER (PARTITION BY tf.doc_id
+         |                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+         |  FROM tf JOIN df USING (term))
+         |SELECT doc_id, rank, term, tf, df FROM ranked
+         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     "dedup_simhash" -> {
       val bitSums = (0 until 32)
@@ -332,6 +427,10 @@ object PipelineQueries {
     "dedup_embedding" -> dedupEmbedding _,
     "ann_brute_topk" -> annBruteTopK _,
     "ann_lsh_topk" -> annLshTopK _,
+    "ann_ivf_topk" -> annIvfTopK _,
+    "dedup_clusters" -> dedupClusters _,
+    "sessionize_events" -> sessionizeEvents _,
+    "top_terms" -> topTerms _,
     "windowed_event_counts" -> windowedEventCounts _,
     "text_stats" -> textStats _,
     "lang_id" -> langId _,

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import java.time.Instant
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -100,6 +101,37 @@ object Streams {
       .withWatermark("ts_utc", s"${gapMs / 1000} seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Batch sessionization via window functions: a session break is a
+    * gap > `gapUs` between consecutive events of one user; session
+    * number = running count of breaks. Same session semantics as the
+    * stateful [[sessionize]], expressed as lag + running-sum windows so
+    * it is plain ANSI SQL (DuckDB-oracle-checkable) and rides ONE
+    * user-keyed shuffle that both window functions and the final
+    * aggregate reuse.
+    *
+    * `tsUsCol` must be an integer microsecond column (events.ts is raw
+    * INT64 nanos; pass `ts div 1000`) — integer arithmetic keeps the
+    * gap predicate exact on both engines.
+    */
+  def sessionizeBatch(
+      events: DataFrame, userCol: String, tsUsCol: String, idCol: String,
+      gapUs: Long): DataFrame = {
+    val byTime = Window.partitionBy(userCol)
+      .orderBy(col(tsUsCol).asc, col(idCol).asc)
+    events
+      .withColumn("prev_ts", lag(col(tsUsCol), 1).over(byTime))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          col(tsUsCol) - col("prev_ts") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_no",
+        sum("brk").over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_no"))
+      .agg(
+        min(col(tsUsCol)).as("session_start_us"),
+        max(col(tsUsCol)).as("session_end_us"),
+        count(lit(1)).as("n_events"))
   }
 
   /** Event-time windowed counts with late-data handling: the canonical

@@ -1,0 +1,32 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ClustersSpec extends AnyFunSuite with SparkSpec {
+
+  test("connected components: chains, singleton pairs, disjoint groups") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 21)
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (21L, 20L), (21L, 22L)).toDF("a", "b")
+    val got = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("long path converges within maxIter (propagation depth)") {
+    import spark.implicits._
+    // path 0-1-2-...-9: min label must travel 9 hops
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 9L).map(_ -> 0L).toMap)
+  }
+}

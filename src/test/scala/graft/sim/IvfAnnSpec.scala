@@ -1,0 +1,33 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkSpec, Tables}
+
+/** IVF ANN is statistical — same contract as AnnLshSpec: recall vs the
+  * exact brute-force baseline, exact integer scores per returned pair,
+  * and deterministic training.
+  */
+class IvfAnnSpec extends AnyFunSuite with SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+
+  test("IVF with nprobe=4/16 reaches >=60% recall@5 of brute force") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = CosineSim.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = IvfAnn.topK(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"recall@5 = $recall%.3f")
+    assert(recall >= 0.60, f"recall too low: $recall%.3f")
+  }
+
+  test("training is deterministic run-to-run") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val c1 = IvfAnn.trainCentroids(emb, "vec_id", "embedding", 8, iterations = 2)
+    val c2 = IvfAnn.trainCentroids(emb, "vec_id", "embedding", 8, iterations = 2)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+  }
+}
