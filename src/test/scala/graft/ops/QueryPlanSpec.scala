@@ -48,6 +48,34 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
       s"expected partial agg:\n$p")
   }
 
+  test("q5 star join broadcasts every dimension and prunes the scans") {
+    val p = RelationalQueries.q5LocalSupplier(spark, dir)
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$p")
+    // column pruning on the fact scan: revenue needs 4 lineitem columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint," +
+      "l_extendedprice:double,l_discount:double>"),
+      s"lineitem scan not pruned to the 4 needed columns:\n$p")
+  }
+
+  test("shingling stays in codegen: explode generator, no interpreted lambda") {
+    val p = graft.dedup.Shingles
+      .shingleHashes(graft.Tables.load(spark, dir, "documents"), "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Generate explode"), s"expected explode generator:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"interpreted higher-order function in the shingle hot path:\n$p")
+  }
+
+  test("minhash verify joins broadcast the candidate side") {
+    val p = PipelineQueries.dedupMinhashLsh(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast verify join:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"interpreted higher-order function in the minhash hot path:\n$p")
+  }
+
   test("all registered queries return rows and distinct names") {
     val qs = graft.SparkEntry.queries
     assert(qs.nonEmpty)
