@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftexpr.{LongArrayDotExpr, QuantizeMilliExpr}
+
+/** SQL surface for graft's native expressions — the Spark extension
+  * point (`SparkSessionExtensions.injectFunction`) that makes the
+  * codegen'd kernels callable from pure SQL:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)          // programmatic
+  *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   // or, on an already-running session:
+  *   GraftExtensions.register(spark)
+  *   spark.sql("SELECT graft_dot(qv, cv) FROM pairs")
+  * }}}
+  *
+  * Registered functions:
+  *  - `graft_dot(array<long>, array<long>) : bigint` — exact int64 dot
+  *    product ([[org.apache.spark.sql.graftexpr.LongArrayDotExpr]])
+  *  - `graft_quantize_milli(array<double>) : array<long>` — fixed-point
+  *    milli quantization ([[org.apache.spark.sql.graftexpr.QuantizeMilliExpr]])
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** (identifier, info, builder) triples — the exact shape
+    * `injectFunction` consumes, also usable against a live session's
+    * registry via [[register]].
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[LongArrayDotExpr].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot takes exactly 2 arguments")
+        LongArrayDotExpr(children.head, children(1))
+      }),
+    (
+      new FunctionIdentifier("graft_quantize_milli"),
+      new ExpressionInfo(classOf[QuantizeMilliExpr].getName, "graft_quantize_milli"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_quantize_milli takes exactly 1 argument")
+        QuantizeMilliExpr(children.head)
+      }))
+
+  /** Register into an already-running session (covers sessions not
+    * built with `withExtensions`, e.g. notebook environments).
+    */
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.graftexpr.GraftFunctionRegistrar.register(spark)
+}

@@ -50,17 +50,17 @@ object Clusters {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("cluster_id").as("neighbor_min"))
+      // convergence flag computed IN the propagation pass (a separate
+      // old-vs-new join would cost a full extra shuffle per round)
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"),
-            coalesce(col("neighbor_min"), col("cluster_id"))).as("cluster_id"))
+            coalesce(col("neighbor_min"), col("cluster_id"))).as("cluster_id"),
+          (col("neighbor_min").isNotNull &&
+            col("neighbor_min") < col("cluster_id")).as("chg"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cluster_id") < col("o.cluster_id"))
-        .limit(1).isEmpty
-      converged = changed
-      labels = next
+      converged = next.filter(col("chg")).limit(1).isEmpty
+      labels = next.drop("chg")
       i += 1
     }
     labels

@@ -12,4 +12,13 @@ package object functions {
     def apply(a: Column, b: Column): Column =
       org.apache.spark.sql.graftexpr.LongArrayDotExpr.column(a, b)
   }
+
+  /** Milli-unit fixed-point quantization `round(x*1000) : array<long>`
+    * of a float/double array (codegen'd; see
+    * org.apache.spark.sql.graftexpr.QuantizeMilliExpr).
+    */
+  object QuantizeMilli {
+    def apply(a: Column): Column =
+      org.apache.spark.sql.graftexpr.QuantizeMilliExpr.column(a)
+  }
 }

@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object CosineSim {
 
-  /** `array<long>` milli-quantized embedding. */
+  /** `array<long>` milli-quantized embedding — codegen'd single loop,
+    * not an interpreted `transform` lambda (this runs on every corpus
+    * row of every similarity operator; see
+    * [[graft.functions.QuantizeMilli]]).
+    */
   def quantize(vec: Column): Column =
-    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+    graft.functions.QuantizeMilli(vec.cast("array<double>"))
 
   /** Exact int64 dot product of two quantized vectors — a native
     * codegen'd expression, NOT `aggregate(zip_with(...))`: interpreted
