@@ -68,6 +68,14 @@ object MediaOps {
     def decode(kind: String, format: String, bytes: Array[Byte]): Array[Float]
     def sampleFrames(durationMs: Int, everyMs: Int): Array[Int] =
       (0 until durationMs by everyMs).toArray
+    /** Re-encode to the target dimensions. The stub must be
+      * deterministic and length-bounded; a real codec decodes, scales
+      * and re-encodes.
+      */
+    def resize(kind: String, format: String, bytes: Array[Byte],
+        width: Int, height: Int): Array[Byte] =
+      bytes.take(math.max(16, bytes.length * width /
+        math.max(1, width + height)))
   }
 
   /** Deterministic stand-in for the real codecs: features are a folded
@@ -106,6 +114,34 @@ object MediaOps {
           val feats = decoder.decode(
             r.getString(kindIx), fmt, r.getAs[Array[Byte]](bytesIx))
           Row.fromSeq(r.toSeq :+ feats.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Resize image rows to target dimensions: bytes re-encoded through
+    * the codec seam, `meta.width/height` rewritten in the plan; non-image
+    * rows pass through untouched. Same batched-iterator shape as
+    * [[extractFeatures]].
+    */
+  def resizeImages(
+      media: DataFrame, decoder: MediaDecoder, width: Int, height: Int,
+      batchSize: Int = 64): DataFrame = {
+    val enc = ExpressionEncoder(media.schema)
+    val kindIx = media.schema.fieldIndex("kind")
+    val bytesIx = media.schema.fieldIndex("bytes")
+    val metaIx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          if (r.getString(kindIx) != "image") r
+          else {
+            val meta = r.getStruct(metaIx)
+            val out = decoder.resize("image", meta.getString(0),
+              r.getAs[Array[Byte]](bytesIx), width, height)
+            val newMeta = Row(meta.getString(0), width, height, meta.getInt(3))
+            Row.fromSeq(r.toSeq.updated(bytesIx, out).updated(metaIx, newMeta))
+          }
         }
       }
     }(enc)

@@ -140,6 +140,37 @@ object PipelineQueries {
       Tables.load(spark, dir, "documents"), "doc_id", "text", k = 5)
       .orderBy("doc_id", "rank")
 
+  /** Sketch aggregates — the 100 TB shape for distinct counts and
+    * quantiles (exact versions need a full shuffle of the key space;
+    * sketches merge in fixed memory). Sketch internals differ across
+    * engines, so this is rows-only for the driver; ApproxStatsSpec
+    * asserts accuracy against the exact answers.
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("props"), 0.02).as("approx_props"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
+      .orderBy("event_type")
+
+  /** Multimodal feature extraction end-to-end (synthetic payloads —
+    * see MediaOps): binary media → batched decode → feature vector →
+    * integer norm via the quantize+dot kernels. Rows-only (the codec
+    * fold is not SQL-expressible); MediaOpsSpec pins determinism.
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.MediaOps.syntheticFromDocuments(
+      Tables.load(spark, dir, "documents"))
+    val feats = graft.multimodal.MediaOps.extractFeatures(
+      media, new graft.multimodal.MediaOps.FakeDecoder(16))
+    feats.select(col("media_id"), col("kind"),
+      CosineSim.normQ(CosineSim.quantize(col("features"))).as("feature_norm_q"))
+      .orderBy("media_id")
+  }
+
   /** IVF ANN — statistical like [[annLshTopK]]: rows-only driver check;
     * recall vs brute force asserted in IvfAnnSpec.
     */
@@ -428,6 +459,8 @@ object PipelineQueries {
     "ann_brute_topk" -> annBruteTopK _,
     "ann_lsh_topk" -> annLshTopK _,
     "ann_ivf_topk" -> annIvfTopK _,
+    "approx_stats" -> approxStats _,
+    "media_features" -> mediaFeatures _,
     "dedup_clusters" -> dedupClusters _,
     "sessionize_events" -> sessionizeEvents _,
     "top_terms" -> topTerms _,

@@ -36,6 +36,23 @@ class MediaOpsSpec extends AnyFunSuite with SparkSpec {
     assert(again.toSeq === first.toSeq)
   }
 
+  test("resizeImages rewrites bytes + meta for images only, schema unchanged") {
+    val m = media
+    val out = MediaOps.resizeImages(m, new MediaOps.FakeDecoder(16), 128, 96)
+    assert(out.schema === m.schema)
+    assert(out.count() === m.count())
+    val img = out.filter(col("kind") === "image").head()
+    assert(img.getStruct(3).getInt(1) === 128 && img.getStruct(3).getInt(2) === 96)
+    assert(img.getAs[Array[Byte]]("bytes").length < 64) // re-encoded
+    // non-images byte-identical to the source
+    val srcAudio = m.filter(col("kind") === "audio")
+      .select("media_id", "bytes").orderBy("media_id").collect()
+    val outAudio = out.filter(col("kind") === "audio")
+      .select("media_id", "bytes").orderBy("media_id").collect()
+    assert(srcAudio.map(_.getAs[Array[Byte]](1).toSeq).toSeq ===
+      outAudio.map(_.getAs[Array[Byte]](1).toSeq).toSeq)
+  }
+
   test("sampleFrames explodes video rows at the requested cadence, passes others through") {
     val m = media
     val sampled = MediaOps.sampleFrames(m, everyMs = 5000)
