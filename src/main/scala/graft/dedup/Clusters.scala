@@ -35,8 +35,12 @@ object Clusters {
   def connectedComponents(
       pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the pair list FIRST: the caller usually hands us the
+    // lazy output of a whole near-dup pipeline, and referencing it in
+    // both union branches below would execute that pipeline twice
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()

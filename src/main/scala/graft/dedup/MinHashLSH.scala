@@ -107,5 +107,11 @@ object MinHashLSH {
       .filter(lit(den.toLong) * col("inter_size") >=
         lit(num.toLong) * (col("a_size") + col("b_size") - col("inter_size")))
       .select("a", "b", "bands_hit", "inter_size", "a_size", "b_size")
+      // the verified pair list is tiny and consumed by several
+      // downstream operators (clustering, cleaning, reporting) — and
+      // Spark's cache manager keys on the logical plan, so every
+      // pipeline that recomputes the same near-dup call shares ONE
+      // execution per session
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 }

@@ -114,6 +114,30 @@ object PipelineQueries {
       col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** The full cleaning pipeline a pretraining-data run ships: near-dup
+    * clustering (which subsumes exact dedup — identical docs share all
+    * LSH bands and verify at Jaccard 1.0), keep each cluster's minimum
+    * id, then length + language gates. One narrow corpus scan feeds the
+    * pair pipeline; the final pass is a left-anti against the (tiny)
+    * drop list — linear at any scale.
+    */
+  def corpusCleanNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = MinHashLSH.nearDuplicates(docs,
+      "doc_id", "text", NGRAM, k = K, bands = BANDS, num = 3, den = 10)
+    val drop = graft.dedup.Clusters.connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .withColumn("token_cnt", TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .filter(col("token_cnt") >= 30 && col("lang_pred") === "en")
+      .select(col("doc_id"), col("token_cnt"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("bpe_token_cnt"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   /** Pair detection → transitive closure: the cluster assignment a
     * dedup pipeline actually keys its keep/drop decision on.
     */
@@ -429,6 +453,44 @@ object PipelineQueries {
            |ORDER BY d.doc_id""".stripMargin
     },
 
+    "corpus_clean_neardup" -> {
+      val hits = TextFunctions.langLexicons.map { case (lang, ws) =>
+        s"len(list_filter(tk, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS h_$lang"
+      }.mkString(",\n         ")
+      val langs = TextFunctions.langLexicons.map(_._1)
+      val best = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+      val cases = langs
+        .map(l => s"WHEN h_$l = best AND h_$l > 0 THEN '$l'").mkString(" ")
+      raw"""WITH RECURSIVE $minhashCtes,
+           |pairs AS (
+           |  SELECT c.a, c.b
+           |  FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
+           |    JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
+           |  WHERE 10 * i.inter_size >= 3 * (sa.sz + sb.sz - i.inter_size)),
+           |nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+           |edges AS (SELECT a AS src, b AS dst FROM pairs
+           |          UNION SELECT b, a FROM pairs),
+           |reach AS (
+           |  SELECT id, id AS r FROM nodes
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+           |dropped AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id),
+           |hits AS (SELECT doc_id, $hits FROM toks),
+           |pred AS (
+           |  SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+           |  FROM (SELECT *, $best AS best FROM hits))
+           |SELECT d.doc_id,
+           |  CAST(len(tk) AS BIGINT) AS token_cnt,
+           |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS bpe_token_cnt,
+           |  sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+           |FROM documents d
+           |JOIN toks ON toks.doc_id = d.doc_id
+           |JOIN pred ON pred.doc_id = d.doc_id
+           |WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+           |  AND len(tk) >= 30 AND pred.lang_pred = 'en'
+           |ORDER BY d.doc_id""".stripMargin
+    },
+
     "lang_id" -> {
       val hits = TextFunctions.langLexicons.map { case (lang, ws) =>
         s"len(list_filter(tk, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS h_$lang"
@@ -462,6 +524,7 @@ object PipelineQueries {
     "approx_stats" -> approxStats _,
     "media_features" -> mediaFeatures _,
     "dedup_clusters" -> dedupClusters _,
+    "corpus_clean_neardup" -> corpusCleanNearDup _,
     "sessionize_events" -> sessionizeEvents _,
     "top_terms" -> topTerms _,
     "windowed_event_counts" -> windowedEventCounts _,
