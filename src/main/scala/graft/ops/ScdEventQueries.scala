@@ -45,11 +45,12 @@ object ScdEventQueries {
     effectiveFromCol = Some("ts_utc"),
     clock = () => Instant.parse(runAt))
 
-  /** One source batch: the latest event per key on `day` (ties broken by
-    * event_id, so the batch is deterministic and single-row-per-key —
+  /** Latest event per key per day, for the given days — ONE events scan
+    * and one window shuffle produce every batch (ties broken by
+    * event_id, so each batch is deterministic and single-row-per-key —
     * multi-row sources are UB in the reference, SURVEY.md §2.11).
     */
-  def dimSource(spark: SparkSession, dir: String, day: String): DataFrame = {
+  def dimSources(spark: SparkSession, dir: String, days: Seq[String]): DataFrame = {
     // µs-truncated ordering — the DuckDB oracle can't see sub-µs (see
     // RelationalQueries.windowLatestPerKey)
     val w = Window.partitionBy("user_id", "event_type", "day")
@@ -57,11 +58,15 @@ object ScdEventQueries {
     Tables.events(spark, dir)
       .withColumn("value_cents", expr("cast(round(value * 100) as bigint)"))
       .withColumn("day", to_date(col("ts_utc")))
-      .filter(col("day") === lit(day).cast("date"))
+      .filter(col("day").isin(days.map(lit(_).cast("date")): _*))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select("user_id", "event_type", "value_cents", "props", "ts_utc")
+      .select("user_id", "event_type", "value_cents", "props", "ts_utc", "day")
   }
+
+  /** One source batch (compat wrapper over [[dimSources]]). */
+  def dimSource(spark: SparkSession, dir: String, day: String): DataFrame =
+    dimSources(spark, dir, Seq(day)).drop("day")
 
   /** Day-1 initial load then day-2 incremental, as one lazy plan over an
     * empty in-memory target (S2) — exercises the full §2.11 pipeline:
@@ -71,14 +76,16 @@ object ScdEventQueries {
   def scdApplyDay2(spark: SparkSession, dir: String): DataFrame = {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], targetSchema)
-    // materialize day-1 state and the day-2 batch: the SCD plan
-    // references each from the snapshot window, both split joins and
-    // both merges — left lazy, Spark re-executes the whole upstream DAG
-    // (events scan + per-day window) at every reference. In real use
-    // ScdTable persists the state and the batch arrives materialized.
-    val s1 = ScdApply.nextState(empty, dimSource(spark, dir, "2024-01-01"), cfg(Clock1))
+    // ONE events scan + window for both day batches, materialized once:
+    // the SCD plan references each batch from the snapshot window, both
+    // split joins and both merges — left lazy, Spark would re-execute
+    // the upstream DAG at every reference. In real use ScdTable persists
+    // the state and batches arrive materialized.
+    val batches = dimSources(spark, dir, Seq("2024-01-01", "2024-01-02"))
       .localCheckpoint()
-    val b2 = dimSource(spark, dir, "2024-01-02").localCheckpoint()
+    val b1 = batches.filter(col("day") === lit("2024-01-01").cast("date")).drop("day")
+    val b2 = batches.filter(col("day") === lit("2024-01-02").cast("date")).drop("day")
+    val s1 = ScdApply.nextState(empty, b1, cfg(Clock1)).localCheckpoint()
     val s2 = ScdApply.nextState(s1, b2, cfg(Clock2))
     s2.orderBy("user_id", "event_type", "effective_from", "record_status")
   }
