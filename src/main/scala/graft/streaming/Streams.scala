@@ -103,6 +103,22 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming ingest dedup: drop re-deliveries of the same key while
+    * bounding state by the event-time watermark
+    * (`dropDuplicatesWithinWatermark` — state for a key is freed once
+    * the watermark passes its event time + delay, so it runs forever in
+    * fixed memory; plain `dropDuplicates` on a stream grows state
+    * without bound). The streaming face of `graft.dedup`: keys are
+    * typically a delivery id or a content fingerprint
+    * ([[graft.text.TextFunctions.fingerprint]]).
+    */
+  def dedupStream(
+      events: DataFrame, tsCol: String, delay: String,
+      keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Batch sessionization via window functions: a session break is a
     * gap > `gapUs` between consecutive events of one user; session
     * number = running count of breaks. Same session semantics as the

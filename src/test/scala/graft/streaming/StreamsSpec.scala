@@ -41,6 +41,30 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops re-deliveries within the watermark, state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts_utc", "event_id", "payload")
+    val deduped = Streams.dedupStream(events, "ts_utc", "10 minutes", Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "a"),
+        (ts("2024-01-01 10:00:05"), 2L, "b"))
+      q.processAllAvailable()
+      // re-delivery of key 1 in a later micro-batch, still in watermark
+      input.addData(
+        (ts("2024-01-01 10:01:00"), 1L, "a-dup"),
+        (ts("2024-01-01 10:01:30"), 3L, "c"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream").orderBy("event_id").collect()
+      assert(out.map(r => (r.getLong(1), r.getString(2))).toSeq ===
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions at the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
