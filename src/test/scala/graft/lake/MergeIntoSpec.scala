@@ -31,6 +31,20 @@ class MergeIntoSpec extends AnyFunSuite with SparkSpec {
       (4, "d", 40)))   // inserted
   }
 
+  test("merge condition plans as a hash join, never a nested loop") {
+    // equi-parts of the string condition must be extracted as join keys
+    // (ExtractEquiJoinKeys) with residuals as filters — a
+    // BroadcastNestedLoopJoin here would be O(|target|x|updates|) at scale
+    val plan = MergeInto(target, updates,
+      "target.id = updates.id AND target.n < 100 AND updates.v != 'zzz'")
+      .whenMatchedUpdate(Map("v" -> "updates.v"))
+      .whenNotMatchedInsert(Map("id" -> "updates.id", "v" -> "updates.v"))
+      .resolve().queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"nested loop join in merge plan:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected hash/sort-merge join:\n$plan")
+  }
+
   test("partial update-set leaves unlisted target columns alone") {
     val next = MergeInto(target, updates, "target.id = updates.id")
       .whenMatchedUpdate(Map("v" -> "upper(updates.v)"))
