@@ -40,7 +40,16 @@ object ScdDemo {
     val days = daily.select("day").distinct()
       .orderBy("day").limit(3).collect().map(_.getDate(0))
 
-    val table = new ScdTable(spark, s"$outDir/user_event_dim")
+    // start from a clean slate: re-applying the fixed demo clocks onto a
+    // previous run's state would violate applyScd's forward-moving-clock
+    // precondition and fabricate duplicate active rows
+    val tableDir = java.nio.file.Paths.get(outDir, "user_event_dim")
+    if (java.nio.file.Files.exists(tableDir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tableDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val table = new ScdTable(spark, tableDir.toString)
     val cfg = ScdConfig(
       pkCols = Seq("user_id", "event_type"),
       scdKeyCols = Seq("value"),
