@@ -41,20 +41,24 @@ object IvfAnn {
     }.toSeq.toDF("cid", "cvec", "cnorm")
   }
 
-  /** Nearest-centroid assignment: broadcast C-row cross join + one
-    * id-keyed window. Input must carry (`idName`, `vecName`); all other
-    * columns pass through. Ties break to the lower centroid id.
+  /** Nearest-centroid assignment: broadcast C-row cross join + an
+    * argmin AGGREGATE (`min(struct(neg_sim, cid))` — partial-agg
+    * friendly, so the shuffle carries ONE row per vector, not C; a
+    * window here would shuffle the full C-fanout). Input must carry
+    * (`idName`, `vecName`); all other columns pass through. Ties break
+    * to the lower centroid id via the struct sort order.
     */
   private def assignLists(
       vecs: DataFrame, cdf: DataFrame, idName: String, vecName: String): DataFrame = {
+    val passThrough = vecs.columns.filterNot(_ == idName)
     val scored = vecs.crossJoin(broadcast(cdf))
       .withColumn("neg_sim",
         -CosineSim.dotQ(col(vecName), col("cvec")).cast("double") / col("cnorm"))
-    val w = Window.partitionBy(idName).orderBy(col("neg_sim").asc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .withColumnRenamed("cid", "list_id")
-      .drop("cvec", "cnorm", "neg_sim", "rn")
+    scored.groupBy(col(idName))
+      .agg(min(struct(col("neg_sim"), col("cid"))).as("__best"),
+        passThrough.map(c => first(col(c)).as(c)): _*)
+      .withColumn("list_id", col("__best.cid"))
+      .drop("__best")
   }
 
   /** Deterministic k-means centroids in quantized int64 milli-units.
