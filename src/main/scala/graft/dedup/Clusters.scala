@@ -46,22 +46,30 @@ object Clusters {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint()
+    // one lazy min-label propagation step; extra columns pass through
+    def step(ls: DataFrame): DataFrame = {
+      val neighborMin = edges
+        .join(ls.select(col("id").as("dst"), col("cluster_id")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("cluster_id").as("neighbor_min"))
+      ls.join(neighborMin, Seq("id"), "left")
+        .withColumn("cluster_id",
+          least(col("cluster_id"),
+            coalesce(col("neighbor_min"), col("cluster_id"))))
+        .drop("neighbor_min")
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // min label among each node's neighbors
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("cluster_id").as("neighbor_min"))
-      // convergence flag computed IN the propagation pass (a separate
-      // old-vs-new join would cost a full extra shuffle per round)
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"),
-            coalesce(col("neighbor_min"), col("cluster_id"))).as("cluster_id"),
-          (col("neighbor_min").isNotNull &&
-            col("neighbor_min") < col("cluster_id")).as("chg"))
+      // TWO lazy propagation steps per materialization: near-dup
+      // components have tiny diameters, so halving the number of
+      // checkpoint+convergence actions (each a fixed-latency job)
+      // matters more than the occasional extra lazy join after
+      // convergence. The original label rides along so the convergence
+      // flag spans both steps without an old-vs-new join.
+      val next = step(step(labels.withColumn("orig", col("cluster_id"))))
+        .withColumn("chg", col("cluster_id") < col("orig"))
+        .drop("orig")
         .localCheckpoint()
       converged = next.filter(col("chg")).limit(1).isEmpty
       labels = next.drop("chg")
