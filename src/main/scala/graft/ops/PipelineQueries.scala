@@ -151,6 +151,28 @@ object PipelineQueries {
 
   private val SessionGapUs = 7200000000L // 2 hours
 
+  /** Point-in-time enrichment: each event annotated with the user's most
+    * recent error event at-or-before it (the as-of lookup shape feature
+    * pipelines run against SCD2 dimensions; oracle = DuckDB's native
+    * ASOF JOIN).
+    */
+  def asofLastError(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("vc", expr("cast(round(value * 100) as bigint)"))
+    val errs = e.filter(col("event_type") === "error")
+      .select("user_id", "ts_us", "vc")
+    graft.ops.AsOfJoin.asOf(
+      e.select("event_id", "user_id", "ts_us"), errs,
+      keyCols = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
+      rightPayload = Map("ts_us" -> "err_ts_us", "vc" -> "err_value_cents"))
+      // no-match sentinel: nullable columns in oracle-hashed output are
+      // a cross-engine comparison hazard
+      .withColumn("err_ts_us", coalesce(col("err_ts_us"), lit(-1L)))
+      .withColumn("err_value_cents", coalesce(col("err_value_cents"), lit(-1L)))
+      .orderBy("event_id")
+  }
+
   /** Batch sessionization (gap-based, window-function form). */
   def sessionizeEvents(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.sessionizeBatch(
@@ -310,6 +332,19 @@ object PipelineQueries {
          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "asof_last_error" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |         event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |errs AS (SELECT user_id, ts_us, vc FROM e WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, e.ts_us,
+        |       coalesce(r.ts_us, -1) AS err_ts_us,
+        |       coalesce(r.vc, -1) AS err_value_cents
+        |FROM e ASOF LEFT JOIN errs r
+        |  ON e.user_id = r.user_id AND e.ts_us >= r.ts_us
+        |ORDER BY e.event_id""".stripMargin,
 
     "sessionize_events" ->
       s"""WITH e AS (
@@ -526,6 +561,7 @@ object PipelineQueries {
     "dedup_clusters" -> dedupClusters _,
     "corpus_clean_neardup" -> corpusCleanNearDup _,
     "sessionize_events" -> sessionizeEvents _,
+    "asof_last_error" -> asofLastError _,
     "top_terms" -> topTerms _,
     "windowed_event_counts" -> windowedEventCounts _,
     "text_stats" -> textStats _,

@@ -14,12 +14,17 @@ import sys, json, glob, math
 import duckdb
 
 def norm(v):
+    if v is None:
+        # NULLs sort before everything (Python can't compare None<int);
+        # "" as the payload keeps the tuple comparable against any type
+        # only when the non-null side also wraps — so wrap everything
+        return (0, "")
     if isinstance(v, float):
-        return round(v, 9)
+        return (1, round(v, 9))
     # duckdb sha256 may return blobs in some versions
     if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
-    return v
+        return (1, bytes(v).hex())
+    return (1, v)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
