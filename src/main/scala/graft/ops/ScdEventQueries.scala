@@ -98,7 +98,35 @@ object ScdEventQueries {
   val oracle: Map[String, String] = {
     val c1 = "TIMESTAMP '2025-06-01 00:00:00'"
     val c2 = "TIMESTAMP '2025-06-02 00:00:00'"
-    Map("scd_apply_day2" ->
+    val scdPitSql = {
+      val scdSql = "%SCD%" // placeholder substituted below
+      s"""WITH dim AS (SELECT * FROM ($scdSql)),
+         |ev AS (
+         |  SELECT user_id, event_type,
+         |         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         |         make_timestamp(epoch_ns(ts) // 1000) AS ts_utc,
+         |         CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+         |         ts, event_id
+         |  FROM events),
+         |src3 AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type, day
+         |                                 ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM ev) WHERE rn = 1 AND day = DATE '2024-01-03'),
+         |e3 AS (SELECT user_id, event_type, epoch_us(ts_utc) AS t_us FROM src3),
+         |d AS (SELECT user_id, event_type, value_cents, record_status,
+         |             epoch_us(effective_from) AS ef_us,
+         |             epoch_us(effective_to) AS et_us FROM dim)
+         |SELECT e3.user_id, e3.event_type, e3.t_us,
+         |       coalesce(d.value_cents, -1) AS value_at_t,
+         |       coalesce(d.record_status, 'none') AS status_at_t
+         |FROM e3 LEFT JOIN d
+         |  ON e3.user_id = d.user_id AND e3.event_type = d.event_type
+         |WHERE d.ef_us IS NULL
+         |   OR (e3.t_us >= d.ef_us AND (d.et_us IS NULL OR e3.t_us < d.et_us))
+         |ORDER BY e3.user_id, e3.event_type, e3.t_us""".stripMargin
+    }
+    val scdSql =
       s"""WITH ev AS (
          |  SELECT user_id, event_type,
          |         CAST(round(value * 100) AS BIGINT) AS value_cents, props,
@@ -156,9 +184,42 @@ object ScdEventQueries {
          |  SELECT * FROM closed UNION ALL SELECT * FROM newver
          |  UNION ALL SELECT * FROM scd1 UNION ALL SELECT * FROM unchanged
          |  UNION ALL SELECT * FROM brandnew)
-         |ORDER BY user_id, event_type, effective_from, record_status""".stripMargin)
+         |ORDER BY user_id, event_type, effective_from, record_status""".stripMargin
+    Map(
+      "scd_apply_day2" -> scdSql,
+      "scd_pointintime" -> scdPitSql.replace("%SCD%", scdSql))
+  }
+
+  /** Point-in-time lookup AGAINST the SCD2 dimension: every day-3 event
+    * joined to the dimension version valid at its event time
+    * (`effective_from <= t < effective_to`, open interval = current).
+    * This is what the validity intervals exist FOR — the proof the
+    * maintained dimension answers as-of queries. Plain equi-join on the
+    * business key + interval residual (versions per key are few, so the
+    * residual filter is cheap); the dimension side broadcasts at
+    * incremental scale.
+    */
+  def scdPointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scdApplyDay2(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value_cents"),
+        col("record_status"),
+        expr("unix_micros(effective_from)").as("ef_us"),
+        expr("unix_micros(effective_to)").as("et_us"))
+    val ev3 = dimSource(spark, dir, "2024-01-03")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts_utc as timestamp))").as("t_us"))
+    ev3.join(dim,
+      Seq("user_id", "event_type"), "left")
+      .filter(col("ef_us").isNull ||
+        (col("t_us") >= col("ef_us") &&
+          (col("et_us").isNull || col("t_us") < col("et_us"))))
+      .select(col("user_id"), col("event_type"), col("t_us"),
+        coalesce(col("value_cents"), lit(-1L)).as("value_at_t"),
+        coalesce(col("record_status"), lit("none")).as("status_at_t"))
+      .orderBy("user_id", "event_type", "t_us")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "scd_apply_day2" -> scdApplyDay2 _)
+    "scd_apply_day2" -> scdApplyDay2 _,
+    "scd_pointintime" -> scdPointInTime _)
 }
