@@ -1,0 +1,34 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkSpec, Tables}
+
+class CosineSimSpec extends AnyFunSuite with SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+
+  test("blocked similarPairs = unblocked pairs restricted to same-block (label)") {
+    val emb = Tables.load(spark, dir, "embeddings").limit(300)
+    val all = CosineSim.similarPairs(emb, "vec_id", "embedding", 2, 5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = CosineSim.similarPairs(emb, "vec_id", "embedding", 2, 5,
+      blockCol = Some("label"))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same-label subset of the exact all-pairs result
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = all.filter { case (a, b) => labels(a) == labels(b) }
+    assert(blocked === expected)
+    assert(blocked.subsetOf(all))
+  }
+
+  test("blocked plan joins on the block key (equi-join, no cross product)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val plan = CosineSim.similarPairs(emb, "vec_id", "embedding", 2, 5,
+      blockCol = Some("label"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") || plan.contains("HashJoin"),
+      s"blocked pair join should be an equi-join:\n$plan")
+  }
+}
