@@ -114,6 +114,50 @@ object PipelineQueries {
       col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** Intra-document repetition metrics — the Gopher-style quality
+    * signal (repeated n-grams ⇒ boilerplate/spam). Two chained
+    * hash-aggs: occurrences per (doc, gram), then per-doc totals; all
+    * integers. Docs shorter than the gram width emit zeros.
+    */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val n = NGRAM
+    val toks = TextFunctions.tokens(col("text"))
+    val grams = docs
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - n)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until n).map(j => element_at(col("tk"), col("i") + lit(j + 1))): _*).as("g"))
+    val perGram = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy("doc_id").agg(
+      sum("c").as("total_ngrams"),
+      count(lit(1)).as("distinct_ngrams"),
+      max("c").as("max_ngram_freq"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("total_ngrams"), lit(0L)).as("total_ngrams"),
+        coalesce(col("distinct_ngrams"), lit(0L)).as("distinct_ngrams"),
+        coalesce(col("max_ngram_freq"), lit(0L)).as("max_ngram_freq"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-(source, lang) corpus inventory: doc counts and exact integer
+    * token/char totals — the partition-level accounting a corpus run
+    * reports. One narrow scan + one tiny group-agg.
+    */
+  def sourceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        min(TextFunctions.tokenCount(col("text")).cast("long")).as("min_tokens"),
+        max(TextFunctions.tokenCount(col("text")).cast("long")).as("max_tokens"))
+      .orderBy("source", "lang")
+
   /** The full cleaning pipeline a pretraining-data run ships: near-dup
     * clustering (which subsumes exact dedup — identical docs share all
     * LSH bands and verify at Jaccard 1.0), keep each cluster's minimum
@@ -368,6 +412,36 @@ object PipelineQueries {
          |FROM numbered GROUP BY user_id, session_no
          |ORDER BY user_id, session_no""".stripMargin,
 
+    "doc_repetition" ->
+      raw"""WITH $toksCte,
+           |grams AS (
+           |  SELECT doc_id, array_to_string(tk[i:i+${NGRAM - 1}], ' ') AS g
+           |  FROM toks, unnest(generate_series(1, len(tk) - ${NGRAM - 1})) AS u(i)
+           |  WHERE len(tk) >= $NGRAM),
+           |per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+           |per_doc AS (
+           |  SELECT doc_id, sum(c) AS total_ngrams, count(*) AS distinct_ngrams,
+           |         max(c) AS max_ngram_freq
+           |  FROM per_gram GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       CAST(coalesce(p.total_ngrams, 0) AS BIGINT) AS total_ngrams,
+           |       CAST(coalesce(p.distinct_ngrams, 0) AS BIGINT) AS distinct_ngrams,
+           |       CAST(coalesce(p.max_ngram_freq, 0) AS BIGINT) AS max_ngram_freq
+           |FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+
+    "source_stats" ->
+      raw"""WITH $toksCte
+           |SELECT d.source, d.lang,
+           |       count(*) AS n_docs,
+           |       CAST(sum(len(tk)) AS BIGINT) AS total_tokens,
+           |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           |       CAST(min(len(tk)) AS BIGINT) AS min_tokens,
+           |       CAST(max(len(tk)) AS BIGINT) AS max_tokens
+           |FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+           |GROUP BY d.source, d.lang
+           |ORDER BY d.source, d.lang""".stripMargin,
+
     "top_terms" ->
       s"""WITH $toksCte,
          |tf AS (
@@ -563,6 +637,8 @@ object PipelineQueries {
     "sessionize_events" -> sessionizeEvents _,
     "asof_last_error" -> asofLastError _,
     "top_terms" -> topTerms _,
+    "doc_repetition" -> docRepetition _,
+    "source_stats" -> sourceStats _,
     "windowed_event_counts" -> windowedEventCounts _,
     "text_stats" -> textStats _,
     "lang_id" -> langId _,
