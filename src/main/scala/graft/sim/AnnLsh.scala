@@ -64,10 +64,9 @@ object AnnLsh {
         else (0 until planes).map(j =>
           struct(lit(t).as("t"), b.bitwiseXOR(lit(1L << j)).as("b"))))
       }: _*)))
-    // a corpus vector can collide with a query in several tables —
-    // dedup rides the ranking window (dense_rank counts each distinct
-    // (sim, nn_id) once) instead of a separate dropDuplicates shuffle
-    // over the full candidate set
+    // a corpus vector can collide with a query in several tables — the
+    // exact-duplicate candidates collapse inside the bounded top-k
+    // buffer (no dropDuplicates shuffle, no full-candidate window sort)
     val cand = c.join(broadcast(probes), Seq("tb"))
       .filter(col("q_id") =!= col("nn_id"))
       .select("q_id", "nn_id", "qq", "cq", "na", "nb")
@@ -75,10 +74,6 @@ object AnnLsh {
       CosineSim.dotQ(col("qq"), col("cq")).as("dot"), col("na"), col("nb"))
       .withColumn("sim",
         col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nn_id").asc)
-    scored.withColumn("rank", dense_rank().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .dropDuplicates("q_id", "nn_id")
-      .select("q_id", "rank", "nn_id", "dot", "na", "nb")
+    CosineSim.finishTopK(scored, k)
   }
 }

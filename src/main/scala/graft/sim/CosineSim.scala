@@ -60,6 +60,25 @@ object CosineSim {
         col("dot") * col("dot") * lit(den * den) >= lit(num * num) * col("na") * col("nb"))
   }
 
+  /** Shared top-k finisher for the similarity operators: bounded-heap
+    * aggregate ([[graft.functions.TopKAgg]]) instead of a
+    * window — map-side partials carry at most k rows per (query,
+    * partition) into the shuffle, where the window would shuffle+sort
+    * EVERY candidate. Exact duplicate candidates (same pair reached
+    * via several LSH tables) collapse inside the buffer. Input needs
+    * (q_id, nn_id, dot, na, nb, sim); output is the operator contract
+    * `(q_id, rank, nn_id, dot, na, nb)` ranked `sim DESC, nn_id ASC`.
+    */
+  private[sim] def finishTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = graft.functions.TopKAgg(k)
+    scored.groupBy("q_id")
+      .agg(topk(col("sim"), col("nn_id"), col("dot"), col("na"), col("nb")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.nnId").as("nn_id"), col("col.dot").as("dot"),
+        col("col.na").as("na"), col("col.nb").as("nb"))
+  }
+
   /** Brute-force cosine top-k: exact baseline for ANN. Query set =
     * `queries` (small, broadcast); ranking is by the deterministic
     * double `dot/√(na·nb)` with id tie-break, but emitted columns are
@@ -77,11 +96,7 @@ object CosineSim {
         dotQ(col("qq"), col("cq")).as("dot"), col("na"), col("nb"))
       .withColumn("sim",
         col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("sim").desc, col("nn_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "nn_id", "dot", "na", "nb")
+    finishTopK(scored, k)
   }
 
   /** Sign-LSH bucket id: bit j = sign of <v, p_j> for `planes`

@@ -133,9 +133,6 @@ object IvfAnn {
       CosineSim.dotQ(col("qq"), col("cq")).as("dot"), col("na"), col("nb"))
       .withColumn("sim",
         col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nn_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "nn_id", "dot", "na", "nb")
+    CosineSim.finishTopK(scored, k)
   }
 }
