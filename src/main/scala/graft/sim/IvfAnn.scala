@@ -33,7 +33,7 @@ import org.apache.spark.storage.StorageLevel
 object IvfAnn {
 
   /** Centroids as a C-row DataFrame `(cid, cvec, cnorm)`. */
-  private def centroidsDf(
+  private[sim] def centroidsDf(
       spark: SparkSession, centroids: Array[Array[Long]]): DataFrame = {
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) =>
@@ -48,7 +48,7 @@ object IvfAnn {
     * (`idName`, `vecName`); all other columns pass through. Ties break
     * to the lower centroid id via the struct sort order.
     */
-  private def assignLists(
+  private[sim] def assignLists(
       vecs: DataFrame, cdf: DataFrame, idName: String, vecName: String): DataFrame = {
     val passThrough = vecs.columns.filterNot(_ == idName)
     val scored = vecs.crossJoin(broadcast(cdf))
@@ -76,7 +76,7 @@ object IvfAnn {
   }
 
   /** Lloyd loop over an already-quantized, persisted `(id, qv)` table. */
-  private def train(
+  private[sim] def train(
       q: DataFrame, nCentroids: Int, iterations: Int): Array[Array[Long]] = {
     val spark = q.sparkSession
     var centroids: Array[Array[Long]] = q
