@@ -75,6 +75,77 @@ object Clusters {
       labels = next.drop("chg")
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"(component diameter > ${2 * maxIter}); raise maxIter or use " +
+          "connectedComponentsStar for long-chain graphs")
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * converges in O(log n) rounds regardless of component diameter —
+    * the upgrade for adversarial long-chain graphs where min-label
+    * propagation's O(diameter) rounds is unacceptable.
+    *
+    * large-star: every node points its LARGER neighbors at the minimum
+    * of its neighborhood (incl. itself); small-star: the same for its
+    * smaller-or-equal neighbors. Both preserve connectivity and strictly
+    * shrink star heights; fixpoint = each component is a star centered
+    * at its minimum node.
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIter: Int = 50): DataFrame = {
+    val p0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .localCheckpoint()
+    val nodes = p0.select(col("u").as("id"))
+      .union(p0.select(col("v").as("id"))).distinct().localCheckpoint()
+
+    // canonicalize an emitted arc list to an undirected (u < v) edge set
+    def canonical(arcs: DataFrame): DataFrame = arcs
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct()
+
+    // large-star(u): m = min(Γ(u) ∪ {u}); connect every STRICTLY LARGER
+    // neighbor to m, and keep (u, m). small-star(u): m = min(Γ⁻(u) ∪
+    // {u}) over the SMALLER neighbors only; connect them and u to m
+    // (u's larger neighbors re-point u from their own side).
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val base = if (large) sym else sym.filter(col("v") < col("u"))
+      val m = base.groupBy("u").agg(least(min("v"), first("u")).as("m"))
+      val repointed = base.join(m, "u")
+        .filter(if (large) col("v") > col("u") else lit(true))
+        .select(col("v").as("x"), col("m").as("y"))
+      val self = m.select(col("u").as("x"), col("m").as("y"))
+      canonical(repointed.unionByName(self))
+    }
+
+    var edges = p0
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = star(star(edges, large = true), large = false).localCheckpoint()
+      // fixpoint: edge sets equal (both canonical + distinct)
+      converged = next.count() == edges.count() &&
+        next.except(edges).limit(1).isEmpty
+      edges = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"star rounds did not converge in $maxIter")
+    // stars: every edge is (center, member); centers are their own id
+    val members = edges.select(col("v").as("id"), col("u").as("cluster_id"))
+    val centers = nodes.join(members, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    members.unionByName(centers)
   }
 }

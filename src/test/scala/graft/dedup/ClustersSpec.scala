@@ -29,4 +29,38 @@ class ClustersSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === (0L to 9L).map(_ -> 0L).toMap)
   }
+
+  test("star variant matches min-label on random graphs (20 seeds)") {
+    import spark.implicits._
+    (1 to 20).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(40)
+      val pairs = (1 to n).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("a", "b")
+        val simple = Clusters.connectedComponents(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val star = Clusters.connectedComponentsStar(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(star === simple, s"seed=$seed")
+      }
+    }
+  }
+
+  test("star variant handles a 200-node path in O(log n) rounds") {
+    import spark.implicits._
+    val pairs = (0L until 199L).map(i => (i + 1, i)).toDF("a", "b")
+    val got = Clusters.connectedComponentsStar(pairs, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 199L).map(_ -> 0L).toMap)
+  }
+
+  test("min-label throws (not silent wrong answers) past its diameter budget") {
+    import spark.implicits._
+    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Clusters.connectedComponents(pairs, maxIter = 3)
+    }
+  }
 }
