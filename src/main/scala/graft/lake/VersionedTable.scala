@@ -40,16 +40,21 @@ final class VersionedTable(spark: SparkSession, val path: String) {
   private def manifestPath(v: Long) = new Path(logDir, f"$v%020d.json")
   private def versionDir(v: Long) = new Path(path, s"v=$v")
 
+  // committed manifests ONLY — a crashed writer can leave a
+  // `_tmp_*.json` behind, which must stay invisible to every reader
+  private val ManifestName = """^(\d{20})\.json$""".r
+
+  private def manifestIds: Seq[Long] =
+    (if (fs.exists(logDir)) fs.listStatus(logDir).toSeq else Seq.empty)
+      .map(_.getPath.getName)
+      .collect { case ManifestName(digits) => digits.toLong }
+
   def exists: Boolean = fs.exists(logDir) && latestVersion.isDefined
 
-  def latestVersion: Option[Long] =
-    if (!fs.exists(logDir)) None
-    else {
-      val ids = fs.listStatus(logDir).toSeq
-        .map(_.getPath.getName).filter(_.endsWith(".json"))
-        .map(_.stripSuffix(".json").toLong)
-      if (ids.isEmpty) None else Some(ids.max)
-    }
+  def latestVersion: Option[Long] = {
+    val ids = manifestIds
+    if (ids.isEmpty) None else Some(ids.max)
+  }
 
   /** Commit `df` as the next full-snapshot version; returns its id. */
   def write(df: DataFrame, operation: String = "write"): Long = {
@@ -90,8 +95,8 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     * (scd_handler.py:54-55 displays exactly this surface).
     */
   def history(): DataFrame = {
-    val rows = (if (fs.exists(logDir)) fs.listStatus(logDir).toSeq else Seq.empty)
-      .map(_.getPath.getName).filter(_.endsWith(".json")).sorted.reverse
+    val rows = manifestIds.sorted.reverse
+      .map(v => f"$v%020d.json")
       .map { name =>
         val txt = {
           val in = fs.open(new Path(logDir, name))
@@ -123,9 +128,7 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     val keep = math.max(1, keepLast)
     latestVersion.foreach { latest =>
       val cutoff = latest - keep + 1
-      (if (fs.exists(logDir)) fs.listStatus(logDir).toSeq else Seq.empty)
-        .map(_.getPath.getName).filter(_.endsWith(".json"))
-        .map(_.stripSuffix(".json").toLong).filter(_ < cutoff)
+      manifestIds.filter(_ < cutoff)
         .foreach { v =>
           fs.delete(versionDir(v), true)
           fs.delete(manifestPath(v), false)

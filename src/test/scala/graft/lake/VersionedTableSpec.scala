@@ -49,6 +49,12 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     Seq((9, "zz")).toDF("id", "v").write.parquet(s"$dir/t/v=1")
     assert(t.latestVersion.contains(0L))
     assert(t.snapshot().collect().map(_.getInt(0)).toSeq === Seq(1))
+    // and a leftover _tmp_ manifest from a crash mid-commit is equally
+    // invisible (it must not crash version resolution either)
+    Files.writeString(java.nio.file.Paths.get(
+      s"$dir/t/_log/_tmp_00000000000000000001.json"), "{\"version\":1}")
+    assert(t.latestVersion.contains(0L))
+    assert(t.history().count() === 1)
   }
 
   test("VersionedScdTable: SCD applies commit versions; time travel = day snapshots") {
