@@ -103,6 +103,25 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Stream-stream inner interval join: left and right events with the
+    * same key match when the right event time falls within
+    * `[leftTs - before, leftTs + after]`. Watermarks on BOTH sides
+    * bound the join state (Spark drops buffered rows once the watermark
+    * passes the interval), so it runs forever in bounded memory — the
+    * canonical enrich-clicks-with-impressions shape.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String,
+      before: String, after: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      expr(s"l.$keyCol = r.$keyCol AND " +
+        s"r.$rightTs >= l.$leftTs - INTERVAL $before AND " +
+        s"r.$rightTs <= l.$leftTs + INTERVAL $after"))
+  }
+
   /** Streaming ingest dedup: drop re-deliveries of the same key while
     * bounding state by the event-time watermark
     * (`dropDuplicatesWithinWatermark` — state for a key is freed once

@@ -82,6 +82,11 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
     // oracle keys must be a subset of query names
     val unknown = graft.SparkEntry.oracleSql.keySet -- qs.keySet
     assert(unknown.isEmpty, s"oracle entries without queries: $unknown")
+    // the contract maps are built with ++ — a duplicated name in two
+    // source maps would silently shadow a query
+    val sizes = Seq(RelationalQueries.queries, ScdEventQueries.queries,
+      PipelineQueries.queries)
+    assert(sizes.map(_.size).sum === qs.size, "query name collision across maps")
   }
 
   test("entry returns rows (driver smoke contract)") {

@@ -41,6 +41,31 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the window, drops outside") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val views = MemoryStream[(Timestamp, Long, String)]
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("c_ts", "user_id", "click_id"),
+      views.toDF().toDF("v_ts", "user_id", "view_id"),
+      keyCol = "user_id", leftTs = "c_ts", rightTs = "v_ts",
+      before = "'10' MINUTE", after = "'0' MINUTE", watermark = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "v1"),   // 5 min before click: match
+        (ts("2024-01-01 09:40:00"), 1L, "v2"),   // 25 min before: outside
+        (ts("2024-01-01 10:00:00"), 2L, "v3"))   // other user
+      clicks.addData((ts("2024-01-01 10:05:00"), 1L, "c1"))
+      q.processAllAvailable()
+      val out = spark.table("ssj").select("click_id", "view_id")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(out === Set(("c1", "v1")))
+    } finally q.stop()
+  }
+
   test("dedupStream drops re-deliveries within the watermark, state stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
