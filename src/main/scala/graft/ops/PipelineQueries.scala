@@ -143,6 +143,24 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** ROLLUP inventory: per-(source, lang), per-source subtotals and the
+    * grand total in ONE aggregation pass (Spark expands grouping sets
+    * with partial aggregation — no re-scan per level). Subtotal rows
+    * surface as a '<all>' sentinel rather than NULL (nullable group
+    * keys are a cross-engine hash hazard; the corpus has no null
+    * source/lang, so the sentinel is unambiguous).
+    */
+  def sourceStatsRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))
+      .select(
+        coalesce(col("source"), lit("<all>")).as("source"),
+        coalesce(col("lang"), lit("<all>")).as("lang"),
+        col("n_docs"), col("total_tokens"))
+      .orderBy("source", "lang")
+
   /** Per-(source, lang) corpus inventory: doc counts and exact integer
     * token/char totals — the partition-level accounting a corpus run
     * reports. One narrow scan + one tiny group-agg.
@@ -430,6 +448,16 @@ object PipelineQueries {
            |FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin,
 
+    "source_stats_rollup" ->
+      raw"""WITH $toksCte
+           |SELECT coalesce(d.source, '<all>') AS source,
+           |       coalesce(d.lang, '<all>') AS lang,
+           |       count(*) AS n_docs,
+           |       CAST(sum(len(tk)) AS BIGINT) AS total_tokens
+           |FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+           |GROUP BY ROLLUP(d.source, d.lang)
+           |ORDER BY source, lang""".stripMargin,
+
     "source_stats" ->
       raw"""WITH $toksCte
            |SELECT d.source, d.lang,
@@ -639,6 +667,7 @@ object PipelineQueries {
     "top_terms" -> topTerms _,
     "doc_repetition" -> docRepetition _,
     "source_stats" -> sourceStats _,
+    "source_stats_rollup" -> sourceStatsRollup _,
     "windowed_event_counts" -> windowedEventCounts _,
     "text_stats" -> textStats _,
     "lang_id" -> langId _,
