@@ -166,6 +166,38 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** TPC-H Q6 shape: pure filter + single aggregate — the predicate
+    * set pushes to the scan and the whole query is one partial-agg
+    * pass (no shuffle beyond the 1-row final combine).
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        col("l_discount").cast("decimal(18,2)")).cast("decimal(18,4)"))
+        .cast("decimal(38,4)").as("revenue"))
+
+  /** TPC-H Q4 shape: LEFT SEMI join (correlated EXISTS) + group count —
+    * orders with at least one lineitem shipped >60 days after the
+    * order date ("late", adapted to the synthetic schema's columns),
+    * counted by priority. The semi join never duplicates or carries
+    * right-side columns.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .join(Tables.load(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
   /** TPC-H Q5 shape: 6-table star join through nation/region with a
     * same-nation residual (c_nationkey = s_nationkey). Dimensions
     * broadcast; one shuffle agg on n_name.
@@ -222,6 +254,22 @@ object RelationalQueries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
         |FROM lineitem
@@ -267,7 +315,9 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q3_shipping" -> q3Shipping _,
+    "q4_order_priority" -> q4OrderPriority _,
     "q5_local_supplier" -> q5LocalSupplier _,
+    "q6_forecast" -> q6Forecast _,
     "filter_pushdown" -> filterPushdown _,
     "join_inner" -> joinInner _,
     "join_left_anti" -> joinLeftAnti _,
