@@ -545,7 +545,7 @@ object PipelineQueries {
     "windowed_event_counts" ->
       """SELECT date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)) AS window_start,
         |       event_type, count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_stats" ->

@@ -32,11 +32,16 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
+        // exact decimal sum (order-independent), then DOUBLE for the
+        // output: both engines convert the same exact decimal to the
+        // same nearest float64, so the driver hash is reader-agnostic
+        // (a decimal's trailing zeros stringify differently across
+        // pandas Decimal vs duckdb float64 — doubles never do).
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
         sum((col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_disc_price"),
+          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -50,7 +55,7 @@ object RelationalQueries {
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
       .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+        col("l_extendedprice").cast("decimal(18,2)").cast("double").as("price"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** J1 inner equi-join. customer is the small side — Catalyst broadcasts
@@ -61,7 +66,7 @@ object RelationalQueries {
       Tables.load(spark, dir, "customer"),
       col("o_custkey") === col("c_custkey"), "inner")
       .select(col("o_orderkey"), col("c_name"),
-        col("o_totalprice").cast("decimal(18,2)").as("total_price"))
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("total_price"))
       .orderBy("o_orderkey")
 
   /** J2 left-anti join: customers with no currently-open order (plain
@@ -145,7 +150,7 @@ object RelationalQueries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
       .select(col("o_orderkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("total_price"))
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("total_price"))
 
   /** TPC-H Q3 shape: 3-table join + group-agg + top-k by computed
     * measure. customer filter broadcasts; revenue in exact decimal.
@@ -161,7 +166,7 @@ object RelationalQueries {
       .join(Tables.load(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_shipdate") > cutoff)
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(rev).cast("decimal(38,4)").as("revenue"))
+      .agg(sum(rev).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
@@ -178,7 +183,7 @@ object RelationalQueries {
         col("l_quantity") < 24)
       .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
         col("l_discount").cast("decimal(18,2)")).cast("decimal(18,4)"))
-        .cast("decimal(38,4)").as("revenue"))
+        .cast("double").as("revenue"))
 
   /** TPC-H Q4 shape: LEFT SEMI join (correlated EXISTS) + group count —
     * orders with at least one lineitem shipped >60 days after the
@@ -216,14 +221,14 @@ object RelationalQueries {
       .join(Tables.load(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .groupBy(col("n_name"))
-      .agg(sum(rev).cast("decimal(38,4)").as("revenue"))
+      .agg(sum(rev).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
   val oracle: Map[String, String] = Map(
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -234,7 +239,7 @@ object RelationalQueries {
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -246,16 +251,16 @@ object RelationalQueries {
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q6_forecast" ->
-      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
@@ -271,14 +276,14 @@ object RelationalQueries {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "filter_pushdown" ->
-      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      """SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "join_inner" ->
-      """SELECT o_orderkey, c_name, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+      """SELECT o_orderkey, c_name, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
     "join_left_anti" ->
@@ -308,7 +313,7 @@ object RelationalQueries {
       """SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders
         |ORDER BY order_date""".stripMargin,
     "topk_orders" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
   )
 

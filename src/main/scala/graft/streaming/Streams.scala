@@ -182,7 +182,7 @@ object Streams {
       .groupBy(org.apache.spark.sql.functions.window(col("ts_utc"), window),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 }

@@ -35,7 +35,7 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       val out = spark.table("win_counts")
         .orderBy("window_start", "event_type").collect()
       assert(out.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
-        r.getDecimal(3).doubleValue())).toSeq === Seq(
+        r.getDouble(3))).toSeq === Seq(
         (ts("2024-01-01 10:00:00"), "click", 3L, 7.0),
         (ts("2024-01-01 11:00:00"), "view", 1L, 5.0)))
     } finally q.stop()
