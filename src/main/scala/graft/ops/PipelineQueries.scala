@@ -266,8 +266,8 @@ object PipelineQueries {
 
   /** Multimodal feature extraction end-to-end (synthetic payloads —
     * see MediaOps): binary media → batched decode → feature vector →
-    * integer norm via the quantize+dot kernels. Rows-only (the codec
-    * fold is not SQL-expressible); MediaOpsSpec pins determinism.
+    * integer norm via the quantize+dot kernels. Oracled: the DuckDB
+    * side replays the float32 histogram fold with REAL casts.
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.multimodal.MediaOps.syntheticFromDocuments(
@@ -351,6 +351,35 @@ object PipelineQueries {
   // ---------------- oracles ----------------
 
   val oracle: Map[String, String] = Map(
+    // Replays the FakeDecoder byte-histogram fold in SQL with explicit
+    // float32 (REAL) casts at every step — bit-identical to the JVM's
+    // float arithmetic — then quantize-millis + int64 norm. Verified
+    // exact at sf0.01 and sf0.1.
+    "media_features" ->
+      """WITH payload AS (
+        |  SELECT doc_id AS media_id,
+        |         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |         sha256(text) || sha256(text || '#2') AS hx
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT media_id, kind, j,
+        |         CAST(('0x' || substr(hx, 2*j + 1, 2)) AS INT) AS b
+        |  FROM payload, unnest(generate_series(0, 63)) AS g(j)),
+        |feat AS (
+        |  SELECT media_id, kind, CAST(j % 16 AS INT) AS dim,
+        |         CAST(CAST(CAST(CAST(
+        |             CAST(max(CASE WHEN j//16=0 THEN b END) AS REAL)/CAST(255 AS REAL)
+        |           + CAST(max(CASE WHEN j//16=1 THEN b END) AS REAL)/CAST(255 AS REAL) AS REAL)
+        |           + CAST(max(CASE WHEN j//16=2 THEN b END) AS REAL)/CAST(255 AS REAL) AS REAL)
+        |           + CAST(max(CASE WHEN j//16=3 THEN b END) AS REAL)/CAST(255 AS REAL) AS REAL)
+        |           / CAST(4 AS REAL) AS REAL) AS f
+        |  FROM bytes GROUP BY media_id, kind, j % 16),
+        |q AS (
+        |  SELECT media_id, kind, round(CAST(f AS DOUBLE) * 1000) AS qv
+        |  FROM feat)
+        |SELECT media_id, kind,
+        |       CAST(sum(CAST(qv AS BIGINT) * CAST(qv AS BIGINT)) AS BIGINT) AS feature_norm_q
+        |FROM q GROUP BY media_id, kind ORDER BY media_id""".stripMargin,
     "dedup_exact" ->
       raw"""WITH norm AS (
            |  SELECT doc_id,
