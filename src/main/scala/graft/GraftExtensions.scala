@@ -25,8 +25,14 @@ import org.apache.spark.sql.graftexpr.{LongArrayDotExpr, QuantizeMilliExpr}
   *    milli quantization ([[org.apache.spark.sql.graftexpr.QuantizeMilliExpr]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // SQL MERGE INTO on plain parquet catalog tables: wrap the parser so
+    // MergeIntoTable plans route through graft.lake.MergeInto (see
+    // org.apache.spark.sql.graftmerge.GraftMergeParser).
+    ext.injectParser((_, delegate) =>
+      new org.apache.spark.sql.graftmerge.GraftMergeParser(delegate))
+  }
 }
 
 object GraftExtensions {

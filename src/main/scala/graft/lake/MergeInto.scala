@@ -9,9 +9,14 @@ import org.apache.spark.sql.functions._
   *  .whenMatchedUpdate(condition, set).whenNotMatchedInsert(values)
   *  .execute()`, scd_handler.py:48-53), re-derived on plain Spark.
   *
-  * Matched clauses (update / delete) follow Delta's first-match-wins
-  * ordering: for each matched target row the FIRST clause whose
-  * condition holds is applied; later clauses are ignored for that row.
+  * Clause semantics follow Delta/Spark-SQL MERGE:
+  *  - WHEN MATCHED clauses (update / delete) are first-match-wins: for
+  *    each matched target row the FIRST clause whose condition holds is
+  *    applied; later clauses are ignored for that row.
+  *  - WHEN NOT MATCHED (insert) clauses are likewise first-match-wins
+  *    per source row; a source row matching no insert clause is dropped.
+  *  - WHEN NOT MATCHED BY SOURCE clauses (update / delete) apply to
+  *    target rows with no matching source row, first-match-wins.
   *
   * Differences from Delta, by design:
   *  - `resolve()` RETURNS the full next table state instead of
@@ -28,7 +33,8 @@ import org.apache.spark.sql.functions._
   *
   * Physical shape: one left-outer join (target preserved) + one
   * left-anti join (inserts), both on the same condition — equi-parts
-  * hash-partition, AQE broadcasts a small updates side.
+  * hash-partition, AQE broadcasts a small updates side. NOT MATCHED BY
+  * SOURCE clauses ride the same left-outer join (zero extra shuffles).
   */
 final class MergeInto private (
     target: DataFrame,
@@ -37,22 +43,38 @@ final class MergeInto private (
     updatesAlias: String,
     condition: String,
     matchedClauses: Seq[MergeInto.MatchedClause],
-    notMatchedInsert: Option[Map[String, String]]) {
+    insertClauses: Seq[MergeInto.InsertClause],
+    bySourceClauses: Seq[MergeInto.MatchedClause]) {
 
   import MergeInto._
 
   def whenMatchedUpdate(
       set: Map[String, String], condition: Option[String] = None): MergeInto =
     new MergeInto(target, updates, targetAlias, updatesAlias, this.condition,
-      matchedClauses :+ MatchedClause(condition, Some(set)), notMatchedInsert)
+      matchedClauses :+ MatchedClause(condition, Some(set)),
+      insertClauses, bySourceClauses)
 
   def whenMatchedDelete(condition: Option[String] = None): MergeInto =
     new MergeInto(target, updates, targetAlias, updatesAlias, this.condition,
-      matchedClauses :+ MatchedClause(condition, None), notMatchedInsert)
+      matchedClauses :+ MatchedClause(condition, None),
+      insertClauses, bySourceClauses)
 
-  def whenNotMatchedInsert(values: Map[String, String]): MergeInto =
-    new MergeInto(target, updates, targetAlias, updatesAlias, condition,
-      matchedClauses, Some(values))
+  def whenNotMatchedInsert(
+      values: Map[String, String], condition: Option[String] = None): MergeInto =
+    new MergeInto(target, updates, targetAlias, updatesAlias, this.condition,
+      matchedClauses, insertClauses :+ InsertClause(condition, values),
+      bySourceClauses)
+
+  def whenNotMatchedBySourceUpdate(
+      set: Map[String, String], condition: Option[String] = None): MergeInto =
+    new MergeInto(target, updates, targetAlias, updatesAlias, this.condition,
+      matchedClauses, insertClauses,
+      bySourceClauses :+ MatchedClause(condition, Some(set)))
+
+  def whenNotMatchedBySourceDelete(condition: Option[String] = None): MergeInto =
+    new MergeInto(target, updates, targetAlias, updatesAlias, this.condition,
+      matchedClauses, insertClauses,
+      bySourceClauses :+ MatchedClause(condition, None))
 
   /** Compute the full next table state (target schema). */
   def resolve(): DataFrame = {
@@ -64,22 +86,29 @@ final class MergeInto private (
     val joined = t.join(u, expr(condition), "left_outer")
     val matched = col(s"$updatesAlias.$marker") <=> lit(true)
 
-    // first-match-wins: applicable(i) = matched ∧ ¬cond(0..i-1) ∧ cond(i)
-    val applicable: Seq[Column] = matchedClauses.zipWithIndex.map { case (cl, i) =>
-      val prior = matchedClauses.take(i)
-        .map(p => p.condition.map(expr).getOrElse(lit(true)))
-        .foldLeft(lit(true))((acc, c) => acc && !c)
-      matched && prior && cl.condition.map(expr).getOrElse(lit(true))
-    }
+    // first-match-wins: applicable(i) = gate ∧ ¬cond(0..i-1) ∧ cond(i)
+    def firstWins(conds: Seq[Option[String]], gate: Column): Seq[Column] =
+      conds.zipWithIndex.map { case (c, i) =>
+        val prior = conds.take(i)
+          .map(p => p.map(expr).getOrElse(lit(true)))
+          .foldLeft(lit(true))((acc, x) => acc && !x)
+        gate && prior && c.map(expr).getOrElse(lit(true))
+      }
 
-    val deletePred = matchedClauses.zip(applicable)
-      .collect { case (MatchedClause(_, None), app) => app }
-      .reduceOption(_ || _).getOrElse(lit(false))
+    val applicable = firstWins(matchedClauses.map(_.condition), matched)
+    val bySrcApplicable = firstWins(bySourceClauses.map(_.condition), !matched)
 
-    val survivors = joined.filter(!deletePred)
+    def deletePred(cls: Seq[MatchedClause], apps: Seq[Column]): Column =
+      cls.zip(apps).collect { case (MatchedClause(_, None), app) => app }
+        .reduceOption(_ || _).getOrElse(lit(false))
+
+    val survivors = joined.filter(!(deletePred(matchedClauses, applicable) ||
+      deletePred(bySourceClauses, bySrcApplicable)))
+    val allClauses = matchedClauses.zip(applicable) ++
+      bySourceClauses.zip(bySrcApplicable)
     val updated = survivors.select(targetSchema.fields.toSeq.map { f =>
       val base: Column = col(s"$targetAlias.${f.name}")
-      val withClauses = matchedClauses.zip(applicable).foldRight(base) {
+      val withClauses = allClauses.foldRight(base) {
         case ((MatchedClause(_, Some(set)), app), els) =>
           set.get(f.name) match {
             case Some(valueExpr) => when(app, expr(valueExpr).cast(f.dataType)).otherwise(els)
@@ -90,29 +119,40 @@ final class MergeInto private (
       withClauses.as(f.name)
     }: _*)
 
-    val inserts = notMatchedInsert match {
-      case None => updated.limit(0)
-      case Some(values) =>
-        updates.alias(updatesAlias).join(t, expr(condition), "left_anti")
+    val inserts =
+      if (insertClauses.isEmpty) updated.limit(0)
+      else {
+        val anti = updates.alias(updatesAlias).join(t, expr(condition), "left_anti")
+        val insApplicable = firstWins(insertClauses.map(_.condition), lit(true))
+        anti.filter(insApplicable.reduce(_ || _))
           .select(targetSchema.fields.toSeq.map { f =>
-            values.get(f.name)
-              .map(v => expr(v).cast(f.dataType).as(f.name))
-              .getOrElse(lit(null).cast(f.dataType).as(f.name))
+            val nul: Column = lit(null).cast(f.dataType)
+            insertClauses.zip(insApplicable).foldRight(nul) {
+              case ((cl, app), els) =>
+                val v = cl.values.get(f.name).map(expr(_).cast(f.dataType)).getOrElse(nul)
+                when(app, v).otherwise(els)
+            }.as(f.name)
           }: _*)
-    }
+      }
     updated.unionByName(inserts)
   }
 }
 
 object MergeInto {
-  /** A WHEN MATCHED clause: `set = Some(...)` → update, `None` → delete. */
+  /** A WHEN [NOT] MATCHED [BY SOURCE] clause:
+    * `set = Some(...)` → update, `None` → delete.
+    */
   final case class MatchedClause(
       condition: Option[String], set: Option[Map[String, String]])
+
+  /** A WHEN NOT MATCHED insert clause. */
+  final case class InsertClause(
+      condition: Option[String], values: Map[String, String])
 
   /** `MergeInto(target, updates, "target.pk = updates.pk AND ...")` */
   def apply(
       target: DataFrame, updates: DataFrame, condition: String,
       targetAlias: String = "target", updatesAlias: String = "updates"): MergeInto =
     new MergeInto(target, updates, targetAlias, updatesAlias, condition,
-      Seq.empty, None)
+      Seq.empty, Seq.empty, Seq.empty)
 }
