@@ -225,7 +225,140 @@ object RelationalQueries {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** TPC-H Q2 shape: correlated scalar subquery — "suppliers offering
+    * each small part at its minimum price". The correlation is expressed
+    * Spark-first as a window-min over the pre-aggregated offers (exactly
+    * the aggregate-then-join plan Catalyst rewrites scalar subqueries
+    * into, minus the second scan): one shuffle builds (part, supplier)
+    * offers, the window min rides the same partitioning, and the two
+    * dimension joins broadcast.
+    */
+  def q2MinPriceSupp(spark: SparkSession, dir: String): DataFrame = {
+    val offers = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice").cast("decimal(18,2)")).as("price_d"))
+    val w = Window.partitionBy("l_partkey")
+    val best = offers
+      .withColumn("min_d", min(col("price_d")).over(w))
+      .filter(col("price_d") === col("min_d"))
+    best
+      .join(broadcast(Tables.load(spark, dir, "part").filter(col("p_size") < 10)),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(Tables.load(spark, dir, "supplier")),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("price_d").cast("double").as("price"))
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
+  /** TPC-H Q7 shape: bidirectional nation-pair volume — lineitem joined
+    * to its supplier's nation and (through orders/customer) its buyer's
+    * nation, filtered to one pair in both directions, aggregated by
+    * year. Both nation dims broadcast; the orders join is the only big
+    * shuffle.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(18,4)")
+    val n1 = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(Tables.load(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(rev).cast("double").as("volume"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape: market share — one nation's fraction of PROMO-part
+    * revenue sold into ASIA customers, per order year. The ratio divides
+    * two exact decimal sums cast to double (both engines perform the
+    * identical float64 division, so the result is bit-stable).
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(18,4)")
+    val nSupp = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation"))
+    val nCust = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("nc_key"), col("n_regionkey").as("c_regionkey"))
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(Tables.load(spark, dir, "part").filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.load(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("ns_key"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("nc_key"))
+      .join(broadcast(Tables.load(spark, dir, "region")),
+        col("c_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", rev)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+        sum(rev).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q2_min_price_supp" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS price_d
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT p_partkey, p_name, s_suppkey, s_name,
+        |       CAST(o.price_d AS DOUBLE) AS price
+        |FROM part p
+        |JOIN offers o ON p_partkey = o.l_partkey
+        |JOIN supplier s ON s_suppkey = o.l_suppkey
+        |WHERE p_size < 10
+        |  AND o.price_d = (SELECT min(o2.price_d) FROM offers o2
+        |                   WHERE o2.l_partkey = p.p_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+        |                     THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |       / CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE)
+        |       AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
@@ -319,6 +452,9 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
+    "q2_min_price_supp" -> q2MinPriceSupp _,
+    "q7_volume_shipping" -> q7VolumeShipping _,
+    "q8_market_share" -> q8MarketShare _,
     "q3_shipping" -> q3Shipping _,
     "q4_order_priority" -> q4OrderPriority _,
     "q5_local_supplier" -> q5LocalSupplier _,
