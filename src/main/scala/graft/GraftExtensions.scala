@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftexpr.{LongArrayDotExpr, QuantizeMilliExpr}
+import org.apache.spark.sql.graftexpr.{KmvEstimateExpr, KmvIntersectExpr, KmvSketchAgg, KmvUnionExpr, LongArrayDotExpr, QuantizeMilliExpr}
 
 /** SQL surface for graft's native expressions — the Spark extension
   * point (`SparkSessionExtensions.injectFunction`) that makes the
@@ -55,6 +55,38 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_quantize_milli takes exactly 1 argument")
         QuantizeMilliExpr(children.head)
+      }),
+    (
+      new FunctionIdentifier("graft_kmv_agg"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_kmv_agg(hash60, k)")
+        val k = children(1) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException("graft_kmv_agg: k must be a literal")
+        }
+        KmvSketchAgg(children.head, k)
+      }),
+    (
+      new FunctionIdentifier("graft_kmv_estimate"),
+      new ExpressionInfo(classOf[KmvEstimateExpr].getName, "graft_kmv_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_kmv_estimate takes exactly 1 argument")
+        KmvEstimateExpr(children.head)
+      }),
+    (
+      new FunctionIdentifier("graft_kmv_intersect"),
+      new ExpressionInfo(classOf[KmvIntersectExpr].getName, "graft_kmv_intersect"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_kmv_intersect takes exactly 2 arguments")
+        KmvIntersectExpr(children.head, children(1))
+      }),
+    (
+      new FunctionIdentifier("graft_kmv_union"),
+      new ExpressionInfo(classOf[KmvUnionExpr].getName, "graft_kmv_union"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_kmv_union takes exactly 2 arguments")
+        KmvUnionExpr(children.head, children(1))
       }))
 
   /** Register into an already-running session (covers sessions not

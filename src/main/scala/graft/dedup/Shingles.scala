@@ -48,6 +48,13 @@ object Shingles {
     * token array. No intermediate array-of-shingles is materialized.
     */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleHashesAll(df, idCol, textCol, n).distinct()
+
+  /** [[shingleHashes]] without the distinct — for consumers whose
+    * downstream aggregate already dedups (e.g. the KMV sketch, whose
+    * buffer is a set): skips a full shuffle of every shingle.
+    */
+  def shingleHashesAll(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= n)
       .select(col(idCol), col("tk"),
@@ -55,7 +62,6 @@ object Shingles {
       .select(col(idCol),
         baseHash(concat_ws(" ",
           (0 until n).map(j => element_at(col("tk"), col("i") + lit(j + 1))): _*)).as("h"))
-      .distinct()
 
   /** The i-th universal-ish rehash of a 60-bit base hash, for MinHash
     * signatures: `g_i(h) = (a_i*lo30(h) + b_i*hi30(h) + i) mod M`.

@@ -21,4 +21,19 @@ package object functions {
     def apply(a: Column): Column =
       org.apache.spark.sql.graftexpr.QuantizeMilliExpr.column(a)
   }
+
+  /** KMV bottom-k distinct sketch over 60-bit hashes: bounded-memory
+    * mergeable aggregate with union AND intersection estimators (see
+    * org.apache.spark.sql.graftexpr.KmvSketch).
+    */
+  object Kmv {
+    def sketchAgg(hash60: Column, k: Int): Column =
+      org.apache.spark.sql.graftexpr.KmvSketchAgg.column(hash60, k)
+    def estimate(sketch: Column): Column =
+      org.apache.spark.sql.graftexpr.KmvSketchAgg.estimate(sketch)
+    def intersect(a: Column, b: Column): Column =
+      org.apache.spark.sql.graftexpr.KmvSketchAgg.intersect(a, b)
+    def union(a: Column, b: Column): Column =
+      org.apache.spark.sql.graftexpr.KmvSketchAgg.union(a, b)
+  }
 }

@@ -22,7 +22,33 @@ object PipelineQueries {
   private val BANDS = 4      // LSH bands (rows per band = 2)
   private val NGRAM = 3      // word shingle width
 
+  private val KMV_K = 256    // KMV sketch size (bottom-k sample)
+
   // ---------------- Spark queries ----------------
+
+  /** Cross-source shingle-set overlap via the KMV distinct sketch
+    * (graft.functions.Kmv): per-source bounded sketches (one partial
+    * agg, no shuffle of raw shingles thanks to map-side k-min folding),
+    * then all-pairs estimates on the 20-row sketch table. The whole
+    * approximate computation is deterministic (sha2-derived hashes), so
+    * the oracle replays it exactly in SQL — including the intersection
+    * estimator HLL-family sketches cannot express.
+    */
+  def sourceOverlapKmv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Kmv
+    val sh = Shingles.shingleHashesAll(
+      Tables.load(spark, dir, "documents"), "source", "text", NGRAM)
+    val sketches = sh.groupBy("source")
+      .agg(Kmv.sketchAgg(col("h"), KMV_K).as("sk"))
+    val a = sketches.select(col("source").as("source_a"), col("sk").as("sk_a"))
+    val b = sketches.select(col("source").as("source_b"), col("sk").as("sk_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        Kmv.estimate(col("sk_a")).as("est_a"),
+        Kmv.estimate(col("sk_b")).as("est_b"),
+        Kmv.intersect(col("sk_a"), col("sk_b")).as("est_common"))
+      .orderBy("source_a", "source_b")
+  }
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     ExactDedup.groups(Tables.load(spark, dir, "documents"), "doc_id", "text")
@@ -351,6 +377,49 @@ object PipelineQueries {
   // ---------------- oracles ----------------
 
   val oracle: Map[String, String] = Map(
+    // KMV replay: bottom-256 distinct shingle hashes per source =
+    // row_number over the same sha2-60bit hashes; the estimators mirror
+    // graftexpr.KmvSketch's double arithmetic operand-for-operand
+    // (2^60 = 1152921504606846976).
+    "source_overlap_kmv" ->
+      raw"""WITH toks AS (
+           |  SELECT source,
+           |         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
+           |  FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT source,
+           |         CAST('0x' || substr(sha256(array_to_string(tk[i:i+${NGRAM - 1}], ' ')), 1, 15) AS BIGINT) AS h
+           |  FROM toks, unnest(generate_series(1, len(tk) - ${NGRAM - 1})) AS g(i)),
+           |ranked AS (
+           |  SELECT source, h,
+           |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+           |         count(*) OVER (PARTITION BY source) AS nd
+           |  FROM sh),
+           |sk AS (SELECT source, h FROM ranked WHERE rn <= $KMV_K),
+           |agg AS (SELECT source, max(h) AS hk, count(*) AS n FROM sk GROUP BY source),
+           |est AS (
+           |  SELECT source,
+           |         CASE WHEN n < $KMV_K THEN CAST(n AS DOUBLE)
+           |              ELSE ${KMV_K - 1}.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0) END AS est,
+           |         CASE WHEN n < $KMV_K THEN 1.0
+           |              ELSE CAST(hk AS DOUBLE) / 1152921504606846976.0 END AS theta
+           |  FROM agg),
+           |pairs AS (
+           |  SELECT a.source AS source_a, b.source AS source_b,
+           |         a.est AS est_a, b.est AS est_b, LEAST(a.theta, b.theta) AS th
+           |  FROM est a JOIN est b ON a.source < b.source),
+           |common AS (
+           |  SELECT p.source_a, p.source_b, count(*) AS c
+           |  FROM pairs p
+           |  JOIN sk x ON x.source = p.source_a
+           |  JOIN sk y ON y.source = p.source_b AND y.h = x.h
+           |  WHERE CAST(x.h AS DOUBLE) < p.th * 1152921504606846976.0
+           |  GROUP BY 1, 2)
+           |SELECT p.source_a, p.source_b, p.est_a, p.est_b,
+           |       COALESCE(c.c, 0) / p.th AS est_common
+           |FROM pairs p LEFT JOIN common c
+           |  ON c.source_a = p.source_a AND c.source_b = p.source_b
+           |ORDER BY p.source_a, p.source_b""".stripMargin,
     // Replays the FakeDecoder byte-histogram fold in SQL with explicit
     // float32 (REAL) casts at every step — bit-identical to the JVM's
     // float arithmetic — then quantize-millis + int64 norm. Verified
@@ -681,6 +750,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "source_overlap_kmv" -> sourceOverlapKmv _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_embedding" -> dedupEmbedding _,
