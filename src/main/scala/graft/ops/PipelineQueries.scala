@@ -50,6 +50,32 @@ object PipelineQueries {
       .orderBy("source_a", "source_b")
   }
 
+  /** Banded range join (see [[RangeJoin]]): for every error event, how
+    * many clicks (any user) landed in the preceding 5 minutes. 1-minute
+    * bands bound the interval fanout at 6×; the plan is a plain
+    * hash-partitioned equi-join on the band — no nested-loop, no
+    * broadcast of a fact table.
+    */
+  def rangeJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val FiveMinNs = 300000000000L
+    val ev = Tables.load(spark, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("err_ts"))
+    val intervals = errors
+      .withColumn("lo", col("err_ts") - lit(FiveMinNs))
+      .withColumn("hi", col("err_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("ts").as("click_ts"))
+    val counts = RangeJoin
+      .pointInInterval(clicks, intervals, "click_ts", "lo", "hi",
+        bandNanos = 60000000000L)
+      .groupBy("err_id").agg(count(lit(1)).as("n_clicks"))
+    errors.join(counts, Seq("err_id"), "left_outer")
+      .select(col("err_id").as("event_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     ExactDedup.groups(Tables.load(spark, dir, "documents"), "doc_id", "text")
       .orderBy("content_hash")
@@ -377,6 +403,17 @@ object PipelineQueries {
   // ---------------- oracles ----------------
 
   val oracle: Map[String, String] = Map(
+    "range_join_events" ->
+      """SELECT e.event_id, COALESCE(c.n, 0) AS n_clicks
+        |FROM events e LEFT JOIN (
+        |  SELECT e2.event_id AS eid, count(*) AS n
+        |  FROM events e2 JOIN events c2
+        |    ON c2.event_type = 'click'
+        |   AND epoch_ns(c2.ts) >= epoch_ns(e2.ts) - 300000000000
+        |   AND epoch_ns(c2.ts) < epoch_ns(e2.ts)
+        |  WHERE e2.event_type = 'error' GROUP BY 1) c ON c.eid = e.event_id
+        |WHERE e.event_type = 'error'
+        |ORDER BY e.event_id""".stripMargin,
     // KMV replay: bottom-256 distinct shingle hashes per source =
     // row_number over the same sha2-60bit hashes; the estimators mirror
     // graftexpr.KmvSketch's double arithmetic operand-for-operand
@@ -751,6 +788,7 @@ object PipelineQueries {
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "source_overlap_kmv" -> sourceOverlapKmv _,
+    "range_join_events" -> rangeJoinEvents _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_embedding" -> dedupEmbedding _,
