@@ -660,6 +660,47 @@ object PipelineQueries {
          |      >= 4 * ${dot("x.qv", "x.qv")} * ${dot("y.qv", "y.qv")}
          |ORDER BY a, b""".stripMargin,
 
+    // Replays AnnLsh.topK end-to-end: the integer hyperplane family,
+    // per-table sign buckets, multiprobe (Hamming-1) probe set,
+    // DISTINCT candidates (TopKAgg collapses exact dups), exact integer
+    // scoring and the double-sim ranking. Deterministic throughout, so
+    // the "approximate" operator hash-matches.
+    "ann_lsh_topk" ->
+      s"""WITH ${qCte()},
+         |dims AS (
+         |  SELECT unnest(generate_series(1, len(embedding))) AS d
+         |  FROM (SELECT embedding FROM embeddings LIMIT 1)),
+         |planes AS (
+         |  SELECT p, list(((2654435761 * d * (p+1) + 40503 * (p+1)) % 2001) - 1000 ORDER BY d) AS pv
+         |  FROM generate_series(0, 35) AS gp(p), dims
+         |  GROUP BY p),
+         |vb AS (
+         |  SELECT v.vec_id, p.p // 6 AS t,
+         |         sum(CASE WHEN ${dot("v.qv", "p.pv")} >= 0
+         |                  THEN (CAST(1 AS BIGINT) << (p.p % 6)) ELSE 0 END) AS b
+         |  FROM q v, planes p GROUP BY v.vec_id, p.p // 6),
+         |probes AS (
+         |  SELECT vec_id AS q_id, t, b FROM vb WHERE vec_id < 10
+         |  UNION ALL
+         |  SELECT vec_id, t, xor(b, CAST(1 AS BIGINT) << j)
+         |  FROM vb, generate_series(0, 5) AS gj(j) WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, c.vec_id AS nn_id
+         |  FROM probes p JOIN vb c ON c.t = p.t AND c.b = p.b
+         |  WHERE c.vec_id <> p.q_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.nn_id,
+         |         ${dot("qq.qv", "cc.qv")} AS dot,
+         |         ${dot("qq.qv", "qq.qv")} AS na,
+         |         ${dot("cc.qv", "cc.qv")} AS nb
+         |  FROM cand JOIN q qq ON qq.vec_id = cand.q_id
+         |            JOIN q cc ON cc.vec_id = cand.nn_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) DESC, nn_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, nn_id, dot, na, nb FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH ${qCte()},
          |scored AS (

@@ -234,7 +234,13 @@ object RelationalQueries {
     * dimension joins broadcast.
     */
   def q2MinPriceSupp(spark: SparkSession, dir: String): DataFrame = {
+    // the correlated min is per-part, so the part filter pushes BELOW
+    // the aggregation: a broadcast semi-join prunes lineitem to the
+    // qualifying ~quarter of parts before any shuffle
+    val smallParts = Tables.load(spark, dir, "part").filter(col("p_size") < 10)
     val offers = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(smallParts.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice").cast("decimal(18,2)")).as("price_d"))
     val w = Window.partitionBy("l_partkey")
@@ -242,8 +248,7 @@ object RelationalQueries {
       .withColumn("min_d", min(col("price_d")).over(w))
       .filter(col("price_d") === col("min_d"))
     best
-      .join(broadcast(Tables.load(spark, dir, "part").filter(col("p_size") < 10)),
-        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(smallParts), col("p_partkey") === col("l_partkey"))
       .join(broadcast(Tables.load(spark, dir, "supplier")),
         col("s_suppkey") === col("l_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
