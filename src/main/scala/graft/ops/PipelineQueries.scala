@@ -402,7 +402,72 @@ object PipelineQueries {
 
   // ---------------- oracles ----------------
 
+  /** One Lloyd iteration of the IVF oracle (see `ann_ivf_topk` below):
+    * assign → per-list integer mean. `//` floors in DuckDB while Scala's
+    * `Long./` truncates toward zero, hence the sign-split CASE; centroid
+    * ids re-compact by `row_number() OVER (ORDER BY list_id)` exactly
+    * like IvfAnn's `collect().sortBy(list_id).zipWithIndex`.
+    */
+  private def ivfLloydIterSql(i: Int): String =
+    s"""x$i AS (
+       |  SELECT v.vec_id, v.qv, c.cid,
+       |         -(CAST(${dot("v.qv", "c.cvec")} AS DOUBLE)) / sqrt(CAST(${dot("c.cvec", "c.cvec")} AS DOUBLE)) AS neg_sim
+       |  FROM q v, c${i - 1} c),
+       |a$i AS (
+       |  SELECT vec_id, qv, cid AS list_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY neg_sim ASC, cid ASC) AS rn FROM x$i)
+       |  WHERE rn = 1),
+       |n$i AS (SELECT list_id, count(*) AS n FROM a$i GROUP BY list_id),
+       |s$i AS (SELECT a.list_id, dims.d, sum(a.qv[dims.d]) AS sd FROM a$i a, dims GROUP BY a.list_id, dims.d),
+       |c$i AS (
+       |  SELECT row_number() OVER (ORDER BY list_id) - 1 AS cid,
+       |         list(CASE WHEN sd >= 0 THEN sd // n ELSE -((-sd) // n) END ORDER BY d) AS cvec
+       |  FROM s$i JOIN n$i USING (list_id)
+       |  GROUP BY list_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // Replays IvfAnn.topK end-to-end, INCLUDING training: id-seeded
+    // centroids, 3 unrolled Lloyd iterations in exact integer
+    // arithmetic, nprobe=4 probe selection, in-list rerank and the
+    // double-sim ranking. The whole k-means is deterministic, so the
+    // approximate operator hash-matches a pure-SQL replay.
+    "ann_ivf_topk" ->
+      s"""WITH ${qCte()},
+         |dims AS (
+         |  SELECT unnest(generate_series(1, len(embedding))) AS d
+         |  FROM (SELECT embedding FROM embeddings LIMIT 1)),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cvec
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16)),
+         |${ivfLloydIterSql(1)},
+         |${ivfLloydIterSql(2)},
+         |${ivfLloydIterSql(3)},
+         |xf AS (
+         |  SELECT v.vec_id, v.qv, c.cid,
+         |         -(CAST(${dot("v.qv", "c.cvec")} AS DOUBLE)) / sqrt(CAST(${dot("c.cvec", "c.cvec")} AS DOUBLE)) AS neg_sim
+         |  FROM q v, c3 c),
+         |af AS (
+         |  SELECT vec_id AS nn_id, qv AS cq, cid AS list_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY neg_sim ASC, cid ASC) AS rn FROM xf)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, qv AS qq, cid AS list_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY neg_sim ASC, cid ASC) AS rn
+         |    FROM xf WHERE vec_id < 10)
+         |  WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.q_id, a.nn_id,
+         |         ${dot("p.qq", "a.cq")} AS dot,
+         |         ${dot("p.qq", "p.qq")} AS na,
+         |         ${dot("a.cq", "a.cq")} AS nb
+         |  FROM probes p JOIN af a USING (list_id)
+         |  WHERE a.nn_id <> p.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) DESC, nn_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, nn_id, dot, na, nb FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
     "range_join_events" ->
       """SELECT e.event_id, COALESCE(c.n, 0) AS n_clicks
         |FROM events e LEFT JOIN (
