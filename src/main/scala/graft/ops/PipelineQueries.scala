@@ -76,6 +76,26 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** Concat-and-chunk packing into 2048-token bins, per source shard
+    * (see [[graft.text.Packing]]).
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Packing.packBins(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", "source", 2048L)
+      .orderBy("doc_id")
+
+  /** Benchmark decontamination: docs sharing any word 3-gram with the
+    * pretend eval set (doc_id < 20) are dropped
+    * (see [[graft.text.Decontaminate]]).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.text.Decontaminate.clean(
+      docs, docs.filter(col("doc_id") < 20), "doc_id", "text", NGRAM)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     ExactDedup.groups(Tables.load(spark, dir, "documents"), "doc_id", "text")
       .orderBy("content_hash")
@@ -468,6 +488,25 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT q_id, rank, nn_id, dot, na, nb FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    "pack_sequences" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, source,
+           |         CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS token_cnt
+           |  FROM documents)
+           |SELECT doc_id, source, token_cnt,
+           |       CAST(COALESCE(sum(token_cnt) OVER (PARTITION BY source ORDER BY doc_id
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start,
+           |       CAST(COALESCE(sum(token_cnt) OVER (PARTITION BY source ORDER BY doc_id
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin_id
+           |FROM t ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      raw"""WITH $toksCte, $shCte,
+           |bsh AS (SELECT DISTINCT h FROM sh WHERE doc_id < 20),
+           |bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bsh ON s.h = bsh.h)
+           |SELECT d.doc_id, d.source, d.n_chars
+           |FROM documents d LEFT JOIN bad ON bad.doc_id = d.doc_id
+           |WHERE bad.doc_id IS NULL
+           |ORDER BY d.doc_id""".stripMargin,
     "range_join_events" ->
       """SELECT e.event_id, COALESCE(c.n, 0) AS n_clicks
         |FROM events e LEFT JOIN (
@@ -895,6 +934,8 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "source_overlap_kmv" -> sourceOverlapKmv _,
     "range_join_events" -> rangeJoinEvents _,
+    "pack_sequences" -> packSequences _,
+    "decontaminate" -> decontaminate _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_embedding" -> dedupEmbedding _,

@@ -1,0 +1,38 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Packing (concat-and-chunk) and benchmark decontamination. */
+class PipelinePrepSpec extends AnyFunSuite with SparkSpec {
+
+  test("packBins: offsets are the shard cumsum, bins chunk by budget") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "a b c d"),          // 4 tokens, start 0,  bin 0
+      (2L, "s1", "e f g"),            // 3 tokens, start 4,  bin 0
+      (3L, "s1", "h i j k l m"),      // 6 tokens, start 7,  bin 1 (budget 5)
+      (4L, "s2", "x y"))              // other shard restarts at 0
+      .toDF("doc_id", "source", "text")
+    val out = Packing.packBins(docs, "doc_id", "text", "source", 5L)
+      .select("doc_id", "token_cnt", "tok_start", "bin_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 4L, 0L, 0L), (2L, 3L, 4L, 0L),
+      (3L, 6L, 7L, 1L), (4L, 2L, 0L, 0L)))
+  }
+
+  test("decontaminate drops n-gram overlap, keeps clean and short docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),     // shares 3-gram with bench
+      (2L, "completely unrelated text here"),
+      (3L, "too short"))                     // < 3 tokens: always kept
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox runs")).toDF("doc_id", "text")
+    val kept = Decontaminate.clean(corpus, bench, "doc_id", "text", ngram = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 3L))
+  }
+}
