@@ -76,6 +76,51 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
       s"interpreted higher-order function in the minhash hot path:\n$p")
   }
 
+  test("q7 broadcasts both nation sides; q8 broadcasts every dimension") {
+    val p7 = RelationalQueries.q7VolumeShipping(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p7).size >= 3,
+      s"q7: expected >=3 broadcast joins:\n$p7")
+    val p8 = RelationalQueries.q8MarketShare(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p8).size >= 5,
+      s"q8: expected >=5 broadcast joins:\n$p8")
+  }
+
+  test("q2 pushes the part filter below the offers aggregation") {
+    val p = RelationalQueries.q2MinPriceSupp(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the semi join must sit under the partial HashAggregate, i.e. the
+    // plan contains a LeftSemi broadcast join feeding an aggregate
+    assert(p.contains("LeftSemi"), s"q2: part filter not semi-joined below agg:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q2: expected broadcast joins:\n$p")
+  }
+
+  test("source_overlap_kmv: sketch partials aggregate map-side, pairs broadcast") {
+    val p = PipelineQueries.sourceOverlapKmv(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_kmvsketchagg") || p.contains("ObjectHashAggregate"),
+      s"kmv: expected partial sketch aggregation:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"kmv: expected broadcast pair join:\n$p")
+  }
+
+  test("decontaminate: both shingle joins broadcast, corpus side never shuffles for them") {
+    val p = PipelineQueries.decontaminate(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"decontaminate: expected semi + anti joins:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"decontaminate: expected both joins broadcast:\n$p")
+  }
+
+  test("range_join_events: equi-join on the band, no nested loop") {
+    val p = PipelineQueries.rangeJoinEvents(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+  }
+
   test("all registered queries return rows and distinct names") {
     val qs = graft.SparkEntry.queries
     assert(qs.nonEmpty)
