@@ -56,6 +56,23 @@ final class VersionedTable(spark: SparkSession, val path: String) {
     if (ids.isEmpty) None else Some(ids.max)
   }
 
+  def versionExists(v: Long): Boolean = fs.exists(manifestPath(v))
+
+  /** Latest version whose commit time is ≤ `millis` (Delta's
+    * `timestampAsOf` resolution rule).
+    */
+  def versionAsOfTimestamp(millis: Long): Option[Long] = {
+    val commits = manifestIds.sorted.map(v => v -> readManifestField(v, "committedAt").toLong)
+    commits.takeWhile(_._2 <= millis).lastOption.map(_._1)
+  }
+
+  private def readManifestField(v: Long, k: String): String = {
+    val in = fs.open(manifestPath(v))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    txt.split(s""""$k":""")(1).takeWhile(c => c != ',' && c != '}').trim
+      .stripPrefix("\"").stripSuffix("\"")
+  }
+
   /** Commit `df` as the next full-snapshot version; returns its id. */
   def write(df: DataFrame, operation: String = "write"): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)

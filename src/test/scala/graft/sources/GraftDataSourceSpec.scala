@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.lake.VersionedTable
+
+/** `spark.read.format("graft")`: manifest-resolved version reads with
+  * Delta-style versionAsOf / timestampAsOf, delegating bytes to the
+  * engine's parquet DSv2 (so pushdown survives the indirection).
+  */
+class GraftDataSourceSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshTable(): (VersionedTable, String) = {
+    val dir = Files.createTempDirectory("graft_dsv2_").toString
+    (new VersionedTable(spark, dir), dir)
+  }
+
+  test("latest read, versionAsOf, and timestampAsOf resolve through manifests") {
+    import spark.implicits._
+    val (vt, dir) = freshTable()
+    vt.write(Seq((1L, "v0")).toDF("id", "tag"))
+    Thread.sleep(20)
+    val tsBetween = System.currentTimeMillis()
+    Thread.sleep(20)
+    vt.write(Seq((1L, "v1"), (2L, "v1")).toDF("id", "tag"))
+
+    val latest = spark.read.format("graft").load(dir)
+    assert(latest.count() === 2L)
+    assert(latest.select("tag").distinct().as[String].collect().toSeq === Seq("v1"))
+
+    val v0 = spark.read.format("graft").option("versionAsOf", "0").load(dir)
+    assert(v0.as[(Long, String)].collect().toSeq === Seq((1L, "v0")))
+
+    val ts = spark.read.format("graft")
+      .option("timestampAsOf", tsBetween.toString).load(dir)
+    assert(ts.as[(Long, String)].collect().toSeq === Seq((1L, "v0")))
+  }
+
+  test("uncommitted version directories stay invisible") {
+    import spark.implicits._
+    val (vt, dir) = freshTable()
+    vt.write(Seq((1L, "committed")).toDF("id", "tag"))
+    // a crashed writer: data directory exists, manifest never landed
+    Seq((99L, "orphan")).toDF("id", "tag")
+      .write.parquet(s"$dir/v=1")
+    val seen = spark.read.format("graft").load(dir)
+    assert(seen.select("tag").as[String].collect().toSeq === Seq("committed"))
+  }
+
+  test("missing version and empty table fail loudly") {
+    import spark.implicits._
+    val (vt, dir) = freshTable()
+    assertThrows[Exception](spark.read.format("graft").load(dir).collect())
+    vt.write(Seq((1L, "x")).toDF("id", "tag"))
+    assertThrows[Exception](
+      spark.read.format("graft").option("versionAsOf", "7").load(dir).collect())
+  }
+
+  test("predicate pushdown reaches the parquet scan through the connector") {
+    import spark.implicits._
+    val (vt, dir) = freshTable()
+    vt.write((0L until 100L).map(i => (i, s"t$i")).toDF("id", "tag"))
+    val q = spark.read.format("graft").load(dir).filter(col("id") > 90)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)"),
+      s"filter not pushed through graft connector:\n$plan")
+    assert(q.count() === 9L)
+  }
+}
