@@ -130,6 +130,39 @@ final class VersionedTable(spark: SparkSession, val path: String) {
       StructField("numFiles", IntegerType), StructField("committed_at", TimestampType))))
   }
 
+  /** Change feed between two committed versions (Delta CDF analog, for
+    * full-snapshot versions): rows present only in `to` are `insert`,
+    * rows present only in `from` are `delete`; an updated row appears
+    * as its delete + insert pair. Computed as two hash anti-joins over
+    * the full row — one shuffle each at scale, no row-id bookkeeping
+    * required by the full-snapshot commit model.
+    */
+  def changes(fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changes: from=$fromV must be <= to=$toV")
+    val before = snapshotAt(fromV)
+    val after = snapshotAt(toV)
+    val cols = before.columns.toSeq
+    require(cols == after.columns.toSeq,
+      s"changes: schema differs between v$fromV and v$toV — read each side separately")
+    import org.apache.spark.sql.functions.lit
+    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
+  /** Commit `df` with schema evolution (Delta `mergeSchema` analog):
+    * the committed snapshot carries the union of the current and new
+    * columns by name; columns missing on either side fill with NULL.
+    */
+  def writeMergeSchema(df: DataFrame, operation: String = "write"): Long =
+    latestVersion match {
+      case None => write(df, operation)
+      case Some(v) =>
+        // union-by-name with the (empty) current schema widens df to
+        // the union schema; columns df lacks fill with NULL
+        write(df.unionByName(snapshotAt(v).limit(0), allowMissingColumns = true),
+          operation)
+    }
+
   /** Compaction: rewrite the current snapshot into `targetFiles` files
     * as a new version (the OPTIMIZE / optimizeWrite analog,
     * test_scd_handler.py:55-57). Data is unchanged; history records the

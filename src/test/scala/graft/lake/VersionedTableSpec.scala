@@ -84,4 +84,30 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     val day1Eth = table.snapshotAt(1).filter("k = 1").head()
     assert(day1Eth.getAs[String]("v") === "a")
   }
+
+  test("changes: insert/delete/update pairs between versions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vt_cdf").toString
+    val t = new VersionedTable(spark, s"$dir/t")
+    t.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    t.write(Seq((1, "a"), (2, "B"), (4, "d")).toDF("id", "v"))
+    val ch = t.changes(0L, 1L)
+      .as[(Int, String, String)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(ch === Seq(
+      (2, "b", "delete"), (2, "B", "insert"),   // update = delete + insert
+      (3, "c", "delete"), (4, "d", "insert")))
+    assert(t.changes(1L, 1L).isEmpty)
+  }
+
+  test("writeMergeSchema widens to the union schema with NULL fill") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vt_evolve").toString
+    val t = new VersionedTable(spark, s"$dir/t")
+    t.write(Seq((1, "a")).toDF("id", "v"))
+    t.writeMergeSchema(Seq((2, 9L)).toDF("id", "score"))
+    val snap = t.snapshot()
+    assert(snap.columns.toSeq === Seq("id", "score", "v"))
+    val row = snap.as[(Int, Option[Long], Option[String])].collect().toSeq
+    assert(row === Seq((2, Some(9L), None)))
+  }
 }
