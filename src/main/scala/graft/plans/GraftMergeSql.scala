@@ -42,6 +42,8 @@ class GraftMergeParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(sqlText) match {
       case m: MergeIntoTable => GraftMergeParser.translate(m)
+      case d: DeleteFromTable => GraftMergeParser.translateDelete(d)
+      case u: UpdateTable => GraftMergeParser.translateUpdate(u)
       case other => other
     }
 
@@ -101,6 +103,19 @@ object GraftMergeParser {
       m.matchedActions.map(clause),
       m.notMatchedActions.map(clause),
       m.notMatchedBySourceActions.map(clause))
+  }
+
+  /** `DELETE FROM t WHERE cond` — same v1-parquet gap as MERGE. */
+  private[graftmerge] def translateDelete(d: DeleteFromTable): LogicalPlan = {
+    val (parts, alias) = nameAndAlias(d.table)
+    DeleteGraftCommand(parts, alias, d.condition.sql)
+  }
+
+  /** `UPDATE t SET ... [WHERE cond]`. */
+  private[graftmerge] def translateUpdate(u: UpdateTable): LogicalPlan = {
+    val (parts, alias) = nameAndAlias(u.table)
+    UpdateGraftCommand(parts, alias, assignMap(u.assignments),
+      u.condition.map(_.sql))
   }
 
   private def nameAndAlias(plan: LogicalPlan): (Seq[String], String) = plan match {
@@ -168,14 +183,63 @@ case class MergeIntoGraftCommand(
       }
     }
 
-    // Materialize the next state BEFORE touching the target (the plan
-    // reads the target's current files), then swap via INSERT OVERWRITE.
-    val staging = targetParts.last + "__graft_merge_staging"
-    merge.resolve().write.mode("overwrite").saveAsTable(staging)
+    GraftTableSwap.replace(spark, targetParts, merge.resolve())
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM <parquet table> WHERE cond`: keep the complement. */
+case class DeleteGraftCommand(
+    targetParts: Seq[String], targetAlias: String, conditionSql: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val target = spark.table(targetParts.map(p => s"`$p`").mkString("."))
+    import org.apache.spark.sql.functions.{expr, not}
+    GraftTableSwap.replace(spark, targetParts,
+      target.alias(targetAlias).filter(not(expr(conditionSql))))
+    Seq.empty
+  }
+}
+
+/** `UPDATE <parquet table> SET ... [WHERE cond]`: conditional column
+  * rewrite over one scan, values cast to the column's type.
+  */
+case class UpdateGraftCommand(
+    targetParts: Seq[String], targetAlias: String,
+    set: Map[String, String], conditionSql: Option[String])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val target = spark.table(targetParts.map(p => s"`$p`").mkString("."))
+    val cond = conditionSql.map(expr).getOrElse(lit(true))
+    val next = target.alias(targetAlias).select(target.schema.fields.toSeq.map { f =>
+      set.get(f.name) match {
+        case Some(v) => when(cond, expr(v).cast(f.dataType))
+          .otherwise(col(s"$targetAlias.${f.name}")).as(f.name)
+        case None => col(s"$targetAlias.${f.name}").as(f.name)
+      }
+    }: _*)
+    GraftTableSwap.replace(spark, targetParts, next)
+    Seq.empty
+  }
+}
+
+/** Shared commit path for the SQL DML commands: materialize the next
+  * state into a staging table BEFORE touching the target (the plan
+  * reads the target's current files), then INSERT OVERWRITE and drop
+  * the staging table. One extra linear pass — the price of DML without
+  * a transaction log; `lake.VersionedTable` is the manifest-commit
+  * upgrade path.
+  */
+private[graftmerge] object GraftTableSwap {
+  def replace(spark: SparkSession, targetParts: Seq[String],
+      next: org.apache.spark.sql.DataFrame): Unit = {
+    val targetName = targetParts.map(p => s"`$p`").mkString(".")
+    val staging = targetParts.last + "__graft_dml_staging"
+    next.write.mode("overwrite").saveAsTable(staging)
     try
       spark.table(staging).write.mode("overwrite").insertInto(targetName)
     finally
       spark.sql(s"DROP TABLE IF EXISTS `$staging`")
-    Seq.empty
   }
 }

@@ -17,7 +17,7 @@ class MergeSqlSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     // DROP alone can't clear orphan dirs left by a previous JVM (the
     // in-memory catalog forgets tables, the warehouse keeps the files)
-    for (t <- Seq(s"tgt_$tag", s"src_$tag", s"tgt_${tag}__graft_merge_staging")) {
+    for (t <- Seq(s"tgt_$tag", s"src_$tag", s"tgt_${tag}__graft_dml_staging")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new java.io.File(
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
@@ -76,6 +76,23 @@ class MergeSqlSpec extends AnyFunSuite with SparkSpec {
       """MERGE INTO tgt_bysrc t USING src_bysrc s ON t.pk = s.pk
         |WHEN NOT MATCHED BY SOURCE AND t.n < 100 THEN UPDATE SET v = 'stale'""".stripMargin)
     assert(state("bysrc") === Seq((1L, "stale", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+  }
+
+  test("DELETE FROM and UPDATE on parquet catalog tables") {
+    setup("dml")
+    spark.sql("DELETE FROM tgt_dml WHERE n >= 30")
+    assert(state("dml") === Seq((1L, "a", 10L), (2L, "b", 20L)))
+    spark.sql("UPDATE tgt_dml SET v = upper(v), n = n * 10 WHERE pk = 2")
+    assert(state("dml") === Seq((1L, "a", 10L), (2L, "B", 200L)))
+    // unconditional update touches every row
+    spark.sql("UPDATE tgt_dml SET n = n + 1")
+    assert(state("dml") === Seq((1L, "a", 11L), (2L, "B", 201L)))
+  }
+
+  test("UPDATE with table alias in the condition") {
+    setup("alias")
+    spark.sql("UPDATE tgt_alias t SET v = 'x' WHERE t.n = 20")
+    assert(state("alias") === Seq((1L, "a", 10L), (2L, "x", 20L), (3L, "c", 30L)))
   }
 
   test("non-merge SQL is untouched by the parser wrapper") {
