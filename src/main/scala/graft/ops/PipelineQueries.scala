@@ -96,6 +96,15 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic 20% corpus sample (see [[Sampling]]): retry-stable,
+    * seedless, ANSI-replayable — the sampling a distributed pipeline
+    * can actually trust.
+    */
+  def sampleDocuments(spark: SparkSession, dir: String): DataFrame =
+    Sampling.byHash(Tables.load(spark, dir, "documents"), "doc_id", 0.2)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     ExactDedup.groups(Tables.load(spark, dir, "documents"), "doc_id", "text")
       .orderBy("content_hash")
@@ -488,6 +497,11 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT q_id, rank, nn_id, dot, na, nb FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    "sample_documents" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+         |WHERE CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |      < ${(0.2 * Sampling.HashSpace).toLong}
+         |ORDER BY doc_id""".stripMargin,
     "pack_sequences" ->
       raw"""WITH t AS (
            |  SELECT doc_id, source,
@@ -936,6 +950,7 @@ object PipelineQueries {
     "range_join_events" -> rangeJoinEvents _,
     "pack_sequences" -> packSequences _,
     "decontaminate" -> decontaminate _,
+    "sample_documents" -> sampleDocuments _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_embedding" -> dedupEmbedding _,

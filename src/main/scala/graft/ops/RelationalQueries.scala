@@ -319,7 +319,43 @@ object RelationalQueries {
       .orderBy("o_year")
   }
 
+  /** Spark `pivot` (wide event-count matrix per user): explicit value
+    * list keeps it one pass — partial-agg per (user, type) map-side,
+    * then the pivot projection; no second scan for value discovery.
+    */
+  def pivotEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.load(spark, dir, "events")
+      .groupBy("user_id").pivot("event_type", types).count()
+    p.select(col("user_id") +: types.map(t =>
+      coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  /** Exact interpolated median (type-7 quantile) per group — both
+    * engines interpolate `(1-d)·lower + d·upper` on the same doubles.
+    */
+  def medianPriceByPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   val oracle: Map[String, String] = Map(
+    "pivot_event_counts" ->
+      """SELECT user_id,
+        |       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "median_price_by_priority" ->
+      """SELECT o_orderpriority,
+        |       quantile_cont(o_totalprice, 0.5) AS median_price,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q2_min_price_supp" ->
       """WITH offers AS (
         |  SELECT l_partkey, l_suppkey,
@@ -457,6 +493,8 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
+    "pivot_event_counts" -> pivotEventCounts _,
+    "median_price_by_priority" -> medianPriceByPriority _,
     "q2_min_price_supp" -> q2MinPriceSupp _,
     "q7_volume_shipping" -> q7VolumeShipping _,
     "q8_market_share" -> q8MarketShare _,
