@@ -1,31 +1,113 @@
 package graft.sources
 
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetDataSourceV2
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister}
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.lake.VersionedTable
 
-/** DataSource V2 read surface for [[graft.lake.VersionedTable]]:
+/** DataSource surface for [[graft.lake.VersionedTable]]:
   *
   * {{{
   *   spark.read.format("graft").load(path)                       // latest
   *   spark.read.format("graft").option("versionAsOf", 3).load(path)
   *   spark.read.format("graft").option("timestampAsOf", "2026-01-01 00:00:00").load(path)
+  *   df.write.format("graft").mode("overwrite" | "append").save(path)
   * }}}
   *
-  * The connector resolves the requested version through the table's
-  * commit manifests (so uncommitted/crashed writer directories stay
-  * invisible) and then DELEGATES to Spark's own parquet DSv2 on the
-  * immutable version directory — inheriting predicate pushdown, column
-  * pruning, vectorized reads, partition discovery and AQE behavior
-  * instead of re-implementing a file format. Same layering Delta uses:
-  * the table format owns version→file resolution, the engine's parquet
-  * reader owns bytes.
+  * READ: the requested version resolves through the table's commit
+  * manifests (uncommitted/crashed writer directories stay invisible),
+  * then bytes are served by Spark's own parquet DSv2 on the immutable
+  * version directory — predicate pushdown, column pruning, vectorized
+  * reads and partition discovery are all inherited, not re-implemented.
+  * Same layering Delta uses: the table format owns version→file
+  * resolution, the engine's parquet reader owns bytes.
+  *
+  * WRITE: every `save` commits a NEW version through the manifest
+  * protocol (v1 `CreatableRelationProvider` path — the exposed Table is
+  * deliberately read-only so `DataFrameWriter` falls back to it).
+  * `Overwrite` commits the frame as the next full snapshot; `Append`
+  * commits previous ∪ new (full-snapshot commit model).
   *
   * Time travel mirrors Delta's reader options (`versionAsOf` /
   * `timestampAsOf`, the surface the reference's platform exposes).
   */
-class GraftDataSource extends ParquetDataSourceV2 {
+class GraftDataSource extends TableProvider
+    with DataSourceRegister with CreatableRelationProvider {
+
+  private val delegate = new GraftVersionedParquet
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  // A not-yet-existing table must not fail here: DataFrameWriter probes
+  // the v2 provider (inferSchema + getTable) BEFORE falling back to the
+  // v1 write path that performs the first commit. Only the specific
+  // empty-table case degrades to a capability-less placeholder — real
+  // read errors (bad versionAsOf etc.) still throw loudly.
+  private def emptyTable(e: IllegalArgumentException): Boolean =
+    e.getMessage != null && e.getMessage.contains("graft: empty table")
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    try delegate.inferSchema(options)
+    catch { case e: IllegalArgumentException if emptyTable(e) => new StructType() }
+
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
+    try delegate.inferPartitioning(options)
+    catch { case e: IllegalArgumentException if emptyTable(e) => Array.empty }
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    try new GraftReadOnlyTable(delegate.getTable(schema, partitioning, properties))
+    catch {
+      case e: IllegalArgumentException if emptyTable(e) =>
+        new Table {
+          override def name(): String = "graft:empty"
+          override def schema(): StructType = new StructType()
+          override def capabilities(): java.util.Set[TableCapability] =
+            java.util.Collections.emptySet()
+        }
+    }
+
+  /** Write path — see class Scaladoc. */
+  override def createRelation(
+      ctx: SQLContext, mode: SaveMode, parameters: Map[String, String],
+      df: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft write: 'path' is required"))
+    val vt = new VersionedTable(ctx.sparkSession, path)
+    val exists = vt.exists
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"graft table already exists at $path")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Append if exists =>
+        vt.write(vt.snapshot().unionByName(df), operation = "append")
+      case _ =>
+        vt.write(df, operation = "overwrite")
+    }
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = df.schema
+    }
+  }
+}
+
+/** The parquet DSv2 with version-directory resolution spliced into path
+  * lookup. Kept private: exposing a FileDataSourceV2 directly would
+  * send WRITES down Spark's fallback-file-format path, skipping the
+  * manifest commit.
+  */
+private[sources] class GraftVersionedParquet extends ParquetDataSourceV2 {
 
   override def shortName(): String = "graft"
 
@@ -57,4 +139,27 @@ class GraftDataSource extends ParquetDataSourceV2 {
     if (t.forall(_.isDigit)) t.toLong
     else java.sql.Timestamp.valueOf(t).getTime
   }
+}
+
+/** Read-only facade over the delegate's ParquetTable: dropping the
+  * write capabilities makes `DataFrameWriter` fall back to the v1
+  * `CreatableRelationProvider`, which owns the manifest commit.
+  */
+private[sources] class GraftReadOnlyTable(inner: Table)
+    extends Table with SupportsRead {
+  override def name(): String = "graft:" + inner.name()
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): JMap[String, String] = inner.properties()
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability](inner.capabilities())
+    caps.remove(TableCapability.BATCH_WRITE)
+    caps.remove(TableCapability.STREAMING_WRITE)
+    caps.remove(TableCapability.TRUNCATE)
+    caps.remove(TableCapability.OVERWRITE_BY_FILTER)
+    caps.remove(TableCapability.OVERWRITE_DYNAMIC)
+    caps
+  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.asInstanceOf[SupportsRead].newScanBuilder(options)
 }

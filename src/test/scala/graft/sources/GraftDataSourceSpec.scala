@@ -60,6 +60,27 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkSpec {
       spark.read.format("graft").option("versionAsOf", "7").load(dir).collect())
   }
 
+  test("write path commits versions: overwrite, append, ignore, errorIfExists") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dsv2_w_").toString + "/t"
+    Seq((1L, "a")).toDF("id", "tag")
+      .write.format("graft").mode("overwrite").save(dir)
+    Seq((2L, "b")).toDF("id", "tag")
+      .write.format("graft").mode("append").save(dir)
+    val vt = new VersionedTable(spark, dir)
+    assert(vt.latestVersion === Some(1L))
+    assert(spark.read.format("graft").load(dir)
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    assert(spark.read.format("graft").option("versionAsOf", "0").load(dir)
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    // ignore: no new version; errorIfExists: throws
+    Seq((9L, "z")).toDF("id", "tag")
+      .write.format("graft").mode("ignore").save(dir)
+    assert(vt.latestVersion === Some(1L))
+    assertThrows[Exception](Seq((9L, "z")).toDF("id", "tag")
+      .write.format("graft").mode("errorifexists").save(dir))
+  }
+
   test("predicate pushdown reaches the parquet scan through the connector") {
     import spark.implicits._
     val (vt, dir) = freshTable()
