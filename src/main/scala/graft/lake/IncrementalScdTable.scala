@@ -1,0 +1,106 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.scd.{MergeEmulator, ScdApply, ScdConfig}
+
+/** The full 100 TB SCD maintenance story, combining the two scale
+  * mechanisms this library builds separately:
+  *
+  *  - [[BucketedScdTable]]'s touched-bucket-only rewrite (work per
+  *    batch is O(touched buckets), not O(table)), and
+  *  - [[IncrementalTable]]'s file-level manifest commits (untouched
+  *    buckets' files are RE-REFERENCED, not rewritten — plus time
+  *    travel and history for free).
+  *
+  * A batch: hash the incoming business keys to buckets → read ONLY the
+  * touched buckets' files (straight from the manifest, no directory
+  * listing) → run the standard SCD merge over that slice → stage the
+  * slice's next state per bucket → one atomic commit that swaps the
+  * touched buckets' files and carries every other file reference
+  * forward. Readers time-travel across batches at file granularity.
+  *
+  * Identity columns are intentionally unsupported here: a surrogate-key
+  * high watermark must live in the manifest (a metadata counter, the
+  * Delta identity design); wiring that is mechanical but out of scope.
+  */
+final class IncrementalScdTable(
+    spark: SparkSession, val path: String, val numBuckets: Int) {
+
+  require(numBuckets > 0, "numBuckets must be positive")
+
+  val table = new IncrementalTable(spark, path)
+
+  private val schemaFile = new Path(path, "_schema.json")
+  private def fs = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bucketOf(pkCols: Seq[String]): Column =
+    pmod(hash(pkCols.map(col): _*), lit(numBuckets))
+
+  private def bucketDir(b: Int) = s"__bucket=$b"
+
+  def exists: Boolean = fs.exists(schemaFile)
+
+  def create(schema: StructType): Unit = {
+    fs.mkdirs(new Path(path))
+    val out = fs.create(schemaFile, true)
+    out.write(schema.json.getBytes(StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private def storedSchema: StructType = {
+    val in = fs.open(schemaFile)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    DataType.fromJson(txt).asInstanceOf[StructType]
+  }
+
+  private def emptyFrame(schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+
+  def snapshot(): DataFrame =
+    if (table.exists) table.snapshot() else emptyFrame(storedSchema)
+
+  def snapshotAt(v: Long): DataFrame = table.snapshotAt(v)
+
+  /** Current rows of the given buckets only — file-level pruning via
+    * the manifest's bucket-directory prefixes.
+    */
+  def snapshotOfBuckets(buckets: Seq[Int]): DataFrame = {
+    val prefixes = buckets.map(b => bucketDir(b) + "/").toSet
+    table.latestVersion
+      .flatMap(v => table.snapshotOfFiles(v, f => prefixes.exists(f.startsWith)))
+      .getOrElse(emptyFrame(storedSchema))
+  }
+
+  /** One SCD batch; returns the committed version. */
+  def applyScd(source: DataFrame, cfg: ScdConfig): Long = {
+    val touched: Seq[Int] =
+      if (source.isEmpty) Seq.empty
+      else source.select(bucketOf(cfg.pkCols).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty)
+      return table.latestVersion.getOrElse(table.commitFiles(Seq.empty, Set.empty, "scd_noop"))
+
+    val snap = snapshotOfBuckets(touched)
+    val delta = ScdApply.split(snap, source, cfg)
+    val close = MergeEmulator.merge(snap, delta.inactiveUpdates, cfg.pkCols)
+    val upsert = MergeEmulator.merge(
+      close.next, delta.activeUnion, cfg.pkCols, isActiveData = true)
+    // materialize before staging: the plan reads the files the commit
+    // will de-reference, and staging triggers the write
+    val next = upsert.next.withColumn("__bucket", bucketOf(cfg.pkCols))
+      .localCheckpoint()
+    // one partitioned write stages every touched bucket's next state
+    val added = table.stagePartitioned(next, "__bucket")
+    val prefixes = touched.map(b => bucketDir(b) + "/").toSet
+    val removed = table.latestVersion.map(table.files(_)
+      .filter(f => prefixes.exists(f.startsWith)).toSet).getOrElse(Set.empty)
+    table.commitFiles(added, removed, s"scd_apply[${touched.size} buckets]")
+  }
+}

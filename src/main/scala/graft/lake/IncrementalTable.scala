@@ -1,0 +1,222 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** File-level incremental commits — the evolution of
+  * [[VersionedTable]]'s full-snapshot model that survives 100 TB:
+  * each manifest lists the DATA FILES composing that version, so a
+  * commit that touches 1 GB of a 100 TB table writes 1 GB of new files
+  * plus a manifest that re-references everything else (the Delta/
+  * Iceberg add-remove log idea, on one manifest per version).
+  *
+  * Layout:
+  * {{{
+  *   <path>/_log/00000000000000000007.json   manifest: file list + meta
+  *   <path>/data/<unique-name>.parquet       immutable data files
+  *   <path>/data/__bucket=3/<unique>.parquet (bucketed tables)
+  * }}}
+  *
+  * Commit protocol (same pointer-commit as VersionedTable): stage new
+  * files under `_stage/<nonce>/`, MOVE them into `data/` (rename, no
+  * copy), then publish the manifest via write-tmp + rename. A reader
+  * only sees files referenced by a committed manifest, so crashed
+  * writers leave invisible garbage, never corruption; `vacuum` deletes
+  * data files no kept manifest references. Concurrent committers race
+  * on the manifest rename — the loser gets a conflict exception
+  * (optimistic concurrency; arbitration beyond that needs a lock /
+  * CAS service on object stores, same as Delta).
+  */
+final class IncrementalTable(spark: SparkSession, val path: String) {
+
+  private val logDir = new Path(path, "_log")
+  private val dataDir = new Path(path, "data")
+  private def fs: FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(v: Long) = new Path(logDir, f"$v%020d.json")
+  private val ManifestName = """^(\d{20})\.json$""".r
+
+  private def manifestIds: Seq[Long] =
+    (if (fs.exists(logDir)) fs.listStatus(logDir).toSeq else Seq.empty)
+      .map(_.getPath.getName)
+      .collect { case ManifestName(d) => d.toLong }
+
+  def latestVersion: Option[Long] = {
+    val ids = manifestIds
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  def exists: Boolean = latestVersion.isDefined
+
+  def versionExists(v: Long): Boolean = fs.exists(manifestPath(v))
+
+  // ---- manifest io (no json library in the dependency set: the
+  // format is flat and file names are sanitized on write) ----
+
+  private def writeManifest(v: Long, operation: String, files: Seq[String]): Unit = {
+    files.foreach(f => require(!f.contains("\"") && !f.contains("\\"),
+      s"illegal character in data file name: $f"))
+    val json = s"""{"version":$v,"operation":"$operation",""" +
+      s""""committedAt":${System.currentTimeMillis()},""" +
+      s""""files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, f"_tmp_$v%020d.json")
+    val out = fs.create(tmp, true)
+    out.write(json.getBytes(StandardCharsets.UTF_8))
+    out.close()
+    if (!fs.rename(tmp, manifestPath(v)))
+      throw new IllegalStateException(
+        s"concurrent commit detected for version $v of $path")
+  }
+
+  private def readManifest(v: Long): (String, Long, Seq[String]) = {
+    require(versionExists(v), s"version $v does not exist at $path")
+    val in = fs.open(manifestPath(v))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def field(k: String): String =
+      txt.split(s""""$k":""")(1).takeWhile(c => c != ',' && c != '}').trim
+    val files = txt.split(""""files":\[""")(1).takeWhile(_ != ']')
+    val names = files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty)
+    (field("operation").stripPrefix("\"").stripSuffix("\""),
+      field("committedAt").toLong, names)
+  }
+
+  /** Data files (relative to `data/`) composing version `v`. */
+  def files(v: Long): Seq[String] = readManifest(v)._3
+
+  // ---- reads ----
+
+  def snapshot(): DataFrame = snapshotAt(
+    latestVersion.getOrElse(throw new IllegalStateException(s"empty table $path")))
+
+  def snapshotAt(v: Long): DataFrame = {
+    val fs = files(v)
+    require(fs.nonEmpty, s"version $v of $path has no data files")
+    spark.read.parquet(fs.map(f => new Path(dataDir, f).toString): _*)
+  }
+
+  /** Only the files matching `pred` — file-level pruning from the
+    * manifest, no directory listing, no partition discovery.
+    */
+  def snapshotOfFiles(v: Long, pred: String => Boolean): Option[DataFrame] = {
+    val picked = files(v).filter(pred)
+    if (picked.isEmpty) None
+    else Some(spark.read.parquet(picked.map(f => new Path(dataDir, f).toString): _*))
+  }
+
+  def history(): DataFrame = {
+    val rows = manifestIds.sorted.reverse.map { v =>
+      val (op, ts, fls) = readManifest(v)
+      Row(v, op, fls.size, new java.sql.Timestamp(ts))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("version", LongType), StructField("operation", StringType),
+      StructField("numFiles", IntegerType), StructField("committed_at", TimestampType))))
+  }
+
+  // ---- writes ----
+
+  /** Write `df`'s files into `data/` under `subdir` (e.g. a bucket
+    * directory; "" for flat) and return their manifest-relative names.
+    * Files are staged then renamed — readers never see partial files.
+    */
+  def stage(df: DataFrame, subdir: String = ""): Seq[String] = {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val stageDir = new Path(path, s"_stage/$nonce")
+    df.write.mode("overwrite").parquet(stageDir.toString)
+    val parts = fs.listStatus(stageDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    val destDir = if (subdir.isEmpty) dataDir else new Path(dataDir, subdir)
+    fs.mkdirs(destDir)
+    val named = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"$nonce-$i.parquet"
+      if (!fs.rename(p, new Path(destDir, name)))
+        throw new IllegalStateException(s"failed to publish staged file $p")
+      if (subdir.isEmpty) name else s"$subdir/$name"
+    }
+    fs.delete(new Path(path, s"_stage/$nonce"), true)
+    named
+  }
+
+  /** Stage a partitioned frame in ONE Spark job: `df` is written
+    * `partitionBy(partitionCol)` to the stage area, then each
+    * partition directory's files are renamed under
+    * `data/<partitionCol>=<value>/`. Returns manifest-relative names.
+    * (The per-subdir [[stage]] would cost one job per partition.)
+    */
+  def stagePartitioned(df: DataFrame, partitionCol: String): Seq[String] = {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val stageDir = new Path(path, s"_stage/$nonce")
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(stageDir.toString)
+    val partDirs = fs.listStatus(stageDir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(s"$partitionCol="))
+    val named = partDirs.flatMap { dir =>
+      val destDir = new Path(dataDir, dir.getName)
+      fs.mkdirs(destDir)
+      fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex.map { case (p, i) =>
+          val name = s"$nonce-$i.parquet"
+          if (!fs.rename(p, new Path(destDir, name)))
+            throw new IllegalStateException(s"failed to publish staged file $p")
+          s"${dir.getName}/$name"
+        }
+    }
+    fs.delete(new Path(path, s"_stage/$nonce"), true)
+    named
+  }
+
+  /** Commit the next version = previous files − `removed` + `added`. */
+  def commitFiles(
+      added: Seq[String], removed: Set[String], operation: String): Long = {
+    val prev = latestVersion.map(files).getOrElse(Seq.empty)
+    removed.foreach(r => require(prev.contains(r),
+      s"commit removes unknown file $r"))
+    val v = latestVersion.map(_ + 1).getOrElse(0L)
+    writeManifest(v, operation, prev.filterNot(removed) ++ added)
+    v
+  }
+
+  /** Full-snapshot commit (replaces every file reference). */
+  def writeSnapshot(df: DataFrame, operation: String = "write"): Long = {
+    val added = stage(df)
+    val v = latestVersion.map(_ + 1).getOrElse(0L)
+    writeManifest(v, operation, added)
+    v
+  }
+
+  /** O(batch) append: new files only, everything else re-referenced. */
+  def append(df: DataFrame): Long =
+    commitFiles(stage(df), Set.empty, "append")
+
+  /** Rewrite the current snapshot into `targetFiles` files. */
+  def compact(targetFiles: Int = 1): Long =
+    writeSnapshot(snapshot().repartition(targetFiles), operation = "compact")
+
+  /** Delete data files referenced by NO kept manifest, and manifests
+    * older than the last `keepLast` (readers of vacuumed versions fail
+    * — Delta VACUUM contract).
+    */
+  def vacuum(keepLast: Int = 1): Unit = latestVersion.foreach { latest =>
+    val cutoff = latest - math.max(1, keepLast) + 1
+    val (dropIds, keepIds) = manifestIds.partition(_ < cutoff)
+    val keep = keepIds.flatMap(files).toSet
+    def walk(dir: Path): Seq[Path] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else Seq(st.getPath)
+      }
+    // qualify both sides: listStatus returns scheme-qualified paths
+    // (file:/...), the configured dataDir may not be
+    val dataRoot = fs.makeQualified(dataDir).toString.stripSuffix("/") + "/"
+    walk(dataDir)
+      .filter(p => !keep.contains(fs.makeQualified(p).toString.stripPrefix(dataRoot)))
+      .foreach(fs.delete(_, false))
+    dropIds.foreach(v => fs.delete(manifestPath(v), false))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.lake
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.scd.{ScdConfig, ScdTable}
+
+/** SCD over manifest-committed incremental files: state equivalence
+  * with the plain table, file-reference carry-over for untouched
+  * buckets, time travel across batches, vacuum.
+  */
+class IncrementalScdTableSpec extends AnyFunSuite with SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)) ++
+    ScdConfig.SystemCols.map(c => StructField(c,
+      if (c == "record_status" || c.endsWith("_key")) StringType else TimestampType)))
+
+  private val cfg = ScdConfig(pkCols = Seq("k"), scdKeyCols = Seq("v"),
+    selectCols = Some(Seq("k", "v")))
+
+  private def batch(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+  private def at(day: Int) =
+    cfg.copy(clock = () => Instant.parse(f"2025-08-$day%02dT00:00:00Z"))
+
+  test("incremental apply equals the plain table's state; time travel works") {
+    val dir = Files.createTempDirectory("iscd").toString
+    val plain = new ScdTable(spark, s"$dir/plain")
+    val inc = new IncrementalScdTable(spark, s"$dir/inc", numBuckets = 8)
+    plain.create(schema); inc.create(schema)
+
+    val batches = Seq(
+      batch((1L, "a"), (2L, "b"), (3L, "c"), (17L, "q")),
+      batch((1L, "a2"), (3L, "c"), (99L, "z")),
+      batch((2L, "b9"), (99L, "z2"), (1L, "a2")))
+    val versions = batches.zipWithIndex.map { case (b, i) =>
+      plain.applyScd(b, at(i + 1)); inc.applyScd(b, at(i + 1))
+    }
+    assert(versions === Seq(0L, 1L, 2L))
+
+    val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col)
+    val p = plain.snapshot().select(cols: _*).orderBy("k", "effective_from").collect()
+    val q = inc.snapshot().select(cols: _*).orderBy("k", "effective_from").collect()
+    assert(q.toSeq === p.toSeq)
+    assert(p.nonEmpty)
+
+    // time travel: version 0 has only batch-1 keys, all active
+    val v0 = inc.snapshotAt(0L)
+    assert(v0.select("k").distinct().count() === 4L)
+    assert(v0.filter(org.apache.spark.sql.functions.col("record_status") =!= "A").count() === 0L)
+  }
+
+  test("untouched buckets' files are re-referenced, not rewritten") {
+    val dir = Files.createTempDirectory("iscd2").toString
+    val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 16)
+    t.create(schema)
+    t.applyScd(batch((1L to 40L).map(k => (k, s"v$k")): _*), at(1))
+    val v0Files = t.table.files(0L).toSet
+    // second batch touches one key -> few buckets
+    t.applyScd(batch((1L, "CHANGED")), at(2))
+    val v1Files = t.table.files(1L).toSet
+    val carried = v0Files intersect v1Files
+    assert(carried.nonEmpty, "expected untouched bucket files to carry over")
+    assert((v1Files -- v0Files).nonEmpty, "expected new files for the touched bucket")
+    // the touched bucket's old files are gone from the new manifest
+    val touchedDirs = (v0Files -- v1Files).map(_.split('/').head)
+    assert((v1Files -- v0Files).forall(f => touchedDirs.contains(f.split('/').head)),
+      "new files must be confined to the touched buckets")
+  }
+
+  test("vacuum drops files of expired versions but keeps the kept ones readable") {
+    val dir = Files.createTempDirectory("iscd3").toString
+    val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 4)
+    t.create(schema)
+    t.applyScd(batch((1L, "a"), (2L, "b")), at(1))
+    t.applyScd(batch((1L, "a2")), at(2))
+    t.table.vacuum(keepLast = 1)
+    assert(t.snapshot().count() === 3L) // 1:a(I), 1:a2(A), 2:b(A)
+    assertThrows[Exception](t.snapshotAt(0L).collect())
+  }
+}
