@@ -52,6 +52,11 @@ final class IncrementalTable(spark: SparkSession, val path: String) {
 
   def exists: Boolean = latestVersion.isDefined
 
+  /** Distinguishes this layout from [[VersionedTable]]'s (both keep
+    * `_log/`, only this one keeps a `data/` directory).
+    */
+  def isIncrementalLayout: Boolean = exists && fs.exists(dataDir)
+
   def versionExists(v: Long): Boolean = fs.exists(manifestPath(v))
 
   // ---- manifest io (no json library in the dependency set: the
@@ -88,6 +93,13 @@ final class IncrementalTable(spark: SparkSession, val path: String) {
 
   /** Data files (relative to `data/`) composing version `v`. */
   def files(v: Long): Seq[String] = readManifest(v)._3
+
+  /** Latest version committed at or before `millis` (Delta
+    * `timestampAsOf` resolution rule).
+    */
+  def versionAsOfTimestamp(millis: Long): Option[Long] =
+    manifestIds.sorted.map(v => v -> readManifest(v)._2)
+      .takeWhile(_._2 <= millis).lastOption.map(_._1)
 
   // ---- reads ----
 

@@ -11,7 +11,7 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Da
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.lake.VersionedTable
+import graft.lake.{IncrementalTable, VersionedTable}
 
 /** DataSource surface for [[graft.lake.VersionedTable]]:
   *
@@ -118,19 +118,31 @@ private[sources] class GraftVersionedParquet extends ParquetDataSourceV2 {
     val tsOpt = Option(map.get("timestampAsOf")).map(parseMillis)
     require(versionOpt.isEmpty || tsOpt.isEmpty,
       "graft: versionAsOf and timestampAsOf are mutually exclusive")
-    roots.map { root =>
+    roots.flatMap { root =>
+      // the connector serves both layouts: full-snapshot versions
+      // (VersionedTable, <root>/v=N/) and file-level manifests
+      // (IncrementalTable, <root>/data/ + per-version file lists)
+      val inc = new IncrementalTable(sparkSession, root)
       val vt = new VersionedTable(sparkSession, root)
-      val v = (versionOpt, tsOpt) match {
+      val incremental = inc.isIncrementalLayout
+      def resolve(latest: Option[Long], has: Long => Boolean,
+          byTs: Long => Option[Long]): Long = (versionOpt, tsOpt) match {
         case (Some(ver), _) =>
-          require(vt.versionExists(ver), s"graft: version $ver does not exist at $root")
+          require(has(ver), s"graft: version $ver does not exist at $root")
           ver
-        case (_, Some(ms)) => vt.versionAsOfTimestamp(ms).getOrElse(
+        case (_, Some(ms)) => byTs(ms).getOrElse(
           throw new IllegalArgumentException(
             s"graft: no version committed at or before ${map.get("timestampAsOf")} at $root"))
-        case _ => vt.latestVersion.getOrElse(
+        case _ => latest.getOrElse(
           throw new IllegalArgumentException(s"graft: empty table at $root"))
       }
-      s"${root.stripSuffix("/")}/v=$v"
+      if (incremental) {
+        val v = resolve(inc.latestVersion, inc.versionExists, inc.versionAsOfTimestamp)
+        inc.files(v).map(f => s"${root.stripSuffix("/")}/data/$f")
+      } else {
+        val v = resolve(vt.latestVersion, vt.versionExists, vt.versionAsOfTimestamp)
+        Seq(s"${root.stripSuffix("/")}/v=$v")
+      }
     }
   }
 

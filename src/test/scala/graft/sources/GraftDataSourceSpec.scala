@@ -81,6 +81,18 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkSpec {
       .write.format("graft").mode("errorifexists").save(dir))
   }
 
+  test("reads incremental-manifest tables with the same time-travel options") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dsv2_inc_").toString + "/t"
+    val it = new graft.lake.IncrementalTable(spark, dir)
+    it.writeSnapshot(Seq((1L, "a")).toDF("id", "tag"))
+    it.append(Seq((2L, "b")).toDF("id", "tag"))
+    assert(spark.read.format("graft").load(dir)
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    assert(spark.read.format("graft").option("versionAsOf", "0").load(dir)
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+  }
+
   test("predicate pushdown reaches the parquet scan through the connector") {
     import spark.implicits._
     val (vt, dir) = freshTable()
