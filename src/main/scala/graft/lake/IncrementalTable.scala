@@ -94,6 +94,9 @@ final class IncrementalTable(spark: SparkSession, val path: String) {
   /** Data files (relative to `data/`) composing version `v`. */
   def files(v: Long): Seq[String] = readManifest(v)._3
 
+  /** The operation string version `v` was committed with. */
+  def operationAt(v: Long): String = readManifest(v)._1
+
   /** Latest version committed at or before `millis` (Delta
     * `timestampAsOf` resolution rule).
     */

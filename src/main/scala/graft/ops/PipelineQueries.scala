@@ -105,6 +105,21 @@ object PipelineQueries {
       .select("doc_id", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** PII redaction pass (see [[TextFunctions.scrubPii]]): per-doc
+    * redaction counts + a hash of the scrubbed text (the oracle replays
+    * the same regex chain, so the scrub itself is hash-verified).
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      sha2(TextFunctions.scrubPii(t), 256).as("clean_hash"),
+      regexp_count(t, lit(TextFunctions.EmailRe)).cast("long").as("n_email"),
+      regexp_count(t, lit(TextFunctions.Ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(t, lit(TextFunctions.PhoneRe)).cast("long").as("n_phone"))
+      .orderBy("doc_id")
+  }
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     ExactDedup.groups(Tables.load(spark, dir, "documents"), "doc_id", "text")
       .orderBy("content_hash")
@@ -497,6 +512,18 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT q_id, rank, nn_id, dot, na, nb FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    "pii_scrub" -> {
+      val em = TextFunctions.EmailRe.replace("\\", "\\")
+      val ip = TextFunctions.Ipv4Re
+      val ph = TextFunctions.PhoneRe
+      s"""SELECT doc_id,
+         |  sha256(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')) AS clean_hash,
+         |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phone
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "sample_documents" ->
       s"""SELECT doc_id, source, n_chars FROM documents
          |WHERE CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
@@ -951,6 +978,7 @@ object PipelineQueries {
     "pack_sequences" -> packSequences _,
     "decontaminate" -> decontaminate _,
     "sample_documents" -> sampleDocuments _,
+    "pii_scrub" -> piiScrub _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_embedding" -> dedupEmbedding _,

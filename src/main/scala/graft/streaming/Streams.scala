@@ -43,6 +43,23 @@ object Streams {
       cfg.copy(clock = () => baseClock.plusSeconds(batchId)))
   }
 
+  /** Exactly-once streaming append into an [[graft.lake.IncrementalTable]]:
+    * a `foreachBatch` sink whose commit records the micro-batch id in
+    * the manifest operation. A batch REPLAYED after a failure finds its
+    * id already committed and no-ops — the same transactional-sink idea
+    * as Delta's (appId, batchId) txn table, scoped to one stream per
+    * table. Each micro-batch costs O(batch): new files + one manifest.
+    */
+  def incrementalAppendSink(table: graft.lake.IncrementalTable)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val op = s"stream_append[batch=$batchId]"
+    val already = table.latestVersion.exists { latest =>
+      (0L to latest).reverseIterator.exists(v => table.operationAt(v) == op)
+    }
+    if (!already && !batch.isEmpty)
+      table.commitFiles(table.stage(batch), Set.empty, op)
+  }
+
   /** Custom-state sessionization via `flatMapGroupsWithState`: events
     * within `gapMs` of each other (per user) form one session; a
     * session closes — and is emitted, append-mode — when the event-time

@@ -75,6 +75,25 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     sha2(concat_ws(" ", tokens(lower(text))), 256)
 
+  /** PII scrubbing — the redaction pass every shipped training corpus
+    * runs: emails, international-ish phone numbers and IPv4 addresses
+    * are replaced with typed placeholder tags. Single codegen'd
+    * `regexp_replace` chain (no UDF); patterns deliberately simple and
+    * ANSI-regex-portable so the oracle replays them verbatim. Order
+    * matters: emails first (their local parts can contain digit runs a
+    * phone pattern would shred).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Heuristic quality score in [0,1]: rewards reasonable length and
     * penalizes punctuation soup. Double-valued — verified by property
     * tests, not by the hash oracle (see PipelineQueries).
