@@ -342,7 +342,32 @@ object RelationalQueries {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** Frame-based running window (W beyond latest-per-key): cumulative
+    * customer spend in order-date order plus the order's sequence
+    * number — one hash partition by customer, both windows ride the
+    * same exchange and sort.
+    */
+  def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    Tables.load(spark, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double").as("running_spend"),
+      row_number().over(w).cast("long").as("order_seq"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
   val oracle: Map[String, String] = Map(
+    "running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+        |FROM orders ORDER BY o_custkey, order_seq""".stripMargin,
     "pivot_event_counts" ->
       """SELECT user_id,
         |       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
@@ -494,6 +519,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "pivot_event_counts" -> pivotEventCounts _,
+    "running_revenue" -> runningRevenue _,
     "median_price_by_priority" -> medianPriceByPriority _,
     "q2_min_price_supp" -> q2MinPriceSupp _,
     "q7_volume_shipping" -> q7VolumeShipping _,
