@@ -359,7 +359,59 @@ object RelationalQueries {
       .orderBy("o_custkey", "order_seq")
   }
 
+  /** TPC-H Q12 shape (adapted: no l_shipmode column — l_returnflag
+    * stands in): conditional counts after a fact join — late-shipped
+    * lines split into urgent/non-urgent order counts per flag. The
+    * CASE aggregates fold into one partial-agg pass.
+    */
+  def q12LateLines(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+
+  /** TPC-H Q14 shape: promo revenue share per ship month — a broadcast
+    * dimension join + ratio of two exact decimal sums in double.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(18,4)")
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(Tables.load(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"),
+        month(col("l_shipdate")).cast("long").as("ship_month"))
+      .agg((sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") * lit(100.0) /
+        sum(rev).cast("double")).as("promo_share"))
+      .orderBy("ship_year", "ship_month")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q12_late_lines" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |       CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+        |       CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                     THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+        |       / CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE)
+        |       AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "running_revenue" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
@@ -520,6 +572,8 @@ object RelationalQueries {
     "q1_agg" -> q1Agg _,
     "pivot_event_counts" -> pivotEventCounts _,
     "running_revenue" -> runningRevenue _,
+    "q12_late_lines" -> q12LateLines _,
+    "q14_promo_share" -> q14PromoShare _,
     "median_price_by_priority" -> medianPriceByPriority _,
     "q2_min_price_supp" -> q2MinPriceSupp _,
     "q7_volume_shipping" -> q7VolumeShipping _,
