@@ -63,8 +63,15 @@ final class IncrementalScdTable(
   private def emptyFrame(schema: StructType): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
 
-  def snapshot(): DataFrame =
-    if (table.exists) table.snapshot() else emptyFrame(storedSchema)
+  def snapshot(): DataFrame = {
+    // A committed version may reference zero files (every row deleted,
+    // or a legacy empty-table noop commit) — that is an empty table,
+    // not an error.
+    val nonEmpty = table.latestVersion
+      .filter(v => table.files(v).nonEmpty)
+      .map(table.snapshotAt)
+    nonEmpty.getOrElse(emptyFrame(storedSchema))
+  }
 
   def snapshotAt(v: Long): DataFrame = table.snapshotAt(v)
 
@@ -78,14 +85,17 @@ final class IncrementalScdTable(
       .getOrElse(emptyFrame(storedSchema))
   }
 
-  /** One SCD batch; returns the committed version. */
+  /** One SCD batch; returns the committed version (the current latest
+    * when the batch is a no-op, -1 when a no-op hits a table with no
+    * versions yet — an empty batch must not commit a zero-file v0).
+    */
   def applyScd(source: DataFrame, cfg: ScdConfig): Long = {
     val touched: Seq[Int] =
       if (source.isEmpty) Seq.empty
       else source.select(bucketOf(cfg.pkCols).as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty)
-      return table.latestVersion.getOrElse(table.commitFiles(Seq.empty, Set.empty, "scd_noop"))
+      return table.latestVersion.getOrElse(-1L)
 
     val snap = snapshotOfBuckets(touched)
     val delta = ScdApply.split(snap, source, cfg)

@@ -86,13 +86,19 @@ final class MergeInto private (
     val joined = t.join(u, expr(condition), "left_outer")
     val matched = col(s"$updatesAlias.$marker") <=> lit(true)
 
-    // first-match-wins: applicable(i) = gate ∧ ¬cond(0..i-1) ∧ cond(i)
+    // first-match-wins: applicable(i) = gate ∧ ¬cond(0..i-1) ∧ cond(i).
+    // A clause condition that evaluates to SQL NULL means "not applied"
+    // (Delta/SQL MERGE semantics), so every condition is coalesced to
+    // false before entering the survivor filter or the prior-conjunction
+    // chain — a bare NULL would otherwise drop the row from
+    // `filter(!(NULL))` and poison later clauses' `prior`.
     def firstWins(conds: Seq[Option[String]], gate: Column): Seq[Column] =
       conds.zipWithIndex.map { case (c, i) =>
+        def cond(p: Option[String]): Column =
+          p.map(s => coalesce(expr(s), lit(false))).getOrElse(lit(true))
         val prior = conds.take(i)
-          .map(p => p.map(expr).getOrElse(lit(true)))
-          .foldLeft(lit(true))((acc, x) => acc && !x)
-        gate && prior && c.map(expr).getOrElse(lit(true))
+          .foldLeft(lit(true))((acc, x) => acc && !cond(x))
+        gate && prior && cond(c)
       }
 
     val applicable = firstWins(matchedClauses.map(_.condition), matched)

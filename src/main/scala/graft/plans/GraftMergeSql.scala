@@ -230,16 +230,27 @@ case class UpdateGraftCommand(
   * the staging table. One extra linear pass — the price of DML without
   * a transaction log; `lake.VersionedTable` is the manifest-commit
   * upgrade path.
+  *
+  * The staging table carries a per-invocation nonce and lives in the
+  * target's own database, so concurrent DML on the same target never
+  * collide on (or clobber) a shared staging name. The final
+  * INSERT OVERWRITE is still non-atomic on crash — a writer dying
+  * mid-overwrite can leave the target partially rewritten (the
+  * staging table with the complete next state survives for manual
+  * recovery); atomic commit needs the manifest log.
   */
 private[graftmerge] object GraftTableSwap {
   def replace(spark: SparkSession, targetParts: Seq[String],
       next: org.apache.spark.sql.DataFrame): Unit = {
     val targetName = targetParts.map(p => s"`$p`").mkString(".")
-    val staging = targetParts.last + "__graft_dml_staging"
-    next.write.mode("overwrite").saveAsTable(staging)
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val stagingParts = targetParts.init :+
+      (targetParts.last + "__graft_dml_staging_" + nonce)
+    val staging = stagingParts.map(p => s"`$p`").mkString(".")
+    next.write.mode("errorifexists").saveAsTable(staging)
     try
       spark.table(staging).write.mode("overwrite").insertInto(targetName)
     finally
-      spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
   }
 }

@@ -84,16 +84,31 @@ class GraftDataSource extends TableProvider
       df: DataFrame): BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft write: 'path' is required"))
-    val vt = new VersionedTable(ctx.sparkSession, path)
-    val exists = vt.exists
-    mode match {
-      case SaveMode.ErrorIfExists if exists =>
-        throw new IllegalStateException(s"graft table already exists at $path")
-      case SaveMode.Ignore if exists => ()
-      case SaveMode.Append if exists =>
-        vt.write(vt.snapshot().unionByName(df), operation = "append")
-      case _ =>
-        vt.write(df, operation = "overwrite")
+    val inc = new IncrementalTable(ctx.sparkSession, path)
+    if (inc.isIncrementalLayout) {
+      // An IncrementalTable shares the _log directory but its manifests
+      // carry a file list, not a v=N pointer — committing through
+      // VersionedTable here would publish a manifest the incremental
+      // reader cannot parse and brick latest-version resolution.
+      mode match {
+        case SaveMode.ErrorIfExists =>
+          throw new IllegalStateException(s"graft table already exists at $path")
+        case SaveMode.Ignore => ()
+        case SaveMode.Append => inc.append(df)
+        case _ => inc.writeSnapshot(df, operation = "overwrite")
+      }
+    } else {
+      val vt = new VersionedTable(ctx.sparkSession, path)
+      val exists = vt.exists
+      mode match {
+        case SaveMode.ErrorIfExists if exists =>
+          throw new IllegalStateException(s"graft table already exists at $path")
+        case SaveMode.Ignore if exists => ()
+        case SaveMode.Append if exists =>
+          vt.write(vt.snapshot().unionByName(df), operation = "append")
+        case _ =>
+          vt.write(df, operation = "overwrite")
+      }
     }
     new BaseRelation {
       override def sqlContext: SQLContext = ctx

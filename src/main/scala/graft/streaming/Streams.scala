@@ -52,12 +52,26 @@ object Streams {
     */
   def incrementalAppendSink(table: graft.lake.IncrementalTable)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
-    val op = s"stream_append[batch=$batchId]"
-    val already = table.latestVersion.exists { latest =>
-      (0L to latest).reverseIterator.exists(v => table.operationAt(v) == op)
+    val StreamOp = """stream_append\[batch=(\d+)\]""".r
+    // High-watermark idempotence: micro-batches commit in increasing
+    // batchId order, so the NEWEST stream_append commit carries the
+    // highest id — a replayed batch is a no-op iff its id <= that
+    // watermark. Scan newest→oldest and stop at the first
+    // stream_append commit or the first vacuumed (missing) manifest:
+    // O(commits since the last stream append) per batch, and a
+    // vacuumed history no longer throws. (If vacuum removed EVERY
+    // stream_append manifest and the failed batch then replays, the
+    // watermark is lost and the batch double-appends — same caveat as
+    // vacuuming Delta's txn log; keep ≥2 versions when streaming.)
+    val watermark: Option[Long] = table.latestVersion.flatMap { latest =>
+      (latest to 0L by -1).iterator
+        .takeWhile(table.versionExists)
+        .map(table.operationAt)
+        .collectFirst { case StreamOp(id) => id.toLong }
     }
-    if (!already && !batch.isEmpty)
-      table.commitFiles(table.stage(batch), Set.empty, op)
+    if (!watermark.exists(batchId <= _) && !batch.isEmpty)
+      table.commitFiles(table.stage(batch), Set.empty,
+        s"stream_append[batch=$batchId]")
   }
 
   /** Custom-state sessionization via `flatMapGroupsWithState`: events

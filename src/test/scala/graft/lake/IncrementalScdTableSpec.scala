@@ -76,6 +76,22 @@ class IncrementalScdTableSpec extends AnyFunSuite with SparkSpec {
       "new files must be confined to the touched buckets")
   }
 
+  test("empty source batch on a brand-new table: no commit, snapshot stays readable") {
+    val dir = Files.createTempDirectory("iscd_empty").toString
+    val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 4)
+    t.create(schema)
+    assert(t.applyScd(batch(), at(1)) === -1L) // no zero-file v0 committed
+    assert(t.table.latestVersion === None)
+    val snap = t.snapshot() // must not throw
+    assert(snap.count() === 0L)
+    assert(snap.schema.fieldNames.toSeq === schema.fieldNames.toSeq)
+    // table still works normally afterwards
+    assert(t.applyScd(batch((1L, "a")), at(2)) === 0L)
+    assert(t.snapshot().count() === 1L)
+    // and an empty batch on a non-empty table no-ops at the current version
+    assert(t.applyScd(batch(), at(3)) === 0L)
+  }
+
   test("vacuum drops files of expired versions but keeps the kept ones readable") {
     val dir = Files.createTempDirectory("iscd3").toString
     val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 4)

@@ -84,4 +84,37 @@ class MergeIntoSpec extends AnyFunSuite with SparkSpec {
     assert(next.getString(1) === "d!")
     assert(next.isNullAt(2))
   }
+
+  test("NULL clause condition means not-applied, never delete or clause-skip") {
+    import spark.implicits._
+    // nullable x: comparisons against NULL yield SQL NULL, which MERGE
+    // must treat as "clause does not apply" (Delta/SQL semantics) — not
+    // as delete-the-row (filter(!NULL) drops) nor as poison for later
+    // clauses' first-match-wins chain.
+    val t = Seq((1, Option("keep")), (2, None: Option[String]), (3, Option("del")))
+      .toDF("id", "x")
+    val u = Seq(1, 2, 3).toDF("id")
+    val next = MergeInto(t, u, "target.id = updates.id")
+      .whenMatchedDelete(Some("target.x = 'del'"))   // NULL for id=2
+      .whenMatchedUpdate(Map("x" -> "'updated'"),
+        condition = Some("target.x = 'keep'"))       // NULL for id=2
+      .resolve()
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(next.toSeq === Seq(
+      (1, "updated"), // delete cond false -> update clause applies
+      (2, null)))     // BOTH conditions NULL -> row untouched, NOT dropped
+                      // id=3 deleted by the first clause
+  }
+
+  test("NULL by-source condition keeps the target row") {
+    import spark.implicits._
+    val t = Seq((1, Option("stale")), (2, None: Option[String])).toDF("id", "x")
+    val u = Seq(99).toDF("id") // nothing matches
+    val next = MergeInto(t, u, "target.id = updates.id")
+      .whenNotMatchedBySourceDelete(Some("target.x = 'stale'")) // NULL for id=2
+      .resolve()
+      .orderBy("id").collect().map(_.getInt(0))
+    assert(next.toSeq === Seq(2)) // id=1 deleted; id=2 kept despite NULL cond
+  }
 }

@@ -95,6 +95,25 @@ class MergeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(state("alias") === Seq((1L, "a", 10L), (2L, "x", 20L), (3L, "c", 30L)))
   }
 
+  test("DML never clobbers a user table that shares the staging prefix") {
+    import spark.implicits._
+    setup("stg")
+    // a user table unluckily named like a fixed staging name must survive
+    spark.sql("DROP TABLE IF EXISTS tgt_stg__graft_dml_staging")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "tgt_stg__graft_dml_staging")
+    org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    Seq((77L, "precious")).toDF("k", "v")
+      .write.saveAsTable("tgt_stg__graft_dml_staging")
+    spark.sql("UPDATE tgt_stg SET n = n + 1")
+    assert(state("stg") === Seq((1L, "a", 11L), (2L, "b", 21L), (3L, "c", 31L)))
+    assert(spark.table("tgt_stg__graft_dml_staging")
+      .as[(Long, String)].collect().toSeq === Seq((77L, "precious")))
+    // no staging leftovers linger in the catalog
+    assert(spark.sql("SHOW TABLES LIKE 'tgt_stg__graft_dml_staging_*'").count() === 0L)
+  }
+
   test("non-merge SQL is untouched by the parser wrapper") {
     import spark.implicits._
     assert(spark.sql("SELECT 1 + 1 AS two").as[Int].head() === 2)

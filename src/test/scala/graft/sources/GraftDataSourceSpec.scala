@@ -93,6 +93,29 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, String)].collect().toSeq === Seq((1L, "a")))
   }
 
+  test("writes to an incremental-layout table route through its manifest protocol") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dsv2_incw_").toString + "/t"
+    val it = new graft.lake.IncrementalTable(spark, dir)
+    it.writeSnapshot(Seq((1L, "a")).toDF("id", "tag"))
+    // a save through the connector must NOT publish a VersionedTable
+    // manifest into the shared _log (that would brick incremental reads)
+    Seq((2L, "b")).toDF("id", "tag")
+      .write.format("graft").mode("append").save(dir)
+    assert(it.latestVersion === Some(1L))
+    assert(spark.read.format("graft").load(dir)
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    Seq((3L, "c")).toDF("id", "tag")
+      .write.format("graft").mode("overwrite").save(dir)
+    assert(it.latestVersion === Some(2L))
+    assert(it.snapshot().as[(Long, String)].collect().toSeq === Seq((3L, "c")))
+    // time travel still resolves across the connector's commits
+    assert(spark.read.format("graft").option("versionAsOf", "1").load(dir)
+      .count() === 2L)
+    assertThrows[Exception](Seq((9L, "z")).toDF("id", "tag")
+      .write.format("graft").mode("errorifexists").save(dir))
+  }
+
   test("predicate pushdown reaches the parquet scan through the connector") {
     import spark.implicits._
     val (vt, dir) = freshTable()

@@ -187,4 +187,22 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
         .count() === 1L)
     } finally q.stop()
   }
+
+  test("incremental append sink survives a vacuumed history") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc_sink_vac_").toString + "/t"
+    val table = new graft.lake.IncrementalTable(spark, dir)
+    val sink = Streams.incrementalAppendSink(table)
+    sink(Seq((1L, "a")).toDF("id", "tag"), 0L)
+    sink(Seq((2L, "b")).toDF("id", "tag"), 1L)
+    sink(Seq((3L, "c")).toDF("id", "tag"), 2L)
+    table.vacuum(keepLast = 2) // manifest for v0 is gone
+    // new batch must not throw walking the vacuumed history
+    sink(Seq((4L, "d")).toDF("id", "tag"), 3L)
+    assert(table.latestVersion === Some(3L))
+    assert(table.snapshot().count() === 4L)
+    // replay of a surviving batch still no-ops
+    sink(Seq((3L, "c")).toDF("id", "tag"), 2L)
+    assert(table.latestVersion === Some(3L))
+  }
 }
