@@ -79,20 +79,23 @@ object ScdEventQueries {
     * each query invocation re-executes them.
     */
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
 
-  private def day1StateAndDay2Batch(
-      spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def day1StateAndBatches(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     memo.getOrElseUpdate((spark, dir), {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], targetSchema)
-      val batches = dimSources(spark, dir, Seq("2024-01-01", "2024-01-02"))
-        .localCheckpoint()
-      val b1 = batches.filter(col("day") === lit("2024-01-01").cast("date")).drop("day")
-      val b2 = batches.filter(col("day") === lit("2024-01-02").cast("date")).drop("day")
-        .localCheckpoint()
-      val s1 = ScdApply.nextState(empty, b1, cfg(Clock1)).localCheckpoint()
-      (s1, b2)
+      // ONE events scan + window covers all three days both SCD queries
+      // need (day-3 is the point-in-time probe batch)
+      val batches = dimSources(spark, dir,
+        Seq("2024-01-01", "2024-01-02", "2024-01-03")).localCheckpoint()
+      def day(d: String) =
+        batches.filter(col("day") === lit(d).cast("date")).drop("day")
+      val b2 = day("2024-01-02").localCheckpoint()
+      val b3 = day("2024-01-03").localCheckpoint()
+      val s1 = ScdApply.nextState(empty, day("2024-01-01"), cfg(Clock1)).localCheckpoint()
+      (s1, b2, b3)
     })
 
   /** Day-1 initial load then day-2 incremental — exercises the full
@@ -100,7 +103,7 @@ object ScdEventQueries {
     * keys, unionByName and both emulated merges, twice.
     */
   def scdApplyDay2(spark: SparkSession, dir: String): DataFrame = {
-    val (s1, b2) = day1StateAndDay2Batch(spark, dir)
+    val (s1, b2, _) = day1StateAndBatches(spark, dir)
     val s2 = ScdApply.nextState(s1, b2, cfg(Clock2))
     s2.orderBy("user_id", "event_type", "effective_from", "record_status")
   }
@@ -215,12 +218,13 @@ object ScdEventQueries {
     * incremental scale.
     */
   def scdPointInTime(spark: SparkSession, dir: String): DataFrame = {
-    val dim = scdApplyDay2(spark, dir)
+    val (s1, b2, b3) = day1StateAndBatches(spark, dir)
+    val dim = ScdApply.nextState(s1, b2, cfg(Clock2))
       .select(col("user_id"), col("event_type"), col("value_cents"),
         col("record_status"),
         expr("unix_micros(effective_from)").as("ef_us"),
         expr("unix_micros(effective_to)").as("et_us"))
-    val ev3 = dimSource(spark, dir, "2024-01-03")
+    val ev3 = b3
       .select(col("user_id"), col("event_type"),
         expr("unix_micros(cast(ts_utc as timestamp))").as("t_us"))
     ev3.join(dim,
