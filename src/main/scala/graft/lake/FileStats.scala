@@ -1,0 +1,236 @@
+package graft.lake
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics for manifest-level data skipping — the
+  * Delta/Iceberg "stats in the commit log" idea: each data file's
+  * min/max/null-count per column is harvested from its parquet FOOTER
+  * at commit time (metadata-only read, no data scan), persisted next to
+  * the manifests, and queries prune the file list BEFORE the engine
+  * scan by rewriting their predicate into a "can this file possibly
+  * match" test over (min, max, nulls).
+  *
+  * At 100 TB the prune runs as a Spark filter over the stats table
+  * (one row per file), so skipping scales with file COUNT, never data
+  * size; a selective predicate turns a full-table scan into reading a
+  * handful of files. Files with no stats row (or a NULL bound) are
+  * always kept — skipping is an over-approximation, never a filter.
+  *
+  * The reference platform gets this from Delta's add-file stats; this
+  * is the plain-Spark re-derivation (SURVEY.md §2.1 S4's commit-log
+  * layering).
+  */
+object FileStats {
+
+  /** Columns eligible for skipping stats. Timestamps ride along when
+    * parquet wrote them as INT64 micros (Spark's TIMESTAMP_MICROS);
+    * INT96 footers carry no usable stats and degrade to NULL = no skip.
+    */
+  private def supported(f: StructField): Boolean = f.dataType match {
+    case IntegerType | LongType | FloatType | DoubleType | StringType |
+         DateType | TimestampType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  /** Wide stats schema for a table schema: one row per file,
+    * `min_<c>`/`max_<c>` in the column's own type so predicate
+    * rewriting stays typed, plus null and row counts.
+    */
+  def statsSchema(table: StructType): StructType = {
+    val per = table.fields.filter(supported).flatMap { f =>
+      Seq(StructField(s"min_${f.name}", f.dataType),
+        StructField(s"max_${f.name}", f.dataType),
+        StructField(s"nulls_${f.name}", LongType))
+    }
+    StructType(StructField("file", StringType) +:
+      StructField("num_rows", LongType) +: per.toSeq)
+  }
+
+  /** Read one parquet footer and produce the file's stats row values
+    * keyed by table column name: (min, max, nullCount). Conservative
+    * throughout: anything surprising becomes NULL (= keep the file).
+    */
+  private def footerStats(
+      conf: Configuration, absPath: String, table: StructType)
+      : (Long, Map[String, (Any, Any, Any)]) = {
+    val wanted = table.fields.filter(supported).map(f => f.name -> f.dataType).toMap
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(absPath), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val numRows = blocks.map(_.getRowCount).sum
+      // aggregate chunk stats across row groups per top-level column
+      val acc = scala.collection.mutable.Map.empty[String, (Any, Any, Long, Boolean)]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val pathParts = c.getPath.toArray
+        if (pathParts.length == 1 && wanted.contains(pathParts(0))) {
+          val name = pathParts(0)
+          val dt = wanted(name)
+          val st = c.getStatistics
+          val valid = st != null && !st.isEmpty && st.isNumNullsSet
+          val (mn, mx, ok) =
+            if (valid && st.hasNonNullValue)
+              (convert(st.genericGetMin, dt), convert(st.genericGetMax, dt), true)
+            else if (valid) (null, null, true) // all-null chunk: bounds stay absent but COUNT is known
+            else (null, null, false)
+          val nulls = if (valid) st.getNumNulls else 0L
+          acc.get(name) match {
+            case None => acc(name) = (mn, mx, nulls, ok)
+            case Some((pmn, pmx, pn, pok)) =>
+              acc(name) = (minOf(pmn, mn), maxOf(pmx, mx), pn + nulls, pok && ok)
+          }
+        }
+      }
+      val out = acc.toMap.map { case (name, (mn, mx, nulls, ok)) =>
+        // a single stats-less chunk poisons the whole file's bounds
+        name -> (if (ok) (mn, mx, nulls: Any) else (null, null, null))
+      }
+      (numRows, out)
+    } finally reader.close()
+  }
+
+  /** Parquet footer value → Spark external value (typed like the stats
+    * schema column). NULL when the conversion isn't trustworthy.
+    */
+  private def convert(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (i: java.lang.Integer, IntegerType) => i
+    case (i: java.lang.Integer, ShortType) => i.shortValue()
+    case (i: java.lang.Integer, ByteType) => i.byteValue()
+    case (l: java.lang.Long, LongType) => l
+    case (f: java.lang.Float, FloatType) => f
+    case (d: java.lang.Double, DoubleType) => d
+    case (b: org.apache.parquet.io.api.Binary, StringType) =>
+      val s = b.toStringUsingUTF8
+      // parquet orders binaries by unsigned bytes; that matches
+      // String ordering only for ASCII — degrade to NULL otherwise
+      if (s.forall(_ < 128)) s else null
+    case (i: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+    case (l: java.lang.Long, TimestampType) => // TIMESTAMP_MICROS
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L))
+    case _ => null
+  }
+
+  private def cmp(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+  private def minOf(a: Any, b: Any): Any =
+    if (a == null || b == null) null else if (cmp(a, b) <= 0) a else b
+  private def maxOf(a: Any, b: Any): Any =
+    if (a == null || b == null) null else if (cmp(a, b) >= 0) a else b
+
+  /** Stats rows (statsSchema layout) for the given (manifest-relative
+    * name, absolute path) files — footer reads only.
+    */
+  def collect(
+      spark: SparkSession, table: StructType,
+      files: Seq[(String, String)]): DataFrame = {
+    val schema = statsSchema(table)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statCols = table.fields.filter(supported).map(_.name)
+    val rows: Seq[Row] = files.map { case (rel, abs) =>
+      val (numRows, byCol) = footerStats(conf, abs, table)
+      val per = statCols.flatMap { c =>
+        val (mn, mx, nulls) = byCol.getOrElse(c, (null, null, null))
+        Seq(mn, mx, nulls)
+      }
+      Row.fromSeq(rel +: (numRows: Any) +: per.toSeq)
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Rewrite a data predicate into its file-level "possibly matches"
+    * over-approximation over the stats columns. Unrecognized shapes
+    * become TRUE (keep), every leaf is NULL-tolerant (missing stats
+    * keep), so pruning can only ever remove files that provably cannot
+    * contain a matching row.
+    */
+  def pruneExpr(filter: Expression, statCols: Set[String]): Expression = {
+    def name(e: Expression): Option[String] = e match {
+      case a: AttributeReference if statCols.contains(a.name) => Some(a.name)
+      case u: UnresolvedAttribute if u.nameParts.length == 1 &&
+        statCols.contains(u.nameParts.head) => Some(u.nameParts.head)
+      case _ => None
+    }
+    def mn(c: String) = UnresolvedAttribute.quoted(s"min_$c")
+    def mx(c: String) = UnresolvedAttribute.quoted(s"max_$c")
+    def nulls(c: String) = UnresolvedAttribute.quoted(s"nulls_$c")
+    def keepIfUnknown(e: Expression): Expression =
+      Coalesce(Seq(e, Literal.TrueLiteral))
+    def eqPossible(c: String, l: Literal): Expression = keepIfUnknown(
+      And(LessThanOrEqual(mn(c), l), GreaterThanOrEqual(mx(c), l)))
+
+    def go(e: Expression): Expression = e match {
+      case And(l, r) => And(go(l), go(r))
+      case Or(l, r) => Or(go(l), go(r))
+      case EqualTo(a, l: Literal) if name(a).isDefined => eqPossible(name(a).get, l)
+      case EqualTo(l: Literal, a) if name(a).isDefined => eqPossible(name(a).get, l)
+      case EqualNullSafe(a, l: Literal) if name(a).isDefined && l.value != null =>
+        eqPossible(name(a).get, l)
+      case EqualNullSafe(l: Literal, a) if name(a).isDefined && l.value != null =>
+        eqPossible(name(a).get, l)
+      case GreaterThan(a, l: Literal) if name(a).isDefined =>
+        keepIfUnknown(GreaterThan(mx(name(a).get), l))
+      case GreaterThan(l: Literal, a) if name(a).isDefined =>
+        keepIfUnknown(LessThan(mn(name(a).get), l))
+      case GreaterThanOrEqual(a, l: Literal) if name(a).isDefined =>
+        keepIfUnknown(GreaterThanOrEqual(mx(name(a).get), l))
+      case GreaterThanOrEqual(l: Literal, a) if name(a).isDefined =>
+        keepIfUnknown(LessThanOrEqual(mn(name(a).get), l))
+      case LessThan(a, l: Literal) if name(a).isDefined =>
+        keepIfUnknown(LessThan(mn(name(a).get), l))
+      case LessThan(l: Literal, a) if name(a).isDefined =>
+        keepIfUnknown(GreaterThan(mx(name(a).get), l))
+      case LessThanOrEqual(a, l: Literal) if name(a).isDefined =>
+        keepIfUnknown(LessThanOrEqual(mn(name(a).get), l))
+      case LessThanOrEqual(l: Literal, a) if name(a).isDefined =>
+        keepIfUnknown(GreaterThanOrEqual(mx(name(a).get), l))
+      case In(a, vs) if name(a).isDefined && vs.nonEmpty &&
+        vs.forall(v => v.isInstanceOf[Literal] && v.asInstanceOf[Literal].value != null) =>
+        vs.map(v => eqPossible(name(a).get, v.asInstanceOf[Literal]))
+          .reduce(Or.apply)
+      case IsNull(a) if name(a).isDefined =>
+        keepIfUnknown(GreaterThan(nulls(name(a).get), Literal(0L)))
+      case _ => Literal.TrueLiteral
+    }
+    go(filter)
+  }
+
+  /** Column-facing wrapper over [[pruneExpr]]. A Spark 4 `Column` is a
+    * ColumnNode tree, not catalyst — resolving the filter against an
+    * empty frame of the DATA schema turns it into analyzed catalyst
+    * (typed literals, casts inserted) that [[pruneExpr]] can match. Any
+    * resolution trouble (e.g. a column outside the stats schema)
+    * degrades that filter to TRUE = no pruning from it.
+    */
+  def pruneColumn(
+      spark: SparkSession, dataSchema: StructType,
+      filter: Column, statCols: Set[String]): Column = {
+    val cond =
+      try {
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), dataSchema)
+        val analyzed = empty.filter(filter).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.getOrElse(Literal.TrueLiteral)
+        // analysis inserts casts but never folds them — fold here so
+        // `cast('2024-05-01' as date)` matches the Literal patterns
+        analyzed.transformUp {
+          case e if e.foldable && !e.isInstanceOf[Literal] =>
+            Literal.create(e.eval(null), e.dataType)
+        }
+      } catch { case scala.util.control.NonFatal(_) => Literal.TrueLiteral }
+    ColumnBridge.column(pruneExpr(cond, statCols))
+  }
+}

@@ -3,7 +3,7 @@ package graft.lake
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /** File-level incremental commits — the evolution of
@@ -30,10 +30,12 @@ import org.apache.spark.sql.types._
   * (optimistic concurrency; arbitration beyond that needs a lock /
   * CAS service on object stores, same as Delta).
   */
-final class IncrementalTable(spark: SparkSession, val path: String) {
+final class IncrementalTable(
+    spark: SparkSession, val path: String, collectStats: Boolean = true) {
 
   private val logDir = new Path(path, "_log")
   private val dataDir = new Path(path, "data")
+  private val statsDir = new Path(path, "_stats")
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -124,6 +126,68 @@ final class IncrementalTable(spark: SparkSession, val path: String) {
     else Some(spark.read.parquet(picked.map(f => new Path(dataDir, f).toString): _*))
   }
 
+  /** Stats-pruned scan: drop every data file whose footer-harvested
+    * (min, max, nulls) bounds prove it cannot contain a matching row,
+    * THEN read and apply the filters exactly. Pruning cost is a filter
+    * over the stats table (one row per file) — at 100 TB a selective
+    * predicate reads a handful of files instead of the table.
+    */
+  def scan(filters: Column*): DataFrame = scanAt(
+    latestVersion.getOrElse(throw new IllegalStateException(s"empty table $path")),
+    filters: _*)
+
+  def scanAt(v: Long, filters: Column*): DataFrame = {
+    val all = files(v)
+    require(all.nonEmpty, s"version $v of $path has no data files")
+    val kept = prunedFiles(all, filters)
+    val base =
+      if (kept.nonEmpty)
+        spark.read.parquet(kept.map(f => new Path(dataDir, f).toString): _*)
+      else // schema still comes from the (unread) real files
+        spark.read.parquet(all.map(f => new Path(dataDir, f).toString): _*).limit(0)
+    filters.foldLeft(base)(_ filter _)
+  }
+
+  /** The subset of `all` that might satisfy every filter, per the stats
+    * table. Files without a stats row — and any stats-read trouble at
+    * all — keep the file: skipping only ever removes provable misses.
+    */
+  def prunedFiles(all: Seq[String], filters: Seq[Column]): Seq[String] = {
+    if (filters.isEmpty || !fs.exists(statsDir)) return all
+    try {
+      val stats = spark.read.option("mergeSchema", "true").parquet(statsDir.toString)
+      val statCols = stats.columns.collect {
+        case n if n.startsWith("min_") => n.stripPrefix("min_")
+      }.toSet
+      // the data schema (for resolving the filters) is recoverable from
+      // the stats schema itself: min_<c> carries c's own type
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        stats.schema.fields.collect {
+          case f if f.name.startsWith("min_") =>
+            org.apache.spark.sql.types.StructField(
+              f.name.stripPrefix("min_"), f.dataType)
+        })
+      val possible = filters
+        .map(f => FileStats.pruneColumn(spark, dataSchema, f, statCols))
+        .reduce(_ && _)
+      val rows = stats
+        .filter(org.apache.spark.sql.functions.col("file").isInCollection(all))
+        .select(org.apache.spark.sql.functions.col("file"), possible.as("poss"))
+        .collect()
+      val withStats = rows.map(_.getString(0)).toSet
+      val pass = rows.filter(r => r.isNullAt(1) || r.getBoolean(1))
+        .map(_.getString(0)).toSet
+      all.filter(f => !withStats.contains(f) || pass.contains(f))
+    } catch { case scala.util.control.NonFatal(_) => all }
+  }
+
+  private def recordStats(df: DataFrame, named: Seq[String]): Unit =
+    if (collectStats && named.nonEmpty) {
+      val withPaths = named.map(n => n -> new Path(dataDir, n).toString)
+      FileStats.collect(spark, df.schema, withPaths)
+        .coalesce(1).write.mode("append").parquet(statsDir.toString)
+    }
+
   def history(): DataFrame = {
     val rows = manifestIds.sorted.reverse.map { v =>
       val (op, ts, fls) = readManifest(v)
@@ -155,6 +219,7 @@ final class IncrementalTable(spark: SparkSession, val path: String) {
       if (subdir.isEmpty) name else s"$subdir/$name"
     }
     fs.delete(new Path(path, s"_stage/$nonce"), true)
+    recordStats(df, named)
     named
   }
 
@@ -182,6 +247,7 @@ final class IncrementalTable(spark: SparkSession, val path: String) {
         }
     }
     fs.delete(new Path(path, s"_stage/$nonce"), true)
+    recordStats(df.drop(partitionCol), named)
     named
   }
 
@@ -233,5 +299,17 @@ final class IncrementalTable(spark: SparkSession, val path: String) {
       .filter(p => !keep.contains(fs.makeQualified(p).toString.stripPrefix(dataRoot)))
       .foreach(fs.delete(_, false))
     dropIds.foreach(v => fs.delete(manifestPath(v), false))
+    // drop stats rows for vacuumed files (stale rows are harmless for
+    // correctness — pruning joins against the manifest — but unbounded)
+    if (fs.exists(statsDir)) {
+      val tmp = new Path(path, "_stats_tmp")
+      spark.read.option("mergeSchema", "true").parquet(statsDir.toString)
+        .filter(org.apache.spark.sql.functions.col("file")
+          .isInCollection(keep.toSeq :+ "")) // :+ "" keeps the In non-empty
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(statsDir, true)
+      if (!fs.rename(tmp, statsDir))
+        throw new IllegalStateException(s"failed to swap stats for $path")
+    }
   }
 }

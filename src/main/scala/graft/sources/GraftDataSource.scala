@@ -153,7 +153,18 @@ private[sources] class GraftVersionedParquet extends ParquetDataSourceV2 {
       }
       if (incremental) {
         val v = resolve(inc.latestVersion, inc.versionExists, inc.versionAsOfTimestamp)
-        inc.files(v).map(f => s"${root.stripSuffix("/")}/data/$f")
+        // optional stats-based file skipping: option("skipWhere", "<sql
+        // predicate>") prunes by footer min/max BEFORE the scan. The
+        // option is a pruning hint only — apply the same predicate via
+        // .filter for row-level semantics.
+        val picked = Option(map.get("skipWhere")) match {
+          case Some(sql) if sql.trim.nonEmpty =>
+            val e = sparkSession.sessionState.sqlParser.parseExpression(sql)
+            inc.prunedFiles(inc.files(v),
+              Seq(org.apache.spark.sql.graftbridge.ColumnBridge.column(e)))
+          case _ => inc.files(v)
+        }
+        picked.map(f => s"${root.stripSuffix("/")}/data/$f")
       } else {
         val v = resolve(vt.latestVersion, vt.versionExists, vt.versionAsOfTimestamp)
         Seq(s"${root.stripSuffix("/")}/v=$v")

@@ -1,0 +1,130 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Manifest-level data skipping: footer-harvested min/max/null stats
+  * prune data files before the scan, results stay identical to the
+  * unpruned filter, and anything unprovable keeps the file.
+  */
+class FileStatsSpec extends AnyFunSuite with SparkSpec {
+
+  /** Table with 4 disjoint id ranges, one file each (appends). */
+  private def rangedTable(): IncrementalTable = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fstats_").toString + "/t"
+    val t = new IncrementalTable(spark, dir)
+    (0 until 4).foreach { i =>
+      val lo = i * 100L
+      t.append((lo until lo + 100L).map(id => (id, s"tag$id", (id % 7).toDouble))
+        .toDF("id", "tag", "score").coalesce(1))
+    }
+    t
+  }
+
+  test("scan prunes to the one possible file; result matches unpruned filter") {
+    val t = rangedTable()
+    val all = t.files(t.latestVersion.get)
+    assert(all.size === 4)
+    val pred = col("id") >= 210L && col("id") < 240L
+    assert(t.prunedFiles(all, Seq(pred)).size === 1)
+    val scanned = t.scan(pred)
+    assert(scanned.inputFiles.length === 1)
+    val expect = t.snapshot().filter(pred).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(scanned.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+      === expect)
+    assert(expect.size === 30)
+  }
+
+  test("impossible predicate reads zero files but keeps the schema") {
+    val t = rangedTable()
+    val none = t.scan(col("id") > 10000L)
+    assert(none.count() === 0L)
+    assert(none.schema.fieldNames.toSeq === Seq("id", "tag", "score"))
+  }
+
+  test("equality, IN, string range, and disjunction prune correctly") {
+    val t = rangedTable()
+    val all = t.files(t.latestVersion.get)
+    assert(t.prunedFiles(all, Seq(col("id") === 150L)).size === 1)
+    assert(t.prunedFiles(all, Seq(col("id").isin(5L, 305L))).size === 2)
+    // disjunction: union of the two files' ranges
+    assert(t.prunedFiles(all, Seq(col("id") === 5L || col("id") === 399L)).size === 2)
+    // string bounds: tag values are unordered vs id, but min/max still bound
+    assert(t.scan(col("tag") === "tag123").count() === 1L)
+    // a non-prunable predicate keeps everything (no skip, same answer)
+    assert(t.prunedFiles(all, Seq(length(col("tag")) === lit(6))).size === 4)
+  }
+
+  test("files without stats rows are always kept") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fstats_ns_").toString + "/t"
+    val noStats = new IncrementalTable(spark, dir, collectStats = false)
+    noStats.append(Seq((1L, "a")).toDF("id", "tag").coalesce(1))
+    val withStats = new IncrementalTable(spark, dir) // same path, stats on
+    withStats.append(Seq((1000L, "z")).toDF("id", "tag").coalesce(1))
+    val all = withStats.files(withStats.latestVersion.get)
+    assert(all.size === 2)
+    // the stats-less first file must survive any predicate
+    val pruned = withStats.prunedFiles(all, Seq(col("id") >= 500L))
+    assert(pruned.size === 2)
+    assert(withStats.scan(col("id") >= 500L).count() === 1L)
+  }
+
+  test("null counts prune IS NULL; all-null files keep NULL bounds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fstats_null_").toString + "/t"
+    val t = new IncrementalTable(spark, dir)
+    t.append(Seq((1L, Some("x")), (2L, Some("y"))).toDF("id", "tag").coalesce(1))
+    t.append(Seq((3L, None: Option[String]), (4L, None: Option[String]))
+      .toDF("id", "tag").coalesce(1))
+    val all = t.files(t.latestVersion.get)
+    assert(t.prunedFiles(all, Seq(col("tag").isNull)).size === 1)
+    assert(t.scan(col("tag").isNull).count() === 2L)
+    // range predicate on the all-null file: bounds are NULL -> kept
+    assert(t.scan(col("tag") === "x").count() === 1L)
+  }
+
+  test("date column pruning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fstats_date_").toString + "/t"
+    val t = new IncrementalTable(spark, dir)
+    t.append(Seq("2024-01-01", "2024-01-02").map(java.sql.Date.valueOf)
+      .toDF("d").coalesce(1))
+    t.append(Seq("2024-06-01", "2024-06-02").map(java.sql.Date.valueOf)
+      .toDF("d").coalesce(1))
+    val all = t.files(t.latestVersion.get)
+    assert(t.prunedFiles(all, Seq(col("d") >= lit("2024-05-01").cast("date"))).size === 1)
+    assert(t.scan(col("d") >= lit("2024-05-01").cast("date")).count() === 2L)
+  }
+
+  test("vacuum drops stats of deleted files; pruning still works") {
+    val t = rangedTable()
+    t.compact(targetFiles = 2)
+    t.vacuum(keepLast = 1)
+    val all = t.files(t.latestVersion.get)
+    assert(all.size === 2)
+    // old per-range files' stats are gone; compacted files got fresh rows
+    val statsFiles = spark.read.parquet(t.path + "/_stats")
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(statsFiles === all.toSet)
+    assert(t.scan(col("id") === 5L).count() === 1L)
+  }
+
+  test("connector skipWhere option prunes incremental reads") {
+    val t = rangedTable()
+    val skipped = spark.read.format("graft")
+      .option("skipWhere", "id >= 210 AND id < 240").load(t.path)
+    // (inputFiles can't see through the read-only table facade — the
+    // row count proves only the one 200-299 file was read)
+    assert(skipped.count() === 100L)
+    assert(skipped.filter(col("id") >= 210L && col("id") < 240L).count() === 30L)
+    // without the option the whole table is read
+    assert(spark.read.format("graft").load(t.path).count() === 400L)
+  }
+}
