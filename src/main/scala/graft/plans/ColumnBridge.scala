@@ -11,4 +11,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Re-tag a batch frame as a streaming one — what a v1 streaming
+    * `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming`). `internalCreateDataFrame` is `private[sql]`,
+    * hence this shim.
+    */
+  def asStreamingFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(
+        df.queryExecution.toRdd, df.schema, isStreaming = true)
 }

@@ -7,7 +7,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetDataSourceV2
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister}
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -40,7 +42,8 @@ import graft.lake.{IncrementalTable, VersionedTable}
   * `timestampAsOf`, the surface the reference's platform exposes).
   */
 class GraftDataSource extends TableProvider
-    with DataSourceRegister with CreatableRelationProvider {
+    with DataSourceRegister with CreatableRelationProvider
+    with StreamSourceProvider {
 
   private val delegate = new GraftVersionedParquet
 
@@ -114,6 +117,41 @@ class GraftDataSource extends TableProvider
       override def sqlContext: SQLContext = ctx
       override def schema: StructType = df.schema
     }
+  }
+
+  // ---- streaming read (readStream.format("graft")): the incremental
+  // table's commit log tailed as a stream — see [[GraftStreamSource]] ----
+
+  private def streamTableSchema(
+      ctx: SQLContext, userSchema: Option[StructType],
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft stream: 'path' is required"))
+    val inc = new IncrementalTable(ctx.sparkSession, path)
+    require(inc.isIncrementalLayout,
+      s"graft stream: $path is not an incremental-manifest table " +
+        "(streaming reads tail the file-level commit log)")
+    val schema = userSchema.getOrElse(inc.snapshot().schema)
+    (path, schema)
+  }
+
+  override def sourceSchema(
+      ctx: SQLContext, userSchema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), streamTableSchema(ctx, userSchema, parameters)._2)
+
+  override def createSource(
+      ctx: SQLContext, metadataPath: String, userSchema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): Source = {
+    val (path, schema) = streamTableSchema(ctx, userSchema, parameters)
+    val startingVersion = parameters.get("startingVersion") match {
+      case Some("latest") =>
+        new IncrementalTable(ctx.sparkSession, path).latestVersion.map(_ + 1).getOrElse(0L)
+      case Some(v) => v.trim.toLong
+      case None => 0L
+    }
+    val ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean)
+    new GraftStreamSource(ctx.sparkSession, path, schema, startingVersion, ignoreChanges)
   }
 }
 
