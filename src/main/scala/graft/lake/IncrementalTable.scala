@@ -30,6 +30,14 @@ import org.apache.spark.sql.types._
   * (optimistic concurrency; arbitration beyond that needs a lock /
   * CAS service on object stores, same as Delta).
   */
+/** A manifest-publish race was lost (another writer committed the same
+  * version) or two commits logically conflict (one removes files the
+  * other rewrote). Pure appends auto-rebase and never see this below
+  * `maxRetries`; rewriting commits surface it for the caller to re-run
+  * on fresh state.
+  */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 final class IncrementalTable(
     spark: SparkSession, val path: String, collectStats: Boolean = true) {
 
@@ -64,20 +72,29 @@ final class IncrementalTable(
   // ---- manifest io (no json library in the dependency set: the
   // format is flat and file names are sanitized on write) ----
 
-  private def writeManifest(v: Long, operation: String, files: Seq[String]): Unit = {
+  /** Publish the manifest for `v` — the table's ATOMIC commit point.
+    * The tmp name carries a writer-unique nonce (two committers racing
+    * on one version must never share a tmp file), and the rename-into-
+    * place fails iff `v` is already taken, which surfaces as
+    * [[CommitConflictException]] for the optimistic-retry loops.
+    */
+  private[lake] def writeManifest(v: Long, operation: String, files: Seq[String]): Unit = {
     files.foreach(f => require(!f.contains("\"") && !f.contains("\\"),
       s"illegal character in data file name: $f"))
     val json = s"""{"version":$v,"operation":"$operation",""" +
       s""""committedAt":${System.currentTimeMillis()},""" +
       s""""files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
     fs.mkdirs(logDir)
-    val tmp = new Path(logDir, f"_tmp_$v%020d.json")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(logDir, f"_tmp_${nonce}_$v%020d.json")
     val out = fs.create(tmp, true)
     out.write(json.getBytes(StandardCharsets.UTF_8))
     out.close()
-    if (!fs.rename(tmp, manifestPath(v)))
-      throw new IllegalStateException(
+    if (!fs.rename(tmp, manifestPath(v))) {
+      fs.delete(tmp, false)
+      throw new CommitConflictException(
         s"concurrent commit detected for version $v of $path")
+    }
   }
 
   private def readManifest(v: Long): (String, Long, Seq[String]) = {
@@ -155,7 +172,7 @@ final class IncrementalTable(
   def prunedFiles(all: Seq[String], filters: Seq[Column]): Seq[String] = {
     if (filters.isEmpty || !fs.exists(statsDir)) return all
     try {
-      val stats = spark.read.option("mergeSchema", "true").parquet(statsDir.toString)
+      val stats = readStatsStore()
       val statCols = stats.columns.collect {
         case n if n.startsWith("min_") => n.stripPrefix("min_")
       }.toSet
@@ -184,9 +201,18 @@ final class IncrementalTable(
   private def recordStats(df: DataFrame, named: Seq[String]): Unit =
     if (collectStats && named.nonEmpty) {
       val withPaths = named.map(n => n -> new Path(dataDir, n).toString)
+      // each write lands in its own subdirectory: concurrent writers
+      // must never share a Spark job-commit _temporary dir
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
       FileStats.collect(spark, df.schema, withPaths)
-        .coalesce(1).write.mode("append").parquet(statsDir.toString)
+        .coalesce(1).write.parquet(new Path(statsDir, nonce).toString)
     }
+
+  private def readStatsStore(): DataFrame =
+    spark.read
+      .option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
+      .parquet(statsDir.toString)
 
   def history(): DataFrame = {
     val rows = manifestIds.sorted.reverse.map { v =>
@@ -251,23 +277,64 @@ final class IncrementalTable(
     named
   }
 
-  /** Commit the next version = previous files − `removed` + `added`. */
+  /** Commit the next version = previous files − `removed` + `added`,
+    * with optimistic multi-writer arbitration: losing the manifest race
+    * re-reads the winner's state and REBASES — always safe for pure
+    * appends (disjoint file sets compose), and safe for removals as
+    * long as every file this commit removes is still referenced (if a
+    * concurrent commit rewrote one, the two commits logically conflict
+    * and [[CommitConflictException]] propagates — Delta's conflict
+    * matrix, reduced to file granularity).
+    */
   def commitFiles(
-      added: Seq[String], removed: Set[String], operation: String): Long = {
-    val prev = latestVersion.map(files).getOrElse(Seq.empty)
-    removed.foreach(r => require(prev.contains(r),
-      s"commit removes unknown file $r"))
-    val v = latestVersion.map(_ + 1).getOrElse(0L)
-    writeManifest(v, operation, prev.filterNot(removed) ++ added)
-    v
+      added: Seq[String], removed: Set[String], operation: String,
+      maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (true) {
+      // read the base version ONCE per attempt: splitting the
+      // latestVersion reads would let a commit land in between and the
+      // publish would then skip over (and drop) the winner's file list
+      val base = latestVersion
+      val prev = base.map(files).getOrElse(Seq.empty)
+      val gone = removed -- prev.toSet
+      if (gone.nonEmpty)
+        throw new CommitConflictException(
+          s"commit of $path conflicts: file(s) $gone are not referenced by " +
+            "the current version (rewritten by a concurrent commit, or never " +
+            "part of this table)")
+      val v = base.map(_ + 1).getOrElse(0L)
+      try {
+        writeManifest(v, operation, prev.filterNot(removed) ++ added)
+        return v
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
   }
 
-  /** Full-snapshot commit (replaces every file reference). */
-  def writeSnapshot(df: DataFrame, operation: String = "write"): Long = {
+  /** Full-snapshot commit (replaces every file reference). Overwrite
+    * semantics are last-writer-wins, so a lost race simply re-publishes
+    * at the next version.
+    */
+  def writeSnapshot(df: DataFrame, operation: String = "write",
+      maxRetries: Int = 20): Long = {
     val added = stage(df)
-    val v = latestVersion.map(_ + 1).getOrElse(0L)
-    writeManifest(v, operation, added)
-    v
+    var attempt = 0
+    while (true) {
+      val v = latestVersion.map(_ + 1).getOrElse(0L)
+      try {
+        writeManifest(v, operation, added)
+        return v
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
   }
 
   /** O(batch) append: new files only, everything else re-referenced. */
@@ -303,10 +370,11 @@ final class IncrementalTable(
     // correctness — pruning joins against the manifest — but unbounded)
     if (fs.exists(statsDir)) {
       val tmp = new Path(path, "_stats_tmp")
-      spark.read.option("mergeSchema", "true").parquet(statsDir.toString)
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      readStatsStore()
         .filter(org.apache.spark.sql.functions.col("file")
           .isInCollection(keep.toSeq :+ "")) // :+ "" keeps the In non-empty
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        .coalesce(1).write.mode("overwrite").parquet(new Path(tmp, nonce).toString)
       fs.delete(statsDir, true)
       if (!fs.rename(tmp, statsDir))
         throw new IllegalStateException(s"failed to swap stats for $path")

@@ -89,13 +89,21 @@ final class VersionedTable(spark: SparkSession, val path: String) {
       s"""{"version":$v,"operation":"$operation","numFiles":$numFiles,""" +
         s""""committedAt":${System.currentTimeMillis()}}"""
     fs.mkdirs(logDir)
-    val tmp = new Path(logDir, f"_tmp_$v%020d.json")
+    // writer-unique tmp name: two committers racing on one version must
+    // never share a tmp file (the loser could otherwise rename the
+    // winner's half-written content into place)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(logDir, f"_tmp_${nonce}_$v%020d.json")
     val out = fs.create(tmp, true)
     out.write(json.getBytes(StandardCharsets.UTF_8))
     out.close()
-    if (!fs.rename(tmp, manifestPath(v)))
-      throw new IllegalStateException(
-        s"concurrent commit detected for version $v of $path")
+    if (!fs.rename(tmp, manifestPath(v))) {
+      fs.delete(tmp, false)
+      throw new CommitConflictException(
+        s"concurrent commit detected for version $v of $path — " +
+          "VersionedTable is single-writer (full-snapshot version dirs " +
+          "can collide mid-write); use IncrementalTable for concurrent writers")
+    }
   }
 
   /** Latest snapshot. */

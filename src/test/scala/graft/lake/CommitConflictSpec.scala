@@ -1,0 +1,103 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Optimistic multi-writer arbitration on the incremental table: the
+  * manifest rename is the atomic commit point, append losers rebase
+  * and retry, logically-conflicting rewrites fail loudly.
+  */
+class CommitConflictSpec extends AnyFunSuite with SparkSpec {
+
+  private def fresh(): IncrementalTable = {
+    val dir = Files.createTempDirectory("conflict_").toString + "/t"
+    new IncrementalTable(spark, dir)
+  }
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "tag").coalesce(1)
+  }
+
+  test("publishing the same version twice raises CommitConflictException") {
+    val t = fresh()
+    t.append(df((1L, "a")))
+    val orphan = t.stage(df((2L, "b")))
+    t.writeManifest(1L, "append", orphan)
+    assertThrows[CommitConflictException](
+      t.writeManifest(1L, "append", orphan))
+    // the loser's tmp file must not linger as garbage in _log
+    val leftovers = new java.io.File(t.path + "/_log").list()
+      .filter(_.startsWith("_tmp"))
+    assert(leftovers.isEmpty)
+  }
+
+  test("append rebases over a concurrent commit instead of failing") {
+    val t = fresh()
+    t.append(df((1L, "a")))
+    // writer A stages, then B commits first — A's commitFiles sees the
+    // race at publish time and rebases onto B's version
+    val aFiles = t.stage(df((2L, "a2")))
+    val other = new IncrementalTable(spark, t.path)
+    other.append(df((3L, "b")))
+    val v = t.commitFiles(aFiles, Set.empty, "append")
+    assert(v === 2L)
+    assert(t.snapshot().count() === 3L)
+    // both writers' files are referenced — nothing was lost
+    assert(t.files(2L).toSet.size === 3)
+  }
+
+  test("removing a file a concurrent commit rewrote is a logical conflict") {
+    val t = fresh()
+    t.append(df((1L, "a")))
+    t.append(df((2L, "b")))
+    val victim = t.files(1L).head
+    val staged = t.stage(df((9L, "rewritten")))
+    // concurrent writer compacts — every old file reference is rewritten
+    val other = new IncrementalTable(spark, t.path)
+    other.compact(targetFiles = 1)
+    val err = intercept[CommitConflictException](
+      t.commitFiles(staged, Set(victim), "rewrite"))
+    assert(err.getMessage.contains(victim))
+  }
+
+  test("four concurrent appenders, no lost updates") {
+    val t = fresh()
+    val writers = 4
+    val perWriter = 5
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        val mine = new IncrementalTable(spark, t.path)
+        (0 until perWriter).foreach { i =>
+          mine.append(df((w * 100L + i, s"w$w-$i")))
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(t.latestVersion === Some((writers * perWriter - 1).toLong))
+    assert(t.snapshot().count() === (writers * perWriter).toLong)
+    // every writer's every row survived the races
+    assert(t.snapshot().select("tag").distinct().count() ===
+      (writers * perWriter).toLong)
+  }
+
+  test("overwrite races resolve last-writer-wins at distinct versions") {
+    val t = fresh()
+    t.append(df((1L, "a")))
+    val threads = (0 until 3).map { w =>
+      new Thread(() => {
+        new IncrementalTable(spark, t.path)
+          .writeSnapshot(df((100L + w, s"snap$w")), operation = "overwrite")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(t.latestVersion === Some(3L))
+    // the latest version is exactly ONE of the snapshots, intact
+    val tags = t.snapshot().select("tag").collect().map(_.getString(0)).toSeq
+    assert(tags.size === 1 && tags.head.startsWith("snap"))
+  }
+}

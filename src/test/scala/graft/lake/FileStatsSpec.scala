@@ -110,7 +110,8 @@ class FileStatsSpec extends AnyFunSuite with SparkSpec {
     val all = t.files(t.latestVersion.get)
     assert(all.size === 2)
     // old per-range files' stats are gone; compacted files got fresh rows
-    val statsFiles = spark.read.parquet(t.path + "/_stats")
+    val statsFiles = spark.read.option("recursiveFileLookup", "true")
+      .parquet(t.path + "/_stats")
       .select("file").collect().map(_.getString(0)).toSet
     assert(statsFiles === all.toSet)
     assert(t.scan(col("id") === 5L).count() === 1L)
