@@ -394,7 +394,112 @@ object RelationalQueries {
       .orderBy("ship_year", "ship_month")
   }
 
+  /** TPC-H Q9 shape (adapted: no partsupp table — `p_retailprice`
+    * stands in for supply cost): product profit by supplier nation and
+    * order year over a name-filtered part set. Part/supplier/nation all
+    * broadcast; the orders equi-join is the only shuffle, and the
+    * two-term profit stays in exact decimals until the final double.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val amount = ((col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(18,4)") -
+      (col("p_retailprice").cast("decimal(18,2)") *
+        col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,4)"))
+      .cast("decimal(18,4)")
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(Tables.load(spark, dir, "part")
+        .filter(col("p_name").contains("red"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.load(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  /** TPC-H Q10 shape: returned-item revenue per customer for one order
+    * quarter, top 20. The big fact join filters both sides BEFORE the
+    * shuffle; customer and nation broadcast; the finisher is a bounded
+    * top-k (TakeOrderedAndProject), never a full sort.
+    */
+  def q10ReturnedItem(spark: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(18,4)")
+    Tables.load(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("decimal(12,2)").cast("double").as("acctbal"),
+        col("n_name").as("nation"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q13 shape (adapted: priority filter stands in for the
+    * comment anti-pattern): customers-per-order-count histogram via a
+    * left join preserved through two aggregations.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   val oracle: Map[String, String] = Map(
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+        |         - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))
+        |       AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "q10_returned_item" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+        |       n_name AS nation,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c_custkey = o.o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q12_late_lines" ->
       """SELECT l_returnflag,
         |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -569,6 +674,9 @@ object RelationalQueries {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q9_product_profit" -> q9ProductProfit _,
+    "q10_returned_item" -> q10ReturnedItem _,
+    "q13_customer_distribution" -> q13CustomerDistribution _,
     "q1_agg" -> q1Agg _,
     "pivot_event_counts" -> pivotEventCounts _,
     "running_revenue" -> runningRevenue _,

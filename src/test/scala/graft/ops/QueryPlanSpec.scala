@@ -137,4 +137,29 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
   test("entry returns rows (driver smoke contract)") {
     assert(graft.SparkEntry.entry(spark).limit(1).count() === 1L)
   }
+
+  test("q9 broadcasts part/supplier/nation; only the orders join shuffles") {
+    val p = RelationalQueries.q9ProductProfit(spark, dir)
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$p")
+    assert(p.contains("PushedFilters"), s"part name filter not pushed:\n$p")
+  }
+
+  test("q10 finishes with bounded top-k and pre-shuffle filters") {
+    val p = RelationalQueries.q10ReturnedItem(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k finisher:\n$p")
+    // the returnflag filter must reach the lineitem scan, not sit above a join
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"l_returnflag filter not pushed to the scan:\n$p")
+  }
+
+  test("q13 keeps the left join and aggregates with partials") {
+    val p = RelationalQueries.q13CustomerDistribution(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftOuter") || p.contains("BroadcastHashJoin"),
+      s"expected preserved left join:\n$p")
+    assert(p.contains("partial_count"), s"expected partial aggregation:\n$p")
+  }
 }
