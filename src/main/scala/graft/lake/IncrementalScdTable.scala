@@ -25,12 +25,17 @@ import graft.scd.{MergeEmulator, ScdApply, ScdConfig}
   * touched buckets' files and carries every other file reference
   * forward. Readers time-travel across batches at file granularity.
   *
-  * Identity columns are intentionally unsupported here: a surrogate-key
-  * high watermark must live in the manifest (a metadata counter, the
-  * Delta identity design); wiring that is mechanical but out of scope.
+  * Identity columns (the test DDL's `GENERATED ALWAYS AS IDENTITY`,
+  * test_scd_handler.py:41) are supported the way Delta does it: the
+  * surrogate-key HIGH WATERMARK rides the commit manifest's metadata,
+  * so allocating ids for a batch reads ONE small manifest — never a
+  * `max()` scan over the table (ScdTable's per-batch fallback, O(table)
+  * at 100 TB). Assigned ids are unique and ascending across batches but
+  * not gap-free — the same contract as Delta identity columns.
   */
 final class IncrementalScdTable(
-    spark: SparkSession, val path: String, val numBuckets: Int) {
+    spark: SparkSession, val path: String, val numBuckets: Int,
+    identityCol: Option[String] = None, identityStart: Long = 1L) {
 
   require(numBuckets > 0, "numBuckets must be positive")
 
@@ -102,15 +107,50 @@ final class IncrementalScdTable(
     val close = MergeEmulator.merge(snap, delta.inactiveUpdates, cfg.pkCols)
     val upsert = MergeEmulator.merge(
       close.next, delta.activeUnion, cfg.pkCols, isActiveData = true)
+    // identity: fill NULL surrogate keys from the manifest watermark —
+    // untouched buckets' ids are ≤ the watermark by induction, so only
+    // the old watermark and this slice's new ids matter
+    val watermark = identityWatermark
+    val withId = identityCol match {
+      case Some(idCol) if upsert.next.columns.contains(idCol) =>
+        upsert.next.withColumn(idCol,
+          coalesce(col(idCol),
+            lit(watermark) + monotonically_increasing_id() + lit(1L))
+            .cast(upsert.next.schema(idCol).dataType))
+      case _ => upsert.next
+    }
     // materialize before staging: the plan reads the files the commit
     // will de-reference, and staging triggers the write
-    val next = upsert.next.withColumn("__bucket", bucketOf(cfg.pkCols))
+    val next = withId.withColumn("__bucket", bucketOf(cfg.pkCols))
       .localCheckpoint()
+    val meta = identityCol match {
+      case Some(idCol) if next.columns.contains(idCol) =>
+        val sliceMax = next.agg(max(col(idCol))).head().getAs[Any](0) match {
+          case null => watermark
+          case n: Number => n.longValue()
+        }
+        Map("id_watermark" -> math.max(watermark, sliceMax).toString)
+      case _ => Map.empty[String, String]
+    }
     // one partitioned write stages every touched bucket's next state
     val added = table.stagePartitioned(next, "__bucket")
     val prefixes = touched.map(b => bucketDir(b) + "/").toSet
     val removed = table.latestVersion.map(table.files(_)
       .filter(f => prefixes.exists(f.startsWith)).toSet).getOrElse(Set.empty)
-    table.commitFiles(added, removed, s"scd_apply[${touched.size} buckets]")
+    table.commitFiles(added, removed, s"scd_apply[${touched.size} buckets]",
+      meta = meta)
   }
+
+  /** Current identity high watermark. Newest→oldest manifest walk,
+    * stopping at the first commit that carries the counter (commits
+    * that bypass applyScd — compact, vacuum survivors — don't), so the
+    * usual cost is ONE small manifest read, O(1) in table size.
+    */
+  def identityWatermark: Long =
+    table.latestVersion.flatMap { latest =>
+      (latest to 0L by -1).iterator
+        .takeWhile(table.versionExists)
+        .flatMap(v => table.metaAt(v).get("id_watermark"))
+        .nextOption()
+    }.map(_.toLong).getOrElse(identityStart - 1L)
 }

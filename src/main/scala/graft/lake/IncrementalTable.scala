@@ -78,12 +78,22 @@ final class IncrementalTable(
     * place fails iff `v` is already taken, which surfaces as
     * [[CommitConflictException]] for the optimistic-retry loops.
     */
-  private[lake] def writeManifest(v: Long, operation: String, files: Seq[String]): Unit = {
+  private[lake] def writeManifest(v: Long, operation: String, files: Seq[String],
+      meta: Map[String, String] = Map.empty): Unit = {
     files.foreach(f => require(!f.contains("\"") && !f.contains("\\"),
       s"illegal character in data file name: $f"))
+    meta.foreach { case (k, v) =>
+      require((k + v).forall(c => c != '"' && c != '\\' && c != '{' && c != '}'),
+        s"illegal character in manifest meta $k=$v")
+    }
+    val metaJson =
+      if (meta.isEmpty) ""
+      else meta.toSeq.sorted.map { case (k, v) => s""""$k":"$v"""" }
+        .mkString(""","meta":{""", ",", "}")
     val json = s"""{"version":$v,"operation":"$operation",""" +
       s""""committedAt":${System.currentTimeMillis()},""" +
-      s""""files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
+      s""""files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}]""" +
+      metaJson + "}"
     fs.mkdirs(logDir)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(logDir, f"_tmp_${nonce}_$v%020d.json")
@@ -115,6 +125,25 @@ final class IncrementalTable(
 
   /** The operation string version `v` was committed with. */
   def operationAt(v: Long): String = readManifest(v)._1
+
+  /** Commit-carried metadata of version `v` (e.g. identity watermarks).
+    * Values ride the manifest, so reading them is one small file — no
+    * table scan, and they time-travel with the version.
+    */
+  def metaAt(v: Long): Map[String, String] = {
+    require(versionExists(v), s"version $v does not exist at $path")
+    val in = fs.open(manifestPath(v))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    """"meta":\{([^}]*)\}""".r.findFirstMatchIn(txt) match {
+      case None => Map.empty
+      case Some(m) =>
+        m.group(1).split(",").filter(_.nonEmpty).map { kv =>
+          val Array(k, v) = kv.split(":", 2)
+          k.trim.stripPrefix("\"").stripSuffix("\"") ->
+            v.trim.stripPrefix("\"").stripSuffix("\"")
+        }.toMap
+    }
+  }
 
   /** Latest version committed at or before `millis` (Delta
     * `timestampAsOf` resolution rule).
@@ -288,7 +317,7 @@ final class IncrementalTable(
     */
   def commitFiles(
       added: Seq[String], removed: Set[String], operation: String,
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20, meta: Map[String, String] = Map.empty): Long = {
     var attempt = 0
     while (true) {
       // read the base version ONCE per attempt: splitting the
@@ -304,7 +333,7 @@ final class IncrementalTable(
             "part of this table)")
       val v = base.map(_ + 1).getOrElse(0L)
       try {
-        writeManifest(v, operation, prev.filterNot(removed) ++ added)
+        writeManifest(v, operation, prev.filterNot(removed) ++ added, meta)
         return v
       } catch {
         case e: CommitConflictException =>
@@ -344,6 +373,22 @@ final class IncrementalTable(
   /** Rewrite the current snapshot into `targetFiles` files. */
   def compact(targetFiles: Int = 1): Long =
     writeSnapshot(snapshot().repartition(targetFiles), operation = "compact")
+
+  /** Rewrite the snapshot RANGE-CLUSTERED on `cols`: rows are range-
+    * partitioned and sorted by the cluster keys, so each file covers a
+    * narrow, non-overlapping key range and the footer min/max bounds
+    * become tight — stats-based [[scan]] pruning on those columns then
+    * reads O(matching files) instead of everything. The linear-order
+    * analogue of Delta's OPTIMIZE ZORDER BY (true multi-dimensional
+    * interleaving only pays off beyond 2-3 cluster keys).
+    */
+  def cluster(targetFiles: Int, cols: String*): Long = {
+    require(cols.nonEmpty, "cluster needs at least one column")
+    val c = cols.map(org.apache.spark.sql.functions.col)
+    writeSnapshot(
+      snapshot().repartitionByRange(targetFiles, c: _*).sortWithinPartitions(c: _*),
+      operation = s"cluster[${cols.mkString(",")}]")
+  }
 
   /** Delete data files referenced by NO kept manifest, and manifests
     * older than the last `keepLast` (readers of vacuumed versions fail

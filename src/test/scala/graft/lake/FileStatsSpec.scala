@@ -117,6 +117,31 @@ class FileStatsSpec extends AnyFunSuite with SparkSpec {
     assert(t.scan(col("id") === 5L).count() === 1L)
   }
 
+  test("range clustering turns useless stats into tight per-file bounds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fstats_clu_").toString + "/t"
+    val t = new IncrementalTable(spark, dir)
+    // interleaved appends: every file spans nearly the full id range,
+    // so min/max stats cannot prune anything
+    (0 until 4).foreach { i =>
+      t.append((0L until 400L by 4L).map(o => (o + i, s"tag${o + i}"))
+        .toDF("id", "tag").coalesce(1))
+    }
+    val before = t.files(t.latestVersion.get)
+    val pred = col("id") >= 100L && col("id") < 120L
+    assert(t.prunedFiles(before, Seq(pred)).size === 4, "interleaved files can't prune")
+
+    t.cluster(4, "id")
+    val after = t.files(t.latestVersion.get)
+    assert(after.size === 4)
+    val kept = t.prunedFiles(after, Seq(pred))
+    assert(kept.size <= 2, s"clustered files should prune to the matching range: $kept")
+    assert(t.scan(pred).count() === 20L)
+    // result identical to the unpruned filter
+    assert(t.scan(pred).select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+      === (100L until 120L))
+  }
+
   test("connector skipWhere option prunes incremental reads") {
     val t = rangedTable()
     val skipped = spark.read.format("graft")

@@ -92,6 +92,48 @@ class IncrementalScdTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.applyScd(batch(), at(3)) === 0L)
   }
 
+  test("identity watermark rides the manifest: unique ascending ids, O(1) allocation") {
+    val idSchema = StructType(StructField("row_id", LongType) +: schema.fields)
+    val dir = Files.createTempDirectory("iscd_id").toString
+    val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 4,
+      identityCol = Some("row_id"), identityStart = 10L)
+    t.create(idSchema)
+
+    def batchWithId(rows: (Long, String)*): DataFrame = {
+      import org.apache.spark.sql.functions.{col => c, lit}
+      batch(rows: _*).withColumn("row_id", lit(null).cast("long"))
+        .select(c("row_id"), c("k"), c("v"))
+    }
+    t.applyScd(batchWithId((1L, "a"), (2L, "b")), at(1))
+    val ids1 = t.snapshot().select("row_id").collect().map(_.getLong(0)).toSeq
+    assert(ids1.size === 2 && ids1.distinct.size === 2)
+    assert(ids1.forall(_ >= 10L), s"ids must start at identityStart: $ids1")
+    val wm1 = t.identityWatermark
+    assert(wm1 === ids1.max)
+    assert(t.table.metaAt(t.table.latestVersion.get)("id_watermark") === wm1.toString)
+
+    // batch 2: change k=1 (new version row gets a fresh id), insert k=9
+    t.applyScd(batchWithId((1L, "a2"), (9L, "z")), at(2))
+    val all2 = t.snapshot().select("row_id", "k", "v", "record_status").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val ids2 = all2.map(_._1)
+    assert(ids2.distinct.size === ids2.size, s"duplicate surrogate ids: $all2")
+    // the untouched row (k=2) keeps its original id
+    val k2id = all2.filter(_._2 == 2L).map(_._1)
+    assert(k2id.toSeq.forall(ids1.contains), "untouched row's id changed")
+    // new rows exceed the previous watermark
+    val fresh = ids2.filterNot(ids1.contains)
+    assert(fresh.nonEmpty && fresh.forall(_ > wm1))
+    assert(t.identityWatermark === ids2.max)
+
+    // a compact commit (no meta) must not reset the watermark
+    t.table.compact(targetFiles = 1)
+    assert(t.identityWatermark === ids2.max)
+    t.applyScd(batchWithId((50L, "w")), at(3))
+    val ids3 = t.snapshot().select("row_id").collect().map(_.getLong(0)).toSeq
+    assert(ids3.distinct.size === ids3.size)
+  }
+
   test("vacuum drops files of expired versions but keeps the kept ones readable") {
     val dir = Files.createTempDirectory("iscd3").toString
     val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 4)
