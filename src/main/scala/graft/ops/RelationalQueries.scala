@@ -464,7 +464,125 @@ object RelationalQueries {
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
 
+  /** TPC-H Q16 shape: distinct-supplier counts per part attribute
+    * triple after exclusion filters. The filtered part dim broadcasts;
+    * count(DISTINCT) expands to the standard two-phase plan.
+    */
+  def q16PartSupplierCnt(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(Tables.load(spark, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+
+  /** TPC-H Q18 shape: large-volume orders — a HAVING aggregate over the
+    * fact feeds the orders join (quantities are integer-valued, so the
+    * decimal sum and the >250 cut are exact on both engines), customer
+    * broadcasts, bounded top-100 finisher.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty_d"))
+      .filter(col("qty_d") > 250)
+    Tables.load(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.load(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("total_price"),
+        col("qty_d").cast("double").as("sum_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q19 shape: revenue under a three-way DISJUNCTION of
+    * (brand, size, quantity) bands — the predicate the optimizer must
+    * keep as one post-join filter without exploding the plan.
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(18,4)")
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(Tables.load(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(rev).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q22 shape: customers above the average positive balance with
+    * no RECENT orders (every synthetic customer has some order, so the
+    * cutoff keeps the anti-join non-degenerate) — scalar aggregate
+    * (broadcast cross join), exact decimal `bal·n > Σbal` comparison
+    * (no float threshold), left-anti join, grouped by the name's last
+    * digit standing in for the phone country code.
+    */
+  def q22GlobalSales(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .withColumn("cntry", substring(col("c_name"), 18, 1))
+      .withColumn("bal_d", col("c_acctbal").cast("decimal(12,2)"))
+      .filter(col("cntry").isin("1", "3", "5", "7", "9"))
+    val avgStats = cust.filter(col("bal_d") > 0)
+      .agg(sum(col("bal_d")).as("s"), count(lit(1)).as("n"))
+    cust
+      .join(Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(avgStats))
+      .filter(col("bal_d") * col("n") > col("s"))
+      .groupBy(col("cntry"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal_d")).cast("double").as("totacctbal"))
+      .orderBy("cntry")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q16_part_supplier_cnt" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1,5,9,13,17,21,25,29)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+        |       CAST(qty_d AS DOUBLE) AS sum_qty
+        |FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_d
+        |      FROM lineitem GROUP BY l_orderkey HAVING qty_d > 250) big
+        |JOIN orders ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_price DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_global_sales" ->
+      """WITH cust AS (
+        |  SELECT substring(c_name, 18, 1) AS cntry,
+        |         CAST(c_acctbal AS DECIMAL(12,2)) AS bal_d, c_custkey
+        |  FROM customer WHERE substring(c_name, 18, 1) IN ('1','3','5','7','9')),
+        |stats AS (
+        |  SELECT sum(bal_d) AS s, count(*) AS n FROM cust WHERE bal_d > 0)
+        |SELECT cntry, count(*) AS numcust, CAST(sum(bal_d) AS DOUBLE) AS totacctbal
+        |FROM cust, stats
+        |WHERE bal_d * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY cntry ORDER BY cntry""".stripMargin,
     "q9_product_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |       CAST(sum(CAST(
@@ -677,6 +795,10 @@ object RelationalQueries {
     "q9_product_profit" -> q9ProductProfit _,
     "q10_returned_item" -> q10ReturnedItem _,
     "q13_customer_distribution" -> q13CustomerDistribution _,
+    "q16_part_supplier_cnt" -> q16PartSupplierCnt _,
+    "q18_large_orders" -> q18LargeOrders _,
+    "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
+    "q22_global_sales" -> q22GlobalSales _,
     "q1_agg" -> q1Agg _,
     "pivot_event_counts" -> pivotEventCounts _,
     "running_revenue" -> runningRevenue _,
