@@ -44,8 +44,66 @@ final class IncrementalTable(
   private val logDir = new Path(path, "_log")
   private val dataDir = new Path(path, "data")
   private val statsDir = new Path(path, "_stats")
+  private val schemaFile = new Path(path, "_table_schema.json")
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- schema tracking (Delta keeps the schema in the log; reading it
+  // from one file means O(1) resolution AND evolved appends don't lose
+  // columns to first-file inference) ----
+
+  /** The tracked table schema: the MERGE of every staged write's schema
+    * (add-column evolution; incompatible type changes throw at stage
+    * time, like Delta). None before the first tracked write.
+    */
+  def tableSchema: Option[StructType] =
+    if (!fs.exists(schemaFile)) None
+    else {
+      val in = fs.open(schemaFile)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(DataType.fromJson(txt).asInstanceOf[StructType])
+    }
+
+  private def trackSchema(incoming: StructType): Unit = {
+    // add-column evolution only: existing columns must keep their type
+    // (a silent type change would corrupt every older file's read)
+    def mergeSchemas(prev: StructType, next: StructType): StructType = {
+      prev.fields.foreach { pf =>
+        next.fields.find(_.name == pf.name).foreach { nf =>
+          if (nf.dataType != pf.dataType)
+            throw new IllegalArgumentException(
+              s"incompatible schema change for $path: column ${pf.name} " +
+                s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString}")
+        }
+      }
+      val newFields = next.fields.filterNot(f => prev.fieldNames.contains(f.name))
+      StructType(prev.fields.toSeq ++ newFields)
+    }
+    // Concurrent stagers race on the schema file; merging is
+    // commutative and idempotent, so same-schema races are harmless and
+    // publish failures retry. Two writers evolving DIFFERENT columns at
+    // the same instant can drop one column from the tracked schema (the
+    // data files keep it; the next write carrying it re-adds it) —
+    // schema changes under concurrency need the log-CAS treatment Delta
+    // gives metadata, out of scope here.
+    var attempt = 0
+    while (attempt < 20) {
+      val merged = tableSchema match {
+        case None => incoming
+        case Some(prev) => mergeSchemas(prev, incoming)
+      }
+      val tmp = new Path(path,
+        s"_table_schema_tmp_${java.util.UUID.randomUUID().toString.take(8)}.json")
+      val out = fs.create(tmp, true)
+      out.write(merged.json.getBytes(StandardCharsets.UTF_8))
+      out.close()
+      fs.delete(schemaFile, false)
+      if (fs.rename(tmp, schemaFile)) return
+      fs.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(s"failed to publish schema for $path")
+  }
 
   private def manifestPath(v: Long) = new Path(logDir, f"$v%020d.json")
   private val ManifestName = """^(\d{20})\.json$""".r
@@ -154,8 +212,22 @@ final class IncrementalTable(
 
   // ---- reads ----
 
-  def snapshot(): DataFrame = snapshotAt(
-    latestVersion.getOrElse(throw new IllegalStateException(s"empty table $path")))
+  /** Latest snapshot under the TRACKED schema (evolved columns read as
+    * NULL from pre-evolution files). Time-traveled [[snapshotAt]] reads
+    * stay raw — each version keeps the schema its files were written
+    * with, Delta's time-travel contract.
+    */
+  def snapshot(): DataFrame = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty table $path"))
+    tableSchema match {
+      case Some(s) =>
+        val fls = files(v)
+        require(fls.nonEmpty, s"version $v of $path has no data files")
+        spark.read.schema(s).parquet(fls.map(f => new Path(dataDir, f).toString): _*)
+      case None => snapshotAt(v)
+    }
+  }
 
   def snapshotAt(v: Long): DataFrame = {
     val fs = files(v)
@@ -178,19 +250,24 @@ final class IncrementalTable(
     * over the stats table (one row per file) — at 100 TB a selective
     * predicate reads a handful of files instead of the table.
     */
-  def scan(filters: Column*): DataFrame = scanAt(
+  def scan(filters: Column*): DataFrame = scanImpl(
     latestVersion.getOrElse(throw new IllegalStateException(s"empty table $path")),
-    filters: _*)
+    filters, tableSchema) // latest scans see the tracked (evolved) schema
 
-  def scanAt(v: Long, filters: Column*): DataFrame = {
+  def scanAt(v: Long, filters: Column*): DataFrame =
+    scanImpl(v, filters, None)
+
+  private def scanImpl(
+      v: Long, filters: Seq[Column], schema: Option[StructType]): DataFrame = {
     val all = files(v)
     require(all.nonEmpty, s"version $v of $path has no data files")
     val kept = prunedFiles(all, filters)
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
     val base =
       if (kept.nonEmpty)
-        spark.read.parquet(kept.map(f => new Path(dataDir, f).toString): _*)
+        reader.parquet(kept.map(f => new Path(dataDir, f).toString): _*)
       else // schema still comes from the (unread) real files
-        spark.read.parquet(all.map(f => new Path(dataDir, f).toString): _*).limit(0)
+        reader.parquet(all.map(f => new Path(dataDir, f).toString): _*).limit(0)
     filters.foldLeft(base)(_ filter _)
   }
 
@@ -275,6 +352,7 @@ final class IncrementalTable(
     }
     fs.delete(new Path(path, s"_stage/$nonce"), true)
     recordStats(df, named)
+    trackSchema(df.schema)
     named
   }
 
@@ -303,6 +381,7 @@ final class IncrementalTable(
     }
     fs.delete(new Path(path, s"_stage/$nonce"), true)
     recordStats(df.drop(partitionCol), named)
+    trackSchema(df.drop(partitionCol).schema)
     named
   }
 

@@ -142,6 +142,26 @@ class FileStatsSpec extends AnyFunSuite with SparkSpec {
       === (100L until 120L))
   }
 
+  test("schema evolution: appended columns surface, old files read NULL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fstats_evo_").toString + "/t"
+    val t = new IncrementalTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "tag").coalesce(1))
+    // evolved append: extra column
+    t.append(Seq((2L, "b", 0.5)).toDF("id", "tag", "score").coalesce(1))
+    assert(t.tableSchema.get.fieldNames.toSeq === Seq("id", "tag", "score"))
+    val snap = t.snapshot().orderBy("id").collect()
+    assert(snap.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(snap(0).isNullAt(2) && snap(1).getDouble(2) === 0.5)
+    // stats-pruned scans see the evolved schema too
+    assert(t.scan(col("id") >= 2L).columns.toSeq === Seq("id", "tag", "score"))
+    // time travel keeps each version's own written schema
+    assert(t.snapshotAt(0L).columns.toSeq === Seq("id", "tag"))
+    // incompatible type change is rejected at stage time
+    assertThrows[IllegalArgumentException](
+      t.append(Seq(("x", "c")).toDF("id", "tag").coalesce(1)))
+  }
+
   test("connector skipWhere option prunes incremental reads") {
     val t = rangedTable()
     val skipped = spark.read.format("graft")
