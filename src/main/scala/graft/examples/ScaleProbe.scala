@@ -98,6 +98,39 @@ object ScaleProbe {
       day1big, day2small)
     drive(new graft.lake.BucketedScdTable(spark, s"$base/bucketed50", numBuckets = 256),
       "bucketed-256-50x", day1big, day2small)
+
+    // ---- stats-based data skipping: selective scans on a clustered
+    // incremental table read O(matching files), not O(table) ----
+    println("[scale] data skipping: unclustered vs range-clustered scans")
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_shipdate", "l_extendedprice")
+    val skipDir = java.nio.file.Files.createTempDirectory("scale_skip").toString
+    val t = new graft.lake.IncrementalTable(spark, s"$skipDir/t")
+    // ingest as 16 interleaved appends (stats useless: every file spans
+    // the full date range), then cluster by ship date
+    (0 until 16).foreach(i =>
+      t.append(li.filter(pmod(col("l_orderkey"), lit(16)) === i).coalesce(1)))
+    val pred = col("l_shipdate") >= lit("1999-06-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1999-07-01").cast("timestamp")
+    def probeScan(label: String): Unit = {
+      val all = t.files(t.latestVersion.get)
+      val kept = t.prunedFiles(all, Seq(pred))
+      val (rows, s) = time(t.scan(pred).count())
+      println(f"[scale] $label%-14s files=${kept.size}%3d/${all.size}%3d " +
+        f"rows=$rows%8d scan_s=$s%6.2f")
+    }
+    probeScan("interleaved")
+    t.cluster(16, "l_shipdate")
+    probeScan("clustered")
+
+    // streaming read: batch cost tracks the APPEND, not the table
+    println("[scale] incremental commit-log streaming: per-batch delta files")
+    val last = t.latestVersion.get
+    t.append(li.limit(1000).coalesce(1))
+    val deltaFiles = t.files(last + 1).toSet -- t.files(last).toSet
+    println(s"[scale] one 1000-row append after ${t.files(last).size}-file table " +
+      s"-> stream batch reads ${deltaFiles.size} file(s)")
+
     spark.stop()
   }
 }

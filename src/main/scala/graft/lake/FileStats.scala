@@ -38,7 +38,7 @@ object FileStats {
     */
   private def supported(f: StructField): Boolean = f.dataType match {
     case IntegerType | LongType | FloatType | DoubleType | StringType |
-         DateType | TimestampType | ShortType | ByteType => true
+         DateType | TimestampType | TimestampNTZType | ShortType | ByteType => true
     case _ => false
   }
 
@@ -120,6 +120,11 @@ object FileStats {
     case (l: java.lang.Long, TimestampType) => // TIMESTAMP_MICROS
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
         Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L))
+    case (l: java.lang.Long, TimestampNTZType) => // INT64 micros, no zone
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(l, 1000000L),
+        (Math.floorMod(l, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
     case _ => null
   }
 
@@ -157,51 +162,77 @@ object FileStats {
     * contain a matching row.
     */
   def pruneExpr(filter: Expression, statCols: Set[String]): Expression = {
-    def name(e: Expression): Option[String] = e match {
+    def attrName(e: Expression): Option[String] = e match {
       case a: AttributeReference if statCols.contains(a.name) => Some(a.name)
       case u: UnresolvedAttribute if u.nameParts.length == 1 &&
         statCols.contains(u.nameParts.head) => Some(u.nameParts.head)
       case _ => None
     }
-    def mn(c: String) = UnresolvedAttribute.quoted(s"min_$c")
-    def mx(c: String) = UnresolvedAttribute.quoted(s"max_$c")
+    // a monotone (order-preserving) cast maps [min, max] to valid
+    // bounds, so a cast the analyzer wrapped around the column can be
+    // re-applied to the stats columns instead of defeating the match
+    def monotoneCast(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (TimestampNTZType, TimestampType) | (TimestampType, TimestampNTZType) => true
+      case (DateType, TimestampType) | (DateType, TimestampNTZType) => true
+      case (f: NumericType, t: NumericType) =>
+        // widening numeric casts are monotone non-decreasing
+        Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+          .indexOf(f) <= Seq(ByteType, ShortType, IntegerType, LongType,
+            FloatType, DoubleType).indexOf(t) || t.isInstanceOf[DecimalType]
+      case _ => false
+    }
+    /** The column (possibly under a monotone cast) as (name, wrapper to
+      * apply the same cast to a stats bound column).
+      */
+    def ref(e: Expression): Option[(String, Expression => Expression)] = e match {
+      case a if attrName(a).isDefined => Some((attrName(a).get, identity))
+      case c @ Cast(inner, to, _, _) if attrName(inner).isDefined &&
+        monotoneCast(inner.dataType, to) =>
+        Some((attrName(inner).get, (x: Expression) => c.withNewChildren(Seq(x))))
+      case _ => None
+    }
+    def mnx(r: (String, Expression => Expression)): (Expression, Expression) =
+      (r._2(UnresolvedAttribute.quoted(s"min_${r._1}")),
+        r._2(UnresolvedAttribute.quoted(s"max_${r._1}")))
     def nulls(c: String) = UnresolvedAttribute.quoted(s"nulls_$c")
     def keepIfUnknown(e: Expression): Expression =
       Coalesce(Seq(e, Literal.TrueLiteral))
-    def eqPossible(c: String, l: Literal): Expression = keepIfUnknown(
-      And(LessThanOrEqual(mn(c), l), GreaterThanOrEqual(mx(c), l)))
+    def eqPossible(r: (String, Expression => Expression), l: Literal): Expression = {
+      val (mn, mx) = mnx(r)
+      keepIfUnknown(And(LessThanOrEqual(mn, l), GreaterThanOrEqual(mx, l)))
+    }
 
+    object R {
+      def unapply(e: Expression): Option[(String, Expression => Expression)] = ref(e)
+    }
     def go(e: Expression): Expression = e match {
       case And(l, r) => And(go(l), go(r))
       case Or(l, r) => Or(go(l), go(r))
-      case EqualTo(a, l: Literal) if name(a).isDefined => eqPossible(name(a).get, l)
-      case EqualTo(l: Literal, a) if name(a).isDefined => eqPossible(name(a).get, l)
-      case EqualNullSafe(a, l: Literal) if name(a).isDefined && l.value != null =>
-        eqPossible(name(a).get, l)
-      case EqualNullSafe(l: Literal, a) if name(a).isDefined && l.value != null =>
-        eqPossible(name(a).get, l)
-      case GreaterThan(a, l: Literal) if name(a).isDefined =>
-        keepIfUnknown(GreaterThan(mx(name(a).get), l))
-      case GreaterThan(l: Literal, a) if name(a).isDefined =>
-        keepIfUnknown(LessThan(mn(name(a).get), l))
-      case GreaterThanOrEqual(a, l: Literal) if name(a).isDefined =>
-        keepIfUnknown(GreaterThanOrEqual(mx(name(a).get), l))
-      case GreaterThanOrEqual(l: Literal, a) if name(a).isDefined =>
-        keepIfUnknown(LessThanOrEqual(mn(name(a).get), l))
-      case LessThan(a, l: Literal) if name(a).isDefined =>
-        keepIfUnknown(LessThan(mn(name(a).get), l))
-      case LessThan(l: Literal, a) if name(a).isDefined =>
-        keepIfUnknown(GreaterThan(mx(name(a).get), l))
-      case LessThanOrEqual(a, l: Literal) if name(a).isDefined =>
-        keepIfUnknown(LessThanOrEqual(mn(name(a).get), l))
-      case LessThanOrEqual(l: Literal, a) if name(a).isDefined =>
-        keepIfUnknown(GreaterThanOrEqual(mx(name(a).get), l))
-      case In(a, vs) if name(a).isDefined && vs.nonEmpty &&
+      case EqualTo(R(r), l: Literal) => eqPossible(r, l)
+      case EqualTo(l: Literal, R(r)) => eqPossible(r, l)
+      case EqualNullSafe(R(r), l: Literal) if l.value != null => eqPossible(r, l)
+      case EqualNullSafe(l: Literal, R(r)) if l.value != null => eqPossible(r, l)
+      case GreaterThan(R(r), l: Literal) =>
+        keepIfUnknown(GreaterThan(mnx(r)._2, l))
+      case GreaterThan(l: Literal, R(r)) =>
+        keepIfUnknown(LessThan(mnx(r)._1, l))
+      case GreaterThanOrEqual(R(r), l: Literal) =>
+        keepIfUnknown(GreaterThanOrEqual(mnx(r)._2, l))
+      case GreaterThanOrEqual(l: Literal, R(r)) =>
+        keepIfUnknown(LessThanOrEqual(mnx(r)._1, l))
+      case LessThan(R(r), l: Literal) =>
+        keepIfUnknown(LessThan(mnx(r)._1, l))
+      case LessThan(l: Literal, R(r)) =>
+        keepIfUnknown(GreaterThan(mnx(r)._2, l))
+      case LessThanOrEqual(R(r), l: Literal) =>
+        keepIfUnknown(LessThanOrEqual(mnx(r)._1, l))
+      case LessThanOrEqual(l: Literal, R(r)) =>
+        keepIfUnknown(GreaterThanOrEqual(mnx(r)._2, l))
+      case In(R(r), vs) if vs.nonEmpty &&
         vs.forall(v => v.isInstanceOf[Literal] && v.asInstanceOf[Literal].value != null) =>
-        vs.map(v => eqPossible(name(a).get, v.asInstanceOf[Literal]))
-          .reduce(Or.apply)
-      case IsNull(a) if name(a).isDefined =>
-        keepIfUnknown(GreaterThan(nulls(name(a).get), Literal(0L)))
+        vs.map(v => eqPossible(r, v.asInstanceOf[Literal])).reduce(Or.apply)
+      case IsNull(a) if attrName(a).isDefined =>
+        keepIfUnknown(GreaterThan(nulls(attrName(a).get), Literal(0L)))
       case _ => Literal.TrueLiteral
     }
     go(filter)
