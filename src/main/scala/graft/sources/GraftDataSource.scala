@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -59,9 +59,23 @@ class GraftDataSource extends TableProvider
   private def emptyTable(e: IllegalArgumentException): Boolean =
     e.getMessage != null && e.getMessage.contains("graft: empty table")
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    try delegate.inferSchema(options)
-    catch { case e: IllegalArgumentException if emptyTable(e) => new StructType() }
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // latest reads of an incremental table see the TRACKED (evolved)
+    // schema — first-file inference would silently drop columns added
+    // by later appends. Time-traveled reads keep the written schema.
+    val timeTravel = options.containsKey("versionAsOf") ||
+      options.containsKey("timestampAsOf")
+    val tracked =
+      if (timeTravel) None
+      else Option(options.get("path")).flatMap { p =>
+        val inc = new IncrementalTable(SparkSession.active, p)
+        if (inc.isIncrementalLayout) inc.tableSchema else None
+      }
+    tracked.getOrElse {
+      try delegate.inferSchema(options)
+      catch { case e: IllegalArgumentException if emptyTable(e) => new StructType() }
+    }
+  }
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
     try delegate.inferPartitioning(options)

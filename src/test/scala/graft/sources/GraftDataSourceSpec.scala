@@ -116,6 +116,21 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkSpec {
       .write.format("graft").mode("errorifexists").save(dir))
   }
 
+  test("connector reads see the evolved schema; time travel keeps the written one") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dsv2_evo_").toString + "/t"
+    val it = new graft.lake.IncrementalTable(spark, dir)
+    it.append(Seq((1L, "a")).toDF("id", "tag"))
+    it.append(Seq((2L, "b", 0.5)).toDF("id", "tag", "score"))
+    val latest = spark.read.format("graft").load(dir)
+    assert(latest.columns.toSeq === Seq("id", "tag", "score"))
+    val rows = latest.orderBy("id").collect()
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) === 0.5)
+    // explicit version: the schema its files were written with
+    assert(spark.read.format("graft").option("versionAsOf", "0").load(dir)
+      .columns.toSeq === Seq("id", "tag"))
+  }
+
   test("predicate pushdown reaches the parquet scan through the connector") {
     import spark.implicits._
     val (vt, dir) = freshTable()
