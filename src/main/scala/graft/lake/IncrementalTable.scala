@@ -293,9 +293,18 @@ final class IncrementalTable(
       val possible = filters
         .map(f => FileStats.pruneColumn(spark, dataSchema, f, statCols))
         .reduce(_ && _)
-      val rows = stats
-        .filter(org.apache.spark.sql.functions.col("file").isInCollection(all))
-        .select(org.apache.spark.sql.functions.col("file"), possible.as("poss"))
+      import org.apache.spark.sql.functions.{broadcast, col}
+      // restrict stats to this version's file list via a broadcast join
+      // — an In-literal of the whole list would blow up plan size once
+      // the table holds ~10^6 files
+      val wanted =
+        if (all.size <= 256) stats.filter(col("file").isInCollection(all))
+        else {
+          import spark.implicits._
+          stats.join(broadcast(all.toDF("file")), Seq("file"), "left_semi")
+        }
+      val rows = wanted
+        .select(col("file"), possible.as("poss"))
         .collect()
       val withStats = rows.map(_.getString(0)).toSet
       val pass = rows.filter(r => r.isNullAt(1) || r.getBoolean(1))
@@ -495,9 +504,10 @@ final class IncrementalTable(
     if (fs.exists(statsDir)) {
       val tmp = new Path(path, "_stats_tmp")
       val nonce = java.util.UUID.randomUUID().toString.take(8)
+      import spark.implicits._
       readStatsStore()
-        .filter(org.apache.spark.sql.functions.col("file")
-          .isInCollection(keep.toSeq :+ "")) // :+ "" keeps the In non-empty
+        .join(org.apache.spark.sql.functions.broadcast(keep.toSeq.toDF("file")),
+          Seq("file"), "left_semi")
         .coalesce(1).write.mode("overwrite").parquet(new Path(tmp, nonce).toString)
       fs.delete(statsDir, true)
       if (!fs.rename(tmp, statsDir))

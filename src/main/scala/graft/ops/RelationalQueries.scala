@@ -546,7 +546,84 @@ object RelationalQueries {
       .orderBy("cntry")
   }
 
+  /** TPC-H Q15 shape: top supplier by quarterly revenue — the revenue
+    * "view" aggregated once, its global max as a broadcast scalar
+    * (exact decimal equality, never a float threshold), supplier dim
+    * broadcast. Catalyst reuses the aggregation exchange for both
+    * consumers of the view.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(18,4)")
+    val revenue = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(rev).as("total_d"))
+    revenue
+      .crossJoin(broadcast(revenue.agg(max(col("total_d")).as("max_d"))))
+      .filter(col("total_d") === col("max_d"))
+      .join(broadcast(Tables.load(spark, dir, "supplier")),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_d").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17 shape: revenue from small-quantity lines of a filtered
+    * part set. The correlated `avg(l_quantity)` subquery becomes one
+    * per-part aggregate joined back; the 20%-of-average cut is the
+    * exact integer-decimal inequality `5·qty·n < Σqty` (no float
+    * threshold to diverge between engines).
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.load(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#3" && col("p_size") < 15)
+    val li = Tables.load(spark, dir, "lineitem")
+    val perPart = li
+      .join(broadcast(parts.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("agg_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        count(lit(1)).as("cnt_qty"))
+    li
+      .join(broadcast(parts.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(perPart, col("l_partkey") === col("agg_partkey"))
+      .filter(col("l_quantity").cast("decimal(18,2)") * lit(5) * col("cnt_qty") <
+        col("sum_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+        lit(7.0)).as("avg_yearly"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS total_d
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_d AS DOUBLE) AS total_revenue
+        |FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_d = (SELECT max(total_d) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH parts AS (
+        |  SELECT p_partkey FROM part WHERE p_brand = 'Brand#3' AND p_size < 15),
+        |per_part AS (
+        |  SELECT l_partkey AS agg_partkey,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |         count(*) AS cnt_qty
+        |  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM parts)
+        |  GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN per_part ON l_partkey = agg_partkey
+        |WHERE l_partkey IN (SELECT p_partkey FROM parts)
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_qty < sum_qty""".stripMargin,
     "q16_part_supplier_cnt" ->
       """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
         |       count(DISTINCT l_suppkey) AS supplier_cnt
@@ -795,7 +872,9 @@ object RelationalQueries {
     "q9_product_profit" -> q9ProductProfit _,
     "q10_returned_item" -> q10ReturnedItem _,
     "q13_customer_distribution" -> q13CustomerDistribution _,
+    "q15_top_supplier" -> q15TopSupplier _,
     "q16_part_supplier_cnt" -> q16PartSupplierCnt _,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenue _,
     "q18_large_orders" -> q18LargeOrders _,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
     "q22_global_sales" -> q22GlobalSales _,
