@@ -155,6 +155,21 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
       s"l_returnflag filter not pushed to the scan:\n$p")
   }
 
+  test("q18 top-100 finisher is bounded; the HAVING aggregate is partial") {
+    val p = RelationalQueries.q18LargeOrders(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$p")
+    assert(p.contains("partial_sum"), s"expected partial aggregation:\n$p")
+  }
+
+  test("q17 semi-joins the part filter before both lineitem consumers") {
+    val p = RelationalQueries.q17SmallQtyRevenue(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      s"expected part filter semi-joined on both branches:\n$p")
+    assert(!p.contains("NestedLoop"), s"nested loop in q17:\n$p")
+  }
+
   test("q13 keeps the left join and aggregates with partials") {
     val p = RelationalQueries.q13CustomerDistribution(spark, dir)
       .queryExecution.executedPlan.toString
