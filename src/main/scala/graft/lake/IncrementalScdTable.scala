@@ -141,6 +141,35 @@ final class IncrementalScdTable(
       meta = meta)
   }
 
+  /** Bucket-local compaction: every SCD batch adds one file per
+    * touched bucket, so hot buckets accumulate small files. Rewrite
+    * ONLY buckets holding more than `maxFilesPerBucket` files — read
+    * their rows (bucket id recovered from the partition directory),
+    * restage coalesced, commit swapping just those buckets' references.
+    * Untouched buckets carry forward; cost is O(fat buckets), never
+    * O(table). Returns the committed version, or None if nothing
+    * needed compacting.
+    */
+  def compactBuckets(maxFilesPerBucket: Int = 4): Option[Long] = {
+    val latest = table.latestVersion.getOrElse(return None)
+    val byBucket = table.files(latest).groupBy(_.split('/').head)
+    val fat = byBucket.filter { case (d, fls) =>
+      d.startsWith("__bucket=") && fls.size > maxFilesPerBucket
+    }
+    if (fat.isEmpty) return None
+    val dataDir = new Path(path, "data")
+    // basePath keeps __bucket as a partition column, so the rewrite
+    // lands every row back in its own bucket without recomputing hashes
+    val slice = spark.read
+      .option("basePath", dataDir.toString)
+      .parquet(fat.values.flatten.toSeq.map(f => new Path(dataDir, f).toString): _*)
+      .repartition(fat.size, col("__bucket"))
+    val added = table.stagePartitioned(slice, "__bucket")
+    val removed = fat.values.flatten.toSet
+    Some(table.commitFiles(added, removed,
+      s"compact_buckets[${fat.size} buckets]"))
+  }
+
   /** Current identity high watermark. Newest→oldest manifest walk,
     * stopping at the first commit that carries the counter (commits
     * that bypass applyScd — compact, vacuum survivors — don't), so the

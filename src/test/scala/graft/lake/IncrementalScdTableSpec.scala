@@ -134,6 +134,37 @@ class IncrementalScdTableSpec extends AnyFunSuite with SparkSpec {
     assert(ids3.distinct.size === ids3.size)
   }
 
+  test("bucket-local compaction rewrites only fat buckets, state intact") {
+    val dir = Files.createTempDirectory("iscd_cmp").toString
+    val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 4)
+    t.create(schema)
+    // seed every bucket, then hammer ONE key so its bucket gets fat
+    t.applyScd(batch((1L to 20L).map(k => (k, s"v$k")): _*), at(1))
+    (2 to 8).foreach(d => t.applyScd(batch((1L, s"change$d")), at(d)))
+    val before = t.snapshot().orderBy("k", "effective_from", "record_status")
+      .collect().toSeq
+    val hotDir = {
+      val byB = t.table.files(t.table.latestVersion.get).groupBy(_.split('/').head)
+      byB.maxBy(_._2.size)
+    }
+    assert(hotDir._2.size > 2, s"setup should fatten a bucket: $hotDir")
+
+    val v = t.compactBuckets(maxFilesPerBucket = 2)
+    assert(v.isDefined)
+    val after = t.table.files(t.table.latestVersion.get).groupBy(_.split('/').head)
+    assert(after(hotDir._1).size <= 2, s"hot bucket not compacted: ${after(hotDir._1)}")
+    // buckets that were NOT fat keep their exact file references
+    val prevByB = t.table.files(v.get - 1).groupBy(_.split('/').head)
+    val fatDirs = prevByB.filter(_._2.size > 2).keySet
+    val thin = t.table.files(v.get).filterNot(f => fatDirs.contains(f.split('/').head))
+    assert(thin.toSet.subsetOf(t.table.files(v.get - 1).toSet))
+    // state identical
+    assert(t.snapshot().orderBy("k", "effective_from", "record_status")
+      .collect().toSeq === before)
+    // nothing needs compacting now
+    assert(t.compactBuckets(maxFilesPerBucket = 2) === None)
+  }
+
   test("vacuum drops files of expired versions but keeps the kept ones readable") {
     val dir = Files.createTempDirectory("iscd3").toString
     val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 4)
