@@ -181,29 +181,30 @@ object FileStats {
             FloatType, DoubleType).indexOf(t) || t.isInstanceOf[DecimalType]
       case _ => false
     }
-    /** The column (possibly under a monotone cast) as (name, wrapper to
-      * apply the same cast to a stats bound column).
+    /** The column (possibly under a monotone cast), carrying the
+      * wrapper that re-applies the cast to a stats bound column.
       */
-    def ref(e: Expression): Option[(String, Expression => Expression)] = e match {
-      case a if attrName(a).isDefined => Some((attrName(a).get, identity))
+    case class BoundRef(col: String, wrap: Expression => Expression)
+    def ref(e: Expression): Option[BoundRef] = e match {
+      case a if attrName(a).isDefined => Some(BoundRef(attrName(a).get, identity))
       case c @ Cast(inner, to, _, _) if attrName(inner).isDefined &&
         monotoneCast(inner.dataType, to) =>
-        Some((attrName(inner).get, (x: Expression) => c.withNewChildren(Seq(x))))
+        Some(BoundRef(attrName(inner).get, x => c.withNewChildren(Seq(x))))
       case _ => None
     }
-    def mnx(r: (String, Expression => Expression)): (Expression, Expression) =
-      (r._2(UnresolvedAttribute.quoted(s"min_${r._1}")),
-        r._2(UnresolvedAttribute.quoted(s"max_${r._1}")))
+    def mnx(r: BoundRef): (Expression, Expression) =
+      (r.wrap(UnresolvedAttribute.quoted(s"min_${r.col}")),
+        r.wrap(UnresolvedAttribute.quoted(s"max_${r.col}")))
     def nulls(c: String) = UnresolvedAttribute.quoted(s"nulls_$c")
     def keepIfUnknown(e: Expression): Expression =
       Coalesce(Seq(e, Literal.TrueLiteral))
-    def eqPossible(r: (String, Expression => Expression), l: Literal): Expression = {
+    def eqPossible(r: BoundRef, l: Literal): Expression = {
       val (mn, mx) = mnx(r)
       keepIfUnknown(And(LessThanOrEqual(mn, l), GreaterThanOrEqual(mx, l)))
     }
 
     object R {
-      def unapply(e: Expression): Option[(String, Expression => Expression)] = ref(e)
+      def unapply(e: Expression): Option[BoundRef] = ref(e)
     }
     def go(e: Expression): Expression = e match {
       case And(l, r) => And(go(l), go(r))
