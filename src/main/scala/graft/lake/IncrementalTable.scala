@@ -6,6 +6,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
+/** A manifest-publish race was lost (another writer committed the same
+  * version) or two commits logically conflict (one removes files the
+  * other rewrote). Pure appends auto-rebase and never see this below
+  * `maxRetries`; rewriting commits surface it for the caller to re-run
+  * on fresh state.
+  */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 /** File-level incremental commits — the evolution of
   * [[VersionedTable]]'s full-snapshot model that survives 100 TB:
   * each manifest lists the DATA FILES composing that version, so a
@@ -26,18 +34,11 @@ import org.apache.spark.sql.types._
   * only sees files referenced by a committed manifest, so crashed
   * writers leave invisible garbage, never corruption; `vacuum` deletes
   * data files no kept manifest references. Concurrent committers race
-  * on the manifest rename — the loser gets a conflict exception
-  * (optimistic concurrency; arbitration beyond that needs a lock /
-  * CAS service on object stores, same as Delta).
+  * on the manifest rename — [[CommitConflictException]] + the rebase
+  * loops in [[commitFiles]]/[[writeSnapshot]] arbitrate optimistically
+  * (object stores without atomic rename need a lock/CAS service, same
+  * as Delta).
   */
-/** A manifest-publish race was lost (another writer committed the same
-  * version) or two commits logically conflict (one removes files the
-  * other rewrote). Pure appends auto-rebase and never see this below
-  * `maxRetries`; rewriting commits surface it for the caller to re-run
-  * on fresh state.
-  */
-final class CommitConflictException(msg: String) extends RuntimeException(msg)
-
 final class IncrementalTable(
     spark: SparkSession, val path: String, collectStats: Boolean = true) {
 
