@@ -131,6 +131,22 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkSpec {
       .columns.toSeq === Seq("id", "tag"))
   }
 
+  test("catalog tables over graft paths: CREATE TABLE USING graft LOCATION") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dsv2_sql_").toString + "/t"
+    val it = new graft.lake.IncrementalTable(spark, dir)
+    it.append(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    spark.sql("DROP TABLE IF EXISTS graft_sql_t")
+    spark.sql(s"CREATE TABLE graft_sql_t USING graft LOCATION '$dir'")
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM graft_sql_t").as[Long].head() === 2L)
+      // commits made after table creation are visible (manifest-resolved)
+      it.append(Seq((3L, "c")).toDF("id", "tag"))
+      assert(spark.table("graft_sql_t").count() === 3L)
+      assert(spark.sql("SELECT tag FROM graft_sql_t WHERE id = 3").as[String].head() === "c")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_t")
+  }
+
   test("predicate pushdown reaches the parquet scan through the connector") {
     import spark.implicits._
     val (vt, dir) = freshTable()
