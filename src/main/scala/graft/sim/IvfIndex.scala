@@ -52,6 +52,23 @@ final class IvfIndex private (
     CosineSim.finishTopK(scored, k)
   }
 
+  /** Append new vectors WITHOUT retraining: each is assigned to its
+    * nearest EXISTING centroid and lands in that list's partition — one
+    * small partitioned write, O(batch) regardless of index size (the
+    * FAISS train-once-add-many contract). Centroids drift from optimal
+    * as the corpus grows; recall degrades gracefully and a periodic
+    * [[IvfIndex.build]] rebuild restores it.
+    */
+  def append(newVectors: DataFrame, idCol: String, vecCol: String): IvfIndex = {
+    val q = newVectors.select(col(idCol).as("nn_id"),
+      CosineSim.quantize(col(vecCol)).as("cq"))
+      .withColumn("nb", CosineSim.normQ(col("cq")))
+    val assigned = IvfAnn.assignLists(
+      q, IvfAnn.centroidsDf(spark, centroids), "nn_id", "cq")
+    assigned.write.mode("append").partitionBy("list_id").parquet(s"$path/index")
+    this
+  }
+
   /** The pruned index scan for a given probe-list set (plan inspection
     * hook for tests).
     */
