@@ -123,22 +123,57 @@ final class IncrementalScdTable(
     // will de-reference, and staging triggers the write
     val next = withId.withColumn("__bucket", bucketOf(cfg.pkCols))
       .localCheckpoint()
-    val meta = identityCol match {
+    val sliceMax: Option[Long] = identityCol match {
       case Some(idCol) if next.columns.contains(idCol) =>
-        val sliceMax = next.agg(max(col(idCol))).head().getAs[Any](0) match {
+        Some(next.agg(max(col(idCol))).head().getAs[Any](0) match {
           case null => watermark
           case n: Number => n.longValue()
-        }
-        Map("id_watermark" -> math.max(watermark, sliceMax).toString)
-      case _ => Map.empty[String, String]
+        })
+      case _ => None
     }
     // one partitioned write stages every touched bucket's next state
     val added = table.stagePartitioned(next, "__bucket")
     val prefixes = touched.map(b => bucketDir(b) + "/").toSet
     val removed = table.latestVersion.map(table.files(_)
       .filter(f => prefixes.exists(f.startsWith)).toSet).getOrElse(Set.empty)
-    table.commitFiles(added, removed, s"scd_apply[${touched.size} buckets]",
-      meta = meta)
+    val op = s"scd_apply[${touched.size} buckets]"
+    sliceMax match {
+      case None => table.commitFiles(added, removed, op)
+      case Some(mx) =>
+        // This batch's ids were derived from `watermark`, read BEFORE
+        // the merge. Rebasing blindly after a lost manifest race would
+        // publish a watermark computed from that stale base: if a
+        // concurrent identity batch committed meanwhile, both batches
+        // assigned from the same counter (overlapping ids) and the
+        // rebase could even publish a LOWER watermark, regressing the
+        // counter. So the retry loop re-reads the newest watermark each
+        // attempt — advanced past our base means real id conflict →
+        // throw (Delta serializes identity metadata the same way); not
+        // advanced (the racer carried no counter) means the rebase is
+        // safe, publishing max(newest, sliceMax) so the counter never
+        // moves backwards.
+        var attempt = 0
+        var result = -1L
+        var committed = false
+        while (!committed) {
+          val newest = identityWatermark
+          if (newest > watermark)
+            throw new CommitConflictException(
+              s"identity watermark of $path advanced ($watermark -> $newest) " +
+                "under this batch; assigned surrogate keys may collide — " +
+                "re-run the batch on fresh state")
+          try {
+            result = table.commitFiles(added, removed, op, maxRetries = 0,
+              meta = Map("id_watermark" -> math.max(newest, mx).toString))
+            committed = true
+          } catch {
+            case e: CommitConflictException =>
+              if (attempt >= 20) throw e
+              attempt += 1
+          }
+        }
+        result
+    }
   }
 
   /** Bucket-local compaction: every SCD batch adds one file per

@@ -98,10 +98,20 @@ final class IncrementalTable(
       val out = fs.create(tmp, true)
       out.write(merged.json.getBytes(StandardCharsets.UTF_8))
       out.close()
-      fs.delete(schemaFile, false)
-      if (fs.rename(tmp, schemaFile)) return
-      fs.delete(tmp, false)
-      attempt += 1
+      // atomic overwrite-rename: a delete-then-rename pair would leave a
+      // window with NO schema file, silently degrading readers to
+      // first-file inference (FileSystem.rename refuses an existing dst;
+      // FileContext with OVERWRITE replaces it in one step)
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.getUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, schemaFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        return
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          fs.delete(tmp, false)
+          attempt += 1
+      }
     }
     throw new IllegalStateException(s"failed to publish schema for $path")
   }
@@ -142,8 +152,12 @@ final class IncrementalTable(
     files.foreach(f => require(!f.contains("\"") && !f.contains("\\"),
       s"illegal character in data file name: $f"))
     meta.foreach { case (k, v) =>
-      require((k + v).forall(c => c != '"' && c != '\\' && c != '{' && c != '}'),
+      // keep write-side sanitization in sync with metaAt's parser: it
+      // splits pairs on ',' and key/value on ':', so those are load-
+      // bearing delimiters, not just JSON syntax
+      require((k + v).forall(c => c != '"' && c != '\\' && c != '{' && c != '}' && c != ','),
         s"illegal character in manifest meta $k=$v")
+      require(!k.contains(":"), s"illegal ':' in manifest meta key: $k")
     }
     val metaJson =
       if (meta.isEmpty) ""

@@ -212,8 +212,13 @@ private[sources] class GraftVersionedParquet extends ParquetDataSourceV2 {
         val picked = Option(map.get("skipWhere")) match {
           case Some(sql) if sql.trim.nonEmpty =>
             val e = sparkSession.sessionState.sqlParser.parseExpression(sql)
-            inc.prunedFiles(inc.files(v),
+            val kept = inc.prunedFiles(inc.files(v),
               Seq(org.apache.spark.sql.graftbridge.ColumnBridge.column(e)))
+            // when stats prove EVERY file out, keep one arbitrary file:
+            // an empty path list would fail parquet schema inference,
+            // and skipWhere is a pruning hint only — the caller applies
+            // the row filter, so the extra file changes no results
+            if (kept.isEmpty) inc.files(v).take(1) else kept
           case _ => inc.files(v)
         }
         picked.map(f => s"${root.stripSuffix("/")}/data/$f")

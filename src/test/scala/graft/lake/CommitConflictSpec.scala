@@ -84,6 +84,21 @@ class CommitConflictSpec extends AnyFunSuite with SparkSpec {
       (writers * perWriter).toLong)
   }
 
+  test("manifest meta rejects the delimiters metaAt's parser splits on") {
+    val t = fresh()
+    val staged = t.stage(df((1L, "a")))
+    // ',' splits pairs, ':' splits key from value — a value carrying
+    // them would mis-parse (or MatchError) on read, so the write side
+    // must reject them up front
+    assertThrows[IllegalArgumentException](
+      t.writeManifest(0L, "m", staged, Map("k" -> "a,b")))
+    assertThrows[IllegalArgumentException](
+      t.writeManifest(0L, "m", staged, Map("k:x" -> "v")))
+    // ':' inside a VALUE is fine — the parser splits key:value once
+    t.writeManifest(0L, "m", staged, Map("ts" -> "12:30"))
+    assert(t.metaAt(0L) === Map("ts" -> "12:30"))
+  }
+
   test("overwrite races resolve last-writer-wins at distinct versions") {
     val t = fresh()
     t.append(df((1L, "a")))

@@ -173,4 +173,16 @@ class FileStatsSpec extends AnyFunSuite with SparkSpec {
     // without the option the whole table is read
     assert(spark.read.format("graft").load(t.path).count() === 400L)
   }
+
+  test("connector skipWhere pruning every file still reads (empty result, schema kept)") {
+    val t = rangedTable()
+    // stats prove no file can match — the connector must fall back to
+    // one file (pruning is a hint; the caller's row filter does the rest)
+    // instead of handing parquet an empty path list
+    val none = spark.read.format("graft")
+      .option("skipWhere", "id > 100000").load(t.path)
+      .filter(col("id") > 100000L)
+    assert(none.count() === 0L)
+    assert(none.schema.fieldNames.toSeq === Seq("id", "tag", "score"))
+  }
 }

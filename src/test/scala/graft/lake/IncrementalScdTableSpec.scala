@@ -134,6 +134,56 @@ class IncrementalScdTableSpec extends AnyFunSuite with SparkSpec {
     assert(ids3.distinct.size === ids3.size)
   }
 
+  test("racing identity batches never assign overlapping ids or regress the watermark") {
+    val idSchema = StructType(StructField("row_id", LongType) +: schema.fields)
+    val dir = Files.createTempDirectory("iscd_race").toString
+    val path = s"$dir/t"
+    val t = new IncrementalScdTable(spark, path, numBuckets = 8,
+      identityCol = Some("row_id"), identityStart = 1L)
+    t.create(idSchema)
+    def batchWithId(rows: (Long, String)*): DataFrame = {
+      import org.apache.spark.sql.functions.{col => c, lit}
+      batch(rows: _*).withColumn("row_id", lit(null).cast("long"))
+        .select(c("row_id"), c("k"), c("v"))
+    }
+    t.applyScd(batchWithId((1L, "seed")), at(1))
+
+    // two batches with disjoint keys race from the same stale watermark:
+    // the loser must throw CommitConflictException (its assigned ids may
+    // collide with the winner's) rather than publish — a blind rebase
+    // would regress the counter and reuse ids
+    val keySets = Seq((100L to 104L).toSeq, (200L to 204L).toSeq)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val threads = keySets.zipWithIndex.map { case (keys, i) =>
+      new Thread(() => {
+        val mine = new IncrementalScdTable(spark, path, numBuckets = 8,
+          identityCol = Some("row_id"), identityStart = 1L)
+        barrier.await()
+        try mine.applyScd(batchWithId(keys.map(k => (k, s"v$k")): _*), at(2 + i))
+        catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    // only the documented conflict may surface, and losers may re-run
+    import scala.jdk.CollectionConverters._
+    assert(failures.asScala.forall(_.isInstanceOf[CommitConflictException]),
+      s"unexpected failure kinds: ${failures.asScala.map(_.toString)}")
+    keySets.foreach { keys =>
+      // a loser's rows never landed; its retry sees the fresh watermark
+      val present = t.snapshot()
+        .filter(org.apache.spark.sql.functions.col("k").isin(keys: _*)).count()
+      if (present == 0L)
+        t.applyScd(batchWithId(keys.map(k => (k, s"v$k")): _*), at(9))
+    }
+    val rows = t.snapshot().select("row_id").collect().map(_.getLong(0)).toSeq
+    assert(rows.size === 11, s"expected 11 rows, got ${rows.size}")
+    assert(rows.distinct.size === rows.size, s"duplicate surrogate ids: $rows")
+    assert(t.identityWatermark >= rows.max,
+      "watermark regressed below the max assigned id")
+  }
+
   test("bucket-local compaction rewrites only fat buckets, state intact") {
     val dir = Files.createTempDirectory("iscd_cmp").toString
     val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 4)
