@@ -141,9 +141,23 @@ object PipelineQueries {
 
   /** Threshold 0.4: the synthetic embeddings top out at pairwise cosine
     * ≈0.51, so 0.95-style production thresholds select nothing here.
+    * This EXACT variant is the all-pairs correctness baseline —
+    * quadratic by definition; [[dedupEmbeddingBlocked]] is the
+    * registered 100 TB path.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     CosineSim.similarPairs(Tables.load(spark, dir, "embeddings"),
+      "vec_id", "embedding", num = 2, den = 5)
+      .orderBy("a", "b")
+
+  /** Scale-safe embedding near-dup: multi-table sign-LSH blocking turns
+    * the pair generation into a bucket equi-join (cost Σ bucket², never
+    * n²); candidates verified with the same exact integer cosine
+    * predicate. The bucketing is deterministic, so the oracle replays
+    * it bit-for-bit.
+    */
+  def dedupEmbeddingBlocked(spark: SparkSession, dir: String): DataFrame =
+    CosineSim.blockedSimilarPairs(Tables.load(spark, dir, "embeddings"),
       "vec_id", "embedding", num = 2, den = 5)
       .orderBy("a", "b")
 
@@ -805,6 +819,41 @@ object PipelineQueries {
          |      >= 4 * ${dot("x.qv", "x.qv")} * ${dot("y.qv", "y.qv")}
          |ORDER BY a, b""".stripMargin,
 
+    // Replays blockedSimilarPairs end-to-end: 4 tables × 8 planes of
+    // the deterministic integer hyperplane family, per-table sign
+    // buckets with the hot-bucket cap, DISTINCT pairs from the bucket
+    // equi-join, exact integer cosine verify.
+    "dedup_embedding_blocked" ->
+      s"""WITH ${qCte()},
+         |dims AS (
+         |  SELECT unnest(generate_series(1, len(embedding))) AS d
+         |  FROM (SELECT embedding FROM embeddings LIMIT 1)),
+         |planes AS (
+         |  SELECT p, list(((2654435761 * d * (p+1) + 40503 * (p+1)) % 2001) - 1000 ORDER BY d) AS pv
+         |  FROM generate_series(0, 31) AS gp(p), dims
+         |  GROUP BY p),
+         |vb AS (
+         |  SELECT v.vec_id, p.p // 8 AS t,
+         |         sum(CASE WHEN ${dot("v.qv", "p.pv")} >= 0
+         |                  THEN (CAST(1 AS BIGINT) << (p.p % 8)) ELSE 0 END) AS b
+         |  FROM q v, planes p GROUP BY v.vec_id, p.p // 8),
+         |vbc AS (
+         |  SELECT *, count(*) OVER (PARTITION BY t, b) AS bsz FROM vb),
+         |pairs AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM vbc x JOIN vbc y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id
+         |  WHERE x.bsz <= 1000 AND y.bsz <= 1000),
+         |scored AS (
+         |  SELECT pr.a, pr.b,
+         |         ${dot("xa.qv", "yb.qv")} AS dot,
+         |         ${dot("xa.qv", "xa.qv")} AS na,
+         |         ${dot("yb.qv", "yb.qv")} AS nb
+         |  FROM pairs pr JOIN q xa ON xa.vec_id = pr.a
+         |                JOIN q yb ON yb.vec_id = pr.b)
+         |SELECT a, b, dot, na, nb FROM scored
+         |WHERE dot >= 0 AND dot * dot * 25 >= 4 * na * nb
+         |ORDER BY a, b""".stripMargin,
+
     // Replays AnnLsh.topK end-to-end: the integer hyperplane family,
     // per-table sign buckets, multiprobe (Hamming-1) probe set,
     // DISTINCT candidates (TopKAgg collapses exact dups), exact integer
@@ -982,6 +1031,7 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_embedding" -> dedupEmbedding _,
+    "dedup_embedding_blocked" -> dedupEmbeddingBlocked _,
     "ann_brute_topk" -> annBruteTopK _,
     "ann_lsh_topk" -> annLshTopK _,
     "ann_ivf_topk" -> annIvfTopK _,

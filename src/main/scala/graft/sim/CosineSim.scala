@@ -60,6 +60,60 @@ object CosineSim {
         col("dot") * col("dot") * lit(den * den) >= lit(num * num) * col("na") * col("nb"))
   }
 
+  /** Blocked (multi-table sign-LSH) near-duplicate pairs — the shape
+    * [[similarPairs]]'s all-pairs self-join cannot take at 100 TB.
+    * Every vector lands in `tables` buckets (one per independent
+    * hyperplane set, same deterministic integer family as [[AnnLsh]]);
+    * candidate pairs arise ONLY inside a matching (table, bucket) — an
+    * equi-join whose cost is Σ bucket², never n² — then are verified
+    * with the exact integer cosine predicate, so the result is the
+    * subset of [[similarPairs]]'s pairs whose vectors collide in ≥1
+    * table (recall 1−(1−s^planes)^tables: steep at near-dup
+    * thresholds). The hyperplanes and the cap are deterministic, so an
+    * oracle replays the blocking bit-for-bit. `maxBucketSize` bounds
+    * adversarial skew (identical-embedding floods) exactly like
+    * [[graft.dedup.MinHashLSH.candidates]]'s hot-bucket cap: those
+    * floods are what exact dedup already removes upstream.
+    */
+  def blockedSimilarPairs(
+      emb: DataFrame, idCol: String, vecCol: String, num: Long, den: Long,
+      planes: Int = 8, tables: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    // hyperplane weights depend only on (dimension, plane index):
+    // materialized once driver-side as literal arrays so each sign bit
+    // is one codegen'd LongArrayDot, not an interpreted fold (AnnLsh
+    // measured ~5× on exactly this hashing pass)
+    val dim = emb.select(size(col(vecCol))).head.getInt(0)
+    def planeVec(plane: Int): Array[Long] = Array.tabulate(dim) { i =>
+      ((2654435761L * (i + 1) * (plane + 1) + 40503L * (plane + 1)) % 2001L) - 1000L
+    }
+    val q = emb.select(col(idCol), quantize(col(vecCol)).as("q"))
+      .withColumn("nrm", normQ(col("q")))
+    val tb = (0 until tables).map { t =>
+      val bits = (0 until planes).map { j =>
+        val d = dotQ(col("q"), lit(planeVec(t * planes + j)))
+        when(d >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("t"), bits.reduce(_ + _).as("b"))
+    }
+    val bucketed = q.withColumn("tb", explode(array(tb: _*)))
+    // hot-bucket cap via window count: its partitionBy(tb) exchange is
+    // exactly the pair join's distribution, so the shuffle is shared
+    val capped = bucketed.withColumn("bsz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("tb")))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    capped.as("x").join(capped.as("y"),
+        col("x.tb") === col("y.tb") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        dotQ(col("x.q"), col("y.q")).as("dot"),
+        col("x.nrm").as("na"), col("y.nrm").as("nb"))
+      .filter(col("dot") >= 0 &&
+        col("dot") * col("dot") * lit(den * den) >= lit(num * num) * col("na") * col("nb"))
+      // a pair can collide in several tables; dot/na/nb are pure
+      // functions of the pair, so the kept row is deterministic
+      .dropDuplicates("a", "b")
+  }
+
   /** Shared top-k finisher for the similarity operators: bounded-heap
     * aggregate ([[graft.functions.TopKAgg]]) instead of a
     * window — map-side partials carry at most k rows per (query,

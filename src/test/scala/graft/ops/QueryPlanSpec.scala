@@ -114,6 +114,19 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
       s"decontaminate: expected both joins broadcast:\n$p")
   }
 
+  test("dedup_embedding_blocked: pair join carries the bucket equi-key, no cross product") {
+    val p = PipelineQueries.dedupEmbeddingBlocked(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the pair generation must be an equi-join on the (table, bucket)
+    // struct — an all-pairs/nested-loop shape here is the exact
+    // quadratic scale-killer this operator exists to avoid
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"blocked pair join degenerated to all-pairs:\n$p")
+    assert(p.contains("tb"), s"bucket key missing from the plan:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"interpreted higher-order function in the bucket hashing hot path:\n$p")
+  }
+
   test("range_join_events: equi-join on the band, no nested loop") {
     val p = PipelineQueries.rangeJoinEvents(spark, dir)
       .queryExecution.executedPlan.toString

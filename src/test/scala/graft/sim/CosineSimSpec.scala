@@ -23,6 +23,24 @@ class CosineSimSpec extends AnyFunSuite with SparkSpec {
     assert(blocked.subsetOf(all))
   }
 
+  test("LSH-blocked pairs are a subset of exact pairs with identical integers") {
+    val emb = Tables.load(spark, dir, "embeddings").limit(500)
+    val exact = CosineSim.similarPairs(emb, "vec_id", "embedding", 2, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val blocked = CosineSim.blockedSimilarPairs(emb, "vec_id", "embedding", 2, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(blocked.keySet.subsetOf(exact.keySet),
+      s"blocked produced pairs the exact join does not: ${blocked.keySet -- exact.keySet}")
+    // verified integers must agree exactly for every surviving pair
+    blocked.foreach { case (pair, ints) => assert(exact(pair) === ints) }
+    // recall sanity on this data (cosine ~0.4-0.5 pairs, 4 tables × 8
+    // planes): not a contract, but zero would mean the blocking is broken
+    if (exact.nonEmpty)
+      assert(blocked.nonEmpty, "LSH blocking found none of the exact pairs")
+  }
+
   test("blocked plan joins on the block key (equi-join, no cross product)") {
     val emb = Tables.load(spark, dir, "embeddings")
     val plan = CosineSim.similarPairs(emb, "vec_id", "embedding", 2, 5,
