@@ -399,6 +399,30 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** ANN through the PERSISTED IVF index — the 100 TB serving shape:
+    * train once (the first invocation builds the index into a
+    * content-keyed temp dir; later ones [[graft.sim.IvfIndex.load]] it),
+    * then probing reads ONLY the nprobe `list_id=` partitions
+    * (PartitionFilters pinned in IvfIndexSpec). Training, assignment
+    * and scoring are the same deterministic integer pipeline as
+    * [[annIvfTopK]], so the identical SQL replay oracles both.
+    */
+  def annIvfIndexTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    // content-keyed cache dir: a regenerated embeddings table must not
+    // hit a stale index (size+mtime is a sufficient fingerprint here)
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified).hashCode)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$key"
+    val idx =
+      if (new java.io.File(s"$path/centroids").exists)
+        graft.sim.IvfIndex.load(spark, path)
+      else graft.sim.IvfIndex.build(emb, "vec_id", "embedding", path)
+    idx.topK(emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy("q_id", "rank")
+  }
+
   // ---------------- DuckDB oracle fragments ----------------
 
   /** tokens CTE (single-space normalized split, = TextFunctions.tokens) */
@@ -483,13 +507,15 @@ object PipelineQueries {
        |  FROM s$i JOIN n$i USING (list_id)
        |  GROUP BY list_id)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    // Replays IvfAnn.topK end-to-end, INCLUDING training: id-seeded
-    // centroids, 3 unrolled Lloyd iterations in exact integer
-    // arithmetic, nprobe=4 probe selection, in-list rerank and the
-    // double-sim ranking. The whole k-means is deterministic, so the
-    // approximate operator hash-matches a pure-SQL replay.
-    "ann_ivf_topk" ->
+  /** Replays IvfAnn.topK end-to-end, INCLUDING training: id-seeded
+    * centroids, 3 unrolled Lloyd iterations in exact integer
+    * arithmetic, nprobe=4 probe selection, in-list rerank and the
+    * double-sim ranking. The whole k-means is deterministic, so the
+    * approximate operator hash-matches a pure-SQL replay — and the
+    * persisted-index variant (`ann_ivf_index_topk`) computes the same
+    * function through parquet partitions, so ONE replay oracles both.
+    */
+  private val ivfReplaySql: String =
       s"""WITH ${qCte()},
          |dims AS (
          |  SELECT unnest(generate_series(1, len(embedding))) AS d
@@ -525,7 +551,11 @@ object PipelineQueries {
          |    ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) DESC, nn_id ASC) AS rank
          |  FROM scored)
          |SELECT q_id, rank, nn_id, dot, na, nb FROM ranked WHERE rank <= 5
-         |ORDER BY q_id, rank""".stripMargin,
+         |ORDER BY q_id, rank""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "ann_ivf_topk" -> ivfReplaySql,
+    "ann_ivf_index_topk" -> ivfReplaySql,
     "pii_scrub" -> {
       val em = TextFunctions.EmailRe.replace("\\", "\\")
       val ip = TextFunctions.Ipv4Re
@@ -1035,6 +1065,7 @@ object PipelineQueries {
     "ann_brute_topk" -> annBruteTopK _,
     "ann_lsh_topk" -> annLshTopK _,
     "ann_ivf_topk" -> annIvfTopK _,
+    "ann_ivf_index_topk" -> annIvfIndexTopK _,
     "approx_stats" -> approxStats _,
     "media_features" -> mediaFeatures _,
     "dedup_clusters" -> dedupClusters _,
