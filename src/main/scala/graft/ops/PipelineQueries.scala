@@ -358,21 +358,56 @@ object PipelineQueries {
       Tables.load(spark, dir, "documents"), "doc_id", "text", k = 5)
       .orderBy("doc_id", "rank")
 
-  /** Sketch aggregates — the 100 TB shape for distinct counts and
-    * quantiles (exact versions need a full shuffle of the key space;
-    * sketches merge in fixed memory). Sketch internals differ across
-    * engines, so this is rows-only for the driver; ApproxStatsSpec
-    * asserts accuracy against the exact answers.
+  /** Sketch aggregates — the 100 TB shape for distinct counts is a
+    * bounded-state sketch (exact distinct needs a full shuffle of the
+    * key space; sketches merge in fixed memory). Spark's HLL
+    * (`approx_count_distinct`) is engine-private and un-oracle-able, so
+    * the distinct estimates use the repo's KMV sketch instead — same
+    * bounded ≤8 KB state and map-side merge, but deterministic and
+    * SQL-replayable, so even the *approximate* numbers hash-match the
+    * DuckDB oracle. Percentiles are exact type-7 (linear interpolation,
+    * the identical formula on both sides — IEEE double ops are
+    * deterministic given operand order); the per-group sort is the
+    * price of oracle-ability, and the bounded-memory alternative
+    * (KMV's retained hash sample as a quantile sketch) follows the
+    * same replay pattern when exactness can be traded away.
+    * ApproxStatsSpec asserts accuracy against exact answers.
     */
-  def approxStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy("event_type")
-      .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        approx_count_distinct(col("props"), 0.02).as("approx_props"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
-      .orderBy("event_type")
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Kmv
+    val ev = Tables.events(spark, dir)
+    val sketches = ev.groupBy("event_type").agg(
+      round(Kmv.estimate(Kmv.sketchAgg(
+        Shingles.baseHash(col("user_id").cast("string")), KMV_K)))
+        .cast("long").as("approx_users"),
+      round(Kmv.estimate(Kmv.sketchAgg(
+        Shingles.baseHash(col("props")), KMV_K)))
+        .cast("long").as("approx_props"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("value")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val ranked = ev.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    // type-7: h = (n-1)·p, result = x[⌊h⌋+1] + (h−⌊h⌋)·(x[⌊h⌋+2] − x[⌊h⌋+1])
+    def lo(p: Double) = floor((col("n") - 1).cast("double") * lit(p)) + 1
+    val pct = ranked.groupBy("event_type").agg(
+      max(col("n")).as("n"),
+      min(when(col("rn") === lo(0.5), col("value"))).as("v50lo"),
+      min(when(col("rn") === lo(0.5) + 1, col("value"))).as("v50hi"),
+      min(when(col("rn") === lo(0.99), col("value"))).as("v99lo"),
+      min(when(col("rn") === lo(0.99) + 1, col("value"))).as("v99hi"))
+    def interp(p: Double, vlo: String, vhi: String) = {
+      val h = (col("n") - 1).cast("double") * lit(p)
+      val frac = h - floor(h).cast("double")
+      col(vlo) + frac * (coalesce(col(vhi), col(vlo)) - col(vlo))
+    }
+    val pcts = pct.select(col("event_type"),
+      interp(0.5, "v50lo", "v50hi").as("p50_value"),
+      interp(0.99, "v99lo", "v99hi").as("p99_value"))
+    sketches.join(pcts, Seq("event_type")).orderBy("event_type")
+  }
 
   /** Multimodal feature extraction end-to-end (synthetic payloads —
     * see MediaOps): binary media → batched decode → feature vector →
@@ -556,6 +591,53 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "ann_ivf_topk" -> ivfReplaySql,
     "ann_ivf_index_topk" -> ivfReplaySql,
+    // Replays the KMV sketches (bottom-256 of the sha2-60bit hash
+    // family, Beyer et al. estimator with identical double operands)
+    // and the manual type-7 percentile formula operand-for-operand.
+    "approx_stats" -> {
+      def kmvEst(cte: String, hashExpr: String, where: String) =
+        s"""${cte}h AS (
+           |  SELECT DISTINCT event_type, $hashExpr AS h FROM events WHERE $where),
+           |${cte}r AS (
+           |  SELECT event_type, h,
+           |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           |  FROM ${cte}h),
+           |${cte}a AS (
+           |  SELECT event_type, max(h) AS hk, count(*) AS n
+           |  FROM ${cte}r WHERE rn <= $KMV_K GROUP BY event_type),
+           |${cte}e AS (
+           |  SELECT event_type,
+           |         CASE WHEN n < $KMV_K THEN CAST(n AS DOUBLE)
+           |              ELSE ${KMV_K - 1}.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0) END AS est
+           |  FROM ${cte}a)""".stripMargin
+      val h50 = "CAST(n-1 AS DOUBLE) * CAST(0.5 AS DOUBLE)"
+      val h99 = "CAST(n-1 AS DOUBLE) * CAST(0.99 AS DOUBLE)"
+      s"""WITH ${kmvEst("u", "CAST('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)", "user_id IS NOT NULL")},
+         |${kmvEst("p", "CAST('0x' || substr(sha256(props), 1, 15) AS BIGINT)", "props IS NOT NULL")},
+         |vals AS (
+         |  SELECT event_type, value,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events WHERE value IS NOT NULL),
+         |pct AS (
+         |  SELECT event_type, max(n) AS n,
+         |    min(CASE WHEN rn = CAST(floor($h50) AS BIGINT) + 1 THEN value END) AS v50lo,
+         |    min(CASE WHEN rn = CAST(floor($h50) AS BIGINT) + 2 THEN value END) AS v50hi,
+         |    min(CASE WHEN rn = CAST(floor($h99) AS BIGINT) + 1 THEN value END) AS v99lo,
+         |    min(CASE WHEN rn = CAST(floor($h99) AS BIGINT) + 2 THEN value END) AS v99hi
+         |  FROM vals GROUP BY event_type),
+         |pcts AS (
+         |  SELECT event_type,
+         |    v50lo + ($h50 - floor($h50)) * (COALESCE(v50hi, v50lo) - v50lo) AS p50_value,
+         |    v99lo + ($h99 - floor($h99)) * (COALESCE(v99hi, v99lo) - v99lo) AS p99_value
+         |  FROM pct)
+         |SELECT ue.event_type,
+         |       CAST(round(ue.est) AS BIGINT) AS approx_users,
+         |       CAST(round(pe.est) AS BIGINT) AS approx_props,
+         |       pcts.p50_value, pcts.p99_value
+         |FROM ue JOIN pe USING (event_type) JOIN pcts USING (event_type)
+         |ORDER BY ue.event_type""".stripMargin
+    },
     "pii_scrub" -> {
       val em = TextFunctions.EmailRe.replace("\\", "\\")
       val ip = TextFunctions.Ipv4Re
