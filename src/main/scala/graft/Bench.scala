@@ -19,20 +19,30 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
-    // min of two timed runs: single-run numbers on a shared box swing
-    // ±20% from GC/scheduling noise; the min is the steady-state cost
+    // min of three timed runs, with a GC breather per query: in a
+    // 60+-query JVM a query's number otherwise reflects its NEIGHBORS
+    // (garbage debt + cache churn from whatever ran before it — the
+    // round-3 join_left_anti 0.20→0.79 s "regression" was exactly this,
+    // its own steady-state was unchanged). The min across runs is the
+    // steady-state cost; the max-min spread is recorded so future
+    // rounds can tell drift from noise.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      System.gc()
+      val runs = Seq.fill(math.max(1, reps))(once())
+      name -> (runs.min, runs.max - runs.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results.map { case (k, (_, s)) => s"\"" + k + "\":" + f"$s%.3f" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -137,8 +137,9 @@ final class IncrementalScdTable(
     val removed = table.latestVersion.map(table.files(_)
       .filter(f => prefixes.exists(f.startsWith)).toSet).getOrElse(Set.empty)
     val op = s"scd_apply[${touched.size} buckets]"
+    val dataSchema = Some(next.drop("__bucket").schema)
     sliceMax match {
-      case None => table.commitFiles(added, removed, op)
+      case None => table.commitFiles(added, removed, op, schema = dataSchema)
       case Some(mx) =>
         // This batch's ids were derived from `watermark`, read BEFORE
         // the merge. Rebasing blindly after a lost manifest race would
@@ -164,7 +165,8 @@ final class IncrementalScdTable(
                 "re-run the batch on fresh state")
           try {
             result = table.commitFiles(added, removed, op, maxRetries = 0,
-              meta = Map("id_watermark" -> math.max(newest, mx).toString))
+              meta = Map("id_watermark" -> math.max(newest, mx).toString),
+              schema = dataSchema)
             committed = true
           } catch {
             case e: CommitConflictException =>
@@ -202,7 +204,8 @@ final class IncrementalScdTable(
     val added = table.stagePartitioned(slice, "__bucket")
     val removed = fat.values.flatten.toSet
     Some(table.commitFiles(added, removed,
-      s"compact_buckets[${fat.size} buckets]"))
+      s"compact_buckets[${fat.size} buckets]",
+      schema = Some(slice.drop("__bucket").schema)))
   }
 
   /** Current identity high watermark. Newest→oldest manifest walk,

@@ -45,75 +45,95 @@ final class IncrementalTable(
   private val logDir = new Path(path, "_log")
   private val dataDir = new Path(path, "data")
   private val statsDir = new Path(path, "_stats")
-  private val schemaFile = new Path(path, "_table_schema.json")
+  private val schemasDir = new Path(path, "_schemas")
+  private val legacySchemaFile = new Path(path, "_table_schema.json")
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // ---- schema tracking (Delta keeps the schema in the log; reading it
-  // from one file means O(1) resolution AND evolved appends don't lose
-  // columns to first-file inference) ----
+  // ---- schema tracking (Delta keeps the schema INSIDE the log commit;
+  // doing the same — an immutable blob under _schemas/ whose name rides
+  // the manifest meta — makes schema evolution transactional: the
+  // pointer flips atomically with the file list, and a lost commit race
+  // re-merges against the winner's schema inside the CAS retry loop, so
+  // concurrent add-column commits can never drop each other's columns) ----
 
-  /** The tracked table schema: the MERGE of every staged write's schema
-    * (add-column evolution; incompatible type changes throw at stage
-    * time, like Delta). None before the first tracked write.
+  /** The tracked table schema: the MERGE of every committed write's
+    * schema (add-column evolution; incompatible type changes throw at
+    * commit time, like Delta). Resolution is O(1): latest manifest meta
+    * → one small blob. None before the first tracked commit. Tables
+    * written by older versions of this library fall back to their
+    * `_table_schema.json`.
     */
   def tableSchema: Option[StructType] =
-    if (!fs.exists(schemaFile)) None
+    latestVersion.flatMap(schemaAt).orElse(readLegacySchemaFile())
+
+  /** The tracked schema as of version `v` (time-traveling metadata —
+    * each commit's manifest points at the schema it was written under).
+    */
+  def schemaAt(v: Long): Option[StructType] =
+    metaAt(v).get("schema").map(readSchemaBlob)
+
+  private def readLegacySchemaFile(): Option[StructType] =
+    if (!fs.exists(legacySchemaFile)) None
     else {
-      val in = fs.open(schemaFile)
+      val in = fs.open(legacySchemaFile)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       Some(DataType.fromJson(txt).asInstanceOf[StructType])
     }
 
-  private def trackSchema(incoming: StructType): Unit = {
-    // add-column evolution only: existing columns must keep their type
-    // (a silent type change would corrupt every older file's read)
-    def mergeSchemas(prev: StructType, next: StructType): StructType = {
-      prev.fields.foreach { pf =>
-        next.fields.find(_.name == pf.name).foreach { nf =>
-          if (nf.dataType != pf.dataType)
-            throw new IllegalArgumentException(
-              s"incompatible schema change for $path: column ${pf.name} " +
-                s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString}")
-        }
-      }
-      val newFields = next.fields.filterNot(f => prev.fieldNames.contains(f.name))
-      StructType(prev.fields.toSeq ++ newFields)
-    }
-    // Concurrent stagers race on the schema file; merging is
-    // commutative and idempotent, so same-schema races are harmless and
-    // publish failures retry. Two writers evolving DIFFERENT columns at
-    // the same instant can drop one column from the tracked schema (the
-    // data files keep it; the next write carrying it re-adds it) —
-    // schema changes under concurrency need the log-CAS treatment Delta
-    // gives metadata, out of scope here.
-    var attempt = 0
-    while (attempt < 20) {
-      val merged = tableSchema match {
-        case None => incoming
-        case Some(prev) => mergeSchemas(prev, incoming)
-      }
-      val tmp = new Path(path,
-        s"_table_schema_tmp_${java.util.UUID.randomUUID().toString.take(8)}.json")
-      val out = fs.create(tmp, true)
-      out.write(merged.json.getBytes(StandardCharsets.UTF_8))
-      out.close()
-      // atomic overwrite-rename: a delete-then-rename pair would leave a
-      // window with NO schema file, silently degrading readers to
-      // first-file inference (FileSystem.rename refuses an existing dst;
-      // FileContext with OVERWRITE replaces it in one step)
-      try {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          fs.getUri, spark.sparkContext.hadoopConfiguration)
-        fc.rename(tmp, schemaFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        return
-      } catch {
-        case scala.util.control.NonFatal(_) =>
-          fs.delete(tmp, false)
-          attempt += 1
+  private def readSchemaBlob(name: String): StructType = {
+    val in = fs.open(new Path(schemasDir, name))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    DataType.fromJson(txt).asInstanceOf[StructType]
+  }
+
+  /** Immutable, uniquely-named — never overwritten, so a reader holding
+    * any manifest can always resolve its schema pointer.
+    */
+  private def writeSchemaBlob(s: StructType): String = {
+    val name = s"${java.util.UUID.randomUUID().toString.take(12)}.json"
+    fs.mkdirs(schemasDir)
+    val out = fs.create(new Path(schemasDir, name), true)
+    out.write(s.json.getBytes(StandardCharsets.UTF_8))
+    out.close()
+    name
+  }
+
+  /** Add-column evolution only: existing columns must keep their type
+    * (a silent type change would corrupt every older file's read).
+    */
+  private def mergeSchemas(prev: StructType, next: StructType): StructType = {
+    prev.fields.foreach { pf =>
+      next.fields.find(_.name == pf.name).foreach { nf =>
+        if (nf.dataType != pf.dataType)
+          throw new IllegalArgumentException(
+            s"incompatible schema change for $path: column ${pf.name} " +
+              s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString}")
       }
     }
-    throw new IllegalStateException(s"failed to publish schema for $path")
+    val newFields = next.fields.filterNot(f => prev.fieldNames.contains(f.name))
+    StructType(prev.fields.toSeq ++ newFields)
+  }
+
+  /** The `schema` meta entry for a commit based on `base`: merge the
+    * incoming schema with the base version's tracked schema. Called
+    * INSIDE the commit retry loop — a rebase recomputes the merge
+    * against the race winner's schema, which is what makes evolution
+    * lose-proof under concurrency. A commit carrying no schema (e.g. a
+    * mid-flight metadata-only commit) carries the base pointer forward.
+    */
+  private def schemaMetaFor(
+      base: Option[Long], incoming: Option[StructType]): Map[String, String] = {
+    val prevPointer = base.flatMap(v => metaAt(v).get("schema"))
+    val prevSchema = prevPointer.map(readSchemaBlob).orElse(readLegacySchemaFile())
+    (incoming, prevSchema) match {
+      case (None, _) => prevPointer.map("schema" -> _).toMap
+      case (Some(in), None) => Map("schema" -> writeSchemaBlob(in))
+      case (Some(in), Some(p)) =>
+        val merged = mergeSchemas(p, in)
+        if (merged == p && prevPointer.isDefined) Map("schema" -> prevPointer.get)
+        else Map("schema" -> writeSchemaBlob(merged))
+    }
   }
 
   private def manifestPath(v: Long) = new Path(logDir, f"$v%020d.json")
@@ -376,7 +396,6 @@ final class IncrementalTable(
     }
     fs.delete(new Path(path, s"_stage/$nonce"), true)
     recordStats(df, named)
-    trackSchema(df.schema)
     named
   }
 
@@ -405,7 +424,6 @@ final class IncrementalTable(
     }
     fs.delete(new Path(path, s"_stage/$nonce"), true)
     recordStats(df.drop(partitionCol), named)
-    trackSchema(df.drop(partitionCol).schema)
     named
   }
 
@@ -420,7 +438,8 @@ final class IncrementalTable(
     */
   def commitFiles(
       added: Seq[String], removed: Set[String], operation: String,
-      maxRetries: Int = 20, meta: Map[String, String] = Map.empty): Long = {
+      maxRetries: Int = 20, meta: Map[String, String] = Map.empty,
+      schema: Option[StructType] = None): Long = {
     var attempt = 0
     while (true) {
       // read the base version ONCE per attempt: splitting the
@@ -436,7 +455,8 @@ final class IncrementalTable(
             "part of this table)")
       val v = base.map(_ + 1).getOrElse(0L)
       try {
-        writeManifest(v, operation, prev.filterNot(removed) ++ added, meta)
+        writeManifest(v, operation, prev.filterNot(removed) ++ added,
+          meta ++ schemaMetaFor(base, schema))
         return v
       } catch {
         case e: CommitConflictException =>
@@ -456,9 +476,11 @@ final class IncrementalTable(
     val added = stage(df)
     var attempt = 0
     while (true) {
-      val v = latestVersion.map(_ + 1).getOrElse(0L)
+      val base = latestVersion
+      val v = base.map(_ + 1).getOrElse(0L)
       try {
-        writeManifest(v, operation, added)
+        writeManifest(v, operation, added,
+          schemaMetaFor(base, Some(df.schema)))
         return v
       } catch {
         case e: CommitConflictException =>
@@ -471,7 +493,7 @@ final class IncrementalTable(
 
   /** O(batch) append: new files only, everything else re-referenced. */
   def append(df: DataFrame): Long =
-    commitFiles(stage(df), Set.empty, "append")
+    commitFiles(stage(df), Set.empty, "append", schema = Some(df.schema))
 
   /** Rewrite the current snapshot into `targetFiles` files. */
   def compact(targetFiles: Int = 1): Long =
@@ -514,6 +536,13 @@ final class IncrementalTable(
       .filter(p => !keep.contains(fs.makeQualified(p).toString.stripPrefix(dataRoot)))
       .foreach(fs.delete(_, false))
     dropIds.foreach(v => fs.delete(manifestPath(v), false))
+    // schema blobs referenced by no kept manifest are garbage too
+    if (fs.exists(schemasDir)) {
+      val keptPtrs = keepIds.flatMap(v => metaAt(v).get("schema")).toSet
+      fs.listStatus(schemasDir).toSeq
+        .filterNot(st => keptPtrs.contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
     // drop stats rows for vacuumed files (stale rows are harmless for
     // correctness — pruning joins against the manifest — but unbounded)
     if (fs.exists(statsDir)) {

@@ -71,7 +71,7 @@ object Streams {
     }
     if (!watermark.exists(batchId <= _) && !batch.isEmpty)
       table.commitFiles(table.stage(batch), Set.empty,
-        s"stream_append[batch=$batchId]")
+        s"stream_append[batch=$batchId]", schema = Some(batch.schema))
   }
 
   /** Custom-state sessionization via `flatMapGroupsWithState`: events

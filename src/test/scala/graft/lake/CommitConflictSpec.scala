@@ -84,6 +84,42 @@ class CommitConflictSpec extends AnyFunSuite with SparkSpec {
       (writers * perWriter).toLong)
   }
 
+  test("schema evolution rebases inside the commit CAS: no column lost") {
+    import spark.implicits._
+    val t = fresh()
+    t.append(df((1L, "a")))
+    // writer A stages an add-column(c1) commit, then B lands an
+    // add-column(c2) commit first — A's rebase must re-merge against
+    // B's schema, keeping BOTH columns (the pre-CAS design lost one)
+    val withC1 = Seq((2L, "b", 1.5)).toDF("id", "tag", "c1").coalesce(1)
+    val withC2 = Seq((3L, "c", 7L)).toDF("id", "tag", "c2").coalesce(1)
+    val aFiles = t.stage(withC1)
+    new IncrementalTable(spark, t.path).append(withC2)
+    t.commitFiles(aFiles, Set.empty, "append", schema = Some(withC1.schema))
+    assert(t.tableSchema.get.fieldNames.toSet === Set("id", "tag", "c1", "c2"))
+    assert(t.snapshot().columns.toSet === Set("id", "tag", "c1", "c2"))
+    // schema metadata time-travels with the version
+    assert(t.schemaAt(0L).get.fieldNames.toSeq === Seq("id", "tag"))
+    assert(t.schemaAt(1L).get.fieldNames.toSet === Set("id", "tag", "c2"))
+  }
+
+  test("racing add-column appends: both columns in the tracked schema") {
+    import spark.implicits._
+    val t = fresh()
+    t.append(df((1L, "a")))
+    val frames = Seq(
+      Seq((2L, "b", 1.5)).toDF("id", "tag", "c1").coalesce(1),
+      Seq((3L, "c", 7L)).toDF("id", "tag", "c2").coalesce(1))
+    val threads = frames.map { d =>
+      new Thread(() => { new IncrementalTable(spark, t.path).append(d); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(t.latestVersion === Some(2L))
+    assert(t.tableSchema.get.fieldNames.toSet === Set("id", "tag", "c1", "c2"),
+      "a concurrent add-column commit dropped the other's column")
+  }
+
   test("manifest meta rejects the delimiters metaAt's parser splits on") {
     val t = fresh()
     val staged = t.stage(df((1L, "a")))
