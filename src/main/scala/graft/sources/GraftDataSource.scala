@@ -7,9 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetDataSourceV2
-import org.apache.spark.sql.SQLContext
-import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -40,10 +38,16 @@ import graft.lake.{IncrementalTable, VersionedTable}
   *
   * Time travel mirrors Delta's reader options (`versionAsOf` /
   * `timestampAsOf`, the surface the reference's platform exposes).
+  *
+  * STREAM: `spark.readStream.format("graft").load(path)` tails an
+  * incremental table's commit log as a DSv2 micro-batch stream
+  * ([[GraftMicroBatchStream]]; offsets are committed versions,
+  * `startingVersion` / `ignoreChanges` options as in Delta). Only the
+  * incremental layout advertises MICRO_BATCH_READ — a full-snapshot
+  * table fails loudly at load time.
   */
 class GraftDataSource extends TableProvider
-    with DataSourceRegister with CreatableRelationProvider
-    with StreamSourceProvider {
+    with DataSourceRegister with CreatableRelationProvider {
 
   private val delegate = new GraftVersionedParquet
 
@@ -84,7 +88,9 @@ class GraftDataSource extends TableProvider
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    try new GraftReadOnlyTable(delegate.getTable(schema, partitioning, properties))
+    try new GraftReadOnlyTable(
+      delegate.getTable(schema, partitioning, properties),
+      streamInfoFor(properties))
     catch {
       case e: IllegalArgumentException if emptyTable(e) =>
         new Table {
@@ -94,6 +100,29 @@ class GraftDataSource extends TableProvider
             java.util.Collections.emptySet()
         }
     }
+
+  /** Streaming parameters, resolved iff the path is an incremental-
+    * manifest table (only that layout has a file-level commit log to
+    * tail — a full-snapshot table deliberately gets NO micro-batch
+    * capability, so `readStream` falls back to the v1 path whose
+    * schema resolution fails loudly at load time).
+    */
+  private def streamInfoFor(properties: JMap[String, String]): Option[GraftStreamInfo] = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    Option(opts.get("path")).flatMap { p =>
+      val inc = new IncrementalTable(SparkSession.active, p)
+      if (!inc.isIncrementalLayout) None
+      else {
+        val startingVersion = Option(opts.get("startingVersion")) match {
+          case Some("latest") => inc.latestVersion.map(_ + 1).getOrElse(0L)
+          case Some(v) => v.trim.toLong
+          case None => 0L
+        }
+        Some(GraftStreamInfo(p, startingVersion,
+          Option(opts.get("ignoreChanges")).exists(_.toBoolean)))
+      }
+    }
+  }
 
   /** Write path — see class Scaladoc. */
   override def createRelation(
@@ -133,40 +162,6 @@ class GraftDataSource extends TableProvider
     }
   }
 
-  // ---- streaming read (readStream.format("graft")): the incremental
-  // table's commit log tailed as a stream — see [[GraftStreamSource]] ----
-
-  private def streamTableSchema(
-      ctx: SQLContext, userSchema: Option[StructType],
-      parameters: Map[String, String]): (String, StructType) = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft stream: 'path' is required"))
-    val inc = new IncrementalTable(ctx.sparkSession, path)
-    require(inc.isIncrementalLayout,
-      s"graft stream: $path is not an incremental-manifest table " +
-        "(streaming reads tail the file-level commit log)")
-    val schema = userSchema.getOrElse(inc.snapshot().schema)
-    (path, schema)
-  }
-
-  override def sourceSchema(
-      ctx: SQLContext, userSchema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), streamTableSchema(ctx, userSchema, parameters)._2)
-
-  override def createSource(
-      ctx: SQLContext, metadataPath: String, userSchema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): Source = {
-    val (path, schema) = streamTableSchema(ctx, userSchema, parameters)
-    val startingVersion = parameters.get("startingVersion") match {
-      case Some("latest") =>
-        new IncrementalTable(ctx.sparkSession, path).latestVersion.map(_ + 1).getOrElse(0L)
-      case Some(v) => v.trim.toLong
-      case None => 0L
-    }
-    val ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean)
-    new GraftStreamSource(ctx.sparkSession, path, schema, startingVersion, ignoreChanges)
-  }
 }
 
 /** The parquet DSv2 with version-directory resolution spliced into path
@@ -239,8 +234,13 @@ private[sources] class GraftVersionedParquet extends ParquetDataSourceV2 {
 /** Read-only facade over the delegate's ParquetTable: dropping the
   * write capabilities makes `DataFrameWriter` fall back to the v1
   * `CreatableRelationProvider`, which owns the manifest commit.
+  * Incremental-layout tables additionally advertise MICRO_BATCH_READ:
+  * their scans serve batch reads through the parquet delegate and
+  * micro-batch reads through [[GraftMicroBatchStream]] (the DSv2
+  * commit-log tail).
   */
-private[sources] class GraftReadOnlyTable(inner: Table)
+private[sources] class GraftReadOnlyTable(
+    inner: Table, streamInfo: Option[GraftStreamInfo] = None)
     extends Table with SupportsRead {
   override def name(): String = "graft:" + inner.name()
   override def schema(): StructType = inner.schema()
@@ -253,8 +253,14 @@ private[sources] class GraftReadOnlyTable(inner: Table)
     caps.remove(TableCapability.TRUNCATE)
     caps.remove(TableCapability.OVERWRITE_BY_FILTER)
     caps.remove(TableCapability.OVERWRITE_DYNAMIC)
+    if (streamInfo.isDefined) caps.add(TableCapability.MICRO_BATCH_READ)
     caps
   }
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    inner.asInstanceOf[SupportsRead].newScanBuilder(options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val innerBuilder = inner.asInstanceOf[SupportsRead].newScanBuilder(options)
+    streamInfo match {
+      case Some(info) => new GraftStreamScanBuilder(innerBuilder, info)
+      case None => innerBuilder
+    }
+  }
 }

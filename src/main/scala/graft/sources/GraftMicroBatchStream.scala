@@ -1,0 +1,166 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, VariantExtraction}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.IncrementalTable
+
+/** Streaming parameters resolved at `getTable` time (so
+  * `startingVersion=latest` pins to the table's head when the reader is
+  * created, the v1 source's contract).
+  */
+private[sources] final case class GraftStreamInfo(
+    path: String, startingVersion: Long, ignoreChanges: Boolean)
+
+/** Version offset on the wire: the bare committed-version number —
+  * byte-identical to the v1 `LongOffset` json, so checkpoints written
+  * by the old `StreamSourceProvider` implementation resume unchanged
+  * against this DSv2 stream.
+  */
+private[sources] final case class GraftVersionOffset(v: Long) extends Offset {
+  override def json: String = v.toString
+}
+
+/** DSv2 micro-batch read of an [[IncrementalTable]] — the commit log IS
+  * the stream (same semantics as the retired v1 `GraftStreamSource`):
+  * offsets are committed VERSIONS, a micro-batch reads exactly the data
+  * files added between two manifests (two manifest reads, O(batch)
+  * regardless of table size), rewriting commits fail loudly unless
+  * `ignoreChanges=true`. Being v2, the batch is planned as
+  * [[FilePartition]]s served by Spark's own vectorized parquet reader
+  * factory — per-batch partition planning, streaming metrics, and the
+  * evolving Spark 4 connector surface come with the interface.
+  */
+private[sources] final class GraftMicroBatchStream(
+    spark: SparkSession, info: GraftStreamInfo, innerScan: Scan)
+  extends MicroBatchStream {
+
+  private val table = new IncrementalTable(spark, info.path)
+  private val dataDir = new Path(info.path, "data")
+
+  /** "Everything ≤ this version is delivered" — the initial watermark
+    * sits one below startingVersion so the starting version itself is
+    * the first batch.
+    */
+  override def initialOffset(): Offset = GraftVersionOffset(info.startingVersion - 1)
+
+  override def latestOffset(): Offset =
+    GraftVersionOffset(table.latestVersion
+      .filter(_ >= info.startingVersion - 1)
+      .getOrElse(info.startingVersion - 1))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftMicroBatchStream[${info.path}]"
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftVersionOffset].v
+    val to = end.asInstanceOf[GraftVersionOffset].v
+    if (to <= from || !table.versionExists(to)) return Array.empty
+    val prevFiles: Set[String] =
+      if (from < 0) Set.empty
+      else {
+        require(table.versionExists(from),
+          s"graft stream: version $from was vacuumed from ${info.path} — cannot " +
+            "compute the delta; restart the stream from a fresh checkpoint")
+        table.files(from).toSet
+      }
+    val nowFiles = table.files(to)
+    val removed = prevFiles -- nowFiles
+    if (removed.nonEmpty && !info.ignoreChanges)
+      throw new IllegalStateException(
+        s"graft stream: versions ${from + 1}..$to of ${info.path} " +
+          s"rewrite ${removed.size} file(s) (compact/overwrite/merge). " +
+          "Streaming reads require append-only commits; set " +
+          "ignoreChanges=true to stream the rewritten files as re-deliveries.")
+    val added = nowFiles.filterNot(prevFiles).sorted
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    added.zipWithIndex.map { case (f, i) =>
+      val p = new Path(dataDir, f)
+      val st = fs.getFileStatus(p)
+      FilePartition(i, Array(PartitionedFile(
+        InternalRow.empty, org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+        0L, st.getLen, Array.empty, st.getModificationTime, st.getLen)))
+        : InputPartition
+    }.toArray
+  }
+
+  /** The parquet scan's own batch reader factory: `ParquetScan` wires
+    * the read-support class, requested-schema json, timezone and
+    * vectorization flags into the broadcast hadoop conf — re-deriving
+    * that setup here would just duplicate it (and a missed key fails at
+    * executor time), so the stream reuses the exact factory the batch
+    * path would run with, fed our per-micro-batch [[FilePartition]]s.
+    */
+  override def createReaderFactory(): PartitionReaderFactory =
+    innerScan.toBatch.createReaderFactory()
+}
+
+/** Scan wrapper: batch reads delegate untouched to the parquet DSv2
+  * scan; `toMicroBatchStream` — which the parquet scan cannot serve —
+  * returns the commit-log stream. The read schema handed to the stream
+  * is the (possibly column-pruned) schema the builder negotiated.
+  */
+private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
+    extends Scan {
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = inner.toBatch
+  override def description(): String = inner.description()
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(SparkSession.active, info, inner)
+}
+
+/** ScanBuilder wrapper that FORWARDS every pushdown interface the
+  * parquet builder implements — wrapping must not cost the batch path
+  * its filter/column/aggregate pushdown.
+  */
+private[sources] final class GraftStreamScanBuilder(
+    inner: ScanBuilder, info: GraftStreamInfo)
+  extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownCatalystFilters
+    with SupportsPushDownAggregates
+    with SupportsPushDownVariantExtractions {
+
+  override def build(): Scan = new GraftStreamScan(inner.build(), info)
+
+  override def pruneColumns(requiredSchema: StructType): Unit = inner match {
+    case c: SupportsPushDownRequiredColumns => c.pruneColumns(requiredSchema)
+    case _ => ()
+  }
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = inner match {
+    case f: SupportsPushDownCatalystFilters => f.pushFilters(filters)
+    case _ => filters
+  }
+  override def pushedFilters: Array[Predicate] = inner match {
+    case f: SupportsPushDownCatalystFilters => f.pushedFilters
+    case _ => Array.empty
+  }
+  override def pushAggregation(aggregation: Aggregation): Boolean = inner match {
+    case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
+    case _ => false
+  }
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = inner match {
+    case a: SupportsPushDownAggregates => a.supportCompletePushDown(aggregation)
+    case _ => false
+  }
+  override def pushVariantExtractions(extractions: Array[VariantExtraction]): Array[Boolean] =
+    inner match {
+      case v: SupportsPushDownVariantExtractions => v.pushVariantExtractions(extractions)
+      case _ => Array.fill(extractions.length)(false)
+    }
+}

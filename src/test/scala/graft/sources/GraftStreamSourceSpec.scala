@@ -124,6 +124,16 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpec {
       Set((9L, "z")))
   }
 
+  test("streaming runs through the DSv2 MicroBatchStream (not a v1 fallback)") {
+    val (_, dir) = freshTable()
+    val q = runToMemory(dir, "v2probe")
+    q.awaitTermination(60000)
+    val sources = q.recentProgress.flatMap(_.sources.map(_.description)).toSeq
+    q.stop()
+    assert(sources.nonEmpty && sources.forall(_.contains("GraftMicroBatchStream")),
+      s"expected the DSv2 stream, saw: $sources")
+  }
+
   test("streaming a non-incremental (versioned) table fails loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream_vt_").toString + "/t"
