@@ -142,6 +142,49 @@ class FileStatsSpec extends AnyFunSuite with SparkSpec {
       === (100L until 120L))
   }
 
+  test("z-order clustering: BOTH cluster columns prune; linear only the leading one") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fstats_z_").toString + "/t"
+    val t = new IncrementalTable(spark, dir)
+    // x and y are independent uniform 0..63 — written in insertion
+    // order, every file spans both full ranges
+    val rows = (0 until 4096).map { i =>
+      ((i * 2654435761L) % 64L, (i * 40503L + 17L) % 64L, i.toLong)
+    }
+    t.append(rows.toDF("x", "y", "payload").repartition(4))
+    val px = col("x") === 7L
+    val py = col("y") === 11L
+    assert(t.prunedFiles(t.files(t.latestVersion.get), Seq(px)).size === 4)
+    assert(t.prunedFiles(t.files(t.latestVersion.get), Seq(py)).size === 4)
+
+    // linear clustering on (x, y): the leading key prunes, y cannot
+    t.cluster(16, "x", "y")
+    val lin = t.files(t.latestVersion.get)
+    assert(t.prunedFiles(lin, Seq(px)).size <= 4, "leading key should prune")
+    // a trailing linear key barely prunes: only files cut mid-x-group
+    // get partial y bounds (12/16 here), vs <=8/16 once z-ordered
+    val linKeptY = t.prunedFiles(lin, Seq(py)).size
+    assert(linKeptY >= lin.size * 2 / 3,
+      s"a trailing linear key shouldn't prune well: kept $linKeptY/${lin.size}")
+
+    // z-order: every file is a compact (x, y) rectangle — both prune
+    t.clusterZ(16, 6, "x", "y")
+    val zf = t.files(t.latestVersion.get)
+    assert(zf.size === 16)
+    val keptX = t.prunedFiles(zf, Seq(px))
+    val keptY = t.prunedFiles(zf, Seq(py))
+    assert(keptX.size <= zf.size / 2, s"x didn't prune after z-order: ${keptX.size}/${zf.size}")
+    assert(keptY.size <= zf.size / 2, s"y didn't prune after z-order: ${keptY.size}/${zf.size}")
+    // conjunction prunes to the intersection rectangle(s)
+    assert(t.prunedFiles(zf, Seq(px && py)).size <= 4)
+    // results stay identical to the unpruned filters
+    assert(t.scan(px).count() === rows.count(_._1 == 7L))
+    assert(t.scan(py).count() === rows.count(_._2 == 11L))
+    assert(t.scan(px && py).select("payload").orderBy("payload")
+      .collect().map(_.getLong(0)).toSeq
+      === rows.filter(r => r._1 == 7L && r._2 == 11L).map(_._3))
+  }
+
   test("schema evolution: appended columns surface, old files read NULL") {
     import spark.implicits._
     val dir = Files.createTempDirectory("fstats_evo_").toString + "/t"
