@@ -597,7 +597,63 @@ object RelationalQueries {
         lit(7.0)).as("avg_yearly"))
   }
 
+  /** TPC-H Q20 shape — the nested correlated-subquery chain: suppliers
+    * of name-filtered parts whose all-time shipped quantity (the stock
+    * proxy standing in for partsupp.ps_availqty) exceeds 2.5× their
+    * 1997-window volume, restricted to a nation set. The two nested
+    * correlated subqueries decorrelate into ONE conditional aggregate
+    * over (part, supplier) — total and windowed sums from the same
+    * pass — feeding a semi-join chain: eligible parts semi-join the
+    * fact scan, surviving supplier keys semi-join supplier, nation
+    * broadcast-semi-joins last. Quantities stay exact decimals; the
+    * threshold is the integer-decimal inequality 2·total > 5·win (no
+    * float 0.4 to diverge between engines).
+    */
+  def q20SlowStockSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val qty = col("l_quantity").cast("decimal(18,2)")
+    val eligible = Tables.load(spark, dir, "part")
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    val inWin = col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+    val ps = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(eligible), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(qty).as("total_qty"),
+        sum(when(inWin, qty).otherwise(lit(0).cast("decimal(18,2)"))).as("win_qty"))
+    val keep = ps
+      .filter(col("win_qty") > lit(0).cast("decimal(18,2)") &&
+        col("total_qty") * lit(2) > col("win_qty") * lit(5))
+      .select(col("l_suppkey")).distinct()
+    Tables.load(spark, dir, "supplier")
+      .join(broadcast(keep), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.load(spark, dir, "nation")
+          .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_name")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q20_slow_stock_suppliers" ->
+      """WITH eligible AS (
+        |  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+        |ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
+        |         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |                   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |                  THEN CAST(l_quantity AS DECIMAL(18,2))
+        |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS win_qty
+        |  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM eligible)
+        |  GROUP BY 1, 2),
+        |keep AS (
+        |  SELECT DISTINCT l_suppkey FROM ps
+        |  WHERE win_qty > CAST(0 AS DECIMAL(18,2)) AND total_qty * 2 > win_qty * 5)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM keep)
+        |  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        |ORDER BY s_name""".stripMargin,
     "q15_top_supplier" ->
       """WITH revenue AS (
         |  SELECT l_suppkey,
@@ -875,6 +931,7 @@ object RelationalQueries {
     "q15_top_supplier" -> q15TopSupplier _,
     "q16_part_supplier_cnt" -> q16PartSupplierCnt _,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue _,
+    "q20_slow_stock_suppliers" -> q20SlowStockSuppliers _,
     "q18_large_orders" -> q18LargeOrders _,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
     "q22_global_sales" -> q22GlobalSales _,

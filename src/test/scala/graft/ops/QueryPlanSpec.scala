@@ -183,6 +183,17 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("NestedLoop"), s"nested loop in q17:\n$p")
   }
 
+  test("q20 decorrelates into one aggregate and a broadcast semi-join chain") {
+    val p = RelationalQueries.q20SlowStockSuppliers(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("LeftSemi".r.findAllIn(p).size >= 3,
+      s"expected the part->fact->supplier->nation semi-join chain:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast semi joins:\n$p")
+    assert(p.contains("partial_sum"), s"the correlated sums must aggregate map-side:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"nested loop in q20:\n$p")
+  }
+
   test("q13 keeps the left join and aggregates with partials") {
     val p = RelationalQueries.q13CustomerDistribution(spark, dir)
       .queryExecution.executedPlan.toString
