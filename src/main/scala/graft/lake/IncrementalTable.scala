@@ -515,6 +515,55 @@ final class IncrementalTable(
       operation = s"cluster[${cols.mkString(",")}]")
   }
 
+  /** CHANGE DATA FEED over the commit log (Delta `readChangeFeed`, for
+    * the append-only case): the rows added in versions `(fromV, toV]`,
+    * each tagged `_change_type = 'insert'` and `_commit_version = v`.
+    * Cost is O(changed files) — per version two manifest reads compute
+    * the file delta, and only added files are scanned; the table's
+    * size never matters. Pass `fromV = -1` to feed from the beginning.
+    * A version that REMOVES files is not an append: it fails loudly,
+    * the same contract as the streaming source (update/delete feeds
+    * need CDC files, which this format deliberately does not write).
+    * Each version's rows are read under that version's own tracked
+    * schema; evolved columns null-fill across the union.
+    */
+  def changes(fromV: Long, toV: Long): DataFrame = {
+    require(fromV >= -1 && toV >= fromV, s"bad change range $fromV..$toV")
+    require(versionExists(toV), s"version $toV does not exist at $path")
+    var prev: Set[String] =
+      if (fromV < 0) Set.empty
+      else {
+        require(versionExists(fromV),
+          s"version $fromV was vacuumed from $path — cannot compute changes")
+        files(fromV).toSet
+      }
+    val perVersion = ((fromV + 1) to toV).map { v =>
+      val now = files(v)
+      val removed = prev -- now
+      if (removed.nonEmpty)
+        throw new IllegalStateException(
+          s"changes($fromV, $toV) of $path: version $v rewrites " +
+            s"${removed.size} file(s) (compact/overwrite/merge) — the " +
+            "change feed covers append-only ranges")
+      val added = now.filterNot(prev)
+      prev = now.toSet
+      (v, added)
+    }
+    import org.apache.spark.sql.functions.lit
+    val frames = perVersion.filter(_._2.nonEmpty).map { case (v, added) =>
+      val reader = schemaAt(v).map(spark.read.schema).getOrElse(spark.read)
+      reader.parquet(added.map(f => new Path(dataDir, f).toString): _*)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(v))
+    }
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
+      val base = tableSchema.orElse(schemaAt(toV)).getOrElse(StructType(Nil))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[Row](),
+        base.add("_change_type", StringType).add("_commit_version", LongType))
+    }
+  }
+
   /** Rewrite the snapshot Z-ORDER clustered on `cols` — the
     * multi-dimensional counterpart of [[cluster]]'s linear ordering.
     * Each column is scaled to a `bits`-bit bucket code between its

@@ -633,7 +633,98 @@ object RelationalQueries {
       .orderBy("s_name")
   }
 
+  /** TPC-H Q21 shape: "suppliers who kept orders waiting" — the classic
+    * EXISTS / NOT-EXISTS pair of correlated subqueries over the same
+    * fact table. Lateness (this schema has no receiptdate/commitdate)
+    * is shipdate > orderdate + 60 days. Decorrelation: BOTH subqueries
+    * collapse into one per-order aggregate — distinct suppliers and
+    * distinct LATE suppliers — because a late line "waits" iff its
+    * order involves other suppliers (EXISTS) and exactly one late
+    * supplier (NOT EXISTS ⇔ the only late one is itself). One extra
+    * hash aggregate on the order key replaces two correlated self-joins
+    * of the fact table; the aggregate and the waiting-line join share
+    * the same orderkey partitioning, so the exchange is reused.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("int"))
+      .select("l_orderkey", "l_suppkey", "late")
+    val perOrder = li.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(when(col("late") === 1, col("l_suppkey"))).as("late_supps"))
+    val waiting = li.filter(col("late") === 1)
+      .join(perOrder, Seq("l_orderkey"))
+      .filter(col("n_supps") > 1 && col("late_supps") === 1)
+    waiting
+      .join(broadcast(Tables.load(spark, dir, "supplier")),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")
+          .filter(col("n_name").isin("NATION_2", "NATION_6", "NATION_10",
+            "NATION_14", "NATION_18", "NATION_22"))),
+        col("n_nationkey") === col("s_nationkey"), "left_semi")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** The TABLE FORMAT itself as a gated query: lineitem is written into
+    * an [[graft.lake.IncrementalTable]] (content-keyed temp dir, built
+    * once per dataset), Z-ORDER clustered on (l_partkey, l_suppkey),
+    * then read through the stats-skipping [[graft.lake.IncrementalTable.scan]]
+    * with a two-column predicate — the exact workload clusterZ exists
+    * for. The rewrite never changes row CONTENT, so plain SQL over the
+    * raw parquet oracles the whole format path end-to-end: stage/rename
+    * commit protocol, manifest resolution, footer stats harvest, Morton
+    * interleave, file pruning, and the residual row filter.
+    */
+  def lakeZorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified).hashCode)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_z_$key"
+    val t = new graft.lake.IncrementalTable(spark, path)
+    if (!t.exists) {
+      t.append(Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"))
+      t.clusterZ(16, 6, "l_partkey", "l_suppkey")
+    }
+    t.scan(col("l_partkey") <= 20L, col("l_suppkey") <= 10L)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val oracle: Map[String, String] = Map(
+    "lake_zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem WHERE l_partkey <= 20 AND l_suppkey <= 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH li AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |              THEN 1 ELSE 0 END AS late
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |per_order AS (
+        |  SELECT l_orderkey,
+        |         count(DISTINCT l_suppkey) AS n_supps,
+        |         count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS late_supps
+        |  FROM li GROUP BY 1),
+        |waiting AS (
+        |  SELECT li.l_orderkey, li.l_suppkey
+        |  FROM li JOIN per_order p ON p.l_orderkey = li.l_orderkey
+        |  WHERE li.late = 1 AND p.n_supps > 1 AND p.late_supps = 1)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM waiting JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE n_name IN ('NATION_2','NATION_6','NATION_10','NATION_14','NATION_18','NATION_22')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q20_slow_stock_suppliers" ->
       """WITH eligible AS (
         |  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
@@ -932,6 +1023,8 @@ object RelationalQueries {
     "q16_part_supplier_cnt" -> q16PartSupplierCnt _,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue _,
     "q20_slow_stock_suppliers" -> q20SlowStockSuppliers _,
+    "q21_waiting_suppliers" -> q21WaitingSuppliers _,
+    "lake_zorder_scan" -> lakeZorderScan _,
     "q18_large_orders" -> q18LargeOrders _,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
     "q22_global_sales" -> q22GlobalSales _,

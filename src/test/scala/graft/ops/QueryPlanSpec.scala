@@ -194,6 +194,15 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
       s"nested loop in q20:\n$p")
   }
 
+  test("q21 collapses EXISTS/NOT-EXISTS into one aggregate, bounded top-k finish") {
+    val p = RelationalQueries.q21WaitingSuppliers(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected bounded top-100:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier/nation must broadcast:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"correlated subqueries must not become nested loops:\n$p")
+  }
+
   test("q13 keeps the left join and aggregates with partials") {
     val p = RelationalQueries.q13CustomerDistribution(spark, dir)
       .queryExecution.executedPlan.toString
