@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.{IncrementalTable, VersionedTable}
+
+/** Path-convention catalog over graft tables — the piece that turns the
+  * connector into a full SQL surface:
+  *
+  * {{{
+  *   spark.conf: spark.sql.catalog.lake = graft.sources.GraftCatalog
+  *               spark.sql.catalog.lake.warehouse = /data/lake
+  *
+  *   SELECT * FROM lake.events                       -- latest
+  *   SELECT * FROM lake.events VERSION AS OF 3       -- time travel (SQL!)
+  *   SELECT * FROM lake.events TIMESTAMP AS OF '...'
+  *   CREATE TABLE lake.t2 (id BIGINT, tag STRING)    -- empty v0 commit
+  *   DROP TABLE lake.t2
+  * }}}
+  *
+  * A table named `ns1.ns2.t` lives at `<warehouse>/ns1/ns2/t`; there is
+  * no side metastore — the directory IS the registry (its commit log
+  * holds schema + versions), so the catalog stays stateless and any
+  * number of sessions share it. `VERSION AS OF` resolves through the
+  * same manifest read as `option("versionAsOf", ...)`; Delta exposes
+  * the identical surface through its own catalog.
+  *
+  * WRITES go through the path API (`df.write.format("graft").save`) or
+  * the injected MERGE/UPDATE/DELETE SQL — the exposed table is
+  * deliberately read-only (see [[GraftReadOnlyTable]]), which keeps the
+  * manifest commit the single write path. `createTable` commits an
+  * empty v0 carrying the DDL schema, so a freshly-created table reads
+  * as empty rather than failing.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark = SparkSession.active
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String =
+    (warehouse.stripSuffix("/") +: (ident.namespace() :+ ident.name())).mkString("/")
+
+  private def isTableDir(path: String): Boolean =
+    new IncrementalTable(spark, path).exists || new VersionedTable(spark, path).exists
+
+  private def tableAt(path: String, extra: Map[String, String]): Table = {
+    val ds = new GraftDataSource
+    val props = new java.util.HashMap[String, String]()
+    props.put("path", path)
+    extra.foreach { case (k, v) => props.put(k, v) }
+    val opts = new CaseInsensitiveStringMap(props)
+    ds.getTable(ds.inferSchema(opts), ds.inferPartitioning(opts), props)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    tableAt(p, Map.empty)
+  }
+
+  /** `VERSION AS OF <v>` (SQL time travel). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    tableAt(p, Map("versionAsOf" -> version))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = pathOf(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    tableAt(p, Map("timestampAsOf" -> (timestamp / 1000L).toString))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTableDir(pathOf(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = (warehouse.stripSuffix("/") +: namespace).mkString("/")
+    val f = fs(dir)
+    if (!f.exists(new Path(dir))) Array.empty
+    else f.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isDirectory && isTableDir(st.getPath.toString))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog tables are clustered post-hoc (cluster/clusterZ), not hive-partitioned")
+    val p = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(_.stripSuffix("/")).getOrElse(pathOf(ident))
+    if (isTableDir(p)) {
+      // CREATE TABLE ... USING graft LOCATION over an EXISTING table is
+      // registration, not creation — Delta's external-table behavior
+      return tableAt(p, Map.empty)
+    }
+    if (schema.isEmpty)
+      throw new IllegalArgumentException(
+        s"graft: CREATE TABLE $ident needs a schema (or a LOCATION holding an existing table)")
+    val t = new IncrementalTable(spark, p)
+    // empty v0 carrying the DDL schema; data/ marks the incremental layout
+    fs(p).mkdirs(new Path(p, "data"))
+    t.commitFiles(Seq.empty, Set.empty, "create", schema = Some(schema))
+    tableAt(p, Map.empty)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft: schema evolves through writes (add-column merge on commit), not ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = pathOf(ident)
+    if (!isTableDir(p)) false
+    else fs(p).delete(new Path(p), true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = pathOf(from)
+    if (!isTableDir(src)) throw new NoSuchTableException(from)
+    if (isTableDir(pathOf(to))) throw new TableAlreadyExistsException(to)
+    if (!fs(src).rename(new Path(src), new Path(pathOf(to))))
+      throw new IllegalStateException(s"graft: rename $from -> $to failed")
+  }
+}

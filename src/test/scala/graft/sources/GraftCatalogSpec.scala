@@ -1,0 +1,70 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.AnalysisException
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.lake.IncrementalTable
+
+/** The catalog SQL surface: `lake.t` name resolution over a warehouse
+  * directory, SQL time travel (`VERSION AS OF` / `TIMESTAMP AS OF`),
+  * DDL create/drop, and commit visibility across the path write API.
+  */
+class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val wh = Files.createTempDirectory("graft_wh_").toString
+
+  private def configure(): Unit = {
+    spark.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.lake.warehouse", wh)
+  }
+
+  test("SQL reads resolve through the catalog; VERSION/TIMESTAMP AS OF time-travel") {
+    configure()
+    import spark.implicits._
+    val t = new IncrementalTable(spark, s"$wh/events")
+    t.append(Seq((1L, "a")).toDF("id", "tag"))
+    Thread.sleep(1100) // distinct commit timestamps for TIMESTAMP AS OF
+    t.append(Seq((2L, "b")).toDF("id", "tag"))
+
+    assert(spark.sql("SELECT count(*) AS n FROM lake.events").head.getLong(0) === 2L)
+    assert(spark.sql("SELECT id FROM lake.events VERSION AS OF 0")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // TIMESTAMP AS OF at v0's commit instant sees only v0
+    val v0At = t.history().filter("version = 0")
+      .select("committed_at").head.getTimestamp(0)
+    val lit = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS").format(v0At)
+    assert(spark.sql(s"SELECT id FROM lake.events TIMESTAMP AS OF '$lit'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // predicates push through the catalog-resolved scan
+    assert(spark.sql("SELECT tag FROM lake.events WHERE id = 2").head.getString(0) === "b")
+  }
+
+  test("CREATE TABLE commits an empty v0; path-API writes become visible; DROP removes") {
+    configure()
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS lake.fresh")
+    spark.sql("CREATE TABLE lake.fresh (id BIGINT, tag STRING) USING graft")
+    assert(spark.sql("SELECT * FROM lake.fresh").count() === 0L)
+    assert(spark.sql("SELECT * FROM lake.fresh").columns.toSeq === Seq("id", "tag"))
+    // writes stay on the single manifest-commit path (the table itself
+    // is read-only); the catalog resolves the new version per query
+    Seq((7L, "x")).toDF("id", "tag")
+      .write.format("graft").mode("append").save(s"$wh/fresh")
+    assert(spark.sql("SELECT id FROM lake.fresh").head.getLong(0) === 7L)
+    spark.sql("DROP TABLE lake.fresh")
+    assertThrows[AnalysisException](spark.sql("SELECT * FROM lake.fresh").collect())
+  }
+
+  test("missing tables throw; listTables sees only table directories") {
+    configure()
+    assertThrows[AnalysisException](spark.sql("SELECT * FROM lake.nope").collect())
+    import spark.implicits._
+    new IncrementalTable(spark, s"$wh/t_listed")
+      .append(Seq((1L, "a")).toDF("id", "tag"))
+    val names = spark.sql("SHOW TABLES IN lake").collect().map(_.getString(1)).toSet
+    assert(names.contains("t_listed"))
+  }
+}
