@@ -299,19 +299,25 @@ object RelationalQueries {
       .select(col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation"))
     val nCust = Tables.load(spark, dir, "nation")
       .select(col("n_nationkey").as("nc_key"), col("n_regionkey").as("c_regionkey"))
+    // pre-reduce the customer side to ASIA custkeys BEFORE the orders
+    // join: the region filter then shrinks orders ahead of the one big
+    // lineitem⋈orders shuffle, and the customer/nation/region probes
+    // ride ~1/5 of orders instead of every joined fact row
+    val asiaCustKeys = Tables.load(spark, dir, "customer")
+      .join(broadcast(nCust), col("c_nationkey") === col("nc_key"))
+      .join(broadcast(Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("c_regionkey") === col("r_regionkey"), "left_semi")
+      .select(col("c_custkey"))
+    val asiaOrders = Tables.load(spark, dir, "orders")
+      .join(broadcast(asiaCustKeys), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_orderdate")
     Tables.load(spark, dir, "lineitem")
       .join(broadcast(Tables.load(spark, dir, "part").filter(col("p_type") === "PROMO")),
         col("l_partkey") === col("p_partkey"))
       .join(broadcast(Tables.load(spark, dir, "supplier")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nSupp), col("s_nationkey") === col("ns_key"))
-      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.load(spark, dir, "customer")),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nCust), col("c_nationkey") === col("nc_key"))
-      .join(broadcast(Tables.load(spark, dir, "region")),
-        col("c_regionkey") === col("r_regionkey"))
-      .filter(col("r_name") === "ASIA")
+      .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg((sum(when(col("supp_nation") === "NATION_3", rev)
           .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /

@@ -78,4 +78,24 @@ class FileStatsPropertySpec extends AnyFunSuite with SparkSpec {
     // the harness must actually exercise pruning, not vacuously pass
     assert(prunedSomething > 5, s"only $prunedSomething/40 cases pruned")
   }
+
+  test("z-ordered layout: 25 random predicates still scan ≡ filter, and prune") {
+    val t = buildTable()
+    // rewrite the whole table Morton-clustered on (id, v) — the
+    // equivalence property must survive the layout change, and both
+    // columns should now prune regularly
+    t.clusterZ(8, 5, "id", "v")
+    val all = t.files(t.latestVersion.get)
+    var prunedSomething = 0
+    (1 to 25).foreach { i =>
+      val pred = randomPred(2)
+      val expected = t.snapshot().filter(pred)
+        .select("id", "v", "s").collect().map(_.toString).sorted.toSeq
+      val got = t.scan(pred)
+        .select("id", "v", "s").collect().map(_.toString).sorted.toSeq
+      assert(got === expected, s"z-case $i predicate $pred dropped rows")
+      if (t.prunedFiles(all, Seq(pred)).size < all.size) prunedSomething += 1
+    }
+    assert(prunedSomething > 5, s"only $prunedSomething/25 z-cases pruned")
+  }
 }
