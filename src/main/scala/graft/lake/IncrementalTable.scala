@@ -169,6 +169,8 @@ final class IncrementalTable(
     */
   private[lake] def writeManifest(v: Long, operation: String, files: Seq[String],
       meta: Map[String, String] = Map.empty): Unit = {
+    require(!operation.contains("\"") && !operation.contains("\\"),
+      s"illegal character in operation string: $operation")
     files.foreach(f => require(!f.contains("\"") && !f.contains("\\"),
       s"illegal character in data file name: $f"))
     meta.foreach { case (k, v) =>
@@ -204,13 +206,18 @@ final class IncrementalTable(
     require(versionExists(v), s"version $v does not exist at $path")
     val in = fs.open(manifestPath(v))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    def field(k: String): String =
-      txt.split(s""""$k":""")(1).takeWhile(c => c != ',' && c != '}').trim
+    // the operation string may legally contain ',' (e.g. zorder[x,y]) —
+    // parse the quoted value as a unit, never split on bare commas
+    val op = """"operation":"([^"]*)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse(
+        throw new IllegalStateException(s"corrupt manifest $v at $path"))
+    val ts = """"committedAt":(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toLong).getOrElse(
+        throw new IllegalStateException(s"corrupt manifest $v at $path"))
     val files = txt.split(""""files":\[""")(1).takeWhile(_ != ']')
     val names = files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty)
-    (field("operation").stripPrefix("\"").stripSuffix("\""),
-      field("committedAt").toLong, names)
+    (op, ts, names)
   }
 
   /** Data files (relative to `data/`) composing version `v`. */

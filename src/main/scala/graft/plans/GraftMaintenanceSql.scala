@@ -1,0 +1,132 @@
+package org.apache.spark.sql.graftmerge
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+import graft.lake.IncrementalTable
+
+/** Maintenance SQL for graft tables — the statements Delta exposes for
+  * its format, parsed ahead of the session grammar (Spark has no
+  * OPTIMIZE/VACUUM statement of its own, and `DESCRIBE HISTORY` would
+  * otherwise mis-parse as a table describe):
+  *
+  * {{{
+  *   OPTIMIZE lake.t                          -- bin-pack compact
+  *   OPTIMIZE lake.t ZORDER BY (a, b)         -- Morton-clustered rewrite
+  *   VACUUM lake.t KEEP 3 VERSIONS            -- reference-counted GC
+  *   DESCRIBE HISTORY lake.t                  -- the commit log as rows
+  * }}}
+  *
+  * The target is either a graft-catalog table (`lake.ns.t`, resolved
+  * through [[graft.sources.GraftCatalog]]'s path convention) or a
+  * quoted filesystem path. Statement heads are unambiguous, so the
+  * pre-parse never shadows valid Spark SQL (the one documented
+  * collision — `DESCRIBE history` meaning a table literally named
+  * "history" — is the same one Delta accepts).
+  */
+object GraftMaintenanceSql {
+
+  private val Optimize =
+    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+  private val Vacuum =
+    """(?is)^\s*VACUUM\s+(.+?)(?:\s+KEEP\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+  private val History =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case Optimize(target, zcols) =>
+      Some(OptimizeGraftCommand(target.trim,
+        Option(zcols).map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)))
+    case Vacuum(target, keep) =>
+      Some(VacuumGraftCommand(target.trim,
+        Option(keep).map(_.toInt).getOrElse(1)))
+    case History(target) => Some(DescribeHistoryGraftCommand(target.trim))
+    case _ => None
+  }
+
+  /** Resolve the statement target to a table directory: a quoted path
+    * verbatim, otherwise a multipart identifier whose head names a
+    * registered [[graft.sources.GraftCatalog]].
+    */
+  def resolvePath(spark: SparkSession, target: String): String = {
+    val t = target.trim
+    if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2) ||
+        (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2))
+      return t.substring(1, t.length - 1)
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(t)
+    if (parts.size >= 2 &&
+        spark.sessionState.catalogManager.isCatalogRegistered(parts.head)) {
+      spark.sessionState.catalogManager.catalog(parts.head) match {
+        case gc: graft.sources.GraftCatalog =>
+          return gc.tablePath(
+            Identifier.of(parts.tail.init.toArray, parts.last))
+        case _ => ()
+      }
+    }
+    throw new IllegalArgumentException(
+      s"graft maintenance SQL: '$t' is neither a graft-catalog table " +
+        "(catalog.ns.table) nor a quoted path")
+  }
+
+  private[graftmerge] def incrementalAt(spark: SparkSession, target: String): IncrementalTable = {
+    val path = resolvePath(spark, target)
+    val t = new IncrementalTable(spark, path)
+    require(t.isIncrementalLayout,
+      s"graft maintenance SQL needs an incremental-manifest table: $path")
+    t
+  }
+}
+
+/** `OPTIMIZE t [ZORDER BY (cols)]` — compact, or Morton-cluster so
+  * every listed (numeric) column keeps prunable footer bounds. Knobs
+  * ride session confs: `graft.optimize.targetFiles` (default 1 for
+  * compact, 16 for zorder), `graft.optimize.zorderBits` (default 8).
+  */
+case class OptimizeGraftCommand(target: String, zorderCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("operation", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftMaintenanceSql.incrementalAt(spark, target)
+    def conf(k: String, d: Int) =
+      spark.conf.getOption(k).map(_.toInt).getOrElse(d)
+    val v =
+      if (zorderCols.isEmpty) t.compact(conf("graft.optimize.targetFiles", 1))
+      else t.clusterZ(conf("graft.optimize.targetFiles", 16),
+        conf("graft.optimize.zorderBits", 8), zorderCols: _*)
+    Seq(Row(v, t.operationAt(v)))
+  }
+}
+
+/** `VACUUM t [KEEP n VERSIONS]` — delete data files referenced by no
+  * kept manifest (default keeps only the latest version readable).
+  */
+case class VacuumGraftCommand(target: String, keepLast: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("kept_from_version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftMaintenanceSql.incrementalAt(spark, target)
+    t.vacuum(keepLast)
+    Seq(Row(t.latestVersion.map(v => math.max(0L, v - keepLast + 1)).getOrElse(0L)))
+  }
+}
+
+/** `DESCRIBE HISTORY t` — the commit log, newest first. */
+case class DescribeHistoryGraftCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("operation", StringType)(),
+    AttributeReference("numFiles", IntegerType)(),
+    AttributeReference("committed_at", TimestampType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftMaintenanceSql.incrementalAt(spark, target)
+    t.history().collect().toSeq
+  }
+}

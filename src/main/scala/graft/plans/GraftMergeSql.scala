@@ -40,12 +40,15 @@ class GraftMergeParser(delegate: ParserInterface) extends ParserInterface {
 
   @throws[ParseException]
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(sqlText) match {
-      case m: MergeIntoTable => GraftMergeParser.translate(m)
-      case d: DeleteFromTable => GraftMergeParser.translateDelete(d)
-      case u: UpdateTable => GraftMergeParser.translateUpdate(u)
-      case other => other
-    }
+    // maintenance statements (OPTIMIZE / VACUUM / DESCRIBE HISTORY)
+    // are not in Spark's grammar — pre-parse them, then delegate
+    GraftMaintenanceSql.parse(sqlText).getOrElse(
+      delegate.parsePlan(sqlText) match {
+        case m: MergeIntoTable => GraftMergeParser.translate(m)
+        case d: DeleteFromTable => GraftMergeParser.translateDelete(d)
+        case u: UpdateTable => GraftMergeParser.translateUpdate(u)
+        case other => other
+      })
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

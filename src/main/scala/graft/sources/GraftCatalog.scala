@@ -61,6 +61,11 @@ class GraftCatalog extends TableCatalog {
   private def pathOf(ident: Identifier): String =
     (warehouse.stripSuffix("/") +: (ident.namespace() :+ ident.name())).mkString("/")
 
+  /** Filesystem path of `ident` — the maintenance SQL statements
+    * (OPTIMIZE / VACUUM / DESCRIBE HISTORY) resolve through this.
+    */
+  def tablePath(ident: Identifier): String = pathOf(ident)
+
   private def isTableDir(path: String): Boolean =
     new IncrementalTable(spark, path).exists || new VersionedTable(spark, path).exists
 

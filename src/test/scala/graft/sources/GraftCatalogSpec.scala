@@ -58,6 +58,46 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assertThrows[AnalysisException](spark.sql("SELECT * FROM lake.fresh").collect())
   }
 
+  test("maintenance SQL: OPTIMIZE, ZORDER BY, DESCRIBE HISTORY, VACUUM") {
+    configure()
+    import spark.implicits._
+    val t = new IncrementalTable(spark, s"$wh/maint")
+    (0 until 4).foreach { i =>
+      t.append(Seq((i.toLong, (i * 7 % 5).toLong)).toDF("id", "v").coalesce(1))
+    }
+    assert(spark.sql("DESCRIBE HISTORY lake.maint").count() === 4L)
+
+    val opt = spark.sql("OPTIMIZE lake.maint").head
+    assert(opt.getLong(0) === 4L && opt.getString(1) === "compact")
+    assert(t.files(t.latestVersion.get).size === 1)
+
+    spark.sql("OPTIMIZE lake.maint ZORDER BY (id, v)")
+    assert(t.operationAt(t.latestVersion.get) === "zorder[id,v]")
+    assert(t.snapshot().count() === 4L)
+
+    spark.sql("VACUUM lake.maint KEEP 1 VERSIONS")
+    assertThrows[Exception](t.snapshotAt(0L).collect())
+    assert(t.snapshot().count() === 4L)
+    // quoted-path form resolves too
+    assert(spark.sql(s"DESCRIBE HISTORY '$wh/maint'").count() >= 1L)
+  }
+
+  test("readStream resolves through the catalog to the DSv2 stream") {
+    configure()
+    import spark.implicits._
+    val t = new IncrementalTable(spark, s"$wh/stream_t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    val q = spark.readStream.table("lake.stream_t")
+      .writeStream.format("memory").queryName("cat_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val sources = q.recentProgress.flatMap(_.sources.map(_.description)).toSeq
+    q.stop()
+    assert(spark.table("cat_stream").count() === 2L)
+    assert(sources.nonEmpty && sources.forall(_.contains("GraftMicroBatchStream")),
+      s"expected the DSv2 stream through the catalog, saw: $sources")
+  }
+
   test("missing tables throw; listTables sees only table directories") {
     configure()
     assertThrows[AnalysisException](spark.sql("SELECT * FROM lake.nope").collect())
