@@ -46,6 +46,8 @@ final class IncrementalTable(
   private val dataDir = new Path(path, "data")
   private val statsDir = new Path(path, "_stats")
   private val schemasDir = new Path(path, "_schemas")
+  private val changeDataDir = new Path(path, "_change_data")
+  private val dvDir = new Path(path, "_dv")
   private val legacySchemaFile = new Path(path, "_table_schema.json")
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -259,22 +261,32 @@ final class IncrementalTable(
     * stay raw — each version keeps the schema its files were written
     * with, Delta's time-travel contract.
     */
+  /** Zero-file versions are legitimate (a DELETE can empty the table):
+    * readable as an empty frame whenever a schema is recoverable.
+    */
+  private def emptyFrame(s: Option[StructType], v: Long): DataFrame = {
+    val schema = s.getOrElse(throw new IllegalStateException(
+      s"version $v of $path has no data files and no tracked schema"))
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+  }
+
   def snapshot(): DataFrame = {
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"empty table $path"))
     tableSchema match {
       case Some(s) =>
         val fls = files(v)
-        require(fls.nonEmpty, s"version $v of $path has no data files")
-        spark.read.schema(s).parquet(fls.map(f => new Path(dataDir, f).toString): _*)
+        if (fls.isEmpty) emptyFrame(Some(s), v)
+        else applyDv(
+          spark.read.schema(s).parquet(fls.map(f => new Path(dataDir, f).toString): _*), v)
       case None => snapshotAt(v)
     }
   }
 
   def snapshotAt(v: Long): DataFrame = {
     val fs = files(v)
-    require(fs.nonEmpty, s"version $v of $path has no data files")
-    spark.read.parquet(fs.map(f => new Path(dataDir, f).toString): _*)
+    if (fs.isEmpty) emptyFrame(schemaAt(v).orElse(tableSchema), v)
+    else applyDv(spark.read.parquet(fs.map(f => new Path(dataDir, f).toString): _*), v)
   }
 
   /** Only the files matching `pred` — file-level pruning from the
@@ -283,7 +295,8 @@ final class IncrementalTable(
   def snapshotOfFiles(v: Long, pred: String => Boolean): Option[DataFrame] = {
     val picked = files(v).filter(pred)
     if (picked.isEmpty) None
-    else Some(spark.read.parquet(picked.map(f => new Path(dataDir, f).toString): _*))
+    else Some(applyDv(
+      spark.read.parquet(picked.map(f => new Path(dataDir, f).toString): _*), v))
   }
 
   /** Stats-pruned scan: drop every data file whose footer-harvested
@@ -302,12 +315,14 @@ final class IncrementalTable(
   private def scanImpl(
       v: Long, filters: Seq[Column], schema: Option[StructType]): DataFrame = {
     val all = files(v)
-    require(all.nonEmpty, s"version $v of $path has no data files")
+    if (all.isEmpty)
+      return filters.foldLeft(
+        emptyFrame(schema.orElse(schemaAt(v)).orElse(tableSchema), v))(_ filter _)
     val kept = prunedFiles(all, filters)
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
     val base =
       if (kept.nonEmpty)
-        reader.parquet(kept.map(f => new Path(dataDir, f).toString): _*)
+        applyDv(reader.parquet(kept.map(f => new Path(dataDir, f).toString): _*), v)
       else // schema still comes from the (unread) real files
         reader.parquet(all.map(f => new Path(dataDir, f).toString): _*).limit(0)
     filters.foldLeft(base)(_ filter _)
@@ -462,8 +477,14 @@ final class IncrementalTable(
             "part of this table)")
       val v = base.map(_ + 1).getOrElse(0L)
       try {
+        // deletion vectors survive appends/merges: carry the base's dv
+        // pointer unless this commit sets (or deliberately clears) its
+        // own. Full rewrites go through writeSnapshot, which restages
+        // post-DV rows and starts clean.
+        val dvCarry = base.flatMap(b => metaAt(b).get("dv"))
+          .map("dv" -> _).toMap
         writeManifest(v, operation, prev.filterNot(removed) ++ added,
-          meta ++ schemaMetaFor(base, schema))
+          dvCarry ++ meta ++ schemaMetaFor(base, schema))
         return v
       } catch {
         case e: CommitConflictException =>
@@ -522,17 +543,30 @@ final class IncrementalTable(
       operation = s"cluster[${cols.mkString(",")}]")
   }
 
-  /** CHANGE DATA FEED over the commit log (Delta `readChangeFeed`, for
-    * the append-only case): the rows added in versions `(fromV, toV]`,
-    * each tagged `_change_type = 'insert'` and `_commit_version = v`.
-    * Cost is O(changed files) — per version two manifest reads compute
-    * the file delta, and only added files are scanned; the table's
-    * size never matters. Pass `fromV = -1` to feed from the beginning.
-    * A version that REMOVES files is not an append: it fails loudly,
-    * the same contract as the streaming source (update/delete feeds
-    * need CDC files, which this format deliberately does not write).
-    * Each version's rows are read under that version's own tracked
-    * schema; evolved columns null-fill across the union.
+  /** CHANGE DATA FEED over the commit log (Delta `readChangeFeed`):
+    * every row change committed in versions `(fromV, toV]`, tagged
+    * `_change_type` ∈ {insert, delete, update_preimage,
+    * update_postimage} plus `_commit_version = v`.
+    *
+    * Two per-version sources, mirroring Delta's CDF design exactly:
+    *  - An APPEND's changes are its data files themselves — the file
+    *    delta between two manifests, read directly and tagged
+    *    `insert`. No extra bytes are ever written for appends.
+    *  - A mutating commit (delete/update/merge) writes its change rows
+    *    as CDC SIDECAR FILES under `_change_data/<nonce>/` BEFORE the
+    *    manifest publish; the manifest's `cdc` meta pointer flips
+    *    atomically with the file list, so the feed and the data can
+    *    never disagree. Versions that rewrite files WITHOUT a cdc
+    *    pointer (compact, overwrite, legacy merges) still fail loudly
+    *    — their row-level changes are unknowable after the fact.
+    *
+    * Cost is O(changed rows): per version two manifest reads, then only
+    * added files / sidecar files are scanned — the table's size never
+    * matters. Pass `fromV = -1` to feed from the beginning. Each
+    * version's rows read under that version's own tracked schema;
+    * evolved columns null-fill across the union. Later deletes do NOT
+    * retro-filter earlier inserts: the feed reports each version's
+    * changes as of that version (Delta's contract).
     */
   def changes(fromV: Long, toV: Long): DataFrame = {
     require(fromV >= -1 && toV >= fromV, s"bad change range $fromV..$toV")
@@ -544,24 +578,29 @@ final class IncrementalTable(
           s"version $fromV was vacuumed from $path — cannot compute changes")
         files(fromV).toSet
       }
-    val perVersion = ((fromV + 1) to toV).map { v =>
+    import org.apache.spark.sql.functions.lit
+    val frames = ((fromV + 1) to toV).flatMap { v =>
       val now = files(v)
+      val cdc = metaAt(v).get("cdc")
       val removed = prev -- now
-      if (removed.nonEmpty)
+      if (removed.nonEmpty && cdc.isEmpty)
         throw new IllegalStateException(
           s"changes($fromV, $toV) of $path: version $v rewrites " +
-            s"${removed.size} file(s) (compact/overwrite/merge) — the " +
-            "change feed covers append-only ranges")
+            s"${removed.size} file(s) (compact/overwrite/legacy merge) " +
+            "without change-data files — row-level changes are unknowable")
       val added = now.filterNot(prev)
       prev = now.toSet
-      (v, added)
-    }
-    import org.apache.spark.sql.functions.lit
-    val frames = perVersion.filter(_._2.nonEmpty).map { case (v, added) =>
-      val reader = schemaAt(v).map(spark.read.schema).getOrElse(spark.read)
-      reader.parquet(added.map(f => new Path(dataDir, f).toString): _*)
-        .withColumn("_change_type", lit("insert"))
-        .withColumn("_commit_version", lit(v))
+      cdc match {
+        case Some(nonce) =>
+          Some(spark.read.parquet(new Path(changeDataDir, nonce).toString)
+            .withColumn("_commit_version", lit(v)))
+        case None if added.nonEmpty =>
+          val reader = schemaAt(v).map(spark.read.schema).getOrElse(spark.read)
+          Some(reader.parquet(added.map(f => new Path(dataDir, f).toString): _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        case None => None
+      }
     }
     frames.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
       val base = tableSchema.orElse(schemaAt(toV)).getOrElse(StructType(Nil))
@@ -569,6 +608,262 @@ final class IncrementalTable(
         java.util.Collections.emptyList[Row](),
         base.add("_change_type", StringType).add("_commit_version", LongType))
     }
+  }
+
+  /** Write `df` (which must carry `_change_type`) as this commit's CDC
+    * sidecar files; the returned nonce goes into the manifest's `cdc`
+    * meta so the pointer commits atomically with the file list. An
+    * orphaned sidecar (crashed writer) is unreachable — no manifest
+    * points at it — and [[vacuum]] collects it.
+    */
+  private[lake] def stageChangeData(df: DataFrame): String = {
+    require(df.columns.contains("_change_type"),
+      "change-data frame must carry _change_type")
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    df.write.parquet(new Path(changeDataDir, nonce).toString)
+    nonce
+  }
+
+  // ---- deletion vectors (merge-on-read deletes) ----
+  //
+  // A small DELETE against a 100 TB table must not rewrite data files.
+  // Delta's answer is deletion vectors: a sidecar marking (file, row)
+  // pairs dead, applied at scan time, materialized away by OPTIMIZE.
+  // Same design here: `_dv/<nonce>/` holds parquet (file, pos) pairs —
+  // `file` manifest-relative, `pos` the parquet row index — and the
+  // manifest's `dv` meta points at the COMPLETE vector set for that
+  // version (supersedes, not chains: one pointer read resolves a scan,
+  // and vacuum can reason per-manifest). Appends/merges carry the
+  // pointer forward; full rewrites (compact/cluster/overwrite) start
+  // clean because they restage post-DV rows.
+
+  /** `_metadata.file_path` reduced to the manifest-relative data-file
+    * name — the stable key DV entries are stored under (URIs differ
+    * across filesystems/relocations; relative names ride the manifest).
+    */
+  private def relFileCol: Column =
+    org.apache.spark.sql.functions.expr(
+      "substring_index(_metadata.file_path, '/data/', -1)")
+
+  private def dvFrame(v: Long): Option[DataFrame] =
+    metaAt(v).get("dv").map(n => spark.read.parquet(new Path(dvDir, n).toString))
+
+  /** Filter `df` (which MUST be a direct parquet scan of this table's
+    * data files, so `_metadata` resolves) down to live rows under
+    * version `v`'s deletion vectors. The anti-join's right side is one
+    * small parquet dir — Catalyst/AQE broadcast it from its own size
+    * stats, so the scan side never shuffles.
+    */
+  private def applyDv(df: DataFrame, v: Long): DataFrame = dvFrame(v) match {
+    case None => df
+    case Some(dv) =>
+      import org.apache.spark.sql.functions.col
+      df.withColumn("__dv_file", relFileCol)
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(dv.select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
+          Seq("__dv_file", "__dv_pos"), "left_anti")
+        .drop("__dv_file", "__dv_pos")
+  }
+
+  // ---- row-level DML (DELETE / UPDATE) ----
+
+  /** Candidate files for a DML predicate under version `v`, with their
+    * live rows tagged `__dv_file`/`__dv_pos`. Stats pruning first — at
+    * 100 TB a selective DELETE touches the files that might match, not
+    * the table — then previous deletion vectors are subtracted so
+    * already-dead rows can't re-match.
+    */
+  private def dmlCandidates(v: Long, pred: Column): (Seq[String], DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val cand = prunedFiles(files(v), Seq(pred))
+    if (cand.isEmpty) return (cand, null)
+    val reader = tableSchema.map(spark.read.schema).getOrElse(spark.read)
+    val tagged = reader
+      .parquet(cand.map(f => new Path(dataDir, f).toString): _*)
+      .withColumn("__dv_file", relFileCol)
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val live = dvFrame(v) match {
+      case None => tagged
+      case Some(dv) =>
+        tagged.join(dv.select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
+          Seq("__dv_file", "__dv_pos"), "left_anti")
+    }
+    (cand, live)
+  }
+
+  /** SQL-DELETE truth semantics: only rows where the predicate is TRUE
+    * are affected (NULL keeps the row).
+    */
+  private def predTrue(pred: Column): Column =
+    org.apache.spark.sql.functions.coalesce(pred, org.apache.spark.sql.functions.lit(false))
+
+  /** Restage the surviving/updated rows of the touched files, grouped
+    * by their partition subdirectory so bucketed layouts keep their
+    * bucket membership (a flat restage would silently break
+    * [[IncrementalScdTable]]'s file-level bucket pruning).
+    */
+  private def restageByDir(rows: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val byDir = rows.withColumn("__dir",
+      org.apache.spark.sql.functions.expr(
+        "CASE WHEN __dv_file LIKE '%/%' THEN substring_index(__dv_file, '/', 1) ELSE '' END"))
+    val dirs = byDir.select("__dir").distinct().collect().map(_.getString(0)).toSeq
+    dirs.flatMap { d =>
+      val slice = byDir.filter(col("__dir") === d)
+        .drop("__dir", "__dv_file", "__dv_pos")
+      stage(slice, d)
+    }
+  }
+
+  /** Copy-on-write DELETE: stats-prune to candidate files, REWRITE only
+    * the files that actually contain matching rows (survivors restaged,
+    * untouched files re-referenced), and commit atomically together
+    * with the `delete`-tagged CDC sidecar — so [[changes]] replays the
+    * deletion row-by-row. Returns the committed version (the current
+    * one when nothing matched). Cost: O(files containing matches), via
+    * the same optimistic commit as every other writer.
+    */
+  def deleteWhere(pred: Column): Long = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty table $path"))
+    val (_, live) = dmlCandidates(v, pred)
+    if (live == null) return v
+    val hit = live.filter(predTrue(pred)).localCheckpoint()
+    val touched = hit.select("__dv_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) return v
+    val cdcNonce = stageChangeData(
+      hit.drop("__dv_file", "__dv_pos").withColumn("_change_type", lit("delete")))
+    val survivors = live
+      .filter(col("__dv_file").isInCollection(touched))
+      .filter(not(predTrue(pred)))
+    val added = restageByDir(survivors)
+    commitFiles(added, touched, "delete", meta = Map("cdc" -> cdcNonce))
+  }
+
+  /** Copy-on-write UPDATE ... SET: `set` maps column name → new-value
+    * expression, all assignments evaluated against the ORIGINAL row
+    * (simultaneous-assignment SQL semantics, so `SET a = b, b = a`
+    * swaps). Only files containing matching rows are rewritten; the
+    * CDC sidecar carries both `update_preimage` and `update_postimage`
+    * rows, committed atomically with the data.
+    */
+  def updateWhere(pred: Column, set: Map[String, Column]): Long = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty table $path"))
+    val dataCols = tableSchema.map(_.fieldNames.toSeq).getOrElse {
+      snapshotAt(v).columns.toSeq
+    }
+    val unknown = set.keySet -- dataCols.toSet
+    require(unknown.isEmpty, s"UPDATE of $path sets unknown column(s): $unknown")
+    val (_, live) = dmlCandidates(v, pred)
+    if (live == null) return v
+    val hit = live.filter(predTrue(pred)).localCheckpoint()
+    val touched = hit.select("__dv_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) return v
+    def applied(df: DataFrame): DataFrame = {
+      val projected = df.columns.toSeq.map {
+        case c if set.contains(c) => set(c).as(c)
+        case c => col(c)
+      }
+      df.select(projected: _*)
+    }
+    val pre = hit.drop("__dv_file", "__dv_pos")
+      .withColumn("_change_type", lit("update_preimage"))
+    val post = applied(hit.drop("__dv_file", "__dv_pos"))
+      .withColumn("_change_type", lit("update_postimage"))
+    val cdcNonce = stageChangeData(pre.unionByName(post))
+    // rewrite = untouched rows of touched files + updated matches, in
+    // one projection (when() keeps it a single scan of each file)
+    val rewritten0 = live.filter(col("__dv_file").isInCollection(touched))
+    val newCols = rewritten0.columns.toSeq.map {
+      case c if set.contains(c) =>
+        when(predTrue(pred), set(c)).otherwise(col(c)).as(c)
+      case c => col(c)
+    }
+    val added = restageByDir(rewritten0.select(newCols: _*))
+    commitFiles(added, touched, "update", meta = Map("cdc" -> cdcNonce))
+  }
+
+  /** Merge-on-read DELETE via deletion vectors: matching rows are
+    * recorded as (file, pos) pairs in a new `_dv/<nonce>/` sidecar —
+    * NO data file is rewritten, the defining property at 100 TB —
+    * and every scan of the new version subtracts them. The commit also
+    * carries the `delete` CDC sidecar, so the change feed is identical
+    * to [[deleteWhere]]'s. The pointer supersedes (new sidecar = old
+    * vectors ∪ new), so resolution stays one meta read. A concurrent
+    * commit fails this one loudly (the vector union was computed
+    * against `v`; rebasing could drop a racer's vectors) — re-run on
+    * fresh state, Delta's conflict rule for DVs.
+    */
+  def deleteVector(pred: Column): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty table $path"))
+    val (_, live) = dmlCandidates(v, pred)
+    if (live == null) return v
+    val hit = live.filter(predTrue(pred)).localCheckpoint()
+    if (hit.isEmpty) return v
+    val newPairs = hit.select(
+      col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+    val allPairs = dvFrame(v) match {
+      case Some(old) => old.unionByName(newPairs)
+      case None => newPairs
+    }
+    val dvNonce = java.util.UUID.randomUUID().toString.take(12)
+    allPairs.write.parquet(new Path(dvDir, dvNonce).toString)
+    val cdcNonce = stageChangeData(
+      hit.drop("__dv_file", "__dv_pos").withColumn("_change_type", lit("delete")))
+    try {
+      writeManifest(v + 1, "delete[dv]", files(v),
+        metaAt(v).filter { case (k, _) => k == "schema" } ++
+          Map("dv" -> dvNonce, "cdc" -> cdcNonce))
+      v + 1
+    } catch {
+      case e: CommitConflictException =>
+        throw new CommitConflictException(
+          s"deleteVector of $path lost the commit race at version ${v + 1}: " +
+            "the vector set was computed against a stale base — " +
+            s"re-run on fresh state (${e.getMessage})")
+    }
+  }
+
+  /** RESTORE the table to the state of version `v` (Delta `RESTORE
+    * TABLE ... TO VERSION AS OF`): a NEW commit whose file list,
+    * schema pointer and deletion vectors are `v`'s — history is
+    * preserved, time travel over the bad versions still works, and the
+    * restore itself is undoable. The identity watermark is deliberately
+    * NOT restored: surrogate keys must stay unique and ascending even
+    * across a restore (the newest-first watermark walk keeps finding
+    * the pre-restore maximum). Fails if `v`'s data files were already
+    * vacuumed.
+    */
+  def restore(v: Long): Long = {
+    require(versionExists(v), s"cannot restore $path to vacuumed/unknown version $v")
+    val target = files(v)
+    val missing = target.filterNot(f => fs.exists(new Path(dataDir, f)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot restore $path to version $v: ${missing.size} data file(s) " +
+          s"were vacuumed (first: ${missing.head})")
+    val carried = metaAt(v).filter { case (k, _) => k == "schema" || k == "dv" }
+    var attempt = 0
+    while (true) {
+      val base = latestVersion.getOrElse(-1L)
+      if (base == v) return v // restoring to the head is a no-op
+      try {
+        writeManifest(base + 1, s"restore[$v]", target, carried)
+        return base + 1
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= 20) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
   }
 
   /** Rewrite the snapshot Z-ORDER clustered on `cols` — the
@@ -651,6 +946,16 @@ final class IncrementalTable(
       fs.listStatus(schemasDir).toSeq
         .filterNot(st => keptPtrs.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, false))
+    }
+    // so are CDC sidecars and deletion-vector sets no kept manifest
+    // points at (including crashed writers' never-committed orphans)
+    Seq("cdc" -> changeDataDir, "dv" -> dvDir).foreach { case (key, dir) =>
+      if (fs.exists(dir)) {
+        val keptPtrs = keepIds.flatMap(v => metaAt(v).get(key)).toSet
+        fs.listStatus(dir).toSeq
+          .filterNot(st => keptPtrs.contains(st.getPath.getName))
+          .foreach(st => fs.delete(st.getPath, true))
+      }
     }
     // drop stats rows for vacuumed files (stale rows are harmless for
     // correctness — pruning joins against the manifest — but unbounded)

@@ -48,7 +48,7 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
     t.append(df((2L, "b")))
     t.compact(targetFiles = 1) // v2 rewrites v0+v1's files
     val err = intercept[IllegalStateException](t.changes(0L, 2L).collect())
-    assert(err.getMessage.contains("append-only"))
+    assert(err.getMessage.contains("without change-data files"))
     // a range that stops before the rewrite still works
     assert(t.changes(0L, 1L).select("id").collect().map(_.getLong(0)).toSeq
       === Seq(2L))
