@@ -673,13 +673,16 @@ final class IncrementalTable(
     * the table — then previous deletion vectors are subtracted so
     * already-dead rows can't re-match.
     */
-  private def dmlCandidates(v: Long, pred: Column): (Seq[String], DataFrame) = {
+  private def dmlCandidates(
+      v: Long, pred: Column, alias: Option[String]): (Seq[String], DataFrame) = {
     import org.apache.spark.sql.functions.col
     val cand = prunedFiles(files(v), Seq(pred))
     if (cand.isEmpty) return (cand, null)
     val reader = tableSchema.map(spark.read.schema).getOrElse(spark.read)
-    val tagged = reader
-      .parquet(cand.map(f => new Path(dataDir, f).toString): _*)
+    val read0 = reader.parquet(cand.map(f => new Path(dataDir, f).toString): _*)
+    // SQL DML predicates arrive qualified (`t.v > 3`); the alias layer
+    // makes them resolve. Plain Column predicates skip it.
+    val tagged = alias.fold(read0)(read0.alias)
       .withColumn("__dv_file", relFileCol)
       .withColumn("__dv_pos", col("_metadata.row_index"))
     val live = dvFrame(v) match {
@@ -723,11 +726,11 @@ final class IncrementalTable(
     * one when nothing matched). Cost: O(files containing matches), via
     * the same optimistic commit as every other writer.
     */
-  def deleteWhere(pred: Column): Long = {
+  def deleteWhere(pred: Column, alias: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, lit, not}
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"empty table $path"))
-    val (_, live) = dmlCandidates(v, pred)
+    val (_, live) = dmlCandidates(v, pred, alias)
     if (live == null) return v
     val hit = live.filter(predTrue(pred)).localCheckpoint()
     val touched = hit.select("__dv_file").distinct()
@@ -749,7 +752,8 @@ final class IncrementalTable(
     * CDC sidecar carries both `update_preimage` and `update_postimage`
     * rows, committed atomically with the data.
     */
-  def updateWhere(pred: Column, set: Map[String, Column]): Long = {
+  def updateWhere(pred: Column, set: Map[String, Column],
+      alias: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, lit, when}
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"empty table $path"))
@@ -758,7 +762,7 @@ final class IncrementalTable(
     }
     val unknown = set.keySet -- dataCols.toSet
     require(unknown.isEmpty, s"UPDATE of $path sets unknown column(s): $unknown")
-    val (_, live) = dmlCandidates(v, pred)
+    val (_, live) = dmlCandidates(v, pred, alias)
     if (live == null) return v
     val hit = live.filter(predTrue(pred)).localCheckpoint()
     val touched = hit.select("__dv_file").distinct()
@@ -799,11 +803,11 @@ final class IncrementalTable(
     * against `v`; rebasing could drop a racer's vectors) — re-run on
     * fresh state, Delta's conflict rule for DVs.
     */
-  def deleteVector(pred: Column): Long = {
+  def deleteVector(pred: Column, alias: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"empty table $path"))
-    val (_, live) = dmlCandidates(v, pred)
+    val (_, live) = dmlCandidates(v, pred, alias)
     if (live == null) return v
     val hit = live.filter(predTrue(pred)).localCheckpoint()
     if (hit.isEmpty) return v

@@ -36,6 +36,10 @@ object GraftMaintenanceSql {
     """(?is)^\s*VACUUM\s+(.+?)(?:\s+KEEP\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
   private val History =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+  private val RestoreVersion =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val RestoreTimestamp =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case Optimize(target, zcols) =>
@@ -45,6 +49,10 @@ object GraftMaintenanceSql {
       Some(VacuumGraftCommand(target.trim,
         Option(keep).map(_.toInt).getOrElse(1)))
     case History(target) => Some(DescribeHistoryGraftCommand(target.trim))
+    case RestoreVersion(target, v) =>
+      Some(RestoreGraftCommand(target.trim, Left(v.toLong)))
+    case RestoreTimestamp(target, ts) =>
+      Some(RestoreGraftCommand(target.trim, Right(ts)))
     case _ => None
   }
 
@@ -114,6 +122,31 @@ case class VacuumGraftCommand(target: String, keepLast: Int)
     val t = GraftMaintenanceSql.incrementalAt(spark, target)
     t.vacuum(keepLast)
     Seq(Row(t.latestVersion.map(v => math.max(0L, v - keepLast + 1)).getOrElse(0L)))
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF n` / `TO TIMESTAMP AS OF 'ts'` —
+  * rewind to an earlier version as a NEW commit (history preserved,
+  * restore undoable; Delta RESTORE semantics via
+  * [[IncrementalTable.restore]]).
+  */
+case class RestoreGraftCommand(target: String, to: Either[Long, String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to_version", LongType)(),
+    AttributeReference("committed_version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftMaintenanceSql.incrementalAt(spark, target)
+    val v = to match {
+      case Left(ver) => ver
+      case Right(ts) =>
+        val ms =
+          if (ts.trim.forall(_.isDigit)) ts.trim.toLong
+          else java.sql.Timestamp.valueOf(ts.trim).getTime
+        t.versionAsOfTimestamp(ms).getOrElse(throw new IllegalArgumentException(
+          s"graft RESTORE: no version committed at or before '$ts'"))
+    }
+    Seq(Row(v, t.restore(v)))
   }
 }
 

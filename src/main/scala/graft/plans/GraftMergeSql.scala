@@ -136,6 +136,24 @@ object GraftMergeParser {
       val key = a.key.sql.split('.').last.stripPrefix("`").stripSuffix("`")
       key -> a.value.sql
     }.toMap
+
+  /** DML targets naming a graft-catalog INCREMENTAL table route to the
+    * manifest-commit DML (touched-file rewrite, atomic CDC, optional
+    * deletion vectors) instead of the session-catalog staging swap.
+    */
+  private[graftmerge] def graftIncrementalTarget(
+      spark: SparkSession, parts: Seq[String]): Option[graft.lake.IncrementalTable] = {
+    if (parts.size < 2) return None
+    if (!spark.sessionState.catalogManager.isCatalogRegistered(parts.head)) return None
+    spark.sessionState.catalogManager.catalog(parts.head) match {
+      case gc: graft.sources.GraftCatalog =>
+        val path = gc.tablePath(org.apache.spark.sql.connector.catalog.Identifier
+          .of(parts.tail.init.toArray, parts.last))
+        val t = new graft.lake.IncrementalTable(spark, path)
+        if (t.isIncrementalLayout) Some(t) else None
+      case _ => None
+    }
+  }
 }
 
 /** Runtime half of graft's SQL MERGE: resolves the (catalog, parquet)
@@ -160,7 +178,11 @@ case class MergeIntoGraftCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     val targetName = targetParts.map(p => s"`$p`").mkString(".")
-    val target = spark.table(targetName)
+    // graft-catalog incremental targets read via snapshot() (deletion
+    // vectors applied) and commit via the manifest log; session tables
+    // read via the catalog and commit via the staging swap
+    val graftTarget = GraftMergeParser.graftIncrementalTarget(spark, targetParts)
+    val target = graftTarget.map(_.snapshot()).getOrElse(spark.table(targetName))
     val source = org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], sourcePlan)
     val targetCols = target.schema.fieldNames.toSeq
@@ -186,20 +208,41 @@ case class MergeIntoGraftCommand(
       }
     }
 
-    GraftTableSwap.replace(spark, targetParts, merge.resolve())
+    graftTarget match {
+      case Some(t) =>
+        // full-snapshot commit: atomic, versioned, time-travelable.
+        // (The touched-bucket O(batch) merge is IncrementalScdTable's
+        // job — generic MERGE has no bucket contract to exploit.)
+        t.writeSnapshot(merge.resolve(), operation = "merge")
+      case None =>
+        GraftTableSwap.replace(spark, targetParts, merge.resolve())
+    }
     Seq.empty
   }
 }
 
-/** `DELETE FROM <parquet table> WHERE cond`: keep the complement. */
+/** `DELETE FROM <table> WHERE cond`. Graft-catalog incremental targets
+  * get real row-level DML: stats-pruned touched-file rewrite (or a
+  * deletion-vector commit when `graft.dml.deletionVectors=true`) with
+  * an atomic CDC sidecar. Plain session-catalog parquet tables keep
+  * the complement-rewrite staging swap.
+  */
 case class DeleteGraftCommand(
     targetParts: Seq[String], targetAlias: String, conditionSql: String)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val target = spark.table(targetParts.map(p => s"`$p`").mkString("."))
     import org.apache.spark.sql.functions.{expr, not}
-    GraftTableSwap.replace(spark, targetParts,
-      target.alias(targetAlias).filter(not(expr(conditionSql))))
+    GraftMergeParser.graftIncrementalTarget(spark, targetParts) match {
+      case Some(t) =>
+        val mor = spark.conf.getOption("graft.dml.deletionVectors")
+          .exists(_.toBoolean)
+        if (mor) t.deleteVector(expr(conditionSql), Some(targetAlias))
+        else t.deleteWhere(expr(conditionSql), Some(targetAlias))
+      case None =>
+        val target = spark.table(targetParts.map(p => s"`$p`").mkString("."))
+        GraftTableSwap.replace(spark, targetParts,
+          target.alias(targetAlias).filter(not(expr(conditionSql))))
+    }
     Seq.empty
   }
 }
@@ -213,16 +256,28 @@ case class UpdateGraftCommand(
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
-    val target = spark.table(targetParts.map(p => s"`$p`").mkString("."))
     val cond = conditionSql.map(expr).getOrElse(lit(true))
-    val next = target.alias(targetAlias).select(target.schema.fields.toSeq.map { f =>
-      set.get(f.name) match {
-        case Some(v) => when(cond, expr(v).cast(f.dataType))
-          .otherwise(col(s"$targetAlias.${f.name}")).as(f.name)
-        case None => col(s"$targetAlias.${f.name}").as(f.name)
-      }
-    }: _*)
-    GraftTableSwap.replace(spark, targetParts, next)
+    GraftMergeParser.graftIncrementalTarget(spark, targetParts) match {
+      case Some(t) =>
+        val schema = t.tableSchema.getOrElse(t.snapshot().schema)
+        val assignments = set.map { case (c, v) =>
+          val f = schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft UPDATE: unknown column $c"))
+          c -> expr(v).cast(f.dataType)
+        }
+        t.updateWhere(cond, assignments, Some(targetAlias))
+      case None =>
+        val target = spark.table(targetParts.map(p => s"`$p`").mkString("."))
+        val next = target.alias(targetAlias).select(target.schema.fields.toSeq.map { f =>
+          set.get(f.name) match {
+            case Some(v) => when(cond, expr(v).cast(f.dataType))
+              .otherwise(col(s"$targetAlias.${f.name}")).as(f.name)
+            case None => col(s"$targetAlias.${f.name}").as(f.name)
+          }
+        }: _*)
+        GraftTableSwap.replace(spark, targetParts, next)
+    }
     Seq.empty
   }
 }

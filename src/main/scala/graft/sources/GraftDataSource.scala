@@ -200,6 +200,19 @@ private[sources] class GraftVersionedParquet extends ParquetDataSourceV2 {
       }
       if (incremental) {
         val v = resolve(inc.latestVersion, inc.versionExists, inc.versionAsOfTimestamp)
+        // Deletion vectors can't be applied through a bare path list —
+        // serving the raw files would resurrect deleted rows, so fail
+        // loudly instead (Delta clients without DV support do the
+        // same). OPTIMIZE materializes the vectors away;
+        // IncrementalTable.snapshot()/scan() apply them natively.
+        if (inc.metaAt(v).contains("dv") &&
+            !java.lang.Boolean.parseBoolean(map.get("ignoreDeletionVectors")))
+          throw new IllegalStateException(
+            s"graft: version $v of $root carries deletion vectors, which " +
+              "path-level reads cannot apply. Run OPTIMIZE to materialize " +
+              "them, read via IncrementalTable.snapshot()/scan(), or set " +
+              "option(\"ignoreDeletionVectors\", \"true\") to knowingly " +
+              "include deleted rows")
         // optional stats-based file skipping: option("skipWhere", "<sql
         // predicate>") prunes by footer min/max BEFORE the scan. The
         // option is a pruning hint only — apply the same predicate via

@@ -85,6 +85,17 @@ private[sources] final class GraftMicroBatchStream(
           s"rewrite ${removed.size} file(s) (compact/overwrite/merge). " +
           "Streaming reads require append-only commits; set " +
           "ignoreChanges=true to stream the rewritten files as re-deliveries.")
+    // a deletion-vector commit removes rows without removing files —
+    // the append stream can't represent it, so the same loud contract
+    // applies (any DV change mints a fresh pointer nonce, making the
+    // two-manifest comparison sufficient)
+    val dvBefore = if (from < 0) None else table.metaAt(from).get("dv")
+    if (table.metaAt(to).get("dv") != dvBefore && !info.ignoreChanges)
+      throw new IllegalStateException(
+        s"graft stream: versions ${from + 1}..$to of ${info.path} change " +
+          "deletion vectors (merge-on-read DELETE). The append stream " +
+          "cannot deliver deletes; use changes() for a CDC feed, or set " +
+          "ignoreChanges=true to stream inserts only.")
     val added = nowFiles.filterNot(prevFiles).sorted
     val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     added.zipWithIndex.map { case (f, i) =>

@@ -1,0 +1,119 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** SQL DML against graft-catalog incremental tables: DELETE / UPDATE
+  * route to the manifest-commit row-level DML (touched-file rewrite or
+  * deletion vectors, CDC sidecars), MERGE INTO commits a new version,
+  * and RESTORE rewinds — all through `spark.sql`.
+  */
+class DmlSqlSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val wh = Files.createTempDirectory("graft_dml_wh_").toString
+
+  private def configure(): Unit = {
+    spark.conf.set("spark.sql.catalog.dml", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dml.warehouse", wh)
+  }
+
+  private def mk(name: String): IncrementalTable = {
+    import spark.implicits._
+    val t = new IncrementalTable(spark, s"$wh/$name")
+    t.append(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("pk", "v", "n").coalesce(1))
+    t
+  }
+  private def state(name: String): Seq[(Long, String, Long)] = {
+    import spark.implicits._
+    new IncrementalTable(spark, s"$wh/$name").snapshot()
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+  }
+
+  test("SQL DELETE routes to touched-file DML with CDC") {
+    configure()
+    val t = mk("del")
+    spark.sql("DELETE FROM dml.del WHERE n >= 20")
+    assert(state("del") === Seq((1L, "a", 10L)))
+    assert(t.operationAt(t.latestVersion.get) === "delete")
+    val cdc = t.changes(0L, 1L).select("pk", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cdc === Set((2L, "delete"), (3L, "delete")))
+  }
+
+  test("SQL DELETE with qualified alias predicate") {
+    configure()
+    mk("delq")
+    spark.sql("DELETE FROM dml.delq t WHERE t.pk = 2")
+    assert(state("delq").map(_._1) === Seq(1L, 3L))
+  }
+
+  test("graft.dml.deletionVectors=true makes SQL DELETE merge-on-read") {
+    configure()
+    val t = mk("deldv")
+    val filesBefore = t.files(0L).toSet
+    spark.conf.set("graft.dml.deletionVectors", "true")
+    try spark.sql("DELETE FROM dml.deldv WHERE pk = 1")
+    finally spark.conf.unset("graft.dml.deletionVectors")
+    assert(t.files(1L).toSet === filesBefore) // no data file rewritten
+    assert(t.operationAt(1L) === "delete[dv]")
+    assert(state("deldv").map(_._1) === Seq(2L, 3L))
+  }
+
+  test("SQL UPDATE routes to simultaneous-assignment DML with pre/post CDC") {
+    configure()
+    val t = mk("upd")
+    spark.sql("UPDATE dml.upd SET n = n * 10, v = concat(v, '!') WHERE pk <= 2")
+    assert(state("upd") === Seq((1L, "a!", 100L), (2L, "b!", 200L), (3L, "c", 30L)))
+    val cdc = t.changes(0L, 1L).select("pk", "n", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(cdc === Set(
+      (1L, 10L, "update_preimage"), (1L, 100L, "update_postimage"),
+      (2L, 20L, "update_preimage"), (2L, 200L, "update_postimage")))
+  }
+
+  test("MERGE INTO a graft table commits a manifest version") {
+    configure()
+    import spark.implicits._
+    val t = mk("mrg")
+    Seq((2L, "B", 200L), (9L, "i", 90L)).toDF("pk", "v", "n")
+      .createOrReplaceTempView("mrg_src")
+    spark.sql(
+      """MERGE INTO dml.mrg t USING mrg_src s ON t.pk = s.pk
+        |WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(state("mrg") === Seq(
+      (1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L), (9L, "i", 90L)))
+    assert(t.operationAt(t.latestVersion.get) === "merge")
+    // history intact: v0 still time-travels
+    assert(t.snapshotAt(0L).count() === 3L)
+  }
+
+  test("RESTORE TABLE ... TO VERSION AS OF rewinds via SQL") {
+    configure()
+    mk("rst")
+    spark.sql("DELETE FROM dml.rst WHERE pk = 1")
+    assert(state("rst").map(_._1) === Seq(2L, 3L))
+    val row = spark.sql("RESTORE TABLE dml.rst TO VERSION AS OF 0").head
+    assert(row.getLong(0) === 0L && row.getLong(1) === 2L)
+    assert(state("rst").map(_._1) === Seq(1L, 2L, 3L))
+  }
+
+  test("connector path reads fail loudly under deletion vectors") {
+    configure()
+    val t = mk("dvguard")
+    t.deleteVector(org.apache.spark.sql.functions.col("pk") === 1L)
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM dml.dvguard").collect())
+    assert(err.getMessage.contains("deletion vectors"))
+    // opt-out reads the raw files (deleted rows included)
+    assert(spark.read.format("graft").option("ignoreDeletionVectors", "true")
+      .load(s"$wh/dvguard").count() === 3L)
+    // OPTIMIZE materializes; SQL reads work again
+    spark.sql("OPTIMIZE dml.dvguard")
+    assert(spark.sql("SELECT count(*) AS n FROM dml.dvguard").head.getLong(0) === 2L)
+  }
+}
