@@ -35,7 +35,8 @@ import graft.scd.{MergeEmulator, ScdApply, ScdConfig}
   */
 final class IncrementalScdTable(
     spark: SparkSession, val path: String, val numBuckets: Int,
-    identityCol: Option[String] = None, identityStart: Long = 1L) {
+    identityCol: Option[String] = None, identityStart: Long = 1L,
+    emitChangeData: Boolean = false) {
 
   require(numBuckets > 0, "numBuckets must be positive")
 
@@ -138,8 +139,34 @@ final class IncrementalScdTable(
       .filter(f => prefixes.exists(f.startsWith)).toSet).getOrElse(Set.empty)
     val op = s"scd_apply[${touched.size} buckets]"
     val dataSchema = Some(next.drop("__bucket").schema)
+    // CDC sidecar (Delta's enableChangeDataFeed for MERGE): the batch's
+    // row-level changes, derived by diffing the touched slice's before/
+    // after states — O(touched buckets), never O(table). An SCD2 merge
+    // replaces each changed key's active row with a closed copy and
+    // adds a fresh active row, so: disappeared rows = update_preimage,
+    // appeared rows with a pre-existing key = update_postimage,
+    // appeared rows with a new key = insert. Staged BEFORE the commit;
+    // the manifest's cdc pointer flips atomically with the file list,
+    // which is what lets changes() traverse rewriting SCD versions.
+    val cdcMeta: Map[String, String] =
+      if (!emitChangeData) Map.empty
+      else {
+        // align column order: except() resolves positionally
+        val after = next.drop("__bucket").select(snap.columns.map(col): _*)
+        val appeared = after.except(snap)
+        val disappeared = snap.except(after)
+        val oldKeys = snap.select(cfg.pkCols.map(col): _*).distinct()
+        val cdc = appeared.join(oldKeys, cfg.pkCols, "left_anti")
+          .withColumn("_change_type", lit("insert"))
+          .unionByName(appeared.join(oldKeys, cfg.pkCols, "left_semi")
+            .withColumn("_change_type", lit("update_postimage")))
+          .unionByName(disappeared
+            .withColumn("_change_type", lit("update_preimage")))
+        Map("cdc" -> table.stageChangeData(cdc))
+      }
     sliceMax match {
-      case None => table.commitFiles(added, removed, op, schema = dataSchema)
+      case None =>
+        table.commitFiles(added, removed, op, meta = cdcMeta, schema = dataSchema)
       case Some(mx) =>
         // This batch's ids were derived from `watermark`, read BEFORE
         // the merge. Rebasing blindly after a lost manifest race would
@@ -165,7 +192,7 @@ final class IncrementalScdTable(
                 "re-run the batch on fresh state")
           try {
             result = table.commitFiles(added, removed, op, maxRetries = 0,
-              meta = Map("id_watermark" -> math.max(newest, mx).toString),
+              meta = cdcMeta + ("id_watermark" -> math.max(newest, mx).toString),
               schema = dataSchema)
             committed = true
           } catch {

@@ -119,7 +119,8 @@ class GraftDataSource extends TableProvider
           case None => 0L
         }
         Some(GraftStreamInfo(p, startingVersion,
-          Option(opts.get("ignoreChanges")).exists(_.toBoolean)))
+          Option(opts.get("ignoreChanges")).exists(_.toBoolean),
+          Option(opts.get("maxFilesPerTrigger")).map(_.trim.toInt)))
       }
     }
   }
@@ -206,7 +207,8 @@ private[sources] class GraftVersionedParquet extends ParquetDataSourceV2 {
         // same). OPTIMIZE materializes the vectors away;
         // IncrementalTable.snapshot()/scan() apply them natively.
         if (inc.metaAt(v).contains("dv") &&
-            !java.lang.Boolean.parseBoolean(map.get("ignoreDeletionVectors")))
+            !java.lang.Boolean.parseBoolean(map.get("ignoreDeletionVectors")) &&
+            !java.lang.Boolean.parseBoolean(map.get("ignoreChanges")))
           throw new IllegalStateException(
             s"graft: version $v of $root carries deletion vectors, which " +
               "path-level reads cannot apply. Run OPTIMIZE to materialize " +

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, VariantExtraction}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.StructType
@@ -19,7 +19,8 @@ import graft.lake.IncrementalTable
   * created, the v1 source's contract).
   */
 private[sources] final case class GraftStreamInfo(
-    path: String, startingVersion: Long, ignoreChanges: Boolean)
+    path: String, startingVersion: Long, ignoreChanges: Boolean,
+    maxFilesPerTrigger: Option[Int] = None)
 
 /** Version offset on the wire: the bare committed-version number —
   * byte-identical to the v1 `LongOffset` json, so checkpoints written
@@ -42,7 +43,9 @@ private[sources] final case class GraftVersionOffset(v: Long) extends Offset {
   */
 private[sources] final class GraftMicroBatchStream(
     spark: SparkSession, info: GraftStreamInfo, innerScan: Scan)
-  extends MicroBatchStream {
+  extends MicroBatchStream
+    with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val table = new IncrementalTable(spark, info.path)
   private val dataDir = new Path(info.path, "data")
@@ -53,10 +56,70 @@ private[sources] final class GraftMicroBatchStream(
     */
   override def initialOffset(): Offset = GraftVersionOffset(info.startingVersion - 1)
 
-  override def latestOffset(): Offset =
-    GraftVersionOffset(table.latestVersion
-      .filter(_ >= info.startingVersion - 1)
-      .getOrElse(info.startingVersion - 1))
+  private def headVersion: Long = table.latestVersion
+    .filter(_ >= info.startingVersion - 1)
+    .getOrElse(info.startingVersion - 1)
+
+  override def latestOffset(): Offset = GraftVersionOffset(headVersion)
+
+  // ---- admission control (Delta's maxFilesPerTrigger) + AvailableNow.
+  // Offsets are versions, so rate limiting = "advance the watermark
+  // only as far as the file budget allows": walk the commit log from
+  // the current offset accumulating per-version file additions (one
+  // small manifest read each — never a data scan), stop before the
+  // budget is exceeded, but always admit at least one version so the
+  // stream can't starve. Trigger.AvailableNow pins the head version at
+  // query start; Spark then drains rate-limited batches up to the pin
+  // and stops.
+
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(headVersion)
+
+  override def getDefaultReadLimit: ReadLimit =
+    info.maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset = GraftVersionOffset(headVersion)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftVersionOffset].v
+    val head = availableNowCap.fold(headVersion)(math.min(_, headVersion))
+    if (head <= from) return GraftVersionOffset(from)
+    val cap = limit match {
+      case f: ReadMaxFiles => Some(f.maxFiles())
+      case _: ReadAllAvailable => None
+      case _ => None // composite/unknown limits: deliver everything
+    }
+    cap match {
+      case None => GraftVersionOffset(head)
+      case Some(budget) =>
+        var v = from
+        var prev: Set[String] =
+          if (from < 0 || !table.versionExists(from)) Set.empty
+          else table.files(from).toSet
+        var spent = 0
+        var stop = false
+        while (!stop && v < head) {
+          // a vacuumed intermediate manifest makes per-version counts
+          // unknowable — stop chunking and deliver the rest in one batch
+          if (!table.versionExists(v + 1)) { v = head; stop = true }
+          else {
+            val now = table.files(v + 1).toSet
+            val added = (now -- prev).size
+            if (spent + added > budget && v > from) stop = true
+            else {
+              spent += added
+              prev = now
+              v += 1
+              // always admit ≥1 version, then stop once the budget is hit
+              if (spent >= budget) stop = true
+            }
+          }
+        }
+        GraftVersionOffset(v)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toLong)

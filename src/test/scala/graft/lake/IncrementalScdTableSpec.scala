@@ -225,4 +225,35 @@ class IncrementalScdTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.snapshot().count() === 3L) // 1:a(I), 1:a2(A), 2:b(A)
     assertThrows[Exception](t.snapshotAt(0L).collect())
   }
+
+  test("emitChangeData feeds the SCD merge through changes()") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("iscd_cdf").toString
+    val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 4,
+      emitChangeData = true)
+    t.create(schema)
+    t.applyScd(batch((1L, "a"), (2L, "b")), at(1)) // v0: two inserts
+    t.applyScd(batch((1L, "a2"), (3L, "c")), at(2)) // v1: update k=1, insert k=3
+
+    // v0: everything is an insert
+    val v0 = t.table.changes(-1L, 0L).select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v0 === Set((1L, "insert"), (2L, "insert")))
+
+    // v1 rewrites the touched bucket, but the CDC sidecar makes the
+    // feed traversable: k=3 inserts; k=1's old active row is the
+    // preimage, its closed copy AND its new active row are postimages
+    val v1 = t.table.changes(0L, 1L)
+      .select("k", "v", "record_status", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(v1.count(_ == ((3L, "c", "A", "insert"))) === 1)
+    assert(v1.count(x => x._1 == 1L && x._4 == "update_preimage") === 1)
+    assert(v1.filter(x => x._1 == 1L && x._4 == "update_postimage")
+      .map(x => (x._2, x._3)).toSet === Set(("a", "I"), ("a2", "A")))
+    assert(v1.length === 4)
+    // full-range feed unions both versions
+    assert(t.table.changes(-1L, 1L).count() === 6L)
+    // without the flag, the same rewrite is untraversable (round-3
+    // contract, unchanged): pinned by ChangeFeedSpec's compact test
+  }
 }

@@ -142,4 +142,41 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpec {
     assertThrows[Exception](
       spark.readStream.format("graft").load(dir))
   }
+
+  test("maxFilesPerTrigger chunks the backlog; AvailableNow still drains it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_rl_").toString + "/t"
+    val t = new IncrementalTable(spark, dir)
+    // four single-file versions = a 4-file backlog
+    (1L to 4L).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "tag").coalesce(1)))
+
+    val q = runToMemory(dir, "rl", Map("maxFilesPerTrigger" -> "1"))
+    q.awaitTermination(60000)
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    // the whole backlog arrives (AvailableNow pins the head and drains)
+    assert(spark.table("rl").count() === 4L)
+    // ...but in 1-file micro-batches, one per version, not one big gulp
+    assert(dataBatches === 4, s"expected 4 rate-limited batches, got $dataBatches")
+
+    // a fresh unlimited pass takes the backlog in a single batch
+    val q2 = runToMemory(dir, "rl_all")
+    q2.awaitTermination(60000)
+    val oneBatch = q2.recentProgress.count(_.numInputRows > 0)
+    q2.stop()
+    assert(spark.table("rl_all").count() === 4L && oneBatch === 1)
+  }
+
+  test("a deletion-vector commit fails the append stream unless ignoreChanges") {
+    import spark.implicits._
+    val (t, dir) = freshTable()
+    t.deleteVector(org.apache.spark.sql.functions.col("id") === 1L)
+    // the guard fires as early as stream resolution
+    val err = intercept[Exception](runToMemory(dir, "dvs"))
+    assert(err.getMessage.contains("deletion vectors"))
+    // ignoreChanges streams the inserts only (deletes aren't delivered)
+    val q2 = runToMemory(dir, "dvs2", Map("ignoreChanges" -> "true"))
+    q2.awaitTermination(60000); q2.stop()
+    assert(spark.table("dvs2").count() === 2L)
+  }
 }
