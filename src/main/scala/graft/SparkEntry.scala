@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.RelationalQueries.queries ++
       ops.ScdEventQueries.queries ++
-      ops.PipelineQueries.queries
+      ops.PipelineQueries.queries ++
+      ops.LakeDmlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.RelationalQueries.oracle ++
       ops.ScdEventQueries.oracle ++
-      ops.PipelineQueries.oracle
+      ops.PipelineQueries.oracle ++
+      ops.LakeDmlQueries.oracle
 }

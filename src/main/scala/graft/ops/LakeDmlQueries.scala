@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.lake.IncrementalTable
+
+/** The table format's ROW-LEVEL DML as oracled queries: each one
+  * builds an [[IncrementalTable]] from a testdata table (content-keyed
+  * temp dir, built once per dataset — the `lake_zorder_scan` pattern),
+  * runs the mutation under test, and reads the result back so plain
+  * DuckDB SQL over the raw parquet can replay the END STATE exactly:
+  *
+  *  - `lake_delete_scan`    copy-on-write DELETE (touched-file rewrite)
+  *  - `lake_dv_scan`        merge-on-read DELETE (stacked deletion
+  *                          vectors applied at scan)
+  *  - `lake_update_scan`    copy-on-write UPDATE (simultaneous SET)
+  *  - `lake_cdf_feed`       the change feed across appends + a delete
+  *  - `lake_restore_scan`   RESTORE to a pre-delete version
+  *
+  * The mutations never invent data — every surviving/updated/fed row
+  * is a deterministic function of the source table — which is what
+  * makes the whole DML path (stats-pruned candidates, per-file
+  * rewrite, vector anti-join, CDC sidecars, restore commit)
+  * hash-checkable against an engine that shares none of the machinery.
+  */
+object LakeDmlQueries {
+
+  /** Build-once cache with a completion marker: `finalOp` must be the
+    * operation string of the LAST commit in `build`, so a half-built
+    * table from a crashed earlier run is rebuilt, never trusted.
+    */
+  private def cached(spark: SparkSession, dir: String, srcTable: String,
+      tag: String, finalOp: String)(build: IncrementalTable => Unit): IncrementalTable = {
+    val src = new java.io.File(s"$dir/$srcTable.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified, tag).hashCode)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_${tag}_$key"
+    val t = new IncrementalTable(spark, path)
+    val complete = t.exists &&
+      t.latestVersion.exists(v => t.operationAt(v) == finalOp)
+    if (!complete) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      val fresh = new IncrementalTable(spark, path)
+      build(fresh)
+      return fresh
+    }
+    t
+  }
+
+  /** Copy-on-write DELETE: fulfilled 'F' orders under 100k are removed;
+    * only files whose stats admit a match are rewritten.
+    */
+  def lakeDeleteScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = cached(spark, dir, "orders", "del", "delete") { t =>
+      t.append(Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+      t.deleteWhere(col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0)
+    }
+    t.snapshot().orderBy("o_orderkey")
+  }
+
+  /** Merge-on-read DELETE: two STACKED deletion-vector commits, no data
+    * file rewritten; the scan's vector anti-join produces the state.
+    */
+  def lakeDvScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = cached(spark, dir, "customer", "dv", "delete[dv]") { t =>
+      t.append(Tables.load(spark, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
+      t.deleteVector(col("c_acctbal") < 0.0)
+      t.deleteVector(col("c_nationkey") === 5)
+    }
+    t.snapshot().orderBy("c_custkey")
+  }
+
+  /** Copy-on-write UPDATE with simultaneous assignments evaluated
+    * against the original row.
+    */
+  def lakeUpdateScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = cached(spark, dir, "customer", "upd", "update") { t =>
+      t.append(Tables.load(spark, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal"))
+      t.updateWhere(col("c_nationkey") < 5,
+        Map("c_acctbal" -> (col("c_acctbal") + 1000.0)))
+    }
+    t.snapshot().orderBy("c_custkey")
+  }
+
+  /** The change feed across two appends and a copy-on-write delete:
+    * inserts come from the manifest file deltas, the delete from its
+    * CDC sidecar, each tagged with its commit version.
+    */
+  def lakeCdfFeed(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = Tables.load(spark, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey")
+    val split = supplier.agg(floor(max(col("s_suppkey")) / 2.0).cast("long"))
+      .head().getLong(0)
+    val t = cached(spark, dir, "supplier", "cdf", "delete") { t =>
+      t.append(supplier.filter(col("s_suppkey") <= split))
+      t.append(supplier.filter(col("s_suppkey") > split))
+      t.deleteWhere(col("s_nationkey") === 3)
+    }
+    t.changes(-1L, 2L)
+      .select("s_suppkey", "s_name", "_change_type", "_commit_version")
+      .orderBy("_commit_version", "s_suppkey", "_change_type")
+  }
+
+  /** RESTORE: delete a slice, then rewind to the pre-delete version —
+    * the scan must read back the UNTOUCHED source table.
+    */
+  def lakeRestoreScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = cached(spark, dir, "nation", "rst", "restore[0]") { t =>
+      t.append(Tables.load(spark, dir, "nation"))
+      t.deleteWhere(col("n_regionkey") === 2)
+      t.restore(0L)
+    }
+    t.snapshot().orderBy("n_nationkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_delete_scan" -> lakeDeleteScan _,
+    "lake_dv_scan" -> lakeDvScan _,
+    "lake_update_scan" -> lakeUpdateScan _,
+    "lake_cdf_feed" -> lakeCdfFeed _,
+    "lake_restore_scan" -> lakeRestoreScan _)
+
+  val oracle: Map[String, String] = Map(
+    "lake_delete_scan" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+        |ORDER BY o_orderkey""".stripMargin,
+    "lake_dv_scan" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+        |WHERE NOT (c_acctbal < 0) AND NOT (c_nationkey = 5)
+        |ORDER BY c_custkey""".stripMargin,
+    "lake_update_scan" ->
+      """SELECT c_custkey, c_nationkey,
+        |       CASE WHEN c_nationkey < 5 THEN c_acctbal + 1000.0
+        |            ELSE c_acctbal END AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "lake_cdf_feed" ->
+      """WITH split AS (
+        |  SELECT CAST(floor(max(s_suppkey) / 2.0) AS BIGINT) AS k FROM supplier)
+        |SELECT s_suppkey, s_name, _change_type, _commit_version FROM (
+        |  SELECT s_suppkey, s_name, 'insert' AS _change_type,
+        |         CAST(0 AS BIGINT) AS _commit_version
+        |  FROM supplier WHERE s_suppkey <= (SELECT k FROM split)
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, 'insert', CAST(1 AS BIGINT)
+        |  FROM supplier WHERE s_suppkey > (SELECT k FROM split)
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, 'delete', CAST(2 AS BIGINT)
+        |  FROM supplier WHERE s_nationkey = 3)
+        |ORDER BY _commit_version, s_suppkey, _change_type""".stripMargin,
+    "lake_restore_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")
+}
