@@ -75,7 +75,16 @@ class GraftCatalog extends TableCatalog {
     props.put("path", path)
     extra.foreach { case (k, v) => props.put(k, v) }
     val opts = new CaseInsensitiveStringMap(props)
-    ds.getTable(ds.inferSchema(opts), ds.inferPartitioning(opts), props)
+    val t = ds.getTable(ds.inferSchema(opts), ds.inferPartitioning(opts), props)
+    t match {
+      // catalog-resolved incremental tables accept SQL INSERT (append /
+      // overwrite manifest commits) — but only at the LATEST version;
+      // time-traveled reads stay read-only
+      case ro: GraftReadOnlyTable
+          if extra.isEmpty && new IncrementalTable(spark, path).isIncrementalLayout =>
+        new GraftWritableTable(ro, path)
+      case other => other
+    }
   }
 
   override def loadTable(ident: Identifier): Table = {

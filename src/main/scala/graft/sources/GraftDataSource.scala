@@ -279,3 +279,49 @@ private[sources] class GraftReadOnlyTable(
     }
   }
 }
+
+/** Catalog-resolved tables additionally support SQL INSERT: the
+  * [[graft.sources.GraftCatalog]] wraps incremental-layout tables in
+  * this facade, whose `V1_BATCH_WRITE` bridges `INSERT INTO lake.t`
+  * (append commit) and `INSERT OVERWRITE lake.t` (snapshot commit)
+  * onto the SAME manifest protocol as every other writer — atomic,
+  * versioned, schema-merged, optimistic-retry. Only the catalog hands
+  * this out: the path-based provider stays read-only so
+  * `DataFrameWriter.save(path)` keeps its pinned v1 SaveMode
+  * semantics.
+  */
+private[sources] final class GraftWritableTable(
+    ro: GraftReadOnlyTable, tablePath: String)
+  extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+
+  override def name(): String = ro.name()
+  override def schema(): StructType = ro.schema()
+  override def partitioning(): Array[Transform] = ro.partitioning()
+  override def properties(): JMap[String, String] = ro.properties()
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability](ro.capabilities())
+    caps.add(TableCapability.V1_BATCH_WRITE)
+    caps.add(TableCapability.TRUNCATE)
+    caps
+  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    ro.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+          (data: DataFrame, _: Boolean) => {
+            val inc = new IncrementalTable(SparkSession.active, tablePath)
+            if (overwrite) inc.writeSnapshot(data, operation = "overwrite")
+            else inc.append(data)
+            ()
+          }
+      }
+    }
+}

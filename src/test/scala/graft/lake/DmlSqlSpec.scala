@@ -102,6 +102,22 @@ class DmlSqlSpec extends AnyFunSuite with SparkSpec {
     assert(state("rst").map(_._1) === Seq(1L, 2L, 3L))
   }
 
+  test("SQL INSERT INTO / INSERT OVERWRITE commit manifest versions") {
+    configure()
+    val t = mk("ins")
+    spark.sql("INSERT INTO dml.ins VALUES (7, 'g', 70), (8, 'h', 80)")
+    assert(state("ins").map(_._1) === Seq(1L, 2L, 3L, 7L, 8L))
+    assert(t.operationAt(t.latestVersion.get) === "append")
+    // INSERT INTO ... SELECT
+    spark.sql("INSERT INTO dml.ins SELECT pk + 100, v, n FROM dml.ins WHERE pk = 1")
+    assert(state("ins").map(_._1) === Seq(1L, 2L, 3L, 7L, 8L, 101L))
+    // INSERT OVERWRITE replaces the snapshot, atomically and undoably
+    spark.sql("INSERT OVERWRITE dml.ins VALUES (9, 'z', 90)")
+    assert(state("ins") === Seq((9L, "z", 90L)))
+    assert(t.operationAt(t.latestVersion.get) === "overwrite")
+    assert(t.snapshotAt(t.latestVersion.get - 1).count() === 6L) // history intact
+  }
+
   test("connector path reads fail loudly under deletion vectors") {
     configure()
     val t = mk("dvguard")

@@ -143,7 +143,7 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
     // the contract maps are built with ++ — a duplicated name in two
     // source maps would silently shadow a query
     val sizes = Seq(RelationalQueries.queries, ScdEventQueries.queries,
-      PipelineQueries.queries)
+      PipelineQueries.queries, LakeDmlQueries.queries)
     assert(sizes.map(_.size).sum === qs.size, "query name collision across maps")
   }
 
