@@ -141,9 +141,36 @@ class GraftCatalog extends TableCatalog {
     tableAt(p, Map.empty)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft: schema evolves through writes (add-column merge on commit), not ALTER TABLE")
+  /** `ALTER TABLE lake.t ADD COLUMNS (x TYPE, ...)` — a METADATA-ONLY
+    * commit: no files change, the tracked schema merges the new
+    * columns through the same commit CAS as a write-side evolution
+    * (so a racing append can't lose the columns), and existing files
+    * read the additions as NULL. Everything else (drop/rename/
+    * retype) is rejected: those would require rewriting or remapping
+    * every historical file.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val inc = new IncrementalTable(spark, p)
+    require(inc.isIncrementalLayout,
+      s"graft: ALTER TABLE needs an incremental-manifest table: $p")
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    require(adds.size == changes.size,
+      "graft: only ADD COLUMNS is supported — schema otherwise evolves " +
+        "through writes (add-column merge on commit)")
+    require(adds.forall(_.fieldNames().length == 1),
+      "graft: nested column additions are not supported")
+    require(inc.tableSchema.isDefined,
+      s"graft: $p has no tracked schema to evolve (write once first)")
+    val newCols = StructType(adds.map(a => org.apache.spark.sql.types.StructField(
+      a.fieldNames().head, a.dataType(), a.isNullable)))
+    // commitFiles' schema merge (tracked ++ new-only) runs inside the
+    // CAS retry loop, same as a write-side evolution
+    inc.commitFiles(Seq.empty, Set.empty, "alter_add_columns",
+      schema = Some(newCols))
+    tableAt(p, Map.empty)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = pathOf(ident)

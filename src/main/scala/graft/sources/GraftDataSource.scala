@@ -75,10 +75,17 @@ class GraftDataSource extends TableProvider
         val inc = new IncrementalTable(SparkSession.active, p)
         if (inc.isIncrementalLayout) inc.tableSchema else None
       }
-    tracked.getOrElse {
+    val base = tracked.getOrElse {
       try delegate.inferSchema(options)
       catch { case e: IllegalArgumentException if emptyTable(e) => new StructType() }
     }
+    // the streaming change feed reads the data schema PLUS the change
+    // columns; data files null-fill them and the CDC reader factory
+    // fills the constants (sidecar files carry _change_type natively)
+    if (java.lang.Boolean.parseBoolean(options.get("readChangeFeed")))
+      base.add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.LongType)
+    else base
   }
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
@@ -120,7 +127,8 @@ class GraftDataSource extends TableProvider
         }
         Some(GraftStreamInfo(p, startingVersion,
           Option(opts.get("ignoreChanges")).exists(_.toBoolean),
-          Option(opts.get("maxFilesPerTrigger")).map(_.trim.toInt)))
+          Option(opts.get("maxFilesPerTrigger")).map(_.trim.toInt),
+          Option(opts.get("readChangeFeed")).exists(_.toBoolean)))
       }
     }
   }
@@ -208,7 +216,8 @@ private[sources] class GraftVersionedParquet extends ParquetDataSourceV2 {
         // IncrementalTable.snapshot()/scan() apply them natively.
         if (inc.metaAt(v).contains("dv") &&
             !java.lang.Boolean.parseBoolean(map.get("ignoreDeletionVectors")) &&
-            !java.lang.Boolean.parseBoolean(map.get("ignoreChanges")))
+            !java.lang.Boolean.parseBoolean(map.get("ignoreChanges")) &&
+            !java.lang.Boolean.parseBoolean(map.get("readChangeFeed")))
           throw new IllegalStateException(
             s"graft: version $v of $root carries deletion vectors, which " +
               "path-level reads cannot apply. Run OPTIMIZE to materialize " +

@@ -20,7 +20,8 @@ import graft.lake.IncrementalTable
   */
 private[sources] final case class GraftStreamInfo(
     path: String, startingVersion: Long, ignoreChanges: Boolean,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    readChangeFeed: Boolean = false)
 
 /** Version offset on the wire: the bare committed-version number —
   * byte-identical to the v1 `LongOffset` json, so checkpoints written
@@ -132,6 +133,7 @@ private[sources] final class GraftMicroBatchStream(
     val from = start.asInstanceOf[GraftVersionOffset].v
     val to = end.asInstanceOf[GraftVersionOffset].v
     if (to <= from || !table.versionExists(to)) return Array.empty
+    if (info.readChangeFeed) return planCdcPartitions(from, to)
     val prevFiles: Set[String] =
       if (from < 0) Set.empty
       else {
@@ -171,15 +173,125 @@ private[sources] final class GraftMicroBatchStream(
     }.toArray
   }
 
+  /** CDC mode (`readChangeFeed=true`, Delta's streaming change feed):
+    * each version in the range contributes either its CDC sidecar
+    * files (mutating commits — real `_change_type` in the file) or its
+    * added data files (appends — `_change_type` filled as 'insert' by
+    * the reader wrapper); `_commit_version` is a per-partition
+    * constant. Every version in the range must still have its
+    * manifest: per-version deltas are what's being delivered.
+    */
+  private def planCdcPartitions(from: Long, to: Long): Array[InputPartition] = {
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var prev: Set[String] =
+      if (from < 0) Set.empty
+      else {
+        require(table.versionExists(from),
+          s"graft CDC stream: version $from was vacuumed from ${info.path} — " +
+            "cannot compute the delta; restart from a fresh checkpoint")
+        table.files(from).toSet
+      }
+    val parts = Seq.newBuilder[InputPartition]
+    var idx = 0
+    def add(p: org.apache.hadoop.fs.Path, v: Long, fillInsert: Boolean): Unit = {
+      val st = fs.getFileStatus(p)
+      parts += GraftCdcPartition(FilePartition(idx, Array(PartitionedFile(
+        InternalRow.empty, org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+        0L, st.getLen, Array.empty, st.getModificationTime, st.getLen))),
+        v, fillInsert)
+      idx += 1
+    }
+    ((from + 1) to to).foreach { v =>
+      require(table.versionExists(v),
+        s"graft CDC stream: version $v was vacuumed from ${info.path} — " +
+          "the per-version change feed is gone; restart from a fresh checkpoint")
+      val now = table.files(v)
+      val cdc = table.metaAt(v).get("cdc")
+      val removed = prev -- now
+      if (removed.nonEmpty && cdc.isEmpty)
+        throw new IllegalStateException(
+          s"graft CDC stream: version $v of ${info.path} rewrites " +
+            s"${removed.size} file(s) without change-data files " +
+            "(compact/overwrite/legacy merge) — row-level changes are unknowable")
+      cdc match {
+        case Some(nonce) =>
+          val dir = new Path(info.path, s"_change_data/$nonce")
+          fs.listStatus(dir).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName)
+            .foreach(add(_, v, fillInsert = false))
+        case None =>
+          now.filterNot(prev).sorted
+            .foreach(f => add(new Path(dataDir, f), v, fillInsert = true))
+      }
+      prev = now.toSet
+    }
+    parts.result().toArray
+  }
+
   /** The parquet scan's own batch reader factory: `ParquetScan` wires
     * the read-support class, requested-schema json, timezone and
     * vectorization flags into the broadcast hadoop conf — re-deriving
     * that setup here would just duplicate it (and a missed key fails at
     * executor time), so the stream reuses the exact factory the batch
     * path would run with, fed our per-micro-batch [[FilePartition]]s.
+    * In CDC mode the factory is wrapped to fill the constant change
+    * columns.
     */
-  override def createReaderFactory(): PartitionReaderFactory =
-    innerScan.toBatch.createReaderFactory()
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = innerScan.toBatch.createReaderFactory()
+    if (info.readChangeFeed) new GraftCdcReaderFactory(inner, innerScan.readSchema())
+    else inner
+  }
+}
+
+/** A [[FilePartition]] plus its commit version and whether
+  * `_change_type` needs the constant 'insert' fill (append files) or
+  * arrives from the file itself (CDC sidecars).
+  */
+private[sources] final case class GraftCdcPartition(
+    inner: FilePartition, commitVersion: Long, fillInsert: Boolean)
+  extends InputPartition
+
+/** Wraps the parquet reader factory for CDC batches: the inner reader
+  * already null-fills requested columns absent from the file (the
+  * schema-evolution machinery), so this wrapper only overwrites the
+  * constants — `_commit_version` always, `_change_type` for append
+  * files. Row-based on purpose: per-partition constant injection into
+  * columnar batches would mean materializing constant vectors for no
+  * measurable gain on a change feed.
+  */
+private[sources] final class GraftCdcReaderFactory(
+    inner: PartitionReaderFactory, schema: StructType)
+  extends PartitionReaderFactory {
+
+  private val ctIdx = schema.fieldNames.indexOf("_change_type")
+  private val cvIdx = schema.fieldNames.indexOf("_commit_version")
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(
+      partition: InputPartition): org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftCdcPartition]
+    val delegate = inner.createReader(p.inner)
+    val insertTag = org.apache.spark.unsafe.types.UTF8String.fromString("insert")
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      override def next(): Boolean = delegate.next()
+      override def get(): InternalRow = {
+        val r = delegate.get()
+        val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(schema.length)
+        var i = 0
+        while (i < schema.length) {
+          out.update(i, if (r.isNullAt(i)) null else r.get(i, schema(i).dataType))
+          i += 1
+        }
+        if (ctIdx >= 0 && p.fillInsert) out.update(ctIdx, insertTag)
+        if (cvIdx >= 0) out.update(cvIdx, p.commitVersion)
+        out
+      }
+      override def close(): Unit = delegate.close()
+    }
+  }
 }
 
 /** Scan wrapper: batch reads delegate untouched to the parquet DSv2
@@ -190,7 +302,13 @@ private[sources] final class GraftMicroBatchStream(
 private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
     extends Scan {
   override def readSchema(): StructType = inner.readSchema()
-  override def toBatch: Batch = inner.toBatch
+  override def toBatch: Batch = {
+    if (info.readChangeFeed)
+      throw new UnsupportedOperationException(
+        "graft: readChangeFeed is a STREAMING option; batch CDC reads go " +
+          "through IncrementalTable.changes(fromV, toV)")
+    inner.toBatch
+  }
   override def description(): String = inner.description()
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     inner.supportedCustomMetrics()

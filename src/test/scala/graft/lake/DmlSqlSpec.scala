@@ -118,6 +118,28 @@ class DmlSqlSpec extends AnyFunSuite with SparkSpec {
     assert(t.snapshotAt(t.latestVersion.get - 1).count() === 6L) // history intact
   }
 
+  test("CTAS and ALTER TABLE ADD COLUMNS through the catalog") {
+    configure()
+    mk("ctas_src")
+    spark.sql("DROP TABLE IF EXISTS dml.ctas_dst")
+    spark.sql(
+      "CREATE TABLE dml.ctas_dst AS SELECT pk, n * 2 AS n2 FROM dml.ctas_src WHERE pk <= 2")
+    import spark.implicits._
+    assert(spark.table("dml.ctas_dst").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      === Seq((1L, 20L), (2L, 40L)))
+
+    spark.sql("ALTER TABLE dml.ctas_dst ADD COLUMNS (note STRING)")
+    val t = new IncrementalTable(spark, s"$wh/ctas_dst")
+    assert(t.operationAt(t.latestVersion.get) === "alter_add_columns")
+    // existing rows read the new column as NULL; inserts can fill it
+    assert(spark.sql("SELECT note FROM dml.ctas_dst").collect().forall(_.isNullAt(0)))
+    spark.sql("INSERT INTO dml.ctas_dst VALUES (5, 50, 'x')")
+    assert(spark.sql("SELECT count(*) FROM dml.ctas_dst WHERE note = 'x'")
+      .head.getLong(0) === 1L)
+    // non-additive changes are rejected
+    assertThrows[Exception](spark.sql("ALTER TABLE dml.ctas_dst DROP COLUMN n2"))
+  }
+
   test("connector path reads fail loudly under deletion vectors") {
     configure()
     val t = mk("dvguard")

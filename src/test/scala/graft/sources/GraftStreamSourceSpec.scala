@@ -167,6 +167,41 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpec {
     assert(spark.table("rl_all").count() === 4L && oneBatch === 1)
   }
 
+  test("readChangeFeed streams the full CDF: inserts, delete, update images") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val (t, dir) = freshTable()                       // v0: (1,a), (2,b)
+    t.append(Seq((3L, "c")).toDF("id", "tag"))        // v1: insert (3,c)
+    t.deleteWhere(col("id") === 1L)                   // v2: delete (1,a)
+    t.updateWhere(col("id") === 2L, Map("tag" -> lit("B"))) // v3: b -> B
+
+    val q = runToMemory(dir, "cdf", Map("readChangeFeed" -> "true"))
+    q.awaitTermination(60000); q.stop()
+    val rows = spark.table("cdf")
+      .select("id", "tag", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(rows === Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+      (3L, "c", "insert", 1L),
+      (1L, "a", "delete", 2L),
+      (2L, "b", "update_preimage", 3L), (2L, "B", "update_postimage", 3L)))
+
+    // a deletion-vector delete feeds through CDC too (no file rewritten)
+    t.deleteVector(col("id") === 3L)                  // v4
+    val q2 = runToMemory(dir, "cdf2",
+      Map("readChangeFeed" -> "true", "startingVersion" -> "4"))
+    q2.awaitTermination(60000); q2.stop()
+    val dv = spark.table("cdf2").select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(dv === Set((3L, "delete", 4L)))
+
+    // batch reads reject the streaming-only option
+    val err = intercept[Exception](
+      spark.read.format("graft").option("readChangeFeed", "true").load(dir).collect())
+    assert(err.getMessage.contains("STREAMING") ||
+      Option(err.getCause).exists(_.getMessage.contains("STREAMING")))
+  }
+
   test("a deletion-vector commit fails the append stream unless ignoreChanges") {
     import spark.implicits._
     val (t, dir) = freshTable()
