@@ -135,6 +135,54 @@ class CommitConflictSpec extends AnyFunSuite with SparkSpec {
     assert(t.metaAt(0L) === Map("ts" -> "12:30"))
   }
 
+  test("copy-on-write DELETE conflicts when a concurrent commit rewrote its files") {
+    import org.apache.spark.sql.functions.col
+    val t = fresh()
+    t.append(df((1L, "a"), (2L, "b")))
+    t.append(df((3L, "c")))
+    // DELETE will want to remove the file holding id=1; a concurrent
+    // compact rewrites ALL files first — the removal set is stale
+    val h2 = new IncrementalTable(spark, t.path)
+    h2.compact(1)
+    // h1's view of candidate files is recomputed inside deleteWhere
+    // (it reads latestVersion), so a *completed* compact is fine:
+    assert(t.deleteWhere(col("id") === 1L) === 3L)
+    assert(t.snapshot().count() === 2L)
+    // the true stale-removal race arbitrates in commitFiles: removing a
+    // file the winner rewrote is a logical conflict
+    assertThrows[CommitConflictException] {
+      t.commitFiles(Seq.empty, Set("no-longer-referenced.parquet"), "delete")
+    }
+  }
+
+  test("racing DV deletes: exactly one wins, the loser's vectors are not lost silently") {
+    import org.apache.spark.sql.functions.col
+    val t = fresh()
+    t.append(df((1L, "a"), (2L, "b"), (3L, "c")))
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = Seq(1L, 2L).map { id =>
+      new Thread(() => {
+        try {
+          new IncrementalTable(spark, t.path).deleteVector(col("id") === id)
+          outcomes.add(s"ok$id")
+        } catch {
+          case _: CommitConflictException => outcomes.add(s"conflict$id")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    val res = outcomes.toArray.map(_.toString).toSet
+    // either serialized cleanly (both ok) or the loser failed loudly —
+    // never a silent overwrite of the winner's vectors
+    val survivors = t.snapshot().select("id").collect().map(_.getLong(0)).toSet
+    if (res === Set("ok1", "ok2")) assert(survivors === Set(3L))
+    else {
+      assert(res.count(_.startsWith("ok")) === 1)
+      val winner = res.find(_.startsWith("ok")).get.stripPrefix("ok").toLong
+      assert(survivors === Set(1L, 2L, 3L) - winner)
+    }
+  }
+
   test("overwrite races resolve last-writer-wins at distinct versions") {
     val t = fresh()
     t.append(df((1L, "a")))
