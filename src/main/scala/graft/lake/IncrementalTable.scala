@@ -146,9 +146,44 @@ final class IncrementalTable(
       .map(_.getPath.getName)
       .collect { case ManifestName(d) => d.toLong }
 
-  def latestVersion: Option[Long] = {
-    val ids = manifestIds
-    if (ids.isEmpty) None else Some(ids.max)
+  // Resolving the latest version by LISTING _log/ is O(#commits) — at
+  // one commit a minute for two years that's ~10^6 list entries per
+  // metadata operation, the classic object-store log bottleneck (Delta
+  // answers it with _last_checkpoint). Same move here: a best-effort
+  // hint file records the newest version a writer published; readers
+  // jump to the hint and PROBE FORWARD with O(commits-since-hint)
+  // existence checks. The hint can only ever lag (it is written after
+  // the manifest rename, and vacuum never deletes the head), so a
+  // stale/missing/corrupt hint degrades to the probe or the full
+  // listing — never to a wrong answer.
+  private val latestHint = new Path(logDir, "_latest.hint")
+
+  private def readLatestHint(): Option[Long] =
+    try {
+      if (!fs.exists(latestHint)) None
+      else {
+        val in = fs.open(latestHint)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val v = txt.trim.toLong
+        if (versionExists(v)) Some(v) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def writeLatestHint(v: Long): Unit =
+    try {
+      val out = fs.create(latestHint, true)
+      out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      out.close()
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+
+  def latestVersion: Option[Long] = readLatestHint() match {
+    case Some(h) =>
+      var v = h
+      while (versionExists(v + 1)) v += 1
+      Some(v)
+    case None =>
+      val ids = manifestIds
+      if (ids.isEmpty) None else Some(ids.max)
   }
 
   def exists: Boolean = latestVersion.isDefined
@@ -202,6 +237,7 @@ final class IncrementalTable(
       throw new CommitConflictException(
         s"concurrent commit detected for version $v of $path")
     }
+    writeLatestHint(v)
   }
 
   private def readManifest(v: Long): (String, Long, Seq[String]) = {
@@ -887,29 +923,65 @@ final class IncrementalTable(
     * skewed columns would want quantile boundaries instead, the same
     * upgrade Delta's range_partition_id applies.
     */
-  def clusterZ(targetFiles: Int, bits: Int, cols: String*): Long = {
+  def clusterZ(targetFiles: Int, bits: Int, cols: String*): Long =
+    clusterZImpl(targetFiles, bits, equiDepth = false, cols)
+
+  /** [[clusterZ]] with EQUI-DEPTH bucket boundaries: each column's
+    * code comes from its approximate quantiles instead of a uniform
+    * min→max scaling, so a heavily skewed column (zipfian keys, a few
+    * giant outliers) still spreads across all 2^bits codes instead of
+    * collapsing into one hot bucket — the same upgrade Delta's
+    * `range_partition_id` applies to OPTIMIZE ZORDER BY. Costs one
+    * `approxQuantile` pass (driver receives 2^bits doubles per
+    * column); the interleave stays a codegen'd shift/mask chain, the
+    * bucket lookup a 2^bits-branch comparison chain (codegen'd, no
+    * UDF).
+    */
+  def clusterZEquiDepth(targetFiles: Int, bits: Int, cols: String*): Long =
+    clusterZImpl(targetFiles, bits, equiDepth = true, cols)
+
+  private def clusterZImpl(
+      targetFiles: Int, bits: Int, equiDepth: Boolean, cols: Seq[String]): Long = {
     import org.apache.spark.sql.functions._
     require(cols.size >= 2,
       "z-order needs at least two columns (use cluster() for one)")
     require(bits >= 1 && bits * cols.size <= 62,
       s"bits=$bits x ${cols.size} columns must fit a signed int64")
     val df = snapshot()
-    val statExprs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"mn_$c"),
-      max(col(c).cast("double")).as(s"mx_$c")))
-    val stats = df.agg(statExprs.head, statExprs.tail: _*).head()
     val maxCode = (1L << bits) - 1
-    val codes = cols.zipWithIndex.map { case (c, _) =>
-      val mnAny = stats.getAs[Any](s"mn_$c")
-      val mxAny = stats.getAs[Any](s"mx_$c")
-      (mnAny, mxAny) match {
-        case (mn: java.lang.Double, mx: java.lang.Double) if mx > mn =>
-          val scale = maxCode / (mx - mn)
-          least(lit(maxCode), greatest(lit(0L),
-            floor((col(c).cast("double") - lit(mn.doubleValue)) * lit(scale)).cast("long")))
-        case _ => lit(0L) // constant or all-null column: no information
+    val codes: Seq[Column] =
+      if (equiDepth) {
+        val casted = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+        val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+        cols.map { c =>
+          val bounds = casted.stat.approxQuantile(c, probs, 0.001)
+            .distinct.sorted
+          if (bounds.isEmpty) lit(0L)
+          else {
+            val head = when(col(c).cast("double") <= bounds.head, 0L)
+            val chain = bounds.tail.zipWithIndex.foldLeft(head) {
+              case (acc, (b, i)) => acc.when(col(c).cast("double") <= b, (i + 1).toLong)
+            }
+            chain.otherwise(lit(bounds.length.toLong))
+          }
+        }
+      } else {
+        val statExprs = cols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"mn_$c"),
+          max(col(c).cast("double")).as(s"mx_$c")))
+        val stats = df.agg(statExprs.head, statExprs.tail: _*).head()
+        cols.map { c =>
+          val mnAny = stats.getAs[Any](s"mn_$c")
+          val mxAny = stats.getAs[Any](s"mx_$c")
+          (mnAny, mxAny) match {
+            case (mn: java.lang.Double, mx: java.lang.Double) if mx > mn =>
+              val scale = maxCode / (mx - mn)
+              least(lit(maxCode), greatest(lit(0L),
+                floor((col(c).cast("double") - lit(mn.doubleValue)) * lit(scale)).cast("long")))
+            case _ => lit(0L) // constant or all-null column: no information
+          }
+        }
       }
-    }
     val n = cols.size
     val z = (0 until bits).flatMap { i =>
       codes.zipWithIndex.map { case (code, j) =>

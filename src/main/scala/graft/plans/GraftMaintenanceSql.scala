@@ -33,9 +33,11 @@ object GraftMaintenanceSql {
   private val Optimize =
     """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
   private val Vacuum =
-    """(?is)^\s*VACUUM\s+(.+?)(?:\s+KEEP\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+(.+?)(?:\s+KEEP\s+(\d+)\s+VERSIONS|\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val History =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+  private val Detail =
+    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*$""".r
   private val RestoreVersion =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val RestoreTimestamp =
@@ -45,10 +47,12 @@ object GraftMaintenanceSql {
     case Optimize(target, zcols) =>
       Some(OptimizeGraftCommand(target.trim,
         Option(zcols).map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)))
-    case Vacuum(target, keep) =>
+    case Vacuum(target, keep, hours) =>
       Some(VacuumGraftCommand(target.trim,
-        Option(keep).map(_.toInt).getOrElse(1)))
+        Option(keep).map(_.toInt).getOrElse(1),
+        Option(hours).map(_.toInt)))
     case History(target) => Some(DescribeHistoryGraftCommand(target.trim))
+    case Detail(target) => Some(DescribeDetailGraftCommand(target.trim))
     case RestoreVersion(target, v) =>
       Some(RestoreGraftCommand(target.trim, Left(v.toLong)))
     case RestoreTimestamp(target, ts) =>
@@ -111,17 +115,64 @@ case class OptimizeGraftCommand(target: String, zorderCols: Seq[String])
   }
 }
 
-/** `VACUUM t [KEEP n VERSIONS]` — delete data files referenced by no
-  * kept manifest (default keeps only the latest version readable).
+/** `VACUUM t [KEEP n VERSIONS | RETAIN n HOURS]` — delete data files
+  * referenced by no kept manifest. `RETAIN n HOURS` (Delta's spelling)
+  * keeps every version committed within the window (plus the latest,
+  * always): the cutoff converts to a keep-count via the commit
+  * timestamps, then runs the same reference-counted GC.
   */
-case class VacuumGraftCommand(target: String, keepLast: Int)
+case class VacuumGraftCommand(
+    target: String, keepLast: Int, retainHours: Option[Int] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("kept_from_version", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftMaintenanceSql.incrementalAt(spark, target)
-    t.vacuum(keepLast)
-    Seq(Row(t.latestVersion.map(v => math.max(0L, v - keepLast + 1)).getOrElse(0L)))
+    val keep = retainHours match {
+      case None => keepLast
+      case Some(h) =>
+        val cutoff = System.currentTimeMillis() - h * 3600_000L
+        val recent = t.history()
+          .filter(org.apache.spark.sql.functions.col("committed_at") >=
+            new java.sql.Timestamp(cutoff))
+          .count().toInt
+        math.max(1, recent)
+    }
+    t.vacuum(keep)
+    Seq(Row(t.latestVersion.map(v => math.max(0L, v - keep + 1)).getOrElse(0L)))
+  }
+}
+
+/** `DESCRIBE DETAIL t` — current-state summary (Delta's command): the
+  * resolved location, latest version, file count and total bytes, and
+  * whether deletion vectors are pending materialization.
+  */
+case class DescribeDetailGraftCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType)(),
+    AttributeReference("location", StringType)(),
+    AttributeReference("version", LongType)(),
+    AttributeReference("numFiles", IntegerType)(),
+    AttributeReference("sizeInBytes", LongType)(),
+    AttributeReference("numDeletionVectorRows", LongType)(),
+    AttributeReference("columns", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftMaintenanceSql.incrementalAt(spark, target)
+    val v = t.latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty table at ${t.path}"))
+    val fls = t.files(v)
+    val dataDir = new org.apache.hadoop.fs.Path(t.path, "data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fls.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(dataDir, f)).getLen).sum
+    val dvRows = t.metaAt(v).get("dv") match {
+      case None => 0L
+      case Some(n) => spark.read
+        .parquet(new org.apache.hadoop.fs.Path(t.path, s"_dv/$n").toString).count()
+    }
+    val cols = t.tableSchema.map(_.fieldNames.mkString(", ")).getOrElse("")
+    Seq(Row("graft", t.path, v, fls.size, bytes, dvRows, cols))
   }
 }
 

@@ -140,6 +140,30 @@ class DmlSqlSpec extends AnyFunSuite with SparkSpec {
     assertThrows[Exception](spark.sql("ALTER TABLE dml.ctas_dst DROP COLUMN n2"))
   }
 
+  test("VACUUM RETAIN HOURS and DESCRIBE DETAIL") {
+    configure()
+    val t = mk("detail")
+    spark.sql("DELETE FROM dml.detail WHERE pk = 1") // v1 + CDC
+    val d = spark.sql("DESCRIBE DETAIL dml.detail").head
+    assert(d.getString(0) === "graft")
+    assert(d.getLong(2) === 1L) // version
+    assert(d.getInt(3) >= 1 && d.getLong(4) > 0L) // files, bytes
+    assert(d.getLong(5) === 0L) // no pending deletion vectors
+    assert(d.getString(6).contains("pk"))
+
+    spark.conf.set("graft.dml.deletionVectors", "true")
+    try spark.sql("DELETE FROM dml.detail WHERE pk = 2")
+    finally spark.conf.unset("graft.dml.deletionVectors")
+    assert(spark.sql("DESCRIBE DETAIL dml.detail").head.getLong(5) === 1L)
+
+    // everything was committed seconds ago -> RETAIN 1 HOURS keeps all
+    spark.sql("VACUUM dml.detail RETAIN 1 HOURS")
+    assert(new IncrementalTable(spark, s"$wh/detail").versionExists(0L))
+    // KEEP 1 VERSIONS drops history
+    spark.sql("VACUUM dml.detail KEEP 1 VERSIONS")
+    assert(!new IncrementalTable(spark, s"$wh/detail").versionExists(0L))
+  }
+
   test("connector path reads fail loudly under deletion vectors") {
     configure()
     val t = mk("dvguard")

@@ -142,6 +142,59 @@ class FileStatsSpec extends AnyFunSuite with SparkSpec {
       === (100L until 120L))
   }
 
+  test("equi-depth z-order prunes a skewed column where uniform buckets collapse") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fstats_zq_").toString + "/t"
+    val t = new IncrementalTable(spark, dir)
+    // x: 99% of rows in [0, 100), 1% outliers at 1e9 — uniform min→max
+    // scaling maps the dense 99% into bucket 0, so uniform z-order
+    // cannot separate them; equi-depth boundaries follow the mass
+    val rows = (0 until 4096).map { i =>
+      val x = if (i % 100 == 0) 1_000_000_000L else (i * 2654435761L) % 100L
+      (x, (i * 40503L + 17L) % 64L, i.toLong)
+    }
+    t.append(rows.toDF("x", "y", "payload").repartition(4))
+    val px = col("x") === 7L
+
+    t.clusterZ(16, 6, "x", "y")
+    val uniformKept = t.prunedFiles(t.files(t.latestVersion.get), Seq(px)).size
+
+    t.clusterZEquiDepth(16, 6, "x", "y")
+    val zq = t.files(t.latestVersion.get)
+    val equiKept = t.prunedFiles(zq, Seq(px)).size
+    assert(equiKept < uniformKept,
+      s"equi-depth should out-prune uniform on skew: $equiKept vs $uniformKept")
+    assert(equiKept <= zq.size / 2, s"x didn't prune after equi-depth z-order: $equiKept/${zq.size}")
+    // correctness unchanged
+    assert(t.scan(px).count() === rows.count(_._1 == 7L))
+    assert(t.scan(col("x") === 1_000_000_000L).count() === rows.count(_._1 == 1_000_000_000L))
+  }
+
+  test("latest-version hint: stale, missing, and corrupt hints all resolve correctly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fstats_hint_").toString + "/t"
+    val t = new IncrementalTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "tag").coalesce(1))
+    t.append(Seq((2L, "b")).toDF("id", "tag").coalesce(1))
+    val hint = new java.io.File(s"$dir/_log/_latest.hint")
+    assert(hint.exists() && t.latestVersion === Some(1L))
+    // stale (lagging) hint: probe-forward finds the real head
+    java.nio.file.Files.write(hint.toPath, "0".getBytes)
+    assert(t.latestVersion === Some(1L))
+    // corrupt hint: falls back to the listing
+    java.nio.file.Files.write(hint.toPath, "not-a-number".getBytes)
+    assert(t.latestVersion === Some(1L))
+    // hint ahead of reality (impossible in the protocol, but defend):
+    java.nio.file.Files.write(hint.toPath, "99".getBytes)
+    assert(t.latestVersion === Some(1L))
+    // missing hint: listing path
+    hint.delete()
+    assert(t.latestVersion === Some(1L))
+    // and the next commit rewrites it
+    t.append(Seq((3L, "c")).toDF("id", "tag").coalesce(1))
+    assert(new String(java.nio.file.Files.readAllBytes(hint.toPath)) === "2")
+  }
+
   test("z-order clustering: BOTH cluster columns prune; linear only the leading one") {
     import spark.implicits._
     val dir = Files.createTempDirectory("fstats_z_").toString + "/t"
