@@ -232,10 +232,22 @@ final class IncrementalTable(
     val out = fs.create(tmp, true)
     out.write(json.getBytes(StandardCharsets.UTF_8))
     out.close()
-    if (!fs.rename(tmp, manifestPath(v))) {
-      fs.delete(tmp, false)
-      throw new CommitConflictException(
-        s"concurrent commit detected for version $v of $path")
+    // rename-to-taken fails atomically on HDFS, but the local
+    // ChecksumFileSystem implements it as CHECK-THEN-ACT (dest-exists
+    // test, then a POSIX rename that overwrites) — two same-JVM
+    // writers racing one version can both pass the check and the
+    // second silently clobbers the first: a lost update, the one
+    // outcome the commit protocol exists to prevent. Serialize the
+    // publish critical section per table within the JVM (the local[*]
+    // case); cross-process writers on a non-atomic filesystem keep
+    // the documented caveat that object stores need an external CAS
+    // (Delta on S3 ships a LogStore for exactly this reason).
+    IncrementalTable.publishLock(path).synchronized {
+      if (fs.exists(manifestPath(v)) || !fs.rename(tmp, manifestPath(v))) {
+        fs.delete(tmp, false)
+        throw new CommitConflictException(
+          s"concurrent commit detected for version $v of $path")
+      }
     }
     writeLatestHint(v)
   }
@@ -516,11 +528,14 @@ final class IncrementalTable(
         // deletion vectors survive appends/merges: carry the base's dv
         // pointer unless this commit sets (or deliberately clears) its
         // own. Full rewrites go through writeSnapshot, which restages
-        // post-DV rows and starts clean.
-        val dvCarry = base.flatMap(b => metaAt(b).get("dv"))
-          .map("dv" -> _).toMap
+        // post-DV rows and starts clean. CHECK constraints carry the
+        // same way (and survive writeSnapshot too — they are table
+        // properties, not data state).
+        val baseMeta = base.map(metaAt).getOrElse(Map.empty)
+        val carry = Seq("dv", "constraints")
+          .flatMap(k => baseMeta.get(k).map(k -> _)).toMap
         writeManifest(v, operation, prev.filterNot(removed) ++ added,
-          dvCarry ++ meta ++ schemaMetaFor(base, schema))
+          carry ++ meta ++ schemaMetaFor(base, schema))
         return v
       } catch {
         case e: CommitConflictException =>
@@ -536,15 +551,22 @@ final class IncrementalTable(
     * at the next version.
     */
   def writeSnapshot(df: DataFrame, operation: String = "write",
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20): Long =
+    writeSnapshotImpl(df, operation, maxRetries, validate = true)
+
+  private def writeSnapshotImpl(df: DataFrame, operation: String,
+      maxRetries: Int, validate: Boolean): Long = {
+    if (validate) validateConstraints(df)
     val added = stage(df)
     var attempt = 0
     while (true) {
       val base = latestVersion
       val v = base.map(_ + 1).getOrElse(0L)
       try {
+        val consCarry = base.flatMap(b => metaAt(b).get("constraints"))
+          .map("constraints" -> _).toMap
         writeManifest(v, operation, added,
-          schemaMetaFor(base, Some(df.schema)))
+          consCarry ++ schemaMetaFor(base, Some(df.schema)))
         return v
       } catch {
         case e: CommitConflictException =>
@@ -556,12 +578,17 @@ final class IncrementalTable(
   }
 
   /** O(batch) append: new files only, everything else re-referenced. */
-  def append(df: DataFrame): Long =
+  def append(df: DataFrame): Long = {
+    validateConstraints(df)
     commitFiles(stage(df), Set.empty, "append", schema = Some(df.schema))
+  }
 
-  /** Rewrite the current snapshot into `targetFiles` files. */
+  /** Rewrite the current snapshot into `targetFiles` files (rows were
+    * admitted already — no constraint re-validation).
+    */
   def compact(targetFiles: Int = 1): Long =
-    writeSnapshot(snapshot().repartition(targetFiles), operation = "compact")
+    writeSnapshotImpl(snapshot().repartition(targetFiles),
+      operation = "compact", maxRetries = 20, validate = false)
 
   /** Rewrite the snapshot RANGE-CLUSTERED on `cols`: rows are range-
     * partitioned and sorted by the cluster keys, so each file covers a
@@ -574,9 +601,10 @@ final class IncrementalTable(
   def cluster(targetFiles: Int, cols: String*): Long = {
     require(cols.nonEmpty, "cluster needs at least one column")
     val c = cols.map(org.apache.spark.sql.functions.col)
-    writeSnapshot(
+    writeSnapshotImpl(
       snapshot().repartitionByRange(targetFiles, c: _*).sortWithinPartitions(c: _*),
-      operation = s"cluster[${cols.mkString(",")}]")
+      operation = s"cluster[${cols.mkString(",")}]", maxRetries = 20,
+      validate = false)
   }
 
   /** CHANGE DATA FEED over the commit log (Delta `readChangeFeed`):
@@ -658,6 +686,82 @@ final class IncrementalTable(
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     df.write.parquet(new Path(changeDataDir, nonce).toString)
     nonce
+  }
+
+  // ---- CHECK constraints (Delta table constraints) ----
+  //
+  // Stored in the manifest meta (key `constraints`, base64 of
+  // `name=expr|name=expr` — base64 clears the meta charset rules), so
+  // they version, time-travel, and flip atomically with the data like
+  // everything else. SQL-standard semantics: a row violates a CHECK
+  // only when the expression is FALSE — NULL passes. Enforced on every
+  // data-introducing write (append / overwrite / insert / update);
+  // compaction and clustering skip the re-validation, their rows were
+  // admitted already.
+
+  private def encodeConstraints(cs: Map[String, String]): String =
+    java.util.Base64.getEncoder.encodeToString(
+      cs.toSeq.sorted.map { case (n, e) => s"$n=$e" }.mkString("|")
+        .getBytes(StandardCharsets.UTF_8))
+
+  private def decodeConstraints(s: String): Map[String, String] =
+    new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+      .split('|').filter(_.nonEmpty).map { kv =>
+        val Array(n, e) = kv.split("=", 2)
+        n -> e
+      }.toMap
+
+  /** The CHECK constraints in force at the latest version. */
+  def constraints: Map[String, String] =
+    latestVersion.flatMap(v => metaAt(v).get("constraints"))
+      .map(decodeConstraints).getOrElse(Map.empty)
+
+  /** Add a CHECK constraint: existing rows must already satisfy it
+    * (one scan), then a metadata-only commit puts it in force — later
+    * writes validate against it before their manifests land.
+    */
+  def addConstraint(name: String, exprSql: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be alphanumeric/underscore: $name")
+    val existing = constraints
+    require(!existing.contains(name), s"constraint $name already exists on $path")
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val violating =
+      if (!exists || latestVersion.exists(files(_).isEmpty)) 0L
+      else snapshot().filter(not(coalesce(expr(exprSql), lit(true)))).limit(1).count()
+    if (violating > 0)
+      throw new IllegalStateException(
+        s"cannot add constraint $name CHECK ($exprSql) to $path: existing rows violate it")
+    commitFiles(Seq.empty, Set.empty, s"add_constraint[$name]",
+      meta = Map("constraints" -> encodeConstraints(existing + (name -> exprSql))))
+  }
+
+  /** Drop a CHECK constraint (metadata-only commit). */
+  def dropConstraint(name: String): Long = {
+    val existing = constraints
+    require(existing.contains(name), s"no constraint $name on $path")
+    commitFiles(Seq.empty, Set.empty, s"drop_constraint[$name]",
+      meta = Map("constraints" -> encodeConstraints(existing - name)))
+  }
+
+  /** One aggregate pass over `df` counting violations of every
+    * constraint; throws naming the failed constraints. Runs BEFORE the
+    * data is staged, so a rejected batch leaves no garbage to vacuum.
+    */
+  private[lake] def validateConstraints(df: DataFrame,
+      cs: Map[String, String] = constraints): Unit = {
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, count, expr, lit, when}
+    val counters = cs.toSeq.map { case (n, e) =>
+      count(when(!coalesce(expr(e), lit(true)), 1)).as(n)
+    }
+    val row = df.agg(counters.head, counters.tail: _*).head()
+    val failed = cs.keys.toSeq.sorted
+      .map(n => n -> row.getAs[Long](n)).filter(_._2 > 0)
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"write to $path violates CHECK constraint(s): " +
+          failed.map { case (n, c) => s"$n (${cs(n)}): $c row(s)" }.mkString("; "))
   }
 
   // ---- deletion vectors (merge-on-read deletes) ----
@@ -824,7 +928,9 @@ final class IncrementalTable(
         when(predTrue(pred), set(c)).otherwise(col(c)).as(c)
       case c => col(c)
     }
-    val added = restageByDir(rewritten0.select(newCols: _*))
+    val rewritten = rewritten0.select(newCols: _*)
+    validateConstraints(rewritten.drop("__dv_file", "__dv_pos"))
+    val added = restageByDir(rewritten)
     commitFiles(added, touched, "update", meta = Map("cdc" -> cdcNonce))
   }
 
@@ -859,7 +965,7 @@ final class IncrementalTable(
       hit.drop("__dv_file", "__dv_pos").withColumn("_change_type", lit("delete")))
     try {
       writeManifest(v + 1, "delete[dv]", files(v),
-        metaAt(v).filter { case (k, _) => k == "schema" } ++
+        metaAt(v).filter { case (k, _) => k == "schema" || k == "constraints" } ++
           Map("dv" -> dvNonce, "cdc" -> cdcNonce))
       v + 1
     } catch {
@@ -889,7 +995,9 @@ final class IncrementalTable(
       throw new IllegalStateException(
         s"cannot restore $path to version $v: ${missing.size} data file(s) " +
           s"were vacuumed (first: ${missing.head})")
-    val carried = metaAt(v).filter { case (k, _) => k == "schema" || k == "dv" }
+    val carried = metaAt(v).filter { case (k, _) => k == "schema" || k == "dv" } ++
+      latestVersion.flatMap(h => metaAt(h).get("constraints"))
+        .map("constraints" -> _).toMap
     var attempt = 0
     while (true) {
       val base = latestVersion.getOrElse(-1L)
@@ -992,7 +1100,8 @@ final class IncrementalTable(
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-    writeSnapshot(arranged, operation = s"zorder[${cols.mkString(",")}]")
+    writeSnapshotImpl(arranged, operation = s"zorder[${cols.mkString(",")}]",
+      maxRetries = 20, validate = false)
   }
 
   /** Delete data files referenced by NO kept manifest, and manifests
@@ -1048,4 +1157,15 @@ final class IncrementalTable(
         throw new IllegalStateException(s"failed to swap stats for $path")
     }
   }
+}
+
+object IncrementalTable {
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** JVM-wide manifest-publish lock for a table path — see the
+    * critical section in `writeManifest`. Bounded by the number of
+    * distinct table paths touched by this JVM.
+    */
+  private[lake] def publishLock(path: String): Object =
+    locks.computeIfAbsent(path, _ => new Object)
 }

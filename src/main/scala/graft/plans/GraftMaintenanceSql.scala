@@ -42,6 +42,10 @@ object GraftMaintenanceSql {
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val RestoreTimestamp =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
+  private val AddConstraint =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
+  private val DropConstraint =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case Optimize(target, zcols) =>
@@ -57,6 +61,10 @@ object GraftMaintenanceSql {
       Some(RestoreGraftCommand(target.trim, Left(v.toLong)))
     case RestoreTimestamp(target, ts) =>
       Some(RestoreGraftCommand(target.trim, Right(ts)))
+    case AddConstraint(target, name, expr) =>
+      Some(ConstraintGraftCommand(target.trim, name, Some(expr.trim)))
+    case DropConstraint(target, name) =>
+      Some(ConstraintGraftCommand(target.trim, name, None))
     case _ => None
   }
 
@@ -198,6 +206,27 @@ case class RestoreGraftCommand(target: String, to: Either[Long, String])
           s"graft RESTORE: no version committed at or before '$ts'"))
     }
     Seq(Row(v, t.restore(v)))
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` / `DROP CONSTRAINT
+  * name` — Delta table constraints: CHECK expressions live in the
+  * manifest meta, are validated against existing rows when added, and
+  * gate every later data-introducing write (violation = expression
+  * FALSE; NULL passes, the SQL standard).
+  */
+case class ConstraintGraftCommand(
+    target: String, name: String, checkExpr: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("committed_version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftMaintenanceSql.incrementalAt(spark, target)
+    val v = checkExpr match {
+      case Some(e) => t.addConstraint(name, e)
+      case None => t.dropConstraint(name)
+    }
+    Seq(Row(v))
   }
 }
 

@@ -67,16 +67,20 @@ class CommitConflictSpec extends AnyFunSuite with SparkSpec {
     val t = fresh()
     val writers = 4
     val perWriter = 5
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (0 until writers).map { w =>
       new Thread(() => {
-        val mine = new IncrementalTable(spark, t.path)
-        (0 until perWriter).foreach { i =>
-          mine.append(df((w * 100L + i, s"w$w-$i")))
-        }
+        try {
+          val mine = new IncrementalTable(spark, t.path)
+          (0 until perWriter).foreach { i =>
+            mine.append(df((w * 100L + i, s"w$w-$i")))
+          }
+        } catch { case e: Throwable => errors.add(e) }
       })
     }
     threads.foreach(_.start())
     threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"appender died: ${errors.peek()}")
     assert(t.latestVersion === Some((writers * perWriter - 1).toLong))
     assert(t.snapshot().count() === (writers * perWriter).toLong)
     // every writer's every row survived the races
