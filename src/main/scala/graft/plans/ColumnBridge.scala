@@ -23,4 +23,17 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(
         df.queryExecution.toRdd, df.schema, isStreaming = true)
+
+  /** The inverse: materialize a v1 `Sink.addBatch` micro-batch frame
+    * (tagged streaming, single-use execution) as a plain batch frame a
+    * sink can write with the ordinary APIs — the same
+    * `internalCreateDataFrame(toRdd)` move Spark's own foreachBatch
+    * sink makes before handing the user their DataFrame.
+    */
+  def asBatchFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(
+        df.queryExecution.toRdd.map(_.copy()), df.schema, isStreaming = false)
 }

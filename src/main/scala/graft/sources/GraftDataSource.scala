@@ -47,13 +47,47 @@ import graft.lake.{IncrementalTable, VersionedTable}
   * table fails loudly at load time.
   */
 class GraftDataSource extends TableProvider
-    with DataSourceRegister with CreatableRelationProvider {
+    with DataSourceRegister with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   private val delegate = new GraftVersionedParquet
 
   override def shortName(): String = "graft"
 
   override def supportsExternalMetadata(): Boolean = false
+
+  /** `writeStream.format("graft").start(path)` — an exactly-once
+    * streaming APPEND sink over the incremental manifest protocol: each
+    * micro-batch commits its new files with the batch id recorded in
+    * the manifest operation, so a batch replayed after a failure finds
+    * its id at-or-below the newest stream-append watermark and no-ops
+    * (Delta's (appId, batchId) txn idea, scoped to one stream per
+    * table — the same contract as `Streams.incrementalAppendSink`,
+    * which this delegates to).
+    */
+  override def createSink(
+      ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft streaming sink is append-only (got $outputMode): aggregate " +
+        "with a watermark + append mode, or use foreachBatch for upserts")
+    require(partitionColumns.isEmpty,
+      "graft tables are clustered post-hoc (cluster/clusterZ), not hive-partitioned")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft streaming sink needs a path"))
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val spark = ctx.sparkSession
+        val batch = org.apache.spark.sql.graftbridge.ColumnBridge
+          .asBatchFrame(spark, data)
+        graft.streaming.Streams.incrementalAppendSink(
+          new IncrementalTable(spark, path))(batch, batchId)
+      }
+      override def toString: String = s"GraftSink[$path]"
+    }
+  }
 
   // A not-yet-existing table must not fail here: DataFrameWriter probes
   // the v2 provider (inferSchema + getTable) BEFORE falling back to the
