@@ -49,6 +49,30 @@ final class IncrementalTable(
   private val changeDataDir = new Path(path, "_change_data")
   private val dvDir = new Path(path, "_dv")
   private val legacySchemaFile = new Path(path, "_table_schema.json")
+
+  /** Resolve a manifest file entry to its physical location. Entries
+    * are normally names relative to this table's `data/`; an entry
+    * prefixed `ext:` is an ABSOLUTE URI into another table's data —
+    * how a SHALLOW CLONE references the source's files without copying
+    * a byte. `vacuum` only ever walks this table's own `data/`, so
+    * external references are structurally exempt from deletion.
+    */
+  private[graft] def dataPath(f: String): Path =
+    if (f.startsWith("ext:")) new Path(f.stripPrefix("ext:"))
+    else new Path(dataDir, f)
+
+  /** The key a manifest entry is known by AT SCAN TIME (`_metadata
+    * .file_path` reduced past the last `/data/`) — what deletion
+    * vectors and DML candidate sets carry. Inverse lookup translates a
+    * scan-time key back to its manifest entry so removals match.
+    */
+  private def relKey(e: String): String =
+    if (!e.startsWith("ext:")) e
+    else {
+      val u = e.stripPrefix("ext:")
+      val i = u.lastIndexOf("/data/")
+      if (i >= 0) u.substring(i + 6) else u.substring(u.lastIndexOf('/') + 1)
+    }
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -326,7 +350,7 @@ final class IncrementalTable(
         val fls = files(v)
         if (fls.isEmpty) emptyFrame(Some(s), v)
         else applyDv(
-          spark.read.schema(s).parquet(fls.map(f => new Path(dataDir, f).toString): _*), v)
+          spark.read.schema(s).parquet(fls.map(f => dataPath(f).toString): _*), v)
       case None => snapshotAt(v)
     }
   }
@@ -334,7 +358,7 @@ final class IncrementalTable(
   def snapshotAt(v: Long): DataFrame = {
     val fs = files(v)
     if (fs.isEmpty) emptyFrame(schemaAt(v).orElse(tableSchema), v)
-    else applyDv(spark.read.parquet(fs.map(f => new Path(dataDir, f).toString): _*), v)
+    else applyDv(spark.read.parquet(fs.map(f => dataPath(f).toString): _*), v)
   }
 
   /** Only the files matching `pred` — file-level pruning from the
@@ -344,7 +368,7 @@ final class IncrementalTable(
     val picked = files(v).filter(pred)
     if (picked.isEmpty) None
     else Some(applyDv(
-      spark.read.parquet(picked.map(f => new Path(dataDir, f).toString): _*), v))
+      spark.read.parquet(picked.map(f => dataPath(f).toString): _*), v))
   }
 
   /** Stats-pruned scan: drop every data file whose footer-harvested
@@ -370,9 +394,9 @@ final class IncrementalTable(
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
     val base =
       if (kept.nonEmpty)
-        applyDv(reader.parquet(kept.map(f => new Path(dataDir, f).toString): _*), v)
+        applyDv(reader.parquet(kept.map(f => dataPath(f).toString): _*), v)
       else // schema still comes from the (unread) real files
-        reader.parquet(all.map(f => new Path(dataDir, f).toString): _*).limit(0)
+        reader.parquet(all.map(f => dataPath(f).toString): _*).limit(0)
     filters.foldLeft(base)(_ filter _)
   }
 
@@ -660,7 +684,7 @@ final class IncrementalTable(
             .withColumn("_commit_version", lit(v)))
         case None if added.nonEmpty =>
           val reader = schemaAt(v).map(spark.read.schema).getOrElse(spark.read)
-          Some(reader.parquet(added.map(f => new Path(dataDir, f).toString): _*)
+          Some(reader.parquet(added.map(f => dataPath(f).toString): _*)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
         case None => None
@@ -819,7 +843,7 @@ final class IncrementalTable(
     val cand = prunedFiles(files(v), Seq(pred))
     if (cand.isEmpty) return (cand, null)
     val reader = tableSchema.map(spark.read.schema).getOrElse(spark.read)
-    val read0 = reader.parquet(cand.map(f => new Path(dataDir, f).toString): _*)
+    val read0 = reader.parquet(cand.map(f => dataPath(f).toString): _*)
     // SQL DML predicates arrive qualified (`t.v > 3`); the alias layer
     // makes them resolve. Plain Column predicates skip it.
     val tagged = alias.fold(read0)(read0.alias)
@@ -876,13 +900,14 @@ final class IncrementalTable(
     val touched = hit.select("__dv_file").distinct()
       .collect().map(_.getString(0)).toSet
     if (touched.isEmpty) return v
+    val byRel = files(v).map(e => relKey(e) -> e).toMap
     val cdcNonce = stageChangeData(
       hit.drop("__dv_file", "__dv_pos").withColumn("_change_type", lit("delete")))
     val survivors = live
       .filter(col("__dv_file").isInCollection(touched))
       .filter(not(predTrue(pred)))
     val added = restageByDir(survivors)
-    commitFiles(added, touched, "delete", meta = Map("cdc" -> cdcNonce))
+    commitFiles(added, touched.map(byRel), "delete", meta = Map("cdc" -> cdcNonce))
   }
 
   /** Copy-on-write UPDATE ... SET: `set` maps column name → new-value
@@ -931,7 +956,8 @@ final class IncrementalTable(
     val rewritten = rewritten0.select(newCols: _*)
     validateConstraints(rewritten.drop("__dv_file", "__dv_pos"))
     val added = restageByDir(rewritten)
-    commitFiles(added, touched, "update", meta = Map("cdc" -> cdcNonce))
+    val byRel = files(v).map(e => relKey(e) -> e).toMap
+    commitFiles(added, touched.map(byRel), "update", meta = Map("cdc" -> cdcNonce))
   }
 
   /** Merge-on-read DELETE via deletion vectors: matching rows are
@@ -977,6 +1003,45 @@ final class IncrementalTable(
     }
   }
 
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): a
+    * zero-copy table whose v0 manifest REFERENCES the source's data
+    * files as `ext:` absolute URIs — cloning 100 TB costs one manifest
+    * write plus a copy of the (small) deletion-vector sidecar. The
+    * clone then lives its own life: appends land in its own `data/`,
+    * DML rewrites localize the touched files, `compact()` makes it
+    * fully self-contained, and its `vacuum` walks only its OWN data
+    * directory so the source's files are structurally untouchable.
+    * Caveat (same as Delta's): `vacuum` on the SOURCE can remove files
+    * the clone still references — keep the cloned version out of the
+    * source's vacuum horizon, or compact the clone first. Constraints
+    * and the source's tracked schema carry over; history does not
+    * (the clone starts at v0).
+    */
+  def cloneFrom(src: IncrementalTable, version: Option[Long] = None): Long = {
+    require(!exists, s"shallow-clone target $path already holds a table")
+    val v = version.getOrElse(src.latestVersion.getOrElse(
+      throw new IllegalStateException(s"cannot clone empty table ${src.path}")))
+    require(src.versionExists(v), s"version $v does not exist at ${src.path}")
+    val entries = src.files(v).map { e =>
+      if (e.startsWith("ext:")) e // clone of a clone: keep the original refs
+      else "ext:" + src.fs.makeQualified(new Path(src.dataDir, e)).toString
+    }
+    fs.mkdirs(dataDir) // marks the incremental layout
+    val srcMeta = src.metaAt(v)
+    val dvMeta = srcMeta.get("dv") match {
+      case None => Map.empty[String, String]
+      case Some(nonce) => // vectors are table-local state: copy the sidecar
+        org.apache.hadoop.fs.FileUtil.copy(
+          src.fs, new Path(src.dvDir, nonce), fs, new Path(dvDir, nonce),
+          false, spark.sparkContext.hadoopConfiguration)
+        Map("dv" -> nonce)
+    }
+    val consMeta = srcMeta.get("constraints").map("constraints" -> _).toMap
+    writeManifest(0L, s"clone[v$v]", entries,
+      dvMeta ++ consMeta ++ schemaMetaFor(None, src.schemaAt(v)))
+    0L
+  }
+
   /** RESTORE the table to the state of version `v` (Delta `RESTORE
     * TABLE ... TO VERSION AS OF`): a NEW commit whose file list,
     * schema pointer and deletion vectors are `v`'s — history is
@@ -990,7 +1055,7 @@ final class IncrementalTable(
   def restore(v: Long): Long = {
     require(versionExists(v), s"cannot restore $path to vacuumed/unknown version $v")
     val target = files(v)
-    val missing = target.filterNot(f => fs.exists(new Path(dataDir, f)))
+    val missing = target.filterNot(f => fs.exists(dataPath(f)))
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"cannot restore $path to version $v: ${missing.size} data file(s) " +

@@ -42,6 +42,8 @@ object GraftMaintenanceSql {
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val RestoreTimestamp =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
+  private val ShallowClone =
+    """(?is)^\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
   private val AddConstraint =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
   private val DropConstraint =
@@ -61,6 +63,9 @@ object GraftMaintenanceSql {
       Some(RestoreGraftCommand(target.trim, Left(v.toLong)))
     case RestoreTimestamp(target, ts) =>
       Some(RestoreGraftCommand(target.trim, Right(ts)))
+    case ShallowClone(target, source, v) =>
+      Some(ShallowCloneGraftCommand(target.trim, source.trim,
+        Option(v).map(_.toLong)))
     case AddConstraint(target, name, expr) =>
       Some(ConstraintGraftCommand(target.trim, name, Some(expr.trim)))
     case DropConstraint(target, name) =>
@@ -206,6 +211,25 @@ case class RestoreGraftCommand(target: String, to: Either[Long, String])
           s"graft RESTORE: no version committed at or before '$ts'"))
     }
     Seq(Row(v, t.restore(v)))
+  }
+}
+
+/** `CREATE TABLE t SHALLOW CLONE src [VERSION AS OF n]` — zero-copy
+  * clone via `ext:` file references (see
+  * [[IncrementalTable.cloneFrom]]). Both names resolve through the
+  * graft catalog (or quoted paths).
+  */
+case class ShallowCloneGraftCommand(
+    target: String, source: String, version: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cloned_version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftMaintenanceSql.incrementalAt(spark, source)
+    val dstPath = GraftMaintenanceSql.resolvePath(spark, target)
+    val dst = new IncrementalTable(spark, dstPath)
+    dst.cloneFrom(src, version)
+    Seq(Row(version.getOrElse(src.latestVersion.get)))
   }
 }
 

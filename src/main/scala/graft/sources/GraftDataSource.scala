@@ -274,7 +274,10 @@ private[sources] class GraftVersionedParquet extends ParquetDataSourceV2 {
             if (kept.isEmpty) inc.files(v).take(1) else kept
           case _ => inc.files(v)
         }
-        picked.map(f => s"${root.stripSuffix("/")}/data/$f")
+        picked.map {
+          case f if f.startsWith("ext:") => f.stripPrefix("ext:")
+          case f => s"${root.stripSuffix("/")}/data/$f"
+        }
       } else {
         val v = resolve(vt.latestVersion, vt.versionExists, vt.versionAsOfTimestamp)
         Seq(s"${root.stripSuffix("/")}/v=$v")

@@ -164,7 +164,7 @@ private[sources] final class GraftMicroBatchStream(
     val added = nowFiles.filterNot(prevFiles).sorted
     val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     added.zipWithIndex.map { case (f, i) =>
-      val p = new Path(dataDir, f)
+      val p = table.dataPath(f)
       val st = fs.getFileStatus(p)
       FilePartition(i, Array(PartitionedFile(
         InternalRow.empty, org.apache.spark.paths.SparkPath.fromPath(st.getPath),
@@ -222,7 +222,7 @@ private[sources] final class GraftMicroBatchStream(
             .foreach(add(_, v, fillInsert = false))
         case None =>
           now.filterNot(prev).sorted
-            .foreach(f => add(new Path(dataDir, f), v, fillInsert = true))
+            .foreach(f => add(table.dataPath(f), v, fillInsert = true))
       }
       prev = now.toSet
     }

@@ -1,0 +1,100 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Shallow clone: zero-copy table creation via external file
+  * references, then an independent life — local appends, localized DML
+  * rewrites, self-containment after compact, vacuum that can never
+  * touch the source's files.
+  */
+class CloneSpec extends AnyFunSuite with SparkSpec {
+
+  private def pair(): (IncrementalTable, IncrementalTable) = {
+    val base = Files.createTempDirectory("clone_").toString
+    (new IncrementalTable(spark, s"$base/src"),
+      new IncrementalTable(spark, s"$base/dst"))
+  }
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "tag").coalesce(1)
+  }
+  private def ids(t: IncrementalTable): Set[Long] =
+    t.snapshot().select("id").collect().map(_.getLong(0)).toSet
+
+  test("clone reads the source state without copying a byte; lives independently") {
+    val (src, dst) = pair()
+    src.append(df((1L, "a"), (2L, "b")))
+    src.append(df((3L, "c")))
+    dst.cloneFrom(src)
+    assert(ids(dst) === Set(1L, 2L, 3L))
+    // zero data files of its own
+    assert(Option(new java.io.File(dst.path, "data").listFiles())
+      .forall(_.forall(!_.getName.endsWith(".parquet"))))
+    // schema carried
+    assert(dst.tableSchema.map(_.fieldNames.toSeq) === Some(Seq("id", "tag")))
+
+    // divergence: appends to either side are invisible to the other
+    dst.append(df((10L, "x")))
+    src.append(df((99L, "z")))
+    assert(ids(dst) === Set(1L, 2L, 3L, 10L))
+    assert(ids(src) === Set(1L, 2L, 3L, 99L))
+  }
+
+  test("clone of an older version; DML on the clone localizes; compact self-contains") {
+    val (src, dst) = pair()
+    src.append(df((1L, "a"), (2L, "b")))   // v0
+    src.append(df((3L, "c")))              // v1
+    dst.cloneFrom(src, Some(0L))
+    assert(ids(dst) === Set(1L, 2L))
+
+    // CoW delete on the clone rewrites the touched file LOCALLY
+    dst.deleteWhere(col("id") === 1L)
+    assert(ids(dst) === Set(2L))
+    assert(ids(src) === Set(1L, 2L, 3L)) // source untouched
+    // the rewritten file is local (no ext: prefix), survivors correct
+    val entries = dst.files(dst.latestVersion.get)
+    assert(entries.exists(!_.startsWith("ext:")))
+
+    // compact makes the clone fully self-contained
+    dst.compact(1)
+    assert(dst.files(dst.latestVersion.get).forall(!_.startsWith("ext:")))
+    assert(ids(dst) === Set(2L))
+    // and vacuum on the self-contained clone leaves the source intact
+    dst.vacuum(keepLast = 1)
+    assert(ids(src) === Set(1L, 2L, 3L))
+  }
+
+  test("clone carries deletion vectors and constraints") {
+    val (src, dst) = pair()
+    src.append(df((1L, "a"), (2L, "b"), (3L, "c")))
+    src.addConstraint("id_pos", "id > 0")
+    src.deleteVector(col("id") === 2L)
+    dst.cloneFrom(src)
+    assert(ids(dst) === Set(1L, 3L)) // vectors applied through the clone
+    assert(dst.constraints === Map("id_pos" -> "id > 0"))
+    assertThrows[IllegalStateException](dst.append(df((-5L, "bad"))))
+  }
+
+  test("SQL: CREATE TABLE dst SHALLOW CLONE src VERSION AS OF n") {
+    val wh = Files.createTempDirectory("clone_wh_").toString
+    spark.conf.set("spark.sql.catalog.cl", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cl.warehouse", wh)
+    val src = new IncrementalTable(spark, s"$wh/src")
+    src.append(df((1L, "a")))
+    src.append(df((2L, "b")))
+    val row = spark.sql("CREATE TABLE cl.dst SHALLOW CLONE cl.src VERSION AS OF 0").head
+    assert(row.getLong(0) === 0L)
+    assert(spark.sql("SELECT id FROM cl.dst").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // the clone is a first-class catalog table: INSERT works
+    spark.sql("INSERT INTO cl.dst VALUES (7, 'g')")
+    assert(spark.sql("SELECT count(*) FROM cl.dst").head.getLong(0) === 2L)
+    // cloning onto an existing table fails loudly
+    assertThrows[Exception](
+      spark.sql("CREATE TABLE cl.dst SHALLOW CLONE cl.src"))
+  }
+}
