@@ -57,7 +57,7 @@ final class IncrementalTable(
     * a byte. `vacuum` only ever walks this table's own `data/`, so
     * external references are structurally exempt from deletion.
     */
-  private[graft] def dataPath(f: String): Path =
+  def dataPath(f: String): Path =
     if (f.startsWith("ext:")) new Path(f.stripPrefix("ext:"))
     else new Path(dataDir, f)
 
@@ -1022,6 +1022,12 @@ final class IncrementalTable(
     val v = version.getOrElse(src.latestVersion.getOrElse(
       throw new IllegalStateException(s"cannot clone empty table ${src.path}")))
     require(src.versionExists(v), s"version $v does not exist at ${src.path}")
+    // bucketed-SCD layouts prune files by their __bucket= directory
+    // PREFIX — an ext: reference would silently escape that pruning
+    // and an applyScd on the clone would merge against an empty slice
+    require(!src.files(v).exists(f => relKey(f).startsWith("__bucket=")),
+      s"shallow clone of a bucketed (SCD) table is unsupported: compact " +
+        s"${src.path} into a plain layout first")
     val entries = src.files(v).map { e =>
       if (e.startsWith("ext:")) e // clone of a clone: keep the original refs
       else "ext:" + src.fs.makeQualified(new Path(src.dataDir, e)).toString

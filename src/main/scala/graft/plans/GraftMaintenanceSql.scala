@@ -177,8 +177,7 @@ case class DescribeDetailGraftCommand(target: String)
     val fls = t.files(v)
     val dataDir = new org.apache.hadoop.fs.Path(t.path, "data")
     val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fls.map(f =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(dataDir, f)).getLen).sum
+    val bytes = fls.map(f => fs.getFileStatus(t.dataPath(f)).getLen).sum
     val dvRows = t.metaAt(v).get("dv") match {
       case None => 0L
       case Some(n) => spark.read

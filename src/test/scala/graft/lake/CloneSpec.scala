@@ -80,6 +80,33 @@ class CloneSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalStateException](dst.append(df((-5L, "bad"))))
   }
 
+  test("DESCRIBE DETAIL works on a clone; bucketed sources are rejected") {
+    val wh = Files.createTempDirectory("clone_det_").toString
+    spark.conf.set("spark.sql.catalog.cld", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cld.warehouse", wh)
+    val src = new IncrementalTable(spark, s"$wh/src")
+    src.append(df((1L, "a")))
+    spark.sql("CREATE TABLE cld.dst SHALLOW CLONE cld.src")
+    val d = spark.sql("DESCRIBE DETAIL cld.dst").head
+    assert(d.getInt(3) >= 1 && d.getLong(4) > 0L) // ext files counted
+
+    // bucketed SCD source: rejected with a compact-first hint
+    import org.apache.spark.sql.types._
+    val scdSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)) ++
+      graft.scd.ScdConfig.SystemCols.map(c => StructField(c,
+        if (c == "record_status" || c.endsWith("_key")) StringType else TimestampType)))
+    val scd = new IncrementalScdTable(spark, s"$wh/scd", numBuckets = 4)
+    scd.create(scdSchema)
+    import spark.implicits._
+    scd.applyScd(Seq((1L, "x")).toDF("k", "v"),
+      graft.scd.ScdConfig(pkCols = Seq("k"), scdKeyCols = Seq("v"),
+        selectCols = Some(Seq("k", "v"))))
+    val err = intercept[Exception](
+      new IncrementalTable(spark, s"$wh/scdclone").cloneFrom(scd.table))
+    assert(err.getMessage.contains("bucketed"))
+  }
+
   test("SQL: CREATE TABLE dst SHALLOW CLONE src VERSION AS OF n") {
     val wh = Files.createTempDirectory("clone_wh_").toString
     spark.conf.set("spark.sql.catalog.cl", "graft.sources.GraftCatalog")
