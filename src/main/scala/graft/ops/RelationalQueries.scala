@@ -577,6 +577,36 @@ object RelationalQueries {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q11 shape: important stock — per-part "value" held by one
+    * nation's suppliers, kept only where the part's share of the
+    * nation's total exceeds a fixed fraction (the scalar-subquery
+    * HAVING). partsupp is proxied by lineitem (value =
+    * Σ extendedprice·quantity, as q2/q16 proxy their partsupp reads).
+    * One shuffle: supplier keys reduce to a broadcast semi-join before
+    * the fact scan, the per-part aggregate shuffles once, and the
+    * global total is a 1-row broadcast over that SAME already-reduced
+    * frame. The threshold is the exact decimal inequality
+    * `value·800 > total` — no float fraction to diverge between
+    * engines.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val value = (col("l_extendedprice").cast("decimal(18,2)") *
+      col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,4)")
+    val natSupp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")
+          .filter(col("n_name") === "NATION_5")),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select("s_suppkey")
+    val ps = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("ps_partkey"))
+      .agg(sum(value).as("value_d"))
+    ps.crossJoin(broadcast(ps.agg(sum(col("value_d")).as("total_d"))))
+      .filter(col("value_d") * lit(800) > col("total_d"))
+      .select(col("ps_partkey"), col("value_d").cast("double").as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
   /** TPC-H Q17 shape: revenue from small-quantity lines of a filtered
     * part set. The correlated `avg(l_quantity)` subquery becomes one
     * per-part aggregate joined back; the 20%-of-average cut is the
@@ -751,6 +781,19 @@ object RelationalQueries {
         |WHERE s_suppkey IN (SELECT l_suppkey FROM keep)
         |  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
         |ORDER BY s_name""".stripMargin,
+    "q11_important_stock" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey,
+        |         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS value_d
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                      JOIN nation ON s_nationkey = n_nationkey
+        |                      WHERE n_name = 'NATION_5')
+        |  GROUP BY 1)
+        |SELECT ps_partkey, CAST(value_d AS DOUBLE) AS value
+        |FROM ps, (SELECT sum(value_d) AS total_d FROM ps) t
+        |WHERE value_d * 800 > total_d
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
     "q15_top_supplier" ->
       """WITH revenue AS (
         |  SELECT l_suppkey,
@@ -1025,6 +1068,7 @@ object RelationalQueries {
     "q9_product_profit" -> q9ProductProfit _,
     "q10_returned_item" -> q10ReturnedItem _,
     "q13_customer_distribution" -> q13CustomerDistribution _,
+    "q11_important_stock" -> q11ImportantStock _,
     "q15_top_supplier" -> q15TopSupplier _,
     "q16_part_supplier_cnt" -> q16PartSupplierCnt _,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue _,

@@ -203,6 +203,20 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
       s"correlated subqueries must not become nested loops:\n$p")
   }
 
+  test("q11 reduces suppliers to a broadcast semi-join, one fact shuffle, 1-row broadcast threshold") {
+    val p = RelationalQueries.q11ImportantStock(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"nation's suppliers must broadcast-semi-join the fact scan:\n$p")
+    assert(p.contains("partial_sum"), s"per-part value must aggregate map-side:\n$p")
+    // the global-total side is a 1-row broadcast over the aggregated
+    // frame — never a second shuffle of lineitem
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"expected at most the group-by (+reused) exchange:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the threshold must broadcast, not cross-product:\n$p")
+  }
+
   test("q13 keeps the left join and aggregates with partials") {
     val p = RelationalQueries.q13CustomerDistribution(spark, dir)
       .queryExecution.executedPlan.toString

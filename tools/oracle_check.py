@@ -26,7 +26,7 @@ def norm(v):
         return (1, bytes(v).hex())
     return (1, v)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     tables = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
@@ -35,6 +35,8 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
     for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             failures.append((name, "no spark output"))
@@ -70,4 +72,6 @@ def main(sf_dir, out_dir):
     sys.exit(1 if failures else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    # extra args = check only the named queries (local spot-check of a
+    # new query without dumping the whole registry)
+    main(sys.argv[1], sys.argv[2], set(sys.argv[3:]))
