@@ -23,10 +23,20 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   *
   * Layout:
   * {{{
-  *   <path>/_log/00000000000000000007.json   manifest: file list + meta
+  *   <path>/_log/00000000000000000007.json   manifest: file list OR
+  *                                           add/remove delta + meta
+  *   <path>/_log/00000000000000000010.checkpoint.json  full-list
+  *                                           sidecar every 10 deltas
   *   <path>/data/<unique-name>.parquet       immutable data files
   *   <path>/data/__bucket=3/<unique>.parquet (bucketed tables)
   * }}}
+  *
+  * Commits are DELTA-ENCODED when smaller than the full list (the
+  * Delta-log add/remove-action design): an append to a 10^6-file table
+  * writes O(batch) manifest bytes, not O(table). Readers reconstruct a
+  * version from the nearest full list (snapshot commit or checkpoint
+  * sidecar) plus at most [[IncrementalTable.CheckpointInterval]]
+  * deltas.
   *
   * Commit protocol (same pointer-commit as VersionedTable): stage new
   * files under `_stage/<nonce>/`, MOVE them into `data/` (rename, no
@@ -48,6 +58,7 @@ final class IncrementalTable(
   private val schemasDir = new Path(path, "_schemas")
   private val changeDataDir = new Path(path, "_change_data")
   private val dvDir = new Path(path, "_dv")
+  private val bloomsDir = new Path(path, "_blooms")
   private val legacySchemaFile = new Path(path, "_table_schema.json")
 
   /** Resolve a manifest file entry to its physical location. Entries
@@ -163,6 +174,7 @@ final class IncrementalTable(
   }
 
   private def manifestPath(v: Long) = new Path(logDir, f"$v%020d.json")
+  private def checkpointPath(v: Long) = new Path(logDir, f"$v%020d.checkpoint.json")
   private val ManifestName = """^(\d{20})\.json$""".r
 
   private def manifestIds: Seq[Long] =
@@ -221,15 +233,32 @@ final class IncrementalTable(
 
   // ---- manifest io (no json library in the dependency set: the
   // format is flat and file names are sanitized on write) ----
+  //
+  // A manifest carries EITHER the full file list ("files") or a DELTA
+  // against the previous version ("add"/"remove") — the Delta-log
+  // add/remove-action idea. A full list per commit is O(table files)
+  // of JSON per commit: at 10^6 files that's ~100 MB written for a
+  // 1-file append, and the log itself becomes the write bottleneck at
+  // 100 TB. Delta commits make an append cost O(batch). Readers
+  // reconstruct a version by walking back to the nearest full list
+  // (a full-list commit or a `<v>.checkpoint.json` sidecar — written
+  // every [[IncrementalTable.CheckpointInterval]] delta commits, so the
+  // walk is bounded) and replaying the deltas forward. Pre-delta-log
+  // tables read unchanged: every old manifest IS a full list.
 
   /** Publish the manifest for `v` — the table's ATOMIC commit point.
     * The tmp name carries a writer-unique nonce (two committers racing
     * on one version must never share a tmp file), and the rename-into-
     * place fails iff `v` is already taken, which surfaces as
     * [[CommitConflictException]] for the optimistic-retry loops.
+    *
+    * `prevFiles` is an optional hint of version `v-1`'s file list (the
+    * commit loops already hold it); without it the previous version is
+    * reconstructed to compute the delta encoding.
     */
   private[lake] def writeManifest(v: Long, operation: String, files: Seq[String],
-      meta: Map[String, String] = Map.empty): Unit = {
+      meta: Map[String, String] = Map.empty,
+      prevFiles: Option[Seq[String]] = None): Unit = {
     require(!operation.contains("\"") && !operation.contains("\\"),
       s"illegal character in operation string: $operation")
     files.foreach(f => require(!f.contains("\"") && !f.contains("\\"),
@@ -246,10 +275,27 @@ final class IncrementalTable(
       if (meta.isEmpty) ""
       else meta.toSeq.sorted.map { case (k, v) => s""""$k":"$v"""" }
         .mkString(""","meta":{""", ",", "}")
+    def arr(names: Seq[String]) = names.sorted.map("\"" + _ + "\"").mkString(",")
+    // Delta-encode iff the previous version is resolvable AND the delta
+    // is strictly smaller than the full list (appends/DML rewrites win;
+    // snapshot rewrites, clones and restores naturally stay full lists,
+    // which doubles as a free checkpoint).
+    val prevOpt: Option[Seq[String]] =
+      if (v > 0 && versionExists(v - 1)) Some(prevFiles.getOrElse(filesImpl(v - 1)))
+      else None
+    val body = prevOpt match {
+      case Some(prev) =>
+        val prevSet = prev.toSet
+        val fileSet = files.toSet
+        val add = files.filterNot(prevSet)
+        val remove = prev.filterNot(fileSet)
+        if (add.size + remove.size < files.size)
+          s""""add":[${arr(add)}],"remove":[${arr(remove)}]"""
+        else s""""files":[${arr(files)}]"""
+      case None => s""""files":[${arr(files)}]"""
+    }
     val json = s"""{"version":$v,"operation":"$operation",""" +
-      s""""committedAt":${System.currentTimeMillis()},""" +
-      s""""files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}]""" +
-      metaJson + "}"
+      s""""committedAt":${System.currentTimeMillis()},""" + body + metaJson + "}"
     fs.mkdirs(logDir)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(logDir, f"_tmp_${nonce}_$v%020d.json")
@@ -274,12 +320,52 @@ final class IncrementalTable(
       }
     }
     writeLatestHint(v)
+    // Bound the reconstruction walk: every CheckpointInterval-th commit
+    // publishes a full-list sidecar. Best-effort AFTER the commit — a
+    // failed/missing checkpoint only lengthens the walk to the previous
+    // one, never changes an answer (exactly Delta's checkpoint.parquet
+    // contract). The writer has the full list in hand, so this is one
+    // extra small write, not a reconstruction.
+    if (v > 0 && v % IncrementalTable.CheckpointInterval == 0 &&
+        body.startsWith("\"add\""))
+      try writeCheckpoint(v, files)
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
-  private def readManifest(v: Long): (String, Long, Seq[String]) = {
+  private def writeCheckpoint(v: Long, files: Seq[String]): Unit = {
+    val json = s"""{"version":$v,"files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(logDir, f"_tmp_ckpt_${nonce}_$v%020d.json")
+    val out = fs.create(tmp, true)
+    out.write(json.getBytes(StandardCharsets.UTF_8))
+    out.close()
+    if (!fs.rename(tmp, checkpointPath(v))) fs.delete(tmp, false)
+  }
+
+  private def readLogFile(p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Extract a JSON string-array field (`"key":["a","b"]`) from a
+    * manifest blob; None if the key is absent. File names are sanitized
+    * on write (no quotes/backslashes), so flat parsing is exact.
+    */
+  private def jsonArray(txt: String, key: String): Option[Seq[String]] = {
+    val i = txt.indexOf(s""""$key":[""")
+    if (i < 0) None
+    else Some(txt.substring(i + key.length + 4).takeWhile(_ != ']')
+      .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty))
+  }
+
+  /** (operation, committedAt, full-list-or-None, add, remove) — one
+    * manifest read, no reconstruction.
+    */
+  private def readManifestParts(v: Long)
+      : (String, Long, Option[Seq[String]], Seq[String], Seq[String]) = {
     require(versionExists(v), s"version $v does not exist at $path")
-    val in = fs.open(manifestPath(v))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val txt = readLogFile(manifestPath(v))
     // the operation string may legally contain ',' (e.g. zorder[x,y]) —
     // parse the quoted value as a unit, never split on bare commas
     val op = """"operation":"([^"]*)"""".r.findFirstMatchIn(txt)
@@ -288,17 +374,80 @@ final class IncrementalTable(
     val ts = """"committedAt":(\d+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toLong).getOrElse(
         throw new IllegalStateException(s"corrupt manifest $v at $path"))
-    val files = txt.split(""""files":\[""")(1).takeWhile(_ != ']')
-    val names = files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty)
-    (op, ts, names)
+    val full = jsonArray(txt, "files")
+    if (full.isEmpty && jsonArray(txt, "add").isEmpty)
+      throw new IllegalStateException(s"corrupt manifest $v at $path")
+    (op, ts, full,
+      jsonArray(txt, "add").getOrElse(Seq.empty),
+      jsonArray(txt, "remove").getOrElse(Seq.empty))
+  }
+
+  // version → file list is IMMUTABLE once committed, so any cache entry
+  // is correct forever; the LRU only bounds memory. Shared across the
+  // threads of a multi-writer test via the synchronized wrapper.
+  private val filesCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[Long, Seq[String]](8, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Long, Seq[String]]): Boolean = size > 4
+      })
+
+  /** Reconstruct version `v`'s file list: walk back collecting deltas
+    * until a full list (full-list commit, checkpoint sidecar, or cache
+    * hit), then replay forward. Bounded by the checkpoint interval.
+    */
+  private def filesImpl(v: Long): Seq[String] = {
+    val cached = filesCache.get(v)
+    if (cached != null) return cached
+    var cur = v
+    var base: Seq[String] = null
+    var deltas = List.empty[(Seq[String], Seq[String])] // ascending (add, remove)
+    while (base == null) {
+      val hit = filesCache.get(cur)
+      if (hit != null) base = hit
+      else if (fs.exists(checkpointPath(cur))) {
+        // a sidecar is written from the authoritative full list (at
+        // commit time or by vacuum's cutoff pin), so it is trusted even
+        // for the requested version itself — after a vacuum it may be
+        // the ONLY way to resolve the oldest retained version
+        base = jsonArray(readLogFile(checkpointPath(cur)), "files")
+          .getOrElse(throw new IllegalStateException(
+            s"corrupt checkpoint $cur at $path"))
+      } else {
+        if (!versionExists(cur))
+          throw new IllegalStateException(
+            s"cannot reconstruct version $v of $path: manifest $cur is " +
+              "missing (vacuumed without a checkpoint?)")
+        val (_, _, full, add, remove) = readManifestParts(cur)
+        full match {
+          case Some(f) => base = f
+          case None =>
+            deltas = (add, remove) :: deltas
+            cur -= 1
+            if (cur < 0)
+              throw new IllegalStateException(
+                s"cannot reconstruct version $v of $path: no base full list")
+        }
+      }
+    }
+    val result = deltas.foldLeft(base) { case (acc, (add, remove)) =>
+      val rm = remove.toSet
+      acc.filterNot(rm) ++ add
+    }.sorted
+    filesCache.put(v, result)
+    result
+  }
+
+  private def readManifest(v: Long): (String, Long, Seq[String]) = {
+    val (op, ts, _, _, _) = readManifestParts(v)
+    (op, ts, filesImpl(v))
   }
 
   /** Data files (relative to `data/`) composing version `v`. */
-  def files(v: Long): Seq[String] = readManifest(v)._3
+  def files(v: Long): Seq[String] = filesImpl(v)
 
   /** The operation string version `v` was committed with. */
-  def operationAt(v: Long): String = readManifest(v)._1
+  def operationAt(v: Long): String = readManifestParts(v)._1
 
   /** Commit-carried metadata of version `v` (e.g. identity watermarks).
     * Values ride the manifest, so reading them is one small file — no
@@ -323,7 +472,7 @@ final class IncrementalTable(
     * `timestampAsOf` resolution rule).
     */
   def versionAsOfTimestamp(millis: Long): Option[Long] =
-    manifestIds.sorted.map(v => v -> readManifest(v)._2)
+    manifestIds.sorted.map(v => v -> readManifestParts(v)._2)
       .takeWhile(_._2 <= millis).lastOption.map(_._1)
 
   // ---- reads ----
@@ -339,7 +488,11 @@ final class IncrementalTable(
   private def emptyFrame(s: Option[StructType], v: Long): DataFrame = {
     val schema = s.getOrElse(throw new IllegalStateException(
       s"version $v of $path has no data files and no tracked schema"))
-    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    val map = colMapAt(v)
+    val dropped = droppedColsAt(v)
+    val logical = StructType(schema.fields.filterNot(f => dropped(f.name))
+      .map(f => f.copy(name = map.getOrElse(f.name, f.name))))
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), logical)
   }
 
   def snapshot(): DataFrame = {
@@ -349,8 +502,8 @@ final class IncrementalTable(
       case Some(s) =>
         val fls = files(v)
         if (fls.isEmpty) emptyFrame(Some(s), v)
-        else applyDv(
-          spark.read.schema(s).parquet(fls.map(f => dataPath(f).toString): _*), v)
+        else logicalize(applyDv(
+          spark.read.schema(s).parquet(fls.map(f => dataPath(f).toString): _*), v), v)
       case None => snapshotAt(v)
     }
   }
@@ -358,7 +511,8 @@ final class IncrementalTable(
   def snapshotAt(v: Long): DataFrame = {
     val fs = files(v)
     if (fs.isEmpty) emptyFrame(schemaAt(v).orElse(tableSchema), v)
-    else applyDv(spark.read.parquet(fs.map(f => dataPath(f).toString): _*), v)
+    else logicalize(
+      applyDv(spark.read.parquet(fs.map(f => dataPath(f).toString): _*), v), v)
   }
 
   /** Only the files matching `pred` — file-level pruning from the
@@ -367,8 +521,8 @@ final class IncrementalTable(
   def snapshotOfFiles(v: Long, pred: String => Boolean): Option[DataFrame] = {
     val picked = files(v).filter(pred)
     if (picked.isEmpty) None
-    else Some(applyDv(
-      spark.read.parquet(picked.map(f => dataPath(f).toString): _*), v))
+    else Some(logicalize(applyDv(
+      spark.read.parquet(picked.map(f => dataPath(f).toString): _*), v), v))
   }
 
   /** Stats-pruned scan: drop every data file whose footer-harvested
@@ -390,24 +544,50 @@ final class IncrementalTable(
     if (all.isEmpty)
       return filters.foldLeft(
         emptyFrame(schema.orElse(schemaAt(v)).orElse(tableSchema), v))(_ filter _)
-    val kept = prunedFiles(all, filters)
+    val kept = prunedFilesAt(v, all, filters)
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
     val base =
       if (kept.nonEmpty)
         applyDv(reader.parquet(kept.map(f => dataPath(f).toString): _*), v)
       else // schema still comes from the (unread) real files
         reader.parquet(all.map(f => dataPath(f).toString): _*).limit(0)
-    filters.foldLeft(base)(_ filter _)
+    filters.foldLeft(logicalize(base, v))(_ filter _)
   }
 
   /** The subset of `all` that might satisfy every filter, per the stats
     * table. Files without a stats row — and any stats-read trouble at
     * all — keep the file: skipping only ever removes provable misses.
     */
-  def prunedFiles(all: Seq[String], filters: Seq[Column]): Seq[String] = {
+  def prunedFiles(all: Seq[String], filters: Seq[Column]): Seq[String] =
+    prunedFilesAt(latestVersion.getOrElse(return all), all, filters)
+
+  /** Version-aware variant: filters arrive in version `v`'s LOGICAL
+    * column names; the stats/bloom stores speak physical. The mapping
+    * of `v` translates, so pruning stays sound across renames.
+    */
+  private[graft] def prunedFilesAt(
+      v: Long, all: Seq[String], filters: Seq[Column]): Seq[String] = {
     if (filters.isEmpty || !fs.exists(statsDir)) return all
+    val nameMap = colMapAt(v) // physical -> logical
+    val droppedSet = droppedColsAt(v)
     try {
-      val stats = readStatsStore()
+      val stats0 = readStatsStore()
+      // present the stats frame under LOGICAL names so the filters'
+      // references line up (min_<phys> -> min_<logical>, etc.)
+      val stats =
+        if (nameMap.isEmpty && droppedSet.isEmpty) stats0
+        else stats0.select(stats0.columns.toSeq.collect {
+          case n if Seq("min_", "max_", "nulls_").exists(n.startsWith) =>
+            val pfx = n.takeWhile(_ != '_') + "_"
+            val phys = n.stripPrefix(pfx)
+            (phys, n)
+          case n => ("", n)
+        }.collect {
+          case ("", n) => stats0.col(s"`$n`")
+          case (phys, n) if !droppedSet(phys) =>
+            val pfx = n.substring(0, n.length - phys.length)
+            stats0.col(s"`$n`").as(pfx + nameMap.getOrElse(phys, phys))
+        }: _*)
       val statCols = stats.columns.collect {
         case n if n.startsWith("min_") => n.stripPrefix("min_")
       }.toSet
@@ -438,7 +618,27 @@ final class IncrementalTable(
       val withStats = rows.map(_.getString(0)).toSet
       val pass = rows.filter(r => r.isNullAt(1) || r.getBoolean(1))
         .map(_.getString(0)).toSet
-      all.filter(f => !withStats.contains(f) || pass.contains(f))
+      val ranged = all.filter(f => !withStats.contains(f) || pass.contains(f))
+      // bloom phase: point lookups on indexed columns prune further —
+      // min/max can't separate uniformly-spread ids, blooms can. The
+      // bloom store is keyed by PHYSICAL column; targets are extracted
+      // under v's logical names and translated back for the probe.
+      val bloomedPhys = bloomColumns.filterNot(droppedSet)
+      val logicalOf = (p: String) => nameMap.getOrElse(p, p)
+      val physicalOf = bloomedPhys.map(p => logicalOf(p) -> p).toMap
+      if (bloomedPhys.isEmpty || !fs.exists(bloomsDir)) ranged
+      else {
+        val targets = BloomIndex.pointTargets(
+          spark, dataSchema, filters, bloomedPhys.map(logicalOf).toSet)
+          .map { case (l, vs) => physicalOf(l) -> vs }
+        if (targets.isEmpty) ranged
+        else {
+          val blooms = spark.read
+            .option("recursiveFileLookup", "true").parquet(bloomsDir.toString)
+          val miss = BloomIndex.pruned(spark, blooms, ranged, targets)
+          ranged.filterNot(miss)
+        }
+      }
     } catch { case scala.util.control.NonFatal(_) => all }
   }
 
@@ -450,7 +650,186 @@ final class IncrementalTable(
       val nonce = java.util.UUID.randomUUID().toString.take(8)
       FileStats.collect(spark, df.schema, withPaths)
         .coalesce(1).write.parquet(new Path(statsDir, nonce).toString)
+      // bloom point-lookup index (opt-in): one pass over the NEW batch
+      val bloomed = bloomColumns.filter(df.schema.fieldNames.contains)
+      if (bloomed.nonEmpty)
+        BloomIndex.build(spark, df.schema, withPaths.map(_._2), bloomed)
+          .coalesce(1).write.parquet(new Path(bloomsDir, nonce).toString)
     }
+
+  // ---- column mapping (Delta's rename/drop-without-rewrite design):
+  // data files keep their original PHYSICAL column names forever; a
+  // logical→physical indirection rides the commit meta, so RENAME and
+  // DROP COLUMN are metadata-only commits — no 100 TB rewrite. Reads
+  // project physical→logical at the table boundary; writes reverse-map
+  // at the stage boundary; everything in between speaks logical. ----
+
+  private def encodePairs(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+  private def decodePairs(s: String): Map[String, String] =
+    s.split(";").filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split("=", 2); k -> v
+    }.toMap
+  private def saneName(c: String): Boolean =
+    c.nonEmpty && !c.exists(ch => ch == ';' || ch == '=' || ch == ',' ||
+      ch == ':' || ch == '"' || ch == '\\' || ch == '{' || ch == '}')
+
+  /** physical → logical renames as of version `v` (identity entries are
+    * never stored).
+    */
+  def colMapAt(v: Long): Map[String, String] =
+    metaAt(v).get("colmap").map(decodePairs).getOrElse(Map.empty)
+
+  /** Physical names of dropped columns as of `v` — still present in old
+    * files, invisible to every read, and their names are retired (a
+    * re-add would resurrect old file data under the new column).
+    */
+  def droppedColsAt(v: Long): Set[String] =
+    metaAt(v).get("coldrop")
+      .map(_.split(";").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  def colMap: Map[String, String] =
+    latestVersion.map(colMapAt).getOrElse(Map.empty)
+  def droppedCols: Set[String] =
+    latestVersion.map(droppedColsAt).getOrElse(Set.empty)
+
+  /** The user-facing schema: tracked physical schema minus dropped
+    * columns, under logical names.
+    */
+  def logicalSchema: Option[StructType] = tableSchema.map(logicalizeSchema)
+
+  private def logicalizeSchema(st: StructType): StructType = {
+    val (map, dropped) = (colMap, droppedCols)
+    StructType(st.fields.filterNot(f => dropped(f.name))
+      .map(f => f.copy(name = map.getOrElse(f.name, f.name))))
+  }
+
+  /** Rename physical→logical and hide dropped columns — applied at
+    * every read exit. Mapping resolved as of `v` so time travel shows
+    * the names of that era.
+    */
+  private def logicalize(df: DataFrame, v: Long): DataFrame = {
+    val map = colMapAt(v)
+    val dropped = droppedColsAt(v)
+    if (map.isEmpty && dropped.isEmpty) df
+    else df.select(df.columns.toSeq.filterNot(dropped).map(p =>
+      df.col(s"`$p`").as(map.getOrElse(p, p))): _*)
+  }
+
+  /** Logical→physical at the stage boundary. Re-introducing a dropped
+    * column's PHYSICAL name is refused loudly: new rows would silently
+    * merge with the ghost data still sitting in old files.
+    */
+  private def physicalize(df: DataFrame): DataFrame = {
+    val rev = colMap.map(_.swap)
+    val dropped = droppedCols
+    val ghosts = df.columns.filter(c => dropped(c) || dropped(rev.getOrElse(c, c)))
+    require(ghosts.isEmpty,
+      s"column(s) ${ghosts.mkString(", ")} of $path were dropped; dropped " +
+        "names are retired — use a different name")
+    if (rev.isEmpty) df
+    else df.select(df.columns.toSeq.map(l =>
+      df.col(s"`$l`").as(rev.getOrElse(l, l))): _*)
+  }
+
+  private def physicalizeSchema(st: StructType): StructType = {
+    val rev = colMap.map(_.swap)
+    val dropped = droppedCols
+    st.fields.foreach(f => require(!dropped(f.name) && !dropped(rev.getOrElse(f.name, f.name)),
+      s"column ${f.name} of $path was dropped; dropped names are retired"))
+    StructType(st.fields.map(f => f.copy(name = rev.getOrElse(f.name, f.name))))
+  }
+
+  /** Metadata-only column rename (`ALTER TABLE ... RENAME COLUMN`). The
+    * physical name in every existing file is untouched; old versions
+    * keep showing the old name.
+    */
+  def renameColumn(from: String, to: String): Long = {
+    require(saneName(to), s"illegal characters in column name: $to")
+    val phys = resolvePhysical(from)
+    val map = colMap
+    val live = tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+      .filterNot(droppedCols)
+    val logicalNames = live.map(p => map.getOrElse(p, p)).toSet
+    require(!logicalNames.contains(to) || map.getOrElse(phys, phys) == to,
+      s"cannot rename $from -> $to: $to already exists in $path")
+    require(!live.contains(to) || to == phys,
+      s"cannot rename $from -> $to: $to collides with a physical column of $path")
+    require(!droppedCols(to),
+      s"cannot rename $from -> $to: $to is a retired (dropped) column name")
+    requireUnconstrained(from, "rename")
+    val newMap = if (phys == to) map - phys else map + (phys -> to)
+    commitFiles(Seq.empty, Set.empty, s"rename column[$from -> $to]",
+      meta = Map("colmap" -> encodePairs(newMap)))
+  }
+
+  /** CHECK constraints store raw SQL — a rename/drop of a referenced
+    * column would break every future validation, so refuse (Delta does
+    * the same). Word-boundary match errs on the loud side.
+    */
+  private def requireUnconstrained(name: String, what: String): Unit = {
+    val hits = constraints.filter { case (_, sql) =>
+      s"(?i)(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(name)}(?![A-Za-z0-9_])"
+        .r.findFirstIn(sql).isDefined
+    }
+    require(hits.isEmpty,
+      s"cannot $what column $name of $path: referenced by CHECK " +
+        s"constraint(s) ${hits.keys.mkString(", ")} — drop them first")
+  }
+
+  /** Metadata-only column drop (`ALTER TABLE ... DROP COLUMN`): hides
+    * the column from every future read and retires its name. Old file
+    * bytes remain until files are rewritten (compact/cluster/DML), as
+    * in Delta.
+    */
+  def dropColumn(name: String): Long = {
+    val phys = resolvePhysical(name)
+    requireUnconstrained(name, "drop")
+    val remaining = tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+      .filterNot(droppedCols).filterNot(_ == phys)
+    require(remaining.nonEmpty, s"cannot drop the last column of $path")
+    commitFiles(Seq.empty, Set.empty, s"drop column[$name]",
+      meta = Map(
+        "coldrop" -> (droppedCols + phys).toSeq.sorted.mkString(";"),
+        "colmap" -> encodePairs(colMap - phys)))
+  }
+
+  /** The physical column behind a logical name (identity when never
+    * renamed).
+    */
+  private def resolvePhysical(logical: String): String = {
+    val map = colMap
+    tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+      .filterNot(droppedCols)
+      .find(p => map.getOrElse(p, p) == logical)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column $logical in $path"))
+  }
+
+  /** Columns with a per-file bloom point-lookup index, as configured by
+    * [[setBloomColumns]] (the `bloom` manifest meta, ';'-separated).
+    */
+  def bloomColumns: Seq[String] =
+    latestVersion.flatMap(v => metaAt(v).get("bloom"))
+      .map(_.split(";").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  /** Enable bloom point-lookup indexing for `cols` — a metadata-only
+    * commit (Delta's `delta.bloomFilter` column config). Filters are
+    * built for data written AFTER this commit; pre-existing files have
+    * no filter and are conservatively kept by every probe, so enabling
+    * is always safe. Run [[compact]] or [[cluster]] to restage old
+    * files through the index.
+    */
+  def setBloomColumns(cols: String*): Long = {
+    require(cols.forall(saneName), s"illegal bloom column name")
+    // the store is keyed by PHYSICAL column so filters survive renames;
+    // resolve when a schema exists (identity for untracked tables)
+    val phys =
+      if (tableSchema.isEmpty) cols
+      else cols.map(c => scala.util.Try(resolvePhysical(c)).getOrElse(c))
+    commitFiles(Seq.empty, Set.empty, s"set bloom[${cols.mkString(";")}]",
+      meta = Map("bloom" -> phys.mkString(";")))
+  }
 
   private def readStatsStore(): DataFrame =
     spark.read
@@ -459,10 +838,14 @@ final class IncrementalTable(
       .parquet(statsDir.toString)
 
   def history(): DataFrame = {
-    val rows = manifestIds.sorted.reverse.map { v =>
-      val (op, ts, fls) = readManifest(v)
-      Row(v, op, fls.size, new java.sql.Timestamp(ts))
-    }
+    // one forward fold over the log — each manifest read once, file
+    // counts maintained incrementally (no per-version reconstruction)
+    val rows = manifestIds.sorted.foldLeft(
+      (List.empty[Row], Set.empty[String])) { case ((acc, live), v) =>
+      val (op, ts, full, add, remove) = readManifestParts(v)
+      val now = full.map(_.toSet).getOrElse(live -- remove ++ add)
+      (Row(v, op, now.size, new java.sql.Timestamp(ts)) :: acc, now)
+    }._1
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
       StructField("version", LongType), StructField("operation", StringType),
       StructField("numFiles", IntegerType), StructField("committed_at", TimestampType))))
@@ -474,7 +857,9 @@ final class IncrementalTable(
     * directory; "" for flat) and return their manifest-relative names.
     * Files are staged then renamed — readers never see partial files.
     */
-  def stage(df: DataFrame, subdir: String = ""): Seq[String] = {
+  def stage(df0: DataFrame, subdir: String = "", remap: Boolean = true): Seq[String] = {
+    val df = if (remap) physicalize(df0) else df0 // files carry PHYSICAL names
+    // (remap=false is reserved for materializeColumnMapping's realign)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stageDir = new Path(path, s"_stage/$nonce")
     df.write.mode("overwrite").parquet(stageDir.toString)
@@ -499,7 +884,8 @@ final class IncrementalTable(
     * `data/<partitionCol>=<value>/`. Returns manifest-relative names.
     * (The per-subdir [[stage]] would cost one job per partition.)
     */
-  def stagePartitioned(df: DataFrame, partitionCol: String): Seq[String] = {
+  def stagePartitioned(df0: DataFrame, partitionCol: String): Seq[String] = {
+    val df = physicalize(df0)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stageDir = new Path(path, s"_stage/$nonce")
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(stageDir.toString)
@@ -556,10 +942,11 @@ final class IncrementalTable(
         // same way (and survive writeSnapshot too — they are table
         // properties, not data state).
         val baseMeta = base.map(metaAt).getOrElse(Map.empty)
-        val carry = Seq("dv", "constraints")
+        val carry = Seq("dv", "constraints", "bloom", "colmap", "coldrop")
           .flatMap(k => baseMeta.get(k).map(k -> _)).toMap
         writeManifest(v, operation, prev.filterNot(removed) ++ added,
-          carry ++ meta ++ schemaMetaFor(base, schema))
+          carry ++ meta ++ schemaMetaFor(base, schema.map(physicalizeSchema)),
+          prevFiles = Some(prev))
         return v
       } catch {
         case e: CommitConflictException =>
@@ -587,10 +974,11 @@ final class IncrementalTable(
       val base = latestVersion
       val v = base.map(_ + 1).getOrElse(0L)
       try {
-        val consCarry = base.flatMap(b => metaAt(b).get("constraints"))
-          .map("constraints" -> _).toMap
+        val consCarry = base.map(metaAt).getOrElse(Map.empty)
+          .filter { case (k, _) => Set("constraints", "bloom", "colmap",
+            "coldrop").contains(k) }
         writeManifest(v, operation, added,
-          consCarry ++ schemaMetaFor(base, Some(df.schema)))
+          consCarry ++ schemaMetaFor(base, Some(physicalizeSchema(df.schema))))
         return v
       } catch {
         case e: CommitConflictException =>
@@ -608,11 +996,54 @@ final class IncrementalTable(
   }
 
   /** Rewrite the current snapshot into `targetFiles` files (rows were
-    * admitted already — no constraint re-validation).
+    * admitted already — no constraint re-validation). A full rewrite is
+    * also when COLUMN MAPPING materializes: the new files are written
+    * under the LOGICAL names and the mapping meta clears, so path-level
+    * readers (the DSv2 connector, external engines) work again — the
+    * escape hatch the connector's column-mapping refusal points at.
     */
   def compact(targetFiles: Int = 1): Long =
-    writeSnapshotImpl(snapshot().repartition(targetFiles),
-      operation = "compact", maxRetries = 20, validate = false)
+    if (colMap.isEmpty && droppedCols.isEmpty)
+      writeSnapshotImpl(snapshot().repartition(targetFiles),
+        operation = "compact", maxRetries = 20, validate = false)
+    else materializeColumnMapping(targetFiles)
+
+  /** Rewrite every file under the current LOGICAL column names and
+    * clear the mapping in the same commit — dropped-column bytes are
+    * physically purged, renamed columns take their logical names on
+    * disk. O(table) like any compact; the mapping itself stays O(1)
+    * until someone needs path-level reads.
+    */
+  def materializeColumnMapping(targetFiles: Int = 1): Long = {
+    val df = snapshot() // logical view, DVs applied
+    val added = stage(df.repartition(targetFiles), remap = false)
+    // bloom config is keyed by physical names — follow them to their
+    // logical (now physical-on-disk) names
+    val map = colMap
+    var attempt = 0
+    while (true) {
+      val base = latestVersion
+      val v = base.map(_ + 1).getOrElse(0L)
+      try {
+        val keep = base.map(metaAt).getOrElse(Map.empty)
+          .filter { case (k, _) => k == "constraints" }
+        val bloomKeep = bloomColumns.filterNot(droppedCols) match {
+          case Seq() => Map.empty[String, String]
+          case bs => Map("bloom" -> bs.map(p => map.getOrElse(p, p)).mkString(";"))
+        }
+        // the tracked schema RESETS to the logical shape (a merge would
+        // keep both the old physical and the new logical name)
+        writeManifest(v, "materialize column mapping", added,
+          keep ++ bloomKeep + ("schema" -> writeSchemaBlob(df.schema)))
+        return v
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= 20) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
 
   /** Rewrite the snapshot RANGE-CLUSTERED on `cols`: rows are range-
     * partitioned and sorted by the cluster keys, so each file covers a
@@ -680,11 +1111,13 @@ final class IncrementalTable(
       prev = now.toSet
       cdc match {
         case Some(nonce) =>
+          // CDC sidecars are written from logical frames — no mapping
           Some(spark.read.parquet(new Path(changeDataDir, nonce).toString)
             .withColumn("_commit_version", lit(v)))
         case None if added.nonEmpty =>
           val reader = schemaAt(v).map(spark.read.schema).getOrElse(spark.read)
-          Some(reader.parquet(added.map(f => dataPath(f).toString): _*)
+          Some(logicalize(
+            reader.parquet(added.map(f => dataPath(f).toString): _*), v)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
         case None => None
@@ -844,11 +1277,17 @@ final class IncrementalTable(
     if (cand.isEmpty) return (cand, null)
     val reader = tableSchema.map(spark.read.schema).getOrElse(spark.read)
     val read0 = reader.parquet(cand.map(f => dataPath(f).toString): _*)
-    // SQL DML predicates arrive qualified (`t.v > 3`); the alias layer
-    // makes them resolve. Plain Column predicates skip it.
-    val tagged = alias.fold(read0)(read0.alias)
+    // row-position helpers bind to the RAW file relation (metadata
+    // columns don't survive arbitrary projections); the logical view
+    // is applied after, so user predicates resolve against logical
+    // names while the helpers ride along untouched
+    val withHelpers = read0
       .withColumn("__dv_file", relFileCol)
       .withColumn("__dv_pos", col("_metadata.row_index"))
+    // SQL DML predicates arrive qualified (`t.v > 3`); the alias layer
+    // makes them resolve. Plain Column predicates skip it.
+    val tagged = alias.fold(logicalize(withHelpers, v))(
+      logicalize(withHelpers, v).alias)
     val live = dvFrame(v) match {
       case None => tagged
       case Some(dv) =>
@@ -922,7 +1361,7 @@ final class IncrementalTable(
     import org.apache.spark.sql.functions.{col, lit, when}
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"empty table $path"))
-    val dataCols = tableSchema.map(_.fieldNames.toSeq).getOrElse {
+    val dataCols = logicalSchema.map(_.fieldNames.toSeq).getOrElse {
       snapshotAt(v).columns.toSeq
     }
     val unknown = set.keySet -- dataCols.toSet
@@ -990,8 +1429,11 @@ final class IncrementalTable(
     val cdcNonce = stageChangeData(
       hit.drop("__dv_file", "__dv_pos").withColumn("_change_type", lit("delete")))
     try {
+      // carry EVERYTHING except the two keys this commit sets — a
+      // filter-to-allowlist here silently dropped bloom/identity/column
+      // -mapping meta from DV-delete commits
       writeManifest(v + 1, "delete[dv]", files(v),
-        metaAt(v).filter { case (k, _) => k == "schema" || k == "constraints" } ++
+        metaAt(v).removedAll(Seq("dv", "cdc")) ++
           Map("dv" -> dvNonce, "cdc" -> cdcNonce))
       v + 1
     } catch {
@@ -1066,9 +1508,13 @@ final class IncrementalTable(
       throw new IllegalStateException(
         s"cannot restore $path to version $v: ${missing.size} data file(s) " +
           s"were vacuumed (first: ${missing.head})")
-    val carried = metaAt(v).filter { case (k, _) => k == "schema" || k == "dv" } ++
-      latestVersion.flatMap(h => metaAt(h).get("constraints"))
-        .map("constraints" -> _).toMap
+    // data state (schema pointer, deletion vectors, column mapping)
+    // rewinds to v; table PROPERTIES (constraints, bloom config) follow
+    // the head — Delta's RESTORE split
+    val carried = metaAt(v).filter { case (k, _) =>
+      Set("schema", "dv", "colmap", "coldrop").contains(k) } ++
+      latestVersion.map(metaAt).getOrElse(Map.empty)
+        .filter { case (k, _) => k == "constraints" || k == "bloom" }
     var attempt = 0
     while (true) {
       val base = latestVersion.getOrElse(-1L)
@@ -1182,7 +1628,14 @@ final class IncrementalTable(
   def vacuum(keepLast: Int = 1): Unit = latestVersion.foreach { latest =>
     val cutoff = latest - math.max(1, keepLast) + 1
     val (dropIds, keepIds) = manifestIds.partition(_ < cutoff)
-    val keep = keepIds.flatMap(files).toSet
+    // the oldest KEPT version must stay reconstructible after the older
+    // manifests are gone: if its commit is a delta, pin its full list
+    // as a checkpoint sidecar BEFORE dropping what it walks back to
+    if (dropIds.nonEmpty && versionExists(cutoff) &&
+        readManifestParts(cutoff)._3.isEmpty && !fs.exists(checkpointPath(cutoff)))
+      writeCheckpoint(cutoff, files(cutoff))
+    // ascending so each reconstruction walks back to its cached neighbor
+    val keep = keepIds.sorted.flatMap(files).toSet
     def walk(dir: Path): Seq[Path] =
       if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toSeq.flatMap { st =>
@@ -1195,7 +1648,10 @@ final class IncrementalTable(
     walk(dataDir)
       .filter(p => !keep.contains(fs.makeQualified(p).toString.stripPrefix(dataRoot)))
       .foreach(fs.delete(_, false))
-    dropIds.foreach(v => fs.delete(manifestPath(v), false))
+    dropIds.foreach { v =>
+      fs.delete(manifestPath(v), false)
+      if (fs.exists(checkpointPath(v))) fs.delete(checkpointPath(v), false)
+    }
     // schema blobs referenced by no kept manifest are garbage too
     if (fs.exists(schemasDir)) {
       val keptPtrs = keepIds.flatMap(v => metaAt(v).get("schema")).toSet
@@ -1227,10 +1683,29 @@ final class IncrementalTable(
       if (!fs.rename(tmp, statsDir))
         throw new IllegalStateException(s"failed to swap stats for $path")
     }
+    // bloom rows follow the same rule as stats rows
+    if (fs.exists(bloomsDir)) {
+      val tmp = new Path(path, "_blooms_tmp")
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      import spark.implicits._
+      spark.read.option("recursiveFileLookup", "true").parquet(bloomsDir.toString)
+        .join(org.apache.spark.sql.functions.broadcast(keep.toSeq.toDF("file")),
+          Seq("file"), "left_semi")
+        .coalesce(1).write.mode("overwrite").parquet(new Path(tmp, nonce).toString)
+      fs.delete(bloomsDir, true)
+      if (!fs.rename(tmp, bloomsDir))
+        throw new IllegalStateException(s"failed to swap blooms for $path")
+    }
   }
 }
 
 object IncrementalTable {
+  /** Full-list checkpoint sidecar cadence for delta-encoded commits —
+    * the bound on a reader's reconstruction walk (Delta defaults its
+    * checkpoint interval to 10 for the same reason).
+    */
+  private[lake] val CheckpointInterval = 10L
+
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** JVM-wide manifest-publish lock for a table path — see the

@@ -735,7 +735,37 @@ object RelationalQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** The bloom point-lookup path as a gated query: documents land in an
+    * [[graft.lake.IncrementalTable]] as 8 appends INTERLEAVED on
+    * `doc_id % 8` — every file's [min, max] spans the whole id range,
+    * so footer stats cannot prune a point lookup — with a bloom index
+    * on `doc_id` ([[graft.lake.BloomIndex]]). The scan probes the
+    * per-file blooms and reads ~1 file per looked-up id; content is
+    * unchanged by the restage, so plain SQL over the raw parquet
+    * oracles the whole path (bloom build at commit, hash-consistent
+    * probe, residual row filter).
+    */
+  def lakeBloomScan(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified).hashCode)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_bloom_$key"
+    val t = new graft.lake.IncrementalTable(spark, path)
+    if (!t.exists) {
+      t.setBloomColumns("doc_id")
+      val docs = Tables.load(spark, dir, "documents")
+        .select("doc_id", "source", "n_chars")
+      (0 until 8).foreach(i =>
+        t.append(docs.filter(col("doc_id") % 8 === i).coalesce(1)))
+    }
+    t.scan(col("doc_id").isin(37L, 191L, 256L))
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "lake_bloom_scan" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id IN (37, 191, 256) ORDER BY doc_id""".stripMargin,
     "lake_zorder_scan" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem WHERE l_partkey <= 20 AND l_suppkey <= 10
@@ -1075,6 +1105,7 @@ object RelationalQueries {
     "q20_slow_stock_suppliers" -> q20SlowStockSuppliers _,
     "q21_waiting_suppliers" -> q21WaitingSuppliers _,
     "lake_zorder_scan" -> lakeZorderScan _,
+    "lake_bloom_scan" -> lakeBloomScan _,
     "q18_large_orders" -> q18LargeOrders _,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
     "q22_global_sales" -> q22GlobalSales _,

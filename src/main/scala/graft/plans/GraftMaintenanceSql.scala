@@ -70,6 +70,9 @@ object GraftMaintenanceSql {
       Some(ConstraintGraftCommand(target.trim, name, Some(expr.trim)))
     case DropConstraint(target, name) =>
       Some(ConstraintGraftCommand(target.trim, name, None))
+    // RENAME COLUMN / DROP COLUMN are NOT pre-parsed: they are standard
+    // Spark SQL, routed to GraftCatalog.alterTable for catalog tables —
+    // a pre-parse here would hijack the statement for non-graft tables
     case _ => None
   }
 
@@ -183,7 +186,8 @@ case class DescribeDetailGraftCommand(target: String)
       case Some(n) => spark.read
         .parquet(new org.apache.hadoop.fs.Path(t.path, s"_dv/$n").toString).count()
     }
-    val cols = t.tableSchema.map(_.fieldNames.mkString(", ")).getOrElse("")
+    // user-facing (logical) names — renamed/dropped columns apply
+    val cols = t.logicalSchema.map(_.fieldNames.mkString(", ")).getOrElse("")
     Seq(Row("graft", t.path, v, fls.size, bytes, dvRows, cols))
   }
 }

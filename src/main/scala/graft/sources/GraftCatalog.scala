@@ -70,6 +70,15 @@ class GraftCatalog extends TableCatalog {
     new IncrementalTable(spark, path).exists || new VersionedTable(spark, path).exists
 
   private def tableAt(path: String, extra: Map[String, String]): Table = {
+    // a column-mapped table can't be served through the path-level
+    // parquet delegate (files carry physical names); serve a schema-only
+    // stub so DDL (ALTER ... RENAME/DROP COLUMN, DESCRIBE) resolves,
+    // while scans fail with the connector's materialization hint
+    val incM = new IncrementalTable(spark, path)
+    if (incM.isIncrementalLayout &&
+        (incM.colMap.nonEmpty || incM.droppedCols.nonEmpty))
+      return new GraftMappedStubTable(path,
+        incM.logicalSchema.getOrElse(new org.apache.spark.sql.types.StructType()))
     val ds = new GraftDataSource
     val props = new java.util.HashMap[String, String]()
     props.put("path", path)
@@ -145,9 +154,11 @@ class GraftCatalog extends TableCatalog {
     * commit: no files change, the tracked schema merges the new
     * columns through the same commit CAS as a write-side evolution
     * (so a racing append can't lose the columns), and existing files
-    * read the additions as NULL. Everything else (drop/rename/
-    * retype) is rejected: those would require rewriting or remapping
-    * every historical file.
+    * read the additions as NULL. `RENAME COLUMN` / `DROP COLUMN` are
+    * metadata-only too (column mapping — the files keep their physical
+    * names; catalog reads then serve a schema-only stub until
+    * OPTIMIZE/compact materializes the mapping). Retype is rejected:
+    * it would require rewriting every historical file.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = pathOf(ident)
@@ -156,19 +167,29 @@ class GraftCatalog extends TableCatalog {
     require(inc.isIncrementalLayout,
       s"graft: ALTER TABLE needs an incremental-manifest table: $p")
     val adds = changes.collect { case a: TableChange.AddColumn => a }
-    require(adds.size == changes.size,
-      "graft: only ADD COLUMNS is supported — schema otherwise evolves " +
-        "through writes (add-column merge on commit)")
-    require(adds.forall(_.fieldNames().length == 1),
-      "graft: nested column additions are not supported")
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    require(adds.size + renames.size + drops.size == changes.size,
+      "graft: only ADD COLUMNS / RENAME COLUMN / DROP COLUMN are " +
+        "supported — schema otherwise evolves through writes " +
+        "(add-column merge on commit)")
+    require((adds ++ renames ++ drops: Seq[TableChange.ColumnChange])
+        .forall(_.fieldNames().length == 1),
+      "graft: nested column changes are not supported")
     require(inc.tableSchema.isDefined,
       s"graft: $p has no tracked schema to evolve (write once first)")
-    val newCols = StructType(adds.map(a => org.apache.spark.sql.types.StructField(
-      a.fieldNames().head, a.dataType(), a.isNullable)))
-    // commitFiles' schema merge (tracked ++ new-only) runs inside the
-    // CAS retry loop, same as a write-side evolution
-    inc.commitFiles(Seq.empty, Set.empty, "alter_add_columns",
-      schema = Some(newCols))
+    if (adds.nonEmpty) {
+      val newCols = StructType(adds.map(a => org.apache.spark.sql.types.StructField(
+        a.fieldNames().head, a.dataType(), a.isNullable)))
+      // commitFiles' schema merge (tracked ++ new-only) runs inside the
+      // CAS retry loop, same as a write-side evolution
+      inc.commitFiles(Seq.empty, Set.empty, "alter_add_columns",
+        schema = Some(newCols))
+    }
+    // metadata-only column mapping (no data rewrite) — see
+    // IncrementalTable.renameColumn/dropColumn
+    renames.foreach(r => inc.renameColumn(r.fieldNames().head, r.newName()))
+    drops.foreach(d => inc.dropColumn(d.fieldNames().head))
     tableAt(p, Map.empty)
   }
 
@@ -185,4 +206,20 @@ class GraftCatalog extends TableCatalog {
     if (!fs(src).rename(new Path(src), new Path(pathOf(to))))
       throw new IllegalStateException(s"graft: rename $from -> $to failed")
   }
+}
+
+/** Catalog stub for a COLUMN-MAPPED table: exposes the logical schema
+  * so DDL and column resolution work, but advertises no read/write
+  * capability — a scan fails with Spark's capability error instead of
+  * silently serving physical names. Run OPTIMIZE/compact() to
+  * materialize the mapping; the catalog then serves the real table.
+  */
+private[sources] class GraftMappedStubTable(
+    path: String, logical: org.apache.spark.sql.types.StructType)
+    extends org.apache.spark.sql.connector.catalog.Table {
+  override def name(): String = s"graft:$path (column mapping pending)"
+  override def schema(): org.apache.spark.sql.types.StructType = logical
+  override def capabilities(): java.util.Set[
+    org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.Collections.emptySet()
 }

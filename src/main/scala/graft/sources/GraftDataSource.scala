@@ -243,6 +243,17 @@ private[sources] class GraftVersionedParquet extends ParquetDataSourceV2 {
       }
       if (incremental) {
         val v = resolve(inc.latestVersion, inc.versionExists, inc.versionAsOfTimestamp)
+        // Column mapping can't be applied through a bare path list
+        // either — the files carry PHYSICAL names, and serving them
+        // unmapped would silently show renamed/dropped columns under
+        // stale names. Refuse, like a Delta reader that doesn't speak
+        // the table's protocol feature.
+        if (inc.colMapAt(v).nonEmpty || inc.droppedColsAt(v).nonEmpty)
+          throw new IllegalStateException(
+            s"graft: version $v of $root uses column mapping (renamed or " +
+              "dropped columns), which path-level reads cannot apply. " +
+              "Read via IncrementalTable.snapshot()/scan(), or run " +
+              "OPTIMIZE/compact() to materialize the mapping into the files")
         // Deletion vectors can't be applied through a bare path list —
         // serving the raw files would resurrect deleted rows, so fail
         // loudly instead (Delta clients without DV support do the

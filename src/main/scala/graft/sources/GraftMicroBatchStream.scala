@@ -133,6 +133,15 @@ private[sources] final class GraftMicroBatchStream(
     val from = start.asInstanceOf[GraftVersionOffset].v
     val to = end.asInstanceOf[GraftVersionOffset].v
     if (to <= from || !table.versionExists(to)) return Array.empty
+    // column-mapped tables can't stream through raw file partitions —
+    // the files carry PHYSICAL names and the reader would serve stale
+    // columns (same protocol gate as the batch connector)
+    if (table.colMapAt(to).nonEmpty || table.droppedColsAt(to).nonEmpty)
+      throw new IllegalStateException(
+        s"graft stream: version $to of ${info.path} uses column mapping " +
+          "(renamed or dropped columns), which file-level streaming " +
+          "cannot apply. Run OPTIMIZE/compact() to materialize the " +
+          "mapping, then restart the stream")
     if (info.readChangeFeed) return planCdcPartitions(from, to)
     val prevFiles: Set[String] =
       if (from < 0) Set.empty

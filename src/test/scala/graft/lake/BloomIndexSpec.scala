@@ -1,0 +1,107 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Bloom point-lookup file skipping: equality probes on a
+  * high-cardinality column prune files that min/max stats cannot
+  * (every file's range covers every key), with no false negatives.
+  */
+class BloomIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private def fresh(): IncrementalTable = {
+    val dir = Files.createTempDirectory("bloom_").toString + "/t"
+    new IncrementalTable(spark, dir)
+  }
+
+  /** 8 one-file appends of hash-like string keys, INTERLEAVED so every
+    * file's [min, max] spans the whole key space — range stats are
+    * useless by construction.
+    */
+  private def load(t: IncrementalTable): Map[Int, String] = {
+    import spark.implicits._
+    val probes = scala.collection.mutable.Map.empty[Int, String]
+    for (f <- 0 until 8) {
+      val rows = (0 until 200).map { i =>
+        val k = f"k${(i * 8 + f) * 2654435761L % 100000}%05d-${f}x$i"
+        if (i == 100) probes(f) = k
+        (k, f.toLong, i.toLong)
+      }
+      t.append(rows.toDF("key", "file_no", "seq").coalesce(1))
+    }
+    probes.toMap
+  }
+
+  test("point lookup prunes to ~1 file with blooms, not without") {
+    val t = fresh()
+    t.setBloomColumns("key")
+    val probes = load(t)
+    val all = t.files(t.latestVersion.get)
+    assert(all.size === 8)
+    val target = probes(3)
+    // min/max alone: interleaved keys ⇒ every file possibly matches
+    // (shelve the bloom store to expose the stats-only behavior)
+    val bdir = java.nio.file.Paths.get(t.path, "_blooms")
+    val shelf = java.nio.file.Paths.get(t.path, "_blooms_shelved")
+    java.nio.file.Files.move(bdir, shelf)
+    assert(t.prunedFiles(all, Seq(col("key") === target)).size === 8,
+      "interleaved keys must defeat min/max pruning (else this test proves nothing)")
+    java.nio.file.Files.move(shelf, bdir)
+    // blooms: the one holding file plus fpp-bounded false positives
+    val kept = t.prunedFiles(all, Seq(col("key") === target))
+    assert(kept.size <= 3, s"bloom should prune to ~1 of 8 files, kept $kept")
+    // and never a false negative: the scan still finds the row
+    val hit = t.scan(col("key") === target).collect()
+    assert(hit.length === 1 && hit(0).getLong(1) === 3L)
+  }
+
+  test("IN-list keeps the union of matching files; absent key prunes all") {
+    val t = fresh()
+    t.setBloomColumns("key")
+    val probes = load(t)
+    val all = t.files(t.latestVersion.get)
+    val wanted = Seq(probes(1), probes(6))
+    val kept = t.prunedFiles(all, Seq(col("key").isin(wanted: _*)))
+    assert(kept.size <= 4, s"IN-probe kept $kept")
+    assert(t.scan(col("key").isin(wanted: _*)).count() === 2)
+    // a key that exists nowhere: every bloom says no
+    val gone = t.prunedFiles(all, Seq(col("key") === "no-such-key"))
+    assert(gone.size <= 1, s"absent key should prune (almost) everything: $gone")
+    assert(t.scan(col("key") === "no-such-key").count() === 0)
+  }
+
+  test("files written before enabling have no bloom and are kept") {
+    val t = fresh()
+    import spark.implicits._
+    t.append(Seq(("pre-bloom-key", 99L, 0L)).toDF("key", "file_no", "seq"))
+    t.setBloomColumns("key")
+    t.append(Seq(("post-bloom-key", 100L, 0L)).toDF("key", "file_no", "seq"))
+    val all = t.files(t.latestVersion.get)
+    // the pre-bloom file must survive any probe (no false negatives)
+    val kept = t.prunedFiles(all, Seq(col("key") === "pre-bloom-key"))
+    assert(kept.exists(_ => true) && t.scan(col("key") === "pre-bloom-key").count() === 1)
+    // disjunctions are invisible to the BLOOM phase (c = x OR d = y
+    // cannot prune on c alone) — the matching row must still be found
+    // even though its key's bloom would reject "no-such"
+    val disj = t.scan(col("key") === "no-such" || col("file_no") === 99L)
+    assert(disj.count() === 1 && disj.head.getString(0) === "pre-bloom-key")
+  }
+
+  test("bloom config survives appends, snapshot rewrites, and compaction rebuilds filters") {
+    val t = fresh()
+    t.setBloomColumns("key")
+    load(t)
+    assert(t.bloomColumns === Seq("key"))
+    t.compact(targetFiles = 2)
+    assert(t.bloomColumns === Seq("key"), "bloom meta must survive writeSnapshot")
+    // compaction restaged everything through recordStats ⇒ the new
+    // files have fresh blooms; an absent key still prunes
+    val all = t.files(t.latestVersion.get)
+    val gone = t.prunedFiles(all, Seq(col("key") === "nope"))
+    assert(gone.isEmpty, s"restaged files should carry blooms: kept $gone")
+  }
+}

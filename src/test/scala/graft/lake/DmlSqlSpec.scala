@@ -136,8 +136,14 @@ class DmlSqlSpec extends AnyFunSuite with SparkSpec {
     spark.sql("INSERT INTO dml.ctas_dst VALUES (5, 50, 'x')")
     assert(spark.sql("SELECT count(*) FROM dml.ctas_dst WHERE note = 'x'")
       .head.getLong(0) === 1L)
-    // non-additive changes are rejected
-    assertThrows[Exception](spark.sql("ALTER TABLE dml.ctas_dst DROP COLUMN n2"))
+    // retype is rejected (it would rewrite every historical file) —
+    // DROP COLUMN, once rejected here, is now a metadata-only mapping
+    // commit (see ColumnMappingSpec)
+    assertThrows[Exception](
+      spark.sql("ALTER TABLE dml.ctas_dst ALTER COLUMN n2 TYPE STRING"))
+    spark.sql("ALTER TABLE dml.ctas_dst DROP COLUMN note")
+    assert(new IncrementalTable(spark, s"$wh/ctas_dst")
+      .logicalSchema.get.fieldNames.toSeq === Seq("pk", "n2"))
   }
 
   test("VACUUM RETAIN HOURS and DESCRIBE DETAIL") {
