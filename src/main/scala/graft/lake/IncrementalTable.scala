@@ -1567,12 +1567,22 @@ final class IncrementalTable(
 
   private def clusterZImpl(
       targetFiles: Int, bits: Int, equiDepth: Boolean, cols: Seq[String]): Long = {
+    val arranged = zArrange(snapshot(), targetFiles, bits, equiDepth, cols)
+    writeSnapshotImpl(arranged, operation = s"zorder[${cols.mkString(",")}]",
+      maxRetries = 20, validate = false)
+  }
+
+  /** `df` rearranged into `targetFiles` Morton-ordered shards — the
+    * shared arrangement step of [[clusterZ]] (full rewrite) and
+    * [[clusterZIncremental]] (new-files-only rewrite).
+    */
+  private def zArrange(df: DataFrame,
+      targetFiles: Int, bits: Int, equiDepth: Boolean, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cols.size >= 2,
       "z-order needs at least two columns (use cluster() for one)")
     require(bits >= 1 && bits * cols.size <= 62,
       s"bits=$bits x ${cols.size} columns must fit a signed int64")
-    val df = snapshot()
     val maxCode = (1L << bits) - 1
     val codes: Seq[Column] =
       if (equiDepth) {
@@ -1613,12 +1623,83 @@ final class IncrementalTable(
         shiftleft(shiftright(coalesce(code, lit(0L)), i).bitwiseAND(lit(1L)), i * n + j)
       }
     }.reduce(_ + _)
-    val arranged = df.withColumn("__z", z)
+    df.withColumn("__z", z)
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-    writeSnapshotImpl(arranged, operation = s"zorder[${cols.mkString(",")}]",
-      maxRetries = 20, validate = false)
+  }
+
+  /** Bin-packing compaction (what OPTIMIZE actually does at scale):
+    * rewrite ONLY files smaller than `minFileBytes`, grouped per
+    * partition subdirectory (bucketed layouts keep their file-level
+    * pruning), into ~`targetFileBytes` outputs. [[compact]] is
+    * O(table) — unusable as a maintenance cadence at 100 TB, where the
+    * problem is the small-file tail of frequent appends, not the big
+    * healthy files. Cost here is O(small files). External (`ext:`
+    * shallow-clone) references are skipped — localizing them is a full
+    * [[compact]]'s job. Returns the current version when fewer than two
+    * small files share a directory.
+    */
+  def compactSmall(minFileBytes: Long = 32L << 20,
+      targetFileBytes: Long = 128L << 20): Long = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty table $path"))
+    val fsys = fs
+    def dirOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val small = files(v)
+      .filterNot(_.startsWith("ext:"))
+      .map(f => f -> fsys.getFileStatus(dataPath(f)).getLen)
+      .filter(_._2 < minFileBytes)
+    // only directories where packing actually reduces the file count
+    val byDir = small.groupBy { case (f, _) => dirOf(f) }
+      .filter(_._2.size >= 2)
+    if (byDir.isEmpty) return v
+    val added = byDir.toSeq.sortBy(_._1).flatMap { case (dir, members) =>
+      val names = members.map(_._1).toSet
+      val bins = math.max(1,
+        math.ceil(members.map(_._2).sum.toDouble / targetFileBytes).toInt)
+      val slice = snapshotOfFiles(v, names).get // DV-applied, logical
+      stage(slice.repartition(bins), dir)
+    }
+    commitFiles(added, byDir.values.flatten.map(_._1).toSet,
+      s"compact-small[<${minFileBytes >> 20}MiB]")
+  }
+
+  /** INCREMENTAL clustering (the liquid-clustering idea): z-order ONLY
+    * the files added since the last clustering commit, leaving already-
+    * clustered files untouched. `clusterZ` is O(table) every time —
+    * on a growing 100 TB table the right cadence is one full cluster
+    * followed by incremental passes that each cost O(new data). The
+    * freshly clustered files' bounds may overlap the old region's, but
+    * skipping is per-file, so pruning quality is preserved; run a full
+    * `clusterZ` occasionally to re-tighten globally.
+    *
+    * Returns the current version unchanged when there is nothing new
+    * to cluster; falls back to a FULL cluster when no clustering
+    * baseline is found (never clustered, or the baseline was
+    * vacuumed).
+    */
+  def clusterZIncremental(targetFiles: Int, bits: Int, cols: String*): Long = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty table $path"))
+    // newest zorder commit = the clustering baseline
+    val lastZ = (v to 0L by -1).iterator
+      .takeWhile(versionExists)
+      .find(u => operationAt(u).startsWith("zorder"))
+    lastZ match {
+      case None => clusterZImpl(targetFiles, bits, equiDepth = false, cols)
+      case Some(b) =>
+        val baseline = files(b).toSet
+        val fresh = files(v).filterNot(baseline)
+        if (fresh.isEmpty) return v
+        val subset = snapshotOfFiles(v, fresh.toSet).get // DV-applied, logical
+        val arranged = zArrange(subset, targetFiles, bits, equiDepth = false, cols)
+        val added = stage(arranged)
+        commitFiles(added, fresh.toSet, s"zorder-inc[${cols.mkString(",")}]")
+    }
   }
 
   /** Delete data files referenced by NO kept manifest, and manifests

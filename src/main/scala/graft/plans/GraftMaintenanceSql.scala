@@ -113,6 +113,13 @@ object GraftMaintenanceSql {
   * every listed (numeric) column keeps prunable footer bounds. Knobs
   * ride session confs: `graft.optimize.targetFiles` (default 1 for
   * compact, 16 for zorder), `graft.optimize.zorderBits` (default 8).
+  * At maintenance-cadence scale the O(table) modes give way to the
+  * O(new-data) ones: `graft.optimize.minFileBytes=<n>` switches plain
+  * OPTIMIZE to bin-packing ([[IncrementalTable.compactSmall]] — only
+  * files under n bytes rewrite, Delta's actual OPTIMIZE semantics),
+  * and `graft.optimize.zorderIncremental=true` switches ZORDER BY to
+  * [[IncrementalTable.clusterZIncremental]] (only files added since
+  * the last clustering commit rewrite).
   */
 case class OptimizeGraftCommand(target: String, zorderCols: Seq[String])
     extends LeafRunnableCommand {
@@ -124,7 +131,17 @@ case class OptimizeGraftCommand(target: String, zorderCols: Seq[String])
     def conf(k: String, d: Int) =
       spark.conf.getOption(k).map(_.toInt).getOrElse(d)
     val v =
-      if (zorderCols.isEmpty) t.compact(conf("graft.optimize.targetFiles", 1))
+      if (zorderCols.isEmpty)
+        spark.conf.getOption("graft.optimize.minFileBytes") match {
+          case Some(mb) => t.compactSmall(mb.toLong,
+            spark.conf.getOption("graft.optimize.targetFileBytes")
+              .map(_.toLong).getOrElse(128L << 20))
+          case None => t.compact(conf("graft.optimize.targetFiles", 1))
+        }
+      else if (spark.conf.getOption("graft.optimize.zorderIncremental")
+          .exists(_.toBoolean))
+        t.clusterZIncremental(conf("graft.optimize.targetFiles", 16),
+          conf("graft.optimize.zorderBits", 8), zorderCols: _*)
       else t.clusterZ(conf("graft.optimize.targetFiles", 16),
         conf("graft.optimize.zorderBits", 8), zorderCols: _*)
     Seq(Row(v, t.operationAt(v)))

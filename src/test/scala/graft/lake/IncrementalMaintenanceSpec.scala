@@ -1,0 +1,118 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** O(new-data) maintenance: bin-packing compaction touches only the
+  * small-file tail, incremental clustering z-orders only files added
+  * since the last clustering commit — neither is O(table), which is
+  * what makes them usable as a cadence on a growing table.
+  */
+class IncrementalMaintenanceSpec extends AnyFunSuite with SparkSpec {
+
+  private def fresh(): IncrementalTable = {
+    val dir = Files.createTempDirectory("maint_").toString + "/t"
+    new IncrementalTable(spark, dir)
+  }
+
+  test("compactSmall packs only the small-file tail; big files untouched") {
+    val t = fresh()
+    import spark.implicits._
+    // one "big" file (1000 rows) + 5 tiny ones
+    t.append((0 until 1000).map(i => (i.toLong, s"row$i")).toDF("id", "tag")
+      .coalesce(1))
+    val big = t.files(t.latestVersion.get).head
+    (0 until 5).foreach(i =>
+      t.append(Seq((10000L + i, s"tiny$i")).toDF("id", "tag").coalesce(1)))
+    val before = t.snapshot().count()
+    val bigBytes = new java.io.File(t.path + "/data/" + big).length
+    val v = t.compactSmall(minFileBytes = bigBytes) // big file is NOT small
+    val now = t.files(v)
+    assert(now.contains(big), "the big file must not be rewritten")
+    assert(now.size === 2, s"5 tiny files should pack into 1: $now")
+    assert(t.snapshot().count() === before)
+    // idempotent: one small file per dir left -> nothing to do
+    assert(t.compactSmall(minFileBytes = bigBytes) === v)
+  }
+
+  test("compactSmall respects partition subdirectories and deletion vectors") {
+    val t = fresh()
+    import spark.implicits._
+    // two bucket dirs, 3 tiny files each
+    for (b <- Seq("__bucket=0", "__bucket=1"); i <- 0 until 3)
+      t.commitFiles(
+        t.stage(Seq((s"$b-$i", i.toLong)).toDF("k", "n").coalesce(1), b),
+        Set.empty, "append")
+    t.deleteVector(col("k") === "__bucket=0-1")
+    val v = t.compactSmall()
+    val now = t.files(v)
+    assert(now.size === 2 && now.forall(f => f.contains("/")),
+      s"each bucket should pack to one file in its own dir: $now")
+    assert(t.snapshot().count() === 5, "the DV-deleted row must stay gone")
+    assert(t.snapshot().filter(col("k") === "__bucket=0-1").count() === 0)
+  }
+
+  test("clusterZIncremental rewrites only post-baseline files") {
+    val t = fresh()
+    import spark.implicits._
+    def batch(lo: Int) = (lo until lo + 500)
+      .map(i => (i.toLong % 40, (i.toLong * 7) % 40, i.toLong))
+      .toDF("x", "y", "id")
+    (0 until 4).foreach(i => t.append(batch(i * 500).coalesce(1)))
+    t.clusterZ(4, 4, "x", "y")
+    val clustered = t.files(t.latestVersion.get).toSet
+    // new arrivals after the clustering
+    (0 until 4).foreach(i => t.append(batch(2000 + i * 500).coalesce(1)))
+    val v = t.clusterZIncremental(2, 4, "x", "y")
+    assert(t.operationAt(v) === "zorder-inc[x,y]")
+    val now = t.files(v).toSet
+    assert(clustered.subsetOf(now), "baseline clustered files must be untouched")
+    assert((now -- clustered).size === 2, "4 fresh files z-order into 2")
+    assert(t.snapshot().count() === 4000)
+    // a two-column box prunes in BOTH regions (per-file bounds)
+    val kept = t.prunedFiles(t.files(v).toSeq,
+      Seq(col("x") <= 5L, col("y") <= 5L))
+    assert(kept.size < now.size, s"z-bounds should prune some files: $kept")
+    assert(t.scan(col("x") <= 5L, col("y") <= 5L).count() ===
+      t.snapshot().filter(col("x") <= 5L && col("y") <= 5L).count())
+    // nothing new since -> no-op
+    assert(t.clusterZIncremental(2, 4, "x", "y") === v)
+  }
+
+  test("OPTIMIZE conf knobs route to bin-packing and incremental clustering") {
+    val t = fresh()
+    import spark.implicits._
+    (0 until 3).foreach(i => t.append(
+      Seq((i.toLong, i.toLong * 3, i.toLong)).toDF("x", "y", "id").coalesce(1)))
+    try {
+      spark.conf.set("graft.optimize.minFileBytes", (1L << 20).toString)
+      val r = spark.sql(s"OPTIMIZE '${t.path}'").head
+      assert(r.getString(1).startsWith("compact-small["), r.toString)
+      assert(t.snapshot().count() === 3)
+      spark.conf.set("graft.optimize.zorderIncremental", "true")
+      t.append(Seq((9L, 9L, 9L)).toDF("x", "y", "id").coalesce(1))
+      t.clusterZ(2, 4, "x", "y") // baseline
+      t.append(Seq((8L, 8L, 8L)).toDF("x", "y", "id").coalesce(1))
+      val r2 = spark.sql(s"OPTIMIZE '${t.path}' ZORDER BY (x, y)").head
+      assert(r2.getString(1) === "zorder-inc[x,y]", r2.toString)
+      assert(t.snapshot().count() === 5)
+    } finally {
+      spark.conf.unset("graft.optimize.minFileBytes")
+      spark.conf.unset("graft.optimize.zorderIncremental")
+    }
+  }
+
+  test("clusterZIncremental without a baseline falls back to a full cluster") {
+    val t = fresh()
+    import spark.implicits._
+    (0 until 3).foreach(i => t.append(
+      Seq((i.toLong, i.toLong * 3, i.toLong)).toDF("x", "y", "id").coalesce(1)))
+    val v = t.clusterZIncremental(2, 4, "x", "y")
+    assert(t.operationAt(v) === "zorder[x,y]")
+    assert(t.snapshot().count() === 3)
+  }
+}
