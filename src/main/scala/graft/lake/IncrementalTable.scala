@@ -806,6 +806,50 @@ final class IncrementalTable(
         s"no column $logical in $path"))
   }
 
+  // ---- write-time ordering (files born clustered) ----
+
+  /** Declared ingest ordering, physical column names (the `writeorder`
+    * manifest meta).
+    */
+  def writeOrder: Seq[String] =
+    latestVersion.flatMap(v => metaAt(v).get("writeorder"))
+      .map(_.split(";").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  /** Declare a write-time clustering: every [[append]]/[[writeSnapshot]]
+    * batch is range-partitioned and sorted on `cols` before staging, so
+    * new files are BORN with tight, non-overlapping footer bounds on the
+    * ingest keys — stats skipping works immediately, without waiting for
+    * an OPTIMIZE pass (Iceberg's `write.distribution-mode=range` /
+    * Delta liquid's clustered ingest). Costs one shuffle OF THE BATCH
+    * per write, never of the table. Metadata-only commit; clear with no
+    * arguments.
+    */
+  def setWriteOrder(cols: String*): Long = {
+    require(cols.forall(saneName), "illegal write-order column name")
+    val phys =
+      if (tableSchema.isEmpty) cols
+      else cols.map(c => scala.util.Try(resolvePhysical(c)).getOrElse(c))
+    commitFiles(Seq.empty, Set.empty, s"set writeorder[${cols.mkString(";")}]",
+      meta = Map("writeorder" -> phys.mkString(";")))
+  }
+
+  /** Range-cluster `df` (a LOGICAL frame) per the declared write order;
+    * identity when unset or when the frame lacks an order column (e.g.
+    * internal helper frames).
+    */
+  private def applyWriteOrder(df: DataFrame): DataFrame = {
+    val map = colMap
+    val order = writeOrder.map(p => map.getOrElse(p, p))
+    if (order.isEmpty || !order.forall(df.columns.contains)) df
+    else {
+      import org.apache.spark.sql.functions.col
+      val cs = order.map(c => col(s"`$c`"))
+      // AQE coalesces the range shuffle for small batches, so a tiny
+      // append does not fan out into shuffle.partitions tiny files
+      df.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*)
+    }
+  }
+
   /** Columns with a per-file bloom point-lookup index, as configured by
     * [[setBloomColumns]] (the `bloom` manifest meta, ';'-separated).
     */
@@ -942,8 +986,8 @@ final class IncrementalTable(
         // same way (and survive writeSnapshot too — they are table
         // properties, not data state).
         val baseMeta = base.map(metaAt).getOrElse(Map.empty)
-        val carry = Seq("dv", "constraints", "bloom", "colmap", "coldrop")
-          .flatMap(k => baseMeta.get(k).map(k -> _)).toMap
+        val carry = Seq("dv", "constraints", "bloom", "colmap", "coldrop",
+          "writeorder").flatMap(k => baseMeta.get(k).map(k -> _)).toMap
         writeManifest(v, operation, prev.filterNot(removed) ++ added,
           carry ++ meta ++ schemaMetaFor(base, schema.map(physicalizeSchema)),
           prevFiles = Some(prev))
@@ -963,7 +1007,7 @@ final class IncrementalTable(
     */
   def writeSnapshot(df: DataFrame, operation: String = "write",
       maxRetries: Int = 20): Long =
-    writeSnapshotImpl(df, operation, maxRetries, validate = true)
+    writeSnapshotImpl(applyWriteOrder(df), operation, maxRetries, validate = true)
 
   private def writeSnapshotImpl(df: DataFrame, operation: String,
       maxRetries: Int, validate: Boolean): Long = {
@@ -976,7 +1020,7 @@ final class IncrementalTable(
       try {
         val consCarry = base.map(metaAt).getOrElse(Map.empty)
           .filter { case (k, _) => Set("constraints", "bloom", "colmap",
-            "coldrop").contains(k) }
+            "coldrop", "writeorder").contains(k) }
         writeManifest(v, operation, added,
           consCarry ++ schemaMetaFor(base, Some(physicalizeSchema(df.schema))))
         return v
@@ -989,10 +1033,13 @@ final class IncrementalTable(
     -1L // unreachable
   }
 
-  /** O(batch) append: new files only, everything else re-referenced. */
+  /** O(batch) append: new files only, everything else re-referenced.
+    * Honors the declared [[setWriteOrder]] (one shuffle of the batch).
+    */
   def append(df: DataFrame): Long = {
     validateConstraints(df)
-    commitFiles(stage(df), Set.empty, "append", schema = Some(df.schema))
+    commitFiles(stage(applyWriteOrder(df)), Set.empty, "append",
+      schema = Some(df.schema))
   }
 
   /** Rewrite the current snapshot into `targetFiles` files (rows were
@@ -1031,10 +1078,15 @@ final class IncrementalTable(
           case Seq() => Map.empty[String, String]
           case bs => Map("bloom" -> bs.map(p => map.getOrElse(p, p)).mkString(";"))
         }
+        // write-order columns follow their logical names the same way
+        val orderKeep = writeOrder.filterNot(droppedCols) match {
+          case Seq() => Map.empty[String, String]
+          case os => Map("writeorder" -> os.map(p => map.getOrElse(p, p)).mkString(";"))
+        }
         // the tracked schema RESETS to the logical shape (a merge would
         // keep both the old physical and the new logical name)
         writeManifest(v, "materialize column mapping", added,
-          keep ++ bloomKeep + ("schema" -> writeSchemaBlob(df.schema)))
+          keep ++ bloomKeep ++ orderKeep + ("schema" -> writeSchemaBlob(df.schema)))
         return v
       } catch {
         case e: CommitConflictException =>

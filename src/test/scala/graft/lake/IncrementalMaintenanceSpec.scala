@@ -106,6 +106,40 @@ class IncrementalMaintenanceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("setWriteOrder: appended files are born with prunable bounds") {
+    val t = fresh()
+    import spark.implicits._
+    def batch(seed: Int) = {
+      val rng = new scala.util.Random(seed)
+      (0 until 800).map(_ => (rng.nextInt(1000).toLong, seed.toLong))
+        .toDF("k", "b")
+    }
+    // without write order: one shuffled append -> every file spans the
+    // whole key range, a selective scan reads everything
+    t.append(batch(1).repartition(4))
+    val all0 = t.files(t.latestVersion.get)
+    assert(t.prunedFiles(all0, Seq(col("k") < 50L)).size === all0.size,
+      "unordered ingest should not prune (else this proves nothing)")
+    // with write order: the same shape prunes from birth. (AQE would
+    // rightly coalesce this toy batch into ONE file — tell it to keep
+    // tiny partitions so there are multiple files to prune between.)
+    t.setWriteOrder("k")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try t.append(batch(2).repartition(4))
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val v = t.latestVersion.get
+    val newFiles = t.files(v).filterNot(all0.toSet)
+    assert(newFiles.size >= 2, s"range shuffle should keep >=2 files: $newFiles")
+    val kept = t.prunedFiles(newFiles, Seq(col("k") < 50L))
+    assert(kept.size < newFiles.size,
+      s"ordered ingest must prune on the ingest key: kept $kept of $newFiles")
+    // correctness unchanged, and the config survives later appends
+    assert(t.scan(col("k") < 50L).count() ===
+      t.snapshot().filter(col("k") < 50L).count())
+    t.append(batch(3))
+    assert(t.writeOrder === Seq("k"))
+  }
+
   test("clusterZIncremental without a baseline falls back to a full cluster") {
     val t = fresh()
     import spark.implicits._
