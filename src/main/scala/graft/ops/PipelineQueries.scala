@@ -161,6 +161,28 @@ object PipelineQueries {
       "vec_id", "embedding", num = 2, den = 5)
       .orderBy("a", "b")
 
+  /** End-to-end SEMANTIC dedup: LSH-blocked embedding-cosine pairs →
+    * connected components → keep the minimum id of each duplicate
+    * cluster (singletons keep themselves). The full scale path in one
+    * operator: bucket equi-join pair generation (never all-pairs),
+    * iterative min-label components (no driver graph), one broadcast
+    * of the small component map back onto the corpus.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val pairs = CosineSim.blockedSimilarPairs(
+      emb, "vec_id", "embedding", num = 2, den = 5)
+      .select(col("a"), col("b"))
+    val comps = graft.dedup.Clusters.connectedComponents(pairs)
+    emb.select(col("vec_id"))
+      .join(comps, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep",
+        (col("vec_id") === col("cluster_id")).cast("long"))
+      .orderBy("vec_id")
+  }
+
   def annBruteTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     CosineSim.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
@@ -966,6 +988,53 @@ object PipelineQueries {
          |WHERE dot >= 0 AND dot * dot * 25 >= 4 * na * nb
          |ORDER BY a, b""".stripMargin,
 
+    // dedup_embedding_blocked's pair chain + dedup_clusters' recursive
+    // reach, composed: the whole semantic-dedup pipeline replayed.
+    "semantic_dedup" ->
+      s"""WITH RECURSIVE ${qCte()},
+         |dims AS (
+         |  SELECT unnest(generate_series(1, len(embedding))) AS d
+         |  FROM (SELECT embedding FROM embeddings LIMIT 1)),
+         |planes AS (
+         |  SELECT p, list(((2654435761 * d * (p+1) + 40503 * (p+1)) % 2001) - 1000 ORDER BY d) AS pv
+         |  FROM generate_series(0, 31) AS gp(p), dims
+         |  GROUP BY p),
+         |vb AS (
+         |  SELECT v.vec_id, p.p // 8 AS t,
+         |         sum(CASE WHEN ${dot("v.qv", "p.pv")} >= 0
+         |                  THEN (CAST(1 AS BIGINT) << (p.p % 8)) ELSE 0 END) AS b
+         |  FROM q v, planes p GROUP BY v.vec_id, p.p // 8),
+         |vbc AS (
+         |  SELECT *, count(*) OVER (PARTITION BY t, b) AS bsz FROM vb),
+         |cpairs AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM vbc x JOIN vbc y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id
+         |  WHERE x.bsz <= 1000 AND y.bsz <= 1000),
+         |scored AS (
+         |  SELECT pr.a, pr.b,
+         |         ${dot("xa.qv", "yb.qv")} AS dot,
+         |         ${dot("xa.qv", "xa.qv")} AS na,
+         |         ${dot("yb.qv", "yb.qv")} AS nb
+         |  FROM cpairs pr JOIN q xa ON xa.vec_id = pr.a
+         |                 JOIN q yb ON yb.vec_id = pr.b),
+         |pairs AS (
+         |  SELECT a, b FROM scored
+         |  WHERE dot >= 0 AND dot * dot * 25 >= 4 * na * nb),
+         |nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT v.vec_id,
+         |       coalesce(c.cluster_id, v.vec_id) AS cluster_id,
+         |       CAST(CASE WHEN coalesce(c.cluster_id, v.vec_id) = v.vec_id
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM embeddings v LEFT JOIN comp c ON c.id = v.vec_id
+         |ORDER BY vec_id""".stripMargin,
+
     // Replays AnnLsh.topK end-to-end: the integer hyperplane family,
     // per-table sign buckets, multiprobe (Hamming-1) probe set,
     // DISTINCT candidates (TopKAgg collapses exact dups), exact integer
@@ -1144,6 +1213,7 @@ object PipelineQueries {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_embedding" -> dedupEmbedding _,
     "dedup_embedding_blocked" -> dedupEmbeddingBlocked _,
+    "semantic_dedup" -> semanticDedup _,
     "ann_brute_topk" -> annBruteTopK _,
     "ann_lsh_topk" -> annLshTopK _,
     "ann_ivf_topk" -> annIvfTopK _,

@@ -189,7 +189,8 @@ case class DescribeDetailGraftCommand(target: String)
     AttributeReference("numFiles", IntegerType)(),
     AttributeReference("sizeInBytes", LongType)(),
     AttributeReference("numDeletionVectorRows", LongType)(),
-    AttributeReference("columns", StringType)())
+    AttributeReference("columns", StringType)(),
+    AttributeReference("properties", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftMaintenanceSql.incrementalAt(spark, target)
     val v = t.latestVersion.getOrElse(
@@ -205,7 +206,15 @@ case class DescribeDetailGraftCommand(target: String)
     }
     // user-facing (logical) names — renamed/dropped columns apply
     val cols = t.logicalSchema.map(_.fieldNames.mkString(", ")).getOrElse("")
-    Seq(Row("graft", t.path, v, fls.size, bytes, dvRows, cols))
+    val props = Seq(
+      if (t.bloomColumns.nonEmpty)
+        Some(s"graft.bloomColumns=${t.bloomColumns.mkString(",")}") else None,
+      if (t.writeOrder.nonEmpty)
+        Some(s"graft.writeOrder=${t.writeOrder.mkString(",")}") else None,
+      if (t.constraints.nonEmpty)
+        Some(s"constraints=${t.constraints.keys.toSeq.sorted.mkString(",")}")
+      else None).flatten.mkString("; ")
+    Seq(Row("graft", t.path, v, fls.size, bytes, dvRows, cols, props))
   }
 }
 

@@ -169,10 +169,26 @@ class GraftCatalog extends TableCatalog {
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
-    require(adds.size + renames.size + drops.size == changes.size,
-      "graft: only ADD COLUMNS / RENAME COLUMN / DROP COLUMN are " +
-        "supported — schema otherwise evolves through writes " +
-        "(add-column merge on commit)")
+    val setProps = changes.collect { case p: TableChange.SetProperty => p }
+    val unsetProps = changes.collect { case p: TableChange.RemoveProperty => p }
+    require(adds.size + renames.size + drops.size + setProps.size +
+        unsetProps.size == changes.size,
+      "graft: only ADD COLUMNS / RENAME COLUMN / DROP COLUMN / " +
+        "SET|UNSET TBLPROPERTIES are supported — schema otherwise " +
+        "evolves through writes (add-column merge on commit)")
+    // `ALTER TABLE ... SET TBLPROPERTIES` drives the table configs:
+    //   'graft.bloomColumns' = 'a,b'  -> bloom point-lookup index
+    //   'graft.writeOrder'   = 'a,b'  -> write-time range clustering
+    // (',' or ';' separated; empty string or UNSET clears)
+    def cols(v: String) = v.split("[,;]").map(_.trim).filter(_.nonEmpty).toSeq
+    (setProps.map(p => p.property() -> p.value()) ++
+      unsetProps.map(_.property() -> "")).foreach {
+      case ("graft.bloomColumns", v) => inc.setBloomColumns(cols(v): _*)
+      case ("graft.writeOrder", v) => inc.setWriteOrder(cols(v): _*)
+      case (k, _) => throw new IllegalArgumentException(
+        s"graft: unknown table property '$k' (supported: " +
+          "graft.bloomColumns, graft.writeOrder)")
+    }
     require((adds ++ renames ++ drops: Seq[TableChange.ColumnChange])
         .forall(_.fieldNames().length == 1),
       "graft: nested column changes are not supported")

@@ -140,6 +140,27 @@ class IncrementalMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(t.writeOrder === Seq("k"))
   }
 
+  test("SET TBLPROPERTIES drives bloom and write-order configs; DESCRIBE DETAIL shows them") {
+    val wh = Files.createTempDirectory("maint_wh_").toString
+    spark.conf.set("spark.sql.catalog.mlake", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mlake.warehouse", wh)
+    val t = new IncrementalTable(spark, s"$wh/cfg")
+    import spark.implicits._
+    t.append(Seq((1L, "a")).toDF("id", "tag"))
+    spark.sql("ALTER TABLE mlake.cfg SET TBLPROPERTIES " +
+      "('graft.bloomColumns'='tag', 'graft.writeOrder'='id')")
+    assert(t.bloomColumns === Seq("tag") && t.writeOrder === Seq("id"))
+    val d = spark.sql(s"DESCRIBE DETAIL mlake.cfg").head
+    val props = d.getString(d.length - 1)
+    assert(props.contains("graft.bloomColumns=tag") &&
+      props.contains("graft.writeOrder=id"), props)
+    spark.sql("ALTER TABLE mlake.cfg UNSET TBLPROPERTIES ('graft.writeOrder')")
+    assert(t.writeOrder === Seq.empty && t.bloomColumns === Seq("tag"))
+    // unknown properties are refused, not silently dropped
+    assertThrows[Exception](spark.sql(
+      "ALTER TABLE mlake.cfg SET TBLPROPERTIES ('graft.nope'='x')"))
+  }
+
   test("clusterZIncremental without a baseline falls back to a full cluster") {
     val t = fresh()
     import spark.implicits._
