@@ -711,9 +711,11 @@ final class IncrementalTable(
   private def logicalize(df: DataFrame, v: Long): DataFrame = {
     val map = colMapAt(v)
     val dropped = droppedColsAt(v)
-    if (map.isEmpty && dropped.isEmpty) df
-    else df.select(df.columns.toSeq.filterNot(dropped).map(p =>
-      df.col(s"`$p`").as(map.getOrElse(p, p))): _*)
+    val renamed =
+      if (map.isEmpty && dropped.isEmpty) df
+      else df.select(df.columns.toSeq.filterNot(dropped).map(p =>
+        df.col(s"`$p`").as(map.getOrElse(p, p))): _*)
+    backfillGenerated(renamed, v)
   }
 
   /** Logical→physical at the stage boundary. Re-introducing a dropped
@@ -804,6 +806,81 @@ final class IncrementalTable(
       .find(p => map.getOrElse(p, p) == logical)
       .getOrElse(throw new IllegalArgumentException(
         s"no column $logical in $path"))
+  }
+
+  // ---- generated columns (Delta `GENERATED ALWAYS AS (expr)`) ----
+
+  /** Declared generated columns: name → SQL expression (the `gencol`
+    * manifest meta, base64 like constraints).
+    */
+  def generatedColumns: Map[String, String] =
+    latestVersion.flatMap(v => metaAt(v).get("gencol"))
+      .map(decodeConstraints).getOrElse(Map.empty)
+
+  /** Declare `name` as GENERATED ALWAYS AS (`exprSql`) — metadata-only
+    * commit. Semantics:
+    *  - writes MATERIALIZE the column when absent, and a derived CHECK
+    *    constraint (`name <=> (expr)`) rejects writes that provide a
+    *    conflicting value — Delta's enforcement, reusing the existing
+    *    constraint pass (which also blocks renaming/dropping the
+    *    generated column or its sources);
+    *  - reads BACKFILL the column for files written before the
+    *    declaration (`coalesce(stored, expr)`), so history needs no
+    *    rewrite;
+    *  - with footer stats, predicates on the generated column prune
+    *    files once it materializes (e.g. `d = date(ts)` gives date
+    *    skipping over a timestamp fact table).
+    */
+  def addGeneratedColumn(name: String, exprSql: String): Long = {
+    require(saneName(name), s"illegal generated-column name: $name")
+    require(!droppedCols(name), s"$name is a retired (dropped) column name")
+    require(!generatedColumns.contains(name),
+      s"generated column $name already declared on $path")
+    // the expression must resolve against the CURRENT logical schema
+    // (and cannot reference the new column — it isn't in scope)
+    logicalSchema.foreach { s =>
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), s)
+      empty.selectExpr(exprSql).queryExecution.assertAnalyzed()
+    }
+    val gens = generatedColumns + (name -> exprSql)
+    val cs = constraints + (s"gen_$name" -> s"$name <=> ($exprSql)")
+    commitFiles(Seq.empty, Set.empty, s"add generated[$name]",
+      meta = Map("gencol" -> encodeConstraints(gens),
+        "constraints" -> encodeConstraints(cs)))
+  }
+
+  /** Materialize missing generated columns on a write frame. */
+  private def applyGenerated(df: DataFrame): DataFrame =
+    generatedColumns.foldLeft(df) { case (acc, (name, e)) =>
+      if (acc.columns.contains(name)) acc
+      else acc.withColumn(name, org.apache.spark.sql.functions.expr(e))
+    }
+
+  /** Recompute generated columns (after an UPDATE's SET projection —
+    * recomputing an already-consistent row is the identity).
+    */
+  private def regenerate(df: DataFrame): DataFrame =
+    generatedColumns.foldLeft(df) { case (acc, (name, e)) =>
+      if (!acc.columns.contains(name)) acc
+      else acc.withColumn(name, org.apache.spark.sql.functions.expr(e))
+    }
+
+  /** Read-side backfill: rows from files written BEFORE the column was
+    * declared read it as NULL — substitute the expression, so history
+    * is consistent without a rewrite.
+    */
+  private def backfillGenerated(df: DataFrame, v: Long): DataFrame = {
+    val gens = metaAt(v).get("gencol").map(decodeConstraints)
+      .getOrElse(Map.empty)
+    if (gens.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{coalesce, expr}
+      gens.foldLeft(df) { case (acc, (name, e)) =>
+        if (!acc.columns.contains(name)) acc
+        else acc.withColumn(name, coalesce(acc.col(s"`$name`"), expr(e)))
+      }
+    }
   }
 
   // ---- write-time ordering (files born clustered) ----
@@ -987,7 +1064,7 @@ final class IncrementalTable(
         // properties, not data state).
         val baseMeta = base.map(metaAt).getOrElse(Map.empty)
         val carry = Seq("dv", "constraints", "bloom", "colmap", "coldrop",
-          "writeorder").flatMap(k => baseMeta.get(k).map(k -> _)).toMap
+          "writeorder", "gencol").flatMap(k => baseMeta.get(k).map(k -> _)).toMap
         writeManifest(v, operation, prev.filterNot(removed) ++ added,
           carry ++ meta ++ schemaMetaFor(base, schema.map(physicalizeSchema)),
           prevFiles = Some(prev))
@@ -1007,7 +1084,8 @@ final class IncrementalTable(
     */
   def writeSnapshot(df: DataFrame, operation: String = "write",
       maxRetries: Int = 20): Long =
-    writeSnapshotImpl(applyWriteOrder(df), operation, maxRetries, validate = true)
+    writeSnapshotImpl(applyWriteOrder(applyGenerated(df)),
+      operation, maxRetries, validate = true)
 
   private def writeSnapshotImpl(df: DataFrame, operation: String,
       maxRetries: Int, validate: Boolean): Long = {
@@ -1020,7 +1098,7 @@ final class IncrementalTable(
       try {
         val consCarry = base.map(metaAt).getOrElse(Map.empty)
           .filter { case (k, _) => Set("constraints", "bloom", "colmap",
-            "coldrop", "writeorder").contains(k) }
+            "coldrop", "writeorder", "gencol").contains(k) }
         writeManifest(v, operation, added,
           consCarry ++ schemaMetaFor(base, Some(physicalizeSchema(df.schema))))
         return v
@@ -1037,9 +1115,10 @@ final class IncrementalTable(
     * Honors the declared [[setWriteOrder]] (one shuffle of the batch).
     */
   def append(df: DataFrame): Long = {
-    validateConstraints(df)
-    commitFiles(stage(applyWriteOrder(df)), Set.empty, "append",
-      schema = Some(df.schema))
+    val materialized = applyGenerated(df)
+    validateConstraints(materialized)
+    commitFiles(stage(applyWriteOrder(materialized)), Set.empty, "append",
+      schema = Some(materialized.schema))
   }
 
   /** Rewrite the current snapshot into `targetFiles` files (rows were
@@ -1073,7 +1152,7 @@ final class IncrementalTable(
       val v = base.map(_ + 1).getOrElse(0L)
       try {
         val keep = base.map(metaAt).getOrElse(Map.empty)
-          .filter { case (k, _) => k == "constraints" }
+          .filter { case (k, _) => k == "constraints" || k == "gencol" }
         val bloomKeep = bloomColumns.filterNot(droppedCols) match {
           case Seq() => Map.empty[String, String]
           case bs => Map("bloom" -> bs.map(p => map.getOrElse(p, p)).mkString(";"))
@@ -1418,6 +1497,10 @@ final class IncrementalTable(
     }
     val unknown = set.keySet -- dataCols.toSet
     require(unknown.isEmpty, s"UPDATE of $path sets unknown column(s): $unknown")
+    val genHit = set.keySet.intersect(generatedColumns.keySet)
+    require(genHit.isEmpty,
+      s"UPDATE of $path cannot set generated column(s) ${genHit.mkString(", ")} " +
+        "— they recompute from their expressions")
     val (_, live) = dmlCandidates(v, pred, alias)
     if (live == null) return v
     val hit = live.filter(predTrue(pred)).localCheckpoint()
@@ -1433,18 +1516,20 @@ final class IncrementalTable(
     }
     val pre = hit.drop("__dv_file", "__dv_pos")
       .withColumn("_change_type", lit("update_preimage"))
-    val post = applied(hit.drop("__dv_file", "__dv_pos"))
+    val post = regenerate(applied(hit.drop("__dv_file", "__dv_pos")))
       .withColumn("_change_type", lit("update_postimage"))
     val cdcNonce = stageChangeData(pre.unionByName(post))
     // rewrite = untouched rows of touched files + updated matches, in
-    // one projection (when() keeps it a single scan of each file)
+    // one projection (when() keeps it a single scan of each file);
+    // generated columns recompute AFTER the SET projection, so they see
+    // the updated source values (identity on already-consistent rows)
     val rewritten0 = live.filter(col("__dv_file").isInCollection(touched))
     val newCols = rewritten0.columns.toSeq.map {
       case c if set.contains(c) =>
         when(predTrue(pred), set(c)).otherwise(col(c)).as(c)
       case c => col(c)
     }
-    val rewritten = rewritten0.select(newCols: _*)
+    val rewritten = regenerate(rewritten0.select(newCols: _*))
     validateConstraints(rewritten.drop("__dv_file", "__dv_pos"))
     val added = restageByDir(rewritten)
     val byRel = files(v).map(e => relKey(e) -> e).toMap
@@ -1566,7 +1651,7 @@ final class IncrementalTable(
     val carried = metaAt(v).filter { case (k, _) =>
       Set("schema", "dv", "colmap", "coldrop").contains(k) } ++
       latestVersion.map(metaAt).getOrElse(Map.empty)
-        .filter { case (k, _) => k == "constraints" || k == "bloom" }
+        .filter { case (k, _) => Set("constraints", "bloom", "gencol").contains(k) }
     var attempt = 0
     while (true) {
       val base = latestVersion.getOrElse(-1L)
@@ -1758,6 +1843,26 @@ final class IncrementalTable(
     * older than the last `keepLast` (readers of vacuumed versions fail
     * — Delta VACUUM contract).
     */
+  /** The data files `vacuum(keepLast)` WOULD delete — `VACUUM ... DRY
+    * RUN`. Same reference-count walk, no deletion, no checkpoint pin.
+    */
+  def vacuumPreview(keepLast: Int = 1): Seq[String] =
+    latestVersion.map { latest =>
+      val cutoff = latest - math.max(1, keepLast) + 1
+      val keepIds = manifestIds.filter(_ >= cutoff)
+      val keep = keepIds.sorted.flatMap(files).toSet
+      def walk(dir: Path): Seq[Path] =
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath) else Seq(st.getPath)
+        }
+      val dataRoot = fs.makeQualified(dataDir).toString.stripSuffix("/") + "/"
+      walk(dataDir)
+        .map(p => fs.makeQualified(p).toString.stripPrefix(dataRoot))
+        .filterNot(keep)
+        .sorted
+    }.getOrElse(Seq.empty)
+
   def vacuum(keepLast: Int = 1): Unit = latestVersion.foreach { latest =>
     val cutoff = latest - math.max(1, keepLast) + 1
     val (dropIds, keepIds) = manifestIds.partition(_ < cutoff)

@@ -33,7 +33,7 @@ object GraftMaintenanceSql {
   private val Optimize =
     """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
   private val Vacuum =
-    """(?is)^\s*VACUUM\s+(.+?)(?:\s+KEEP\s+(\d+)\s+VERSIONS|\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+(.+?)(?:\s+KEEP\s+(\d+)\s+VERSIONS|\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val History =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
   private val Detail =
@@ -53,10 +53,11 @@ object GraftMaintenanceSql {
     case Optimize(target, zcols) =>
       Some(OptimizeGraftCommand(target.trim,
         Option(zcols).map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)))
-    case Vacuum(target, keep, hours) =>
+    case Vacuum(target, keep, hours, dry) =>
       Some(VacuumGraftCommand(target.trim,
         Option(keep).map(_.toInt).getOrElse(1),
-        Option(hours).map(_.toInt)))
+        Option(hours).map(_.toInt),
+        dryRun = dry != null))
     case History(target) => Some(DescribeHistoryGraftCommand(target.trim))
     case Detail(target) => Some(DescribeDetailGraftCommand(target.trim))
     case RestoreVersion(target, v) =>
@@ -148,17 +149,21 @@ case class OptimizeGraftCommand(target: String, zorderCols: Seq[String])
   }
 }
 
-/** `VACUUM t [KEEP n VERSIONS | RETAIN n HOURS]` — delete data files
-  * referenced by no kept manifest. `RETAIN n HOURS` (Delta's spelling)
-  * keeps every version committed within the window (plus the latest,
-  * always): the cutoff converts to a keep-count via the commit
-  * timestamps, then runs the same reference-counted GC.
+/** `VACUUM t [KEEP n VERSIONS | RETAIN n HOURS] [DRY RUN]` — delete
+  * data files referenced by no kept manifest. `RETAIN n HOURS`
+  * (Delta's spelling) keeps every version committed within the window
+  * (plus the latest, always): the cutoff converts to a keep-count via
+  * the commit timestamps, then runs the same reference-counted GC.
+  * `DRY RUN` (also Delta's) lists the files that WOULD be deleted,
+  * touching nothing.
   */
 case class VacuumGraftCommand(
-    target: String, keepLast: Int, retainHours: Option[Int] = None)
+    target: String, keepLast: Int, retainHours: Option[Int] = None,
+    dryRun: Boolean = false)
     extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("kept_from_version", LongType)())
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(AttributeReference("path", StringType)())
+    else Seq(AttributeReference("kept_from_version", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftMaintenanceSql.incrementalAt(spark, target)
     val keep = retainHours match {
@@ -171,8 +176,11 @@ case class VacuumGraftCommand(
           .count().toInt
         math.max(1, recent)
     }
-    t.vacuum(keep)
-    Seq(Row(t.latestVersion.map(v => math.max(0L, v - keep + 1)).getOrElse(0L)))
+    if (dryRun) t.vacuumPreview(keep).map(Row(_))
+    else {
+      t.vacuum(keep)
+      Seq(Row(t.latestVersion.map(v => math.max(0L, v - keep + 1)).getOrElse(0L)))
+    }
   }
 }
 

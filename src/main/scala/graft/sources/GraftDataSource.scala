@@ -357,7 +357,17 @@ private[sources] final class GraftWritableTable(
   override def name(): String = ro.name()
   override def schema(): StructType = ro.schema()
   override def partitioning(): Array[Transform] = ro.partitioning()
-  override def properties(): JMap[String, String] = ro.properties()
+  override def properties(): JMap[String, String] = {
+    // surface the graft configs so SHOW TBLPROPERTIES reflects what
+    // ALTER TABLE ... SET TBLPROPERTIES wrote
+    val m = new java.util.HashMap[String, String](ro.properties())
+    val inc = new IncrementalTable(SparkSession.active, tablePath)
+    if (inc.bloomColumns.nonEmpty)
+      m.put("graft.bloomColumns", inc.bloomColumns.mkString(","))
+    if (inc.writeOrder.nonEmpty)
+      m.put("graft.writeOrder", inc.writeOrder.mkString(","))
+    m
+  }
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability](ro.capabilities())
     caps.add(TableCapability.V1_BATCH_WRITE)

@@ -154,11 +154,33 @@ class IncrementalMaintenanceSpec extends AnyFunSuite with SparkSpec {
     val props = d.getString(d.length - 1)
     assert(props.contains("graft.bloomColumns=tag") &&
       props.contains("graft.writeOrder=id"), props)
+    // SHOW TBLPROPERTIES round-trips what ALTER wrote
+    val shown = spark.sql("SHOW TBLPROPERTIES mlake.cfg")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("graft.bloomColumns").contains("tag") &&
+      shown.get("graft.writeOrder").contains("id"), shown.toString)
     spark.sql("ALTER TABLE mlake.cfg UNSET TBLPROPERTIES ('graft.writeOrder')")
     assert(t.writeOrder === Seq.empty && t.bloomColumns === Seq("tag"))
     // unknown properties are refused, not silently dropped
     assertThrows[Exception](spark.sql(
       "ALTER TABLE mlake.cfg SET TBLPROPERTIES ('graft.nope'='x')"))
+  }
+
+  test("VACUUM DRY RUN lists doomed files without deleting") {
+    val t = fresh()
+    import spark.implicits._
+    (0 until 3).foreach(i => t.append(Seq((i.toLong, "x")).toDF("id", "tag")
+      .coalesce(1)))
+    t.compact(targetFiles = 1) // v3 orphans the 3 originals (kept by v0-2)
+    val doomed = spark.sql(s"VACUUM '${t.path}' KEEP 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0)).toSeq
+    assert(doomed.size === 3, s"3 pre-compact files should be doomed: $doomed")
+    // nothing was deleted; the real vacuum removes exactly those
+    assert(t.snapshotAt(2L).count() === 3)
+    spark.sql(s"VACUUM '${t.path}' KEEP 1 VERSIONS")
+    doomed.foreach(f => assert(
+      !new java.io.File(t.path + "/data/" + f).exists(), s"$f not deleted"))
+    assert(t.snapshot().count() === 3)
   }
 
   test("clusterZIncremental without a baseline falls back to a full cluster") {
