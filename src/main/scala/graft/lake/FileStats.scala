@@ -234,9 +234,57 @@ object FileStats {
         vs.map(v => eqPossible(r, v.asInstanceOf[Literal])).reduce(Or.apply)
       case IsNull(a) if attrName(a).isDefined =>
         keepIfUnknown(GreaterThan(nulls(attrName(a).get), Literal(0L)))
+      // IS NOT NULL prunes all-null files (nulls == num_rows)
+      case IsNotNull(a) if attrName(a).isDefined =>
+        keepIfUnknown(LessThan(nulls(attrName(a).get),
+          UnresolvedAttribute.quoted("num_rows")))
+      // != prunes only constant files pinned to exactly that value
+      case Not(EqualTo(R(r), l: Literal)) =>
+        val (mn, mx) = mnx(r)
+        keepIfUnknown(Not(And(EqualTo(mn, l), EqualTo(mx, l))))
+      case Not(EqualTo(l: Literal, R(r))) =>
+        val (mn, mx) = mnx(r)
+        keepIfUnknown(Not(And(EqualTo(mn, l), EqualTo(mx, l))))
+      // LIKE 'p%' ⇒ the file's range must intersect [p, next(p)): a
+      // string starting with p is >= p and < p-with-last-char-bumped
+      // (Delta's startsWith skipping). Bail to TRUE when the prefix
+      // can't be bumped (empty / last char at max) — rare and safe.
+      case StartsWith(R(r), l @ Literal(_, StringType)) if l.value != null =>
+        prefixPossible(r, l.value.toString)
+      // the ANALYZED (unoptimized) tree keeps LIKE 'p%' as Like — the
+      // same prefix bound applies when the pattern has no other
+      // wildcards or escapes
+      case Like(R(r), l @ Literal(_, StringType), escape) if l.value != null &&
+        l.value.toString.endsWith("%") &&
+        !l.value.toString.dropRight(1).exists(c =>
+          c == '%' || c == '_' || c == escape) =>
+        prefixPossible(r, l.value.toString.dropRight(1))
       case _ => Literal.TrueLiteral
     }
+    def prefixPossible(r: BoundRef, prefix: String): Expression =
+      prefixUpperBound(prefix) match {
+        case Some(next) =>
+          val (mn, mx) = mnx(r)
+          keepIfUnknown(And(
+            GreaterThanOrEqual(mx, Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(prefix), StringType)),
+            LessThan(mn, Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(next), StringType))))
+        case None => Literal.TrueLiteral
+      }
     go(filter)
+  }
+
+  /** Smallest string strictly greater than every string with prefix
+    * `p`: bump the last bumpable char and truncate. None when no char
+    * can be bumped (keeps the file — pruning stays conservative).
+    * Restricted to ASCII-bumpable tails because the stats harvest only
+    * trusts ASCII string bounds (see [[convert]]).
+    */
+  private def prefixUpperBound(p: String): Option[String] = {
+    val i = p.lastIndexWhere(c => c < 127)
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
 
   /** Column-facing wrapper over [[pruneExpr]]. A Spark 4 `Column` is a

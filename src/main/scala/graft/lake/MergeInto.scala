@@ -44,7 +44,8 @@ final class MergeInto private (
     condition: String,
     matchedClauses: Seq[MergeInto.MatchedClause],
     insertClauses: Seq[MergeInto.InsertClause],
-    bySourceClauses: Seq[MergeInto.MatchedClause]) {
+    bySourceClauses: Seq[MergeInto.MatchedClause],
+    schemaEvolution: Boolean = false) {
 
   import MergeInto._
 
@@ -52,29 +53,40 @@ final class MergeInto private (
       set: Map[String, String], condition: Option[String] = None): MergeInto =
     new MergeInto(target, updates, targetAlias, updatesAlias, this.condition,
       matchedClauses :+ MatchedClause(condition, Some(set)),
-      insertClauses, bySourceClauses)
+      insertClauses, bySourceClauses, schemaEvolution)
 
   def whenMatchedDelete(condition: Option[String] = None): MergeInto =
     new MergeInto(target, updates, targetAlias, updatesAlias, this.condition,
       matchedClauses :+ MatchedClause(condition, None),
-      insertClauses, bySourceClauses)
+      insertClauses, bySourceClauses, schemaEvolution)
 
   def whenNotMatchedInsert(
       values: Map[String, String], condition: Option[String] = None): MergeInto =
     new MergeInto(target, updates, targetAlias, updatesAlias, this.condition,
       matchedClauses, insertClauses :+ InsertClause(condition, values),
-      bySourceClauses)
+      bySourceClauses, schemaEvolution)
 
   def whenNotMatchedBySourceUpdate(
       set: Map[String, String], condition: Option[String] = None): MergeInto =
     new MergeInto(target, updates, targetAlias, updatesAlias, this.condition,
       matchedClauses, insertClauses,
-      bySourceClauses :+ MatchedClause(condition, Some(set)))
+      bySourceClauses :+ MatchedClause(condition, Some(set)), schemaEvolution)
 
   def whenNotMatchedBySourceDelete(condition: Option[String] = None): MergeInto =
     new MergeInto(target, updates, targetAlias, updatesAlias, this.condition,
       matchedClauses, insertClauses,
-      bySourceClauses :+ MatchedClause(condition, None))
+      bySourceClauses :+ MatchedClause(condition, None), schemaEvolution)
+
+  /** Enable MERGE schema evolution (Delta's `withSchemaEvolution()` /
+    * Spark 4's `MERGE WITH SCHEMA EVOLUTION INTO`): SET/INSERT columns
+    * absent from the target become NEW columns in the result — typed
+    * from their value expressions, NULL wherever no clause assigns
+    * them. Without the flag such assignments are silently ignored
+    * (the target schema is authoritative), as before.
+    */
+  def withSchemaEvolution(): MergeInto =
+    new MergeInto(target, updates, targetAlias, updatesAlias, this.condition,
+      matchedClauses, insertClauses, bySourceClauses, schemaEvolution = true)
 
   /** Compute the full next table state (target schema). */
   def resolve(): DataFrame = {
@@ -112,8 +124,30 @@ final class MergeInto private (
       deletePred(bySourceClauses, bySrcApplicable)))
     val allClauses = matchedClauses.zip(applicable) ++
       bySourceClauses.zip(bySrcApplicable)
-    val updated = survivors.select(targetSchema.fields.toSeq.map { f =>
-      val base: Column = col(s"$targetAlias.${f.name}")
+    // schema evolution: SET/INSERT columns the target lacks become new
+    // fields, typed by resolving their value expression against the
+    // joined frame (both aliases in scope); rows no clause assigns read
+    // NULL. Off by default — assignments to unknown columns are then
+    // ignored, the target schema stays authoritative.
+    val evolved: Seq[org.apache.spark.sql.types.StructField] =
+      if (!schemaEvolution) Seq.empty
+      else {
+        val known = targetSchema.fieldNames.toSet
+        val assigned =
+          (matchedClauses ++ bySourceClauses)
+            .flatMap(_.set.toSeq.flatMap(_.toSeq)) ++
+            insertClauses.flatMap(_.values.toSeq)
+        assigned.map(_._1).distinct.filterNot(known).map { n =>
+          val e = assigned.collectFirst { case (`n`, v) => v }.get
+          org.apache.spark.sql.types.StructField(
+            n, joined.select(expr(e)).schema.head.dataType)
+        }
+      }
+    val outFields = targetSchema.fields.toSeq ++ evolved
+    val updated = survivors.select(outFields.map { f =>
+      val base: Column =
+        if (targetSchema.fieldNames.contains(f.name)) col(s"$targetAlias.${f.name}")
+        else lit(null).cast(f.dataType)
       val withClauses = allClauses.foldRight(base) {
         case ((MatchedClause(_, Some(set)), app), els) =>
           set.get(f.name) match {
@@ -131,7 +165,7 @@ final class MergeInto private (
         val anti = updates.alias(updatesAlias).join(t, expr(condition), "left_anti")
         val insApplicable = firstWins(insertClauses.map(_.condition), lit(true))
         anti.filter(insApplicable.reduce(_ || _))
-          .select(targetSchema.fields.toSeq.map { f =>
+          .select(outFields.map { f =>
             val nul: Column = lit(null).cast(f.dataType)
             insertClauses.zip(insApplicable).foldRight(nul) {
               case ((cl, app), els) =>

@@ -80,9 +80,6 @@ object GraftMergeParser {
       starSet: Boolean = false)
 
   private[graftmerge] def translate(m: MergeIntoTable): LogicalPlan = {
-    if (m.withSchemaEvolution)
-      throw new UnsupportedOperationException(
-        "graft MERGE INTO: WITH SCHEMA EVOLUTION is not supported")
     val (targetParts, targetAlias) = nameAndAlias(m.targetTable)
     val sourceAlias = m.sourceTable match {
       case SubqueryAlias(id, _) => id.name
@@ -105,7 +102,8 @@ object GraftMergeParser {
       m.mergeCondition.sql,
       m.matchedActions.map(clause),
       m.notMatchedActions.map(clause),
-      m.notMatchedBySourceActions.map(clause))
+      m.notMatchedBySourceActions.map(clause),
+      schemaEvolution = m.withSchemaEvolution)
   }
 
   /** `DELETE FROM t WHERE cond` — same v1-parquet gap as MERGE. */
@@ -173,7 +171,8 @@ case class MergeIntoGraftCommand(
     conditionSql: String,
     matched: Seq[GraftMergeParser.SqlClause],
     notMatched: Seq[GraftMergeParser.SqlClause],
-    notMatchedBySource: Seq[GraftMergeParser.SqlClause])
+    notMatchedBySource: Seq[GraftMergeParser.SqlClause],
+    schemaEvolution: Boolean = false)
   extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -187,10 +186,19 @@ case class MergeIntoGraftCommand(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], sourcePlan)
     val targetCols = target.schema.fieldNames.toSeq
 
-    def starSet: Map[String, String] =
-      targetCols.map(c => c -> s"`$sourceAlias`.`$c`").toMap
+    // star expansion: the target's columns — plus, under MERGE WITH
+    // SCHEMA EVOLUTION (Spark 4 syntax), every source column, so new
+    // source columns evolve into the target (Delta's automerge)
+    def starSet: Map[String, String] = {
+      val cols =
+        if (schemaEvolution)
+          (targetCols ++ source.schema.fieldNames.filterNot(targetCols.contains)).distinct
+        else targetCols
+      cols.map(c => c -> s"`$sourceAlias`.`$c`").toMap
+    }
 
     var merge = MergeInto(target, source, conditionSql, targetAlias, sourceAlias)
+    if (schemaEvolution) merge = merge.withSchemaEvolution()
     matched.foreach { c =>
       merge = c.set match {
         case None => merge.whenMatchedDelete(c.condition)

@@ -75,6 +75,26 @@ class DmlSqlSpec extends AnyFunSuite with SparkSpec {
       (2L, 20L, "update_preimage"), (2L, 200L, "update_postimage")))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION evolves new source columns into the table") {
+    configure()
+    import spark.implicits._
+    val t = mk("mrg_evo")
+    Seq((2L, "B", 200L, "note2"), (9L, "i", 90L, "note9"))
+      .toDF("pk", "v", "n", "note").createOrReplaceTempView("mrg_evo_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO dml.mrg_evo t
+        |USING mrg_evo_src s ON t.pk = s.pk
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = t.snapshot().orderBy("pk")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) null else r.getString(3))).toSeq
+    assert(t.snapshot().columns.toSeq === Seq("pk", "v", "n", "note"))
+    assert(rows === Seq((1L, null), (2L, "note2"), (3L, null), (9L, "note9")))
+    // the evolved column is tracked: a later plain append sees it
+    assert(t.tableSchema.get.fieldNames.contains("note"))
+  }
+
   test("MERGE INTO a graft table commits a manifest version") {
     configure()
     import spark.implicits._

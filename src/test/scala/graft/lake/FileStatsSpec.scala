@@ -90,6 +90,34 @@ class FileStatsSpec extends AnyFunSuite with SparkSpec {
     assert(t.scan(col("tag") === "x").count() === 1L)
   }
 
+  test("IS NOT NULL, !=, and prefix LIKE prune where provable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fstats_x_").toString + "/t"
+    val t = new IncrementalTable(spark, dir)
+    t.append(Seq((1L, Some("alpha")), (2L, Some("amber"))).toDF("id", "tag").coalesce(1))
+    t.append(Seq((3L, None: Option[String]), (4L, None: Option[String]))
+      .toDF("id", "tag").coalesce(1))
+    t.append(Seq((5L, Some("zeta")), (5L, Some("zulu"))).toDF("id", "tag").coalesce(1))
+    val all = t.files(t.latestVersion.get)
+    // IS NOT NULL drops the all-null file
+    assert(t.prunedFiles(all, Seq(col("tag").isNotNull)).size === 2)
+    assert(t.scan(col("tag").isNotNull).count() === 4L)
+    // != prunes only the file whose bounds pin a single value (id=5,5)
+    assert(t.prunedFiles(all, Seq(col("id") =!= 5L)).size === 2)
+    assert(t.scan(col("id") =!= 5L).count() === 4L)
+    // prefix: 'a%' intersects the first file's [alpha, amber]; the
+    // all-null file has NULL bounds and is conservatively kept
+    assert(t.prunedFiles(all, Seq(col("tag").startsWith("a"))).size === 2)
+    assert(t.scan(col("tag").startsWith("a")).count() === 2L)
+    assert(t.prunedFiles(all, Seq(col("tag").like("z%"))).size === 2)
+    assert(t.scan(col("tag").like("z%")).count() === 2L)
+    // non-prefix patterns keep everything (except provably-null files? no
+    // — LIKE with a leading wildcard is unprovable, so only stats-known
+    // files stay judged by other conjuncts)
+    assert(t.prunedFiles(all, Seq(col("tag").like("%eta"))).size === 3)
+    assert(t.scan(col("tag").like("%eta")).count() === 1L)
+  }
+
   test("date column pruning") {
     import spark.implicits._
     val dir = Files.createTempDirectory("fstats_date_").toString + "/t"

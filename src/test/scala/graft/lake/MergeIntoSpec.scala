@@ -31,6 +31,31 @@ class MergeIntoSpec extends AnyFunSuite with SparkSpec {
       (4, "d", 40)))   // inserted
   }
 
+  test("withSchemaEvolution: assigned new columns evolve; off = ignored") {
+    import spark.implicits._
+    val src = Seq((2, "B2", 200L, "extra2"), (4, "d", 40L, "extra4"))
+      .toDF("id", "v", "n", "note")
+    def merge(m: MergeInto) = m
+      .whenMatchedUpdate(Map("v" -> "updates.v", "note" -> "updates.note"))
+      .whenNotMatchedInsert(Map(
+        "id" -> "updates.id", "v" -> "updates.v",
+        "n" -> "updates.n", "note" -> "updates.note"))
+    // OFF (default): the unknown column is silently ignored — the
+    // target schema is authoritative (pre-existing contract)
+    val flat = merge(MergeInto(target, src, "target.id = updates.id")).resolve()
+    assert(flat.columns.toSeq === Seq("id", "v", "n"))
+    // ON: `note` evolves — typed from the source, NULL where unassigned
+    val next = merge(MergeInto(target, src, "target.id = updates.id")
+      .withSchemaEvolution()).resolve()
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), if (r.isNullAt(3)) null else r.getString(3)))
+    assert(next.toSeq === Seq(
+      (1, "a", null),      // untouched row: new column reads NULL
+      (2, "B2", "extra2"), // updated row carries the evolved value
+      (3, "c", null),
+      (4, "d", "extra4"))) // inserted row carries it too
+  }
+
   test("merge condition plans as a hash join, never a nested loop") {
     // equi-parts of the string condition must be extracted as join keys
     // (ExtractEquiJoinKeys) with residuals as filters — a
