@@ -1721,31 +1721,66 @@ final class IncrementalTable(
     require(bits >= 1 && bits * cols.size <= 62,
       s"bits=$bits x ${cols.size} columns must fit a signed int64")
     val maxCode = (1L << bits) - 1
+    val isString = df.schema.fields
+      .map(f => f.name -> (f.dataType == StringType)).toMap
+    // STRING columns have no numeric scaling or approxQuantile: bucket
+    // codes come from SAMPLED equi-depth cut points (up to ~10k values
+    // to the driver, 2^bits-1 cuts) — the same range-partition-id move
+    // Delta applies to string ZORDER BY columns. The code expression
+    // stays a codegen'd comparison chain.
+    def stringCode(c: String): Column = {
+      // a bounded prefix sample, not a uniform one: cut-point quality
+      // only affects clustering balance, never correctness, and the
+      // prefix is deterministic across retries
+      val sampled = df.select(col(c)).na.drop()
+        .limit(10000).collect().map(_.getString(0)).sorted
+      if (sampled.isEmpty) lit(0L)
+      else {
+        val step = math.max(1, sampled.length / (1 << bits))
+        val cuts = (1 until (1 << bits)).map(i => i * step)
+          .filter(_ < sampled.length).map(sampled).distinct
+        if (cuts.isEmpty) lit(0L)
+        else {
+          val head = when(col(c) <= cuts.head, 0L)
+          cuts.tail.zipWithIndex.foldLeft(head) {
+            case (acc, (b, i)) => acc.when(col(c) <= b, (i + 1).toLong)
+          }.otherwise(lit(cuts.length.toLong))
+        }
+      }
+    }
     val codes: Seq[Column] =
       if (equiDepth) {
-        val casted = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+        val numeric = cols.filterNot(isString)
+        val casted = df.select(numeric.map(c => col(c).cast("double").as(c)): _*)
         val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
         cols.map { c =>
-          val bounds = casted.stat.approxQuantile(c, probs, 0.001)
-            .distinct.sorted
-          if (bounds.isEmpty) lit(0L)
+          if (isString(c)) stringCode(c)
           else {
-            val head = when(col(c).cast("double") <= bounds.head, 0L)
-            val chain = bounds.tail.zipWithIndex.foldLeft(head) {
-              case (acc, (b, i)) => acc.when(col(c).cast("double") <= b, (i + 1).toLong)
+            val bounds = casted.stat.approxQuantile(c, probs, 0.001)
+              .distinct.sorted
+            if (bounds.isEmpty) lit(0L)
+            else {
+              val head = when(col(c).cast("double") <= bounds.head, 0L)
+              val chain = bounds.tail.zipWithIndex.foldLeft(head) {
+                case (acc, (b, i)) => acc.when(col(c).cast("double") <= b, (i + 1).toLong)
+              }
+              chain.otherwise(lit(bounds.length.toLong))
             }
-            chain.otherwise(lit(bounds.length.toLong))
           }
         }
       } else {
-        val statExprs = cols.flatMap(c => Seq(
-          min(col(c).cast("double")).as(s"mn_$c"),
-          max(col(c).cast("double")).as(s"mx_$c")))
-        val stats = df.agg(statExprs.head, statExprs.tail: _*).head()
+        val numeric = cols.filterNot(isString)
+        val stats =
+          if (numeric.isEmpty) null
+          else {
+            val statExprs = numeric.flatMap(c => Seq(
+              min(col(c).cast("double")).as(s"mn_$c"),
+              max(col(c).cast("double")).as(s"mx_$c")))
+            df.agg(statExprs.head, statExprs.tail: _*).head()
+          }
         cols.map { c =>
-          val mnAny = stats.getAs[Any](s"mn_$c")
-          val mxAny = stats.getAs[Any](s"mx_$c")
-          (mnAny, mxAny) match {
+          if (isString(c)) stringCode(c)
+          else (stats.getAs[Any](s"mn_$c"), stats.getAs[Any](s"mx_$c")) match {
             case (mn: java.lang.Double, mx: java.lang.Double) if mx > mn =>
               val scale = maxCode / (mx - mn)
               least(lit(maxCode), greatest(lit(0L),

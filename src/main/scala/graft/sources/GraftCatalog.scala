@@ -147,6 +147,21 @@ class GraftCatalog extends TableCatalog {
     // empty v0 carrying the DDL schema; data/ marks the incremental layout
     fs(p).mkdirs(new Path(p, "data"))
     t.commitFiles(Seq.empty, Set.empty, "create", schema = Some(schema))
+    // CREATE TABLE ... TBLPROPERTIES: apply the graft configs at birth
+    // (same keys ALTER TABLE SET TBLPROPERTIES drives)
+    def cols(v: String) = v.split("[,;]").map(_.trim).filter(_.nonEmpty).toSeq
+    properties.forEach { (k, v) =>
+      k match {
+        case "graft.bloomColumns" => t.setBloomColumns(cols(v): _*)
+        case "graft.writeOrder" => t.setWriteOrder(cols(v): _*)
+        case TableCatalog.PROP_LOCATION | TableCatalog.PROP_PROVIDER |
+             TableCatalog.PROP_OWNER | TableCatalog.PROP_EXTERNAL | "option.path" => ()
+        case other if other.startsWith("option.") => ()
+        case other => throw new IllegalArgumentException(
+          s"graft: unknown table property '$other' (supported: " +
+            "graft.bloomColumns, graft.writeOrder)")
+      }
+    }
     tableAt(p, Map.empty)
   }
 

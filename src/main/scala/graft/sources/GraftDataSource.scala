@@ -157,7 +157,22 @@ class GraftDataSource extends TableProvider
         val startingVersion = Option(opts.get("startingVersion")) match {
           case Some("latest") => inc.latestVersion.map(_ + 1).getOrElse(0L)
           case Some(v) => v.trim.toLong
-          case None => 0L
+          case None =>
+            // Delta's startingTimestamp: the FIRST version committed at
+            // or after the timestamp; none ⇒ only future commits
+            Option(opts.get("startingTimestamp")) match {
+              case Some(ts) =>
+                val ms =
+                  if (ts.trim.forall(_.isDigit)) ts.trim.toLong
+                  else java.sql.Timestamp.valueOf(ts.trim).getTime
+                val at = inc.history()
+                  .select("version", "committed_at").collect()
+                  .filter(_.getTimestamp(1).getTime >= ms)
+                  .map(_.getLong(0))
+                if (at.nonEmpty) at.min
+                else inc.latestVersion.map(_ + 1).getOrElse(0L)
+              case None => 0L
+            }
         }
         Some(GraftStreamInfo(p, startingVersion,
           Option(opts.get("ignoreChanges")).exists(_.toBoolean),

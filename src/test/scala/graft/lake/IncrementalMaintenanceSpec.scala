@@ -166,6 +166,21 @@ class IncrementalMaintenanceSpec extends AnyFunSuite with SparkSpec {
       "ALTER TABLE mlake.cfg SET TBLPROPERTIES ('graft.nope'='x')"))
   }
 
+  test("CREATE TABLE TBLPROPERTIES applies graft configs at birth") {
+    val wh = Files.createTempDirectory("maint_wh2_").toString
+    spark.conf.set("spark.sql.catalog.clake", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.clake.warehouse", wh)
+    spark.sql("CREATE TABLE clake.born (id BIGINT, tag STRING) USING graft " +
+      "TBLPROPERTIES ('graft.writeOrder'='id', 'graft.bloomColumns'='tag')")
+    val t = new IncrementalTable(spark, s"$wh/born")
+    assert(t.writeOrder === Seq("id") && t.bloomColumns === Seq("tag"))
+    spark.sql("INSERT INTO clake.born VALUES (2, 'b'), (1, 'a')")
+    assert(spark.sql("SELECT * FROM clake.born").count() === 2)
+    assertThrows[Exception](spark.sql(
+      "CREATE TABLE clake.born2 (id BIGINT) USING graft " +
+        "TBLPROPERTIES ('graft.bogus'='x')"))
+  }
+
   test("VACUUM DRY RUN lists doomed files without deleting") {
     val t = fresh()
     import spark.implicits._
@@ -181,6 +196,35 @@ class IncrementalMaintenanceSpec extends AnyFunSuite with SparkSpec {
     doomed.foreach(f => assert(
       !new java.io.File(t.path + "/data/" + f).exists(), s"$f not deleted"))
     assert(t.snapshot().count() === 3)
+  }
+
+  test("clusterZ on a STRING column: both dimensions prune after clustering") {
+    val t = fresh()
+    import spark.implicits._
+    // interleaved appends of (category-string, numeric id): every file
+    // spans both domains, so nothing prunes before clustering
+    val cats = Seq("apple", "banana", "cherry", "mango", "papaya", "quince",
+      "raisin", "tomato")
+    (0 until 4).foreach { i =>
+      t.append((0 until 200).map { j =>
+        (cats((i + j) % cats.size), ((j * 4 + i) % 400).toLong, j.toLong)
+      }.toDF("cat", "n", "id").coalesce(1))
+    }
+    val before = t.files(t.latestVersion.get)
+    assert(t.prunedFiles(before, Seq(col("cat") === "mango")).size === 4)
+    t.clusterZ(8, 3, "cat", "n")
+    val after = t.files(t.latestVersion.get)
+    // string dimension prunes…
+    val byCat = t.prunedFiles(after, Seq(col("cat") === "mango"))
+    assert(byCat.size < after.size, s"string z-dimension must prune: $byCat")
+    // …the numeric one too, and conjunctions hit the intersection
+    val byN = t.prunedFiles(after, Seq(col("n") < 50L))
+    assert(byN.size < after.size, s"numeric z-dimension must prune: $byN")
+    val both = t.prunedFiles(after, Seq(col("cat") === "mango", col("n") < 50L))
+    assert(both.size <= math.min(byCat.size, byN.size))
+    // correctness unchanged
+    assert(t.scan(col("cat") === "mango", col("n") < 50L).count() ===
+      t.snapshot().filter(col("cat") === "mango" && col("n") < 50L).count())
   }
 
   test("clusterZIncremental without a baseline falls back to a full cluster") {

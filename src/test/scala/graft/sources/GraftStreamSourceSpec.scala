@@ -48,6 +48,28 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpec {
     assert(spark.table("s2").count() === 4L)
   }
 
+  test("startingTimestamp starts at the first commit at-or-after the instant") {
+    import spark.implicits._
+    val (t, dir) = freshTable() // v0: rows 1,2
+    Thread.sleep(1100)
+    val cut = System.currentTimeMillis()
+    t.append(Seq((3L, "c")).toDF("id", "tag")) // v1, after the cut
+    val q = runToMemory(dir, "sts",
+      Map("startingTimestamp" -> cut.toString))
+    q.awaitTermination(60000); q.stop()
+    assert(spark.table("sts").as[(Long, String)].collect().toSet ===
+      Set((3L, "c")), "only the post-timestamp commit should stream")
+    // a timestamp before the first commit streams everything
+    val q2 = runToMemory(dir, "sts2", Map("startingTimestamp" -> "0"))
+    q2.awaitTermination(60000); q2.stop()
+    assert(spark.table("sts2").count() === 3L)
+    // a future timestamp streams nothing yet
+    val q3 = runToMemory(dir, "sts3",
+      Map("startingTimestamp" -> (System.currentTimeMillis() + 3600_000L).toString))
+    q3.awaitTermination(60000); q3.stop()
+    assert(spark.table("sts3").count() === 0L)
+  }
+
   test("checkpoint resume delivers only versions after the last offset") {
     import spark.implicits._
     val (t, dir) = freshTable()
