@@ -84,14 +84,15 @@ object BloomIndex {
   }
 
   /** Equality/IN point-lookup targets per bloom column from the
-    * TOP-LEVEL CONJUNCTS of the analyzed filters (a disjunct like
-    * `c = 5 OR d = 7` cannot prune on c alone and is skipped). Each
-    * returned entry is one conjunct: the file must possibly contain AT
-    * LEAST ONE of the listed values.
+    * TOP-LEVEL CONJUNCTS of pre-analyzed filter conditions (one
+    * analysis pass per filter is shared with the stats rewrite — see
+    * [[FileStats.analyzedCondition]]). A disjunct like `c = 5 OR d = 7`
+    * cannot prune on c alone and is skipped. Each returned entry is one
+    * conjunct: the file must possibly contain AT LEAST ONE of the
+    * listed values.
     */
   def pointTargets(
-      spark: SparkSession, dataSchema: StructType,
-      filters: Seq[Column], bloomCols: Set[String]): Seq[(String, Seq[Literal])] = {
+      conds: Seq[Expression], bloomCols: Set[String]): Seq[(String, Seq[Literal])] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
@@ -101,24 +102,15 @@ object BloomIndex {
         if bloomCols.contains(a.name) => Some(a.name)
       case _ => None
     }
-    filters.flatMap { f =>
-      val analyzed =
-        try {
-          val empty = spark.createDataFrame(
-            java.util.Collections.emptyList[Row](), dataSchema)
-          empty.filter(f).queryExecution.analyzed.collectFirst {
-            case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl.condition
-          }.getOrElse(Literal.TrueLiteral).transformUp {
-            case e if e.foldable && !e.isInstanceOf[Literal] =>
-              Literal.create(e.eval(null), e.dataType)
-          }
-        } catch { case scala.util.control.NonFatal(_) => Literal.TrueLiteral }
+    conds.flatMap { analyzed =>
       conjuncts(analyzed).flatMap {
         case EqualTo(a, l: Literal) if attr(a).isDefined && l.value != null =>
           Some(attr(a).get -> Seq(l))
         case EqualTo(l: Literal, a) if attr(a).isDefined && l.value != null =>
           Some(attr(a).get -> Seq(l))
         case EqualNullSafe(a, l: Literal) if attr(a).isDefined && l.value != null =>
+          Some(attr(a).get -> Seq(l))
+        case EqualNullSafe(l: Literal, a) if attr(a).isDefined && l.value != null =>
           Some(attr(a).get -> Seq(l))
         case In(a, vs) if attr(a).isDefined && vs.nonEmpty &&
           vs.forall(v => v.isInstanceOf[Literal] &&

@@ -287,30 +287,34 @@ object FileStats {
     else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
 
-  /** Column-facing wrapper over [[pruneExpr]]. A Spark 4 `Column` is a
-    * ColumnNode tree, not catalyst — resolving the filter against an
-    * empty frame of the DATA schema turns it into analyzed catalyst
-    * (typed literals, casts inserted) that [[pruneExpr]] can match. Any
-    * resolution trouble (e.g. a column outside the stats schema)
-    * degrades that filter to TRUE = no pruning from it.
+  /** Analyze `filter` against an empty frame of the DATA schema and
+    * fold foldables into typed Literals. A Spark 4 `Column` is a
+    * ColumnNode tree, not catalyst — analysis produces the typed-
+    * literal/cast-inserted catalyst tree both [[pruneExpr]] and
+    * [[BloomIndex.pointTargets]] pattern-match, so one analysis pass
+    * per filter serves both. Any trouble (e.g. a column outside the
+    * schema) degrades to TRUE = no pruning from this filter.
     */
+  def analyzedCondition(
+      spark: SparkSession, dataSchema: StructType, filter: Column): Expression =
+    try {
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), dataSchema)
+      val analyzed = empty.filter(filter).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(Literal.TrueLiteral)
+      // analysis inserts casts but never folds them — fold here so
+      // `cast('2024-05-01' as date)` matches the Literal patterns
+      analyzed.transformUp {
+        case e if e.foldable && !e.isInstanceOf[Literal] =>
+          Literal.create(e.eval(null), e.dataType)
+      }
+    } catch { case scala.util.control.NonFatal(_) => Literal.TrueLiteral }
+
+  /** Column-facing wrapper over [[pruneExpr]]. */
   def pruneColumn(
       spark: SparkSession, dataSchema: StructType,
-      filter: Column, statCols: Set[String]): Column = {
-    val cond =
-      try {
-        val empty = spark.createDataFrame(
-          java.util.Collections.emptyList[Row](), dataSchema)
-        val analyzed = empty.filter(filter).queryExecution.analyzed.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-        }.getOrElse(Literal.TrueLiteral)
-        // analysis inserts casts but never folds them — fold here so
-        // `cast('2024-05-01' as date)` matches the Literal patterns
-        analyzed.transformUp {
-          case e if e.foldable && !e.isInstanceOf[Literal] =>
-            Literal.create(e.eval(null), e.dataType)
-        }
-      } catch { case scala.util.control.NonFatal(_) => Literal.TrueLiteral }
-    ColumnBridge.column(pruneExpr(cond, statCols))
-  }
+      filter: Column, statCols: Set[String]): Column =
+    ColumnBridge.column(
+      pruneExpr(analyzedCondition(spark, dataSchema, filter), statCols))
 }

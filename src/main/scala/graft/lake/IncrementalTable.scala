@@ -453,12 +453,25 @@ final class IncrementalTable(
     * Values ride the manifest, so reading them is one small file — no
     * table scan, and they time-travel with the version.
     */
+  // meta is immutable once committed, and table-property reads
+  // (colmap, bloom, writeorder, gencol, dv…) hit the SAME manifest many
+  // times per operation — cache like filesCache (the existence check
+  // stays, so reads of vacuumed versions still fail loudly)
+  private val metaCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[Long, Map[String, String]](8, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Long, Map[String, String]]): Boolean = size > 8
+      })
+
   def metaAt(v: Long): Map[String, String] = {
     require(versionExists(v), s"version $v does not exist at $path")
+    val cached = metaCache.get(v)
+    if (cached != null) return cached
     val in = fs.open(manifestPath(v))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    """"meta":\{([^}]*)\}""".r.findFirstMatchIn(txt) match {
-      case None => Map.empty
+    val parsed = """"meta":\{([^}]*)\}""".r.findFirstMatchIn(txt) match {
+      case None => Map.empty[String, String]
       case Some(m) =>
         m.group(1).split(",").filter(_.nonEmpty).map { kv =>
           val Array(k, v) = kv.split(":", 2)
@@ -466,6 +479,8 @@ final class IncrementalTable(
             v.trim.stripPrefix("\"").stripSuffix("\"")
         }.toMap
     }
+    metaCache.put(v, parsed)
+    parsed
   }
 
   /** Latest version committed at or before `millis` (Delta
@@ -599,8 +614,13 @@ final class IncrementalTable(
             org.apache.spark.sql.types.StructField(
               f.name.stripPrefix("min_"), f.dataType)
         })
-      val possible = filters
-        .map(f => FileStats.pruneColumn(spark, dataSchema, f, statCols))
+      // one analysis pass per filter feeds BOTH the stats rewrite and
+      // the bloom target extraction
+      val analyzed = filters.map(f =>
+        FileStats.analyzedCondition(spark, dataSchema, f))
+      val possible = analyzed
+        .map(a => org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          FileStats.pruneExpr(a, statCols)))
         .reduce(_ && _)
       import org.apache.spark.sql.functions.{broadcast, col}
       // restrict stats to this version's file list via a broadcast join
@@ -629,7 +649,7 @@ final class IncrementalTable(
       if (bloomedPhys.isEmpty || !fs.exists(bloomsDir)) ranged
       else {
         val targets = BloomIndex.pointTargets(
-          spark, dataSchema, filters, bloomedPhys.map(logicalOf).toSet)
+          analyzed, bloomedPhys.map(logicalOf).toSet)
           .map { case (l, vs) => physicalOf(l) -> vs }
         if (targets.isEmpty) ranged
         else {
@@ -650,8 +670,15 @@ final class IncrementalTable(
       val nonce = java.util.UUID.randomUUID().toString.take(8)
       FileStats.collect(spark, df.schema, withPaths)
         .coalesce(1).write.parquet(new Path(statsDir, nonce).toString)
-      // bloom point-lookup index (opt-in): one pass over the NEW batch
-      val bloomed = bloomColumns.filter(df.schema.fieldNames.contains)
+      // bloom point-lookup index (opt-in): one pass over the NEW batch.
+      // The config holds PHYSICAL names; a frame staged under LOGICAL
+      // names (materializeColumnMapping's realign) indexes the logical
+      // name instead — which is exactly what the post-materialize
+      // config will point at.
+      val map = colMap
+      val bloomed = bloomColumns
+        .map(p => if (df.schema.fieldNames.contains(p)) p else map.getOrElse(p, p))
+        .distinct.filter(df.schema.fieldNames.contains)
       if (bloomed.nonEmpty)
         BloomIndex.build(spark, df.schema, withPaths.map(_._2), bloomed)
           .coalesce(1).write.parquet(new Path(bloomsDir, nonce).toString)
@@ -843,6 +870,21 @@ final class IncrementalTable(
         java.util.Collections.emptyList[Row](), s)
       empty.selectExpr(exprSql).queryExecution.assertAnalyzed()
     }
+    // declaring over an EXISTING column requires the stored data to
+    // already satisfy the expression (NULLs backfill) — otherwise later
+    // rewrites that recompute the column would silently overwrite
+    // divergent user values (the same existing-rows validation
+    // addConstraint performs)
+    if (logicalSchema.exists(_.fieldNames.contains(name))) {
+      import org.apache.spark.sql.functions.{col => fcol, expr => fexpr, not => fnot}
+      val violations = snapshot()
+        .filter(fcol(s"`$name`").isNotNull &&
+          fnot(fexpr(s"`$name` <=> ($exprSql)")))
+        .limit(1).count()
+      require(violations == 0L,
+        s"cannot declare $name GENERATED ALWAYS AS ($exprSql) on $path: " +
+          "existing rows hold conflicting values — rewrite or drop them first")
+    }
     val gens = generatedColumns + (name -> exprSql)
     val cs = constraints + (s"gen_$name" -> s"$name <=> ($exprSql)")
     commitFiles(Seq.empty, Set.empty, s"add generated[$name]",
@@ -960,12 +1002,19 @@ final class IncrementalTable(
 
   def history(): DataFrame = {
     // one forward fold over the log — each manifest read once, file
-    // counts maintained incrementally (no per-version reconstruction)
+    // counts maintained incrementally. The OLDEST retained version must
+    // seed from the reconstructed list (checkpoint-aware): after a
+    // vacuum it may be a delta commit whose base manifests are gone —
+    // folding it from an empty set would report per-version adds as the
+    // whole table.
     val rows = manifestIds.sorted.foldLeft(
-      (List.empty[Row], Set.empty[String])) { case ((acc, live), v) =>
-      val (op, ts, full, add, remove) = readManifestParts(v)
-      val now = full.map(_.toSet).getOrElse(live -- remove ++ add)
-      (Row(v, op, now.size, new java.sql.Timestamp(ts)) :: acc, now)
+      (List.empty[Row], Set.empty[String], true)) {
+      case ((acc, live, first), v) =>
+        val (op, ts, full, add, remove) = readManifestParts(v)
+        val now =
+          if (first) files(v).toSet
+          else full.map(_.toSet).getOrElse(live -- remove ++ add)
+        (Row(v, op, now.size, new java.sql.Timestamp(ts)) :: acc, now, false)
     }._1
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
       StructField("version", LongType), StructField("operation", StringType),
@@ -1651,7 +1700,8 @@ final class IncrementalTable(
     val carried = metaAt(v).filter { case (k, _) =>
       Set("schema", "dv", "colmap", "coldrop").contains(k) } ++
       latestVersion.map(metaAt).getOrElse(Map.empty)
-        .filter { case (k, _) => Set("constraints", "bloom", "gencol").contains(k) }
+        .filter { case (k, _) =>
+          Set("constraints", "bloom", "gencol", "writeorder").contains(k) }
     var attempt = 0
     while (true) {
       val base = latestVersion.getOrElse(-1L)
@@ -1905,8 +1955,16 @@ final class IncrementalTable(
     // manifests are gone: if its commit is a delta, pin its full list
     // as a checkpoint sidecar BEFORE dropping what it walks back to
     if (dropIds.nonEmpty && versionExists(cutoff) &&
-        readManifestParts(cutoff)._3.isEmpty && !fs.exists(checkpointPath(cutoff)))
+        readManifestParts(cutoff)._3.isEmpty && !fs.exists(checkpointPath(cutoff))) {
       writeCheckpoint(cutoff, files(cutoff))
+      // this pin is LOAD-BEARING (unlike the best-effort commit-time
+      // checkpoints): if it didn't land, deleting the older manifests
+      // would make every retained version unreconstructible
+      if (!fs.exists(checkpointPath(cutoff)))
+        throw new IllegalStateException(
+          s"vacuum of $path aborted: could not pin a checkpoint at " +
+            s"version $cutoff — no manifests were deleted")
+    }
     // ascending so each reconstruction walks back to its cached neighbor
     val keep = keepIds.sorted.flatMap(files).toSet
     def walk(dir: Path): Seq[Path] =

@@ -143,24 +143,34 @@ class GraftCatalog extends TableCatalog {
     if (schema.isEmpty)
       throw new IllegalArgumentException(
         s"graft: CREATE TABLE $ident needs a schema (or a LOCATION holding an existing table)")
-    val t = new IncrementalTable(spark, p)
-    // empty v0 carrying the DDL schema; data/ marks the incremental layout
-    fs(p).mkdirs(new Path(p, "data"))
-    t.commitFiles(Seq.empty, Set.empty, "create", schema = Some(schema))
-    // CREATE TABLE ... TBLPROPERTIES: apply the graft configs at birth
-    // (same keys ALTER TABLE SET TBLPROPERTIES drives)
+    // CREATE TABLE ... TBLPROPERTIES: the graft configs apply at birth
+    // (same keys ALTER TABLE SET TBLPROPERTIES drives). Standard
+    // engine-managed properties (comment, owner, provider, location)
+    // pass through. VALIDATE before committing anything — a rejected
+    // property must not leave a half-created table behind.
     def cols(v: String) = v.split("[,;]").map(_.trim).filter(_.nonEmpty).toSeq
+    val passthrough = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_COMMENT, "option.path", "transient_lastDdlTime")
+    val graftProps = new scala.collection.mutable.ListBuffer[(String, String)]
     properties.forEach { (k, v) =>
       k match {
-        case "graft.bloomColumns" => t.setBloomColumns(cols(v): _*)
-        case "graft.writeOrder" => t.setWriteOrder(cols(v): _*)
-        case TableCatalog.PROP_LOCATION | TableCatalog.PROP_PROVIDER |
-             TableCatalog.PROP_OWNER | TableCatalog.PROP_EXTERNAL | "option.path" => ()
-        case other if other.startsWith("option.") => ()
+        case "graft.bloomColumns" | "graft.writeOrder" => graftProps += (k -> v)
+        case other if passthrough.contains(other) ||
+          other.startsWith("option.") => ()
         case other => throw new IllegalArgumentException(
           s"graft: unknown table property '$other' (supported: " +
             "graft.bloomColumns, graft.writeOrder)")
       }
+    }
+    val t = new IncrementalTable(spark, p)
+    // empty v0 carrying the DDL schema; data/ marks the incremental layout
+    fs(p).mkdirs(new Path(p, "data"))
+    t.commitFiles(Seq.empty, Set.empty, "create", schema = Some(schema))
+    graftProps.foreach {
+      case ("graft.bloomColumns", v) => t.setBloomColumns(cols(v): _*)
+      case ("graft.writeOrder", v) => t.setWriteOrder(cols(v): _*)
+      case _ => ()
     }
     tableAt(p, Map.empty)
   }

@@ -171,12 +171,35 @@ class ColumnMappingSpec extends AnyFunSuite with SparkSpec {
     assert(spark.table("colmap_stream2").columns.toSeq === Seq("id", "label", "score"))
   }
 
-  test("restore rewinds the mapping with the data") {
+  test("restore rewinds the mapping with the data; table properties follow the head") {
     val t = fresh()
     t.append(df((1L, "a", 1.5)))
     val before = t.latestVersion.get
     t.renameColumn("name", "label")
+    t.setWriteOrder("id")
+    t.setBloomColumns("id")
     t.restore(before)
     assert(t.snapshot().columns.toSeq === Seq("id", "name", "score"))
+    // properties (write order, bloom config) are TABLE properties, not
+    // data state — they survive the rewind (Delta's RESTORE split)
+    assert(t.writeOrder === Seq("id") && t.bloomColumns === Seq("id"))
+  }
+
+  test("materializing the mapping rebuilds blooms under the new name") {
+    val t = fresh()
+    import spark.implicits._
+    t.setBloomColumns("name")
+    (0 until 4).foreach(i =>
+      t.append(Seq((i.toLong, s"zz${i}a", 0.0), (i.toLong, s"aa${i}z", 0.0))
+        .toDF("id", "name", "score").coalesce(1)))
+    t.renameColumn("name", "handle")
+    t.compact(targetFiles = 4) // materializes the mapping
+    assert(t.bloomColumns === Seq("handle"))
+    val all = t.files(t.latestVersion.get)
+    // the restaged files must carry fresh blooms for the renamed column
+    val gone = t.prunedFiles(all, Seq(col("handle") === "no-such-key"))
+    assert(gone.isEmpty,
+      s"materialize must rebuild blooms under the logical name: kept $gone")
+    assert(t.scan(col("handle") === "zz2a").count() === 1)
   }
 }

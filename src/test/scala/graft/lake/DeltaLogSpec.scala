@@ -81,6 +81,12 @@ class DeltaLogSpec extends AnyFunSuite with SparkSpec {
     assert(t2.files(5L).size === 6)
     assert(t2.snapshot().count() === 6L)
     assertThrows[Exception](t2.files(2L)) // vacuumed versions fail loudly
+    // history's forward fold must seed from the pinned checkpoint, not
+    // an empty set — numFiles would otherwise report per-version adds
+    val h = t2.history().orderBy("version").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toSeq
+    assert(h === Seq(3L -> 4, 4L -> 5, 5L -> 6),
+      s"history numFiles wrong after vacuum: $h")
   }
 
   test("pre-delta-log tables (full-list manifests) read unchanged") {

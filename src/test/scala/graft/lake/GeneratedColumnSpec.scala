@@ -64,6 +64,21 @@ class GeneratedColumnSpec extends AnyFunSuite with SparkSpec {
       t.addGeneratedColumn("dollars", "cents div 100"))
   }
 
+  test("declaring over an existing column validates the stored data") {
+    import spark.implicits._
+    val t = fresh()
+    // conflicting stored values: declaration is refused, so later
+    // rewrites can never silently overwrite user data
+    t.append(Seq((1L, 1050L, 99L)).toDF("id", "cents", "dollars"))
+    assertThrows[IllegalArgumentException](
+      t.addGeneratedColumn("dollars", "cents div 100"))
+    // consistent stored values (or NULLs, which backfill): accepted
+    val t2 = fresh()
+    t2.append(Seq((1L, 1050L, 10L)).toDF("id", "cents", "dollars"))
+    t2.addGeneratedColumn("dollars", "cents div 100")
+    assert(t2.snapshot().head.getLong(2) === 10L)
+  }
+
   test("stats on the materialized column prune files") {
     val t = fresh()
     t.addGeneratedColumn("bucket", "id div 100")

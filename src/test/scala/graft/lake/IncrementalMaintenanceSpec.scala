@@ -179,6 +179,13 @@ class IncrementalMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assertThrows[Exception](spark.sql(
       "CREATE TABLE clake.born2 (id BIGINT) USING graft " +
         "TBLPROPERTIES ('graft.bogus'='x')"))
+    // the rejection happened BEFORE anything was committed — no
+    // half-created table left behind
+    assert(!new java.io.File(s"$wh/born2").exists(),
+      "a rejected property must not leave a half-created table")
+    // standard engine-managed properties pass through
+    spark.sql("CREATE TABLE clake.born3 (id BIGINT) USING graft COMMENT 'docs'")
+    assert(spark.sql("SELECT * FROM clake.born3").count() === 0)
   }
 
   test("VACUUM DRY RUN lists doomed files without deleting") {
