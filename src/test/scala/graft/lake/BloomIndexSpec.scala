@@ -91,6 +91,35 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     assert(disj.count() === 1 && disj.head.getString(0) === "pre-bloom-key")
   }
 
+  test("concurrent appenders on a bloom-indexed table: no lost filters, probes stay sound") {
+    val t = fresh()
+    t.setBloomColumns("key")
+    import spark.implicits._
+    // 4 writers x 3 appends race the commit CAS; each writes unique keys
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        val mine = new IncrementalTable(spark, t.path)
+        (0 until 3).foreach { i =>
+          mine.append(Seq((s"w$w-k$i", w.toLong, i.toLong))
+            .toDF("key", "file_no", "seq").coalesce(1))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val all = t.files(t.latestVersion.get)
+    assert(all.size === 12 && t.snapshot().count() === 12)
+    // every file carries a bloom row — no writer's index was lost
+    val blooms = spark.read.option("recursiveFileLookup", "true")
+      .parquet(t.path + "/_blooms").select("file").as[String].collect().toSet
+    assert(all.toSet.subsetOf(blooms), s"missing blooms: ${all.toSet -- blooms}")
+    // a point lookup prunes to ~1 file and finds its row
+    val kept = t.prunedFiles(all, Seq(col("key") === "w2-k1"))
+    assert(kept.size <= 2, s"expected ~1 of 12 files: $kept")
+    assert(t.scan(col("key") === "w2-k1").count() === 1)
+    // absent key: everything pruned
+    assert(t.prunedFiles(all, Seq(col("key") === "nope")).isEmpty)
+  }
+
   test("bloom config survives appends, snapshot rewrites, and compaction rebuilds filters") {
     val t = fresh()
     t.setBloomColumns("key")
