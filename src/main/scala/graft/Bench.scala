@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Queries kept ONLY as priced foils for their scale-safe twins; they
+    * are timed and reported under "baseline_only" but excluded from the
+    * headline total so the headline prices scale-safe paths exclusively.
+    * (dedup_embedding is the exact all-pairs O(n^2) baseline whose
+    * registered scale path is dedup_embedding_blocked.)
+    */
+  val baselineOnly: Set[String] = Set("dedup_embedding")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -37,12 +47,34 @@ object Bench {
       val runs = Seq.fill(math.max(1, reps))(once())
       name -> (runs.min, runs.max - runs.min)
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val spread = results.map { case (k, (_, s)) => s"\"" + k + "\":" + f"$s%.3f" }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    val (foil, scaleSafe) = results.partition { case (k, _) => baselineOnly(k) }
+    def jsonMap(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val qs = jsonMap(scaleSafe.map { case (k, (v, _)) => k -> v })
+    val spread = jsonMap(results.map { case (k, (_, s)) => k -> s })
+    val foils = jsonMap(foil.map { case (k, (v, _)) => k -> v })
+    val total = if (scaleSafe.nonEmpty) scaleSafe.values.map(_._1).sum else 0.0
+    val totalAll = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // Keyed "detail", NOT "metric": the driver tail-parses the last
+    // {"metric":...} line, which must be the compact summary below.
+    val detail =
+      s"""{"detail":"per-query","total":$total,"unit":"sec","n":${scaleSafe.size},"queries":$qs,"baseline_only":$foils,"spread":$spread,"sf":"$sfDir"}"""
+    // Full per-query detail: one stdout line (may be long) AND a file,
+    // so the numbers survive even when a log capture truncates stdout.
+    println(detail)
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_detail.json"))
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
+    // The driver captures the TAIL of stdout and parses the last line:
+    // this compact summary must stay small and must be printed LAST
+    // (round 4's single giant line lost its head — and with it the
+    // "value" total — to tail truncation; BENCH_r04.json came back
+    // parsed:null). Headline total excludes baseline-only foils.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${scaleSafe.size},"total_with_baseline_only":$totalAll,"sf":"$sfDir"}""")
   }
 }
