@@ -60,8 +60,18 @@ object BloomIndex {
       .withColumn("__file", input_file_name())
     // size for the fattest file in the batch (numBits is one literal
     // for the whole aggregate); zero data columns read — cheap
-    val maxRows = data.groupBy(col("__file")).count()
-      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    val maxRowsRow = data.groupBy(col("__file")).count()
+      .agg(org.apache.spark.sql.functions.max("count")).head
+    // a staged EMPTY batch (e.g. an empty streaming micro-batch) still
+    // writes one metadata-only parquet file; max(count) is then NULL —
+    // there is nothing to index, so return an empty store slice rather
+    // than failing the whole commit on the NULL aggregate
+    if (maxRowsRow.isNullAt(0)) {
+      import spark.implicits._
+      return Seq.empty[(String, String, Array[Byte])]
+        .toDF("file", "col", "bloom")
+    }
+    val maxRows = maxRowsRow.getLong(0)
     val numBits = math.min(MaxBits,
       math.max(64L, org.apache.spark.util.sketch.BloomFilter
         .optimalNumOfBits(maxRows, Fpp)))

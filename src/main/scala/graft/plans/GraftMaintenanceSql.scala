@@ -241,9 +241,7 @@ case class RestoreGraftCommand(target: String, to: Either[Long, String])
     val v = to match {
       case Left(ver) => ver
       case Right(ts) =>
-        val ms =
-          if (ts.trim.forall(_.isDigit)) ts.trim.toLong
-          else java.sql.Timestamp.valueOf(ts.trim).getTime
+        val ms = graft.lake.IncrementalTable.parseTimestampMillis(ts)
         t.versionAsOfTimestamp(ms).getOrElse(throw new IllegalArgumentException(
           s"graft RESTORE: no version committed at or before '$ts'"))
     }

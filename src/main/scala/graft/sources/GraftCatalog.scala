@@ -155,7 +155,13 @@ class GraftCatalog extends TableCatalog {
     val graftProps = new scala.collection.mutable.ListBuffer[(String, String)]
     properties.forEach { (k, v) =>
       k match {
-        case "graft.bloomColumns" | "graft.writeOrder" => graftProps += (k -> v)
+        case "graft.bloomColumns" | "graft.writeOrder" =>
+          // value check belongs HERE, pre-commit: setBloomColumns /
+          // setWriteOrder would reject an illegal column name only
+          // AFTER the v0 commit, stranding a half-created table
+          cols(v).foreach(c => require(IncrementalTable.saneColumnName(c),
+            s"graft: illegal column name '$c' in table property '$k'"))
+          graftProps += (k -> v)
         case other if passthrough.contains(other) ||
           other.startsWith("option.") => ()
         case other => throw new IllegalArgumentException(
@@ -201,15 +207,18 @@ class GraftCatalog extends TableCatalog {
       "graft: only ADD COLUMNS / RENAME COLUMN / DROP COLUMN / " +
         "SET|UNSET TBLPROPERTIES are supported — schema otherwise " +
         "evolves through writes (add-column merge on commit)")
-    // `ALTER TABLE ... SET TBLPROPERTIES` drives the table configs:
-    //   'graft.bloomColumns' = 'a,b'  -> bloom point-lookup index
-    //   'graft.writeOrder'   = 'a,b'  -> write-time range clustering
-    // (',' or ';' separated; empty string or UNSET clears)
+    // VALIDATE the whole statement before applying any part of it: a
+    // mixed ALTER whose later change is rejected must not leave the
+    // earlier property/column commits applied (one statement, one
+    // all-or-nothing outcome — modulo the per-commit granularity of
+    // the log; each surviving change is still its own commit).
     def cols(v: String) = v.split("[,;]").map(_.trim).filter(_.nonEmpty).toSeq
-    (setProps.map(p => p.property() -> p.value()) ++
-      unsetProps.map(_.property() -> "")).foreach {
-      case ("graft.bloomColumns", v) => inc.setBloomColumns(cols(v): _*)
-      case ("graft.writeOrder", v) => inc.setWriteOrder(cols(v): _*)
+    val propChanges = setProps.map(p => p.property() -> p.value()) ++
+      unsetProps.map(_.property() -> "")
+    propChanges.foreach {
+      case ("graft.bloomColumns" | "graft.writeOrder", v) =>
+        cols(v).foreach(c => require(IncrementalTable.saneColumnName(c),
+          s"graft: illegal column name '$c' in table property"))
       case (k, _) => throw new IllegalArgumentException(
         s"graft: unknown table property '$k' (supported: " +
           "graft.bloomColumns, graft.writeOrder)")
@@ -217,8 +226,25 @@ class GraftCatalog extends TableCatalog {
     require((adds ++ renames ++ drops: Seq[TableChange.ColumnChange])
         .forall(_.fieldNames().length == 1),
       "graft: nested column changes are not supported")
-    require(inc.tableSchema.isDefined,
+    require(adds.isEmpty && renames.isEmpty && drops.isEmpty ||
+        inc.tableSchema.isDefined,
       s"graft: $p has no tracked schema to evolve (write once first)")
+    // rename/drop pre-checks, except for columns this same statement
+    // adds (those can only be validated after the add commits)
+    val addNames = adds.map(_.fieldNames().head).toSet
+    renames.filterNot(r => addNames(r.fieldNames().head))
+      .foreach(r => inc.validateRename(r.fieldNames().head, r.newName()))
+    drops.filterNot(d => addNames(d.fieldNames().head))
+      .foreach(d => inc.validateDrop(d.fieldNames().head))
+    // `ALTER TABLE ... SET TBLPROPERTIES` drives the table configs:
+    //   'graft.bloomColumns' = 'a,b'  -> bloom point-lookup index
+    //   'graft.writeOrder'   = 'a,b'  -> write-time range clustering
+    // (',' or ';' separated; empty string or UNSET clears)
+    propChanges.foreach {
+      case ("graft.bloomColumns", v) => inc.setBloomColumns(cols(v): _*)
+      case ("graft.writeOrder", v) => inc.setWriteOrder(cols(v): _*)
+      case _ => ()
+    }
     if (adds.nonEmpty) {
       val newCols = StructType(adds.map(a => org.apache.spark.sql.types.StructField(
         a.fieldNames().head, a.dataType(), a.isNullable)))

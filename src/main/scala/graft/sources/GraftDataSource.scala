@@ -162,9 +162,7 @@ class GraftDataSource extends TableProvider
             // or after the timestamp; none ⇒ only future commits
             Option(opts.get("startingTimestamp")) match {
               case Some(ts) =>
-                val ms =
-                  if (ts.trim.forall(_.isDigit)) ts.trim.toLong
-                  else java.sql.Timestamp.valueOf(ts.trim).getTime
+                val ms = IncrementalTable.parseTimestampMillis(ts)
                 val at = inc.history()
                   .select("version", "committed_at").collect()
                   .filter(_.getTimestamp(1).getTime >= ms)
@@ -311,11 +309,8 @@ private[sources] class GraftVersionedParquet extends ParquetDataSourceV2 {
     }
   }
 
-  private def parseMillis(s: String): Long = {
-    val t = s.trim
-    if (t.forall(_.isDigit)) t.toLong
-    else java.sql.Timestamp.valueOf(t).getTime
-  }
+  private def parseMillis(s: String): Long =
+    IncrementalTable.parseTimestampMillis(s)
 }
 
 /** Read-only facade over the delegate's ParquetTable: dropping the

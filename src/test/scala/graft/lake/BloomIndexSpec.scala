@@ -120,6 +120,20 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     assert(t.prunedFiles(all, Seq(col("key") === "nope")).isEmpty)
   }
 
+  test("an empty batch on a bloom-indexed table commits instead of failing the build") {
+    val t = fresh()
+    import spark.implicits._
+    t.setBloomColumns("key")
+    t.append(Seq(("k1", 1L)).toDF("key", "v"))
+    // an empty streaming micro-batch stages a metadata-only parquet
+    // file; the bloom build's max(count) aggregate is then NULL — the
+    // commit must survive (there is simply nothing to index)
+    val v = t.append(Seq.empty[(String, Long)].toDF("key", "v").coalesce(1))
+    assert(t.latestVersion.contains(v))
+    assert(t.scan(col("key") === "k1").count() === 1L)
+    assert(t.prunedFiles(t.files(v), Seq(col("key") === "k1")).nonEmpty)
+  }
+
   test("bloom config survives appends, snapshot rewrites, and compaction rebuilds filters") {
     val t = fresh()
     t.setBloomColumns("key")

@@ -98,6 +98,49 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       s"expected the DSv2 stream through the catalog, saw: $sources")
   }
 
+  test("CREATE TABLE with an illegal property VALUE leaves no half-created table") {
+    configure()
+    spark.sql("DROP TABLE IF EXISTS lake.badprops")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE lake.badprops (id BIGINT, k STRING) USING graft " +
+        "TBLPROPERTIES ('graft.bloomColumns' = 'k\"bad')")
+    }
+    // the rejection must land BEFORE the v0 commit — no stranded table
+    assert(!new IncrementalTable(spark, s"$wh/badprops").exists,
+      "rejected CREATE TABLE left a half-created table behind")
+    val names = spark.sql("SHOW TABLES IN lake").collect().map(_.getString(1)).toSet
+    assert(!names.contains("badprops"))
+  }
+
+  test("a mixed ALTER failing validation applies none of its changes") {
+    configure()
+    spark.sql("DROP TABLE IF EXISTS lake.atomic_alter")
+    spark.sql("CREATE TABLE lake.atomic_alter (id BIGINT, k STRING) USING graft")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "atomic_alter")
+    val t = new IncrementalTable(spark, s"$wh/atomic_alter")
+    val before = t.latestVersion
+    // valid SET TBLPROPERTIES + a drop of a nonexistent column in ONE
+    // statement: the whole statement must be rejected with the property
+    // commit NOT applied (no partial application)
+    intercept[Exception] {
+      cat.alterTable(ident,
+        org.apache.spark.sql.connector.catalog.TableChange
+          .setProperty("graft.bloomColumns", "k"),
+        org.apache.spark.sql.connector.catalog.TableChange
+          .deleteColumn(Array("no_such_column"), false))
+    }
+    assert(t.latestVersion === before, "failed ALTER must commit nothing")
+    assert(t.bloomColumns.isEmpty, "property from a failed ALTER leaked")
+    // and the same statement without the bad drop applies cleanly
+    cat.alterTable(ident,
+      org.apache.spark.sql.connector.catalog.TableChange
+        .setProperty("graft.bloomColumns", "k"))
+    assert(t.bloomColumns === Seq("k"))
+  }
+
   test("missing tables throw; listTables sees only table directories") {
     configure()
     assertThrows[AnalysisException](spark.sql("SELECT * FROM lake.nope").collect())

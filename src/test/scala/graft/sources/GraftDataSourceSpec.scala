@@ -157,4 +157,16 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkSpec {
       s"filter not pushed through graft connector:\n$plan")
     assert(q.count() === 9L)
   }
+
+  test("time-travel / streaming timestamps parse leniently (ISO-8601, bare dates)") {
+    import graft.lake.IncrementalTable.parseTimestampMillis
+    val ref = java.sql.Timestamp.valueOf("2026-01-02 03:04:05").getTime
+    assert(parseTimestampMillis("2026-01-02 03:04:05") === ref)
+    assert(parseTimestampMillis("2026-01-02T03:04:05") === ref)
+    assert(parseTimestampMillis("2026-01-02") ===
+      java.sql.Timestamp.valueOf("2026-01-02 00:00:00").getTime)
+    assert(parseTimestampMillis("1700000000000") === 1700000000000L)
+    assert(parseTimestampMillis(" 2026-01-02T03:04:05 ") === ref)
+    intercept[IllegalArgumentException](parseTimestampMillis("not-a-time"))
+  }
 }
