@@ -36,9 +36,11 @@ import graft.scd.{MergeEmulator, ScdApply, ScdConfig}
 final class IncrementalScdTable(
     spark: SparkSession, val path: String, val numBuckets: Int,
     identityCol: Option[String] = None, identityStart: Long = 1L,
-    emitChangeData: Boolean = false) {
+    emitChangeData: Boolean = false, identityStep: Long = 1L) {
 
   require(numBuckets > 0, "numBuckets must be positive")
+  require(identityStep >= 1,
+    "identityStep must be >= 1 (the watermark protocol is ascending)")
 
   val table = new IncrementalTable(spark, path)
 
@@ -53,12 +55,43 @@ final class IncrementalScdTable(
 
   def exists: Boolean = fs.exists(schemaFile)
 
+  /** Create the table, PERSISTING the identity declaration (column,
+    * START WITH, INCREMENT BY — the reference DDL's `GENERATED ALWAYS
+    * AS IDENTITY (START WITH 10)`, test_scd_handler.py:41) as table
+    * config: every future instance allocates from the same counter
+    * contract whether or not its constructor repeated the arguments.
+    */
   def create(schema: StructType): Unit = {
     fs.mkdirs(new Path(path))
     val out = fs.create(schemaFile, true)
     out.write(schema.json.getBytes(StandardCharsets.UTF_8))
     out.close()
+    identityCol.foreach { c =>
+      val out2 = fs.create(identityFile, true)
+      out2.write(
+        s"""{"col":"$c","start":$identityStart,"step":$identityStep}"""
+          .getBytes(StandardCharsets.UTF_8))
+      out2.close()
+    }
   }
+
+  private val identityFile = new Path(path, "_identity.json")
+
+  /** Effective identity declaration (col, start, step): the persisted
+    * table config wins — written once at [[create]], shared by every
+    * instance — with the constructor arguments as the fallback for
+    * tables created before the config existed.
+    */
+  private def identityConfig: Option[(String, Long, Long)] =
+    if (fs.exists(identityFile)) {
+      val in = fs.open(identityFile)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val m = """"col":"([^"]+)","start":(-?\d+),"step":(\d+)""".r
+        .findFirstMatchIn(txt).getOrElse(throw new IllegalStateException(
+          s"corrupt identity config at $identityFile"))
+      Some((m.group(1), m.group(2).toLong, m.group(3).toLong))
+    } else identityCol.map(c => (c, identityStart, identityStep))
 
   private def storedSchema: StructType = {
     val in = fs.open(schemaFile)
@@ -110,22 +143,21 @@ final class IncrementalScdTable(
       close.next, delta.activeUnion, cfg.pkCols, isActiveData = true)
     // identity: fill NULL surrogate keys from the manifest watermark —
     // untouched buckets' ids are ≤ the watermark by induction, so only
-    // the old watermark and this slice's new ids matter
+    // the old watermark and this slice's new ids matter. Materialize
+    // BEFORE allocating: the plan reads the files the commit will
+    // de-reference, staging triggers the write, and the allocation's
+    // per-partition offsets need a pinned partitioning.
+    val idCfg = identityConfig
     val watermark = identityWatermark
-    val withId = identityCol match {
-      case Some(idCol) if upsert.next.columns.contains(idCol) =>
-        upsert.next.withColumn(idCol,
-          coalesce(col(idCol),
-            lit(watermark) + monotonically_increasing_id() + lit(1L))
-            .cast(upsert.next.schema(idCol).dataType))
-      case _ => upsert.next
-    }
-    // materialize before staging: the plan reads the files the commit
-    // will de-reference, and staging triggers the write
-    val next = withId.withColumn("__bucket", bucketOf(cfg.pkCols))
+    val merged = upsert.next.withColumn("__bucket", bucketOf(cfg.pkCols))
       .localCheckpoint()
-    val sliceMax: Option[Long] = identityCol match {
-      case Some(idCol) if next.columns.contains(idCol) =>
+    val next = idCfg match {
+      case Some((idCol, _, step)) if merged.columns.contains(idCol) =>
+        allocateIdentity(merged, idCol, watermark, step)
+      case _ => merged
+    }
+    val sliceMax: Option[Long] = idCfg match {
+      case Some((idCol, _, _)) if next.columns.contains(idCol) =>
         Some(next.agg(max(col(idCol))).head().getAs[Any](0) match {
           case null => watermark
           case n: Number => n.longValue()
@@ -235,16 +267,50 @@ final class IncrementalScdTable(
       schema = Some(slice.drop("__bucket").schema)))
   }
 
+  /** Fill NULL `idCol` values with fresh identity values: DENSE from
+    * the watermark in batch order — `start, start+step, …` on a fresh
+    * table — via per-partition offsets (one metadata-scale count pass
+    * over the already-checkpointed batch, no shuffle; Delta allocates
+    * identity/row-ids the same way). The local row index is recovered
+    * from `monotonically_increasing_id`'s documented layout
+    * (partitionId << 33 | rowIndexInPartition); the offsets ride a
+    * literal map keyed by partition id, so the whole allocation stays
+    * codegen'd column arithmetic. Rows that already carry an id keep
+    * it; their slots leave gaps, which the identity contract allows.
+    */
+  private def allocateIdentity(df: DataFrame, idCol: String,
+      watermark: Long, step: Long): DataFrame = {
+    val pid = spark_partition_id()
+    val localIdx = monotonically_increasing_id()
+      .bitwiseAND(lit((1L << 33) - 1))
+    val counts = df.groupBy(pid.as("__pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (p, n) => val o = p -> acc; acc += n; o }.toMap
+    }
+    val offsetCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedLit(offsets), pid)
+    df.withColumn(idCol,
+      coalesce(col(idCol),
+        (lit(watermark) + (offsetCol + localIdx + lit(1L)) * lit(step))
+          .cast(df.schema(idCol).dataType)))
+  }
+
   /** Current identity high watermark. Newest→oldest manifest walk,
     * stopping at the first commit that carries the counter (commits
     * that bypass applyScd — compact, vacuum survivors — don't), so the
     * usual cost is ONE small manifest read, O(1) in table size.
     */
-  def identityWatermark: Long =
+  def identityWatermark: Long = {
+    val (start, step) = identityConfig
+      .map(c => (c._2, c._3)).getOrElse((identityStart, identityStep))
     table.latestVersion.flatMap { latest =>
       (latest to 0L by -1).iterator
         .takeWhile(table.versionExists)
         .flatMap(v => table.metaAt(v).get("id_watermark"))
         .nextOption()
-    }.map(_.toLong).getOrElse(identityStart - 1L)
+    }.map(_.toLong).getOrElse(start - step) // first allocated id = START
+  }
 }

@@ -25,7 +25,7 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   * {{{
   *   <path>/_log/00000000000000000007.json   manifest: file list OR
   *                                           add/remove delta + meta
-  *   <path>/_log/00000000000000000010.checkpoint.json  full-list
+  *   <path>/_log/00000000000000000010.checkpoint.parquet  full-list
   *                                           sidecar every 10 deltas
   *   <path>/data/<unique-name>.parquet       immutable data files
   *   <path>/data/__bucket=3/<unique>.parquet (bucketed tables)
@@ -175,6 +175,8 @@ final class IncrementalTable(
 
   private def manifestPath(v: Long) = new Path(logDir, f"$v%020d.json")
   private def checkpointPath(v: Long) = new Path(logDir, f"$v%020d.checkpoint.json")
+  private def checkpointParquetPath(v: Long) =
+    new Path(logDir, f"$v%020d.checkpoint.parquet")
   private val ManifestName = """^(\d{20})\.json$""".r
 
   private def manifestIds: Seq[Long] =
@@ -332,14 +334,60 @@ final class IncrementalTable(
       catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  /** Checkpoints are PARQUET (one `file` string column, dictionary +
+    * snappy), not JSON: at 10⁶ file entries the JSON full list is
+    * ~34 MB regex-parsed on every cold read, where the parquet form is
+    * a few MB binary-decoded — the same reason Delta moved its
+    * checkpoints to parquet. Written driver-side with the parquet
+    * example writer (no Spark job for a metadata write), tmp + rename
+    * like the manifests. Old `.checkpoint.json` sidecars remain
+    * readable forever; new ones are only ever written as parquet.
+    */
   private def writeCheckpoint(v: Long, files: Seq[String]): Unit = {
-    val json = s"""{"version":$v,"files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = new Path(logDir, f"_tmp_ckpt_${nonce}_$v%020d.json")
-    val out = fs.create(tmp, true)
-    out.write(json.getBytes(StandardCharsets.UTF_8))
-    out.close()
-    if (!fs.rename(tmp, checkpointPath(v))) fs.delete(tmp, false)
+    val tmp = new Path(logDir, f"_tmp_ckpt_${nonce}_$v%020d.parquet")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val w = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(tmp, conf))
+      .withType(IncrementalTable.CheckpointSchema)
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      IncrementalTable.CheckpointSchema)
+    try files.sorted.foreach(f => w.write(gf.newGroup().append("file", f)))
+    finally w.close()
+    if (!fs.rename(tmp, checkpointParquetPath(v))) fs.delete(tmp, false)
+  }
+
+  /** Does `v` have a checkpoint sidecar in EITHER format? */
+  private def hasCheckpoint(v: Long): Boolean =
+    fs.exists(checkpointParquetPath(v)) || fs.exists(checkpointPath(v))
+
+  /** The full list pinned at `v` — parquet sidecar preferred, legacy
+    * JSON still honored (pre-round-5 tables keep reading unchanged).
+    */
+  private def readCheckpointFiles(v: Long): Seq[String] = {
+    val pq = checkpointParquetPath(v)
+    if (fs.exists(pq)) {
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      val r = ParquetReader.builder(new GroupReadSupport(), pq)
+        .withConf(spark.sparkContext.hadoopConfiguration)
+        .build()
+      val buf = Seq.newBuilder[String]
+      try {
+        var g = r.read()
+        while (g != null) { buf += g.getString("file", 0); g = r.read() }
+      } finally r.close()
+      buf.result()
+    } else
+      jsonArray(readLogFile(checkpointPath(v)), "files")
+        .getOrElse(throw new IllegalStateException(
+          s"corrupt checkpoint $v at $path"))
   }
 
   private def readLogFile(p: Path): String = {
@@ -405,14 +453,12 @@ final class IncrementalTable(
     while (base == null) {
       val hit = filesCache.get(cur)
       if (hit != null) base = hit
-      else if (fs.exists(checkpointPath(cur))) {
+      else if (hasCheckpoint(cur)) {
         // a sidecar is written from the authoritative full list (at
         // commit time or by vacuum's cutoff pin), so it is trusted even
         // for the requested version itself — after a vacuum it may be
         // the ONLY way to resolve the oldest retained version
-        base = jsonArray(readLogFile(checkpointPath(cur)), "files")
-          .getOrElse(throw new IllegalStateException(
-            s"corrupt checkpoint $cur at $path"))
+        base = readCheckpointFiles(cur)
       } else {
         if (!versionExists(cur))
           throw new IllegalStateException(
@@ -697,9 +743,7 @@ final class IncrementalTable(
     s.split(";").filter(_.nonEmpty).map { kv =>
       val Array(k, v) = kv.split("=", 2); k -> v
     }.toMap
-  private def saneName(c: String): Boolean =
-    c.nonEmpty && !c.exists(ch => ch == ';' || ch == '=' || ch == ',' ||
-      ch == ':' || ch == '"' || ch == '\\' || ch == '{' || ch == '}')
+  private def saneName(c: String): Boolean = IncrementalTable.saneColumnName(c)
 
   /** physical → logical renames as of version `v` (identity entries are
     * never stored).
@@ -774,6 +818,19 @@ final class IncrementalTable(
     * keep showing the old name.
     */
   def renameColumn(from: String, to: String): Long = {
+    validateRename(from, to)
+    val phys = resolvePhysical(from)
+    val newMap = if (phys == to) colMap - phys else colMap + (phys -> to)
+    commitFiles(Seq.empty, Set.empty, s"rename column[$from -> $to]",
+      meta = Map("colmap" -> encodePairs(newMap)))
+  }
+
+  /** Every pre-commit check of [[renameColumn]], commit-free — so a
+    * multi-change ALTER can validate the WHOLE statement before
+    * applying any part of it (a late failure must not leave earlier
+    * changes committed).
+    */
+  private[graft] def validateRename(from: String, to: String): Unit = {
     require(saneName(to), s"illegal characters in column name: $to")
     val phys = resolvePhysical(from)
     val map = colMap
@@ -787,9 +844,6 @@ final class IncrementalTable(
     require(!droppedCols(to),
       s"cannot rename $from -> $to: $to is a retired (dropped) column name")
     requireUnconstrained(from, "rename")
-    val newMap = if (phys == to) map - phys else map + (phys -> to)
-    commitFiles(Seq.empty, Set.empty, s"rename column[$from -> $to]",
-      meta = Map("colmap" -> encodePairs(newMap)))
   }
 
   /** CHECK constraints store raw SQL — a rename/drop of a referenced
@@ -812,15 +866,23 @@ final class IncrementalTable(
     * in Delta.
     */
   def dropColumn(name: String): Long = {
+    validateDrop(name)
+    val phys = resolvePhysical(name)
+    commitFiles(Seq.empty, Set.empty, s"drop column[$name]",
+      meta = Map(
+        "coldrop" -> (droppedCols + phys).toSeq.sorted.mkString(";"),
+        "colmap" -> encodePairs(colMap - phys)))
+  }
+
+  /** Every pre-commit check of [[dropColumn]], commit-free — see
+    * [[validateRename]].
+    */
+  private[graft] def validateDrop(name: String): Unit = {
     val phys = resolvePhysical(name)
     requireUnconstrained(name, "drop")
     val remaining = tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
       .filterNot(droppedCols).filterNot(_ == phys)
     require(remaining.nonEmpty, s"cannot drop the last column of $path")
-    commitFiles(Seq.empty, Set.empty, s"drop column[$name]",
-      meta = Map(
-        "coldrop" -> (droppedCols + phys).toSeq.sorted.mkString(";"),
-        "colmap" -> encodePairs(colMap - phys)))
   }
 
   /** The physical column behind a logical name (identity when never
@@ -1955,12 +2017,12 @@ final class IncrementalTable(
     // manifests are gone: if its commit is a delta, pin its full list
     // as a checkpoint sidecar BEFORE dropping what it walks back to
     if (dropIds.nonEmpty && versionExists(cutoff) &&
-        readManifestParts(cutoff)._3.isEmpty && !fs.exists(checkpointPath(cutoff))) {
+        readManifestParts(cutoff)._3.isEmpty && !hasCheckpoint(cutoff)) {
       writeCheckpoint(cutoff, files(cutoff))
       // this pin is LOAD-BEARING (unlike the best-effort commit-time
       // checkpoints): if it didn't land, deleting the older manifests
       // would make every retained version unreconstructible
-      if (!fs.exists(checkpointPath(cutoff)))
+      if (!hasCheckpoint(cutoff))
         throw new IllegalStateException(
           s"vacuum of $path aborted: could not pin a checkpoint at " +
             s"version $cutoff — no manifests were deleted")
@@ -1982,6 +2044,13 @@ final class IncrementalTable(
     dropIds.foreach { v =>
       fs.delete(manifestPath(v), false)
       if (fs.exists(checkpointPath(v))) fs.delete(checkpointPath(v), false)
+      if (fs.exists(checkpointParquetPath(v)))
+        fs.delete(checkpointParquetPath(v), false)
+      // the caches must not outlive the manifests: a later files(v) /
+      // metaAt(v) on this instance has to fail loudly like an uncached
+      // read would, not silently serve the vacuumed version
+      filesCache.remove(v)
+      metaCache.remove(v)
     }
     // schema blobs referenced by no kept manifest are garbage too
     if (fs.exists(schemasDir)) {
@@ -2036,6 +2105,43 @@ object IncrementalTable {
     * checkpoint interval to 10 for the same reason).
     */
   private[lake] val CheckpointInterval = 10L
+
+  /** One row per referenced data file — the whole checkpoint. */
+  private[lake] val CheckpointSchema: org.apache.parquet.schema.MessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message graft_checkpoint { required binary file (UTF8); }")
+
+  /** Column names ride the manifest meta's `k=v;k=v` / `a;b` encodings,
+    * so the encoding's structural characters are illegal in them — the
+    * SAME rule the parser assumes. Shared with the catalog so property
+    * VALUES can be rejected before anything commits.
+    */
+  private[graft] def saneColumnName(c: String): Boolean =
+    c.nonEmpty && !c.exists(ch => ch == ';' || ch == '=' || ch == ',' ||
+      ch == ':' || ch == '"' || ch == '\\' || ch == '{' || ch == '}')
+
+  /** Lenient user-supplied timestamp → epoch millis, shared by every
+    * time-travel / streaming-start surface: bare digits (epoch millis),
+    * `yyyy-MM-dd HH:mm:ss[.f]`, ISO-8601 `yyyy-MM-ddTHH:mm:ss[±off]`,
+    * and a bare `yyyy-MM-dd` (midnight). Zoneless forms use the session
+    * JVM's zone, matching `java.sql.Timestamp.valueOf`.
+    */
+  // public: the SQL command classes live under org.apache.spark.sql.*
+  def parseTimestampMillis(s: String): Long = {
+    val t = s.trim
+    def zone = java.time.ZoneId.systemDefault()
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else scala.util.Try(java.sql.Timestamp.valueOf(t).getTime)
+      .orElse(scala.util.Try(java.time.LocalDateTime.parse(t)
+        .atZone(zone).toInstant.toEpochMilli))
+      .orElse(scala.util.Try(java.time.OffsetDateTime.parse(t)
+        .toInstant.toEpochMilli))
+      .orElse(scala.util.Try(java.time.LocalDate.parse(t)
+        .atStartOfDay(zone).toInstant.toEpochMilli))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse timestamp '$s' — use epoch millis, " +
+          "'yyyy-MM-dd HH:mm:ss', ISO-8601 date-time, or 'yyyy-MM-dd'"))
+  }
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 

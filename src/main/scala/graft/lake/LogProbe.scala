@@ -44,10 +44,17 @@ object LogProbe {
     val got = new IncrementalTable(spark, dir, collectStats = false).files(25L)
     val reconMs = (System.nanoTime() - t1) / 1e6
     require(got.size == n + 25, s"reconstruction lost files: ${got.size}")
+    // second FRESH INSTANCE (cold caches, warm JVM): separates the
+    // one-time parquet-reader class-loading from the per-read cost
+    val t2 = System.nanoTime()
+    val got2 = new IncrementalTable(spark, dir, collectStats = false).files(25L)
+    val recon2Ms = (System.nanoTime() - t2) / 1e6
+    require(got2.size == n + 25, s"reconstruction lost files: ${got2.size}")
 
     println(f"[logprobe] N=$n%,d files: full-list manifest $full%,d B; " +
       f"1-file append manifest $delta%,d B (${full.toDouble / delta}%.0fx smaller); " +
-      f"append commit $commitMs%.1f ms; cold head reconstruction $reconMs%.1f ms")
+      f"append commit $commitMs%.1f ms; cold head reconstruction $reconMs%.1f ms " +
+      f"(fresh-instance steady state $recon2Ms%.1f ms)")
     spark.stop()
   }
 }

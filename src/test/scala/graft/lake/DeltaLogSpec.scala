@@ -61,7 +61,7 @@ class DeltaLogSpec extends AnyFunSuite with SparkSpec {
     val t = fresh()
     (0 until 12).foreach(i => t.append(df((i.toLong, "x"))))
     val ckpt = java.nio.file.Paths.get(
-      t.path, "_log", f"${10L}%020d.checkpoint.json")
+      t.path, "_log", f"${10L}%020d.checkpoint.parquet")
     assert(Files.exists(ckpt), "v10 should have a checkpoint sidecar")
     // reconstruction of v11+ must work even if every manifest below the
     // checkpoint disappears (the walk stops at the sidecar)
@@ -70,6 +70,22 @@ class DeltaLogSpec extends AnyFunSuite with SparkSpec {
     val t2 = new IncrementalTable(spark, t.path) // fresh cache
     assert(t2.files(11L).size === 12)
     assert(t2.snapshot().count() === 12L)
+  }
+
+  test("legacy JSON checkpoint sidecars keep reading (pre-parquet tables)") {
+    val t = fresh()
+    (0 until 3).foreach(i => t.append(df((i.toLong, "x"))))
+    val all = t.files(2L)
+    // hand-write the OLD sidecar format at v2, then delete the
+    // manifests below it: reconstruction must stop at the JSON sidecar
+    val json = s"""{"version":2,"files":[${all.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
+    Files.write(java.nio.file.Paths.get(
+      t.path, "_log", f"${2L}%020d.checkpoint.json"), json.getBytes("UTF-8"))
+    for (v <- 0L until 2L)
+      Files.delete(java.nio.file.Paths.get(t.path, "_log", f"$v%020d.json"))
+    val t2 = new IncrementalTable(spark, t.path)
+    assert(t2.files(2L).toSet === all.toSet)
+    assert(t2.snapshot().count() === 3L)
   }
 
   test("vacuum pins the cutoff version with a checkpoint before dropping") {
@@ -87,6 +103,21 @@ class DeltaLogSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(2)).toSeq
     assert(h === Seq(3L -> 4, 4L -> 5, 5L -> 6),
       s"history numFiles wrong after vacuum: $h")
+  }
+
+  test("vacuum evicts dropped versions from the read caches of its own instance") {
+    val t = fresh()
+    (0 until 6).foreach(i => t.append(df((i.toLong, "x"))))
+    // warm both caches on the SAME instance that will vacuum — a fresh
+    // instance would re-check the filesystem anyway
+    assert(t.files(1L).size === 2)
+    assert(t.metaAt(1L) != null)
+    t.vacuum(keepLast = 2) // drops v0..v3
+    // the documented VACUUM contract: reads of dropped versions fail
+    // loudly; a warm cache must not silently serve them
+    assertThrows[Exception](t.files(1L))
+    assertThrows[Exception](t.metaAt(1L))
+    assert(t.files(5L).size === 6)
   }
 
   test("pre-delta-log tables (full-list manifests) read unchanged") {

@@ -134,6 +134,46 @@ class IncrementalScdTableSpec extends AnyFunSuite with SparkSpec {
     assert(ids3.distinct.size === ids3.size)
   }
 
+  test("identity START WITH / INCREMENT BY persist as table config (TEST:41 parity)") {
+    val idSchema = StructType(StructField("row_id", LongType) +: schema.fields)
+    val dir = Files.createTempDirectory("iscd_start").toString
+    val path = s"$dir/t"
+    // the reference DDL: GENERATED ALWAYS AS IDENTITY (START WITH 10),
+    // plus a non-1 step to pin the increment arithmetic
+    new IncrementalScdTable(spark, path, numBuckets = 4,
+      identityCol = Some("row_id"), identityStart = 10L, identityStep = 5L)
+      .create(idSchema)
+    def batchWithId(rows: (Long, String)*): DataFrame = {
+      import org.apache.spark.sql.functions.{col => c, lit}
+      batch(rows: _*).withColumn("row_id", lit(null).cast("long"))
+        .select(c("row_id"), c("k"), c("v"))
+    }
+    // a DIFFERENT instance with NO identity arguments allocates from
+    // the persisted declaration — the config is the table's, not the
+    // constructing session's
+    val t = new IncrementalScdTable(spark, path, numBuckets = 4)
+    t.applyScd(batchWithId((1L, "a"), (2L, "b"), (3L, "c")), at(1))
+    val ids1 = t.snapshot().select("row_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids1 === Seq(10L, 15L, 20L),
+      s"first ids must be START, START+STEP, …: $ids1")
+    // survives compaction (a commit carrying no counter meta)
+    t.table.compact(targetFiles = 1)
+    assert(t.identityWatermark === 20L)
+    // survives restore: the walk still finds the newest counter
+    t.applyScd(batchWithId((9L, "z")), at(2))
+    assert(t.identityWatermark === 25L)
+    t.table.restore(t.table.latestVersion.get - 1)
+    val t2 = new IncrementalScdTable(spark, path, numBuckets = 4)
+    assert(t2.identityWatermark === 25L,
+      "restore must not regress the identity counter")
+    t2.applyScd(batchWithId((77L, "w")), at(3))
+    val all = t2.snapshot().select("row_id").collect().map(_.getLong(0)).toSeq
+    assert(all.distinct.size === all.size)
+    assert(all.forall(id => (id - 10L) % 5L === 0L),
+      s"every id must be START + k*STEP: $all")
+    assert(all.max > 25L)
+  }
+
   test("racing identity batches never assign overlapping ids or regress the watermark") {
     val idSchema = StructType(StructField("row_id", LongType) +: schema.fields)
     val dir = Files.createTempDirectory("iscd_race").toString
