@@ -136,7 +136,15 @@ final class IncrementalScdTable(
     if (touched.isEmpty)
       return table.latestVersion.getOrElse(-1L)
 
-    val snap = snapshotOfBuckets(touched)
+    // pin the read version: the commit below removes exactly the files
+    // this merge READ, and carries it as readVersion so a racing
+    // deletion-vector commit conflicts loudly instead of being
+    // resurrected by the restaged slice
+    val baseV = table.latestVersion
+    val snapPrefixes = touched.map(b => bucketDir(b) + "/").toSet
+    val snap = baseV
+      .flatMap(v => table.snapshotOfFiles(v, f => snapPrefixes.exists(f.startsWith)))
+      .getOrElse(emptyFrame(storedSchema))
     val delta = ScdApply.split(snap, source, cfg)
     val close = MergeEmulator.merge(snap, delta.inactiveUpdates, cfg.pkCols)
     val upsert = MergeEmulator.merge(
@@ -166,9 +174,8 @@ final class IncrementalScdTable(
     }
     // one partitioned write stages every touched bucket's next state
     val added = table.stagePartitioned(next, "__bucket")
-    val prefixes = touched.map(b => bucketDir(b) + "/").toSet
-    val removed = table.latestVersion.map(table.files(_)
-      .filter(f => prefixes.exists(f.startsWith)).toSet).getOrElse(Set.empty)
+    val removed = baseV.map(table.files(_)
+      .filter(f => snapPrefixes.exists(f.startsWith)).toSet).getOrElse(Set.empty)
     val op = s"scd_apply[${touched.size} buckets]"
     val dataSchema = Some(next.drop("__bucket").schema)
     // CDC sidecar (Delta's enableChangeDataFeed for MERGE): the batch's
@@ -198,7 +205,8 @@ final class IncrementalScdTable(
       }
     sliceMax match {
       case None =>
-        table.commitFiles(added, removed, op, meta = cdcMeta, schema = dataSchema)
+        table.commitFiles(added, removed, op, meta = cdcMeta,
+          schema = dataSchema, readVersion = baseV)
       case Some(mx) =>
         // This batch's ids were derived from `watermark`, read BEFORE
         // the merge. Rebasing blindly after a lost manifest race would
@@ -225,7 +233,7 @@ final class IncrementalScdTable(
           try {
             result = table.commitFiles(added, removed, op, maxRetries = 0,
               meta = cdcMeta + ("id_watermark" -> math.max(newest, mx).toString),
-              schema = dataSchema)
+              schema = dataSchema, readVersion = baseV)
             committed = true
           } catch {
             case e: CommitConflictException =>
@@ -253,18 +261,21 @@ final class IncrementalScdTable(
       d.startsWith("__bucket=") && fls.size > maxFilesPerBucket
     }
     if (fat.isEmpty) return None
-    val dataDir = new Path(path, "data")
-    // basePath keeps __bucket as a partition column, so the rewrite
-    // lands every row back in its own bucket without recomputing hashes
-    val slice = spark.read
-      .option("basePath", dataDir.toString)
-      .parquet(fat.values.flatten.toSeq.map(f => new Path(dataDir, f).toString): _*)
-      .repartition(fat.size, col("__bucket"))
-    val added = table.stagePartitioned(slice, "__bucket")
+    // per-bucket DV-APPLIED slices (snapshotOfFiles subtracts deletion
+    // vectors — a raw parquet read here would resurrect DV-deleted
+    // rows when their file is rewritten), restaged into the bucket's
+    // own subdirectory so file-level bucket pruning is preserved
+    var sliceSchema: StructType = null
+    val added = fat.toSeq.sortBy(_._1).flatMap { case (dir, members) =>
+      val names = members.toSet
+      val slice = table.snapshotOfFiles(latest, names).get
+      sliceSchema = slice.schema
+      table.stage(slice.coalesce(1), dir)
+    }
     val removed = fat.values.flatten.toSet
     Some(table.commitFiles(added, removed,
       s"compact_buckets[${fat.size} buckets]",
-      schema = Some(slice.drop("__bucket").schema)))
+      schema = Some(sliceSchema), readVersion = Some(latest)))
   }
 
   /** Fill NULL `idCol` values with fresh identity values: DENSE from

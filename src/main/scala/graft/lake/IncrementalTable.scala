@@ -556,9 +556,14 @@ final class IncrementalTable(
     spark.createDataFrame(java.util.Collections.emptyList[Row](), logical)
   }
 
-  def snapshot(): DataFrame = {
-    val v = latestVersion.getOrElse(
-      throw new IllegalStateException(s"empty table $path"))
+  def snapshot(): DataFrame = snapshotHead(latestVersion.getOrElse(
+    throw new IllegalStateException(s"empty table $path")))
+
+  /** The head read pinned at an explicit version `v`: the tracked-
+    * schema-aware variant of [[snapshotAt]], split out so maintenance
+    * rewrites read the SAME version their commit later removes.
+    */
+  private def snapshotHead(v: Long): DataFrame =
     tableSchema match {
       case Some(s) =>
         val fls = files(v)
@@ -567,7 +572,6 @@ final class IncrementalTable(
           spark.read.schema(s).parquet(fls.map(f => dataPath(f).toString): _*), v), v)
       case None => snapshotAt(v)
     }
-  }
 
   def snapshotAt(v: Long): DataFrame = {
     val fs = files(v)
@@ -1151,7 +1155,9 @@ final class IncrementalTable(
   def commitFiles(
       added: Seq[String], removed: Set[String], operation: String,
       maxRetries: Int = 20, meta: Map[String, String] = Map.empty,
-      schema: Option[StructType] = None): Long = {
+      schema: Option[StructType] = None,
+      readVersion: Option[Long] = None,
+      dropMeta: Set[String] = Set.empty): Long = {
     var attempt = 0
     while (true) {
       // read the base version ONCE per attempt: splitting the
@@ -1165,19 +1171,35 @@ final class IncrementalTable(
           s"commit of $path conflicts: file(s) $gone are not referenced by " +
             "the current version (rewritten by a concurrent commit, or never " +
             "part of this table)")
+      val baseMeta = base.map(metaAt).getOrElse(Map.empty)
+      // DV conflict rule (Delta's rewrite-vs-DV matrix): a commit whose
+      // staged rows were materialized from `readVersion` — every
+      // rewrite: compact, DML, bucketed SCD — must fail LOUDLY if the
+      // deletion-vector pointer moved since that read. The staged rows
+      // pre-date the racer's vectors; rebasing would silently
+      // resurrect its deleted rows. Thrown outside the retry catch:
+      // retrying cannot fix stale data.
+      readVersion.foreach { rv =>
+        if (baseMeta.get("dv") != metaAt(rv).get("dv"))
+          throw new CommitConflictException(
+            s"commit of $path conflicts: deletion vectors changed since " +
+              s"this rewrite read version $rv — its staged rows pre-date " +
+              "the new vectors and committing would resurrect deleted " +
+              "rows; re-run on fresh state")
+      }
       val v = base.map(_ + 1).getOrElse(0L)
       try {
         // deletion vectors survive appends/merges: carry the base's dv
-        // pointer unless this commit sets (or deliberately clears) its
-        // own. Full rewrites go through writeSnapshot, which restages
-        // post-DV rows and starts clean. CHECK constraints carry the
-        // same way (and survive writeSnapshot too — they are table
-        // properties, not data state).
-        val baseMeta = base.map(metaAt).getOrElse(Map.empty)
+        // pointer unless this commit sets its own or explicitly drops
+        // it via `dropMeta` (full rewrites restage post-DV rows).
+        // CHECK constraints carry the same way (and survive
+        // writeSnapshot too — they are table properties, not data
+        // state).
         val carry = Seq("dv", "constraints", "bloom", "colmap", "coldrop",
           "writeorder", "gencol").flatMap(k => baseMeta.get(k).map(k -> _)).toMap
         writeManifest(v, operation, prev.filterNot(removed) ++ added,
-          carry ++ meta ++ schemaMetaFor(base, schema.map(physicalizeSchema)),
+          (carry -- dropMeta) ++ meta ++
+            schemaMetaFor(base, schema.map(physicalizeSchema)),
           prevFiles = Some(prev))
         return v
       } catch {
@@ -1240,10 +1262,27 @@ final class IncrementalTable(
     * escape hatch the connector's column-mapping refusal points at.
     */
   def compact(targetFiles: Int = 1): Long =
-    if (colMap.isEmpty && droppedCols.isEmpty)
-      writeSnapshotImpl(snapshot().repartition(targetFiles),
-        operation = "compact", maxRetries = 20, validate = false)
-    else materializeColumnMapping(targetFiles)
+    if (colMap.isEmpty && droppedCols.isEmpty) {
+      val v = latestVersion.getOrElse(
+        throw new IllegalStateException(s"empty table $path"))
+      rewriteHead(v, snapshotHead(v).repartition(targetFiles), "compact")
+    } else materializeColumnMapping(targetFiles)
+
+  /** State-preserving full rewrite of version `v` (compact / cluster /
+    * zorder): commits the restaged snapshot REMOVING exactly v's files
+    * through the optimistic file-level commit — so a concurrent APPEND
+    * rebases in (maintenance and appends commute; the racer's files
+    * carry forward instead of being dropped by a full-list republish),
+    * a concurrent rewrite stays a loud logical conflict, and a
+    * concurrent deletion-vector commit fails loudly via the
+    * read-version DV check (the restaged rows pre-date its vectors).
+    * The base DV pointer is dropped: the restaged rows are post-DV.
+    */
+  private def rewriteHead(v: Long, df: DataFrame, operation: String): Long = {
+    val added = stage(df)
+    commitFiles(added, files(v).toSet, operation, schema = Some(df.schema),
+      readVersion = Some(v), dropMeta = Set("dv"))
+  }
 
   /** Rewrite every file under the current LOGICAL column names and
     * clear the mapping in the same commit — dropped-column bytes are
@@ -1252,6 +1291,7 @@ final class IncrementalTable(
     * until someone needs path-level reads.
     */
   def materializeColumnMapping(targetFiles: Int = 1): Long = {
+    val readV = latestVersion
     val df = snapshot() // logical view, DVs applied
     val added = stage(df.repartition(targetFiles), remap = false)
     // bloom config is keyed by physical names — follow them to their
@@ -1260,6 +1300,15 @@ final class IncrementalTable(
     var attempt = 0
     while (true) {
       val base = latestVersion
+      // this commit RESETS schema/mapping/bloom meta wholesale from the
+      // state read above — a republish over a racer's commit would
+      // silently drop that commit (its rows AND its meta), so a moved
+      // base is a loud conflict, not a rebase
+      if (base != readV)
+        throw new CommitConflictException(
+          s"materializeColumnMapping of $path lost a race: the table " +
+            s"advanced past version ${readV.getOrElse(-1L)} while the " +
+            "rewrite was staged — re-run on fresh state")
       val v = base.map(_ + 1).getOrElse(0L)
       try {
         val keep = base.map(metaAt).getOrElse(Map.empty)
@@ -1298,10 +1347,12 @@ final class IncrementalTable(
   def cluster(targetFiles: Int, cols: String*): Long = {
     require(cols.nonEmpty, "cluster needs at least one column")
     val c = cols.map(org.apache.spark.sql.functions.col)
-    writeSnapshotImpl(
-      snapshot().repartitionByRange(targetFiles, c: _*).sortWithinPartitions(c: _*),
-      operation = s"cluster[${cols.mkString(",")}]", maxRetries = 20,
-      validate = false)
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty table $path"))
+    rewriteHead(v,
+      snapshotHead(v).repartitionByRange(targetFiles, c: _*)
+        .sortWithinPartitions(c: _*),
+      operation = s"cluster[${cols.mkString(",")}]")
   }
 
   /** CHANGE DATA FEED over the commit log (Delta `readChangeFeed`):
@@ -1588,7 +1639,8 @@ final class IncrementalTable(
       .filter(col("__dv_file").isInCollection(touched))
       .filter(not(predTrue(pred)))
     val added = restageByDir(survivors)
-    commitFiles(added, touched.map(byRel), "delete", meta = Map("cdc" -> cdcNonce))
+    commitFiles(added, touched.map(byRel), "delete",
+      meta = Map("cdc" -> cdcNonce), readVersion = Some(v))
   }
 
   /** Copy-on-write UPDATE ... SET: `set` maps column name → new-value
@@ -1644,7 +1696,8 @@ final class IncrementalTable(
     validateConstraints(rewritten.drop("__dv_file", "__dv_pos"))
     val added = restageByDir(rewritten)
     val byRel = files(v).map(e => relKey(e) -> e).toMap
-    commitFiles(added, touched.map(byRel), "update", meta = Map("cdc" -> cdcNonce))
+    commitFiles(added, touched.map(byRel), "update",
+      meta = Map("cdc" -> cdcNonce), readVersion = Some(v))
   }
 
   /** Merge-on-read DELETE via deletion vectors: matching rows are
@@ -1816,9 +1869,10 @@ final class IncrementalTable(
 
   private def clusterZImpl(
       targetFiles: Int, bits: Int, equiDepth: Boolean, cols: Seq[String]): Long = {
-    val arranged = zArrange(snapshot(), targetFiles, bits, equiDepth, cols)
-    writeSnapshotImpl(arranged, operation = s"zorder[${cols.mkString(",")}]",
-      maxRetries = 20, validate = false)
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty table $path"))
+    val arranged = zArrange(snapshotHead(v), targetFiles, bits, equiDepth, cols)
+    rewriteHead(v, arranged, operation = s"zorder[${cols.mkString(",")}]")
   }
 
   /** `df` rearranged into `targetFiles` Morton-ordered shards — the
@@ -1949,7 +2003,7 @@ final class IncrementalTable(
       stage(slice.repartition(bins), dir)
     }
     commitFiles(added, byDir.values.flatten.map(_._1).toSet,
-      s"compact-small[<${minFileBytes >> 20}MiB]")
+      s"compact-small[<${minFileBytes >> 20}MiB]", readVersion = Some(v))
   }
 
   /** INCREMENTAL clustering (the liquid-clustering idea): z-order ONLY
@@ -1982,7 +2036,8 @@ final class IncrementalTable(
         val subset = snapshotOfFiles(v, fresh.toSet).get // DV-applied, logical
         val arranged = zArrange(subset, targetFiles, bits, equiDepth = false, cols)
         val added = stage(arranged)
-        commitFiles(added, fresh.toSet, s"zorder-inc[${cols.mkString(",")}]")
+        commitFiles(added, fresh.toSet, s"zorder-inc[${cols.mkString(",")}]",
+          readVersion = Some(v))
     }
   }
 

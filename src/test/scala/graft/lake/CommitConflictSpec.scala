@@ -63,6 +63,96 @@ class CommitConflictSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains(victim))
   }
 
+  test("a rewrite racing a deletion-vector commit fails loudly (no resurrection)") {
+    import org.apache.spark.sql.functions.col
+    val t = fresh()
+    (0 until 4).foreach(i => t.append(df((i.toLong, s"v$i"))))
+    val v0 = t.latestVersion.get
+    // the rewrite READS v0 (pre-DV) and stages — then the DV lands
+    val staged = t.stage(t.snapshotAt(v0).repartition(1))
+    assert(t.deleteVector(col("id") === 2L) === v0 + 1)
+    // committing the stale rewrite must fail loudly: its staged rows
+    // still contain id=2
+    val err = intercept[CommitConflictException](
+      t.commitFiles(staged, t.files(v0).toSet, "compact",
+        readVersion = Some(v0), dropMeta = Set("dv")))
+    assert(err.getMessage.contains("deletion vectors"))
+    assert(t.snapshot().filter("id = 2").count() === 0L,
+      "deleted row resurrected by a stale rewrite")
+    // the reverse order is already loud: a commit landing first makes
+    // deleteVector's un-rebased publish conflict
+    val staged2 = t.stage(t.snapshot().repartition(1))
+    val v2 = t.commitFiles(staged2, t.files(t.latestVersion.get).toSet,
+      "compact", readVersion = Some(t.latestVersion.get), dropMeta = Set("dv"))
+    assert(t.snapshot().filter("id = 2").count() === 0L)
+    assert(t.latestVersion.contains(v2))
+  }
+
+  test("compactSmall racing DV deletes: either order, deleted rows stay deleted") {
+    import org.apache.spark.sql.functions.col
+    val t = fresh()
+    (0 until 6).foreach(i => t.append(df((i.toLong, s"v$i"))))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def retry[A](f: => A): A = {
+      var out: Option[A] = None
+      var tries = 0
+      while (out.isEmpty)
+        try out = Some(f)
+        catch {
+          case _: CommitConflictException if tries < 10 => tries += 1
+          case e: Throwable => errors.add(e); throw e
+        }
+      out.get
+    }
+    val compactor = new Thread(() => {
+      val mine = new IncrementalTable(spark, t.path)
+      barrier.await()
+      // maintenance is idempotent: a loud DV conflict is re-run
+      retry(mine.compactSmall(minFileBytes = 1L << 30, targetFileBytes = 1L << 30))
+    })
+    val deleter = new Thread(() => {
+      val mine = new IncrementalTable(spark, t.path)
+      barrier.await()
+      // the DV protocol: a loser re-runs on fresh state
+      retry(mine.deleteVector(col("id").isin(1L, 3L)))
+    })
+    compactor.start(); deleter.start()
+    compactor.join(120000); deleter.join(120000)
+    assert(errors.isEmpty, s"unexpected failures: ${errors}")
+    val rows = t.snapshot().select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(rows === Seq(0L, 2L, 4L, 5L),
+      s"DV-vs-compaction race lost or resurrected rows: $rows")
+  }
+
+  test("compact racing appends keeps the racer's rows (maintenance commutes)") {
+    val t = fresh()
+    (0 until 5).foreach(i => t.append(df((i.toLong, s"v$i"))))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val compactor = new Thread(() => {
+      val mine = new IncrementalTable(spark, t.path)
+      barrier.await()
+      try mine.compact(targetFiles = 2)
+      catch { case e: Throwable => errors.add(e) }
+    })
+    val appender = new Thread(() => {
+      val mine = new IncrementalTable(spark, t.path)
+      barrier.await()
+      try (0 until 4).foreach(i => mine.append(df((100L + i, s"new$i"))))
+      catch { case e: Throwable => errors.add(e) }
+    })
+    compactor.start(); appender.start()
+    compactor.join(120000); appender.join(120000)
+    // no caller-visible conflicts, and EVERY row survives — the old
+    // full-list republish silently dropped appends that landed between
+    // compact's read and its commit
+    assert(errors.isEmpty, s"append-vs-compact must not surface conflicts: $errors")
+    val ids = t.snapshot().select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids === ((0L until 5L) ++ (100L until 104L)).sorted,
+      s"rows lost in append-vs-compact race: $ids")
+  }
+
   test("four concurrent appenders, no lost updates") {
     val t = fresh()
     val writers = 4

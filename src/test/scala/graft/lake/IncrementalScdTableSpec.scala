@@ -255,6 +255,28 @@ class IncrementalScdTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.compactBuckets(maxFilesPerBucket = 2) === None)
   }
 
+  test("compactBuckets honors deletion vectors: DV-deleted rows stay deleted") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("iscd_dv").toString
+    val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 2)
+    t.create(schema)
+    // fatten both buckets with several batches
+    t.applyScd(batch((1L to 12L).map(k => (k, s"v$k")): _*), at(1))
+    (2 to 6).foreach(d => t.applyScd(batch((1L, s"c$d"), (2L, s"d$d")), at(d)))
+    // merge-on-read delete of one key's rows — no file rewritten
+    t.table.deleteVector(col("k") === 3L)
+    val expect = t.snapshot().orderBy("k", "effective_from", "record_status")
+      .collect().toSeq
+    assert(t.snapshot().filter("k = 3").count() === 0L)
+    // compaction rewrites the fat buckets; the DV-deleted rows must not
+    // come back with them
+    assert(t.compactBuckets(maxFilesPerBucket = 2).isDefined)
+    assert(t.snapshot().filter("k = 3").count() === 0L,
+      "compactBuckets resurrected DV-deleted rows")
+    assert(t.snapshot().orderBy("k", "effective_from", "record_status")
+      .collect().toSeq === expect)
+  }
+
   test("vacuum drops files of expired versions but keeps the kept ones readable") {
     val dir = Files.createTempDirectory("iscd3").toString
     val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 4)
