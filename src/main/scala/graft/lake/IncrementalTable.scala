@@ -306,16 +306,32 @@ final class IncrementalTable(
     out.close()
     // rename-to-taken fails atomically on HDFS, but the local
     // ChecksumFileSystem implements it as CHECK-THEN-ACT (dest-exists
-    // test, then a POSIX rename that overwrites) — two same-JVM
-    // writers racing one version can both pass the check and the
-    // second silently clobbers the first: a lost update, the one
-    // outcome the commit protocol exists to prevent. Serialize the
-    // publish critical section per table within the JVM (the local[*]
-    // case); cross-process writers on a non-atomic filesystem keep
-    // the documented caveat that object stores need an external CAS
-    // (Delta on S3 ships a LogStore for exactly this reason).
+    // test, then a POSIX rename that overwrites) — racing writers on
+    // one version could both pass the check and the second silently
+    // clobbers the first: a lost update, the one outcome the commit
+    // protocol exists to prevent. Threads are serialized by the
+    // per-table JVM lock; for racing PROCESSES the local-fs publish
+    // uses link(2) — an atomic create-if-absent CAS the lock cannot
+    // provide across JVMs (pinned by CommitRaceSpec's two-process
+    // race). Object stores without atomic create still need an
+    // external CAS, same as Delta's S3 LogStore.
     IncrementalTable.publishLock(path).synchronized {
-      if (fs.exists(manifestPath(v)) || !fs.rename(tmp, manifestPath(v))) {
+      val dest = manifestPath(v)
+      val committed =
+        if (fs.getScheme == "file")
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dest.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            fs.delete(tmp, false)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: UnsupportedOperationException =>
+              !fs.exists(dest) && fs.rename(tmp, dest)
+          }
+        else !fs.exists(dest) && fs.rename(tmp, dest)
+      if (!committed) {
         fs.delete(tmp, false)
         throw new CommitConflictException(
           s"concurrent commit detected for version $v of $path")
