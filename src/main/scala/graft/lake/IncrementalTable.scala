@@ -258,9 +258,23 @@ final class IncrementalTable(
     * commit loops already hold it); without it the previous version is
     * reconstructed to compute the delta encoding.
     */
-  private[lake] def writeManifest(v: Long, operation: String, files: Seq[String],
-      meta: Map[String, String] = Map.empty,
+  private[lake] def writeManifest(v: Long, operation: String, files0: Seq[String],
+      meta0: Map[String, String] = Map.empty,
       prevFiles: Option[Seq[String]] = None): Unit = {
+    val files = files0
+    // stamp the version's required reader features (`rf`): KNOWN
+    // features re-derive from the state this commit actually publishes
+    // (so dropping the DV pointer drops its feature too); unknown
+    // (future) names carry through verbatim. Self-describing per
+    // version — time travel to a pre-feature version needs no feature
+    // support.
+    val carriedRf = meta0.get("rf").map(_.split(";").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val rf = IncrementalTable.readerFeaturesOf(meta0) ++
+      (carriedRf -- IncrementalTable.SupportedReaderFeatures)
+    val meta =
+      if (rf.isEmpty) meta0 - "rf"
+      else meta0 + ("rf" -> rf.toSeq.sorted.mkString(";"))
     require(!operation.contains("\"") && !operation.contains("\\"),
       s"illegal character in operation string: $operation")
     files.foreach(f => require(!f.contains("\"") && !f.contains("\\"),
@@ -579,7 +593,8 @@ final class IncrementalTable(
     * schema-aware variant of [[snapshotAt]], split out so maintenance
     * rewrites read the SAME version their commit later removes.
     */
-  private def snapshotHead(v: Long): DataFrame =
+  private def snapshotHead(v: Long): DataFrame = {
+    checkReaderFeatures(v)
     tableSchema match {
       case Some(s) =>
         val fls = files(v)
@@ -588,18 +603,49 @@ final class IncrementalTable(
           spark.read.schema(s).parquet(fls.map(f => dataPath(f).toString): _*), v), v)
       case None => snapshotAt(v)
     }
+  }
 
   def snapshotAt(v: Long): DataFrame = {
+    checkReaderFeatures(v)
     val fs = files(v)
     if (fs.isEmpty) emptyFrame(schemaAt(v).orElse(tableSchema), v)
     else logicalize(
       applyDv(spark.read.parquet(fs.map(f => dataPath(f).toString): _*), v), v)
   }
 
+  /** Reader features version `v` requires — the Delta
+    * minReaderVersion/table-features idea at manifest granularity.
+    * Stored explicitly in the manifest (`rf` meta, written by every
+    * commit whose state needs one); for pre-gate tables the set is
+    * DERIVED from the meta keys themselves, so old tables gate
+    * identically without a rewrite.
+    */
+  def readerFeaturesAt(v: Long): Set[String] = {
+    val m = metaAt(v)
+    m.get("rf").map(_.split(";").filter(_.nonEmpty).toSet)
+      .getOrElse(IncrementalTable.readerFeaturesOf(m))
+  }
+
+  /** Refuse to read data of a version requiring a feature this library
+    * does not implement — misreading (resurrected rows, stale column
+    * names) is the alternative. Every data-read entry point calls
+    * this; file-list/meta reads stay allowed (they are how upgrades
+    * and forensics happen).
+    */
+  private def checkReaderFeatures(v: Long): Unit = {
+    val unknown = readerFeaturesAt(v) -- IncrementalTable.SupportedReaderFeatures
+    if (unknown.nonEmpty)
+      throw new IllegalStateException(
+        s"version $v of $path requires reader feature(s) " +
+          s"${unknown.toSeq.sorted.mkString(", ")} that this graft version " +
+          "does not support — upgrade the reader (refusing to misread)")
+  }
+
   /** Only the files matching `pred` — file-level pruning from the
     * manifest, no directory listing, no partition discovery.
     */
   def snapshotOfFiles(v: Long, pred: String => Boolean): Option[DataFrame] = {
+    checkReaderFeatures(v)
     val picked = files(v).filter(pred)
     if (picked.isEmpty) None
     else Some(logicalize(applyDv(
@@ -621,6 +667,7 @@ final class IncrementalTable(
 
   private def scanImpl(
       v: Long, filters: Seq[Column], schema: Option[StructType]): DataFrame = {
+    checkReaderFeatures(v)
     val all = files(v)
     if (all.isEmpty)
       return filters.foldLeft(
@@ -1203,6 +1250,18 @@ final class IncrementalTable(
               "the new vectors and committing would resurrect deleted " +
               "rows; re-run on fresh state")
       }
+      // writer gate: committing over a version whose features we don't
+      // implement could silently violate whatever invariant the
+      // feature maintains — refuse, like a Delta writer below the
+      // table's minWriterVersion
+      val unknownRf = baseMeta.get("rf")
+        .map(_.split(";").filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String]) -- IncrementalTable.SupportedReaderFeatures
+      if (unknownRf.nonEmpty)
+        throw new IllegalStateException(
+          s"cannot commit to $path: current version requires feature(s) " +
+            s"${unknownRf.toSeq.sorted.mkString(", ")} that this graft " +
+            "version does not support — upgrade before writing")
       val v = base.map(_ + 1).getOrElse(0L)
       try {
         // deletion vectors survive appends/merges: carry the base's dv
@@ -1212,7 +1271,8 @@ final class IncrementalTable(
         // writeSnapshot too — they are table properties, not data
         // state).
         val carry = Seq("dv", "constraints", "bloom", "colmap", "coldrop",
-          "writeorder", "gencol").flatMap(k => baseMeta.get(k).map(k -> _)).toMap
+          "writeorder", "gencol", "rf")
+          .flatMap(k => baseMeta.get(k).map(k -> _)).toMap
         writeManifest(v, operation, prev.filterNot(removed) ++ added,
           (carry -- dropMeta) ++ meta ++
             schemaMetaFor(base, schema.map(physicalizeSchema)),
@@ -1399,6 +1459,7 @@ final class IncrementalTable(
   def changes(fromV: Long, toV: Long): DataFrame = {
     require(fromV >= -1 && toV >= fromV, s"bad change range $fromV..$toV")
     require(versionExists(toV), s"version $toV does not exist at $path")
+    checkReaderFeatures(toV)
     var prev: Set[String] =
       if (fromV < 0) Set.empty
       else {
@@ -1582,6 +1643,7 @@ final class IncrementalTable(
   private def dmlCandidates(
       v: Long, pred: Column, alias: Option[String]): (Seq[String], DataFrame) = {
     import org.apache.spark.sql.functions.col
+    checkReaderFeatures(v)
     val cand = prunedFiles(files(v), Seq(pred))
     if (cand.isEmpty) return (cand, null)
     val reader = tableSchema.map(spark.read.schema).getOrElse(spark.read)
@@ -2176,6 +2238,27 @@ object IncrementalTable {
     * checkpoint interval to 10 for the same reason).
     */
   private[lake] val CheckpointInterval = 10L
+
+  /** Reader features this library implements. A manifest demanding
+    * anything outside this set makes every data read refuse loudly —
+    * the generic gate future format features register under (Delta's
+    * table-features list serves the same role).
+    */
+  val SupportedReaderFeatures: Set[String] =
+    Set("column-mapping", "deletion-vectors")
+
+  /** The reader features a manifest's meta DEMANDS: column mapping
+    * (files carry physical names a reader must remap) and deletion
+    * vectors (a reader must subtract them). Used to stamp `rf` at
+    * commit time and to derive the set for pre-gate manifests.
+    */
+  private[lake] def readerFeaturesOf(meta: Map[String, String]): Set[String] = {
+    val colmap = meta.get("colmap").exists(_.nonEmpty) ||
+      meta.get("coldrop").exists(_.nonEmpty)
+    val dv = meta.get("dv").exists(_.nonEmpty)
+    (if (colmap) Set("column-mapping") else Set.empty[String]) ++
+      (if (dv) Set("deletion-vectors") else Set.empty[String])
+  }
 
   /** One row per referenced data file — the whole checkpoint. */
   private[lake] val CheckpointSchema: org.apache.parquet.schema.MessageType =

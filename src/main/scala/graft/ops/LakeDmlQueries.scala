@@ -91,17 +91,44 @@ object LakeDmlQueries {
     * inserts come from the manifest file deltas, the delete from its
     * CDC sidecar, each tagged with its commit version.
     */
-  def lakeCdfFeed(spark: SparkSession, dir: String): DataFrame = {
+  /** The two-appends-plus-delete table behind BOTH CDF queries. */
+  private def cdfTable(spark: SparkSession, dir: String): IncrementalTable = {
     val supplier = Tables.load(spark, dir, "supplier")
       .select("s_suppkey", "s_name", "s_nationkey")
     val split = supplier.agg(floor(max(col("s_suppkey")) / 2.0).cast("long"))
       .head().getLong(0)
-    val t = cached(spark, dir, "supplier", "cdf", "delete") { t =>
+    cached(spark, dir, "supplier", "cdf", "delete") { t =>
       t.append(supplier.filter(col("s_suppkey") <= split))
       t.append(supplier.filter(col("s_suppkey") > split))
       t.deleteWhere(col("s_nationkey") === 3)
     }
-    t.changes(-1L, 2L)
+  }
+
+  def lakeCdfFeed(spark: SparkSession, dir: String): DataFrame =
+    cdfTable(spark, dir).changes(-1L, 2L)
+      .select("s_suppkey", "s_name", "_change_type", "_commit_version")
+      .orderBy("_commit_version", "s_suppkey", "_change_type")
+
+  /** The SAME change feed, delivered through STRUCTURED STREAMING: a
+    * `readChangeFeed=true` micro-batch stream drained with
+    * `Trigger.AvailableNow` into an in-memory sink — one oracled query
+    * covering the full DSv2 stream path (version offsets, per-commit
+    * batches, CDC sidecar reads) against the identical DuckDB replay
+    * as the batch feed.
+    */
+  def lakeCdfStream(spark: SparkSession, dir: String): DataFrame = {
+    val t = cdfTable(spark, dir)
+    val sink = "graft_cdf_stream_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .load(t.path)
+      .writeStream.format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000), "cdf stream did not drain")
+    finally q.stop()
+    spark.table(sink)
       .select("s_suppkey", "s_name", "_change_type", "_commit_version")
       .orderBy("_commit_version", "s_suppkey", "_change_type")
   }
@@ -123,7 +150,26 @@ object LakeDmlQueries {
     "lake_dv_scan" -> lakeDvScan _,
     "lake_update_scan" -> lakeUpdateScan _,
     "lake_cdf_feed" -> lakeCdfFeed _,
+    "lake_cdf_stream" -> lakeCdfStream _,
     "lake_restore_scan" -> lakeRestoreScan _)
+
+  /** The streaming drain replays the batch feed bit-for-bit, so the
+    * two queries share one oracle body.
+    */
+  private val cdfOracleSql =
+    """WITH split AS (
+      |  SELECT CAST(floor(max(s_suppkey) / 2.0) AS BIGINT) AS k FROM supplier)
+      |SELECT s_suppkey, s_name, _change_type, _commit_version FROM (
+      |  SELECT s_suppkey, s_name, 'insert' AS _change_type,
+      |         CAST(0 AS BIGINT) AS _commit_version
+      |  FROM supplier WHERE s_suppkey <= (SELECT k FROM split)
+      |  UNION ALL
+      |  SELECT s_suppkey, s_name, 'insert', CAST(1 AS BIGINT)
+      |  FROM supplier WHERE s_suppkey > (SELECT k FROM split)
+      |  UNION ALL
+      |  SELECT s_suppkey, s_name, 'delete', CAST(2 AS BIGINT)
+      |  FROM supplier WHERE s_nationkey = 3)
+      |ORDER BY _commit_version, s_suppkey, _change_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "lake_delete_scan" ->
@@ -139,20 +185,8 @@ object LakeDmlQueries {
         |       CASE WHEN c_nationkey < 5 THEN c_acctbal + 1000.0
         |            ELSE c_acctbal END AS c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
-    "lake_cdf_feed" ->
-      """WITH split AS (
-        |  SELECT CAST(floor(max(s_suppkey) / 2.0) AS BIGINT) AS k FROM supplier)
-        |SELECT s_suppkey, s_name, _change_type, _commit_version FROM (
-        |  SELECT s_suppkey, s_name, 'insert' AS _change_type,
-        |         CAST(0 AS BIGINT) AS _commit_version
-        |  FROM supplier WHERE s_suppkey <= (SELECT k FROM split)
-        |  UNION ALL
-        |  SELECT s_suppkey, s_name, 'insert', CAST(1 AS BIGINT)
-        |  FROM supplier WHERE s_suppkey > (SELECT k FROM split)
-        |  UNION ALL
-        |  SELECT s_suppkey, s_name, 'delete', CAST(2 AS BIGINT)
-        |  FROM supplier WHERE s_nationkey = 3)
-        |ORDER BY _commit_version, s_suppkey, _change_type""".stripMargin,
+    "lake_cdf_feed" -> cdfOracleSql,
+    "lake_cdf_stream" -> cdfOracleSql,
     "lake_restore_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")
 }

@@ -256,32 +256,40 @@ private[sources] class GraftVersionedParquet extends ParquetDataSourceV2 {
       }
       if (incremental) {
         val v = resolve(inc.latestVersion, inc.versionExists, inc.versionAsOfTimestamp)
-        // Column mapping can't be applied through a bare path list
-        // either — the files carry PHYSICAL names, and serving them
-        // unmapped would silently show renamed/dropped columns under
-        // stale names. Refuse, like a Delta reader that doesn't speak
-        // the table's protocol feature.
-        if (inc.colMapAt(v).nonEmpty || inc.droppedColsAt(v).nonEmpty)
+        // GENERIC feature gate: a bare path list can apply NO reader
+        // feature — column mapping would show stale names, deletion
+        // vectors would resurrect deleted rows, and a future feature
+        // could do anything. Every feature the version demands must be
+        // either explicitly waived by an option or refused loudly with
+        // its own remediation (Delta readers below a table's protocol
+        // refuse the same way).
+        val waived: Set[String] =
+          if (java.lang.Boolean.parseBoolean(map.get("ignoreDeletionVectors")) ||
+              java.lang.Boolean.parseBoolean(map.get("ignoreChanges")) ||
+              java.lang.Boolean.parseBoolean(map.get("readChangeFeed")))
+            Set("deletion-vectors")
+          else Set.empty
+        val blocked = inc.readerFeaturesAt(v) -- waived
+        if (blocked.nonEmpty) {
+          val why = blocked.toSeq.sorted.map {
+            case "column-mapping" =>
+              "uses column mapping (renamed or dropped columns), which " +
+                "path-level reads cannot apply. Read via " +
+                "IncrementalTable.snapshot()/scan(), or run " +
+                "OPTIMIZE/compact() to materialize the mapping into the files"
+            case "deletion-vectors" =>
+              "carries deletion vectors, which path-level reads cannot " +
+                "apply. Run OPTIMIZE to materialize them, read via " +
+                "IncrementalTable.snapshot()/scan(), or set " +
+                "option(\"ignoreDeletionVectors\", \"true\") to knowingly " +
+                "include deleted rows"
+            case f =>
+              s"requires reader feature '$f' that this graft version does " +
+                "not support — upgrade the reader"
+          }
           throw new IllegalStateException(
-            s"graft: version $v of $root uses column mapping (renamed or " +
-              "dropped columns), which path-level reads cannot apply. " +
-              "Read via IncrementalTable.snapshot()/scan(), or run " +
-              "OPTIMIZE/compact() to materialize the mapping into the files")
-        // Deletion vectors can't be applied through a bare path list —
-        // serving the raw files would resurrect deleted rows, so fail
-        // loudly instead (Delta clients without DV support do the
-        // same). OPTIMIZE materializes the vectors away;
-        // IncrementalTable.snapshot()/scan() apply them natively.
-        if (inc.metaAt(v).contains("dv") &&
-            !java.lang.Boolean.parseBoolean(map.get("ignoreDeletionVectors")) &&
-            !java.lang.Boolean.parseBoolean(map.get("ignoreChanges")) &&
-            !java.lang.Boolean.parseBoolean(map.get("readChangeFeed")))
-          throw new IllegalStateException(
-            s"graft: version $v of $root carries deletion vectors, which " +
-              "path-level reads cannot apply. Run OPTIMIZE to materialize " +
-              "them, read via IncrementalTable.snapshot()/scan(), or set " +
-              "option(\"ignoreDeletionVectors\", \"true\") to knowingly " +
-              "include deleted rows")
+            s"graft: version $v of $root " + why.mkString("; and "))
+        }
         // optional stats-based file skipping: option("skipWhere", "<sql
         // predicate>") prunes by footer min/max BEFORE the scan. The
         // option is a pruning hint only — apply the same predicate via
