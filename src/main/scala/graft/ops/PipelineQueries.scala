@@ -105,6 +105,55 @@ object PipelineQueries {
       .select("doc_id", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Dataset MIXTURE — the mixing step every multi-source training
+    * corpus runs: each source gets a target sampling rate (derived
+    * here from its numeric suffix, standing in for the mixture-weights
+    * config a real pipeline carries), rows are kept by the SAME
+    * deterministic 60-bit key hash as [[Sampling.byHash]], and the
+    * result rolls up per-source document and token counts. A pure
+    * narrow filter plus one partial aggregation: no RNG state to
+    * coordinate, retry-stable at 1000 executors, and the mixture is
+    * reproducible row-for-row in ANSI SQL.
+    */
+  def mixSources(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val weights = (0 until 20).map(i => s"src$i" -> (i % 5 + 1) / 5.0).toMap
+    Sampling.stratifiedByHash(docs, "doc_id", "source", weights)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy("source")
+  }
+
+  /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * local-fingerprinting scheme): hash every character k-gram of the
+    * canonicalized text (rolling window of k), then keep the MINIMUM
+    * hash of each w-hash window — a position-robust fingerprint set
+    * whose density is ~2/(w+1) regardless of document length,
+    * guaranteeing any shared substring of length ≥ w+k−1 yields a
+    * shared fingerprint. Emitted exploded (doc_id, fp) so overlap
+    * detection is a plain self-join on fp. Everything is Catalyst
+    * higher-order functions over the text column — per-partition
+    * column arithmetic, no UDF, no shuffle before the final sort.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8  // k-gram width (characters)
+    val w = 16 // winnowing window (hashes)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("__canon"))
+      .filter(length(col("__canon")) >= k)
+      .withColumn("__hashes", expr(
+        s"""transform(sequence(1, length(__canon) - ${k - 1}),
+           |  i -> cast(conv(substr(md5(substr(__canon, i, $k)), 1, 8), 16, 10)
+           |            as bigint))""".stripMargin))
+      .withColumn("fp", explode(array_distinct(expr(
+        s"""transform(sequence(1, greatest(size(__hashes) - ${w - 1}, 1)),
+           |  j -> array_min(slice(__hashes, j, $w)))""".stripMargin))))
+      .select("doc_id", "fp")
+      .orderBy("doc_id", "fp")
+  }
+
   /** PII redaction pass (see [[TextFunctions.scrubPii]]): per-doc
     * redaction counts + a hash of the scrubbed text (the oracle replays
     * the same regex chain, so the scrub itself is hash-verified).
@@ -677,6 +726,32 @@ object PipelineQueries {
          |WHERE CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
          |      < ${(0.2 * Sampling.HashSpace).toLong}
          |ORDER BY doc_id""".stripMargin,
+    "mix_sources" ->
+      raw"""WITH rated AS (
+           |  SELECT *, (1 + (CAST(substr(source, 4) AS INT) % 5)) / 5.0 AS rate
+           |  FROM documents)
+           |SELECT source, count(*) AS n_docs,
+           |       SUM(CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS BIGINT)) AS n_tokens
+           |FROM rated
+           |WHERE CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           |      < CAST(rate * ${Sampling.HashSpace}.0 AS BIGINT)
+           |GROUP BY source ORDER BY source""".stripMargin,
+    "winnow_fingerprints" ->
+      raw"""WITH c AS (
+           |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS canon
+           |  FROM documents),
+           |h AS (
+           |  SELECT doc_id,
+           |         list_transform(range(1, greatest(len(canon) - 7, 0) + 1),
+           |           i -> CAST('0x' || substr(md5(canon[i : i + 7]), 1, 8) AS BIGINT)) AS hashes
+           |  FROM c WHERE len(canon) >= 8),
+           |m AS (
+           |  SELECT doc_id,
+           |         list_distinct(list_transform(range(1, greatest(len(hashes) - 15, 1) + 1),
+           |           j -> list_min(hashes[j : j + 15]))) AS fps
+           |  FROM h)
+           |SELECT doc_id, unnest(fps) AS fp FROM m
+           |ORDER BY doc_id, fp""".stripMargin,
     "pack_sequences" ->
       raw"""WITH t AS (
            |  SELECT doc_id, source,
@@ -1208,6 +1283,8 @@ object PipelineQueries {
     "pack_sequences" -> packSequences _,
     "decontaminate" -> decontaminate _,
     "sample_documents" -> sampleDocuments _,
+    "mix_sources" -> mixSources _,
+    "winnow_fingerprints" -> winnowFingerprints _,
     "pii_scrub" -> piiScrub _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,

@@ -50,6 +50,28 @@ class ProtocolGateSpec extends AnyFunSuite with SparkSpec {
       .load(t.path).count() === 1L)
   }
 
+  test("the streaming path refuses an unknown feature through the same gate") {
+    val t = fresh()
+    t.append(df((1L, "a")))
+    t.commitFiles(Seq.empty, Set.empty, "future-feature",
+      meta = Map("rf" -> "time-crystals"))
+    // the refusal may surface at stream LOAD (schema resolution goes
+    // through the gated batch connector) or at the first micro-batch
+    // (GraftMicroBatchStream's own gate) — either way, loudly
+    val err = intercept[Exception] {
+      val q = spark.readStream.format("graft").load(t.path)
+        .writeStream.format("memory")
+        .queryName("gate_stream_" + java.util.UUID.randomUUID().toString.take(8))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(err).exists(_.contains("time-crystals")),
+      s"stream must refuse the unknown feature: ${messages(err)}")
+  }
+
   test("known features stamp rf automatically and clear when their state clears") {
     import org.apache.spark.sql.functions.col
     val t = fresh()
