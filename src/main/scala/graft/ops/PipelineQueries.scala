@@ -139,18 +139,22 @@ object PipelineQueries {
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val k = 8  // k-gram width (characters)
     val w = 16 // winnowing window (hashes)
+    // One codegen'd scalar call per document (see [[WinnowFpsExpr]]):
+    // the row-local O(n) deque beats every relational formulation
+    // measured here — window-min + DISTINCT pays WindowExec's
+    // interpreted O(n·w) frame re-evaluation (~3.2 s at sf0.1),
+    // `transform` lambdas evaluate interpreted (~3.9 s), the n·w
+    // membership explode pays a 22M-row aggregate (~5.6 s); this is
+    // ~0.3 s. The repartition spreads the per-doc work beyond the
+    // corpus's few input splits; distinct-ing happens inside the call.
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("__canon"))
       .filter(length(col("__canon")) >= k)
-      .withColumn("__hashes", expr(
-        s"""transform(sequence(1, length(__canon) - ${k - 1}),
-           |  i -> cast(conv(substr(md5(substr(__canon, i, $k)), 1, 8), 16, 10)
-           |            as bigint))""".stripMargin))
-      .withColumn("fp", explode(array_distinct(expr(
-        s"""transform(sequence(1, greatest(size(__hashes) - ${w - 1}, 1)),
-           |  j -> array_min(slice(__hashes, j, $w)))""".stripMargin))))
-      .select("doc_id", "fp")
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graftexpr.WinnowFpsExpr.column(col("__canon"), k, w))
+        .as("fp"))
       .orderBy("doc_id", "fp")
   }
 
