@@ -67,15 +67,25 @@ final class IncrementalScdTable(
     out.write(schema.json.getBytes(StandardCharsets.UTF_8))
     out.close()
     identityCol.foreach { c =>
+      // the name is interpolated into the config JSON — the same
+      // structural-character rule the manifest meta enforces
+      require(IncrementalTable.saneColumnName(c) && !c.contains("'"),
+        s"illegal identity column name: $c")
       val out2 = fs.create(identityFile, true)
       out2.write(
         s"""{"col":"$c","start":$identityStart,"step":$identityStep}"""
           .getBytes(StandardCharsets.UTF_8))
       out2.close()
+      identityCache = Some(Some((c, identityStart, identityStep)))
     }
   }
 
   private val identityFile = new Path(path, "_identity.json")
+
+  // the config file is immutable once written — cache the parse. An
+  // ABSENT file is cached only once the table exists (pre-create reads
+  // must not pin "no identity" before create() decides).
+  @volatile private var identityCache: Option[Option[(String, Long, Long)]] = None
 
   /** Effective identity declaration (col, start, step): the persisted
     * table config wins — written once at [[create]], shared by every
@@ -83,15 +93,22 @@ final class IncrementalScdTable(
     * tables created before the config existed.
     */
   private def identityConfig: Option[(String, Long, Long)] =
-    if (fs.exists(identityFile)) {
-      val in = fs.open(identityFile)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val m = """"col":"([^"]+)","start":(-?\d+),"step":(\d+)""".r
-        .findFirstMatchIn(txt).getOrElse(throw new IllegalStateException(
-          s"corrupt identity config at $identityFile"))
-      Some((m.group(1), m.group(2).toLong, m.group(3).toLong))
-    } else identityCol.map(c => (c, identityStart, identityStep))
+    identityCache match {
+      case Some(v) => v
+      case None =>
+        val v =
+          if (fs.exists(identityFile)) {
+            val in = fs.open(identityFile)
+            val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            val m = """"col":"([^"]+)","start":(-?\d+),"step":(\d+)""".r
+              .findFirstMatchIn(txt).getOrElse(throw new IllegalStateException(
+                s"corrupt identity config at $identityFile"))
+            Some((m.group(1), m.group(2).toLong, m.group(3).toLong))
+          } else identityCol.map(c => (c, identityStart, identityStep))
+        if (v.isDefined || exists) identityCache = Some(v)
+        v
+    }
 
   private def storedSchema: StructType = {
     val in = fs.open(schemaFile)
@@ -236,6 +253,9 @@ final class IncrementalScdTable(
               schema = dataSchema, readVersion = baseV)
             committed = true
           } catch {
+            // a DV moved under the merge: NOT retryable with this
+            // staged slice — rethrow immediately, the caller re-runs
+            case e: StaleRewriteException => throw e
             case e: CommitConflictException =>
               if (attempt >= 20) throw e
               attempt += 1
@@ -261,21 +281,38 @@ final class IncrementalScdTable(
       d.startsWith("__bucket=") && fls.size > maxFilesPerBucket
     }
     if (fat.isEmpty) return None
-    // per-bucket DV-APPLIED slices (snapshotOfFiles subtracts deletion
-    // vectors — a raw parquet read here would resurrect DV-deleted
-    // rows when their file is rewritten), restaged into the bucket's
-    // own subdirectory so file-level bucket pruning is preserved
-    var sliceSchema: StructType = null
-    val added = fat.toSeq.sortBy(_._1).flatMap { case (dir, members) =>
-      val names = members.toSet
-      val slice = table.snapshotOfFiles(latest, names).get
-      sliceSchema = slice.schema
-      table.stage(slice.coalesce(1), dir)
-    }
     val removed = fat.values.flatten.toSet
-    Some(table.commitFiles(added, removed,
-      s"compact_buckets[${fat.size} buckets]",
-      schema = Some(sliceSchema), readVersion = Some(latest)))
+    val hasDv = table.metaAt(latest).contains("dv")
+    if (!hasDv) {
+      // common case: ONE partitioned write stages every fat bucket's
+      // next state (basePath keeps __bucket as a partition column, so
+      // rows land back in their buckets without recomputing hashes)
+      val dataDir = new Path(path, "data")
+      val slice = spark.read
+        .option("basePath", dataDir.toString)
+        .parquet(removed.toSeq.map(f => new Path(dataDir, f).toString): _*)
+        .repartition(fat.size, col("__bucket"))
+      val added = table.stagePartitioned(slice, "__bucket")
+      Some(table.commitFiles(added, removed,
+        s"compact_buckets[${fat.size} buckets]",
+        schema = Some(slice.drop("__bucket").schema), readVersion = Some(latest)))
+    } else {
+      // deletion vectors present: restage per-bucket DV-APPLIED slices
+      // (snapshotOfFiles subtracts the vectors — the raw basePath read
+      // above would resurrect DV-deleted rows when their file is
+      // rewritten); one job per fat bucket, acceptable because DVs on
+      // fat buckets are the rare interleaving
+      var sliceSchema: StructType = null
+      val added = fat.toSeq.sortBy(_._1).flatMap { case (dir, members) =>
+        val names = members.toSet
+        val slice = table.snapshotOfFiles(latest, names).get
+        sliceSchema = slice.schema
+        table.stage(slice.coalesce(1), dir)
+      }
+      Some(table.commitFiles(added, removed,
+        s"compact_buckets[${fat.size} buckets]",
+        schema = Some(sliceSchema), readVersion = Some(latest)))
+    }
   }
 
   /** Fill NULL `idCol` values with fresh identity values: DENSE from

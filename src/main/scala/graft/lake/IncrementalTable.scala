@@ -12,7 +12,14 @@ import org.apache.spark.sql.types._
   * `maxRetries`; rewriting commits surface it for the caller to re-run
   * on fresh state.
   */
-final class CommitConflictException(msg: String) extends RuntimeException(msg)
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** A rewrite's staged rows pre-date a racing deletion-vector commit —
+  * NOT retryable with the same staged data (retrying would republish
+  * the resurrection); callers' retry loops must rethrow this and
+  * re-run the whole rewrite on fresh state.
+  */
+final class StaleRewriteException(msg: String) extends CommitConflictException(msg)
 
 /** File-level incremental commits — the evolution of
   * [[VersionedTable]]'s full-snapshot model that survives 100 TB:
@@ -341,7 +348,10 @@ final class IncrementalTable(
             true
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => false
-            case _: UnsupportedOperationException =>
+            // mounts without hard links (FAT/FUSE/some NFS) degrade to
+            // the lock+rename publish — still atomic per JVM, with the
+            // cross-process caveat those mounts always had
+            case _: UnsupportedOperationException | _: java.io.IOException =>
               !fs.exists(dest) && fs.rename(tmp, dest)
           }
         else !fs.exists(dest) && fs.rename(tmp, dest)
@@ -639,6 +649,23 @@ final class IncrementalTable(
         s"version $v of $path requires reader feature(s) " +
           s"${unknown.toSeq.sorted.mkString(", ")} that this graft version " +
           "does not support — upgrade the reader (refusing to misread)")
+  }
+
+  /** Writer gate: committing over a version whose features we don't
+    * implement could silently violate whatever invariant the feature
+    * maintains — refuse, like a Delta writer below the table's
+    * minWriterVersion. EVERY manifest-publishing path must pass
+    * through this with its base version's meta.
+    */
+  private def checkWriterFeatures(baseMeta: Map[String, String]): Unit = {
+    val unknownRf = baseMeta.get("rf")
+      .map(_.split(";").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String]) -- IncrementalTable.SupportedReaderFeatures
+    if (unknownRf.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot commit to $path: current version requires feature(s) " +
+          s"${unknownRf.toSeq.sorted.mkString(", ")} that this graft " +
+          "version does not support — upgrade before writing")
   }
 
   /** Only the files matching `pred` — file-level pruning from the
@@ -1244,24 +1271,13 @@ final class IncrementalTable(
       // retrying cannot fix stale data.
       readVersion.foreach { rv =>
         if (baseMeta.get("dv") != metaAt(rv).get("dv"))
-          throw new CommitConflictException(
+          throw new StaleRewriteException(
             s"commit of $path conflicts: deletion vectors changed since " +
               s"this rewrite read version $rv — its staged rows pre-date " +
               "the new vectors and committing would resurrect deleted " +
               "rows; re-run on fresh state")
       }
-      // writer gate: committing over a version whose features we don't
-      // implement could silently violate whatever invariant the
-      // feature maintains — refuse, like a Delta writer below the
-      // table's minWriterVersion
-      val unknownRf = baseMeta.get("rf")
-        .map(_.split(";").filter(_.nonEmpty).toSet)
-        .getOrElse(Set.empty[String]) -- IncrementalTable.SupportedReaderFeatures
-      if (unknownRf.nonEmpty)
-        throw new IllegalStateException(
-          s"cannot commit to $path: current version requires feature(s) " +
-            s"${unknownRf.toSeq.sorted.mkString(", ")} that this graft " +
-            "version does not support — upgrade before writing")
+      checkWriterFeatures(baseMeta)
       val v = base.map(_ + 1).getOrElse(0L)
       try {
         // deletion vectors survive appends/merges: carry the base's dv
@@ -1303,9 +1319,11 @@ final class IncrementalTable(
     var attempt = 0
     while (true) {
       val base = latestVersion
+      val baseMeta = base.map(metaAt).getOrElse(Map.empty)
+      checkWriterFeatures(baseMeta)
       val v = base.map(_ + 1).getOrElse(0L)
       try {
-        val consCarry = base.map(metaAt).getOrElse(Map.empty)
+        val consCarry = baseMeta
           .filter { case (k, _) => Set("constraints", "bloom", "colmap",
             "coldrop", "writeorder", "gencol").contains(k) }
         writeManifest(v, operation, added,
@@ -1368,6 +1386,7 @@ final class IncrementalTable(
     */
   def materializeColumnMapping(targetFiles: Int = 1): Long = {
     val readV = latestVersion
+    readV.foreach(v => checkWriterFeatures(metaAt(v)))
     val df = snapshot() // logical view, DVs applied
     val added = stage(df.repartition(targetFiles), remap = false)
     // bloom config is keyed by physical names — follow them to their
@@ -1469,6 +1488,10 @@ final class IncrementalTable(
       }
     import org.apache.spark.sql.functions.lit
     val frames = ((fromV + 1) to toV).flatMap { v =>
+      // gate EVERY delivered version, not just the range end: a
+      // feature-bearing v materialized away by toV would otherwise
+      // slip its raw files into the feed ungated
+      checkReaderFeatures(v)
       val now = files(v)
       val cdc = metaAt(v).get("cdc")
       val removed = prev -- now
@@ -1849,6 +1872,10 @@ final class IncrementalTable(
     require(!src.files(v).exists(f => relKey(f).startsWith("__bucket=")),
       s"shallow clone of a bucketed (SCD) table is unsupported: compact " +
         s"${src.path} into a plain layout first")
+    // a clone must not LAUNDER a feature gate: cloning a version whose
+    // features we don't implement would publish its data files under a
+    // clone manifest with no stamp, making every reader misread
+    src.checkReaderFeatures(v)
     val entries = src.files(v).map { e =>
       if (e.startsWith("ext:")) e // clone of a clone: keep the original refs
       else "ext:" + src.fs.makeQualified(new Path(src.dataDir, e)).toString
@@ -1863,9 +1890,13 @@ final class IncrementalTable(
           false, spark.sparkContext.hadoopConfiguration)
         Map("dv" -> nonce)
     }
-    val consMeta = srcMeta.get("constraints").map("constraints" -> _).toMap
+    // constraints AND the read-semantics meta must carry: without the
+    // column mapping / generated-column declarations the clone would
+    // silently serve the source's PHYSICAL names and skip backfills
+    val carryMeta = Seq("constraints", "colmap", "coldrop", "gencol")
+      .flatMap(k => srcMeta.get(k).map(k -> _)).toMap
     writeManifest(0L, s"clone[v$v]", entries,
-      dvMeta ++ consMeta ++ schemaMetaFor(None, src.schemaAt(v)))
+      dvMeta ++ carryMeta ++ schemaMetaFor(None, src.schemaAt(v)))
     0L
   }
 
@@ -1890,8 +1921,10 @@ final class IncrementalTable(
     // data state (schema pointer, deletion vectors, column mapping)
     // rewinds to v; table PROPERTIES (constraints, bloom config) follow
     // the head — Delta's RESTORE split
+    // data state (incl. the feature stamp — restoring TO a
+    // feature-bearing version recreates its requirements verbatim)
     val carried = metaAt(v).filter { case (k, _) =>
-      Set("schema", "dv", "colmap", "coldrop").contains(k) } ++
+      Set("schema", "dv", "colmap", "coldrop", "rf").contains(k) } ++
       latestVersion.map(metaAt).getOrElse(Map.empty)
         .filter { case (k, _) =>
           Set("constraints", "bloom", "gencol", "writeorder").contains(k) }
@@ -1899,6 +1932,7 @@ final class IncrementalTable(
     while (true) {
       val base = latestVersion.getOrElse(-1L)
       if (base == v) return v // restoring to the head is a no-op
+      if (base >= 0) checkWriterFeatures(metaAt(base))
       try {
         writeManifest(base + 1, s"restore[$v]", target, carried)
         return base + 1

@@ -132,9 +132,10 @@ object PipelineQueries {
     * whose density is ~2/(w+1) regardless of document length,
     * guaranteeing any shared substring of length ≥ w+k−1 yields a
     * shared fingerprint. Emitted exploded (doc_id, fp) so overlap
-    * detection is a plain self-join on fp. Everything is Catalyst
-    * higher-order functions over the text column — per-partition
-    * column arithmetic, no UDF, no shuffle before the final sort.
+    * detection is a plain self-join on fp. The per-document winnow is
+    * ONE codegen'd scalar-expression call ([[WinnowFpsExpr]], O(n)
+    * deque) after a doc_id repartition that spreads the work beyond
+    * the corpus's input splits — no UDF, no window exchange.
     */
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val k = 8  // k-gram width (characters)

@@ -236,6 +236,21 @@ class GraftCatalog extends TableCatalog {
       .foreach(r => inc.validateRename(r.fieldNames().head, r.newName()))
     drops.filterNot(d => addNames(d.fieldNames().head))
       .foreach(d => inc.validateDrop(d.fieldNames().head))
+    // CUMULATIVE checks: the per-change validations above run against
+    // the pre-statement schema, so interactions between changes in one
+    // statement need their own pass (two drops each leaving "one other
+    // column", two renames onto one target)
+    val dropNames = drops.map(_.fieldNames().head)
+    require(dropNames.distinct.size == dropNames.size,
+      "graft: duplicate DROP COLUMN targets in one ALTER statement")
+    val renameTargets = renames.map(_.newName())
+    require(renameTargets.distinct.size == renameTargets.size,
+      "graft: two RENAME COLUMN changes share a target name")
+    if (drops.nonEmpty) {
+      val live = inc.logicalSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+      require((live.filterNot(dropNames.contains) ++ addNames).nonEmpty,
+        s"graft: statement would drop every column of $p")
+    }
     // `ALTER TABLE ... SET TBLPROPERTIES` drives the table configs:
     //   'graft.bloomColumns' = 'a,b'  -> bloom point-lookup index
     //   'graft.writeOrder'   = 'a,b'  -> write-time range clustering

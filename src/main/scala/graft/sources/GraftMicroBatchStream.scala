@@ -133,17 +133,21 @@ private[sources] final class GraftMicroBatchStream(
     val from = start.asInstanceOf[GraftVersionOffset].v
     val to = end.asInstanceOf[GraftVersionOffset].v
     if (to <= from || !table.versionExists(to)) return Array.empty
-    // generic feature gate first: a version demanding a feature this
+    // generic feature gate first, over EVERY version the batch spans
+    // (a mid-range feature version materialized away by `to` would
+    // otherwise slip through): a version demanding a feature this
     // library doesn't know could mean anything for the raw file
     // partitions below — refuse rather than misdeliver (the known
     // features get their own streaming-specific handling next)
-    val unknown = table.readerFeaturesAt(to) --
-      graft.lake.IncrementalTable.SupportedReaderFeatures
-    if (unknown.nonEmpty)
-      throw new IllegalStateException(
-        s"graft stream: version $to of ${info.path} requires reader " +
-          s"feature(s) ${unknown.toSeq.sorted.mkString(", ")} that this " +
-          "graft version does not support — upgrade the reader")
+    (math.max(from, -1L) + 1 to to).filter(table.versionExists).foreach { v =>
+      val unknown = table.readerFeaturesAt(v) --
+        graft.lake.IncrementalTable.SupportedReaderFeatures
+      if (unknown.nonEmpty)
+        throw new IllegalStateException(
+          s"graft stream: version $v of ${info.path} requires reader " +
+            s"feature(s) ${unknown.toSeq.sorted.mkString(", ")} that this " +
+            "graft version does not support — upgrade the reader")
+    }
     // column-mapped tables can't stream through raw file partitions —
     // the files carry PHYSICAL names and the reader would serve stale
     // columns (same protocol gate as the batch connector)

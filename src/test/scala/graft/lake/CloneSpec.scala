@@ -26,6 +26,19 @@ class CloneSpec extends AnyFunSuite with SparkSpec {
   private def ids(t: IncrementalTable): Set[Long] =
     t.snapshot().select("id").collect().map(_.getLong(0)).toSet
 
+  test("clone carries the column mapping: logical names, not physical") {
+    val (src, dst) = pair()
+    src.append(df((1L, "a"), (2L, "b")))
+    src.renameColumn("tag", "label") // metadata-only: files keep "tag"
+    dst.cloneFrom(src)
+    // the clone must serve the LOGICAL name — without the carried
+    // colmap it would silently show the physical one
+    assert(dst.snapshot().columns.toSeq === Seq("id", "label"))
+    assert(dst.snapshot().select("label").collect()
+      .map(_.getString(0)).toSet === Set("a", "b"))
+    assert(dst.readerFeaturesAt(0L) === Set("column-mapping"))
+  }
+
   test("clone reads the source state without copying a byte; lives independently") {
     val (src, dst) = pair()
     src.append(df((1L, "a"), (2L, "b")))

@@ -50,6 +50,38 @@ class ProtocolGateSpec extends AnyFunSuite with SparkSpec {
       .load(t.path).count() === 1L)
   }
 
+  test("every manifest-publishing path refuses to write over an unknown feature") {
+    val t = fresh()
+    t.append(df((1L, "a")))
+    t.commitFiles(Seq.empty, Set.empty, "future-feature",
+      meta = Map("rf" -> "time-crystals"))
+    // full-snapshot publish, compact, restore-over, clone-of: all must
+    // refuse rather than clobber (or launder) the feature
+    assertThrows[IllegalStateException](t.writeSnapshot(df((9L, "z"))))
+    assertThrows[IllegalStateException](t.compact(targetFiles = 1))
+    assertThrows[IllegalStateException](t.restore(0L))
+    val cloneDir = Files.createTempDirectory("protogate_clone_").toString + "/c"
+    assertThrows[IllegalStateException](
+      new IncrementalTable(spark, cloneDir).cloneFrom(t))
+    // nothing committed by the refusals
+    assert(t.latestVersion.contains(1L))
+  }
+
+  test("restore TO a feature version carries its requirement forward") {
+    val t = fresh()
+    t.append(df((1L, "a")))                                   // v0
+    t.commitFiles(Seq.empty, Set.empty, "future-feature",
+      meta = Map("rf" -> "time-crystals"))                    // v1
+    // a feature-AWARE writer clears it (simulated: plain full list)
+    t.writeManifest(2L, "feature-cleared", t.files(0L))       // v2
+    assert(t.readerFeaturesAt(2L) === Set.empty)
+    assert(t.snapshot().count() === 1L)
+    // restoring to v1 must re-stamp the requirement, not launder it
+    val rv = t.restore(1L)
+    assert(t.readerFeaturesAt(rv) === Set("time-crystals"))
+    assertThrows[IllegalStateException](t.snapshot().collect())
+  }
+
   test("the streaming path refuses an unknown feature through the same gate") {
     val t = fresh()
     t.append(df((1L, "a")))

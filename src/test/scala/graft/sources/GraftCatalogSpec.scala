@@ -141,6 +141,29 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(t.bloomColumns === Seq("k"))
   }
 
+  test("a multi-drop statement that would empty the table applies nothing") {
+    configure()
+    spark.sql("DROP TABLE IF EXISTS lake.two_cols")
+    spark.sql("CREATE TABLE lake.two_cols (a BIGINT, b STRING) USING graft")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "two_cols")
+    val t = new IncrementalTable(spark, s"$wh/two_cols")
+    val before = t.latestVersion
+    // each drop alone passes (the OTHER column still counts as
+    // remaining) — only the cumulative check can reject the pair
+    intercept[Exception] {
+      cat.alterTable(ident,
+        org.apache.spark.sql.connector.catalog.TableChange
+          .deleteColumn(Array("a"), false),
+        org.apache.spark.sql.connector.catalog.TableChange
+          .deleteColumn(Array("b"), false))
+    }
+    assert(t.latestVersion === before, "half the statement applied")
+    assert(t.logicalSchema.get.fieldNames.toSeq === Seq("a", "b"))
+  }
+
   test("missing tables throw; listTables sees only table directories") {
     configure()
     assertThrows[AnalysisException](spark.sql("SELECT * FROM lake.nope").collect())
