@@ -137,9 +137,9 @@ object PipelineQueries {
     * deque) after a doc_id repartition that spreads the work beyond
     * the corpus's input splits — no UDF, no window exchange.
     */
-  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val k = 8  // k-gram width (characters)
-    val w = 16 // winnowing window (hashes)
+  /** The (doc_id, fp) winnowing frame both winnow queries share. */
+  private def winnowFpsFrame(spark: SparkSession, dir: String,
+      k: Int = 8, w: Int = 16): DataFrame =
     // One codegen'd scalar call per document (see [[WinnowFpsExpr]]):
     // the row-local O(n) deque beats every relational formulation
     // measured here — window-min + DISTINCT pays WindowExec's
@@ -156,7 +156,38 @@ object PipelineQueries {
       .select(col("doc_id"), explode(
         org.apache.spark.sql.graftexpr.WinnowFpsExpr.column(col("__canon"), k, w))
         .as("fp"))
-      .orderBy("doc_id", "fp")
+
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowFpsFrame(spark, dir).orderBy("doc_id", "fp")
+
+  /** Near-duplicate detection OVER the winnowing fingerprints — the
+    * scheme's actual use: docs sharing ≥3 rare fingerprints with
+    * fingerprint-Jaccard ≥ 0.5 are near-dup pairs. The
+    * document-frequency cap (fp shared by 2..50 docs) is the hot-key
+    * guard: boilerplate fingerprints common to thousands of documents
+    * would otherwise quadratically explode the self-join, the same
+    * df-pruning `dedup_ngram_jaccard` applies to shingles. Every join
+    * is an equi-join on fp or doc_id; the pair list stays edge-sized.
+    */
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFpsFrame(spark, dir)
+    val nf = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 50)).select("fp")
+    val filtered = fps.join(rare, Seq("fp"), "left_semi")
+    val pairs = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(nf.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(nf.as("y"), col("doc_b") === col("y.doc_id"))
+      .filter(col("n_shared") >= 3 &&
+        col("n_shared") * lit(1.0) /
+          (col("x.n_fp") + col("y.n_fp") - col("n_shared")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** PII redaction pass (see [[TextFunctions.scrubPii]]): per-doc
@@ -757,6 +788,34 @@ object PipelineQueries {
            |  FROM h)
            |SELECT doc_id, unnest(fps) AS fp FROM m
            |ORDER BY doc_id, fp""".stripMargin,
+    "winnow_overlap" ->
+      raw"""WITH c AS (
+           |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS canon
+           |  FROM documents),
+           |h AS (
+           |  SELECT doc_id,
+           |         list_transform(range(1, greatest(len(canon) - 7, 0) + 1),
+           |           i -> CAST('0x' || substr(md5(canon[i : i + 7]), 1, 8) AS BIGINT)) AS hashes
+           |  FROM c WHERE len(canon) >= 8),
+           |m AS (
+           |  SELECT doc_id,
+           |         list_distinct(list_transform(range(1, greatest(len(hashes) - 15, 1) + 1),
+           |           j -> list_min(hashes[j : j + 15]))) AS fps
+           |  FROM h),
+           |fps AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+           |nf AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+           |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+           |  FROM fps a JOIN rare r ON a.fp = r.fp
+           |  JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+           |FROM pairs p JOIN nf x ON p.doc_a = x.doc_id
+           |JOIN nf y ON p.doc_b = y.doc_id
+           |WHERE n_shared >= 3
+           |  AND n_shared * 1.0 / (x.n_fp + y.n_fp - n_shared) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin,
     "pack_sequences" ->
       raw"""WITH t AS (
            |  SELECT doc_id, source,
@@ -1290,6 +1349,7 @@ object PipelineQueries {
     "sample_documents" -> sampleDocuments _,
     "mix_sources" -> mixSources _,
     "winnow_fingerprints" -> winnowFingerprints _,
+    "winnow_overlap" -> winnowOverlap _,
     "pii_scrub" -> piiScrub _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,

@@ -224,4 +224,17 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
       s"expected preserved left join:\n$p")
     assert(p.contains("partial_count"), s"expected partial aggregation:\n$p")
   }
+
+  test("winnow_overlap: fp equi-joins only, no nested loop, no interpreted lambda") {
+    val p = PipelineQueries.winnowOverlap(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the pair join must stay an fp equi-join (the df cap exists
+    // precisely so hot fingerprints can't force an all-pairs shape)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"winnow pair join degenerated to all-pairs:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"interpreted higher-order function in the winnow hot path:\n$p")
+    // partial aggregation on the shared-fp counts (map-side combine)
+    assert(p.contains("partial_count"), s"expected partial aggregation:\n$p")
+  }
 }
