@@ -315,36 +315,12 @@ final class IncrementalScdTable(
     }
   }
 
-  /** Fill NULL `idCol` values with fresh identity values: DENSE from
-    * the watermark in batch order — `start, start+step, …` on a fresh
-    * table — via per-partition offsets (one metadata-scale count pass
-    * over the already-checkpointed batch, no shuffle; Delta allocates
-    * identity/row-ids the same way). The local row index is recovered
-    * from `monotonically_increasing_id`'s documented layout
-    * (partitionId << 33 | rowIndexInPartition); the offsets ride a
-    * literal map keyed by partition id, so the whole allocation stays
-    * codegen'd column arithmetic. Rows that already carry an id keep
-    * it; their slots leave gaps, which the identity contract allows.
+  /** Dense watermark-based allocation — shared with the plain table's
+    * identity columns; see [[IncrementalTable.allocateIdentity]].
     */
   private def allocateIdentity(df: DataFrame, idCol: String,
-      watermark: Long, step: Long): DataFrame = {
-    val pid = spark_partition_id()
-    val localIdx = monotonically_increasing_id()
-      .bitwiseAND(lit((1L << 33) - 1))
-    val counts = df.groupBy(pid.as("__pid")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      counts.map { case (p, n) => val o = p -> acc; acc += n; o }.toMap
-    }
-    val offsetCol =
-      if (offsets.isEmpty) lit(0L)
-      else element_at(typedLit(offsets), pid)
-    df.withColumn(idCol,
-      coalesce(col(idCol),
-        (lit(watermark) + (offsetCol + localIdx + lit(1L)) * lit(step))
-          .cast(df.schema(idCol).dataType)))
-  }
+      watermark: Long, step: Long): DataFrame =
+    IncrementalTable.allocateIdentity(df, idCol, watermark, step)
 
   /** Current identity high watermark. Newest→oldest manifest walk,
     * stopping at the first commit that carries the counter (commits

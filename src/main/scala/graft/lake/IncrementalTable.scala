@@ -937,6 +937,8 @@ final class IncrementalTable(
       s"cannot rename $from -> $to: $to collides with a physical column of $path")
     require(!droppedCols(to),
       s"cannot rename $from -> $to: $to is a retired (dropped) column name")
+    require(identityDecl.forall(_._1 != from),
+      s"cannot rename identity column $from of $path")
     requireUnconstrained(from, "rename")
   }
 
@@ -973,6 +975,8 @@ final class IncrementalTable(
     */
   private[graft] def validateDrop(name: String): Unit = {
     val phys = resolvePhysical(name)
+    require(identityDecl.forall(_._1 != name),
+      s"cannot drop identity column $name of $path")
     requireUnconstrained(name, "drop")
     val remaining = tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
       .filterNot(droppedCols).filterNot(_ == phys)
@@ -1287,7 +1291,7 @@ final class IncrementalTable(
         // writeSnapshot too — they are table properties, not data
         // state).
         val carry = Seq("dv", "constraints", "bloom", "colmap", "coldrop",
-          "writeorder", "gencol", "rf")
+          "writeorder", "gencol", "identity", "rf")
           .flatMap(k => baseMeta.get(k).map(k -> _)).toMap
         writeManifest(v, operation, prev.filterNot(removed) ++ added,
           (carry -- dropMeta) ++ meta ++
@@ -1308,12 +1312,20 @@ final class IncrementalTable(
     * at the next version.
     */
   def writeSnapshot(df: DataFrame, operation: String = "write",
-      maxRetries: Int = 20): Long =
-    writeSnapshotImpl(applyWriteOrder(applyGenerated(df)),
-      operation, maxRetries, validate = true)
+      maxRetries: Int = 20): Long = identityDecl match {
+    case None =>
+      writeSnapshotImpl(applyWriteOrder(applyGenerated(df)),
+        operation, maxRetries, validate = true)
+    case Some(_) =>
+      withIdentityAllocated(df) { (withIds, wmMeta) =>
+        writeSnapshotImpl(applyWriteOrder(applyGenerated(withIds)),
+          operation, maxRetries = 0, validate = true, meta = wmMeta)
+      }
+  }
 
   private def writeSnapshotImpl(df: DataFrame, operation: String,
-      maxRetries: Int, validate: Boolean): Long = {
+      maxRetries: Int, validate: Boolean,
+      meta: Map[String, String] = Map.empty): Long = {
     if (validate) validateConstraints(df)
     val added = stage(df)
     var attempt = 0
@@ -1325,9 +1337,10 @@ final class IncrementalTable(
       try {
         val consCarry = baseMeta
           .filter { case (k, _) => Set("constraints", "bloom", "colmap",
-            "coldrop", "writeorder", "gencol").contains(k) }
+            "coldrop", "writeorder", "gencol", "identity").contains(k) }
         writeManifest(v, operation, added,
-          consCarry ++ schemaMetaFor(base, Some(physicalizeSchema(df.schema))))
+          consCarry ++ meta ++
+            schemaMetaFor(base, Some(physicalizeSchema(df.schema))))
         return v
       } catch {
         case e: CommitConflictException =>
@@ -1339,13 +1352,126 @@ final class IncrementalTable(
   }
 
   /** O(batch) append: new files only, everything else re-referenced.
-    * Honors the declared [[setWriteOrder]] (one shuffle of the batch).
+    * Honors the declared [[setWriteOrder]] (one shuffle of the batch)
+    * and fills declared IDENTITY values (see [[setIdentity]]).
     */
-  def append(df: DataFrame): Long = {
-    val materialized = applyGenerated(df)
-    validateConstraints(materialized)
-    commitFiles(stage(applyWriteOrder(materialized)), Set.empty, "append",
-      schema = Some(materialized.schema))
+  def append(df: DataFrame): Long = identityDecl match {
+    case None =>
+      val materialized = applyGenerated(df)
+      validateConstraints(materialized)
+      commitFiles(stage(applyWriteOrder(materialized)), Set.empty, "append",
+        schema = Some(materialized.schema))
+    case Some(_) =>
+      withIdentityAllocated(df) { (withIds, wmMeta) =>
+        val materialized = applyGenerated(withIds)
+        validateConstraints(materialized)
+        commitFiles(stage(applyWriteOrder(materialized)), Set.empty, "append",
+          maxRetries = 0, meta = wmMeta, schema = Some(materialized.schema))
+      }
+  }
+
+  // ---- identity columns (Delta `GENERATED ALWAYS [AS IDENTITY]`,
+  // reference TEST:41 `GENERATED ALWAYS AS IDENTITY (START WITH 10)`).
+  // The declaration ("col;start;step;allowExplicit") rides the manifest
+  // meta like every table property; the HIGH WATERMARK rides each
+  // allocating commit's `id_watermark`, so allocation reads one small
+  // manifest — never a max() scan over the table. Ids are unique,
+  // ascending, ≡ start (mod step); not gap-free (Delta's contract). ----
+
+  /** Declare `col` as an identity column. `allowExplicitInsert=false`
+    * is GENERATED ALWAYS: writes may omit the column or pass NULL, but
+    * never provide values.
+    */
+  def setIdentity(col: String, start: Long = 1L, step: Long = 1L,
+      allowExplicitInsert: Boolean = false): Long = {
+    require(IncrementalTable.saneColumnName(col),
+      s"illegal identity column name: $col")
+    require(step >= 1, "identity step must be >= 1 (ascending watermark)")
+    tableSchema.foreach { s =>
+      require(s.fieldNames.contains(col), s"no column $col in $path")
+      val dt = s(col).dataType
+      require(dt == LongType || dt == IntegerType,
+        s"identity column $col must be BIGINT or INT, got $dt")
+    }
+    commitFiles(Seq.empty, Set.empty, s"set identity[$col]",
+      meta = Map("identity" -> s"$col;$start;$step;$allowExplicitInsert"))
+  }
+
+  /** The identity declaration in force: (column, start, step,
+    * allowExplicitInsert).
+    */
+  def identityDecl: Option[(String, Long, Long, Boolean)] =
+    latestVersion.flatMap(v => metaAt(v).get("identity")).map { s =>
+      val p = s.split(";")
+      (p(0), p(1).toLong, p(2).toLong, p(3).toBoolean)
+    }
+
+  /** Newest committed identity watermark (or start − step on a table
+    * that never allocated): newest→oldest manifest walk stopping at
+    * the first commit carrying the counter — usually ONE manifest
+    * read, O(1) in table size.
+    */
+  def identityHighWatermark: Long = {
+    val (start, step) = identityDecl.map(d => (d._2, d._3)).getOrElse((1L, 1L))
+    latestVersion.flatMap { latest =>
+      (latest to 0L by -1).iterator
+        .takeWhile(versionExists)
+        .flatMap(v => metaAt(v).get("id_watermark"))
+        .nextOption()
+    }.map(_.toLong).getOrElse(start - step)
+  }
+
+  /** Allocate identity values for `df` and run `commit` with the
+    * watermark meta; on a lost race the allocation REDOES from the
+    * fresh watermark (the staged ids are baked into files, so a rebase
+    * would collide — the failed attempt's files become unreachable
+    * garbage that vacuum collects).
+    */
+  private def withIdentityAllocated(df: DataFrame)(
+      commit: (DataFrame, Map[String, String]) => Long): Long = {
+    val Some((idCol, _, step, allowExplicit)) = identityDecl: @unchecked
+    val idType = tableSchema.flatMap(_.fields.find(_.name == idCol))
+      .map(_.dataType).getOrElse(LongType)
+    val base =
+      if (!df.columns.contains(idCol))
+        df.withColumn(idCol, org.apache.spark.sql.functions.lit(null).cast(idType))
+      else df
+    if (!allowExplicit) {
+      val explicit = base
+        .filter(org.apache.spark.sql.functions.col(idCol).isNotNull)
+        .limit(1).count()
+      require(explicit == 0L,
+        s"identity column $idCol of $path is GENERATED ALWAYS — values " +
+          "cannot be provided (omit the column or insert NULL)")
+    }
+    var attempt = 0
+    while (true) {
+      val wm = identityHighWatermark
+      val pinned = base.localCheckpoint()
+      val withIds = IncrementalTable.allocateIdentity(pinned, idCol, wm, step)
+      val mx = withIds.agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col(idCol))).head().getAs[Any](0) match {
+        case null => wm
+        case n: Number => n.longValue()
+      }
+      try {
+        // single-attempt commit: a racer advancing the watermark means
+        // these ids may collide — re-allocate, never rebase
+        val newest = identityHighWatermark
+        if (newest > wm)
+          throw new CommitConflictException(
+            s"identity watermark of $path advanced ($wm -> $newest) under " +
+              "this batch")
+        return commit(withIds,
+          Map("id_watermark" -> math.max(newest, mx).toString))
+      } catch {
+        case e: StaleRewriteException => throw e
+        case e: CommitConflictException =>
+          if (attempt >= 5) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
   }
 
   /** Rewrite the current snapshot into `targetFiles` files (rows were
@@ -1407,7 +1533,8 @@ final class IncrementalTable(
       val v = base.map(_ + 1).getOrElse(0L)
       try {
         val keep = base.map(metaAt).getOrElse(Map.empty)
-          .filter { case (k, _) => k == "constraints" || k == "gencol" }
+          .filter { case (k, _) =>
+            k == "constraints" || k == "gencol" || k == "identity" }
         val bloomKeep = bloomColumns.filterNot(droppedCols) match {
           case Seq() => Map.empty[String, String]
           case bs => Map("bloom" -> bs.map(p => map.getOrElse(p, p)).mkString(";"))
@@ -1927,7 +2054,8 @@ final class IncrementalTable(
       Set("schema", "dv", "colmap", "coldrop", "rf").contains(k) } ++
       latestVersion.map(metaAt).getOrElse(Map.empty)
         .filter { case (k, _) =>
-          Set("constraints", "bloom", "gencol", "writeorder").contains(k) }
+          Set("constraints", "bloom", "gencol", "writeorder",
+            "identity").contains(k) }
     var attempt = 0
     while (true) {
       val base = latestVersion.getOrElse(-1L)
@@ -2292,6 +2420,40 @@ object IncrementalTable {
     val dv = meta.get("dv").exists(_.nonEmpty)
     (if (colmap) Set("column-mapping") else Set.empty[String]) ++
       (if (dv) Set("deletion-vectors") else Set.empty[String])
+  }
+
+  /** Fill NULL `idCol` values with fresh identity values: DENSE from
+    * the watermark in batch order — `start, start+step, …` on a fresh
+    * table — via per-partition offsets (one metadata-scale count pass
+    * over the already-materialized batch, no shuffle; Delta allocates
+    * identity/row-ids the same way). The local row index is recovered
+    * from `monotonically_increasing_id`'s documented layout
+    * (partitionId << 33 | rowIndexInPartition); the offsets ride a
+    * literal map keyed by partition id, so the whole allocation stays
+    * codegen'd column arithmetic. Rows that already carry an id keep
+    * it; their slots leave gaps, which the identity contract allows.
+    * `df` MUST be materialized (localCheckpoint) — the offsets assume
+    * a pinned partitioning.
+    */
+  private[lake] def allocateIdentity(df: DataFrame, idCol: String,
+      watermark: Long, step: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pid = spark_partition_id()
+    val localIdx = monotonically_increasing_id()
+      .bitwiseAND(lit((1L << 33) - 1))
+    val counts = df.groupBy(pid.as("__pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (p, n) => val o = p -> acc; acc += n; o }.toMap
+    }
+    val offsetCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedLit(offsets), pid)
+    df.withColumn(idCol,
+      coalesce(col(idCol),
+        (lit(watermark) + (offsetCol + localIdx + lit(1L)) * lit(step))
+          .cast(df.schema(idCol).dataType)))
   }
 
   /** One row per referenced data file — the whole checkpoint. */

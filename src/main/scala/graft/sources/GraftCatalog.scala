@@ -118,6 +118,65 @@ class GraftCatalog extends TableCatalog {
 
   override def tableExists(ident: Identifier): Boolean = isTableDir(pathOf(ident))
 
+  // the analyzer requires these before it will hand identity /
+  // generated column DDL to createTable (Spark's v2 column features)
+  override def capabilities(): java.util.Set[
+    org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+
+  /** `CREATE TABLE ... (id BIGINT GENERATED ALWAYS AS IDENTITY (START
+    * WITH 10 INCREMENT BY 5), v DOUBLE GENERATED ALWAYS AS (expr),
+    * ...)` — the reference's own DDL (TEST:41). The base table commits
+    * first (empty v0 + properties), then the identity declaration and
+    * generated-column expressions land as metadata commits; every
+    * check that could reject the statement runs BEFORE the v0 commit
+    * so a refused CREATE strands nothing.
+    */
+  override def createTable(
+      ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val idCols = columns.filter(_.identityColumnSpec() != null)
+    val genCols = columns.filter(_.generationExpression() != null)
+    require(idCols.length <= 1,
+      s"graft: at most one identity column per table, got ${idCols.length}")
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    // pre-commit validation of everything the post-commit declarations
+    // would reject: identity type/name, generation expressions
+    idCols.foreach { c =>
+      require(IncrementalTable.saneColumnName(c.name()),
+        s"graft: illegal identity column name '${c.name()}'")
+      require(c.dataType() == org.apache.spark.sql.types.LongType ||
+        c.dataType() == org.apache.spark.sql.types.IntegerType,
+        s"graft: identity column ${c.name()} must be BIGINT or INT")
+      require(c.identityColumnSpec().getStep >= 1,
+        "graft: identity INCREMENT BY must be >= 1")
+    }
+    genCols.foreach { c =>
+      val others = StructType(schema.filterNot(_.name == c.name()))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), others)
+        .selectExpr(c.generationExpression()).queryExecution.assertAnalyzed()
+    }
+    val created = createTable(ident, schema, partitions, properties)
+    if (idCols.isEmpty && genCols.isEmpty) return created
+    val p = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(_.stripSuffix("/")).getOrElse(pathOf(ident))
+    val t = new IncrementalTable(spark, p)
+    idCols.foreach { c =>
+      val s = c.identityColumnSpec()
+      t.setIdentity(c.name(), s.getStart, s.getStep, s.isAllowExplicitInsert)
+    }
+    genCols.foreach(c => t.addGeneratedColumn(c.name(), c.generationExpression()))
+    tableAt(p, Map.empty)
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = (warehouse.stripSuffix("/") +: namespace).mkString("/")
     val f = fs(dir)

@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.lake.IncrementalTable
+
+/** The reference's own identity DDL (TEST:41 `account_key BIGINT
+  * GENERATED ALWAYS AS IDENTITY (START WITH 10)`) through the SQL
+  * surface: CREATE TABLE declares it, INSERT allocates from the
+  * manifest watermark, GENERATED ALWAYS refuses explicit values,
+  * rename/drop of the column refuse, and the counter survives
+  * compaction.
+  */
+class IdentityDdlSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val wh = Files.createTempDirectory("graft_idwh_").toString
+
+  private def configure(): Unit = {
+    spark.conf.set("spark.sql.catalog.idlake", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.idlake.warehouse", wh)
+  }
+
+  test("CREATE TABLE ... GENERATED ALWAYS AS IDENTITY (START WITH 10): full SQL path") {
+    configure()
+    spark.sql("DROP TABLE IF EXISTS idlake.accounts")
+    spark.sql(
+      """CREATE TABLE idlake.accounts (
+        |  account_key BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 5),
+        |  name STRING) USING graft""".stripMargin)
+    val t = new IncrementalTable(spark, s"$wh/accounts")
+    assert(t.identityDecl === Some(("account_key", 10L, 5L, false)))
+
+    // NULLs (or an omitted column) allocate: first ids = START,
+    // START+STEP, ... — the reference notebook's first_run expectation
+    spark.sql(
+      "INSERT INTO idlake.accounts VALUES (NULL, 'a'), (NULL, 'b'), (NULL, 'c')")
+    val ids1 = spark.sql(
+      "SELECT account_key FROM idlake.accounts ORDER BY account_key")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids1 === Seq(10L, 15L, 20L), s"dense from START WITH: $ids1")
+
+    // GENERATED ALWAYS: explicit values are refused loudly
+    val err = intercept[Exception](
+      spark.sql("INSERT INTO idlake.accounts VALUES (99, 'x')"))
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(err).exists(_.contains("GENERATED ALWAYS")), msgs(err).toString)
+
+    // a DataFrame append OMITTING the column allocates as well
+    import spark.implicits._
+    Seq("d", "e").toDF("name").write.format("graft")
+      .mode("append").save(s"$wh/accounts")
+    val ids2 = spark.sql(
+      "SELECT account_key FROM idlake.accounts ORDER BY account_key")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids2 === Seq(10L, 15L, 20L, 25L, 30L), s"watermark continued: $ids2")
+
+    // the declaration is structural: rename/drop of the column refuse
+    assertThrows[Exception](
+      spark.sql("ALTER TABLE idlake.accounts RENAME COLUMN account_key TO k"))
+    assertThrows[Exception](
+      spark.sql("ALTER TABLE idlake.accounts DROP COLUMN account_key"))
+
+    // compaction (no counter meta on its commit) must not reset it
+    t.compact(targetFiles = 1)
+    assert(t.identityHighWatermark === 30L)
+    spark.sql("INSERT INTO idlake.accounts VALUES (NULL, 'f')")
+    val ids3 = spark.sql(
+      "SELECT account_key FROM idlake.accounts ORDER BY account_key")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids3.distinct.size === ids3.size && ids3.max === 35L,
+      s"counter must survive compaction: $ids3")
+  }
+
+  test("CREATE TABLE with GENERATED ALWAYS AS (expr) routes to the generated-column machinery") {
+    configure()
+    spark.sql("DROP TABLE IF EXISTS idlake.gen_ddl")
+    spark.sql(
+      """CREATE TABLE idlake.gen_ddl (
+        |  ts TIMESTAMP, d DATE GENERATED ALWAYS AS (CAST(ts AS DATE)),
+        |  v BIGINT) USING graft""".stripMargin)
+    val t = new IncrementalTable(spark, s"$wh/gen_ddl")
+    assert(t.generatedColumns === Map("d" -> "CAST(ts AS DATE)"))
+    // a write OMITTING the generated column materializes it (an
+    // explicit NULL is a conflicting provided value, as in Delta)
+    import spark.implicits._
+    Seq((java.sql.Timestamp.valueOf("2026-01-02 03:04:05"), 7L))
+      .toDF("ts", "v").write.format("graft").mode("append")
+      .save(s"$wh/gen_ddl")
+    val row = spark.sql("SELECT ts, d, v FROM idlake.gen_ddl").head
+    assert(row.getDate(1).toString === "2026-01-02")
+    // conflicting provided values are rejected (derived CHECK)
+    assertThrows[Exception](spark.sql(
+      "INSERT INTO idlake.gen_ddl VALUES (TIMESTAMP'2026-01-02 03:04:05', DATE'1999-01-01', 8)"))
+  }
+
+  test("BY DEFAULT identity accepts explicit values and keeps allocating around them") {
+    configure()
+    val dir = Files.createTempDirectory("graft_idbd_").toString + "/t"
+    import spark.implicits._
+    val t = new IncrementalTable(spark, dir)
+    t.append(Seq((1000L, "seed")).toDF("id", "v"))
+    t.setIdentity("id", start = 1L, step = 1L, allowExplicitInsert = true)
+    // explicit id accepted; NULL ids allocated above the watermark
+    t.append(Seq((Some(5000L), "explicit"), (None, "alloc"))
+      .toDF("id", "v").coalesce(1))
+    val rows = t.snapshot().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.map(_._1).distinct.size === 3)
+    assert(rows.exists(_ == (5000L, "explicit")))
+    val alloc = rows.collect { case (id, "alloc") => id }
+    assert(alloc.nonEmpty && alloc.head >= 1L)
+  }
+}
