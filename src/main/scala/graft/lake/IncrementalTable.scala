@@ -1317,9 +1317,12 @@ final class IncrementalTable(
       writeSnapshotImpl(applyWriteOrder(applyGenerated(df)),
         operation, maxRetries, validate = true)
     case Some(_) =>
-      withIdentityAllocated(df) { (withIds, wmMeta) =>
-        writeSnapshotImpl(applyWriteOrder(applyGenerated(withIds)),
-          operation, maxRetries = 0, validate = true, meta = wmMeta)
+      withIdentityAllocated(df) { withIds =>
+        val materialized = applyWriteOrder(applyGenerated(withIds))
+        validateConstraints(materialized)
+        val added = stage(materialized)
+        wmMeta => commitSnapshot(added, materialized.schema, operation,
+          maxRetries = 0, meta = wmMeta)
       }
   }
 
@@ -1327,7 +1330,16 @@ final class IncrementalTable(
       maxRetries: Int, validate: Boolean,
       meta: Map[String, String] = Map.empty): Long = {
     if (validate) validateConstraints(df)
-    val added = stage(df)
+    commitSnapshot(stage(df), df.schema, operation, maxRetries, meta)
+  }
+
+  /** Publish already-staged files as a full snapshot (replaces every
+    * prior file reference). `schema` is the LOGICAL schema of the
+    * staged frame.
+    */
+  private def commitSnapshot(added: Seq[String], schema: StructType,
+      operation: String, maxRetries: Int,
+      meta: Map[String, String]): Long = {
     var attempt = 0
     while (true) {
       val base = latestVersion
@@ -1340,7 +1352,7 @@ final class IncrementalTable(
             "coldrop", "writeorder", "gencol", "identity").contains(k) }
         writeManifest(v, operation, added,
           consCarry ++ meta ++
-            schemaMetaFor(base, Some(physicalizeSchema(df.schema))))
+            schemaMetaFor(base, Some(physicalizeSchema(schema))))
         return v
       } catch {
         case e: CommitConflictException =>
@@ -1362,10 +1374,11 @@ final class IncrementalTable(
       commitFiles(stage(applyWriteOrder(materialized)), Set.empty, "append",
         schema = Some(materialized.schema))
     case Some(_) =>
-      withIdentityAllocated(df) { (withIds, wmMeta) =>
+      withIdentityAllocated(df) { withIds =>
         val materialized = applyGenerated(withIds)
         validateConstraints(materialized)
-        commitFiles(stage(applyWriteOrder(materialized)), Set.empty, "append",
+        val added = stage(applyWriteOrder(materialized))
+        wmMeta => commitFiles(added, Set.empty, "append",
           maxRetries = 0, meta = wmMeta, schema = Some(materialized.schema))
       }
   }
@@ -1421,55 +1434,66 @@ final class IncrementalTable(
     }.map(_.toLong).getOrElse(start - step)
   }
 
-  /** Allocate identity values for `df` and run `commit` with the
-    * watermark meta; on a lost race the allocation REDOES from the
-    * fresh watermark (the staged ids are baked into files, so a rebase
-    * would collide — the failed attempt's files become unreachable
-    * garbage that vacuum collects).
+  /** Allocate identity values for `df`, then `prepare` (validate +
+    * stage) and commit with the watermark meta. The watermark re-check
+    * happens immediately BEFORE each single-attempt commit — after
+    * staging, like the SCD path — so the race window is the commit
+    * itself, not the staging wall-clock; a racer advancing the
+    * watermark forces a RE-ALLOCATION (the staged ids are baked into
+    * files, so a rebase would collide — the failed attempt's files
+    * become unreachable garbage that vacuum collects).
     */
   private def withIdentityAllocated(df: DataFrame)(
-      commit: (DataFrame, Map[String, String]) => Long): Long = {
+      prepare: DataFrame => (Map[String, String] => Long)): Long = {
     val Some((idCol, _, step, allowExplicit)) = identityDecl: @unchecked
     val idType = tableSchema.flatMap(_.fields.find(_.name == idCol))
       .map(_.dataType).getOrElse(LongType)
-    val base =
+    // pin the source ONCE: the explicit-value check and every
+    // allocation attempt must see the same rows the commit publishes
+    val pinned = (
       if (!df.columns.contains(idCol))
         df.withColumn(idCol, org.apache.spark.sql.functions.lit(null).cast(idType))
-      else df
+      else df).localCheckpoint()
     if (!allowExplicit) {
-      val explicit = base
+      val explicit = pinned
         .filter(org.apache.spark.sql.functions.col(idCol).isNotNull)
         .limit(1).count()
       require(explicit == 0L,
         s"identity column $idCol of $path is GENERATED ALWAYS — values " +
           "cannot be provided (omit the column or insert NULL)")
     }
-    var attempt = 0
+    var reallocations = 0
     while (true) {
       val wm = identityHighWatermark
-      val pinned = base.localCheckpoint()
       val withIds = IncrementalTable.allocateIdentity(pinned, idCol, wm, step)
       val mx = withIds.agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col(idCol))).head().getAs[Any](0) match {
         case null => wm
         case n: Number => n.longValue()
       }
-      try {
-        // single-attempt commit: a racer advancing the watermark means
-        // these ids may collide — re-allocate, never rebase
+      val commitOnce = prepare(withIds) // stages NOW
+      var innerTries = 0
+      var reallocate = false
+      while (!reallocate) {
         val newest = identityHighWatermark
-        if (newest > wm)
-          throw new CommitConflictException(
-            s"identity watermark of $path advanced ($wm -> $newest) under " +
-              "this batch")
-        return commit(withIds,
-          Map("id_watermark" -> math.max(newest, mx).toString))
-      } catch {
-        case e: StaleRewriteException => throw e
-        case e: CommitConflictException =>
-          if (attempt >= 5) throw e
-          attempt += 1
+        if (newest > wm) reallocate = true // ids may collide: redo
+        else {
+          try return commitOnce(Map("id_watermark" -> mx.toString))
+          catch {
+            case e: StaleRewriteException => throw e
+            case e: CommitConflictException =>
+              // lost a manifest race; if the winner carried no counter
+              // the ids stay valid — re-check and retry the commit
+              if (innerTries >= 20) throw e
+              innerTries += 1
+          }
+        }
       }
+      reallocations += 1
+      if (reallocations > 5)
+        throw new CommitConflictException(
+          s"identity watermark of $path keeps advancing under this batch " +
+            "— giving up after 5 reallocations")
     }
     -1L // unreachable
   }
