@@ -350,9 +350,19 @@ final class IncrementalTable(
             case _: java.nio.file.FileAlreadyExistsException => false
             // mounts without hard links (FAT/FUSE/some NFS) degrade to
             // the lock+rename publish — still atomic per JVM, with the
-            // cross-process caveat those mounts always had
-            case _: UnsupportedOperationException | _: java.io.IOException =>
+            // cross-process caveat those mounts always had. ONLY
+            // link-UNSUPPORTED conditions may degrade: on a transient
+            // I/O error (EIO, stale NFS handle) the racy exists+rename
+            // could silently REPLACE a concurrent winner's manifest, so
+            // it propagates instead (the caller's retry loop re-reads).
+            case _: UnsupportedOperationException =>
               !fs.exists(dest) && fs.rename(tmp, dest)
+            case e: java.nio.file.FileSystemException
+                if IncrementalTable.linkUnsupported(e) =>
+              !fs.exists(dest) && fs.rename(tmp, dest)
+            case e: java.io.IOException =>
+              fs.delete(tmp, false)
+              throw e
           }
         else !fs.exists(dest) && fs.rename(tmp, dest)
       if (!committed) {
@@ -1294,7 +1304,7 @@ final class IncrementalTable(
           "writeorder", "gencol", "identity", "rf")
           .flatMap(k => baseMeta.get(k).map(k -> _)).toMap
         writeManifest(v, operation, prev.filterNot(removed) ++ added,
-          (carry -- dropMeta) ++ meta ++
+          (carry -- dropMeta) ++ watermarkCarry(baseMeta) ++ meta ++
             schemaMetaFor(base, schema.map(physicalizeSchema)),
           prevFiles = Some(prev))
         return v
@@ -1351,7 +1361,7 @@ final class IncrementalTable(
           .filter { case (k, _) => Set("constraints", "bloom", "colmap",
             "coldrop", "writeorder", "gencol", "identity").contains(k) }
         writeManifest(v, operation, added,
-          consCarry ++ meta ++
+          consCarry ++ watermarkCarry(baseMeta) ++ meta ++
             schemaMetaFor(base, Some(physicalizeSchema(schema))))
         return v
       } catch {
@@ -1393,7 +1403,11 @@ final class IncrementalTable(
 
   /** Declare `col` as an identity column. `allowExplicitInsert=false`
     * is GENERATED ALWAYS: writes may omit the column or pass NULL, but
-    * never provide values.
+    * never provide values. Declaring over a table that already holds
+    * rows SEEDS the watermark past `max(col)` (one scan, DDL-time
+    * only), so allocation never re-issues an id the data already uses
+    * — Delta sidesteps this by refusing identity on existing columns;
+    * here the declaration is allowed and made safe instead.
     */
   def setIdentity(col: String, start: Long = 1L, step: Long = 1L,
       allowExplicitInsert: Boolean = false): Long = {
@@ -1406,8 +1420,19 @@ final class IncrementalTable(
       require(dt == LongType || dt == IntegerType,
         s"identity column $col must be BIGINT or INT, got $dt")
     }
+    val seed: Map[String, String] =
+      if (!latestVersion.exists(v => files(v).nonEmpty)) Map.empty
+      else snapshot().agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col(col))).head().getAs[Any](0) match {
+        case n: Number if n.longValue() >= start =>
+          // smallest watermark >= max(data) on the start + k*step grid,
+          // so future ids stay ≡ start (mod step) AND above the data
+          val w = start + (n.longValue() - start + step - 1) / step * step
+          Map("id_watermark" -> w.toString)
+        case _ => Map.empty // empty column or all below START: default
+      }
     commitFiles(Seq.empty, Set.empty, s"set identity[$col]",
-      meta = Map("identity" -> s"$col;$start;$step;$allowExplicitInsert"))
+      meta = Map("identity" -> s"$col;$start;$step;$allowExplicitInsert") ++ seed)
   }
 
   /** The identity declaration in force: (column, start, step,
@@ -1433,6 +1458,25 @@ final class IncrementalTable(
         .nextOption()
     }.map(_.toLong).getOrElse(start - step)
   }
+
+  /** The `id_watermark` meta a commit must carry forward so the NEWEST
+    * manifest always holds the counter: vacuum keeps only a recent
+    * manifest window, and a watermark living solely in an old
+    * allocating commit would be deleted with it — silently resetting
+    * the counter to START and re-issuing already-used ids. Normal case
+    * is a copy from the base meta (O(1)); the walk only runs once for
+    * tables whose newest manifest predates this invariant.
+    */
+  private def watermarkCarry(baseMeta: Map[String, String]): Map[String, String] =
+    baseMeta.get("id_watermark") match {
+      case Some(w) => Map("id_watermark" -> w)
+      case None if baseMeta.contains("identity") =>
+        latestVersion.flatMap { latest =>
+          (latest to 0L by -1).iterator.takeWhile(versionExists)
+            .flatMap(x => metaAt(x).get("id_watermark")).nextOption()
+        }.map("id_watermark" -> _).toMap
+      case None => Map.empty
+    }
 
   /** Allocate identity values for `df`, then `prepare` (validate +
     * stage) and commit with the watermark meta. The watermark re-check
@@ -1556,9 +1600,10 @@ final class IncrementalTable(
             "rewrite was staged — re-run on fresh state")
       val v = base.map(_ + 1).getOrElse(0L)
       try {
-        val keep = base.map(metaAt).getOrElse(Map.empty)
-          .filter { case (k, _) =>
-            k == "constraints" || k == "gencol" || k == "identity" }
+        val baseMeta = base.map(metaAt).getOrElse(Map.empty)
+        val keep = baseMeta.filter { case (k, _) =>
+          k == "constraints" || k == "gencol" || k == "identity" } ++
+          watermarkCarry(baseMeta)
         val bloomKeep = bloomColumns.filterNot(droppedCols) match {
           case Seq() => Map.empty[String, String]
           case bs => Map("bloom" -> bs.map(p => map.getOrElse(p, p)).mkString(";"))
@@ -2044,10 +2089,17 @@ final class IncrementalTable(
     // constraints AND the read-semantics meta must carry: without the
     // column mapping / generated-column declarations the clone would
     // silently serve the source's PHYSICAL names and skip backfills
-    val carryMeta = Seq("constraints", "colmap", "coldrop", "gencol")
+    val carryMeta = Seq("constraints", "colmap", "coldrop", "gencol", "identity")
       .flatMap(k => srcMeta.get(k).map(k -> _)).toMap
+    // the identity counter carries AT v's value: inserts on the clone
+    // must not re-issue ids already present in the cloned rows
+    val idMeta =
+      if (!srcMeta.contains("identity")) Map.empty[String, String]
+      else (v to 0L by -1).iterator.takeWhile(src.versionExists)
+        .flatMap(x => src.metaAt(x).get("id_watermark")).nextOption()
+        .map("id_watermark" -> _).toMap
     writeManifest(0L, s"clone[v$v]", entries,
-      dvMeta ++ carryMeta ++ schemaMetaFor(None, src.schemaAt(v)))
+      dvMeta ++ carryMeta ++ idMeta ++ schemaMetaFor(None, src.schemaAt(v)))
     0L
   }
 
@@ -2057,9 +2109,8 @@ final class IncrementalTable(
     * preserved, time travel over the bad versions still works, and the
     * restore itself is undoable. The identity watermark is deliberately
     * NOT restored: surrogate keys must stay unique and ascending even
-    * across a restore (the newest-first watermark walk keeps finding
-    * the pre-restore maximum). Fails if `v`'s data files were already
-    * vacuumed.
+    * across a restore (the restore commit re-carries the pre-restore
+    * maximum). Fails if `v`'s data files were already vacuumed.
     */
   def restore(v: Long): Long = {
     require(versionExists(v), s"cannot restore $path to vacuumed/unknown version $v")
@@ -2074,12 +2125,13 @@ final class IncrementalTable(
     // the head — Delta's RESTORE split
     // data state (incl. the feature stamp — restoring TO a
     // feature-bearing version recreates its requirements verbatim)
+    val headMeta = latestVersion.map(metaAt).getOrElse(Map.empty)
     val carried = metaAt(v).filter { case (k, _) =>
       Set("schema", "dv", "colmap", "coldrop", "rf").contains(k) } ++
-      latestVersion.map(metaAt).getOrElse(Map.empty)
-        .filter { case (k, _) =>
-          Set("constraints", "bloom", "gencol", "writeorder",
-            "identity").contains(k) }
+      headMeta.filter { case (k, _) =>
+        Set("constraints", "bloom", "gencol", "writeorder",
+          "identity").contains(k) } ++
+      watermarkCarry(headMeta) // counter NEVER rewinds (see scaladoc)
     var attempt = 0
     while (true) {
       val base = latestVersion.getOrElse(-1L)
@@ -2424,6 +2476,17 @@ object IncrementalTable {
     * checkpoint interval to 10 for the same reason).
     */
   private[lake] val CheckpointInterval = 10L
+
+  /** Does this [[java.nio.file.FileSystemException]] mean the mount
+    * cannot do hard links at all (EPERM/ENOSYS-style), as opposed to a
+    * transient I/O failure? Only the former may degrade the commit CAS
+    * to the rename publish.
+    */
+  private[lake] def linkUnsupported(e: java.nio.file.FileSystemException): Boolean = {
+    val reason = Option(e.getReason).getOrElse("").toLowerCase
+    reason.contains("not permitted") || reason.contains("not supported") ||
+      reason.contains("not implemented") || reason.contains("cross-device")
+  }
 
   /** Reader features this library implements. A manifest demanding
     * anything outside this set makes every data read refuse loudly —

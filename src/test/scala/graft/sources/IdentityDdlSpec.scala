@@ -112,6 +112,56 @@ class IdentityDdlSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_._1).distinct.size === 3)
     assert(rows.exists(_ == (5000L, "explicit")))
     val alloc = rows.collect { case (id, "alloc") => id }
-    assert(alloc.nonEmpty && alloc.head >= 1L)
+    // declaring over populated data SEEDS the watermark past max(id):
+    // the allocation continues ABOVE 1000, never re-issuing a used id
+    assert(alloc.nonEmpty && alloc.head > 1000L, s"seeded alloc: $alloc")
+  }
+
+  test("setIdentity on a populated table seeds the watermark onto the start/step grid") {
+    configure()
+    val dir = Files.createTempDirectory("graft_idseed_").toString + "/t"
+    import spark.implicits._
+    val t = new IncrementalTable(spark, dir)
+    t.append(Seq((1000L, "seed")).toDF("id", "v"))
+    t.setIdentity("id", start = 10L, step = 5L, allowExplicitInsert = true)
+    // smallest watermark >= 1000 with w ≡ 10 (mod 5): exactly 1000
+    assert(t.identityHighWatermark === 1000L)
+    t.append(Seq((Option.empty[Long], "a")).toDF("id", "v"))
+    val ids = t.snapshot().orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(1000L, 1005L), s"grid-aligned continuation: $ids")
+  }
+
+  test("identity counter survives vacuum past the allocating commit") {
+    configure()
+    val dir = Files.createTempDirectory("graft_idvac_").toString + "/t"
+    import spark.implicits._
+    val t = new IncrementalTable(spark, dir)
+    t.setIdentity("id", start = 1L, step = 1L, allowExplicitInsert = true)
+    t.append(Seq((Option.empty[Long], "a"), (None, "b")).toDF("id", "v"))
+    assert(t.identityHighWatermark === 2L)
+    // non-allocating commits push the allocating manifest out of the
+    // retention window; each must CARRY the counter forward
+    (1 to 3).foreach(_ => t.compact(targetFiles = 1))
+    t.vacuum(keepLast = 2)
+    assert(t.identityHighWatermark === 2L,
+      "watermark must survive vacuum of the allocating commit")
+    t.append(Seq((Option.empty[Long], "c")).toDF("id", "v"))
+    val ids = t.snapshot().orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(1L, 2L, 3L), s"no re-issued ids after vacuum: $ids")
+  }
+
+  test("shallow clone carries the identity declaration and counter") {
+    configure()
+    val base = Files.createTempDirectory("graft_idclone_").toString
+    import spark.implicits._
+    val src = new IncrementalTable(spark, s"$base/src")
+    src.setIdentity("id", start = 1L, step = 1L, allowExplicitInsert = true)
+    src.append(Seq((Option.empty[Long], "a"), (None, "b")).toDF("id", "v"))
+    val dst = new IncrementalTable(spark, s"$base/dst")
+    dst.cloneFrom(src)
+    assert(dst.identityDecl === src.identityDecl)
+    dst.append(Seq((Option.empty[Long], "c")).toDF("id", "v"))
+    val ids = dst.snapshot().orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(1L, 2L, 3L), s"clone continues the counter: $ids")
   }
 }
