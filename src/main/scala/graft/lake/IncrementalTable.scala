@@ -1034,11 +1034,20 @@ final class IncrementalTable(
     require(!generatedColumns.contains(name),
       s"generated column $name already declared on $path")
     // the expression must resolve against the CURRENT logical schema
-    // (and cannot reference the new column — it isn't in scope)
+    // (and cannot reference the new column — it isn't in scope), and
+    // its TYPE must match the declared column's: a mismatch would let
+    // the first write publish files the tracked schema cannot read
     logicalSchema.foreach { s =>
       val empty = spark.createDataFrame(
         java.util.Collections.emptyList[Row](), s)
-      empty.selectExpr(exprSql).queryExecution.assertAnalyzed()
+      val analyzed = empty.selectExpr(exprSql)
+      analyzed.queryExecution.assertAnalyzed()
+      s.fields.find(_.name == name).foreach { f =>
+        val got = analyzed.schema.head.dataType
+        require(got == f.dataType,
+          s"generated column $name of $path is declared ${f.dataType.sql} " +
+            s"but ($exprSql) produces ${got.sql}")
+      }
     }
     // declaring over an EXISTING column requires the stored data to
     // already satisfy the expression (NULLs backfill) — otherwise later

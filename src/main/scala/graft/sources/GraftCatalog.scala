@@ -160,14 +160,50 @@ class GraftCatalog extends TableCatalog {
     }
     genCols.foreach { c =>
       val others = StructType(schema.filterNot(_.name == c.name()))
-      spark.createDataFrame(
+      val analyzed = spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), others)
-        .selectExpr(c.generationExpression()).queryExecution.assertAnalyzed()
+        .selectExpr(c.generationExpression())
+      analyzed.queryExecution.assertAnalyzed()
+      // the expression's TYPE must match the declared column's, or the
+      // first insert materializes (say) STRING files under a DATE
+      // tracked schema and every later read fails
+      val got = analyzed.schema.head.dataType
+      require(got == c.dataType(),
+        s"graft: generated column ${c.name()} is declared " +
+          s"${c.dataType().sql} but (${c.generationExpression()}) " +
+          s"produces ${got.sql}")
+    }
+    val p = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(_.stripSuffix("/")).getOrElse(pathOf(ident))
+    if (isTableDir(p)) {
+      // CREATE over an EXISTING table is pure registration (Delta's
+      // external-table behavior) — it must VERIFY the declared
+      // identity/generated columns against what the table already
+      // declares, never mutate it: a re-registration with the same DDL
+      // succeeds, one with a different START WITH must not silently
+      // redeclare the counter on a populated table
+      val t = new IncrementalTable(spark, p)
+      idCols.foreach { c =>
+        val s = c.identityColumnSpec()
+        val want = (c.name(), s.getStart.longValue, s.getStep.longValue,
+          s.isAllowExplicitInsert.booleanValue)
+        require(t.identityDecl.contains(want),
+          s"graft: table at $p already declares identity " +
+            s"${t.identityDecl.orNull}, which differs from $want — " +
+            "registration cannot redeclare it")
+      }
+      genCols.foreach { c =>
+        require(t.generatedColumns.get(c.name())
+            .contains(c.generationExpression()),
+          s"graft: table at $p declares generated columns " +
+            s"${t.generatedColumns}, which do not match " +
+            s"${c.name()} AS (${c.generationExpression()}) — " +
+            "registration cannot redeclare them")
+      }
+      return tableAt(p, Map.empty)
     }
     val created = createTable(ident, schema, partitions, properties)
     if (idCols.isEmpty && genCols.isEmpty) return created
-    val p = Option(properties.get(TableCatalog.PROP_LOCATION))
-      .map(_.stripSuffix("/")).getOrElse(pathOf(ident))
     val t = new IncrementalTable(spark, p)
     idCols.foreach { c =>
       val s = c.identityColumnSpec()
@@ -305,6 +341,15 @@ class GraftCatalog extends TableCatalog {
     val renameTargets = renames.map(_.newName())
     require(renameTargets.distinct.size == renameTargets.size,
       "graft: two RENAME COLUMN changes share a target name")
+    val renameSources = renames.map(_.fieldNames().head)
+    require(renameSources.distinct.size == renameSources.size,
+      "graft: duplicate RENAME COLUMN sources in one ALTER statement")
+    require(!renameTargets.exists(addNames),
+      "graft: RENAME COLUMN target collides with a column added in " +
+        "the same statement")
+    require(!renameSources.exists(dropNames.toSet),
+      "graft: a column cannot be both renamed and dropped in one " +
+        "ALTER statement")
     if (drops.nonEmpty) {
       val live = inc.logicalSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
       require((live.filterNot(dropNames.contains) ++ addNames).nonEmpty,

@@ -164,6 +164,82 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(t.logicalSchema.get.fieldNames.toSeq === Seq("a", "b"))
   }
 
+  test("rename interactions within one ALTER statement apply nothing") {
+    configure()
+    spark.sql("DROP TABLE IF EXISTS lake.ren_mix")
+    spark.sql("CREATE TABLE lake.ren_mix (a BIGINT, b STRING) USING graft")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "ren_mix")
+    val t = new IncrementalTable(spark, s"$wh/ren_mix")
+    import org.apache.spark.sql.connector.catalog.TableChange
+    def unchanged(label: String)(body: => Unit): Unit = {
+      val before = t.latestVersion
+      intercept[Exception](body)
+      assert(t.latestVersion === before, s"$label half-applied")
+      assert(t.logicalSchema.get.fieldNames.toSeq === Seq("a", "b"), label)
+    }
+    // two renames of the SAME source: first commits a->c, second throws
+    unchanged("duplicate rename sources") {
+      cat.alterTable(ident,
+        TableChange.renameColumn(Array("a"), "c"),
+        TableChange.renameColumn(Array("a"), "d"))
+    }
+    // rename target collides with a column added in the same statement
+    unchanged("rename onto added column") {
+      cat.alterTable(ident,
+        TableChange.addColumn(Array("x"),
+          org.apache.spark.sql.types.LongType, true),
+        TableChange.renameColumn(Array("a"), "x"))
+    }
+    // the same column renamed AND dropped
+    unchanged("rename + drop of one column") {
+      cat.alterTable(ident,
+        TableChange.renameColumn(Array("a"), "c"),
+        TableChange.deleteColumn(Array("a"), false))
+    }
+  }
+
+  test("CREATE TABLE rejects a generated column whose expression type mismatches") {
+    configure()
+    spark.sql("DROP TABLE IF EXISTS lake.gen_mismatch")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE lake.gen_mismatch (x STRING, " +
+        "d DATE GENERATED ALWAYS AS (concat(x, '!'))) USING graft")
+    }
+    assert(!new IncrementalTable(spark, s"$wh/gen_mismatch").exists,
+      "type-mismatched CREATE left a half-created table behind")
+  }
+
+  test("CREATE over an existing LOCATION verifies identity instead of mutating") {
+    configure()
+    spark.sql("DROP TABLE IF EXISTS lake.reg_src")
+    spark.sql(
+      """CREATE TABLE lake.reg_src (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 5),
+        |  v STRING) USING graft""".stripMargin)
+    val t = new IncrementalTable(spark, s"$wh/reg_src")
+    val decl = t.identityDecl
+    val vBefore = t.latestVersion
+    // same DDL re-registered under another name: pure registration
+    spark.sql("DROP TABLE IF EXISTS lake.reg_same")
+    spark.sql(
+      s"""CREATE TABLE lake.reg_same (
+         |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 5),
+         |  v STRING) USING graft LOCATION '$wh/reg_src'""".stripMargin)
+    assert(t.latestVersion === vBefore, "registration must not commit")
+    // a DIFFERENT START WITH must be refused, not silently redeclared
+    intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE lake.reg_diff (
+           |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 99),
+           |  v STRING) USING graft LOCATION '$wh/reg_src'""".stripMargin)
+    }
+    assert(t.identityDecl === decl && t.latestVersion === vBefore,
+      "conflicting registration mutated the existing table")
+  }
+
   test("missing tables throw; listTables sees only table directories") {
     configure()
     assertThrows[AnalysisException](spark.sql("SELECT * FROM lake.nope").collect())
