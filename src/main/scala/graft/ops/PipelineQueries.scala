@@ -125,19 +125,19 @@ object PipelineQueries {
       .orderBy("source")
   }
 
-  /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
-    * local-fingerprinting scheme): hash every character k-gram of the
-    * canonicalized text (rolling window of k), then keep the MINIMUM
-    * hash of each w-hash window — a position-robust fingerprint set
-    * whose density is ~2/(w+1) regardless of document length,
-    * guaranteeing any shared substring of length ≥ w+k−1 yields a
-    * shared fingerprint. Emitted exploded (doc_id, fp) so overlap
-    * detection is a plain self-join on fp. The per-document winnow is
-    * ONE codegen'd scalar-expression call ([[WinnowFpsExpr]], O(n)
-    * deque) after a doc_id repartition that spreads the work beyond
-    * the corpus's input splits — no UDF, no window exchange.
+  /** The exploded (doc_id, fp) WINNOWING frame both winnow queries
+    * share (Schleimer/Wilkerson/Aiken, the MOSS local-fingerprinting
+    * scheme): hash every character k-gram of the canonicalized text
+    * (rolling window of k), then keep the MINIMUM hash of each w-hash
+    * window — a position-robust fingerprint set whose density is
+    * ~2/(w+1) regardless of document length, guaranteeing any shared
+    * substring of length ≥ w+k−1 yields a shared fingerprint. Emitted
+    * exploded so overlap detection is a plain self-join on fp. The
+    * per-document winnow is ONE codegen'd scalar-expression call
+    * ([[WinnowFpsExpr]], O(n) deque) after a doc_id repartition that
+    * spreads the work beyond the corpus's input splits — no UDF, no
+    * window exchange.
     */
-  /** The (doc_id, fp) winnowing frame both winnow queries share. */
   private def winnowFpsFrame(spark: SparkSession, dir: String,
       k: Int = 8, w: Int = 16): DataFrame =
     // One codegen'd scalar call per document (see [[WinnowFpsExpr]]):
@@ -157,6 +157,9 @@ object PipelineQueries {
         org.apache.spark.sql.graftexpr.WinnowFpsExpr.column(col("__canon"), k, w))
         .as("fp"))
 
+  /** The per-document winnowing fingerprint sets, exploded and ordered
+    * — see [[winnowFpsFrame]] for the scheme and the execution shape.
+    */
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     winnowFpsFrame(spark, dir).orderBy("doc_id", "fp")
 
@@ -170,7 +173,11 @@ object PipelineQueries {
     * is an equi-join on fp or doc_id; the pair list stays edge-sized.
     */
   def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // the winnow scan feeds FOUR subplans (nf, rare, both join sides)
+    // and Spark shares no common subplans beyond exchange reuse — cache
+    // it once or the codegen'd canon+winnow pass runs ~4×
     val fps = winnowFpsFrame(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nf = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 50)).select("fp")
