@@ -173,6 +173,8 @@ class GraftCatalog extends TableCatalog {
           s"${c.dataType().sql} but (${c.generationExpression()}) " +
           s"produces ${got.sql}")
     }
+    require(partitions.isEmpty,
+      "graft catalog tables are clustered post-hoc (cluster/clusterZ), not hive-partitioned")
     val p = Option(properties.get(TableCatalog.PROP_LOCATION))
       .map(_.stripSuffix("/")).getOrElse(pathOf(ident))
     if (isTableDir(p)) {
