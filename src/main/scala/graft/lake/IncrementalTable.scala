@@ -351,18 +351,22 @@ final class IncrementalTable(
             // mounts without hard links (FAT/FUSE/some NFS) degrade to
             // the lock+rename publish — still atomic per JVM, with the
             // cross-process caveat those mounts always had. ONLY
-            // link-UNSUPPORTED conditions may degrade: on a transient
-            // I/O error (EIO, stale NFS handle) the racy exists+rename
-            // could silently REPLACE a concurrent winner's manifest, so
-            // it propagates instead (the caller's retry loop re-reads).
+            // link-UNSUPPORTED mounts may degrade (decided by a cached
+            // capability PROBE, not exception-message matching — the
+            // strerror text is locale-dependent): on a mount where
+            // links work, a transient I/O error propagates loudly,
+            // because the racy exists+rename could silently REPLACE a
+            // concurrent winner's manifest.
             case _: UnsupportedOperationException =>
               !fs.exists(dest) && fs.rename(tmp, dest)
-            case e: java.nio.file.FileSystemException
-                if IncrementalTable.linkUnsupported(e) =>
-              !fs.exists(dest) && fs.rename(tmp, dest)
             case e: java.io.IOException =>
-              fs.delete(tmp, false)
-              throw e
+              if (!IncrementalTable.hardLinksWork(
+                  java.nio.file.Paths.get(logDir.toUri.getPath)))
+                !fs.exists(dest) && fs.rename(tmp, dest)
+              else {
+                fs.delete(tmp, false)
+                throw e
+              }
           }
         else !fs.exists(dest) && fs.rename(tmp, dest)
       if (!committed) {
@@ -952,6 +956,23 @@ final class IncrementalTable(
     requireUnconstrained(from, "rename")
   }
 
+  /** The target-side half of [[validateRename]], for renames whose
+    * SOURCE a statement is itself adding (the source can only be
+    * validated after the add commits, but the target can — and must —
+    * be checked before anything commits, or the statement half-applies).
+    */
+  private[graft] def validateRenameTarget(to: String): Unit = {
+    require(saneName(to), s"illegal characters in column name: $to")
+    val map = colMap
+    val live = tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+      .filterNot(droppedCols)
+    require(!live.map(p => map.getOrElse(p, p)).contains(to) &&
+        !live.contains(to),
+      s"cannot rename to $to: it already exists in $path")
+    require(!droppedCols(to),
+      s"cannot rename to $to: $to is a retired (dropped) column name")
+  }
+
   /** CHECK constraints store raw SQL — a rename/drop of a referenced
     * column would break every future validation, so refuse (Delta does
     * the same). Word-boundary match errs on the loud side.
@@ -1429,19 +1450,27 @@ final class IncrementalTable(
       require(dt == LongType || dt == IntegerType,
         s"identity column $col must be BIGINT or INT, got $dt")
     }
-    val seed: Map[String, String] =
-      if (!latestVersion.exists(v => files(v).nonEmpty)) Map.empty
+    val gridSeed: Option[Long] =
+      if (!latestVersion.exists(v => files(v).nonEmpty)) None
       else snapshot().agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col(col))).head().getAs[Any](0) match {
         case n: Number if n.longValue() >= start =>
           // smallest watermark >= max(data) on the start + k*step grid,
           // so future ids stay ≡ start (mod step) AND above the data
-          val w = start + (n.longValue() - start + step - 1) / step * step
-          Map("id_watermark" -> w.toString)
-        case _ => Map.empty // empty column or all below START: default
+          Some(start + (n.longValue() - start + step - 1) / step * step)
+        case _ => None // empty column or all below START: default grid
       }
+    // ALWAYS stamp the counter, taking the max of the data seed, any
+    // previously committed watermark (a re-declaration must never
+    // rewind past ids already issued — deleted rows still hold theirs
+    // in history) and the declaration's own start − step default
+    // (which also makes the per-commit carry O(1) from here on: the
+    // newest manifest now always holds a counter)
+    val w = (gridSeed.toSeq ++ latestVersion.flatMap(newestWatermark).toSeq
+      :+ (start - step)).max
     commitFiles(Seq.empty, Set.empty, s"set identity[$col]",
-      meta = Map("identity" -> s"$col;$start;$step;$allowExplicitInsert") ++ seed)
+      meta = Map("identity" -> s"$col;$start;$step;$allowExplicitInsert",
+        "id_watermark" -> w.toString))
   }
 
   /** The identity declaration in force: (column, start, step,
@@ -1460,13 +1489,18 @@ final class IncrementalTable(
     */
   def identityHighWatermark: Long = {
     val (start, step) = identityDecl.map(d => (d._2, d._3)).getOrElse((1L, 1L))
-    latestVersion.flatMap { latest =>
-      (latest to 0L by -1).iterator
-        .takeWhile(versionExists)
-        .flatMap(v => metaAt(v).get("id_watermark"))
-        .nextOption()
-    }.map(_.toLong).getOrElse(start - step)
+    latestVersion.flatMap(newestWatermark).getOrElse(start - step)
   }
+
+  /** Newest committed `id_watermark` at or below version `from`
+    * (newest-first manifest walk stopping at the vacuum horizon) —
+    * THE walk every watermark read shares, so the semantics cannot
+    * drift between allocation, carry and clone.
+    */
+  private[lake] def newestWatermark(from: Long): Option[Long] =
+    (from to 0L by -1).iterator.takeWhile(versionExists)
+      .flatMap(v => metaAt(v).get("id_watermark"))
+      .nextOption().map(_.toLong)
 
   /** The `id_watermark` meta a commit must carry forward so the NEWEST
     * manifest always holds the counter: vacuum keeps only a recent
@@ -1480,10 +1514,8 @@ final class IncrementalTable(
     baseMeta.get("id_watermark") match {
       case Some(w) => Map("id_watermark" -> w)
       case None if baseMeta.contains("identity") =>
-        latestVersion.flatMap { latest =>
-          (latest to 0L by -1).iterator.takeWhile(versionExists)
-            .flatMap(x => metaAt(x).get("id_watermark")).nextOption()
-        }.map("id_watermark" -> _).toMap
+        latestVersion.flatMap(newestWatermark)
+          .map(w => "id_watermark" -> w.toString).toMap
       case None => Map.empty
     }
 
@@ -1531,7 +1563,10 @@ final class IncrementalTable(
         val newest = identityHighWatermark
         if (newest > wm) reallocate = true // ids may collide: redo
         else {
-          try return commitOnce(Map("id_watermark" -> mx.toString))
+          // max(): an explicit-insert batch whose ids all sit BELOW the
+          // watermark must not rewind it (mx < wm re-issues used ids)
+          try return commitOnce(
+            Map("id_watermark" -> math.max(wm, mx).toString))
           catch {
             case e: StaleRewriteException => throw e
             case e: CommitConflictException =>
@@ -2101,12 +2136,15 @@ final class IncrementalTable(
     val carryMeta = Seq("constraints", "colmap", "coldrop", "gencol", "identity")
       .flatMap(k => srcMeta.get(k).map(k -> _)).toMap
     // the identity counter carries AT v's value: inserts on the clone
-    // must not re-issue ids already present in the cloned rows
+    // must not re-issue ids already present in the cloned rows. If the
+    // walk below v hits the source's vacuum horizon empty (manifests
+    // predating the carry invariant), fall back to the source's HEAD
+    // watermark — a higher-than-v counter only skips ids, never reuses
     val idMeta =
       if (!srcMeta.contains("identity")) Map.empty[String, String]
-      else (v to 0L by -1).iterator.takeWhile(src.versionExists)
-        .flatMap(x => src.metaAt(x).get("id_watermark")).nextOption()
-        .map("id_watermark" -> _).toMap
+      else src.newestWatermark(v)
+        .orElse(src.latestVersion.flatMap(src.newestWatermark))
+        .map(w => "id_watermark" -> w.toString).toMap
     writeManifest(0L, s"clone[v$v]", entries,
       dvMeta ++ carryMeta ++ idMeta ++ schemaMetaFor(None, src.schemaAt(v)))
     0L
@@ -2134,18 +2172,21 @@ final class IncrementalTable(
     // the head — Delta's RESTORE split
     // data state (incl. the feature stamp — restoring TO a
     // feature-bearing version recreates its requirements verbatim)
-    val headMeta = latestVersion.map(metaAt).getOrElse(Map.empty)
-    val carried = metaAt(v).filter { case (k, _) =>
-      Set("schema", "dv", "colmap", "coldrop", "rf").contains(k) } ++
-      headMeta.filter { case (k, _) =>
-        Set("constraints", "bloom", "gencol", "writeorder",
-          "identity").contains(k) } ++
-      watermarkCarry(headMeta) // counter NEVER rewinds (see scaladoc)
     var attempt = 0
     while (true) {
       val base = latestVersion.getOrElse(-1L)
       if (base == v) return v // restoring to the head is a no-op
       if (base >= 0) checkWriterFeatures(metaAt(base))
+      // head-side meta is read PER ATTEMPT: a retry after losing the
+      // CAS must carry the winner's newer properties and watermark,
+      // not republish the pre-race snapshot of them
+      val headMeta = if (base >= 0) metaAt(base) else Map.empty[String, String]
+      val carried = metaAt(v).filter { case (k, _) =>
+        Set("schema", "dv", "colmap", "coldrop", "rf").contains(k) } ++
+        headMeta.filter { case (k, _) =>
+          Set("constraints", "bloom", "gencol", "writeorder",
+            "identity").contains(k) } ++
+        watermarkCarry(headMeta) // counter NEVER rewinds (see scaladoc)
       try {
         writeManifest(base + 1, s"restore[$v]", target, carried)
         return base + 1
@@ -2486,16 +2527,33 @@ object IncrementalTable {
     */
   private[lake] val CheckpointInterval = 10L
 
-  /** Does this [[java.nio.file.FileSystemException]] mean the mount
-    * cannot do hard links at all (EPERM/ENOSYS-style), as opposed to a
-    * transient I/O failure? Only the former may degrade the commit CAS
-    * to the rename publish.
+  /** Can `dir`'s mount create hard links at all? Decided by one real
+    * `link(2)` between two probe files (result cached per directory),
+    * never by matching exception text — strerror messages are
+    * locale-dependent. Distinguishes a link-incapable mount (commit
+    * CAS may degrade to rename) from a transient I/O failure on a
+    * capable one (commit must fail loudly).
     */
-  private[lake] def linkUnsupported(e: java.nio.file.FileSystemException): Boolean = {
-    val reason = Option(e.getReason).getOrElse("").toLowerCase
-    reason.contains("not permitted") || reason.contains("not supported") ||
-      reason.contains("not implemented") || reason.contains("cross-device")
-  }
+  private val linkProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[lake] def hardLinksWork(dir: java.nio.file.Path): Boolean =
+    linkProbeCache.computeIfAbsent(dir.toString, _ => {
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val a = dir.resolve(s"._linkprobe_$nonce")
+      val b = dir.resolve(s"._linkprobe_$nonce.l")
+      try {
+        java.nio.file.Files.write(a, Array.emptyByteArray)
+        java.nio.file.Files.createLink(b, a)
+        true
+      } catch {
+        case _: java.io.IOException | _: UnsupportedOperationException |
+            _: SecurityException => false
+      } finally {
+        Seq(b, a).foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+      }
+    })
 
   /** Reader features this library implements. A manifest demanding
     * anything outside this set makes every data read refuse loudly —

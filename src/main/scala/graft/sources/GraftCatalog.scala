@@ -331,6 +331,12 @@ class GraftCatalog extends TableCatalog {
     val addNames = adds.map(_.fieldNames().head).toSet
     renames.filterNot(r => addNames(r.fieldNames().head))
       .foreach(r => inc.validateRename(r.fieldNames().head, r.newName()))
+    // a rename whose SOURCE is added by this same statement can't run
+    // the full source-side validation yet, but its TARGET must be
+    // checked now — otherwise the add commits and the rename throws,
+    // half-applying the statement
+    renames.filter(r => addNames(r.fieldNames().head))
+      .foreach(r => inc.validateRenameTarget(r.newName()))
     drops.filterNot(d => addNames(d.fieldNames().head))
       .foreach(d => inc.validateDrop(d.fieldNames().head))
     // CUMULATIVE checks: the per-change validations above run against

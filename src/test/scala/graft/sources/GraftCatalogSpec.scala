@@ -199,6 +199,15 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
         TableChange.renameColumn(Array("a"), "c"),
         TableChange.deleteColumn(Array("a"), false))
     }
+    // an added column renamed onto an EXISTING column: the target
+    // check must run pre-commit (the source can't be validated until
+    // the add lands, but the target can)
+    unchanged("added column renamed onto existing") {
+      cat.alterTable(ident,
+        TableChange.addColumn(Array("x"),
+          org.apache.spark.sql.types.LongType, true),
+        TableChange.renameColumn(Array("x"), "b"))
+    }
   }
 
   test("CREATE TABLE rejects a generated column whose expression type mismatches") {

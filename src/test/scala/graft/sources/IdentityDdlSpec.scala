@@ -150,6 +150,27 @@ class IdentityDdlSpec extends AnyFunSuite with SparkSpec {
     assert(ids === Seq(1L, 2L, 3L), s"no re-issued ids after vacuum: $ids")
   }
 
+  test("explicit inserts below the watermark never rewind it; neither does re-declaration") {
+    configure()
+    val dir = Files.createTempDirectory("graft_idrw_").toString + "/t"
+    import spark.implicits._
+    val t = new IncrementalTable(spark, dir)
+    t.setIdentity("id", start = 1L, step = 1L, allowExplicitInsert = true)
+    t.append(Seq((Some(100L), "hi")).toDF("id", "v"))
+    assert(t.identityHighWatermark === 100L)
+    // an explicit-only batch whose max sits BELOW the watermark
+    t.append(Seq((Some(5L), "low")).toDF("id", "v"))
+    assert(t.identityHighWatermark === 100L,
+      "low explicit insert rewound the identity watermark")
+    // re-declaring (e.g. to flip allowExplicitInsert) must not rewind
+    t.setIdentity("id", start = 1L, step = 1L, allowExplicitInsert = false)
+    assert(t.identityHighWatermark === 100L,
+      "re-declaration rewound the identity watermark")
+    t.append(Seq((Option.empty[Long], "alloc")).toDF("id", "v"))
+    val ids = t.snapshot().collect().map(_.getLong(0)).toSet
+    assert(ids === Set(100L, 5L, 101L), s"allocation continued above: $ids")
+  }
+
   test("shallow clone carries the identity declaration and counter") {
     configure()
     val base = Files.createTempDirectory("graft_idclone_").toString
