@@ -115,10 +115,16 @@ object PipelineQueries {
     * coordinate, retry-stable at 1000 executors, and the mixture is
     * reproducible row-for-row in ANSI SQL.
     */
+  /** The mixture-weight config `mix_sources` samples by — shared with
+    * its oracle SQL so both sides interpolate the SAME
+    * [[Sampling.threshold]] longs (boundary-exact by construction).
+    */
+  private val mixWeights: Seq[(String, Double)] =
+    (0 until 20).map(i => s"src$i" -> (i % 5 + 1) / 5.0)
+
   def mixSources(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val weights = (0 until 20).map(i => s"src$i" -> (i % 5 + 1) / 5.0).toMap
-    Sampling.stratifiedByHash(docs, "doc_id", "source", weights)
+    Sampling.stratifiedByHash(docs, "doc_id", "source", mixWeights.toMap)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
@@ -778,18 +784,26 @@ object PipelineQueries {
     "sample_documents" ->
       s"""SELECT doc_id, source, n_chars FROM documents
          |WHERE CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-         |      < ${(0.2 * Sampling.HashSpace).toLong}
+         |      < ${Sampling.threshold(0.2)}
          |ORDER BY doc_id""".stripMargin,
-    "mix_sources" ->
-      raw"""WITH rated AS (
-           |  SELECT *, (1 + (CAST(substr(source, 4) AS INT) % 5)) / 5.0 AS rate
-           |  FROM documents)
-           |SELECT source, count(*) AS n_docs,
-           |       SUM(CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS BIGINT)) AS n_tokens
-           |FROM rated
+    "mix_sources" -> {
+      // the oracle replays the EXACT per-stratum long thresholds the
+      // Spark plan uses (same Sampling.threshold call) — recomputing
+      // rate×2^60 in DuckDB DECIMAL arithmetic lands ulps away; and the
+      // sum is cast OUTSIDE the aggregate because DuckDB types
+      // SUM(BIGINT) as HUGEINT (int128), which hash-mismatches int64
+      val cases = mixWeights
+        .map { case (s, f) => s"WHEN '$s' THEN ${Sampling.threshold(f)}" }
+        .mkString("\n           ")
+      raw"""SELECT source, count(*) AS n_docs,
+           |       CAST(SUM(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS n_tokens
+           |FROM documents
            |WHERE CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-           |      < CAST(rate * ${Sampling.HashSpace}.0 AS BIGINT)
-           |GROUP BY source ORDER BY source""".stripMargin,
+           |      < CASE source
+           |          $cases
+           |          ELSE 0 END
+           |GROUP BY source ORDER BY source""".stripMargin
+    },
     "winnow_fingerprints" ->
       raw"""WITH c AS (
            |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS canon

@@ -22,8 +22,16 @@ object Sampling {
 
   val HashSpace: Long = 1L << 60
 
+  /** The ONE place a fraction becomes a keep-threshold. Both the Spark
+    * filter and any replaying oracle SQL must interpolate THIS long —
+    * computing it independently (e.g. in DECIMAL arithmetic with
+    * rounding instead of double arithmetic with truncation) lands a
+    * few ulps away and rows whose hash falls in the gap flip sides.
+    */
+  def threshold(fraction: Double): Long = (fraction * HashSpace).toLong
+
   private def keep(keyCol: Column, fraction: Double): Column =
-    Shingles.baseHash(keyCol.cast("string")) < lit((fraction * HashSpace).toLong)
+    Shingles.baseHash(keyCol.cast("string")) < lit(threshold(fraction))
 
   /** Bernoulli(fraction) sample, deterministic in the key. */
   def byHash(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
@@ -31,15 +39,19 @@ object Sampling {
     df.filter(keep(col(keyCol), fraction))
   }
 
-  /** Per-stratum fractions (groups absent from the map keep nothing). */
+  /** Per-stratum fractions (groups absent from the map keep nothing).
+    * The per-stratum thresholds are resolved to LONG LITERALS here, on
+    * the driver, via [[threshold]] — not per-row double arithmetic —
+    * so an oracle interpolating the same longs is boundary-exact by
+    * construction rather than by two arithmetics agreeing.
+    */
   def stratifiedByHash(
       df: DataFrame, keyCol: String, stratumCol: String,
       fractions: Map[String, Double]): DataFrame = {
     require(fractions.values.forall(f => f >= 0 && f <= 1), "fractions in [0,1]")
-    val frac = fractions.foldLeft(lit(0.0)) { case (els, (s, f)) =>
-      when(col(stratumCol) === s, lit(f)).otherwise(els)
+    val thr = fractions.foldLeft(lit(0L)) { case (els, (s, f)) =>
+      when(col(stratumCol) === s, lit(threshold(f))).otherwise(els)
     }
-    df.filter(Shingles.baseHash(col(keyCol).cast("string")) <
-      (frac * lit(HashSpace.toDouble)).cast("long"))
+    df.filter(Shingles.baseHash(col(keyCol).cast("string")) < thr)
   }
 }

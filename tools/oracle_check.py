@@ -13,6 +13,34 @@ and cell values. Exit 1 on any mismatch.
 import sys, json, glob, math
 import duckdb
 
+def family(duck_type):
+    """Collapse a DuckDB type name to the family the driver's hasher
+    distinguishes. Round 5's only red row was value-identical but typed
+    HUGEINT (DuckDB's SUM(BIGINT) result) vs Spark's int64 — a class of
+    bug the old value-only compare could not see. int widths <= 64 are
+    one family (the driver tolerated INTEGER-vs-BIGINT all round)."""
+    t = str(duck_type).upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.startswith(("STRUCT", "MAP")):
+        return "struct"
+    if "[]" in t or t.startswith("LIST"):
+        return "list"
+    for fam, names in [
+        ("int", ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+                 "USMALLINT", "UINTEGER", "INT")),
+        ("hugeint", ("HUGEINT", "UBIGINT", "UHUGEINT")),
+        ("float", ("FLOAT", "DOUBLE", "REAL")),
+        ("string", ("VARCHAR", "STRING", "TEXT", "CHAR")),
+        ("binary", ("BLOB", "BYTEA", "BINARY")),
+        ("bool", ("BOOLEAN", "BOOL")),
+        ("timestamp", ("TIMESTAMP", "DATETIME")),
+        ("date", ("DATE",)),
+    ]:
+        if any(t.startswith(n) for n in names):
+            return fam
+    return t
+
 def norm(v):
     if v is None:
         # NULLs sort before everything (Python can't compare None<int);
@@ -41,19 +69,31 @@ def main(sf_dir, out_dir, only=()):
         if not files:
             failures.append((name, "no spark output"))
             continue
-        spark_rel = con.execute(
-            f"SELECT * FROM parquet_scan({files!r})")
-        spark_cols = [d[0] for d in spark_rel.description]
+        spark_rel = con.sql(f"SELECT * FROM parquet_scan({files!r})")
+        spark_cols = list(spark_rel.columns)
+        spark_types = dict(zip(spark_cols, spark_rel.types))
         spark_rows = spark_rel.fetchall()
         try:
-            ora_rel = con.execute(sql)
+            ora_rel = con.sql(sql)
         except Exception as e:
             failures.append((name, f"oracle sql error: {e}"))
             continue
-        ora_cols = [d[0] for d in ora_rel.description]
+        ora_cols = list(ora_rel.columns)
+        ora_types = dict(zip(ora_cols, ora_rel.types))
         ora_rows = ora_rel.fetchall()
         if sorted(spark_cols) != sorted(ora_cols):
             failures.append((name, f"columns differ: {sorted(spark_cols)} vs {sorted(ora_cols)}"))
+            continue
+        # type-family gate (the round-5 mix_sources class of bug): the
+        # driver's hasher is type-sensitive, so value-identical results
+        # in drifting type families must fail HERE, not at the driver
+        drift = [
+            f"{c}: spark={spark_types[c]}({family(spark_types[c])}) "
+            f"oracle={ora_types[c]}({family(ora_types[c])})"
+            for c in sorted(spark_cols)
+            if family(spark_types[c]) != family(ora_types[c])]
+        if drift:
+            failures.append((name, "type drift: " + "; ".join(drift)))
             continue
         s_ix = [spark_cols.index(c) for c in sorted(spark_cols)]
         o_ix = [ora_cols.index(c) for c in sorted(ora_cols)]
