@@ -52,9 +52,11 @@ final class StaleRewriteException(msg: String) extends CommitConflictException(m
   * writers leave invisible garbage, never corruption; `vacuum` deletes
   * data files no kept manifest references. Concurrent committers race
   * on the manifest rename — [[CommitConflictException]] + the rebase
-  * loops in [[commitFiles]]/[[writeSnapshot]] arbitrate optimistically
-  * (object stores without atomic rename need a lock/CAS service, same
-  * as Delta).
+  * loops in [[commitFiles]]/[[writeSnapshot]] arbitrate optimistically.
+  * WHO wins the publish race is delegated to the storage-appropriate
+  * [[CommitArbiter]] (local `link(2)` CAS, HDFS atomic rename, or a
+  * deployment-registered [[ExternalCasArbiter]] for object stores —
+  * the Delta `LogStore` seam).
   */
 final class IncrementalTable(
     spark: SparkSession, val path: String, collectStats: Boolean = true) {
@@ -325,54 +327,20 @@ final class IncrementalTable(
     val out = fs.create(tmp, true)
     out.write(json.getBytes(StandardCharsets.UTF_8))
     out.close()
-    // rename-to-taken fails atomically on HDFS, but the local
-    // ChecksumFileSystem implements it as CHECK-THEN-ACT (dest-exists
-    // test, then a POSIX rename that overwrites) — racing writers on
-    // one version could both pass the check and the second silently
-    // clobbers the first: a lost update, the one outcome the commit
-    // protocol exists to prevent. Threads are serialized by the
-    // per-table JVM lock; for racing PROCESSES the local-fs publish
-    // uses link(2) — an atomic create-if-absent CAS the lock cannot
-    // provide across JVMs (pinned by CommitRaceSpec's two-process
-    // race). Object stores without atomic create still need an
-    // external CAS, same as Delta's S3 LogStore.
+    // The create-if-absent race on the manifest is delegated to the
+    // storage-appropriate [[CommitArbiter]] (local link(2) CAS, HDFS
+    // atomic rename, or a deployment-supplied external CAS for object
+    // stores — Delta's LogStore seam). Threads are serialized by the
+    // per-table JVM lock; the arbiter is what makes racing PROCESSES
+    // safe (pinned by CommitRaceSpec's two-JVM race).
     IncrementalTable.publishLock(path).synchronized {
       val dest = manifestPath(v)
-      val committed =
-        if (fs.getScheme == "file")
-          try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(dest.toUri.getPath),
-              java.nio.file.Paths.get(tmp.toUri.getPath))
-            fs.delete(tmp, false)
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-            // mounts without hard links (FAT/FUSE/some NFS) degrade to
-            // the lock+rename publish — still atomic per JVM, with the
-            // cross-process caveat those mounts always had. ONLY
-            // link-UNSUPPORTED mounts may degrade (decided by a cached
-            // capability PROBE, not exception-message matching — the
-            // strerror text is locale-dependent): on a mount where
-            // links work, a transient I/O error propagates loudly,
-            // because the racy exists+rename could silently REPLACE a
-            // concurrent winner's manifest.
-            case _: UnsupportedOperationException =>
-              !fs.exists(dest) && fs.rename(tmp, dest)
-            case e: java.io.IOException =>
-              if (!IncrementalTable.hardLinksWork(
-                  java.nio.file.Paths.get(logDir.toUri.getPath)))
-                !fs.exists(dest) && fs.rename(tmp, dest)
-              else {
-                fs.delete(tmp, false)
-                throw e
-              }
-          }
-        else !fs.exists(dest) && fs.rename(tmp, dest)
-      if (!committed) {
+      val arbiter = CommitArbiters.forTable(path, fs.getScheme)
+      if (!arbiter.publish(fs, tmp, dest)) {
         fs.delete(tmp, false)
         throw new CommitConflictException(
-          s"concurrent commit detected for version $v of $path")
+          s"concurrent commit detected for version $v of $path " +
+            s"(arbiter: ${arbiter.name})")
       }
     }
     writeLatestHint(v)
@@ -2526,34 +2494,6 @@ object IncrementalTable {
     * checkpoint interval to 10 for the same reason).
     */
   private[lake] val CheckpointInterval = 10L
-
-  /** Can `dir`'s mount create hard links at all? Decided by one real
-    * `link(2)` between two probe files (result cached per directory),
-    * never by matching exception text — strerror messages are
-    * locale-dependent. Distinguishes a link-incapable mount (commit
-    * CAS may degrade to rename) from a transient I/O failure on a
-    * capable one (commit must fail loudly).
-    */
-  private val linkProbeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private[lake] def hardLinksWork(dir: java.nio.file.Path): Boolean =
-    linkProbeCache.computeIfAbsent(dir.toString, _ => {
-      val nonce = java.util.UUID.randomUUID().toString.take(8)
-      val a = dir.resolve(s"._linkprobe_$nonce")
-      val b = dir.resolve(s"._linkprobe_$nonce.l")
-      try {
-        java.nio.file.Files.write(a, Array.emptyByteArray)
-        java.nio.file.Files.createLink(b, a)
-        true
-      } catch {
-        case _: java.io.IOException | _: UnsupportedOperationException |
-            _: SecurityException => false
-      } finally {
-        Seq(b, a).foreach(p =>
-          try java.nio.file.Files.deleteIfExists(p)
-          catch { case _: java.io.IOException => () })
-      }
-    })
 
   /** Reader features this library implements. A manifest demanding
     * anything outside this set makes every data read refuse loudly —
