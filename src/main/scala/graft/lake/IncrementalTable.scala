@@ -1515,9 +1515,24 @@ final class IncrementalTable(
         s"identity column $idCol of $path is GENERATED ALWAYS — values " +
           "cannot be provided (omit the column or insert NULL)")
     }
+    // With explicit inserts allowed, allocation must ALSO clear the
+    // batch's own explicit ids: an explicit value above the committed
+    // watermark would otherwise duplicate an id densely allocated to a
+    // NULL slot of the SAME batch (wm=10, explicit 12, two NULL rows →
+    // 11, 12). Seeding from max(watermark, max explicit-in-batch) keeps
+    // the uniqueness contract; explicit ids below existing DATA remain
+    // the caller's responsibility, as in Delta.
+    val explicitMax: Option[Long] =
+      if (!allowExplicit) None
+      else pinned.agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col(idCol))).head().getAs[Any](0) match {
+        case null => None
+        case n: Number => Some(n.longValue())
+      }
     var reallocations = 0
     while (true) {
-      val wm = identityHighWatermark
+      val committedWm = identityHighWatermark
+      val wm = explicitMax.fold(committedWm)(math.max(committedWm, _))
       val withIds = IncrementalTable.allocateIdentity(pinned, idCol, wm, step)
       val mx = withIds.agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col(idCol))).head().getAs[Any](0) match {

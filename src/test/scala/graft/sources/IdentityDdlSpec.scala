@@ -117,6 +117,28 @@ class IdentityDdlSpec extends AnyFunSuite with SparkSpec {
     assert(alloc.nonEmpty && alloc.head > 1000L, s"seeded alloc: $alloc")
   }
 
+  test("explicit id above the watermark cannot collide with same-batch allocation") {
+    configure()
+    val dir = Files.createTempDirectory("graft_idexpl_").toString + "/t"
+    import spark.implicits._
+    val t = new IncrementalTable(spark, dir)
+    t.append(Seq((Option.empty[Long], "seed")).toDF("id", "v"))
+    t.setIdentity("id", start = 10L, step = 1L, allowExplicitInsert = true)
+    t.append(Seq((Option.empty[Long], "a")).toDF("id", "v")) // wm → 10
+    // one explicit id two slots ABOVE the watermark plus two NULL slots:
+    // naive dense allocation (11, 12) would duplicate the explicit 12 —
+    // allocation must seed past the batch's own explicit maximum
+    t.append(Seq((Some(12L), "explicit"), (None, "b"), (None, "c"))
+      .toDF("id", "v").coalesce(1))
+    val ids = t.snapshot().filter("id IS NOT NULL")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size === ids.size, s"duplicate identity ids: $ids")
+    assert(ids.contains(12L))
+    // and the allocated ids landed above the explicit value
+    val alloc = t.snapshot().filter("v IN ('b','c')").collect().map(_.getLong(0)).toSeq
+    assert(alloc.forall(_ > 12L), s"allocated below the explicit id: $alloc")
+  }
+
   test("setIdentity on a populated table seeds the watermark onto the start/step grid") {
     configure()
     val dir = Files.createTempDirectory("graft_idseed_").toString + "/t"
