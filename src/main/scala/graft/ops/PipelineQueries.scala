@@ -183,18 +183,64 @@ object PipelineQueries {
     * notebooks) reuse one set of cached blocks instead of leaking a
     * new one each time — the persisted handle never escapes, so the
     * caller could not release it.
+    *
+    * Lifetime rules (round-5 advice: `identityHashCode` keys can
+    * collide after GC and pinned blocks outlived every query):
+    *  - keyed by the session's STABLE uuid (identity-hash fallback
+    *    only for non-classic session impls) — a new session never sees
+    *    another session's frame;
+    *  - every access sweeps entries whose SparkContext has stopped and
+    *    LRU-evicts (with unpersist) beyond [[WinnowCacheMaxEntries]],
+    *    so long-lived sessions touching many datasets stay bounded;
+    *  - [[releaseWinnowCache]] drops a session's entries eagerly
+    *    (tests, notebook teardown, or after replacing the dataset at a
+    *    directory — the cache cannot see in-place dataset swaps).
     */
+  private val WinnowCacheMaxEntries = 8
+  private val winnowTick = new java.util.concurrent.atomic.AtomicLong
+  private final class WinnowEntry(val spark: SparkSession, val df: DataFrame) {
+    @volatile var lastUsed: Long = winnowTick.incrementAndGet()
+  }
   private val winnowCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), WinnowEntry]
+
+  private def sessionKey(spark: SparkSession): String =
+    org.apache.spark.sql.graftbridge.ColumnBridge.sessionUuid(spark)
+      .getOrElse("idhash-" + System.identityHashCode(spark))
+
+  private[ops] def winnowCacheKeys: Set[(String, String)] = winnowCache.keySet.toSet
+
+  /** Unpersist and drop every winnow frame cached for `spark`. */
+  def releaseWinnowCache(spark: SparkSession): Unit = {
+    val k = sessionKey(spark)
+    winnowCache.keys.filter(_._1 == k).foreach { key =>
+      winnowCache.remove(key).foreach(e =>
+        try e.df.unpersist(blocking = true)
+        catch { case scala.util.control.NonFatal(_) => () })
+    }
+  }
 
   def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // housekeeping before lookup: dead sessions out, LRU bound kept
+    winnowCache.foreach { case (key, e) =>
+      if (e.spark.sparkContext.isStopped) winnowCache.remove(key)
+    }
+    while (winnowCache.size >= WinnowCacheMaxEntries &&
+        !winnowCache.contains((sessionKey(spark), dir))) {
+      val oldest = winnowCache.toSeq.minBy(_._2.lastUsed)._1
+      winnowCache.remove(oldest).foreach(e =>
+        try e.df.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () })
+    }
     // the winnow scan feeds FOUR subplans (nf, rare, both join sides)
     // and Spark shares no common subplans beyond exchange reuse — cache
     // it once or the codegen'd canon+winnow pass runs ~4×
-    val fps = winnowCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir),
-      winnowFpsFrame(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val entry = winnowCache.getOrElseUpdate(
+      (sessionKey(spark), dir),
+      new WinnowEntry(spark, winnowFpsFrame(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    entry.lastUsed = winnowTick.incrementAndGet()
+    val fps = entry.df
     val nf = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 50)).select("fp")

@@ -24,6 +24,17 @@ object ColumnBridge {
       .internalCreateDataFrame(
         df.queryExecution.toRdd, df.schema, isStreaming = true)
 
+  /** The session's stable unique id (`sessionUUID` is `private[sql]`,
+    * hence this shim) — the collision-proof cache key a
+    * `System.identityHashCode` can't provide (hash codes can repeat
+    * after GC). None for non-classic session implementations.
+    */
+  def sessionUuid(spark: org.apache.spark.sql.SparkSession): Option[String] =
+    spark match {
+      case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
+      case _ => None
+    }
+
   /** The inverse: materialize a v1 `Sink.addBatch` micro-batch frame
     * (tagged streaming, single-use execution) as a plain batch frame a
     * sink can write with the ordinary APIs — the same

@@ -237,4 +237,41 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
     // partial aggregation on the shared-fp counts (map-side combine)
     assert(p.contains("partial_count"), s"expected partial aggregation:\n$p")
   }
+
+  test("winnow cache: per-session isolation, reuse within a session, release frees storage") {
+    def winnowRddIds(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    PipelineQueries.releaseWinnowCache(spark)
+    val before = winnowRddIds()
+    val keysBefore = PipelineQueries.winnowCacheKeys
+    PipelineQueries.winnowOverlap(spark, dir).count()
+    val afterFirst = winnowRddIds() -- before
+    assert(afterFirst.nonEmpty, "first call should persist the shared winnow frame")
+    val keysOne = PipelineQueries.winnowCacheKeys -- keysBefore
+    assert(keysOne.size === 1)
+    // a second call in the SAME session reuses the same cache entry and
+    // persists nothing new
+    PipelineQueries.winnowOverlap(spark, dir).count()
+    assert((winnowRddIds() -- before) === afterFirst,
+      "second call must not persist a new frame")
+    assert((PipelineQueries.winnowCacheKeys -- keysBefore) === keysOne)
+    // a DIFFERENT session gets its OWN entry under a DIFFERENT key
+    // (stable uuid keying — an identity-hash collision could have
+    // served a stale/stopped session's frame here). Spark's shared
+    // CacheManager may dedupe the identical plan's storage; the
+    // isolation that matters is at the entry/lifetime level.
+    val s2 = spark.newSession()
+    PipelineQueries.winnowOverlap(s2, dir).count()
+    val keysTwo = PipelineQueries.winnowCacheKeys -- keysBefore
+    assert(keysTwo.size === 2, s"second session must get its own entry: $keysTwo")
+    assert(keysTwo.map(_._1).size === 2, "entries must be keyed by distinct session ids")
+    // releasing each session drops its entry and unpins all blocks
+    PipelineQueries.releaseWinnowCache(spark)
+    assert((PipelineQueries.winnowCacheKeys -- keysBefore).size === 1,
+      "release must only drop the releasing session's entries")
+    PipelineQueries.releaseWinnowCache(s2)
+    assert((PipelineQueries.winnowCacheKeys -- keysBefore).isEmpty)
+    assert((winnowRddIds() -- before).isEmpty,
+      s"released winnow frames still pinned: ${winnowRddIds() -- before}")
+  }
 }
