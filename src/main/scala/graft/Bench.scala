@@ -25,9 +25,18 @@ object Bench {
     // Warmup pass (steady-state measurement): first execution in a
     // fresh JVM is dominated by JIT + whole-stage-codegen compilation,
     // not by the query. SPARK_GRAFT_WARMUP=0 reverts to cold timing.
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-      SparkEntry.queries.foreach { case (_, fn) =>
+    // The pass is itself TIMED and reported as "cold" in the detail
+    // line: for queries that build one-time state (a persisted shared
+    // frame, an index) the cold number carries that cost and the warm
+    // number is the steady state — reporting both keeps round-over-
+    // round comparison honest (the headline stays warm; SCALE.md says
+    // so).
+    val cold: Map[String, Double] =
+      if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "0") Map.empty
+      else SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
       }
     // min of three timed runs, with a GC breather per query: in a
     // 60+-query JVM a query's number otherwise reflects its NEIGHBORS
@@ -48,17 +57,25 @@ object Bench {
       name -> (runs.min, runs.max - runs.min)
     }
     val (foil, scaleSafe) = results.partition { case (k, _) => baselineOnly(k) }
+    // Locale.ROOT: the default-locale formatter writes "0,1234" under
+    // comma-decimal locales — invalid JSON, which would break the
+    // driver's tail parse exactly the way truncation used to.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def jsonMap(m: Map[String, Double]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+      m.map { case (k, v) => s"\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val qs = jsonMap(scaleSafe.map { case (k, (v, _)) => k -> v })
     val spread = jsonMap(results.map { case (k, (_, s)) => k -> s })
     val foils = jsonMap(foil.map { case (k, (v, _)) => k -> v })
+    val colds = jsonMap(cold)
     val total = if (scaleSafe.nonEmpty) scaleSafe.values.map(_._1).sum else 0.0
     val totalAll = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // Keyed "detail", NOT "metric": the driver tail-parses the last
     // {"metric":...} line, which must be the compact summary below.
+    // "queries" is the WARM (min-of-reps) headline; "cold" is the timed
+    // warmup pass, carrying any one-time costs (persist, index build).
     val detail =
-      s"""{"detail":"per-query","total":$total,"unit":"sec","n":${scaleSafe.size},"queries":$qs,"baseline_only":$foils,"spread":$spread,"sf":"$sfDir"}"""
+      s"""{"detail":"per-query","total":$total,"unit":"sec","n":${scaleSafe.size},"queries":$qs,"cold":$colds,"baseline_only":$foils,"spread":$spread,"sf":"$sfDir"}"""
     // Full per-query detail: one stdout line (may be long) AND a file,
     // so the numbers survive even when a log capture truncates stdout.
     println(detail)
