@@ -110,6 +110,10 @@ object FileStats {
     case (l: java.lang.Long, LongType) => l
     case (f: java.lang.Float, FloatType) => f
     case (d: java.lang.Double, DoubleType) => d
+    // widening promotions: a narrow file harvested under a WIDENED
+    // table schema (post type-widening) upcasts losslessly
+    case (i: java.lang.Integer, LongType) => i.longValue()
+    case (f: java.lang.Float, DoubleType) => f.doubleValue()
     case (b: org.apache.parquet.io.api.Binary, StringType) =>
       val s = b.toStringUsingUTF8
       // parquet orders binaries by unsigned bytes; that matches

@@ -145,20 +145,55 @@ final class IncrementalTable(
     name
   }
 
-  /** Add-column evolution only: existing columns must keep their type
-    * (a silent type change would corrupt every older file's read).
+  /** Add-column evolution plus lossless TYPE WIDENING (int → long,
+    * float → double; smaller ints widen through the same chain —
+    * Delta's type-widening feature). The merged column takes the WIDER
+    * of the committed and incoming types: old narrow files upcast at
+    * scan (Spark 4 parquet readers promote int32→int64, float→double
+    * natively), a wide batch commits without rewriting the table, and
+    * a narrow batch into a widened table stays narrow on disk under
+    * the wide read schema. Any other type change still throws — a
+    * lossy change would corrupt every older file's read.
+    *
+    * Returns the merged schema plus the columns whose TABLE type
+    * widened in this merge: their bloom indexes were built by hashing
+    * the NARROW values (Spark hashes int and long differently), so a
+    * wide-typed probe would miss and wrongly prune — [[schemaMetaFor]]
+    * retires those columns from the bloom config in the same commit.
     */
-  private def mergeSchemas(prev: StructType, next: StructType): StructType = {
-    prev.fields.foreach { pf =>
-      next.fields.find(_.name == pf.name).foreach { nf =>
-        if (nf.dataType != pf.dataType)
-          throw new IllegalArgumentException(
-            s"incompatible schema change for $path: column ${pf.name} " +
-              s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString}")
+  private def widerOf(a: DataType, b: DataType): Option[DataType] = {
+    def rank(t: DataType): Int = t match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => -1
+    }
+    if (a == b) Some(a)
+    else if (rank(a) > 0 && rank(b) > 0) Some(if (rank(a) >= rank(b)) a else b)
+    else (a, b) match {
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case _ => None
+    }
+  }
+
+  private def mergeSchemas(
+      prev: StructType, next: StructType): (StructType, Seq[String]) = {
+    val widenedCols = Seq.newBuilder[String]
+    val mergedPrev = prev.fields.toSeq.map { pf =>
+      next.fields.find(_.name == pf.name) match {
+        case None => pf
+        case Some(nf) =>
+          val w = widerOf(pf.dataType, nf.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"incompatible schema change for $path: column ${pf.name} " +
+                s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString}"))
+          if (w != pf.dataType) widenedCols += pf.name
+          pf.copy(dataType = w)
       }
     }
     val newFields = next.fields.filterNot(f => prev.fieldNames.contains(f.name))
-    StructType(prev.fields.toSeq ++ newFields)
+    (StructType(mergedPrev ++ newFields), widenedCols.result())
   }
 
   /** The `schema` meta entry for a commit based on `base`: merge the
@@ -170,15 +205,28 @@ final class IncrementalTable(
     */
   private def schemaMetaFor(
       base: Option[Long], incoming: Option[StructType]): Map[String, String] = {
-    val prevPointer = base.flatMap(v => metaAt(v).get("schema"))
+    val baseMeta = base.map(metaAt).getOrElse(Map.empty)
+    val prevPointer = baseMeta.get("schema")
     val prevSchema = prevPointer.map(readSchemaBlob).orElse(readLegacySchemaFile())
     (incoming, prevSchema) match {
       case (None, _) => prevPointer.map("schema" -> _).toMap
       case (Some(in), None) => Map("schema" -> writeSchemaBlob(in))
       case (Some(in), Some(p)) =>
-        val merged = mergeSchemas(p, in)
-        if (merged == p && prevPointer.isDefined) Map("schema" -> prevPointer.get)
-        else Map("schema" -> writeSchemaBlob(merged))
+        val (merged, widenedCols) = mergeSchemas(p, in)
+        val schemaEntry =
+          if (merged == p && prevPointer.isDefined) Map("schema" -> prevPointer.get)
+          else Map("schema" -> writeSchemaBlob(merged))
+        // a widened column's bloom filters hashed the NARROW values —
+        // retire the column from the bloom config atomically with the
+        // widening commit (conservative: its files simply stop bloom-
+        // pruning; re-enable + compact rebuilds under the wide type)
+        val bloomEntry = baseMeta.get("bloom") match {
+          case Some(b) if widenedCols.nonEmpty =>
+            Map("bloom" -> b.split(";").filter(_.nonEmpty)
+              .filterNot(widenedCols.contains).mkString(";"))
+          case _ => Map.empty[String, String]
+        }
+        schemaEntry ++ bloomEntry
     }
   }
 
@@ -600,9 +648,16 @@ final class IncrementalTable(
   def snapshotAt(v: Long): DataFrame = {
     checkReaderFeatures(v)
     val fs = files(v)
-    if (fs.isEmpty) emptyFrame(schemaAt(v).orElse(tableSchema), v)
-    else logicalize(
-      applyDv(spark.read.parquet(fs.map(f => dataPath(f).toString): _*), v), v)
+    // read under v's TRACKED schema when one exists: a version whose
+    // file set spans a type widening (old int files + new long files)
+    // has no single footer schema a bare read could pick safely
+    val sch = schemaAt(v)
+    if (fs.isEmpty) emptyFrame(sch.orElse(tableSchema), v)
+    else {
+      val reader = sch.map(spark.read.schema).getOrElse(spark.read)
+      logicalize(
+        applyDv(reader.parquet(fs.map(f => dataPath(f).toString): _*), v), v)
+    }
   }
 
   /** Reader features version `v` requires — the Delta
@@ -657,8 +712,13 @@ final class IncrementalTable(
     checkReaderFeatures(v)
     val picked = files(v).filter(pred)
     if (picked.isEmpty) None
-    else Some(logicalize(applyDv(
-      spark.read.parquet(picked.map(f => dataPath(f).toString): _*), v), v))
+    else {
+      // v's tracked schema, same as snapshotAt: the picked files may
+      // span a type widening
+      val reader = schemaAt(v).map(spark.read.schema).getOrElse(spark.read)
+      Some(logicalize(applyDv(
+        reader.parquet(picked.map(f => dataPath(f).toString): _*), v), v))
+    }
   }
 
   /** Stats-pruned scan: drop every data file whose footer-harvested
@@ -672,7 +732,7 @@ final class IncrementalTable(
     filters, tableSchema) // latest scans see the tracked (evolved) schema
 
   def scanAt(v: Long, filters: Column*): DataFrame =
-    scanImpl(v, filters, None)
+    scanImpl(v, filters, schemaAt(v)) // v's files may span a widening
 
   private def scanImpl(
       v: Long, filters: Seq[Column], schema: Option[StructType]): DataFrame = {
@@ -1162,11 +1222,24 @@ final class IncrementalTable(
       meta = Map("bloom" -> phys.mkString(";")))
   }
 
-  private def readStatsStore(): DataFrame =
-    spark.read
-      .option("mergeSchema", "true")
-      .option("recursiveFileLookup", "true")
-      .parquet(statsDir.toString)
+  private def readStatsStore(): DataFrame = tableSchema match {
+    // under a tracked schema, read the store with the CURRENT stats
+    // schema explicitly: after a type widening the store holds int- and
+    // long-typed min_/max_ columns in different files, which parquet
+    // schema MERGING refuses — while an explicit wide schema simply
+    // upcasts the narrow files (stale columns drop, missing ones read
+    // null = no skip, both conservative)
+    case Some(s) =>
+      spark.read
+        .schema(FileStats.statsSchema(s))
+        .option("recursiveFileLookup", "true")
+        .parquet(statsDir.toString)
+    case None =>
+      spark.read
+        .option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(statsDir.toString)
+  }
 
   def history(): DataFrame = {
     // one forward fold over the log — each manifest read once, file

@@ -498,6 +498,37 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Canonical-representative selection — the decision a dedup pipeline
+    * ships AFTER clustering: keep one member per near-dup cluster, and
+    * not an arbitrary one — the HIGHEST-QUALITY member (most tokens,
+    * ties to the smallest doc_id; integer score so the oracle replays
+    * exactly). Execution shape for 100 TB: the cluster frame is
+    * edge-sized (only clustered docs appear), the quality join touches
+    * one integer column, and the per-cluster rank partitions by
+    * cluster_id — no global sort, no skew (cluster sizes are bounded
+    * by the LSH band structure + df caps upstream).
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = MinHashLSH.nearDuplicates(docs,
+      "doc_id", "text", NGRAM, k = K, bands = BANDS, num = 3, den = 10)
+    val clusters = graft.dedup.Clusters.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val scored = clusters.join(
+      docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("token_cnt")),
+      Seq("doc_id"))
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    scored
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col("token_cnt").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+        col("token_cnt").as("kept_tokens"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   private val SessionGapUs = 7200000000L // 2 hours
 
   /** Point-in-time enrichment: each event annotated with the user's most
@@ -1040,6 +1071,35 @@ object PipelineQueries {
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    "dedup_keep_best" ->
+      raw"""WITH RECURSIVE $minhashCtes,
+           |pairs AS (
+           |  SELECT c.a, c.b
+           |  FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
+           |    JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
+           |  WHERE 10 * i.inter_size >= 3 * (sa.sz + sb.sz - i.inter_size)),
+           |nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+           |edges AS (SELECT a AS src, b AS dst FROM pairs
+           |          UNION SELECT b, a FROM pairs),
+           |reach AS (
+           |  SELECT id, id AS r FROM nodes
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+           |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+           |scored AS (
+           |  SELECT c.cluster_id, c.doc_id,
+           |         CAST(len(string_split(regexp_replace(trim(d.text), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS token_cnt
+           |  FROM clusters c JOIN documents d USING (doc_id)),
+           |ranked AS (
+           |  SELECT *,
+           |         row_number() OVER (PARTITION BY cluster_id
+           |                            ORDER BY token_cnt DESC, doc_id) AS rn,
+           |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+           |  FROM scored)
+           |SELECT cluster_id, doc_id AS kept_doc, token_cnt AS kept_tokens,
+           |       CAST(n_members AS BIGINT) AS n_members
+           |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
     "asof_last_error" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
@@ -1441,6 +1501,7 @@ object PipelineQueries {
     "approx_stats" -> approxStats _,
     "media_features" -> mediaFeatures _,
     "dedup_clusters" -> dedupClusters _,
+    "dedup_keep_best" -> dedupKeepBest _,
     "corpus_clean_neardup" -> corpusCleanNearDup _,
     "sessionize_events" -> sessionizeEvents _,
     "asof_last_error" -> asofLastError _,
