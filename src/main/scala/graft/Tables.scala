@@ -1,31 +1,68 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata (TESTDATA.md): one parquet per table
   * under `/root/testdata/sf*`.
   *
-  * `events.ts` is written as INT64 TIMESTAMP(NANOS), which Spark 4 cannot
-  * map to its microsecond TimestampType and rejects outright unless
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (then it surfaces as LONG
-  * nanos). [[load]] sets that conf defensively (it is runtime-settable),
-  * and [[events]] derives `ts_utc` = microsecond-truncated TimestampType
-  * for callers that want a real timestamp. Oracle SQL on the DuckDB side
-  * sees the raw ns value via `epoch_ns(ts)`, so queries that must
-  * hash-match compare the LONG, not a timestamp.
+  * ==The `events.ts` contract==
+  * Every consumer in this repo (sessionization, as-of join, range join,
+  * windowed counts, approx stats, streaming) reads `events.ts` as LONG
+  * epoch-nanoseconds. The driver has regenerated the parquet with
+  * different physical types across rounds — INT64 TIMESTAMP(NANOS)
+  * through round 5, INT64 TIMESTAMP(MICROS) from round 6 — so [[load]]
+  * normalizes `ts` to long nanos whatever the footer says:
+  *
+  *   - LONG (NANOS-annotated columns surface as LONG under
+  *     `spark.sql.legacy.parquet.nanosAsLong=true`, set defensively
+  *     below): passed through unchanged.
+  *   - TIMESTAMP (instant micros, `isAdjustedToUTC=true`):
+  *     `unix_micros(ts) * 1000` — instant-based, session-timezone-free.
+  *   - TIMESTAMP_NTZ (wall-clock micros, `isAdjustedToUTC=false`, what
+  *     Spark 4 infers for the round-6+ files): micros measured from the
+  *     NTZ epoch via `timestampdiff`, NOT a cast through TimestampType —
+  *     a cast would shift by the session timezone, and the driver's
+  *     session config is not ours to pin. DuckDB's `epoch_us(ts)` on the
+  *     same file yields the identical value, so oracle hash-matching is
+  *     preserved exactly (micros-derived nanos are exact).
+  *
+  * Truncation note: oracle comparisons happen at microsecond precision
+  * (`ts div 1000`) because DuckDB floors ns→µs on NANOS files; for
+  * micros-born files the division is lossless.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** `ts` → long epoch-nanos, whatever physical type the parquet used.
+    * Throws (analysis-time, named) on an unrecognized type rather than
+    * letting every downstream query fail with DATATYPE_MISMATCH.
+    */
+  private def tsAsLongNanos(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      case LongType         => col("ts")
+      case TimestampType    => unix_micros(col("ts")) * lit(1000L)
+      case TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * lit(1000L)
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other; expected LONG nanos, TIMESTAMP, or TIMESTAMP_NTZ")
+    }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Fallback for NANOS-annotated files (pre-round-6 testdata): without
+    // this Spark 4 rejects the column outright; with it, ts arrives as
+    // LONG nanos and tsAsLongNanos passes it through.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema.fieldNames.contains("ts"))
+      df.withColumn("ts", tsAsLongNanos(df))
+    else df
   }
 
-  /** `events` with `ts` kept as LONG nanos plus a derived `ts_utc`
+  /** `events` with `ts` normalized to LONG nanos plus a derived `ts_utc`
     * timestamp column (microsecond precision). Integer `div`, not `/`:
     * epoch-nanos (~1.7e18) overflows double's 53-bit mantissa, so a
     * float division here would silently corrupt timestamps.

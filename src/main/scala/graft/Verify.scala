@@ -23,10 +23,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      val errFile = Paths.get(s"$outDir/$name.err")
+      Files.deleteIfExists(errFile)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // also persisted per-query: the driver's checker reports a bare
+        // "no spark output" for a missing result dir, so the actionable
+        // message must survive outside this process's stderr
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Files.writeString(errFile,
+          s"${e.getClass.getName}: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -67,7 +67,14 @@ def main(sf_dir, out_dir, only=()):
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            failures.append((name, "no spark output"))
+            # graft.Verify writes <name>.err with the failure cause —
+            # surface it so a missing row self-diagnoses from this output
+            try:
+                why = open(f"{out_dir}/{name}.err").read().strip()
+                why = "no spark output: " + " ".join(why.split())[:500]
+            except OSError:
+                why = "no spark output (no .err file — query never ran?)"
+            failures.append((name, why))
             continue
         spark_rel = con.sql(f"SELECT * FROM parquet_scan({files!r})")
         spark_cols = list(spark_rel.columns)
