@@ -161,33 +161,30 @@ final class IncrementalTable(
     * wide-typed probe would miss and wrongly prune — [[schemaMetaFor]]
     * retires those columns from the bloom config in the same commit.
     */
-  private def widerOf(a: DataType, b: DataType): Option[DataType] = {
-    def rank(t: DataType): Int = t match {
-      case ByteType => 1
-      case ShortType => 2
-      case IntegerType => 3
-      case LongType => 4
-      case _ => -1
-    }
-    if (a == b) Some(a)
-    else if (rank(a) > 0 && rank(b) > 0) Some(if (rank(a) >= rank(b)) a else b)
-    else (a, b) match {
-      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
-      case _ => None
-    }
-  }
+  private def widerOf(a: DataType, b: DataType): Option[DataType] =
+    IncrementalTable.widerOf(a, b)
 
   private def mergeSchemas(
-      prev: StructType, next: StructType): (StructType, Seq[String]) = {
+      prev: StructType, next: StructType,
+      allowWiden: Boolean): (StructType, Seq[String]) = {
     val widenedCols = Seq.newBuilder[String]
     val mergedPrev = prev.fields.toSeq.map { pf =>
       next.fields.find(_.name == pf.name) match {
         case None => pf
+        case Some(nf) if nf.dataType == pf.dataType => pf
         case Some(nf) =>
-          val w = widerOf(pf.dataType, nf.dataType).getOrElse(
-            throw new IllegalArgumentException(
-              s"incompatible schema change for $path: column ${pf.name} " +
-                s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString}"))
+          def incompatible(hint: String) = new IllegalArgumentException(
+            s"incompatible schema change for $path: column ${pf.name} " +
+              s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString}$hint")
+          val w = widerOf(pf.dataType, nf.dataType)
+            .getOrElse(throw incompatible(""))
+          // widening is OPT-IN (Delta gates it behind
+          // delta.enableTypeWidening the same way): an accidental wide
+          // literal must not silently and permanently widen the table
+          // schema and retire its bloom index
+          if (!allowWiden) throw incompatible(
+            " (a lossless widening — opt in with setTypeWidening(true) " +
+              "or TBLPROPERTIES ('graft.enableTypeWidening'='true'))")
           if (w != pf.dataType) widenedCols += pf.name
           pf.copy(dataType = w)
       }
@@ -212,21 +209,38 @@ final class IncrementalTable(
       case (None, _) => prevPointer.map("schema" -> _).toMap
       case (Some(in), None) => Map("schema" -> writeSchemaBlob(in))
       case (Some(in), Some(p)) =>
-        val (merged, widenedCols) = mergeSchemas(p, in)
+        val (merged, widenedCols) =
+          mergeSchemas(p, in, baseMeta.get("widen").contains("true"))
         val schemaEntry =
           if (merged == p && prevPointer.isDefined) Map("schema" -> prevPointer.get)
           else Map("schema" -> writeSchemaBlob(merged))
         // a widened column's bloom filters hashed the NARROW values —
         // retire the column from the bloom config atomically with the
         // widening commit (conservative: its files simply stop bloom-
-        // pruning; re-enable + compact rebuilds under the wide type)
+        // pruning; re-enable + compact rebuilds under the wide type —
+        // setBloomColumns purges the narrow-hashed rows on re-enable)
         val bloomEntry = baseMeta.get("bloom") match {
           case Some(b) if widenedCols.nonEmpty =>
             Map("bloom" -> b.split(";").filter(_.nonEmpty)
               .filterNot(widenedCols.contains).mkString(";"))
           case _ => Map.empty[String, String]
         }
-        schemaEntry ++ bloomEntry
+        // record every column the table has EVER widened (`widened`,
+        // cumulative physical names): the audit trail of what changed,
+        // and the marker that makes writeManifest demand the
+        // `type-widening` reader feature — a pre-widening reader of
+        // this library would bare-read a mixed-width file set (or hit
+        // parquet merge refusals on the stats store), so it must
+        // refuse with the clean upgrade message instead
+        val widenedEntry =
+          if (widenedCols.isEmpty) Map.empty[String, String]
+          else {
+            val already = baseMeta.get("widened").toSeq
+              .flatMap(_.split(";")).filter(_.nonEmpty)
+            Map("widened" ->
+              (already ++ widenedCols).distinct.mkString(";"))
+          }
+        schemaEntry ++ bloomEntry ++ widenedEntry
     }
   }
 
@@ -1218,9 +1232,68 @@ final class IncrementalTable(
     val phys =
       if (tableSchema.isEmpty) cols
       else cols.map(c => scala.util.Try(resolvePhysical(c)).getOrElse(c))
+    // A NEWLY enabled column starts from a clean store slice: rows
+    // surviving from an earlier enable era may hash a NARROWER type
+    // than the table now carries (a type widening retires the column
+    // from the config but leaves its rows behind), and probing those
+    // with wide-typed hashes would false-negative — wrongly pruned
+    // files, silently missing rows. Purging BEFORE the enabling commit
+    // is invisible (unconfigured columns are never probed) and makes
+    // the documented contract exact: filters exist only for data
+    // written after this commit. If the commit below then fails, only
+    // rows that were already dead weight are gone.
+    val newlyEnabled = phys.toSet -- bloomColumns.toSet
+    if (newlyEnabled.nonEmpty) purgeBloomRows(newlyEnabled)
     commitFiles(Seq.empty, Set.empty, s"set bloom[${cols.mkString(";")}]",
       meta = Map("bloom" -> phys.mkString(";")))
   }
+
+  /** Drop every stored bloom row for `cols` — the same read-filter-swap
+    * the vacuum sweep uses. A concurrent writer's rows for OTHER
+    * columns can be lost in the swap window; that degrades its files
+    * to no-filter (conservatively kept by every probe), never to a
+    * wrong prune.
+    */
+  private def purgeBloomRows(cols: Set[String]): Unit = {
+    if (!fs.exists(bloomsDir)) return
+    val tmp = new Path(path, "_blooms_tmp")
+    // a crashed prior swap's leftovers must not ride into this rename —
+    // duplicate (file, col) rows from different eras could disagree
+    fs.delete(tmp, true)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(bloomsDir.toString)
+      .filter(!org.apache.spark.sql.functions.col("col")
+        .isin(cols.toSeq: _*))
+      .coalesce(1).write.parquet(new Path(tmp, nonce).toString)
+    fs.delete(bloomsDir, true)
+    if (!fs.rename(tmp, bloomsDir))
+      throw new IllegalStateException(s"failed to swap blooms for $path")
+  }
+
+  /** Whether lossless type widening (int→long, float→double) is
+    * enabled for write-side schema merges — the `widen` manifest meta,
+    * set by [[setTypeWidening]] / TBLPROPERTIES
+    * `graft.enableTypeWidening`. Default OFF (Delta's
+    * `delta.enableTypeWidening` gate): a widening permanently changes
+    * the table schema and retires the column's bloom index, so it must
+    * be asked for, not inferred from one wide literal.
+    */
+  def typeWideningEnabled: Boolean =
+    latestVersion.exists(v => metaAt(v).get("widen").contains("true"))
+
+  /** Enable/disable lossless type widening — a metadata-only commit.
+    * Disabling never un-widens: columns already widened keep their
+    * wide type (and their `widened` audit entry); only FUTURE merges
+    * go back to refusing width changes.
+    */
+  def setTypeWidening(enabled: Boolean): Long =
+    if (enabled)
+      commitFiles(Seq.empty, Set.empty, "set type widening enabled",
+        meta = Map("widen" -> "true"))
+    else
+      commitFiles(Seq.empty, Set.empty, "set type widening disabled",
+        dropMeta = Set("widen"))
 
   private def readStatsStore(): DataFrame = tableSchema match {
     // under a tracked schema, read the store with the CURRENT stats
@@ -1372,7 +1445,7 @@ final class IncrementalTable(
         // writeSnapshot too — they are table properties, not data
         // state).
         val carry = Seq("dv", "constraints", "bloom", "colmap", "coldrop",
-          "writeorder", "gencol", "identity", "rf")
+          "writeorder", "gencol", "identity", "rf", "widen", "widened")
           .flatMap(k => baseMeta.get(k).map(k -> _)).toMap
         writeManifest(v, operation, prev.filterNot(removed) ++ added,
           (carry -- dropMeta) ++ watermarkCarry(baseMeta) ++ meta ++
@@ -1428,9 +1501,16 @@ final class IncrementalTable(
       checkWriterFeatures(baseMeta)
       val v = base.map(_ + 1).getOrElse(0L)
       try {
+        // "widened" carries even though a snapshot restages every file:
+        // the staged frame may be NARROWER than the (wide) tracked
+        // schema, recreating the mixed-footer state — conservative
+        // carry keeps the reader-feature demand; a pre-widening reader
+        // refusing a table it could now read is acceptable, the
+        // reverse (a silent misread) is not
         val consCarry = baseMeta
           .filter { case (k, _) => Set("constraints", "bloom", "colmap",
-            "coldrop", "writeorder", "gencol", "identity").contains(k) }
+            "coldrop", "writeorder", "gencol", "identity", "widen",
+            "widened").contains(k) }
         writeManifest(v, operation, added,
           consCarry ++ watermarkCarry(baseMeta) ++ meta ++
             schemaMetaFor(base, Some(physicalizeSchema(schema))))
@@ -1701,8 +1781,12 @@ final class IncrementalTable(
       val v = base.map(_ + 1).getOrElse(0L)
       try {
         val baseMeta = base.map(metaAt).getOrElse(Map.empty)
+        // "widen" (the opt-in property) survives; "widened" does NOT —
+        // this rewrite restages EVERY file at the current types, so the
+        // mixed-width state that demanded the reader feature is gone
         val keep = baseMeta.filter { case (k, _) =>
-          k == "constraints" || k == "gencol" || k == "identity" } ++
+          k == "constraints" || k == "gencol" || k == "identity" ||
+            k == "widen" } ++
           watermarkCarry(baseMeta)
         val bloomKeep = bloomColumns.filterNot(droppedCols) match {
           case Seq() => Map.empty[String, String]
@@ -2188,8 +2272,13 @@ final class IncrementalTable(
     }
     // constraints AND the read-semantics meta must carry: without the
     // column mapping / generated-column declarations the clone would
-    // silently serve the source's PHYSICAL names and skip backfills
-    val carryMeta = Seq("constraints", "colmap", "coldrop", "gencol", "identity")
+    // silently serve the source's PHYSICAL names and skip backfills.
+    // "widened" carries too — the ext: references ARE the source's
+    // mixed-width file set, so the clone keeps demanding the
+    // type-widening reader feature ("widen", the opt-in property,
+    // follows like constraints do)
+    val carryMeta = Seq("constraints", "colmap", "coldrop", "gencol",
+      "identity", "widen", "widened")
       .flatMap(k => srcMeta.get(k).map(k -> _)).toMap
     // the identity counter carries AT v's value: inserts on the clone
     // must not re-issue ids already present in the cloned rows. If the
@@ -2238,10 +2327,13 @@ final class IncrementalTable(
       // not republish the pre-race snapshot of them
       val headMeta = if (base >= 0) metaAt(base) else Map.empty[String, String]
       val carried = metaAt(v).filter { case (k, _) =>
-        Set("schema", "dv", "colmap", "coldrop", "rf").contains(k) } ++
+        // "widened" is data state: version v's file set carries (or
+        // not) the mixed widths that demand the reader feature
+        Set("schema", "dv", "colmap", "coldrop", "rf", "widened")
+          .contains(k) } ++
         headMeta.filter { case (k, _) =>
           Set("constraints", "bloom", "gencol", "writeorder",
-            "identity").contains(k) } ++
+            "identity", "widen").contains(k) } ++
         watermarkCarry(headMeta) // counter NEVER rewinds (see scaladoc)
       try {
         writeManifest(base + 1, s"restore[$v]", target, carried)
@@ -2550,6 +2642,7 @@ final class IncrementalTable(
     // correctness — pruning joins against the manifest — but unbounded)
     if (fs.exists(statsDir)) {
       val tmp = new Path(path, "_stats_tmp")
+      fs.delete(tmp, true) // a crashed prior swap must not leak stale rows
       val nonce = java.util.UUID.randomUUID().toString.take(8)
       import spark.implicits._
       readStatsStore()
@@ -2563,6 +2656,7 @@ final class IncrementalTable(
     // bloom rows follow the same rule as stats rows
     if (fs.exists(bloomsDir)) {
       val tmp = new Path(path, "_blooms_tmp")
+      fs.delete(tmp, true) // ditto — stale duplicate rows could disagree
       val nonce = java.util.UUID.randomUUID().toString.take(8)
       import spark.implicits._
       spark.read.option("recursiveFileLookup", "true").parquet(bloomsDir.toString)
@@ -2589,7 +2683,28 @@ object IncrementalTable {
     * table-features list serves the same role).
     */
   val SupportedReaderFeatures: Set[String] =
-    Set("column-mapping", "deletion-vectors")
+    Set("column-mapping", "deletion-vectors", "type-widening")
+
+  /** The lossless-widening lattice: integral family by rank, float →
+    * double. `None` = not a widening (lossy or unrelated). Shared with
+    * the streaming source, which uses it to DETECT a widening that
+    * happened after a stream fixed its read schema.
+    */
+  private[graft] def widerOf(a: DataType, b: DataType): Option[DataType] = {
+    def rank(t: DataType): Int = t match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => -1
+    }
+    if (a == b) Some(a)
+    else if (rank(a) > 0 && rank(b) > 0) Some(if (rank(a) >= rank(b)) a else b)
+    else (a, b) match {
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case _ => None
+    }
+  }
 
   /** The reader features a manifest's meta DEMANDS: column mapping
     * (files carry physical names a reader must remap) and deletion
@@ -2600,8 +2715,14 @@ object IncrementalTable {
     val colmap = meta.get("colmap").exists(_.nonEmpty) ||
       meta.get("coldrop").exists(_.nonEmpty)
     val dv = meta.get("dv").exists(_.nonEmpty)
+    // `widened` nonEmpty = this version's file set mixes physical
+    // widths under one (wide) read schema — a reader must read with
+    // the TRACKED schema (upcasting narrow footers), not a bare
+    // footer-merge, and its stats reads must pin the wide stats schema
+    val widened = meta.get("widened").exists(_.nonEmpty)
     (if (colmap) Set("column-mapping") else Set.empty[String]) ++
-      (if (dv) Set("deletion-vectors") else Set.empty[String])
+      (if (dv) Set("deletion-vectors") else Set.empty[String]) ++
+      (if (widened) Set("type-widening") else Set.empty[String])
   }
 
   /** Fill NULL `idCol` values with fresh identity values: DENSE from

@@ -259,11 +259,15 @@ class GraftCatalog extends TableCatalog {
           cols(v).foreach(c => require(IncrementalTable.saneColumnName(c),
             s"graft: illegal column name '$c' in table property '$k'"))
           graftProps += (k -> v)
+        case "graft.enableTypeWidening" =>
+          require(Set("true", "false").contains(v.trim.toLowerCase),
+            s"graft: table property '$k' must be 'true' or 'false', got '$v'")
+          graftProps += (k -> v)
         case other if passthrough.contains(other) ||
           other.startsWith("option.") => ()
         case other => throw new IllegalArgumentException(
           s"graft: unknown table property '$other' (supported: " +
-            "graft.bloomColumns, graft.writeOrder)")
+            "graft.bloomColumns, graft.writeOrder, graft.enableTypeWidening)")
       }
     }
     val t = new IncrementalTable(spark, p)
@@ -273,6 +277,8 @@ class GraftCatalog extends TableCatalog {
     graftProps.foreach {
       case ("graft.bloomColumns", v) => t.setBloomColumns(cols(v): _*)
       case ("graft.writeOrder", v) => t.setWriteOrder(cols(v): _*)
+      case ("graft.enableTypeWidening", v) =>
+        if (v.trim.equalsIgnoreCase("true")) t.setTypeWidening(true)
       case _ => ()
     }
     tableAt(p, Map.empty)
@@ -316,9 +322,14 @@ class GraftCatalog extends TableCatalog {
       case ("graft.bloomColumns" | "graft.writeOrder", v) =>
         cols(v).foreach(c => require(IncrementalTable.saneColumnName(c),
           s"graft: illegal column name '$c' in table property"))
+      case ("graft.enableTypeWidening", v) =>
+        // "" is UNSET (disable); otherwise strict true/false
+        require(Set("", "true", "false").contains(v.trim.toLowerCase),
+          s"graft: 'graft.enableTypeWidening' must be 'true' or " +
+            s"'false', got '$v'")
       case (k, _) => throw new IllegalArgumentException(
         s"graft: unknown table property '$k' (supported: " +
-          "graft.bloomColumns, graft.writeOrder)")
+          "graft.bloomColumns, graft.writeOrder, graft.enableTypeWidening)")
     }
     require((adds ++ renames ++ drops: Seq[TableChange.ColumnChange])
         .forall(_.fieldNames().length == 1),
@@ -370,6 +381,8 @@ class GraftCatalog extends TableCatalog {
     propChanges.foreach {
       case ("graft.bloomColumns", v) => inc.setBloomColumns(cols(v): _*)
       case ("graft.writeOrder", v) => inc.setWriteOrder(cols(v): _*)
+      case ("graft.enableTypeWidening", v) =>
+        inc.setTypeWidening(v.trim.equalsIgnoreCase("true"))
       case _ => ()
     }
     if (adds.nonEmpty) {

@@ -100,14 +100,25 @@ class GraftDataSource extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // latest reads of an incremental table see the TRACKED (evolved)
     // schema — first-file inference would silently drop columns added
-    // by later appends. Time-traveled reads keep the written schema.
+    // by later appends. Time-traveled reads serve schemaAt(v): each
+    // version's own written schema (footer inference there would pick
+    // an arbitrary width over a type-widened mixed-width file set, and
+    // could drop late-added columns the same way latest reads would).
+    // Resolution failures fall back softly — getPaths throws the
+    // authoritative error for a bad versionAsOf/timestampAsOf.
     val timeTravel = options.containsKey("versionAsOf") ||
       options.containsKey("timestampAsOf")
     val tracked =
-      if (timeTravel) None
-      else Option(options.get("path")).flatMap { p =>
+      Option(options.get("path")).flatMap { p =>
         val inc = new IncrementalTable(SparkSession.active, p)
-        if (inc.isIncrementalLayout) inc.tableSchema else None
+        if (!inc.isIncrementalLayout) None
+        else if (!timeTravel) inc.tableSchema
+        else scala.util.Try {
+          Option(options.get("versionAsOf")).map(_.trim.toLong)
+            .orElse(Option(options.get("timestampAsOf")).flatMap(ts =>
+              inc.versionAsOfTimestamp(
+                IncrementalTable.parseTimestampMillis(ts))))
+        }.toOption.flatten.flatMap(inc.schemaAt)
       }
     val base = tracked.getOrElse {
       try delegate.inferSchema(options)
@@ -264,11 +275,16 @@ private[sources] class GraftVersionedParquet extends ParquetDataSourceV2 {
         // its own remediation (Delta readers below a table's protocol
         // refuse the same way).
         val waived: Set[String] =
-          if (java.lang.Boolean.parseBoolean(map.get("ignoreDeletionVectors")) ||
+          (if (java.lang.Boolean.parseBoolean(map.get("ignoreDeletionVectors")) ||
               java.lang.Boolean.parseBoolean(map.get("ignoreChanges")) ||
               java.lang.Boolean.parseBoolean(map.get("readChangeFeed")))
             Set("deletion-vectors")
-          else Set.empty
+          else Set.empty[String]) ++
+            // type-widening IS applied by path reads: inferSchema
+            // serves the tracked schema (latest) or schemaAt(v) (time
+            // travel), under which the parquet reader upcasts narrow
+            // footers natively — no bare footer-merge ever happens
+            Set("type-widening")
         val blocked = inc.readerFeaturesAt(v) -- waived
         if (blocked.nonEmpty) {
           val why = blocked.toSeq.sorted.map {
@@ -384,6 +400,8 @@ private[sources] final class GraftWritableTable(
       m.put("graft.bloomColumns", inc.bloomColumns.mkString(","))
     if (inc.writeOrder.nonEmpty)
       m.put("graft.writeOrder", inc.writeOrder.mkString(","))
+    if (inc.typeWideningEnabled)
+      m.put("graft.enableTypeWidening", "true")
     m
   }
   override def capabilities(): java.util.Set[TableCapability] = {

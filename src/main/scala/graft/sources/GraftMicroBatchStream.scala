@@ -157,6 +157,29 @@ private[sources] final class GraftMicroBatchStream(
           "(renamed or dropped columns), which file-level streaming " +
           "cannot apply. Run OPTIMIZE/compact() to materialize the " +
           "mapping, then restart the stream")
+    // a type widening AFTER this stream fixed its read schema leaves it
+    // reading WIDE files under a NARROW schema — the raw parquet
+    // convert error that would eventually surface is undiagnosable, so
+    // refuse with the restart remediation instead (Delta streams stop
+    // on schema change the same way). Streams started post-widening
+    // read wide and upcast old narrow files natively — no mismatch, no
+    // refusal. (NOT a bare `{}` block: after the `throw new ...(...)`
+    // above, scalac would parse that as an anonymous-subclass BODY of
+    // the exception and the guard would never run.)
+    val fixedSchema = innerScan.readSchema()
+    val widenedCols = table.schemaAt(to).toSeq.flatMap(_.fields).flatMap { wf =>
+      fixedSchema.fields.find(_.name == wf.name)
+        .filter(sf => sf.dataType != wf.dataType &&
+          IncrementalTable.widerOf(sf.dataType, wf.dataType)
+            .contains(wf.dataType))
+        .map(sf => s"${wf.name} (${sf.dataType.simpleString} -> " +
+          s"${wf.dataType.simpleString})")
+    }
+    if (widenedCols.nonEmpty)
+      throw new IllegalStateException(
+        s"graft stream: version $to of ${info.path} widened column(s) " +
+          s"${widenedCols.mkString(", ")} after this stream fixed its read " +
+          "schema — restart the stream to pick up the widened schema")
     if (info.readChangeFeed) return planCdcPartitions(from, to)
     val prevFiles: Set[String] =
       if (from < 0) Set.empty

@@ -9,22 +9,51 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSpec
 
 /** Lossless type widening (int → long, float → double — Delta's
-  * type-widening feature): a wide batch commits without rewriting the
-  * table, old narrow files upcast at scan, time travel keeps each
-  * version's own width, stats skipping survives the mixed-width store,
-  * and a widened column's bloom index is retired in the same commit
-  * (its filters hashed the narrow values — a wide probe would wrongly
-  * prune).
+  * type-widening feature): OPT-IN via setTypeWidening / TBLPROPERTIES
+  * `graft.enableTypeWidening` (default off, like Delta's
+  * `delta.enableTypeWidening`); once enabled, a wide batch commits
+  * without rewriting the table, old narrow files upcast at scan, time
+  * travel keeps each version's own width, stats skipping survives the
+  * mixed-width store, a widened column's bloom index is retired in the
+  * same commit (its filters hashed the narrow values — a wide probe
+  * would wrongly prune), re-enabling bloom purges the stale narrow
+  * rows, and the commit demands the `type-widening` reader feature so
+  * pre-widening readers refuse cleanly.
   */
 class TypeWideningSpec extends AnyFunSuite with SparkSpec {
 
   private def mkDir(tag: String) =
     Files.createTempDirectory(s"widen_${tag}_").toString + "/t"
 
+  test("widening is opt-in: a wide batch is refused until enabled") {
+    import spark.implicits._
+    val dir = mkDir("gate")
+    val t = new IncrementalTable(spark, dir)
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq((1L << 40, "wide")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("incompatible schema change") &&
+      e.getMessage.contains("graft.enableTypeWidening"), e.getMessage)
+    assert(t.tableSchema.get("k").dataType === IntegerType)
+    // enable -> the same batch commits; disable -> refused again
+    t.setTypeWidening(true)
+    t.append(Seq((1L << 40, "wide")).toDF("k", "v"))
+    assert(t.tableSchema.get("k").dataType === LongType)
+    t.setTypeWidening(false)
+    intercept[IllegalArgumentException] {
+      t.append(Seq((2.5d, "nope")).toDF("k", "v"))
+    }
+    // already-widened state survives the disable
+    assert(t.tableSchema.get("k").dataType === LongType)
+    assert(t.snapshot().count() === 2)
+  }
+
   test("int->long widening: wide batch commits, narrow files upcast at read") {
     import spark.implicits._
     val dir = mkDir("il")
     val t = new IncrementalTable(spark, dir)
+    t.setTypeWidening(true)
     t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))      // k: int
     assert(t.tableSchema.get("k").dataType === IntegerType)
     val v0 = t.latestVersion.get
@@ -49,6 +78,7 @@ class TypeWideningSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     val dir = mkDir("fd")
     val t = new IncrementalTable(spark, dir)
+    t.setTypeWidening(true)
     t.append(Seq((1.5f, "a")).toDF("x", "v"))
     t.append(Seq((2.25d, "b")).toDF("x", "v"))
     assert(t.tableSchema.get("x").dataType === DoubleType)
@@ -64,6 +94,7 @@ class TypeWideningSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     val dir = mkDir("st")
     val t = new IncrementalTable(spark, dir)
+    t.setTypeWidening(true)
     // two narrow files with disjoint ranges, then a widening append
     t.append(Seq.tabulate(100)(i => (i, "lo")).toDF("k", "v").coalesce(1))
     t.append(Seq.tabulate(100)(i => (1000 + i, "mid")).toDF("k", "v").coalesce(1))
@@ -82,6 +113,7 @@ class TypeWideningSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     val dir = mkDir("bl")
     val t = new IncrementalTable(spark, dir)
+    t.setTypeWidening(true)
     t.append(Seq((1, "a")).toDF("k", "v"))
     t.setBloomColumns("k", "v")
     t.append(Seq.tabulate(50)(i => (10 + i, s"r$i")).toDF("k", "v").coalesce(1))
@@ -94,5 +126,114 @@ class TypeWideningSpec extends AnyFunSuite with SparkSpec {
     // correctness: the point lookup still finds its row
     assert(t.scan(col("k") === 15L).count() === 1)
     assert(t.scan(col("k") === (1L << 40)).count() === 1)
+  }
+
+  test("re-enabling bloom on a widened column purges its stale narrow rows") {
+    import spark.implicits._
+    val dir = mkDir("rb")
+    val t = new IncrementalTable(spark, dir)
+    t.setTypeWidening(true)
+    t.append(Seq((1, "seed")).toDF("k", "v"))
+    t.setBloomColumns("k")
+    // this batch's file gets a bloom row hashing INT values of k
+    t.append(Seq.tabulate(50)(i => (10 + i, s"r$i")).toDF("k", "v").coalesce(1))
+    t.append(Seq((1L << 40, "wide")).toDF("k", "v")) // widens; k retired
+    assert(t.bloomColumns.isEmpty)
+    // re-enable WITHOUT compacting: the stored int-hashed rows must not
+    // be probed with long-typed hashes — that would false-negative and
+    // silently prune the file holding k=15
+    t.setBloomColumns("k")
+    assert(t.bloomColumns === Seq("k"))
+    assert(t.scan(col("k") === 15L).count() === 1,
+      "stale narrow-hashed bloom row wrongly pruned the file holding k=15")
+    assert(t.scan(col("k") === (1L << 40)).count() === 1)
+    // rebuilt-from-here filters engage for NEW data as usual
+    t.append(Seq.tabulate(50)(i => (1000L + i, s"n$i")).toDF("k", "v").coalesce(1))
+    assert(t.scan(col("k") === 1005L).count() === 1)
+  }
+
+  test("path connector reads a widened table: latest and time travel") {
+    import spark.implicits._
+    val dir = mkDir("pc")
+    val t = new IncrementalTable(spark, dir)
+    t.setTypeWidening(true)
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val v0 = t.latestVersion.get
+    t.append(Seq((1L << 40, "wide")).toDF("k", "v"))
+    // latest: tracked wide schema, narrow footers upcast natively
+    val latest = spark.read.format("graft").load(dir)
+    assert(latest.schema("k").dataType === LongType)
+    assert(latest.select("k").as[Long].collect().toSet ===
+      Set(1L, 2L, 1L << 40))
+    // time travel to the narrow version serves ITS schema
+    val tt = spark.read.format("graft")
+      .option("versionAsOf", v0.toString).load(dir)
+    assert(tt.schema("k").dataType === IntegerType)
+    assert(tt.count() === 2)
+    // time travel to the post-widening version reads the mixed-width
+    // file set under the wide schemaAt(v) — not a bare footer merge
+    val tt2 = spark.read.format("graft")
+      .option("versionAsOf", t.latestVersion.get.toString).load(dir)
+    assert(tt2.schema("k").dataType === LongType)
+    assert(tt2.select("k").as[Long].collect().toSet ===
+      Set(1L, 2L, 1L << 40))
+  }
+
+  test("a running stream refuses a mid-stream widening with a restart message") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = mkDir("ms")
+    val t = new IncrementalTable(spark, dir)
+    t.setTypeWidening(true)
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    val sink = "widen_stream_" + java.util.UUID.randomUUID().toString.take(8)
+    // ONE long-running query: its read schema is fixed (narrow) at
+    // start — a restart would simply re-infer the wide schema, which
+    // is exactly the remediation the refusal prescribes
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName(sink).start()
+    val err = try {
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 1)
+      t.append(Seq((1L << 40, "wide")).toDF("k", "v")) // widens k
+      // the running stream's next batch reads the WIDE file under its
+      // fixed NARROW schema: must refuse loudly, not misread
+      intercept[Exception](q.processAllAvailable())
+    } finally q.stop()
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(err).exists(_.contains("restart the stream")),
+      s"expected the widening restart remediation: ${messages(err)}")
+    // a FRESH stream (new checkpoint) reads wide and catches up
+    val sink2 = sink + "_2"
+    val q2 = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName(sink2)
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.awaitTermination(60000) finally q2.stop()
+    assert(spark.table(sink2).select("k").as[Long].collect().toSet ===
+      Set(1L, 1L << 40))
+  }
+
+  test("a widening commit demands the type-widening reader feature") {
+    import spark.implicits._
+    val dir = mkDir("rf")
+    val t = new IncrementalTable(spark, dir)
+    t.setTypeWidening(true)
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    assert(t.readerFeaturesAt(t.latestVersion.get) === Set.empty)
+    t.append(Seq((1L << 40, "wide")).toDF("k", "v"))
+    val v = t.latestVersion.get
+    assert(t.readerFeaturesAt(v) === Set("type-widening"),
+      s"widening must stamp rf: ${t.metaAt(v)}")
+    assert(t.metaAt(v).get("widened") === Some("k"))
+    // the demand (and the audit entry) carry across later commits
+    t.append(Seq((7L, "later")).toDF("k", "v"))
+    assert(t.readerFeaturesAt(t.latestVersion.get) === Set("type-widening"))
+    assert(t.metaAt(t.latestVersion.get).get("widened") === Some("k"))
+    // this library implements the feature: reads keep working
+    assert(t.snapshot().count() === 3)
+    // time travel to the pre-widening version demands nothing
+    assert(t.readerFeaturesAt(v - 1) === Set.empty)
   }
 }
