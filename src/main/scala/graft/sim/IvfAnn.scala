@@ -24,7 +24,8 @@ import org.apache.spark.storage.StorageLevel
   * recompile per iteration, while the join form compiles once and only
   * the broadcast DATA changes.
   *
-  * Determinism: centroids are seeded from the C lowest vector ids and
+  * Determinism: the training sample is a hash-ordered top-N (see
+  * [[train]]), centroids are seeded from its C lowest vector ids, and
   * Lloyd averaging is exact-integer (sum/count in int64 milli-units),
   * so training is reproducible run-to-run; the operator is still
   * statistical (recall, not identity), so the driver records a
@@ -41,24 +42,35 @@ object IvfAnn {
     }.toSeq.toDF("cid", "cvec", "cnorm")
   }
 
-  /** Nearest-centroid assignment: broadcast C-row cross join + an
-    * argmin AGGREGATE (`min(struct(neg_sim, cid))` — partial-agg
-    * friendly, so the shuffle carries ONE row per vector, not C; a
-    * window here would shuffle the full C-fanout). Input must carry
-    * (`idName`, `vecName`); all other columns pass through. Ties break
-    * to the lower centroid id via the struct sort order.
+  /** Nearest-centroid assignment as a NARROW map pass: the C centroids
+    * are packed into ONE broadcast row as a cid-sorted `array<struct>`
+    * and a codegen'd `aggregate()` fold computes the per-vector argmin
+    * in place — zero shuffle. (The previous shape — C-row cross join +
+    * `min(struct(neg_sim, cid))` groupBy — was partial-agg friendly
+    * but still shuffled every vector's payload once per call; at
+    * index-build scale that is a full-corpus shuffle spent computing a
+    * per-row value.) Input must carry (`idName`, `vecName`); all other
+    * columns pass through untouched. Tie-break matches the old
+    * `min(struct(...))` order: the fold visits cids ASCENDING and
+    * replaces only on strictly smaller distance, so ties keep the
+    * lower cid.
     */
   private[sim] def assignLists(
       vecs: DataFrame, cdf: DataFrame, idName: String, vecName: String): DataFrame = {
-    val passThrough = vecs.columns.filterNot(_ == idName)
-    val scored = vecs.crossJoin(broadcast(cdf))
-      .withColumn("neg_sim",
-        -CosineSim.dotQ(col(vecName), col("cvec")).cast("double") / col("cnorm"))
-    scored.groupBy(col(idName))
-      .agg(min(struct(col("neg_sim"), col("cid"))).as("__best"),
-        passThrough.map(c => first(col(c)).as(c)): _*)
+    val packed = cdf.agg(sort_array(collect_list(
+      struct(col("cid"), col("cvec"), col("cnorm")))).as("__cents"))
+    vecs.crossJoin(broadcast(packed))
+      .withColumn("__best",
+        aggregate(col("__cents"),
+          struct(lit(Double.PositiveInfinity).as("s"), lit(-1).as("cid")),
+          (acc, c) => {
+            val s = (-CosineSim.dotQ(col(vecName), c("cvec")).cast("double")) /
+              c("cnorm")
+            when(s < acc("s"), struct(s.as("s"), c("cid").as("cid")))
+              .otherwise(acc)
+          }))
       .withColumn("list_id", col("__best.cid"))
-      .drop("__best")
+      .drop("__best", "__cents")
   }
 
   /** Deterministic k-means centroids in quantized int64 milli-units.
@@ -75,27 +87,55 @@ object IvfAnn {
     c
   }
 
-  /** Lloyd loop over an already-quantized, persisted `(id, qv)` table. */
+  /** Per-centroid training points: 256 (FAISS's `cp.max_points_per_
+    * centroid` default), floored at 4096 total so tiny centroid counts
+    * still train on a stable set.
+    */
+  private[sim] val TrainPointsPerCentroid = 256
+  private[sim] val TrainSampleFloor = 4096
+
+  /** Lloyd loop over an already-quantized, persisted `(id, qv)` table.
+    *
+    * Trains on a BOUNDED deterministic sample, not the corpus: a
+    * coarse quantizer is a model-sized object (C centroids), and
+    * `max(256·C, 4096)` points pin it as well as 10⁹ would — k-means
+    * quality depends on points-per-centroid, not corpus size (FAISS
+    * caps training at 256 points/centroid for the same reason). This
+    * turns training cost from `iterations` full-corpus passes into ONE
+    * corpus pass (the top-N-by-hash selection) plus iterations over a
+    * driver-bounded set — at 100 TB the difference between hours and
+    * seconds. Selection is `TakeOrderedAndProject` on `xxhash64(id)`
+    * (per-partition top-N, then merge — no full sort, no full
+    * shuffle), so the sample is reproducible run-to-run and
+    * corpus-order-independent; when the corpus fits the cap the sample
+    * IS the corpus and training is bit-identical to the unsampled
+    * form (which keeps the DuckDB replay oracle exact at test scale).
+    */
   private[sim] def train(
       q: DataFrame, nCentroids: Int, iterations: Int): Array[Array[Long]] = {
     val spark = q.sparkSession
-    var centroids: Array[Array[Long]] = q
-      .orderBy("id").limit(nCentroids).collect()
-      .map(_.getSeq[Long](1).toArray)
-    val dim = centroids.head.length
-    for (_ <- 1 to iterations) {
-      val assigned = assignLists(q, centroidsDf(spark, centroids), "id", "qv")
-      // exact integer mean per dimension: sum in int64, divide by count
-      val sums = assigned.groupBy("list_id").agg(
-        count(lit(1)).as("n"),
-        (0 until dim).map(d =>
-          sum(element_at(col("qv"), d + 1)).as(s"s$d")): _*)
-      centroids = sums.collect().sortBy(_.getInt(0)).map { r =>
-        val n = r.getLong(1)
-        Array.tabulate(dim)(d => r.getLong(d + 2) / math.max(n, 1L))
+    val cap = math.max(TrainPointsPerCentroid * nCentroids, TrainSampleFloor)
+    val sample = q.orderBy(xxhash64(col("id")), col("id")).limit(cap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[Array[Long]] = sample
+        .orderBy("id").limit(nCentroids).collect()
+        .map(_.getSeq[Long](1).toArray)
+      val dim = centroids.head.length
+      for (_ <- 1 to iterations) {
+        val assigned = assignLists(sample, centroidsDf(spark, centroids), "id", "qv")
+        // exact integer mean per dimension: sum in int64, divide by count
+        val sums = assigned.groupBy("list_id").agg(
+          count(lit(1)).as("n"),
+          (0 until dim).map(d =>
+            sum(element_at(col("qv"), d + 1)).as(s"s$d")): _*)
+        centroids = sums.collect().sortBy(_.getInt(0)).map { r =>
+          val n = r.getLong(1)
+          Array.tabulate(dim)(d => r.getLong(d + 2) / math.max(n, 1L))
+        }
       }
-    }
-    centroids
+      centroids
+    } finally sample.unpersist()
   }
 
   /** Top-k ANN: train + index + probe in one plan. Output matches
