@@ -127,10 +127,25 @@ final class IncrementalTable(
       Some(DataType.fromJson(txt).asInstanceOf[StructType])
     }
 
+  // schema blobs are uuid-named and never rewritten, so an entry is
+  // correct forever — without this cache every snapshot()/schemaAt
+  // (and the stream's per-batch widening guard) re-reads and re-parses
+  // the same blob file
+  private val schemaBlobCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, StructType](8, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, StructType]): Boolean = size > 8
+      })
+
   private def readSchemaBlob(name: String): StructType = {
+    val cached = schemaBlobCache.get(name)
+    if (cached != null) return cached
     val in = fs.open(new Path(schemasDir, name))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    DataType.fromJson(txt).asInstanceOf[StructType]
+    val parsed = DataType.fromJson(txt).asInstanceOf[StructType]
+    schemaBlobCache.put(name, parsed)
+    parsed
   }
 
   /** Immutable, uniquely-named — never overwritten, so a reader holding
@@ -151,8 +166,9 @@ final class IncrementalTable(
     * of the committed and incoming types: old narrow files upcast at
     * scan (Spark 4 parquet readers promote int32→int64, float→double
     * natively), a wide batch commits without rewriting the table, and
-    * a narrow batch into a widened table stays narrow on disk under
-    * the wide read schema. Any other type change still throws — a
+    * a narrow batch into a widened table is upcast AT WRITE
+    * ([[conformWidths]], Delta's write-side cast) so no new narrow
+    * files are ever staged. Any other type change still throws — a
     * lossy change would corrupt every older file's read.
     *
     * Returns the merged schema plus the columns whose TABLE type
@@ -178,14 +194,18 @@ final class IncrementalTable(
               s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString}$hint")
           val w = widerOf(pf.dataType, nf.dataType)
             .getOrElse(throw incompatible(""))
-          // widening is OPT-IN (Delta gates it behind
-          // delta.enableTypeWidening the same way): an accidental wide
-          // literal must not silently and permanently widen the table
-          // schema and retire its bloom index
-          if (!allowWiden) throw incompatible(
-            " (a lossless widening — opt in with setTypeWidening(true) " +
-              "or TBLPROPERTIES ('graft.enableTypeWidening'='true'))")
-          if (w != pf.dataType) widenedCols += pf.name
+          if (w != pf.dataType) {
+            // the TABLE widens — OPT-IN only (Delta gates it behind
+            // delta.enableTypeWidening the same way): an accidental
+            // wide literal must not silently and permanently widen the
+            // table schema and retire its bloom index. A batch
+            // NARROWER than the table (w == pf.dataType) is no schema
+            // event at all: conformWidths upcasts it at write.
+            if (!allowWiden) throw incompatible(
+              " (a lossless widening — opt in with setTypeWidening(true) " +
+                "or TBLPROPERTIES ('graft.enableTypeWidening'='true'))")
+            widenedCols += pf.name
+          }
           pf.copy(dataType = w)
       }
     }
@@ -1295,6 +1315,72 @@ final class IncrementalTable(
       commitFiles(Seq.empty, Set.empty, "set type widening disabled",
         dropMeta = Set("widen"))
 
+  /** Drop the `type-widening` reader-feature demand (Delta's
+    * `ALTER TABLE ... DROP FEATURE` analog): once every live data file
+    * is physically at the tracked width — after compact()/cluster()
+    * restaged the pre-widening files — the demand only locks out old
+    * readers that could now read fine, so it can be retired.
+    *
+    * Validation reads each live file's parquet FOOTER on the cluster
+    * (one distributed pass over metadata-sized reads, never data) and
+    * refuses loudly while any narrow-width file remains, naming the
+    * first offenders and the compact() remediation. The clearing
+    * commit pins the validated version (`requireBase`) so a racer
+    * cannot slip a file in between the sweep and the drop — though
+    * post-conformWidths no writer stages narrow files anyway, so the
+    * pin guards against racers running OLDER library versions.
+    */
+  def dropTypeWideningDemand(): Long = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty table $path"))
+    val widened = metaAt(v).get("widened").toSeq
+      .flatMap(_.split(";")).filter(_.nonEmpty)
+    if (widened.isEmpty) return v // nothing demanded
+    val ts = tableSchema.getOrElse(throw new IllegalStateException(
+      s"$path demands type-widening but tracks no schema"))
+    // expected parquet PRIMITIVE per widened column at the wide type
+    val expect: Map[String, String] = widened.flatMap { c =>
+      ts.fields.find(_.name == c).map(_.dataType match {
+        case LongType => c -> "INT64"
+        case IntegerType | ShortType | ByteType => c -> "INT32"
+        case DoubleType => c -> "DOUBLE"
+        case FloatType => c -> "FLOAT"
+        case other => c -> other.simpleString // never narrows; kept conservative
+      })
+    }.toMap
+    val paths = files(v).map(f => dataPath(f).toString)
+    if (paths.nonEmpty && expect.nonEmpty) {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val narrow = spark.sparkContext
+        .parallelize(paths, math.max(1, math.min(paths.size, 64)))
+        .flatMap { p =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(p), conf.value))
+          try {
+            val s = rd.getFooter.getFileMetaData.getSchema
+            expect.flatMap { case (col, want) =>
+              // a column absent from the footer reads NULL — fine
+              if (!s.containsField(col)) None
+              else {
+                val t = s.getType(s.getFieldIndex(col))
+                if (t.isPrimitive &&
+                    t.asPrimitiveType.getPrimitiveTypeName.name == want) None
+                else Some(s"$p [$col is ${t.toString.trim}, want $want]")
+              }
+            }
+          } finally rd.close()
+        }.take(3).toSeq
+      if (narrow.nonEmpty) throw new IllegalStateException(
+        s"cannot drop the type-widening demand for $path: narrow-width " +
+          s"file(s) remain, e.g. ${narrow.mkString("; ")} — run compact() " +
+          "to restage them, then retry")
+    }
+    commitFiles(Seq.empty, Set.empty, "drop feature[type-widening]",
+      maxRetries = 0, dropMeta = Set("widened"), requireBase = Some(v))
+  }
+
   private def readStatsStore(): DataFrame = tableSchema match {
     // under a tracked schema, read the store with the CURRENT stats
     // schema explicitly: after a type widening the store holds int- and
@@ -1341,9 +1427,38 @@ final class IncrementalTable(
     * directory; "" for flat) and return their manifest-relative names.
     * Files are staged then renamed — readers never see partial files.
     */
+  /** Upcast `df`'s numeric columns to the TRACKED physical width —
+    * Delta's write-side cast. Staged files therefore never land
+    * NARROWER than the tracked schema: without this, a narrow batch
+    * into a widened table would (a) re-create the mixed-width file set
+    * even after [[dropTypeWideningDemand]] cleared it, and (b)
+    * bloom-hash its values at the narrow type, which a wide-typed
+    * probe then misses — false negatives, silently pruned files.
+    * Lossless by construction: only [[IncrementalTable.widerOf]]-
+    * sanctioned casts (int family up, float → double) ever fire; wide
+    * or unrelated types pass through untouched.
+    */
+  private def conformWidths(df: DataFrame): DataFrame = tableSchema match {
+    case None => df
+    case Some(ts) =>
+      import org.apache.spark.sql.functions.col
+      val tracked = ts.fields.map(f => f.name -> f.dataType).toMap
+      def upcast(f: org.apache.spark.sql.types.StructField) =
+        tracked.get(f.name).filter(t => t != f.dataType &&
+          IncrementalTable.widerOf(f.dataType, t).contains(t))
+      if (!df.schema.fields.exists(f => upcast(f).isDefined)) df
+      else df.select(df.schema.fields.toSeq.map { f =>
+        upcast(f) match {
+          case Some(t) => col(s"`${f.name}`").cast(t).as(f.name)
+          case None => col(s"`${f.name}`")
+        }
+      }: _*)
+  }
+
   def stage(df0: DataFrame, subdir: String = "", remap: Boolean = true): Seq[String] = {
-    val df = if (remap) physicalize(df0) else df0 // files carry PHYSICAL names
-    // (remap=false is reserved for materializeColumnMapping's realign)
+    val df = if (remap) conformWidths(physicalize(df0)) else df0
+    // (remap=false is reserved for materializeColumnMapping's realign;
+    // files carry PHYSICAL names)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stageDir = new Path(path, s"_stage/$nonce")
     df.write.mode("overwrite").parquet(stageDir.toString)
@@ -1369,7 +1484,7 @@ final class IncrementalTable(
     * (The per-subdir [[stage]] would cost one job per partition.)
     */
   def stagePartitioned(df0: DataFrame, partitionCol: String): Seq[String] = {
-    val df = physicalize(df0)
+    val df = conformWidths(physicalize(df0))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stageDir = new Path(path, s"_stage/$nonce")
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(stageDir.toString)
@@ -1405,13 +1520,23 @@ final class IncrementalTable(
       maxRetries: Int = 20, meta: Map[String, String] = Map.empty,
       schema: Option[StructType] = None,
       readVersion: Option[Long] = None,
-      dropMeta: Set[String] = Set.empty): Long = {
+      dropMeta: Set[String] = Set.empty,
+      requireBase: Option[Long] = None): Long = {
     var attempt = 0
     while (true) {
       // read the base version ONCE per attempt: splitting the
       // latestVersion reads would let a commit land in between and the
       // publish would then skip over (and drop) the winner's file list
       val base = latestVersion
+      // a commit whose VALIDATION ran against `requireBase` must not
+      // rebase over anything — a racer could have invalidated what was
+      // checked (e.g. dropTypeWideningDemand's footer sweep). Thrown
+      // outside the retry catch: re-validation, not retry, is the cure.
+      requireBase.foreach { rb =>
+        if (base != Some(rb)) throw new CommitConflictException(
+          s"commit of $path validated against version $rb but the table " +
+            s"is at ${base.getOrElse(-1L)} — re-validate on fresh state")
+      }
       val prev = base.map(files).getOrElse(Seq.empty)
       val gone = removed -- prev.toSet
       if (gone.nonEmpty)

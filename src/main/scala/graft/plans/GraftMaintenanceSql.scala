@@ -48,6 +48,8 @@ object GraftMaintenanceSql {
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
   private val DropConstraint =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
+  private val DropFeature =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+FEATURE\s+([\w-]+)\s*;?\s*$""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case Optimize(target, zcols) =>
@@ -71,6 +73,8 @@ object GraftMaintenanceSql {
       Some(ConstraintGraftCommand(target.trim, name, Some(expr.trim)))
     case DropConstraint(target, name) =>
       Some(ConstraintGraftCommand(target.trim, name, None))
+    case DropFeature(target, feature) =>
+      Some(DropFeatureGraftCommand(target.trim, feature.trim))
     // RENAME COLUMN / DROP COLUMN are NOT pre-parsed: they are standard
     // Spark SQL, routed to GraftCatalog.alterTable for catalog tables —
     // a pre-parse here would hijack the statement for non-graft tables
@@ -214,11 +218,16 @@ case class DescribeDetailGraftCommand(target: String)
     }
     // user-facing (logical) names — renamed/dropped columns apply
     val cols = t.logicalSchema.map(_.fieldNames.mkString(", ")).getOrElse("")
+    val rf = t.readerFeaturesAt(v)
     val props = Seq(
       if (t.bloomColumns.nonEmpty)
         Some(s"graft.bloomColumns=${t.bloomColumns.mkString(",")}") else None,
       if (t.writeOrder.nonEmpty)
         Some(s"graft.writeOrder=${t.writeOrder.mkString(",")}") else None,
+      if (t.typeWideningEnabled)
+        Some("graft.enableTypeWidening=true") else None,
+      if (rf.nonEmpty)
+        Some(s"readerFeatures=${rf.toSeq.sorted.mkString(",")}") else None,
       if (t.constraints.nonEmpty)
         Some(s"constraints=${t.constraints.keys.toSeq.sorted.mkString(",")}")
       else None).flatten.mkString("; ")
@@ -284,6 +293,31 @@ case class ConstraintGraftCommand(
     val v = checkExpr match {
       case Some(e) => t.addConstraint(name, e)
       case None => t.dropConstraint(name)
+    }
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t DROP FEATURE type-widening` (Delta's DROP FEATURE):
+  * retire a reader-feature demand once its on-disk precondition is
+  * gone — validation and the pinned clearing commit live in
+  * [[IncrementalTable.dropTypeWideningDemand]]. Only features with a
+  * droppable state are accepted; the rest name themselves in the
+  * error instead of silently succeeding.
+  */
+case class DropFeatureGraftCommand(target: String, feature: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("committed_version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftMaintenanceSql.incrementalAt(spark, target)
+    val v = feature match {
+      case "type-widening" => t.dropTypeWideningDemand()
+      case other => throw new IllegalArgumentException(
+        s"graft: DROP FEATURE supports 'type-widening'; '$other' is " +
+          "either unknown or derives from live state that must be " +
+          "materialized away instead (column-mapping/deletion-vectors " +
+          "clear via OPTIMIZE)")
     }
     Seq(Row(v))
   }

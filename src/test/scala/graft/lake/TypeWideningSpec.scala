@@ -36,17 +36,19 @@ class TypeWideningSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("incompatible schema change") &&
       e.getMessage.contains("graft.enableTypeWidening"), e.getMessage)
     assert(t.tableSchema.get("k").dataType === IntegerType)
-    // enable -> the same batch commits; disable -> refused again
+    // enable -> the same batch commits
     t.setTypeWidening(true)
+    assert(t.typeWideningEnabled)
     t.append(Seq((1L << 40, "wide")).toDF("k", "v"))
     assert(t.tableSchema.get("k").dataType === LongType)
     t.setTypeWidening(false)
-    intercept[IllegalArgumentException] {
-      t.append(Seq((2.5d, "nope")).toDF("k", "v"))
-    }
-    // already-widened state survives the disable
+    assert(!t.typeWideningEnabled)
+    // a NARROW batch still commits with the gate off — conformWidths
+    // upcasts it at write, so it is no schema event (the gate governs
+    // schema changes only); the already-widened state survives
+    t.append(Seq((7, "g")).toDF("k", "v"))
     assert(t.tableSchema.get("k").dataType === LongType)
-    assert(t.snapshot().count() === 2)
+    assert(t.snapshot().count() === 3)
   }
 
   test("int->long widening: wide batch commits, narrow files upcast at read") {
@@ -150,6 +152,96 @@ class TypeWideningSpec extends AnyFunSuite with SparkSpec {
     // rebuilt-from-here filters engage for NEW data as usual
     t.append(Seq.tabulate(50)(i => (1000L + i, s"n$i")).toDF("k", "v").coalesce(1))
     assert(t.scan(col("k") === 1005L).count() === 1)
+  }
+
+  test("a narrow batch into a widened bloom-indexed table stays probe-consistent") {
+    import spark.implicits._
+    val dir = mkDir("nb")
+    val t = new IncrementalTable(spark, dir)
+    t.setTypeWidening(true)
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    t.append(Seq((1L << 40, "wide")).toDF("k", "v")) // widens k
+    t.setBloomColumns("k")
+    val before = t.files(t.latestVersion.get).toSet
+    // a narrow INT batch after the widening: conformWidths upcasts it
+    // at write, so its bloom rows hash LONG values — a long-typed
+    // probe must find them (without the write-side cast this batch
+    // would bloom-hash int and the probe would silently prune it)
+    t.append(Seq.tabulate(50)(i => (100 + i, s"n$i")).toDF("k", "v").coalesce(1))
+    assert(t.scan(col("k") === 123L).count() === 1,
+      "narrow-batch bloom rows must hash at the tracked wide type")
+    // the staged file is genuinely wide on disk, not narrow
+    val newFile = (t.files(t.latestVersion.get).toSet -- before).head
+    val footer = spark.read.parquet(
+      s"$dir/data/$newFile").schema("k").dataType
+    assert(footer === LongType, s"staged narrow batch landed as $footer")
+  }
+
+  test("dropTypeWideningDemand: refused while narrow files remain, clears after compact") {
+    import spark.implicits._
+    val dir = mkDir("df")
+    val t = new IncrementalTable(spark, dir)
+    t.setTypeWidening(true)
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.append(Seq((1L << 40, "wide")).toDF("k", "v"))
+    assert(t.readerFeaturesAt(t.latestVersion.get) === Set("type-widening"))
+    // the pre-widening file is still INT32 on disk — refuse, name compact
+    val e = intercept[IllegalStateException](t.dropTypeWideningDemand())
+    assert(e.getMessage.contains("compact()"), e.getMessage)
+    assert(t.readerFeaturesAt(t.latestVersion.get) === Set("type-widening"))
+    // compact restages everything at the wide tracked schema
+    t.compact(targetFiles = 1)
+    val dv = t.dropTypeWideningDemand()
+    assert(t.readerFeaturesAt(dv) === Set.empty)
+    assert(t.metaAt(dv).get("widened") === None)
+    // reads keep working; time travel to a demanding version still demands
+    assert(t.snapshot().count() === 3)
+    assert(t.readerFeaturesAt(dv - 2).contains("type-widening"))
+    // idempotent when nothing is demanded
+    assert(t.dropTypeWideningDemand() === dv)
+  }
+
+  test("graft.enableTypeWidening TBLPROPERTY drives the gate through SQL") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("widen_wh_").toString
+    spark.conf.set("spark.sql.catalog.wlake", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.wlake.warehouse", wh)
+    val t = new IncrementalTable(spark, s"$wh/w")
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    intercept[IllegalArgumentException](
+      t.append(Seq((1L << 40, "x")).toDF("k", "v")))
+    spark.sql("ALTER TABLE wlake.w SET TBLPROPERTIES " +
+      "('graft.enableTypeWidening'='true')")
+    assert(t.typeWideningEnabled)
+    t.append(Seq((1L << 40, "x")).toDF("k", "v"))
+    assert(t.tableSchema.get("k").dataType === LongType)
+    // DESCRIBE DETAIL surfaces the gate and the stamped demand
+    val props = spark.sql("DESCRIBE DETAIL wlake.w").head.getString(7)
+    assert(props.contains("graft.enableTypeWidening=true") &&
+      props.contains("readerFeatures=type-widening"), props)
+    spark.sql("ALTER TABLE wlake.w UNSET TBLPROPERTIES " +
+      "('graft.enableTypeWidening')")
+    assert(!t.typeWideningEnabled)
+    // a bad value is refused loudly
+    assertThrows[Exception](spark.sql("ALTER TABLE wlake.w SET " +
+      "TBLPROPERTIES ('graft.enableTypeWidening'='maybe')"))
+  }
+
+  test("ALTER TABLE ... DROP FEATURE type-widening through SQL") {
+    import spark.implicits._
+    val dir = mkDir("sq")
+    val t = new IncrementalTable(spark, dir)
+    t.setTypeWidening(true)
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    t.append(Seq((1L << 40, "w")).toDF("k", "v"))
+    t.compact(targetFiles = 1)
+    val v = spark.sql(s"ALTER TABLE '$dir' DROP FEATURE type-widening")
+      .collect().head.getLong(0)
+    assert(t.readerFeaturesAt(v) === Set.empty)
+    // features deriving from live state point at their materializer
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE '$dir' DROP FEATURE column-mapping").collect())
+    assert(e.getMessage.contains("OPTIMIZE"), e.getMessage)
   }
 
   test("path connector reads a widened table: latest and time travel") {
