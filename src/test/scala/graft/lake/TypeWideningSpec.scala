@@ -307,6 +307,72 @@ class TypeWideningSpec extends AnyFunSuite with SparkSpec {
       Set(1L, 1L << 40))
   }
 
+  test("cross-JVM race: widening mid-race against narrow appends stays sound") {
+    import spark.implicits._
+    import java.util.concurrent.TimeUnit
+    val dir = Files.createTempDirectory("widenrace2jvm_").toString + "/t"
+    val t = new IncrementalTable(spark, dir)
+    t.append(Seq((1, "main")).toDF("k", "v").coalesce(1)) // int k seed
+    t.setTypeWidening(true)
+
+    val n = 6
+    val jdk17AddOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val javaBin = new java.io.File(new java.io.File(
+      sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = Seq(javaBin) ++ jdk17AddOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"),
+      "graft.lake.WideningRaceWorker", dir, "B", n.toString)
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new java.lang.StringBuilder
+    val drain = new Thread(() => {
+      val src = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+      src.getLines().foreach(l => out.append(l).append('\n'))
+    })
+    drain.setDaemon(true)
+    drain.start()
+    try {
+      val ready = java.nio.file.Paths.get(dir, "_worker_B_ready")
+      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(120)
+      while (!java.nio.file.Files.exists(ready) &&
+        System.nanoTime() < deadline && proc.isAlive) Thread.sleep(100)
+      assert(java.nio.file.Files.exists(ready), s"worker never ready:\n$out")
+      // widen mid-race, then keep appending LONG batches against the
+      // worker's int batches
+      t.append(Seq((1L << 40, "main")).toDF("k", "v").coalesce(1))
+      (0 until n).foreach(i =>
+        t.append(Seq(((1L << 40) + 1 + i, "main")).toDF("k", "v").coalesce(1)))
+      assert(proc.waitFor(180, TimeUnit.SECONDS), s"worker timed out:\n$out")
+      assert(proc.exitValue() === 0, s"worker failed:\n$out")
+    } finally if (proc.isAlive) proc.destroyForcibly()
+
+    val fresh = new IncrementalTable(spark, dir)
+    // no lost commits: seed + enable + (1 + n) main + n worker
+    assert(fresh.latestVersion.get === (2 * n + 2).toLong,
+      s"version count off — a commit was lost:\n$out")
+    assert(fresh.tableSchema.get("k").dataType === LongType)
+    // every value exact under the wide read schema — including the
+    // worker's narrow batches that landed AFTER the widening commit
+    val rows = fresh.snapshot().select("k").as[Long].collect().toSeq
+    assert(rows.size === 2 * n + 2 && rows.distinct.size === rows.size,
+      s"rows: $rows\n$out")
+    (0 until n).foreach(i => assert(rows.contains(1000L + i),
+      s"worker row ${1000 + i} lost or corrupted: $rows\n$out"))
+    assert(rows.contains(1L << 40))
+    // the demand survived every rebase — a post-widening narrow file
+    // is exactly what it protects old readers from
+    assert(fresh.readerFeaturesAt(fresh.latestVersion.get) ===
+      Set("type-widening"))
+  }
+
   test("a widening commit demands the type-widening reader feature") {
     import spark.implicits._
     val dir = mkDir("rf")
