@@ -2751,7 +2751,12 @@ final class IncrementalTable(
       val keptPtrs = keepIds.flatMap(v => metaAt(v).get("schema")).toSet
       fs.listStatus(schemasDir).toSeq
         .filterNot(st => keptPtrs.contains(st.getPath.getName))
-        .foreach(st => fs.delete(st.getPath, false))
+        .foreach { st =>
+          fs.delete(st.getPath, false)
+          // same rule as filesCache/metaCache above: the cache must not
+          // outlive the blob it mirrors
+          schemaBlobCache.remove(st.getPath.getName)
+        }
     }
     // so are CDC sidecars and deletion-vector sets no kept manifest
     // points at (including crashed writers' never-committed orphans)
