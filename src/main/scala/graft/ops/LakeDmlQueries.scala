@@ -18,6 +18,10 @@ import graft.lake.IncrementalTable
   *  - `lake_update_scan`    copy-on-write UPDATE (simultaneous SET)
   *  - `lake_cdf_feed`       the change feed across appends + a delete
   *  - `lake_restore_scan`   RESTORE to a pre-delete version
+  *  - `lake_widen_scan`     the full type-widening arc (gated enable,
+  *                          widening append, write-side conform of a
+  *                          post-widening narrow batch, compaction,
+  *                          footer-validated DROP FEATURE)
   *
   * The mutations never invent data — every surviving/updated/fed row
   * is a deterministic function of the source table — which is what
@@ -145,7 +149,36 @@ object LakeDmlQueries {
     t.snapshot().orderBy("n_nationkey")
   }
 
+  /** The round-7 type-widening arc as ONE oracled query: gated enable;
+    * a narrow (int, float) slice; a WIDENING (long, double) slice; a
+    * post-widening narrow slice that conformWidths upcasts at write;
+    * compaction; and the footer-validated `DROP FEATURE` — the final
+    * reader-feature-free state replays in plain SQL because every
+    * value is a deterministic function of the source (the narrow
+    * slices round p_retailprice through REAL, which IEEE
+    * round-to-nearest makes exact to replay on both engines).
+    */
+  def lakeWidenScan(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .select("p_partkey", "p_size", "p_retailprice")
+    def slice(r: Int) = part.filter(col("p_partkey") % 3 === r)
+    def narrow(df: DataFrame) = df.select(col("p_partkey"),
+      col("p_size").cast("int").as("p_size"),
+      col("p_retailprice").cast("float").as("p_retailprice"))
+    val t = cached(spark, dir, "part", "wid", "drop feature[type-widening]") { t =>
+      t.setTypeWidening(true)
+      t.append(narrow(slice(0)))
+      t.append(slice(1).select(col("p_partkey"),
+        col("p_size").cast("long").as("p_size"), col("p_retailprice")))
+      t.append(narrow(slice(2))) // conformed to (long, double) at write
+      t.compact(targetFiles = 2)
+      t.dropTypeWideningDemand()
+    }
+    t.snapshot().orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_widen_scan" -> lakeWidenScan _,
     "lake_delete_scan" -> lakeDeleteScan _,
     "lake_dv_scan" -> lakeDvScan _,
     "lake_update_scan" -> lakeUpdateScan _,
@@ -172,6 +205,13 @@ object LakeDmlQueries {
       |ORDER BY _commit_version, s_suppkey, _change_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "lake_widen_scan" ->
+      """SELECT p_partkey,
+        |       CAST(p_size AS BIGINT) AS p_size,
+        |       CASE WHEN p_partkey % 3 = 1 THEN p_retailprice
+        |            ELSE CAST(CAST(p_retailprice AS REAL) AS DOUBLE)
+        |       END AS p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "lake_delete_scan" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
