@@ -307,6 +307,81 @@ class TypeWideningSpec extends AnyFunSuite with SparkSpec {
       Set(1L, 1L << 40))
   }
 
+  test("width-conformance lattice: staged footers always at tracked width, values exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // every lossless (narrow table-type, wider batch-or-table) pair in
+    // the lattice; boundary values + nulls must survive both the
+    // widening read path and the write-side conform path bit-exactly
+    val intPairs = Seq[(DataType, DataType)](
+      (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
+      (ShortType, IntegerType), (ShortType, LongType),
+      (IntegerType, LongType))
+    for ((narrow, wide) <- intPairs) {
+      val dir = mkDir(s"lat_${narrow.simpleString}_${wide.simpleString}")
+      val t = new IncrementalTable(spark, dir)
+      t.setTypeWidening(true)
+      def df(dt: DataType, vs: Seq[Any]) = spark.createDataFrame(
+        java.util.Arrays.asList(vs.map(v => Row(v, "x")): _*),
+        StructType(Seq(StructField("k", dt), StructField("v", StringType))))
+      // narrow-type boundary values (+ null), then a widening batch,
+      // then a post-widening NARROW batch (conformWidths path)
+      val maxNarrow: Any = narrow match {
+        case ByteType => Byte.MaxValue
+        case ShortType => Short.MaxValue
+        case IntegerType => Int.MaxValue
+        case _ => fail("unexpected")
+      }
+      val minNarrow: Any = narrow match {
+        case ByteType => Byte.MinValue
+        case ShortType => Short.MinValue
+        case IntegerType => Int.MinValue
+        case _ => fail("unexpected")
+      }
+      val wideVal: Any = wide match {
+        case ShortType => Short.MaxValue
+        case IntegerType => Int.MaxValue
+        case LongType => Long.MaxValue
+        case _ => fail("unexpected")
+      }
+      t.append(df(narrow, Seq(maxNarrow, minNarrow, null)))
+      t.append(df(wide, Seq(wideVal)))
+      assert(t.tableSchema.get("k").dataType === wide,
+        s"$narrow -> $wide merge")
+      t.append(df(narrow, Seq(maxNarrow)))
+      // post-widening file is physically WIDE on disk (conformed)
+      val newest = t.files(t.latestVersion.get)
+        .filterNot(t.files(t.latestVersion.get - 1).toSet).head
+      assert(spark.read.parquet(s"$dir/data/$newest").schema("k").dataType
+        === wide, s"post-widening $narrow batch landed narrow")
+      def asLong(a: Any): Long = a match {
+        case b: Byte => b.toLong; case s: Short => s.toLong
+        case i: Int => i.toLong; case l: Long => l
+      }
+      val got = t.snapshot().select(col("k").cast("long")).as[java.lang.Long]
+        .collect().toSeq.map(Option(_).map(_.toLong))
+      val want = Seq(Some(asLong(maxNarrow)), Some(asLong(minNarrow)), None,
+        Some(asLong(wideVal)), Some(asLong(maxNarrow)))
+      assert(got.sortBy(_.getOrElse(Long.MinValue)) ===
+        want.sortBy(_.getOrElse(Long.MinValue)),
+        s"$narrow -> $wide values: $got")
+    }
+    // float -> double: exact IEEE widening incl. subnormal and null
+    val dir = mkDir("lat_fd")
+    val t = new IncrementalTable(spark, dir)
+    t.setTypeWidening(true)
+    val subnormal = java.lang.Float.MIN_VALUE
+    t.append(Seq[(java.lang.Float, String)]((Float.MaxValue, "a"),
+      (subnormal, "b"), (null, "c")).toDF("x", "v"))
+    t.append(Seq((Double.MaxValue, "d")).toDF("x", "v"))
+    assert(t.tableSchema.get("x").dataType === DoubleType)
+    t.append(Seq[(java.lang.Float, String)]((-1.5f, "e")).toDF("x", "v"))
+    val xs = t.snapshot().select("x").as[java.lang.Double].collect().toSet
+    assert(xs === Set(Float.MaxValue.toDouble, subnormal.toDouble, null,
+      Double.MaxValue, -1.5d), xs.toString)
+  }
+
   test("cross-JVM race: widening mid-race against narrow appends stays sound") {
     import spark.implicits._
     import java.util.concurrent.TimeUnit
