@@ -131,6 +131,27 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Deterministic TRAIN/VAL/TEST split — the assignment every
+    * training corpus needs before anything ships to a trainer:
+    * [[Sampling.splitByHash]] cumulative hash bands (retry-stable,
+    * seedless, joinable to any other table by doc_id, and a row in
+    * train can never migrate to test when the fractions are later
+    * tuned), rolled up to per-split document/token counts. One narrow
+    * projection plus one partial aggregation over THREE groups — at
+    * 100 TB the split itself costs a scan, nothing more.
+    */
+  private[ops] val splitBands: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  def splitDataset(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Sampling.splitByHash(docs, "doc_id", splitBands)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy("split")
+  }
+
   /** The exploded (doc_id, fp) WINNOWING frame both winnow queries
     * share (Schleimer/Wilkerson/Aiken, the MOSS local-fingerprinting
     * scheme): hash every character k-gram of the canonicalized text
@@ -881,6 +902,27 @@ object PipelineQueries {
            |          ELSE 0 END
            |GROUP BY source ORDER BY source""".stripMargin
     },
+    "split_dataset" -> {
+      // the oracle interpolates the SAME cumulative-threshold longs the
+      // Spark plan resolved (Sampling.cumulativeThresholds — one
+      // double-sum, one truncation; recomputing in DuckDB arithmetic
+      // would land ulps off the band edges)
+      val cuts = Sampling.cumulativeThresholds(splitBands)
+      val cases = splitBands.zip(cuts)
+        .map { case ((name, _), cut) => s"WHEN h < $cut THEN '$name'" }
+        .mkString("\n           ")
+      raw"""WITH hashed AS (
+           |  SELECT text,
+           |         CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           |  FROM documents)
+           |SELECT CASE
+           |           $cases
+           |       END AS split,
+           |       count(*) AS n_docs,
+           |       CAST(SUM(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS n_tokens
+           |FROM hashed
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "winnow_fingerprints" ->
       raw"""WITH c AS (
            |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS canon
@@ -1486,6 +1528,7 @@ object PipelineQueries {
     "decontaminate" -> decontaminate _,
     "sample_documents" -> sampleDocuments _,
     "mix_sources" -> mixSources _,
+    "split_dataset" -> splitDataset _,
     "winnow_fingerprints" -> winnowFingerprints _,
     "winnow_overlap" -> winnowOverlap _,
     "pii_scrub" -> piiScrub _,

@@ -39,6 +39,39 @@ object Sampling {
     df.filter(keep(col(keyCol), fraction))
   }
 
+  /** Cumulative band cuts as LONG thresholds — the ONE place a band
+    * list becomes hash-space boundaries. [[splitByHash]] and any
+    * replaying oracle SQL must both interpolate THESE longs (same
+    * double-sum order, same truncation — see [[threshold]]).
+    */
+  def cumulativeThresholds(bands: Seq[(String, Double)]): Seq[Long] =
+    bands.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail.map(threshold)
+
+  /** Deterministic n-way split (train/val/test): the key's hash
+    * position in [0, 2^60) falls into cumulative bands. Same
+    * properties as [[byHash]] — retry-stable, seedless, joinable
+    * across tables on a shared key, ANSI-SQL-replayable — plus the one
+    * that matters for held-out sets: bands are assigned by CUMULATIVE
+    * cuts, so growing an earlier band only absorbs rows from later
+    * bands; a row already in `train` can never move to `test`, and the
+    * eval set only ever shrinks from its end. Fractions must sum to
+    * ≤ 1; any remainder is left unassigned (NULL split).
+    */
+  def splitByHash(df: DataFrame, keyCol: String,
+      bands: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(bands.nonEmpty && bands.forall { case (_, f) => f >= 0 && f <= 1 },
+      "band fractions in [0,1]")
+    require(bands.map(_._2).sum <= 1.0 + 1e-9, "band fractions sum to <= 1")
+    val cuts = cumulativeThresholds(bands)
+    val h = Shingles.baseHash(col(keyCol).cast("string"))
+    // reverse fold = first band whose cumulative cut exceeds the hash
+    val assign = bands.zip(cuts).reverse
+      .foldLeft(lit(null).cast("string")) {
+        case (els, ((name, _), cut)) => when(h < lit(cut), lit(name)).otherwise(els)
+      }
+    df.withColumn(splitCol, assign)
+  }
+
   /** Per-stratum fractions (groups absent from the map keep nothing).
     * The per-stratum thresholds are resolved to LONG LITERALS here, on
     * the driver, via [[threshold]] — not per-row double arithmetic —

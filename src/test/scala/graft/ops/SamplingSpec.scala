@@ -63,4 +63,37 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .collect { case (k, _, h) if h < Sampling.threshold(0.6) => k }.toSet
     assert(one === oneExp)
   }
+
+  test("splitByHash: exhaustive+disjoint bands; growing a band never steals from earlier ones") {
+    import spark.implicits._
+    val df = spark.range(20000).selectExpr("CAST(id AS STRING) AS k")
+    val bands = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s = Sampling.splitByHash(df, "k", bands)
+      .select("k", "split").as[(String, String)].collect().toMap
+    // fractions sum to 1 -> every row assigned, proportions roughly hold
+    assert(s.size === 20000 && s.values.forall(_ != null))
+    val counts = s.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 16000) < 500, counts.toString)
+    assert(math.abs(counts("val") - 2000) < 300, counts.toString)
+    // the held-out-set contract: growing train 0.8 -> 0.85 only ABSORBS
+    // rows (from val, then transitively test); no row ever leaves an
+    // earlier band, so no test row can leak INTO training history
+    val grown = Sampling.splitByHash(df, "k",
+      Seq("train" -> 0.85, "val" -> 0.1, "test" -> 0.05))
+      .select("k", "split").as[(String, String)].collect().toMap
+    s.foreach { case (k, b) =>
+      if (b == "train") assert(grown(k) == "train", s"train row $k moved to ${grown(k)}")
+      if (grown(k) == "test") assert(b == "test", s"row $k LEAKED from $b into test")
+    }
+    // fractions summing under 1 leave the remainder unassigned
+    val partial = Sampling.splitByHash(df, "k", Seq("train" -> 0.5))
+      .select("split").as[String].collect()
+    assert(partial.count(_ == null) > 9000 && partial.count(_ == "train") > 9000)
+    // joinable: splitting a DIFFERENT table by the same key space gives
+    // the same assignment per key (the correlated-split property)
+    val other = spark.range(20000).selectExpr("CAST(id AS STRING) AS k", "id AS payload")
+    val s2 = Sampling.splitByHash(other, "k", bands)
+      .select("k", "split").as[(String, String)].collect().toMap
+    assert(s2 === s)
+  }
 }
