@@ -307,6 +307,46 @@ class TypeWideningSpec extends AnyFunSuite with SparkSpec {
       Set(1L, 1L << 40))
   }
 
+  test("row-level DML and the change feed work on a widened mixed-width table") {
+    import spark.implicits._
+    val dir = mkDir("dml")
+    val t = new IncrementalTable(spark, dir)
+    t.setTypeWidening(true)
+    t.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v").coalesce(1)) // int file
+    t.append(Seq((1L << 40, "wide")).toDF("k", "v").coalesce(1))           // widens
+    // copy-on-write UPDATE: candidates stats-pruned over MIXED-width
+    // stats rows, the long-literal predicate hits the int-era file,
+    // the rewrite restages conformed (wide)
+    t.updateWhere(col("k") === 2L,
+      Map("v" -> org.apache.spark.sql.functions.lit("updated")))
+    assert(t.scan(col("k") === 2L).select("v").as[String].head() === "updated")
+    // copy-on-write DELETE of the wide-era row
+    t.deleteWhere(col("k") === (1L << 40))
+    assert(t.snapshot().count() === 3)
+    // merge-on-read DELETE (deletion vector) against an int-era row
+    t.deleteVector(col("k") === 3L)
+    assert(t.snapshot().select("k").as[Long].collect().toSet === Set(1L, 2L))
+    val preMerge = t.latestVersion.get
+    // MERGE upserts across the width boundary, committed as a
+    // manifest snapshot (the SQL MERGE path's shape)
+    val merged = MergeInto(t.snapshot(),
+      Seq((2L, "merged"), (1L << 41, "new")).toDF("k", "v"),
+      "target.k = updates.k")
+      .whenMatchedUpdate(Map("v" -> "updates.v"))
+      .whenNotMatchedInsert(Map("k" -> "updates.k", "v" -> "updates.v"))
+      .resolve()
+    t.writeSnapshot(merged, "merge")
+    val state = t.snapshot().select("k", "v").as[(Long, String)].collect().toMap
+    assert(state === Map(1L -> "a", 2L -> "merged", (1L << 41) -> "new"))
+    // the change feed replays the mixed-width DML history (up to the
+    // merge snapshot — a CDC-less full rewrite is uncrossable by
+    // contract, so the feed is read to the pre-merge head)
+    assert(t.changes(-1L, preMerge)
+      .filter(col("_change_type") === "delete").count() === 2)
+    // the demand is still stamped; this library reads everything above
+    assert(t.readerFeaturesAt(t.latestVersion.get).contains("type-widening"))
+  }
+
   test("width-conformance lattice: staged footers always at tracked width, values exact") {
     import spark.implicits._
     import org.apache.spark.sql.Row
