@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.{QualityScore, TextFunctions}
+
+/** Token-budget-constrained corpus SELECTION — the last curation stage
+  * of a training-data pipeline: "take the best documents from each
+  * source until that source's token budget is spent". Composes with
+  * [[Sampling.splitByHash]] / `mix_sources` / `pack_sequences` into the
+  * full chain: score → select under budget → mix → split → pack.
+  *
+  * Execution shape for 100 TB: the quality score is a scan-local
+  * codegen'd expression ([[QualityScore]]); the ranking + running token
+  * sum is ONE window partitioned by `source` — hash-partitioned by
+  * source, NO global sort, and per-source sorts are independent so 1000
+  * executors sort 1000 sources in parallel. (Per-source data must fit a
+  * task's spillable sort — true whenever sources are balanced; a
+  * mega-source would call for the same salted two-phase top-k used
+  * elsewhere, not a different algorithm.) Budgets resolve to driver-side
+  * literals, so the same CASE chain interpolates into the oracle.
+  */
+object Curation {
+
+  /** Per-source token budgets → one literal CASE column (driver-side
+    * resolution, the [[Sampling.threshold]] rule: ONE source of truth
+    * both engines interpolate).
+    */
+  private def budgetCol(sourceCol: Column, budgets: Seq[(String, Long)]): Column =
+    budgets.foldLeft(lit(0L)) { case (els, (s, b)) =>
+      when(sourceCol === s, lit(b)).otherwise(els)
+    }
+
+  /** Keep each source's highest-scoring documents while the running
+    * token total stays within the source's budget. Ranking is total
+    * (score desc, id asc) so the running sum — and therefore the cut —
+    * is deterministic; the frame is explicit ROWS (not the default
+    * RANGE) so peers never collapse.
+    *
+    * Returns (id, source, token_cnt, score_milli, sel_rank, cum_tokens)
+    * for the selected rows.
+    */
+  def selectByTokenBudget(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      budgets: Seq[(String, Long)]): DataFrame = {
+    val scored = docs.select(
+      col(idCol), col(sourceCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("token_cnt"),
+      QualityScore.scoreMilli(col(textCol)).as("score_milli"))
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(col("score_milli").desc, col(idCol))
+    scored
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum("token_cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budgetCol(col(sourceCol), budgets))
+  }
+}

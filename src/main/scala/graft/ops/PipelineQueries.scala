@@ -152,6 +152,43 @@ object PipelineQueries {
       .orderBy("split")
   }
 
+  /** Gopher-style integer quality scoring over the corpus — every
+    * feature and the combined [0,1000] milli-score is exact integer
+    * arithmetic (see [[graft.text.QualityScore]]), so the hash oracle
+    * replays it bit-for-bit. One codegen'd scan, no shuffle.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.QualityScore
+    val t = col("text")
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.tokenCount(t).cast("long").as("token_cnt"),
+      QualityScore.meanWordLenMilli(t).as("mwl_milli"),
+      QualityScore.stopHits(t).as("stop_hits"),
+      QualityScore.punctMilli(t).as("punct_milli"),
+      QualityScore.scoreMilli(t).as("score_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source token budgets for `select_token_budget` — like
+    * [[mixWeights]], the ONE config both the Spark CASE column and the
+    * oracle CASE chain interpolate.
+    */
+  private[ops] val tokenBudgets: Seq[(String, Long)] =
+    (0 until 20).map(i => s"src$i" -> (i % 4 + 1) * 300L)
+
+  /** Token-budget-constrained selection (see [[Curation]]): each
+    * source's best-scoring docs until its token budget is spent. One
+    * source-partitioned window — no global sort.
+    */
+  def selectTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Curation.selectByTokenBudget(
+      Tables.load(spark, dir, "documents"),
+      "doc_id", "text", "source", tokenBudgets)
+      .select(col("doc_id"), col("source"), col("token_cnt"),
+        col("score_milli"), col("sel_rank"), col("cum_tokens"))
+      .orderBy("source", "sel_rank")
+
   /** The exploded (doc_id, fp) WINNOWING frame both winnow queries
     * share (Schleimer/Wilkerson/Aiken, the MOSS local-fingerprinting
     * scheme): hash every character k-gram of the canonicalized text
@@ -706,6 +743,31 @@ object PipelineQueries {
   private val sizesCte =
     "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"
 
+  /** Gopher-style integer quality features + milli-score (replays
+    * [[graft.text.QualityScore]]; `//` = the Spark side's exact
+    * `(a - pmod(a,b))/b` integer division — both floor on the
+    * nonnegative operands here). Requires [[toksCte]].
+    */
+  private val qualityCte: String = {
+    val stops = TextFunctions.langLexicons.head._2
+      .map(w => s"'$w'").mkString(",")
+    raw"""quality AS (
+         |  SELECT doc_id, token_cnt, mwl_milli, stop_hits, punct_milli,
+         |         CAST((least(token_cnt, 64) * 250) // 64
+         |           + CASE WHEN mwl_milli BETWEEN 3000 AND 10000 THEN 250 ELSE 0 END
+         |           + (least(stop_hits, 8) * 250) // 8
+         |           + greatest(0, 250 - (punct_milli * 250) // 100) AS BIGINT) AS score_milli
+         |  FROM (
+         |    SELECT d.doc_id,
+         |      CAST(len(tk) AS BIGINT) AS token_cnt,
+         |      (CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) * 1000)
+         |        // greatest(CAST(len(tk) AS BIGINT), 1) AS mwl_milli,
+         |      CAST(len(list_filter(tk, t -> t IN ($stops))) AS BIGINT) AS stop_hits,
+         |      (CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS BIGINT) * 1000)
+         |        // greatest(CAST(length(text) AS BIGINT), 1) AS punct_milli
+         |    FROM documents d JOIN toks ON toks.doc_id = d.doc_id))""".stripMargin
+  }
+
   private def qCte(src: String = "embeddings") =
     s"""q AS (
        |  SELECT vec_id,
@@ -922,6 +984,34 @@ object PipelineQueries {
            |       CAST(SUM(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS n_tokens
            |FROM hashed
            |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "quality_score" ->
+      s"""WITH $toksCte,
+         |$qualityCte
+         |SELECT doc_id, token_cnt, mwl_milli, stop_hits, punct_milli, score_milli
+         |FROM quality ORDER BY doc_id""".stripMargin,
+    "select_token_budget" -> {
+      // the oracle interpolates the SAME driver-resolved budget longs
+      // the Spark CASE column carries (Curation.budgetCol)
+      val cases = tokenBudgets
+        .map { case (s, b) => s"WHEN '$s' THEN $b" }
+        .mkString("\n           ")
+      s"""WITH $toksCte,
+         |$qualityCte,
+         |sel AS (
+         |  SELECT q.doc_id, d.source, q.token_cnt, q.score_milli,
+         |         CAST(row_number() OVER w AS BIGINT) AS sel_rank,
+         |         CAST(sum(q.token_cnt) OVER (
+         |           PARTITION BY d.source ORDER BY q.score_milli DESC, q.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM quality q JOIN documents d ON d.doc_id = q.doc_id
+         |  WINDOW w AS (PARTITION BY d.source ORDER BY q.score_milli DESC, q.doc_id))
+         |SELECT doc_id, source, token_cnt, score_milli, sel_rank, cum_tokens
+         |FROM sel
+         |WHERE cum_tokens <= CASE source
+         |          $cases
+         |          ELSE 0 END
+         |ORDER BY source, sel_rank""".stripMargin
     },
     "winnow_fingerprints" ->
       raw"""WITH c AS (
@@ -1529,6 +1619,8 @@ object PipelineQueries {
     "sample_documents" -> sampleDocuments _,
     "mix_sources" -> mixSources _,
     "split_dataset" -> splitDataset _,
+    "quality_score" -> qualityScore _,
+    "select_token_budget" -> selectTokenBudget _,
     "winnow_fingerprints" -> winnowFingerprints _,
     "winnow_overlap" -> winnowOverlap _,
     "pii_scrub" -> piiScrub _,

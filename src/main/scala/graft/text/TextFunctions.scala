@@ -34,9 +34,27 @@ object TextFunctions {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:'\"()-]", ""))
 
-  /** Number of tokens found in `words` (e.g. a stopword list). */
-  def wordHits(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isInCollection(words)))
+  /** Number of tokens found in `words` (e.g. a stopword list).
+    *
+    * Implemented as one codegen'd `regexp_extract_all` over the
+    * whitespace-normalized text rather than `filter(tokens(text), …)`:
+    * array higher-order functions evaluate INTERPRETED in Spark
+    * (CodegenFallback — the 15-35× penalty Shingles.scala documents),
+    * and this sits in the lang-id/quality hot path of every corpus
+    * scan. Token semantics are preserved exactly: the normalized text
+    * is single-space separated, the match consumes only the word (the
+    * trailing boundary is a lookahead), so consecutive stopwords
+    * sharing one space each count — identical to counting `tk IN
+    * (words)` over the split, which is what the DuckDB oracles replay
+    * as `list_filter`.
+    */
+  def wordHits(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "wordHits needs a non-empty lexicon")
+    val alt = words.map(java.util.regex.Pattern.quote).mkString("|")
+    size(regexp_extract_all(
+      regexp_replace(trim(text), "\\s+", " "),
+      lit(s"(?:^| )(?:$alt)(?= |$$)"), lit(0)))
+  }
 
   /** Tiny per-language function-word lexicons for the n-gram/stopword
     * language-ID heuristic. Deliberately small so the oracle SQL stays
