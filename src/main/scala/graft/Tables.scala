@@ -52,10 +52,20 @@ object Tables {
     }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // Fallback for NANOS-annotated files (pre-round-6 testdata): without
-    // this Spark 4 rejects the column outright; with it, ts arrives as
-    // LONG nanos and tsAsLongNanos passes it through.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NANOS-annotated files (pre-round-6 testdata) need
+    // `spark.sql.legacy.parquet.nanosAsLong=true` or Spark 4 rejects the
+    // column outright. The conf is the SESSION BUILDER's job (Verify,
+    // Bench, SparkSpec and the events-reading examples all set it) — a
+    // loader that silently flips a session-wide legacy flag is spooky
+    // action at a distance. Assert loudly instead, so a new entry point
+    // fails here with the fix named rather than downstream with
+    // Spark's generic unsupported-type error.
+    if (name == "events")
+      require(
+        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+        "events.parquet may carry INT64 TIMESTAMP(NANOS); set " +
+          "spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession " +
+          "builder (see graft.Verify/Bench) before loading events")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema.fieldNames.contains("ts"))
       df.withColumn("ts", tsAsLongNanos(df))

@@ -44,16 +44,25 @@ object IvfAnn {
 
   /** Nearest-centroid assignment as a NARROW map pass: the C centroids
     * are packed into ONE broadcast row as a cid-sorted `array<struct>`
-    * and a codegen'd `aggregate()` fold computes the per-vector argmin
-    * in place — zero shuffle. (The previous shape — C-row cross join +
-    * `min(struct(neg_sim, cid))` groupBy — was partial-agg friendly
-    * but still shuffled every vector's payload once per call; at
-    * index-build scale that is a full-corpus shuffle spent computing a
-    * per-row value.) Input must carry (`idName`, `vecName`); all other
-    * columns pass through untouched. Tie-break matches the old
-    * `min(struct(...))` order: the fold visits cids ASCENDING and
-    * replaces only on strictly smaller distance, so ties keep the
-    * lower cid.
+    * and an `aggregate()` fold computes the per-vector argmin in place
+    * — zero shuffle. The fold is an INTERPRETED lambda (Spark evaluates
+    * higher-order functions outside whole-stage codegen — the 15-35×
+    * penalty Shingles.scala documents), a trade measured and accepted:
+    * the eliminated full-corpus shuffle dominates at the coarse
+    * quantizer's C (≤ a few hundred; [[MaxCentroids]] guards the
+    * contract), whereas at fine-quantizer C (thousands) the per-row
+    * C-element interpreted fold would dominate instead — that use case
+    * wants a different kernel, not this one. (The previous shape —
+    * C-row cross join + `min(struct(neg_sim, cid))` groupBy — was
+    * partial-agg friendly but still shuffled every vector's payload
+    * once per call; at index-build scale that is a full-corpus shuffle
+    * spent computing a per-row value.) Input must carry (`idName`,
+    * `vecName`) with UNIQUE ids — one output row per input row; the
+    * pre-round-7 groupBy(id)+first() form silently collapsed duplicate
+    * ids, this one passes them through. All other columns pass through
+    * untouched. Tie-break matches the old `min(struct(...))` order:
+    * the fold visits cids ASCENDING and replaces only on strictly
+    * smaller distance, so ties keep the lower cid.
     */
   private[sim] def assignLists(
       vecs: DataFrame, cdf: DataFrame, idName: String, vecName: String): DataFrame = {
@@ -94,6 +103,13 @@ object IvfAnn {
   private[sim] val TrainPointsPerCentroid = 256
   private[sim] val TrainSampleFloor = 4096
 
+  /** Coarse-quantizer contract: [[assignLists]]' per-row argmin fold is
+    * interpreted, so its cost is C struct comparisons per vector — fine
+    * while C stays coarse, quadratic misuse if someone reaches for IVF
+    * with fine-quantizer centroid counts. Guarded, not just documented.
+    */
+  val MaxCentroids = 4096
+
   /** Lloyd loop over an already-quantized, persisted `(id, qv)` table.
     *
     * Trains on a BOUNDED deterministic sample, not the corpus: a
@@ -113,6 +129,9 @@ object IvfAnn {
     */
   private[sim] def train(
       q: DataFrame, nCentroids: Int, iterations: Int): Array[Array[Long]] = {
+    require(nCentroids >= 1 && nCentroids <= MaxCentroids,
+      s"nCentroids=$nCentroids outside [1, $MaxCentroids]: IvfAnn is a " +
+        "coarse quantizer (interpreted per-row argmin over C centroids)")
     val spark = q.sparkSession
     val cap = math.max(TrainPointsPerCentroid * nCentroids, TrainSampleFloor)
     val sample = q.orderBy(xxhash64(col("id")), col("id")).limit(cap)

@@ -16,6 +16,9 @@ object SparkSpec {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // NANOS-annotated events files need this at scan planning; the
+      // loader asserts it (Tables.load) rather than setting it
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
