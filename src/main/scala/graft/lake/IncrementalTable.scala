@@ -798,7 +798,11 @@ final class IncrementalTable(
     */
   private[graft] def prunedFilesAt(
       v: Long, all: Seq[String], filters: Seq[Column]): Seq[String] = {
-    if (filters.isEmpty || !fs.exists(statsDir)) return all
+    if (filters.isEmpty) return all
+    // a crash mid-swap must not read as "no index": finish it first
+    recoverSidecar(statsDir)
+    recoverSidecar(bloomsDir)
+    if (!fs.exists(statsDir)) return all
     val nameMap = colMapAt(v) // physical -> logical
     val droppedSet = droppedColsAt(v)
     try {
@@ -1015,6 +1019,8 @@ final class IncrementalTable(
       s"cannot rename $from -> $to: $to is a retired (dropped) column name")
     require(identityDecl.forall(_._1 != from),
       s"cannot rename identity column $from of $path")
+    require(!(rowTrackingEnabled && from == IncrementalTable.RowIdCol),
+      s"cannot rename the row-tracking column $from of $path")
     requireUnconstrained(from, "rename")
   }
 
@@ -1070,6 +1076,8 @@ final class IncrementalTable(
     val phys = resolvePhysical(name)
     require(identityDecl.forall(_._1 != name),
       s"cannot drop identity column $name of $path")
+    require(!(rowTrackingEnabled && name == IncrementalTable.RowIdCol),
+      s"cannot drop the row-tracking column $name of $path")
     requireUnconstrained(name, "drop")
     val remaining = tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
       .filterNot(droppedCols).filterNot(_ == phys)
@@ -1275,10 +1283,13 @@ final class IncrementalTable(
     * wrong prune.
     */
   private def purgeBloomRows(cols: Set[String]): Unit = {
+    recoverSidecar(bloomsDir)
     if (!fs.exists(bloomsDir)) return
-    val tmp = new Path(path, "_blooms_tmp")
-    // a crashed prior swap's leftovers must not ride into this rename —
-    // duplicate (file, col) rows from different eras could disagree
+    val tmp = sidecarTmp(bloomsDir)
+    // a crashed prior tmp WRITE's leftovers must not ride into this
+    // swap — duplicate (file, col) rows from different eras could
+    // disagree. (A stranded COMPLETE tmp was already promoted by the
+    // recovery above, so this delete only ever removes partial writes.)
     fs.delete(tmp, true)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     spark.read.option("recursiveFileLookup", "true")
@@ -1286,10 +1297,50 @@ final class IncrementalTable(
       .filter(!org.apache.spark.sql.functions.col("col")
         .isin(cols.toSeq: _*))
       .coalesce(1).write.parquet(new Path(tmp, nonce).toString)
-    fs.delete(bloomsDir, true)
-    if (!fs.rename(tmp, bloomsDir))
-      throw new IllegalStateException(s"failed to swap blooms for $path")
+    promoteSidecar(tmp, bloomsDir)
   }
+
+  private def sidecarTmp(target: Path) = new Path(path, target.getName + "_tmp")
+  private def sidecarAside(target: Path) = new Path(path, target.getName + "_old")
+
+  /** Crash-safe sidecar (stats/bloom) replacement. The previous
+    * protocol was delete-then-rename: a crash between the two stranded
+    * the surviving rows in the tmp dir, and the NEXT swap's defensive
+    * tmp delete destroyed them — the whole index silently vanished
+    * (degrade was conservative, files stop pruning, but total). Now the
+    * live dir is renamed ASIDE before the replacement is promoted, so
+    * at every instant either the live dir or a complete replacement
+    * exists on disk, and [[recoverSidecar]] finishes a stranded swap on
+    * the next access.
+    */
+  private def promoteSidecar(tmp: Path, target: Path): Unit = {
+    val aside = sidecarAside(target)
+    fs.delete(aside, true)
+    if (fs.exists(target) && !fs.rename(target, aside))
+      throw new IllegalStateException(s"failed to set aside $target")
+    if (!fs.rename(tmp, target)) {
+      if (fs.exists(aside)) fs.rename(aside, target) // roll back
+      throw new IllegalStateException(s"failed to swap $target for $path")
+    }
+    fs.delete(aside, true)
+  }
+
+  /** Complete (or roll back) a swap a crash stranded. Promoting tmp is
+    * safe ONLY when the live dir is absent: a crash mid-tmp-WRITE
+    * always leaves the live dir in place (the set-aside rename follows
+    * the write), so live-dir-absent implies the tmp content is
+    * complete; partial tmp content can never be promoted. Idempotent;
+    * shares [[purgeBloomRows]]' concurrency stance (a racing writer
+    * degrades to conservative no-filter, never a wrong prune).
+    */
+  private def recoverSidecar(target: Path): Unit =
+    if (!fs.exists(target)) {
+      val tmp = sidecarTmp(target)
+      val aside = sidecarAside(target)
+      if (fs.exists(tmp)) {
+        if (fs.rename(tmp, target)) fs.delete(aside, true)
+      } else if (fs.exists(aside)) fs.rename(aside, target)
+    }
 
   /** Whether lossless type widening (int→long, float→double) is
     * enabled for write-side schema merges — the `widen` manifest meta,
@@ -1570,7 +1621,8 @@ final class IncrementalTable(
         // writeSnapshot too — they are table properties, not data
         // state).
         val carry = Seq("dv", "constraints", "bloom", "colmap", "coldrop",
-          "writeorder", "gencol", "identity", "rf", "widen", "widened")
+          "writeorder", "gencol", "identity", "rf", "widen", "widened",
+          "rowtracking")
           .flatMap(k => baseMeta.get(k).map(k -> _)).toMap
         writeManifest(v, operation, prev.filterNot(removed) ++ added,
           (carry -- dropMeta) ++ watermarkCarry(baseMeta) ++ meta ++
@@ -1591,12 +1643,12 @@ final class IncrementalTable(
     * at the next version.
     */
   def writeSnapshot(df: DataFrame, operation: String = "write",
-      maxRetries: Int = 20): Long = identityDecl match {
-    case None =>
+      maxRetries: Int = 20): Long = allocSpecs match {
+    case Seq() =>
       writeSnapshotImpl(applyWriteOrder(applyGenerated(df)),
         operation, maxRetries, validate = true)
-    case Some(_) =>
-      withIdentityAllocated(df) { withIds =>
+    case specs =>
+      withAllocated(df, specs) { withIds =>
         val materialized = applyWriteOrder(applyGenerated(withIds))
         validateConstraints(materialized)
         val added = stage(materialized)
@@ -1635,7 +1687,7 @@ final class IncrementalTable(
         val consCarry = baseMeta
           .filter { case (k, _) => Set("constraints", "bloom", "colmap",
             "coldrop", "writeorder", "gencol", "identity", "widen",
-            "widened").contains(k) }
+            "widened", "rowtracking").contains(k) }
         writeManifest(v, operation, added,
           consCarry ++ watermarkCarry(baseMeta) ++ meta ++
             schemaMetaFor(base, Some(physicalizeSchema(schema))))
@@ -1653,14 +1705,14 @@ final class IncrementalTable(
     * Honors the declared [[setWriteOrder]] (one shuffle of the batch)
     * and fills declared IDENTITY values (see [[setIdentity]]).
     */
-  def append(df: DataFrame): Long = identityDecl match {
-    case None =>
+  def append(df: DataFrame): Long = allocSpecs match {
+    case Seq() =>
       val materialized = applyGenerated(df)
       validateConstraints(materialized)
       commitFiles(stage(applyWriteOrder(materialized)), Set.empty, "append",
         schema = Some(materialized.schema))
-    case Some(_) =>
-      withIdentityAllocated(df) { withIds =>
+    case specs =>
+      withAllocated(df, specs) { withIds =>
         val materialized = applyGenerated(withIds)
         validateConstraints(materialized)
         val added = stage(applyWriteOrder(materialized))
@@ -1744,90 +1796,129 @@ final class IncrementalTable(
     * drift between allocation, carry and clone.
     */
   private[lake] def newestWatermark(from: Long): Option[Long] =
+    newestWatermarkKey(from, "id_watermark")
+
+  /** The same walk for any watermark meta key (`id_watermark` for the
+    * identity column, `row_watermark` for row tracking).
+    */
+  private[lake] def newestWatermarkKey(from: Long, key: String): Option[Long] =
     (from to 0L by -1).iterator.takeWhile(versionExists)
-      .flatMap(v => metaAt(v).get("id_watermark"))
+      .flatMap(v => metaAt(v).get(key))
       .nextOption().map(_.toLong)
 
-  /** The `id_watermark` meta a commit must carry forward so the NEWEST
-    * manifest always holds the counter: vacuum keeps only a recent
+  /** The watermark meta a commit must carry forward so the NEWEST
+    * manifest always holds the counters: vacuum keeps only a recent
     * manifest window, and a watermark living solely in an old
     * allocating commit would be deleted with it — silently resetting
     * the counter to START and re-issuing already-used ids. Normal case
     * is a copy from the base meta (O(1)); the walk only runs once for
-    * tables whose newest manifest predates this invariant.
+    * tables whose newest manifest predates this invariant. Covers both
+    * the identity counter and the row-tracking counter.
     */
-  private def watermarkCarry(baseMeta: Map[String, String]): Map[String, String] =
-    baseMeta.get("id_watermark") match {
-      case Some(w) => Map("id_watermark" -> w)
-      case None if baseMeta.contains("identity") =>
-        latestVersion.flatMap(newestWatermark)
-          .map(w => "id_watermark" -> w.toString).toMap
-      case None => Map.empty
+  private def watermarkCarry(baseMeta: Map[String, String]): Map[String, String] = {
+    def one(wmKey: String, declKey: String): Map[String, String] =
+      baseMeta.get(wmKey) match {
+        case Some(w) => Map(wmKey -> w)
+        case None if baseMeta.contains(declKey) =>
+          latestVersion.flatMap(newestWatermarkKey(_, wmKey))
+            .map(w => wmKey -> w.toString).toMap
+        case None => Map.empty
+      }
+    one("id_watermark", "identity") ++ one("row_watermark", "rowtracking")
+  }
+
+  /** One watermark-allocated column: the declared identity column, or
+    * row tracking's `_row_id`. `enforceAlways` = GENERATED ALWAYS
+    * (explicit values rejected); row ids are NOT enforced because
+    * every internal restage (DML, compact, SCD snapshot) legitimately
+    * passes existing ids through.
+    */
+  private case class Alloc(col: String, step: Long, wmKey: String,
+      enforceAlways: Boolean, committedWm: () => Long,
+      dataType: DataType, what: String)
+
+  private def identityAlloc: Option[Alloc] =
+    identityDecl.map { case (idCol, _, step, allowExplicit) =>
+      val idType = tableSchema.flatMap(_.fields.find(_.name == idCol))
+        .map(_.dataType).getOrElse(LongType)
+      Alloc(idCol, step, "id_watermark", !allowExplicit,
+        () => identityHighWatermark, idType, "identity column")
     }
 
-  /** Allocate identity values for `df`, then `prepare` (validate +
-    * stage) and commit with the watermark meta. The watermark re-check
-    * happens immediately BEFORE each single-attempt commit — after
-    * staging, like the SCD path — so the race window is the commit
-    * itself, not the staging wall-clock; a racer advancing the
-    * watermark forces a RE-ALLOCATION (the staged ids are baked into
-    * files, so a rebase would collide — the failed attempt's files
-    * become unreachable garbage that vacuum collects).
+  private def rowIdAlloc: Option[Alloc] =
+    if (!rowTrackingEnabled) None
+    else Some(Alloc(IncrementalTable.RowIdCol, 1L, "row_watermark",
+      enforceAlways = false, () => rowIdHighWatermark, LongType, "row id"))
+
+  /** The allocations the next write must perform (possibly both). */
+  private def allocSpecs: Seq[Alloc] = identityAlloc.toSeq ++ rowIdAlloc.toSeq
+
+  /** Allocate watermark-derived values (identity and/or row ids) for
+    * `df`, then `prepare` (validate + stage) and commit with the
+    * watermark meta. Each watermark re-check happens immediately BEFORE
+    * each single-attempt commit — after staging, like the SCD path — so
+    * the race window is the commit itself, not the staging wall-clock;
+    * a racer advancing ANY used watermark forces a RE-ALLOCATION (the
+    * staged ids are baked into files, so a rebase would collide — the
+    * failed attempt's files become unreachable garbage that vacuum
+    * collects).
     */
-  private def withIdentityAllocated(df: DataFrame)(
+  private def withAllocated(df: DataFrame, specs: Seq[Alloc])(
       prepare: DataFrame => (Map[String, String] => Long)): Long = {
-    val Some((idCol, _, step, allowExplicit)) = identityDecl: @unchecked
-    val idType = tableSchema.flatMap(_.fields.find(_.name == idCol))
-      .map(_.dataType).getOrElse(LongType)
+    import org.apache.spark.sql.functions.{col, lit, max}
     // pin the source ONCE: the explicit-value check and every
     // allocation attempt must see the same rows the commit publishes
-    val pinned = (
-      if (!df.columns.contains(idCol))
-        df.withColumn(idCol, org.apache.spark.sql.functions.lit(null).cast(idType))
-      else df).localCheckpoint()
-    if (!allowExplicit) {
-      val explicit = pinned
-        .filter(org.apache.spark.sql.functions.col(idCol).isNotNull)
-        .limit(1).count()
+    val withCols = specs.foldLeft(df) { (d, sp) =>
+      if (d.columns.contains(sp.col)) d
+      else d.withColumn(sp.col, lit(null).cast(sp.dataType))
+    }
+    val pinned = withCols.localCheckpoint()
+    specs.filter(_.enforceAlways).foreach { sp =>
+      val explicit = pinned.filter(col(sp.col).isNotNull).limit(1).count()
       require(explicit == 0L,
-        s"identity column $idCol of $path is GENERATED ALWAYS — values " +
+        s"${sp.what} ${sp.col} of $path is GENERATED ALWAYS — values " +
           "cannot be provided (omit the column or insert NULL)")
     }
-    // With explicit inserts allowed, allocation must ALSO clear the
+    // With explicit values allowed, allocation must ALSO clear the
     // batch's own explicit ids: an explicit value above the committed
     // watermark would otherwise duplicate an id densely allocated to a
     // NULL slot of the SAME batch (wm=10, explicit 12, two NULL rows →
     // 11, 12). Seeding from max(watermark, max explicit-in-batch) keeps
     // the uniqueness contract; explicit ids below existing DATA remain
     // the caller's responsibility, as in Delta.
-    val explicitMax: Option[Long] =
-      if (!allowExplicit) None
-      else pinned.agg(org.apache.spark.sql.functions.max(
-        org.apache.spark.sql.functions.col(idCol))).head().getAs[Any](0) match {
+    val explicitMax: Map[String, Option[Long]] = specs.map { sp =>
+      sp.col -> (if (sp.enforceAlways) None
+      else pinned.agg(max(col(sp.col))).head().getAs[Any](0) match {
         case null => None
         case n: Number => Some(n.longValue())
-      }
+      })
+    }.toMap
     var reallocations = 0
     while (true) {
-      val committedWm = identityHighWatermark
-      val wm = explicitMax.fold(committedWm)(math.max(committedWm, _))
-      val withIds = IncrementalTable.allocateIdentity(pinned, idCol, wm, step)
-      val mx = withIds.agg(org.apache.spark.sql.functions.max(
-        org.apache.spark.sql.functions.col(idCol))).head().getAs[Any](0) match {
-        case null => wm
-        case n: Number => n.longValue()
+      val allocs = specs.map { sp =>
+        val committedWm = sp.committedWm()
+        sp -> explicitMax(sp.col).fold(committedWm)(math.max(committedWm, _))
       }
+      val withIds = allocs.foldLeft(pinned) { case (d, (sp, wm)) =>
+        IncrementalTable.allocateIdentity(d, sp.col, wm, sp.step)
+      }
+      // max(): an explicit-value batch whose ids all sit BELOW the
+      // watermark must not rewind it (mx < wm re-issues used ids)
+      val wmMeta = allocs.map { case (sp, wm) =>
+        val mx = withIds.agg(max(col(sp.col))).head().getAs[Any](0) match {
+          case null => wm
+          case n: Number => n.longValue()
+        }
+        sp.wmKey -> math.max(wm, mx).toString
+      }.toMap
       val commitOnce = prepare(withIds) // stages NOW
       var innerTries = 0
       var reallocate = false
       while (!reallocate) {
-        val newest = identityHighWatermark
-        if (newest > wm) reallocate = true // ids may collide: redo
+        if (allocs.exists { case (sp, wm) => sp.committedWm() > wm })
+          reallocate = true // ids may collide: redo
         else {
-          // max(): an explicit-insert batch whose ids all sit BELOW the
-          // watermark must not rewind it (mx < wm re-issues used ids)
-          try return commitOnce(
-            Map("id_watermark" -> math.max(wm, mx).toString))
+          try return commitOnce(wmMeta)
           catch {
             case e: StaleRewriteException => throw e
             case e: CommitConflictException =>
@@ -1841,10 +1932,73 @@ final class IncrementalTable(
       reallocations += 1
       if (reallocations > 5)
         throw new CommitConflictException(
-          s"identity watermark of $path keeps advancing under this batch " +
-            "— giving up after 5 reallocations")
+          s"allocation watermark of $path keeps advancing under this " +
+            "batch — giving up after 5 reallocations")
     }
     -1L // unreachable
+  }
+
+  // ---- row tracking (Delta's row-tracking reader+writer feature):
+  // every row carries a stable LONG `_row_id`, assigned once at first
+  // write from a manifest-carried high watermark (`row_watermark`,
+  // exactly the identity-column machinery) and PRESERVED through
+  // copy-on-write UPDATE/DELETE/MERGE, compaction, z-order, clone and
+  // restore — those paths restage existing rows, whose materialized
+  // ids pass through untouched. Upgrades the change feed from
+  // value-keyed to identity-keyed and lets downstream incremental
+  // consumers key on `_row_id` instead of business columns. ----
+
+  /** Whether row tracking is enabled (the `rowtracking` property). */
+  def rowTrackingEnabled: Boolean =
+    latestVersion.exists(v => metaAt(v).get("rowtracking").contains("true"))
+
+  /** Newest committed row-id watermark (0 on a table that never
+    * allocated — ids start at 1).
+    */
+  def rowIdHighWatermark: Long =
+    latestVersion.flatMap(newestWatermarkKey(_, "row_watermark")).getOrElse(0L)
+
+  /** Enable row tracking. On a table that already holds rows this
+    * BACKFILLS `_row_id` in one full rewrite (Delta's ALTER TABLE SET
+    * row tracking does the same backfill); subsequent writes allocate
+    * from the committed watermark. The enabling commit stamps the
+    * `row-tracking` reader feature (via `rowtracking` meta →
+    * [[IncrementalTable.readerFeaturesOf]]), so a pre-feature reader
+    * refuses rather than serving rows whose identity column it would
+    * drop or misinterpret.
+    */
+  def enableRowTracking(): Long = {
+    if (rowTrackingEnabled)
+      return latestVersion.getOrElse(0L)
+    val ridCol = IncrementalTable.RowIdCol
+    tableSchema.foreach { s =>
+      require(!s.fieldNames.contains(ridCol),
+        s"cannot enable row tracking on $path: a user column named " +
+          s"$ridCol already exists")
+    }
+    latestVersion match {
+      case Some(v) if files(v).nonEmpty =>
+        // backfill through the LOGICAL view (DVs applied, mapping
+        // honored); stage() physicalizes on the way back down. Order
+        // within each file is preserved by the scan, so single-file
+        // tables get rank-stable ids — multi-file order is
+        // scan-partition order, stable per layout but not semantic.
+        import org.apache.spark.sql.functions.{col, lit, max}
+        val pinned = snapshot()
+          .withColumn(ridCol, lit(null).cast(LongType)).localCheckpoint()
+        val withIds = IncrementalTable.allocateIdentity(pinned, ridCol, 0L, 1L)
+        val mx = withIds.agg(max(col(ridCol))).head().getAs[Any](0) match {
+          case null => 0L
+          case n: Number => n.longValue()
+        }
+        commitFiles(stage(withIds), files(v).toSet, "enable row tracking",
+          meta = Map("rowtracking" -> "true", "row_watermark" -> mx.toString),
+          schema = Some(withIds.schema), readVersion = Some(v),
+          dropMeta = Set("dv"))
+      case _ =>
+        commitFiles(Seq.empty, Set.empty, "enable row tracking",
+          meta = Map("rowtracking" -> "true", "row_watermark" -> "0"))
+    }
   }
 
   /** Rewrite the current snapshot into `targetFiles` files (rows were
@@ -1911,7 +2065,7 @@ final class IncrementalTable(
         // mixed-width state that demanded the reader feature is gone
         val keep = baseMeta.filter { case (k, _) =>
           k == "constraints" || k == "gencol" || k == "identity" ||
-            k == "widen" } ++
+            k == "widen" || k == "rowtracking" } ++
           watermarkCarry(baseMeta)
         val bloomKeep = bloomColumns.filterNot(droppedCols) match {
           case Seq() => Map.empty[String, String]
@@ -2403,18 +2557,21 @@ final class IncrementalTable(
     // type-widening reader feature ("widen", the opt-in property,
     // follows like constraints do)
     val carryMeta = Seq("constraints", "colmap", "coldrop", "gencol",
-      "identity", "widen", "widened")
+      "identity", "widen", "widened", "rowtracking")
       .flatMap(k => srcMeta.get(k).map(k -> _)).toMap
-    // the identity counter carries AT v's value: inserts on the clone
-    // must not re-issue ids already present in the cloned rows. If the
-    // walk below v hits the source's vacuum horizon empty (manifests
-    // predating the carry invariant), fall back to the source's HEAD
-    // watermark — a higher-than-v counter only skips ids, never reuses
-    val idMeta =
-      if (!srcMeta.contains("identity")) Map.empty[String, String]
-      else src.newestWatermark(v)
-        .orElse(src.latestVersion.flatMap(src.newestWatermark))
-        .map(w => "id_watermark" -> w.toString).toMap
+    // the identity/row counters carry AT v's value: inserts on the
+    // clone must not re-issue ids already present in the cloned rows.
+    // If the walk below v hits the source's vacuum horizon empty
+    // (manifests predating the carry invariant), fall back to the
+    // source's HEAD watermark — a higher-than-v counter only skips
+    // ids, never reuses
+    def wmCarry(wmKey: String, declKey: String): Map[String, String] =
+      if (!srcMeta.contains(declKey)) Map.empty[String, String]
+      else src.newestWatermarkKey(v, wmKey)
+        .orElse(src.latestVersion.flatMap(src.newestWatermarkKey(_, wmKey)))
+        .map(w => wmKey -> w.toString).toMap
+    val idMeta = wmCarry("id_watermark", "identity") ++
+      wmCarry("row_watermark", "rowtracking")
     writeManifest(0L, s"clone[v$v]", entries,
       dvMeta ++ carryMeta ++ idMeta ++ schemaMetaFor(None, src.schemaAt(v)))
     0L
@@ -2458,8 +2615,8 @@ final class IncrementalTable(
           .contains(k) } ++
         headMeta.filter { case (k, _) =>
           Set("constraints", "bloom", "gencol", "writeorder",
-            "identity", "widen").contains(k) } ++
-        watermarkCarry(headMeta) // counter NEVER rewinds (see scaladoc)
+            "identity", "widen", "rowtracking").contains(k) } ++
+        watermarkCarry(headMeta) // counters NEVER rewind (see scaladoc)
       try {
         writeManifest(base + 1, s"restore[$v]", target, carried)
         return base + 1
@@ -2770,32 +2927,30 @@ final class IncrementalTable(
     }
     // drop stats rows for vacuumed files (stale rows are harmless for
     // correctness — pruning joins against the manifest — but unbounded)
+    recoverSidecar(statsDir)
     if (fs.exists(statsDir)) {
-      val tmp = new Path(path, "_stats_tmp")
-      fs.delete(tmp, true) // a crashed prior swap must not leak stale rows
+      val tmp = sidecarTmp(statsDir)
+      fs.delete(tmp, true) // partial leftovers of a crashed tmp write
       val nonce = java.util.UUID.randomUUID().toString.take(8)
       import spark.implicits._
       readStatsStore()
         .join(org.apache.spark.sql.functions.broadcast(keep.toSeq.toDF("file")),
           Seq("file"), "left_semi")
         .coalesce(1).write.mode("overwrite").parquet(new Path(tmp, nonce).toString)
-      fs.delete(statsDir, true)
-      if (!fs.rename(tmp, statsDir))
-        throw new IllegalStateException(s"failed to swap stats for $path")
+      promoteSidecar(tmp, statsDir)
     }
     // bloom rows follow the same rule as stats rows
+    recoverSidecar(bloomsDir)
     if (fs.exists(bloomsDir)) {
-      val tmp = new Path(path, "_blooms_tmp")
-      fs.delete(tmp, true) // ditto — stale duplicate rows could disagree
+      val tmp = sidecarTmp(bloomsDir)
+      fs.delete(tmp, true) // ditto
       val nonce = java.util.UUID.randomUUID().toString.take(8)
       import spark.implicits._
       spark.read.option("recursiveFileLookup", "true").parquet(bloomsDir.toString)
         .join(org.apache.spark.sql.functions.broadcast(keep.toSeq.toDF("file")),
           Seq("file"), "left_semi")
         .coalesce(1).write.mode("overwrite").parquet(new Path(tmp, nonce).toString)
-      fs.delete(bloomsDir, true)
-      if (!fs.rename(tmp, bloomsDir))
-        throw new IllegalStateException(s"failed to swap blooms for $path")
+      promoteSidecar(tmp, bloomsDir)
     }
   }
 }
@@ -2813,7 +2968,16 @@ object IncrementalTable {
     * table-features list serves the same role).
     */
   val SupportedReaderFeatures: Set[String] =
-    Set("column-mapping", "deletion-vectors", "type-widening")
+    Set("column-mapping", "deletion-vectors", "type-widening", "row-tracking")
+
+  /** The materialized stable row-identity column (Delta's row tracking
+    * materializes `row_id` the same way when rows are rewritten; this
+    * implementation materializes ALWAYS — no per-file base-id
+    * arithmetic, at the cost of 8 bytes/row, which dictionary/RLE
+    * parquet encoding compresses to near nothing for the dense ranges
+    * allocation produces).
+    */
+  val RowIdCol = "_row_id"
 
   /** The lossless-widening lattice: integral family by rank, float →
     * double. `None` = not a widening (lossy or unrelated). Shared with
@@ -2850,9 +3014,13 @@ object IncrementalTable {
     // the TRACKED schema (upcasting narrow footers), not a bare
     // footer-merge, and its stats reads must pin the wide stats schema
     val widened = meta.get("widened").exists(_.nonEmpty)
+    // row tracking: a reader that drops or fabricates `_row_id` breaks
+    // every identity-keyed downstream consumer — readers must know
+    val rowTracking = meta.get("rowtracking").contains("true")
     (if (colmap) Set("column-mapping") else Set.empty[String]) ++
       (if (dv) Set("deletion-vectors") else Set.empty[String]) ++
-      (if (widened) Set("type-widening") else Set.empty[String])
+      (if (widened) Set("type-widening") else Set.empty[String]) ++
+      (if (rowTracking) Set("row-tracking") else Set.empty[String])
   }
 
   /** Fill NULL `idCol` values with fresh identity values: DENSE from

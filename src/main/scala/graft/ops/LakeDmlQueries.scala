@@ -22,6 +22,9 @@ import graft.lake.IncrementalTable
   *                          widening append, write-side conform of a
   *                          post-widening narrow batch, compaction,
   *                          footer-validated DROP FEATURE)
+  *  - `lake_rowid_scan`     the row-tracking arc (enable + backfill,
+  *                          allocated append, id-preserving UPDATE and
+  *                          compaction)
   *
   * The mutations never invent data — every surviving/updated/fed row
   * is a deterministic function of the source table — which is what
@@ -177,7 +180,39 @@ object LakeDmlQueries {
     t.snapshot().orderBy("p_partkey")
   }
 
+  /** The round-8 ROW-TRACKING arc as ONE oracled query: append half
+    * the table untracked; enable row tracking (one backfill rewrite —
+    * ids 1..n in file order); append the other half (watermark
+    * allocation — ids n+1..N); copy-on-write UPDATE (ids preserved
+    * through the rewrite); compact (ids preserved through the full
+    * restage). Both appends are single-file and custkey-sorted, so the
+    * final `_row_id` is exactly `row_number() OVER (ORDER BY
+    * c_custkey)` — which is what lets plain SQL replay a STABLE
+    * IDENTITY assignment hash-for-hash: any id lost, reassigned or
+    * duplicated by UPDATE or compaction changes the hash.
+    */
+  def lakeRowIdScan(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val split = cust.agg(floor(max(col("c_custkey")) / 2.0).cast("long"))
+      .head().getLong(0)
+    def half(p: org.apache.spark.sql.Column) =
+      cust.filter(p).orderBy("c_custkey").coalesce(1)
+    val t = cached(spark, dir, "customer", "rid", "compact") { t =>
+      t.append(half(col("c_custkey") <= split))
+      t.enableRowTracking()
+      t.append(half(col("c_custkey") > split))
+      t.updateWhere(col("c_nationkey") < 5,
+        Map("c_acctbal" -> (col("c_acctbal") + 1000.0)))
+      t.compact(targetFiles = 2)
+    }
+    t.snapshot()
+      .select("_row_id", "c_custkey", "c_nationkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_rowid_scan" -> lakeRowIdScan _,
     "lake_widen_scan" -> lakeWidenScan _,
     "lake_delete_scan" -> lakeDeleteScan _,
     "lake_dv_scan" -> lakeDvScan _,
@@ -205,6 +240,12 @@ object LakeDmlQueries {
       |ORDER BY _commit_version, s_suppkey, _change_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "lake_rowid_scan" ->
+      """SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS _row_id,
+        |       c_custkey, c_nationkey,
+        |       CASE WHEN c_nationkey < 5 THEN c_acctbal + 1000.0
+        |            ELSE c_acctbal END AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "lake_widen_scan" ->
       """SELECT p_partkey,
         |       CAST(p_size AS BIGINT) AS p_size,

@@ -134,6 +134,36 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     assert(t.prunedFiles(t.files(v), Seq(col("key") === "k1")).nonEmpty)
   }
 
+  test("a crash-stranded sidecar swap recovers on the next probe") {
+    // The pre-round-8 swap was delete-then-rename: a crash between the
+    // two left the surviving rows stranded in _blooms_tmp and a later
+    // defensive delete destroyed them — the index silently vanished.
+    // Simulate both stranding shapes and assert the next access
+    // completes the swap instead of reading "no index".
+    val t = fresh()
+    t.setBloomColumns("key")
+    val probes = load(t)
+    val all = t.files(t.latestVersion.get)
+    val target = probes(3)
+    val bdir = java.nio.file.Paths.get(t.path, "_blooms")
+    val tmp = java.nio.file.Paths.get(t.path, "_blooms_tmp")
+    val aside = java.nio.file.Paths.get(t.path, "_blooms_old")
+    // shape 1: live dir renamed aside, complete replacement in tmp
+    // (crash after the set-aside, before the promote)
+    java.nio.file.Files.move(bdir, tmp)
+    assert(t.prunedFiles(all, Seq(col("key") === target)).size <= 3,
+      "stranded tmp must be promoted, not read as no-index")
+    assert(java.nio.file.Files.exists(bdir) && !java.nio.file.Files.exists(tmp))
+    // shape 2: live dir set aside, tmp already promoted... then lost —
+    // only the aside copy remains (crash inside a failed promote)
+    java.nio.file.Files.move(bdir, aside)
+    assert(t.prunedFiles(all, Seq(col("key") === target)).size <= 3,
+      "aside copy must be restored, not read as no-index")
+    assert(java.nio.file.Files.exists(bdir) && !java.nio.file.Files.exists(aside))
+    // no false negatives after both recoveries
+    assert(t.scan(col("key") === target).count() === 1L)
+  }
+
   test("bloom config survives appends, snapshot rewrites, and compaction rebuilds filters") {
     val t = fresh()
     t.setBloomColumns("key")
