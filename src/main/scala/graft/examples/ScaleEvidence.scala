@@ -1,0 +1,171 @@
+package graft.examples
+
+import java.util.SplittableRandom
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Empirical 1×/10× scaling evidence for SCALE.md.
+  *
+  * [[ScaleProbe]] replicates the corpus (exact-dup clusters grow
+  * quadratically — a deliberately adversarial load). This harness is the
+  * complementary NATURAL experiment the round-7 verdict prescribed:
+  * generate fresh corpora at 1× and 10× with the SAME seeded generator
+  * (constant near-dup rate, constant cluster structure — the way a real
+  * corpus grows), run the two flagship scale paths exactly as registered
+  * (`dedup_minhash_lsh`, `ann_ivf_index_topk`), and measure wall-clock
+  * plus shuffle bytes via a stage-completion listener. A ~10× corpus
+  * should cost ~10× shuffle and ~linear time; an all-pairs design would
+  * cost ~100×. `SPARK_GRAFT_SCALE_FOIL=1` additionally runs the exact
+  * all-pairs `dedup_embedding` baseline at both scales to print that
+  * quadratic for contrast.
+  *
+  * The generator mimics the driver testdata's sf0.1 distributions
+  * (measured 2026-08-14): docs of 10–100 words drawn from a ~40-word
+  * vocabulary (so shingles genuinely collide across unrelated docs —
+  * the hot-bucket load is real, not a best case), 5 langs, 20 sources;
+  * every 10th doc is a near-dup of its predecessor with one token
+  * edited (constant dup rate ⇒ pair count should grow ~linearly).
+  * Embeddings are 64-dim floats in 10 label clusters (center + noise).
+  * Rows derive ONLY from their id (SplittableRandom seeded per row), so
+  * the corpus is identical whatever the partitioning.
+  *
+  * Run: sbt "runMain graft.examples.ScaleEvidence [scales]"
+  *      e.g. scales = "1,10" (default)
+  */
+object ScaleEvidence {
+
+  final case class Doc(doc_id: Long, text: String, lang: String,
+      source: String, n_chars: Long)
+  final case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
+
+  private val Vocab: Array[String] = Array(
+    "batch", "part", "spark", "line", "column", "order", "small", "sort",
+    "fast", "value", "scan", "hash", "slow", "group", "agg", "filter",
+    "join", "merge", "table", "query", "index", "cache", "disk", "read",
+    "write", "plan", "stage", "task", "shuffle", "broadcast", "skew",
+    "limit", "window", "range", "key", "row", "file", "page", "block",
+    "stat")
+  private val Langs = Array("en", "de", "fr", "es", "zh")
+  private val Dim = 64
+  private val Labels = 10
+
+  /** Tokens for doc `id` BEFORE dup injection — pure function of id. */
+  private def baseTokens(seed: Long, id: Long): Array[String] = {
+    val r = new SplittableRandom(seed ^ (id * 0x9e3779b97f4a7c15L))
+    Array.fill(10 + r.nextInt(91))(Vocab(r.nextInt(Vocab.length)))
+  }
+
+  private def doc(seed: Long, id: Long): Doc = {
+    val r = new SplittableRandom(seed ^ (id * 0xc2b2ae3d27d4eb4fL))
+    // every 10th doc: near-dup of its predecessor, one token edited —
+    // the dup RATE is constant in corpus size, so found-pair count
+    // should scale ~linearly (replication-style exact dups would not)
+    val toks =
+      if (id % 10 == 9 && id > 0) {
+        val t = baseTokens(seed, id - 1).clone()
+        t(r.nextInt(t.length)) = Vocab(r.nextInt(Vocab.length))
+        t
+      } else baseTokens(seed, id)
+    val text = toks.mkString(" ")
+    Doc(id, text, Langs(r.nextInt(Langs.length)),
+      s"src${r.nextInt(20)}", text.length.toLong)
+  }
+
+  private def emb(seed: Long, id: Long): Emb = {
+    val label = (id % Labels).toInt
+    val c = new SplittableRandom(seed * 31 + label)
+    val r = new SplittableRandom(seed ^ (id * 0xff51afd7ed558ccdL))
+    val v = Array.tabulate(Dim)(_ =>
+      (c.nextDouble() * 2 - 1).toFloat) // per-label center...
+    Emb(id, v.map(x => x + 0.3f * (r.nextDouble() * 2 - 1).toFloat), label)
+  }
+
+  /** Write documents+embeddings parquet for `n` docs under `dir`. */
+  def genCorpus(spark: SparkSession, dir: String, nDocs: Long,
+      nVecs: Long, seed: Long): Unit = {
+    import spark.implicits._
+    spark.range(nDocs).map(r => doc(seed, r))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.range(nVecs).map(r => emb(seed, r))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** Sums shuffle read/write bytes over completed stages. Listener
+    * delivery is async, so [[drain]] polls until the tallies go quiet.
+    */
+  private final class ShuffleTally extends SparkListener {
+    val read = new AtomicLong
+    val write = new AtomicLong
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val m = e.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def snapshot: (Long, Long) = (read.get, write.get)
+    def drain(): Unit = {
+      var last = snapshot
+      var quietMs = 0
+      val t0 = System.currentTimeMillis()
+      while (quietMs < 500 && System.currentTimeMillis() - t0 < 10000) {
+        Thread.sleep(100)
+        val now = snapshot
+        if (now == last) quietMs += 100 else { quietMs = 0; last = now }
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = args.headOption.getOrElse("1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "dedup_minhash_lsh" -> graft.ops.PipelineQueries.dedupMinhashLsh _,
+      "ann_ivf_index_topk" -> graft.ops.PipelineQueries.annIvfIndexTopK _
+    ) ++ (if (sys.env.get("SPARK_GRAFT_SCALE_FOIL").contains("1"))
+      Seq("dedup_embedding(all-pairs foil)" ->
+        graft.ops.PipelineQueries.dedupEmbedding _)
+    else Nil)
+
+    def measured(f: => Long): (Long, Double, Long, Long) = {
+      tally.drain()
+      val (r0, w0) = tally.snapshot
+      val t0 = System.nanoTime()
+      val rows = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      tally.drain()
+      val (r1, w1) = tally.snapshot
+      (rows, secs, r1 - r0, w1 - w0)
+    }
+
+    val base = java.nio.file.Files.createTempDirectory("scale_evidence")
+    scales.foreach { k =>
+      val dir = s"$base/x$k"
+      genCorpus(spark, dir, 5000L * k, 2000L * k, seed = 42L)
+      queries.foreach { case (name, fn) =>
+        // cold carries one-time state (the IVF index build persists to
+        // tmp keyed on the corpus dir); warm is the steady state
+        val (rows, coldS, coldRd, coldWr) = measured(fn(spark, dir).count())
+        val (_, warmS, warmRd, warmWr) = measured(fn(spark, dir).count())
+        println(f"""{"scale":$k,"query":"$name","rows":$rows,""" +
+          f""""cold_s":$coldS%.2f,"warm_s":$warmS%.2f,""" +
+          f""""cold_shuffle_rw_mb":[${coldRd / 1e6}%.1f,${coldWr / 1e6}%.1f],""" +
+          f""""warm_shuffle_rw_mb":[${warmRd / 1e6}%.1f,${warmWr / 1e6}%.1f]}""")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -22,6 +22,9 @@ import graft.lake.IncrementalTable
   *                          widening append, write-side conform of a
   *                          post-widening narrow batch, compaction,
   *                          footer-validated DROP FEATURE)
+  *  - `lake_incr_view`      CDF-maintained materialized aggregate
+  *                          (affected-key recompute; big-delta and
+  *                          sparse-delta refreshes)
   *  - `lake_rowid_scan`     the row-tracking arc (enable + backfill,
   *                          allocated append, id-preserving UPDATE and
   *                          compaction)
@@ -211,7 +214,70 @@ object LakeDmlQueries {
       .orderBy("c_custkey")
   }
 
+  /** The round-8 INCREMENTAL MATERIALIZED VIEW arc as ONE oracled
+    * query ([[graft.lake.IncrementalView]]): materialize a per-
+    * customer aggregate over half of `orders`; append the other half
+    * and refresh (big delta → null-safe semi-join recompute); then a
+    * sparse UPDATE (+1000 on ~1/997 of orderkeys) and a sparse DELETE
+    * (~1/991), and refresh again — this one derives the touched
+    * custkeys from the change feed and recomputes ONLY those groups
+    * through stats-pruned scans on both the source and the view
+    * (IncrementalViewSpec pins the pruning; here the ORACLE pins that
+    * two maintenance strategies and a full SQL replay agree on every
+    * value). `max` is in the aggregate on purpose: it is not delta-
+    * maintainable, only recomputable — the design's core claim.
+    * Decimal-routed sum keeps the double hash order-independent (the
+    * q1_agg pattern).
+    */
+  def lakeIncrViewScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.IncrementalView
+    val srcFile = new java.io.File(s"$dir/orders.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, srcFile.length, srcFile.lastModified, "mview").hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_lake_mview_$key"
+    val srcT = new IncrementalTable(spark, s"$base/src")
+    val viewDir = s"$base/view"
+    val viewT = new IncrementalTable(spark, viewDir)
+    // complete = the source finished its DML arc AND the view's
+    // watermark reflects the source HEAD (distinguishes refresh #2
+    // from refresh #1 — both commit as "refresh")
+    val complete = srcT.exists && viewT.exists &&
+      srcT.latestVersion.exists(v => srcT.operationAt(v) == "delete") &&
+      viewT.latestVersion.exists(v =>
+        viewT.metaAt(v).get(IncrementalView.WmKey) ==
+          srcT.latestVersion.map(_.toString))
+    if (!complete) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val s = new IncrementalTable(spark, s"$base/src")
+      val orders = Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val split = orders.agg(floor(max(col("o_orderkey")) / 2.0).cast("long"))
+        .head().getLong(0)
+      // custkey-clustered files so the sparse refresh can prune
+      s.append(orders.filter(col("o_orderkey") <= split)
+        .repartitionByRange(4, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"))
+      val view = IncrementalView.create(spark, s, viewDir,
+        Seq("o_custkey"), Seq(
+          "cnt" -> "count(*)",
+          "sum_price" ->
+            "cast(sum(cast(o_totalprice as decimal(18,2))) as double)",
+          "max_price" -> "max(o_totalprice)"))
+      s.append(orders.filter(col("o_orderkey") > split)
+        .repartitionByRange(4, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"))
+      view.refresh() // big delta: semi-join recompute
+      s.updateWhere(col("o_orderkey") % 997L === 0L,
+        Map("o_totalprice" -> (col("o_totalprice") + 1000.0)))
+      s.deleteWhere(col("o_orderkey") % 991L === 0L)
+      view.refresh() // sparse delta: pruned affected-key recompute
+    }
+    IncrementalView.open(spark, srcT, viewDir)
+      .snapshot().orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_incr_view" -> lakeIncrViewScan _,
     "lake_rowid_scan" -> lakeRowIdScan _,
     "lake_widen_scan" -> lakeWidenScan _,
     "lake_delete_scan" -> lakeDeleteScan _,
@@ -240,6 +306,18 @@ object LakeDmlQueries {
       |ORDER BY _commit_version, s_suppkey, _change_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "lake_incr_view" ->
+      """WITH s AS (
+        |  SELECT o_custkey,
+        |         CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice + 1000.0
+        |              ELSE o_totalprice END AS p
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 991 = 0))
+        |SELECT o_custkey,
+        |       count(*) AS cnt,
+        |       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       MAX(p) AS max_price
+        |FROM s GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "lake_rowid_scan" ->
       """SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS _row_id,
         |       c_custkey, c_nationkey,

@@ -1,0 +1,228 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Incrementally-maintained materialized aggregates over the change
+  * feed: affected-key recompute (arbitrary aggregates, max included),
+  * file-pruned source re-scan and view rewrite, the fallback ladder
+  * (big key sets, NULL keys, CDC-less rewrites, lost watermark → full
+  * recompute, never a wrong answer), cascading CDC on the view table,
+  * and definition persistence across handles.
+  */
+class IncrementalViewSpec extends AnyFunSuite with SparkSpec {
+
+  private val Aggs = Seq(
+    "cnt" -> "count(*)",
+    "total" -> "sum(v)",
+    "top" -> "max(v)") // max: NOT delta-maintainable, only recomputable
+
+  private def freshDir() = Files.createTempDirectory("mview_").toString
+
+  /** Source with `n` keys × `per` rows, range-clustered on k so file
+    * stats can prune key predicates.
+    */
+  private def sourceTable(n: Int, per: Int): IncrementalTable = {
+    import spark.implicits._
+    val t = new IncrementalTable(spark, freshDir() + "/src")
+    val rows = for (k <- 0 until n; i <- 0 until per)
+      yield (k.toLong, (k * 100 + i).toLong)
+    t.append(rows.toDF("k", "v").repartitionByRange(4, col("k"))
+      .sortWithinPartitions("k"))
+    t
+  }
+
+  private def expected(src: IncrementalTable): Set[(Long, Long, Long, Long)] =
+    src.snapshot().groupBy("k")
+      .agg(expr("count(*)").as("cnt"), expr("sum(v)").as("total"),
+        expr("max(v)").as("top"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+  private def actual(view: IncrementalView): Set[(Long, Long, Long, Long)] =
+    view.snapshot().collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSet
+
+  test("create materializes the full aggregate") {
+    val src = sourceTable(20, 5)
+    val view = IncrementalView.create(spark, src, freshDir() + "/v",
+      Seq("k"), Aggs)
+    assert(actual(view) === expected(src))
+    assert(view.watermark === src.latestVersion)
+    assert(view.lastRefresh.map(_.mode) === Some("full"))
+  }
+
+  test("incremental refresh recomputes ONLY the touched groups") {
+    import spark.implicits._
+    val src = sourceTable(40, 5)
+    val view = IncrementalView.create(spark, src, freshDir() + "/v",
+      Seq("k"), Aggs, targetFiles = 4)
+    // touch 2 of 40 groups: one update, one append
+    src.updateWhere(col("k") === 7L, Map("v" -> (col("v") + 1000L)))
+    src.append(Seq((11L, 99999L)).toDF("k", "v"))
+    view.refresh(targetFiles = 4)
+    assert(actual(view) === expected(src))
+    val m = view.lastRefresh.get
+    assert(m.mode === "incremental")
+    assert(m.touchedGroups === 2)
+    // the whole point: neither side was rescanned in full
+    assert(m.sourceFilesScanned < m.sourceFilesTotal,
+      s"source not pruned: $m")
+    assert(m.viewFilesRewritten < m.viewFilesTotal, s"view not pruned: $m")
+  }
+
+  test("max is maintained correctly through a delete (recompute, not " +
+    "decrement)") {
+    val src = sourceTable(10, 5)
+    val view = IncrementalView.create(spark, src, freshDir() + "/v",
+      Seq("k"), Aggs)
+    // delete the max-carrying rows of group 3 — a delta-maintained max
+    // would keep the stale maximum
+    src.deleteWhere(col("k") === 3L && col("v") >= 303L)
+    view.refresh()
+    assert(actual(view) === expected(src))
+    assert(view.lastRefresh.map(_.mode) === Some("incremental"))
+  }
+
+  test("a group whose rows all vanish leaves the view") {
+    val src = sourceTable(10, 3)
+    val view = IncrementalView.create(spark, src, freshDir() + "/v",
+      Seq("k"), Aggs)
+    src.deleteWhere(col("k") === 4L)
+    view.refresh()
+    assert(actual(view) === expected(src))
+    assert(!actual(view).exists(_._1 == 4L))
+  }
+
+  test("NULL group keys: maintained via the join fallback, preserved " +
+    "by predicate-path refreshes") {
+    import spark.implicits._
+    val src = new IncrementalTable(spark, freshDir() + "/src")
+    src.append(Seq((Some(1L), 10L), (None, 20L), (None, 30L), (Some(2L), 5L))
+      .toDF("k", "v"))
+    val view = IncrementalView.create(spark, src, freshDir() + "/v",
+      Seq("k"), Aggs)
+    def asMap = view.snapshot().collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(asMap(-1L) === ((2L, 50L, 30L)))
+    // change touching the NULL group → sample contains a null key →
+    // semi/anti-join path; result must reflect it
+    src.append(Seq((Option.empty[Long], 40L)).toDF("k", "v"))
+    view.refresh()
+    assert(asMap(-1L) === ((3L, 90L, 40L)))
+    // change touching only non-null keys → predicate path; the NULL
+    // view row must SURVIVE the rewrite
+    src.append(Seq((Some(1L), 11L)).toDF("k", "v"))
+    view.refresh()
+    assert(asMap(-1L) === ((3L, 90L, 40L)))
+    assert(asMap(1L) === ((2L, 21L, 11L)))
+    // full equivalence, null-safe (the typed helpers assume non-null k)
+    val exp = src.snapshot().groupBy("k")
+      .agg(expr("count(*)").as("cnt"), expr("sum(v)").as("total"),
+        expr("max(v)").as("top")).collect().map(_.toSeq).toSet
+    assert(view.snapshot().collect().map(_.toSeq).toSet === exp)
+  }
+
+  test("big touched-key sets abandon the driver predicate but stay " +
+    "incremental") {
+    import spark.implicits._
+    val n = IncrementalView.MaxKeysInPredicate + 40
+    val src = sourceTable(n, 2)
+    val view = IncrementalView.create(spark, src, freshDir() + "/v",
+      Seq("k"), Aggs)
+    src.updateWhere(col("v") % 2L === 0L, Map("v" -> (col("v") + 1L)))
+    view.refresh()
+    assert(actual(view) === expected(src))
+    val m = view.lastRefresh.get
+    assert(m.mode === "incremental")
+    assert(m.touchedGroups === n.toLong)
+    assert(m.sourceFilesScanned === m.sourceFilesTotal) // no pruning...
+    assert(m.viewFilesRewritten === m.viewFilesTotal)   // ...by design
+  }
+
+  test("source compaction in the range degrades to a correct full " +
+    "refresh") {
+    import spark.implicits._
+    val src = sourceTable(10, 3)
+    val view = IncrementalView.create(spark, src, freshDir() + "/v",
+      Seq("k"), Aggs)
+    src.append(Seq((3L, 7L)).toDF("k", "v"))
+    src.compact(targetFiles = 1) // rewrite without CDC
+    view.refresh()
+    assert(actual(view) === expected(src))
+    assert(view.lastRefresh.map(_.mode) === Some("full"))
+  }
+
+  test("no-op and watermark-only refreshes") {
+    val src = sourceTable(5, 2)
+    val view = IncrementalView.create(spark, src, freshDir() + "/v",
+      Seq("k"), Aggs)
+    val v0 = view.table.latestVersion.get
+    view.refresh() // nothing changed
+    assert(view.lastRefresh.map(_.mode) === Some("noop"))
+    assert(view.table.latestVersion === Some(v0))
+    src.setBloomColumns("k") // property-only source commit, no data
+    view.refresh()
+    assert(view.lastRefresh.map(_.mode) === Some("noop"))
+    assert(view.watermark === src.latestVersion)
+    assert(actual(view) === expected(src))
+  }
+
+  test("open() reloads the persisted definition and keeps maintaining") {
+    import spark.implicits._
+    val src = sourceTable(8, 2)
+    val dir = freshDir() + "/v"
+    val created = IncrementalView.create(spark, src, dir, Seq("k"), Aggs)
+    assert(created.watermark === src.latestVersion)
+    val reopened = IncrementalView.open(spark, src, dir)
+    assert(reopened.groupCols === Seq("k"))
+    assert(reopened.aggs === Aggs)
+    src.append(Seq((2L, 77L)).toDF("k", "v"))
+    reopened.refresh()
+    assert(actual(reopened) === expected(src))
+    assert(reopened.lastRefresh.map(_.mode) === Some("incremental"))
+  }
+
+  test("refresh commits cascade: the view's own change feed carries " +
+    "delete+insert images for touched groups only") {
+    import spark.implicits._
+    val src = sourceTable(10, 2)
+    val view = IncrementalView.create(spark, src, freshDir() + "/v",
+      Seq("k"), Aggs)
+    val before = view.table.latestVersion.get
+    src.append(Seq((6L, 1234L)).toDF("k", "v"))
+    view.refresh()
+    val after = view.table.latestVersion.get
+    val feed = view.table.changes(before, after)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set((6L, "delete"), (6L, "insert")))
+  }
+
+  test("multi-column group keys route through the OR-of-equalities " +
+    "predicate") {
+    import spark.implicits._
+    val src = new IncrementalTable(spark, freshDir() + "/src")
+    val rows = for (a <- 0L until 6L; b <- 0L until 4L; i <- 0 until 3)
+      yield (a, s"g$b", a * 10 + i)
+    src.append(rows.toDF("a", "b", "v").repartitionByRange(3, col("a")))
+    val view = IncrementalView.create(spark, src, freshDir() + "/v",
+      Seq("a", "b"), Aggs)
+    src.updateWhere(col("a") === 2L && col("b") === "g1",
+      Map("v" -> lit(500L)))
+    view.refresh()
+    val exp = src.snapshot().groupBy("a", "b")
+      .agg(expr("count(*)").as("cnt"), expr("sum(v)").as("total"),
+        expr("max(v)").as("top"))
+      .collect().map(r => r.toSeq).toSet
+    assert(view.snapshot().collect().map(_.toSeq).toSet === exp)
+    assert(view.lastRefresh.map(_.mode) === Some("incremental"))
+    assert(view.lastRefresh.map(_.touchedGroups) === Some(1L))
+  }
+}
