@@ -256,7 +256,7 @@ object IncrementalView {
     require(!t.exists, s"view table already exists at $path — use open()")
     val srcV = source.latestVersion.getOrElse(
       throw new IllegalStateException(s"source table ${source.path} is empty"))
-    writeDef(spark, t, groupCols, aggs)
+    writeDef(spark, t, source.path, groupCols, aggs)
     val view = new IncrementalView(spark, source, t, groupCols, aggs)
     val initial = view.aggregate(source.snapshotAt(srcV))
       .repartitionByRange(targetFiles, groupCols.map(col): _*)
@@ -269,13 +269,27 @@ object IncrementalView {
     view
   }
 
-  /** Reopen an existing view from its persisted definition. */
+  /** Reopen an existing view from its persisted definition, against an
+    * explicitly supplied source handle (e.g. a relocated source).
+    */
   def open(spark: SparkSession, source: IncrementalTable,
       path: String): IncrementalView = {
     val t = new IncrementalTable(spark, path)
     require(t.exists, s"no view table at $path")
-    val (groupCols, aggs) = readDef(spark, t)
+    val (_, groupCols, aggs) = readDef(spark, t)
     new IncrementalView(spark, source, t, groupCols, aggs)
+  }
+
+  /** Reopen from the persisted definition ALONE — the source table
+    * path is part of the definition, so SQL surfaces (`REFRESH
+    * MATERIALIZED VIEW v`) need only the view.
+    */
+  def open(spark: SparkSession, path: String): IncrementalView = {
+    val t = new IncrementalTable(spark, path)
+    require(t.exists, s"no view table at $path")
+    val (srcPath, groupCols, aggs) = readDef(spark, t)
+    new IncrementalView(spark, new IncrementalTable(spark, srcPath),
+      t, groupCols, aggs)
   }
 
   // ---- definition persistence (write-once `_viewdef` sidecar) ----
@@ -291,9 +305,16 @@ object IncrementalView {
   private def fsOf(spark: SparkSession, t: IncrementalTable) =
     new Path(t.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Format marker: first line of `_viewdef`. Bump on any layout
+    * change so a reader of a different era fails LOUDLY (naming the
+    * mismatch) instead of mis-parsing fields positionally.
+    */
+  private val DefFormat = "graft-view:2"
+
   private def writeDef(spark: SparkSession, t: IncrementalTable,
-      groupCols: Seq[String], aggs: Seq[(String, String)]): Unit = {
-    val body = (Seq(groupCols.map(enc).mkString(",")) ++
+      srcPath: String, groupCols: Seq[String],
+      aggs: Seq[(String, String)]): Unit = {
+    val body = (Seq(DefFormat, enc(srcPath), groupCols.map(enc).mkString(",")) ++
       aggs.map { case (a, s) => enc(a) + "=" + enc(s) }).mkString("\n")
     val p = new Path(t.path, "_viewdef")
     val out = fsOf(spark, t).create(p, true)
@@ -301,7 +322,7 @@ object IncrementalView {
   }
 
   private def readDef(spark: SparkSession,
-      t: IncrementalTable): (Seq[String], Seq[(String, String)]) = {
+      t: IncrementalTable): (String, Seq[String], Seq[(String, String)]) = {
     val fs = fsOf(spark, t)
     val p = new Path(t.path, "_viewdef")
     require(fs.exists(p), s"view at ${t.path} has no _viewdef sidecar")
@@ -310,11 +331,15 @@ object IncrementalView {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = body.split("\n").toSeq
-    val groupCols = lines.head.split(",").toSeq.map(dec)
-    val aggs = lines.tail.map { l =>
+    require(lines.head == DefFormat,
+      s"view at ${t.path}: _viewdef format '${lines.head.take(40)}' != " +
+        s"'$DefFormat' — rebuilt by a different library era; recreate " +
+        "the view (drop the view directory and CREATE again)")
+    val groupCols = lines(2).split(",").toSeq.map(dec)
+    val aggs = lines.drop(3).map { l =>
       val Array(a, s) = l.split("=", 2)
       (dec(a), dec(s))
     }
-    (groupCols, aggs)
+    (dec(lines(1)), groupCols, aggs)
   }
 }

@@ -232,8 +232,10 @@ object LakeDmlQueries {
   def lakeIncrViewScan(spark: SparkSession, dir: String): DataFrame = {
     import graft.lake.IncrementalView
     val srcFile = new java.io.File(s"$dir/orders.parquet")
+    // tag carries the _viewdef format era: a /tmp cache built by an
+    // older library must rebuild, not mis-parse
     val key = java.lang.Integer.toHexString(
-      (dir, srcFile.length, srcFile.lastModified, "mview").hashCode)
+      (dir, srcFile.length, srcFile.lastModified, "mview2").hashCode)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_lake_mview_$key"
     val srcT = new IncrementalTable(spark, s"$base/src")
     val viewDir = s"$base/view"

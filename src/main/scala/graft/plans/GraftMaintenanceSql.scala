@@ -19,6 +19,9 @@ import graft.lake.IncrementalTable
   *   OPTIMIZE lake.t ZORDER BY (a, b)         -- Morton-clustered rewrite
   *   VACUUM lake.t KEEP 3 VERSIONS            -- reference-counted GC
   *   DESCRIBE HISTORY lake.t                  -- the commit log as rows
+  *   CREATE MATERIALIZED VIEW lake.v AS
+  *     SELECT k, count(*) AS cnt FROM lake.t GROUP BY k
+  *   REFRESH MATERIALIZED VIEW lake.v         -- affected-key recompute
   * }}}
   *
   * The target is either a graft-catalog table (`lake.ns.t`, resolved
@@ -50,6 +53,10 @@ object GraftMaintenanceSql {
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
   private val DropFeature =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+FEATURE\s+([\w-]+)\s*;?\s*$""".r
+  private val CreateMView =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(.+?)\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(.+?)\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""".r
+  private val RefreshMView =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(.+?)\s*;?\s*$""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case Optimize(target, zcols) =>
@@ -75,6 +82,11 @@ object GraftMaintenanceSql {
       Some(ConstraintGraftCommand(target.trim, name, None))
     case DropFeature(target, feature) =>
       Some(DropFeatureGraftCommand(target.trim, feature.trim))
+    case CreateMView(target, selectList, source, groupBy) =>
+      Some(CreateMaterializedViewGraftCommand(target.trim, source.trim,
+        selectList.trim, groupBy.split(",").map(_.trim).toSeq))
+    case RefreshMView(target) =>
+      Some(RefreshMaterializedViewGraftCommand(target.trim))
     // RENAME COLUMN / DROP COLUMN are NOT pre-parsed: they are standard
     // Spark SQL, routed to GraftCatalog.alterTable for catalog tables —
     // a pre-parse here would hijack the statement for non-graft tables
@@ -103,6 +115,29 @@ object GraftMaintenanceSql {
     throw new IllegalArgumentException(
       s"graft maintenance SQL: '$t' is neither a graft-catalog table " +
         "(catalog.ns.table) nor a quoted path")
+  }
+
+  /** Split a select list on TOP-LEVEL commas only — commas inside
+    * parentheses (`corr(a, b)`, `cast(x as decimal(18, 2))`) or quoted
+    * strings stay put.
+    */
+  private[graftmerge] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { sb += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; sb += c
+        case '(' => depth += 1; sb += c
+        case ')' => depth -= 1; sb += c
+        case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
+        case _ => sb += c
+      }
+    }
+    if (sb.nonEmpty) out += sb.toString.trim
+    out.toSeq.filter(_.nonEmpty)
   }
 
   private[graftmerge] def incrementalAt(spark: SparkSession, target: String): IncrementalTable = {
@@ -334,5 +369,68 @@ case class DescribeHistoryGraftCommand(target: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftMaintenanceSql.incrementalAt(spark, target)
     t.history().collect().toSeq
+  }
+}
+
+/** `CREATE MATERIALIZED VIEW v AS SELECT <aggs> FROM t GROUP BY <cols>`
+  * — materialize an incrementally-maintainable aggregate
+  * ([[graft.lake.IncrementalView]]) of a graft table. The statement is
+  * deliberately restricted to the maintainable shape — a single
+  * GROUP BY aggregate over one source table: group columns appear bare
+  * in the select list, every aggregate must be aliased (`expr AS
+  * name`), and the view schema is group columns first, aggregates
+  * after, whatever the select-list order. Neither statement head is
+  * valid Spark SQL, so the pre-parse shadows nothing.
+  */
+case class CreateMaterializedViewGraftCommand(
+    target: String, source: String, selectList: String,
+    groupCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType)(),
+    AttributeReference("reflects_source_version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftMaintenanceSql.incrementalAt(spark, source)
+    val viewPath = GraftMaintenanceSql.resolvePath(spark, target)
+    val items = GraftMaintenanceSql.splitTopLevel(selectList)
+    val aliased = """(?is)^(.+\S)\s+AS\s+(\w+)$""".r
+    val aggs = items.flatMap {
+      case bare if bare.matches("""(?s)^[\w`.]+$""") =>
+        val name = bare.stripPrefix("`").stripSuffix("`")
+        require(groupCols.contains(name),
+          s"CREATE MATERIALIZED VIEW: bare select item '$bare' must be " +
+            "a GROUP BY column; aggregates need an alias (expr AS name)")
+        None
+      case aliased(expr, alias) => Some(alias -> expr.trim)
+      case other => throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW: cannot parse select item '$other' — " +
+          "use a bare GROUP BY column or '<aggregate expr> AS <alias>'")
+    }
+    val view = graft.lake.IncrementalView.create(
+      spark, src, viewPath, groupCols, aggs)
+    Seq(Row(viewPath, view.watermark.getOrElse(-1L)))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW v` — bring the view up to its source's
+  * HEAD via [[graft.lake.IncrementalView.refresh]] (affected-key
+  * recompute; the output row says what the refresh actually did).
+  */
+case class RefreshMaterializedViewGraftCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mode", StringType)(),
+    AttributeReference("from_source_version", LongType)(),
+    AttributeReference("to_source_version", LongType)(),
+    AttributeReference("touched_groups", LongType)(),
+    AttributeReference("view_files_rewritten", IntegerType)(),
+    AttributeReference("view_version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val viewPath = GraftMaintenanceSql.resolvePath(spark, target)
+    val view = graft.lake.IncrementalView.open(spark, viewPath)
+    val v = view.refresh()
+    val m = view.lastRefresh.get
+    Seq(Row(m.mode, m.fromSourceVersion, m.toSourceVersion,
+      m.touchedGroups, m.viewFilesRewritten, v))
   }
 }
