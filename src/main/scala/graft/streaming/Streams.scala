@@ -74,6 +74,29 @@ object Streams {
         s"stream_append[batch=$batchId]", schema = Some(batch.schema))
   }
 
+  /** Streaming-maintained MATERIALIZED VIEWS: the exactly-once append
+    * of [[incrementalAppendSink]] followed by an affected-key refresh
+    * of each downstream [[graft.lake.IncrementalView]], all inside the
+    * micro-batch. The append is idempotent by batch-id watermark;
+    * refresh is idempotent BY CONSTRUCTION (recompute from the source
+    * version it reads, not increments), so a replayed batch re-runs
+    * its refreshes against an unchanged source and no-ops on the
+    * watermark check. Views may CHAIN (a view over a view's table):
+    * list them upstream-first and each refresh feeds the next via the
+    * CDC sidecar its commit wrote. Per-batch cost: O(batch) for the
+    * append + O(changed groups) per view — a streaming aggregate
+    * without stream-state stores, checkpoint state, or output-mode
+    * restrictions, and the result is a versioned lake table.
+    */
+  def maintainedViewSink(table: graft.lake.IncrementalTable,
+      views: graft.lake.IncrementalView*): (DataFrame, Long) => Unit = {
+    val append = incrementalAppendSink(table)
+    (batch, batchId) => {
+      append(batch, batchId)
+      views.foreach(_.refresh())
+    }
+  }
+
   /** Custom-state sessionization via `flatMapGroupsWithState`: events
     * within `gapMs` of each other (per user) form one session; a
     * session closes — and is emitted, append-mode — when the event-time

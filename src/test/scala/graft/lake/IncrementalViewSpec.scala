@@ -239,6 +239,46 @@ class IncrementalViewSpec extends AnyFunSuite with SparkSpec {
     assert(msgs.contains("AS <alias>"), msgs)
   }
 
+  test("views CHAIN: a view over a view's table refreshes from the " +
+    "upstream refresh's CDC") {
+    import spark.implicits._
+    val src = sourceTable(20, 3)
+    val v1 = IncrementalView.create(spark, src, freshDir() + "/v1",
+      Seq("k"), Aggs)
+    // histogram of group sizes — a real second-level aggregate
+    val v2 = IncrementalView.create(spark, v1.table, freshDir() + "/v2",
+      Seq("cnt"), Seq("n_groups" -> "count(*)"))
+    def hist = v2.snapshot().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist === Map(3L -> 20L))
+    src.append(Seq((7L, 1L), (7L, 2L)).toDF("k", "v")) // group 7: 3→5 rows
+    v1.refresh()
+    v2.refresh()
+    assert(v1.lastRefresh.map(_.mode) === Some("incremental"))
+    assert(v2.lastRefresh.map(_.mode) === Some("incremental"))
+    assert(hist === Map(3L -> 19L, 5L -> 1L))
+  }
+
+  test("streaming sink maintains the view chain per micro-batch, " +
+    "replay no-ops") {
+    import spark.implicits._
+    val src = new IncrementalTable(spark, freshDir() + "/src")
+    src.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    val view = IncrementalView.create(spark, src, freshDir() + "/v",
+      Seq("k"), Aggs)
+    val sink = graft.streaming.Streams.maintainedViewSink(src, view)
+    sink(Seq((1L, 30L), (3L, 5L)).toDF("k", "v"), 0L)
+    assert(actual(view) === expected(src))
+    assert(view.lastRefresh.map(_.mode) === Some("incremental"))
+    val viewV = view.table.latestVersion
+    // failure replay of batch 0: append no-ops on the id watermark,
+    // refresh no-ops on the source-version watermark
+    sink(Seq((1L, 30L), (3L, 5L)).toDF("k", "v"), 0L)
+    assert(view.table.latestVersion === viewV)
+    assert(view.lastRefresh.map(_.mode) === Some("noop"))
+    assert(actual(view) === expected(src))
+  }
+
   test("multi-column group keys route through the OR-of-equalities " +
     "predicate") {
     import spark.implicits._
