@@ -5,6 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 /** Empirical 1×/10× scaling evidence for SCALE.md.
   *
@@ -159,6 +160,44 @@ object ScaleEvidence {
       (rows, secs, r1 - r0, w1 - w0)
     }
 
+    /** Experiment 3: incremental-view refresh cost vs source size.
+      * A 5-key change against a 1×/10× source: the affected-key
+      * refresh should stay ~FLAT (O(changed groups) through pruned
+      * scans) while the initial full materialization grows with the
+      * source. Prints wall times plus the refresh's own file-pruning
+      * metrics.
+      */
+    def viewExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      import spark.implicits._
+      val n = 100000L * k
+      val groups = n / 10
+      val src = new graft.lake.IncrementalTable(spark, s"$base/mv_x$k/src")
+      val df = spark.range(n).select(
+        (org.apache.spark.sql.functions.pmod(col("id"), lit(groups)))
+          .as("gk"),
+        (col("id") * 17L % 1000L).as("v"))
+      src.append(df.repartitionByRange(16, col("gk"))
+        .sortWithinPartitions("gk"))
+      val t0 = System.nanoTime()
+      val view = graft.lake.IncrementalView.create(spark, src,
+        s"$base/mv_x$k/v", Seq("gk"),
+        Seq("cnt" -> "count(*)", "total" -> "sum(v)", "top" -> "max(v)"),
+        targetFiles = 16)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      src.updateWhere(col("gk").isin(1L, 7L, 42L, 99L, 123L),
+        Map("v" -> (col("v") + 100000L)))
+      val t1 = System.nanoTime()
+      view.refresh(targetFiles = 16)
+      val refreshS = (System.nanoTime() - t1) / 1e9
+      val m = view.lastRefresh.get
+      println(f"""{"scale":$k,"experiment":"incr_view","rows":$n,""" +
+        f""""groups":$groups,"full_build_s":$buildS%.2f,""" +
+        f""""sparse_refresh_s":$refreshS%.2f,"mode":"${m.mode}",""" +
+        f""""touched":${m.touchedGroups},""" +
+        f""""src_files":[${m.sourceFilesScanned},${m.sourceFilesTotal}],""" +
+        f""""view_files":[${m.viewFilesRewritten},${m.viewFilesTotal}]}""")
+    }
+
     val base = java.nio.file.Files.createTempDirectory("scale_evidence")
     // JIT/codegen warmup on a throwaway corpus: without it the 1× cold
     // time absorbs ~7 s of first-in-JVM compilation and the 1×/10×
@@ -182,6 +221,7 @@ object ScaleEvidence {
           f""""warm_shuffle_rw_mb":[${warmRd / 1e6}%.1f,${warmWr / 1e6}%.1f]}""")
       }
     }
+    scales.foreach(k => viewExperiment(base, k))
     spark.stop()
   }
 }

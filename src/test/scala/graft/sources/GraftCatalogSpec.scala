@@ -82,6 +82,27 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql(s"DESCRIBE HISTORY '$wh/maint'").count() >= 1L)
   }
 
+  test("materialized views are catalog tables: CREATE/REFRESH by name, " +
+    "SELECT by name") {
+    configure()
+    import spark.implicits._
+    val t = new IncrementalTable(spark, s"$wh/sales")
+    t.append(Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "v"))
+    spark.sql(
+      """CREATE MATERIALIZED VIEW lake.sales_by_k AS
+        |SELECT k, count(*) AS cnt, sum(v) AS total
+        |FROM lake.sales GROUP BY k""".stripMargin)
+    // the view table is a plain incremental table in the warehouse —
+    // every reader (SQL by name, connector, stream) just works
+    assert(spark.sql("SELECT * FROM lake.sales_by_k ORDER BY k")
+      .collect().map(_.toSeq).toSeq === Seq(Seq(1L, 2L, 30L), Seq(2L, 1L, 5L)))
+    t.append(Seq((2L, 7L)).toDF("k", "v"))
+    val m = spark.sql("REFRESH MATERIALIZED VIEW lake.sales_by_k").head
+    assert(m.getString(0) === "incremental" && m.getLong(3) === 1L)
+    assert(spark.sql("SELECT total FROM lake.sales_by_k WHERE k = 2")
+      .head.getLong(0) === 12L)
+  }
+
   test("readStream resolves through the catalog to the DSv2 stream") {
     configure()
     import spark.implicits._
