@@ -279,6 +279,67 @@ class IncrementalViewSpec extends AnyFunSuite with SparkSpec {
     assert(actual(view) === expected(src))
   }
 
+  test("two JVMs refreshing the same view: commit arbitration keeps it " +
+    "exactly the full aggregate") {
+    import java.util.concurrent.TimeUnit
+    import spark.implicits._
+    val src = sourceTable(25, 3)
+    val viewDir = freshDir() + "/v"
+    val view = IncrementalView.create(spark, src, viewDir, Seq("k"), Aggs)
+
+    val rounds = 6
+    val jdk17AddOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val javaBin = new java.io.File(new java.io.File(
+      sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = Seq(javaBin) ++ jdk17AddOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"),
+      "graft.lake.ViewRefreshRaceWorker", viewDir, rounds.toString)
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new java.lang.StringBuilder
+    val drain = new Thread(() => {
+      val s = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+      s.getLines().foreach(l => out.append(l).append('\n'))
+    })
+    drain.setDaemon(true)
+    drain.start()
+    try {
+      val ready = java.nio.file.Paths.get(viewDir, "_worker_ready")
+      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(120)
+      while (!java.nio.file.Files.exists(ready) &&
+        System.nanoTime() < deadline && proc.isAlive) Thread.sleep(100)
+      assert(java.nio.file.Files.exists(ready), s"worker never ready:\n$out")
+      (0 until rounds).foreach { i =>
+        src.updateWhere(col("k") === (i % 25).toLong,
+          Map("v" -> (col("v") + 100L)))
+        try view.refresh()
+        catch { case _: CommitConflictException => () } // worker won
+        Thread.sleep(30)
+      }
+      assert(proc.waitFor(180, TimeUnit.SECONDS), s"worker timed out:\n$out")
+      assert(proc.exitValue() === 0, s"worker failed:\n$out")
+    } finally if (proc.isAlive) proc.destroyForcibly()
+
+    // settle, then the invariants: view == full aggregate, no group
+    // duplicated by a half-applied rewrite, watermark at source HEAD
+    val reopened = IncrementalView.open(spark, viewDir)
+    try reopened.refresh()
+    catch { case _: CommitConflictException => reopened.refresh() }
+    assert(actual(reopened) === expected(src), s"worker log:\n$out")
+    val ks = reopened.snapshot().select("k").collect().map(_.getLong(0))
+    assert(ks.distinct.length === ks.length,
+      s"group duplicated across racing rewrites: ${ks.sorted.toSeq}\n$out")
+    assert(reopened.watermark === src.latestVersion, s"worker log:\n$out")
+  }
+
   test("multi-column group keys route through the OR-of-equalities " +
     "predicate") {
     import spark.implicits._
