@@ -55,7 +55,11 @@ final case class RefreshMetrics(
   * dropped the meta) all degrade to a FULL recompute of the view.
   * Refresh is idempotent by construction (recompute, not increments),
   * so a stale/torn watermark can only cause redundant work, never a
-  * wrong result.
+  * wrong result. Operational corollary: OPTIMIZE/compact of the VIEW
+  * table also drops `viewwm` (deliberately — only a refresh may assert
+  * freshness), so schedule view compaction knowing the next refresh
+  * pays one full recompute; refreshes themselves re-cluster what they
+  * stage, which bounds the small-file creep between compactions.
   *
   * ==Cascading==
   * Every refresh that changes rows commits a CDC sidecar on the VIEW
@@ -262,8 +266,19 @@ object IncrementalView {
       .repartitionByRange(targetFiles, groupCols.map(col): _*)
       .sortWithinPartitions(groupCols.map(col): _*)
     val added = t.stage(initial)
-    t.commitFiles(added, Set.empty, "create-view",
+    // maxRetries=0: a racing create() must FAIL on the v0 manifest CAS,
+    // not rebase — the default append-rebase would stack the loser's
+    // initial materialization ON TOP of the winner's (every group
+    // doubled, silently). The post-commit check closes the remaining
+    // sliver (racer fully committed between the exists() check and the
+    // base read): never silent, the message names the repair.
+    val v = t.commitFiles(added, Set.empty, "create-view",
+      maxRetries = 0,
       meta = Map(WmKey -> srcV.toString), schema = Some(initial.schema))
+    require(v == 0L,
+      s"concurrent create() detected at $path (initial commit landed at " +
+        s"version $v, not 0) — view state is stacked; delete the view " +
+        "directory and create once")
     view.last = Some(RefreshMetrics(-1L, srcV, "full", -1L,
       source.files(srcV).size, source.files(srcV).size, 0, 0))
     view
