@@ -2424,6 +2424,13 @@ final class IncrementalTable(
     require(genHit.isEmpty,
       s"UPDATE of $path cannot set generated column(s) ${genHit.mkString(", ")} " +
         "— they recompute from their expressions")
+    // row ids are writer-managed identity: a SET could duplicate an
+    // existing id and silently break every identity-keyed consumer
+    // (append/writeSnapshot accept explicit ids because internal
+    // restages pass existing ones through — an UPDATE never should)
+    require(!(rowTrackingEnabled && set.contains(IncrementalTable.RowIdCol)),
+      s"UPDATE of $path cannot set ${IncrementalTable.RowIdCol}: row ids " +
+        "are assigned at write and preserved through rewrites")
     val (_, live) = dmlCandidates(v, pred, alias)
     if (live == null) return v
     val hit = live.filter(predTrue(pred)).localCheckpoint()

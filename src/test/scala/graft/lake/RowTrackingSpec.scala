@@ -112,6 +112,12 @@ class RowTrackingSpec extends AnyFunSuite with SparkSpec {
     t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
     intercept[IllegalArgumentException](t.renameColumn("_row_id", "rid"))
     intercept[IllegalArgumentException](t.dropColumn("_row_id"))
+    // and UPDATE may not SET it — a duplicated id would silently break
+    // every identity-keyed consumer
+    val err = intercept[IllegalArgumentException](t.updateWhere(
+      org.apache.spark.sql.functions.col("k") === 1L,
+      Map("_row_id" -> org.apache.spark.sql.functions.lit(1L))))
+    assert(err.getMessage.contains("row ids"))
   }
 
   test("identity column and row tracking allocate together in one write") {
