@@ -45,6 +45,10 @@ object Curation {
   def selectByTokenBudget(
       docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
       budgets: Seq[(String, Long)]): DataFrame = {
+    // duplicate sources would diverge from the oracle: the when-chain
+    // fold takes the LAST entry, SQL CASE takes the FIRST
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      s"duplicate source in budgets: ${budgets.map(_._1)}")
     val scored = docs.select(
       col(idCol), col(sourceCol),
       TextFunctions.tokenCount(col(textCol)).cast("long").as("token_cnt"),

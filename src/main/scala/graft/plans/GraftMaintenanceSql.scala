@@ -84,7 +84,7 @@ object GraftMaintenanceSql {
       Some(DropFeatureGraftCommand(target.trim, feature.trim))
     case CreateMView(target, selectList, source, groupBy) =>
       Some(CreateMaterializedViewGraftCommand(target.trim, source.trim,
-        selectList.trim, groupBy.split(",").map(_.trim).toSeq))
+        selectList.trim, splitTopLevel(groupBy)))
     case RefreshMView(target) =>
       Some(RefreshMaterializedViewGraftCommand(target.trim))
     // RENAME COLUMN / DROP COLUMN are NOT pre-parsed: they are standard
