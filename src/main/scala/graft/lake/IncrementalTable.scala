@@ -2467,6 +2467,83 @@ final class IncrementalTable(
       meta = Map("cdc" -> cdcNonce), readVersion = Some(v))
   }
 
+  /** Atomic predicate-scoped OVERWRITE (Delta's `replaceWhere`): ONE
+    * commit deletes every row matching `pred` and inserts `df` — the
+    * slice-reload shape (daily re-materialization, backfill of a date
+    * range) that a separate DELETE + append would leave readable in a
+    * half-replaced state between the two commits. The delete side is
+    * [[deleteWhere]]'s: stats/bloom-pruned candidates, only files
+    * actually containing matches rewritten (survivors restaged,
+    * untouched files re-referenced — O(files in the slice), never
+    * O(table)). The insert side is [[append]]'s full materialization:
+    * generated columns, declared write order, CHECK constraints,
+    * identity/row-id allocation. Every incoming row must satisfy
+    * `pred` (Delta's replaceWhere constraint — a row outside the
+    * replaced region would make this not an overwrite of that region;
+    * the check runs AFTER generated columns so a predicate on a
+    * generated column is checkable). The CDC sidecar carries the
+    * deleted rows and the inserted rows, so the change feed replays
+    * the swap row-by-row, and `readVersion` pins the deletion-vector
+    * conflict rule — a racing DV commit fails this rewrite loudly
+    * instead of being silently resurrected.
+    */
+  def overwriteWhere(pred: Column, df: DataFrame,
+      alias: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(
+        s"empty table $path — overwriteWhere needs existing state; " +
+          "use append for a first write"))
+    val (_, live) = dmlCandidates(v, pred, alias)
+    val (touched, deleteCdc, survivorFiles) =
+      if (live == null) (Set.empty[String], None: Option[DataFrame], Seq.empty[String])
+      else {
+        val hit = live.filter(predTrue(pred)).localCheckpoint()
+        val t = hit.select("__dv_file").distinct()
+          .collect().map(_.getString(0)).toSet
+        if (t.isEmpty) (t, None: Option[DataFrame], Seq.empty[String])
+        else {
+          val survivors = live
+            .filter(col("__dv_file").isInCollection(t))
+            .filter(not(predTrue(pred)))
+          (t,
+            Some(hit.drop("__dv_file", "__dv_pos")
+              .withColumn("_change_type", lit("delete"))),
+            restageByDir(survivors))
+        }
+      }
+    val byRel = files(v).map(e => relKey(e) -> e).toMap
+    def prepareBatch(batch: DataFrame): (DataFrame, Seq[String], String) = {
+      val materialized = applyGenerated(batch)
+      val outside = materialized.filter(!predTrue(pred)).limit(1).count()
+      require(outside == 0L,
+        s"overwriteWhere of $path: the incoming batch has row(s) that do " +
+          "not satisfy the replace predicate — widen the predicate or " +
+          "filter the batch (Delta's replaceWhere constraint)")
+      validateConstraints(materialized)
+      val added = stage(applyWriteOrder(materialized))
+      val inserted = materialized.withColumn("_change_type", lit("insert"))
+      val cdcNonce = stageChangeData(deleteCdc.fold(inserted)(d =>
+        d.unionByName(inserted, allowMissingColumns = true)))
+      (materialized, added, cdcNonce)
+    }
+    allocSpecs match {
+      case Seq() =>
+        val (materialized, added, cdcNonce) = prepareBatch(df)
+        commitFiles(survivorFiles ++ added, touched.map(byRel),
+          "replaceWhere", meta = Map("cdc" -> cdcNonce),
+          schema = Some(materialized.schema), readVersion = Some(v))
+      case specs =>
+        withAllocated(df, specs) { withIds =>
+          val (materialized, added, cdcNonce) = prepareBatch(withIds)
+          wmMeta => commitFiles(survivorFiles ++ added, touched.map(byRel),
+            "replaceWhere", maxRetries = 0,
+            meta = Map("cdc" -> cdcNonce) ++ wmMeta,
+            schema = Some(materialized.schema), readVersion = Some(v))
+        }
+    }
+  }
+
   /** Merge-on-read DELETE via deletion vectors: matching rows are
     * recorded as (file, pos) pairs in a new `_dv/<nonce>/` sidecar —
     * NO data file is rewritten, the defining property at 100 TB —

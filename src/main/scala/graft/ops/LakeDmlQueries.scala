@@ -278,7 +278,32 @@ object LakeDmlQueries {
       .snapshot().orderBy("o_custkey")
   }
 
+  /** Atomic predicate-scoped overwrite (Delta's `replaceWhere`),
+    * exercised through the DSv2 WRITER OPTION end-to-end: load orders,
+    * then replace the fulfilled slice (`o_orderstatus = 'F'`) with the
+    * same rows at +1000 price in ONE commit —
+    * `df.write.format("graft").mode("overwrite")
+    *    .option("replaceWhere", ...)`. The end state replays in plain
+    * SQL because the replacement batch is a deterministic function of
+    * the source slice; a half-replaced state (separate delete+append)
+    * or a row leaking outside the predicate would break the hash.
+    */
+  def lakeReplaceScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = cached(spark, dir, "orders", "rpl", "replaceWhere") { t =>
+      val orders = Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      t.append(orders)
+      orders.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .write.format("graft").mode("overwrite")
+        .option("replaceWhere", "o_orderstatus = 'F'")
+        .save(t.path)
+    }
+    t.snapshot().orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_replace_scan" -> lakeReplaceScan _,
     "lake_incr_view" -> lakeIncrViewScan _,
     "lake_rowid_scan" -> lakeRowIdScan _,
     "lake_widen_scan" -> lakeWidenScan _,
@@ -308,6 +333,11 @@ object LakeDmlQueries {
       |ORDER BY _commit_version, s_suppkey, _change_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "lake_replace_scan" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1000.0
+        |            ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "lake_incr_view" ->
       """WITH s AS (
         |  SELECT o_custkey,

@@ -197,6 +197,14 @@ class GraftDataSource extends TableProvider
       df: DataFrame): BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft write: 'path' is required"))
+    // Delta's writer option: `mode("overwrite")` scoped to a predicate
+    // becomes an atomic slice replacement instead of a full-snapshot
+    // overwrite. Only meaningful with Overwrite (as in Delta).
+    val replaceWhere = parameters.get("replaceWhere").map { sql =>
+      require(mode == SaveMode.Overwrite,
+        "graft write: option 'replaceWhere' requires mode 'overwrite'")
+      org.apache.spark.sql.functions.expr(sql)
+    }
     val inc = new IncrementalTable(ctx.sparkSession, path)
     if (inc.isIncrementalLayout) {
       // An IncrementalTable shares the _log directory but its manifests
@@ -208,9 +216,23 @@ class GraftDataSource extends TableProvider
           throw new IllegalStateException(s"graft table already exists at $path")
         case SaveMode.Ignore => ()
         case SaveMode.Append => inc.append(df)
-        case _ => inc.writeSnapshot(df, operation = "overwrite")
+        case _ => replaceWhere match {
+          case Some(pred) => inc.overwriteWhere(pred, df)
+          case None => inc.writeSnapshot(df, operation = "overwrite")
+        }
       }
     } else {
+      replaceWhere.foreach { _ =>
+        // VersionedTable rewrites the full snapshot per commit anyway,
+        // so a predicate-scoped overwrite has no partial-rewrite win
+        // there — and silently accepting the option while replacing the
+        // WHOLE table would be a correctness trap. Scope it to the
+        // incremental layout.
+        throw new IllegalArgumentException(
+          s"graft write: 'replaceWhere' needs an incremental-layout table " +
+            s"($path is ${if (new VersionedTable(ctx.sparkSession, path).exists)
+              "a full-snapshot VersionedTable" else "empty — append first"})")
+      }
       val vt = new VersionedTable(ctx.sparkSession, path)
       val exists = vt.exists
       mode match {
