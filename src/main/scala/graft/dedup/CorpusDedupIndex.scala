@@ -1,0 +1,208 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.lake.IncrementalTable
+
+/** Persistent MinHash-LSH corpus index for INCREMENTAL near-duplicate
+  * detection — the daily-ingest path at 100 TB, where re-running
+  * [[MinHashLSH.nearDuplicates]] over corpus ∪ batch would re-shingle
+  * and re-shuffle the whole corpus for every arriving slice.
+  *
+  * Three manifest-committed [[IncrementalTable]]s hold the corpus side
+  * once, appended as batches are admitted:
+  *
+  *  - `bands`    (band_no, bucket, id) — write-ordered by
+  *               (band_no, bucket), so files are born clustered on the
+  *               join key and a small batch's bucket set stats-prunes
+  *               the scan to the files it can possibly collide with;
+  *  - `sizes`    (id, sz) — shingle-set cardinality for the Jaccard
+  *               denominator;
+  *  - `shingles` (id, h) — distinct shingle hashes, write-ordered by
+  *               id, so the exact-intersection verify reads only the
+  *               files holding candidate ids.
+  *
+  * [[dedupBatch]] touches O(batch) + the PRUNED index slices: the new
+  * batch is shingled/signed once (it is small), candidate generation
+  * broadcasts the batch's band rows against the bands table (the big
+  * side streams, never shuffles), and verification reads only the
+  * shingle/size files whose stats admit a candidate id. Nothing ever
+  * re-scans corpus TEXT — the index is sufficient. Decisions:
+  *
+  *  - `dup_corpus`: a verified pair (Jaccard ≥ num/den on exact
+  *    shingle intersection) links the doc to an indexed doc;
+  *  - `dup_batch`: among the remaining docs, verified intra-batch
+  *    pairs (both endpoints non-dup_corpus) form connected components
+  *    and every member but the minimum id is dropped;
+  *  - `kept`: everything else — admitted to the index by [[admit]],
+  *    so the NEXT batch deduplicates against corpus ∪ kept.
+  *
+  * Every step is deterministic integer/string arithmetic on the shared
+  * [[Shingles]] hash family, so a plain-SQL oracle replays the whole
+  * multi-batch arc bit-for-bit (the `dedup_incremental` gate).
+  */
+class CorpusDedupIndex(
+    spark: SparkSession, val base: String, idCol: String, textCol: String,
+    n: Int, k: Int, bands: Int, num: Int, den: Int,
+    maxBucketSize: Int = 1000) {
+
+  val bandsTable = new IncrementalTable(spark, s"$base/bands")
+  val sizesTable = new IncrementalTable(spark, s"$base/sizes")
+  val shinglesTable = new IncrementalTable(spark, s"$base/shingles")
+
+  def exists: Boolean = bandsTable.exists
+
+  /** Index rows of a document frame: (bands, sizes, shingles). The
+    * shingle frame is persisted by the caller when it feeds several
+    * paths.
+    */
+  private def indexRows(sh: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val sig = MinHashLSH.signatures(sh, idCol, k)
+    (MinHashLSH.bandRows(sig, idCol, k, bands),
+      sig.select(col(idCol), col("sz")),
+      sh)
+  }
+
+  /** Build the index from the initial corpus. One pass over the corpus
+    * text; each table's append rides its declared write order (one
+    * shuffle of the INDEX ROWS, tight file bounds from birth).
+    */
+  def bootstrap(corpus: DataFrame): Unit = {
+    require(!exists, s"corpus index at $base is already bootstrapped")
+    val sh = Shingles.shingleHashes(corpus, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (b, s, shr) = indexRows(sh)
+      bandsTable.setWriteOrder("band_no", "bucket")
+      bandsTable.append(b)
+      sizesTable.setWriteOrder(idCol)
+      sizesTable.append(s)
+      shinglesTable.setWriteOrder(idCol)
+      shinglesTable.append(shr)
+    } finally sh.unpersist()
+  }
+
+  /** Stats-prune + scan an index table by a small value set (the
+    * [[graft.lake.IncrementalView]] ≤256-key rule); a large set falls
+    * back to the full (narrow) scan — slower, never wrong.
+    */
+  private def prunedScan(t: IncrementalTable, c: String,
+      values: Seq[Any]): DataFrame =
+    if (values.nonEmpty && values.size <= CorpusDedupIndex.MaxKeysInPredicate)
+      t.scan(col(c).isInCollection(values))
+    else t.snapshot()
+
+  /** Near-dup decisions for `batch` against the index ∪ the batch
+    * itself: one row per batch doc,
+    * `(idCol, status ∈ kept|dup_corpus|dup_batch, kept 0|1)`.
+    * Call [[admit]] with the SAME batch and the returned decisions to
+    * make the kept docs visible to the next batch.
+    */
+  def dedupBatch(batch: DataFrame): DataFrame = {
+    require(exists, s"corpus index at $base is not bootstrapped")
+    val sh = Shingles.shingleHashes(batch, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = MinHashLSH.signatures(sh, idCol, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newBands = MinHashLSH.bandRows(sig, idCol, k, bands)
+
+    // ---- cross candidates: batch bands vs the INDEX bands table.
+    // The batch side is small by assumption — broadcast it; the index
+    // side streams through the join (no shuffle of corpus rows), and
+    // when the batch's bucket set is small the scan itself prunes to
+    // the files whose (band_no, bucket) ranges overlap it.
+    val buckets = newBands.select("bucket").distinct()
+      .limit(CorpusDedupIndex.MaxKeysInPredicate + 1)
+      .collect().map(_.getString(0)).toSeq
+    val idxBands = prunedScan(bandsTable, "bucket", buckets)
+      .withColumnRenamed(idCol, "corpus_id")
+    val crossCand = idxBands
+      .join(broadcast(newBands.withColumnRenamed(idCol, "new_id")),
+        Seq("band_no", "bucket"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- verify cross candidates: exact shingle intersection against
+    // the shingles table, read only for the candidate corpus ids.
+    val candIds = crossCand.select("corpus_id").distinct()
+      .limit(CorpusDedupIndex.MaxKeysInPredicate + 1)
+      .collect().map(_.get(0)).toSeq
+    val idxSh = prunedScan(shinglesTable, idCol, candIds)
+      .withColumnRenamed(idCol, "corpus_id")
+    val idxSz = prunedScan(sizesTable, idCol, candIds)
+      .withColumnRenamed(idCol, "corpus_id")
+      .withColumnRenamed("sz", "corpus_sz")
+    val crossInter = sh.withColumnRenamed(idCol, "new_id")
+      .join(broadcast(crossCand), "new_id")
+      .join(idxSh, Seq("corpus_id", "h"))
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("inter_size"))
+    val newSizes = sig.select(col(idCol).as("new_id"), col("sz").as("new_sz"))
+    val crossDup = crossInter
+      .join(broadcast(newSizes), "new_id")
+      .join(idxSz, "corpus_id")
+      .filter(lit(den.toLong) * col("inter_size") >=
+        lit(num.toLong) * (col("new_sz") + col("corpus_sz") - col("inter_size")))
+      .select(col("new_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- intra-batch: verified pairs where BOTH endpoints survived
+    // the corpus check (a corpus-dup must not bridge two components),
+    // then min-label connected components.
+    val intraCand = MinHashLSH.candidates(sig, idCol, k, bands, maxBucketSize)
+    val intraVerified = sh.withColumnRenamed(idCol, "a")
+      .join(broadcast(intraCand), "a")
+      .join(sh.withColumnRenamed(idCol, "b"), Seq("b", "h"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter_size"))
+      .join(broadcast(newSizes.withColumnRenamed("new_id", "a")
+        .withColumnRenamed("new_sz", "a_sz")), "a")
+      .join(broadcast(newSizes.withColumnRenamed("new_id", "b")
+        .withColumnRenamed("new_sz", "b_sz")), "b")
+      .filter(lit(den.toLong) * col("inter_size") >=
+        lit(num.toLong) * (col("a_sz") + col("b_sz") - col("inter_size")))
+      .join(crossDup.withColumnRenamed("new_id", "a"), Seq("a"), "left_anti")
+      .join(crossDup.withColumnRenamed("new_id", "b"), Seq("b"), "left_anti")
+      .select(col("a"), col("b"))
+    val comps = Clusters.connectedComponents(intraVerified)
+
+    // ---- one row per batch doc (docs with < n tokens have no
+    // shingles and no candidates: kept by construction on both engines)
+    batch.select(col(idCol))
+      .join(crossDup.withColumnRenamed("new_id", idCol)
+        .withColumn("__dc", lit(1)), Seq(idCol), "left")
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__dc") === 1, lit("dup_corpus"))
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col(idCol),
+            lit("dup_batch"))
+          .otherwise(lit("kept")).as("status"))
+      .withColumn("kept", (col("status") === "kept").cast("long"))
+  }
+
+  /** Append the KEPT docs' index rows, so the next [[dedupBatch]] sees
+    * corpus ∪ kept. `decisions` is [[dedupBatch]]'s output for this
+    * same batch; the three appends are each one manifest commit.
+    */
+  def admit(batch: DataFrame, decisions: DataFrame): Unit = {
+    val keptIds = decisions.filter(col("kept") === 1L).select(idCol)
+    val keptDocs = batch.join(broadcast(keptIds), Seq(idCol), "left_semi")
+    val sh = Shingles.shingleHashes(keptDocs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (b, s, shr) = indexRows(sh)
+      bandsTable.append(b)
+      sizesTable.append(s)
+      shinglesTable.append(shr)
+    } finally sh.unpersist()
+  }
+}
+
+object CorpusDedupIndex {
+  /** The [[graft.lake.IncrementalView]] driver-predicate rule: a value
+    * set at most this large becomes an `isin` the stats store can
+    * prune files with; anything larger falls back to a full scan of
+    * the (narrow) index table.
+    */
+  val MaxKeysInPredicate = 256
+}

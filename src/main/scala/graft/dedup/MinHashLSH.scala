@@ -35,6 +35,23 @@ object MinHashLSH {
         (1 until k).map(i => min(Shingles.rehash(col("h"), i)).as(s"mh$i")) :+
           count(lit(1)).as("sz"): _*)
 
+  /** The exploded `(idCol, band_no, bucket)` band-bucket rows of a
+    * signature frame — the unit both the in-corpus self-join
+    * ([[candidates]]) and the persistent-index batch join
+    * ([[CorpusDedupIndex]]) match on.
+    */
+  def bandRows(sig: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val bandStructs = (0 until bands).map { j =>
+      val sigCols = (j * r until (j + 1) * r).map(i => col(s"mh$i"))
+      struct(lit(j).as("band_no"), concat_ws("-", sigCols: _*).as("bucket"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band_no").as("band_no"),
+        col("bb.bucket").as("bucket"))
+  }
+
   /** Candidate pairs (a < b) with the number of colliding bands.
     *
     * All bands live in ONE exploded `(id, band_no, bucket)` table, so
@@ -46,16 +63,7 @@ object MinHashLSH {
   def candidates(
       sig: DataFrame, idCol: String, k: Int, bands: Int,
       maxBucketSize: Int = 1000): DataFrame = {
-    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
-    val r = k / bands
-    val bandStructs = (0 until bands).map { j =>
-      val sigCols = (j * r until (j + 1) * r).map(i => col(s"mh$i"))
-      struct(lit(j).as("band_no"), concat_ws("-", sigCols: _*).as("bucket"))
-    }
-    val banded = sig
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band_no").as("band_no"),
-        col("bb.bucket").as("bucket"))
+    val banded = bandRows(sig, idCol, k, bands)
     // hot-bucket cap via window count: the window's
     // partitionBy(band_no, bucket) exchange is exactly the join's
     // distribution, so Catalyst reuses it (one shuffle total)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.dedup.{ExactDedup, MinHashLSH, NgramJaccard, SimHash, Shingles}
+import graft.dedup.{CorpusDedupIndex, ExactDedup, MinHashLSH, NgramJaccard, SimHash, Shingles}
 import graft.sim.CosineSim
 import graft.text.TextFunctions
 
@@ -724,6 +724,45 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** INCREMENTAL corpus dedup ([[CorpusDedupIndex]]) as one oracled
+    * arc: bootstrap a persistent MinHash-LSH index from half the
+    * documents (`doc_id % 4 <= 1`), then dedup TWO arriving batches
+    * (`% 4 = 2`, then `% 4 = 3`) against it — batch 1's kept docs are
+    * admitted to the index first, so batch 2's decisions prove the
+    * index actually grew (a doc near-duplicate of a batch-1 KEPT doc
+    * must come back `dup_corpus`). No step ever re-scans corpus text;
+    * the oracle replays the whole multi-batch arc from the raw table
+    * in plain SQL. Decisions are recorded in a manifest-committed
+    * table (one append per batch), which doubles as the build-once
+    * completion marker.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.IncrementalTable
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified, "incdedup1").hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_incdedup_$key"
+    val decisions = new IncrementalTable(spark, s"$base/decisions")
+    val complete = decisions.exists && decisions.latestVersion.contains(1L)
+    if (!complete) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      val idx = new CorpusDedupIndex(spark, s"$base/index",
+        "doc_id", "text", NGRAM, K, BANDS, num = 3, den = 10)
+      idx.bootstrap(docs.filter(col("doc_id") % 4 <= 1))
+      val dec = new IncrementalTable(spark, s"$base/decisions")
+      val b1 = docs.filter(col("doc_id") % 4 === 2)
+      val d1 = idx.dedupBatch(b1).localCheckpoint()
+      idx.admit(b1, d1)
+      dec.append(d1.withColumn("batch", lit(1L)))
+      val b2 = docs.filter(col("doc_id") % 4 === 3)
+      dec.append(idx.dedupBatch(b2).withColumn("batch", lit(2L)))
+    }
+    new IncrementalTable(spark, s"$base/decisions").snapshot()
+      .select("doc_id", "batch", "status", "kept")
+      .orderBy("doc_id")
+  }
+
   // ---------------- DuckDB oracle fragments ----------------
 
   /** tokens CTE (single-space normalized split, = TextFunctions.tokens) */
@@ -778,6 +817,119 @@ object PipelineQueries {
 
   private val dot = (a: String, b: String) =>
     s"CAST(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) AS BIGINT)"
+
+  /** MinHash chain (toks/sh/sizes/sig/bands, suffixed `_x`) over an
+    * arbitrary `(doc_id, text)` relation — the building block of the
+    * `dedup_incremental` oracle, which needs the chain once per corpus
+    * era and once per batch.
+    */
+  private def mhChainFor(x: String, rel: String): String = {
+    val mins = (0 until K)
+      .map(i => s"min(${Shingles.rehashSql("h", i)}) AS mh$i").mkString(",\n         ")
+    val bandSelects = (0 until BANDS).map { j =>
+      val cols = (j * 2 until j * 2 + 2)
+        .map(i => s"CAST(mh$i AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $j AS band_no, concat_ws('-', $cols) AS bucket FROM sig_$x"
+    }.mkString("\n  UNION ALL\n  ")
+    raw"""toks_$x AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
+         |  FROM $rel),
+         |sh_$x AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |         CAST('0x' || substr(sha256(array_to_string(tk[i:i+${NGRAM - 1}], ' ')), 1, 15) AS BIGINT) AS h
+         |  FROM toks_$x, unnest(generate_series(1, len(tk) - ${NGRAM - 1})) AS g(i)),
+         |sizes_$x AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh_$x GROUP BY doc_id),
+         |sig_$x AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         $mins
+         |  FROM sh_$x GROUP BY doc_id),
+         |bands_$x AS MATERIALIZED (
+         |  $bandSelects)""".stripMargin
+  }
+
+  /** One batch's decision chain against corpus era `c`: cross
+    * candidates → exact-Jaccard corpus dups → intra-batch components
+    * among the survivors → per-doc status. Mirrors
+    * [[CorpusDedupIndex.dedupBatch]] clause for clause.
+    */
+  private def incDedupDecisions(b: String, c: String, docsRel: String): String =
+    s"""cross_$b AS MATERIALIZED (
+       |  SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+       |  FROM bands_$b nb JOIN bands_$c cb
+       |    ON nb.band_no = cb.band_no AND nb.bucket = cb.bucket),
+       |xinter_$b AS MATERIALIZED (
+       |  SELECT cc.new_id, cc.corpus_id, count(*) AS inter_size
+       |  FROM cross_$b cc
+       |    JOIN sh_$b x ON x.doc_id = cc.new_id
+       |    JOIN sh_$c y ON y.doc_id = cc.corpus_id AND y.h = x.h
+       |  GROUP BY 1, 2),
+       |dupc_$b AS MATERIALIZED (
+       |  SELECT DISTINCT i.new_id AS doc_id
+       |  FROM xinter_$b i
+       |    JOIN sizes_$b sa ON sa.doc_id = i.new_id
+       |    JOIN sizes_$c sb ON sb.doc_id = i.corpus_id
+       |  WHERE 10 * i.inter_size >= 3 * (sa.sz + sb.sz - i.inter_size)),
+       |icand_$b AS MATERIALIZED (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands_$b x JOIN bands_$b y
+       |    ON x.band_no = y.band_no AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |iinter_$b AS MATERIALIZED (
+       |  SELECT ic.a, ic.b, count(*) AS inter_size
+       |  FROM icand_$b ic
+       |    JOIN sh_$b x ON x.doc_id = ic.a
+       |    JOIN sh_$b y ON y.doc_id = ic.b AND y.h = x.h
+       |  GROUP BY 1, 2),
+       |ipairs_$b AS MATERIALIZED (
+       |  SELECT i.a, i.b
+       |  FROM iinter_$b i
+       |    JOIN sizes_$b sa ON sa.doc_id = i.a
+       |    JOIN sizes_$b sb ON sb.doc_id = i.b
+       |  WHERE 10 * i.inter_size >= 3 * (sa.sz + sb.sz - i.inter_size)
+       |    AND i.a NOT IN (SELECT doc_id FROM dupc_$b)
+       |    AND i.b NOT IN (SELECT doc_id FROM dupc_$b)),
+       |nodes_$b AS MATERIALIZED (SELECT a AS id FROM ipairs_$b UNION SELECT b FROM ipairs_$b),
+       |edges_$b AS MATERIALIZED (SELECT a AS src, b AS dst FROM ipairs_$b
+       |             UNION SELECT b, a FROM ipairs_$b),
+       |reach_$b AS (
+       |  SELECT id, id AS r FROM nodes_$b
+       |  UNION
+       |  SELECT e.src, reach_$b.r FROM edges_$b e JOIN reach_$b ON e.dst = reach_$b.id),
+       |comp_$b AS MATERIALIZED (SELECT id AS doc_id, min(r) AS cluster_id FROM reach_$b GROUP BY id),
+       |dec_$b AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |         CASE WHEN dc.doc_id IS NOT NULL THEN 'dup_corpus'
+       |              WHEN cp.cluster_id IS NOT NULL AND cp.cluster_id <> d.doc_id
+       |                THEN 'dup_batch'
+       |              ELSE 'kept' END AS status
+       |  FROM $docsRel d
+       |    LEFT JOIN dupc_$b dc ON dc.doc_id = d.doc_id
+       |    LEFT JOIN comp_$b cp ON cp.doc_id = d.doc_id)""".stripMargin
+
+  private val incDedupOracle: String =
+    s"""WITH RECURSIVE
+       |docs_c0 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 4 <= 1),
+       |docs_b1 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 2),
+       |docs_b2 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3),
+       |${mhChainFor("c0", "docs_c0")},
+       |${mhChainFor("b1", "docs_b1")},
+       |${incDedupDecisions("b1", "c0", "docs_b1")},
+       |docs_c1 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM docs_c0
+       |  UNION ALL
+       |  SELECT d.doc_id, d.text FROM docs_b1 d
+       |  WHERE d.doc_id IN (SELECT doc_id FROM dec_b1 WHERE status = 'kept')),
+       |${mhChainFor("c1", "docs_c1")},
+       |${mhChainFor("b2", "docs_b2")},
+       |${incDedupDecisions("b2", "c1", "docs_b2")}
+       |SELECT doc_id, CAST(1 AS BIGINT) AS batch, status,
+       |       CAST(status = 'kept' AS BIGINT) AS kept
+       |FROM dec_b1
+       |UNION ALL
+       |SELECT doc_id, CAST(2 AS BIGINT), status, CAST(status = 'kept' AS BIGINT)
+       |FROM dec_b2
+       |ORDER BY doc_id""".stripMargin
 
   /** Shared CTE chain for the MinHash+LSH pipeline up to verified pairs
     * (used by both the pair-list oracle and the cluster oracle).
@@ -1177,6 +1329,8 @@ object PipelineQueries {
          |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          |WHERE 2 * inter_size >= 1 * (sa.sz + sb.sz - inter_size)
          |ORDER BY a, b""".stripMargin,
+
+    "dedup_incremental" -> incDedupOracle,
 
     "dedup_minhash_lsh" ->
       s"""WITH $minhashCtes
@@ -1625,6 +1779,7 @@ object PipelineQueries {
     "winnow_overlap" -> winnowOverlap _,
     "pii_scrub" -> piiScrub _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_incremental" -> dedupIncremental _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_embedding" -> dedupEmbedding _,
     "dedup_embedding_blocked" -> dedupEmbeddingBlocked _,

@@ -1,0 +1,145 @@
+package graft.dedup
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Incremental near-dup detection against a persisted corpus index
+  * ([[CorpusDedupIndex]]): decisions, index growth across batches,
+  * degenerate docs, and the file-pruning contract that makes a batch
+  * dedup O(batch + touched files) instead of O(corpus).
+  */
+class CorpusDedupIndexSpec extends AnyFunSuite with SparkSpec {
+
+  // 3-gram shingles; Jaccard >= 3/10 — the dedup_incremental settings
+  private def freshIndex(): CorpusDedupIndex = {
+    val base = Files.createTempDirectory("cdi_").toString + "/idx"
+    new CorpusDedupIndex(spark, base, "doc_id", "text",
+      n = 3, k = 8, bands = 4, num = 3, den = 10)
+  }
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val baseText =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val nearCopy = // shares 16 of ~20 shingles: Jaccard >> 0.3
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma countdown finale"
+  private val otherText =
+    "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+  private val otherNear =
+    "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen altered ending"
+
+  private def decisionMap(d: DataFrame): Map[Long, String] =
+    d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("batch decisions: dup_corpus, dup_batch (min kept), unique kept") {
+    val idx = freshIndex()
+    idx.bootstrap(docs(1L -> baseText))
+    val batch = docs(
+      10L -> nearCopy, // near-dup of corpus doc 1 -> dup_corpus
+      11L -> otherText, // new cluster, min id -> kept
+      12L -> otherNear, // near-dup of 11 -> dup_batch
+      13L -> "completely unrelated words about astronomy telescopes quasars nebulae galaxies clusters")
+    val d = decisionMap(idx.dedupBatch(batch))
+    assert(d(10L) === "dup_corpus")
+    assert(d(11L) === "kept")
+    assert(d(12L) === "dup_batch")
+    assert(d(13L) === "kept")
+  }
+
+  test("admit grows the corpus: batch 2 dups against batch 1's kept docs") {
+    val idx = freshIndex()
+    idx.bootstrap(docs(1L -> baseText))
+    val b1 = docs(10L -> otherText)
+    val d1 = idx.dedupBatch(b1)
+    assert(decisionMap(d1) === Map(10L -> "kept"))
+    idx.admit(b1, d1)
+    // near-copy of the ADMITTED doc is now a corpus duplicate
+    val d2 = decisionMap(idx.dedupBatch(docs(20L -> otherNear)))
+    assert(d2(20L) === "dup_corpus")
+  }
+
+  test("a corpus duplicate never bridges two intra-batch components") {
+    val idx = freshIndex()
+    idx.bootstrap(docs(1L -> baseText))
+    // 10 dups the corpus; 11 near-dups 10 but NOT the corpus doc:
+    // with 10 removed as dup_corpus, 11 must stand alone -> kept
+    val midCopy = // overlaps nearCopy's tail but not baseText enough
+      "lambda mu nu xi omicron pi rho sigma countdown finale " +
+        "fresh words continue here with entirely novel trailing content now"
+    val d = decisionMap(idx.dedupBatch(docs(10L -> nearCopy, 11L -> midCopy)))
+    assert(d(10L) === "dup_corpus")
+    assert(d(11L) === "kept")
+  }
+
+  test("docs with fewer than n tokens are kept (no shingles, no pairs)") {
+    val idx = freshIndex()
+    idx.bootstrap(docs(1L -> baseText))
+    val d = decisionMap(idx.dedupBatch(docs(10L -> "two words", 11L -> "")))
+    assert(d === Map(10L -> "kept", 11L -> "kept"))
+  }
+
+  test("dedupBatch refuses an un-bootstrapped index") {
+    val idx = freshIndex()
+    val e = intercept[IllegalArgumentException] {
+      idx.dedupBatch(docs(1L -> baseText)).collect()
+    }
+    assert(e.getMessage.contains("not bootstrapped"))
+  }
+
+  test("id-clustered index files prune: a candidate-id scan skips files") {
+    val idx = freshIndex()
+    idx.bootstrap(docs(1L -> baseText, 2L -> otherText))
+    // each admitted batch appends its own files with disjoint id ranges
+    // (write order by doc_id), so the shingle verify for a candidate in
+    // ONE batch must not read the others' files
+    (1 to 3).foreach { i =>
+      val b = docs((100L * i) -> (s"batch $i filler ${"unique" * i} " +
+        s"words number $i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i"))
+      idx.admit(b, idx.dedupBatch(b))
+    }
+    val all = idx.shinglesTable.files(idx.shinglesTable.latestVersion.get)
+    assert(all.size >= 4) // bootstrap + 3 admits
+    val pruned = idx.shinglesTable.prunedFiles(all,
+      Seq(col("doc_id").isInCollection(Seq(100L))))
+    assert(pruned.size < all.size,
+      s"expected stats pruning to drop files: kept ${pruned.size} of ${all.size}")
+  }
+
+  test("incremental over two batches == one-shot dedup over the union") {
+    // the equivalence that justifies the index: running batches through
+    // the index yields the same kept-set as a full nearDuplicates +
+    // components pass over corpus ∪ b1 ∪ b2, given batch-order keeps
+    // the smaller doc_id (corpus ids < batch ids here)
+    val corpus = docs(1L -> baseText, 2L -> otherText)
+    val b1 = docs(10L -> nearCopy) // dup of 1
+    val b2 = docs(20L -> otherNear) // dup of 2
+    val idx = freshIndex()
+    idx.bootstrap(corpus)
+    val d1 = idx.dedupBatch(b1)
+    idx.admit(b1, d1)
+    val d2 = idx.dedupBatch(b2)
+    assert(decisionMap(d1) === Map(10L -> "dup_corpus"))
+    assert(decisionMap(d2) === Map(20L -> "dup_corpus"))
+    // the one-shot view agrees: 10 and 20 are exactly the non-minimum
+    // members of their clusters, i.e. the docs a full dedup would drop
+    val full = MinHashLSH.nearDuplicates(
+      corpus.unionByName(b1).unionByName(b2), "doc_id", "text",
+      n = 3, k = 8, bands = 4, num = 3, den = 10)
+    val comps = Clusters.connectedComponents(full.select("a", "b"))
+    val dropped = comps.filter(col("cluster_id") =!= col("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(dropped === Set(10L, 20L))
+  }
+}
