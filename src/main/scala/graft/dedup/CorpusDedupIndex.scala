@@ -75,12 +75,15 @@ class CorpusDedupIndex(
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val (b, s, shr) = indexRows(sh)
-      bandsTable.setWriteOrder("band_no", "bucket")
-      bandsTable.append(b)
-      sizesTable.setWriteOrder(idCol)
-      sizesTable.append(s)
+      // bands LAST (see [[admitIdempotent]]): candidates come only
+      // from the bands table, so docs become visible only once their
+      // verify-side rows (shingles, sizes) are durable
       shinglesTable.setWriteOrder(idCol)
       shinglesTable.append(shr)
+      sizesTable.setWriteOrder(idCol)
+      sizesTable.append(s)
+      bandsTable.setWriteOrder("band_no", "bucket")
+      bandsTable.append(b)
     } finally sh.unpersist()
   }
 
@@ -118,9 +121,14 @@ class CorpusDedupIndex(
       .collect().map(_.getString(0)).toSeq
     val idxBands = prunedScan(bandsTable, "bucket", buckets)
       .withColumnRenamed(idCol, "corpus_id")
+    // corpus_id =!= new_id: ids are globally unique in steady state,
+    // but a REPLAYED streaming batch whose admit completed before the
+    // crash sees ITSELF in the index — without the guard every doc
+    // would match itself and come back dup_corpus
     val crossCand = idxBands
       .join(broadcast(newBands.withColumnRenamed(idCol, "new_id")),
         Seq("band_no", "bucket"))
+      .filter(col("corpus_id") =!= col("new_id"))
       .select(col("new_id"), col("corpus_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -168,7 +176,7 @@ class CorpusDedupIndex(
 
     // ---- one row per batch doc (docs with < n tokens have no
     // shingles and no candidates: kept by construction on both engines)
-    batch.select(col(idCol))
+    val decisions = batch.select(col(idCol))
       .join(crossDup.withColumnRenamed("new_id", idCol)
         .withColumn("__dc", lit(1)), Seq(idCol), "left")
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
@@ -178,22 +186,54 @@ class CorpusDedupIndex(
             lit("dup_batch"))
           .otherwise(lit("kept")).as("status"))
       .withColumn("kept", (col("status") === "kept").cast("long"))
+      // materialize BEFORE releasing the intermediates: a daily-ingest
+      // daemon calls dedupBatch per batch, and four leaked persists per
+      // call would accrete until the executor cache thrashes
+      .localCheckpoint()
+    Seq(sh, sig, crossCand, crossDup).foreach(_.unpersist(blocking = false))
+    decisions
   }
 
   /** Append the KEPT docs' index rows, so the next [[dedupBatch]] sees
     * corpus ∪ kept. `decisions` is [[dedupBatch]]'s output for this
-    * same batch; the three appends are each one manifest commit.
+    * same batch; the three appends are each one manifest commit, with
+    * the bands table LAST — candidates come only from bands, so a doc
+    * is never visible to matching before its verify-side rows
+    * (shingles, sizes) are durable.
     */
-  def admit(batch: DataFrame, decisions: DataFrame): Unit = {
+  def admit(batch: DataFrame, decisions: DataFrame): Unit =
+    admitImpl(batch, decisions, None)
+
+  /** [[admit]] guarded by a per-table micro-batch watermark (the
+    * [[graft.streaming.Streams.incrementalAppendSink]] idea): each
+    * index table commits with operation `dedup_admit[batch=N]` and a
+    * replayed batch skips every table whose newest admit watermark
+    * already covers N. Combined with the bands-last commit order and
+    * [[dedupBatch]]'s self-match guard, a crash at ANY point of the
+    * admit sequence replays to exactly-once index contents.
+    */
+  def admitIdempotent(batch: DataFrame, decisions: DataFrame,
+      batchId: Long): Unit =
+    admitImpl(batch, decisions, Some(batchId))
+
+  private def admitImpl(batch: DataFrame, decisions: DataFrame,
+      batchId: Option[Long]): Unit = {
     val keptIds = decisions.filter(col("kept") === 1L).select(idCol)
     val keptDocs = batch.join(broadcast(keptIds), Seq(idCol), "left_semi")
     val sh = Shingles.shingleHashes(keptDocs, idCol, textCol, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val (b, s, shr) = indexRows(sh)
-      bandsTable.append(b)
-      sizesTable.append(s)
-      shinglesTable.append(shr)
+      def commit(t: IncrementalTable, rows: DataFrame): Unit = batchId match {
+        case None => t.append(rows)
+        case Some(id) =>
+          if (!CorpusDedupIndex.admitWatermark(t).exists(id <= _))
+            t.commitFiles(t.stage(t.orderForWrite(rows)), Set.empty,
+              s"dedup_admit[batch=$id]", schema = Some(rows.schema))
+      }
+      commit(shinglesTable, shr)
+      commit(sizesTable, s)
+      commit(bandsTable, b)
     } finally sh.unpersist()
   }
 }
@@ -205,4 +245,21 @@ object CorpusDedupIndex {
     * the (narrow) index table.
     */
   val MaxKeysInPredicate = 256
+
+  private val AdmitOp = """dedup_admit\[batch=(\d+)\]""".r
+
+  /** Newest `dedup_admit` micro-batch id committed to `t` — the
+    * [[graft.streaming.Streams.incrementalAppendSink]] watermark scan:
+    * newest→oldest, stop at the first admit commit or the first
+    * vacuumed manifest. Admits commit in increasing batch-id order, so
+    * the first hit is the high watermark.
+    */
+  private[graft] def admitWatermark(
+      t: IncrementalTable): Option[Long] =
+    t.latestVersion.flatMap { latest =>
+      (latest to 0L by -1).iterator
+        .takeWhile(t.versionExists)
+        .map(t.operationAt)
+        .collectFirst { case AdmitOp(id) => id.toLong }
+    }
 }

@@ -1222,6 +1222,14 @@ final class IncrementalTable(
       meta = Map("writeorder" -> phys.mkString(";")))
   }
 
+  /** [[applyWriteOrder]] for callers that stage + commit manually with
+    * a custom operation tag (idempotent streaming sinks) — without
+    * this, their files skip the declared clustering and are born
+    * unprunable.
+    */
+  private[graft] def orderForWrite(df: DataFrame): DataFrame =
+    applyWriteOrder(df)
+
   /** Range-cluster `df` (a LOGICAL frame) per the declared write order;
     * identity when unset or when the frame lacks an order column (e.g.
     * internal helper frames).

@@ -57,6 +57,12 @@ object GraftMaintenanceSql {
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(.+?)\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(.+?)\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""".r
   private val RefreshMView =
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(.+?)\s*;?\s*$""".r
+  // Delta's predicate-scoped insert-overwrite. The predicate is the
+  // non-greedy span before the first SELECT, so it must not itself
+  // contain a subquery — Delta's replaceWhere carries the same
+  // deterministic-simple-predicate expectation.
+  private val InsertReplaceWhere =
+    """(?is)^\s*INSERT\s+INTO\s+(.+?)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.+?)\s*;?\s*$""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case Optimize(target, zcols) =>
@@ -87,6 +93,8 @@ object GraftMaintenanceSql {
         selectList.trim, splitTopLevel(groupBy)))
     case RefreshMView(target) =>
       Some(RefreshMaterializedViewGraftCommand(target.trim))
+    case InsertReplaceWhere(target, pred, query) =>
+      Some(InsertReplaceWhereGraftCommand(target.trim, pred.trim, query.trim))
     // RENAME COLUMN / DROP COLUMN are NOT pre-parsed: they are standard
     // Spark SQL, routed to GraftCatalog.alterTable for catalog tables —
     // a pre-parse here would hijack the statement for non-graft tables
@@ -409,6 +417,25 @@ case class CreateMaterializedViewGraftCommand(
     val view = graft.lake.IncrementalView.create(
       spark, src, viewPath, groupCols, aggs)
     Seq(Row(viewPath, view.watermark.getOrElse(-1L)))
+  }
+}
+
+/** `INSERT INTO t REPLACE WHERE <pred> SELECT ...` — Delta's
+  * predicate-scoped insert-overwrite, routed to
+  * [[IncrementalTable.overwriteWhere]]: ONE atomic commit deletes the
+  * predicate's slice and inserts the query result, incoming rows
+  * constrained to the predicate, CDC carrying both sides.
+  */
+case class InsertReplaceWhereGraftCommand(
+    target: String, predSql: String, query: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftMaintenanceSql.incrementalAt(spark, target)
+    val df = spark.sql(query)
+    Seq(Row(t.overwriteWhere(
+      org.apache.spark.sql.functions.expr(predSql), df)))
   }
 }
 

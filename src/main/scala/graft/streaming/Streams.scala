@@ -74,6 +74,42 @@ object Streams {
         s"stream_append[batch=$batchId]", schema = Some(batch.schema))
   }
 
+  /** Exactly-once STREAMING corpus dedup: each micro-batch is deduped
+    * against the persisted [[graft.dedup.CorpusDedupIndex]], its kept
+    * docs admitted, and its per-doc decisions appended to `decisions`
+    * — the continuous-ingest form of the `dedup_incremental` batch arc.
+    *
+    * Idempotence is layered so a crash at ANY point replays cleanly:
+    * the `decisions` table's `stream_dedup[batch=N]` watermark gates
+    * the whole unit; [[graft.dedup.CorpusDedupIndex.admitIdempotent]]
+    * guards each index table separately (bands-last commit order keeps
+    * half-admitted docs invisible to candidate generation); and
+    * `dedupBatch`'s self-match guard keeps a fully-admitted replay
+    * from flagging every doc as its own duplicate. One caveat shared
+    * with [[incrementalAppendSink]]: a replay after full admit may
+    * re-label a `dup_batch` doc as `dup_corpus` (its kept twin is now
+    * in the index) — the KEPT set is unchanged, which is the invariant
+    * downstream consumers key on.
+    */
+  def corpusDedupSink(idx: graft.dedup.CorpusDedupIndex,
+      decisions: graft.lake.IncrementalTable): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val Op = """stream_dedup\[batch=(\d+)\]""".r
+      val wm: Option[Long] = decisions.latestVersion.flatMap { latest =>
+        (latest to 0L by -1).iterator
+          .takeWhile(decisions.versionExists)
+          .map(decisions.operationAt)
+          .collectFirst { case Op(id) => id.toLong }
+      }
+      if (!wm.exists(batchId <= _) && !batch.isEmpty) {
+        val d = idx.dedupBatch(batch)
+        idx.admitIdempotent(batch, d, batchId)
+        val rows = d.withColumn("batch", lit(batchId))
+        decisions.commitFiles(decisions.stage(rows), Set.empty,
+          s"stream_dedup[batch=$batchId]", schema = Some(rows.schema))
+      }
+  }
+
   /** Streaming-maintained MATERIALIZED VIEWS: the exactly-once append
     * of [[incrementalAppendSink]] followed by an affected-key refresh
     * of each downstream [[graft.lake.IncrementalView]], all inside the

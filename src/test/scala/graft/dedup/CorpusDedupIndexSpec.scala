@@ -117,6 +117,60 @@ class CorpusDedupIndexSpec extends AnyFunSuite with SparkSpec {
       s"expected stats pruning to drop files: kept ${pruned.size} of ${all.size}")
   }
 
+  test("streaming sink: decisions accumulate, replay is a no-op") {
+    import graft.lake.IncrementalTable
+    val idx = freshIndex()
+    idx.bootstrap(docs(1L -> baseText))
+    val decDir = Files.createTempDirectory("cdi_dec_").toString + "/d"
+    val dec = new IncrementalTable(spark, decDir)
+    val sink = graft.streaming.Streams.corpusDedupSink(idx, dec)
+
+    sink(docs(10L -> otherText), 0L) // kept + admitted
+    sink(docs(20L -> otherNear), 1L) // dup of the admitted 10
+    val rows = dec.snapshot().select("doc_id", "status", "batch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set((10L, "kept", 0L), (20L, "dup_corpus", 1L)))
+
+    // replay batch 1: decisions and EVERY index table unchanged
+    val decV = dec.latestVersion.get
+    val idxVs = Seq(idx.bandsTable, idx.sizesTable, idx.shinglesTable)
+      .map(_.latestVersion.get)
+    sink(docs(20L -> otherNear), 1L)
+    assert(dec.latestVersion.get === decV)
+    assert(Seq(idx.bandsTable, idx.sizesTable, idx.shinglesTable)
+      .map(_.latestVersion.get) === idxVs)
+  }
+
+  test("replay after full admit but before the decisions commit") {
+    import graft.lake.IncrementalTable
+    val idx = freshIndex()
+    idx.bootstrap(docs(1L -> baseText))
+    val dec = new IncrementalTable(spark,
+      Files.createTempDirectory("cdi_dec_").toString + "/d")
+    val sink = graft.streaming.Streams.corpusDedupSink(idx, dec)
+    val b = docs(10L -> otherText, 11L -> otherNear)
+
+    // crash window: the admit landed, the decisions commit did not
+    val d0 = idx.dedupBatch(b)
+    idx.admitIdempotent(b, d0, 7L)
+    // replayed micro-batch runs the WHOLE unit again
+    sink(b, 7L)
+
+    // exactly one decisions commit; the kept set is unchanged (10 was
+    // kept, 11 a duplicate — its label may shift dup_batch->dup_corpus
+    // now that 10 is indexed, which the sink scaladoc licenses)
+    val rows = dec.snapshot().select("doc_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(10L -> 1L, 11L -> 0L))
+    // no index table holds duplicate rows for the twice-admitted docs
+    val dupSh = idx.shinglesTable.snapshot()
+      .groupBy("doc_id", "h").count().filter(col("count") > 1).count()
+    assert(dupSh === 0L)
+    val dupSz = idx.sizesTable.snapshot()
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dupSz === 0L)
+  }
+
   test("incremental over two batches == one-shot dedup over the union") {
     // the equivalence that justifies the index: running batches through
     // the index yields the same kept-set as a full nearDuplicates +

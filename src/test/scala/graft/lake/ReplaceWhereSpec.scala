@@ -121,6 +121,23 @@ class ReplaceWhereSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("overwrite"))
   }
 
+  test("SQL: INSERT INTO t REPLACE WHERE pred SELECT ...") {
+    val t = fresh()
+    t.append(df((1L, "a", 1.0), (2L, "b", 2.0)))
+    val out = spark.sql(
+      s"INSERT INTO '${t.path}' REPLACE WHERE tag = 'a' " +
+        "SELECT CAST(9 AS BIGINT) AS id, 'a' AS tag, CAST(9.0 AS DOUBLE) AS score").head
+    assert(out.getLong(0) === 1L) // the committed version
+    assert(t.operationAt(1L) === "replaceWhere")
+    assert(state(t) === Set((9L, "a", 9.0), (2L, "b", 2.0)))
+    // a plain INSERT INTO (no REPLACE WHERE) is NOT hijacked: the
+    // statement routes to Spark's normal path and fails on the quoted
+    // non-catalog target rather than replacing anything
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO not_a_graft_table VALUES (1)")
+    }
+  }
+
   test("stale deletion vectors fail the commit loudly (DV conflict rule)") {
     val t = fresh()
     t.append(df((1L, "a", 1.0), (2L, "a", 2.0)))
