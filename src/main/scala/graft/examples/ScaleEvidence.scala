@@ -198,6 +198,45 @@ object ScaleEvidence {
         f""""view_files":[${m.viewFilesRewritten},${m.viewFilesTotal}]}""")
     }
 
+    /** Experiment 4: INCREMENTAL dedup cost vs corpus size. Bootstrap
+      * the persistent LSH index on the 1×/10× corpus, then dedup a
+      * CONSTANT-size batch (250 near-dups of corpus docs + 250 fresh)
+      * against each. The batch cost should stay ~flat — candidate
+      * generation broadcasts the batch against the narrow bands table
+      * and verification reads candidate-pruned shingle files — while
+      * the one-time bootstrap grows with the corpus. An engine that
+      * re-deduped corpus ∪ batch would scale with the corpus instead.
+      */
+    def incDedupExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      import spark.implicits._
+      val dir = s"$base/x$k"
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val idx = new graft.dedup.CorpusDedupIndex(spark, s"$base/incidx_x$k",
+        "doc_id", "text", n = 3, k = 8, bands = 4, num = 3, den = 10)
+      val tB = System.nanoTime()
+      idx.bootstrap(docs)
+      val buildS = (System.nanoTime() - tB) / 1e9
+      val nCorpus = 5000L * k
+      val batch = spark.range(500L).map { i =>
+        val nid = nCorpus + i
+        if (i % 2 == 0) { // near-dup of corpus doc i/2 (one token edited)
+          val t = baseTokens(42L, i / 2).clone()
+          t(0) = "edited"
+          (nid, t.mkString(" "))
+        } else (nid, baseTokens(4242L, i).mkString(" ")) // fresh text
+      }.toDF("doc_id", "text")
+      var dec: DataFrame = null
+      val (rows, secs, rd, wr) = measured {
+        dec = idx.dedupBatch(batch); dec.count()
+      }
+      val dupCorpus = dec.filter(col("status") === "dup_corpus").count()
+      println(f"""{"scale":$k,"experiment":"inc_dedup","corpus":$nCorpus,""" +
+        f""""bootstrap_s":$buildS%.2f,"batch_rows":$rows,""" +
+        f""""batch_dedup_s":$secs%.2f,"dup_corpus":$dupCorpus,""" +
+        f""""batch_shuffle_rw_mb":[${rd / 1e6}%.1f,${wr / 1e6}%.1f]}""")
+    }
+
     val base = java.nio.file.Files.createTempDirectory("scale_evidence")
     // JIT/codegen warmup on a throwaway corpus: without it the 1× cold
     // time absorbs ~7 s of first-in-JVM compilation and the 1×/10×
@@ -222,6 +261,7 @@ object ScaleEvidence {
       }
     }
     scales.foreach(k => viewExperiment(base, k))
+    scales.foreach(k => incDedupExperiment(base, k))
     spark.stop()
   }
 }

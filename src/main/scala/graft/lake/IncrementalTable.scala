@@ -2035,8 +2035,15 @@ final class IncrementalTable(
     */
   private def rewriteHead(v: Long, df: DataFrame, operation: String): Long = {
     val added = stage(df)
+    // datachange=false (Delta's dataChange flag, commit-granular): this
+    // rewrite REARRANGES rows without changing the table's logical
+    // content, so the change feed and streaming readers skip the
+    // version instead of failing (or worse, re-delivering) — the flag
+    // that keeps routine compaction from forcing every downstream view
+    // to a full recompute and every stream to ignoreChanges
     commitFiles(added, files(v).toSet, operation, schema = Some(df.schema),
-      readVersion = Some(v), dropMeta = Set("dv"))
+      readVersion = Some(v), dropMeta = Set("dv"),
+      meta = Map("datachange" -> "false"))
   }
 
   /** Rewrite every file under the current LOGICAL column names and
@@ -2087,7 +2094,9 @@ final class IncrementalTable(
         // the tracked schema RESETS to the logical shape (a merge would
         // keep both the old physical and the new logical name)
         writeManifest(v, "materialize column mapping", added,
-          keep ++ bloomKeep ++ orderKeep + ("schema" -> writeSchemaBlob(df.schema)))
+          keep ++ bloomKeep ++ orderKeep +
+            ("schema" -> writeSchemaBlob(df.schema)) +
+            ("datachange" -> "false")) // renames bytes, not rows
         return v
       } catch {
         case e: CommitConflictException =>
@@ -2130,9 +2139,14 @@ final class IncrementalTable(
     *    as CDC SIDECAR FILES under `_change_data/<nonce>/` BEFORE the
     *    manifest publish; the manifest's `cdc` meta pointer flips
     *    atomically with the file list, so the feed and the data can
-    *    never disagree. Versions that rewrite files WITHOUT a cdc
-    *    pointer (compact, overwrite, legacy merges) still fail loudly
-    *    — their row-level changes are unknowable after the fact.
+    *    never disagree.
+    *  - Content-preserving maintenance (compact / compactSmall /
+    *    cluster / z-order / column-mapping materialization) commits
+    *    with `datachange=false` (Delta's dataChange flag) and is
+    *    SKIPPED: no rows changed, so the feed stays incremental across
+    *    routine OPTIMIZE cadence. Versions that rewrite files without
+    *    either marker (overwrite, legacy merges) still fail loudly —
+    *    their row-level changes are unknowable after the fact.
     *
     * Cost is O(changed rows): per version two manifest reads, then only
     * added files / sidecar files are scanned — the table's size never
@@ -2160,12 +2174,21 @@ final class IncrementalTable(
       // slip its raw files into the feed ungated
       checkReaderFeatures(v)
       val now = files(v)
-      val cdc = metaAt(v).get("cdc")
+      val meta = metaAt(v)
+      val cdc = meta.get("cdc")
+      // datachange=false = content-preserving maintenance (compact,
+      // cluster, z-order, column-mapping materialization): the version
+      // rearranges files but changes no rows — contribute NOTHING to
+      // the feed (its added files are rewrites, not inserts)
+      if (meta.get("datachange").contains("false")) {
+        prev = now.toSet
+        None
+      } else {
       val removed = prev -- now
       if (removed.nonEmpty && cdc.isEmpty)
         throw new IllegalStateException(
           s"changes($fromV, $toV) of $path: version $v rewrites " +
-            s"${removed.size} file(s) (compact/overwrite/legacy merge) " +
+            s"${removed.size} file(s) (overwrite/legacy merge) " +
             "without change-data files — row-level changes are unknowable")
       val added = now.filterNot(prev)
       prev = now.toSet
@@ -2181,6 +2204,7 @@ final class IncrementalTable(
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
         case None => None
+      }
       }
     }
     frames.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
@@ -2891,7 +2915,8 @@ final class IncrementalTable(
       stage(slice.repartition(bins), dir)
     }
     commitFiles(added, byDir.values.flatten.map(_._1).toSet,
-      s"compact-small[<${minFileBytes >> 20}MiB]", readVersion = Some(v))
+      s"compact-small[<${minFileBytes >> 20}MiB]", readVersion = Some(v),
+      meta = Map("datachange" -> "false"))
   }
 
   /** INCREMENTAL clustering (the liquid-clustering idea): z-order ONLY
@@ -2925,7 +2950,7 @@ final class IncrementalTable(
         val arranged = zArrange(subset, targetFiles, bits, equiDepth = false, cols)
         val added = stage(arranged)
         commitFiles(added, fresh.toSet, s"zorder-inc[${cols.mkString(",")}]",
-          readVersion = Some(v))
+          readVersion = Some(v), meta = Map("datachange" -> "false"))
     }
   }
 

@@ -191,24 +191,51 @@ private[sources] final class GraftMicroBatchStream(
       }
     val nowFiles = table.files(to)
     val removed = prevFiles -- nowFiles
-    if (removed.nonEmpty && !info.ignoreChanges)
-      throw new IllegalStateException(
-        s"graft stream: versions ${from + 1}..$to of ${info.path} " +
-          s"rewrite ${removed.size} file(s) (compact/overwrite/merge). " +
-          "Streaming reads require append-only commits; set " +
-          "ignoreChanges=true to stream the rewritten files as re-deliveries.")
-    // a deletion-vector commit removes rows without removing files —
-    // the append stream can't represent it, so the same loud contract
-    // applies (any DV change mints a fresh pointer nonce, making the
-    // two-manifest comparison sufficient)
     val dvBefore = if (from < 0) None else table.metaAt(from).get("dv")
-    if (table.metaAt(to).get("dv") != dvBefore && !info.ignoreChanges)
-      throw new IllegalStateException(
+    val dvChanged = table.metaAt(to).get("dv") != dvBefore
+    // A rewrite or deletion-vector move inside the range: attribute it
+    // per version. Content-preserving maintenance (datachange=false —
+    // compact/cluster/z-order/materialize; it may remove files and
+    // CLEAR the dv pointer, never add vectors) is skipped and its
+    // added files are NOT delivered — rows arrive exactly once,
+    // maintenance invisible (Delta streams skip dataChange=false files
+    // the same way). A data-changing rewrite or a real DV commit keeps
+    // the loud append-only contract. The walk needs every manifest in
+    // the range; a vacuumed one falls back to the loud failure.
+    if ((removed.nonEmpty || dvChanged) && !info.ignoreChanges) {
+      def failRewrite(): Nothing = throw new IllegalStateException(
+        s"graft stream: versions ${from + 1}..$to of ${info.path} " +
+          s"rewrite file(s) (overwrite/merge, or a maintenance manifest " +
+          "was vacuumed). Streaming reads require append-only or " +
+          "datachange=false commits; set ignoreChanges=true to stream " +
+          "the rewritten files as re-deliveries.")
+      def failDv(): Nothing = throw new IllegalStateException(
         s"graft stream: versions ${from + 1}..$to of ${info.path} change " +
           "deletion vectors (merge-on-read DELETE). The append stream " +
           "cannot deliver deletes; use changes() for a CDC feed, or set " +
           "ignoreChanges=true to stream inserts only.")
-    val added = nowFiles.filterNot(prevFiles).sorted
+      if (!((from + 1) to to).forall(table.versionExists)) failRewrite()
+      var prev = prevFiles
+      var dv = dvBefore
+      val dataAdded = Seq.newBuilder[String]
+      ((from + 1) to to).foreach { v =>
+        val now = table.files(v)
+        val meta = table.metaAt(v)
+        val noData = meta.get("datachange").contains("false")
+        if (!noData) {
+          if ((prev -- now).nonEmpty) failRewrite()
+          if (meta.get("dv") != dv) failDv()
+          dataAdded ++= now.filterNot(prev)
+        }
+        prev = now.toSet
+        dv = meta.get("dv")
+      }
+      return planFilePartitions(dataAdded.result().sorted)
+    }
+    planFilePartitions(nowFiles.filterNot(prevFiles).sorted)
+  }
+
+  private def planFilePartitions(added: Seq[String]): Array[InputPartition] = {
     val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     added.zipWithIndex.map { case (f, i) =>
       val p = table.dataPath(f)
@@ -253,13 +280,19 @@ private[sources] final class GraftMicroBatchStream(
         s"graft CDC stream: version $v was vacuumed from ${info.path} — " +
           "the per-version change feed is gone; restart from a fresh checkpoint")
       val now = table.files(v)
-      val cdc = table.metaAt(v).get("cdc")
+      val meta = table.metaAt(v)
+      val cdc = meta.get("cdc")
+      if (meta.get("datachange").contains("false")) {
+        // content-preserving maintenance: no rows changed, nothing to
+        // feed (its added files are rewrites, not inserts)
+        prev = now.toSet
+      } else {
       val removed = prev -- now
       if (removed.nonEmpty && cdc.isEmpty)
         throw new IllegalStateException(
           s"graft CDC stream: version $v of ${info.path} rewrites " +
             s"${removed.size} file(s) without change-data files " +
-            "(compact/overwrite/legacy merge) — row-level changes are unknowable")
+            "(overwrite/legacy merge) — row-level changes are unknowable")
       cdc match {
         case Some(nonce) =>
           val dir = new Path(info.path, s"_change_data/$nonce")
@@ -272,6 +305,7 @@ private[sources] final class GraftMicroBatchStream(
             .foreach(f => add(table.dataPath(f), v, fillInsert = true))
       }
       prev = now.toSet
+      }
     }
     parts.result().toArray
   }

@@ -42,16 +42,31 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
     assert(t.changes(2L, 2L).count() === 0L)
   }
 
-  test("a rewriting commit in the range fails loudly") {
+  test("compaction in the range is skipped (datachange=false)") {
     val t = fresh()
     t.append(df((1L, "a")))
     t.append(df((2L, "b")))
-    t.compact(targetFiles = 1) // v2 rewrites v0+v1's files
-    val err = intercept[IllegalStateException](t.changes(0L, 2L).collect())
+    t.compact(targetFiles = 1) // v2 rewrites v0+v1's files, rows unchanged
+    t.append(df((3L, "c")))    // v3: real data change after the rewrite
+    // the feed spans the compaction without failing OR re-delivering:
+    // the compacted files never appear as inserts
+    val rows = t.changes(0L, 3L)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set((2L, "insert", 1L), (3L, "insert", 3L)))
+    assert(t.changes(-1L, 3L).count() === 3L)
+  }
+
+  test("a CDC-less data-changing rewrite in the range fails loudly") {
+    import spark.implicits._
+    val t = fresh()
+    t.append(df((1L, "a")))
+    t.writeSnapshot(Seq((9L, "z")).toDF("id", "tag"), operation = "overwrite")
+    val err = intercept[IllegalStateException](t.changes(-1L, 1L).collect())
     assert(err.getMessage.contains("without change-data files"))
     // a range that stops before the rewrite still works
-    assert(t.changes(0L, 1L).select("id").collect().map(_.getLong(0)).toSeq
-      === Seq(2L))
+    assert(t.changes(-1L, 0L).select("id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
   }
 
   test("schema evolution across the range null-fills older versions") {

@@ -315,7 +315,7 @@ class IncrementalScdTableSpec extends AnyFunSuite with SparkSpec {
     assert(v1.length === 4)
     // full-range feed unions both versions
     assert(t.table.changes(-1L, 1L).count() === 6L)
-    // without the flag, the same rewrite is untraversable (round-3
-    // contract, unchanged): pinned by ChangeFeedSpec's compact test
+    // a CDC-less DATA-CHANGING rewrite stays untraversable (while
+    // datachange=false maintenance is skipped): ChangeFeedSpec pins both
   }
 }

@@ -146,14 +146,33 @@ class IncrementalViewSpec extends AnyFunSuite with SparkSpec {
     assert(m.viewFilesRewritten === m.viewFilesTotal)   // ...by design
   }
 
-  test("source compaction in the range degrades to a correct full " +
-    "refresh") {
+  test("source compaction in the range stays INCREMENTAL " +
+    "(datachange=false commits are skipped by the feed)") {
     import spark.implicits._
     val src = sourceTable(10, 3)
     val view = IncrementalView.create(spark, src, freshDir() + "/v",
       Seq("k"), Aggs)
     src.append(Seq((3L, 7L)).toDF("k", "v"))
-    src.compact(targetFiles = 1) // rewrite without CDC
+    src.compact(targetFiles = 1) // content-preserving rewrite
+    view.refresh()
+    assert(actual(view) === expected(src))
+    // routine OPTIMIZE must NOT force the O(table) fallback — the
+    // compaction contributes nothing to the change feed, so only the
+    // appended key recomputes
+    assert(view.lastRefresh.map(_.mode) === Some("incremental"))
+    assert(view.lastRefresh.map(_.touchedGroups) === Some(1L))
+  }
+
+  test("a CDC-less DATA-CHANGING rewrite degrades to a correct full " +
+    "refresh") {
+    import spark.implicits._
+    val src = sourceTable(10, 3)
+    val view = IncrementalView.create(spark, src, freshDir() + "/v",
+      Seq("k"), Aggs)
+    // overwrite replaces the whole table without CDC: changes() cannot
+    // attribute it, so the refresh must fall back — slower, never wrong
+    src.writeSnapshot(
+      Seq((1L, 100L), (2L, 200L)).toDF("k", "v"), operation = "overwrite")
     view.refresh()
     assert(actual(view) === expected(src))
     assert(view.lastRefresh.map(_.mode) === Some("full"))

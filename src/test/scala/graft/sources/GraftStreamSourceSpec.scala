@@ -95,7 +95,7 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(out).count() === 4L)
   }
 
-  test("a rewriting commit fails the stream unless ignoreChanges") {
+  test("compaction is invisible to a resuming stream (datachange=false)") {
     import spark.implicits._
     val (t, dir) = freshTable()
     val base = Files.createTempDirectory("graft_stream_rw_").toString
@@ -111,16 +111,36 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpec {
     t.append(Seq((3L, "c")).toDF("id", "tag"))
     t.compact(targetFiles = 1) // removes the checkpointed version's files
 
-    // resuming across the compaction must fail loudly (a cold start
-    // wouldn't — only a checkpointed offset straddling the rewrite)
+    // resuming across the compaction: the appended row arrives exactly
+    // once (from its ORIGINAL file — bytes outlive the manifest until
+    // vacuum); the compacted files are skipped, not re-delivered
+    pass()
+    assert(spark.read.parquet(s"$base/out").as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(spark.read.parquet(s"$base/out").count() === 3L)
+  }
+
+  test("a DATA-CHANGING rewrite fails the stream unless ignoreChanges") {
+    import spark.implicits._
+    val (t, dir) = freshTable()
+    val base = Files.createTempDirectory("graft_stream_rw2_").toString
+    def pass(): Unit = {
+      val q = spark.readStream.format("graft").load(dir)
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); q.stop()
+    }
+    pass() // checkpoint at v0
+    t.writeSnapshot(Seq((9L, "z")).toDF("id", "tag"), operation = "overwrite")
     val err = intercept[Exception](pass())
     assert(err.getMessage != null)
 
-    // ignoreChanges: compacted files re-deliver instead of failing
+    // ignoreChanges: rewritten files deliver as re-deliveries
     val q2 = runToMemory(dir, "w2", Map("ignoreChanges" -> "true"))
     q2.awaitTermination(60000); q2.stop()
     assert(spark.table("w2").as[(Long, String)].collect().toSet ===
-      Set((1L, "a"), (2L, "b"), (3L, "c")))
+      Set((9L, "z")))
   }
 
   test("startingVersion skips history; 'latest' streams only the future") {
@@ -222,6 +242,17 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpec {
       spark.read.format("graft").option("readChangeFeed", "true").load(dir).collect())
     assert(err.getMessage.contains("STREAMING") ||
       Option(err.getCause).exists(_.getMessage.contains("STREAMING")))
+
+    // compaction inside the CDF range is skipped (datachange=false):
+    // the feed crosses it without failing or re-delivering
+    t.compact(targetFiles = 1)                        // v5: no row changes
+    t.append(Seq((7L, "g")).toDF("id", "tag"))        // v6
+    val q3 = runToMemory(dir, "cdf3",
+      Map("readChangeFeed" -> "true", "startingVersion" -> "5"))
+    q3.awaitTermination(60000); q3.stop()
+    val tail = spark.table("cdf3").select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(tail === Set((7L, "insert", 6L)))
   }
 
   test("writeStream.format(graft): exactly-once streaming append sink") {
