@@ -133,7 +133,11 @@ class CorpusDedupIndex(
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- verify cross candidates: exact shingle intersection against
-    // the shingles table, read only for the candidate corpus ids.
+    // the shingles table. File-level pruning when the candidate id set
+    // is small; EITHER way the batch side broadcasts, so the index
+    // tables stream through hash joins and the only shuffle is the
+    // pair-sized count aggregation — measured: batch shuffle stays
+    // edge-sized while the corpus grows 10× (SCALE.md, inc_dedup)
     val candIds = crossCand.select("corpus_id").distinct()
       .limit(CorpusDedupIndex.MaxKeysInPredicate + 1)
       .collect().map(_.get(0)).toSeq
@@ -142,14 +146,13 @@ class CorpusDedupIndex(
     val idxSz = prunedScan(sizesTable, idCol, candIds)
       .withColumnRenamed(idCol, "corpus_id")
       .withColumnRenamed("sz", "corpus_sz")
-    val crossInter = sh.withColumnRenamed(idCol, "new_id")
-      .join(broadcast(crossCand), "new_id")
-      .join(idxSh, Seq("corpus_id", "h"))
+    val newShCand = sh.withColumnRenamed(idCol, "new_id")
+      .join(crossCand, "new_id")
+    val crossInter = idxSh.join(broadcast(newShCand), Seq("corpus_id", "h"))
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("inter_size"))
     val newSizes = sig.select(col(idCol).as("new_id"), col("sz").as("new_sz"))
-    val crossDup = crossInter
-      .join(broadcast(newSizes), "new_id")
-      .join(idxSz, "corpus_id")
+    val crossDup = idxSz
+      .join(broadcast(crossInter.join(newSizes, "new_id")), "corpus_id")
       .filter(lit(den.toLong) * col("inter_size") >=
         lit(num.toLong) * (col("new_sz") + col("corpus_sz") - col("inter_size")))
       .select(col("new_id")).distinct()
