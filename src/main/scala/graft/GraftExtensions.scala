@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // org.apache.spark.sql.graftmerge.GraftMergeParser).
     ext.injectParser((_, delegate) =>
       new org.apache.spark.sql.graftmerge.GraftMergeParser(delegate))
+    // Transparent materialized-view routing: aggregates over a graft
+    // source rewrite to a scan of a registered FRESH IncrementalView
+    // (opt-in per view via GraftViewRouting.register; no-op otherwise).
+    ext.injectOptimizerRule(session =>
+      graft.plans.RouteAggregatesToViews(session))
   }
 }
 

@@ -1,0 +1,173 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, KnownNotNull, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.IncrementalView
+
+/** TRANSPARENT MATERIALIZED-VIEW ROUTING — the optimizer half of
+  * [[graft.lake.IncrementalView]]: a `GROUP BY` aggregate over a graft
+  * source table is rewritten to a SCAN of a registered view when the
+  * view is FRESH (its watermark == the source's head version) and its
+  * definition matches the query's shape exactly. At 100 TB this turns
+  * a full-source aggregation into a read of the (orders-of-magnitude
+  * smaller) pre-aggregated table — the serving half of incremental
+  * view maintenance; Databricks/BigQuery/Oracle all pair maintenance
+  * with exactly this rewrite.
+  *
+  * Opt-in per view ([[GraftViewRouting.register]]), conservative by
+  * construction: any mismatch — different group set, an aggregate the
+  * view doesn't carry, a Filter between the aggregate and the scan, a
+  * time-traveled read, a stale watermark, a dtype disagreement — just
+  * leaves the plan untouched. Freshness is checked at OPTIMIZATION
+  * time (one manifest-hint read), so each action sees the view iff it
+  * still reflects the source head at that moment.
+  *
+  * Matching is NAME+SQL-canonical: grouping expressions must be bare
+  * columns equal (case-insensitive) to the view's group set, and each
+  * aggregate output's canonical SQL must equal one of the view's
+  * stored aggregate SQLs after normalization (`count(*)`≡`count(1)`,
+  * case/backtick/whitespace-insensitive). String-level matching can
+  * only FAIL CLOSED: a miss keeps the original plan.
+  */
+object GraftViewRouting {
+
+  private val registry = new ConcurrentHashMap[String, Set[String]]()
+  private val opened = new ConcurrentHashMap[String, IncrementalView]()
+
+  /** Scheme-insensitive path key (file:/tmp/x ≡ /tmp/x). */
+  private[plans] def normalize(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    if (u.getScheme == null || u.getScheme == "file") u.getPath
+    else p.stripSuffix("/")
+  }
+
+  /** Enable routing for the view at `viewPath` (validates it opens). */
+  def register(spark: SparkSession, viewPath: String): Unit = {
+    val v = IncrementalView.open(spark, viewPath)
+    opened.put(viewPath, v)
+    registry.merge(normalize(v.source.path), Set(viewPath), _ ++ _)
+  }
+
+  def unregister(viewPath: String): Unit = {
+    Option(opened.remove(viewPath)).foreach { v =>
+      registry.computeIfPresent(normalize(v.source.path),
+        (_, s) => { val r = s - viewPath; if (r.isEmpty) null else r })
+    }
+  }
+
+  def clear(): Unit = { registry.clear(); opened.clear() }
+
+  private[plans] def isEmpty: Boolean = registry.isEmpty
+
+  private[plans] def viewsFor(srcPath: String): Seq[IncrementalView] =
+    registry.getOrDefault(normalize(srcPath), Set.empty).toSeq.sorted
+      .flatMap(p => Option(opened.get(p)))
+
+  /** Canonical form for agg-SQL comparison; misses only fail closed. */
+  private[plans] def norm(sql: String): String =
+    sql.toLowerCase(java.util.Locale.ROOT)
+      .replace("`", "").replaceAll("\\s+", "")
+      .replace("count(*)", "count(1)")
+}
+
+/** The injected rule (see [[GraftViewRouting]]); runs in the operator-
+  * optimization batch, before DSv2 scan pushdown, so relations are
+  * still [[DataSourceV2Relation]]s carrying their table handles.
+  */
+case class RouteAggregatesToViews(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (GraftViewRouting.isEmpty ||
+      !spark.conf.get("spark.graft.viewRouting.enabled", "true").toBoolean)
+      plan
+    else plan.transformUp {
+      case agg: Aggregate => tryRoute(agg).getOrElse(agg)
+    }
+
+  /** The backing table path of a graft HEAD scan; None for anything
+    * else (non-graft, time travel, column-mapped stubs, intermediate
+    * operators).
+    */
+  private def graftHeadPath(p: LogicalPlan): Option[String] = p match {
+    case SubqueryAlias(_, child) => graftHeadPath(child)
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      graftHeadPath(child)
+    case rel: DataSourceV2Relation =>
+      rel.table match {
+        case w: graft.sources.GraftWritableTable => Some(w.tablePath)
+        case t if t.name().startsWith("graft:") &&
+            rel.options.containsKey("path") &&
+            !rel.options.containsKey("versionAsOf") &&
+            !rel.options.containsKey("timestampAsOf") =>
+          Some(rel.options.get("path"))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def tryRoute(agg: Aggregate): Option[LogicalPlan] = for {
+    srcPath <- graftHeadPath(agg.child)
+    groupNames <- bareGroupNames(agg.groupingExpressions)
+    view <- GraftViewRouting.viewsFor(srcPath).find(v =>
+      v.groupCols.map(_.toLowerCase).toSet == groupNames &&
+        fresh(v))
+    routed <- rewrite(agg, view)
+  } yield routed
+
+  private def bareGroupNames(gs: Seq[Expression]): Option[Set[String]] =
+    if (gs.nonEmpty && gs.forall(_.isInstanceOf[AttributeReference]))
+      Some(gs.map(_.asInstanceOf[AttributeReference].name.toLowerCase).toSet)
+    else None
+
+  private def fresh(v: IncrementalView): Boolean =
+    try v.watermark.isDefined && v.watermark == v.source.latestVersion
+    catch { case _: Exception => false }
+
+  private def rewrite(agg: Aggregate, view: IncrementalView): Option[LogicalPlan] = {
+    // a fresh relation over the view table (the path provider serves
+    // the manifest-resolved parquet; pushdown happens downstream)
+    val provider = new graft.sources.GraftDataSource
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("path", view.table.path))
+    val table =
+      try provider.getTable(provider.inferSchema(opts),
+        provider.inferPartitioning(opts), opts.asCaseSensitiveMap())
+      catch { case _: Exception => return None }
+    val viewRel = DataSourceV2Relation.create(table, None, None, opts)
+    val byName = viewRel.output.map(a => a.name.toLowerCase -> a).toMap
+    val aggSqlToCol: Map[String, String] =
+      view.aggs.map { case (c, s) => GraftViewRouting.norm(s) -> c.toLowerCase }.toMap
+    val groupSet = view.groupCols.map(_.toLowerCase).toSet
+
+    // every output must map to a view column of the SAME data type;
+    // nullability narrows via KnownNotNull (parquet reads everything
+    // nullable, the original aggregate output may not be)
+    def mapped(orig: NamedExpression, viewColName: String): Option[NamedExpression] =
+      byName.get(viewColName).filter(_.dataType == orig.dataType).map { va =>
+        val child = if (!orig.nullable && va.nullable) KnownNotNull(va) else va
+        Alias(child, orig.name)(exprId = orig.exprId)
+      }
+
+    val outs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case a @ Alias(ae: AggregateExpression, _) =>
+        aggSqlToCol.get(GraftViewRouting.norm(ae.sql)).flatMap(mapped(a, _))
+      case a @ Alias(attr: AttributeReference, _)
+          if groupSet(attr.name.toLowerCase) =>
+        mapped(a, attr.name.toLowerCase)
+      case attr: AttributeReference if groupSet(attr.name.toLowerCase) =>
+        mapped(attr, attr.name.toLowerCase)
+      case _ => None
+    }
+    if (outs.exists(_.isEmpty)) None
+    else Some(Project(outs.flatten, viewRel))
+  }
+}

@@ -403,8 +403,8 @@ private[sources] class GraftReadOnlyTable(
   * `DataFrameWriter.save(path)` keeps its pinned v1 SaveMode
   * semantics.
   */
-private[sources] final class GraftWritableTable(
-    ro: GraftReadOnlyTable, tablePath: String)
+private[graft] final class GraftWritableTable(
+    ro: GraftReadOnlyTable, private[graft] val tablePath: String)
   extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 

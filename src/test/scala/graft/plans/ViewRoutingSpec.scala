@@ -1,0 +1,129 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.lake.{IncrementalTable, IncrementalView}
+
+/** Transparent materialized-view routing ([[GraftViewRouting]] +
+  * [[RouteAggregatesToViews]]): a matching GROUP BY over a graft
+  * source scans the registered FRESH view instead of the source;
+  * every mismatch (stale, shape, time travel, filter) fails closed.
+  */
+class ViewRoutingSpec extends AnyFunSuite with SparkSpec
+    with BeforeAndAfterEach {
+
+  override def afterEach(): Unit = GraftViewRouting.clear()
+
+  private def freshPair(): (IncrementalTable, IncrementalView, String) = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("vr_").toString
+    val src = new IncrementalTable(spark, s"$base/src")
+    src.append(Seq((1L, 10L), (1L, 5L), (2L, 7L), (3L, 1L))
+      .toDF("k", "v").coalesce(1))
+    val view = IncrementalView.create(spark, src, s"$base/view",
+      Seq("k"), Seq("cnt" -> "count(*)", "total" -> "sum(v)", "top" -> "max(v)"))
+    (src, view, base)
+  }
+
+  private def srcAgg(src: IncrementalTable): DataFrame =
+    spark.read.format("graft").load(src.path)
+      .groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+
+  private def usesView(df: DataFrame, view: IncrementalView): Boolean =
+    df.queryExecution.optimizedPlan.toString.contains(
+      new java.io.File(view.table.path).getName)
+
+  private def expected = Set((1L, 2L, 15L), (2L, 1L, 7L), (3L, 1L, 1L))
+
+  private def rows(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("a fresh registered view serves the aggregate") {
+    val (src, view, _) = freshPair()
+    GraftViewRouting.register(spark, view.table.path)
+    val q = srcAgg(src)
+    assert(usesView(q, view), q.queryExecution.optimizedPlan.toString)
+    assert(rows(q) === expected)
+    // and the result matches the unrouted plan bit-for-bit
+    spark.conf.set("spark.graft.viewRouting.enabled", "false")
+    try {
+      val raw = srcAgg(src)
+      assert(!usesView(raw, view))
+      assert(rows(raw) === expected)
+    } finally spark.conf.set("spark.graft.viewRouting.enabled", "true")
+  }
+
+  test("unregistered or cleared views never route") {
+    val (src, view, _) = freshPair()
+    assert(!usesView(srcAgg(src), view))
+    GraftViewRouting.register(spark, view.table.path)
+    assert(usesView(srcAgg(src), view))
+    GraftViewRouting.unregister(view.table.path)
+    assert(!usesView(srcAgg(src), view))
+  }
+
+  test("a STALE view is bypassed; refresh re-enables routing") {
+    import spark.implicits._
+    val (src, view, _) = freshPair()
+    GraftViewRouting.register(spark, view.table.path)
+    src.append(Seq((2L, 100L)).toDF("k", "v"))
+    val q = srcAgg(src)
+    assert(!usesView(q, view), "stale view must not serve")
+    assert(rows(q) === Set((1L, 2L, 15L), (2L, 2L, 107L), (3L, 1L, 1L)))
+    view.refresh()
+    val q2 = srcAgg(src)
+    assert(usesView(q2, view))
+    assert(rows(q2) === Set((1L, 2L, 15L), (2L, 2L, 107L), (3L, 1L, 1L)))
+  }
+
+  test("shape mismatches fail closed") {
+    val (src, view, _) = freshPair()
+    GraftViewRouting.register(spark, view.table.path)
+    val df = spark.read.format("graft").load(src.path)
+    // aggregate the view doesn't carry
+    assert(!usesView(df.groupBy("k").agg(avg("v").as("a")), view))
+    // different group set
+    assert(!usesView(df.groupBy("v").agg(count(lit(1)).as("c")), view))
+    // filter between scan and aggregate
+    assert(!usesView(
+      df.filter(col("v") > 3).groupBy("k").agg(count(lit(1)).as("c")), view))
+    // a subset of the view's aggregates still routes
+    assert(usesView(df.groupBy("k").agg(max("v").as("top")), view))
+  }
+
+  test("time-traveled reads never route") {
+    val (src, view, _) = freshPair()
+    GraftViewRouting.register(spark, view.table.path)
+    val tt = spark.read.format("graft")
+      .option("versionAsOf", src.latestVersion.get.toString)
+      .load(src.path)
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    assert(!usesView(tt, view))
+  }
+
+  test("SQL through the catalog routes too") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("vr_cat_").toString
+    spark.sql(s"DROP TABLE IF EXISTS vrcat.t")
+    spark.conf.set("spark.sql.catalog.vrcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vrcat.warehouse", wh)
+    val srcPath = s"$wh/t"
+    val src = new IncrementalTable(spark, srcPath)
+    src.append(Seq((1L, 10L), (2L, 7L)).toDF("k", "v").coalesce(1))
+    val view = IncrementalView.create(spark, src, s"$wh/t_view",
+      Seq("k"), Seq("cnt" -> "count(*)"))
+    GraftViewRouting.register(spark, view.table.path)
+    val q = spark.sql("SELECT k, count(*) AS cnt FROM vrcat.t GROUP BY k")
+    assert(usesView(q, view), q.queryExecution.optimizedPlan.toString)
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 1L), (2L, 1L)))
+  }
+}
