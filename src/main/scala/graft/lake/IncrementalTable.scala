@@ -2919,6 +2919,37 @@ final class IncrementalTable(
       meta = Map("datachange" -> "false"))
   }
 
+  /** Predicate-scoped compaction (Delta's `OPTIMIZE ... WHERE`,
+    * generalized from partition predicates to stats predicates):
+    * rewrite into `targetFiles` ONLY the files whose stats admit a
+    * `pred` match — the hot-slice maintenance move at 100 TB, where
+    * yesterday's partition needs compacting and the other 99.9 % of
+    * the table must not be touched. Grouped per partition
+    * subdirectory (bucketed layouts keep their pruning); files
+    * without stats conservatively count as matching. Content-
+    * preserving: commits `datachange=false`, so feeds and streams
+    * skip it. Returns the current version when fewer than two files
+    * qualify (nothing to merge).
+    */
+  def compactWhere(pred: Column, targetFiles: Int = 1): Long = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty table $path"))
+    val cand = prunedFiles(files(v), Seq(pred))
+      .filterNot(_.startsWith("ext:"))
+    def dirOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val byDir = cand.groupBy(dirOf).filter(_._2.size >= 2)
+    if (byDir.isEmpty) return v
+    val added = byDir.toSeq.sortBy(_._1).flatMap { case (dir, members) =>
+      val slice = snapshotOfFiles(v, members.toSet).get // DV-applied, logical
+      stage(slice.repartition(targetFiles), dir)
+    }
+    commitFiles(added, byDir.values.flatten.toSet, "compact-where",
+      readVersion = Some(v), meta = Map("datachange" -> "false"))
+  }
+
   /** INCREMENTAL clustering (the liquid-clustering idea): z-order ONLY
     * the files added since the last clustering commit, leaving already-
     * clustered files untouched. `clusterZ` is O(table) every time —

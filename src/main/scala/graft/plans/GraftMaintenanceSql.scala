@@ -35,6 +35,8 @@ object GraftMaintenanceSql {
 
   private val Optimize =
     """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+  private val OptimizeWhere =
+    """(?is)^\s*OPTIMIZE\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val Vacuum =
     """(?is)^\s*VACUUM\s+(.+?)(?:\s+KEEP\s+(\d+)\s+VERSIONS|\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val History =
@@ -65,6 +67,9 @@ object GraftMaintenanceSql {
     """(?is)^\s*INSERT\s+INTO\s+(.+?)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.+?)\s*;?\s*$""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    // before Optimize: its non-greedy target would swallow "t WHERE p"
+    case OptimizeWhere(target, pred) =>
+      Some(OptimizeWhereGraftCommand(target.trim, pred.trim))
     case Optimize(target, zcols) =>
       Some(OptimizeGraftCommand(target.trim,
         Option(zcols).map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)))
@@ -417,6 +422,28 @@ case class CreateMaterializedViewGraftCommand(
     val view = graft.lake.IncrementalView.create(
       spark, src, viewPath, groupCols, aggs)
     Seq(Row(viewPath, view.watermark.getOrElse(-1L)))
+  }
+}
+
+/** `OPTIMIZE t WHERE <pred>` — predicate-scoped compaction
+  * ([[IncrementalTable.compactWhere]]): only files whose stats admit a
+  * match are rewritten; commits `datachange=false` so feeds/streams
+  * skip it. Delta's partition-predicate OPTIMIZE, generalized to any
+  * stats-prunable predicate.
+  */
+case class OptimizeWhereGraftCommand(target: String, predSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("files_rewritten", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftMaintenanceSql.incrementalAt(spark, target)
+    val before = t.latestVersion.map(v => t.files(v).toSet).getOrElse(Set.empty)
+    val v = t.compactWhere(
+      org.apache.spark.sql.functions.expr(predSql),
+      targetFiles = spark.conf.getOption("graft.optimize.targetFiles")
+        .map(_.toInt).getOrElse(1))
+    Seq(Row(v, (before -- t.files(v).toSet).size))
   }
 }
 

@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, KnownNotNull, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -24,9 +24,11 @@ import graft.lake.IncrementalView
   *
   * Opt-in per view ([[GraftViewRouting.register]]), conservative by
   * construction: any mismatch — different group set, an aggregate the
-  * view doesn't carry, a Filter between the aggregate and the scan, a
-  * time-traveled read, a stale watermark, a dtype disagreement — just
-  * leaves the plan untouched. Freshness is checked at OPTIMIZATION
+  * view doesn't carry, a Filter touching non-group columns (a filter
+  * on GROUP columns only routes, re-targeted at the view's key
+  * columns — aggregate-after-filter ≡ filter-after-aggregate there),
+  * a time-traveled read, a stale watermark, a dtype disagreement —
+  * just leaves the plan untouched. Freshness is checked at OPTIMIZATION
   * time (one manifest-hint read), so each action sees the view iff it
   * still reflects the source head at that moment.
   *
@@ -93,34 +95,43 @@ case class RouteAggregatesToViews(spark: SparkSession)
       case agg: Aggregate => tryRoute(agg).getOrElse(agg)
     }
 
-  /** The backing table path of a graft HEAD scan; None for anything
+  /** The backing table path of a graft HEAD scan, plus any Filter
+    * conditions found on the way down (conjoined); None for anything
     * else (non-graft, time travel, column-mapped stubs, intermediate
     * operators).
     */
-  private def graftHeadPath(p: LogicalPlan): Option[String] = p match {
-    case SubqueryAlias(_, child) => graftHeadPath(child)
-    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      graftHeadPath(child)
-    case rel: DataSourceV2Relation =>
-      rel.table match {
-        case w: graft.sources.GraftWritableTable => Some(w.tablePath)
-        case t if t.name().startsWith("graft:") &&
-            rel.options.containsKey("path") &&
-            !rel.options.containsKey("versionAsOf") &&
-            !rel.options.containsKey("timestampAsOf") =>
-          Some(rel.options.get("path"))
-        case _ => None
-      }
-    case _ => None
-  }
+  private def graftHeadPath(p: LogicalPlan): Option[(String, Seq[Expression])] =
+    p match {
+      case SubqueryAlias(_, child) => graftHeadPath(child)
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        graftHeadPath(child)
+      case Filter(cond, child) =>
+        graftHeadPath(child).map { case (path, fs) => (path, cond +: fs) }
+      case rel: DataSourceV2Relation =>
+        rel.table match {
+          case w: graft.sources.GraftWritableTable => Some((w.tablePath, Nil))
+          case t if t.name().startsWith("graft:") &&
+              rel.options.containsKey("path") &&
+              !rel.options.containsKey("versionAsOf") &&
+              !rel.options.containsKey("timestampAsOf") =>
+            Some((rel.options.get("path"), Nil))
+          case _ => None
+        }
+      case _ => None
+    }
 
   private def tryRoute(agg: Aggregate): Option[LogicalPlan] = for {
-    srcPath <- graftHeadPath(agg.child)
+    pathAndFilters <- graftHeadPath(agg.child)
+    (srcPath, filters) = pathAndFilters
     groupNames <- bareGroupNames(agg.groupingExpressions)
+    // a filter is routable iff it touches GROUP columns only: then
+    // aggregate-after-filter ≡ filter-after-aggregate on the view
+    if filters.forall(_.references.forall(a =>
+      groupNames(a.name.toLowerCase)))
     view <- GraftViewRouting.viewsFor(srcPath).find(v =>
       v.groupCols.map(_.toLowerCase).toSet == groupNames &&
         fresh(v))
-    routed <- rewrite(agg, view)
+    routed <- rewrite(agg, view, filters)
   } yield routed
 
   private def bareGroupNames(gs: Seq[Expression]): Option[Set[String]] =
@@ -132,7 +143,8 @@ case class RouteAggregatesToViews(spark: SparkSession)
     try v.watermark.isDefined && v.watermark == v.source.latestVersion
     catch { case _: Exception => false }
 
-  private def rewrite(agg: Aggregate, view: IncrementalView): Option[LogicalPlan] = {
+  private def rewrite(agg: Aggregate, view: IncrementalView,
+      filters: Seq[Expression]): Option[LogicalPlan] = {
     // a fresh relation over the view table (the path provider serves
     // the manifest-resolved parquet; pushdown happens downstream)
     val provider = new graft.sources.GraftDataSource
@@ -167,7 +179,24 @@ case class RouteAggregatesToViews(spark: SparkSession)
         mapped(attr, attr.name.toLowerCase)
       case _ => None
     }
-    if (outs.exists(_.isEmpty)) None
-    else Some(Project(outs.flatten, viewRel))
+    if (outs.exists(_.isEmpty)) return None
+    // group-column filters re-target the view's columns by name (their
+    // dtypes are the source's — the view stores the keys verbatim)
+    val remapped: Seq[Option[Expression]] = filters.map { f =>
+      var ok = true
+      val r = f.transform {
+        case a: AttributeReference =>
+          byName.get(a.name.toLowerCase)
+            .filter(_.dataType == a.dataType)
+            .getOrElse { ok = false; a }
+      }
+      if (ok) Some(r) else None
+    }
+    if (remapped.exists(_.isEmpty)) None
+    else {
+      val base = remapped.flatten
+        .foldLeft(viewRel: LogicalPlan)((p, c) => Filter(c, p))
+      Some(Project(outs.flatten, base))
+    }
   }
 }

@@ -56,6 +56,48 @@ class IncrementalMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(t.snapshot().filter(col("k") === "__bucket=0-1").count() === 0)
   }
 
+  test("compactWhere rewrites only the files whose stats admit a match") {
+    val t = fresh()
+    import spark.implicits._
+    // key-clustered appends: four files with disjoint id ranges
+    (0 until 4).foreach { b =>
+      t.append((0 until 50).map(i => (b * 1000L + i, s"r$i"))
+        .toDF("id", "tag").coalesce(1))
+    }
+    val v0 = t.latestVersion.get
+    val all = t.files(v0)
+    assert(all.size === 4)
+    val hot = all.filter(f =>
+      t.prunedFiles(Seq(f), Seq(col("id") < 1100L)).nonEmpty)
+    assert(hot.size === 2, s"two files cover ids < 1100: $hot")
+
+    val before = t.snapshot().count()
+    val v = t.compactWhere(col("id") < 1100L)
+    val now = t.files(v).toSet
+    // the two cold files carried forward untouched; the hot two merged
+    assert((all.toSet -- hot).subsetOf(now))
+    assert(now.size === 3)
+    assert(t.snapshot().count() === before)
+    assert(t.operationAt(v) === "compact-where")
+    // content-preserving: the change feed crosses it
+    assert(t.changes(-1L, v).count() === before)
+    // fewer than two matching files -> no-op
+    assert(t.compactWhere(col("id") < 0L) === v)
+  }
+
+  test("SQL: OPTIMIZE t WHERE pred") {
+    val t = fresh()
+    import spark.implicits._
+    (0 until 3).foreach { b =>
+      t.append((0 until 20).map(i => (b * 100L + i, i.toDouble))
+        .toDF("id", "x").coalesce(1))
+    }
+    val r = spark.sql(s"OPTIMIZE '${t.path}' WHERE id < 150").head
+    assert(r.getInt(1) === 2, "two files cover ids < 150")
+    assert(t.operationAt(r.getLong(0)) === "compact-where")
+    assert(t.snapshot().count() === 60L)
+  }
+
   test("clusterZIncremental rewrites only post-baseline files") {
     val t = fresh()
     import spark.implicits._

@@ -91,11 +91,21 @@ class ViewRoutingSpec extends AnyFunSuite with SparkSpec
     assert(!usesView(df.groupBy("k").agg(avg("v").as("a")), view))
     // different group set
     assert(!usesView(df.groupBy("v").agg(count(lit(1)).as("c")), view))
-    // filter between scan and aggregate
+    // filter on a NON-group column between scan and aggregate
     assert(!usesView(
       df.filter(col("v") > 3).groupBy("k").agg(count(lit(1)).as("c")), view))
     // a subset of the view's aggregates still routes
     assert(usesView(df.groupBy("k").agg(max("v").as("top")), view))
+  }
+
+  test("a filter on GROUP columns routes, re-targeted at the view") {
+    val (src, view, _) = freshPair()
+    GraftViewRouting.register(spark, view.table.path)
+    val q = spark.read.format("graft").load(src.path)
+      .filter(col("k") < 3L)
+      .groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+    assert(usesView(q, view), q.queryExecution.optimizedPlan.toString)
+    assert(rows(q) === Set((1L, 2L, 15L), (2L, 1L, 7L)))
   }
 
   test("time-traveled reads never route") {
