@@ -124,14 +124,25 @@ case class RouteAggregatesToViews(spark: SparkSession)
     pathAndFilters <- graftHeadPath(agg.child)
     (srcPath, filters) = pathAndFilters
     groupNames <- bareGroupNames(agg.groupingExpressions)
-    // a filter is routable iff it touches GROUP columns only: then
-    // aggregate-after-filter ≡ filter-after-aggregate on the view
-    if filters.forall(_.references.forall(a =>
-      groupNames(a.name.toLowerCase)))
-    view <- GraftViewRouting.viewsFor(srcPath).find(v =>
-      v.groupCols.map(_.toLowerCase).toSet == groupNames &&
-        fresh(v))
-    routed <- rewrite(agg, view, filters)
+    routed <- {
+      // prefer an exact-group view (plain projection) over a rollup
+      // re-aggregation over a finer-grained one
+      val (exact, finer) = GraftViewRouting.viewsFor(srcPath)
+        .filter(fresh)
+        .map(v => v -> v.groupCols.map(_.toLowerCase).toSet)
+        // a filter is routable iff it touches VIEW group columns only:
+        // then aggregate-after-filter ≡ filter-after-aggregate there
+        .filter { case (_, vg) =>
+          filters.forall(_.references.forall(a => vg(a.name.toLowerCase)))
+        }
+        .partition { case (_, vg) => vg == groupNames }
+      exact.view.flatMap { case (v, _) => rewrite(agg, v, filters) }
+        .headOption
+        .orElse(finer.view
+          .filter { case (_, vg) => groupNames.subsetOf(vg) }
+          .flatMap { case (v, _) => rewriteRollup(agg, v, filters) }
+          .headOption)
+    }
   } yield routed
 
   private def bareGroupNames(gs: Seq[Expression]): Option[Set[String]] =
@@ -143,18 +154,43 @@ case class RouteAggregatesToViews(spark: SparkSession)
     try v.watermark.isDefined && v.watermark == v.source.latestVersion
     catch { case _: Exception => false }
 
-  private def rewrite(agg: Aggregate, view: IncrementalView,
-      filters: Seq[Expression]): Option[LogicalPlan] = {
-    // a fresh relation over the view table (the path provider serves
-    // the manifest-resolved parquet; pushdown happens downstream)
+  /** A fresh relation over the view table (the path provider serves
+    * the manifest-resolved parquet; pushdown happens downstream).
+    */
+  private def viewRelation(view: IncrementalView): Option[DataSourceV2Relation] = {
     val provider = new graft.sources.GraftDataSource
     val opts = new CaseInsensitiveStringMap(
       java.util.Collections.singletonMap("path", view.table.path))
-    val table =
-      try provider.getTable(provider.inferSchema(opts),
+    try {
+      val table = provider.getTable(provider.inferSchema(opts),
         provider.inferPartitioning(opts), opts.asCaseSensitiveMap())
-      catch { case _: Exception => return None }
-    val viewRel = DataSourceV2Relation.create(table, None, None, opts)
+      Some(DataSourceV2Relation.create(table, None, None, opts))
+    } catch { case _: Exception => None }
+  }
+
+  /** Remap group-column filters onto the view's columns by name (their
+    * dtypes are the source's — the view stores the keys verbatim);
+    * None when any reference fails to remap.
+    */
+  private def remapFilters(filters: Seq[Expression],
+      byName: Map[String, org.apache.spark.sql.catalyst.expressions.Attribute])
+      : Option[Seq[Expression]] = {
+    val remapped: Seq[Option[Expression]] = filters.map { f =>
+      var ok = true
+      val r = f.transform {
+        case a: AttributeReference =>
+          byName.get(a.name.toLowerCase)
+            .filter(_.dataType == a.dataType)
+            .getOrElse { ok = false; a }
+      }
+      if (ok) Some(r) else None
+    }
+    if (remapped.exists(_.isEmpty)) None else Some(remapped.flatten)
+  }
+
+  private def rewrite(agg: Aggregate, view: IncrementalView,
+      filters: Seq[Expression]): Option[LogicalPlan] = {
+    val viewRel = viewRelation(view).getOrElse(return None)
     val byName = viewRel.output.map(a => a.name.toLowerCase -> a).toMap
     val aggSqlToCol: Map[String, String] =
       view.aggs.map { case (c, s) => GraftViewRouting.norm(s) -> c.toLowerCase }.toMap
@@ -180,23 +216,70 @@ case class RouteAggregatesToViews(spark: SparkSession)
       case _ => None
     }
     if (outs.exists(_.isEmpty)) return None
-    // group-column filters re-target the view's columns by name (their
-    // dtypes are the source's — the view stores the keys verbatim)
-    val remapped: Seq[Option[Expression]] = filters.map { f =>
-      var ok = true
-      val r = f.transform {
-        case a: AttributeReference =>
-          byName.get(a.name.toLowerCase)
-            .filter(_.dataType == a.dataType)
-            .getOrElse { ok = false; a }
-      }
-      if (ok) Some(r) else None
+    remapFilters(filters, byName).map { fs =>
+      val base = fs.foldLeft(viewRel: LogicalPlan)((p, c) => Filter(c, p))
+      Project(outs.flatten, base)
     }
-    if (remapped.exists(_.isEmpty)) None
-    else {
-      val base = remapped.flatten
-        .foldLeft(viewRel: LogicalPlan)((p, c) => Filter(c, p))
-      Some(Project(outs.flatten, base))
+  }
+
+  /** ROLLUP routing: the query groups by a STRICT SUBSET of the view's
+    * keys, so the view's per-fine-group rows re-aggregate —
+    * `count(*)`→`sum(cnt)`, `sum(x)`→`sum(sum_x)`, `max`→`max`,
+    * `min`→`min` (the decomposable aggregates; anything else — avg,
+    * DISTINCT, FILTER clauses, cast-wrapped definitions — fails
+    * closed). dtypes must survive the re-aggregation unchanged (a
+    * decimal sum widens and is rejected).
+    */
+  private def rewriteRollup(agg: Aggregate, view: IncrementalView,
+      filters: Seq[Expression]): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Max, Min, Sum}
+    val viewRel = viewRelation(view).getOrElse(return None)
+    val byName = viewRel.output.map(a => a.name.toLowerCase -> a).toMap
+    val aggSqlToCol: Map[String, String] =
+      view.aggs.map { case (c, s) => GraftViewRouting.norm(s) -> c.toLowerCase }.toMap
+    val groupSet = agg.groupingExpressions
+      .collect { case a: AttributeReference => a.name.toLowerCase }.toSet
+
+    def reAgg(orig: NamedExpression, ae: AggregateExpression): Option[NamedExpression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      val viewCol = aggSqlToCol.get(GraftViewRouting.norm(ae.sql))
+        .flatMap(byName.get)
+        .getOrElse(return None)
+      val head = GraftViewRouting.norm(ae.sql).takeWhile(_ != '(')
+      val fn = head match {
+        case "count" | "sum" => Sum(viewCol)
+        case "max" => Max(viewCol)
+        case "min" => Min(viewCol)
+        case _ => return None
+      }
+      val rolled = AggregateExpression(fn, Complete, isDistinct = false)
+      if (rolled.dataType != orig.dataType) None
+      else {
+        val child = if (!orig.nullable) KnownNotNull(rolled) else rolled
+        Some(Alias(child, orig.name)(exprId = orig.exprId))
+      }
+    }
+
+    val outs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case a @ Alias(ae: AggregateExpression, _) => reAgg(a, ae)
+      case a @ Alias(attr: AttributeReference, _)
+          if groupSet(attr.name.toLowerCase) =>
+        byName.get(attr.name.toLowerCase)
+          .filter(_.dataType == a.dataType)
+          .map(va => Alias(va, a.name)(exprId = a.exprId))
+      case attr: AttributeReference if groupSet(attr.name.toLowerCase) =>
+        byName.get(attr.name.toLowerCase)
+          .filter(_.dataType == attr.dataType)
+          .map(va => Alias(va, attr.name)(exprId = attr.exprId))
+      case _ => None
+    }
+    if (outs.exists(_.isEmpty)) return None
+    remapFilters(filters, byName).map { fs =>
+      val base = fs.foldLeft(viewRel: LogicalPlan)((p, c) => Filter(c, p))
+      val groups: Seq[Expression] = agg.groupingExpressions.collect {
+        case a: AttributeReference => byName(a.name.toLowerCase)
+      }
+      Aggregate(groups, outs.flatten, base)
     }
   }
 }

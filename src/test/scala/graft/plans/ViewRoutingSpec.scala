@@ -118,6 +118,59 @@ class ViewRoutingSpec extends AnyFunSuite with SparkSpec
     assert(!usesView(tt, view))
   }
 
+  test("rollup routing: a coarser GROUP BY re-aggregates the view") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("vr_ru_").toString
+    val src = new IncrementalTable(spark, s"$base/src")
+    src.append(Seq((1L, "a", 10L), (1L, "b", 5L), (2L, "a", 7L), (2L, "a", 3L))
+      .toDF("k", "s", "v").coalesce(1))
+    // view is per (k, s); queries per k re-aggregate it
+    val view = IncrementalView.create(spark, src, s"$base/view",
+      Seq("k", "s"), Seq("cnt" -> "count(*)", "total" -> "sum(v)", "top" -> "max(v)"))
+    GraftViewRouting.register(spark, view.table.path)
+    val df = spark.read.format("graft").load(src.path)
+
+    val q = df.groupBy("k").agg(count(lit(1)).as("cnt"),
+      sum("v").as("total"), max("v").as("top"))
+    assert(usesView(q, view), q.queryExecution.optimizedPlan.toString)
+    assert(q.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet ===
+      Set((1L, 2L, 15L, 10L), (2L, 2L, 10L, 7L)))
+
+    // global rollup has no GROUP BY -> empty grouping is not routed
+    // (bareGroupNames demands >=1 bare column); stays correct unrouted
+    val g = df.agg(sum("v").as("total"))
+    assert(g.head.getLong(0) === 25L)
+
+    // avg is not decomposable: fail closed
+    assert(!usesView(df.groupBy("k").agg(avg("v").as("a")), view))
+    // filter on a view group key that the query does NOT group by
+    val f = df.filter(col("s") === "a").groupBy("k")
+      .agg(count(lit(1)).as("cnt"))
+    assert(usesView(f, view), f.queryExecution.optimizedPlan.toString)
+    assert(f.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 1L), (2L, 2L)))
+  }
+
+  test("exact-group view wins over rollup when both match") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("vr_pick_").toString
+    val src = new IncrementalTable(spark, s"$base/src")
+    src.append(Seq((1L, "a", 10L), (2L, "b", 5L)).toDF("k", "s", "v").coalesce(1))
+    val fine = IncrementalView.create(spark, src, s"$base/fine",
+      Seq("k", "s"), Seq("cnt" -> "count(*)"))
+    val coarse = IncrementalView.create(spark, src, s"$base/coarse",
+      Seq("k"), Seq("cnt" -> "count(*)"))
+    GraftViewRouting.register(spark, fine.table.path)
+    GraftViewRouting.register(spark, coarse.table.path)
+    val q = spark.read.format("graft").load(src.path)
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    assert(usesView(q, coarse), "the exact-group view must serve")
+    assert(!usesView(q, fine))
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 1L), (2L, 1L)))
+  }
+
   test("SQL through the catalog routes too") {
     import spark.implicits._
     val wh = Files.createTempDirectory("vr_cat_").toString
