@@ -92,7 +92,8 @@ object Streams {
     * downstream consumers key on.
     */
   def corpusDedupSink(idx: graft.dedup.CorpusDedupIndex,
-      decisions: graft.lake.IncrementalTable): (DataFrame, Long) => Unit = {
+      decisions: graft.lake.IncrementalTable,
+      maintainEvery: Int = 0): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       val Op = """stream_dedup\[batch=(\d+)\]""".r
       val wm: Option[Long] = decisions.latestVersion.flatMap { latest =>
@@ -107,6 +108,15 @@ object Streams {
         val rows = d.withColumn("batch", lit(batchId))
         decisions.commitFiles(decisions.stage(rows), Set.empty,
           s"stream_dedup[batch=$batchId]", schema = Some(rows.schema))
+        // per-batch appends accrete a small-file tail on all four
+        // tables; bin-pack it every `maintainEvery` batches. The
+        // compactions commit datachange=false, so downstream CDF
+        // consumers of the decisions table cross them untouched, and a
+        // crash between them just leaves work for the next cadence hit
+        // (compactSmall is content-preserving and re-runnable).
+        if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0)
+          Seq(idx.bandsTable, idx.sizesTable, idx.shinglesTable, decisions)
+            .foreach(_.compactSmall())
       }
   }
 

@@ -141,6 +141,37 @@ class CorpusDedupIndexSpec extends AnyFunSuite with SparkSpec {
       .map(_.latestVersion.get) === idxVs)
   }
 
+  test("sink maintenance cadence packs the index tail; dedup unchanged") {
+    import graft.lake.IncrementalTable
+    val idx = freshIndex()
+    idx.bootstrap(docs(1L -> baseText))
+    val dec = new IncrementalTable(spark,
+      Files.createTempDirectory("cdi_dec_").toString + "/d")
+    val sink = graft.streaming.Streams.corpusDedupSink(idx, dec,
+      maintainEvery = 2)
+    val texts = Seq(otherText,
+      "totally different words about sailing boats harbors anchors tides winds currents maps",
+      "yet another vocabulary entirely mountains valleys rivers glaciers meadows forests trails peaks")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      sink(docs((10L + i) -> t), i.toLong)
+    }
+    // batch 2 hit the cadence: the shingle table's last commit is the
+    // bin-packing, and every doc is still indexed exactly once
+    val shOps = (0L to idx.shinglesTable.latestVersion.get)
+      .map(idx.shinglesTable.operationAt)
+    assert(shOps.exists(_.startsWith("compact-small")), shOps.toString)
+    val dupSh = idx.shinglesTable.snapshot()
+      .groupBy("doc_id", "h").count().filter(col("count") > 1).count()
+    assert(dupSh === 0L)
+    // the decisions table compaction is datachange=false: its CDF
+    // still replays all three batches
+    assert(dec.changes(-1L, dec.latestVersion.get)
+      .select("doc_id").distinct().count() === 3L)
+    // and a dedup against the compacted index still works
+    val d = idx.dedupBatch(docs(99L -> otherNear))
+    assert(d.collect().map(r => r.getString(1)).toSeq === Seq("dup_corpus"))
+  }
+
   test("replay after full admit but before the decisions commit") {
     import graft.lake.IncrementalTable
     val idx = freshIndex()

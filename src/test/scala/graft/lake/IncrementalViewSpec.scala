@@ -224,6 +224,32 @@ class IncrementalViewSpec extends AnyFunSuite with SparkSpec {
     assert(feed === Set((6L, "delete"), (6L, "insert")))
   }
 
+  test("a CDF STREAM on the view table delivers refresh deltas live") {
+    import spark.implicits._
+    val src = sourceTable(6, 2)
+    val view = IncrementalView.create(spark, src, freshDir() + "/v",
+      Seq("k"), Aggs)
+    def drain(name: String, fromV: Long): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", fromV.toString)
+        .load(view.table.path)
+        .writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(60000)) finally q.stop()
+    }
+    // the refresh commit rewrites view files WITH a CDC sidecar: the
+    // stream must deliver exactly the touched group's delete+insert
+    val v0 = view.table.latestVersion.get
+    src.append(Seq((3L, 500L)).toDF("k", "v"))
+    view.refresh()
+    drain("view_cdf", v0 + 1)
+    val rows = spark.table("view_cdf").select("k", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === Set((3L, "delete"), (3L, "insert")))
+  }
+
   test("SQL surface: CREATE MATERIALIZED VIEW parses the maintainable " +
     "shape, REFRESH reopens from the persisted def alone") {
     import spark.implicits._
