@@ -1,0 +1,124 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality EXPECTATIONS on the lake write path — the Delta Live
+  * Tables surface (`expect` / `expect_or_drop` / `expect_or_fail`)
+  * rebuilt on the manifest protocol:
+  *
+  *  - `Warn`: violations are counted, every row lands;
+  *  - `Drop`: violating rows are diverted to a QUARANTINE table
+  *    (tagged with the rules they failed) instead of the target;
+  *  - `Fail`: any violation aborts the whole append — nothing commits
+  *    anywhere (the CHECK-constraint stance, but evaluated per batch
+  *    with a per-rule count in the error).
+  *
+  * Rule semantics are SQL CHECK semantics: a row VIOLATES a rule only
+  * when the expression is FALSE — NULL passes (same as
+  * [[IncrementalTable.addConstraint]]).
+  *
+  * The per-rule violation counts ride the append commit's manifest
+  * meta (`expect` key), so quality metrics version with the data and
+  * survive time travel — `metricsAt` reads them back. The quarantine
+  * append commits BEFORE the target append: a crash between the two
+  * duplicates quarantine rows at worst (re-run re-quarantines), never
+  * admits a dropped row.
+  *
+  * Scale shape: ONE pass computes every rule flag (a codegen'd boolean
+  * column per rule), the kept/quarantined split is two filters over
+  * the localCheckpointed flags, and both appends are O(batch).
+  */
+object Expectations {
+
+  sealed trait Action
+  case object Warn extends Action
+  case object Drop extends Action
+  case object Fail extends Action
+
+  /** One expectation: `name` must be unique per call; `exprSql` is any
+    * boolean SQL over the batch's columns.
+    */
+  final case class Rule(name: String, exprSql: String, action: Action)
+
+  final case class Result(
+      version: Long, // target commit (-1 if the whole batch dropped)
+      admitted: Long, quarantined: Long,
+      violations: Map[String, Long])
+
+  private def flagCol(r: Rule) = s"__ok_${r.name}"
+
+  /** Validate `df` against `rules` and append the passing rows to
+    * `table`; `Drop` violations go to `quarantine` (required iff any
+    * Drop rule is present), tagged `_failed_rules` (comma-joined,
+    * name-sorted) and `_quarantined_batch`.
+    */
+  def appendWithExpectations(
+      table: IncrementalTable, df: DataFrame, rules: Seq[Rule],
+      quarantine: Option[IncrementalTable] = None,
+      batchTag: String = ""): Result = {
+    require(rules.nonEmpty, "appendWithExpectations needs >= 1 rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_.name)}")
+    require(rules.forall(r => IncrementalTable.saneColumnName(r.name)),
+      "rule names must be identifier-like (they become column suffixes)")
+    require(!rules.exists(_.action == Drop) || quarantine.isDefined,
+      "Drop rules need a quarantine table")
+    val flagged = rules.foldLeft(df) { (d, r) =>
+      // CHECK semantics: NULL passes — only FALSE violates
+      d.withColumn(flagCol(r), coalesce(expr(r.exprSql), lit(true)))
+    }.localCheckpoint()
+    val violations: Map[String, Long] = rules.map { r =>
+      r.name -> flagged.filter(!col(flagCol(r))).count()
+    }.toMap
+    rules.filter(_.action == Fail).foreach { r =>
+      if (violations(r.name) > 0L)
+        throw new IllegalStateException(
+          s"expectation '${r.name}' (FAIL) violated by " +
+            s"${violations(r.name)} row(s) of the batch — nothing committed")
+    }
+    val dropRules = rules.filter(_.action == Drop)
+    val keep = dropRules.map(r => col(flagCol(r)))
+      .foldLeft(lit(true))(_ && _)
+    val kept = flagged.filter(keep).drop(rules.map(flagCol): _*)
+    val quarantinedCnt = dropRules.map(r => violations(r.name)).sum match {
+      case 0L => 0L
+      case _ =>
+        val q = quarantine.get
+        val failedNames = concat_ws(",", array(dropRules.sorted(
+          Ordering.by[Rule, String](_.name)).map(r =>
+          when(!col(flagCol(r)), lit(r.name))): _*))
+        val bad = flagged.filter(!keep)
+          .withColumn("_failed_rules", failedNames)
+          .withColumn("_quarantined_batch", lit(batchTag))
+          .drop(rules.map(flagCol): _*)
+        val n = bad.count()
+        q.append(bad)
+        n
+    }
+    val admitted = kept.count()
+    val v =
+      if (admitted == 0L) -1L
+      // the full append pipeline (generated columns, write order,
+      // CHECK constraints, identity/row-id allocation), just tagged
+      else table.append(kept, operation = "append[expectations]",
+        extraMeta = Map("expect" -> encode(violations)))
+    Result(v, admitted, quarantinedCnt, violations)
+  }
+
+  /** The per-rule violation counts a version's append recorded. */
+  def metricsAt(table: IncrementalTable, v: Long): Map[String, Long] =
+    table.metaAt(v).get("expect").map(decode).getOrElse(Map.empty)
+
+  private def encode(m: Map[String, Long]): String =
+    java.util.Base64.getEncoder.encodeToString(
+      m.toSeq.sortBy(_._1).map { case (k, n) => s"$k=$n" }
+        .mkString(";").getBytes("UTF-8"))
+
+  private def decode(s: String): Map[String, Long] =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+      .split(";").filter(_.nonEmpty).map { kv =>
+        val Array(k, n) = kv.split("=", 2)
+        k -> n.toLong
+      }.toMap
+}

@@ -1712,20 +1712,24 @@ final class IncrementalTable(
   /** O(batch) append: new files only, everything else re-referenced.
     * Honors the declared [[setWriteOrder]] (one shuffle of the batch)
     * and fills declared IDENTITY values (see [[setIdentity]]).
+    * `operation`/`extraMeta` let wrappers ([[Expectations]]) tag the
+    * commit without bypassing this materialization pipeline.
     */
-  def append(df: DataFrame): Long = allocSpecs match {
+  def append(df: DataFrame, operation: String = "append",
+      extraMeta: Map[String, String] = Map.empty): Long = allocSpecs match {
     case Seq() =>
       val materialized = applyGenerated(df)
       validateConstraints(materialized)
-      commitFiles(stage(applyWriteOrder(materialized)), Set.empty, "append",
-        schema = Some(materialized.schema))
+      commitFiles(stage(applyWriteOrder(materialized)), Set.empty, operation,
+        meta = extraMeta, schema = Some(materialized.schema))
     case specs =>
       withAllocated(df, specs) { withIds =>
         val materialized = applyGenerated(withIds)
         validateConstraints(materialized)
         val added = stage(applyWriteOrder(materialized))
-        wmMeta => commitFiles(added, Set.empty, "append",
-          maxRetries = 0, meta = wmMeta, schema = Some(materialized.schema))
+        wmMeta => commitFiles(added, Set.empty, operation,
+          maxRetries = 0, meta = extraMeta ++ wmMeta,
+          schema = Some(materialized.schema))
       }
   }
 

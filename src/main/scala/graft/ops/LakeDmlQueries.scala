@@ -302,7 +302,55 @@ object LakeDmlQueries {
     t.snapshot().orderBy("o_orderkey")
   }
 
+  /** DLT-style EXPECTATIONS on the write path
+    * ([[graft.lake.Expectations]]) as ONE oracled arc: append the
+    * documents through a drop-action token-count gate (plus a warn
+    * rule and an always-passing fail rule), quarantining the short
+    * docs with their failed-rule tags — then read back BOTH tables as
+    * one disposition report. Every row's destination is a
+    * deterministic function of its text, so plain SQL replays the
+    * split; the rule metrics ride the append commit's manifest meta
+    * (spec-pinned — the oracle pins the row routing).
+    */
+  def lakeExpectScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Expectations
+    import graft.lake.Expectations.{Drop, Fail, Rule, Warn}
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified, "expect1").hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_lake_expect_$key"
+    val target = new IncrementalTable(spark, s"$base/t")
+    val quar = new IncrementalTable(spark, s"$base/q")
+    val complete = target.exists && target.latestVersion.exists(v =>
+      target.operationAt(v) == "append[expectations]")
+    if (!complete) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          graft.text.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("token_cnt"))
+      Expectations.appendWithExpectations(
+        new IncrementalTable(spark, s"$base/t"), docs,
+        Seq(
+          Rule("r_short", "token_cnt >= 30", Drop),
+          Rule("r_long_text", "length(text) <= 400", Warn),
+          Rule("r_has_id", "doc_id IS NOT NULL", Fail)),
+        quarantine = Some(new IncrementalTable(spark, s"$base/q")),
+        batchTag = "b0")
+    }
+    val kept = new IncrementalTable(spark, s"$base/t").snapshot()
+      .select(col("doc_id"), lit("kept").as("disposition"),
+        lit("").as("failed_rules"))
+    val qT = new IncrementalTable(spark, s"$base/q")
+    if (!qT.exists) kept.orderBy("doc_id") // no doc violated the gate
+    else kept.unionByName(qT.snapshot()
+      .select(col("doc_id"), lit("quarantined").as("disposition"),
+        col("_failed_rules").as("failed_rules")))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_expect_scan" -> lakeExpectScan _,
     "lake_replace_scan" -> lakeReplaceScan _,
     "lake_incr_view" -> lakeIncrViewScan _,
     "lake_rowid_scan" -> lakeRowIdScan _,
@@ -333,6 +381,15 @@ object LakeDmlQueries {
       |ORDER BY _commit_version, s_suppkey, _change_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "lake_expect_scan" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |         CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS tc
+           |  FROM documents)
+           |SELECT doc_id,
+           |       CASE WHEN tc >= 30 THEN 'kept' ELSE 'quarantined' END AS disposition,
+           |       CASE WHEN tc >= 30 THEN '' ELSE 'r_short' END AS failed_rules
+           |FROM toks ORDER BY doc_id""".stripMargin,
     "lake_replace_scan" ->
       """SELECT o_orderkey, o_orderstatus,
         |       CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1000.0
