@@ -68,8 +68,23 @@ object Expectations {
       // CHECK semantics: NULL passes — only FALSE violates
       d.withColumn(flagCol(r), coalesce(expr(r.exprSql), lit(true)))
     }.localCheckpoint()
+    val dropRules = rules.filter(_.action == Drop)
+    val keep = dropRules.map(r => col(flagCol(r)))
+      .foldLeft(lit(true))(_ && _)
+    // every per-rule violation count, the quarantined count, and the
+    // admitted count in ONE aggregation pass over the checkpointed
+    // flags (a per-rule count() would scan the batch once per rule —
+    // N+2 passes for N rules)
+    val vRow = flagged.agg(
+      sum(when(!keep, 1L).otherwise(0L)).as("__quar"),
+      rules.map(r => sum(when(!col(flagCol(r)), 1L).otherwise(0L))
+        .as(flagCol(r))) :+ count(lit(1)).as("__n"): _*).collect().head
+    def cnt(name: String): Long = {
+      val i = vRow.fieldIndex(name)
+      if (vRow.isNullAt(i)) 0L else vRow.getLong(i) // sum() is NULL on empty
+    }
     val violations: Map[String, Long] = rules.map { r =>
-      r.name -> flagged.filter(!col(flagCol(r))).count()
+      r.name -> cnt(flagCol(r))
     }.toMap
     rules.filter(_.action == Fail).foreach { r =>
       if (violations(r.name) > 0L)
@@ -77,13 +92,10 @@ object Expectations {
           s"expectation '${r.name}' (FAIL) violated by " +
             s"${violations(r.name)} row(s) of the batch — nothing committed")
     }
-    val dropRules = rules.filter(_.action == Drop)
-    val keep = dropRules.map(r => col(flagCol(r)))
-      .foldLeft(lit(true))(_ && _)
     val kept = flagged.filter(keep).drop(rules.map(flagCol): _*)
-    val quarantinedCnt = dropRules.map(r => violations(r.name)).sum match {
+    val quarantinedCnt = cnt("__quar") match {
       case 0L => 0L
-      case _ =>
+      case n =>
         val q = quarantine.get
         val failedNames = concat_ws(",", array(dropRules.sorted(
           Ordering.by[Rule, String](_.name)).map(r =>
@@ -92,11 +104,10 @@ object Expectations {
           .withColumn("_failed_rules", failedNames)
           .withColumn("_quarantined_batch", lit(batchTag))
           .drop(rules.map(flagCol): _*)
-        val n = bad.count()
         q.append(bad)
         n
     }
-    val admitted = kept.count()
+    val admitted = cnt("__n") - quarantinedCnt
     val v =
       if (admitted == 0L) -1L
       // the full append pipeline (generated columns, write order,
