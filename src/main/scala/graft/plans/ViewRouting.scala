@@ -225,14 +225,18 @@ case class RouteAggregatesToViews(spark: SparkSession)
   /** ROLLUP routing: the query groups by a STRICT SUBSET of the view's
     * keys, so the view's per-fine-group rows re-aggregate —
     * `count(*)`→`sum(cnt)`, `sum(x)`→`sum(sum_x)`, `max`→`max`,
-    * `min`→`min` (the decomposable aggregates; anything else — avg,
-    * DISTINCT, FILTER clauses, cast-wrapped definitions — fails
-    * closed). dtypes must survive the re-aggregation unchanged (a
-    * decimal sum widens and is rejected).
+    * `min`→`min`, and `avg(x)`→`sum(sum_x)/sum(cnt_x)` when the view
+    * carries BOTH `sum(x)` and `count(x)` with LONG sums (anything
+    * else — DISTINCT, FILTER clauses, cast-wrapped definitions,
+    * fractional/decimal avg inputs — fails closed). dtypes must
+    * survive the re-aggregation unchanged (a decimal sum widens and
+    * is rejected).
     */
   private def rewriteRollup(agg: Aggregate, view: IncrementalView,
       filters: Seq[Expression]): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Max, Min, Sum}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EvalMode}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
     val viewRel = viewRelation(view).getOrElse(return None)
     val byName = viewRel.output.map(a => a.name.toLowerCase -> a).toMap
     val aggSqlToCol: Map[String, String] =
@@ -240,12 +244,42 @@ case class RouteAggregatesToViews(spark: SparkSession)
     val groupSet = agg.groupingExpressions
       .collect { case a: AttributeReference => a.name.toLowerCase }.toSet
 
+    /** `avg(x)` decomposes over the view's exact per-fine-group
+      * `sum(x)` + `count(x)` (count(*) is NOT count(x) — it counts
+      * NULLs — so only a literal `count(x)` qualifies). Restricted to
+      * LONG-typed view sums (integral x): there the routed
+      * `cast(sum(sum_x) as double) / cast(sum(cnt_x) as double)` and
+      * the unrouted Average (per-row double accumulation) are both
+      * exact integer arithmetic while the sums stay within 2^53, hence
+      * bit-equal; a fractional x accumulates differently per partition
+      * order in BOTH plans, so routing it would trade one
+      * non-determinism for another — fail closed instead. The LEGACY
+      * divide mirrors Average.evaluateExpression (count 0 → NULL, not
+      * an ANSI error).
+      */
+    def reAvg(orig: NamedExpression, sqlN: String): Option[NamedExpression] = {
+      val arg = sqlN.stripPrefix("avg(").stripSuffix(")")
+      for {
+        sumA <- aggSqlToCol.get(s"sum($arg)").flatMap(byName.get)
+        cntA <- aggSqlToCol.get(s"count($arg)").flatMap(byName.get)
+        if sumA.dataType == LongType && cntA.dataType == LongType &&
+          orig.dataType == DoubleType
+      } yield {
+        val total = AggregateExpression(Sum(sumA), Complete, isDistinct = false)
+        val n = AggregateExpression(Sum(cntA), Complete, isDistinct = false)
+        Alias(Divide(Cast(total, DoubleType), Cast(n, DoubleType),
+          EvalMode.LEGACY), orig.name)(exprId = orig.exprId)
+      }
+    }
+
     def reAgg(orig: NamedExpression, ae: AggregateExpression): Option[NamedExpression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
-      val viewCol = aggSqlToCol.get(GraftViewRouting.norm(ae.sql))
+      val sqlN = GraftViewRouting.norm(ae.sql)
+      val head = sqlN.takeWhile(_ != '(')
+      if (head == "avg") return reAvg(orig, sqlN)
+      val viewCol = aggSqlToCol.get(sqlN)
         .flatMap(byName.get)
         .getOrElse(return None)
-      val head = GraftViewRouting.norm(ae.sql).takeWhile(_ != '(')
       val fn = head match {
         case "count" | "sum" => Sum(viewCol)
         case "max" => Max(viewCol)

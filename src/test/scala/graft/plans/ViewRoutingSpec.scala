@@ -142,7 +142,8 @@ class ViewRoutingSpec extends AnyFunSuite with SparkSpec
     val g = df.agg(sum("v").as("total"))
     assert(g.head.getLong(0) === 25L)
 
-    // avg is not decomposable: fail closed
+    // avg needs BOTH sum(v) and count(v) in the view — count(*) does
+    // not qualify (it counts NULLs): fail closed here
     assert(!usesView(df.groupBy("k").agg(avg("v").as("a")), view))
     // filter on a view group key that the query does NOT group by
     val f = df.filter(col("s") === "a").groupBy("k")
@@ -150,6 +151,34 @@ class ViewRoutingSpec extends AnyFunSuite with SparkSpec
     assert(usesView(f, view), f.queryExecution.optimizedPlan.toString)
     assert(f.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
       Set((1L, 1L), (2L, 2L)))
+  }
+
+  test("avg rollup routes via sum(x)+count(x); NULLs and fractional fail closed") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("vr_avg_").toString
+    val src = new IncrementalTable(spark, s"$base/src")
+    // v has a NULL (avg must skip it) and d is fractional (must not route)
+    src.append(Seq((1L, "a", Some(10L), 1.5), (1L, "b", Some(5L), 2.5),
+      (2L, "a", Some(7L), 0.5), (2L, "b", None, 1.0))
+      .toDF("k", "s", "v", "d").coalesce(1))
+    val view = IncrementalView.create(spark, src, s"$base/view",
+      Seq("k", "s"), Seq("sum_v" -> "sum(v)", "cnt_v" -> "count(v)",
+        "sum_d" -> "sum(d)", "cnt_d" -> "count(d)"))
+    GraftViewRouting.register(spark, view.table.path)
+    val df = spark.read.format("graft").load(src.path)
+
+    val q = df.groupBy("k").agg(avg("v").as("a"))
+    assert(usesView(q, view), q.queryExecution.optimizedPlan.toString)
+    spark.conf.set("spark.graft.viewRouting.enabled", "false")
+    val unrouted = df.groupBy("k").agg(avg("v").as("a"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    spark.conf.set("spark.graft.viewRouting.enabled", "true")
+    assert(q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ===
+      unrouted)
+    assert(unrouted === Set((1L, 7.5), (2L, 7.0))) // NULL skipped
+
+    // fractional input: DOUBLE-typed view sum -> fail closed
+    assert(!usesView(df.groupBy("k").agg(avg("d").as("a")), view))
   }
 
   test("exact-group view wins over rollup when both match") {
