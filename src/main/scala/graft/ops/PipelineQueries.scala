@@ -422,6 +422,61 @@ object PipelineQueries {
     graft.streaming.Streams.windowedEventCounts(Tables.events(spark, dir))
       .orderBy("window_start", "event_type")
 
+  /** Dense hourly per-type event series with gap fill + LOCF (see
+    * [[TimeSeries.resampleLocf]] for the scale shape).
+    */
+  def resampleEvents(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.resampleLocf(Tables.events(spark, dir),
+      "event_type", "ts_utc", "value")
+      .orderBy("event_type", "bucket")
+
+  /** Misra–Gries sketch size for [[heavyHitters]]. The two-pass result
+    * is exact iff every item with count ≥ N/HhSupportDenom survives the
+    * sketch, which the MG bound guarantees when
+    * `HhSketchK + 1 > HhSupportDenom` (see [[graft.functions.MisraGriesAgg]]).
+    */
+  val HhSketchK = 1023
+  val HhSupportDenom = 600L
+
+  /** Frequent word BIGRAMS (boilerplate phrases) above support
+    * `1/HhSupportDenom`, by two-pass bounded-state heavy hitters:
+    * pass 1 folds every bigram into one Misra–Gries candidate sketch
+    * (≤2k state per map task, provably a superset of the frequent
+    * items) while counting N in the same aggregation; pass 2 re-counts
+    * ONLY the candidates exactly via a broadcast join. The output is
+    * therefore exact and partitioning-independent — identical to a
+    * full `groupBy(token)` — but the shuffle carries ≤2k candidate
+    * tokens' rows instead of the whole n-gram vocabulary (which at
+    * 100 TB is itself corpus-scale).
+    *
+    * Bigrams are built with the `Shingles.shingleHashesAll` move:
+    * explode the start-index range and `element_at` into the carried
+    * token array — stays inside whole-stage codegen, no interpreted
+    * `transform` lambda, no intermediate array-of-bigrams.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    require(HhSketchK + 1 > HhSupportDenom,
+      s"MG guarantee needs k+1 > support denominator " +
+        s"($HhSketchK + 1 vs $HhSupportDenom)")
+    val bigrams = Tables.load(spark, dir, "documents")
+      .select(TextFunctions.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("tk"), explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+      .select(concat(element_at(col("tk"), col("i")), lit(" "),
+        element_at(col("tk"), col("i") + 1)).as("token"))
+    val sketch = bigrams.agg(
+      count(lit(1)).as("__total"),
+      graft.functions.MisraGriesAgg.candidates(HhSketchK)(col("token"))
+        .as("__cand"))
+    val cands = sketch.select(col("__total"), explode(col("__cand")).as("token"))
+    bigrams.join(broadcast(cands), "token")
+      .groupBy(col("token"), col("__total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(HhSupportDenom) >= col("__total"))
+      .select(col("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
     Tables.load(spark, dir, "documents").select(
@@ -1662,6 +1717,39 @@ object PipelineQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "resample_events" ->
+      """WITH agg AS (
+        |  SELECT event_type,
+        |         date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)) AS bucket,
+        |         count(*) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM agg GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM spans)
+        |SELECT g.event_type, g.bucket,
+        |       COALESCE(a.n_events, 0) AS n_events,
+        |       a.sum_value,
+        |       last_value(a.sum_value IGNORE NULLS) OVER (
+        |         PARTITION BY g.event_type ORDER BY g.bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid g LEFT JOIN agg a USING (event_type, bucket)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "heavy_hitters" ->
+      s"""WITH $toksCte,
+         |big AS (
+         |  SELECT tk[i] || ' ' || tk[i+1] AS token
+         |  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i))
+         |SELECT token, count(*) AS cnt
+         |FROM big GROUP BY token
+         |HAVING count(*) * $HhSupportDenom >= (SELECT count(*) FROM big)
+         |ORDER BY cnt DESC, token""".stripMargin,
+
     "text_stats" ->
       raw"""WITH $toksCte
            |SELECT d.doc_id,
@@ -1800,6 +1888,8 @@ object PipelineQueries {
     "source_stats" -> sourceStats _,
     "source_stats_rollup" -> sourceStatsRollup _,
     "windowed_event_counts" -> windowedEventCounts _,
+    "resample_events" -> resampleEvents _,
+    "heavy_hitters" -> heavyHitters _,
     "text_stats" -> textStats _,
     "lang_id" -> langId _,
     "corpus_clean" -> corpusClean _
