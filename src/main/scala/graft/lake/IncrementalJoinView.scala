@@ -1,0 +1,436 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType}
+
+/** One dimension of a star-schema join view: the FACT side's join
+  * column and the dim table's key column (`fact.factKey = dim.dimKey`,
+  * inner join, dim keys unique — the star-schema contract).
+  */
+final case class DimSpec(path: String, factKey: String, dimKey: String)
+
+/** A DELTA-MAINTAINED materialized aggregate over a star-schema JOIN —
+  * the maintenance strategy [[IncrementalView]]'s affected-key
+  * recompute structurally cannot provide: when the GROUP keys are DIM
+  * attributes (`orders ⋈ customer GROUP BY c_nationkey`), a handful of
+  * changed fact rows touch groups whose full membership spans a large
+  * share of the fact table — recomputing those groups would re-scan
+  * O(fact), because the fact table carries the join key, not the group
+  * key. Classic incremental view maintenance solves this for the
+  * DECOMPOSABLE aggregates: maintain `count(*)` and `sum(x)` by adding
+  * a SIGNED delta aggregate of only the CHANGED rows.
+  *
+  * ==Maintenance==
+  * `refresh()` reads the fact change feed since the last reflected
+  * version, weights each image (`insert`/`update_postimage` → +1,
+  * `delete`/`update_preimage` → −1), joins the delta with the dims
+  * (delta-sized — the fact table itself is NEVER re-scanned), and
+  * aggregates per group: `Δcnt = Σw`, `Δsum = Σ w·x`, plus a non-null
+  * counter `Δnn = Σ w·[x IS NOT NULL]` per sum. The view merge is a
+  * full-outer join of the touched groups with the delta:
+  * `cnt' = cnt + Δcnt` (a group reaching 0 is DELETED; below 0 the
+  * refresh fails loudly — the feed was inconsistent), accumulators add,
+  * and `sum(x)`'s SQL NULL contract survives exactly because the
+  * accumulator and the non-null counter are stored separately
+  * (`snapshot()` serves `nn > 0 ? acc : NULL`). When the touched-group
+  * set is small the merge prunes VIEW files by key predicate (the
+  * [[IncrementalView.MaxKeysInPredicate]] rule); large deltas degrade
+  * to an O(view) rewrite — never O(fact).
+  *
+  * ==Exactness==
+  * Only integral and DECIMAL sum arguments are accepted (`create`
+  * rejects float/double): integer/decimal addition is associative, so
+  * a delta-maintained accumulator is BIT-EQUAL to a from-scratch
+  * aggregate whatever the refresh history — the property the oracle
+  * (`lake_join_view`) checks across a multi-refresh DML arc.
+  *
+  * ==Fallback ladder (never wrong, only slower)==
+  * A dim table change (any dim's version differs from the one the
+  * watermark recorded), a CDC-less data-changing rewrite in the fact
+  * range, or a missing watermark all degrade to a FULL recompute of
+  * `fact ⋈ dims`, exactly like [[IncrementalView]]'s ladder.
+  * Content-preserving maintenance (`datachange=false`) of fact or dims
+  * is invisible: the fact feed skips it and dim versions are only
+  * compared for DATA versions via the tables' own commit protocol —
+  * here conservatively any version bump falls back (a compaction of a
+  * dim forces one full recompute; correctness is never at stake).
+  *
+  * Refreshes commit CDC on the view table (stored-schema rows), so
+  * join views cascade into further downstream consumers like plain
+  * [[IncrementalView]]s do.
+  */
+final class IncrementalJoinView private (
+    val spark: SparkSession,
+    val fact: IncrementalTable,
+    val dims: Seq[(DimSpec, IncrementalTable)],
+    val table: IncrementalTable,
+    val groupCols: Seq[String],
+    val aggs: Seq[(String, String)]) {
+
+  import IncrementalJoinView._
+
+  @volatile private var last: Option[RefreshMetrics] = None
+  def lastRefresh: Option[RefreshMetrics] = last
+
+  /** `(name, sumArgSql)` for every `sum(...)` agg, in declared order. */
+  private val sums: Seq[(String, String)] = aggs.collect {
+    case (n, s) if normHead(s) == "sum" => n -> sumArg(s)
+  }
+  private val cntName: String = aggs.collectFirst {
+    case (n, s) if normSql(s) == "count(1)" => n
+  }.getOrElse(throw new IllegalArgumentException(
+    "a join view needs a count(*) aggregate — it tracks group liveness " +
+      "(a group whose count reaches 0 must disappear)"))
+
+  private def nnCol(sumName: String) = s"__nn_$sumName"
+
+  /** The joined star frame over explicit table states. */
+  private def joined(factDf: DataFrame): DataFrame =
+    dims.foldLeft(factDf) { case (df, (spec, dim)) =>
+      df.join(dim.snapshot(), col(spec.factKey) === col(spec.dimKey))
+    }
+
+  /** Accumulator dtype per sum agg, pinned by planning the full
+    * aggregate once (decimal sums widen — every later merge casts back
+    * to THIS type so the stored schema never drifts).
+    */
+  private lazy val accType: Map[String, DataType] = {
+    val probe = joined(fact.snapshot())
+    sums.map { case (n, arg) =>
+      val t = probe.select(sum(expr(arg)).as(n)).schema.head.dataType
+      require(deltaExact(probe.select(expr(arg)).schema.head.dataType),
+        s"join view sum '$n' aggregates a ${probe.select(expr(arg))
+          .schema.head.dataType.simpleString} — only integral/decimal " +
+          "arguments are delta-exact (float/double addition is " +
+          "order-dependent); cast to DECIMAL in the aggregate SQL")
+      n -> t
+    }.toMap
+  }
+
+  /** Stored-schema aggregate of a (joined) frame: group cols, the
+    * liveness count, and per sum an always-non-null accumulator plus
+    * its non-null-input counter.
+    */
+  private def storedAgg(df: DataFrame): DataFrame = {
+    val aggExprs =
+      count(lit(1)).as(cntName) +:
+        sums.flatMap { case (n, arg) =>
+          val a = expr(arg)
+          Seq(coalesce(sum(a), lit(0).cast(accType(n))).cast(accType(n)).as(n),
+            count(a).as(nnCol(n)))
+        }
+    df.groupBy(groupCols.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+  }
+
+  private def clustered(df: DataFrame, targetFiles: Int): DataFrame =
+    df.repartitionByRange(targetFiles, groupCols.map(col): _*)
+      .sortWithinPartitions(groupCols.map(col): _*)
+
+  /** User-facing projection of the stored rows: declared aggs in
+    * declared order, each sum NULL iff no non-null input survives.
+    */
+  def snapshot(): DataFrame = project(table.snapshot())
+
+  private def project(stored: DataFrame): DataFrame = {
+    val sumSet = sums.map(_._1).toSet
+    val cols = groupCols.map(col) ++ aggs.map {
+      case (n, _) if sumSet(n) =>
+        when(col(nnCol(n)) > 0L, col(n)).otherwise(lit(null)).as(n)
+      case (n, _) => col(n)
+    }
+    stored.select(cols: _*)
+  }
+
+  def watermark: Option[Long] =
+    table.latestVersion.flatMap(v => table.metaAt(v).get(IncrementalView.WmKey))
+      .map(_.toLong)
+
+  private def dimWatermark: Option[Seq[Long]] =
+    table.latestVersion.flatMap(v => table.metaAt(v).get(DimWmKey))
+      .map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toLong))
+
+  private def currentDimVersions: Seq[Long] =
+    dims.map { case (spec, dim) =>
+      dim.latestVersion.getOrElse(throw new IllegalStateException(
+        s"dim table ${spec.path} is empty"))
+    }
+
+  /** Bring the view up to the fact HEAD against the dims' HEADs. */
+  def refresh(targetFiles: Int = IncrementalView.DefaultTargetFiles): Long = {
+    val factV = fact.latestVersion.getOrElse(
+      throw new IllegalStateException(s"fact table ${fact.path} is empty"))
+    val viewV = table.latestVersion.getOrElse(
+      throw new IllegalStateException(s"view table ${table.path} has no versions"))
+    val dimVs = currentDimVersions
+    val wm = watermark
+    if (wm.contains(factV) && dimWatermark.contains(dimVs)) {
+      last = Some(RefreshMetrics(factV, factV, "noop", 0, 0,
+        fact.files(factV).size, 0, table.files(viewV).size))
+      return viewV
+    }
+    val delta: Option[DataFrame] = wm match {
+      case Some(w) if w <= factV && fact.versionExists(w) &&
+          dimWatermark.contains(dimVs) =>
+        try Some(fact.changes(w, factV))
+        catch { case _: IllegalStateException => None } // CDC-less rewrite
+      case _ => None // first refresh, vacuumed wm, or a dim moved
+    }
+    delta match {
+      case None    => fullRefresh(factV, dimVs, viewV, wm, targetFiles)
+      case Some(d) => deltaRefresh(factV, dimVs, viewV, wm.get, d, targetFiles)
+    }
+  }
+
+  private def wmMeta(factV: Long, dimVs: Seq[Long]): Map[String, String] =
+    Map(IncrementalView.WmKey -> factV.toString,
+      DimWmKey -> dimVs.mkString(","))
+
+  private def fullRefresh(factV: Long, dimVs: Seq[Long], viewV: Long,
+      wm: Option[Long], targetFiles: Int): Long = {
+    val oldFiles = table.files(viewV)
+    val next = storedAgg(joined(fact.snapshotAt(factV))).localCheckpoint()
+    val added = table.stage(clustered(next, targetFiles))
+    val cdc = table.snapshotAt(viewV).withColumn("_change_type", lit("delete"))
+      .unionByName(next.withColumn("_change_type", lit("insert")))
+    val v = table.commitFiles(added, oldFiles.toSet, "refresh",
+      meta = wmMeta(factV, dimVs) + ("cdc" -> table.stageChangeData(cdc)))
+    last = Some(RefreshMetrics(wm.getOrElse(-1L), factV, "full", -1L,
+      fact.files(factV).size, fact.files(factV).size,
+      oldFiles.size, oldFiles.size))
+    v
+  }
+
+  private def deltaRefresh(factV: Long, dimVs: Seq[Long], viewV: Long,
+      w: Long, changes: DataFrame, targetFiles: Int): Long = {
+    val weight = when(col("_change_type").isin("insert", "update_postimage"),
+      lit(1L))
+      .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+      .otherwise(lit(0L))
+    val deltaAggs =
+      sum(col("__w")).as("__dcnt") +:
+        sums.flatMap { case (n, arg) =>
+          val a = expr(arg)
+          Seq(coalesce(sum(a * col("__w")), lit(0).cast(accType(n)))
+            .cast(accType(n)).as(s"__dacc_$n"),
+            coalesce(sum(when(a.isNotNull, col("__w")).otherwise(lit(0L))),
+              lit(0L)).as(s"__dnn_$n"))
+        }
+    val delta = joined(changes.withColumn("__w", weight))
+      .groupBy(groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+      .localCheckpoint()
+
+    val sample = delta.limit(IncrementalView.MaxKeysInPredicate + 1).collect()
+    if (sample.isEmpty) {
+      val v = table.commitFiles(Nil, Set.empty, "refresh",
+        meta = wmMeta(factV, dimVs))
+      last = Some(RefreshMetrics(w, factV, "noop", 0, 0,
+        fact.files(factV).size, 0, table.files(viewV).size))
+      return v
+    }
+    val pred: Option[Column] =
+      if (sample.length > IncrementalView.MaxKeysInPredicate ||
+        sample.exists(r => groupCols.indices.exists(r.isNullAt))) None
+      else if (groupCols.size == 1)
+        Some(col(groupCols.head).isInCollection(sample.map(_.get(0)).toSeq))
+      else Some(sample.map { r =>
+        groupCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+          .reduce(_ && _)
+      }.reduce(_ || _))
+
+    val viewAll = table.files(viewV)
+    val (removed, oldTouched, survivors) = pred match {
+      case Some(p) =>
+        val hit = table.prunedFilesAt(viewV, viewAll, Seq(p))
+        val hitDf = table.snapshotOfFiles(viewV, hit.toSet.contains)
+          .getOrElse(table.snapshot().limit(0))
+        (hit, hitDf.where(coalesce(p, lit(false))),
+          hitDf.where(!coalesce(p, lit(false))))
+      case None =>
+        val s = table.snapshotAt(viewV).alias("s")
+        val k = delta.select(groupCols.map(col): _*).alias("k")
+        val cond = groupCols.map(c => col(s"s.$c") <=> col(s"k.$c"))
+          .reduce(_ && _)
+        (viewAll, s.join(k, cond, "left_semi"),
+          s.join(k, cond, "left_anti"))
+    }
+
+    // full-outer merge on the group keys (null-safe: group values may
+    // legitimately be NULL); presence is signalled by the liveness
+    // count, which stored rows always carry non-null
+    val o = oldTouched.alias("o")
+    val d = delta.alias("d")
+    val cond = groupCols.map(c => col(s"o.$c") <=> col(s"d.$c")).reduce(_ && _)
+    val present = col(s"o.$cntName").isNotNull
+    val newCnt = coalesce(col(s"o.$cntName"), lit(0L)) +
+      coalesce(col("d.__dcnt"), lit(0L))
+    val mergedCols =
+      groupCols.map(c => when(present, col(s"o.$c")).otherwise(col(s"d.$c")).as(c)) ++
+        Seq(when(newCnt < 0L, raise_error(
+          lit(s"join view ${table.path}: group count went negative — " +
+            "the change feed delivered more deletes than inserts for a group")))
+          .otherwise(newCnt).as(cntName)) ++
+        sums.flatMap { case (n, _) =>
+          Seq((coalesce(col(s"o.$n"), lit(0).cast(accType(n))) +
+            coalesce(col(s"d.__dacc_$n"), lit(0).cast(accType(n))))
+            .cast(accType(n)).as(n),
+            (coalesce(col(s"o.${nnCol(n)}"), lit(0L)) +
+              coalesce(col(s"d.__dnn_$n"), lit(0L))).as(nnCol(n)))
+        }
+    val merged = o.join(d, cond, "full_outer")
+      .select(mergedCols: _*)
+      .filter(col(cntName) > 0L)
+      .localCheckpoint() // feeds files AND CDC; also forces the
+    // negative-count guard to evaluate before anything commits
+
+    val added = table.stage(
+      clustered(survivors.unionByName(merged), targetFiles))
+    val cdc = oldTouched.withColumn("_change_type", lit("delete"))
+      .unionByName(merged.withColumn("_change_type", lit("insert")))
+    val v = table.commitFiles(added, removed.toSet, "refresh",
+      meta = wmMeta(factV, dimVs) + ("cdc" -> table.stageChangeData(cdc)))
+    last = Some(RefreshMetrics(w, factV, "delta",
+      if (sample.length <= IncrementalView.MaxKeysInPredicate)
+        sample.length.toLong
+      else delta.count(),
+      0, fact.files(factV).size, removed.size, viewAll.size))
+    v
+  }
+}
+
+object IncrementalJoinView {
+
+  /** Manifest-meta key recording the dim versions a refresh joined
+    * against (comma-joined, [[DimSpec]] order). NOT in the carry list
+    * — same stance as [[IncrementalView.WmKey]].
+    */
+  val DimWmKey = "viewdimwm"
+
+  /** Canonical agg-SQL form ([[graft.plans.GraftViewRouting]]'s rule). */
+  private[lake] def normSql(sql: String): String =
+    sql.toLowerCase(java.util.Locale.ROOT)
+      .replace("`", "").replaceAll("\\s+", "")
+      .replace("count(*)", "count(1)")
+
+  private def normHead(sql: String): String =
+    normSql(sql).takeWhile(_ != '(')
+
+  private def sumArg(sql: String): String = {
+    val t = sql.trim
+    require(t.toLowerCase.startsWith("sum(") && t.endsWith(")"),
+      s"not a sum aggregate: $sql")
+    t.substring(4, t.length - 1)
+  }
+
+  private def deltaExact(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Create the join view at `path` (fails on a racing create exactly
+    * like [[IncrementalView.create]]), persist its definition, and run
+    * the initial full materialization.
+    *
+    * @param aggs (outputColumn, aggregateSql): exactly one `count(*)`
+    *             (group liveness) plus any number of `sum(<expr>)`
+    *             over integral/decimal expressions of the joined
+    *             columns.
+    */
+  def create(spark: SparkSession, fact: IncrementalTable,
+      dimSpecs: Seq[DimSpec], path: String, groupCols: Seq[String],
+      aggs: Seq[(String, String)],
+      targetFiles: Int = IncrementalView.DefaultTargetFiles): IncrementalJoinView = {
+    require(groupCols.nonEmpty, "join view needs >=1 group column")
+    require(aggs.nonEmpty, "join view needs >=1 aggregate")
+    aggs.foreach { case (n, s) =>
+      require(normSql(s) == "count(1)" || normHead(s) == "sum",
+        s"join view aggregate '$n' is '$s' — only count(*) and sum(...) " +
+          "are delta-maintainable (max/min need the affected-key " +
+          "recompute strategy: IncrementalView)")
+    }
+    val t = new IncrementalTable(spark, path)
+    require(!t.exists, s"join view table already exists at $path — use open()")
+    val factV = fact.latestVersion.getOrElse(
+      throw new IllegalStateException(s"fact table ${fact.path} is empty"))
+    val dims = dimSpecs.map(sp => sp -> new IncrementalTable(spark, sp.path))
+    writeDef(spark, t, fact.path, dimSpecs, groupCols, aggs)
+    val view = new IncrementalJoinView(spark, fact, dims, t, groupCols, aggs)
+    val dimVs = view.currentDimVersions
+    view.accType // force the delta-exactness validation before any write
+    val initial = view.storedAgg(view.joined(fact.snapshotAt(factV)))
+    val staged = t.stage(view.clustered(initial, targetFiles))
+    val v = t.commitFiles(staged, Set.empty, "create-view", maxRetries = 0,
+      meta = view.wmMeta(factV, dimVs), schema = Some(initial.schema))
+    require(v == 0L,
+      s"concurrent create() detected at $path (initial commit landed at " +
+        s"version $v, not 0) — view state is stacked; delete the view " +
+        "directory and create once")
+    view.last = Some(RefreshMetrics(-1L, factV, "full", -1L,
+      fact.files(factV).size, fact.files(factV).size, 0, 0))
+    view
+  }
+
+  /** Reopen from the persisted definition alone. */
+  def open(spark: SparkSession, path: String): IncrementalJoinView = {
+    val t = new IncrementalTable(spark, path)
+    require(t.exists, s"no join view table at $path")
+    val (factPath, dimSpecs, groupCols, aggs) = readDef(spark, t)
+    new IncrementalJoinView(spark, new IncrementalTable(spark, factPath),
+      dimSpecs.map(sp => sp -> new IncrementalTable(spark, sp.path)),
+      t, groupCols, aggs)
+  }
+
+  // ---- definition persistence (`_viewdef`, join-view era marker) ----
+
+  private def enc(s: String) =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8.name)
+  private def dec(s: String) =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8.name)
+
+  private val DefFormat = "graft-join-view:1"
+
+  private def writeDef(spark: SparkSession, t: IncrementalTable,
+      factPath: String, dims: Seq[DimSpec], groupCols: Seq[String],
+      aggs: Seq[(String, String)]): Unit = {
+    val body = (Seq(DefFormat, enc(factPath),
+      dims.map(d => Seq(d.path, d.factKey, d.dimKey).map(enc).mkString(","))
+        .mkString(";"),
+      groupCols.map(enc).mkString(",")) ++
+      aggs.map { case (a, s) => enc(a) + "=" + enc(s) }).mkString("\n")
+    val p = new Path(t.path, "_viewdef")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readDef(spark: SparkSession, t: IncrementalTable)
+      : (String, Seq[DimSpec], Seq[String], Seq[(String, String)]) = {
+    val p = new Path(t.path, "_viewdef")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"join view at ${t.path} has no _viewdef sidecar")
+    val in = fs.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = body.split("\n").toSeq
+    require(lines.head == DefFormat,
+      s"view at ${t.path}: _viewdef format '${lines.head.take(40)}' != " +
+        s"'$DefFormat' — a plain-aggregate view or a different era; " +
+        "open it with the matching API or recreate")
+    val dims = lines(2).split(";").toSeq.filter(_.nonEmpty).map { d =>
+      val Array(pth, fk, dk) = d.split(",", 3)
+      DimSpec(dec(pth), dec(fk), dec(dk))
+    }
+    val groupCols = lines(3).split(",").toSeq.map(dec)
+    val aggs = lines.drop(4).map { l =>
+      val Array(a, s) = l.split("=", 2)
+      (dec(a), dec(s))
+    }
+    (dec(lines(1)), dims, groupCols, aggs)
+  }
+}

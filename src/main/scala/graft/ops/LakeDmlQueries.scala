@@ -278,6 +278,69 @@ object LakeDmlQueries {
       .snapshot().orderBy("o_custkey")
   }
 
+  /** The round-8 DELTA-MAINTAINED JOIN VIEW arc as ONE oracled query
+    * ([[graft.lake.IncrementalJoinView]]): a star-schema aggregate
+    * `orders ⋈ customer GROUP BY c_nationkey` — group keys live on the
+    * DIM side, so affected-key recompute would re-scan O(fact) and the
+    * view is maintained by SIGNED DELTA aggregation instead. Arc:
+    * materialize over half of orders; append the other half and
+    * refresh (insert-weighted delta — the fact table is never
+    * re-scanned); sparse UPDATE (+1000 on ~1/997) and sparse DELETE
+    * (~1/991), refresh again (pre/post images weight −/+, deletes
+    * weight −). The ORACLE replays the final state as one plain-SQL
+    * join aggregate: any drift a delta merge introduced — a lost
+    * group, a mis-signed image, a decimal accumulator off by a cent —
+    * changes the hash. Decimal-routed sum keeps the double exact (the
+    * q1_agg pattern); `snapshot()` restores sum's NULL contract from
+    * the stored non-null counter.
+    */
+  def lakeJoinViewScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{DimSpec, IncrementalJoinView, IncrementalView}
+    val srcFile = new java.io.File(s"$dir/orders.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, srcFile.length, srcFile.lastModified, "jview1").hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_lake_jview_$key"
+    val factT = new IncrementalTable(spark, s"$base/fact")
+    val viewDir = s"$base/view"
+    val viewT = new IncrementalTable(spark, viewDir)
+    val complete = factT.exists && viewT.exists &&
+      factT.latestVersion.exists(v => factT.operationAt(v) == "delete") &&
+      viewT.latestVersion.exists(v =>
+        viewT.metaAt(v).get(IncrementalView.WmKey) ==
+          factT.latestVersion.map(_.toString))
+    if (!complete) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val dim = new IncrementalTable(spark, s"$base/dim")
+      dim.append(Tables.load(spark, dir, "customer")
+        .select("c_custkey", "c_nationkey"))
+      val fact = new IncrementalTable(spark, s"$base/fact")
+      val orders = Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val split = orders.agg(floor(max(col("o_orderkey")) / 2.0).cast("long"))
+        .head().getLong(0)
+      fact.append(orders.filter(col("o_orderkey") <= split)
+        .repartitionByRange(4, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"))
+      val view = IncrementalJoinView.create(spark, fact,
+        Seq(DimSpec(s"$base/dim", "o_custkey", "c_custkey")), viewDir,
+        Seq("c_nationkey"), Seq(
+          "cnt" -> "count(*)",
+          "sum_price" -> "sum(cast(o_totalprice as decimal(18,2)))"))
+      fact.append(orders.filter(col("o_orderkey") > split)
+        .repartitionByRange(4, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"))
+      view.refresh() // insert-only delta
+      fact.updateWhere(col("o_orderkey") % 997L === 0L,
+        Map("o_totalprice" -> (col("o_totalprice") + 1000.0)))
+      fact.deleteWhere(col("o_orderkey") % 991L === 0L)
+      view.refresh() // mixed images: pre/post/delete weights
+    }
+    IncrementalJoinView.open(spark, viewDir).snapshot()
+      .select(col("c_nationkey"), col("cnt"),
+        col("sum_price").cast("double").as("sum_price"))
+      .orderBy("c_nationkey")
+  }
+
   /** Atomic predicate-scoped overwrite (Delta's `replaceWhere`),
     * exercised through the DSv2 WRITER OPTION end-to-end: load orders,
     * then replace the fulfilled slice (`o_orderstatus = 'F'`) with the
@@ -353,6 +416,7 @@ object LakeDmlQueries {
     "lake_expect_scan" -> lakeExpectScan _,
     "lake_replace_scan" -> lakeReplaceScan _,
     "lake_incr_view" -> lakeIncrViewScan _,
+    "lake_join_view" -> lakeJoinViewScan _,
     "lake_rowid_scan" -> lakeRowIdScan _,
     "lake_widen_scan" -> lakeWidenScan _,
     "lake_delete_scan" -> lakeDeleteScan _,
@@ -407,6 +471,18 @@ object LakeDmlQueries {
         |       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       MAX(p) AS max_price
         |FROM s GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "lake_join_view" ->
+      """WITH s AS (
+        |  SELECT o_custkey,
+        |         CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice + 1000.0
+        |              ELSE o_totalprice END AS p
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 991 = 0))
+        |SELECT c_nationkey,
+        |       count(*) AS cnt,
+        |       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM s JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "lake_rowid_scan" ->
       """SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS _row_id,
         |       c_custkey, c_nationkey,

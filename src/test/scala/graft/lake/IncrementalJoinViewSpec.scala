@@ -1,0 +1,166 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Delta-maintained star-schema views ([[IncrementalJoinView]]):
+  * signed-delta maintenance must equal a from-scratch join aggregate
+  * after ANY DML history, groups must appear/vanish with their rows,
+  * sum's NULL contract must survive the accumulator representation,
+  * and everything non-delta-exact must be rejected at create.
+  */
+class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def mkBase(): String =
+    Files.createTempDirectory("jv_").toString
+
+  /** fact(k, grp-via-dim, v); dim(dk, nation). */
+  private def mkTables(base: String): (IncrementalTable, IncrementalTable) = {
+    val fact = new IncrementalTable(spark, s"$base/fact")
+    val dim = new IncrementalTable(spark, s"$base/dim")
+    dim.append(Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"))
+      .toDF("dk", "nation").coalesce(1))
+    fact.append(Seq((10L, 1L, Some(5L)), (11L, 2L, Some(7L)),
+      (12L, 3L, Some(2L)), (13L, 3L, None))
+      .toDF("fk", "ck", "v").coalesce(1))
+    (fact, dim)
+  }
+
+  private def aggs = Seq("cnt" -> "count(*)", "sv" -> "sum(v)")
+
+  private def expected(fact: IncrementalTable, dim: IncrementalTable): Set[(String, Long, Option[Long])] =
+    fact.snapshot().join(dim.snapshot(), col("ck") === col("dk"))
+      .groupBy("nation").agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+
+  private def got(view: IncrementalJoinView): Set[(String, Long, Option[Long])] =
+    view.snapshot().collect().map(r => (r.getString(0), r.getLong(1),
+      Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+
+  test("delta refreshes equal the from-scratch aggregate across a DML arc") {
+    val base = mkBase()
+    val (fact, dim) = mkTables(base)
+    val view = IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$base/dim", "ck", "dk")), s"$base/view",
+      Seq("nation"), aggs)
+    assert(got(view) === expected(fact, dim))
+
+    // insert-only delta (new group C appears)
+    fact.append(Seq((14L, 4L, Some(9L)), (15L, 1L, Some(1L)))
+      .toDF("fk", "ck", "v").coalesce(1))
+    view.refresh()
+    assert(view.lastRefresh.exists(_.mode == "delta"),
+      view.lastRefresh.toString)
+    assert(got(view) === expected(fact, dim))
+
+    // update images (pre -, post +)
+    fact.updateWhere(col("fk") === 11L, Map("v" -> lit(100L)))
+    view.refresh()
+    assert(view.lastRefresh.exists(_.mode == "delta"))
+    assert(got(view) === expected(fact, dim))
+
+    // delete: group C vanishes (its only row), group B loses its NULL row
+    fact.deleteWhere(col("fk").isin(14L, 13L))
+    view.refresh()
+    assert(got(view) === expected(fact, dim))
+    assert(!got(view).exists(_._1 == "C"), "emptied group must disappear")
+
+    // refresh with no changes: noop
+    val v0 = view.table.latestVersion.get
+    view.refresh()
+    assert(view.lastRefresh.exists(_.mode == "noop"))
+    assert(view.table.latestVersion.contains(v0))
+  }
+
+  test("sum NULL contract survives delta maintenance of the accumulator") {
+    val base = mkBase()
+    val fact = new IncrementalTable(spark, s"$base/fact")
+    val dim = new IncrementalTable(spark, s"$base/dim")
+    dim.append(Seq((1L, "A")).toDF("dk", "nation").coalesce(1))
+    // the group's only rows carry NULL v -> sum must be NULL, not 0
+    fact.append(Seq((1L, 1L, None: Option[Long])).toDF("fk", "ck", "v").coalesce(1))
+    val view = IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$base/dim", "ck", "dk")), s"$base/view",
+      Seq("nation"), aggs)
+    assert(got(view) === Set(("A", 1L, None)))
+    // a non-null row arrives -> sum materializes
+    fact.append(Seq((2L, 1L, Some(4L))).toDF("fk", "ck", "v").coalesce(1))
+    view.refresh()
+    assert(got(view) === Set(("A", 2L, Some(4L))))
+    // ...and leaves again -> back to NULL (nn drops to 0)
+    fact.deleteWhere(col("fk") === 2L)
+    view.refresh()
+    assert(view.lastRefresh.exists(_.mode == "delta"))
+    assert(got(view) === Set(("A", 1L, None)))
+  }
+
+  test("a dim change degrades to a full recompute (and is correct)") {
+    val base = mkBase()
+    val (fact, dim) = mkTables(base)
+    val view = IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$base/dim", "ck", "dk")), s"$base/view",
+      Seq("nation"), aggs)
+    // re-nation customer 3: B -> C. Delta maintenance cannot see this
+    // (the fact feed is empty) - the dim watermark forces full
+    dim.updateWhere(col("dk") === 3L, Map("nation" -> lit("C")))
+    view.refresh()
+    assert(view.lastRefresh.exists(_.mode == "full"), view.lastRefresh.toString)
+    assert(got(view) === expected(fact, dim))
+  }
+
+  test("non-delta-exact shapes are rejected at create") {
+    val base = mkBase()
+    val fact = new IncrementalTable(spark, s"$base/fact")
+    val dim = new IncrementalTable(spark, s"$base/dim")
+    dim.append(Seq((1L, "A")).toDF("dk", "nation").coalesce(1))
+    fact.append(Seq((1L, 1L, 1.5)).toDF("fk", "ck", "d").coalesce(1))
+    def dimSpec = Seq(DimSpec(s"$base/dim", "ck", "dk"))
+    // double sum: order-dependent, refused
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalJoinView.create(spark, fact, dimSpec, s"$base/v1",
+        Seq("nation"), Seq("cnt" -> "count(*)", "sd" -> "sum(d)"))
+    }
+    assert(e1.getMessage.contains("delta-exact"))
+    // max: not decomposable under deletes, refused
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalJoinView.create(spark, fact, dimSpec, s"$base/v2",
+        Seq("nation"), Seq("cnt" -> "count(*)", "m" -> "max(d)"))
+    }
+    assert(e2.getMessage.contains("delta-maintainable"))
+    // no count(*): liveness untrackable, refused
+    val e3 = intercept[IllegalArgumentException] {
+      IncrementalJoinView.create(spark, fact, dimSpec, s"$base/v3",
+        Seq("nation"), Seq("sv" -> "sum(cast(d as decimal(18,2)))"))
+    }
+    assert(e3.getMessage.contains("count(*)"))
+  }
+
+  test("open() rebuilds from the persisted definition; decimal sums stay exact") {
+    val base = mkBase()
+    val fact = new IncrementalTable(spark, s"$base/fact")
+    val dim = new IncrementalTable(spark, s"$base/dim")
+    dim.append(Seq((1L, "A"), (2L, "B")).toDF("dk", "nation").coalesce(1))
+    fact.append(Seq((1L, 1L, 10.25), (2L, 2L, 0.75))
+      .toDF("fk", "ck", "p").coalesce(1))
+    val created = IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$base/dim", "ck", "dk")), s"$base/view",
+      Seq("nation"),
+      Seq("cnt" -> "count(*)", "sp" -> "sum(cast(p as decimal(18,2)))"))
+    fact.append(Seq((3L, 1L, 0.10)).toDF("fk", "ck", "p").coalesce(1))
+    val reopened = IncrementalJoinView.open(spark, s"$base/view")
+    reopened.refresh()
+    assert(reopened.lastRefresh.exists(_.mode == "delta"))
+    val rows = reopened.snapshot().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString))
+      .toSet
+    assert(rows === Set(("A", 2L, "10.35"), ("B", 1L, "0.75")))
+    assert(created.aggs === reopened.aggs)
+  }
+}
