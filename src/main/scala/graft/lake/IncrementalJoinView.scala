@@ -149,6 +149,21 @@ final class IncrementalJoinView private (
     table.latestVersion.flatMap(v => table.metaAt(v).get(IncrementalView.WmKey))
       .map(_.toLong)
 
+  /** Whether the view reflects the fact AND every dim at their current
+    * heads — the routing freshness gate ([[graft.plans.GraftViewRouting]]).
+    */
+  def isFresh: Boolean =
+    try fact.latestVersion.exists(watermark.contains) &&
+      dimWatermark.contains(currentDimVersions)
+    catch { case _: Exception => false }
+
+  def dimSpecs: Seq[DimSpec] = dims.map(_._1)
+
+  /** Stored-schema accessors for the optimizer rewrite. */
+  private[graft] def countCol: String = cntName
+  private[graft] def sumCols: Seq[(String, String)] = sums
+  private[graft] def nnColName(sumName: String): String = nnCol(sumName)
+
   private def dimWatermark: Option[Seq[Long]] =
     table.latestVersion.flatMap(v => table.metaAt(v).get(DimWmKey))
       .map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toLong))

@@ -43,6 +43,9 @@ object GraftViewRouting {
 
   private val registry = new ConcurrentHashMap[String, Set[String]]()
   private val opened = new ConcurrentHashMap[String, IncrementalView]()
+  private val joinRegistry = new ConcurrentHashMap[String, Set[String]]()
+  private val joinOpened =
+    new ConcurrentHashMap[String, graft.lake.IncrementalJoinView]()
 
   /** Scheme-insensitive path key (file:/tmp/x ≡ /tmp/x). */
   private[plans] def normalize(p: String): String = {
@@ -63,15 +66,34 @@ object GraftViewRouting {
       registry.computeIfPresent(normalize(v.source.path),
         (_, s) => { val r = s - viewPath; if (r.isEmpty) null else r })
     }
+    Option(joinOpened.remove(viewPath)).foreach { v =>
+      joinRegistry.computeIfPresent(normalize(v.fact.path),
+        (_, s) => { val r = s - viewPath; if (r.isEmpty) null else r })
+    }
   }
 
-  def clear(): Unit = { registry.clear(); opened.clear() }
+  /** Enable routing for the JOIN view at `viewPath` (star-schema
+    * aggregates rewrite to its scan — see [[RouteAggregatesToViews]]).
+    */
+  def registerJoin(spark: SparkSession, viewPath: String): Unit = {
+    val v = graft.lake.IncrementalJoinView.open(spark, viewPath)
+    joinOpened.put(viewPath, v)
+    joinRegistry.merge(normalize(v.fact.path), Set(viewPath), _ ++ _)
+  }
 
-  private[plans] def isEmpty: Boolean = registry.isEmpty
+  def clear(): Unit =
+    { registry.clear(); opened.clear(); joinRegistry.clear(); joinOpened.clear() }
+
+  private[plans] def isEmpty: Boolean =
+    registry.isEmpty && joinRegistry.isEmpty
 
   private[plans] def viewsFor(srcPath: String): Seq[IncrementalView] =
     registry.getOrDefault(normalize(srcPath), Set.empty).toSeq.sorted
       .flatMap(p => Option(opened.get(p)))
+
+  private[plans] def joinViewsFor(factPath: String): Seq[graft.lake.IncrementalJoinView] =
+    joinRegistry.getOrDefault(normalize(factPath), Set.empty).toSeq.sorted
+      .flatMap(p => Option(joinOpened.get(p)))
 
   /** Canonical form for agg-SQL comparison; misses only fail closed. */
   private[plans] def norm(sql: String): String =
@@ -92,7 +114,8 @@ case class RouteAggregatesToViews(spark: SparkSession)
       !spark.conf.get("spark.graft.viewRouting.enabled", "true").toBoolean)
       plan
     else plan.transformUp {
-      case agg: Aggregate => tryRoute(agg).getOrElse(agg)
+      case agg: Aggregate =>
+        tryRoute(agg).orElse(tryRouteJoin(agg)).getOrElse(agg)
     }
 
   /** The backing table path of a graft HEAD scan, plus any Filter
@@ -145,6 +168,111 @@ case class RouteAggregatesToViews(spark: SparkSession)
     }
   } yield routed
 
+  // ---- JOIN-VIEW routing: Aggregate over a left-deep star join of a
+  // graft fact with graft dims rewrites to a scan of a registered
+  // FRESH [[graft.lake.IncrementalJoinView]] whose dim chain (paths +
+  // join keys, in join order), group set, and aggregate SQLs all
+  // match. count(*) maps to the stored liveness count; sum(x) maps to
+  // `nn > 0 ? acc : NULL`, restoring SQL sum's NULL contract from the
+  // stored accumulator + non-null counter. Filters anywhere in the
+  // shape fail closed (a filtered aggregate is not the view's
+  // definition). ----
+
+  /** The fact path + (dimPath, factKeyCol, dimKeyCol) chain of a
+    * left-deep inner-equi-join of graft HEAD scans; None otherwise.
+    */
+  private def joinShape(p: LogicalPlan)
+      : Option[(String, Seq[(String, String, String)])] = p match {
+    case SubqueryAlias(_, child) => joinShape(child)
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      joinShape(child)
+    case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+      j.condition match {
+        case Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: AttributeReference, b: AttributeReference)) =>
+          for {
+            left <- joinShape(j.left)
+            dimPath <- leafHeadPath(j.right)
+            keys <- {
+              val la = j.left.outputSet
+              val ra = j.right.outputSet
+              if (la.contains(a) && ra.contains(b)) Some((a.name, b.name))
+              else if (la.contains(b) && ra.contains(a)) Some((b.name, a.name))
+              else None
+            }
+          } yield (left._1, left._2 :+ ((dimPath, keys._1, keys._2)))
+        case _ => None
+      }
+    case other => leafHeadPath(other).map(p => (p, Nil))
+  }
+
+  /** [[graftHeadPath]] restricted to filter-free leaves. */
+  private def leafHeadPath(p: LogicalPlan): Option[String] =
+    graftHeadPath(p).collect { case (path, Seq()) => path }
+
+  private def tryRouteJoin(agg: Aggregate): Option[LogicalPlan] = for {
+    shape <- joinShape(agg.child)
+    (factPath, dimChain) = shape
+    if dimChain.nonEmpty
+    groupNames <- bareGroupNames(agg.groupingExpressions)
+    routed <- GraftViewRouting.joinViewsFor(factPath)
+      .filter { v =>
+        v.dimSpecs.length == dimChain.length &&
+          v.dimSpecs.zip(dimChain).forall { case (spec, (path, fk, dk)) =>
+            GraftViewRouting.normalize(spec.path) ==
+              GraftViewRouting.normalize(path) &&
+              spec.factKey.equalsIgnoreCase(fk) &&
+              spec.dimKey.equalsIgnoreCase(dk)
+          } &&
+          v.groupCols.map(_.toLowerCase).toSet == groupNames
+      }
+      .filter(v => try v.isFresh catch { case _: Exception => false })
+      .view.flatMap(v => rewriteJoin(agg, v)).headOption
+  } yield routed
+
+  private def rewriteJoin(agg: Aggregate,
+      view: graft.lake.IncrementalJoinView): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, If, Literal}
+    val viewRel = viewRelationAt(view.table.path).getOrElse(return None)
+    val byName = viewRel.output.map(a => a.name.toLowerCase -> a).toMap
+    val groupSet = view.groupCols.map(_.toLowerCase).toSet
+
+    def mapGroup(orig: NamedExpression, name: String): Option[NamedExpression] =
+      byName.get(name.toLowerCase).filter(_.dataType == orig.dataType)
+        .map(va => Alias(va, orig.name)(exprId = orig.exprId))
+
+    val outs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case al @ Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        val sqlN = GraftViewRouting.norm(ae.sql)
+        if (sqlN == "count(1)")
+          byName.get(view.countCol.toLowerCase)
+            .filter(_.dataType == al.dataType)
+            .map(a => Alias(KnownNotNull(a), al.name)(exprId = al.exprId))
+        else
+          view.sumCols
+            .find { case (_, arg) =>
+              GraftViewRouting.norm(s"sum($arg)") == sqlN }
+            .flatMap { case (n, _) =>
+              for {
+                acc <- byName.get(n.toLowerCase)
+                nn <- byName.get(view.nnColName(n).toLowerCase)
+                if acc.dataType == al.dataType
+              } yield Alias(If(GreaterThan(nn, Literal(0L)), acc,
+                Literal(null, acc.dataType)), al.name)(exprId = al.exprId)
+            }
+      case a @ Alias(attr: AttributeReference, _)
+          if groupSet(attr.name.toLowerCase) =>
+        mapGroup(a, attr.name)
+      case attr: AttributeReference if groupSet(attr.name.toLowerCase) =>
+        mapGroup(attr, attr.name)
+      case _ => None
+    }
+    if (outs.exists(_.isEmpty)) None
+    else Some(Project(outs.flatten, viewRel))
+  }
+
   private def bareGroupNames(gs: Seq[Expression]): Option[Set[String]] =
     if (gs.nonEmpty && gs.forall(_.isInstanceOf[AttributeReference]))
       Some(gs.map(_.asInstanceOf[AttributeReference].name.toLowerCase).toSet)
@@ -157,10 +285,13 @@ case class RouteAggregatesToViews(spark: SparkSession)
   /** A fresh relation over the view table (the path provider serves
     * the manifest-resolved parquet; pushdown happens downstream).
     */
-  private def viewRelation(view: IncrementalView): Option[DataSourceV2Relation] = {
+  private def viewRelation(view: IncrementalView): Option[DataSourceV2Relation] =
+    viewRelationAt(view.table.path)
+
+  private def viewRelationAt(path: String): Option[DataSourceV2Relation] = {
     val provider = new graft.sources.GraftDataSource
     val opts = new CaseInsensitiveStringMap(
-      java.util.Collections.singletonMap("path", view.table.path))
+      java.util.Collections.singletonMap("path", path))
     try {
       val table = provider.getTable(provider.inferSchema(opts),
         provider.inferPartitioning(opts), opts.asCaseSensitiveMap())

@@ -200,6 +200,69 @@ class ViewRoutingSpec extends AnyFunSuite with SparkSpec
       Set((1L, 1L), (2L, 1L)))
   }
 
+  test("a star-join aggregate routes to a fresh join view") {
+    import spark.implicits._
+    import graft.lake.{DimSpec, IncrementalJoinView}
+    val base = Files.createTempDirectory("vr_jv_").toString
+    val fact = new IncrementalTable(spark, s"$base/fact")
+    val dim = new IncrementalTable(spark, s"$base/dim")
+    dim.append(Seq((1L, "A"), (2L, "A"), (3L, "B"))
+      .toDF("dk", "nation").coalesce(1))
+    fact.append(Seq((10L, 1L, Some(5L)), (11L, 2L, Some(7L)),
+      (12L, 3L, None: Option[Long])).toDF("fk", "ck", "v").coalesce(1))
+    val view = IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$base/dim", "ck", "dk")), s"$base/view",
+      Seq("nation"), Seq("cnt" -> "count(*)", "sv" -> "sum(v)"))
+    GraftViewRouting.registerJoin(spark, s"$base/view")
+
+    def joinedAgg() = spark.read.format("graft").load(fact.path)
+      .join(spark.read.format("graft").load(dim.path), col("ck") === col("dk"))
+      .groupBy("nation").agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+    def routed(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+        .contains(new java.io.File(s"$base/view").getName)
+
+    val q = joinedAgg()
+    assert(routed(q), q.queryExecution.optimizedPlan.toString)
+    // NULL sum contract survives the routed projection (group B's only
+    // v is NULL: the stored accumulator is 0, the served sum is NULL)
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1),
+      Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet ===
+      Set(("A", 2L, Some(12L)), ("B", 1L, None)))
+
+    // stale (fact moved): bypassed until refresh
+    fact.append(Seq((13L, 1L, Some(1L))).toDF("fk", "ck", "v").coalesce(1))
+    assert(!routed(joinedAgg()))
+    IncrementalJoinView.open(spark, s"$base/view").refresh()
+    assert(routed(joinedAgg()))
+
+    // a dim move also un-freshes the view
+    dim.updateWhere(col("dk") === 3L, Map("nation" -> lit("C")))
+    assert(!routed(joinedAgg()))
+    IncrementalJoinView.open(spark, s"$base/view").refresh()
+    assert(routed(joinedAgg()))
+
+    // fail-closed matrix: filter in the shape, wrong keys, wrong groups
+    val filtered = spark.read.format("graft").load(fact.path)
+      .join(spark.read.format("graft").load(dim.path), col("ck") === col("dk"))
+      .filter(col("v") > 0L)
+      .groupBy("nation").agg(count(lit(1)).as("cnt"))
+    assert(!routed(filtered))
+    val wrongKey = spark.read.format("graft").load(fact.path)
+      .join(spark.read.format("graft").load(dim.path), col("fk") === col("dk"))
+      .groupBy("nation").agg(count(lit(1)).as("cnt"))
+    assert(!routed(wrongKey))
+    val wrongGroup = spark.read.format("graft").load(fact.path)
+      .join(spark.read.format("graft").load(dim.path), col("ck") === col("dk"))
+      .groupBy("dk").agg(count(lit(1)).as("cnt"))
+    assert(!routed(wrongGroup))
+    // avg over the join: the view has no avg -> untouched
+    val avgQ = spark.read.format("graft").load(fact.path)
+      .join(spark.read.format("graft").load(dim.path), col("ck") === col("dk"))
+      .groupBy("nation").agg(avg("v").as("a"))
+    assert(!routed(avgQ))
+  }
+
   test("SQL through the catalog routes too") {
     import spark.implicits._
     val wh = Files.createTempDirectory("vr_cat_").toString
