@@ -198,6 +198,38 @@ object ScaleEvidence {
         f""""view_files":[${m.viewFilesRewritten},${m.viewFilesTotal}]}""")
     }
 
+    /** Experiment 5: JOIN-VIEW delta refresh cost vs fact size. A
+      * star-schema view (fact ⋈ dim GROUP BY a dim attribute) is
+      * delta-maintained, so a CONSTANT-size fact change (500 updated
+      * rows) should refresh in ~flat time and shuffle whatever the
+      * fact size — the delta is aggregated, the fact never re-scanned
+      * — while the initial full materialization grows with the fact.
+      */
+    def joinViewExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      val n = 100000L * k
+      val fact = new graft.lake.IncrementalTable(spark, s"$base/jv_x$k/fact")
+      val dim = new graft.lake.IncrementalTable(spark, s"$base/jv_x$k/dim")
+      dim.append(spark.range(1000L).select(col("id").as("dk"),
+        pmod(col("id"), lit(25L)).cast("string").as("nation")).coalesce(1))
+      fact.append(spark.range(n).select(col("id").as("fk"),
+        pmod(col("id"), lit(1000L)).as("ck"),
+        (col("id") * 17L % 1000L).as("v"))
+        .repartitionByRange(16, col("fk")).sortWithinPartitions("fk"))
+      val t0 = System.nanoTime()
+      val view = graft.lake.IncrementalJoinView.create(spark, fact,
+        Seq(graft.lake.DimSpec(s"$base/jv_x$k/dim", "ck", "dk")),
+        s"$base/jv_x$k/view", Seq("nation"),
+        Seq("cnt" -> "count(*)", "total" -> "sum(v)"), targetFiles = 4)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      fact.updateWhere(col("fk") < 500L, Map("v" -> (col("v") + 7L)))
+      val (_, refreshS, rd, wr) = measured { view.refresh(targetFiles = 4) }
+      val m = view.lastRefresh.get
+      println(f"""{"scale":$k,"experiment":"join_view","fact_rows":$n,""" +
+        f""""full_build_s":$buildS%.2f,"delta_refresh_s":$refreshS%.2f,""" +
+        f""""mode":"${m.mode}","touched_groups":${m.touchedGroups},""" +
+        f""""refresh_shuffle_rw_mb":[${rd / 1e6}%.1f,${wr / 1e6}%.1f]}""")
+    }
+
     /** Experiment 4: INCREMENTAL dedup cost vs corpus size. Bootstrap
       * the persistent LSH index on the 1×/10× corpus, then dedup a
       * CONSTANT-size batch (250 near-dups of corpus docs + 250 fresh)
@@ -262,6 +294,7 @@ object ScaleEvidence {
     }
     scales.foreach(k => viewExperiment(base, k))
     scales.foreach(k => incDedupExperiment(base, k))
+    scales.foreach(k => joinViewExperiment(base, k))
     spark.stop()
   }
 }

@@ -362,6 +362,11 @@ object IncrementalJoinView {
       targetFiles: Int = IncrementalView.DefaultTargetFiles): IncrementalJoinView = {
     require(groupCols.nonEmpty, "join view needs >=1 group column")
     require(aggs.nonEmpty, "join view needs >=1 aggregate")
+    require(aggs.map(_._1).distinct.size == aggs.size,
+      s"duplicate aggregate output names: ${aggs.map(_._1)}")
+    require(aggs.forall(a => !a._1.startsWith("__nn_")),
+      "aggregate output names must not use the reserved __nn_ prefix " +
+        "(it carries the stored non-null counters)")
     aggs.foreach { case (n, s) =>
       require(normSql(s) == "count(1)" || normHead(s) == "sum",
         s"join view aggregate '$n' is '$s' — only count(*) and sum(...) " +
