@@ -395,6 +395,21 @@ object IncrementalJoinView {
     view
   }
 
+  /** Whether the `_viewdef` at `path` declares a JOIN view — the SQL
+    * surface's dispatch between the two maintenance strategies.
+    */
+  def isJoinView(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path, "_viewdef")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val in = fs.open(p)
+    val head =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .nextOption().getOrElse("")
+      finally in.close()
+    head == DefFormat
+  }
+
   /** Reopen from the persisted definition alone. */
   def open(spark: SparkSession, path: String): IncrementalJoinView = {
     val t = new IncrementalTable(spark, path)

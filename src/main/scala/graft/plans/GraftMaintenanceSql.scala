@@ -21,7 +21,12 @@ import graft.lake.IncrementalTable
   *   DESCRIBE HISTORY lake.t                  -- the commit log as rows
   *   CREATE MATERIALIZED VIEW lake.v AS
   *     SELECT k, count(*) AS cnt FROM lake.t GROUP BY k
-  *   REFRESH MATERIALIZED VIEW lake.v         -- affected-key recompute
+  *   CREATE MATERIALIZED VIEW lake.jv AS      -- star-schema join view
+  *     SELECT nation, count(*) AS cnt, sum(v) AS sv
+  *     FROM lake.fact JOIN lake.dim ON ck = dk GROUP BY nation
+  *   REFRESH MATERIALIZED VIEW lake.v         -- strategy from _viewdef:
+  *                                            -- affected-key recompute
+  *                                            -- or signed-delta merge
   * }}}
   *
   * The target is either a graft-catalog table (`lake.ns.t`, resolved
@@ -403,7 +408,6 @@ case class CreateMaterializedViewGraftCommand(
     AttributeReference("location", StringType)(),
     AttributeReference("reflects_source_version", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val src = GraftMaintenanceSql.incrementalAt(spark, source)
     val viewPath = GraftMaintenanceSql.resolvePath(spark, target)
     val items = GraftMaintenanceSql.splitTopLevel(selectList)
     val aliased = """(?is)^(.+\S)\s+AS\s+(\w+)$""".r
@@ -419,9 +423,47 @@ case class CreateMaterializedViewGraftCommand(
         s"CREATE MATERIALIZED VIEW: cannot parse select item '$other' — " +
           "use a bare GROUP BY column or '<aggregate expr> AS <alias>'")
     }
-    val view = graft.lake.IncrementalView.create(
-      spark, src, viewPath, groupCols, aggs)
-    Seq(Row(viewPath, view.watermark.getOrElse(-1L)))
+    // a JOIN chain in the FROM clause selects the delta-maintained
+    // star-schema strategy (IncrementalJoinView); a single table the
+    // affected-key recompute one (IncrementalView)
+    val joinRe = """(?i)\s+JOIN\s+""".r
+    val parts = joinRe.split(" " + source + " ").map(_.trim).toSeq
+    if (parts.length == 1) {
+      val src = GraftMaintenanceSql.incrementalAt(spark, source)
+      val view = graft.lake.IncrementalView.create(
+        spark, src, viewPath, groupCols, aggs)
+      Seq(Row(viewPath, view.watermark.getOrElse(-1L)))
+    } else {
+      val fact = GraftMaintenanceSql.incrementalAt(spark, parts.head)
+      val onRe = """(?is)^(.+?)\s+ON\s+([\w`.]+)\s*=\s*([\w`.]+)$""".r
+      val dims = parts.tail.map {
+        case onRe(dimTarget, a, b) =>
+          val dimPath = GraftMaintenanceSql.resolvePath(spark, dimTarget.trim)
+          val dim = new graft.lake.IncrementalTable(spark, dimPath)
+          require(dim.exists,
+            s"CREATE MATERIALIZED VIEW: no graft table at $dimPath")
+          // resolve which ON operand is the dim's key from its schema
+          // (qualifier-stripped) — the other side is the fact/chain key
+          val dimFields = dim.tableSchema.map(_.fieldNames.toSet)
+            .getOrElse(Set.empty).map(_.toLowerCase)
+          def base(c: String) =
+            c.substring(c.lastIndexOf('.') + 1).stripPrefix("`").stripSuffix("`")
+          val (l, r) = (base(a), base(b))
+          val (factKey, dimKey) =
+            if (dimFields(r.toLowerCase) && !dimFields(l.toLowerCase)) (l, r)
+            else if (dimFields(l.toLowerCase) && !dimFields(r.toLowerCase)) (r, l)
+            else throw new IllegalArgumentException(
+              s"CREATE MATERIALIZED VIEW: cannot attribute ON $a = $b — " +
+                s"exactly one side must be a column of $dimPath")
+          graft.lake.DimSpec(dimPath, factKey, dimKey)
+        case other => throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW: cannot parse join '$other' — " +
+            "use '<dim table> ON <factKey> = <dimKey>'")
+      }
+      val view = graft.lake.IncrementalJoinView.create(
+        spark, fact, dims, viewPath, groupCols, aggs)
+      Seq(Row(viewPath, view.watermark.getOrElse(-1L)))
+    }
   }
 }
 
@@ -481,9 +523,16 @@ case class RefreshMaterializedViewGraftCommand(target: String)
     AttributeReference("view_version", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val viewPath = GraftMaintenanceSql.resolvePath(spark, target)
-    val view = graft.lake.IncrementalView.open(spark, viewPath)
-    val v = view.refresh()
-    val m = view.lastRefresh.get
+    // dispatch on the persisted definition's era marker: join views
+    // refresh by signed delta, plain views by affected-key recompute
+    val (v, m) =
+      if (graft.lake.IncrementalJoinView.isJoinView(spark, viewPath)) {
+        val view = graft.lake.IncrementalJoinView.open(spark, viewPath)
+        (view.refresh(), view.lastRefresh.get)
+      } else {
+        val view = graft.lake.IncrementalView.open(spark, viewPath)
+        (view.refresh(), view.lastRefresh.get)
+      }
     Seq(Row(m.mode, m.fromSourceVersion, m.toSourceVersion,
       m.touchedGroups, m.viewFilesRewritten, v))
   }

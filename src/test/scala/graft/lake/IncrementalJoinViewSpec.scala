@@ -142,6 +142,40 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
     assert(e3.getMessage.contains("count(*)"))
   }
 
+  test("SQL surface: CREATE MATERIALIZED VIEW with JOIN builds a join view; " +
+    "REFRESH dispatches on the persisted definition") {
+    val base = mkBase()
+    val (fact, dim) = mkTables(base)
+    val viewDir = s"$base/view"
+    val created = spark.sql(
+      s"""CREATE MATERIALIZED VIEW '$viewDir' AS
+         |SELECT nation, count(*) AS cnt, sum(v) AS sv
+         |FROM '${fact.path}' JOIN '${dim.path}' ON ck = dk
+         |GROUP BY nation""".stripMargin).collect()
+    assert(created.head.getString(0) === viewDir)
+    assert(IncrementalJoinView.isJoinView(spark, viewDir))
+    val view = IncrementalJoinView.open(spark, viewDir)
+    assert(view.dimSpecs === Seq(DimSpec(dim.path, "ck", "dk")))
+    assert(got(view) === expected(fact, dim))
+
+    fact.append(Seq((20L, 1L, Some(3L))).toDF("fk", "ck", "v").coalesce(1))
+    val refreshed = spark.sql(
+      s"REFRESH MATERIALIZED VIEW '$viewDir'").collect()
+    assert(refreshed.head.getString(0) === "delta", refreshed.head.toString)
+    assert(got(IncrementalJoinView.open(spark, viewDir)) ===
+      expected(fact, dim))
+
+    // an ON clause neither side of which is a dim column refuses loudly
+    val err = intercept[Throwable](spark.sql(
+      s"""CREATE MATERIALIZED VIEW '$base/v2' AS
+         |SELECT nation, count(*) AS cnt
+         |FROM '${fact.path}' JOIN '${dim.path}' ON ck = fk
+         |GROUP BY nation""".stripMargin).collect())
+    val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("exactly one side"), msgs)
+  }
+
   test("open() rebuilds from the persisted definition; decimal sums stay exact") {
     val base = mkBase()
     val fact = new IncrementalTable(spark, s"$base/fact")
