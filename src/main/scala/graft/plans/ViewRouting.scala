@@ -233,7 +233,8 @@ case class RouteAggregatesToViews(spark: SparkSession)
 
   private def rewriteJoin(agg: Aggregate,
       view: graft.lake.IncrementalJoinView): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, If, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EvalMode, GreaterThan, If, Literal}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
     val viewRel = viewRelationAt(view.table.path).getOrElse(return None)
     val byName = viewRel.output.map(a => a.name.toLowerCase -> a).toMap
     val groupSet = view.groupCols.map(_.toLowerCase).toSet
@@ -241,6 +242,19 @@ case class RouteAggregatesToViews(spark: SparkSession)
     def mapGroup(orig: NamedExpression, name: String): Option[NamedExpression] =
       byName.get(name.toLowerCase).filter(_.dataType == orig.dataType)
         .map(va => Alias(va, orig.name)(exprId = orig.exprId))
+
+    /** The stored (acc, nn) pair whose sum argument's canonical SQL is
+      * `argN`; nn IS count(arg) — non-null inputs only, exactly avg's
+      * denominator.
+      */
+    def accPair(argN: String) = view.sumCols
+      .find { case (_, arg) => GraftViewRouting.norm(arg) == argN }
+      .flatMap { case (n, _) =>
+        for {
+          acc <- byName.get(n.toLowerCase)
+          nn <- byName.get(view.nnColName(n).toLowerCase)
+        } yield (acc, nn)
+      }
 
     val outs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case al @ Alias(ae: AggregateExpression, _)
@@ -250,18 +264,25 @@ case class RouteAggregatesToViews(spark: SparkSession)
           byName.get(view.countCol.toLowerCase)
             .filter(_.dataType == al.dataType)
             .map(a => Alias(KnownNotNull(a), al.name)(exprId = al.exprId))
-        else
-          view.sumCols
-            .find { case (_, arg) =>
-              GraftViewRouting.norm(s"sum($arg)") == sqlN }
-            .flatMap { case (n, _) =>
-              for {
-                acc <- byName.get(n.toLowerCase)
-                nn <- byName.get(view.nnColName(n).toLowerCase)
-                if acc.dataType == al.dataType
-              } yield Alias(If(GreaterThan(nn, Literal(0L)), acc,
+        else if (sqlN.startsWith("sum("))
+          accPair(sqlN.stripPrefix("sum(").stripSuffix(")"))
+            .filter { case (acc, _) => acc.dataType == al.dataType }
+            .map { case (acc, nn) =>
+              Alias(If(GreaterThan(nn, Literal(0L)), acc,
                 Literal(null, acc.dataType)), al.name)(exprId = al.exprId)
             }
+        else if (sqlN.startsWith("avg("))
+          // LONG accumulators only — the rollup-avg bit-equality rule
+          accPair(sqlN.stripPrefix("avg(").stripSuffix(")"))
+            .filter { case (acc, _) =>
+              acc.dataType == LongType && al.dataType == DoubleType }
+            .map { case (acc, nn) =>
+              Alias(If(GreaterThan(nn, Literal(0L)),
+                Divide(Cast(acc, DoubleType), Cast(nn, DoubleType),
+                  EvalMode.LEGACY),
+                Literal(null, DoubleType)), al.name)(exprId = al.exprId)
+            }
+        else None
       case a @ Alias(attr: AttributeReference, _)
           if groupSet(attr.name.toLowerCase) =>
         mapGroup(a, attr.name)

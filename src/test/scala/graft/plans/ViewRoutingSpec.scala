@@ -256,11 +256,19 @@ class ViewRoutingSpec extends AnyFunSuite with SparkSpec
       .join(spark.read.format("graft").load(dim.path), col("ck") === col("dk"))
       .groupBy("dk").agg(count(lit(1)).as("cnt"))
     assert(!routed(wrongGroup))
-    // avg over the join: the view has no avg -> untouched
-    val avgQ = spark.read.format("graft").load(fact.path)
+    // avg over the join routes through the stored sum(v) accumulator
+    // and its non-null counter — NULL groups stay NULL, values match
+    // the unrouted plan exactly (long accumulator)
+    def avgQ() = spark.read.format("graft").load(fact.path)
       .join(spark.read.format("graft").load(dim.path), col("ck") === col("dk"))
       .groupBy("nation").agg(avg("v").as("a"))
-    assert(!routed(avgQ))
+    assert(routed(avgQ()), avgQ().queryExecution.optimizedPlan.toString)
+    spark.conf.set("spark.graft.viewRouting.enabled", "false")
+    val unroutedAvg = avgQ().collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toSet
+    spark.conf.set("spark.graft.viewRouting.enabled", "true")
+    assert(avgQ().collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toSet === unroutedAvg)
   }
 
   test("SQL through the catalog routes too") {
