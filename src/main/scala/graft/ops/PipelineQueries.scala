@@ -414,6 +414,18 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Semantic k-means clustering of the embedding corpus
+    * ([[graft.sim.KMeans]]): the full per-vector cluster assignment,
+    * deterministic end-to-end (milli quantization, smallest-id init,
+    * integer-mean Lloyd updates, lower-cid ties), so the oracle
+    * replays the whole k-means in SQL. k=8, 3 iterations — the
+    * `ann_ivf_*` training parameters at clustering granularity.
+    */
+  def clusterEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    graft.sim.KMeans.assign(Tables.load(spark, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, iterations = 3)
+      .orderBy("vec_id")
+
   /** Watermarked tumbling-window aggregation (the streaming shape, run
     * batch — watermark is a no-op on batch input; see
     * graft.streaming.Streams).
@@ -1740,6 +1752,26 @@ object PipelineQueries {
         |FROM grid g LEFT JOIN agg a USING (event_type, bucket)
         |ORDER BY 1, 2""".stripMargin,
 
+    "cluster_embeddings" ->
+      s"""WITH ${qCte()},
+         |dims AS (
+         |  SELECT unnest(generate_series(1, len(embedding))) AS d
+         |  FROM (SELECT embedding FROM embeddings LIMIT 1)),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cvec
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+         |${ivfLloydIterSql(1)},
+         |${ivfLloydIterSql(2)},
+         |${ivfLloydIterSql(3)},
+         |xf AS (
+         |  SELECT v.vec_id, c.cid,
+         |         -(CAST(${dot("v.qv", "c.cvec")} AS DOUBLE)) / sqrt(CAST(${dot("c.cvec", "c.cvec")} AS DOUBLE)) AS neg_sim
+         |  FROM q v, c3 c)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY neg_sim ASC, cid ASC) AS rn
+         |  FROM xf)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
     "heavy_hitters" ->
       s"""WITH $toksCte,
          |big AS (
@@ -1890,6 +1922,7 @@ object PipelineQueries {
     "windowed_event_counts" -> windowedEventCounts _,
     "resample_events" -> resampleEvents _,
     "heavy_hitters" -> heavyHitters _,
+    "cluster_embeddings" -> clusterEmbeddings _,
     "text_stats" -> textStats _,
     "lang_id" -> langId _,
     "corpus_clean" -> corpusClean _
