@@ -69,7 +69,7 @@ final class IncrementalJoinView private (
     val dims: Seq[(DimSpec, IncrementalTable)],
     val table: IncrementalTable,
     val groupCols: Seq[String],
-    val aggs: Seq[(String, String)]) {
+    val aggs: Seq[(String, String)]) extends RefreshableView {
 
   import IncrementalJoinView._
 
@@ -175,7 +175,7 @@ final class IncrementalJoinView private (
     }
 
   /** Bring the view up to the fact HEAD against the dims' HEADs. */
-  def refresh(targetFiles: Int = IncrementalView.DefaultTargetFiles): Long = {
+  override def refresh(targetFiles: Int): Long = {
     val factV = fact.latestVersion.getOrElse(
       throw new IllegalStateException(s"fact table ${fact.path} is empty"))
     val viewV = table.latestVersion.getOrElse(

@@ -20,6 +20,18 @@ final case class RefreshMetrics(
     viewFilesRewritten: Int,
     viewFilesTotal: Int)
 
+/** Common refresh surface of the two materialized-view strategies
+  * ([[IncrementalView]] affected-key recompute, [[IncrementalJoinView]]
+  * signed-delta merge) — what streaming maintenance sinks and the SQL
+  * REFRESH dispatch program against.
+  */
+trait RefreshableView {
+  /** Bring the view up to its source(s)' HEAD; returns the view
+    * version (current one on no-op).
+    */
+  def refresh(targetFiles: Int = IncrementalView.DefaultTargetFiles): Long
+}
+
 /** An incrementally-maintained materialized aggregate over an
   * [[IncrementalTable]] — the downstream consumer the change feed and
   * row tracking exist for (Delta calls the pattern a materialized
@@ -78,7 +90,7 @@ final class IncrementalView private (
     val source: IncrementalTable,
     val table: IncrementalTable,
     val groupCols: Seq[String],
-    val aggs: Seq[(String, String)]) {
+    val aggs: Seq[(String, String)]) extends RefreshableView {
 
   import IncrementalView._
 
@@ -112,7 +124,7 @@ final class IncrementalView private (
     * way every lake commit is: two racing refreshes conflict on the
     * removed files and the loser throws [[CommitConflictException]].
     */
-  def refresh(targetFiles: Int = DefaultTargetFiles): Long = {
+  override def refresh(targetFiles: Int): Long = {
     val srcV = source.latestVersion.getOrElse(
       throw new IllegalStateException(s"source table ${source.path} is empty"))
     val viewV = table.latestVersion.getOrElse(

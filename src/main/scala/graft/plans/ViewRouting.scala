@@ -216,20 +216,98 @@ case class RouteAggregatesToViews(spark: SparkSession)
     (factPath, dimChain) = shape
     if dimChain.nonEmpty
     groupNames <- bareGroupNames(agg.groupingExpressions)
-    routed <- GraftViewRouting.joinViewsFor(factPath)
-      .filter { v =>
-        v.dimSpecs.length == dimChain.length &&
-          v.dimSpecs.zip(dimChain).forall { case (spec, (path, fk, dk)) =>
-            GraftViewRouting.normalize(spec.path) ==
-              GraftViewRouting.normalize(path) &&
-              spec.factKey.equalsIgnoreCase(fk) &&
-              spec.dimKey.equalsIgnoreCase(dk)
-          } &&
-          v.groupCols.map(_.toLowerCase).toSet == groupNames
-      }
-      .filter(v => try v.isFresh catch { case _: Exception => false })
-      .view.flatMap(v => rewriteJoin(agg, v)).headOption
+    routed <- {
+      val candidates = GraftViewRouting.joinViewsFor(factPath)
+        .filter { v =>
+          v.dimSpecs.length == dimChain.length &&
+            v.dimSpecs.zip(dimChain).forall { case (spec, (path, fk, dk)) =>
+              GraftViewRouting.normalize(spec.path) ==
+                GraftViewRouting.normalize(path) &&
+                spec.factKey.equalsIgnoreCase(fk) &&
+                spec.dimKey.equalsIgnoreCase(dk)
+            }
+        }
+        .filter(v => try v.isFresh catch { case _: Exception => false })
+      // exact-group views serve by projection; a FINER view serves a
+      // coarser GROUP BY by re-aggregation (LONG accumulators only —
+      // the rollup dtype rule)
+      candidates
+        .filter(_.groupCols.map(_.toLowerCase).toSet == groupNames)
+        .view.flatMap(v => rewriteJoin(agg, v)).headOption
+        .orElse(candidates
+          .filter(v => groupNames.subsetOf(v.groupCols.map(_.toLowerCase).toSet))
+          .view.flatMap(v => rewriteJoinRollup(agg, v)).headOption)
+    }
   } yield routed
+
+  /** Coarser GROUP BY over a finer join view: the stored per-fine-group
+    * rows re-aggregate — `count(*)`→`sum(cnt)`, `sum(x)`→`sum(acc)`
+    * gated on `sum(nn) > 0` (acc is 0 where nn is 0, so the rolled
+    * accumulator is exact), `avg(x)`→`sum(acc)/sum(nn)`. LONG
+    * accumulators only: a decimal Sum widens the dtype and fails
+    * closed, like the plain-view rollup.
+    */
+  private def rewriteJoinRollup(agg: Aggregate,
+      view: graft.lake.IncrementalJoinView): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EvalMode, GreaterThan, If, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Sum}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val viewRel = viewRelationAt(view.table.path).getOrElse(return None)
+    val byName = viewRel.output.map(a => a.name.toLowerCase -> a).toMap
+    val groupSet = agg.groupingExpressions
+      .collect { case a: AttributeReference => a.name.toLowerCase }.toSet
+
+    def pair(argN: String) = view.sumCols
+      .find { case (_, arg) => GraftViewRouting.norm(arg) == argN }
+      .flatMap { case (n, _) =>
+        for {
+          acc <- byName.get(n.toLowerCase) if acc.dataType == LongType
+          nn <- byName.get(view.nnColName(n).toLowerCase)
+        } yield (AggregateExpression(Sum(acc), Complete, isDistinct = false),
+          AggregateExpression(Sum(nn), Complete, isDistinct = false))
+      }
+
+    val outs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case al @ Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        val sqlN = GraftViewRouting.norm(ae.sql)
+        if (sqlN == "count(1)")
+          byName.get(view.countCol.toLowerCase)
+            .map(c => AggregateExpression(Sum(c), Complete, isDistinct = false))
+            .filter(_.dataType == al.dataType)
+            .map(s => Alias(KnownNotNull(s), al.name)(exprId = al.exprId))
+        else if (sqlN.startsWith("sum(") && al.dataType == LongType)
+          pair(sqlN.stripPrefix("sum(").stripSuffix(")")).map {
+            case (accSum, nnSum) =>
+              Alias(If(GreaterThan(nnSum, Literal(0L)), accSum,
+                Literal(null, LongType)), al.name)(exprId = al.exprId)
+          }
+        else if (sqlN.startsWith("avg(") && al.dataType == DoubleType)
+          pair(sqlN.stripPrefix("avg(").stripSuffix(")")).map {
+            case (accSum, nnSum) =>
+              Alias(If(GreaterThan(nnSum, Literal(0L)),
+                Divide(Cast(accSum, DoubleType), Cast(nnSum, DoubleType),
+                  EvalMode.LEGACY),
+                Literal(null, DoubleType)), al.name)(exprId = al.exprId)
+          }
+        else None
+      case a @ Alias(attr: AttributeReference, _)
+          if groupSet(attr.name.toLowerCase) =>
+        byName.get(attr.name.toLowerCase).filter(_.dataType == a.dataType)
+          .map(va => Alias(va, a.name)(exprId = a.exprId))
+      case attr: AttributeReference if groupSet(attr.name.toLowerCase) =>
+        byName.get(attr.name.toLowerCase).filter(_.dataType == attr.dataType)
+          .map(va => Alias(va, attr.name)(exprId = attr.exprId))
+      case _ => None
+    }
+    if (outs.exists(_.isEmpty)) None
+    else {
+      val groups: Seq[Expression] = agg.groupingExpressions.collect {
+        case a: AttributeReference => byName(a.name.toLowerCase)
+      }
+      Some(Aggregate(groups, outs.flatten, viewRel))
+    }
+  }
 
   private def rewriteJoin(agg: Aggregate,
       view: graft.lake.IncrementalJoinView): Option[LogicalPlan] = {

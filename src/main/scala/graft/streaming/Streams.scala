@@ -135,7 +135,7 @@ object Streams {
     * restrictions, and the result is a versioned lake table.
     */
   def maintainedViewSink(table: graft.lake.IncrementalTable,
-      views: graft.lake.IncrementalView*): (DataFrame, Long) => Unit = {
+      views: graft.lake.RefreshableView*): (DataFrame, Long) => Unit = {
     val append = incrementalAppendSink(table)
     (batch, batchId) => {
       append(batch, batchId)

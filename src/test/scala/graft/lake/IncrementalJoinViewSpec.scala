@@ -176,6 +176,24 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
     assert(msgs.contains("exactly one side"), msgs)
   }
 
+  test("maintainedViewSink drives join views per micro-batch, replay no-ops") {
+    val base = mkBase()
+    val (fact, dim) = mkTables(base)
+    val view = IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$base/dim", "ck", "dk")), s"$base/view",
+      Seq("nation"), aggs)
+    val sink = graft.streaming.Streams.maintainedViewSink(fact, view)
+    val batch = Seq((30L, 1L, Some(8L)), (31L, 4L, Some(2L)))
+      .toDF("fk", "ck", "v")
+    sink(batch, 0L)
+    assert(view.lastRefresh.exists(_.mode == "delta"))
+    assert(got(view) === expected(fact, dim))
+    val v0 = view.table.latestVersion.get
+    sink(batch, 0L) // replayed micro-batch: append no-ops, refresh no-ops
+    assert(view.table.latestVersion.contains(v0))
+    assert(got(view) === expected(fact, dim))
+  }
+
   test("open() rebuilds from the persisted definition; decimal sums stay exact") {
     val base = mkBase()
     val fact = new IncrementalTable(spark, s"$base/fact")

@@ -271,6 +271,38 @@ class ViewRoutingSpec extends AnyFunSuite with SparkSpec
       .map(r => (r.getString(0), Option(r.get(1)))).toSet === unroutedAvg)
   }
 
+  test("a coarser GROUP BY re-aggregates a finer join view (rollup)") {
+    import spark.implicits._
+    import graft.lake.{DimSpec, IncrementalJoinView}
+    val base = Files.createTempDirectory("vr_jvr_").toString
+    val fact = new IncrementalTable(spark, s"$base/fact")
+    val dim = new IncrementalTable(spark, s"$base/dim")
+    // dim carries two attributes; the view groups by BOTH, queries by one
+    dim.append(Seq((1L, "A", "x"), (2L, "A", "y"), (3L, "B", "x"))
+      .toDF("dk", "nation", "zone").coalesce(1))
+    fact.append(Seq((10L, 1L, Some(5L)), (11L, 2L, Some(7L)),
+      (12L, 3L, None: Option[Long]), (13L, 3L, Some(2L)))
+      .toDF("fk", "ck", "v").coalesce(1))
+    IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$base/dim", "ck", "dk")), s"$base/view",
+      Seq("nation", "zone"), Seq("cnt" -> "count(*)", "sv" -> "sum(v)"))
+    GraftViewRouting.registerJoin(spark, s"$base/view")
+
+    def q() = spark.read.format("graft").load(fact.path)
+      .join(spark.read.format("graft").load(dim.path), col("ck") === col("dk"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sv"), avg("v").as("av"))
+    assert(q().queryExecution.optimizedPlan.toString
+      .contains(new java.io.File(s"$base/view").getName),
+      q().queryExecution.optimizedPlan.toString)
+    spark.conf.set("spark.graft.viewRouting.enabled", "false")
+    val unrouted = q().collect().map(r => (r.getString(0), r.getLong(1),
+      Option(r.get(2)), Option(r.get(3)))).toSet
+    spark.conf.set("spark.graft.viewRouting.enabled", "true")
+    assert(q().collect().map(r => (r.getString(0), r.getLong(1),
+      Option(r.get(2)), Option(r.get(3)))).toSet === unrouted)
+  }
+
   test("SQL through the catalog routes too") {
     import spark.implicits._
     val wh = Files.createTempDirectory("vr_cat_").toString
