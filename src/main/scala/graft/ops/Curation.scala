@@ -33,6 +33,35 @@ object Curation {
       when(sourceCol === s, lit(b)).otherwise(els)
     }
 
+  /** CLUSTER-BALANCED downsampling: every cluster contributes exactly
+    * the minority cluster's row count, chosen hash-deterministically —
+    * the domain-balancing stage after semantic clustering
+    * ([[graft.sim.KMeans]]): majority topics stop dominating the
+    * training mix without RNG state or retry instability.
+    *
+    * Scale shape: the per-cluster counts are a k-row aggregate and the
+    * global cap a broadcast single row; ranking is ONE window
+    * partitioned by cluster (per-cluster sorts are independent — no
+    * global sort, no single-partition window). Selection is integer
+    * arithmetic on the shared 60-bit hash (rank ties broken by id), so
+    * the kept set is deterministic, partitioning-independent and
+    * SQL-replayable.
+    */
+  def balanceClusters(assign: DataFrame, idCol: String,
+      clusterCol: String = "cluster_id"): DataFrame = {
+    val counts = assign.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("__n"))
+    val cap = counts.agg(min(col("__n")).as("__cap"))
+    val w = Window.partitionBy(clusterCol)
+      .orderBy(graft.dedup.Shingles.baseHash(col(idCol).cast("string")),
+        col(idCol))
+    assign
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(cap))
+      .filter(col("__rk") <= col("__cap"))
+      .select(col(idCol), col(clusterCol))
+  }
+
   /** Keep each source's highest-scoring documents while the running
     * token total stays within the source's budget. Ranking is total
     * (score desc, id asc) so the running sum — and therefore the cut —

@@ -426,6 +426,18 @@ object PipelineQueries {
       "vec_id", "embedding", k = 8, iterations = 3)
       .orderBy("vec_id")
 
+  /** Semantic clustering → cluster-balanced downsampling, the
+    * domain-balancing composition ([[Curation.balanceClusters]]):
+    * every k-means cluster contributes the minority cluster's count,
+    * chosen hash-deterministically.
+    */
+  def balanceClusters(spark: SparkSession, dir: String): DataFrame =
+    Curation.balanceClusters(
+      graft.sim.KMeans.assign(Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iterations = 3),
+      "vec_id")
+      .orderBy("vec_id")
+
   /** Watermarked tumbling-window aggregation (the streaming shape, run
     * batch — watermark is a no-op on batch input; see
     * graft.streaming.Streams).
@@ -1772,6 +1784,37 @@ object PipelineQueries {
          |  FROM xf)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
+    "balance_clusters" ->
+      s"""WITH ${qCte()},
+         |dims AS (
+         |  SELECT unnest(generate_series(1, len(embedding))) AS d
+         |  FROM (SELECT embedding FROM embeddings LIMIT 1)),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cvec
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+         |${ivfLloydIterSql(1)},
+         |${ivfLloydIterSql(2)},
+         |${ivfLloydIterSql(3)},
+         |xf AS (
+         |  SELECT v.vec_id, c.cid,
+         |         -(CAST(${dot("v.qv", "c.cvec")} AS DOUBLE)) / sqrt(CAST(${dot("c.cvec", "c.cvec")} AS DOUBLE)) AS neg_sim
+         |  FROM q v, c3 c),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY neg_sim ASC, cid ASC) AS rn
+         |    FROM xf)
+         |  WHERE rn = 1),
+         |cap AS (
+         |  SELECT min(n) AS cap FROM (SELECT count(*) AS n FROM asg GROUP BY cid)),
+         |rk AS (
+         |  SELECT vec_id, cid, row_number() OVER (
+         |    PARTITION BY cid
+         |    ORDER BY CAST('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+         |             vec_id) AS rk
+         |  FROM asg)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
+         |FROM rk, cap WHERE rk <= cap ORDER BY vec_id""".stripMargin,
+
     "heavy_hitters" ->
       s"""WITH $toksCte,
          |big AS (
@@ -1923,6 +1966,7 @@ object PipelineQueries {
     "resample_events" -> resampleEvents _,
     "heavy_hitters" -> heavyHitters _,
     "cluster_embeddings" -> clusterEmbeddings _,
+    "balance_clusters" -> balanceClusters _,
     "text_stats" -> textStats _,
     "lang_id" -> langId _,
     "corpus_clean" -> corpusClean _

@@ -112,4 +112,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("lambdafunction"),
       s"interpreted higher-order function in the scoring path:\n$p")
   }
+
+  test("balanceClusters: every cluster capped at the minority size, " +
+    "hash-deterministic and partitioning-independent") {
+    import spark.implicits._
+    // clusters of size 3 / 5 / 8 -> cap 3, 9 rows kept
+    val assign = (
+      (0 until 3).map(i => (i.toLong, 0L)) ++
+      (10 until 15).map(i => (i.toLong, 1L)) ++
+      (20 until 28).map(i => (i.toLong, 2L))).toDF("id", "cluster_id")
+    val kept = Curation.balanceClusters(assign, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.length === 9)
+    assert(kept.groupBy(_._2).view.mapValues(_.length).toMap ===
+      Map(0L -> 3, 1L -> 3, 2L -> 3))
+    val kept2 = Curation.balanceClusters(assign.repartition(7), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept2.sorted.toSeq === kept.sorted.toSeq)
+  }
 }
