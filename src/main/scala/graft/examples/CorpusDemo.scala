@@ -52,6 +52,23 @@ object CorpusDemo {
     graft.sim.IvfAnn.topK(emb, emb.filter(col("vec_id") < 3),
       "vec_id", "embedding", k = 3).show(9)
 
+    println("=== curation: score -> token-budget selection ===")
+    val budgets = Seq("web" -> 20000L, "books" -> 10000L)
+    graft.ops.Curation.selectByTokenBudget(
+      docs, "doc_id", "text", "source", budgets)
+      .groupBy("source").agg(count(lit(1)).as("docs_kept"),
+        max("cum_tokens").as("tokens_used"))
+      .show()
+
+    println("=== semantic clustering -> cluster-balanced mix ===")
+    val assigned = graft.sim.KMeans.assign(emb, "vec_id", "embedding", k = 8)
+    assigned.groupBy("cluster_id").count().orderBy("cluster_id").show()
+    val balanced = graft.ops.Curation.balanceClusters(assigned, "vec_id")
+    println(s"balanced corpus: ${balanced.count()} of ${emb.count()} vectors")
+
+    println("=== frequent boilerplate bigrams (bounded-state) ===")
+    graft.ops.PipelineQueries.heavyHitters(spark, sfDir).show(6, truncate = false)
+
     spark.stop()
   }
 }
