@@ -454,6 +454,12 @@ object PipelineQueries {
       "event_type", "ts_utc", "value")
       .orderBy("event_type", "bucket")
 
+  /** Linear-interpolated variant ([[TimeSeries.resampleInterpolate]]). */
+  def resampleInterpolateEvents(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.resampleInterpolate(Tables.events(spark, dir),
+      "event_type", "ts_utc", "value")
+      .orderBy("event_type", "bucket")
+
   /** Misra–Gries sketch size for [[heavyHitters]]. The two-pass result
     * is exact iff every item with count ≥ N/HhSupportDenom survives the
     * sketch, which the MG bound guarantees when
@@ -1815,6 +1821,48 @@ object PipelineQueries {
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
          |FROM rk, cap WHERE rk <= cap ORDER BY vec_id""".stripMargin,
 
+    "resample_interpolate" ->
+      """WITH agg AS (
+        |  SELECT event_type,
+        |         date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)) AS bucket,
+        |         count(*) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM agg GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM spans),
+        |g AS (
+        |  SELECT g.event_type, g.bucket,
+        |         COALESCE(a.n_events, 0) AS n_events, a.sum_value
+        |  FROM grid g LEFT JOIN agg a USING (event_type, bucket)),
+        |w AS (
+        |  SELECT *,
+        |    last_value(sum_value IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN sum_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        |    first_value(sum_value IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN sum_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM g)
+        |SELECT event_type, bucket, n_events, sum_value,
+        |       CASE WHEN sum_value IS NOT NULL THEN sum_value
+        |            WHEN pv IS NULL OR nv IS NULL THEN COALESCE(pv, nv)
+        |            ELSE pv + (nv - pv) *
+        |                 (CAST(date_diff('hour', pb, bucket) AS DOUBLE) /
+        |                  CAST(date_diff('hour', pb, nb) AS DOUBLE))
+        |       END AS interp_value
+        |FROM w ORDER BY 1, 2""".stripMargin,
+
     "heavy_hitters" ->
       s"""WITH $toksCte,
          |big AS (
@@ -1964,6 +2012,7 @@ object PipelineQueries {
     "source_stats_rollup" -> sourceStatsRollup _,
     "windowed_event_counts" -> windowedEventCounts _,
     "resample_events" -> resampleEvents _,
+    "resample_interpolate" -> resampleInterpolateEvents _,
     "heavy_hitters" -> heavyHitters _,
     "cluster_embeddings" -> clusterEmbeddings _,
     "balance_clusters" -> balanceClusters _,

@@ -30,15 +30,11 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
-  /** Dense per-key hourly series over `[min bucket, max bucket]` of
-    * each key: `(keyCol, bucket, n_events, sum_value, filled_value)`
-    * where gap buckets carry `n_events = 0`, `sum_value = NULL`, and
-    * `filled_value` is the last non-null `sum_value` at or before the
-    * bucket (NULL until the key's first observation — leading gaps
-    * cannot occur here because every key's span starts at an observed
-    * bucket).
+  /** The dense per-key hourly frame both resamplers share:
+    * `(keyCol, bucket, n_events, sum_value)` over `[min, max]` of each
+    * key, gap buckets with `n_events = 0` and `sum_value = NULL`.
     */
-  def resampleLocf(events: DataFrame, keyCol: String, tsCol: String,
+  private def denseGrid(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val agg = events
       .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("bucket"))
@@ -49,12 +45,57 @@ object TimeSeries {
       .select(col(keyCol),
         explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
           .as("bucket"))
-    val w = Window.partitionBy(keyCol).orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(agg, Seq(keyCol, "bucket"), "left")
       .select(col(keyCol), col("bucket"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
-        col("sum_value"),
-        last(col("sum_value"), ignoreNulls = true).over(w).as("filled_value"))
+        col("sum_value"))
+  }
+
+  /** Dense per-key hourly series over `[min bucket, max bucket]` of
+    * each key: `(keyCol, bucket, n_events, sum_value, filled_value)`
+    * where gap buckets carry `n_events = 0`, `sum_value = NULL`, and
+    * `filled_value` is the last non-null `sum_value` at or before the
+    * bucket (NULL until the key's first observation — leading gaps
+    * cannot occur here because every key's span starts at an observed
+    * bucket).
+    */
+  def resampleLocf(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    denseGrid(events, keyCol, tsCol, valueCol)
+      .withColumn("filled_value",
+        last(col("sum_value"), ignoreNulls = true).over(w))
+  }
+
+  /** [[resampleLocf]] with LINEAR INTERPOLATION instead of carry-
+    * forward: a gap bucket's `interp_value` is the straight line
+    * between the previous and next observed values, positioned by
+    * whole-hour offsets (exact integer `timestampdiff`s; only the
+    * final lerp is floating point, and its expression tree is written
+    * identically in the SQL oracle so IEEE round-to-nearest produces
+    * the same bits on both engines). Observed buckets pass their own
+    * value through. Two frames over ONE per-key window ordering — the
+    * same single shuffle as the LOCF form.
+    */
+  def resampleInterpolate(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val base = Window.partitionBy(keyCol).orderBy("bucket")
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBucket = when(col("sum_value").isNotNull, col("bucket"))
+    denseGrid(events, keyCol, tsCol, valueCol)
+      .withColumn("__pv", last(col("sum_value"), ignoreNulls = true).over(wPrev))
+      .withColumn("__pb", last(obsBucket, ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col("sum_value"), ignoreNulls = true).over(wNext))
+      .withColumn("__nb", first(obsBucket, ignoreNulls = true).over(wNext))
+      .withColumn("interp_value",
+        when(col("sum_value").isNotNull, col("sum_value"))
+          .when(col("__pv").isNull || col("__nv").isNull,
+            coalesce(col("__pv"), col("__nv")))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            (expr("timestampdiff(HOUR, __pb, bucket)").cast("double") /
+              expr("timestampdiff(HOUR, __pb, __nb)").cast("double"))))
+      .drop("__pv", "__pb", "__nv", "__nb")
   }
 }

@@ -35,6 +35,25 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       ("b", "2024-01-01 07:00:00.0", 1L, Some(7.0), Some(7.0))))
   }
 
+  test("resampleInterpolate: gaps lerp between neighbors, observations pass through") {
+    // key "a": observed 4.0 at 00h and 10.0 at 03h -> gaps at 01h, 02h
+    // lerp to 6.0 and 8.0
+    val events = Seq(
+      ("a", ts("2024-01-01 00:30:00"), 4.0),
+      ("a", ts("2024-01-01 03:10:00"), 10.0)
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.resampleInterpolate(events, "k", "t", "v")
+      .orderBy("bucket")
+      .collect()
+      .map(r => (r.getTimestamp(1).toString, r.getLong(2),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(out === Seq(
+      ("2024-01-01 00:00:00.0", 1L, Some(4.0)),
+      ("2024-01-01 01:00:00.0", 0L, Some(6.0)),
+      ("2024-01-01 02:00:00.0", 0L, Some(8.0)),
+      ("2024-01-01 03:00:00.0", 1L, Some(10.0))))
+  }
+
   test("resampleLocf: grid join and LOCF window run on the aggregated frame") {
     val events = Seq(("a", ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t", "v")
     val plan = TimeSeries.resampleLocf(events, "k", "t", "v")
