@@ -277,4 +277,35 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
     assert((winnowRddIds() -- before).isEmpty,
       s"released winnow frames still pinned: ${winnowRddIds() -- before}")
   }
+
+  test("heavy_hitters: the exact recount joins BROADCAST candidates — " +
+    "the n-gram vocabulary never shuffles") {
+    val p = PipelineQueries.heavyHitters(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$p")
+    // the only hash shuffle is the post-join candidate recount; the
+    // raw bigram stream must not hashpartition by token before the
+    // broadcast filter (that would be the full-vocabulary shuffle)
+    assert(!p.contains("SortMergeJoin"), s"vocabulary-sized join:\n$p")
+  }
+
+  test("resample_events: one partial-aggregated reduction of raw events " +
+    "feeds grid, join and window") {
+    val p = PipelineQueries.resampleEvents(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"no partial aggregation over raw events:\n$p")
+    assert(p.contains("Window"), s"no LOCF window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"grid built by cross product:\n$p")
+  }
+
+  test("balance_clusters: rank window partitions by cluster, cap broadcasts") {
+    val p = PipelineQueries.balanceClusters(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(cluster_id"),
+      s"rank window not cluster-partitioned:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"cap not broadcast:\n$p")
+  }
 }
