@@ -468,6 +468,13 @@ object PipelineQueries {
   val HhSketchK = 1023
   val HhSupportDenom = 600L
 
+  /** Per-source support for [[heavyHittersBySource]]: sources are much
+    * smaller than the corpus, so the phrase bar sits higher (1/200 of
+    * the source's bigrams). Still `< HhSketchK + 1`, so the per-group
+    * MG guarantee holds.
+    */
+  val HhSourceSupportDenom = 200L
+
   /** Frequent word BIGRAMS (boilerplate phrases) above support
     * `1/HhSupportDenom`, by two-pass bounded-state heavy hitters:
     * pass 1 folds every bigram into one Misra–Gries candidate sketch
@@ -505,6 +512,37 @@ object PipelineQueries {
       .filter(col("cnt") * lit(HhSupportDenom) >= col("__total"))
       .select(col("token"), col("cnt"))
       .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** PER-SOURCE frequent bigrams — the GROUPED form of the bounded-
+    * state sketch: `groupBy(source).agg(mg)` runs one independent
+    * Misra–Gries summary per source (the Aggregator's merge is
+    * per-group, so the N/(k+1) survival guarantee holds within each
+    * source), and the exact recount applies each source's own support
+    * threshold. Finds the boilerplate each source repeats — crawl
+    * headers, license blocks — which corpus-wide heavy hitters dilute
+    * away when a source is small.
+    */
+  def heavyHittersBySource(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.load(spark, dir, "documents")
+      .select(col("source"), TextFunctions.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("source"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"), col("tk"))
+      .select(col("source"), concat(element_at(col("tk"), col("i")), lit(" "),
+        element_at(col("tk"), col("i") + 1)).as("token"))
+    val sketch = bigrams.groupBy(col("source")).agg(
+      count(lit(1)).as("__total"),
+      graft.functions.MisraGriesAgg.candidates(HhSketchK)(col("token"))
+        .as("__cand"))
+    val cands = sketch.select(col("source"), col("__total"),
+      explode(col("__cand")).as("token"))
+    bigrams.join(broadcast(cands), Seq("source", "token"))
+      .groupBy(col("source"), col("token"), col("__total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(HhSourceSupportDenom) >= col("__total"))
+      .select(col("source"), col("token"), col("cnt"))
+      .orderBy(col("source"), col("cnt").desc, col("token"))
   }
 
   def textStats(spark: SparkSession, dir: String): DataFrame = {
@@ -1821,6 +1859,20 @@ object PipelineQueries {
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
          |FROM rk, cap WHERE rk <= cap ORDER BY vec_id""".stripMargin,
 
+    "heavy_hitters_by_source" ->
+      raw"""WITH toks AS (
+           |  SELECT source, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
+           |  FROM documents),
+           |big AS (
+           |  SELECT source, tk[i] || ' ' || tk[i+1] AS token
+           |  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)),
+           |tot AS (SELECT source, count(*) AS n FROM big GROUP BY source)
+           |SELECT b.source, b.token, count(*) AS cnt
+           |FROM big b JOIN tot USING (source)
+           |GROUP BY b.source, b.token, tot.n
+           |HAVING count(*) * $HhSourceSupportDenom >= tot.n
+           |ORDER BY source, cnt DESC, token""".stripMargin,
+
     "resample_interpolate" ->
       """WITH agg AS (
         |  SELECT event_type,
@@ -2014,6 +2066,7 @@ object PipelineQueries {
     "resample_events" -> resampleEvents _,
     "resample_interpolate" -> resampleInterpolateEvents _,
     "heavy_hitters" -> heavyHitters _,
+    "heavy_hitters_by_source" -> heavyHittersBySource _,
     "cluster_embeddings" -> clusterEmbeddings _,
     "balance_clusters" -> balanceClusters _,
     "text_stats" -> textStats _,
