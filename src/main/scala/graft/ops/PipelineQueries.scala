@@ -414,6 +414,24 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Embedding-level decontamination
+    * ([[graft.sim.CosineSim.crossContaminatedIds]]): drop "train"
+    * vectors (vec_id ≥ 20) whose cosine to any "eval" vector
+    * (vec_id < 20) passes 0.35, candidates found only inside shared
+    * sign-LSH buckets — the semantic complement of the n-gram
+    * `decontaminate` (a paraphrased eval item shares no 3-grams but
+    * still sits next to its source in embedding space).
+    */
+  def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val flagged = graft.sim.CosineSim.crossContaminatedIds(
+      emb, "vec_id", "embedding", col("vec_id") < 20L, num = 35, den = 100)
+    emb.filter(col("vec_id") >= 20L)
+      .join(flagged, Seq("vec_id"), "left_anti")
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
   /** Semantic k-means clustering of the embedding corpus
     * ([[graft.sim.KMeans]]): the full per-vector cluster assignment,
     * deterministic end-to-end (milli quantization, smallest-id init,
@@ -1828,6 +1846,36 @@ object PipelineQueries {
          |  FROM xf)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
+    "semantic_decontaminate" ->
+      s"""WITH ${qCte()},
+         |dims AS (
+         |  SELECT unnest(generate_series(1, len(embedding))) AS d
+         |  FROM (SELECT embedding FROM embeddings LIMIT 1)),
+         |planes AS (
+         |  SELECT p, list(((2654435761 * d * (p+1) + 40503 * (p+1)) % 2001) - 1000 ORDER BY d) AS pv
+         |  FROM generate_series(0, 31) AS gp(p), dims
+         |  GROUP BY p),
+         |vb AS (
+         |  SELECT v.vec_id, p.p // 8 AS t,
+         |         sum(CASE WHEN ${dot("v.qv", "p.pv")} >= 0
+         |                  THEN (CAST(1 AS BIGINT) << (p.p % 8)) ELSE 0 END) AS b
+         |  FROM q v, planes p GROUP BY v.vec_id, p.p // 8),
+         |vbc AS (
+         |  SELECT *, count(*) OVER (PARTITION BY t, b) AS bsz FROM vb),
+         |flagged AS (
+         |  SELECT DISTINCT x.vec_id AS tid
+         |  FROM vbc x JOIN vbc y ON x.t = y.t AND x.b = y.b
+         |  JOIN q qa ON qa.vec_id = x.vec_id
+         |  JOIN q qb ON qb.vec_id = y.vec_id
+         |  WHERE x.vec_id >= 20 AND y.vec_id < 20
+         |    AND x.bsz <= 1000 AND y.bsz <= 1000
+         |    AND ${dot("qa.qv", "qb.qv")} >= 0
+         |    AND ${dot("qa.qv", "qb.qv")} * ${dot("qa.qv", "qb.qv")} * 10000 >=
+         |        1225 * ${dot("qa.qv", "qa.qv")} * ${dot("qb.qv", "qb.qv")})
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id >= 20 AND vec_id NOT IN (SELECT tid FROM flagged)
+         |ORDER BY vec_id""".stripMargin,
+
     "balance_clusters" ->
       s"""WITH ${qCte()},
          |dims AS (
@@ -2069,6 +2117,7 @@ object PipelineQueries {
     "heavy_hitters_by_source" -> heavyHittersBySource _,
     "cluster_embeddings" -> clusterEmbeddings _,
     "balance_clusters" -> balanceClusters _,
+    "semantic_decontaminate" -> semanticDecontaminate _,
     "text_stats" -> textStats _,
     "lang_id" -> langId _,
     "corpus_clean" -> corpusClean _

@@ -75,13 +75,19 @@ object CosineSim {
     * [[graft.dedup.MinHashLSH.candidates]]'s hot-bucket cap: those
     * floods are what exact dedup already removes upstream.
     */
-  def blockedSimilarPairs(
-      emb: DataFrame, idCol: String, vecCol: String, num: Long, den: Long,
-      planes: Int = 8, tables: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
-    // hyperplane weights depend only on (dimension, plane index):
-    // materialized once driver-side as literal arrays so each sign bit
-    // is one codegen'd LongArrayDot, not an interpreted fold (AnnLsh
-    // measured ~5× on exactly this hashing pass)
+  /** The shared sign-LSH bucketing pass: `(idCol, q, nrm, tb)` with
+    * every vector exploded into its `tables` (table, bucket) structs,
+    * hot buckets capped. Hyperplane weights depend only on (dimension,
+    * plane index): materialized once driver-side as literal arrays so
+    * each sign bit is one codegen'd LongArrayDot, not an interpreted
+    * fold (AnnLsh measured ~5× on exactly this hashing pass). The
+    * hot-bucket cap runs via a window count whose partitionBy(tb)
+    * exchange is exactly the downstream pair join's distribution, so
+    * the shuffle is shared.
+    */
+  private def signBuckets(
+      emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int, tables: Int, maxBucketSize: Int): DataFrame = {
     val dim = emb.select(size(col(vecCol))).head.getInt(0)
     def planeVec(plane: Int): Array[Long] = Array.tabulate(dim) { i =>
       ((2654435761L * (i + 1) * (plane + 1) + 40503L * (plane + 1)) % 2001L) - 1000L
@@ -95,13 +101,17 @@ object CosineSim {
       }
       struct(lit(t).as("t"), bits.reduce(_ + _).as("b"))
     }
-    val bucketed = q.withColumn("tb", explode(array(tb: _*)))
-    // hot-bucket cap via window count: its partitionBy(tb) exchange is
-    // exactly the pair join's distribution, so the shuffle is shared
-    val capped = bucketed.withColumn("bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("tb")))
+    q.withColumn("tb", explode(array(tb: _*)))
+      .withColumn("bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("tb")))
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")
+  }
+
+  def blockedSimilarPairs(
+      emb: DataFrame, idCol: String, vecCol: String, num: Long, den: Long,
+      planes: Int = 8, tables: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    val capped = signBuckets(emb, idCol, vecCol, planes, tables, maxBucketSize)
     capped.as("x").join(capped.as("y"),
         col("x.tb") === col("y.tb") && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
@@ -112,6 +122,29 @@ object CosineSim {
       // a pair can collide in several tables; dot/na/nb are pure
       // functions of the pair, so the kept row is deterministic
       .dropDuplicates("a", "b")
+  }
+
+  /** SEMANTIC DECONTAMINATION flags: the BIPARTITE form of
+    * [[blockedSimilarPairs]] — distinct ids of `pred=false` ("train")
+    * vectors whose cosine to ANY `pred=true` ("eval") vector passes
+    * `num/den`, found through the same shared sign-LSH buckets (both
+    * sides hash in ONE pass, the cap sees the union, candidates arise
+    * only inside a matching bucket). Anti-join the result against the
+    * train side to drop eval-contaminated training rows — the
+    * embedding-level complement of n-gram
+    * [[graft.text.Decontaminate]].
+    */
+  def crossContaminatedIds(
+      emb: DataFrame, idCol: String, vecCol: String, evalPred: Column,
+      num: Long, den: Long, planes: Int = 8, tables: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val capped = signBuckets(emb, idCol, vecCol, planes, tables, maxBucketSize)
+    capped.filter(!evalPred).as("x")
+      .join(capped.filter(evalPred).as("y"), col("x.tb") === col("y.tb"))
+      .filter(dotQ(col("x.q"), col("y.q")) >= 0 &&
+        dotQ(col("x.q"), col("y.q")) * dotQ(col("x.q"), col("y.q")) *
+          lit(den * den) >= lit(num * num) * col("x.nrm") * col("y.nrm"))
+      .select(col(s"x.$idCol").as(idCol)).distinct()
   }
 
   /** Shared top-k finisher for the similarity operators: bounded-heap

@@ -49,4 +49,21 @@ class CosineSimSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("NestedLoop") || plan.contains("HashJoin"),
       s"blocked pair join should be an equi-join:\n$plan")
   }
+
+  test("crossContaminatedIds flags near-eval train vectors, bipartite only") {
+    import spark.implicits._
+    // eval e0; t1 is (quantization-exactly) a scaled copy of e0
+    // (cosine 1), t2 is orthogonal, t3 is a near-copy of ANOTHER TRAIN
+    // vector (train-train similarity must NOT flag)
+    val e0 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val t1 = e0.map(_ * 0.5f)
+    val t2 = Array.tabulate(8)(i => if (i < 4) 1.0f else 1.0f)
+    val t3 = t2.map(_ * 0.9f)
+    val emb = Seq((0L, e0), (100L, t1), (101L, t2), (102L, t3))
+      .toDF("vec_id", "embedding")
+    val flagged = CosineSim.crossContaminatedIds(
+      emb, "vec_id", "embedding", col("vec_id") < 100L, num = 8, den = 10)
+      .as[Long].collect().toSet
+    assert(flagged === Set(100L), s"flagged=$flagged")
+  }
 }
