@@ -194,6 +194,67 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
     assert(got(view) === expected(fact, dim))
   }
 
+  test("two JVMs refreshing the same join view: commit arbitration " +
+    "keeps it exactly the full join aggregate") {
+    import java.util.concurrent.TimeUnit
+    val base = mkBase()
+    val (fact, dim) = mkTables(base)
+    val viewDir = s"$base/view"
+    val view = IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$base/dim", "ck", "dk")), viewDir,
+      Seq("nation"), aggs)
+
+    val rounds = 6
+    val jdk17AddOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val javaBin = new java.io.File(new java.io.File(
+      sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = Seq(javaBin) ++ jdk17AddOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"),
+      "graft.lake.JoinViewRefreshRaceWorker", viewDir, rounds.toString)
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new java.lang.StringBuilder
+    val drain = new Thread(() => {
+      val s = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+      s.getLines().foreach(l => out.append(l).append('\n'))
+    })
+    drain.setDaemon(true)
+    drain.start()
+    try {
+      val ready = java.nio.file.Paths.get(viewDir, "_worker_ready")
+      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(120)
+      while (!java.nio.file.Files.exists(ready) &&
+        System.nanoTime() < deadline && proc.isAlive) Thread.sleep(100)
+      assert(java.nio.file.Files.exists(ready), s"worker never ready:\n$out")
+      (0 until rounds).foreach { i =>
+        fact.updateWhere(col("fk") === (10L + i % 4),
+          Map("v" -> (coalesce(col("v"), lit(0L)) + 100L)))
+        try view.refresh()
+        catch { case _: CommitConflictException => () } // worker won
+        Thread.sleep(30)
+      }
+      assert(proc.waitFor(180, TimeUnit.SECONDS), s"worker timed out:\n$out")
+      assert(proc.exitValue() === 0, s"worker failed:\n$out")
+    } finally if (proc.isAlive) proc.destroyForcibly()
+
+    val reopened = IncrementalJoinView.open(spark, viewDir)
+    try reopened.refresh()
+    catch { case _: CommitConflictException => reopened.refresh() }
+    assert(got(reopened) === expected(fact, dim), s"worker log:\n$out")
+    val ns = reopened.snapshot().select("nation").collect().map(_.getString(0))
+    assert(ns.distinct.length === ns.length,
+      s"group duplicated across racing rewrites: ${ns.sorted.toSeq}\n$out")
+    assert(reopened.watermark === fact.latestVersion, s"worker log:\n$out")
+  }
+
   test("open() rebuilds from the persisted definition; decimal sums stay exact") {
     val base = mkBase()
     val fact = new IncrementalTable(spark, s"$base/fact")
