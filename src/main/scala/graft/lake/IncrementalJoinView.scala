@@ -174,7 +174,14 @@ final class IncrementalJoinView private (
         s"dim table ${spec.path} is empty"))
     }
 
-  /** Bring the view up to the fact HEAD against the dims' HEADs. */
+  /** Bring the view up to the fact HEAD against the dims' HEADs.
+    * Racing refreshes are arbitrated by a CAS on the validated view
+    * version (`requireBase`), not just removed-file overlap: the loser
+    * throws [[CommitConflictException]] even when its delta touched
+    * only all-new group keys (empty removed set) — without the CAS two
+    * such refreshes from one watermark would both land and the signed
+    * delta would apply twice.
+    */
   override def refresh(targetFiles: Int): Long = {
     val factV = fact.latestVersion.getOrElse(
       throw new IllegalStateException(s"fact table ${fact.path} is empty"))
@@ -212,7 +219,8 @@ final class IncrementalJoinView private (
     val cdc = table.snapshotAt(viewV).withColumn("_change_type", lit("delete"))
       .unionByName(next.withColumn("_change_type", lit("insert")))
     val v = table.commitFiles(added, oldFiles.toSet, "refresh",
-      meta = wmMeta(factV, dimVs) + ("cdc" -> table.stageChangeData(cdc)))
+      meta = wmMeta(factV, dimVs) + ("cdc" -> table.stageChangeData(cdc)),
+      requireBase = Some(viewV))
     last = Some(RefreshMetrics(wm.getOrElse(-1L), factV, "full", -1L,
       fact.files(factV).size, fact.files(factV).size,
       oldFiles.size, oldFiles.size))
@@ -242,7 +250,7 @@ final class IncrementalJoinView private (
     val sample = delta.limit(IncrementalView.MaxKeysInPredicate + 1).collect()
     if (sample.isEmpty) {
       val v = table.commitFiles(Nil, Set.empty, "refresh",
-        meta = wmMeta(factV, dimVs))
+        meta = wmMeta(factV, dimVs), requireBase = Some(viewV))
       last = Some(RefreshMetrics(w, factV, "noop", 0, 0,
         fact.files(factV).size, 0, table.files(viewV).size))
       return v
@@ -307,7 +315,8 @@ final class IncrementalJoinView private (
     val cdc = oldTouched.withColumn("_change_type", lit("delete"))
       .unionByName(merged.withColumn("_change_type", lit("insert")))
     val v = table.commitFiles(added, removed.toSet, "refresh",
-      meta = wmMeta(factV, dimVs) + ("cdc" -> table.stageChangeData(cdc)))
+      meta = wmMeta(factV, dimVs) + ("cdc" -> table.stageChangeData(cdc)),
+      requireBase = Some(viewV))
     last = Some(RefreshMetrics(w, factV, "delta",
       if (sample.length <= IncrementalView.MaxKeysInPredicate)
         sample.length.toLong

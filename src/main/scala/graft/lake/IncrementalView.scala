@@ -120,9 +120,13 @@ final class IncrementalView private (
       .sortWithinPartitions(groupCols.map(col): _*)
 
   /** Bring the view up to the source HEAD. Returns the new view
-    * version (or the current one on no-op). Concurrency-safe the same
-    * way every lake commit is: two racing refreshes conflict on the
-    * removed files and the loser throws [[CommitConflictException]].
+    * version (or the current one on no-op). Concurrency-safe by a CAS
+    * on the view version the refresh validated against (`requireBase`):
+    * of two racing refreshes from the same base, exactly one commits
+    * and the loser throws [[CommitConflictException]] — EVEN when the
+    * refreshes remove no overlapping files (all-new group keys, or an
+    * empty view), where removed-file arbitration alone would let both
+    * land and apply the recompute twice.
     */
   override def refresh(targetFiles: Int): Long = {
     val srcV = source.latestVersion.getOrElse(
@@ -159,7 +163,8 @@ final class IncrementalView private (
     val cdc = table.snapshotAt(viewV).withColumn("_change_type", lit("delete"))
       .unionByName(next.withColumn("_change_type", lit("insert")))
     val v = table.commitFiles(added, oldFiles.toSet, "refresh",
-      meta = Map(WmKey -> srcV.toString, "cdc" -> table.stageChangeData(cdc)))
+      meta = Map(WmKey -> srcV.toString, "cdc" -> table.stageChangeData(cdc)),
+      requireBase = Some(viewV))
     last = Some(RefreshMetrics(wm.getOrElse(-1L), srcV, "full", -1L,
       source.files(srcV).size, source.files(srcV).size,
       oldFiles.size, oldFiles.size))
@@ -173,7 +178,7 @@ final class IncrementalView private (
     if (sample.isEmpty) {
       // property-only commits in range: advance the watermark, no data
       val v = table.commitFiles(Nil, Set.empty, "refresh",
-        meta = Map(WmKey -> srcV.toString))
+        meta = Map(WmKey -> srcV.toString), requireBase = Some(viewV))
       last = Some(RefreshMetrics(w, srcV, "noop", 0, 0,
         source.files(srcV).size, 0, table.files(viewV).size))
       return v
@@ -229,7 +234,8 @@ final class IncrementalView private (
     val cdc = oldTouched.withColumn("_change_type", lit("delete"))
       .unionByName(recomputed.withColumn("_change_type", lit("insert")))
     val v = table.commitFiles(added, removed.toSet, "refresh",
-      meta = Map(WmKey -> srcV.toString, "cdc" -> table.stageChangeData(cdc)))
+      meta = Map(WmKey -> srcV.toString, "cdc" -> table.stageChangeData(cdc)),
+      requireBase = Some(viewV))
     last = Some(RefreshMetrics(w, srcV, "incremental",
       if (sample.length <= MaxKeysInPredicate) sample.length.toLong
       else keys.count(),

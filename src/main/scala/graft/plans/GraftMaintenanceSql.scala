@@ -158,6 +158,43 @@ object GraftMaintenanceSql {
     out.toSeq.filter(_.nonEmpty)
   }
 
+  /** `s` with the CONTENTS of quoted segments (backtick/single/double)
+    * masked to 'x' — same length, same offsets, so regex positions on
+    * the mask are valid positions in the original.
+    */
+  private[graftmerge] def maskQuoted(s: String): String = {
+    val out = s.toCharArray
+    var quote: Char = 0
+    var i = 0
+    while (i < out.length) {
+      val c = out(i)
+      if (quote != 0) { if (c == quote) quote = 0 else out(i) = 'x' }
+      else if (c == '`' || c == '\'' || c == '"') quote = c
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Run `f` over a quote-masked copy of `s` (for keyword checks that
+    * must not fire inside quoted identifiers/paths).
+    */
+  private[graftmerge] def outsideQuotes(s: String, f: String => Unit): Unit =
+    f(maskQuoted(s))
+
+  /** Split `s` on `regex`, matching only OUTSIDE quoted segments —
+    * the delimiters are located on the masked copy and applied to the
+    * original string, so a quoted path containing the delimiter text
+    * survives intact.
+    */
+  private[graftmerge] def splitOutsideQuotes(s: String, regex: String): Seq[String] = {
+    val m = java.util.regex.Pattern.compile(regex).matcher(maskQuoted(s))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var last = 0
+    while (m.find()) { parts += s.substring(last, m.start); last = m.end }
+    parts += s.substring(last)
+    parts.toSeq
+  }
+
   private[graftmerge] def incrementalAt(spark: SparkSession, target: String): IncrementalTable = {
     val path = resolvePath(spark, target)
     val t = new IncrementalTable(spark, path)
@@ -425,9 +462,23 @@ case class CreateMaterializedViewGraftCommand(
     }
     // a JOIN chain in the FROM clause selects the delta-maintained
     // star-schema strategy (IncrementalJoinView); a single table the
-    // affected-key recompute one (IncrementalView)
-    val joinRe = """(?i)\s+JOIN\s+""".r
-    val parts = joinRe.split(" " + source + " ").map(_.trim).toSeq
+    // affected-key recompute one (IncrementalView). Only bare inner
+    // JOIN is delta-maintainable — reject every other join type UP
+    // FRONT (a LEFT/OUTER keyword would otherwise land inside an
+    // adjacent table token and fail later with a misleading 'no graft
+    // table' error), and split outside quoted segments so a quoted
+    // path containing the word ' join ' stays one token.
+    val unsupported = """(?i)\b(LEFT|RIGHT|FULL|OUTER|CROSS|SEMI|ANTI|NATURAL)\s+(OUTER\s+)?JOIN\b""".r
+    GraftMaintenanceSql.outsideQuotes(source, s =>
+      unsupported.findFirstIn(s).foreach { kw =>
+        throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW: '${kw.trim}' is not supported — " +
+            "only inner 'JOIN <dim> ON <factKey> = <dimKey>' chains are " +
+            "delta-maintainable (outer/semi/anti joins are not)")
+      })
+    val parts = GraftMaintenanceSql
+      .splitOutsideQuotes(" " + source + " ", """(?i)\s+JOIN\s+""")
+      .map(_.trim).toSeq
     if (parts.length == 1) {
       val src = GraftMaintenanceSql.incrementalAt(spark, source)
       val view = graft.lake.IncrementalView.create(

@@ -36,13 +36,30 @@ class MisraGriesSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("trim: buffer never exceeds 2k entries and removes proportional weight") {
-    val agg = new MisraGriesAgg(4)
-    val buf = (0 until 100).map(i => s"x$i")
-      .foldLeft(agg.zero)(agg.reduce)
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = MisraGriesAgg.sketch(4)
+    val buf = agg.createAggregationBuffer()
+    (0 until 100).foreach(i =>
+      agg.updateToken(buf, UTF8String.fromString(s"x$i")))
     assert(buf.size <= 8)
     // merge of two saturated buffers stays bounded too
-    val other = (100 until 200).map(i => s"y$i").foldLeft(agg.zero)(agg.reduce)
+    val other = agg.createAggregationBuffer()
+    (100 until 200).foreach(i =>
+      agg.updateToken(other, UTF8String.fromString(s"y$i")))
     assert(agg.merge(buf, other).size <= 8)
+    // and a serialize/deserialize round trip is lossless
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.size == buf.size)
+    buf.forEach((tok, cnt) => assert(back.get(tok)(0) == cnt(0)))
+  }
+
+  test("null tokens are skipped, not NPE'd at finish") {
+    val df = (Seq("a", "a", "b") ++ Seq.fill(3)(null: String)).toDF("token")
+    val cands = df
+      .agg(MisraGriesAgg.candidates(8)(col("token")).as("c"))
+      .select(explode(col("c")).as("token"))
+      .as[String].collect().toSet
+    assert(cands === Set("a", "b"))
   }
 
   test("heavyHitters two-pass == exact groupBy on skewed data, k << vocab") {

@@ -174,6 +174,29 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
     val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
       .map(_.getMessage).mkString(" | ")
     assert(msgs.contains("exactly one side"), msgs)
+
+    // a non-inner join type is rejected UP FRONT with its own message,
+    // not a downstream mis-split 'no graft table' error
+    for (kw <- Seq("LEFT JOIN", "LEFT OUTER JOIN", "FULL JOIN", "CROSS JOIN")) {
+      val e = intercept[Throwable](spark.sql(
+        s"""CREATE MATERIALIZED VIEW '$base/v3' AS
+           |SELECT nation, count(*) AS cnt
+           |FROM '${fact.path}' $kw '${dim.path}' ON ck = dk
+           |GROUP BY nation""".stripMargin).collect())
+      val ms = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(ms.contains("not supported"), s"$kw: $ms")
+    }
+
+    // a quoted table path containing the text ' join ' must not split
+    val weirdDir = s"$base/has join in name"
+    val weird = new IncrementalTable(spark, weirdDir)
+    weird.append(Seq((1L, 2L)).toDF("a", "b").coalesce(1))
+    val ok = spark.sql(
+      s"""CREATE MATERIALIZED VIEW '$base/v4' AS
+         |SELECT a, count(*) AS cnt FROM '$weirdDir' GROUP BY a""".stripMargin)
+      .collect()
+    assert(ok.head.getString(0) === s"$base/v4")
   }
 
   test("maintainedViewSink drives join views per micro-batch, replay no-ops") {
