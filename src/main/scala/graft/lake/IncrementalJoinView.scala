@@ -48,6 +48,20 @@ final case class DimSpec(path: String, factKey: String, dimKey: String)
   * aggregate whatever the refresh history — the property the oracle
   * (`lake_join_view`) checks across a multi-refresh DML arc.
   *
+  * ==Extremes (max/min): hybrid maintenance==
+  * `max(x)`/`min(x)` are not delta-decrementable (the second-best
+  * value is not in the view), so they are maintained hybrid: inserts
+  * merge by `greatest`/`least` (monotone, exact for any orderable
+  * type — no arithmetic, so no float restriction), and a delete whose
+  * value TIES-OR-BEATS a group's stored extreme (without an insert in
+  * the same delta restoring the bound) flags that GROUP for recompute
+  * from `fact ⋈ dims` — file-pruned through the join: the affected
+  * group values select dim rows, their (bounded) key sets become
+  * `factKey IN (…)` predicates, and the stats store prunes fact files
+  * (`lake_join_view_minmax` oracles the arc; the spec pins the prune).
+  * More flagged groups than the predicate bound degrade to one full
+  * refresh — never wrong, only slower.
+  *
   * ==Fallback ladder (never wrong, only slower)==
   * A dim table change (any dim's version differs from the one the
   * watermark recorded), a CDC-less data-changing rewrite in the fact
@@ -79,6 +93,18 @@ final class IncrementalJoinView private (
   /** `(name, sumArgSql)` for every `sum(...)` agg, in declared order. */
   private val sums: Seq[(String, String)] = aggs.collect {
     case (n, s) if normHead(s) == "sum" => n -> sumArg(s)
+  }
+
+  /** `(name, argSql, isMax)` for every `max(...)`/`min(...)` agg —
+    * maintained HYBRID: inserts merge by pure `greatest`/`least`
+    * (monotone — an insert can only improve an extreme), while a
+    * delete whose value ties-or-beats the stored extreme forces an
+    * affected-GROUP recompute from `fact ⋈ dims` (extremes are not
+    * delta-decrementable: the second-best value is not in the view).
+    */
+  private val extremes: Seq[(String, String, Boolean)] = aggs.collect {
+    case (n, s) if normHead(s) == "max" => (n, fnArg(s, "max"), true)
+    case (n, s) if normHead(s) == "min" => (n, fnArg(s, "min"), false)
   }
   private val cntName: String = aggs.collectFirst {
     case (n, s) if normSql(s) == "count(1)" => n
@@ -118,11 +144,14 @@ final class IncrementalJoinView private (
   private def storedAgg(df: DataFrame): DataFrame = {
     val aggExprs =
       count(lit(1)).as(cntName) +:
-        sums.flatMap { case (n, arg) =>
+        (sums.flatMap { case (n, arg) =>
           val a = expr(arg)
           Seq(coalesce(sum(a), lit(0).cast(accType(n))).cast(accType(n)).as(n),
             count(a).as(nnCol(n)))
-        }
+        } ++
+          extremes.map { case (n, arg, isMax) =>
+            if (isMax) max(expr(arg)).as(n) else min(expr(arg)).as(n)
+          })
     df.groupBy(groupCols.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
   }
 
@@ -163,6 +192,7 @@ final class IncrementalJoinView private (
   private[graft] def countCol: String = cntName
   private[graft] def sumCols: Seq[(String, String)] = sums
   private[graft] def nnColName(sumName: String): String = nnCol(sumName)
+  private[graft] def extremeCols: Seq[(String, String, Boolean)] = extremes
 
   private def dimWatermark: Option[Seq[Long]] =
     table.latestVersion.flatMap(v => table.metaAt(v).get(DimWmKey))
@@ -235,13 +265,19 @@ final class IncrementalJoinView private (
       .otherwise(lit(0L))
     val deltaAggs =
       sum(col("__w")).as("__dcnt") +:
-        sums.flatMap { case (n, arg) =>
+        (sums.flatMap { case (n, arg) =>
           val a = expr(arg)
           Seq(coalesce(sum(a * col("__w")), lit(0).cast(accType(n)))
             .cast(accType(n)).as(s"__dacc_$n"),
             coalesce(sum(when(a.isNotNull, col("__w")).otherwise(lit(0L))),
               lit(0L)).as(s"__dnn_$n"))
-        }
+        } ++
+          extremes.flatMap { case (n, arg, isMax) =>
+            val ins = when(col("__w") === 1L, expr(arg))
+            val del = when(col("__w") === -1L, expr(arg))
+            Seq((if (isMax) max(ins) else min(ins)).as(s"__dins_$n"),
+              (if (isMax) max(del) else min(del)).as(s"__ddel_$n"))
+          })
     val delta = joined(changes.withColumn("__w", weight))
       .groupBy(groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
@@ -291,6 +327,27 @@ final class IncrementalJoinView private (
     val present = col(s"o.$cntName").isNotNull
     val newCnt = coalesce(col(s"o.$cntName"), lit(0L)) +
       coalesce(col("d.__dcnt"), lit(0L))
+    // per-extreme hybrid merge: inserts fold by greatest/least (an
+    // insert can only improve an extreme; greatest/least skip NULLs),
+    // and a flag marks groups whose DELETES tie-or-beat the stored
+    // extreme WITHOUT an insert restoring the bound — only those
+    // groups are recomputed from fact ⋈ dims below
+    val extremeMergeCols = extremes.map { case (n, _, isMax) =>
+      val ov = col(s"o.$n"); val ins = col(s"d.__dins_$n")
+      (if (isMax) greatest(ov, ins) else least(ov, ins)).as(n)
+    }
+    val recompFlag = extremes.map { case (n, _, isMax) =>
+      val ov = col(s"o.$n"); val ins = col(s"d.__dins_$n")
+      val del = col(s"d.__ddel_$n")
+      val invalidated =
+        if (isMax) del.isNotNull && (ov.isNull || del >= ov)
+        else del.isNotNull && (ov.isNull || del <= ov)
+      // inserts alone restore the bound: survivors ≤ stored ≤ ins (max)
+      val covered =
+        if (isMax) ins.isNotNull && ov.isNotNull && ins >= ov
+        else ins.isNotNull && ov.isNotNull && ins <= ov
+      present && invalidated && !covered
+    }.reduceOption(_ || _).getOrElse(lit(false))
     val mergedCols =
       groupCols.map(c => when(present, col(s"o.$c")).otherwise(col(s"d.$c")).as(c)) ++
         Seq(when(newCnt < 0L, raise_error(
@@ -303,17 +360,43 @@ final class IncrementalJoinView private (
             .cast(accType(n)).as(n),
             (coalesce(col(s"o.${nnCol(n)}"), lit(0L)) +
               coalesce(col(s"d.__dnn_$n"), lit(0L))).as(nnCol(n)))
-        }
+        } ++
+        extremeMergeCols :+ recompFlag.as("__recomp")
     val merged = o.join(d, cond, "full_outer")
       .select(mergedCols: _*)
       .filter(col(cntName) > 0L)
       .localCheckpoint() // feeds files AND CDC; also forces the
     // negative-count guard to evaluate before anything commits
 
+    // extreme-invalidating deletes: recompute ONLY those groups from
+    // the (join-key-pruned) fact join — the hybrid's slow-but-exact
+    // half. A delete storm touching more extremes than the predicate
+    // bound degrades to one full refresh (never wrong, only slower).
+    val recompSample =
+      if (extremes.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else merged.filter(col("__recomp"))
+        .select(groupCols.map(col): _*)
+        .limit(IncrementalView.MaxKeysInPredicate + 1).collect()
+    if (recompSample.length > IncrementalView.MaxKeysInPredicate)
+      return fullRefresh(factV, dimVs, viewV, Some(w), targetFiles)
+    val (finalTouched, factScanned) =
+      if (recompSample.isEmpty) (merged.drop("__recomp"), 0)
+      else {
+        val gPred = recompSample.map { r =>
+          groupCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _)
+        }.reduce(_ || _)
+        val (factScan, scanned) = prunedFactScan(factV, recompSample)
+        val recomputed = storedAgg(joined(factScan).where(gPred))
+          .localCheckpoint()
+        (merged.filter(!col("__recomp")).drop("__recomp")
+          .unionByName(recomputed), scanned)
+      }
+
     val added = table.stage(
-      clustered(survivors.unionByName(merged), targetFiles))
+      clustered(survivors.unionByName(finalTouched), targetFiles))
     val cdc = oldTouched.withColumn("_change_type", lit("delete"))
-      .unionByName(merged.withColumn("_change_type", lit("insert")))
+      .unionByName(finalTouched.withColumn("_change_type", lit("insert")))
     val v = table.commitFiles(added, removed.toSet, "refresh",
       meta = wmMeta(factV, dimVs) + ("cdc" -> table.stageChangeData(cdc)),
       requireBase = Some(viewV))
@@ -321,8 +404,54 @@ final class IncrementalJoinView private (
       if (sample.length <= IncrementalView.MaxKeysInPredicate)
         sample.length.toLong
       else delta.count(),
-      0, fact.files(factV).size, removed.size, viewAll.size))
+      factScanned, fact.files(factV).size, removed.size, viewAll.size))
     v
+  }
+
+  /** The fact scan feeding an extreme-recompute, FILE-PRUNED by join
+    * keys: each dim that carries affected group columns narrows to the
+    * dim rows matching the affected group values, and their (bounded,
+    * collected) key set becomes a `factKey IN (…)` predicate the stats
+    * store prunes fact files with; fact-side group columns prune
+    * directly. Any unbounded key set just drops that conjunct — the
+    * predicate is a NECESSARY condition, so pruning less is always
+    * safe (the post-join group predicate filters exactly). Returns the
+    * scan plus how many fact files it reads (the metrics/spec hook).
+    */
+  private def prunedFactScan(factV: Long,
+      groups: Array[org.apache.spark.sql.Row]): (DataFrame, Int) = {
+    def fieldsOf(t: IncrementalTable): Set[String] =
+      t.tableSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+        .map(_.toLowerCase)
+    val factFields = fieldsOf(fact)
+    val factIdx = groupCols.zipWithIndex
+      .filter { case (c, _) => factFields(c.toLowerCase) }
+    val factPred: Option[Column] =
+      if (factIdx.isEmpty) None
+      else Some(groups.map(r =>
+        factIdx.map { case (c, i) => col(c) <=> lit(r.get(i)) }
+          .reduce(_ && _)).reduce(_ || _))
+    val dimPreds = dims.flatMap { case (spec, dim) =>
+      val dimFields = fieldsOf(dim)
+      val dimIdx = groupCols.zipWithIndex
+        .filter { case (c, _) => dimFields(c.toLowerCase) }
+      if (dimIdx.isEmpty) None
+      else {
+        val dPred = groups.map(r =>
+          dimIdx.map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _)).reduce(_ || _)
+        val keys = dim.snapshot().where(dPred).select(spec.dimKey)
+          .limit(IncrementalView.MaxKeysInPredicate + 1).collect()
+          .map(_.get(0))
+        if (keys.length > IncrementalView.MaxKeysInPredicate ||
+          keys.exists(_ == null)) None
+        else Some(col(spec.factKey).isInCollection(keys.toSeq))
+      }
+    }
+    val preds = factPred.toSeq ++ dimPreds
+    if (preds.isEmpty) (fact.snapshotAt(factV), fact.files(factV).size)
+    else (fact.scanAt(factV, preds: _*),
+      fact.prunedFilesAt(factV, fact.files(factV), preds).size)
   }
 }
 
@@ -343,11 +472,13 @@ object IncrementalJoinView {
   private def normHead(sql: String): String =
     normSql(sql).takeWhile(_ != '(')
 
-  private def sumArg(sql: String): String = {
+  private def sumArg(sql: String): String = fnArg(sql, "sum")
+
+  private def fnArg(sql: String, fn: String): String = {
     val t = sql.trim
-    require(t.toLowerCase.startsWith("sum(") && t.endsWith(")"),
-      s"not a sum aggregate: $sql")
-    t.substring(4, t.length - 1)
+    require(t.toLowerCase.startsWith(fn + "(") && t.endsWith(")"),
+      s"not a $fn aggregate: $sql")
+    t.substring(fn.length + 1, t.length - 1)
   }
 
   private def deltaExact(t: DataType): Boolean = t match {
@@ -363,7 +494,8 @@ object IncrementalJoinView {
     * @param aggs (outputColumn, aggregateSql): exactly one `count(*)`
     *             (group liveness) plus any number of `sum(<expr>)`
     *             over integral/decimal expressions of the joined
-    *             columns.
+    *             columns and `max(<expr>)`/`min(<expr>)` over any
+    *             orderable expression (hybrid-maintained).
     */
   def create(spark: SparkSession, fact: IncrementalTable,
       dimSpecs: Seq[DimSpec], path: String, groupCols: Seq[String],
@@ -377,10 +509,12 @@ object IncrementalJoinView {
       "aggregate output names must not use the reserved __nn_ prefix " +
         "(it carries the stored non-null counters)")
     aggs.foreach { case (n, s) =>
-      require(normSql(s) == "count(1)" || normHead(s) == "sum",
-        s"join view aggregate '$n' is '$s' — only count(*) and sum(...) " +
-          "are delta-maintainable (max/min need the affected-key " +
-          "recompute strategy: IncrementalView)")
+      require(normSql(s) == "count(1)" ||
+        Set("sum", "max", "min")(normHead(s)),
+        s"join view aggregate '$n' is '$s' — only count(*), sum(...), " +
+          "max(...) and min(...) are maintainable (sums by signed " +
+          "delta; extremes hybrid: greatest/least on insert, " +
+          "affected-group recompute on an extreme-deleting delete)")
     }
     val t = new IncrementalTable(spark, path)
     require(!t.exists, s"join view table already exists at $path — use open()")

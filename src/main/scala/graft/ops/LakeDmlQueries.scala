@@ -341,6 +341,135 @@ object LakeDmlQueries {
       .orderBy("c_nationkey")
   }
 
+  /** The round-9 HYBRID-EXTREME join-view arc
+    * ([[graft.lake.IncrementalJoinView]] max/min maintenance): the
+    * star aggregate carries `max(o_totalprice)` and `min(o_orderkey)`
+    * alongside the signed-delta count/sum. Arc: materialize over half
+    * of orders; append the rest (insert-only delta — extremes fold by
+    * `greatest`/`least`, fact never scanned); boost ~1/997 prices by
+    * +100000 (update images — the post-image inserts COVER the stored
+    * max, still no scan); then delete every order above 98% of the
+    * boosted maximum — an EXTREME-DELETING delete that invalidates
+    * most groups' stored max, forcing the hybrid's affected-group
+    * recompute (join-key-pruned fact scan). The oracle replays the
+    * final state as one plain-SQL join aggregate: a stale extreme, a
+    * recompute that missed a group, or a wrongly-pruned file all
+    * change the hash.
+    */
+  def lakeJoinViewMinMax(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{DimSpec, IncrementalJoinView, IncrementalView}
+    val srcFile = new java.io.File(s"$dir/orders.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, srcFile.length, srcFile.lastModified, "jvmm1").hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_lake_jvmm_$key"
+    val factT = new IncrementalTable(spark, s"$base/fact")
+    val viewDir = s"$base/view"
+    val viewT = new IncrementalTable(spark, viewDir)
+    val complete = factT.exists && viewT.exists &&
+      factT.latestVersion.exists(v => factT.operationAt(v) == "delete") &&
+      viewT.latestVersion.exists(v =>
+        viewT.metaAt(v).get(IncrementalView.WmKey) ==
+          factT.latestVersion.map(_.toString))
+    if (!complete) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val dim = new IncrementalTable(spark, s"$base/dim")
+      dim.append(Tables.load(spark, dir, "customer")
+        .select("c_custkey", "c_nationkey"))
+      val fact = new IncrementalTable(spark, s"$base/fact")
+      val orders = Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val split = orders.agg(floor(max(col("o_orderkey")) / 2.0).cast("long"))
+        .head().getLong(0)
+      fact.append(orders.filter(col("o_orderkey") <= split)
+        .repartitionByRange(4, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"))
+      val view = IncrementalJoinView.create(spark, fact,
+        Seq(DimSpec(s"$base/dim", "o_custkey", "c_custkey")), viewDir,
+        Seq("c_nationkey"), Seq(
+          "cnt" -> "count(*)",
+          "sum_price" -> "sum(cast(o_totalprice as decimal(18,2)))",
+          "max_price" -> "max(o_totalprice)",
+          "min_order" -> "min(o_orderkey)"))
+      fact.append(orders.filter(col("o_orderkey") > split)
+        .repartitionByRange(4, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"))
+      view.refresh() // insert-only: pure greatest/least, no fact scan
+      fact.updateWhere(col("o_orderkey") % 997L === 0L,
+        Map("o_totalprice" -> (col("o_totalprice") + 100000.0)))
+      view.refresh() // covered updates: post-image inserts beat the max
+      val thr = fact.snapshot()
+        .agg((max(col("o_totalprice")) * lit(0.98)).as("t")).head().getDouble(0)
+      fact.deleteWhere(col("o_totalprice") > thr)
+      view.refresh() // extreme-deleting: affected groups recompute
+      require(view.lastRefresh.exists(m => m.mode == "delta" &&
+        m.sourceFilesScanned > 0),
+        s"minmax arc must exercise the recompute path: ${view.lastRefresh}")
+    }
+    IncrementalJoinView.open(spark, viewDir).snapshot()
+      .select(col("c_nationkey"), col("cnt"),
+        col("sum_price").cast("double").as("sum_price"),
+        col("max_price"), col("min_order"))
+      .orderBy("c_nationkey")
+  }
+
+  /** The SERVING half of the join-view system as an oracled query:
+    * register the fresh view with [[graft.plans.GraftViewRouting]] and
+    * run the dashboard shape — `WHERE <dim-attr> GROUP BY <dim-attr>`
+    * over the star join. The optimizer rewrites it to a FILTERED scan
+    * of the view (the query REQUIRES the routed plan — an unrouted
+    * pass would be silently weaker evidence), and the oracle checks
+    * the routed answer against the plain-SQL join aggregate: the
+    * stored-accumulator projection, the NULL contract, the group-
+    * column filter re-targeting and the extreme columns all hash.
+    */
+  def lakeJoinViewFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{DimSpec, IncrementalJoinView, IncrementalView}
+    val srcFile = new java.io.File(s"$dir/orders.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, srcFile.length, srcFile.lastModified, "jvflt1").hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_lake_jvflt_$key"
+    val factT = new IncrementalTable(spark, s"$base/fact")
+    val viewDir = s"$base/view_mv"
+    val viewT = new IncrementalTable(spark, viewDir)
+    val complete = factT.exists && viewT.exists &&
+      viewT.latestVersion.exists(v =>
+        viewT.metaAt(v).get(IncrementalView.WmKey) ==
+          factT.latestVersion.map(_.toString))
+    if (!complete) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val dim = new IncrementalTable(spark, s"$base/dim")
+      dim.append(Tables.load(spark, dir, "customer")
+        .select("c_custkey", "c_nationkey"))
+      val fact = new IncrementalTable(spark, s"$base/fact")
+      fact.append(Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(4, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"))
+      IncrementalJoinView.create(spark, fact,
+        Seq(DimSpec(s"$base/dim", "o_custkey", "c_custkey")), viewDir,
+        Seq("c_nationkey"), Seq(
+          "cnt" -> "count(*)",
+          "sum_price" -> "sum(cast(o_totalprice as decimal(18,2)))",
+          "max_price" -> "max(o_totalprice)"))
+    }
+    graft.plans.GraftViewRouting.registerJoin(spark, viewDir)
+    val q = spark.read.format("graft").load(s"$base/fact")
+      .join(spark.read.format("graft").load(s"$base/dim"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") < 13)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("cast(o_totalprice as decimal(18,2))")).as("sum_price"),
+        max("o_totalprice").as("max_price"))
+    require(q.queryExecution.optimizedPlan.toString.contains("view_mv"),
+      "join-view routing did not engage — the query would silently " +
+        "measure the unrouted plan:\n" +
+        q.queryExecution.optimizedPlan.toString.take(2000))
+    q.select(col("c_nationkey"), col("cnt"),
+      col("sum_price").cast("double").as("sum_price"), col("max_price"))
+      .orderBy("c_nationkey")
+  }
+
   /** Atomic predicate-scoped overwrite (Delta's `replaceWhere`),
     * exercised through the DSv2 WRITER OPTION end-to-end: load orders,
     * then replace the fulfilled slice (`o_orderstatus = 'F'`) with the
@@ -417,6 +546,8 @@ object LakeDmlQueries {
     "lake_replace_scan" -> lakeReplaceScan _,
     "lake_incr_view" -> lakeIncrViewScan _,
     "lake_join_view" -> lakeJoinViewScan _,
+    "lake_join_view_minmax" -> lakeJoinViewMinMax _,
+    "lake_join_view_filtered" -> lakeJoinViewFiltered _,
     "lake_rowid_scan" -> lakeRowIdScan _,
     "lake_widen_scan" -> lakeWidenScan _,
     "lake_delete_scan" -> lakeDeleteScan _,
@@ -482,6 +613,30 @@ object LakeDmlQueries {
         |       count(*) AS cnt,
         |       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM s JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "lake_join_view_minmax" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice + 100000.0
+        |              ELSE o_totalprice END AS p
+        |  FROM orders),
+        |s AS (
+        |  SELECT * FROM u
+        |  WHERE NOT (p > (SELECT max(p) * CAST(0.98 AS DOUBLE) FROM u)))
+        |SELECT c_nationkey,
+        |       count(*) AS cnt,
+        |       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       max(p) AS max_price,
+        |       min(o_orderkey) AS min_order
+        |FROM s JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "lake_join_view_filtered" ->
+      """SELECT c_nationkey,
+        |       count(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       max(o_totalprice) AS max_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey < 13
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "lake_rowid_scan" ->
       """SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS _row_id,

@@ -174,18 +174,27 @@ case class RouteAggregatesToViews(spark: SparkSession)
   // join keys, in join order), group set, and aggregate SQLs all
   // match. count(*) maps to the stored liveness count; sum(x) maps to
   // `nn > 0 ? acc : NULL`, restoring SQL sum's NULL contract from the
-  // stored accumulator + non-null counter. Filters anywhere in the
-  // shape fail closed (a filtered aggregate is not the view's
-  // definition). ----
+  // stored accumulator + non-null counter. A Filter anywhere in the
+  // shape routes iff it references VIEW GROUP columns only — there
+  // filter-then-aggregate ≡ aggregate-then-filter (every joined row
+  // of a fine group shares the group values), so the filter re-targets
+  // at the view's key columns, the same rule the plain-view path
+  // applies; any other filter fails closed. This is THE dashboard
+  // shape: `WHERE <dim-attr> GROUP BY <dim-attr>` over a star join
+  // now reads O(view), not O(fact). ----
 
   /** The fact path + (dimPath, factKeyCol, dimKeyCol) chain of a
-    * left-deep inner-equi-join of graft HEAD scans; None otherwise.
+    * left-deep inner-equi-join of graft HEAD scans, plus every Filter
+    * condition found anywhere in the shape (above the joins or at the
+    * fact/dim leaves); None otherwise.
     */
   private def joinShape(p: LogicalPlan)
-      : Option[(String, Seq[(String, String, String)])] = p match {
+      : Option[(String, Seq[(String, String, String)], Seq[Expression])] = p match {
     case SubqueryAlias(_, child) => joinShape(child)
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       joinShape(child)
+    case Filter(cond, child) =>
+      joinShape(child).map { case (f, d, fs) => (f, d, cond +: fs) }
     case j: org.apache.spark.sql.catalyst.plans.logical.Join
         if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
       j.condition match {
@@ -193,7 +202,7 @@ case class RouteAggregatesToViews(spark: SparkSession)
             a: AttributeReference, b: AttributeReference)) =>
           for {
             left <- joinShape(j.left)
-            dimPath <- leafHeadPath(j.right)
+            dimLeaf <- graftHeadPath(j.right)
             keys <- {
               val la = j.left.outputSet
               val ra = j.right.outputSet
@@ -201,19 +210,16 @@ case class RouteAggregatesToViews(spark: SparkSession)
               else if (la.contains(b) && ra.contains(a)) Some((b.name, a.name))
               else None
             }
-          } yield (left._1, left._2 :+ ((dimPath, keys._1, keys._2)))
+          } yield (left._1, left._2 :+ ((dimLeaf._1, keys._1, keys._2)),
+            left._3 ++ dimLeaf._2)
         case _ => None
       }
-    case other => leafHeadPath(other).map(p => (p, Nil))
+    case other => graftHeadPath(other).map { case (path, fs) => (path, Nil, fs) }
   }
-
-  /** [[graftHeadPath]] restricted to filter-free leaves. */
-  private def leafHeadPath(p: LogicalPlan): Option[String] =
-    graftHeadPath(p).collect { case (path, Seq()) => path }
 
   private def tryRouteJoin(agg: Aggregate): Option[LogicalPlan] = for {
     shape <- joinShape(agg.child)
-    (factPath, dimChain) = shape
+    (factPath, dimChain, filters) = shape
     if dimChain.nonEmpty
     groupNames <- bareGroupNames(agg.groupingExpressions)
     routed <- {
@@ -227,16 +233,22 @@ case class RouteAggregatesToViews(spark: SparkSession)
                 spec.dimKey.equalsIgnoreCase(dk)
             }
         }
+        // every filter must reference VIEW group columns only — then it
+        // commutes with the star aggregate and re-targets at the view
+        .filter { v =>
+          val vg = v.groupCols.map(_.toLowerCase).toSet
+          filters.forall(_.references.forall(a => vg(a.name.toLowerCase)))
+        }
         .filter(v => try v.isFresh catch { case _: Exception => false })
       // exact-group views serve by projection; a FINER view serves a
       // coarser GROUP BY by re-aggregation (LONG accumulators only —
       // the rollup dtype rule)
       candidates
         .filter(_.groupCols.map(_.toLowerCase).toSet == groupNames)
-        .view.flatMap(v => rewriteJoin(agg, v)).headOption
+        .view.flatMap(v => rewriteJoin(agg, v, filters)).headOption
         .orElse(candidates
           .filter(v => groupNames.subsetOf(v.groupCols.map(_.toLowerCase).toSet))
-          .view.flatMap(v => rewriteJoinRollup(agg, v)).headOption)
+          .view.flatMap(v => rewriteJoinRollup(agg, v, filters)).headOption)
     }
   } yield routed
 
@@ -248,9 +260,10 @@ case class RouteAggregatesToViews(spark: SparkSession)
     * closed, like the plain-view rollup.
     */
   private def rewriteJoinRollup(agg: Aggregate,
-      view: graft.lake.IncrementalJoinView): Option[LogicalPlan] = {
+      view: graft.lake.IncrementalJoinView,
+      filters: Seq[Expression]): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EvalMode, GreaterThan, If, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Sum}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Max, Min, Sum}
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val viewRel = viewRelationAt(view.table.path).getOrElse(return None)
     val byName = viewRel.output.map(a => a.name.toLowerCase -> a).toMap
@@ -267,6 +280,19 @@ case class RouteAggregatesToViews(spark: SparkSession)
           AggregateExpression(Sum(nn), Complete, isDistinct = false))
       }
 
+    /** max-of-maxes / min-of-mins over the fine groups IS the coarse
+      * extreme (NULL fine extremes are skipped by Max/Min, matching
+      * the unrouted plan's skip of all-NULL input).
+      */
+    def reExtreme(al: Alias, argN: String, isMax: Boolean) = view.extremeCols
+      .find { case (_, arg, m) => m == isMax &&
+        GraftViewRouting.norm(arg) == argN }
+      .flatMap { case (n, _, _) => byName.get(n.toLowerCase) }
+      .map(c => AggregateExpression(
+        if (isMax) Max(c) else Min(c), Complete, isDistinct = false))
+      .filter(_.dataType == al.dataType)
+      .map(e => Alias(e, al.name)(exprId = al.exprId))
+
     val outs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case al @ Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
@@ -276,6 +302,8 @@ case class RouteAggregatesToViews(spark: SparkSession)
             .map(c => AggregateExpression(Sum(c), Complete, isDistinct = false))
             .filter(_.dataType == al.dataType)
             .map(s => Alias(KnownNotNull(s), al.name)(exprId = al.exprId))
+        else if (sqlN.startsWith("max(") || sqlN.startsWith("min("))
+          reExtreme(al, sqlN.drop(4).stripSuffix(")"), sqlN.startsWith("max("))
         else if (sqlN.startsWith("sum(") && al.dataType == LongType)
           pair(sqlN.stripPrefix("sum(").stripSuffix(")")).map {
             case (accSum, nnSum) =>
@@ -301,16 +329,18 @@ case class RouteAggregatesToViews(spark: SparkSession)
       case _ => None
     }
     if (outs.exists(_.isEmpty)) None
-    else {
+    else remapFilters(filters, byName).map { fs =>
+      val base = fs.foldLeft(viewRel: LogicalPlan)((p, c) => Filter(c, p))
       val groups: Seq[Expression] = agg.groupingExpressions.collect {
         case a: AttributeReference => byName(a.name.toLowerCase)
       }
-      Some(Aggregate(groups, outs.flatten, viewRel))
+      Aggregate(groups, outs.flatten, base)
     }
   }
 
   private def rewriteJoin(agg: Aggregate,
-      view: graft.lake.IncrementalJoinView): Option[LogicalPlan] = {
+      view: graft.lake.IncrementalJoinView,
+      filters: Seq[Expression]): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EvalMode, GreaterThan, If, Literal}
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val viewRel = viewRelationAt(view.table.path).getOrElse(return None)
@@ -334,6 +364,14 @@ case class RouteAggregatesToViews(spark: SparkSession)
         } yield (acc, nn)
       }
 
+    /** The stored extreme column matching `fn(argN)` — served verbatim
+      * (stored max/min IS the aggregate; NULL iff no non-null input).
+      */
+    def extremeCol(argN: String, isMax: Boolean) = view.extremeCols
+      .find { case (_, arg, m) => m == isMax &&
+        GraftViewRouting.norm(arg) == argN }
+      .flatMap { case (n, _, _) => byName.get(n.toLowerCase) }
+
     val outs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case al @ Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
@@ -349,6 +387,10 @@ case class RouteAggregatesToViews(spark: SparkSession)
               Alias(If(GreaterThan(nn, Literal(0L)), acc,
                 Literal(null, acc.dataType)), al.name)(exprId = al.exprId)
             }
+        else if (sqlN.startsWith("max(") || sqlN.startsWith("min("))
+          extremeCol(sqlN.drop(4).stripSuffix(")"), sqlN.startsWith("max("))
+            .filter(_.dataType == al.dataType)
+            .map(a => Alias(a, al.name)(exprId = al.exprId))
         else if (sqlN.startsWith("avg("))
           // LONG accumulators only — the rollup-avg bit-equality rule
           accPair(sqlN.stripPrefix("avg(").stripSuffix(")"))
@@ -369,7 +411,10 @@ case class RouteAggregatesToViews(spark: SparkSession)
       case _ => None
     }
     if (outs.exists(_.isEmpty)) None
-    else Some(Project(outs.flatten, viewRel))
+    else remapFilters(filters, byName).map { fs =>
+      Project(outs.flatten,
+        fs.foldLeft(viewRel: LogicalPlan)((p, c) => Filter(c, p)))
+    }
   }
 
   private def bareGroupNames(gs: Seq[Expression]): Option[Set[String]] =

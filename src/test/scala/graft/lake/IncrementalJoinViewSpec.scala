@@ -101,6 +101,100 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
     assert(got(view) === Set(("A", 1L, None)))
   }
 
+  test("hybrid max/min: greatest/least on insert, PRUNED group recompute " +
+    "on an extreme-deleting delete") {
+    val base = mkBase()
+    val fact = new IncrementalTable(spark, s"$base/fact")
+    val dim = new IncrementalTable(spark, s"$base/dim")
+    dim.append(Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"))
+      .toDF("dk", "nation").coalesce(1))
+    // three key-clustered fact FILES so the recompute's factKey IN (…)
+    // predicate has something to prune
+    fact.append(Seq((10L, 1L, Some(5L)), (11L, 2L, Some(7L)),
+      (16L, 1L, Some(50L))).toDF("fk", "ck", "v").coalesce(1))
+    fact.append(Seq((12L, 3L, Some(2L)), (13L, 3L, None: Option[Long]),
+      (17L, 3L, Some(30L))).toDF("fk", "ck", "v").coalesce(1))
+    fact.append(Seq((14L, 4L, Some(9L)), (18L, 4L, Some(40L)))
+      .toDF("fk", "ck", "v").coalesce(1))
+    val view = IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$base/dim", "ck", "dk")), s"$base/view",
+      Seq("nation"), Seq("cnt" -> "count(*)", "sv" -> "sum(v)",
+        "mx" -> "max(v)", "mn" -> "min(v)"))
+
+    def exp(): Set[(String, Long, Option[Long], Option[Long], Option[Long])] =
+      fact.snapshot().join(dim.snapshot(), col("ck") === col("dk"))
+        .groupBy("nation").agg(count(lit(1)).as("cnt"), sum("v").as("sv"),
+          max("v").as("mx"), min("v").as("mn"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+    def gotX(): Set[(String, Long, Option[Long], Option[Long], Option[Long])] =
+      view.snapshot().collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+    assert(gotX() === exp())
+
+    // insert-only delta raises A's max: pure greatest merge, fact NEVER scanned
+    fact.append(Seq((19L, 1L, Some(60L))).toDF("fk", "ck", "v").coalesce(1))
+    view.refresh()
+    assert(view.lastRefresh.exists(m => m.mode == "delta" &&
+      m.sourceFilesScanned == 0), view.lastRefresh.toString)
+    assert(gotX() === exp())
+
+    // deleting a NON-extreme row (v=7: neither A's max 60 nor min 5)
+    // stays pure delta — no recompute
+    fact.deleteWhere(col("fk") === 11L)
+    view.refresh()
+    assert(view.lastRefresh.exists(m => m.mode == "delta" &&
+      m.sourceFilesScanned == 0), view.lastRefresh.toString)
+    assert(gotX() === exp())
+
+    // a same-key update that RAISES the max: pre-image delete (50) is
+    // below the stored max, post-image insert folds in — still no scan
+    fact.updateWhere(col("fk") === 16L, Map("v" -> lit(500L)))
+    view.refresh()
+    assert(view.lastRefresh.exists(m => m.mode == "delta" &&
+      m.sourceFilesScanned == 0), view.lastRefresh.toString)
+    assert(gotX() === exp())
+
+    // deleting A's MAX (500): group A recomputes from fact ⋈ dim, and
+    // the scan is FILE-PRUNED by ck IN (1,2) — the B- and C-only files
+    // are never read
+    fact.deleteWhere(col("fk") === 16L)
+    view.refresh()
+    val m1 = view.lastRefresh.get
+    assert(m1.mode == "delta" && m1.sourceFilesScanned > 0 &&
+      m1.sourceFilesScanned < m1.sourceFilesTotal, m1.toString)
+    assert(gotX() === exp())
+
+    // deleting A's MIN (5) recomputes too (min side of the hybrid)
+    fact.deleteWhere(col("fk") === 10L)
+    view.refresh()
+    val m2 = view.lastRefresh.get
+    assert(m2.mode == "delta" && m2.sourceFilesScanned > 0 &&
+      m2.sourceFilesScanned < m2.sourceFilesTotal, m2.toString)
+    assert(gotX() === exp())
+
+    // a group emptied by deletes vanishes without any recompute scan
+    fact.deleteWhere(col("ck") === 4L)
+    view.refresh()
+    assert(view.lastRefresh.exists(m => m.mode == "delta" &&
+      m.sourceFilesScanned == 0), view.lastRefresh.toString)
+    assert(gotX() === exp())
+    assert(!gotX().exists(_._1 == "C"))
+
+    // NULL v rows never disturb an extreme (B keeps max 30 / min 2)
+    assert(gotX().exists(t => t._1 == "B" && t._4 == Some(30L) &&
+      t._5 == Some(2L)))
+
+    // and open() round-trips the extreme definition
+    val reopened = IncrementalJoinView.open(spark, s"$base/view")
+    assert(reopened.snapshot().columns.toSeq ===
+      Seq("nation", "cnt", "sv", "mx", "mn"))
+  }
+
   test("a dim change degrades to a full recompute (and is correct)") {
     val base = mkBase()
     val (fact, dim) = mkTables(base)
@@ -128,12 +222,12 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
         Seq("nation"), Seq("cnt" -> "count(*)", "sd" -> "sum(d)"))
     }
     assert(e1.getMessage.contains("delta-exact"))
-    // max: not decomposable under deletes, refused
+    // avg: not a stored aggregate (it routes via sum+count), refused
     val e2 = intercept[IllegalArgumentException] {
       IncrementalJoinView.create(spark, fact, dimSpec, s"$base/v2",
-        Seq("nation"), Seq("cnt" -> "count(*)", "m" -> "max(d)"))
+        Seq("nation"), Seq("cnt" -> "count(*)", "m" -> "avg(d)"))
     }
-    assert(e2.getMessage.contains("delta-maintainable"))
+    assert(e2.getMessage.contains("maintainable"))
     // no count(*): liveness untrackable, refused
     val e3 = intercept[IllegalArgumentException] {
       IncrementalJoinView.create(spark, fact, dimSpec, s"$base/v3",

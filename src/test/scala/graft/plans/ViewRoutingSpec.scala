@@ -271,6 +271,80 @@ class ViewRoutingSpec extends AnyFunSuite with SparkSpec
       .map(r => (r.getString(0), Option(r.get(1)))).toSet === unroutedAvg)
   }
 
+  test("a star-join aggregate with a GROUP-column filter routes, " +
+    "re-targeted at the view; extremes serve from stored max/min") {
+    import spark.implicits._
+    import graft.lake.{DimSpec, IncrementalJoinView}
+    val base = Files.createTempDirectory("vr_jvf_").toString
+    val fact = new IncrementalTable(spark, s"$base/fact")
+    val dim = new IncrementalTable(spark, s"$base/dim")
+    dim.append(Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"))
+      .toDF("dk", "nation").coalesce(1))
+    fact.append(Seq((10L, 1L, Some(5L)), (11L, 2L, Some(7L)),
+      (12L, 3L, None: Option[Long]), (13L, 4L, Some(2L)))
+      .toDF("fk", "ck", "v").coalesce(1))
+    IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$base/dim", "ck", "dk")), s"$base/view",
+      Seq("nation"), Seq("cnt" -> "count(*)", "sv" -> "sum(v)",
+        "mx" -> "max(v)", "mn" -> "min(v)"))
+    GraftViewRouting.registerJoin(spark, s"$base/view")
+    def routed(df: DataFrame) = df.queryExecution.optimizedPlan.toString
+      .contains(new java.io.File(s"$base/view").getName)
+    def star() = spark.read.format("graft").load(fact.path)
+      .join(spark.read.format("graft").load(dim.path), col("ck") === col("dk"))
+
+    // THE dashboard shape: WHERE dim-attr GROUP BY dim-attr over the
+    // star join — routes to a filtered view scan, O(view) not O(fact)
+    val q = star().filter(col("nation") =!= "C")
+      .groupBy("nation").agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+    assert(routed(q), q.queryExecution.optimizedPlan.toString)
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1),
+      Option(r.get(2)))).toSet ===
+      Set(("A", 2L, Some(12L)), ("B", 1L, None)))
+
+    // the filter may sit BELOW the join (on the dim leaf) too
+    val q2 = spark.read.format("graft").load(fact.path)
+      .join(spark.read.format("graft").load(dim.path)
+        .filter(col("nation") === "A"), col("ck") === col("dk"))
+      .groupBy("nation").agg(count(lit(1)).as("cnt"))
+    assert(routed(q2), q2.queryExecution.optimizedPlan.toString)
+    assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("A", 2L)))
+
+    // a non-group-column filter still fails closed
+    assert(!routed(star().filter(col("v") > 0L)
+      .groupBy("nation").agg(count(lit(1)).as("cnt"))))
+
+    // max/min serve straight from the stored extremes (with a filter)
+    val q3 = star().filter(col("nation") === "A")
+      .groupBy("nation").agg(max("v").as("mx"), min("v").as("mn"))
+    assert(routed(q3), q3.queryExecution.optimizedPlan.toString)
+    assert(q3.collect().map(r => (r.getString(0), Option(r.get(1)),
+      Option(r.get(2)))).toSet === Set(("A", Some(7L), Some(5L))))
+    // and the all-NULL group's extreme stays NULL through the view
+    val q4 = star().groupBy("nation").agg(max("v").as("mx"))
+    assert(routed(q4))
+    assert(q4.collect().map(r => (r.getString(0), Option(r.get(1)))).toSet ===
+      Set(("A", Some(7L)), ("B", None), ("C", Some(2L))))
+  }
+
+  test("routed freshness is OPTIMIZATION-time: a source commit after " +
+    "planning serves the source-at-watermark answer") {
+    import spark.implicits._
+    val (src, view, _) = freshPair()
+    GraftViewRouting.register(spark, view.table.path)
+    val atWatermark = rows(srcAgg(src)) // == view contents
+    val q = srcAgg(src)
+    q.queryExecution.optimizedPlan // force optimization NOW (view fresh)
+    assert(usesView(q, view))
+    src.append(Seq((9L, 9L)).toDF("k", "v").coalesce(1)) // commit lands
+    // the already-planned query serves the snapshot the plan was
+    // validated against — ordinary snapshot-read semantics, pinned
+    assert(rows(q) === atWatermark)
+    // a NEWLY planned query sees the new commit (stale view bypassed)
+    assert(rows(srcAgg(src)) === atWatermark + ((9L, 1L, 9L)))
+  }
+
   test("a coarser GROUP BY re-aggregates a finer join view (rollup)") {
     import spark.implicits._
     import graft.lake.{DimSpec, IncrementalJoinView}
