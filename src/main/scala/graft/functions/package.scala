@@ -22,6 +22,20 @@ package object functions {
       org.apache.spark.sql.graftexpr.QuantizeMilliExpr.column(a)
   }
 
+  /** Int8 scalar quantization of milli-quantized vectors — codes as
+    * BINARY (1 byte/dim), per-vector `maxabs` scale, and the
+    * query×codes dot kernel (codegen'd; see
+    * org.apache.spark.sql.graftexpr.Int8EncodeExpr).
+    */
+  object Int8 {
+    def encode(a: Column): Column =
+      org.apache.spark.sql.graftexpr.Int8EncodeExpr.column(a)
+    def maxAbs(a: Column): Column =
+      org.apache.spark.sql.graftexpr.Int8EncodeExpr.maxAbs(a)
+    def byteDot(q: Column, code: Column): Column =
+      org.apache.spark.sql.graftexpr.Int8EncodeExpr.byteDot(q, code)
+  }
+
   /** KMV bottom-k distinct sketch over 60-bit hashes: bounded-memory
     * mergeable aggregate with union AND intersection estimators (see
     * org.apache.spark.sql.graftexpr.KmvSketch).

@@ -855,7 +855,7 @@ object PipelineQueries {
     // hit a stale index (size+mtime is a sufficient fingerprint here)
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val key = java.lang.Integer.toHexString(
-      (dir, src.length, src.lastModified).hashCode)
+      (dir, src.length, src.lastModified, "ivfq1").hashCode)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$key"
     val idx =
       if (new java.io.File(s"$path/centroids").exists)

@@ -38,6 +38,83 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(again === approx)
   }
 
+  test("int8 lists: compact vs the float source on disk, 1 byte/dim " +
+    "decoded; exact re-rank restores the un-quantized in-list ranking") {
+    // sf0.1 here: per-file parquet overhead must not dominate the
+    // size comparison (2000 rows across 16 list partitions)
+    val szDir = "/root/testdata/sf0.1"
+    val emb = Tables.load(spark, szDir, "embeddings")
+    val path = Files.createTempDirectory("ivf_q").toString
+    val index = IvfIndex.build(emb, "vec_id", "embedding", path, nCentroids = 16)
+
+    // LIST payload (what every probe reads): 1-byte codes + 2 scalars
+    // vs the 4-byte/dim float SOURCE representation. (The naive "1/8
+    // of int64" does not show on disk: parquet dictionary-packs
+    // milli-quantized int64 to ~11 bits/value — see the IvfIndex
+    // scaladoc; decoded bytes per scored candidate are the structural
+    // 8× win, pinned below via the schema.)
+    def dirBytes(d: java.io.File): Long =
+      if (d.isFile) d.length
+      else Option(d.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+    val floatDir = Files.createTempDirectory("ivf_q_float").toString
+    emb.select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .write.mode("overwrite").parquet(floatDir)
+    val listB = dirBytes(new java.io.File(s"$path/index"))
+    val srcB = dirBytes(new java.io.File(floatDir))
+    info(s"list bytes = $listB, float-source bytes = $srcB " +
+      f"(ratio ${listB.toDouble / srcB}%.3f)")
+    assert(listB > 0 && srcB > 0 && listB * 5 <= srcB * 2,
+      s"quantized lists not <= 0.4 of the float source: $listB vs $srcB")
+    // decoded payload is 1 byte/dim: codes are BINARY of exactly dim
+    // bytes (an array<long> decodes to 8 bytes/dim)
+    val idx = spark.read.parquet(s"$path/index")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    assert(idx.schema("code").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    assert(idx.select(max(length(col("code")))).head().getInt(0) === dim)
+
+    // the served (q_id, rank, nn_id, dot) must equal the exact cosine
+    // ranking over the SAME probed lists — i.e. the re-rank fully
+    // undoes the int8 approximation (the ann_ivf_index_topk oracle
+    // depends on exactly this)
+    val queries = emb.filter(col("vec_id") < 50)
+    val served = index.topK(queries, "vec_id", "embedding", 5)
+      .select("q_id", "rank", "nn_id", "dot")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // replay: probe the same lists, score candidates exactly from raw
+    val cdf = spark.read.parquet(s"$path/centroids")
+    val qq = queries.select(col("vec_id").as("q_id"),
+      CosineSim.quantize(col("embedding")).as("qq"))
+      .withColumn("na", graft.functions.LongArrayDot(col("qq"), col("qq")))
+      .crossJoin(broadcast(cdf))
+      .withColumn("neg_sim",
+        -graft.functions.LongArrayDot(col("qq"), col("cvec")).cast("double") /
+          col("cnorm"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("neg_sim").asc, col("cid").asc)
+    val probes = qq.withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= 4)
+      .select(col("q_id"), col("qq"), col("na"), col("cid").as("list_id"))
+    val exactInList = spark.read.parquet(s"$path/index")
+      .join(spark.read.parquet(s"$path/raw"), Seq("nn_id"))
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("dot", graft.functions.LongArrayDot(col("qq"), col("cq")))
+      .withColumn("sim",
+        col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("nn_id").asc)).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "nn_id", "dot")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(served === exactInList,
+      s"re-rank failed to restore the exact in-list ranking; " +
+        s"diff=${(served diff exactInList).take(5)} / ${(exactInList diff served).take(5)}")
+  }
+
   test("append grows the index without retraining; appended vectors are findable") {
     val emb = Tables.load(spark, dir, "embeddings")
     val path = Files.createTempDirectory("ivf_index_app").toString
