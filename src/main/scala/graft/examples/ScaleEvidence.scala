@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{col, concat, count, lit, pmod, sum, when}
 
 /** Empirical 1×/10× scaling evidence for SCALE.md.
   *
@@ -107,14 +107,17 @@ object ScaleEvidence {
   private final class ShuffleTally extends SparkListener {
     val read = new AtomicLong
     val write = new AtomicLong
+    val input = new AtomicLong // bytes read from data sources (scans)
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
       val m = e.stageInfo.taskMetrics
       if (m != null) {
         read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        input.addAndGet(m.inputMetrics.bytesRead)
       }
     }
     def snapshot: (Long, Long) = (read.get, write.get)
+    def inputSnapshot: Long = input.get
     def drain(): Unit = {
       var last = snapshot
       var quietMs = 0
@@ -130,8 +133,14 @@ object ScaleEvidence {
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,10")
       .split(",").map(_.trim.toInt).toSeq
+    // optional 2nd arg: comma list of experiment names to run (default
+    // all) — the fast loop when iterating on one measurement
+    val only: Option[Set[String]] =
+      args.lift(1).map(_.split(",").map(_.trim).toSet)
+    def want(name: String): Boolean = only.forall(_(name))
     val spark = SparkSession.builder()
       .master("local[32]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -269,32 +278,185 @@ object ScaleEvidence {
         f""""batch_shuffle_rw_mb":[${rd / 1e6}%.1f,${wr / 1e6}%.1f]}""")
     }
 
-    val base = java.nio.file.Files.createTempDirectory("scale_evidence")
-    // JIT/codegen warmup on a throwaway corpus: without it the 1× cold
-    // time absorbs ~7 s of first-in-JVM compilation and the 1×/10×
-    // cold ratio lies
-    locally {
-      val w = s"$base/warmup"
-      genCorpus(spark, w, 500L, 500L, seed = 7L)
-      queries.foreach { case (_, fn) => fn(spark, w).count() }
+    /** Experiment 6: the SERVING win of transparent view routing —
+      * the same aggregate with routing on (scan of the ~100-group
+      * view) vs off (full source scan + aggregation), wall-clock and
+      * SCAN BYTES, at 1×/10× source. Routed cost should be ~flat and
+      * O(view); unrouted grows with the source. Covers both the plain
+      * view and the star-join dashboard shape (group-column filter
+      * over a join view). The routed plan is asserted, not assumed.
+      */
+    def routingExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      val n = 500000L * k
+      // bytes the plan's scan ADDRESSES (manifest-resolved live set) —
+      // the DSv2 reader does not report driver-side inputMetrics, so
+      // listener bytes under-count; the live set is the honest
+      // O(view)-vs-O(source) figure either way
+      def tableBytes(t: graft.lake.IncrementalTable): Long = {
+        val conf = spark.sparkContext.hadoopConfiguration
+        t.latestVersion.map(v => t.files(v).map { f =>
+          val p = t.dataPath(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum).getOrElse(0L)
+      }
+      def timedScan(df: => DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def measureBoth(routedName: String, q: () => DataFrame,
+          viewT: graft.lake.IncrementalTable,
+          sourceTs: Seq[graft.lake.IncrementalTable]): Unit = {
+        require(q().queryExecution.optimizedPlan.toString
+          .contains("view_rt"), s"$routedName: routing did not engage")
+        timedScan(q()) // warm
+        val rS = timedScan(q())
+        spark.conf.set("spark.graft.viewRouting.enabled", "false")
+        timedScan(q()) // warm
+        val uS = timedScan(q())
+        spark.conf.set("spark.graft.viewRouting.enabled", "true")
+        val vB = tableBytes(viewT)
+        val sB = sourceTs.map(tableBytes).sum
+        println(f"""{"scale":$k,"experiment":"$routedName","rows":$n,""" +
+          f""""routed_s":$rS%.2f,"unrouted_s":$uS%.2f,""" +
+          f""""routed_scan_mb":${vB / 1e6}%.2f,""" +
+          f""""unrouted_scan_mb":${sB / 1e6}%.2f}""")
+      }
+      // plain view: 100 groups over n rows
+      val src = new graft.lake.IncrementalTable(spark, s"$base/rt_x$k/src")
+      src.append(spark.range(n).select(
+        pmod(col("id"), lit(100L)).as("gk"),
+        (col("id") * 17L % 1000L).as("v"))
+        .repartitionByRange(16, col("gk")).sortWithinPartitions("gk"))
+      graft.lake.IncrementalView.create(spark, src, s"$base/rt_x$k/view_rt",
+        Seq("gk"), Seq("cnt" -> "count(*)", "total" -> "sum(v)"),
+        targetFiles = 4)
+      graft.plans.GraftViewRouting.register(spark, s"$base/rt_x$k/view_rt")
+      measureBoth("route_plain_view", () =>
+        spark.read.format("graft").load(src.path).groupBy("gk")
+          .agg(count(lit(1)).as("cnt"), sum("v").as("total")),
+        new graft.lake.IncrementalTable(spark, s"$base/rt_x$k/view_rt"),
+        Seq(src))
+      graft.plans.GraftViewRouting.unregister(s"$base/rt_x$k/view_rt")
+
+      // star join + group-column filter (the dashboard shape)
+      val fact = new graft.lake.IncrementalTable(spark, s"$base/rt_x$k/fact")
+      val dim = new graft.lake.IncrementalTable(spark, s"$base/rt_x$k/dim")
+      dim.append(spark.range(1000L).select(col("id").as("dk"),
+        pmod(col("id"), lit(25L)).cast("string").as("nation")).coalesce(1))
+      fact.append(spark.range(n).select(col("id").as("fk"),
+        pmod(col("id"), lit(1000L)).as("ck"),
+        (col("id") * 17L % 1000L).as("v"))
+        .repartitionByRange(16, col("fk")).sortWithinPartitions("fk"))
+      graft.lake.IncrementalJoinView.create(spark, fact,
+        Seq(graft.lake.DimSpec(s"$base/rt_x$k/dim", "ck", "dk")),
+        s"$base/rt_x$k/view_rt_jv", Seq("nation"),
+        Seq("cnt" -> "count(*)", "total" -> "sum(v)"), targetFiles = 4)
+      graft.plans.GraftViewRouting.registerJoin(spark, s"$base/rt_x$k/view_rt_jv")
+      measureBoth("route_join_view_filtered", () =>
+        spark.read.format("graft").load(fact.path)
+          .join(spark.read.format("graft").load(dim.path),
+            col("ck") === col("dk"))
+          .filter(col("nation") === "7")
+          .groupBy("nation")
+          .agg(count(lit(1)).as("cnt"), sum("v").as("total")),
+        new graft.lake.IncrementalTable(spark, s"$base/rt_x$k/view_rt_jv"),
+        Seq(fact, dim))
+      graft.plans.GraftViewRouting.unregister(s"$base/rt_x$k/view_rt_jv")
     }
-    scales.foreach { k =>
-      val dir = s"$base/x$k"
-      genCorpus(spark, dir, 5000L * k, 2000L * k, seed = 42L)
-      queries.foreach { case (name, fn) =>
-        // cold carries one-time state (the IVF index build persists to
-        // tmp keyed on the corpus dir); warm is the steady state
-        val (rows, coldS, coldRd, coldWr) = measured(fn(spark, dir).count())
-        val (_, warmS, warmRd, warmWr) = measured(fn(spark, dir).count())
-        println(f"""{"scale":$k,"query":"$name","rows":$rows,""" +
-          f""""cold_s":$coldS%.2f,"warm_s":$warmS%.2f,""" +
-          f""""cold_shuffle_rw_mb":[${coldRd / 1e6}%.1f,${coldWr / 1e6}%.1f],""" +
-          f""""warm_shuffle_rw_mb":[${warmRd / 1e6}%.1f,${warmWr / 1e6}%.1f]}""")
+
+    /** Experiment 7: the Misra–Gries TypedImperativeAggregate rewrite
+      * vs the pre-round-9 `Aggregator[String, Map[String,Long], _]`
+      * shape (reconstructed here as a measured FOIL — immutable-Map
+      * copy per token plus an encoder round-trip of the buffer per
+      * row). Same skewed token stream, same k, identical candidate
+      * sets out; the ratio is the rewrite's claim.
+      */
+    def mgExperiment(k: Int): Unit = {
+      import org.apache.spark.sql.expressions.Aggregator
+      import org.apache.spark.sql.{Encoder, Encoders}
+      val n = 2000000L * k
+      val toks = spark.range(n).select(
+        when(pmod(col("id"), lit(5L)) < 2L,
+          concat(lit("h"), pmod(col("id"), lit(20L))))
+          .otherwise(concat(lit("t"), col("id"))).as("token"))
+        .localCheckpoint()
+      val kSketch = 1023
+      def time(f: => Array[String]): (Double, Int) = {
+        val t0 = System.nanoTime()
+        val out = f
+        ((System.nanoTime() - t0) / 1e9, out.length)
+      }
+      def runNew() =
+        toks.agg(graft.functions.MisraGriesAgg.candidates(kSketch)(col("token"))
+          .as("c")).head().getSeq[String](0).toArray
+      runNew() // JIT/codegen warm — both variants are timed WARM below
+      val (newS, newN) = time(runNew())
+      // the old shape, verbatim semantics (foil for measurement only)
+      final class FoilAgg extends Aggregator[String, Map[String, Long], Array[String]] {
+        def zero: Map[String, Long] = Map.empty
+        def reduce(b: Map[String, Long], t: String): Map[String, Long] = {
+          val up = b.updated(t, b.getOrElse(t, 0L) + 1L)
+          if (up.size > 2 * kSketch) trim(up) else up
+        }
+        def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+          val c = b.foldLeft(a) { case (m, (t, x)) =>
+            m.updated(t, m.getOrElse(t, 0L) + x) }
+          if (c.size > 2 * kSketch) trim(c) else c
+        }
+        private def trim(m: Map[String, Long]): Map[String, Long] = {
+          val cs = m.valuesIterator.toArray
+          java.util.Arrays.sort(cs)
+          val d = cs(cs.length - 1 - kSketch)
+          m.collect { case (t, c) if c > d => t -> (c - d) }
+        }
+        def finish(b: Map[String, Long]): Array[String] =
+          b.keysIterator.toArray.sorted
+        def bufferEncoder: Encoder[Map[String, Long]] =
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+        def outputEncoder: Encoder[Array[String]] =
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+      }
+      val foil = org.apache.spark.sql.functions.udaf(new FoilAgg, Encoders.STRING)
+      def runOld() =
+        toks.agg(foil(col("token")).as("c")).head().getSeq[String](0).toArray
+      runOld() // warm
+      val (oldS, oldN) = time(runOld())
+      println(f"""{"scale":$k,"experiment":"mg_sketch","tokens":$n,""" +
+        f""""imperative_s":$newS%.2f,"immutable_map_s":$oldS%.2f,""" +
+        f""""speedup":${oldS / newS}%.2f,"cands":[$newN,$oldN]}""")
+    }
+
+    val base = java.nio.file.Files.createTempDirectory("scale_evidence")
+    if (want("queries")) {
+      // JIT/codegen warmup on a throwaway corpus: without it the 1× cold
+      // time absorbs ~7 s of first-in-JVM compilation and the 1×/10×
+      // cold ratio lies
+      locally {
+        val w = s"$base/warmup"
+        genCorpus(spark, w, 500L, 500L, seed = 7L)
+        queries.foreach { case (_, fn) => fn(spark, w).count() }
+      }
+      scales.foreach { k =>
+        val dir = s"$base/x$k"
+        genCorpus(spark, dir, 5000L * k, 2000L * k, seed = 42L)
+        queries.foreach { case (name, fn) =>
+          // cold carries one-time state (the IVF index build persists to
+          // tmp keyed on the corpus dir); warm is the steady state
+          val (rows, coldS, coldRd, coldWr) = measured(fn(spark, dir).count())
+          val (_, warmS, warmRd, warmWr) = measured(fn(spark, dir).count())
+          println(f"""{"scale":$k,"query":"$name","rows":$rows,""" +
+            f""""cold_s":$coldS%.2f,"warm_s":$warmS%.2f,""" +
+            f""""cold_shuffle_rw_mb":[${coldRd / 1e6}%.1f,${coldWr / 1e6}%.1f],""" +
+            f""""warm_shuffle_rw_mb":[${warmRd / 1e6}%.1f,${warmWr / 1e6}%.1f]}""")
+        }
       }
     }
-    scales.foreach(k => viewExperiment(base, k))
-    scales.foreach(k => incDedupExperiment(base, k))
-    scales.foreach(k => joinViewExperiment(base, k))
+    if (want("incr_view")) scales.foreach(k => viewExperiment(base, k))
+    if (want("inc_dedup")) scales.foreach(k => incDedupExperiment(base, k))
+    if (want("join_view")) scales.foreach(k => joinViewExperiment(base, k))
+    if (want("routing")) scales.foreach(k => routingExperiment(base, k))
+    if (want("mg")) scales.foreach(k => mgExperiment(k))
     spark.stop()
   }
 }

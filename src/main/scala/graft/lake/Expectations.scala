@@ -21,9 +21,16 @@ import org.apache.spark.sql.functions._
   * The per-rule violation counts ride the append commit's manifest
   * meta (`expect` key), so quality metrics version with the data and
   * survive time travel — `metricsAt` reads them back. The quarantine
-  * append commits BEFORE the target append: a crash between the two
-  * duplicates quarantine rows at worst (re-run re-quarantines), never
-  * admits a dropped row.
+  * append commits BEFORE the target append, which fixes the crash
+  * contract (proved by ExpectationsSpec's crash-replay test, which
+  * kills the pipeline between the two commits and re-runs the batch):
+  * re-running the same batch admits every kept row EXACTLY once and
+  * never admits a dropped row; the only artifact is at-least-once
+  * quarantine — the bad rows appear once per attempt under the same
+  * `_quarantined_batch` tag, so a downstream consumer dedups on
+  * `(row identity, _quarantined_batch)`. The inverse order would
+  * risk the opposite, unacceptable artifact: admitted rows whose
+  * quarantine record vanished.
   *
   * Scale shape: ONE pass computes every rule flag (a codegen'd boolean
   * column per rule), the kept/quarantined split is two filters over

@@ -48,6 +48,45 @@ class ExpectationsSpec extends AnyFunSuite with SparkSpec {
     assert(t.operationAt(res.version) === "append[expectations]")
   }
 
+  test("crash between quarantine and target append: the re-run admits " +
+    "every kept row exactly once and never a dropped one " +
+    "(quarantine duplicates are the documented worst case)") {
+    val t = fresh("cr")
+    val q = fresh("crq")
+    val batch = df((1L, 5.0), (2L, -1.0), (3L, 0.5), (4L, -9.0))
+    val rules = Seq(Rule("pos", "score > 0", Drop))
+    // induce the crash INSIDE the window: the quarantine append is a
+    // plain append (commits), then the target append aborts on a
+    // temporary CHECK constraint every kept row violates — exactly a
+    // process death between the two commits
+    t.append(df((99L, 1.0)).limit(0)) // materialize schema for the constraint
+    t.addConstraint("crash", "score < -1000")
+    intercept[Exception] {
+      Expectations.appendWithExpectations(t, batch, rules,
+        quarantine = Some(q), batchTag = "b0")
+    }
+    // the torn state: quarantine committed, target did not admit
+    assert(q.snapshot().count() === 2L)
+    assert(t.snapshot().count() === 0L)
+    // operator re-runs the SAME batch after the crash
+    t.dropConstraint("crash")
+    val res = Expectations.appendWithExpectations(t, batch, rules,
+      quarantine = Some(q), batchTag = "b0")
+    assert(res.admitted === 2L && res.quarantined === 2L)
+    // contract: kept rows exactly once, dropped rows NEVER admitted
+    assert(t.snapshot().select("id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L))
+    assert(t.snapshot().count() === 2L, "no duplicate admissions")
+    // documented worst case: the bad rows quarantine twice (same batch
+    // tag), so a downstream reader dedups on (id, _quarantined_batch)
+    val quar = q.snapshot().select("id", "_quarantined_batch").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(quar.toSet === Set((2L, "b0"), (4L, "b0")))
+    assert(quar.length === 4, "replay re-quarantines (at-least-once)")
+    assert(quar.toSet.map((p: (Long, String)) => p._1)
+      .intersect(Set(1L, 3L)).isEmpty, "no admitted row ever quarantined")
+  }
+
   test("fail aborts the whole batch atomically — neither table commits") {
     val t = fresh("f")
     val q = fresh("fq")
