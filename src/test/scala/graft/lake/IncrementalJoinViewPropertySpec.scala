@@ -14,14 +14,20 @@ import graft.SparkSpec
   * merge, key-pruned rewrite, dim-change full fallback and
   * datachange-skip are implementation details the invariant must not
   * see. NULL sum inputs are injected throughout so the accumulator +
-  * non-null-counter representation is stressed on every arc.
+  * non-null-counter representation is stressed on every arc. The view
+  * also carries `max(v)`/`min(v)` (round 9), so every random arc
+  * exercises the HYBRID extreme path too: band updates mint new maxes
+  * (covered merges), band deletes and join-key re-homing remove group
+  * extremes (affected-group recomputes), and the invariant cannot
+  * tell which strategy ran.
   */
 class IncrementalJoinViewPropertySpec extends AnyFunSuite with SparkSpec {
 
   private def full(fact: IncrementalTable, dim: IncrementalTable) =
     fact.snapshot().join(dim.snapshot(), col("ck") === col("dk"))
       .groupBy("nation")
-      .agg(expr("count(*)").as("cnt"), expr("sum(v)").as("sv"))
+      .agg(expr("count(*)").as("cnt"), expr("sum(v)").as("sv"),
+        expr("max(v)").as("mx"), expr("min(v)").as("mn"))
       .collect().map(_.toSeq).toSet
 
   test("join view == full join aggregate after every refresh, across " +
@@ -42,7 +48,8 @@ class IncrementalJoinViewPropertySpec extends AnyFunSuite with SparkSpec {
         .repartitionByRange(3, col("fk")))
       val view = IncrementalJoinView.create(spark, fact,
         Seq(DimSpec(s"$base/dim", "ck", "dk")), s"$base/view",
-        Seq("nation"), Seq("cnt" -> "count(*)", "sv" -> "sum(v)"))
+        Seq("nation"), Seq("cnt" -> "count(*)", "sv" -> "sum(v)",
+          "mx" -> "max(v)", "mn" -> "min(v)"))
       var nextF = 60L
       (1 to 20).foreach { step =>
         r.nextInt(7) match {
