@@ -53,8 +53,8 @@ final case class DimSpec(path: String, factKey: String, dimKey: String)
   * value is not in the view), so they are maintained hybrid: inserts
   * merge by `greatest`/`least` (monotone, exact for any orderable
   * type — no arithmetic, so no float restriction), and a delete whose
-  * value TIES-OR-BEATS a group's stored extreme (without an insert in
-  * the same delta restoring the bound) flags that GROUP for recompute
+  * value TIES-OR-BEATS a group's stored extreme (or any non-null
+  * delete in a brand-new group) flags that GROUP for recompute
   * from `fact ⋈ dims` — file-pruned through the join: the affected
   * group values select dim rows, their (bounded) key sets become
   * `factKey IN (…)` predicates, and the stats store prunes fact files
@@ -98,8 +98,9 @@ final class IncrementalJoinView private (
   /** `(name, argSql, isMax)` for every `max(...)`/`min(...)` agg —
     * maintained HYBRID: inserts merge by pure `greatest`/`least`
     * (monotone — an insert can only improve an extreme), while a
-    * delete whose value ties-or-beats the stored extreme forces an
-    * affected-GROUP recompute from `fact ⋈ dims` (extremes are not
+    * delete whose value ties-or-beats the stored extreme — or any
+    * non-null delete in a brand-new group — forces an affected-GROUP
+    * recompute from `fact ⋈ dims` (extremes are not
     * delta-decrementable: the second-best value is not in the view).
     */
   private val extremes: Seq[(String, String, Boolean)] = aggs.collect {
@@ -329,24 +330,34 @@ final class IncrementalJoinView private (
       coalesce(col("d.__dcnt"), lit(0L))
     // per-extreme hybrid merge: inserts fold by greatest/least (an
     // insert can only improve an extreme; greatest/least skip NULLs),
-    // and a flag marks groups whose DELETES tie-or-beat the stored
-    // extreme WITHOUT an insert restoring the bound — only those
-    // groups are recomputed from fact ⋈ dims below
+    // and a flag marks groups where any DELETE ties-or-beats the
+    // stored extreme — only those groups are recomputed from
+    // fact ⋈ dims below. SOUNDNESS of the pure-merge branch: when no
+    // deleted value reaches the stored max m, (a) the m-valued row(s)
+    // survive, and (b) if the largest insert exceeds m, THAT insert
+    // was not deleted (its value would have tripped the flag), so
+    // max = greatest(m, Δins) exactly. There is deliberately NO
+    // "an insert ≥ m makes the deletes moot" shortcut: a delta can
+    // insert AND delete the same row (appended then deleted between
+    // refreshes), and that shortcut would serve the deleted value as
+    // the max — caught by this round's self-review, regression-pinned
+    // in the spec ("insert+delete of the same row in one window").
     val extremeMergeCols = extremes.map { case (n, _, isMax) =>
       val ov = col(s"o.$n"); val ins = col(s"d.__dins_$n")
       (if (isMax) greatest(ov, ins) else least(ov, ins)).as(n)
     }
+    // present group: recompute iff some delete ties-or-beats the
+    // stored extreme. NEW group (no stored row): every deleted row was
+    // necessarily inserted in-window (dims are pinned on this path),
+    // so ANY non-null-valued delete may have removed the would-be
+    // extreme — recompute; null-valued deletes never affect extremes.
     val recompFlag = extremes.map { case (n, _, isMax) =>
-      val ov = col(s"o.$n"); val ins = col(s"d.__dins_$n")
+      val ov = col(s"o.$n") // NULL for a new group — `beats` then holds
       val del = col(s"d.__ddel_$n")
-      val invalidated =
-        if (isMax) del.isNotNull && (ov.isNull || del >= ov)
-        else del.isNotNull && (ov.isNull || del <= ov)
-      // inserts alone restore the bound: survivors ≤ stored ≤ ins (max)
-      val covered =
-        if (isMax) ins.isNotNull && ov.isNotNull && ins >= ov
-        else ins.isNotNull && ov.isNotNull && ins <= ov
-      present && invalidated && !covered
+      val beats =
+        if (isMax) ov.isNull || del >= ov
+        else ov.isNull || del <= ov
+      del.isNotNull && beats
     }.reduceOption(_ || _).getOrElse(lit(false))
     val mergedCols =
       groupCols.map(c => when(present, col(s"o.$c")).otherwise(col(s"d.$c")).as(c)) ++

@@ -347,8 +347,8 @@ object LakeDmlQueries {
     * alongside the signed-delta count/sum. Arc: materialize over half
     * of orders; append the rest (insert-only delta — extremes fold by
     * `greatest`/`least`, fact never scanned); boost ~1/997 prices by
-    * +100000 (update images — the post-image inserts COVER the stored
-    * max, still no scan); then delete every order above 98% of the
+    * +100000 (update images — only groups whose pre-image ties their
+    * stored max recompute); then delete every order above 98% of the
     * boosted maximum — an EXTREME-DELETING delete that invalidates
     * most groups' stored max, forcing the hybrid's affected-group
     * recompute (join-key-pruned fact scan). The oracle replays the
@@ -396,7 +396,8 @@ object LakeDmlQueries {
       view.refresh() // insert-only: pure greatest/least, no fact scan
       fact.updateWhere(col("o_orderkey") % 997L === 0L,
         Map("o_totalprice" -> (col("o_totalprice") + 100000.0)))
-      view.refresh() // covered updates: post-image inserts beat the max
+      view.refresh() // update images; recompute only where a pre-image
+      // ties-or-beats its group's stored max
       val thr = fact.snapshot()
         .agg((max(col("o_totalprice")) * lit(0.98)).as("t")).head().getDouble(0)
       fact.deleteWhere(col("o_totalprice") > thr)

@@ -159,6 +159,29 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
       m.sourceFilesScanned == 0), view.lastRefresh.toString)
     assert(gotX() === exp())
 
+    // REGRESSION (round-9 self-review): a row appended AND deleted in
+    // the SAME refresh window must not leave its value as the served
+    // max — "an insert >= stored makes the deletes moot" is unsound
+    // precisely here, so this window must recompute
+    fact.append(Seq((30L, 1L, Some(9999L))).toDF("fk", "ck", "v").coalesce(1))
+    fact.deleteWhere(col("fk") === 30L)
+    view.refresh()
+    assert(view.lastRefresh.exists(_.mode == "delta"))
+    assert(gotX() === exp(), "in-window insert+delete leaked into the max")
+
+    // same trap for a BRAND-NEW group: its would-be extreme arrives
+    // and dies in one window; the survivor must win, not the corpse
+    dim.append(Seq((5L, "D")).toDF("dk", "nation").coalesce(1))
+    view.refresh() // dim moved: full fallback re-pins the dim watermark
+    fact.append(Seq((31L, 5L, Some(100L)), (32L, 5L, Some(777L)))
+      .toDF("fk", "ck", "v").coalesce(1))
+    fact.deleteWhere(col("fk") === 32L)
+    view.refresh()
+    assert(view.lastRefresh.exists(_.mode == "delta"),
+      view.lastRefresh.toString)
+    assert(gotX() === exp(), "new-group in-window delete leaked")
+    assert(gotX().exists(t => t._1 == "D" && t._4 == Some(100L)))
+
     // deleting A's MAX (500): group A recomputes from fact ⋈ dim, and
     // the scan is FILE-PRUNED by ck IN (1,2) — the B- and C-only files
     // are never read
