@@ -153,10 +153,15 @@ case class RouteAggregatesToViews(spark: SparkSession)
       val (exact, finer) = GraftViewRouting.viewsFor(srcPath)
         .filter(fresh)
         .map(v => v -> v.groupCols.map(_.toLowerCase).toSet)
-        // a filter is routable iff it touches VIEW group columns only:
-        // then aggregate-after-filter ≡ filter-after-aggregate there
+        // a filter is routable iff it is DETERMINISTIC and touches VIEW
+        // group columns only: then aggregate-after-filter ≡
+        // filter-after-aggregate there. (A non-deterministic predicate
+        // — rand() — references no columns at all, but dropping random
+        // SOURCE rows is not dropping random GROUPS; it must never
+        // re-target.)
         .filter { case (_, vg) =>
-          filters.forall(_.references.forall(a => vg(a.name.toLowerCase)))
+          filters.forall(f => f.deterministic &&
+            f.references.forall(a => vg(a.name.toLowerCase)))
         }
         .partition { case (_, vg) => vg == groupNames }
       exact.view.flatMap { case (v, _) => rewrite(agg, v, filters) }
@@ -233,11 +238,13 @@ case class RouteAggregatesToViews(spark: SparkSession)
                 spec.dimKey.equalsIgnoreCase(dk)
             }
         }
-        // every filter must reference VIEW group columns only — then it
-        // commutes with the star aggregate and re-targets at the view
+        // every filter must be DETERMINISTIC and reference VIEW group
+        // columns only — then it commutes with the star aggregate and
+        // re-targets at the view (same rand() trap as the plain path)
         .filter { v =>
           val vg = v.groupCols.map(_.toLowerCase).toSet
-          filters.forall(_.references.forall(a => vg(a.name.toLowerCase)))
+          filters.forall(f => f.deterministic &&
+            f.references.forall(a => vg(a.name.toLowerCase)))
         }
         .filter(v => try v.isFresh catch { case _: Exception => false })
       // exact-group views serve by projection; a FINER view serves a

@@ -108,6 +108,44 @@ class ViewRoutingSpec extends AnyFunSuite with SparkSpec
     assert(rows(q) === Set((1L, 2L, 15L), (2L, 1L, 7L)))
   }
 
+  test("a NON-DETERMINISTIC filter never re-targets to a view") {
+    import graft.lake.{DimSpec, IncrementalJoinView}
+    import spark.implicits._
+    val (src, view, _) = freshPair()
+    GraftViewRouting.register(spark, view.table.path)
+    // rand() references no columns, so the references-subset-of-group-
+    // columns gate alone would admit it — but dropping random SOURCE
+    // rows is not dropping random GROUPS: must fail closed. (A rand
+    // tautology like rand()>=0.0 won't do here: Spark 4's optimizer
+    // range-folds it away before the rule runs.)
+    val q = spark.read.format("graft").load(src.path)
+      .filter(rand(7) < 0.5)
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    assert(!usesView(q, view), q.queryExecution.optimizedPlan.toString)
+    // unrouted semantics: per-group counts can only shrink, never grow
+    assert(q.collect().forall(r => r.getLong(1) <= 2L))
+
+    // same trap on the star path
+    val base = Files.createTempDirectory("vr_nd_").toString
+    val fact = new IncrementalTable(spark, s"$base/fact")
+    val dim = new IncrementalTable(spark, s"$base/dim")
+    dim.append(Seq((1L, "A"), (2L, "B")).toDF("dk", "nation").coalesce(1))
+    fact.append(Seq((10L, 1L, 5L), (11L, 2L, 7L))
+      .toDF("fk", "ck", "v").coalesce(1))
+    IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$base/dim", "ck", "dk")), s"$base/view",
+      Seq("nation"), Seq("cnt" -> "count(*)"))
+    GraftViewRouting.registerJoin(spark, s"$base/view")
+    val jq = spark.read.format("graft").load(fact.path)
+      .join(spark.read.format("graft").load(dim.path), col("ck") === col("dk"))
+      .filter(rand(7) < 0.5)
+      .groupBy("nation").agg(count(lit(1)).as("cnt"))
+    assert(!jq.queryExecution.optimizedPlan.toString
+      .contains(new java.io.File(s"$base/view").getName),
+      jq.queryExecution.optimizedPlan.toString)
+    assert(jq.collect().forall(r => r.getLong(1) <= 1L))
+  }
+
   test("time-traveled reads never route") {
     val (src, view, _) = freshPair()
     GraftViewRouting.register(spark, view.table.path)
