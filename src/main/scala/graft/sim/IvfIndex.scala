@@ -82,8 +82,20 @@ final class IvfIndex private (
     val shortlist = cand.withColumn("crn", row_number().over(cw))
       .filter(col("crn") <= math.max(rerank * k, k + 16))
       .select("q_id", "nn_id", "qq", "na")
-    // exact re-rank: fetch ONLY the shortlist's raw vectors by id
-    val raw = spark.read.parquet(s"$path/raw")
+      .localCheckpoint() // feeds the id predicate AND the join probe
+    // exact re-rank: fetch ONLY the shortlist's raw vectors by id. A
+    // broadcast join alone would still SCAN all of raw/ (the hash probe
+    // filters rows after the read); the candidate ids must also reach
+    // the parquet scan as a pushed predicate so the id-clustered files
+    // prune on min/max stats — the collect is shortlist-sized, the very
+    // set the join broadcasts anyway. An oversized shortlist (huge
+    // query batch) drops the predicate: never wrong, only slower.
+    val ids = shortlist.select("nn_id").distinct()
+      .limit(IvfIndex.MaxRerankIdPredicate + 1).collect().map(_.get(0))
+    val raw0 = spark.read.parquet(s"$path/raw")
+    val raw =
+      if (ids.length > IvfIndex.MaxRerankIdPredicate) raw0
+      else raw0.filter(col("nn_id").isInCollection(ids.toSeq))
     val scored = raw.join(broadcast(shortlist), Seq("nn_id"))
       .select(col("q_id"), col("nn_id"),
         CosineSim.dotQ(col("qq"), col("cq")).as("dot"), col("na"), col("nb"))
@@ -120,6 +132,13 @@ final class IvfIndex private (
 }
 
 object IvfIndex {
+
+  /** Cap on the re-rank id set pushed as a raw-scan predicate; above
+    * it the predicate is dropped (the broadcast join stays correct).
+    * The shortlist is `|queries| · max(rerank·k, k+16)` rows, so a
+    * normal probe batch sits far below this.
+    */
+  val MaxRerankIdPredicate = 65536
 
   /** Quantize `(nn_id, cq, nb, list_id)` rows to the int8 list schema
     * and write them partitioned by list. `mx` (int) and `nbf` (float)

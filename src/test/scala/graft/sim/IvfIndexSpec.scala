@@ -23,6 +23,13 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
 
     // recall vs brute force, same contract as the in-memory variants
     val queries = emb.filter(col("vec_id") < 50)
+    // the exact re-rank must push the candidate-id set into the raw/
+    // scan (a broadcast join alone reads ALL raw files; the id
+    // predicate is what lets the id-clustered store prune on stats)
+    val rerankPlan = index.topK(queries, "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
+    assert(rerankPlan.contains("In(nn_id"),
+      s"raw re-rank scan carries no nn_id id predicate:\n$rerankPlan")
     val exact = CosineSim.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
       .select("q_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = index.topK(queries, "vec_id", "embedding", 5)
