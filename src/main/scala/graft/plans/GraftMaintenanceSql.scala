@@ -477,7 +477,8 @@ case class CreateMaterializedViewGraftCommand(
             "delta-maintainable (outer/semi/anti joins are not)")
       })
     val parts = GraftMaintenanceSql
-      .splitOutsideQuotes(" " + source + " ", """(?i)\s+JOIN\s+""")
+      .splitOutsideQuotes(" " + source + " ",
+        """(?i)\s+(?:INNER\s+)?JOIN\s+""") // INNER JOIN == bare JOIN
       .map(_.trim).toSeq
     if (parts.length == 1) {
       val src = GraftMaintenanceSql.incrementalAt(spark, source)

@@ -305,6 +305,16 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
       assert(ms.contains("not supported"), s"$kw: $ms")
     }
 
+    // INNER JOIN is the standard synonym of bare JOIN — accepted, not
+    // mis-split into a 't1 INNER' table token
+    val inner = spark.sql(
+      s"""CREATE MATERIALIZED VIEW '$base/v_inner' AS
+         |SELECT nation, count(*) AS cnt
+         |FROM '${fact.path}' INNER JOIN '${dim.path}' ON ck = dk
+         |GROUP BY nation""".stripMargin).collect()
+    assert(inner.head.getString(0) === s"$base/v_inner")
+    assert(IncrementalJoinView.isJoinView(spark, s"$base/v_inner"))
+
     // a quoted table path containing the text ' join ' must not split
     val weirdDir = s"$base/has join in name"
     val weird = new IncrementalTable(spark, weirdDir)
