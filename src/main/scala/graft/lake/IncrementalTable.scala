@@ -2697,6 +2697,67 @@ final class IncrementalTable(
     0L
   }
 
+  /** CONVERT TO GRAFT (Delta's `CONVERT TO DELTA parquet.<dir>`):
+    * adopt a directory of plain parquet files as version 0 of a graft
+    * table at the SAME path — NO data byte is copied or rewritten.
+    * Delta lists the files in place; here every manifest entry is
+    * keyed relative to `data/` (deletion vectors, DML candidate sets
+    * and scan-time `_metadata.file_path` reduction all depend on that
+    * contract — an in-place absolute reference would silently break
+    * the DV anti-join's key match), so convert RENAMES each
+    * `*.parquet` into `data/` under its original basename: a
+    * metadata-only move (same filesystem, O(#files) renames), after
+    * which the converted table is FIRST-CLASS — stats-pruned scans
+    * (footers harvested at convert, no data read), DML, DV deletes,
+    * constraints, compaction and vacuum all behave as if the data had
+    * been written through the table.
+    *
+    * Restrictions (fail loudly, convert nothing): the path must not
+    * already hold a graft table, and hive-partitioned layouts
+    * (subdirectories) are not supported — the partition values live in
+    * directory names, not the files, and adopting them as columns
+    * needs a rewrite (use `spark.read.parquet(...)` + a graft append
+    * for those). Non-parquet siblings (`_SUCCESS` etc.) are left in
+    * place and ignored.
+    */
+  def convertInPlace(): Long = {
+    require(!exists, s"$path already holds a graft table — nothing to convert")
+    val root = new Path(path)
+    require(fs.exists(root), s"no directory at $path")
+    val entries = fs.listStatus(root).toSeq
+    val subdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.startsWith("_")) // tolerate empty metadata dirs only
+    require(subdirs.isEmpty,
+      s"CONVERT TO GRAFT: $path has subdirectories (${subdirs.take(3)
+        .mkString(", ")}…) — hive-partitioned layouts are not " +
+        "convertible in place; read them with spark.read.parquet and " +
+        "append into a graft table instead")
+    val parts = entries.filter(e => e.isFile &&
+      e.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    require(parts.nonEmpty, s"CONVERT TO GRAFT: no *.parquet files at $path")
+    // schema from the footers BEFORE the move (first-footer semantics,
+    // like a plain parquet read of the directory)
+    val schema = spark.read.parquet(path).schema
+    fs.mkdirs(dataDir)
+    val named = parts.map { p =>
+      val name = p.getName
+      if (!fs.rename(p, new Path(dataDir, name)))
+        throw new IllegalStateException(
+          s"CONVERT TO GRAFT: failed to move $p under $dataDir")
+      name
+    }
+    // footer-stats harvest — the same metadata-only read a staged
+    // commit gets, so converted files prune immediately
+    if (collectStats) {
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      FileStats.collect(spark, schema,
+        named.map(n => n -> new Path(dataDir, n).toString))
+        .coalesce(1).write.parquet(new Path(statsDir, nonce).toString)
+    }
+    writeManifest(0L, "convert", named, schemaMetaFor(None, Some(schema)))
+    0L
+  }
+
   /** RESTORE the table to the state of version `v` (Delta `RESTORE
     * TABLE ... TO VERSION AS OF`): a NEW commit whose file list,
     * schema pointer and deletion vectors are `v`'s — history is

@@ -495,6 +495,36 @@ object LakeDmlQueries {
     t.snapshot().orderBy("o_orderkey")
   }
 
+  /** CONVERT TO GRAFT as an oracled arc
+    * ([[graft.lake.IncrementalTable.convertInPlace]]): supplier is
+    * written as a PLAIN parquet directory (4 range files — data that
+    * never went through the table's write path), adopted in place by
+    * the SQL statement (O(#files) renames + footer-stats harvest, no
+    * byte rewritten), then proven first-class by running copy-on-write
+    * DML on the adopted files (delete the negative-balance rows) and
+    * aggregating the survivors. The oracle replays the whole arc from
+    * the raw supplier table: a file the convert dropped, double-loaded
+    * or mis-keyed through the delete changes the hash.
+    */
+  def lakeConvertScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = cached(spark, dir, "supplier", "cvt", "delete") { t =>
+      Tables.load(spark, dir, "supplier")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .repartitionByRange(4, col("s_suppkey"))
+        .sortWithinPartitions("s_suppkey")
+        .write.mode("overwrite").parquet(t.path)
+      spark.sql(s"CONVERT TO GRAFT '${t.path}'").collect()
+      t.deleteWhere(col("s_acctbal") < 0.0)
+    }
+    t.snapshot()
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("cast(s_acctbal as decimal(18,2))")).cast("double")
+          .as("sum_bal"),
+        min("s_suppkey").as("min_supp"))
+      .orderBy("s_nationkey")
+  }
+
   /** DLT-style EXPECTATIONS on the write path
     * ([[graft.lake.Expectations]]) as ONE oracled arc: append the
     * documents through a drop-action token-count gate (plus a warn
@@ -545,6 +575,7 @@ object LakeDmlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_expect_scan" -> lakeExpectScan _,
     "lake_replace_scan" -> lakeReplaceScan _,
+    "lake_convert_scan" -> lakeConvertScan _,
     "lake_incr_view" -> lakeIncrViewScan _,
     "lake_join_view" -> lakeJoinViewScan _,
     "lake_join_view_minmax" -> lakeJoinViewMinMax _,
@@ -591,6 +622,14 @@ object LakeDmlQueries {
         |       CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1000.0
         |            ELSE o_totalprice END AS o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "lake_convert_scan" ->
+      """SELECT s_nationkey,
+        |       count(*) AS cnt,
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |       min(s_suppkey) AS min_supp
+        |FROM supplier
+        |WHERE NOT (s_acctbal < 0.0)
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "lake_incr_view" ->
       """WITH s AS (
         |  SELECT o_custkey,

@@ -70,6 +70,11 @@ object GraftMaintenanceSql {
   // deterministic-simple-predicate expectation.
   private val InsertReplaceWhere =
     """(?is)^\s*INSERT\s+INTO\s+(.+?)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.+?)\s*;?\s*$""".r
+  // Delta's `CONVERT TO DELTA [parquet.]<dir>`; the optional
+  // `parquet.` qualifier is accepted and ignored (parquet is the only
+  // convertible format here)
+  private val ConvertToGraft =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+(?:parquet\s*\.\s*)?(.+?)\s*;?\s*$""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     // before Optimize: its non-greedy target would swallow "t WHERE p"
@@ -105,6 +110,8 @@ object GraftMaintenanceSql {
       Some(RefreshMaterializedViewGraftCommand(target.trim))
     case InsertReplaceWhere(target, pred, query) =>
       Some(InsertReplaceWhereGraftCommand(target.trim, pred.trim, query.trim))
+    case ConvertToGraft(target) =>
+      Some(ConvertToGraftCommand(target.trim))
     // RENAME COLUMN / DROP COLUMN are NOT pre-parsed: they are standard
     // Spark SQL, routed to GraftCatalog.alterTable for catalog tables —
     // a pre-parse here would hijack the statement for non-graft tables
@@ -364,6 +371,31 @@ case class ShallowCloneGraftCommand(
     val dst = new IncrementalTable(spark, dstPath)
     dst.cloneFrom(src, version)
     Seq(Row(version.getOrElse(src.latestVersion.get)))
+  }
+}
+
+/** `CONVERT TO GRAFT [parquet.]<dir>` — adopt a directory of plain
+  * parquet files as a graft table in place
+  * ([[IncrementalTable.convertInPlace]]): O(#files) renames into
+  * `data/`, footer-stats harvest, one v0 manifest; no data copied.
+  * Accepts a quoted path, a Delta-style backtick path (with or
+  * without the `parquet.` qualifier), or a graft-catalog name whose
+  * directory already holds the files.
+  */
+case class ConvertToGraftCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType)(),
+    AttributeReference("files_adopted", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.trim
+    val path =
+      if (t.startsWith("`") && t.endsWith("`") && t.length >= 2)
+        t.substring(1, t.length - 1)
+      else GraftMaintenanceSql.resolvePath(spark, t)
+    val table = new IncrementalTable(spark, path)
+    table.convertInPlace()
+    Seq(Row(path, table.files(0L).size))
   }
 }
 
