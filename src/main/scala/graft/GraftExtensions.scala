@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (opt-in per view via GraftViewRouting.register; no-op otherwise).
     ext.injectOptimizerRule(session =>
       graft.plans.RouteAggregatesToViews(session))
+    // SQL change-data-feed surface: SELECT * FROM
+    // table_changes('<table>', start [, end]) — Delta's TVF
+    ext.injectTableFunction((graft.plans.TableChangesTvf.identifier,
+      graft.plans.TableChangesTvf.info,
+      graft.plans.TableChangesTvf.build _))
   }
 }
 

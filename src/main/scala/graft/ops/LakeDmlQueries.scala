@@ -525,6 +525,38 @@ object LakeDmlQueries {
       .orderBy("s_nationkey")
   }
 
+  /** The SQL change-data-feed surface
+    * ([[graft.plans.ResolveTableChanges]] — Delta's `table_changes`
+    * TVF) over a four-commit DML arc: append half of orders (v0),
+    * append the rest (v1), boost ~1/997 prices (v2 — CDC pre/post
+    * images), delete ~1/501 (v3 — CDC deletes carrying post-update
+    * values). `table_changes('<path>', 0)` must deliver the appends as
+    * inserts from manifest deltas, the images from the sidecars, and
+    * stamp each row's `_commit_version`; the oracle replays the whole
+    * per-type disposition — counts, DECIMAL value sums and the exact
+    * version window each type landed in — from the raw orders table.
+    */
+  def lakeTableChanges(spark: SparkSession, dir: String): DataFrame = {
+    val t = cached(spark, dir, "orders", "tchg", "delete") { t =>
+      val orders = Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val split = orders.agg(floor(max(col("o_orderkey")) / 2.0).cast("long"))
+        .head().getLong(0)
+      t.append(orders.filter(col("o_orderkey") <= split))     // v0
+      t.append(orders.filter(col("o_orderkey") > split))      // v1
+      t.updateWhere(col("o_orderkey") % 997L === 0L,          // v2
+        Map("o_totalprice" -> (col("o_totalprice") + 100000.0)))
+      t.deleteWhere(col("o_orderkey") % 501L === 0L)          // v3
+    }
+    spark.sql(
+      s"""SELECT _change_type, count(*) AS cnt,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS sum_price,
+         |       MIN(_commit_version) AS min_v, MAX(_commit_version) AS max_v
+         |FROM table_changes('${t.path}', 0)
+         |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+  }
+
   /** DLT-style EXPECTATIONS on the write path
     * ([[graft.lake.Expectations]]) as ONE oracled arc: append the
     * documents through a drop-action token-count gate (plus a warn
@@ -576,6 +608,7 @@ object LakeDmlQueries {
     "lake_expect_scan" -> lakeExpectScan _,
     "lake_replace_scan" -> lakeReplaceScan _,
     "lake_convert_scan" -> lakeConvertScan _,
+    "lake_table_changes" -> lakeTableChanges _,
     "lake_incr_view" -> lakeIncrViewScan _,
     "lake_join_view" -> lakeJoinViewScan _,
     "lake_join_view_minmax" -> lakeJoinViewMinMax _,
@@ -622,6 +655,33 @@ object LakeDmlQueries {
         |       CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1000.0
         |            ELSE o_totalprice END AS o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "lake_table_changes" ->
+      """WITH u AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice + 100000.0
+        |              ELSE o_totalprice END AS p
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'insert' AS _change_type, count(*) AS cnt,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |         CAST(0 AS BIGINT) AS min_v, CAST(1 AS BIGINT) AS max_v
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'update_preimage', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |         CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 997 = 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', count(*),
+        |         CAST(SUM(CAST(o_totalprice + 100000.0 AS DECIMAL(18,2))) AS DOUBLE),
+        |         CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 997 = 0
+        |  UNION ALL
+        |  SELECT 'delete', count(*),
+        |         CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE),
+        |         CAST(3 AS BIGINT), CAST(3 AS BIGINT)
+        |  FROM u WHERE o_orderkey % 501 = 0
+        |) ORDER BY _change_type""".stripMargin,
     "lake_convert_scan" ->
       """SELECT s_nationkey,
         |       count(*) AS cnt,
