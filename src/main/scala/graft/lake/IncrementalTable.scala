@@ -1630,7 +1630,7 @@ final class IncrementalTable(
         // state).
         val carry = Seq("dv", "constraints", "bloom", "colmap", "coldrop",
           "writeorder", "gencol", "identity", "rf", "widen", "widened",
-          "rowtracking")
+          "rowtracking", "copylog")
           .flatMap(k => baseMeta.get(k).map(k -> _)).toMap
         writeManifest(v, operation, prev.filterNot(removed) ++ added,
           (carry -- dropMeta) ++ watermarkCarry(baseMeta) ++ meta ++
@@ -1695,7 +1695,7 @@ final class IncrementalTable(
         val consCarry = baseMeta
           .filter { case (k, _) => Set("constraints", "bloom", "colmap",
             "coldrop", "writeorder", "gencol", "identity", "widen",
-            "widened", "rowtracking").contains(k) }
+            "widened", "rowtracking", "copylog").contains(k) }
         writeManifest(v, operation, added,
           consCarry ++ watermarkCarry(baseMeta) ++ meta ++
             schemaMetaFor(base, Some(physicalizeSchema(schema))))
@@ -2756,6 +2756,61 @@ final class IncrementalTable(
     }
     writeManifest(0L, "convert", named, schemaMetaFor(None, Some(schema)))
     0L
+  }
+
+  // ---- COPY INTO (Delta's idempotent file ingestion): load parquet
+  // files into the table EXACTLY ONCE per source file. The set of
+  // already-ingested file URIs lives in a `_copylog/<nonce>` sidecar
+  // (one path per line) whose pointer rides the SAME commit as the
+  // loaded data (`append(extraMeta)`) — a crash can orphan a blob but
+  // never admit rows without recording their files, so a re-run is a
+  // no-op, and the pointer carries across appends/DML like the other
+  // table properties. Registry size grows with ingested-file count
+  // (Delta's COPY INTO state has the same shape); concurrent COPY
+  // INTO from two ingestors is not arbitrated — the later pointer
+  // wins and the loser's files may re-load on a future run (dedupe
+  // upstream or serialize ingestion, as with Delta). ----
+
+  private def copyLogDir = new Path(path, "_copylog")
+
+  /** The set of source-file URIs every prior COPY INTO ingested. */
+  def copiedFiles(): Set[String] =
+    latestVersion.flatMap(v => metaAt(v).get("copylog")).map { nonce =>
+      val in = fs.open(new Path(copyLogDir, nonce))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toSet
+      finally in.close()
+    }.getOrElse(Set.empty)
+
+  /** Ingest the parquet files at `srcDir` (a directory's top-level
+    * `*.parquet`, or one file) through the FULL append path —
+    * constraints, generated/identity columns, write-order clustering
+    * all apply — skipping files already ingested by a prior COPY
+    * INTO. `force` reloads everything (the files still enter the
+    * registry). Returns (committed version, files loaded); a no-op
+    * copy commits nothing.
+    */
+  def copyInto(srcDir: String, force: Boolean = false): (Long, Int) = {
+    val src = new Path(srcDir)
+    val sfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(sfs.exists(src), s"COPY INTO: no such path $srcDir")
+    val st = sfs.getFileStatus(src)
+    val listed = (if (st.isFile) Seq(st)
+      else sfs.listStatus(src).toSeq.filter(_.isFile))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .map(p => sfs.makeQualified(p).toString).sorted
+    require(listed.nonEmpty, s"COPY INTO: no *.parquet files at $srcDir")
+    val already = copiedFiles()
+    val fresh = if (force) listed else listed.filterNot(already)
+    if (fresh.isEmpty) return (latestVersion.getOrElse(-1L), 0)
+    val df = spark.read.parquet(fresh: _*)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val body = (already ++ fresh).toSeq.sorted.mkString("\n")
+    fs.mkdirs(copyLogDir)
+    val out = fs.create(new Path(copyLogDir, nonce), true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    (append(df, "copy-into", Map("copylog" -> nonce)), fresh.size)
   }
 
   /** RESTORE the table to the state of version `v` (Delta `RESTORE

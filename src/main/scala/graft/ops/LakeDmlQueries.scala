@@ -557,6 +557,47 @@ object LakeDmlQueries {
          |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
   }
 
+  /** COPY INTO as an oracled arc
+    * ([[graft.lake.IncrementalTable.copyInto]]): customer lands in a
+    * staging directory as plain parquet (3 range files); the first
+    * COPY loads them, a literal RE-RUN of the same statement must
+    * no-op (file-level idempotency), a later batch adds 2 more files
+    * to the SAME directory and the third COPY loads ONLY those. A
+    * double-load anywhere doubles group counts and breaks the hash —
+    * the oracle is the plain customer aggregate.
+    */
+  def lakeCopyInto(spark: SparkSession, dir: String): DataFrame = {
+    val t = cached(spark, dir, "customer", "cpy", "copy-into") { t =>
+      val customer = Tables.load(spark, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val split = customer.agg(floor(max(col("c_custkey")) / 2.0).cast("long"))
+        .head().getLong(0)
+      val in = s"${t.path}_in"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(in))
+      customer.filter(col("c_custkey") <= split)
+        .repartitionByRange(3, col("c_custkey"))
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite").parquet(in)
+      require(spark.sql(s"COPY INTO '${t.path}' FROM '$in'")
+        .head.getInt(1) == 3, "first COPY must load 3 files")
+      require(spark.sql(s"COPY INTO '${t.path}' FROM '$in'")
+        .head.getInt(1) == 0, "re-run must be a file-level no-op")
+      customer.filter(col("c_custkey") > split)
+        .repartitionByRange(2, col("c_custkey"))
+        .sortWithinPartitions("c_custkey")
+        .write.mode("append").parquet(in)
+      require(spark.sql(s"COPY INTO '${t.path}' FROM '$in'")
+        .head.getInt(1) == 2, "incremental COPY must load ONLY new files")
+    }
+    t.snapshot()
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("cast(c_acctbal as decimal(18,2))")).cast("double")
+          .as("sum_bal"),
+        max("c_custkey").as("max_cust"))
+      .orderBy("c_nationkey")
+  }
+
   /** DLT-style EXPECTATIONS on the write path
     * ([[graft.lake.Expectations]]) as ONE oracled arc: append the
     * documents through a drop-action token-count gate (plus a warn
@@ -609,6 +650,7 @@ object LakeDmlQueries {
     "lake_replace_scan" -> lakeReplaceScan _,
     "lake_convert_scan" -> lakeConvertScan _,
     "lake_table_changes" -> lakeTableChanges _,
+    "lake_copy_into" -> lakeCopyInto _,
     "lake_incr_view" -> lakeIncrViewScan _,
     "lake_join_view" -> lakeJoinViewScan _,
     "lake_join_view_minmax" -> lakeJoinViewMinMax _,
@@ -682,6 +724,13 @@ object LakeDmlQueries {
         |         CAST(3 AS BIGINT), CAST(3 AS BIGINT)
         |  FROM u WHERE o_orderkey % 501 = 0
         |) ORDER BY _change_type""".stripMargin,
+    "lake_copy_into" ->
+      """SELECT c_nationkey,
+        |       count(*) AS cnt,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |       max(c_custkey) AS max_cust
+        |FROM customer
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "lake_convert_scan" ->
       """SELECT s_nationkey,
         |       count(*) AS cnt,

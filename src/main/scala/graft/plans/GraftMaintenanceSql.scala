@@ -75,6 +75,10 @@ object GraftMaintenanceSql {
   // convertible format here)
   private val ConvertToGraft =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+(?:parquet\s*\.\s*)?(.+?)\s*;?\s*$""".r
+  // Delta's COPY INTO, parquet-only; FILEFORMAT is accepted for
+  // syntax parity and validated
+  private val CopyInto =
+    """(?is)^\s*COPY\s+INTO\s+(.+?)\s+FROM\s+('[^']+'|"[^"]+")(?:\s+FILEFORMAT\s*=\s*(\w+))?(\s+FORCE)?\s*;?\s*$""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     // before Optimize: its non-greedy target would swallow "t WHERE p"
@@ -112,6 +116,10 @@ object GraftMaintenanceSql {
       Some(InsertReplaceWhereGraftCommand(target.trim, pred.trim, query.trim))
     case ConvertToGraft(target) =>
       Some(ConvertToGraftCommand(target.trim))
+    case CopyInto(target, src, fmt, force) =>
+      Some(CopyIntoGraftCommand(target.trim,
+        src.substring(1, src.length - 1),
+        Option(fmt), force = force != null))
     // RENAME COLUMN / DROP COLUMN are NOT pre-parsed: they are standard
     // Spark SQL, routed to GraftCatalog.alterTable for catalog tables —
     // a pre-parse here would hijack the statement for non-graft tables
@@ -396,6 +404,31 @@ case class ConvertToGraftCommand(target: String)
     val table = new IncrementalTable(spark, path)
     table.convertInPlace()
     Seq(Row(path, table.files(0L).size))
+  }
+}
+
+/** `COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET] [FORCE]` —
+  * Delta's idempotent file ingestion ([[IncrementalTable.copyInto]]):
+  * each source file loads EXACTLY ONCE across re-runs (the ingested
+  * set rides a `_copylog` sidecar committed atomically with the
+  * data); `FORCE` reloads. Parquet only — other FILEFORMATs are
+  * rejected up front.
+  */
+case class CopyIntoGraftCommand(
+    target: String, srcDir: String, fileFormat: Option[String],
+    force: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("files_loaded", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    fileFormat.foreach(f => require(f.equalsIgnoreCase("parquet"),
+      s"COPY INTO: FILEFORMAT = $f is not supported — parquet only"))
+    // unlike the other maintenance targets, COPY INTO may CREATE the
+    // table (first ingest into an empty path — the append commits v0)
+    val t = new IncrementalTable(spark,
+      GraftMaintenanceSql.resolvePath(spark, target))
+    val (v, n) = t.copyInto(srcDir, force = force)
+    Seq(Row(v, n))
   }
 }
 
