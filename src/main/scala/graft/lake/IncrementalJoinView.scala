@@ -197,7 +197,7 @@ final class IncrementalJoinView private (
 
   private def dimWatermark: Option[Seq[Long]] =
     table.latestVersion.flatMap(v => table.metaAt(v).get(DimWmKey))
-      .map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toLong))
+      .map(_.split("\\+").toSeq.filter(_.nonEmpty).map(_.toLong))
 
   private def currentDimVersions: Seq[Long] =
     dims.map { case (spec, dim) =>
@@ -240,7 +240,8 @@ final class IncrementalJoinView private (
 
   private def wmMeta(factV: Long, dimVs: Seq[Long]): Map[String, String] =
     Map(IncrementalView.WmKey -> factV.toString,
-      DimWmKey -> dimVs.mkString(","))
+      DimWmKey -> dimVs.mkString("+")) // ','/'"' are manifest-meta
+  // delimiters and rejected at commit — '+' is the legal joiner
 
   private def fullRefresh(factV: Long, dimVs: Seq[Long], viewV: Long,
       wm: Option[Long], targetFiles: Int): Long = {
@@ -446,7 +447,12 @@ final class IncrementalJoinView private (
       val dimFields = fieldsOf(dim)
       val dimIdx = groupCols.zipWithIndex
         .filter { case (c, _) => dimFields(c.toLowerCase) }
-      if (dimIdx.isEmpty) None
+      // in a SNOWFLAKE chain the dim's join key may be a column of a
+      // PREVIOUS dim, not of the fact — a `factKey IN (…)` conjunct
+      // would then name a column the fact scan cannot resolve. Drop
+      // it (prune less, never wrong): the post-join group predicate
+      // still filters exactly
+      if (dimIdx.isEmpty || !factFields(spec.factKey.toLowerCase)) None
       else {
         val dPred = groups.map(r =>
           dimIdx.map { case (c, i) => col(c) <=> lit(r.get(i)) }
@@ -469,7 +475,7 @@ final class IncrementalJoinView private (
 object IncrementalJoinView {
 
   /** Manifest-meta key recording the dim versions a refresh joined
-    * against (comma-joined, [[DimSpec]] order). NOT in the carry list
+    * against ('+'-joined, [[DimSpec]] order). NOT in the carry list
     * — same stance as [[IncrementalView.WmKey]].
     */
   val DimWmKey = "viewdimwm"

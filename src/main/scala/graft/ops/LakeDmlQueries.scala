@@ -413,6 +413,75 @@ object LakeDmlQueries {
       .orderBy("c_nationkey")
   }
 
+  /** SNOWFLAKE-chain join view (dim of dim) as an oracled arc:
+    * `orders ⋈ customer ⋈ nation GROUP BY n_name` — the second
+    * [[graft.lake.DimSpec]]'s join key (`c_nationkey`) is a CUSTOMER
+    * column, not a fact column, so both maintenance halves must walk
+    * the chain: signed deltas join the full dim sequence, and the
+    * extreme-recompute drops the un-resolvable nation-side prune
+    * conjunct (prune less, never mis-plan). Arc: half append →
+    * insert-only rest → price boosts (update images) → an
+    * extreme-deleting delete that forces the affected-group recompute
+    * through the chain. Oracle = the final three-table SQL aggregate.
+    */
+  def lakeJoinViewSnowflake(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{DimSpec, IncrementalJoinView, IncrementalView}
+    val srcFile = new java.io.File(s"$dir/orders.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, srcFile.length, srcFile.lastModified, "jvsf1").hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_lake_jvsf_$key"
+    val factT = new IncrementalTable(spark, s"$base/fact")
+    val viewDir = s"$base/view"
+    val viewT = new IncrementalTable(spark, viewDir)
+    val complete = factT.exists && viewT.exists &&
+      factT.latestVersion.exists(v => factT.operationAt(v) == "delete") &&
+      viewT.latestVersion.exists(v =>
+        viewT.metaAt(v).get(IncrementalView.WmKey) ==
+          factT.latestVersion.map(_.toString))
+    if (!complete) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val cust = new IncrementalTable(spark, s"$base/cust")
+      cust.append(Tables.load(spark, dir, "customer")
+        .select("c_custkey", "c_nationkey"))
+      val nat = new IncrementalTable(spark, s"$base/nat")
+      nat.append(Tables.load(spark, dir, "nation")
+        .select("n_nationkey", "n_name"))
+      val fact = new IncrementalTable(spark, s"$base/fact")
+      val orders = Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val split = orders.agg(floor(max(col("o_orderkey")) / 2.0).cast("long"))
+        .head().getLong(0)
+      fact.append(orders.filter(col("o_orderkey") <= split)
+        .repartitionByRange(4, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"))
+      val view = IncrementalJoinView.create(spark, fact,
+        Seq(DimSpec(s"$base/cust", "o_custkey", "c_custkey"),
+          DimSpec(s"$base/nat", "c_nationkey", "n_nationkey")), viewDir,
+        Seq("n_name"), Seq(
+          "cnt" -> "count(*)",
+          "sum_price" -> "sum(cast(o_totalprice as decimal(18,2)))",
+          "max_price" -> "max(o_totalprice)"))
+      fact.append(orders.filter(col("o_orderkey") > split)
+        .repartitionByRange(4, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"))
+      view.refresh() // insert-only greatest-merge through the chain
+      fact.updateWhere(col("o_orderkey") % 997L === 0L,
+        Map("o_totalprice" -> (col("o_totalprice") + 100000.0)))
+      view.refresh()
+      val thr = fact.snapshot()
+        .agg((max(col("o_totalprice")) * lit(0.98)).as("t")).head().getDouble(0)
+      fact.deleteWhere(col("o_totalprice") > thr)
+      view.refresh() // extreme-deleting recompute through the chain
+      require(view.lastRefresh.exists(m => m.mode == "delta" &&
+        m.sourceFilesScanned > 0),
+        s"snowflake arc must exercise the recompute path: ${view.lastRefresh}")
+    }
+    IncrementalJoinView.open(spark, viewDir).snapshot()
+      .select(col("n_name"), col("cnt"),
+        col("sum_price").cast("double").as("sum_price"), col("max_price"))
+      .orderBy("n_name")
+  }
+
   /** The SERVING half of the join-view system as an oracled query:
     * register the fresh view with [[graft.plans.GraftViewRouting]] and
     * run the dashboard shape — `WHERE <dim-attr> GROUP BY <dim-attr>`
@@ -654,6 +723,7 @@ object LakeDmlQueries {
     "lake_incr_view" -> lakeIncrViewScan _,
     "lake_join_view" -> lakeJoinViewScan _,
     "lake_join_view_minmax" -> lakeJoinViewMinMax _,
+    "lake_join_view_snowflake" -> lakeJoinViewSnowflake _,
     "lake_join_view_filtered" -> lakeJoinViewFiltered _,
     "lake_rowid_scan" -> lakeRowIdScan _,
     "lake_widen_scan" -> lakeWidenScan _,
@@ -779,6 +849,23 @@ object LakeDmlQueries {
         |       min(o_orderkey) AS min_order
         |FROM s JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "lake_join_view_snowflake" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice + 100000.0
+        |              ELSE o_totalprice END AS p
+        |  FROM orders),
+        |s AS (
+        |  SELECT * FROM u
+        |  WHERE NOT (p > (SELECT max(p) * CAST(0.98 AS DOUBLE) FROM u)))
+        |SELECT n_name,
+        |       count(*) AS cnt,
+        |       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       max(p) AS max_price
+        |FROM s
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "lake_join_view_filtered" ->
       """SELECT c_nationkey,
         |       count(*) AS cnt,

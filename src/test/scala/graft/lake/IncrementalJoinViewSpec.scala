@@ -259,6 +259,75 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
     assert(e3.getMessage.contains("count(*)"))
   }
 
+  test("SNOWFLAKE chain (dim of dim): delta maintenance, extremes and " +
+    "recompute all work when a dim joins on a previous dim's column") {
+    val base = mkBase()
+    val fact = new IncrementalTable(spark, s"$base/fact")
+    val cust = new IncrementalTable(spark, s"$base/cust")
+    val nat = new IncrementalTable(spark, s"$base/nat")
+    nat.append(Seq((100L, "A"), (200L, "B")).toDF("nk", "nation").coalesce(1))
+    cust.append(Seq((1L, 100L), (2L, 100L), (3L, 200L))
+      .toDF("ck", "cnk").coalesce(1))
+    fact.append(Seq((10L, 1L, 5L), (11L, 2L, 7L), (12L, 3L, 2L))
+      .toDF("fk", "fck", "v").coalesce(1))
+    // chain: fact.fck = cust.ck, then cust.cnk = nat.nk — the second
+    // DimSpec's "factKey" is a CUSTOMER column, not a fact column
+    val view = IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$base/cust", "fck", "ck"),
+        DimSpec(s"$base/nat", "cnk", "nk")), s"$base/view",
+      Seq("nation"),
+      Seq("cnt" -> "count(*)", "sv" -> "sum(v)", "mx" -> "max(v)"))
+    def expect(): Set[(String, Long, Long, Long)] =
+      fact.snapshot().join(cust.snapshot(), col("fck") === col("ck"))
+        .join(nat.snapshot(), col("cnk") === col("nk"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("sv"), max("v").as("mx"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    def got(): Set[(String, Long, Long, Long)] =
+      view.snapshot().collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got() === expect())
+
+    // insert-only delta through the chain
+    fact.append(Seq((13L, 3L, 9L)).toDF("fk", "fck", "v").coalesce(1))
+    view.refresh()
+    assert(view.lastRefresh.exists(_.mode == "delta"))
+    assert(got() === expect())
+
+    // extreme-deleting delete: group A's max (7) goes — the recompute
+    // must run even though the nation dim's join key is NOT a fact
+    // column (its prune conjunct is dropped, never mis-planned)
+    fact.deleteWhere(col("fk") === 11L)
+    view.refresh()
+    assert(view.lastRefresh.exists(m => m.mode == "delta" &&
+      m.sourceFilesScanned > 0), view.lastRefresh.toString)
+    assert(got() === expect())
+
+    // a mid-chain dim change falls back to a full recompute
+    cust.updateWhere(col("ck") === 1L, Map("cnk" -> lit(200L)))
+    view.refresh()
+    assert(view.lastRefresh.exists(_.mode == "full"))
+    assert(got() === expect())
+
+    // transparent routing matches the snowflake chain too
+    graft.plans.GraftViewRouting.registerJoin(spark, s"$base/view")
+    try {
+      val q = spark.read.format("graft").load(fact.path)
+        .join(spark.read.format("graft").load(cust.path),
+          col("fck") === col("ck"))
+        .join(spark.read.format("graft").load(nat.path),
+          col("cnk") === col("nk"))
+        .groupBy("nation").agg(count(lit(1)).as("cnt"), sum("v").as("sv"),
+          max("v").as("mx"))
+      assert(q.queryExecution.optimizedPlan.toString
+        .contains(new java.io.File(s"$base/view").getName),
+        q.queryExecution.optimizedPlan.toString)
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet === expect())
+    } finally graft.plans.GraftViewRouting.clear()
+  }
+
   test("SQL surface: CREATE MATERIALIZED VIEW with JOIN builds a join view; " +
     "REFRESH dispatches on the persisted definition") {
     val base = mkBase()
