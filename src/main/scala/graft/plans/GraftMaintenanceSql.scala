@@ -545,10 +545,16 @@ case class CreateMaterializedViewGraftCommand(
       .splitOutsideQuotes(" " + source + " ",
         """(?i)\s+(?:INNER\s+)?JOIN\s+""") // INNER JOIN == bare JOIN
       .map(_.trim).toSeq
+    // opt-in transparent serving: a view created through SQL can
+    // register itself with the routing rule in the same statement, so
+    // matching aggregates over the source immediately read O(view)
+    val autoRoute = spark.conf
+      .get("spark.graft.viewRouting.autoRegister", "false").toBoolean
     if (parts.length == 1) {
       val src = GraftMaintenanceSql.incrementalAt(spark, source)
       val view = graft.lake.IncrementalView.create(
         spark, src, viewPath, groupCols, aggs)
+      if (autoRoute) graft.plans.GraftViewRouting.register(spark, viewPath)
       Seq(Row(viewPath, view.watermark.getOrElse(-1L)))
     } else {
       val fact = GraftMaintenanceSql.incrementalAt(spark, parts.head)
@@ -579,6 +585,7 @@ case class CreateMaterializedViewGraftCommand(
       }
       val view = graft.lake.IncrementalJoinView.create(
         spark, fact, dims, viewPath, groupCols, aggs)
+      if (autoRoute) graft.plans.GraftViewRouting.registerJoin(spark, viewPath)
       Seq(Row(viewPath, view.watermark.getOrElse(-1L)))
     }
   }

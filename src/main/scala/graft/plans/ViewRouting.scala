@@ -309,6 +309,13 @@ case class RouteAggregatesToViews(spark: SparkSession)
             .map(c => AggregateExpression(Sum(c), Complete, isDistinct = false))
             .filter(_.dataType == al.dataType)
             .map(s => Alias(KnownNotNull(s), al.name)(exprId = al.exprId))
+        else if (sqlN.startsWith("count("))
+          // count(x) rolls up as the SUM of the fine groups' stored
+          // non-null counters (count is decomposable over a partition)
+          pair(sqlN.stripPrefix("count(").stripSuffix(")"))
+            .map { case (_, nnSum) => nnSum }
+            .filter(_.dataType == al.dataType)
+            .map(s => Alias(KnownNotNull(s), al.name)(exprId = al.exprId))
         else if (sqlN.startsWith("max(") || sqlN.startsWith("min("))
           reExtreme(al, sqlN.drop(4).stripSuffix(")"), sqlN.startsWith("max("))
         else if (sqlN.startsWith("sum(") && al.dataType == LongType)
@@ -387,6 +394,12 @@ case class RouteAggregatesToViews(spark: SparkSession)
           byName.get(view.countCol.toLowerCase)
             .filter(_.dataType == al.dataType)
             .map(a => Alias(KnownNotNull(a), al.name)(exprId = al.exprId))
+        else if (sqlN.startsWith("count("))
+          // count(x) — non-null inputs only — IS the stored __nn_
+          // counter that backs sum(x)/avg(x)
+          accPair(sqlN.stripPrefix("count(").stripSuffix(")"))
+            .map(_._2).filter(_.dataType == al.dataType)
+            .map(nn => Alias(KnownNotNull(nn), al.name)(exprId = al.exprId))
         else if (sqlN.startsWith("sum("))
           accPair(sqlN.stripPrefix("sum(").stripSuffix(")"))
             .filter { case (acc, _) => acc.dataType == al.dataType }

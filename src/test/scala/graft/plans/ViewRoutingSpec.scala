@@ -294,6 +294,14 @@ class ViewRoutingSpec extends AnyFunSuite with SparkSpec
       .join(spark.read.format("graft").load(dim.path), col("ck") === col("dk"))
       .groupBy("dk").agg(count(lit(1)).as("cnt"))
     assert(!routed(wrongGroup))
+    // count(v) — non-null count — serves straight from the stored
+    // __nn_ counter (group C's only v is NULL: count 0, not 1)
+    val cq = spark.read.format("graft").load(fact.path)
+      .join(spark.read.format("graft").load(dim.path), col("ck") === col("dk"))
+      .groupBy("nation").agg(count(col("v")).as("cv"))
+    assert(routed(cq), cq.queryExecution.optimizedPlan.toString)
+    assert(cq.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("A", 3L), ("C", 0L)))
     // avg over the join routes through the stored sum(v) accumulator
     // and its non-null counter — NULL groups stay NULL, values match
     // the unrouted plan exactly (long accumulator)
@@ -403,16 +411,45 @@ class ViewRoutingSpec extends AnyFunSuite with SparkSpec
     def q() = spark.read.format("graft").load(fact.path)
       .join(spark.read.format("graft").load(dim.path), col("ck") === col("dk"))
       .groupBy("nation")
-      .agg(count(lit(1)).as("cnt"), sum("v").as("sv"), avg("v").as("av"))
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sv"), avg("v").as("av"),
+        count(col("v")).as("cv")) // count(x): rolls up as sum of __nn_
     assert(q().queryExecution.optimizedPlan.toString
       .contains(new java.io.File(s"$base/view").getName),
       q().queryExecution.optimizedPlan.toString)
     spark.conf.set("spark.graft.viewRouting.enabled", "false")
     val unrouted = q().collect().map(r => (r.getString(0), r.getLong(1),
-      Option(r.get(2)), Option(r.get(3)))).toSet
+      Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toSet
     spark.conf.set("spark.graft.viewRouting.enabled", "true")
     assert(q().collect().map(r => (r.getString(0), r.getLong(1),
-      Option(r.get(2)), Option(r.get(3)))).toSet === unrouted)
+      Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toSet === unrouted)
+  }
+
+  test("CREATE MATERIALIZED VIEW auto-registers for routing when opted in") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("vr_auto_").toString
+    val src = new IncrementalTable(spark, s"$base/src")
+    src.append(Seq((1L, 10L), (2L, 7L)).toDF("k", "v").coalesce(1))
+    def agg() = spark.read.format("graft").load(src.path)
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    def routedTo(name: String, df: DataFrame) =
+      df.queryExecution.optimizedPlan.toString.contains(name)
+
+    // default OFF: the created view does not serve
+    spark.sql(s"""CREATE MATERIALIZED VIEW '$base/v_off' AS
+                 |SELECT k, count(*) AS cnt FROM '${src.path}'
+                 |GROUP BY k""".stripMargin)
+    assert(!routedTo("v_off", agg()))
+
+    spark.conf.set("spark.graft.viewRouting.autoRegister", "true")
+    try {
+      spark.sql(s"""CREATE MATERIALIZED VIEW '$base/v_on' AS
+                   |SELECT k, count(*) AS cnt FROM '${src.path}'
+                   |GROUP BY k""".stripMargin)
+      val q = agg()
+      assert(routedTo("v_on", q), q.queryExecution.optimizedPlan.toString)
+      assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((1L, 1L), (2L, 1L)))
+    } finally spark.conf.unset("spark.graft.viewRouting.autoRegister")
   }
 
   test("SQL through the catalog routes too") {
