@@ -2727,6 +2727,11 @@ final class IncrementalTable(
     val entries = fs.listStatus(root).toSeq
     val subdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
       .filterNot(_.startsWith("_")) // tolerate empty metadata dirs only
+    require(!subdirs.contains("data"),
+      s"CONVERT TO GRAFT: $path has a data/ subdirectory but no graft " +
+        "manifest — either a crashed earlier convert (move data/'s " +
+        "files back to the top level and re-run) or a foreign layout " +
+        "this convert must not adopt blindly")
     require(subdirs.isEmpty,
       s"CONVERT TO GRAFT: $path has subdirectories (${subdirs.take(3)
         .mkString(", ")}…) — hive-partitioned layouts are not " +
