@@ -452,11 +452,43 @@ object ScaleEvidence {
         }
       }
     }
+    /** Experiment 8: O(metadata) ingestion. CONVERT adopts a plain
+      * parquet dir by renames + footer reads — its cost tracks FILE
+      * COUNT, not bytes, so 10× the rows in the same 8 files must
+      * convert in ~flat time. COPY INTO's first load is O(data) (the
+      * batch rewrites through the append path — honest baseline), the
+      * re-run is the idempotency fast path: a listing + registry
+      * lookup, no data touched.
+      */
+    def ingestExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      val n = 2000000L * k
+      def plain(dir: String): Unit =
+        spark.range(n).select(col("id"), pmod(col("id"), lit(1000L)).as("v"))
+          .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+          .write.mode("overwrite").parquet(dir)
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val cdir = s"$base/ing_x$k/cvt"
+      plain(cdir)
+      val convertS = timed(
+        new graft.lake.IncrementalTable(spark, cdir).convertInPlace())
+      val sdir = s"$base/ing_x$k/in"
+      plain(sdir)
+      val tgt = new graft.lake.IncrementalTable(spark, s"$base/ing_x$k/t")
+      val firstS = timed(require(tgt.copyInto(sdir)._2 == 8))
+      val noopS = timed(require(tgt.copyInto(sdir)._2 == 0))
+      println(f"""{"scale":$k,"experiment":"ingest","rows":$n,"files":8,""" +
+        f""""convert_s":$convertS%.3f,"copy_first_s":$firstS%.2f,""" +
+        f""""copy_noop_s":$noopS%.3f}""")
+    }
+
     if (want("incr_view")) scales.foreach(k => viewExperiment(base, k))
     if (want("inc_dedup")) scales.foreach(k => incDedupExperiment(base, k))
     if (want("join_view")) scales.foreach(k => joinViewExperiment(base, k))
     if (want("routing")) scales.foreach(k => routingExperiment(base, k))
     if (want("mg")) scales.foreach(k => mgExperiment(k))
+    if (want("ingest")) scales.foreach(k => ingestExperiment(base, k))
     spark.stop()
   }
 }
