@@ -337,6 +337,40 @@ object PipelineQueries {
     ExactDedup.groups(Tables.load(spark, dir, "documents"), "doc_id", "text")
       .orderBy("content_hash")
 
+  /** LINE-level corpus dedup ([[graft.dedup.LineDedup]] — C4 §2.2 /
+    * RefinedWeb): each exact line ≥ 10 chars keeps only its first
+    * occurrence corpus-wide, docs reassemble from survivors. The
+    * synthetic corpus is single-line, so the query first builds a
+    * deterministic MULTI-LINE frame with real cross-document
+    * boilerplate: doc `i`'s lines are the texts of docs `i`, `i+1`,
+    * `i+2` (mod N) — every text recurs as a line in exactly three
+    * docs, the shape the operator exists for. Output is per-doc:
+    * surviving-line count, new length, and the sha2 of the
+    * REASSEMBLED text — a wrong keep-first order, a dropped short
+    * line, or a mis-ordered reassembly all change the hash.
+    */
+  def dedupLines(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+    val n = docs.count() // driver literal; the oracle derives the same N
+    def shifted(by: Int, as: String) = docs.select(
+      pmod(col("doc_id") - by + n, lit(n)).as("doc_id"),
+      col("text").as(as))
+    val multi = docs
+      .join(shifted(1, "l1"), Seq("doc_id"))
+      .join(shifted(2, "l2"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        concat_ws("\n", col("text"), col("l1"), col("l2")).as("text"))
+    graft.dedup.LineDedup.dedupLines(multi.select("doc_id", "text"))
+      .join(multi.select(col("doc_id"), col("source"),
+        size(split(col("text"), "\n")).cast("long").as("lines_total")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lines_total"),
+        col("lines_kept"), length(col("new_text")).cast("long").as("new_len"),
+        sha2(col("new_text"), 256).as("new_sha"))
+      .orderBy("doc_id")
+  }
+
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     NgramJaccard.similarPairs(Tables.load(spark, dir, "documents"),
       "doc_id", "text", NGRAM, num = 1, den = 2)
@@ -1452,6 +1486,42 @@ object PipelineQueries {
         |SELECT media_id, kind,
         |       CAST(sum(CAST(qv AS BIGINT) * CAST(qv AS BIGINT)) AS BIGINT) AS feature_norm_q
         |FROM q GROUP BY media_id, kind ORDER BY media_id""".stripMargin,
+    "dedup_lines" ->
+      raw"""WITH multi AS (
+        |  SELECT d.doc_id, d.source,
+        |         d.text || chr(10) || s1.text || chr(10) || s2.text AS text
+        |  FROM documents d
+        |  JOIN documents s1
+        |    ON d.doc_id = (s1.doc_id - 1 + (SELECT count(*) FROM documents))
+        |                  % (SELECT count(*) FROM documents)
+        |  JOIN documents s2
+        |    ON d.doc_id = (s2.doc_id - 2 + (SELECT count(*) FROM documents))
+        |                  % (SELECT count(*) FROM documents)),
+        |l AS (
+        |  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos,
+        |         unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |        FROM multi)),
+        |k AS (
+        |  SELECT doc_id, pos, line,
+        |         row_number() OVER (PARTITION BY line
+        |                            ORDER BY doc_id, pos) AS rn
+        |  FROM l),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM k
+        |  WHERE rn = 1 OR length(line) < 10),
+        |rebuilt AS (
+        |  SELECT doc_id,
+        |         string_agg(line, chr(10) ORDER BY pos) AS new_text,
+        |         CAST(count(*) AS BIGINT) AS lines_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, d.source,
+        |       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS lines_total,
+        |       r.lines_kept,
+        |       CAST(length(r.new_text) AS BIGINT) AS new_len,
+        |       sha256(r.new_text) AS new_sha
+        |FROM rebuilt r JOIN multi d ON r.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_exact" ->
       raw"""WITH norm AS (
            |  SELECT doc_id,
@@ -2076,6 +2146,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
+    "dedup_lines" -> dedupLines _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "source_overlap_kmv" -> sourceOverlapKmv _,
     "range_join_events" -> rangeJoinEvents _,
