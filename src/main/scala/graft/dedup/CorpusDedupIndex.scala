@@ -239,6 +239,34 @@ class CorpusDedupIndex(
       commit(bandsTable, b)
     } finally sh.unpersist()
   }
+
+  /** TAKEDOWN: retract documents from the index (right-to-be-forgotten
+    * / license removal — at 100 TB the corpus is mutable by law even
+    * when it is append-only by design). Without retraction a removed
+    * document is a GHOST ANCHOR: future near-duplicates of it would be
+    * rejected as `dup_corpus` against text that no longer exists.
+    *
+    * Each table uses the DML path its layout makes cheap: `shingles`
+    * and `sizes` are write-ordered by id, so a bounded id set
+    * stats-prunes `deleteWhere` to the touched files (copy-on-write,
+    * O(touched)); `bands` is clustered by (band_no, bucket) — a doc's
+    * rows are SPREAD across every band, so a rewrite would be
+    * O(table); it takes a DELETION VECTOR instead (merge-on-read, no
+    * file rewritten; [[dedupBatch]] reads through `scan`/`snapshot`,
+    * which apply vectors). Order mirrors [[admit]] inverted: bands
+    * FIRST, so a crash mid-removal leaves the doc invisible to
+    * candidate generation, never a ghost anchor whose verify rows are
+    * gone; re-running the same removal is idempotent (empty deletes
+    * no-op).
+    */
+  def remove(ids: Seq[Any]): Unit = {
+    require(exists, s"corpus index at $base is not bootstrapped")
+    require(ids.nonEmpty, "remove: empty id set")
+    val pred = col(idCol).isInCollection(ids)
+    bandsTable.deleteVector(pred)
+    shinglesTable.deleteWhere(pred)
+    sizesTable.deleteWhere(pred)
+  }
 }
 
 object CorpusDedupIndex {

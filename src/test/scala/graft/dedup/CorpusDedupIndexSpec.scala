@@ -43,6 +43,39 @@ class CorpusDedupIndexSpec extends AnyFunSuite with SparkSpec {
   private def decisionMap(d: DataFrame): Map[Long, String] =
     d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 
+  test("TAKEDOWN: remove() retracts a doc from all three index tables; " +
+    "its near-dups stop being rejected; re-removal no-ops") {
+    val idx = freshIndex()
+    idx.bootstrap(docs(1L -> baseText, 2L -> otherText))
+
+    // before: a near-copy of doc 1 is rejected against the index
+    val batch = docs(10L -> nearCopy)
+    assert(decisionMap(idx.dedupBatch(batch))(10L) === "dup_corpus")
+
+    idx.remove(Seq(1L))
+    // bands retract merge-on-read (no file rewrite — a doc's band rows
+    // span every band); shingles/sizes by pruned copy-on-write
+    assert(idx.bandsTable.snapshot().filter(col("doc_id") === 1L).count() === 0L)
+    assert(idx.shinglesTable.snapshot().filter(col("doc_id") === 1L).count() === 0L)
+    assert(idx.sizesTable.snapshot().filter(col("doc_id") === 1L).count() === 0L)
+    // the untouched doc survives
+    assert(idx.sizesTable.snapshot().filter(col("doc_id") === 2L).count() === 1L)
+
+    // after: no ghost anchor — the same batch is now admitted
+    val d2 = decisionMap(idx.dedupBatch(batch))
+    assert(d2(10L) === "kept")
+    idx.admit(batch, idx.dedupBatch(batch))
+    // and the admitted doc anchors FUTURE dedup (index stays live)
+    assert(decisionMap(idx.dedupBatch(docs(20L -> nearCopy)))(20L) ===
+      "dup_corpus")
+
+    // idempotent: removing an already-removed (or never-present) id
+    idx.remove(Seq(1L))
+    idx.remove(Seq(999L))
+    assert(decisionMap(idx.dedupBatch(docs(21L -> otherNear)))(21L) ===
+      "dup_corpus") // doc 2 still anchors
+  }
+
   test("batch decisions: dup_corpus, dup_batch (min kept), unique kept") {
     val idx = freshIndex()
     idx.bootstrap(docs(1L -> baseText))
