@@ -3188,15 +3188,31 @@ final class IncrementalTable(
           schemaBlobCache.remove(st.getPath.getName)
         }
     }
-    // so are CDC sidecars and deletion-vector sets no kept manifest
-    // points at (including crashed writers' never-committed orphans)
-    Seq("cdc" -> changeDataDir, "dv" -> dvDir).foreach { case (key, dir) =>
-      if (fs.exists(dir)) {
-        val keptPtrs = keepIds.flatMap(v => metaAt(v).get(key)).toSet
-        fs.listStatus(dir).toSeq
-          .filterNot(st => keptPtrs.contains(st.getPath.getName))
-          .foreach(st => fs.delete(st.getPath, true))
+    // so are CDC sidecars, deletion-vector sets and COPY INTO
+    // registries no kept manifest points at (including crashed
+    // writers' never-committed orphans)
+    Seq("cdc" -> changeDataDir, "dv" -> dvDir, "copylog" -> copyLogDir)
+      .foreach { case (key, dir) =>
+        if (fs.exists(dir)) {
+          val keptPtrs = keepIds.flatMap(v => metaAt(v).get(key)).toSet
+          fs.listStatus(dir).toSeq
+            .filterNot(st => keptPtrs.contains(st.getPath.getName))
+            .foreach(st => fs.delete(st.getPath, true))
+        }
       }
+    // crashed writers leak `_stage/<nonce>` dirs (a successful publish
+    // deletes its own). Reap those older than the staging retention —
+    // a LIVE writer's stage dir is recent by definition, the same
+    // mtime-window rule Delta applies to uncommitted files
+    val stageRoot = new Path(path, "_stage")
+    if (fs.exists(stageRoot)) {
+      val retainMs = spark.conf
+        .get("graft.vacuum.stageRetentionMs", (24L * 3600 * 1000).toString)
+        .toLong
+      val horizon = System.currentTimeMillis() - retainMs
+      fs.listStatus(stageRoot).toSeq
+        .filter(_.getModificationTime < horizon)
+        .foreach(st => fs.delete(st.getPath, true))
     }
     // drop stats rows for vacuumed files (stale rows are harmless for
     // correctness — pruning joins against the manifest — but unbounded)

@@ -51,6 +51,42 @@ class CopyIntoSpec extends AnyFunSuite with SparkSpec {
     assert(t.snapshot().count() === 50L)
   }
 
+  test("vacuum reaps superseded _copylog blobs and aged _stage orphans; " +
+    "the live registry and recent stages survive") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("cpy_vac_").toString
+    Seq((1L, 10L)).toDF("id", "v").coalesce(1).write.parquet(s"$base/in1")
+    Seq((2L, 20L)).toDF("id", "v").coalesce(1).write.parquet(s"$base/in2")
+    val t = new IncrementalTable(spark, s"$base/t")
+    t.copyInto(s"$base/in1") // blob A (superseded by the next copy)
+    t.copyInto(s"$base/in2") // blob B (live)
+    def blobs() = Option(new java.io.File(s"$base/t/_copylog").listFiles())
+      .map(_.count(!_.getName.startsWith("."))).getOrElse(0) // skip .crc
+    assert(blobs() === 2)
+
+    // a crashed writer's orphan stage dir + a "live" (recent) one
+    val orphan = new java.io.File(s"$base/t/_stage/deadbeef")
+    orphan.mkdirs()
+    new java.io.FileOutputStream(
+      new java.io.File(orphan, "part-0.parquet")).close()
+
+    // default retention (24h): the orphan is too recent to reap
+    t.vacuum(keepLast = 1)
+    assert(orphan.exists)
+    assert(blobs() === 1, "only the pointed-at copylog blob survives")
+
+    // zero retention: reaped
+    spark.conf.set("graft.vacuum.stageRetentionMs", "0")
+    try t.vacuum(keepLast = 1)
+    finally spark.conf.unset("graft.vacuum.stageRetentionMs")
+    assert(!orphan.exists)
+
+    // the surviving blob is CUMULATIVE (already ∪ fresh at each copy),
+    // so idempotency covers BOTH earlier loads through the one pointer
+    assert(t.copyInto(s"$base/in1")._2 === 0)
+    assert(t.copyInto(s"$base/in2")._2 === 0)
+  }
+
   test("SQL: COPY INTO with FILEFORMAT and FORCE; non-parquet refused") {
     import spark.implicits._
     val base = Files.createTempDirectory("cpy_sql_").toString
