@@ -636,7 +636,20 @@ object LakeDmlQueries {
     * the oracle is the plain customer aggregate.
     */
   def lakeCopyInto(spark: SparkSession, dir: String): DataFrame = {
-    val t = cached(spark, dir, "customer", "cpy", "copy-into") { t =>
+    // NOT the plain `cached` helper: the arc commits TWO copy-into
+    // versions (v0 first load, v1 late files — the no-op re-run
+    // commits nothing), and a crash after v0 would satisfy a
+    // last-op-only completeness check with half the customers
+    val src = new java.io.File(s"$dir/customer.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified, "cpy").hashCode)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_cpy_$key"
+    val t0 = new IncrementalTable(spark, path)
+    val complete = t0.exists && t0.latestVersion.contains(1L) &&
+      t0.operationAt(1L) == "copy-into"
+    val t = if (complete) t0 else {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      val t = new IncrementalTable(spark, path)
       val customer = Tables.load(spark, dir, "customer")
         .select("c_custkey", "c_nationkey", "c_acctbal")
       val split = customer.agg(floor(max(col("c_custkey")) / 2.0).cast("long"))
@@ -657,6 +670,7 @@ object LakeDmlQueries {
         .write.mode("append").parquet(in)
       require(spark.sql(s"COPY INTO '${t.path}' FROM '$in'")
         .head.getInt(1) == 2, "incremental COPY must load ONLY new files")
+      t
     }
     t.snapshot()
       .groupBy("c_nationkey")
