@@ -308,4 +308,19 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"cap not broadcast:\n$p")
   }
+
+  test("dedup_lines: the keep-first window shuffles on the LINE HASH " +
+    "(not raw text), and no join in the plan is a nested loop") {
+    val p = PipelineQueries.dedupLines(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the window key is projected first (`sha2(line) AS _w0`), so the
+    // exchange partitions on _w0 — assert both halves of that chain
+    assert(p.contains("sha2(cast(line") && p.contains("hashpartitioning(_w0"),
+      s"first-occurrence window not line-hash-partitioned:\n$p")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"reassembly not doc-keyed:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"line dedup must never plan an unbounded join:\n$p")
+  }
 }
