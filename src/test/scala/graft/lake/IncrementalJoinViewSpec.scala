@@ -414,10 +414,19 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("two JVMs refreshing the same join view: commit arbitration " +
-    "keeps it exactly the full join aggregate") {
+    "keeps it exactly the full join aggregate — including ALL-NEW-GROUP " +
+    "deltas whose removed-file set is empty") {
     import java.util.concurrent.TimeUnit
     val base = mkBase()
     val (fact, dim) = mkTables(base)
+    // extra dims with UNUSED nations: appending fact rows against them
+    // creates brand-new groups each round — the delta then removes NO
+    // view files (stats prune past the new group value), the case
+    // removed-file arbitration alone cannot catch; only the
+    // requireBase CAS keeps two same-watermark refreshes from both
+    // landing and doubling the new group's counts
+    dim.append((0 until 8).map(i => (10L + i, s"N$i"))
+      .toDF("dk", "nation").coalesce(1))
     val viewDir = s"$base/view"
     val view = IncrementalJoinView.create(spark, fact,
       Seq(DimSpec(s"$base/dim", "ck", "dk")), viewDir,
@@ -454,8 +463,12 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
         System.nanoTime() < deadline && proc.isAlive) Thread.sleep(100)
       assert(java.nio.file.Files.exists(ready), s"worker never ready:\n$out")
       (0 until rounds).foreach { i =>
-        fact.updateWhere(col("fk") === (10L + i % 4),
-          Map("v" -> (coalesce(col("v"), lit(0L)) + 100L)))
+        if (i % 2 == 0) // ALL-NEW group: delta removes no view files
+          fact.append(Seq((100L + i, 10L + i, Some(7L)))
+            .toDF("fk", "ck", "v").coalesce(1))
+        else // pre-existing groups: delta rewrites touched view files
+          fact.updateWhere(col("fk") === (10L + i % 4),
+            Map("v" -> (coalesce(col("v"), lit(0L)) + 100L)))
         try view.refresh()
         catch { case _: CommitConflictException => () } // worker won
         Thread.sleep(30)
