@@ -363,8 +363,14 @@ class IncrementalViewSpec extends AnyFunSuite with SparkSpec {
         System.nanoTime() < deadline && proc.isAlive) Thread.sleep(100)
       assert(java.nio.file.Files.exists(ready), s"worker never ready:\n$out")
       (0 until rounds).foreach { i =>
-        src.updateWhere(col("k") === (i % 25).toLong,
-          Map("v" -> (col("v") + 100L)))
+        if (i % 2 == 0) // ALL-NEW group key: the delta's key predicate
+          // prunes past every view file (removed set EMPTY) — only the
+          // requireBase CAS stops two same-watermark refreshes from
+          // both landing and double-applying the recompute
+          src.append(Seq((1000L + i, 5L)).toDF("k", "v").coalesce(1))
+        else
+          src.updateWhere(col("k") === (i % 25).toLong,
+            Map("v" -> (col("v") + 100L)))
         try view.refresh()
         catch { case _: CommitConflictException => () } // worker won
         Thread.sleep(30)
