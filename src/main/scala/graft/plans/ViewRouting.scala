@@ -100,6 +100,18 @@ object GraftViewRouting {
     sql.toLowerCase(java.util.Locale.ROOT)
       .replace("`", "").replaceAll("\\s+", "")
       .replace("count(*)", "count(1)")
+
+  /** [[norm]] of an expression with attribute QUALIFIERS stripped
+    * first: catalog-SQL plans carry qualified attributes whose `.sql`
+    * renders `sum(cat.tbl.v)` — which would never match a view's
+    * declared `sum(v)`. Stripping at the EXPRESSION level (not
+    * textually) keeps struct-field accesses (`s.v`) distinct from
+    * bare columns.
+    */
+  private[plans] def normExpr(e: Expression): String =
+    norm(e.transform {
+      case a: AttributeReference => a.withQualifier(Seq.empty)
+    }.sql)
 }
 
 /** The injected rule (see [[GraftViewRouting]]); runs in the operator-
@@ -107,7 +119,8 @@ object GraftViewRouting {
   * still [[DataSourceV2Relation]]s carrying their table handles.
   */
 case class RouteAggregatesToViews(spark: SparkSession)
-    extends Rule[LogicalPlan] {
+    extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (GraftViewRouting.isEmpty ||
@@ -129,7 +142,11 @@ case class RouteAggregatesToViews(spark: SparkSession)
       case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
         graftHeadPath(child)
       case Filter(cond, child) =>
-        graftHeadPath(child).map { case (path, fs) => (path, cond +: fs) }
+        // split conjunctions: SQL queries arrive as ONE composite
+        // Filter (`a AND b AND isnotnull(k)`), and the routable/
+        // implied/foreign distinction is per-CONJUNCT
+        graftHeadPath(child).map { case (path, fs) =>
+          (path, splitConjunctivePredicates(cond) ++ fs) }
       case rel: DataSourceV2Relation =>
         rel.table match {
           case w: graft.sources.GraftWritableTable => Some((w.tablePath, Nil))
@@ -193,13 +210,14 @@ case class RouteAggregatesToViews(spark: SparkSession)
     * condition found anywhere in the shape (above the joins or at the
     * fact/dim leaves); None otherwise.
     */
-  private def joinShape(p: LogicalPlan)
+  private[plans] def joinShape(p: LogicalPlan)
       : Option[(String, Seq[(String, String, String)], Seq[Expression])] = p match {
     case SubqueryAlias(_, child) => joinShape(child)
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       joinShape(child)
     case Filter(cond, child) =>
-      joinShape(child).map { case (f, d, fs) => (f, d, cond +: fs) }
+      joinShape(child).map { case (f, d, fs) =>
+        (f, d, splitConjunctivePredicates(cond) ++ fs) }
     case j: org.apache.spark.sql.catalyst.plans.logical.Join
         if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
       j.condition match {
@@ -222,10 +240,22 @@ case class RouteAggregatesToViews(spark: SparkSession)
     case other => graftHeadPath(other).map { case (path, fs) => (path, Nil, fs) }
   }
 
-  private def tryRouteJoin(agg: Aggregate): Option[LogicalPlan] = for {
+  private[plans] def tryRouteJoin(agg: Aggregate): Option[LogicalPlan] = for {
     shape <- joinShape(agg.child)
-    (factPath, dimChain, filters) = shape
+    (factPath, dimChain, allFilters) = shape
     if dimChain.nonEmpty
+    // `isnotnull(<join key>)` filters are IMPLIED by the inner
+    // equi-join (null keys never join), and the optimizer infers them
+    // onto the leaves (InferFiltersFromConstraints) for any SQL-written
+    // star query — discard them before the group-column gate, or no
+    // catalog-SQL star aggregate would ever route
+    joinKeys = dimChain.flatMap { case (_, fk, dk) =>
+      Seq(fk.toLowerCase, dk.toLowerCase) }.toSet
+    filters = allFilters.filterNot {
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+        a: AttributeReference) => joinKeys(a.name.toLowerCase)
+      case _ => false
+    }
     groupNames <- bareGroupNames(agg.groupingExpressions)
     routed <- {
       val candidates = GraftViewRouting.joinViewsFor(factPath)
@@ -303,7 +333,7 @@ case class RouteAggregatesToViews(spark: SparkSession)
     val outs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case al @ Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
-        val sqlN = GraftViewRouting.norm(ae.sql)
+        val sqlN = GraftViewRouting.normExpr(ae)
         if (sqlN == "count(1)")
           byName.get(view.countCol.toLowerCase)
             .map(c => AggregateExpression(Sum(c), Complete, isDistinct = false))
@@ -352,7 +382,7 @@ case class RouteAggregatesToViews(spark: SparkSession)
     }
   }
 
-  private def rewriteJoin(agg: Aggregate,
+  private[plans] def rewriteJoin(agg: Aggregate,
       view: graft.lake.IncrementalJoinView,
       filters: Seq[Expression]): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EvalMode, GreaterThan, If, Literal}
@@ -389,7 +419,7 @@ case class RouteAggregatesToViews(spark: SparkSession)
     val outs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case al @ Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
-        val sqlN = GraftViewRouting.norm(ae.sql)
+        val sqlN = GraftViewRouting.normExpr(ae)
         if (sqlN == "count(1)")
           byName.get(view.countCol.toLowerCase)
             .filter(_.dataType == al.dataType)
@@ -502,7 +532,7 @@ case class RouteAggregatesToViews(spark: SparkSession)
 
     val outs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case a @ Alias(ae: AggregateExpression, _) =>
-        aggSqlToCol.get(GraftViewRouting.norm(ae.sql)).flatMap(mapped(a, _))
+        aggSqlToCol.get(GraftViewRouting.normExpr(ae)).flatMap(mapped(a, _))
       case a @ Alias(attr: AttributeReference, _)
           if groupSet(attr.name.toLowerCase) =>
         mapped(a, attr.name.toLowerCase)
@@ -569,7 +599,7 @@ case class RouteAggregatesToViews(spark: SparkSession)
 
     def reAgg(orig: NamedExpression, ae: AggregateExpression): Option[NamedExpression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
-      val sqlN = GraftViewRouting.norm(ae.sql)
+      val sqlN = GraftViewRouting.normExpr(ae)
       val head = sqlN.takeWhile(_ != '(')
       if (head == "avg") return reAvg(orig, sqlN)
       val viewCol = aggSqlToCol.get(sqlN)

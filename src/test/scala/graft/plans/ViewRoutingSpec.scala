@@ -452,6 +452,36 @@ class ViewRoutingSpec extends AnyFunSuite with SparkSpec
     } finally spark.conf.unset("spark.graft.viewRouting.autoRegister")
   }
 
+  test("a star-join aggregate written as CATALOG SQL routes to the join view") {
+    import spark.implicits._
+    import graft.lake.{DimSpec, IncrementalJoinView}
+    val wh = Files.createTempDirectory("vr_jvcat_").toString
+    spark.conf.set("spark.sql.catalog.jvcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.jvcat.warehouse", wh)
+    val fact = new IncrementalTable(spark, s"$wh/fact")
+    val dim = new IncrementalTable(spark, s"$wh/dim")
+    dim.append(Seq((1L, "A"), (2L, "B")).toDF("dk", "nation").coalesce(1))
+    fact.append(Seq((10L, 1L, 5L), (11L, 2L, 7L), (12L, 1L, 3L))
+      .toDF("fk", "ck", "v").coalesce(1))
+    IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$wh/dim", "ck", "dk")), s"$wh/jv",
+      Seq("nation"), Seq("cnt" -> "count(*)", "sv" -> "sum(v)"))
+    GraftViewRouting.registerJoin(spark, s"$wh/jv")
+    val q = spark.sql(
+      """SELECT nation, count(*) AS cnt, sum(v) AS sv
+        |FROM jvcat.fact JOIN jvcat.dim ON ck = dk
+        |WHERE nation = 'A'
+        |GROUP BY nation""".stripMargin)
+    // "jv/data" — the view table's scan; the catalog dir name itself
+    // contains "jv", so a bare contains("jv") would pass unrouted
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("jv/data"), plan)
+    assert(!plan.contains("fact/data"), s"fact still scanned:\n$plan")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSet === Set(("A", 2L, 8L)))
+  }
+
   test("SQL through the catalog routes too") {
     import spark.implicits._
     val wh = Files.createTempDirectory("vr_cat_").toString
