@@ -493,11 +493,15 @@ class ViewRoutingSpec extends AnyFunSuite with SparkSpec
     val src = new IncrementalTable(spark, srcPath)
     src.append(Seq((1L, 10L), (2L, 7L)).toDF("k", "v").coalesce(1))
     val view = IncrementalView.create(spark, src, s"$wh/t_view",
-      Seq("k"), Seq("cnt" -> "count(*)"))
+      Seq("k"), Seq("cnt" -> "count(*)", "total" -> "sum(v)"))
     GraftViewRouting.register(spark, view.table.path)
-    val q = spark.sql("SELECT k, count(*) AS cnt FROM vrcat.t GROUP BY k")
+    // sum(v) pins the qualifier canonicalization: a catalog plan's
+    // attribute renders `sum(vrcat.t.v)`, which must still match the
+    // view's declared `sum(v)`
+    val q = spark.sql(
+      "SELECT k, count(*) AS cnt, sum(v) AS total FROM vrcat.t GROUP BY k")
     assert(usesView(q, view), q.queryExecution.optimizedPlan.toString)
-    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
-      Set((1L, 1L), (2L, 1L)))
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet === Set((1L, 1L, 10L), (2L, 1L, 7L)))
   }
 }
