@@ -2787,28 +2787,55 @@ final class IncrementalTable(
       finally in.close()
     }.getOrElse(Set.empty)
 
-  /** Ingest the parquet files at `srcDir` (a directory's top-level
-    * `*.parquet`, or one file) through the FULL append path —
+  /** Ingest the data files at `srcDir` (a directory's top-level files
+    * of the given format, or one file) through the FULL append path —
     * constraints, generated/identity columns, write-order clustering
     * all apply — skipping files already ingested by a prior COPY
     * INTO. `force` reloads everything (the files still enter the
     * registry). Returns (committed version, files loaded); a no-op
     * copy commits nothing.
+    *
+    * Formats: `parquet` (self-describing — may CREATE the table),
+    * `csv` (with header) and `json` (JSON-lines, `.json`/`.jsonl`) —
+    * the text formats read under the TABLE's tracked schema (no
+    * inference double-scan, no drift: the table's types are the
+    * contract), so the table must already exist with a schema.
     */
-  def copyInto(srcDir: String, force: Boolean = false): (Long, Int) = {
+  def copyInto(srcDir: String, force: Boolean = false,
+      format: String = "parquet"): (Long, Int) = {
+    val fmt = format.toLowerCase(java.util.Locale.ROOT)
+    val exts: Set[String] = fmt match {
+      case "parquet" => Set(".parquet")
+      case "csv" => Set(".csv")
+      case "json" => Set(".json", ".jsonl")
+      case other => throw new IllegalArgumentException(
+        s"COPY INTO: FILEFORMAT = $other is not supported — " +
+          "parquet, csv and json are")
+    }
     val src = new Path(srcDir)
     val sfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(sfs.exists(src), s"COPY INTO: no such path $srcDir")
     val st = sfs.getFileStatus(src)
     val listed = (if (st.isFile) Seq(st)
       else sfs.listStatus(src).toSeq.filter(_.isFile))
-      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .map(_.getPath)
+      .filter(p => exts.exists(p.getName.toLowerCase.endsWith(_)))
       .map(p => sfs.makeQualified(p).toString).sorted
-    require(listed.nonEmpty, s"COPY INTO: no *.parquet files at $srcDir")
+    require(listed.nonEmpty, s"COPY INTO: no *${exts.head} files at $srcDir")
     val already = copiedFiles()
     val fresh = if (force) listed else listed.filterNot(already)
     if (fresh.isEmpty) return (latestVersion.getOrElse(-1L), 0)
-    val df = spark.read.parquet(fresh: _*)
+    val df = fmt match {
+      case "parquet" => spark.read.parquet(fresh: _*)
+      case _ =>
+        val schema = tableSchema.getOrElse(throw new IllegalStateException(
+          s"COPY INTO: $fmt files read under the table's schema, but " +
+            s"$path has none yet — create the table (or copy a parquet " +
+            "batch) first"))
+        if (fmt == "csv")
+          spark.read.schema(schema).option("header", "true").csv(fresh: _*)
+        else spark.read.schema(schema).json(fresh: _*)
+    }
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val body = (already ++ fresh).toSeq.sorted.mkString("\n")
     fs.mkdirs(copyLogDir)

@@ -75,8 +75,7 @@ object GraftMaintenanceSql {
   // convertible format here)
   private val ConvertToGraft =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+(?:parquet\s*\.\s*)?(.+?)\s*;?\s*$""".r
-  // Delta's COPY INTO, parquet-only; FILEFORMAT is accepted for
-  // syntax parity and validated
+  // Delta's COPY INTO; FILEFORMAT parquet (default) | csv | json
   private val CopyInto =
     """(?is)^\s*COPY\s+INTO\s+(.+?)\s+FROM\s+('[^']+'|"[^"]+")(?:\s+FILEFORMAT\s*=\s*(\w+))?(\s+FORCE)?\s*;?\s*$""".r
 
@@ -407,11 +406,12 @@ case class ConvertToGraftCommand(target: String)
   }
 }
 
-/** `COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET] [FORCE]` —
-  * Delta's idempotent file ingestion ([[IncrementalTable.copyInto]]):
-  * each source file loads EXACTLY ONCE across re-runs (the ingested
-  * set rides a `_copylog` sidecar committed atomically with the
-  * data); `FORCE` reloads. Parquet only — other FILEFORMATs are
+/** `COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]
+  * [FORCE]` — Delta's idempotent file ingestion
+  * ([[IncrementalTable.copyInto]]): each source file loads EXACTLY
+  * ONCE across re-runs (the ingested set rides a `_copylog` sidecar
+  * committed atomically with the data); `FORCE` reloads. CSV/JSON
+  * read under the TABLE's schema (no inference); unknown formats are
   * rejected up front.
   */
 case class CopyIntoGraftCommand(
@@ -421,13 +421,13 @@ case class CopyIntoGraftCommand(
     AttributeReference("version", LongType)(),
     AttributeReference("files_loaded", IntegerType)())
   override def run(spark: SparkSession): Seq[Row] = {
-    fileFormat.foreach(f => require(f.equalsIgnoreCase("parquet"),
-      s"COPY INTO: FILEFORMAT = $f is not supported — parquet only"))
     // unlike the other maintenance targets, COPY INTO may CREATE the
-    // table (first ingest into an empty path — the append commits v0)
+    // table (first parquet ingest into an empty path commits v0; the
+    // text formats need an existing schema and say so)
     val t = new IncrementalTable(spark,
       GraftMaintenanceSql.resolvePath(spark, target))
-    val (v, n) = t.copyInto(srcDir, force = force)
+    val (v, n) = t.copyInto(srcDir, force = force,
+      format = fileFormat.getOrElse("parquet"))
     Seq(Row(v, n))
   }
 }

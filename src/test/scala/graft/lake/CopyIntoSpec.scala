@@ -103,8 +103,29 @@ class CopyIntoSpec extends AnyFunSuite with SparkSpec {
     val t = new IncrementalTable(spark, s"$base/t")
     assert(t.snapshot().count() === 4L)
 
-    val e = intercept[Exception](spark.sql(
-      s"COPY INTO '$base/t' FROM '$base/in' FILEFORMAT = CSV").collect())
-    assert(e.getMessage.contains("parquet only"), e.getMessage)
+    // CSV lands under the TABLE's schema (typed, no inference) and is
+    // idempotent per file like parquet
+    val csv = new java.io.File(s"$base/csv_in"); csv.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(csv, "batch1.csv"))
+    w.println("id,s"); w.println("10,x"); w.println("11,y"); w.close()
+    assert(spark.sql(
+      s"COPY INTO '$base/t' FROM '$base/csv_in' FILEFORMAT = CSV").collect()
+      .head.getInt(1) === 1)
+    assert(spark.sql(
+      s"COPY INTO '$base/t' FROM '$base/csv_in' FILEFORMAT = CSV").collect()
+      .head.getInt(1) === 0)
+    assert(t.snapshot().count() === 6L)
+    assert(t.snapshot().filter(col("id") === 10L).head.getString(1) === "x")
+
+    // a text format into a schema-less table refuses with remediation
+    val e1 = intercept[Exception] {
+      val empty = new IncrementalTable(spark, s"$base/empty")
+      empty.copyInto(s"$base/csv_in", format = "csv")
+    }
+    assert(e1.getMessage.contains("schema"), e1.getMessage)
+    // unknown formats still refuse up front
+    val e2 = intercept[Exception](spark.sql(
+      s"COPY INTO '$base/t' FROM '$base/in' FILEFORMAT = AVRO").collect())
+    assert(e2.getMessage.contains("not supported"), e2.getMessage)
   }
 }
