@@ -117,6 +117,16 @@ class CopyIntoSpec extends AnyFunSuite with SparkSpec {
     assert(t.snapshot().count() === 6L)
     assert(t.snapshot().filter(col("id") === 10L).head.getString(1) === "x")
 
+    // JSON-lines: same typed-read contract, .jsonl extension accepted
+    val jd = new java.io.File(s"$base/json_in"); jd.mkdirs()
+    val jw = new java.io.PrintWriter(new java.io.File(jd, "b.jsonl"))
+    jw.println("""{"id": 20, "s": "z"}"""); jw.close()
+    assert(spark.sql(
+      s"COPY INTO '$base/t' FROM '$base/json_in' FILEFORMAT = JSON").collect()
+      .head.getInt(1) === 1)
+    assert(t.snapshot().count() === 7L)
+    assert(t.snapshot().filter(col("id") === 20L).head.getString(1) === "z")
+
     // a text format into a schema-less table refuses with remediation
     val e1 = intercept[Exception] {
       val empty = new IncrementalTable(spark, s"$base/empty")
