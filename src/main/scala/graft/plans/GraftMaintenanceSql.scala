@@ -647,15 +647,24 @@ case class RefreshMaterializedViewGraftCommand(target: String)
     AttributeReference("view_version", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val viewPath = GraftMaintenanceSql.resolvePath(spark, target)
+    // the routing opt-in re-attaches here too: registration is
+    // session state, so after a restart the first REFRESH of a
+    // serving view must re-enable its rewrite, not just its data
+    val autoRoute = spark.conf
+      .get("spark.graft.viewRouting.autoRegister", "false").toBoolean
     // dispatch on the persisted definition's era marker: join views
     // refresh by signed delta, plain views by affected-key recompute
     val (v, m) =
       if (graft.lake.IncrementalJoinView.isJoinView(spark, viewPath)) {
         val view = graft.lake.IncrementalJoinView.open(spark, viewPath)
-        (view.refresh(), view.lastRefresh.get)
+        val r = (view.refresh(), view.lastRefresh.get)
+        if (autoRoute) graft.plans.GraftViewRouting.registerJoin(spark, viewPath)
+        r
       } else {
         val view = graft.lake.IncrementalView.open(spark, viewPath)
-        (view.refresh(), view.lastRefresh.get)
+        val r = (view.refresh(), view.lastRefresh.get)
+        if (autoRoute) graft.plans.GraftViewRouting.register(spark, viewPath)
+        r
       }
     Seq(Row(m.mode, m.fromSourceVersion, m.toSourceVersion,
       m.touchedGroups, m.viewFilesRewritten, v))

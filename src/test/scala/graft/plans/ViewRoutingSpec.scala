@@ -449,6 +449,14 @@ class ViewRoutingSpec extends AnyFunSuite with SparkSpec
       assert(routedTo("v_on", q), q.queryExecution.optimizedPlan.toString)
       assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
         Set((1L, 1L), (2L, 1L)))
+
+      // registration is session state — after a "restart" (cleared
+      // registry), the first REFRESH re-enables serving too
+      GraftViewRouting.clear()
+      assert(!routedTo("v_on", agg()))
+      spark.sql(s"REFRESH MATERIALIZED VIEW '$base/v_on'")
+      assert(routedTo("v_on", agg()),
+        agg().queryExecution.optimizedPlan.toString)
     } finally spark.conf.unset("spark.graft.viewRouting.autoRegister")
   }
 
