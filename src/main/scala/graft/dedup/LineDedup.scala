@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LINE-level corpus deduplication — the C4/RefinedWeb move (Raffel et
@@ -19,42 +18,55 @@ import org.apache.spark.sql.functions._
   * that matters is long enough to clear the bar.
   *
   * ==Scale shape==
-  * One narrow `posexplode` (corpus → lines), ONE shuffle keyed on the
-  * line's sha2-256 (first-occurrence window — full-width line text is
-  * not the shuffle key), one shuffle back on `doc_id` to reassemble
+  * One narrow `posexplode` (corpus → lines), then keep-first as a
+  * `min(struct(doc_id, pos, …))` AGGREGATE keyed on the line's
+  * sha2-256 — not a window. The distinction is what makes the hot-line
+  * case (the same cookie banner ×10⁹) safe: an aggregate gets a
+  * map-side partial, so every map task collapses its occurrences of a
+  * hot hash to ONE buffer row before the shuffle, and the reduce side
+  * merges one row per map partition; a `row_number` window would ship
+  * every occurrence into a single partition and sort it there (window
+  * sorts get neither partial aggregation nor AQE skew splitting).
+  * Exempt short lines are filtered out BEFORE the shuffle and bypass
+  * it entirely. Reassembly is one corpus-linear shuffle on `doc_id`
   * (`array_sort(collect_list(struct(pos, line)))` — per-doc state is
   * the doc's own lines, bounded by document size). No self-join, no
-  * all-pairs product, no driver-side state; at 100 TB both shuffles
-  * are corpus-linear and AQE-splittable. A hot line (the same cookie
-  * banner a billion times) skews its hash partition — the window only
-  * needs the MINIMUM (doc_id, pos) per partition, so map-side partial
-  * row_number is not available, but the reduce state is one row;
-  * Spark's window spills the rest.
+  * all-pairs product, no driver-side state.
   */
 object LineDedup {
 
   /** `(doc_id, text)` → `(doc_id, new_text, lines_total, lines_kept)`
-    * with `new_text` the doc's surviving lines joined by '\n'. A doc
-    * whose every line was seen earlier disappears (no survivors) —
-    * callers wanting empty husks can left-join the source.
+    * with `new_text` the doc's surviving lines joined by '\n' and
+    * `lines_total` the doc's pre-dedup line count. A doc whose every
+    * line was seen earlier disappears (no survivors) — callers wanting
+    * empty husks can left-join the source.
     */
   def dedupLines(docs: DataFrame, minChars: Int = 10): DataFrame = {
     val lines = docs.select(col("doc_id"),
+      size(split(col("text"), "\n")).cast("long").as("lines_total"),
       posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-    val firstW = Window.partitionBy(sha2(col("line"), 256))
-      .orderBy(col("doc_id"), col("pos"))
-    // every line in a hash partition has identical text (sha2-256 —
+    // exempt lines never enter the dedup shuffle
+    val exempt = lines.filter(length(col("line")) < minChars)
+      .select("doc_id", "lines_total", "pos", "line")
+    // every row in a hash group has identical text (sha2-256 —
     // collisions are not a practical concern, and the oracle replays
-    // the same keep-first rule), so the short-line exemption is
-    // partition-uniform and composes with the window
-    val kept = lines
-      .withColumn("rn", row_number().over(firstW))
-      .filter(col("rn") === 1 || length(col("line")) < minChars)
-    kept.groupBy("doc_id")
+    // the same keep-first rule); (doc_id, pos) is unique per exploded
+    // row, so the struct min never consults the trailing fields — they
+    // ride along so no join back to the lines is needed
+    val winners = lines.filter(length(col("line")) >= minChars)
+      .groupBy(sha2(col("line"), 256).as("line_hash"))
+      .agg(min(struct(col("doc_id"), col("pos"), col("line"),
+        col("lines_total"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"),
+        col("w.lines_total").as("lines_total"),
+        col("w.pos").as("pos"), col("w.line").as("line"))
+    winners.unionByName(exempt)
+      .groupBy("doc_id")
       .agg(
         concat_ws("\n",
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             s => s.getField("line"))).as("new_text"),
+        max(col("lines_total")).as("lines_total"),
         count(lit(1)).cast("long").as("lines_kept"))
   }
 }

@@ -362,9 +362,7 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"),
         concat_ws("\n", col("text"), col("l1"), col("l2")).as("text"))
     graft.dedup.LineDedup.dedupLines(multi.select("doc_id", "text"))
-      .join(multi.select(col("doc_id"), col("source"),
-        size(split(col("text"), "\n")).cast("long").as("lines_total")),
-        Seq("doc_id"))
+      .join(multi.select("doc_id", "source"), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("lines_total"),
         col("lines_kept"), length(col("new_text")).cast("long").as("new_len"),
         sha2(col("new_text"), 256).as("new_sha"))

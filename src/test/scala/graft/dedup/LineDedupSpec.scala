@@ -12,6 +12,7 @@ class LineDedupSpec extends AnyFunSuite with SparkSpec {
 
   private def run(docs: Seq[(Long, String)], minChars: Int = 10) =
     LineDedup.dedupLines(docs.toDF("doc_id", "text"), minChars)
+      .select("doc_id", "new_text", "lines_kept")
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
       .toMap
 
@@ -38,6 +39,17 @@ class LineDedupSpec extends AnyFunSuite with SparkSpec {
       2L -> "Intro\nlong shared boilerplate line\nown content of doc two"))
     assert(out(1L)._1 === "Intro\nlong shared boilerplate line")
     assert(out(2L)._1 === "Intro\nown content of doc two")
+  }
+
+  test("lines_total is the pre-dedup line count of each surviving doc") {
+    val out = LineDedup.dedupLines(Seq(
+      1L -> "first long shared line\nsecond long shared line",
+      2L -> "first long shared line\nsecond long shared line\nown unique line here")
+      .toDF("doc_id", "text"))
+      .select("doc_id", "lines_total", "lines_kept")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === (2L, 2L))
+    assert(out(2L) === (3L, 1L))
   }
 
   test("a doc whose every line was seen earlier disappears") {

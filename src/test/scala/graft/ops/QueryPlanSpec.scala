@@ -309,14 +309,20 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
       s"cap not broadcast:\n$p")
   }
 
-  test("dedup_lines: the keep-first window shuffles on the LINE HASH " +
-    "(not raw text), and no join in the plan is a nested loop") {
+  test("dedup_lines: keep-first is a partial-aggregatable min-struct " +
+    "on the LINE HASH — no Window, so a hot boilerplate line collapses " +
+    "map-side instead of sorting in one partition") {
     val p = PipelineQueries.dedupLines(spark, dir)
       .queryExecution.executedPlan.toString
-    // the window key is projected first (`sha2(line) AS _w0`), so the
-    // exchange partitions on _w0 — assert both halves of that chain
-    assert(p.contains("sha2(cast(line") && p.contains("hashpartitioning(_w0"),
-      s"first-occurrence window not line-hash-partitioned:\n$p")
+    // Spark rewrites the grouping alias to `_groupingexpression` —
+    // assert the sha2 key feeds the exchange under that name
+    assert(p.contains("sha2(cast(line") &&
+      p.contains("hashpartitioning(_groupingexpression"),
+      s"first-occurrence agg not line-hash-partitioned:\n$p")
+    assert(p.contains("partial_min"),
+      s"keep-first min must have a map-side partial:\n$p")
+    assert(!p.contains("Window"),
+      s"hot-line skew: keep-first must not plan a window sort:\n$p")
     assert(p.contains("hashpartitioning(doc_id"),
       s"reassembly not doc-keyed:\n$p")
     assert(!p.contains("CartesianProduct") &&
