@@ -2878,9 +2878,14 @@ final class IncrementalTable(
       val headMeta = if (base >= 0) metaAt(base) else Map.empty[String, String]
       val carried = metaAt(v).filter { case (k, _) =>
         // "widened" is data state: version v's file set carries (or
-        // not) the mixed widths that demand the reader feature
-        Set("schema", "dv", "colmap", "coldrop", "rf", "widened")
-          .contains(k) } ++
+        // not) the mixed widths that demand the reader feature.
+        // "copylog" is data state too: the COPY INTO registry must
+        // rewind WITH the rows it accounts for — carrying the head's
+        // registry over restored pre-copy data would let a re-run
+        // skip files whose rows are gone, and dropping it over
+        // post-copy data would re-load files whose rows are present
+        Set("schema", "dv", "colmap", "coldrop", "rf", "widened",
+          "copylog").contains(k) } ++
         headMeta.filter { case (k, _) =>
           Set("constraints", "bloom", "gencol", "writeorder",
             "identity", "widen", "rowtracking").contains(k) } ++

@@ -158,8 +158,19 @@ object GraftMaintenanceSql {
     val sb = new StringBuilder
     var depth = 0
     var quote: Char = 0
-    s.foreach { c =>
-      if (quote != 0) { sb += c; if (c == quote) quote = 0 }
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) {
+        sb += c
+        // escape pairs (`\'`, doubled `''`) are literal content — a
+        // comma after them must not split (see maskQuoted)
+        if (c == '\\' && i + 1 < s.length) { sb += s(i + 1); i += 1 }
+        else if (c == quote) {
+          if (i + 1 < s.length && s(i + 1) == quote) { sb += quote; i += 1 }
+          else quote = 0
+        }
+      }
       else c match {
         case '\'' | '"' => quote = c; sb += c
         case '(' => depth += 1; sb += c
@@ -167,6 +178,7 @@ object GraftMaintenanceSql {
         case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
         case _ => sb += c
       }
+      i += 1
     }
     if (sb.nonEmpty) out += sb.toString.trim
     out.toSeq.filter(_.nonEmpty)
@@ -182,7 +194,22 @@ object GraftMaintenanceSql {
     var i = 0
     while (i < out.length) {
       val c = out(i)
-      if (quote != 0) { if (c == quote) quote = 0 else out(i) = 'x' }
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < out.length) {
+          // backslash escape inside a string literal (`\'`, `\\`) —
+          // both chars are content; without this, `'it\'s JOIN b'`
+          // closes at the escaped quote and leaks `s JOIN b` to
+          // keyword checks and splitters
+          out(i) = 'x'; out(i + 1) = 'x'; i += 1
+        } else if (c == quote) {
+          // a doubled quote ('' / "" / ``) is SQL's escape for the
+          // quote char itself, not a close — mask both and stay
+          // inside the segment
+          if (i + 1 < out.length && out(i + 1) == quote) {
+            out(i) = 'x'; out(i + 1) = 'x'; i += 1
+          } else quote = 0
+        } else out(i) = 'x'
+      }
       else if (c == '`' || c == '\'' || c == '"') quote = c
       i += 1
     }

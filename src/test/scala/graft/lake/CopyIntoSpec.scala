@@ -51,6 +51,37 @@ class CopyIntoSpec extends AnyFunSuite with SparkSpec {
     assert(t.snapshot().count() === 50L)
   }
 
+  test("RESTORE rewinds the COPY INTO registry with the data: " +
+    "rolled-back files re-load, surviving files still no-op") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("cpy_rst_").toString
+    Seq((1L, 10L)).toDF("id", "v").coalesce(1).write.parquet(s"$base/in1")
+    Seq((2L, 20L)).toDF("id", "v").coalesce(1).write.parquet(s"$base/in2")
+    val t = new IncrementalTable(spark, s"$base/t")
+    t.append(Seq((0L, 0L)).toDF("id", "v").coalesce(1)) // v0: pre-copy
+    val (vPost1, _) = t.copyInto(s"$base/in1")
+    t.copyInto(s"$base/in2")
+    assert(t.snapshot().count() === 3L)
+
+    // rewind to the post-in1 state: in2's rows are gone, so its file
+    // must leave the registry — a re-run re-loads it, not skips it
+    t.restore(vPost1)
+    assert(t.snapshot().count() === 2L)
+    assert(t.copiedFiles().nonEmpty && t.copiedFiles().forall(_.contains("in1")))
+    assert(t.copyInto(s"$base/in2")._2 === 1,
+      "registry must rewind with the data — exactly-once means the " +
+        "rolled-back file's rows come back on re-run")
+    assert(t.snapshot().count() === 3L)
+    // in1 survived the restore: its rows are present, re-run no-ops
+    assert(t.copyInto(s"$base/in1")._2 === 0)
+
+    // restore to the PRE-copy version: the registry vanishes entirely
+    t.restore(0L)
+    assert(t.copiedFiles().isEmpty)
+    assert(t.copyInto(s"$base/in1")._2 === 1)
+    assert(t.snapshot().count() === 2L)
+  }
+
   test("vacuum reaps superseded _copylog blobs and aged _stage orphans; " +
     "the live registry and recent stages survive") {
     import spark.implicits._
