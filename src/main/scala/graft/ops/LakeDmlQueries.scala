@@ -492,7 +492,11 @@ object LakeDmlQueries {
     * stored-accumulator projection, the NULL contract, the group-
     * column filter re-targeting and the extreme columns all hash.
     */
-  def lakeJoinViewFiltered(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared fact/dim/join-view warehouse behind
+    * [[lakeJoinViewFiltered]] and [[lakeViewRouteDiscovery]] (built
+    * once, idempotent re-entry). Returns the warehouse base dir.
+    */
+  private def jvFilteredBase(spark: SparkSession, dir: String): String = {
     import graft.lake.{DimSpec, IncrementalJoinView, IncrementalView}
     val srcFile = new java.io.File(s"$dir/orders.parquet")
     val key = java.lang.Integer.toHexString(
@@ -522,6 +526,12 @@ object LakeDmlQueries {
           "sum_price" -> "sum(cast(o_totalprice as decimal(18,2)))",
           "max_price" -> "max(o_totalprice)"))
     }
+    base
+  }
+
+  def lakeJoinViewFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val base = jvFilteredBase(spark, dir)
+    val viewDir = s"$base/view_mv"
     graft.plans.GraftViewRouting.registerJoin(spark, viewDir)
     val q = spark.read.format("graft").load(s"$base/fact")
       .join(spark.read.format("graft").load(s"$base/dim"),
@@ -534,6 +544,41 @@ object LakeDmlQueries {
     require(q.queryExecution.optimizedPlan.toString.contains("view_mv"),
       "join-view routing did not engage — the query would silently " +
         "measure the unrouted plan:\n" +
+        q.queryExecution.optimizedPlan.toString.take(2000))
+    q.select(col("c_nationkey"), col("cnt"),
+      col("sum_price").cast("double").as("sum_price"), col("max_price"))
+      .orderBy("c_nationkey")
+  }
+
+  /** The serving win made DURABLE — the routed dashboard aggregate
+    * after a SESSION RESTART with ZERO manual registration. Reuses
+    * [[lakeJoinViewFiltered]]'s warehouse, then simulates the restart:
+    * the JVM-local routing registries are cleared and a NEW
+    * SparkSession (fresh session state, fresh discovery memo) runs
+    * the star aggregate with only
+    * `spark.graft.viewRouting.discoverPaths` pointing at the
+    * warehouse. The optimizer's first pass finds the `_viewdef`
+    * sidecar, re-attaches the join-view registration and routes; the
+    * query REQUIRES the routed plan — without discovery it would
+    * silently serve the unrouted O(fact) scan — and the oracle hashes
+    * the served values against the plain-SQL star aggregate.
+    */
+  def lakeViewRouteDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val base = jvFilteredBase(spark, dir)
+    graft.plans.GraftViewRouting.clear() // simulate the process restart
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.viewRouting.discoverPaths", base)
+    val q = s2.read.format("graft").load(s"$base/fact")
+      .join(s2.read.format("graft").load(s"$base/dim"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") >= 13)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("cast(o_totalprice as decimal(18,2))")).as("sum_price"),
+        max("o_totalprice").as("max_price"))
+    require(q.queryExecution.optimizedPlan.toString.contains("view_mv"),
+      "view-routing discovery did not re-attach after the session " +
+        "restart — the query would silently measure the unrouted plan:\n" +
         q.queryExecution.optimizedPlan.toString.take(2000))
     q.select(col("c_nationkey"), col("cnt"),
       col("sum_price").cast("double").as("sum_price"), col("max_price"))
@@ -739,6 +784,7 @@ object LakeDmlQueries {
     "lake_join_view_minmax" -> lakeJoinViewMinMax _,
     "lake_join_view_snowflake" -> lakeJoinViewSnowflake _,
     "lake_join_view_filtered" -> lakeJoinViewFiltered _,
+    "lake_view_route_discovery" -> lakeViewRouteDiscovery _,
     "lake_rowid_scan" -> lakeRowIdScan _,
     "lake_widen_scan" -> lakeWidenScan _,
     "lake_delete_scan" -> lakeDeleteScan _,
@@ -887,6 +933,14 @@ object LakeDmlQueries {
         |       max(o_totalprice) AS max_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_nationkey < 13
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "lake_view_route_discovery" ->
+      """SELECT c_nationkey,
+        |       count(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       max(o_totalprice) AS max_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey >= 13
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "lake_rowid_scan" ->
       """SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS _row_id,

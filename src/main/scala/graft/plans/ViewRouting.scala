@@ -81,8 +81,89 @@ object GraftViewRouting {
     joinRegistry.merge(normalize(v.fact.path), Set(viewPath), _ ++ _)
   }
 
-  def clear(): Unit =
-    { registry.clear(); opened.clear(); joinRegistry.clear(); joinOpened.clear() }
+  def clear(): Unit = {
+    registry.clear(); opened.clear(); joinRegistry.clear(); joinOpened.clear()
+    discoveredFor.clear()
+  }
+
+  // ---- persistent discovery: registration is session state, but the
+  // view DEFINITIONS are not — every view carries a `_viewdef` sidecar
+  // (source path + strategy + shape). A fresh session — the normal
+  // BI-dashboard situation — must not silently pay O(fact) until
+  // someone re-registers by hand, so the routing rule re-attaches
+  // registrations by scanning for those sidecars: every directory in
+  // `spark.graft.viewRouting.discoverPaths` (comma-separated; listing
+  // a path IS the opt-in) and, under the existing
+  // `spark.graft.viewRouting.autoRegister` opt-in, the warehouse of
+  // every configured graft catalog. Discovery runs once per
+  // (session, conf value) — a memoized no-op on every later
+  // optimization pass. ----
+
+  private val discoveredFor = new ConcurrentHashMap[String, Boolean]()
+
+  /** Scan `dir` (bounded depth) for graft view tables — directories
+    * carrying a `_viewdef` sidecar — and register each with the
+    * routing rule, dispatching join views by their era marker.
+    * Non-view graft tables are recognized by their `_log` and not
+    * descended into; a sidecar that fails to open (era mismatch,
+    * vacuumed table) is skipped — discovery can only fail open to the
+    * unrouted plan, never break a query. Returns the registered count.
+    */
+  def discover(spark: SparkSession, dir: String, maxDepth: Int = 4): Int = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    var n = 0
+    def walk(p: org.apache.hadoop.fs.Path, depth: Int): Unit = {
+      if (fs.exists(new org.apache.hadoop.fs.Path(p, "_viewdef"))) {
+        try {
+          if (graft.lake.IncrementalJoinView.isJoinView(spark, p.toString))
+            registerJoin(spark, p.toString)
+          else register(spark, p.toString)
+          n += 1
+        } catch { case _: Exception => () }
+      } else if (depth < maxDepth &&
+        !fs.exists(new org.apache.hadoop.fs.Path(p, "_log"))) {
+        // not a table: a warehouse/namespace directory — descend
+        try fs.listStatus(p).filter(_.isDirectory)
+          .map(_.getPath)
+          .filterNot { c =>
+            c.getName.startsWith("_") || c.getName.startsWith(".") }
+          .foreach(walk(_, depth + 1))
+        catch { case _: Exception => () }
+      }
+    }
+    walk(root, 0)
+    n
+  }
+
+  /** The warehouse directories of every graft catalog configured on
+    * this session (`spark.sql.catalog.<name>` = GraftCatalog).
+    */
+  private def graftWarehouses(spark: SparkSession): Seq[String] = {
+    val all = spark.conf.getAll
+    val catalogRe = """^spark\.sql\.catalog\.([^.]+)$""".r
+    all.toSeq.collect {
+      case (catalogRe(name), cls)
+          if cls == classOf[graft.sources.GraftCatalog].getName =>
+        all.get(s"spark.sql.catalog.$name.warehouse")
+    }.flatten.sorted
+  }
+
+  /** Once per (session, conf): re-attach registrations from disk. */
+  private[plans] def maybeDiscover(spark: SparkSession): Unit = {
+    val explicit = spark.conf.get("spark.graft.viewRouting.discoverPaths", "")
+    val autoReg = spark.conf
+      .get("spark.graft.viewRouting.autoRegister", "false").toBoolean
+    if (explicit.isEmpty && !autoReg) return
+    val wh = if (autoReg) graftWarehouses(spark) else Nil
+    val dirs = (explicit.split(",").toSeq.map(_.trim).filter(_.nonEmpty) ++
+      wh).distinct
+    if (dirs.isEmpty) return
+    val key = System.identityHashCode(spark) + "|" + dirs.mkString(",")
+    if (discoveredFor.putIfAbsent(key, true) == null)
+      dirs.foreach(discover(spark, _))
+  }
 
   private[plans] def isEmpty: Boolean =
     registry.isEmpty && joinRegistry.isEmpty
@@ -122,14 +203,19 @@ case class RouteAggregatesToViews(spark: SparkSession)
     extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    if (GraftViewRouting.isEmpty ||
-      !spark.conf.get("spark.graft.viewRouting.enabled", "true").toBoolean)
-      plan
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.get("spark.graft.viewRouting.enabled", "true").toBoolean)
+      return plan
+    // re-attach persisted registrations before the emptiness check —
+    // a fresh session serving a dashboard must find its views without
+    // a manual register call (memoized: a no-op after the first pass)
+    GraftViewRouting.maybeDiscover(spark)
+    if (GraftViewRouting.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate =>
         tryRoute(agg).orElse(tryRouteJoin(agg)).getOrElse(agg)
     }
+  }
 
   /** The backing table path of a graft HEAD scan, plus any Filter
     * conditions found on the way down (conjoined); None for anything

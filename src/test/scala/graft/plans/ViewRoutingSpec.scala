@@ -490,6 +490,66 @@ class ViewRoutingSpec extends AnyFunSuite with SparkSpec
       r.getLong(2))).toSet === Set(("A", 2L, 8L)))
   }
 
+  test("discovery: a FRESH session re-attaches registrations from " +
+    "_viewdef sidecars via discoverPaths — zero manual registration") {
+    val (src, view, base) = freshPair()
+    // simulate the process restart: JVM-local registries wiped, new
+    // session state, only a conf pointing at the warehouse
+    GraftViewRouting.clear()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.viewRouting.discoverPaths", base)
+    val q = s2.read.format("graft").load(src.path)
+      .groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+    assert(usesView(q, view), q.queryExecution.optimizedPlan.toString)
+    assert(rows(q) === expected)
+    // a session WITHOUT the conf discovers nothing after a clear
+    GraftViewRouting.clear()
+    val s3 = spark.newSession()
+    val q3 = s3.read.format("graft").load(src.path)
+      .groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+    assert(!usesView(q3, view))
+    assert(rows(q3) === expected)
+  }
+
+  test("discovery: autoRegister scans configured graft-catalog " +
+    "warehouses, descends namespaces, skips broken sidecars") {
+    import spark.implicits._
+    import graft.lake.{DimSpec, IncrementalJoinView}
+    val wh = Files.createTempDirectory("vr_disc_").toString
+    val fact = new IncrementalTable(spark, s"$wh/fact")
+    val dim = new IncrementalTable(spark, s"$wh/dim")
+    dim.append(Seq((1L, "A"), (2L, "B")).toDF("dk", "nation").coalesce(1))
+    fact.append(Seq((10L, 1L, 5L), (11L, 2L, 7L), (12L, 1L, 3L))
+      .toDF("fk", "ck", "v").coalesce(1))
+    // the join view lives under a NAMESPACE dir (depth 2) — discovery
+    // must descend through non-table directories
+    IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$wh/dim", "ck", "dk")), s"$wh/serving/jv",
+      Seq("nation"), Seq("cnt" -> "count(*)", "sv" -> "sum(v)"))
+    // a directory with a corrupt sidecar must be skipped, not fatal
+    val junk = new java.io.File(s"$wh/junk"); junk.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$wh/junk/_viewdef"),
+      "not-a-viewdef".getBytes("UTF-8"))
+
+    GraftViewRouting.clear()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.discwh",
+      classOf[graft.sources.GraftCatalog].getName)
+    s2.conf.set("spark.sql.catalog.discwh.warehouse", wh)
+    s2.conf.set("spark.graft.viewRouting.autoRegister", "true")
+    val q = s2.sql(
+      """SELECT nation, count(*) AS cnt, sum(v) AS sv
+        |FROM discwh.fact JOIN discwh.dim ON ck = dk
+        |GROUP BY nation""".stripMargin)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("jv/data"), plan)
+    assert(!plan.contains("fact/data"), s"fact still scanned:\n$plan")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet === Set(("A", 2L, 8L), ("B", 1L, 7L)))
+  }
+
   test("SQL through the catalog routes too") {
     import spark.implicits._
     val wh = Files.createTempDirectory("vr_cat_").toString
