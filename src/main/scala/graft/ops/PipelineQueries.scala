@@ -886,8 +886,10 @@ object PipelineQueries {
     // content-keyed cache dir: a regenerated embeddings table must not
     // hit a stale index (size+mtime is a sufficient fingerprint here)
     val src = new java.io.File(s"$dir/embeddings.parquet")
+    // tag carries the layout era: raw/ became a graft table in r10 —
+    // an old /tmp cache must rebuild, not misread
     val key = java.lang.Integer.toHexString(
-      (dir, src.length, src.lastModified, "ivfq1").hashCode)
+      (dir, src.length, src.lastModified, "ivfq2").hashCode)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$key"
     val idx =
       if (new java.io.File(s"$path/centroids").exists)

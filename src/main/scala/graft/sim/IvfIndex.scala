@@ -1,5 +1,7 @@
 package graft.sim
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,11 +36,28 @@ import graft.functions.Int8
   * the exact-replay oracle). Raw fetch cost is O(candidates) rows
   * joined against an id-clustered table — never a probe-path scan.
   *
+  * ==Takedown==
+  * [[remove]] retracts ids (right-to-be-forgotten / license removal —
+  * at 100 TB the corpus is mutable by law even when append-only by
+  * design). Each store uses the mechanism its layout makes cheap: the
+  * hive-partitioned `index/` spreads an id across whichever list its
+  * vector landed in, so it takes a TOMBSTONE set applied at probe
+  * (mark-delete — an anti-join of candidates against `removed/`,
+  * takedown-scale, before any scoring); `raw/` is a graft
+  * [[graft.lake.IncrementalTable]] clustered by id, so a bounded id
+  * set stats-prunes `deleteWhere` to the touched files (copy-on-write,
+  * atomic commit, O(touched)). Tombstones land FIRST: a crash between
+  * the two steps leaves the id masked at probe — it can never reach
+  * the shortlist, hence never the re-rank fetch — and a re-run is
+  * idempotent. A periodic [[IvfIndex.build]] rebuild physically drops
+  * tombstoned list rows and clears the tombstone set.
+  *
   * Layout:
   * {{{
   *   <path>/index/list_id=<c>/...parquet   (nn_id, code BINARY, mx INT, nbf FLOAT)
-  *   <path>/raw/...parquet                 (nn_id, cq, nb) id-clustered
+  *   <path>/raw/                           graft table (nn_id, cq, nb) id-clustered
   *   <path>/centroids/...parquet           (cid, cvec, cnorm)
+  *   <path>/removed/...parquet             (nn_id) tombstones, usually absent
   * }}}
   */
 final class IvfIndex private (
@@ -67,8 +86,11 @@ final class IvfIndex private (
       .localCheckpoint()
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val index = spark.read.parquet(s"$path/index")
-      .filter(col("list_id").isin(probedLists: _*))
+    // tombstoned ids drop here, BEFORE scoring — they can never reach
+    // the shortlist, so the re-rank fetch never sees them either
+    val index = IvfIndex.maskRemoved(spark, path,
+      spark.read.parquet(s"$path/index")
+        .filter(col("list_id").isin(probedLists: _*)))
     // approximate scoring on the int8 codes: reconstructed dot =
     // byteDot · mx / 127; mx = 0 is the zero vector (byteDot 0)
     val cand = index.join(broadcast(probes), Seq("list_id"))
@@ -92,10 +114,10 @@ final class IvfIndex private (
     // query batch) drops the predicate: never wrong, only slower.
     val ids = shortlist.select("nn_id").distinct()
       .limit(IvfIndex.MaxRerankIdPredicate + 1).collect().map(_.get(0))
-    val raw0 = spark.read.parquet(s"$path/raw")
+    val rawT = new graft.lake.IncrementalTable(spark, s"$path/raw")
     val raw =
-      if (ids.length > IvfIndex.MaxRerankIdPredicate) raw0
-      else raw0.filter(col("nn_id").isInCollection(ids.toSeq))
+      if (ids.length > IvfIndex.MaxRerankIdPredicate) rawT.snapshot()
+      else rawT.scan(col("nn_id").isInCollection(ids.toSeq))
     val scored = raw.join(broadcast(shortlist), Seq("nn_id"))
       .select(col("q_id"), col("nn_id"),
         CosineSim.dotQ(col("qq"), col("cq")).as("dot"), col("na"), col("nb"))
@@ -120,8 +142,30 @@ final class IvfIndex private (
     val assigned = IvfAnn.assignLists(
       q, IvfAnn.centroidsDf(spark, centroids), "nn_id", "cq")
     IvfIndex.writeLists(assigned, s"$path/index", overwrite = false)
-    q.orderBy("nn_id").write.mode("append").parquet(s"$path/raw")
+    new graft.lake.IncrementalTable(spark, s"$path/raw")
+      .append(q.orderBy("nn_id"))
     this
+  }
+
+  /** TAKEDOWN: retract `ids` from the index. Tombstones for the
+    * hive-partitioned lists land FIRST (probe-time mask — see the
+    * class doc), then the id-clustered raw store takes a stats-pruned
+    * atomic `deleteWhere`; a crash between the steps leaves the id
+    * unservable, and re-running the same removal is idempotent.
+    */
+  def remove(ids: Seq[Any]): Unit = {
+    require(ids.nonEmpty, "remove: empty id set")
+    val rawT = new graft.lake.IncrementalTable(spark, s"$path/raw")
+    val idType = rawT.tableSchema
+      .map(_("nn_id").dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
+    val tomb = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        ids.map(org.apache.spark.sql.Row(_)).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("nn_id", idType))))
+    tomb.coalesce(1).write.mode("append").parquet(s"$path/removed")
+    rawT.deleteWhere(col("nn_id").isInCollection(ids))
   }
 
   /** The pruned index scan for a given probe-list set (plan inspection
@@ -167,12 +211,33 @@ object IvfIndex {
     val assigned = IvfAnn.assignLists(
       q, IvfAnn.centroidsDf(spark, centroids), "nn_id", "cq")
     writeLists(assigned, s"$path/index", overwrite = true)
-    // raw store, id-clustered so a candidate-id fetch can prune files
-    q.orderBy("nn_id").write.mode("overwrite").parquet(s"$path/raw")
+    // raw store: a graft table, id-clustered so a candidate-id fetch
+    // (and a takedown deleteWhere) prunes files on min/max stats
+    new graft.lake.IncrementalTable(spark, s"$path/raw")
+      .writeSnapshot(q.orderBy("nn_id"))
     IvfAnn.centroidsDf(spark, centroids)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    // a rebuild starts from the corpus the caller passed — prior
+    // tombstones are moot (their rows are no longer in the lists)
+    val rm = new org.apache.hadoop.fs.Path(s"$path/removed")
+    val fs = rm.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rm)) fs.delete(rm, true)
     q.unpersist()
     new IvfIndex(spark, path, centroids)
+  }
+
+  /** `df` minus tombstoned ids — a no-op (and no plan change) when no
+    * removal ever happened. The tombstone set is takedown-scale, not
+    * corpus-scale, hence the broadcast anti-join.
+    */
+  private[sim] def maskRemoved(
+      spark: SparkSession, path: String, df: DataFrame): DataFrame = {
+    val rm = new org.apache.hadoop.fs.Path(s"$path/removed")
+    val fs = rm.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rm)) df
+    else df.join(
+      broadcast(spark.read.parquet(s"$path/removed").distinct()),
+      Seq("nn_id"), "left_anti")
   }
 
   /** Open an existing index. */

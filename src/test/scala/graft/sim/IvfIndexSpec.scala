@@ -104,7 +104,8 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       .filter(col("rn") <= 4)
       .select(col("q_id"), col("qq"), col("na"), col("cid").as("list_id"))
     val exactInList = spark.read.parquet(s"$path/index")
-      .join(spark.read.parquet(s"$path/raw"), Seq("nn_id"))
+      .join(new graft.lake.IncrementalTable(spark, s"$path/raw").snapshot(),
+        Seq("nn_id"))
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col("nn_id"))
       .withColumn("dot", graft.functions.LongArrayDot(col("qq"), col("cq")))
@@ -144,5 +145,42 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(IvfIndex.load(spark, path).topK(queries, "vec_id", "embedding", 5)
       .select("q_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       === approx)
+  }
+
+  test("remove: a retracted id never serves again (probe AND re-rank), " +
+    "survivors keep their slots, re-removal is idempotent") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val path = Files.createTempDirectory("ivf_rm").toString
+    val index = IvfIndex.build(emb, "vec_id", "embedding", path, nCentroids = 16)
+    val queries = emb.filter(col("vec_id") < 50)
+    def served() = index.topK(queries, "vec_id", "embedding", 5)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val before = served()
+
+    // retract the 3 most-served neighbors — the exact ids the probe
+    // path most wants to serve
+    val hot = before.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (id, n) => (-n, id) }.take(3).map(_._1)
+    index.remove(hot)
+    val after = served()
+    assert(after.nonEmpty && after.forall { case (_, nn) => !hot.contains(nn) },
+      s"retracted ids still served: ${after.filter(p => hot.contains(p._2)).take(5).toSeq}")
+    // removals only VACATE slots: every surviving pre-removal pair is
+    // still in the post-removal top-5 (recall on the remainder intact)
+    val survivors = before.filterNot(p => hot.contains(p._2)).toSet
+    assert(survivors.subsetOf(after.toSet),
+      s"survivor pairs lost: ${(survivors diff after.toSet).take(5)}")
+
+    // physical deletion in the id-clustered raw store, not just a mask
+    assert(new graft.lake.IncrementalTable(spark, s"$path/raw").snapshot()
+      .filter(col("nn_id").isInCollection(hot)).count() === 0L)
+
+    // idempotent re-removal; a reloaded handle serves the same
+    index.remove(hot)
+    assert(served().toSet === after.toSet)
+    assert(IvfIndex.load(spark, path).topK(queries, "vec_id", "embedding", 5)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === after.toSet)
   }
 }
