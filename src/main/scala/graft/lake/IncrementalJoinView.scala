@@ -107,6 +107,20 @@ final class IncrementalJoinView private (
     case (n, s) if normHead(s) == "max" => (n, fnArg(s, "max"), true)
     case (n, s) if normHead(s) == "min" => (n, fnArg(s, "min"), false)
   }
+
+  /** `(name, argSql)` for every `count(distinct ...)` agg — maintained
+    * by AFFECTED-GROUP RECOMPUTE, the extremes' machinery generalized:
+    * distinct counts are not delta-maintainable in either direction
+    * (an inserted value may already be present, a deleted value may
+    * have siblings — the multiplicity lives only in the fact), so ANY
+    * delta row with a non-null argument flags its group and the group
+    * recomputes from `fact ⋈ dims`, file-pruned through the join
+    * exactly like an extreme-deleting delete. Null-argument rows are
+    * invisible to `count(distinct x)` and never flag.
+    */
+  private val distincts: Seq[(String, String)] = aggs.collect {
+    case (n, s) if isCountDistinct(s) => n -> countDistinctArg(s)
+  }
   private val cntName: String = aggs.collectFirst {
     case (n, s) if normSql(s) == "count(1)" => n
   }.getOrElse(throw new IllegalArgumentException(
@@ -152,6 +166,9 @@ final class IncrementalJoinView private (
         } ++
           extremes.map { case (n, arg, isMax) =>
             if (isMax) max(expr(arg)).as(n) else min(expr(arg)).as(n)
+          } ++
+          distincts.map { case (n, arg) =>
+            countDistinct(expr(arg)).as(n)
           })
     df.groupBy(groupCols.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
   }
@@ -194,6 +211,7 @@ final class IncrementalJoinView private (
   private[graft] def sumCols: Seq[(String, String)] = sums
   private[graft] def nnColName(sumName: String): String = nnCol(sumName)
   private[graft] def extremeCols: Seq[(String, String, Boolean)] = extremes
+  private[graft] def distinctCols: Seq[(String, String)] = distincts
 
   private def dimWatermark: Option[Seq[Long]] =
     table.latestVersion.flatMap(v => table.metaAt(v).get(DimWmKey))
@@ -279,6 +297,12 @@ final class IncrementalJoinView private (
             val del = when(col("__w") === -1L, expr(arg))
             Seq((if (isMax) max(ins) else min(ins)).as(s"__dins_$n"),
               (if (isMax) max(del) else min(del)).as(s"__ddel_$n"))
+          } ++
+          distincts.map { case (n, arg) =>
+            // any non-null argument — insert OR delete — makes the
+            // group's distinct count unknowable from the view alone
+            max(when(expr(arg).isNotNull, lit(1)).otherwise(lit(0)))
+              .as(s"__dtouch_$n")
           })
     val delta = joined(changes.withColumn("__w", weight))
       .groupBy(groupCols.map(col): _*)
@@ -352,14 +376,18 @@ final class IncrementalJoinView private (
     // necessarily inserted in-window (dims are pinned on this path),
     // so ANY non-null-valued delete may have removed the would-be
     // extreme — recompute; null-valued deletes never affect extremes.
-    val recompFlag = extremes.map { case (n, _, isMax) =>
+    val recompFlag = (extremes.map { case (n, _, isMax) =>
       val ov = col(s"o.$n") // NULL for a new group — `beats` then holds
       val del = col(s"d.__ddel_$n")
       val beats =
         if (isMax) ov.isNull || del >= ov
         else ov.isNull || del <= ov
       del.isNotNull && beats
-    }.reduceOption(_ || _).getOrElse(lit(false))
+    } ++ distincts.map { case (n, _) =>
+      // distinct counts recompute on ANY touch with a non-null arg —
+      // there is no monotone merge half to fall back on
+      coalesce(col(s"d.__dtouch_$n"), lit(0)) === 1
+    }).reduceOption(_ || _).getOrElse(lit(false))
     val mergedCols =
       groupCols.map(c => when(present, col(s"o.$c")).otherwise(col(s"d.$c")).as(c)) ++
         Seq(when(newCnt < 0L, raise_error(
@@ -373,7 +401,12 @@ final class IncrementalJoinView private (
             (coalesce(col(s"o.${nnCol(n)}"), lit(0L)) +
               coalesce(col(s"d.__dnn_$n"), lit(0L))).as(nnCol(n)))
         } ++
-        extremeMergeCols :+ recompFlag.as("__recomp")
+        extremeMergeCols ++
+        // untouched-with-non-null-arg groups keep their stored distinct
+        // count (a new group seen only through null-arg rows counts 0);
+        // flagged groups are overwritten by the recompute below
+        distincts.map { case (n, _) => coalesce(col(s"o.$n"), lit(0L)).as(n) } :+
+        recompFlag.as("__recomp")
     val merged = o.join(d, cond, "full_outer")
       .select(mergedCols: _*)
       .filter(col(cntName) > 0L)
@@ -385,7 +418,8 @@ final class IncrementalJoinView private (
     // half. A delete storm touching more extremes than the predicate
     // bound degrades to one full refresh (never wrong, only slower).
     val recompSample =
-      if (extremes.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      if (extremes.isEmpty && distincts.isEmpty)
+        Array.empty[org.apache.spark.sql.Row]
       else merged.filter(col("__recomp"))
         .select(groupCols.map(col): _*)
         .limit(IncrementalView.MaxKeysInPredicate + 1).collect()
@@ -489,6 +523,16 @@ object IncrementalJoinView {
   private def normHead(sql: String): String =
     normSql(sql).takeWhile(_ != '(')
 
+  private val CountDistinctRe =
+    """(?is)^\s*count\s*\(\s*distinct\s+(.+?)\s*\)\s*$""".r
+
+  private[lake] def isCountDistinct(sql: String): Boolean =
+    CountDistinctRe.pattern.matcher(sql).matches()
+
+  private[lake] def countDistinctArg(sql: String): String = sql match {
+    case CountDistinctRe(a) => a
+  }
+
   private def sumArg(sql: String): String = fnArg(sql, "sum")
 
   private def fnArg(sql: String, fn: String): String = {
@@ -511,8 +555,9 @@ object IncrementalJoinView {
     * @param aggs (outputColumn, aggregateSql): exactly one `count(*)`
     *             (group liveness) plus any number of `sum(<expr>)`
     *             over integral/decimal expressions of the joined
-    *             columns and `max(<expr>)`/`min(<expr>)` over any
-    *             orderable expression (hybrid-maintained).
+    *             columns, `max(<expr>)`/`min(<expr>)` over any
+    *             orderable expression (hybrid-maintained), and
+    *             `count(distinct <expr>)` (affected-group recompute).
     */
   def create(spark: SparkSession, fact: IncrementalTable,
       dimSpecs: Seq[DimSpec], path: String, groupCols: Seq[String],
@@ -526,12 +571,13 @@ object IncrementalJoinView {
       "aggregate output names must not use the reserved __nn_ prefix " +
         "(it carries the stored non-null counters)")
     aggs.foreach { case (n, s) =>
-      require(normSql(s) == "count(1)" ||
+      require(normSql(s) == "count(1)" || isCountDistinct(s) ||
         Set("sum", "max", "min")(normHead(s)),
         s"join view aggregate '$n' is '$s' — only count(*), sum(...), " +
-          "max(...) and min(...) are maintainable (sums by signed " +
-          "delta; extremes hybrid: greatest/least on insert, " +
-          "affected-group recompute on an extreme-deleting delete)")
+          "max(...), min(...) and count(distinct ...) are maintainable " +
+          "(sums by signed delta; extremes hybrid: greatest/least on " +
+          "insert, affected-group recompute on an extreme-deleting " +
+          "delete; distinct counts by affected-group recompute)")
     }
     val t = new IncrementalTable(spark, path)
     require(!t.exists, s"join view table already exists at $path — use open()")

@@ -413,6 +413,66 @@ object LakeDmlQueries {
       .orderBy("c_nationkey")
   }
 
+  /** DISTINCT-COUNT join view as an oracled DML arc: `count(distinct
+    * o_custkey)` per nation — distinct users per dim attribute, the
+    * dashboard aggregate delta maintenance cannot serve (multiplicity
+    * lives only in the fact), maintained by AFFECTED-GROUP recompute
+    * ([[graft.lake.IncrementalJoinView]] `distincts`). Arc: half the
+    * orders → create (count/distinct/sum) → append the rest + refresh
+    * (every touched group recomputes; the decomposable cnt/sum merge
+    * by signed delta in the same pass) → sparse delete (~1/991) +
+    * refresh (deleting one of a customer's orders must NOT drop the
+    * customer while deleting their last one must). The oracle replays
+    * the end state as one plain-SQL distinct aggregate.
+    */
+  def lakeJoinViewDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{DimSpec, IncrementalJoinView, IncrementalView}
+    val srcFile = new java.io.File(s"$dir/orders.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, srcFile.length, srcFile.lastModified, "jvdc1").hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_lake_jvdc_$key"
+    val factT = new IncrementalTable(spark, s"$base/fact")
+    val viewDir = s"$base/view"
+    val viewT = new IncrementalTable(spark, viewDir)
+    val complete = factT.exists && viewT.exists &&
+      factT.latestVersion.exists(v => factT.operationAt(v) == "delete") &&
+      viewT.latestVersion.exists(v =>
+        viewT.metaAt(v).get(IncrementalView.WmKey) ==
+          factT.latestVersion.map(_.toString))
+    if (!complete) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val dim = new IncrementalTable(spark, s"$base/dim")
+      dim.append(Tables.load(spark, dir, "customer")
+        .select("c_custkey", "c_nationkey"))
+      val fact = new IncrementalTable(spark, s"$base/fact")
+      val orders = Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val split = orders.agg(floor(max(col("o_orderkey")) / 2.0).cast("long"))
+        .head().getLong(0)
+      fact.append(orders.filter(col("o_orderkey") <= split)
+        .repartitionByRange(4, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"))
+      val view = IncrementalJoinView.create(spark, fact,
+        Seq(DimSpec(s"$base/dim", "o_custkey", "c_custkey")), viewDir,
+        Seq("c_nationkey"), Seq(
+          "cnt" -> "count(*)",
+          "du" -> "count(distinct o_custkey)",
+          "sum_price" -> "sum(cast(o_totalprice as decimal(18,2)))"))
+      fact.append(orders.filter(col("o_orderkey") > split)
+        .repartitionByRange(4, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"))
+      view.refresh() // inserts touch every group: all recompute
+      fact.deleteWhere(col("o_orderkey") % 991L === 0L)
+      view.refresh() // sparse deletes: touched groups recompute
+      require(view.lastRefresh.exists(_.mode == "delta"),
+        s"distinct arc must stay on the delta path: ${view.lastRefresh}")
+    }
+    IncrementalJoinView.open(spark, viewDir).snapshot()
+      .select(col("c_nationkey"), col("cnt"), col("du"),
+        col("sum_price").cast("double").as("sum_price"))
+      .orderBy("c_nationkey")
+  }
+
   /** SNOWFLAKE-chain join view (dim of dim) as an oracled arc:
     * `orders ⋈ customer ⋈ nation GROUP BY n_name` — the second
     * [[graft.lake.DimSpec]]'s join key (`c_nationkey`) is a CUSTOMER
@@ -782,6 +842,7 @@ object LakeDmlQueries {
     "lake_incr_view" -> lakeIncrViewScan _,
     "lake_join_view" -> lakeJoinViewScan _,
     "lake_join_view_minmax" -> lakeJoinViewMinMax _,
+    "lake_join_view_distinct" -> lakeJoinViewDistinct _,
     "lake_join_view_snowflake" -> lakeJoinViewSnowflake _,
     "lake_join_view_filtered" -> lakeJoinViewFiltered _,
     "lake_view_route_discovery" -> lakeViewRouteDiscovery _,
@@ -908,6 +969,14 @@ object LakeDmlQueries {
         |       max(p) AS max_price,
         |       min(o_orderkey) AS min_order
         |FROM s JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "lake_join_view_distinct" ->
+      """SELECT c_nationkey,
+        |       count(*) AS cnt,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS du,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 991 <> 0
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "lake_join_view_snowflake" ->
       """WITH u AS (

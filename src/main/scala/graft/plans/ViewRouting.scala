@@ -539,6 +539,18 @@ case class RouteAggregatesToViews(spark: SparkSession)
                 Literal(null, DoubleType)), al.name)(exprId = al.exprId)
             }
         else None
+      case al @ Alias(ae: AggregateExpression, _)
+          if ae.isDistinct && ae.filter.isEmpty =>
+        // count(DISTINCT x) serves verbatim from the view's stored
+        // distinct-count column (maintained by affected-group
+        // recompute, so the stored value IS the aggregate)
+        val sqlN = GraftViewRouting.normExpr(ae)
+        view.distinctCols
+          .find { case (_, arg) =>
+            GraftViewRouting.norm(s"count(distinct $arg)") == sqlN }
+          .flatMap { case (n, _) => byName.get(n.toLowerCase) }
+          .filter(_.dataType == al.dataType)
+          .map(a => Alias(KnownNotNull(a), al.name)(exprId = al.exprId))
       case a @ Alias(attr: AttributeReference, _)
           if groupSet(attr.name.toLowerCase) =>
         mapGroup(a, attr.name)

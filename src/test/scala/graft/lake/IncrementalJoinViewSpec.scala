@@ -218,6 +218,81 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
       Seq("nation", "cnt", "sv", "mx", "mn"))
   }
 
+  test("count(distinct x): affected-group recompute on any touching " +
+    "delta, pure delta on null-arg rows, duplicates never inflate") {
+    val base = mkBase()
+    val fact = new IncrementalTable(spark, s"$base/fact")
+    val dim = new IncrementalTable(spark, s"$base/dim")
+    dim.append(Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"))
+      .toDF("dk", "nation").coalesce(1))
+    // key-clustered fact files so the recompute's ck IN (…) can prune
+    fact.append(Seq((10L, 1L, Some(5L)), (11L, 2L, Some(5L)),
+      (16L, 1L, Some(50L))).toDF("fk", "ck", "v").coalesce(1))
+    fact.append(Seq((12L, 3L, Some(2L)), (13L, 3L, None: Option[Long]))
+      .toDF("fk", "ck", "v").coalesce(1))
+    fact.append(Seq((14L, 4L, Some(9L))).toDF("fk", "ck", "v").coalesce(1))
+    val view = IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$base/dim", "ck", "dk")), s"$base/view",
+      Seq("nation"), Seq("cnt" -> "count(*)", "du" -> "count(distinct v)"))
+
+    def exp(): Set[(String, Long, Long)] =
+      fact.snapshot().join(dim.snapshot(), col("ck") === col("dk"))
+        .groupBy("nation").agg(count(lit(1)).as("cnt"),
+          countDistinct(col("v")).as("du"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def gotD(): Set[(String, Long, Long)] =
+      view.snapshot().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotD() === exp())
+    assert(gotD() === Set(("A", 3L, 2L), ("B", 2L, 1L), ("C", 1L, 1L)))
+
+    // a NULL-arg insert cannot change a distinct count: pure delta
+    fact.append(Seq((20L, 3L, None: Option[Long]))
+      .toDF("fk", "ck", "v").coalesce(1))
+    view.refresh()
+    assert(view.lastRefresh.exists(m => m.mode == "delta" &&
+      m.sourceFilesScanned == 0), view.lastRefresh.toString)
+    assert(gotD() === exp())
+
+    // inserting a DUPLICATE value (A gets another 5): the count must
+    // NOT grow — unknowable from the view alone, so the group
+    // recomputes, file-pruned (the B- and C-only files are never read)
+    fact.append(Seq((21L, 2L, Some(5L))).toDF("fk", "ck", "v").coalesce(1))
+    view.refresh()
+    val mi = view.lastRefresh.get
+    assert(mi.mode == "delta" && mi.sourceFilesScanned > 0 &&
+      mi.sourceFilesScanned < mi.sourceFilesTotal, mi.toString)
+    assert(gotD() === exp())
+    assert(gotD().exists(t => t._1 == "A" && t._3 == 2L),
+      "duplicate insert inflated the distinct count")
+
+    // deleting ONE duplicate keeps the count; deleting a UNIQUE value
+    // drops it — both recompute (a delete is never delta-applicable)
+    fact.deleteWhere(col("fk") === 21L)
+    view.refresh()
+    assert(gotD() === exp())
+    assert(gotD().exists(t => t._1 == "A" && t._3 == 2L))
+    fact.deleteWhere(col("fk") === 16L)
+    view.refresh()
+    val md = view.lastRefresh.get
+    assert(md.mode == "delta" && md.sourceFilesScanned > 0, md.toString)
+    assert(gotD() === exp())
+    assert(gotD().exists(t => t._1 == "A" && t._3 == 1L))
+
+    // a group emptied by deletes vanishes
+    fact.deleteWhere(col("ck") === 4L)
+    view.refresh()
+    assert(gotD() === exp())
+    assert(!gotD().exists(_._1 == "C"))
+
+    // open() round-trips the distinct definition and keeps maintaining
+    val reopened = IncrementalJoinView.open(spark, s"$base/view")
+    assert(reopened.snapshot().columns.toSeq === Seq("nation", "cnt", "du"))
+    fact.append(Seq((22L, 1L, Some(123L))).toDF("fk", "ck", "v").coalesce(1))
+    reopened.refresh()
+    assert(gotD() === exp())
+  }
+
   test("a dim change degrades to a full recompute (and is correct)") {
     val base = mkBase()
     val (fact, dim) = mkTables(base)

@@ -490,6 +490,40 @@ class ViewRoutingSpec extends AnyFunSuite with SparkSpec
       r.getLong(2))).toSet === Set(("A", 2L, 8L)))
   }
 
+  test("count(DISTINCT x) over the star join serves from the view's " +
+    "stored distinct count; an uncarried distinct fails closed") {
+    import spark.implicits._
+    import graft.lake.{DimSpec, IncrementalJoinView}
+    val base = Files.createTempDirectory("vr_jvd_").toString
+    val fact = new IncrementalTable(spark, s"$base/fact")
+    val dim = new IncrementalTable(spark, s"$base/dim")
+    dim.append(Seq((1L, "A"), (2L, "A"), (3L, "B"))
+      .toDF("dk", "nation").coalesce(1))
+    fact.append(Seq((10L, 1L, Some(5L)), (11L, 2L, Some(5L)),
+      (12L, 3L, None: Option[Long])).toDF("fk", "ck", "v").coalesce(1))
+    IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$base/dim", "ck", "dk")), s"$base/jvd",
+      Seq("nation"), Seq("cnt" -> "count(*)", "du" -> "count(distinct v)"))
+    GraftViewRouting.registerJoin(spark, s"$base/jvd")
+    def star() = spark.read.format("graft").load(fact.path)
+      .join(spark.read.format("graft").load(dim.path), col("ck") === col("dk"))
+    def routed(df: DataFrame) =
+      df.queryExecution.optimizedPlan.toString.contains("jvd/data")
+    val q = star().groupBy("nation")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("v")).as("du"))
+    assert(routed(q), q.queryExecution.optimizedPlan.toString)
+    // A's duplicate 5s collapse to 1; B's all-NULL v counts 0 — the
+    // stored-column projection must preserve both contracts
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet === Set(("A", 2L, 1L), ("B", 1L, 0L)))
+    // a distinct agg the view does not carry fails closed
+    val other = star().groupBy("nation")
+      .agg(countDistinct(col("fk")).as("dfk"))
+    assert(!routed(other))
+    assert(other.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("A", 2L), ("B", 1L)))
+  }
+
   test("discovery: a FRESH session re-attaches registrations from " +
     "_viewdef sidecars via discoverPaths — zero manual registration") {
     val (src, view, base) = freshPair()
