@@ -21,16 +21,18 @@ import org.apache.spark.sql.functions._
   * The per-rule violation counts ride the append commit's manifest
   * meta (`expect` key), so quality metrics version with the data and
   * survive time travel — `metricsAt` reads them back. The quarantine
-  * append commits BEFORE the target append, which fixes the crash
+  * commit lands BEFORE the target append, which fixes the crash
   * contract (proved by ExpectationsSpec's crash-replay test, which
   * kills the pipeline between the two commits and re-runs the batch):
   * re-running the same batch admits every kept row EXACTLY once and
-  * never admits a dropped row; the only artifact is at-least-once
-  * quarantine — the bad rows appear once per attempt under the same
-  * `_quarantined_batch` tag, so a downstream consumer dedups on
-  * `(row identity, _quarantined_batch)`. The inverse order would
-  * risk the opposite, unacceptable artifact: admitted rows whose
-  * quarantine record vanished.
+  * never admits a dropped row. With a non-empty `batchTag` the
+  * quarantine side is exactly-once too: each attempt atomically
+  * REPLACES the tag's quarantine slice (`overwriteWhere` — one
+  * commit, no delete/append window), so a replay leaves one copy of
+  * the bad rows, not one per attempt. Only an UNTAGGED batch — which
+  * has no identity to dedup on — degrades to at-least-once appends.
+  * The inverse commit order would risk the opposite, unacceptable
+  * artifact: admitted rows whose quarantine record vanished.
   *
   * Scale shape: ONE pass computes every rule flag (a codegen'd boolean
   * column per rule), the kept/quarantined split is two filters over
@@ -111,7 +113,15 @@ object Expectations {
           .withColumn("_failed_rules", failedNames)
           .withColumn("_quarantined_batch", lit(batchTag))
           .drop(rules.map(flagCol): _*)
-        q.append(bad)
+        // EXACTLY-ONCE quarantine for TAGGED batches: atomically
+        // replace the tag's slice instead of appending, so a
+        // crash-replay of the same batch re-publishes ONE copy of the
+        // bad rows in ONE commit rather than stacking a copy per
+        // attempt. An untagged batch has no identity to dedup on and
+        // keeps the at-least-once append.
+        if (batchTag.nonEmpty && q.exists)
+          q.overwriteWhere(col("_quarantined_batch") === lit(batchTag), bad)
+        else q.append(bad)
         n
     }
     val admitted = cnt("__n") - quarantinedCnt

@@ -49,8 +49,8 @@ class ExpectationsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("crash between quarantine and target append: the re-run admits " +
-    "every kept row exactly once and never a dropped one " +
-    "(quarantine duplicates are the documented worst case)") {
+    "every kept row exactly once, never a dropped one, and the TAGGED " +
+    "quarantine slice is replaced — exactly-once on both sides") {
     val t = fresh("cr")
     val q = fresh("crq")
     val batch = df((1L, 5.0), (2L, -1.0), (3L, 0.5), (4L, -9.0))
@@ -77,14 +77,23 @@ class ExpectationsSpec extends AnyFunSuite with SparkSpec {
     assert(t.snapshot().select("id").collect().map(_.getLong(0)).toSet ===
       Set(1L, 3L))
     assert(t.snapshot().count() === 2L, "no duplicate admissions")
-    // documented worst case: the bad rows quarantine twice (same batch
-    // tag), so a downstream reader dedups on (id, _quarantined_batch)
+    // exactly-once quarantine: the replay atomically REPLACED the b0
+    // slice, so one copy of each bad row — not one per attempt
     val quar = q.snapshot().select("id", "_quarantined_batch").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     assert(quar.toSet === Set((2L, "b0"), (4L, "b0")))
-    assert(quar.length === 4, "replay re-quarantines (at-least-once)")
+    assert(quar.length === 2,
+      "replay must replace the tagged slice, not stack a copy per attempt")
     assert(quar.toSet.map((p: (Long, String)) => p._1)
       .intersect(Set(1L, 3L)).isEmpty, "no admitted row ever quarantined")
+
+    // a DIFFERENT tag accumulates alongside, untouched by b0 replays
+    val res2 = Expectations.appendWithExpectations(t, df((5L, -2.0)),
+      rules, quarantine = Some(q), batchTag = "b1")
+    assert(res2.admitted === 0L && res2.quarantined === 1L)
+    assert(q.snapshot().select("id", "_quarantined_batch").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((2L, "b0"), (4L, "b0"), (5L, "b1")))
   }
 
   test("fail aborts the whole batch atomically — neither table commits") {
