@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, count, lit, pmod, sum, when}
+import org.apache.spark.sql.functions.{col, concat, concat_ws, count, length, lit, pmod, posexplode, row_number, sha2, split, sum, when}
 
 /** Empirical 1×/10× scaling evidence for SCALE.md.
   *
@@ -461,10 +461,14 @@ object ScaleEvidence {
       * lookup, no data touched.
       */
     def ingestExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      // 10× scales BOTH bytes and FILE COUNT (constant rows/file): the
+      // COPY re-run must stay O(listing + registry) as the ingested
+      // set grows, not O(ingested bytes)
       val n = 2000000L * k
+      val files = 8 * k
       def plain(dir: String): Unit =
         spark.range(n).select(col("id"), pmod(col("id"), lit(1000L)).as("v"))
-          .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+          .repartitionByRange(files, col("id")).sortWithinPartitions("id")
           .write.mode("overwrite").parquet(dir)
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -476,11 +480,53 @@ object ScaleEvidence {
       val sdir = s"$base/ing_x$k/in"
       plain(sdir)
       val tgt = new graft.lake.IncrementalTable(spark, s"$base/ing_x$k/t")
-      val firstS = timed(require(tgt.copyInto(sdir)._2 == 8))
+      val firstS = timed(require(tgt.copyInto(sdir)._2 == files))
       val noopS = timed(require(tgt.copyInto(sdir)._2 == 0))
-      println(f"""{"scale":$k,"experiment":"ingest","rows":$n,"files":8,""" +
+      println(f"""{"scale":$k,"experiment":"ingest","rows":$n,"files":$files,""" +
         f""""convert_s":$convertS%.3f,"copy_first_s":$firstS%.2f,""" +
         f""""copy_noop_s":$noopS%.3f}""")
+    }
+
+    /** Experiment: line-dedup hot-key shape. A corpus where ONE
+      * boilerplate line recurs in EVERY document (the normal case line
+      * dedup exists for) through the shipped min-struct AGGREGATE vs
+      * the `row_number` WINDOW foil with identical keep-first
+      * semantics. The aggregate's map-side partial collapses the hot
+      * hash to one buffer row per task before the shuffle; the window
+      * ships every occurrence into one partition and sorts it there —
+      * the wall gap (and the foil's shuffle volume) grows with the hot
+      * count while the aggregate stays corpus-linear.
+      */
+    def lineDedupExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      val nDocs = 100000L * k // the hot line recurs once per doc
+      val docs = spark.range(nDocs)
+        .select(col("id").as("doc_id"),
+          concat_ws("\n",
+            lit("accept all cookies to continue browsing this site"),
+            concat(lit("unique content line for document number "), col("id")),
+            concat(lit("second unique body line of document "), col("id")))
+            .as("text"))
+        .repartition(32).localCheckpoint()
+      def runAgg(): Long = graft.dedup.LineDedup.dedupLines(docs).count()
+      def runWin(): Long = {
+        val lines = docs.select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(sha2(col("line"), 256))
+          .orderBy(col("doc_id"), col("pos"))
+        lines.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 || length(col("line")) < 10)
+          .groupBy("doc_id").agg(count(lit(1))).count()
+      }
+      runAgg(); runWin() // JIT/codegen warm-up — min-of-2 below
+      val m1a = measured(runAgg()); val m1w = measured(runWin())
+      val m2a = measured(runAgg()); val m2w = measured(runWin())
+      val (kept, aggS, aggR, aggW) = if (m1a._2 <= m2a._2) m1a else m2a
+      val (keptW, winS, winR, winW) = if (m1w._2 <= m2w._2) m1w else m2w
+      require(kept == keptW, s"foil disagrees: $kept vs $keptW")
+      println(f"""{"scale":$k,"experiment":"line_dedup","docs":$nDocs,""" +
+        f""""docs_kept":$kept,"agg_s":$aggS%.2f,"agg_shuffle_mb":${(aggR + aggW) / 1e6}%.1f,""" +
+        f""""window_foil_s":$winS%.2f,"window_shuffle_mb":${(winR + winW) / 1e6}%.1f}""")
     }
 
     if (want("incr_view")) scales.foreach(k => viewExperiment(base, k))
@@ -489,6 +535,7 @@ object ScaleEvidence {
     if (want("routing")) scales.foreach(k => routingExperiment(base, k))
     if (want("mg")) scales.foreach(k => mgExperiment(k))
     if (want("ingest")) scales.foreach(k => ingestExperiment(base, k))
+    if (want("line_dedup")) scales.foreach(k => lineDedupExperiment(base, k))
     spark.stop()
   }
 }
