@@ -103,7 +103,15 @@ object Expectations {
     }
     val kept = flagged.filter(keep).drop(rules.map(flagCol): _*)
     val quarantinedCnt = cnt("__quar") match {
-      case 0L => 0L
+      case 0L =>
+        // a TAGGED batch with no violations still clears its tag's
+        // slice: a crashed prior attempt may have quarantined rows the
+        // (since-corrected) re-run now admits — leaving them would
+        // show the same row as both admitted and quarantined
+        if (batchTag.nonEmpty)
+          quarantine.filter(_.exists)
+            .foreach(_.deleteWhere(col("_quarantined_batch") === lit(batchTag)))
+        0L
       case n =>
         val q = quarantine.get
         val failedNames = concat_ws(",", array(dropRules.sorted(

@@ -150,19 +150,23 @@ object GraftViewRouting {
     }.flatten.sorted
   }
 
-  /** Once per (session, conf): re-attach registrations from disk. */
+  /** Once per (session, conf): re-attach registrations from disk. The
+    * memo key deliberately excludes the warehouse LIST (enumerating it
+    * costs a full `conf.getAll` — too heavy for every optimizer pass):
+    * a catalog registered after this session's first discovery is
+    * picked up by its own CREATE/REFRESH auto-register, an explicit
+    * `register`, or the next session.
+    */
   private[plans] def maybeDiscover(spark: SparkSession): Unit = {
     val explicit = spark.conf.get("spark.graft.viewRouting.discoverPaths", "")
     val autoReg = spark.conf
       .get("spark.graft.viewRouting.autoRegister", "false").toBoolean
     if (explicit.isEmpty && !autoReg) return
+    val key = System.identityHashCode(spark) + "|" + explicit + "|" + autoReg
+    if (discoveredFor.putIfAbsent(key, true) != null) return
     val wh = if (autoReg) graftWarehouses(spark) else Nil
-    val dirs = (explicit.split(",").toSeq.map(_.trim).filter(_.nonEmpty) ++
-      wh).distinct
-    if (dirs.isEmpty) return
-    val key = System.identityHashCode(spark) + "|" + dirs.mkString(",")
-    if (discoveredFor.putIfAbsent(key, true) == null)
-      dirs.foreach(discover(spark, _))
+    (explicit.split(",").toSeq.map(_.trim).filter(_.nonEmpty) ++ wh)
+      .distinct.foreach(discover(spark, _))
   }
 
   private[plans] def isEmpty: Boolean =

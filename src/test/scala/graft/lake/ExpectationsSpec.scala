@@ -94,6 +94,17 @@ class ExpectationsSpec extends AnyFunSuite with SparkSpec {
     assert(q.snapshot().select("id", "_quarantined_batch").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet ===
       Set((2L, "b0"), (4L, "b0"), (5L, "b1")))
+
+    // a CORRECTED re-run of b1 (no violations) clears b1's stale
+    // slice — a row must never read as both admitted and quarantined
+    val res3 = Expectations.appendWithExpectations(t, df((5L, 2.0)),
+      rules, quarantine = Some(q), batchTag = "b1")
+    assert(res3.admitted === 1L && res3.quarantined === 0L)
+    assert(q.snapshot().select("id", "_quarantined_batch").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((2L, "b0"), (4L, "b0")))
+    assert(t.snapshot().select("id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L, 5L))
   }
 
   test("fail aborts the whole batch atomically — neither table commits") {
