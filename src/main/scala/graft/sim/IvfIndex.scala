@@ -139,6 +139,22 @@ final class IvfIndex private (
       CosineSim.quantize(col(vecCol)).as("cq"))
       .withColumn("nb", CosineSim.normQ(col("cq")))
       .localCheckpoint() // feeds lists AND raw; quantize once
+    // a TOMBSTONED id must not silently resurface: the probe-time mask
+    // would hide the appended vector forever (worse than a loud
+    // refusal), and quietly un-masking on append would let a crash
+    // resurrect retracted data. Re-admission is an explicit act:
+    // rebuild (build() clears tombstones) or assign fresh ids.
+    val rm = new org.apache.hadoop.fs.Path(s"$path/removed")
+    val rfs = rm.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rfs.exists(rm)) {
+      val clash = q.join(
+        broadcast(spark.read.parquet(s"$path/removed").distinct()),
+        Seq("nn_id"), "left_semi").limit(5).collect().map(_.get(0))
+      require(clash.isEmpty,
+        s"append to $path: id(s) ${clash.mkString(", ")} were retracted " +
+          "by remove() and would be masked at probe — rebuild the index " +
+          "or assign fresh ids")
+    }
     val assigned = IvfAnn.assignLists(
       q, IvfAnn.centroidsDf(spark, centroids), "nn_id", "cq")
     IvfIndex.writeLists(assigned, s"$path/index", overwrite = false)

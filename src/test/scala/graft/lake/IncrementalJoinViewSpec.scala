@@ -459,6 +459,24 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
     assert(inner.head.getString(0) === s"$base/v_inner")
     assert(IncrementalJoinView.isJoinView(spark, s"$base/v_inner"))
 
+    // count(distinct x) through the DDL builds a distinct-maintaining
+    // view (the select-list splitter must not split inside the call)
+    val dml = spark.sql(
+      s"""CREATE MATERIALIZED VIEW '$base/v_du' AS
+         |SELECT nation, count(*) AS cnt, count(distinct v) AS du
+         |FROM '${fact.path}' JOIN '${dim.path}' ON ck = dk
+         |GROUP BY nation""".stripMargin).collect()
+    assert(dml.head.getString(0) === s"$base/v_du")
+    val duView = IncrementalJoinView.open(spark, s"$base/v_du")
+    assert(duView.snapshot().columns.toSeq === Seq("nation", "cnt", "du"))
+    assert(duView.snapshot().collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet ===
+      fact.snapshot().join(dim.snapshot(), col("ck") === col("dk"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("v")).as("du"))
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+
     // a quoted table path containing the text ' join ' must not split
     val weirdDir = s"$base/has join in name"
     val weird = new IncrementalTable(spark, weirdDir)

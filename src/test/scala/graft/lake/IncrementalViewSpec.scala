@@ -89,6 +89,46 @@ class IncrementalViewSpec extends AnyFunSuite with SparkSpec {
     assert(view.lastRefresh.map(_.mode) === Some("incremental"))
   }
 
+  test("count(distinct x) on a single-table view: affected-key " +
+    "recompute keeps it exact through inserts and deletes, and the " +
+    "routing rule serves it from the stored column") {
+    import spark.implicits._
+    val src = sourceTable(20, 5)
+    val view = IncrementalView.create(spark, src, freshDir() + "/v",
+      Seq("k"), Seq("cnt" -> "count(*)", "dv" -> "count(distinct v)"))
+    def exp(): Set[(Long, Long, Long)] = src.snapshot().groupBy("k")
+      .agg(expr("count(*)").as("cnt"),
+        expr("count(distinct v)").as("dv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def got(): Set[(Long, Long, Long)] = view.snapshot().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got() === exp())
+    // duplicate-VALUE inserts (300/303 already exist in group 3: the
+    // count must not grow) and a value-removing delete — the
+    // affected-key recompute keeps both exact
+    src.append(Seq((3L, 300L), (3L, 303L)).toDF("k", "v").coalesce(1))
+    view.refresh()
+    assert(got() === exp())
+    assert(got().exists(t => t._1 == 3L && t._2 == 7L && t._3 == 5L),
+      "duplicate inserts must grow cnt but not the distinct count")
+    src.deleteWhere(col("k") === 4L && col("v") % 3L === 0L)
+    view.refresh()
+    assert(got() === exp())
+    // routed serving: the canonical SQL of count(DISTINCT v) matches
+    // the stored definition
+    graft.plans.GraftViewRouting.register(spark, view.table.path)
+    try {
+      val q = spark.read.format("graft").load(src.path).groupBy("k")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("v")).as("dv"))
+      assert(q.queryExecution.optimizedPlan.toString.contains(
+        new java.io.File(view.table.path).getName),
+        q.queryExecution.optimizedPlan.toString)
+      assert(q.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === exp())
+    } finally graft.plans.GraftViewRouting.unregister(view.table.path)
+  }
+
   test("a group whose rows all vanish leaves the view") {
     val src = sourceTable(10, 3)
     val view = IncrementalView.create(spark, src, freshDir() + "/v",

@@ -182,5 +182,18 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(IvfIndex.load(spark, path).topK(queries, "vec_id", "embedding", 5)
       .select("q_id", "nn_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet === after.toSet)
+
+    // re-appending a retracted id refuses LOUDLY (the mask would hide
+    // it silently; re-admission is an explicit rebuild)
+    val e = intercept[IllegalArgumentException] {
+      index.append(emb.filter(col("vec_id") === hot.head), "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("retracted"))
+    // a clean-id append still works with tombstones present
+    index.append(
+      emb.filter(col("vec_id") === 1L)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    assert(served().toSet.nonEmpty)
   }
 }
