@@ -239,6 +239,48 @@ object ScaleEvidence {
         f""""refresh_shuffle_rw_mb":[${rd / 1e6}%.1f,${wr / 1e6}%.1f]}""")
     }
 
+    /** Experiment: DISTINCT-COUNT join view maintenance at 1×/10×. A
+      * sparse delete inside ONE dim group flags that group for the
+      * affected-group recompute (distinct counts have no delta half);
+      * the recompute's `factKey IN (dim keys of the group)` predicate
+      * must prune the ck-clustered fact to the group's own files — a
+      * ~constant file count while the table's total file count grows
+      * 10× — so the refresh prices the GROUP SLICE, never the fact.
+      */
+    def distinctViewExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      val n = 100000L * k
+      val fact = new graft.lake.IncrementalTable(spark, s"$base/dv_x$k/fact")
+      val dim = new graft.lake.IncrementalTable(spark, s"$base/dv_x$k/dim")
+      // contiguous nation blocks (dk/40) so one group's 40 dim keys
+      // form a ck RANGE the fact's file stats can prune
+      dim.append(spark.range(1000L).select(col("id").as("dk"),
+        (col("id") / 40L).cast("long").cast("string").as("nation"))
+        .coalesce(1))
+      fact.append(spark.range(n).select(col("id").as("fk"),
+        pmod(col("id"), lit(1000L)).as("ck"),
+        (col("id") * 17L % 1000L).as("v"))
+        .repartitionByRange(16 * k, col("ck")).sortWithinPartitions("ck"))
+      val t0 = System.nanoTime()
+      val view = graft.lake.IncrementalJoinView.create(spark, fact,
+        Seq(graft.lake.DimSpec(s"$base/dv_x$k/dim", "ck", "dk")),
+        s"$base/dv_x$k/view", Seq("nation"),
+        Seq("cnt" -> "count(*)", "du" -> "count(distinct v)",
+          "total" -> "sum(v)"), targetFiles = 4)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      // sparse delete entirely inside nation "3" (ck 120..159):
+      // half of ck=125's rows (v is a function of ck here, so the
+      // sparse half is cut on fk)
+      fact.deleteWhere(col("ck") === 125L && col("fk") < n / 2)
+      val (_, refreshS, rd, wr) = measured { view.refresh(targetFiles = 4) }
+      val m = view.lastRefresh.get
+      println(f"""{"scale":$k,"experiment":"distinct_view","fact_rows":$n,""" +
+        f""""full_build_s":$buildS%.2f,"delta_refresh_s":$refreshS%.2f,""" +
+        f""""mode":"${m.mode}","touched_groups":${m.touchedGroups},""" +
+        f""""fact_files_scanned":${m.sourceFilesScanned},""" +
+        f""""fact_files_total":${m.sourceFilesTotal},""" +
+        f""""refresh_shuffle_rw_mb":[${rd / 1e6}%.1f,${wr / 1e6}%.1f]}""")
+    }
+
     /** Experiment 4: INCREMENTAL dedup cost vs corpus size. Bootstrap
       * the persistent LSH index on the 1×/10× corpus, then dedup a
       * CONSTANT-size batch (250 near-dups of corpus docs + 250 fresh)
@@ -536,6 +578,7 @@ object ScaleEvidence {
     if (want("mg")) scales.foreach(k => mgExperiment(k))
     if (want("ingest")) scales.foreach(k => ingestExperiment(base, k))
     if (want("line_dedup")) scales.foreach(k => lineDedupExperiment(base, k))
+    if (want("distinct_view")) scales.foreach(k => distinctViewExperiment(base, k))
     spark.stop()
   }
 }
