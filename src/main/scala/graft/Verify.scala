@@ -33,6 +33,12 @@ object Verify {
         // "no spark output" for a missing result dir, so the actionable
         // message must survive outside this process's stderr
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        var c = e.getCause
+        while (c != null) {
+          System.err.println(s"[verify]   caused by: $c")
+          c.getStackTrace.take(8).foreach(f => System.err.println(s"[verify]     at $f"))
+          c = c.getCause
+        }
         Files.writeString(errFile,
           s"${e.getClass.getName}: ${e.getMessage}")
       }

@@ -235,7 +235,31 @@ object FileStats {
         keepIfUnknown(GreaterThanOrEqual(mnx(r)._2, l))
       case In(R(r), vs) if vs.nonEmpty &&
         vs.forall(v => v.isInstanceOf[Literal] && v.asInstanceOf[Literal].value != null) =>
-        vs.map(v => eqPossible(r, v.asInstanceOf[Literal])).reduce(Or.apply)
+        val lits = vs.map(_.asInstanceOf[Literal])
+        if (lits.size <= 512) {
+          // balanced, not reduceLeft: a runtime IN (dynamic file
+          // pruning hands over the build side's key set) can carry
+          // hundreds of values, and a left-deep OR chain overflows the
+          // stack in every later tree traversal
+          def orTree(es: Seq[Expression]): Expression =
+            if (es.size == 1) es.head
+            else {
+              val (l, rr) = es.splitAt(es.size / 2)
+              Or(orTree(l), orTree(rr))
+            }
+          orTree(lits.map(eqPossible(r, _)))
+        } else {
+          // wide IN: collapse to the values' [min, max] envelope —
+          // sound (only ever keeps more files), constant-size, and the
+          // bloom phase still probes every value exactly on
+          // point-indexed columns
+          val dt = lits.head.dataType
+          val (mn, mx) = mnx(r)
+          val loVal = Literal(Least(lits).eval(), dt)
+          val hiVal = Literal(Greatest(lits).eval(), dt)
+          keepIfUnknown(And(LessThanOrEqual(mn, hiVal),
+            GreaterThanOrEqual(mx, loVal)))
+        }
       case IsNull(a) if attrName(a).isDefined =>
         keepIfUnknown(GreaterThan(nulls(attrName(a).get), Literal(0L)))
       // IS NOT NULL prunes all-null files (nulls == num_rows)

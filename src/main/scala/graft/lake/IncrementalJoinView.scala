@@ -579,6 +579,20 @@ object IncrementalJoinView {
           "insert, affected-group recompute on an extreme-deleting " +
           "delete; distinct counts by affected-group recompute)")
     }
+    // a multi-column `count(distinct a, b)` captures `a, b` as the arg,
+    // which is not ONE expression — it would only fail much later, as an
+    // opaque ParseException inside the first materialization. Validate
+    // here with the remediation in the message (struct-packing the
+    // columns IS a single expression and flows through the whole
+    // affected-group machinery unchanged).
+    aggs.filter(a => isCountDistinct(a._2)).foreach { case (n, s) =>
+      val a = countDistinctArg(s)
+      require(scala.util.Try(
+        spark.sessionState.sqlParser.parseExpression(a)).isSuccess,
+        s"join view aggregate '$n' is 'count(distinct $a)' — the distinct " +
+          "argument must be a single expression; to count distinct " +
+          s"column tuples use count(distinct struct($a))")
+    }
     val t = new IncrementalTable(spark, path)
     require(!t.exists, s"join view table already exists at $path — use open()")
     val factV = fact.latestVersion.getOrElse(

@@ -762,6 +762,44 @@ object RelationalQueries {
       .orderBy("doc_id")
   }
 
+  /** Dynamic file pruning as a gated query: lineitem lands in a graft
+    * table key-clustered into 16 disjoint `l_orderkey` ranges, then
+    * sits on the probe side of a broadcast star join whose dim filter
+    * is selective. At execution, Spark's dynamic-partition-pruning
+    * rule hands the dim survivors' join keys to the graft scan
+    * (`SupportsRuntimeV2Filtering`,
+    * [[graft.sources.GraftStreamScan.filter]]), which drops every
+    * fact file whose min/max excludes them BEFORE input partitions
+    * are planned — on a key-clustered 100 TB fact this reads
+    * O(matching files), not O(table). Content is unchanged by the
+    * restage, so plain SQL over the raw parquet oracles the runtime
+    * path end-to-end; results must equal the unpruned join by the
+    * fail-open contract (pinned in `RuntimeFilePruningSpec`).
+    */
+  def lakeDfpJoin(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified).hashCode)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_dfp_$key"
+    val t = new graft.lake.IncrementalTable(spark, path)
+    if (!t.exists) {
+      t.append(Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"))
+    }
+    val fact = spark.read.format("graft").load(path)
+    val dim = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 250000.0)
+      .select("o_orderkey")
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("l_orderkey")
+  }
+
   val oracle: Map[String, String] = Map(
     "lake_bloom_scan" ->
       """SELECT doc_id, source, n_chars FROM documents
@@ -770,6 +808,12 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem WHERE l_partkey <= 20 AND l_suppkey <= 10
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "lake_dfp_join" ->
+      """SELECT l.l_orderkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 250000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q21_waiting_suppliers" ->
       """WITH li AS (
         |  SELECT l.l_orderkey, l.l_suppkey,
@@ -1105,6 +1149,7 @@ object RelationalQueries {
     "q20_slow_stock_suppliers" -> q20SlowStockSuppliers _,
     "q21_waiting_suppliers" -> q21WaitingSuppliers _,
     "lake_zorder_scan" -> lakeZorderScan _,
+    "lake_dfp_join" -> lakeDfpJoin _,
     "lake_bloom_scan" -> lakeBloomScan _,
     "q18_large_orders" -> q18LargeOrders _,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,

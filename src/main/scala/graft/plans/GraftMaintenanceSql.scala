@@ -164,15 +164,16 @@ object GraftMaintenanceSql {
       if (quote != 0) {
         sb += c
         // escape pairs (`\'`, doubled `''`) are literal content — a
-        // comma after them must not split (see maskQuoted)
-        if (c == '\\' && i + 1 < s.length) { sb += s(i + 1); i += 1 }
+        // comma after them must not split (see maskQuoted). Backticked
+        // identifiers have NO backslash escapes (mirror maskQuoted).
+        if (c == '\\' && quote != '`' && i + 1 < s.length) { sb += s(i + 1); i += 1 }
         else if (c == quote) {
           if (i + 1 < s.length && s(i + 1) == quote) { sb += quote; i += 1 }
           else quote = 0
         }
       }
       else c match {
-        case '\'' | '"' => quote = c; sb += c
+        case '\'' | '"' | '`' => quote = c; sb += c
         case '(' => depth += 1; sb += c
         case ')' => depth -= 1; sb += c
         case ',' if depth == 0 => out += sb.toString.trim; sb.clear()

@@ -99,7 +99,15 @@ object GraftViewRouting {
   // (session, conf value) — a memoized no-op on every later
   // optimization pass. ----
 
-  private val discoveredFor = new ConcurrentHashMap[String, Boolean]()
+  // keyed on the SESSION OBJECT through a WeakHashMap: identity
+  // semantics without identityHashCode collisions (two live sessions
+  // can share a hash; a dead session's address can be reused), and
+  // entries for GC'd sessions evict themselves. The value is the set
+  // of conf fingerprints already discovered for that session.
+  private val discoveredFor =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap.KeySetView[String, java.lang.Boolean]]())
 
   /** Scan `dir` (bounded depth) for graft view tables — directories
     * carrying a `_viewdef` sidecar — and register each with the
@@ -162,8 +170,15 @@ object GraftViewRouting {
     val autoReg = spark.conf
       .get("spark.graft.viewRouting.autoRegister", "false").toBoolean
     if (explicit.isEmpty && !autoReg) return
-    val key = System.identityHashCode(spark) + "|" + explicit + "|" + autoReg
-    if (discoveredFor.putIfAbsent(key, true) != null) return
+    val done = discoveredFor.synchronized {
+      var s = discoveredFor.get(spark)
+      if (s == null) {
+        s = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        discoveredFor.put(spark, s)
+      }
+      s
+    }
+    if (!done.add(explicit + "|" + autoReg)) return
     val wh = if (autoReg) graftWarehouses(spark) else Nil
     (explicit.split(",").toSeq.map(_.trim).filter(_.nonEmpty) ++ wh)
       .distinct.foreach(discover(spark, _))

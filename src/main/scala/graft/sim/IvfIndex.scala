@@ -256,8 +256,21 @@ object IvfIndex {
       Seq("nn_id"), "left_anti")
   }
 
-  /** Open an existing index. */
+  /** Open an existing index. Fails fast on the pre-int8 layout (a
+    * `raw/` directory that is plain parquet, not a graft table with a
+    * `_log`): load() itself only reads centroids and would succeed,
+    * leaving topK/append/remove to die later on an obscure
+    * missing-manifest error.
+    */
   def load(spark: SparkSession, path: String): IvfIndex = {
+    val raw = new org.apache.hadoop.fs.Path(s"$path/raw")
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(raw) &&
+        !new graft.lake.IncrementalTable(spark, s"$path/raw").isIncrementalLayout)
+      throw new IllegalStateException(
+        s"IVF index at $path uses the legacy raw-store layout (plain " +
+          "parquet, no _log) — rebuild the index with IvfIndex.build " +
+          "(the raw store is now a graft table: int8 lists + exact re-rank)")
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("cid").collect()
       .map(_.getSeq[Long](1).toArray)

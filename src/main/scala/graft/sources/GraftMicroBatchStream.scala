@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, VariantExtraction}
@@ -381,20 +382,143 @@ private[sources] final class GraftCdcReaderFactory(
   * is the (possibly column-pruned) schema the builder negotiated.
   */
 private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
-    extends Scan {
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.internal.Logging {
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = {
     if (info.readChangeFeed)
       throw new UnsupportedOperationException(
         "graft: readChangeFeed is a STREAMING option; batch CDC reads go " +
           "through IncrementalTable.changes(fromV, toV)")
-    inner.toBatch
+    pruned.getOrElse(inner).toBatch
   }
   override def description(): String = inner.description()
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     inner.supportedCustomMetrics()
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(SparkSession.active, info, inner)
+
+  // ---- dynamic file pruning (Delta/Databricks' "dynamic file
+  // skipping", through the public SupportsRuntimeV2Filtering seam).
+  // When this scan sits on the probe side of a join whose build side
+  // is selective, Spark's dynamic-partition-pruning rule plants a
+  // DynamicPruningSubquery here, and BatchScanExec delivers the build
+  // side's ACTUAL join-key values as an IN predicate before input
+  // partitions are planned. The keys funnel through the same per-file
+  // min/max + bloom pruning `skipWhere` uses, and the inner parquet
+  // scan is rebuilt over only the surviving files — on a key-clustered
+  // fact table a dim-filtered star join then reads O(matching files),
+  // not O(table). Every edge fails OPEN (scan stays unpruned; the join
+  // still filters rows): the predicate is a shape stats can't use, the
+  // stats store is absent, the key set exceeds [[DfpMaxInValues]], or
+  // the rebuild throws. ----
+
+  @volatile private var pruned: Option[Scan] = None
+  /** (scan files before, after) of the last successful prune — spec
+    * and ScaleEvidence observability. */
+  @volatile private[sources] var pruneStats: Option[(Int, Int)] = None
+
+  /** Above this many runtime IN values, skip pruning: the stats check
+    * expands IN to a per-value OR (each value also bloom-probed), and
+    * a key set this large signals a non-selective build side anyway.
+    */
+  private val DfpMaxInValues = 8192
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (info.readChangeFeed) Array.empty
+    else inner.readSchema().fields.collect {
+      case f if GraftStreamScan.statsFilterable(f.dataType) =>
+        Expressions.column(f.name)
+    }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val spark = SparkSession.active
+    try {
+      if (info.readChangeFeed) return
+      if (!spark.conf.get("spark.graft.runtimeFilePruning.enabled", "true").toBoolean) return
+      val schema = inner.readSchema()
+      val conds = predicates.toSeq.flatMap(toStatsCondition(_, schema))
+      if (conds.isEmpty) return
+      val table = new IncrementalTable(spark, info.path)
+      val v = table.latestVersion.getOrElse(return)
+      val all = table.files(v)
+      val kept = table.prunedFilesAt(v, all, conds).toSet
+      if (kept.size == all.size) return
+      // stats are per-FILE and files are immutable, so a file stats
+      // prove out is droppable from whatever version the scan resolved
+      // — only ever drop files we affirmatively pruned (never files
+      // the manifest walk didn't see)
+      val dropped = (all.toSet -- kept).map(dataFileNorm(spark, _))
+      org.apache.spark.sql.graftbridge.ScanPruneBridge
+        .pruneFiles(spark, inner, p => !dropped(p)) match {
+        case Some((s, before, after)) =>
+          pruned = Some(s)
+          pruneStats = Some((before, after))
+          logInfo(s"graft dynamic file pruning: ${info.path} $before -> " +
+            s"$after files")
+        case None => ()
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"graft dynamic file pruning failed open for " +
+          s"${info.path}: $e")
+    }
+  }
+
+  /** A runtime `IN` on one top-level column, as the catalyst condition
+    * the stats/bloom pruner takes — None for any other shape. */
+  private def toStatsCondition(
+      p: Predicate, schema: StructType): Option[org.apache.spark.sql.Column] = {
+    if (p.name() != "IN") return None
+    val kids = p.children()
+    if (kids.isEmpty) return None
+    val colName = kids.head match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        r.fieldNames()(0)
+      case _ => return None
+    }
+    if (!schema.fieldNames.contains(colName)) return None
+    if (kids.length - 1 > DfpMaxInValues) return None
+    val lits = kids.tail.flatMap {
+      case l: V2Literal[_] =>
+        Some(org.apache.spark.sql.catalyst.expressions.Literal(
+          l.value, l.dataType))
+      case _ => None
+    }
+    if (lits.length != kids.length - 1 || lits.isEmpty) return None
+    Some(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.In(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(colName), lits.toSeq)))
+  }
+
+  /** Manifest file name -> [[ScanPruneBridge.normPath]] identity. */
+  private def dataFileNorm(spark: SparkSession, name: String): String = {
+    val p =
+      if (name.startsWith("ext:")) new Path(name.stripPrefix("ext:"))
+      else new Path(new Path(info.path, "data"), name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.spark.sql.graftbridge.ScanPruneBridge
+      .normPath(fs.makeQualified(p))
+  }
+}
+
+private[sources] object GraftStreamScan {
+  /** Types the per-file min/max stats store can order — the columns
+    * worth advertising as runtime-filterable. */
+  private[sources] def statsFilterable(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.BooleanType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
 }
 
 /** ScanBuilder wrapper that FORWARDS every pushdown interface the

@@ -332,6 +332,22 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
         Seq("nation"), Seq("sv" -> "sum(cast(d as decimal(18,2)))"))
     }
     assert(e3.getMessage.contains("count(*)"))
+    // multi-column count(distinct a, b): the captured arg is not one
+    // expression — refused at create with the struct remediation, not
+    // an opaque ParseException inside the first materialization
+    val e4 = intercept[IllegalArgumentException] {
+      IncrementalJoinView.create(spark, fact, dimSpec, s"$base/v4",
+        Seq("nation"), Seq("cnt" -> "count(*)", "dd" -> "count(distinct fk, ck)"))
+    }
+    assert(e4.getMessage.contains("struct(fk, ck)"), e4.getMessage)
+    // ...and the struct form IS accepted and maintained correctly
+    val v = IncrementalJoinView.create(spark, fact, dimSpec, s"$base/v5",
+      Seq("nation"), Seq("cnt" -> "count(*)", "dd" -> "count(distinct struct(fk, ck))"))
+    fact.append(Seq((2L, 1L, 2.5), (1L, 1L, 9.9)).toDF("fk", "ck", "d").coalesce(1))
+    v.refresh()
+    val got = v.snapshot().collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("A", 3L, 2L))) // (1,1) duplicated: 3 rows, 2 tuples
   }
 
   test("SNOWFLAKE chain (dim of dim): delta maintenance, extremes and " +

@@ -43,4 +43,14 @@ class QuoteMaskSpec extends AnyFunSuite {
     assert(splitTopLevel("'it''s, fine', b") === Seq("'it''s, fine'", "b"))
     assert(splitTopLevel("'a\\', b', c") === Seq("'a\\', b'", "c"))
   }
+
+  test("splitTopLevel: backticked identifiers shield commas, no backslash escape") {
+    // a top-level comma inside a backticked identifier is content
+    assert(splitTopLevel("`a,b`, c") === Seq("`a,b`", "c"))
+    // doubled backtick is the escape for a literal backtick
+    assert(splitTopLevel("`a``b, c`, d") === Seq("`a``b, c`", "d"))
+    // backslash is NOT an escape inside backticks (mirrors maskQuoted):
+    // `a\` closes at the second backtick
+    assert(splitTopLevel("`a\\`, b") === Seq("`a\\`", "b"))
+  }
 }

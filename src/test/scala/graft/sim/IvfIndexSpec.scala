@@ -196,4 +196,19 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       "vec_id", "embedding")
     assert(served().toSet.nonEmpty)
   }
+
+  test("load fails fast on the legacy raw-store layout (plain parquet, no _log)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val path = Files.createTempDirectory("ivf_legacy").toString
+    IvfIndex.build(emb.limit(200), "vec_id", "embedding", path, nCentroids = 4)
+    // degrade raw/ to the pre-int8 layout: same parquet rows, no _log
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = new graft.lake.IncrementalTable(spark, s"$path/raw").snapshot()
+      .localCheckpoint()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/raw"), true)
+    raw.write.parquet(s"$path/raw")
+    val e = intercept[IllegalStateException](IvfIndex.load(spark, path))
+    assert(e.getMessage.contains("rebuild the index"), e.getMessage)
+  }
 }
