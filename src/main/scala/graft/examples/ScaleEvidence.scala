@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, concat_ws, count, length, lit, pmod, posexplode, row_number, sha2, split, sum, when}
+import org.apache.spark.sql.functions.{col, concat, concat_ws, count, length, lit, md5, pmod, posexplode, repeat, row_number, sha2, split, sum, when}
 
 /** Empirical 1×/10× scaling evidence for SCALE.md.
   *
@@ -571,6 +571,59 @@ object ScaleEvidence {
         f""""window_foil_s":$winS%.2f,"window_shuffle_mb":${(winR + winW) / 1e6}%.1f}""")
     }
 
+    /** Experiment: dynamic file pruning vs table size. A key-clustered
+      * fact (constant rows/file, so 10× data = 10× files) joined to a
+      * fixed 4-key selective dim: with runtime pruning ON the scan
+      * reads the ~4 matching files whatever the table size — input
+      * bytes stay FLAT at 10× — while the OFF foil's bytes grow with
+      * the table. Same join, same result, conf-flipped.
+      */
+    def dfpExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      val n = 2000000L * k
+      val files = 32 * k
+      val dir = s"$base/dfp_x$k/fact"
+      val t = new graft.lake.IncrementalTable(spark, dir)
+      // ~128B incompressible payload per row: an unpruned probe pays
+      // real scan I/O, as a fact table does
+      t.append(spark.range(n).select(col("id"),
+        repeat(md5(col("id").cast("string")), 4).as("payload"))
+        .repartitionByRange(files, col("id")).sortWithinPartitions("id"))
+      val dimDir = s"$base/dfp_x$k/dim"
+      // 64 dim rows spread over the key range; exactly 4 survive the
+      // filter, landing in ≤4 distinct fact files
+      spark.range(64).select((col("id") * (n / 64) + 7L).as("k"),
+        when(col("id") % 16 === 0, lit("keep")).otherwise(lit("drop")).as("tag"))
+        .coalesce(1).write.mode("overwrite").parquet(dimDir)
+      val fact = spark.read.format("graft").load(dir)
+      val dim = spark.read.parquet(dimDir)
+      // the probe projects the PAYLOAD (as a real star join would), so
+      // an unpruned scan decodes it for every row group it reads
+      def q(): Long =
+        fact.join(dim.filter(col("tag") === "keep"), col("id") === col("k"))
+          .agg(sum(length(col("payload"))).cast("long")).head().getLong(0)
+      def run(enabled: Boolean): (Long, Double, Double) = {
+        spark.conf.set("spark.graft.runtimeFilePruning.enabled", enabled.toString)
+        require(q() > 0L) // warm
+        def timed(): (Long, Double) = {
+          val t0 = System.nanoTime(); val res = q()
+          (res, (System.nanoTime() - t0) / 1e9)
+        }
+        timed() // second warm: min-of-2 below, as the bench mains do
+        tally.drain(); val in0 = tally.inputSnapshot
+        val a = timed(); val b = timed()
+        val (res, secs) = if (a._2 <= b._2) a else b
+        tally.drain(); val in1 = tally.inputSnapshot
+        (res, secs, (in1 - in0) / 2e6)
+      }
+      val (onRes, onS, onMb) = run(true)
+      val (offRes, offS, offMb) = run(false)
+      require(onRes == offRes, s"fail-open violated: $onRes vs $offRes")
+      spark.conf.unset("spark.graft.runtimeFilePruning.enabled")
+      println(f"""{"scale":$k,"experiment":"dfp","rows":$n,"files":$files,""" +
+        f""""pruned_s":$onS%.2f,"pruned_input_mb":$onMb%.1f,""" +
+        f""""unpruned_s":$offS%.2f,"unpruned_input_mb":$offMb%.1f}""")
+    }
+
     if (want("incr_view")) scales.foreach(k => viewExperiment(base, k))
     if (want("inc_dedup")) scales.foreach(k => incDedupExperiment(base, k))
     if (want("join_view")) scales.foreach(k => joinViewExperiment(base, k))
@@ -579,6 +632,7 @@ object ScaleEvidence {
     if (want("ingest")) scales.foreach(k => ingestExperiment(base, k))
     if (want("line_dedup")) scales.foreach(k => lineDedupExperiment(base, k))
     if (want("distinct_view")) scales.foreach(k => distinctViewExperiment(base, k))
+    if (want("dfp")) scales.foreach(k => dfpExperiment(base, k))
     spark.stop()
   }
 }

@@ -96,6 +96,36 @@ class RuntimeFilePruningSpec extends AnyFunSuite with SparkSpec {
     assert(t.latestVersion.contains(7L))
   }
 
+  test("catalog SQL star join prunes the same way (the dashboard path)") {
+    val wh = Files.createTempDirectory("dfp_wh_").toString
+    val dir = s"$wh/fact"
+    val t = new IncrementalTable(spark, dir)
+    (0 until 8).foreach { i =>
+      val lo = i * 100L
+      t.append((lo until lo + 100L).map(id => (id, s"p$id"))
+        .toDF("id", "payload").coalesce(1))
+    }
+    Seq((5L, "keep"), (205L, "keep"), (650L, "drop"))
+      .toDF("k", "tag").write.parquet(s"$wh/dimfiles")
+    spark.conf.set("spark.sql.catalog.dfpcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dfpcat.warehouse", wh)
+    try {
+      val joined = spark.sql(
+        s"""SELECT f.id, f.payload FROM dfpcat.fact f
+           |JOIN parquet.`$wh/dimfiles` d ON f.id = d.k
+           |WHERE d.tag = 'keep'""".stripMargin)
+      assert(joined.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+        .toSeq === Seq((5L, "p5"), (205L, "p205")))
+      val stats = graftScans(joined).flatMap(_.pruneStats)
+      assert(stats.headOption.contains((8, 2)),
+        s"catalog-path pruning missing: $stats\n" +
+          joined.queryExecution.executedPlan)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dfpcat")
+      spark.conf.unset("spark.sql.catalog.dfpcat.warehouse")
+    }
+  }
+
   test("an empty build side prunes every file and still answers (zero rows)") {
     val (dir, _) = rangedFact()
     val fact = spark.read.format("graft").load(dir)
