@@ -1630,7 +1630,7 @@ final class IncrementalTable(
         // state).
         val carry = Seq("dv", "constraints", "bloom", "colmap", "coldrop",
           "writeorder", "gencol", "identity", "rf", "widen", "widened",
-          "rowtracking", "copylog")
+          "rowtracking", "copylog", IncrementalTable.JoinBucketMetaKey)
           .flatMap(k => baseMeta.get(k).map(k -> _)).toMap
         writeManifest(v, operation, prev.filterNot(removed) ++ added,
           (carry -- dropMeta) ++ watermarkCarry(baseMeta) ++ meta ++
@@ -2129,6 +2129,55 @@ final class IncrementalTable(
         .sortWithinPartitions(c: _*),
       operation = s"cluster[${cols.mkString(",")}]")
   }
+
+  /** Rewrite the snapshot HASH-BUCKETED on `column` for
+    * storage-partitioned joins: rows land under
+    * `data/__jbucket=<k>/` with `k = pmod(hash(column), buckets)` —
+    * Spark's own murmur3, so two tables bucketized with the same
+    * `buckets` agree file-group-for-file-group on their join keys.
+    * The DSv2 scan then reports `KeyGroupedPartitioning(bucket(n,
+    * column))` ([[graft.sources.GraftStreamScan]]) and an equi-join of
+    * two same-bucketed graft tables on `column` runs with ZERO
+    * shuffle on either side (Spark's storage-partitioned join, the
+    * mechanism behind Iceberg's bucket-join support; gate with
+    * `spark.sql.sources.v2.bucketing.enabled=true`).
+    *
+    * The `jbucket` meta carries across metadata-only commits, but any
+    * commit that stages plain files (append, delete rewrite, compact)
+    * breaks the physical grouping — readers re-validate STRUCTURALLY
+    * (every live file under a `__jbucket=` directory) and fall back
+    * to normal scans until the next `bucketize`, so serving a stale
+    * bucket promise is impossible.
+    */
+  def bucketize(buckets: Int, column: String): Long = {
+    require(buckets >= 2 && buckets <= 4096,
+      s"buckets=$buckets must be in [2, 4096]")
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty table $path"))
+    require(schemaAt(v).exists(_.fieldNames.contains(column)),
+      s"bucketize: no column '$column' at $path")
+    import org.apache.spark.sql.functions.{col => fcol, hash, lit, pmod}
+    val df = snapshotHead(v).withColumn(IncrementalTable.JoinBucketCol,
+      pmod(hash(fcol(column)), lit(buckets)))
+    val added = stagePartitioned(df, IncrementalTable.JoinBucketCol)
+    commitFiles(added, files(v).toSet, s"bucketize[$buckets,$column]",
+      schema = Some(org.apache.spark.sql.types.StructType(
+        df.schema.filterNot(_.name == IncrementalTable.JoinBucketCol))),
+      readVersion = Some(v), dropMeta = Set("dv"),
+      meta = Map("datachange" -> "false",
+        IncrementalTable.JoinBucketMetaKey -> s"$buckets+$column"))
+  }
+
+  /** The declared (buckets, column) at version `v` — meta only; the
+    * scan performs the structural file check on top.
+    */
+  private[graft] def joinBucketSpecAt(v: Long): Option[(Int, String)] =
+    metaAt(v).get(IncrementalTable.JoinBucketMetaKey).flatMap { s =>
+      s.split("\\+", 2) match {
+        case Array(n, c) => scala.util.Try(n.toInt).toOption.map(_ -> c)
+        case _ => None
+      }
+    }
 
   /** CHANGE DATA FEED over the commit log (Delta `readChangeFeed`):
     * every row change committed in versions `(fromV, toV]`, tagged
@@ -3290,6 +3339,16 @@ object IncrementalTable {
     */
   val SupportedReaderFeatures: Set[String] =
     Set("column-mapping", "deletion-vectors", "type-widening", "row-tracking")
+
+  /** Join-bucket partition column / directory prefix ([[bucketize]]) —
+    * distinct from the SCD layout's `__bucket` on purpose: the two
+    * layouts have different pruning and clone semantics.
+    */
+  private[graft] val JoinBucketCol = "__jbucket"
+  /** Manifest meta key holding `"<buckets>+<column>"` (meta values
+    * cannot carry `:` — the pair parser owns it).
+    */
+  private[graft] val JoinBucketMetaKey = "jbucket"
 
   /** The materialized stable row-identity column (Delta's row tracking
     * materializes `row_id` the same way when rows are rewritten; this

@@ -762,6 +762,65 @@ object RelationalQueries {
       .orderBy("doc_id")
   }
 
+  /** Storage-partitioned join as a gated query: lineitem and orders
+    * each land in a graft table `bucketize`d 8-ways on the join key
+    * ([[graft.lake.IncrementalTable.bucketize]] — same murmur3 bucket
+    * function both sides), a catalog is pointed at the warehouse, and
+    * the star join runs under `spark.sql.sources.v2.bucketing.enabled`
+    * with broadcast disabled: both scans report
+    * `KeyGroupedPartitioning(bucket(8, key))` and the join executes
+    * with ZERO shuffle on either side (plan pinned in
+    * `StoragePartitionedJoinSpec`; at fact-fact scale the two
+    * avoided shuffles ARE the query cost). Content is unchanged by
+    * the restage, so plain SQL over the raw parquet oracles the
+    * result. The frame is checkpointed INSIDE the conf window —
+    * callers get results computed under SPJ, not a lazy plan
+    * re-resolved after the confs are restored.
+    */
+  def lakeSpjJoin(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified).hashCode)
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_lake_spj_$key"
+    def buildIfNeeded(name: String, build: graft.lake.IncrementalTable => Unit,
+        bucketCol: String): Unit = {
+      val t = new graft.lake.IncrementalTable(spark, s"$wh/$name")
+      val done = t.exists && t.latestVersion.exists(v =>
+        t.operationAt(v).startsWith("bucketize["))
+      if (!done) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$name"))
+        val fresh = new graft.lake.IncrementalTable(spark, s"$wh/$name")
+        build(fresh)
+        fresh.bucketize(8, bucketCol)
+      }
+    }
+    buildIfNeeded("li", _.append(Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")), "l_orderkey")
+    buildIfNeeded("ord", _.append(Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")), "o_orderkey")
+    // catalog name carries the content key: CatalogManager caches
+    // plugin instances BY NAME, so a fixed name could keep serving a
+    // previously-initialized warehouse in long-lived JVMs
+    val cat = s"graft_spj_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql(
+        s"""SELECT o.o_orderpriority AS prio, count(*) AS n_lines,
+           |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM $cat.li l JOIN $cat.ord o
+           |  ON l.l_orderkey = o.o_orderkey
+           |GROUP BY o.o_orderpriority ORDER BY prio""".stripMargin)
+        .localCheckpoint()
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   /** Dynamic file pruning as a gated query: lineitem lands in a graft
     * table key-clustered into 16 disjoint `l_orderkey` ranges, then
     * sits on the probe side of a broadcast star join whose dim filter
@@ -808,6 +867,11 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem WHERE l_partkey <= 20 AND l_suppkey <= 10
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "lake_spj_join" ->
+      """SELECT o.o_orderpriority AS prio, count(*) AS n_lines,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "lake_dfp_join" ->
       """SELECT l.l_orderkey, count(*) AS n_lines,
         |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -1150,6 +1214,7 @@ object RelationalQueries {
     "q21_waiting_suppliers" -> q21WaitingSuppliers _,
     "lake_zorder_scan" -> lakeZorderScan _,
     "lake_dfp_join" -> lakeDfpJoin _,
+    "lake_spj_join" -> lakeSpjJoin _,
     "lake_bloom_scan" -> lakeBloomScan _,
     "q18_large_orders" -> q18LargeOrders _,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,

@@ -40,7 +40,8 @@ import graft.lake.{IncrementalTable, VersionedTable}
   * empty v0 carrying the DDL schema, so a freshly-created table reads
   * as empty rather than failing.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -57,6 +58,20 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def name(): String = catalogName
+
+  // ---- FunctionCatalog: the storage-partitioned-join planner
+  // resolves a scan-reported `bucket(n, col)` transform through the
+  // relation's catalog ([[GraftStreamScan.outputPartitioning]] /
+  // [[GraftBucketFunction]]). Only `bucket` exists; nothing else is
+  // SQL-invocable here.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private def pathOf(ident: Identifier): String =
     (warehouse.stripSuffix("/") +: (ident.namespace() :+ ident.name())).mkString("/")

@@ -384,6 +384,7 @@ private[sources] final class GraftCdcReaderFactory(
 private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.internal.Logging {
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = {
@@ -391,8 +392,82 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
       throw new UnsupportedOperationException(
         "graft: readChangeFeed is a STREAMING option; batch CDC reads go " +
           "through IncrementalTable.changes(fromV, toV)")
-    pruned.getOrElse(inner).toBatch
+    bucketGroups match {
+      case Some((_, groups)) => new GraftBucketedBatch(inner.toBatch, groups)
+      case None => pruned.getOrElse(inner).toBatch
+    }
   }
+
+  // ---- storage-partitioned joins (see [[GraftSpj]]): a bucketized
+  // table's scan reports KeyGroupedPartitioning(bucket(n, col)) and
+  // plans ONE input partition per present bucket, so an equi-join of
+  // two same-bucketed graft tables on the bucket column shuffles
+  // NEITHER side. Eligibility is re-derived structurally from the
+  // files the scan actually serves — any commit that staged plain
+  // files since the last bucketize fails the directory check and the
+  // scan falls back to a normal plan (never a stale bucket promise).
+  // Catalog-resolved tables only: Spark resolves the reported bucket
+  // transform through the relation's FunctionCatalog
+  // ([[GraftCatalog.loadFunction]]); path reads skip it and plan
+  // normally. ----
+
+  private lazy val bucketGroups: Option[(GraftBucketSpec, Seq[(Int, FilePartition)])] =
+    try computeBucketGroups()
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"graft bucketed-scan grouping failed open for ${info.path}: $e")
+        None
+    }
+
+  private def computeBucketGroups()
+      : Option[(GraftBucketSpec, Seq[(Int, FilePartition)])] = {
+    if (info.readChangeFeed) return None
+    val spark = SparkSession.active
+    if (!spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
+      return None
+    val table = new IncrementalTable(spark, info.path)
+    val spec = table.latestVersion.flatMap(table.joinBucketSpecAt) match {
+      case Some((n, c)) => GraftBucketSpec(n, c)
+      case None => return None
+    }
+    // the transform references the bucket column: only report it when
+    // the column survived pruning into this scan's schema (a join on
+    // it always keeps it)
+    if (!inner.readSchema().fieldNames.contains(spec.column)) return None
+    val re = (java.util.regex.Pattern.quote(IncrementalTable.JoinBucketCol) +
+      "=(\\d+)/").r
+    val files = inner.toBatch.planInputPartitions().toSeq.flatMap {
+      case fp: FilePartition => fp.files.toSeq
+      case _ => return None // not a parquet file batch — fail open
+    }
+    if (files.isEmpty) return None
+    val byBucket = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.execution.datasources.PartitionedFile]]
+    files.foreach { f =>
+      val k = re.findFirstMatchIn(f.filePath.toString) match {
+        case Some(m) => m.group(1).toInt
+        case None => return None // a plain-staged file: bucketing is broken
+      }
+      if (k < 0 || k >= spec.n) return None
+      byBucket.getOrElseUpdate(k,
+        scala.collection.mutable.ArrayBuffer.empty) += f
+    }
+    val groups = byBucket.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((b, fs), i) => b -> FilePartition(i, fs.toArray)
+    }
+    Some(spec -> groups)
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketGroups match {
+      case Some((spec, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(Expressions.bucket(spec.n, spec.column)), groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
   override def description(): String = inner.description()
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     inner.supportedCustomMetrics()
@@ -436,6 +511,12 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
     val spark = SparkSession.active
     try {
       if (info.readChangeFeed) return
+      // key-grouped (bucketed) scans keep their partition layout: the
+      // runtime-filter path re-validates filtered partitions against
+      // the reported partitioning, so file pruning would have to
+      // preserve every bucket group — skip instead (the join SPJ
+      // serves is a shuffle join, not the broadcast shape DPP targets)
+      if (bucketGroups.isDefined) return
       if (!spark.conf.get("spark.graft.runtimeFilePruning.enabled", "true").toBoolean) return
       val schema = inner.readSchema()
       val conds = predicates.toSeq.flatMap(toStatsCondition(_, schema))

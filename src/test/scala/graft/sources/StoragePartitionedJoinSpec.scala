@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.lake.IncrementalTable
+
+/** Storage-partitioned joins: two graft tables `bucketize`d with the
+  * same bucket count on their join key report
+  * `KeyGroupedPartitioning(bucket(n, col))` and equi-join with ZERO
+  * shuffle on either side. Eligibility is structural — any commit
+  * that stages plain files silently falls back to a normal (shuffled,
+  * still correct) plan.
+  */
+class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def countShuffles(df: DataFrame): Int = {
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case s: ShuffleExchangeLike => 1 + s.children.map(walk).sum
+      case other => other.children.map(walk).sum + other.subqueries.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def withSpj[A](f: => A): A = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  private def mkTables(): (String, IncrementalTable, IncrementalTable) = {
+    val wh = Files.createTempDirectory("spj_wh_").toString
+    val a = new IncrementalTable(spark, s"$wh/ta")
+    a.append((0L until 2000L).map(k => (k, s"a$k")).toDF("k", "va"))
+    a.bucketize(8, "k")
+    val b = new IncrementalTable(spark, s"$wh/tb")
+    b.append((0L until 2000L by 2L).map(k => (k, k * 10)).toDF("k", "vb"))
+    b.bucketize(8, "k")
+    (wh, a, b)
+  }
+
+  // one catalog NAME per test: CatalogManager caches plugin instances
+  // by name, so re-registering an existing name with a new warehouse
+  // would silently keep serving the OLD directory
+  private val catSeq = new java.util.concurrent.atomic.AtomicInteger
+  private def registerCat(wh: String): String = {
+    val name = s"spjcat${catSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    name
+  }
+
+  test("same-bucketed equi-join plans with ZERO shuffles and matches the " +
+    "shuffled answer") {
+    val (wh, _, _) = mkTables()
+    val cat = registerCat(wh)
+    try {
+      val q = s"SELECT a.k, a.va, b.vb FROM $cat.ta a JOIN $cat.tb b " +
+        "ON a.k = b.k"
+      val (rows, shuffles) = withSpj {
+        val df = spark.sql(q)
+        (df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .sortBy(_._1), countShuffles(df))
+      }
+      assert(rows.length === 1000)
+      assert(rows.take(2).toSeq === Seq((0L, "a0", 0L), (2L, "a2", 20L)))
+      assert(shuffles === 0,
+        s"expected a storage-partitioned join, got $shuffles shuffles")
+      // foil: same query without the v2 bucketing conf shuffles both
+      // sides and returns the identical rows
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val foil = spark.sql(q)
+      val foilRows = foil.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      assert(countShuffles(foil) > 0)
+      assert(foilRows.toSeq === rows.toSeq)
+    } finally ()
+  }
+
+  test("grouped aggregation on the bucket column also skips its shuffle") {
+    val (wh, _, _) = mkTables()
+    val cat = registerCat(wh)
+    try {
+      withSpj {
+        val df = spark.sql(
+          "SELECT k % 4 AS g, count(*) AS n FROM (" +
+            s"SELECT a.k FROM $cat.ta a JOIN $cat.tb b ON a.k = b.k) " +
+            "GROUP BY 1")
+        // the JOIN itself is shuffle-free; only the re-key to g pays
+        assert(df.collect().map(_.getLong(1)).sum === 1000L)
+        assert(countShuffles(df) <= 1)
+      }
+    } finally ()
+  }
+
+  test("a plain append BREAKS bucketing: scan falls back (no SPJ) but " +
+    "stays correct; re-bucketize restores it") {
+    val (wh, a, _) = mkTables()
+    val cat = registerCat(wh)
+    try {
+      a.append(Seq((4000L, "late")).toDF("k", "va"))
+      val q = s"SELECT a.k, b.vb FROM $cat.ta a JOIN $cat.tb b ON a.k = b.k"
+      withSpj {
+        val df = spark.sql(q)
+        assert(df.collect().length === 1000)
+        assert(countShuffles(df) > 0,
+          "stale bucket promise: SPJ planned over a broken layout:\n" +
+            df.queryExecution.executedPlan)
+      }
+      a.bucketize(8, "k")
+      withSpj {
+        val df = spark.sql(q)
+        assert(df.collect().length === 1000)
+        assert(countShuffles(df) === 0, df.queryExecution.executedPlan.toString)
+      }
+    } finally ()
+  }
+
+  test("bucketize round-trips content exactly and is stats-scannable") {
+    val wh = Files.createTempDirectory("spj_rt_").toString
+    val t = new IncrementalTable(spark, s"$wh/t")
+    t.append((0L until 999L).map(k => (k, s"v$k")).toDF("k", "v"))
+    val before = t.snapshot().collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    t.bucketize(4, "k")
+    val after = t.snapshot().collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(after.toSeq === before.toSeq)
+    // per-file stats were recorded for the bucketed files too
+    assert(t.scan(col("k") === 7L).count() === 1L)
+  }
+}
