@@ -624,6 +624,56 @@ object ScaleEvidence {
         f""""unpruned_s":$offS%.2f,"unpruned_input_mb":$offMb%.1f}""")
     }
 
+    /** Experiment: storage-partitioned join vs table size. Two graft
+      * tables bucketized 32-ways on the join key, joined through a
+      * graft catalog: with `spark.sql.sources.v2.bucketing.enabled`
+      * the join's SHUFFLE BYTES are ZERO at every scale (the scans'
+      * key-grouped partitions are co-located by construction), while
+      * the conf-off foil shuffles both sides — bytes growing linearly
+      * with the tables. At fact-fact scale those two shuffles ARE the
+      * query; this is the measurement behind `lake_spj_join`.
+      */
+    def spjExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      val n = 2000000L * k
+      def build(name: String, stride: Long): String = {
+        val dir = s"$base/spj_x$k/$name"
+        val t = new graft.lake.IncrementalTable(spark, dir)
+        t.append(spark.range(0, n, stride).select(col("id").as("k"),
+          md5(col("id").cast("string")).as("v")))
+        t.bucketize(32, "k")
+        dir
+      }
+      build("ta", 1L); build("tb", 2L)
+      val cat = s"spjx$k"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/spj_x$k")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def q(): Long = spark.sql(
+        s"""SELECT count(*) AS n, count(distinct substr(a.v, 1, 4)) AS d
+           |FROM $cat.ta a JOIN $cat.tb b ON a.k = b.k""".stripMargin)
+        .head().getLong(0)
+      def run(spj: Boolean): (Long, Double, Double) = {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", spj.toString)
+        require(q() == n / 2) // warm + correctness under both plans
+        tally.drain(); val (r0, w0) = tally.snapshot
+        val t0 = System.nanoTime(); val a = q()
+        val s1 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime(); val b = q()
+        val s2 = (System.nanoTime() - t1) / 1e9
+        tally.drain(); val (r1, w1) = tally.snapshot
+        require(a == b && a == n / 2)
+        (a, math.min(s1, s2), ((r1 - r0) + (w1 - w0)) / 2e6)
+      }
+      val (_, onS, onMb) = run(true)
+      val (_, offS, offMb) = run(false)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      println(f"""{"scale":$k,"experiment":"spj","rows_per_side":$n,""" +
+        f""""spj_s":$onS%.2f,"spj_shuffle_mb":$onMb%.1f,""" +
+        f""""shuffled_s":$offS%.2f,"shuffled_shuffle_mb":$offMb%.1f}""")
+    }
+
     if (want("incr_view")) scales.foreach(k => viewExperiment(base, k))
     if (want("inc_dedup")) scales.foreach(k => incDedupExperiment(base, k))
     if (want("join_view")) scales.foreach(k => joinViewExperiment(base, k))
@@ -633,6 +683,7 @@ object ScaleEvidence {
     if (want("line_dedup")) scales.foreach(k => lineDedupExperiment(base, k))
     if (want("distinct_view")) scales.foreach(k => distinctViewExperiment(base, k))
     if (want("dfp")) scales.foreach(k => dfpExperiment(base, k))
+    if (want("spj")) scales.foreach(k => spjExperiment(base, k))
     spark.stop()
   }
 }
