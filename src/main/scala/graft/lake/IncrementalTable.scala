@@ -1720,18 +1720,41 @@ final class IncrementalTable(
     case Seq() =>
       val materialized = applyGenerated(df)
       validateConstraints(materialized)
-      commitFiles(stage(applyWriteOrder(materialized)), Set.empty, operation,
-        meta = extraMeta, schema = Some(materialized.schema))
+      commitFiles(stageForLayout(applyWriteOrder(materialized)), Set.empty,
+        operation, meta = extraMeta, schema = Some(materialized.schema))
     case specs =>
       withAllocated(df, specs) { withIds =>
         val materialized = applyGenerated(withIds)
         validateConstraints(materialized)
-        val added = stage(applyWriteOrder(materialized))
+        val added = stageForLayout(applyWriteOrder(materialized))
         wmMeta => commitFiles(added, Set.empty, operation,
           maxRetries = 0, meta = extraMeta ++ wmMeta,
           schema = Some(materialized.schema))
       }
   }
+
+  /** [[stage]], except a [[bucketize]]d table's appends keep the
+    * bucket layout ALIVE: the batch hashes into per-bucket files
+    * (O(batch) — the table is never re-read), so storage-partitioned
+    * joins survive routine ingestion instead of demanding an O(table)
+    * re-bucketize after every append. A batch missing the bucket
+    * column stages plain — the scan's structural check then falls
+    * back to normal plans (never a wrong group).
+    */
+  private def stageForLayout(df: DataFrame): Seq[String] =
+    latestVersion.flatMap(joinBucketSpecAt) match {
+      case Some((n, c)) if df.columns.contains(c) =>
+        import org.apache.spark.sql.functions.{col => fcol, hash, lit, pmod}
+        stagePartitioned(df
+          .withColumn(IncrementalTable.JoinBucketCol,
+            pmod(hash(fcol(c)), lit(n)))
+          // one task per present bucket: without this, every input
+          // partition writes a file per bucket it touches (up to
+          // tasks x n small files per append)
+          .repartition(n, fcol(IncrementalTable.JoinBucketCol)),
+          IncrementalTable.JoinBucketCol)
+      case _ => stage(df)
+    }
 
   // ---- identity columns (Delta `GENERATED ALWAYS [AS IDENTITY]`,
   // reference TEST:41 `GENERATED ALWAYS AS IDENTITY (START WITH 10)`).
@@ -2142,12 +2165,15 @@ final class IncrementalTable(
     * mechanism behind Iceberg's bucket-join support; gate with
     * `spark.sql.sources.v2.bucketing.enabled=true`).
     *
-    * The `jbucket` meta carries across metadata-only commits, but any
-    * commit that stages plain files (append, delete rewrite, compact)
-    * breaks the physical grouping — readers re-validate STRUCTURALLY
-    * (every live file under a `__jbucket=` directory) and fall back
-    * to normal scans until the next `bucketize`, so serving a stale
-    * bucket promise is impossible.
+    * The `jbucket` meta carries across commits, and APPENDS maintain
+    * the layout O(batch) ([[stageForLayout]] hashes each batch into
+    * per-bucket files — routine ingestion keeps SPJ alive). A commit
+    * that stages plain files anyway (delete/update rewrite, compact,
+    * a batch missing the bucket column) breaks the physical grouping
+    * — readers re-validate STRUCTURALLY (every live file under a
+    * `__jbucket=` directory) and fall back to normal scans until the
+    * next `bucketize`, so serving a stale bucket promise is
+    * impossible.
     */
   def bucketize(buckets: Int, column: String): Long = {
     require(buckets >= 2 && buckets <= 4096,

@@ -40,6 +40,10 @@ object GraftMaintenanceSql {
 
   private val Optimize =
     """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+  // bucket-cluster for storage-partitioned joins (graft extension):
+  // OPTIMIZE t BUCKET BY (col, n)
+  private val OptimizeBucket =
+    """(?is)^\s*OPTIMIZE\s+(.+?)\s+BUCKET\s+BY\s*\(\s*([^,\s)]+)\s*,\s*(\d+)\s*\)\s*;?\s*$""".r
   private val OptimizeWhere =
     """(?is)^\s*OPTIMIZE\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val Vacuum =
@@ -81,8 +85,12 @@ object GraftMaintenanceSql {
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     // before Optimize: its non-greedy target would swallow "t WHERE p"
+    // (and "t BUCKET BY (...)")
     case OptimizeWhere(target, pred) =>
       Some(OptimizeWhereGraftCommand(target.trim, pred.trim))
+    case OptimizeBucket(target, bcol, n) =>
+      Some(OptimizeBucketGraftCommand(target.trim,
+        bcol.trim.stripPrefix("`").stripSuffix("`"), n.toInt))
     case Optimize(target, zcols) =>
       Some(OptimizeGraftCommand(target.trim,
         Option(zcols).map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)))
@@ -281,6 +289,25 @@ case class OptimizeGraftCommand(target: String, zorderCols: Seq[String])
           conf("graft.optimize.zorderBits", 8), zorderCols: _*)
       else t.clusterZ(conf("graft.optimize.targetFiles", 16),
         conf("graft.optimize.zorderBits", 8), zorderCols: _*)
+    Seq(Row(v, t.operationAt(v)))
+  }
+}
+
+/** `OPTIMIZE t BUCKET BY (col, n)` — rewrite hash-bucketed on the
+  * column for storage-partitioned joins
+  * ([[IncrementalTable.bucketize]]): two tables bucketized with the
+  * same n equi-join on the column with zero shuffle under
+  * `spark.sql.sources.v2.bucketing.enabled` (scan-side details in
+  * [[graft.sources.GraftStreamScan]]).
+  */
+case class OptimizeBucketGraftCommand(target: String, column: String, n: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("operation", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftMaintenanceSql.incrementalAt(spark, target)
+    val v = t.bucketize(n, column)
     Seq(Row(v, t.operationAt(v)))
   }
 }

@@ -107,16 +107,33 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     } finally ()
   }
 
-  test("a plain append BREAKS bucketing: scan falls back (no SPJ) but " +
-    "stays correct; re-bucketize restores it") {
-    val (wh, a, _) = mkTables()
+  test("appends MAINTAIN bucketing (O(batch), SPJ survives ingestion); " +
+    "a plain-staged rewrite breaks it; re-bucketize restores it") {
+    val (wh, a, b) = mkTables()
     val cat = registerCat(wh)
     try {
+      // an appended key that DOES match: wrong bucket placement would
+      // lose this row from the key-grouped join
       a.append(Seq((4000L, "late")).toDF("k", "va"))
+      b.append(Seq((4000L, 40000L)).toDF("k", "vb"))
+      assert(a.files(a.latestVersion.get).forall(_.startsWith("__jbucket=")),
+        "append did not keep the bucket layout")
       val q = s"SELECT a.k, b.vb FROM $cat.ta a JOIN $cat.tb b ON a.k = b.k"
       withSpj {
         val df = spark.sql(q)
-        assert(df.collect().length === 1000)
+        val rows = df.collect()
+        assert(rows.length === 1001)
+        assert(rows.map(_.getLong(0)).contains(4000L))
+        assert(countShuffles(df) === 0,
+          "bucketed appends should keep SPJ alive:\n" +
+            df.queryExecution.executedPlan)
+      }
+      // compact() stages plain files — the structural check must fall
+      // back to a shuffled (still correct) plan, never a stale promise
+      a.compact(2)
+      withSpj {
+        val df = spark.sql(q)
+        assert(df.collect().length === 1001)
         assert(countShuffles(df) > 0,
           "stale bucket promise: SPJ planned over a broken layout:\n" +
             df.queryExecution.executedPlan)
@@ -124,10 +141,21 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
       a.bucketize(8, "k")
       withSpj {
         val df = spark.sql(q)
-        assert(df.collect().length === 1000)
+        assert(df.collect().length === 1001)
         assert(countShuffles(df) === 0, df.queryExecution.executedPlan.toString)
       }
     } finally ()
+  }
+
+  test("OPTIMIZE ... BUCKET BY (col, n) drives bucketize through SQL") {
+    val wh = Files.createTempDirectory("spj_sql_").toString
+    val t = new IncrementalTable(spark, s"$wh/t")
+    t.append((0L until 100L).map(k => (k, k * 2)).toDF("k", "v"))
+    val out = spark.sql(s"OPTIMIZE '$wh/t' BUCKET BY (k, 4)").collect()
+    assert(out.head.getString(1) === "bucketize[4,k]")
+    val files = t.files(t.latestVersion.get)
+    assert(files.nonEmpty && files.forall(_.startsWith("__jbucket=")), files.take(3))
+    assert(t.snapshot().count() === 100L)
   }
 
   test("bucketize round-trips content exactly and is stats-scannable") {
