@@ -1744,10 +1744,8 @@ final class IncrementalTable(
   private def stageForLayout(df: DataFrame): Seq[String] =
     latestVersion.flatMap(joinBucketSpecAt) match {
       case Some((n, c)) if df.columns.contains(c) =>
-        import org.apache.spark.sql.functions.{col => fcol, hash, lit, pmod}
-        stagePartitioned(df
-          .withColumn(IncrementalTable.JoinBucketCol,
-            pmod(hash(fcol(c)), lit(n)))
+        import org.apache.spark.sql.functions.{col => fcol}
+        stagePartitioned(withJoinBucket(df, n, c)
           // one task per present bucket: without this, every input
           // partition writes a file per bucket it touches (up to
           // tasks x n small files per append)
@@ -2178,20 +2176,34 @@ final class IncrementalTable(
   def bucketize(buckets: Int, column: String): Long = {
     require(buckets >= 2 && buckets <= 4096,
       s"buckets=$buckets must be in [2, 4096]")
+    require(IncrementalTable.saneColumnName(column),
+      s"bucketize: column '$column' must be a plain identifier " +
+        "(it is encoded into the bucket directory names)")
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"empty table $path"))
     require(schemaAt(v).exists(_.fieldNames.contains(column)),
       s"bucketize: no column '$column' at $path")
-    import org.apache.spark.sql.functions.{col => fcol, hash, lit, pmod}
-    val df = snapshotHead(v).withColumn(IncrementalTable.JoinBucketCol,
-      pmod(hash(fcol(column)), lit(buckets)))
-    val added = stagePartitioned(df, IncrementalTable.JoinBucketCol)
+    val added = stagePartitioned(
+      withJoinBucket(snapshotHead(v), buckets, column),
+      IncrementalTable.JoinBucketCol)
     commitFiles(added, files(v).toSet, s"bucketize[$buckets,$column]",
-      schema = Some(org.apache.spark.sql.types.StructType(
-        df.schema.filterNot(_.name == IncrementalTable.JoinBucketCol))),
+      schema = schemaAt(v),
       readVersion = Some(v), dropMeta = Set("dv"),
       meta = Map("datachange" -> "false",
         IncrementalTable.JoinBucketMetaKey -> s"$buckets+$column"))
+  }
+
+  /** `df` plus the bucket PARTITION VALUE column: `<col>-<n>-<k>` with
+    * `k = pmod(hash(col), n)`. The value encodes the full bucket SPEC,
+    * so a scan derives (column, n) from the very directories it serves
+    * — a version bucketized under an older spec can never be grouped
+    * under a newer one (the spec rides the files, not the mutable
+    * head meta).
+    */
+  private def withJoinBucket(df: DataFrame, buckets: Int, column: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => fcol, concat, hash, lit, pmod}
+    df.withColumn(IncrementalTable.JoinBucketCol,
+      concat(lit(s"$column-$buckets-"), pmod(hash(fcol(column)), lit(buckets))))
   }
 
   /** The declared (buckets, column) at version `v` — meta only; the

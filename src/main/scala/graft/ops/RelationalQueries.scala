@@ -798,27 +798,25 @@ object RelationalQueries {
       .select("l_orderkey", "l_quantity")), "l_orderkey")
     buildIfNeeded("ord", _.append(Tables.load(spark, dir, "orders")
       .select("o_orderkey", "o_orderpriority")), "o_orderkey")
-    // catalog name carries the content key: CatalogManager caches
-    // plugin instances BY NAME, so a fixed name could keep serving a
-    // previously-initialized warehouse in long-lived JVMs
+    // an ISOLATED child session: the SPJ confs and catalog
+    // registration live and die with it, never leaking into other
+    // queries' planning (and its fresh CatalogManager sidesteps the
+    // by-name plugin cache entirely); the checkpointed result frame
+    // shares the context, so callers read it normally
+    val s2 = spark.newSession()
     val cat = s"graft_spj_$key"
-    spark.conf.set(s"spark.sql.catalog.$cat",
+    s2.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      spark.sql(
-        s"""SELECT o.o_orderpriority AS prio, count(*) AS n_lines,
-           |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-           |FROM $cat.li l JOIN $cat.ord o
-           |  ON l.l_orderkey = o.o_orderkey
-           |GROUP BY o.o_orderpriority ORDER BY prio""".stripMargin)
-        .localCheckpoint()
-    } finally {
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
-    }
+    s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.sql(
+      s"""SELECT o.o_orderpriority AS prio, count(*) AS n_lines,
+         |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |FROM $cat.li l JOIN $cat.ord o
+         |  ON l.l_orderkey = o.o_orderkey
+         |GROUP BY o.o_orderpriority ORDER BY prio""".stripMargin)
+      .localCheckpoint()
   }
 
   /** Dynamic file pruning as a gated query: lineitem lands in a graft

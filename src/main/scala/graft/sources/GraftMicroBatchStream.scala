@@ -425,34 +425,40 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
     val spark = SparkSession.active
     if (!spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
       return None
-    val table = new IncrementalTable(spark, info.path)
-    val spec = table.latestVersion.flatMap(table.joinBucketSpecAt) match {
-      case Some((n, c)) => GraftBucketSpec(n, c)
-      case None => return None
-    }
-    // the transform references the bucket column: only report it when
-    // the column survived pruning into this scan's schema (a join on
-    // it always keeps it)
-    if (!inner.readSchema().fieldNames.contains(spec.column)) return None
+    // the spec is parsed from the directory values the scan's OWN
+    // files live under (`__jbucket=<col>-<n>-<k>/`), never from the
+    // table's head meta: a time-traveled version bucketized under an
+    // OLDER spec must group under that spec or not at all — grouping
+    // v5's mod-8 files as bucket(16, col) would silently lose matches
     val re = (java.util.regex.Pattern.quote(IncrementalTable.JoinBucketCol) +
-      "=(\\d+)/").r
+      "=([A-Za-z_][A-Za-z0-9_]*)-(\\d+)-(\\d+)/").r
     val files = inner.toBatch.planInputPartitions().toSeq.flatMap {
       case fp: FilePartition => fp.files.toSeq
       case _ => return None // not a parquet file batch — fail open
     }
     if (files.isEmpty) return None
+    var spec: GraftBucketSpec = null
     val byBucket = scala.collection.mutable.LinkedHashMap
       .empty[Int, scala.collection.mutable.ArrayBuffer[
         org.apache.spark.sql.execution.datasources.PartitionedFile]]
     files.foreach { f =>
-      val k = re.findFirstMatchIn(f.filePath.toString) match {
-        case Some(m) => m.group(1).toInt
+      val (fSpec, k) = re.findFirstMatchIn(f.filePath.toString) match {
+        case Some(m) => (GraftBucketSpec(m.group(2).toInt, m.group(1)),
+          m.group(3).toInt)
         case None => return None // a plain-staged file: bucketing is broken
       }
+      if (spec == null) spec = fSpec
+      // a mixed-spec file set (append under a newer spec racing a
+      // re-bucketize) has no single valid grouping
+      else if (spec != fSpec) return None
       if (k < 0 || k >= spec.n) return None
       byBucket.getOrElseUpdate(k,
         scala.collection.mutable.ArrayBuffer.empty) += f
     }
+    // the transform references the bucket column: only report it when
+    // the column survived pruning into this scan's schema (a join on
+    // it always keeps it)
+    if (!inner.readSchema().fieldNames.contains(spec.column)) return None
     val groups = byBucket.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((b, fs), i) => b -> FilePartition(i, fs.toArray)
     }

@@ -126,6 +126,28 @@ class RuntimeFilePruningSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("STRING join keys prune too (v2 literals arrive as UTF8String)") {
+    val dir = Files.createTempDirectory("dfp_s_").toString + "/fact"
+    val t = new IncrementalTable(spark, dir)
+    (0 until 8).foreach { i =>
+      val lo = i * 100
+      t.append((lo until lo + 100).map(n => (f"k$n%04d", n))
+        .toDF("sk", "n").coalesce(1))
+    }
+    val fact = spark.read.format("graft").load(dir)
+    val dimPath = Files.createTempDirectory("dfp_sdim_").toString + "/dim"
+    Seq(("k0005", "keep"), ("k0205", "keep"), ("k0650", "drop"))
+      .toDF("dk", "tag").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(dim.filter($"tag" === "keep"), $"sk" === $"dk")
+      .select($"sk", $"n")
+    assert(joined.collect().map(r => (r.getString(0), r.getInt(1))).sorted
+      .toSeq === Seq(("k0005", 5), ("k0205", 205)))
+    val stats = graftScans(joined).flatMap(_.pruneStats)
+    assert(stats.headOption.contains((8, 2)),
+      s"string-key pruning missing: $stats")
+  }
+
   test("an empty build side prunes every file and still answers (zero rows)") {
     val (dir, _) = rangedFact()
     val fact = spark.read.format("graft").load(dir)

@@ -158,6 +158,37 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     assert(t.snapshot().count() === 100L)
   }
 
+  test("a time-traveled version keeps ITS OWN bucket spec: a re-bucketize " +
+    "with a different n can never mis-group the old files") {
+    val wh = Files.createTempDirectory("spj_tt_").toString
+    val a = new IncrementalTable(spark, s"$wh/ta")
+    a.append((0L until 2000L).map(k => (k, s"a$k")).toDF("k", "va"))
+    a.bucketize(8, "k")
+    val v8 = a.latestVersion.get
+    a.bucketize(4, "k") // head now mod-4; v8's files stay mod-8
+    val b = new IncrementalTable(spark, s"$wh/tb")
+    b.append((0L until 2000L by 2L).map(k => (k, k * 10)).toDF("k", "vb"))
+    b.bucketize(4, "k")
+    val cat = registerCat(wh)
+    withSpj {
+      // old-spec side (bucket(8)) vs new-spec side (bucket(4)): the
+      // specs are incompatible, so Spark must fall back to a shuffled
+      // join — every match survives (the stale-head-meta bug would
+      // have grouped v8's mod-8 files as bucket(4) and lost rows)
+      val joined = spark.sql(
+        s"""SELECT a.k, a.va, b.vb FROM $cat.ta VERSION AS OF $v8 a
+           |JOIN $cat.tb b ON a.k = b.k""".stripMargin)
+      assert(joined.count() === 1000L)
+      // and the old version STILL storage-partition-joins with itself
+      val selfJ = spark.sql(
+        s"""SELECT a.k, a.va, b.va AS va2
+           |FROM $cat.ta VERSION AS OF $v8 a
+           |JOIN $cat.ta VERSION AS OF $v8 b ON a.k = b.k""".stripMargin)
+      assert(selfJ.collect().length === 2000)
+      assert(countShuffles(selfJ) === 0, selfJ.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("bucketize round-trips content exactly and is stats-scannable") {
     val wh = Files.createTempDirectory("spj_rt_").toString
     val t = new IncrementalTable(spark, s"$wh/t")
