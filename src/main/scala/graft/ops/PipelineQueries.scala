@@ -170,6 +170,20 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Model-based quality filtering ([[graft.text.QualityClassifier]]):
+    * a Naive Bayes classifier TRAINED on the corpus's own weak labels
+    * (here `lang = 'en'`) and applied back over every document —
+    * counting-only training (one vocabulary shuffle, bounded
+    * 4096-token model via distributed top-k), broadcast-join scoring
+    * with pre-quantized milli-nat LLRs so each document's score is an
+    * exact integer sum. The full train+score arc replays in SQL.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    graft.text.QualityClassifier.naiveBayesScores(
+      Tables.load(spark, dir, "documents"), "doc_id", "text",
+      col("lang") === "en")
+      .orderBy("doc_id")
+
   /** Per-source token budgets for `select_token_budget` — like
     * [[mixWeights]], the ONE config both the Spark CASE column and the
     * oracle CASE chain interpolate.
@@ -1317,6 +1331,40 @@ object PipelineQueries {
          |$qualityCte
          |SELECT doc_id, token_cnt, mwl_milli, stop_hits, punct_milli, score_milli
          |FROM quality ORDER BY doc_id""".stripMargin,
+    "quality_classifier" ->
+      raw"""WITH ctoks AS (
+         |  SELECT doc_id, CAST(lang = 'en' AS INT) AS y, t AS tok
+         |  FROM (SELECT doc_id, lang,
+         |          string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS tk
+         |        FROM documents), unnest(tk) AS u(t)
+         |  WHERE length(t) > 0),
+         |counts AS (
+         |  SELECT tok, CAST(sum(y) AS BIGINT) AS pos, count(*) AS tot
+         |  FROM ctoks GROUP BY 1 HAVING count(*) >= 3),
+         |kept AS (SELECT * FROM counts ORDER BY tot DESC, tok LIMIT 4096),
+         |tots AS (SELECT sum(pos) AS posTot, sum(tot - pos) AS negTot,
+         |                count(*) AS v FROM kept),
+         |model AS (
+         |  SELECT tok,
+         |         CAST(round((ln((pos + 1) / CAST(posTot + v AS DOUBLE)) -
+         |                     ln((tot - pos + 1) / CAST(negTot + v AS DOUBLE))) * 1000)
+         |              AS BIGINT) AS llr_milli
+         |  FROM kept, tots),
+         |prior AS (
+         |  SELECT CAST(round(ln((sum(CAST(lang = 'en' AS INT)) + 1) /
+         |           CAST(count(*) - sum(CAST(lang = 'en' AS INT)) + 1 AS DOUBLE)) * 1000)
+         |         AS BIGINT) AS prior_milli
+         |  FROM documents),
+         |ds AS (
+         |  SELECT t.doc_id, CAST(sum(m.llr_milli) AS BIGINT) AS tok_milli
+         |  FROM ctoks t JOIN model m USING (tok) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(ds.tok_milli, 0) + prior.prior_milli AS score_milli,
+         |       CAST(d.lang = 'en' AS INT) AS weak_label,
+         |       CASE WHEN COALESCE(ds.tok_milli, 0) + prior.prior_milli > 0
+         |            THEN 1 ELSE 0 END AS pred
+         |FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id, prior
+         |ORDER BY d.doc_id""".stripMargin,
     "select_token_budget" -> {
       // the oracle interpolates the SAME driver-resolved budget longs
       // the Spark CASE column carries (Curation.budgetCol)
@@ -2156,6 +2204,7 @@ object PipelineQueries {
     "mix_sources" -> mixSources _,
     "split_dataset" -> splitDataset _,
     "quality_score" -> qualityScore _,
+    "quality_classifier" -> qualityClassifier _,
     "select_token_budget" -> selectTokenBudget _,
     "winnow_fingerprints" -> winnowFingerprints _,
     "winnow_overlap" -> winnowOverlap _,
