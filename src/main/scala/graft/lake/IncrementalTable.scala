@@ -2209,7 +2209,7 @@ final class IncrementalTable(
   /** The declared (buckets, column) at version `v` — meta only; the
     * scan performs the structural file check on top.
     */
-  private[graft] def joinBucketSpecAt(v: Long): Option[(Int, String)] =
+  def joinBucketSpecAt(v: Long): Option[(Int, String)] =
     metaAt(v).get(IncrementalTable.JoinBucketMetaKey).flatMap { s =>
       s.split("\\+", 2) match {
         case Array(n, c) => scala.util.Try(n.toInt).toOption.map(_ -> c)
@@ -3382,7 +3382,7 @@ object IncrementalTable {
     * distinct from the SCD layout's `__bucket` on purpose: the two
     * layouts have different pruning and clone semantics.
     */
-  private[graft] val JoinBucketCol = "__jbucket"
+  val JoinBucketCol = "__jbucket"
   /** Manifest meta key holding `"<buckets>+<column>"` (meta values
     * cannot carry `:` — the pair parser owns it).
     */

@@ -385,6 +385,13 @@ case class DescribeDetailGraftCommand(target: String)
         Some(s"graft.writeOrder=${t.writeOrder.mkString(",")}") else None,
       if (t.typeWideningEnabled)
         Some("graft.enableTypeWidening=true") else None,
+      t.joinBucketSpecAt(v).map { case (n, c) =>
+        val live = fls.forall(_.startsWith(
+          graft.lake.IncrementalTable.JoinBucketCol + "="))
+        // a broken layout (plain-staged files since the last
+        // bucketize) is reported as such — the scan will not SPJ it
+        s"graft.bucketBy=$c,$n${if (live) "" else " (layout broken)"}"
+      },
       if (rf.nonEmpty)
         Some(s"readerFeatures=${rf.toSeq.sorted.mkString(",")}") else None,
       if (t.constraints.nonEmpty)

@@ -147,7 +147,8 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     } finally ()
   }
 
-  test("OPTIMIZE ... BUCKET BY (col, n) drives bucketize through SQL") {
+  test("OPTIMIZE ... BUCKET BY (col, n) drives bucketize through SQL; " +
+    "DESCRIBE DETAIL reports the spec and its structural health") {
     val wh = Files.createTempDirectory("spj_sql_").toString
     val t = new IncrementalTable(spark, s"$wh/t")
     t.append((0L until 100L).map(k => (k, k * 2)).toDF("k", "v"))
@@ -156,6 +157,25 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     val files = t.files(t.latestVersion.get)
     assert(files.nonEmpty && files.forall(_.startsWith("__jbucket=")), files.take(3))
     assert(t.snapshot().count() === 100L)
+    def props() = spark.sql(s"DESCRIBE DETAIL '$wh/t'")
+      .collect().head.getString(7)
+    assert(props().contains("graft.bucketBy=k,4"), props())
+    assert(!props().contains("layout broken"), props())
+    t.compact(1) // plain-staged rewrite breaks the layout
+    assert(props().contains("graft.bucketBy=k,4 (layout broken)"), props())
+  }
+
+  test("a direct GROUP BY on the bucket column aggregates WITHOUT a shuffle") {
+    val (wh, _, _) = mkTables()
+    val cat = registerCat(wh)
+    withSpj {
+      val df = spark.sql(
+        s"SELECT k, count(*) AS n FROM $cat.ta GROUP BY k")
+      assert(df.collect().length === 2000)
+      assert(countShuffles(df) === 0,
+        "bucket-clustered aggregation should reuse the key grouping:\n" +
+          df.queryExecution.executedPlan)
+    }
   }
 
   test("a time-traveled version keeps ITS OWN bucket spec: a re-bucketize " +
