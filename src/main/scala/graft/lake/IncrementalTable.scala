@@ -2183,9 +2183,16 @@ final class IncrementalTable(
       throw new IllegalStateException(s"empty table $path"))
     require(schemaAt(v).exists(_.fieldNames.contains(column)),
       s"bucketize: no column '$column' at $path")
-    val added = stagePartitioned(
-      withJoinBucket(snapshotHead(v), buckets, column),
-      IncrementalTable.JoinBucketCol)
+    // one task per bucket — without this, every snapshot partition
+    // writes a file per bucket it touches (tasks x n small files).
+    // Oversized per-bucket files at scale split via the session's
+    // spark.sql.files.maxRecordsPerFile, which the staged write obeys.
+    val arranged = {
+      import org.apache.spark.sql.functions.{col => fcol}
+      withJoinBucket(snapshotHead(v), buckets, column)
+        .repartition(buckets, fcol(IncrementalTable.JoinBucketCol))
+    }
+    val added = stagePartitioned(arranged, IncrementalTable.JoinBucketCol)
     commitFiles(added, files(v).toSet, s"bucketize[$buckets,$column]",
       schema = schemaAt(v),
       readVersion = Some(v), dropMeta = Set("dv"),
