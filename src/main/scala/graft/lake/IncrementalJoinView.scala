@@ -121,6 +121,13 @@ final class IncrementalJoinView private (
   private val distincts: Seq[(String, String)] = aggs.collect {
     case (n, s) if isCountDistinct(s) => n -> countDistinctArg(s)
   }
+  /** Each distinct count's argument EXPRESSIONS (multi-column
+    * `count(distinct a, b)` splits on top-level commas; a row
+    * contributes iff every argument is non-null). */
+  private val distinctArgs: Map[String, Seq[String]] =
+    distincts.map { case (n, a) =>
+      n -> IncrementalJoinView.splitDistinctArgs(a)
+    }.toMap
   private val cntName: String = aggs.collectFirst {
     case (n, s) if normSql(s) == "count(1)" => n
   }.getOrElse(throw new IllegalArgumentException(
@@ -167,8 +174,9 @@ final class IncrementalJoinView private (
           extremes.map { case (n, arg, isMax) =>
             if (isMax) max(expr(arg)).as(n) else min(expr(arg)).as(n)
           } ++
-          distincts.map { case (n, arg) =>
-            countDistinct(expr(arg)).as(n)
+          distincts.map { case (n, _) =>
+            val as = distinctArgs(n).map(expr)
+            countDistinct(as.head, as.tail: _*).as(n)
           })
     df.groupBy(groupCols.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
   }
@@ -298,10 +306,14 @@ final class IncrementalJoinView private (
             Seq((if (isMax) max(ins) else min(ins)).as(s"__dins_$n"),
               (if (isMax) max(del) else min(del)).as(s"__ddel_$n"))
           } ++
-          distincts.map { case (n, arg) =>
-            // any non-null argument — insert OR delete — makes the
-            // group's distinct count unknowable from the view alone
-            max(when(expr(arg).isNotNull, lit(1)).otherwise(lit(0)))
+          distincts.map { case (n, _) =>
+            // any VISIBLE row — every argument non-null, insert OR
+            // delete — makes the group's distinct count unknowable
+            // from the view alone (all-null-in-any-arg rows never
+            // contribute a tuple and never flag)
+            val visible = distinctArgs(n).map(expr(_).isNotNull)
+              .reduce(_ && _)
+            max(when(visible, lit(1)).otherwise(lit(0)))
               .as(s"__dtouch_$n")
           })
     val delta = joined(changes.withColumn("__w", weight))
@@ -533,6 +545,38 @@ object IncrementalJoinView {
     case CountDistinctRe(a) => a
   }
 
+  /** `count(distinct a, b)`'s argument list, split on TOP-LEVEL commas
+    * only (paren-depth and quote aware, so `concat(a, b), c` splits
+    * into two arguments, not three). Multi-argument distinct counts a
+    * row iff EVERY argument is non-null — Spark's `Count` semantics —
+    * which both the stored aggregate and the delta touch-flag honor.
+    */
+  private[lake] def splitDistinctArgs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) {
+        sb += c
+        if (c == '\\' && quote != '`' && i + 1 < s.length) {
+          sb += s(i + 1); i += 1
+        } else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; sb += c
+        case '(' | '[' => depth += 1; sb += c
+        case ')' | ']' => depth -= 1; sb += c
+        case ',' if depth == 0 => out += sb.toString; sb.clear()
+        case _ => sb += c
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim)
+  }
+
   private def sumArg(sql: String): String = fnArg(sql, "sum")
 
   private def fnArg(sql: String, fn: String): String = {
@@ -579,19 +623,20 @@ object IncrementalJoinView {
           "insert, affected-group recompute on an extreme-deleting " +
           "delete; distinct counts by affected-group recompute)")
     }
-    // a multi-column `count(distinct a, b)` captures `a, b` as the arg,
-    // which is not ONE expression — it would only fail much later, as an
-    // opaque ParseException inside the first materialization. Validate
-    // here with the remediation in the message (struct-packing the
-    // columns IS a single expression and flows through the whole
-    // affected-group machinery unchanged).
+    // multi-column `count(distinct a, b)` is supported (a row counts
+    // iff EVERY argument is non-null — Spark's Count semantics; the
+    // affected-group recompute machinery is argument-count agnostic),
+    // but each top-level-comma piece must itself parse — otherwise the
+    // failure would surface much later as an opaque ParseException
+    // inside the first materialization.
     aggs.filter(a => isCountDistinct(a._2)).foreach { case (n, s) =>
-      val a = countDistinctArg(s)
-      require(scala.util.Try(
-        spark.sessionState.sqlParser.parseExpression(a)).isSuccess,
-        s"join view aggregate '$n' is 'count(distinct $a)' — the distinct " +
-          "argument must be a single expression; to count distinct " +
-          s"column tuples use count(distinct struct($a))")
+      val raw = countDistinctArg(s)
+      val pieces = splitDistinctArgs(raw)
+      require(pieces.nonEmpty && pieces.forall(p => p.nonEmpty &&
+        scala.util.Try(
+          spark.sessionState.sqlParser.parseExpression(p)).isSuccess),
+        s"join view aggregate '$n' is 'count(distinct $raw)' — every " +
+          "comma-separated distinct argument must parse as an expression")
     }
     val t = new IncrementalTable(spark, path)
     require(!t.exists, s"join view table already exists at $path — use open()")

@@ -882,6 +882,98 @@ final class IncrementalTable(
     } catch { case scala.util.control.NonFatal(_) => all }
   }
 
+  /** Metadata-only aggregate answers over exactly the files in
+    * `names`, computed from the stats sidecar without touching a data
+    * byte — the engine behind the connector's DSv2 aggregate pushdown
+    * (`SELECT count(*) / min(k) / max(k) FROM t` answered from one
+    * pass over the one-row-per-file stats table; Delta and Iceberg
+    * answer the same queries from their commit-log stats).
+    *
+    * Eligibility IS the correctness proof, so the method returns
+    * `None` — caller falls back to a real scan — unless EVERY named
+    * file has exactly one stats row whose referenced columns are
+    * complete: `num_rows` present everywhere (row/non-null counts),
+    * and for each bound column either real (min, max) values or a
+    * provably all-null file (`nulls == num_rows`; a missing bound with
+    * any other null count means the footer was unreadable and the true
+    * extreme is unknowable). Footer chunk statistics are EXACT for the
+    * types the harvest admits, so an eligible answer equals the
+    * scan's.
+    *
+    * @param names         manifest file entries to aggregate over
+    * @param nonNullCounts columns whose `count(col)` is wanted
+    * @param bounds        (column, isMax) extremes wanted
+    * @return (total rows, col -> non-null count,
+    *         (col, isMax) -> bound value (null = no non-null rows)),
+    *         values typed as the stats store's external rows
+    */
+  private[graft] def statsAggregateForNames(
+      names: Seq[String],
+      nonNullCounts: Seq[String],
+      bounds: Seq[(String, Boolean)])
+      : Option[(Long, Map[String, Long], Map[(String, Boolean), Any])] = {
+    import org.apache.spark.sql.functions.{broadcast, col, count,
+      countDistinct, lit, max, min, sum, when}
+    val nnCols = nonNullCounts.distinct
+    val boundCols = bounds.map(_._1).distinct
+    if (names.isEmpty)
+      return Some((0L, nnCols.map(_ -> 0L).toMap,
+        bounds.distinct.map(b => b -> (null: Any)).toMap))
+    recoverSidecar(statsDir)
+    if (!fs.exists(statsDir)) return None
+    try {
+      val stats0 = readStatsStore()
+      val have = stats0.columns.toSet
+      val needed = nnCols.map(c => s"nulls_$c") ++
+        boundCols.flatMap(c => Seq(s"min_$c", s"max_$c", s"nulls_$c"))
+      if (!needed.forall(have)) return None
+      // restrict to this scan's file list (broadcast semi-join, not an
+      // In-literal — the list can be ~10^6 entries at scale)
+      val wanted =
+        if (names.size <= 256) stats0.filter(col("file").isInCollection(names))
+        else {
+          import spark.implicits._
+          stats0.join(broadcast(names.toDF("file")), Seq("file"), "left_semi")
+        }
+      val aggs =
+        Seq(count(col("file")).as("__n"),
+          countDistinct(col("file")).as("__nd"),
+          count(col("num_rows")).as("__nrn"),
+          sum(col("num_rows")).as("__rows")) ++
+        nnCols.flatMap(c => Seq(
+          count(col(s"nulls_$c")).as(s"__cn_$c"),
+          sum(col(s"nulls_$c")).as(s"__nulls_$c"))) ++
+        boundCols.flatMap(c => Seq(
+          // a missing bound is ignorable ONLY for a provably all-null
+          // file; isNull-first keeps a poisoned row (all three null)
+          // from three-valued-logic'ing its way past the check
+          sum(when(col(s"min_$c").isNull &&
+              (col(s"nulls_$c").isNull ||
+                col(s"nulls_$c") =!= col("num_rows")), lit(1L))
+            .otherwise(lit(0L))).as(s"__bad_$c"),
+          min(col(s"min_$c")).as(s"__min_$c"),
+          max(col(s"max_$c")).as(s"__max_$c")))
+      val r = wanted.agg(aggs.head, aggs.tail: _*).collect().head
+      def l(n: String): Long = {
+        val i = r.fieldIndex(n)
+        if (r.isNullAt(i)) 0L else r.getLong(i)
+      }
+      val n = names.size.toLong
+      // one row per named file, no more (a doubled harvest would
+      // double-count), no fewer (a stats-less file is unanswerable)
+      if (l("__n") != n || l("__nd") != n || l("__nrn") != n) return None
+      if (nnCols.exists(c => l(s"__cn_$c") != n)) return None
+      if (boundCols.exists(c => l(s"__bad_$c") != 0L)) return None
+      val rows = l("__rows")
+      val nn = nnCols.map(c => c -> (rows - l(s"__nulls_$c"))).toMap
+      val bs = bounds.distinct.map { case (c, isMax) =>
+        val i = r.fieldIndex(if (isMax) s"__max_$c" else s"__min_$c")
+        (c, isMax) -> (if (r.isNullAt(i)) null else r.get(i))
+      }.toMap
+      Some((rows, nn, bs))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   private def recordStats(df: DataFrame, named: Seq[String]): Unit =
     if (collectStats && named.nonEmpty) {
       val withPaths = named.map(n => n -> new Path(dataDir, n).toString)

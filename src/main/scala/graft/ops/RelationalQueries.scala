@@ -762,6 +762,35 @@ object RelationalQueries {
       .orderBy("doc_id")
   }
 
+  /** Metadata-only aggregates: lineitem lands in a 4-file graft table
+    * and the global `count(*) / min / max / count(col)` over the
+    * unfiltered scan is answered from the per-file stats sidecar —
+    * planned as a driver-local one-row scan, zero data files read
+    * ([[graft.sources]] DSv2 aggregate pushdown;
+    * `StatsAggregatePushdownSpec` pins the plan shape, this query
+    * oracles the VALUES end-to-end against plain SQL). At 100 TB this
+    * is the difference between milliseconds and a full-table scan for
+    * the most common dashboard probe there is.
+    */
+  def lakeStatsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified).hashCode)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_aggpd_$key"
+    val t = new graft.lake.IncrementalTable(spark, path)
+    if (!t.exists) {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag")
+      (0 until 4).foreach(i =>
+        t.append(li.filter(col("l_orderkey") % 4 === i).coalesce(1)))
+    }
+    spark.read.format("graft").load(path)
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("mn_key"), max("l_orderkey").as("mx_key"),
+        min("l_shipdate").as("mn_ship"), max("l_shipdate").as("mx_ship"),
+        count("l_returnflag").as("n_flag"))
+  }
+
   /** Storage-partitioned join as a gated query: lineitem and orders
     * each land in a graft table `bucketize`d 8-ways on the join key
     * ([[graft.lake.IncrementalTable.bucketize]] — same murmur3 bucket
@@ -870,6 +899,11 @@ object RelationalQueries {
         |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lake_stats_agg" ->
+      """SELECT count(*) AS n_rows, min(l_orderkey) AS mn_key,
+        |  max(l_orderkey) AS mx_key, min(l_shipdate) AS mn_ship,
+        |  max(l_shipdate) AS mx_ship, count(l_returnflag) AS n_flag
+        |FROM lineitem""".stripMargin,
     "lake_dfp_join" ->
       """SELECT l.l_orderkey, count(*) AS n_lines,
         |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -1213,6 +1247,7 @@ object RelationalQueries {
     "lake_zorder_scan" -> lakeZorderScan _,
     "lake_dfp_join" -> lakeDfpJoin _,
     "lake_spj_join" -> lakeSpjJoin _,
+    "lake_stats_agg" -> lakeStatsAgg _,
     "lake_bloom_scan" -> lakeBloomScan _,
     "q18_large_orders" -> q18LargeOrders _,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,

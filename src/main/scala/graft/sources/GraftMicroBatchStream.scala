@@ -580,18 +580,25 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
           .quoted(colName), lits.toSeq)))
   }
 
-  /** Manifest file name -> [[ScanPruneBridge.normPath]] identity. */
-  private def dataFileNorm(spark: SparkSession, name: String): String = {
+  private def dataFileNorm(spark: SparkSession, name: String): String =
+    GraftStreamScan.dataFileNorm(spark, info.path, name)
+}
+
+private[sources] object GraftStreamScan {
+
+  /** Manifest file name -> [[ScanPruneBridge.normPath]] identity
+    * (entries prefixed `ext:` are absolute URIs — shallow-clone
+    * references into another table's data). */
+  private[sources] def dataFileNorm(
+      spark: SparkSession, root: String, name: String): String = {
     val p =
       if (name.startsWith("ext:")) new Path(name.stripPrefix("ext:"))
-      else new Path(new Path(info.path, "data"), name)
+      else new Path(new Path(root, "data"), name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     org.apache.spark.sql.graftbridge.ScanPruneBridge
       .normPath(fs.makeQualified(p))
   }
-}
 
-private[sources] object GraftStreamScan {
   /** Types the per-file min/max stats store can order — the columns
     * worth advertising as runtime-filterable. */
   private[sources] def statsFilterable(
@@ -620,12 +627,18 @@ private[sources] final class GraftStreamScanBuilder(
     with SupportsPushDownAggregates
     with SupportsPushDownVariantExtractions {
 
-  override def build(): Scan = new GraftStreamScan(inner.build(), info)
-
-  override def pruneColumns(requiredSchema: StructType): Unit = inner match {
-    case c: SupportsPushDownRequiredColumns => c.pruneColumns(requiredSchema)
-    case _ => ()
+  override def build(): Scan = statsAnswer match {
+    case Some(s) => s
+    case None => new GraftStreamScan(inner.build(), info)
   }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // after a complete stats-aggregate pushdown the requested schema is
+    // the AGGREGATE's output — meaningless to the parquet builder
+    if (statsAnswer.isDefined) () else inner match {
+      case c: SupportsPushDownRequiredColumns => c.pruneColumns(requiredSchema)
+      case _ => ()
+    }
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = inner match {
     case f: SupportsPushDownCatalystFilters => f.pushFilters(filters)
     case _ => filters
@@ -634,17 +647,170 @@ private[sources] final class GraftStreamScanBuilder(
     case f: SupportsPushDownCatalystFilters => f.pushedFilters
     case _ => Array.empty
   }
-  override def pushAggregation(aggregation: Aggregation): Boolean = inner match {
-    case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
-    case _ => false
+  // ---- metadata-only aggregate pushdown: a global
+  // count(*)/count(col)/min(col)/max(col) over an unfiltered graft
+  // scan is answered from the per-file stats sidecar (one aggregation
+  // over one row per file — no data byte read), served as a driver-
+  // local one-row scan. Delta and Iceberg answer the same queries from
+  // commit-log stats; at 100 TB this is the difference between
+  // milliseconds and a full-table scan. Eligibility is proved by
+  // [[IncrementalTable.statsAggregateForNames]] over EXACTLY the file
+  // set this scan resolved; any doubt falls back to the real scan
+  // (then to the parquet builder's own footer-level pushdown). ----
+
+  private var statsAnswer: Option[GraftStatsLocalScan] = None
+  private var statsTried: Option[(Aggregation, Option[GraftStatsLocalScan])] = None
+
+  private def tryStatsAggregate(agg: Aggregation): Option[GraftStatsLocalScan] = {
+    statsTried match {
+      case Some((a, r)) if a == agg => return r
+      case _ => ()
+    }
+    val r = try computeStatsAggregate(agg)
+    catch { case scala.util.control.NonFatal(_) => None }
+    statsTried = Some((agg, r))
+    r
   }
-  override def supportCompletePushDown(aggregation: Aggregation): Boolean = inner match {
-    case a: SupportsPushDownAggregates => a.supportCompletePushDown(aggregation)
-    case _ => false
+
+  private def computeStatsAggregate(agg: Aggregation): Option[GraftStatsLocalScan] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types._
+    val spark = SparkSession.active
+    if (info.readChangeFeed) return None
+    if (!spark.conf.get("spark.graft.aggregatePushdown.enabled", "true").toBoolean)
+      return None
+    if (agg.groupByExpressions().nonEmpty) return None
+    if (agg.aggregateExpressions().isEmpty) return None
+    val builtInner = inner.build()
+    val schema = builtInner.readSchema()
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def fieldType(c: String): Option[DataType] =
+      schema.fields.find(_.name == c).map(_.dataType)
+    // bounds demand EXACT footer stats: integral/date/timestamp only.
+    // Strings (writer-side truncation, non-ASCII degrade) and floats
+    // (NaN outranks every stats bound under Spark's ordering) are out.
+    // Counts only need exact null counts, which every harvested type
+    // carries.
+    def boundType(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    def countType(t: DataType): Boolean = boundType(t) || (t match {
+      case StringType | FloatType | DoubleType => true
+      case _ => false
+    })
+    sealed trait Want
+    case object WRows extends Want
+    final case class WCount(c: String) extends Want
+    final case class WBound(c: String, isMax: Boolean) extends Want
+    val wants: Array[(Want, DataType)] =
+      agg.aggregateExpressions().map {
+        case _: CountStar => (WRows, LongType)
+        case c: Count if !c.isDistinct =>
+          c.column() match {
+            case l: V2Literal[_] if l.value != null => (WRows, LongType)
+            case e => colOf(e) match {
+              case Some(n) if fieldType(n).exists(countType) =>
+                (WCount(n), LongType)
+              case _ => return None
+            }
+          }
+        case m: Min =>
+          colOf(m.column()).flatMap(n => fieldType(n).filter(boundType)
+            .map(t => (WBound(n, isMax = false), t): (Want, DataType)))
+            .getOrElse(return None)
+        case m: Max =>
+          colOf(m.column()).flatMap(n => fieldType(n).filter(boundType)
+            .map(t => (WBound(n, isMax = true), t): (Want, DataType)))
+            .getOrElse(return None)
+        case _ => return None
+      }
+    // the EXACT files this scan resolved, as manifest entries. Names
+    // resolve through the current manifest (covers ext: shallow-clone
+    // references) with a structural data/-prefix fallback; any path
+    // neither resolves is not provably this table's — fail open.
+    val scanned = org.apache.spark.sql.graftbridge.ScanPruneBridge
+      .scanFiles(builtInner).getOrElse(return None)
+      .map(org.apache.spark.sql.graftbridge.ScanPruneBridge.normPath)
+    val table = new IncrementalTable(spark, info.path)
+    val byNorm: Map[String, String] = table.latestVersion
+      .map(v => table.files(v)
+        .map(n => GraftStreamScan.dataFileNorm(spark, info.path, n) -> n)
+        .toMap)
+      .getOrElse(Map.empty)
+    val dataPrefix = {
+      val p = new Path(info.path, "data")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      org.apache.spark.sql.graftbridge.ScanPruneBridge
+        .normPath(fs.makeQualified(p)) + "/"
+    }
+    val names = scanned.map { p =>
+      byNorm.getOrElse(p,
+        if (p.startsWith(dataPrefix)) p.substring(dataPrefix.length)
+        else return None)
+    }
+    table.statsAggregateForNames(
+      names,
+      wants.collect { case (WCount(c), _) => c }.toSeq,
+      wants.collect { case (WBound(c, m), _) => (c, m) }.toSeq)
+      .map { case (rows, nn, bs) =>
+        val values: Array[Any] = wants.map {
+          case (WRows, _) => rows: Any
+          case (WCount(c), _) => nn(c): Any
+          case (WBound(c, m), _) => bs((c, m))
+        }
+        val internal = InternalRow.fromSeq(values.toSeq.zip(wants.toSeq).map {
+          case (null, _) => null
+          case (v, (_, dt)) =>
+            org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .createToCatalystConverter(dt)(v)
+        })
+        val out = StructType(wants.zipWithIndex.map { case ((w, dt), i) =>
+          StructField(s"agg_$i", dt,
+            nullable = w.isInstanceOf[WBound])
+        })
+        new GraftStatsLocalScan(out, Array(internal),
+          s"GraftStatsAggregate[${info.path}, files=${names.size}, " +
+            agg.aggregateExpressions().mkString(", ") + "]")
+      }
   }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    tryStatsAggregate(aggregation) match {
+      case some @ Some(_) =>
+        statsAnswer = some
+        true
+      case None => inner match {
+        case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
+        case _ => false
+      }
+    }
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    tryStatsAggregate(aggregation).isDefined || (inner match {
+      case a: SupportsPushDownAggregates => a.supportCompletePushDown(aggregation)
+      case _ => false
+    })
   override def pushVariantExtractions(extractions: Array[VariantExtraction]): Array[Boolean] =
     inner match {
       case v: SupportsPushDownVariantExtractions => v.pushVariantExtractions(extractions)
       case _ => Array.fill(extractions.length)(false)
     }
+}
+
+/** The one-row answer of a completely-pushed stats aggregate, executed
+  * on the driver (Spark plans a [[org.apache.spark.sql.connector.read.LocalScan]]
+  * as a `LocalTableScan` — zero tasks, zero files).
+  */
+private[sources] final class GraftStatsLocalScan(
+    schema: StructType, data: Array[InternalRow], desc: String)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = data
+  override def description(): String = desc
 }

@@ -293,6 +293,68 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
     assert(gotD() === exp())
   }
 
+  test("multi-column count(distinct a, b): rows count iff EVERY arg is " +
+    "non-null, null-in-any rows are invisible, duplicates never inflate") {
+    val base = mkBase()
+    val fact = new IncrementalTable(spark, s"$base/fact")
+    val dim = new IncrementalTable(spark, s"$base/dim")
+    dim.append(Seq((1L, "A"), (2L, "A"), (3L, "B"))
+      .toDF("dk", "nation").coalesce(1))
+    fact.append(Seq(
+      (1L, 1L, Some(5L), Some("x")), (2L, 2L, Some(5L), Some("x")),
+      (3L, 1L, Some(5L), Some("y")))
+      .toDF("fk", "ck", "u", "w").coalesce(1))
+    fact.append(Seq((4L, 3L, Some(7L), None: Option[String]))
+      .toDF("fk", "ck", "u", "w").coalesce(1))
+    val view = IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$base/dim", "ck", "dk")), s"$base/view",
+      Seq("nation"), Seq("cnt" -> "count(*)", "dt" -> "count(distinct u, w)"))
+
+    def exp(): Set[(String, Long, Long)] =
+      fact.snapshot().join(dim.snapshot(), col("ck") === col("dk"))
+        .groupBy("nation").agg(count(lit(1)).as("cnt"),
+          countDistinct(col("u"), col("w")).as("dt"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def got(): Set[(String, Long, Long)] =
+      view.snapshot().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got() === exp())
+    // B's only row has a null w: the tuple never exists
+    assert(got() === Set(("A", 3L, 2L), ("B", 1L, 0L)))
+
+    // a null-in-ONE-arg insert is invisible to the tuple count: pure
+    // delta, zero recompute scan
+    fact.append(Seq((5L, 3L, None: Option[Long], Some("z")))
+      .toDF("fk", "ck", "u", "w").coalesce(1))
+    view.refresh()
+    assert(view.lastRefresh.exists(m => m.mode == "delta" &&
+      m.sourceFilesScanned == 0), view.lastRefresh.toString)
+    assert(got() === exp())
+
+    // a duplicate TUPLE (A gets another (5, x)) must not inflate —
+    // unknowable from the view alone, so the group recomputes
+    fact.append(Seq((6L, 2L, Some(5L), Some("x")))
+      .toDF("fk", "ck", "u", "w").coalesce(1))
+    view.refresh()
+    assert(got() === exp())
+    assert(got().exists(t => t._1 == "A" && t._3 == 2L),
+      "duplicate tuple inflated the distinct count")
+
+    // deleting the only (5, y) row drops that tuple
+    fact.deleteWhere(col("fk") === 3L)
+    view.refresh()
+    assert(got() === exp())
+    assert(got().exists(t => t._1 == "A" && t._3 == 1L))
+
+    // open() round-trips the multi-column definition
+    val reopened = IncrementalJoinView.open(spark, s"$base/view")
+    fact.append(Seq((7L, 1L, Some(8L), Some("q")))
+      .toDF("fk", "ck", "u", "w").coalesce(1))
+    reopened.refresh()
+    assert(got() === exp())
+    assert(got().exists(t => t._1 == "A" && t._3 == 2L))
+  }
+
   test("a dim change degrades to a full recompute (and is correct)") {
     val base = mkBase()
     val (fact, dim) = mkTables(base)
@@ -332,14 +394,13 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
         Seq("nation"), Seq("sv" -> "sum(cast(d as decimal(18,2)))"))
     }
     assert(e3.getMessage.contains("count(*)"))
-    // multi-column count(distinct a, b): the captured arg is not one
-    // expression — refused at create with the struct remediation, not
-    // an opaque ParseException inside the first materialization
+    // a malformed distinct argument list still refuses at create, not
+    // as an opaque ParseException inside the first materialization
     val e4 = intercept[IllegalArgumentException] {
       IncrementalJoinView.create(spark, fact, dimSpec, s"$base/v4",
-        Seq("nation"), Seq("cnt" -> "count(*)", "dd" -> "count(distinct fk, ck)"))
+        Seq("nation"), Seq("cnt" -> "count(*)", "dd" -> "count(distinct fk,)"))
     }
-    assert(e4.getMessage.contains("struct(fk, ck)"), e4.getMessage)
+    assert(e4.getMessage.contains("parse"), e4.getMessage)
     // ...and the struct form IS accepted and maintained correctly
     val v = IncrementalJoinView.create(spark, fact, dimSpec, s"$base/v5",
       Seq("nation"), Seq("cnt" -> "count(*)", "dd" -> "count(distinct struct(fk, ck))"))
