@@ -260,7 +260,20 @@ final class IncrementalTable(
             Map("widened" ->
               (already ++ widenedCols).distinct.mkString(";"))
           }
-        schemaEntry ++ bloomEntry ++ widenedEntry
+        // widening the BUCKET column retires the join-bucket layout
+        // declaration the same way (the committed dirs hold bucket ids
+        // hashed under the narrow type; the dir-level type token
+        // already stops readers from key-grouping them — this stops
+        // stageForLayout from piling new wide-hashed files onto a
+        // permanently broken layout, and DESCRIBE DETAIL from
+        // advertising it)
+        val jbucketEntry = baseMeta.get(IncrementalTable.JoinBucketMetaKey) match {
+          case Some(s) if widenedCols.nonEmpty &&
+              s.split("\\+", 2).lastOption.exists(widenedCols.contains) =>
+            Map(IncrementalTable.JoinBucketMetaKey -> "")
+          case _ => Map.empty[String, String]
+        }
+        schemaEntry ++ bloomEntry ++ widenedEntry ++ jbucketEntry
     }
   }
 
@@ -1835,14 +1848,7 @@ final class IncrementalTable(
     */
   private def stageForLayout(df: DataFrame): Seq[String] =
     latestVersion.flatMap(joinBucketSpecAt) match {
-      case Some((n, c)) if df.columns.contains(c) =>
-        import org.apache.spark.sql.functions.{col => fcol}
-        stagePartitioned(withJoinBucket(df, n, c)
-          // one task per present bucket: without this, every input
-          // partition writes a file per bucket it touches (up to
-          // tasks x n small files per append)
-          .repartition(n, fcol(IncrementalTable.JoinBucketCol)),
-          IncrementalTable.JoinBucketCol)
+      case Some((n, c)) if df.columns.contains(c) => stageBucketed(df, n, c)
       case _ => stage(df)
     }
 
@@ -2273,18 +2279,14 @@ final class IncrementalTable(
         "(it is encoded into the bucket directory names)")
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"empty table $path"))
-    require(schemaAt(v).exists(_.fieldNames.contains(column)),
-      s"bucketize: no column '$column' at $path")
-    // one task per bucket — without this, every snapshot partition
-    // writes a file per bucket it touches (tasks x n small files).
-    // Oversized per-bucket files at scale split via the session's
-    // spark.sql.files.maxRecordsPerFile, which the staged write obeys.
-    val arranged = {
-      import org.apache.spark.sql.functions.{col => fcol}
-      withJoinBucket(snapshotHead(v), buckets, column)
-        .repartition(buckets, fcol(IncrementalTable.JoinBucketCol))
-    }
-    val added = stagePartitioned(arranged, IncrementalTable.JoinBucketCol)
+    val colType = schemaAt(v).flatMap(_.fields.find(_.name == column))
+      .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+        s"bucketize: no column '$column' at $path"))
+    require(IncrementalTable.bucketTypeToken(colType).isDefined,
+      s"bucketize: column '$column' has type ${colType.simpleString}, " +
+        "which has no stable hash identity across reads — bucketize an " +
+        "atomic column (int/long/string/date/timestamp/decimal/...)")
+    val added = stageBucketed(snapshotHead(v), buckets, column)
     commitFiles(added, files(v).toSet, s"bucketize[$buckets,$column]",
       schema = schemaAt(v),
       readVersion = Some(v), dropMeta = Set("dv"),
@@ -2292,17 +2294,53 @@ final class IncrementalTable(
         IncrementalTable.JoinBucketMetaKey -> s"$buckets+$column"))
   }
 
-  /** `df` plus the bucket PARTITION VALUE column: `<col>-<n>-<k>` with
-    * `k = pmod(hash(col), n)`. The value encodes the full bucket SPEC,
-    * so a scan derives (column, n) from the very directories it serves
-    * — a version bucketized under an older spec can never be grouped
-    * under a newer one (the spec rides the files, not the mutable
-    * head meta).
+  /** Stage `df` under the join-bucket layout: one task (so one file,
+    * before `maxRecordsPerFile` splitting) per present bucket — without
+    * the repartition every input partition would write a file per
+    * bucket it touches (tasks × n small files). The bucket column is
+    * upcast to the TABLE's tracked type BEFORE hashing when the batch
+    * is narrower ([[conformWidths]] performs the same cast inside the
+    * staged write — murmur3 hashes int and long differently, so
+    * hashing the pre-cast value would file a row under a bucket its
+    * stored value does not hash to). A column type with no stable hash
+    * token stages plain (readers then fall back — never a wrong
+    * group).
     */
-  private def withJoinBucket(df: DataFrame, buckets: Int, column: String): DataFrame = {
+  private def stageBucketed(df: DataFrame, buckets: Int, column: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val tracked = tableSchema.flatMap(_.fields.find(_.name == column))
+      .map(_.dataType).getOrElse(df.schema(column).dataType)
+    val conformed =
+      if (df.schema(column).dataType == tracked) df
+      else if (IncrementalTable.widerOf(df.schema(column).dataType, tracked)
+          .contains(tracked))
+        df.withColumn(column, fcol(column).cast(tracked))
+      else df
+    IncrementalTable.bucketTypeToken(conformed.schema(column).dataType) match {
+      case Some(tok) =>
+        stagePartitioned(withJoinBucket(conformed, buckets, column, tok)
+          .repartition(buckets, fcol(IncrementalTable.JoinBucketCol)),
+          IncrementalTable.JoinBucketCol)
+      case None => stage(df)
+    }
+  }
+
+  /** `df` plus the bucket PARTITION VALUE column: `<col>-<tok>-<n>-<k>`
+    * with `k = pmod(hash(col), n)`. The value encodes the full bucket
+    * SPEC — column, the HASH TYPE the values were bucketed under
+    * ([[IncrementalTable.bucketTypeToken]]; murmur3 is type-dependent,
+    * so files hashed as int must never be grouped with a scan reading
+    * the column as long after a type widening), and the bucket count —
+    * so a scan derives everything from the very directories it serves:
+    * a version bucketized under an older spec OR an older type can
+    * never be grouped under a newer one (the spec rides the files, not
+    * the mutable head meta).
+    */
+  private def withJoinBucket(
+      df: DataFrame, buckets: Int, column: String, tok: String): DataFrame = {
     import org.apache.spark.sql.functions.{col => fcol, concat, hash, lit, pmod}
     df.withColumn(IncrementalTable.JoinBucketCol,
-      concat(lit(s"$column-$buckets-"), pmod(hash(fcol(column)), lit(buckets))))
+      concat(lit(s"$column-$tok-$buckets-"), pmod(hash(fcol(column)), lit(buckets))))
   }
 
   /** The declared (buckets, column) at version `v` — meta only; the
@@ -2683,7 +2721,17 @@ final class IncrementalTable(
     }
     val rewritten = regenerate(rewritten0.select(newCols: _*))
     validateConstraints(rewritten.drop("__dv_file", "__dv_pos"))
-    val added = restageByDir(rewritten)
+    val added = joinBucketSpecAt(v) match {
+      case Some((n, c)) if set.contains(c) =>
+        // the SET moves rows ACROSS buckets: restageByDir would leave
+        // an updated row under its PRE-update bucket directory — a
+        // structurally valid layout whose groups lie, i.e. a silently
+        // wrong storage-partitioned join. Re-derive every rewritten
+        // row's bucket from its POST-update value instead (the layout
+        // stays live AND truthful).
+        stageBucketed(rewritten.drop("__dv_file", "__dv_pos"), n, c)
+      case _ => restageByDir(rewritten)
+    }
     val byRel = files(v).map(e => relKey(e) -> e).toMap
     commitFiles(added, touched.map(byRel), "update",
       meta = Map("cdc" -> cdcNonce), readVersion = Some(v))
@@ -3486,6 +3534,32 @@ object IncrementalTable {
     * cannot carry `:` — the pair parser owns it).
     */
   private[graft] val JoinBucketMetaKey = "jbucket"
+
+  /** The HASH-IDENTITY token a bucket directory value carries for its
+    * column's type ([[IncrementalTable.bucketize]] /
+    * `withJoinBucket`). Murmur3 is TYPE-dependent — `hash(5: int)` and
+    * `hash(5L: long)` differ — so the token pins which physical type
+    * the files' bucket ids were computed under; a scan reading the
+    * column as any OTHER type (after a type widening, say) must not
+    * key-group those files. `None` = no stable hash identity (nested /
+    * exotic types) — not bucketizable.
+    */
+  private[graft] def bucketTypeToken(dt: DataType): Option[String] = dt match {
+    case BooleanType => Some("bool")
+    case ByteType => Some("byte")
+    case ShortType => Some("short")
+    case IntegerType => Some("int")
+    case LongType => Some("bigint")
+    case FloatType => Some("float")
+    case DoubleType => Some("double")
+    case StringType => Some("string")
+    case BinaryType => Some("bin")
+    case DateType => Some("date")
+    case TimestampType => Some("ts")
+    case TimestampNTZType => Some("tsntz")
+    case d: DecimalType => Some(s"dec_${d.precision}_${d.scale}")
+    case _ => None
+  }
 
   /** The materialized stable row-identity column (Delta's row tracking
     * materializes `row_id` the same way when rows are rewritten; this

@@ -184,6 +184,17 @@ object PipelineQueries {
       col("lang") === "en")
       .orderBy("doc_id")
 
+  /** LM-perplexity filtering ([[graft.text.NgramLm]]): a bigram model
+    * trained on the corpus's `lang = 'en'` slice (CCNet's Wikipedia
+    * stand-in) scores every document's negative log-likelihood as an
+    * exact milli-nat integer; `keep` is the CCNet low-perplexity gate.
+    */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame =
+    graft.text.NgramLm.bigramNll(
+      Tables.load(spark, dir, "documents"), "doc_id", "text",
+      col("lang") === "en")
+      .orderBy("doc_id")
+
   /** Per-source token budgets for `select_token_budget` — like
     * [[mixWeights]], the ONE config both the Spark CASE column and the
     * oracle CASE chain interpolate.
@@ -1365,6 +1376,51 @@ object PipelineQueries {
          |            THEN 1 ELSE 0 END AS pred
          |FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id, prior
          |ORDER BY d.doc_id""".stripMargin,
+    "lm_perplexity" ->
+      raw"""WITH toks AS (
+         |  SELECT doc_id, CAST(lang = 'en' AS INT) AS is_ref,
+         |         list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
+         |                     t -> length(t) > 0) AS tk
+         |  FROM documents),
+         |pairs0 AS (
+         |  SELECT doc_id, is_ref, tk[i] AS p0, tk[i + 1] AS c0
+         |  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)),
+         |refuni AS (
+         |  SELECT t AS tok, count(*) AS cnt
+         |  FROM (SELECT unnest(tk) AS t FROM toks WHERE is_ref = 1)
+         |  GROUP BY 1),
+         |vocab AS (SELECT tok FROM refuni ORDER BY cnt DESC, tok LIMIT 4096),
+         |pairs AS (
+         |  SELECT doc_id, is_ref,
+         |         CASE WHEN vp.tok IS NULL THEN '<unk>' ELSE p0 END AS p,
+         |         CASE WHEN vc.tok IS NULL THEN '<unk>' ELSE c0 END AS c
+         |  FROM pairs0 LEFT JOIN vocab vp ON vp.tok = p0
+         |              LEFT JOIN vocab vc ON vc.tok = c0),
+         |vv AS (SELECT count(*) + 1 AS V FROM vocab),
+         |cp AS (SELECT p, count(*) AS cp FROM pairs WHERE is_ref = 1 GROUP BY 1),
+         |cb AS (SELECT p, c, count(*) AS cb FROM pairs WHERE is_ref = 1
+         |       GROUP BY 1, 2 ORDER BY cb DESC, p, c LIMIT 65536),
+         |bm AS (
+         |  SELECT cb.p, cb.c,
+         |         CAST(round(ln(CAST(cb + 1 AS DOUBLE) / CAST(cp + V AS DOUBLE)) * 1000)
+         |              AS BIGINT) AS lp_milli
+         |  FROM cb JOIN cp USING (p), vv),
+         |pm AS (
+         |  SELECT p, CAST(round(ln(1.0 / CAST(cp + V AS DOUBLE)) * 1000) AS BIGINT) AS miss_milli
+         |  FROM cp, vv),
+         |fl AS (SELECT CAST(round(ln(1.0 / CAST(V AS DOUBLE)) * 1000) AS BIGINT) AS floor_milli FROM vv),
+         |ds AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |         sum(-(COALESCE(bm.lp_milli, pm.miss_milli, fl.floor_milli))) AS nll_milli
+         |  FROM pairs LEFT JOIN bm USING (p, c) LEFT JOIN pm USING (p), fl
+         |  GROUP BY 1)
+         |SELECT t.doc_id,
+         |       COALESCE(ds.n_bigrams, 0) AS n_bigrams,
+         |       CAST(COALESCE(ds.nll_milli, 0) AS BIGINT) AS nll_milli,
+         |       CASE WHEN COALESCE(ds.nll_milli, 0) <= 6000 * COALESCE(ds.n_bigrams, 0)
+         |            THEN 1 ELSE 0 END AS keep
+         |FROM toks t LEFT JOIN ds ON ds.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "select_token_budget" -> {
       // the oracle interpolates the SAME driver-resolved budget longs
       // the Spark CASE column carries (Curation.budgetCol)
@@ -2205,6 +2261,7 @@ object PipelineQueries {
     "split_dataset" -> splitDataset _,
     "quality_score" -> qualityScore _,
     "quality_classifier" -> qualityClassifier _,
+    "lm_perplexity" -> lmPerplexity _,
     "select_token_budget" -> selectTokenBudget _,
     "winnow_fingerprints" -> winnowFingerprints _,
     "winnow_overlap" -> winnowOverlap _,

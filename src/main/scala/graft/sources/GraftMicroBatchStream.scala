@@ -426,12 +426,16 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
     if (!spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
       return None
     // the spec is parsed from the directory values the scan's OWN
-    // files live under (`__jbucket=<col>-<n>-<k>/`), never from the
-    // table's head meta: a time-traveled version bucketized under an
-    // OLDER spec must group under that spec or not at all — grouping
-    // v5's mod-8 files as bucket(16, col) would silently lose matches
+    // files live under (`__jbucket=<col>-<tok>-<n>-<k>/`), never from
+    // the table's head meta: a time-traveled version bucketized under
+    // an OLDER spec must group under that spec or not at all —
+    // grouping v5's mod-8 files as bucket(16, col) would silently lose
+    // matches. `<tok>` pins the HASH TYPE the bucket ids were computed
+    // under (murmur3 hashes int and long differently), checked against
+    // this scan's read type below — a type widening can never let
+    // narrow-hashed files ride a wide-typed bucket promise.
     val re = (java.util.regex.Pattern.quote(IncrementalTable.JoinBucketCol) +
-      "=([A-Za-z_][A-Za-z0-9_]*)-(\\d+)-(\\d+)/").r
+      "=([A-Za-z_][A-Za-z0-9_]*)-([a-z0-9_]+)-(\\d+)-(\\d+)/").r
     val files = inner.toBatch.planInputPartitions().toSeq.flatMap {
       case fp: FilePartition => fp.files.toSeq
       case _ => return None // not a parquet file batch — fail open
@@ -443,8 +447,8 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
         org.apache.spark.sql.execution.datasources.PartitionedFile]]
     files.foreach { f =>
       val (fSpec, k) = re.findFirstMatchIn(f.filePath.toString) match {
-        case Some(m) => (GraftBucketSpec(m.group(2).toInt, m.group(1)),
-          m.group(3).toInt)
+        case Some(m) => (GraftBucketSpec(m.group(3).toInt, m.group(1),
+          m.group(2)), m.group(4).toInt)
         case None => return None // a plain-staged file: bucketing is broken
       }
       if (spec == null) spec = fSpec
@@ -457,8 +461,14 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
     }
     // the transform references the bucket column: only report it when
     // the column survived pruning into this scan's schema (a join on
-    // it always keeps it)
-    if (!inner.readSchema().fieldNames.contains(spec.column)) return None
+    // it always keeps it), AND this scan reads the column under the
+    // SAME physical type the files' bucket ids were hashed under — a
+    // widened table serves int-hashed dirs to a long-typed read, whose
+    // key groups would silently lie
+    val typeOk = inner.readSchema().fields.find(_.name == spec.column)
+      .flatMap(f => IncrementalTable.bucketTypeToken(f.dataType))
+      .contains(spec.typeToken)
+    if (!typeOk) return None
     val groups = byBucket.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((b, fs), i) => b -> FilePartition(i, fs.toArray)
     }

@@ -16,7 +16,8 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * with NO shuffle on either side — the DSv2 mechanism behind
   * Iceberg's bucket joins, served here from graft's own layout.
   */
-private[sources] final case class GraftBucketSpec(n: Int, column: String)
+private[sources] final case class GraftBucketSpec(
+    n: Int, column: String, typeToken: String)
 
 /** One bucket's files as a key-grouped input partition. The inner
   * [[FilePartition]] is what the parquet reader factory consumes;

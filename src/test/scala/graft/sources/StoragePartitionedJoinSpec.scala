@@ -209,6 +209,80 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("an UPDATE that moves a key ACROSS buckets re-buckets the rewritten " +
+    "rows: the layout stays live and the SPJ groups stay truthful") {
+    val (wh, a, _) = mkTables()
+    val cat = registerCat(wh)
+    // k=1 is absent from tb (odd); k=998 is present. Moving 1 -> 998
+    // puts the row in a DIFFERENT bucket (pmod(hash) differs); the old
+    // restage-by-dir path left it under bucket(1)'s directory, where a
+    // key-grouped join silently never meets tb's k=998 group.
+    a.updateWhere(col("k") === 1L, Map("k" -> lit(998L)))
+    assert(a.files(a.latestVersion.get).forall(_.startsWith("__jbucket=")),
+      "update on the bucket column should keep (re-derive) the layout")
+    withSpj {
+      val df = spark.sql(
+        s"SELECT a.k, b.vb FROM $cat.ta a JOIN $cat.tb b ON a.k = b.k")
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.count(_ == ((998L, 9980L))) === 2,
+        s"the moved row must join under its NEW bucket: ${rows.length} rows")
+      assert(rows.length === 1001)
+      assert(countShuffles(df) === 0,
+        "update should keep SPJ alive:\n" + df.queryExecution.executedPlan)
+    }
+  }
+
+  test("type widening on the bucket column retires the bucket promise: " +
+    "int-hashed dirs never key-group a long-typed read") {
+    val wh = Files.createTempDirectory("spj_widen_").toString
+    val a = new IncrementalTable(spark, s"$wh/ta")
+    a.setTypeWidening(true)
+    a.append((0 until 500).map(k => (k, s"a$k")).toDF("k", "va"))
+    a.bucketize(4, "k")
+    val b = new IncrementalTable(spark, s"$wh/tb")
+    b.append((0L until 500L).map(k => (k, k * 10)).toDF("k", "vb"))
+    b.bucketize(4, "k")
+    val cat = registerCat(wh)
+    // widen ta.k int -> long; murmur3 hashes the SAME key to different
+    // buckets under the two types, so ta's dirs no longer describe the
+    // long-typed read tb joins against
+    a.append(Seq((1000000000000L, "wide")).toDF("k", "va"))
+    assert(a.joinBucketSpecAt(a.latestVersion.get).isEmpty,
+      "widening the bucket column must retire the jbucket meta")
+    withSpj {
+      val df = spark.sql(
+        s"SELECT a.k, b.vb FROM $cat.ta a JOIN $cat.tb b ON a.k = b.k")
+      assert(df.count() === 500L,
+        "every match must survive the widening (fallback, not a lie)")
+      assert(countShuffles(df) > 0,
+        "int-hashed dirs must NOT key-group a long-typed read:\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+
+  test("appends NARROWER than the table hash under the TABLE's type: a " +
+    "long-bucketized table fed int batches keeps truthful groups") {
+    val wh = Files.createTempDirectory("spj_narrow_").toString
+    val a = new IncrementalTable(spark, s"$wh/ta")
+    a.append((0L until 500L).map(k => (k, s"a$k")).toDF("k", "va"))
+    a.bucketize(4, "k")
+    // the batch's k is INT; conformWidths stores it as long — the
+    // bucket id must be hashed from the STORED (long) value
+    a.append(Seq((7, "narrow")).toDF("k", "va"))
+    val b = new IncrementalTable(spark, s"$wh/tb")
+    b.append(Seq((7L, 70L)).toDF("k", "vb"))
+    b.bucketize(4, "k")
+    val cat = registerCat(wh)
+    withSpj {
+      val df = spark.sql(
+        s"SELECT a.va, b.vb FROM $cat.ta a JOIN $cat.tb b ON a.k = b.k")
+      val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      assert(rows.toSeq === Seq(("a7", 70L), ("narrow", 70L)),
+        s"int-hashed append under a long layout lost the match: ${rows.toSeq}")
+      assert(countShuffles(df) === 0, df.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("bucketize round-trips content exactly and is stats-scannable") {
     val wh = Files.createTempDirectory("spj_rt_").toString
     val t = new IncrementalTable(spark, s"$wh/t")
