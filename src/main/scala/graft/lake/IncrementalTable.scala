@@ -2305,6 +2305,15 @@ final class IncrementalTable(
     * stored value does not hash to). A column type with no stable hash
     * token stages plain (readers then fall back — never a wrong
     * group).
+    *
+    * Rows are additionally SORTED by the bucket column inside each
+    * task — the writer splits a task's ordered run by partition value,
+    * so every staged file is internally key-sorted — and the dir value
+    * carries the `s1` marker recording that fact. A scan whose every
+    * bucket group is a single `s1` file reports per-partition
+    * `outputOrdering` on top of the key grouping, and a merge join of
+    * two such tables drops its SORTS as well as its shuffles
+    * ([[graft.sources.GraftStreamScan]]).
     */
   private def stageBucketed(df: DataFrame, buckets: Int, column: String): Seq[String] = {
     import org.apache.spark.sql.functions.{col => fcol}
@@ -2319,28 +2328,36 @@ final class IncrementalTable(
     IncrementalTable.bucketTypeToken(conformed.schema(column).dataType) match {
       case Some(tok) =>
         stagePartitioned(withJoinBucket(conformed, buckets, column, tok)
-          .repartition(buckets, fcol(IncrementalTable.JoinBucketCol)),
+          .repartition(buckets, fcol(IncrementalTable.JoinBucketCol))
+          // (bucket, key): each bucket's slice of the task's ordered
+          // run is contiguous AND key-sorted, whatever bucket values
+          // hash-collided into the task
+          .sortWithinPartitions(fcol(IncrementalTable.JoinBucketCol),
+            fcol(column)),
           IncrementalTable.JoinBucketCol)
       case None => stage(df)
     }
   }
 
-  /** `df` plus the bucket PARTITION VALUE column: `<col>-<tok>-<n>-<k>`
-    * with `k = pmod(hash(col), n)`. The value encodes the full bucket
-    * SPEC — column, the HASH TYPE the values were bucketed under
-    * ([[IncrementalTable.bucketTypeToken]]; murmur3 is type-dependent,
-    * so files hashed as int must never be grouped with a scan reading
-    * the column as long after a type widening), and the bucket count —
-    * so a scan derives everything from the very directories it serves:
-    * a version bucketized under an older spec OR an older type can
-    * never be grouped under a newer one (the spec rides the files, not
-    * the mutable head meta).
+  /** `df` plus the bucket PARTITION VALUE column:
+    * `<col>-<tok>-s1-<n>-<k>` with `k = pmod(hash(col), n)`. The value
+    * encodes the full bucket SPEC — column, the HASH TYPE the values
+    * were bucketed under ([[IncrementalTable.bucketTypeToken]];
+    * murmur3 is type-dependent, so files hashed as int must never be
+    * grouped with a scan reading the column as long after a type
+    * widening), the `s1` SORT marker (only ever written by
+    * [[stageBucketed]]'s sorting write — [[restageByDir]] STRIPS it
+    * because its output order is not guaranteed), and the bucket count
+    * — so a scan derives everything from the very directories it
+    * serves: a version bucketized under an older spec OR an older type
+    * can never be grouped under a newer one (the spec rides the files,
+    * not the mutable head meta).
     */
   private def withJoinBucket(
       df: DataFrame, buckets: Int, column: String, tok: String): DataFrame = {
     import org.apache.spark.sql.functions.{col => fcol, concat, hash, lit, pmod}
     df.withColumn(IncrementalTable.JoinBucketCol,
-      concat(lit(s"$column-$tok-$buckets-"), pmod(hash(fcol(column)), lit(buckets))))
+      concat(lit(s"$column-$tok-s1-$buckets-"), pmod(hash(fcol(column)), lit(buckets))))
   }
 
   /** The declared (buckets, column) at version `v` — meta only; the
@@ -2630,7 +2647,16 @@ final class IncrementalTable(
     dirs.flatMap { d =>
       val slice = byDir.filter(col("__dir") === d)
         .drop("__dir", "__dv_file", "__dv_pos")
-      stage(slice, d)
+      // a join-bucket dir keeps its bucket identity (a survivor's key
+      // is unchanged) but LOSES the `s1` sort marker: this restage
+      // gives no ordering guarantee (a scan partition can interleave
+      // chunks of several source files), and a falsely-marked file
+      // would let a merge join skip a sort it needs
+      val outDir =
+        if (d.startsWith(IncrementalTable.JoinBucketCol + "="))
+          d.replaceFirst("-s1-", "-")
+        else d
+      stage(slice, outDir)
     }
   }
 

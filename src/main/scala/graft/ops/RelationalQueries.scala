@@ -810,7 +810,9 @@ object RelationalQueries {
     val src = new java.io.File(s"$dir/lineitem.parquet")
     val key = java.lang.Integer.toHexString(
       (dir, src.length, src.lastModified).hashCode)
-    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_lake_spj_$key"
+    // "spj2": the bucket dir format gained hash-type + sort markers —
+    // a cache built under the old format would silently lose SPJ
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_lake_spj2_$key"
     def buildIfNeeded(name: String, build: graft.lake.IncrementalTable => Unit,
         bucketCol: String): Unit = {
       val t = new graft.lake.IncrementalTable(spark, s"$wh/$name")

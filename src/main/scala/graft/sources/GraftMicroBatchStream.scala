@@ -385,6 +385,7 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.internal.Logging {
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = {
@@ -393,7 +394,7 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
         "graft: readChangeFeed is a STREAMING option; batch CDC reads go " +
           "through IncrementalTable.changes(fromV, toV)")
     bucketGroups match {
-      case Some((_, groups)) => new GraftBucketedBatch(inner.toBatch, groups)
+      case Some((_, groups, _)) => new GraftBucketedBatch(inner.toBatch, groups)
       case None => pruned.getOrElse(inner).toBatch
     }
   }
@@ -411,7 +412,10 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
   // ([[GraftCatalog.loadFunction]]); path reads skip it and plan
   // normally. ----
 
-  private lazy val bucketGroups: Option[(GraftBucketSpec, Seq[(Int, FilePartition)])] =
+  /** (spec, one FilePartition per present bucket, every-file-sorted) —
+    * None = no valid grouping (fall back to normal planning). */
+  private lazy val bucketGroups
+      : Option[(GraftBucketSpec, Seq[(Int, FilePartition)], Boolean)] =
     try computeBucketGroups()
     catch {
       case scala.util.control.NonFatal(e) =>
@@ -420,7 +424,7 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
     }
 
   private def computeBucketGroups()
-      : Option[(GraftBucketSpec, Seq[(Int, FilePartition)])] = {
+      : Option[(GraftBucketSpec, Seq[(Int, FilePartition)], Boolean)] = {
     if (info.readChangeFeed) return None
     val spark = SparkSession.active
     if (!spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
@@ -434,8 +438,13 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
     // under (murmur3 hashes int and long differently), checked against
     // this scan's read type below — a type widening can never let
     // narrow-hashed files ride a wide-typed bucket promise.
+    // `(s1-)?` — the optional SORT marker: present only on files
+    // written by the bucketing writer's per-task (bucket, key) sort.
+    // Grouping ignores it (a mix of sorted and restaged files still
+    // buckets correctly); the ORDERING claim below requires it on
+    // every file.
     val re = (java.util.regex.Pattern.quote(IncrementalTable.JoinBucketCol) +
-      "=([A-Za-z_][A-Za-z0-9_]*)-([a-z0-9_]+)-(\\d+)-(\\d+)/").r
+      "=([A-Za-z_][A-Za-z0-9_]*)-([a-z0-9_]+)-(?:(s1)-)?(\\d+)-(\\d+)/").r
     val files = inner.toBatch.planInputPartitions().toSeq.flatMap {
       case fp: FilePartition => fp.files.toSeq
       case _ => return None // not a parquet file batch — fail open
@@ -445,10 +454,13 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
     val byBucket = scala.collection.mutable.LinkedHashMap
       .empty[Int, scala.collection.mutable.ArrayBuffer[
         org.apache.spark.sql.execution.datasources.PartitionedFile]]
+    var allSorted = true
     files.foreach { f =>
       val (fSpec, k) = re.findFirstMatchIn(f.filePath.toString) match {
-        case Some(m) => (GraftBucketSpec(m.group(3).toInt, m.group(1),
-          m.group(2)), m.group(4).toInt)
+        case Some(m) =>
+          if (m.group(3) == null) allSorted = false
+          (GraftBucketSpec(m.group(4).toInt, m.group(1), m.group(2)),
+            m.group(5).toInt)
         case None => return None // a plain-staged file: bucketing is broken
       }
       if (spec == null) spec = fSpec
@@ -472,17 +484,37 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
     val groups = byBucket.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((b, fs), i) => b -> FilePartition(i, fs.toArray)
     }
-    Some(spec -> groups)
+    Some((spec, groups, allSorted))
   }
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     bucketGroups match {
-      case Some((spec, groups)) =>
+      case Some((spec, groups, _)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(Expressions.bucket(spec.n, spec.column)), groups.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  /** Per-partition ordering on the bucket column — claimed ONLY when
+    * every bucket group is a SINGLE file carrying the `s1` sort marker
+    * (the bucketing writer's per-task (bucket, key) sort): a
+    * multi-file group concatenates independently-sorted runs, and an
+    * unmarked file (a delete's restage) gives no order at all. With
+    * the claim, a merge join of two same-bucketed sorted tables drops
+    * its SortExec nodes on top of its exchanges — at fact-fact scale
+    * the two avoided O(n log n) per-partition sorts are the remaining
+    * join cost after SPJ removes the shuffles.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    bucketGroups match {
+      case Some((spec, groups, true))
+          if groups.forall(_._2.files.length == 1) =>
+        Array(Expressions.sort(Expressions.column(spec.column),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case _ => Array.empty
     }
   override def description(): String = inner.description()
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =

@@ -32,6 +32,16 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     walk(df.queryExecution.executedPlan)
   }
 
+  private def countSorts(df: DataFrame): Int = {
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case s: org.apache.spark.sql.execution.SortExec => 1 + s.children.map(walk).sum
+      case other => other.children.map(walk).sum + other.subqueries.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   private def withSpj[A](f: => A): A = {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -280,6 +290,51 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
       assert(rows.toSeq === Seq(("a7", 70L), ("narrow", 70L)),
         s"int-hashed append under a long layout lost the match: ${rows.toSeq}")
       assert(countShuffles(df) === 0, df.queryExecution.executedPlan.toString)
+    }
+  }
+
+  test("bucketized files are key-SORTED and report ordering: the merge " +
+    "join drops its SORTS as well as its shuffles; a delete's unmarked " +
+    "restage brings the sorts back without losing the grouping") {
+    val (wh, a, _) = mkTables()
+    val cat = registerCat(wh)
+    val q = s"SELECT a.k, a.va, b.vb FROM $cat.ta a JOIN $cat.tb b ON a.k = b.k"
+    withSpj {
+      val df = spark.sql(q)
+      assert(df.collect().length === 1000)
+      assert(countShuffles(df) === 0, df.queryExecution.executedPlan.toString)
+      assert(countSorts(df) === 0,
+        "single-file sorted buckets must satisfy the merge join's " +
+          "ordering:\n" + df.queryExecution.executedPlan)
+    }
+    // DELETE restages the touched file's survivors WITHOUT the sort
+    // marker (restage order is not guaranteed): the ordering claim
+    // must retreat while the bucket grouping — survivors keep their
+    // bucket — stays shuffle-free
+    a.deleteWhere(col("k") === 0L)
+    withSpj {
+      val df = spark.sql(q)
+      assert(df.collect().length === 999)
+      assert(countShuffles(df) === 0,
+        "delete keeps bucket identity; grouping must survive:\n" +
+          df.queryExecution.executedPlan)
+      assert(countSorts(df) > 0,
+        "an unmarked restaged file must NOT claim ordering:\n" +
+          df.queryExecution.executedPlan)
+    }
+    // an appended second file per bucket: individually sorted, but a
+    // group of two sorted runs has no single order — sorts must return
+    val (wh2, a2, _) = mkTables()
+    val cat2 = registerCat(wh2)
+    a2.append(Seq((4000L, "late")).toDF("k", "va"))
+    withSpj {
+      val df = spark.sql(
+        s"SELECT a.k, a.va, b.vb FROM $cat2.ta a JOIN $cat2.tb b ON a.k = b.k")
+      assert(df.collect().length === 1000)
+      assert(countShuffles(df) === 0, df.queryExecution.executedPlan.toString)
+      assert(countSorts(df) > 0,
+        "two sorted runs per bucket must NOT claim a single ordering:\n" +
+          df.queryExecution.executedPlan)
     }
   }
 
