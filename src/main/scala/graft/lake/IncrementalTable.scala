@@ -1764,7 +1764,7 @@ final class IncrementalTable(
       withAllocated(df, specs) { withIds =>
         val materialized = applyWriteOrder(applyGenerated(withIds))
         validateConstraints(materialized)
-        val added = stage(materialized)
+        val added = stageForLayout(materialized)
         wmMeta => commitSnapshot(added, materialized.schema, operation,
           maxRetries = 0, meta = wmMeta)
       }
@@ -1774,7 +1774,11 @@ final class IncrementalTable(
       maxRetries: Int, validate: Boolean,
       meta: Map[String, String] = Map.empty): Long = {
     if (validate) validateConstraints(df)
-    commitSnapshot(stage(df), df.schema, operation, maxRetries, meta)
+    // a bucketized table's full rewrite (MERGE resolves to a snapshot)
+    // re-buckets — the write is O(table) either way, and keeping the
+    // layout means storage-partitioned joins survive MERGE, not just
+    // appends
+    commitSnapshot(stageForLayout(df), df.schema, operation, maxRetries, meta)
   }
 
   /** Publish already-staged files as a full snapshot (replaces every
@@ -1800,7 +1804,8 @@ final class IncrementalTable(
         val consCarry = baseMeta
           .filter { case (k, _) => Set("constraints", "bloom", "colmap",
             "coldrop", "writeorder", "gencol", "identity", "widen",
-            "widened", "rowtracking", "copylog").contains(k) }
+            "widened", "rowtracking", "copylog",
+            IncrementalTable.JoinBucketMetaKey).contains(k) }
         writeManifest(v, operation, added,
           consCarry ++ watermarkCarry(baseMeta) ++ meta ++
             schemaMetaFor(base, Some(physicalizeSchema(schema))))

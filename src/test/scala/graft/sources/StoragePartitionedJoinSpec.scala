@@ -338,6 +338,35 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("MERGE (full-snapshot rewrite) RE-BUCKETS: SPJ survives upserts, " +
+    "and the merged rows join under their true buckets") {
+    val (wh, a, _) = mkTables()
+    val cat = registerCat(wh)
+    // upsert via the lake MERGE surface: update one value, insert a new
+    // matching key — the resolve() snapshot republishes the whole table
+    val updates = Seq((0L, "A0"), (4000L, "late")).toDF("k", "va")
+    val merged = graft.lake.MergeInto(a.snapshot(), updates,
+        "target.k = updates.k")
+      .whenMatchedUpdate(Map("va" -> "updates.va"))
+      .whenNotMatchedInsert(Map("k" -> "updates.k", "va" -> "updates.va"))
+    a.writeSnapshot(merged.resolve(), operation = "merge")
+    assert(a.files(a.latestVersion.get).forall(_.startsWith("__jbucket=")),
+      "merge snapshot should re-bucket under the live layout")
+    val b = new IncrementalTable(spark, s"$wh/tb")
+    b.append(Seq((4000L, 40000L)).toDF("k", "vb"))
+    withSpj {
+      val df = spark.sql(
+        s"SELECT a.k, a.va, b.vb FROM $cat.ta a JOIN $cat.tb b ON a.k = b.k")
+      val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.length === 1001)
+      assert(rows.contains((0L, "A0")), "updated value must serve")
+      assert(rows.contains((4000L, "late")),
+        "inserted key must join under its true bucket")
+      assert(countShuffles(df) === 0,
+        "merge should keep SPJ alive:\n" + df.queryExecution.executedPlan)
+    }
+  }
+
   test("bucketize round-trips content exactly and is stats-scannable") {
     val wh = Files.createTempDirectory("spj_rt_").toString
     val t = new IncrementalTable(spark, s"$wh/t")
