@@ -674,6 +674,71 @@ object ScaleEvidence {
         f""""shuffled_s":$offS%.2f,"shuffled_shuffle_mb":$offMb%.1f}""")
     }
 
+    /** Experiment: merge-join SORT elimination from sorted buckets.
+      * Same two bucketized tables as `spj`, but the query is a plain
+      * equi-join aggregate whose SPJ plan is a sort-merge join: with
+      * every bucket a single `s1`-marked file the scans report
+      * per-partition ordering and the SMJ plans with ZERO SortExec
+      * nodes; appending one row per side makes one bucket two files,
+      * the ordering claim retreats, and both sides pay their
+      * per-partition O(n log n) sorts again. The wall delta at each
+      * scale is the price of the two sorts the sorted layout removes —
+      * the remaining join cost at fact-fact scale once SPJ has removed
+      * the shuffles.
+      */
+    def spjSortExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      val n = 2000000L * k
+      def build(name: String, stride: Long): Unit = {
+        val t = new graft.lake.IncrementalTable(spark, s"$base/spjs_x$k/$name")
+        t.append(spark.range(0, n, stride).select(col("id").as("k"),
+          md5(col("id").cast("string")).as("v")))
+        t.bucketize(32, "k")
+      }
+      build("ta", 1L); build("tb", 2L)
+      val cat = s"spjsx$k"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/spjs_x$k")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      def sorts(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          sorts(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          sorts(q.plan)
+        case s: org.apache.spark.sql.execution.SortExec =>
+          1 + s.children.map(sorts).sum
+        case other => other.children.map(sorts).sum
+      }
+      def run(): (Long, Double, Int) = {
+        def df() = spark.sql(
+          s"""SELECT count(*) AS c, sum(a.k + b.k) AS s
+             |FROM $cat.ta a JOIN $cat.tb b ON a.k = b.k""".stripMargin)
+        df().head() // warm
+        val t0 = System.nanoTime()
+        val d = df(); val r = d.head().getLong(0)
+        ((r, (System.nanoTime() - t0) / 1e9,
+          sorts(d.queryExecution.executedPlan)))
+      }
+      val (r1, sortedS, sorted0) = run()
+      // two appended keys per side: a two-file bucket has no single
+      // order — the claim must retreat and the sorts return
+      Seq("ta", "tb").foreach { nm =>
+        new graft.lake.IncrementalTable(spark, s"$base/spjs_x$k/$nm")
+          .append(spark.range(n, n + 2).select(col("id").as("k"),
+            md5(col("id").cast("string")).as("v")))
+      }
+      val (r2, multiS, multiSorts) = run()
+      require(sorted0 == 0, s"sorted layout still plans $sorted0 sorts")
+      require(multiSorts > 0, "multi-file buckets must sort again")
+      require(r2 == r1 + 2, s"results drifted: $r1 -> $r2")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      println(f"""{"scale":$k,"experiment":"spj_sort","rows_per_side":$n,""" +
+        f""""sorted_s":$sortedS%.2f,"sorted_sorts":$sorted0,""" +
+        f""""multi_s":$multiS%.2f,"multi_sorts":$multiSorts}""")
+    }
+
     if (want("incr_view")) scales.foreach(k => viewExperiment(base, k))
     if (want("inc_dedup")) scales.foreach(k => incDedupExperiment(base, k))
     if (want("join_view")) scales.foreach(k => joinViewExperiment(base, k))
@@ -684,6 +749,7 @@ object ScaleEvidence {
     if (want("distinct_view")) scales.foreach(k => distinctViewExperiment(base, k))
     if (want("dfp")) scales.foreach(k => dfpExperiment(base, k))
     if (want("spj")) scales.foreach(k => spjExperiment(base, k))
+    if (want("spj_sort")) scales.foreach(k => spjSortExperiment(base, k))
     spark.stop()
   }
 }
