@@ -91,9 +91,23 @@ final class IncrementalJoinView private (
   def lastRefresh: Option[RefreshMetrics] = last
 
   /** `(name, sumArgSql)` for every `sum(...)` agg, in declared order. */
+  /** Sum-accumulated aggregates: declared `sum(...)` plus every
+    * `avg(...)` — an average is STORED as its sum (the `__nn_` non-null
+    * counter every sum already carries is the divisor) and served as
+    * one division at read, so the whole signed-delta maintenance
+    * machinery applies unchanged and the stored value stays
+    * delta-exact (the division happens once per read, never
+    * accumulated).
+    */
   private val sums: Seq[(String, String)] = aggs.collect {
     case (n, s) if normHead(s) == "sum" => n -> sumArg(s)
+    case (n, s) if normHead(s) == "avg" => n -> IncrementalJoinView.avgArg(s)
   }
+  /** Names served as `stored_sum / __nn_count` (cast to double — the
+    * division is the only inexact step and it happens at read). */
+  private val avgNames: Set[String] = aggs.collect {
+    case (n, s) if normHead(s) == "avg" => n
+  }.toSet
 
   /** `(name, argSql, isMax)` for every `max(...)`/`min(...)` agg —
     * maintained HYBRID: inserts merge by pure `greatest`/`least`
@@ -151,7 +165,7 @@ final class IncrementalJoinView private (
     sums.map { case (n, arg) =>
       val t = probe.select(sum(expr(arg)).as(n)).schema.head.dataType
       require(deltaExact(probe.select(expr(arg)).schema.head.dataType),
-        s"join view sum '$n' aggregates a ${probe.select(expr(arg))
+        s"join view sum/avg '$n' accumulates a ${probe.select(expr(arg))
           .schema.head.dataType.simpleString} — only integral/decimal " +
           "arguments are delta-exact (float/double addition is " +
           "order-dependent); cast to DECIMAL in the aggregate SQL")
@@ -193,6 +207,10 @@ final class IncrementalJoinView private (
   private def project(stored: DataFrame): DataFrame = {
     val sumSet = sums.map(_._1).toSet
     val cols = groupCols.map(col) ++ aggs.map {
+      case (n, _) if avgNames(n) =>
+        // SQL avg semantics: NULL when no non-null input survives
+        when(col(nnCol(n)) > 0L,
+          col(n).cast("double") / col(nnCol(n))).otherwise(lit(null)).as(n)
       case (n, _) if sumSet(n) =>
         when(col(nnCol(n)) > 0L, col(n)).otherwise(lit(null)).as(n)
       case (n, _) => col(n)
@@ -579,6 +597,8 @@ object IncrementalJoinView {
 
   private def sumArg(sql: String): String = fnArg(sql, "sum")
 
+  private[lake] def avgArg(sql: String): String = fnArg(sql, "avg")
+
   private def fnArg(sql: String, fn: String): String = {
     val t = sql.trim
     require(t.toLowerCase.startsWith(fn + "(") && t.endsWith(")"),
@@ -616,12 +636,14 @@ object IncrementalJoinView {
         "(it carries the stored non-null counters)")
     aggs.foreach { case (n, s) =>
       require(normSql(s) == "count(1)" || isCountDistinct(s) ||
-        Set("sum", "max", "min")(normHead(s)),
+        Set("sum", "avg", "max", "min")(normHead(s)),
         s"join view aggregate '$n' is '$s' — only count(*), sum(...), " +
-          "max(...), min(...) and count(distinct ...) are maintainable " +
-          "(sums by signed delta; extremes hybrid: greatest/least on " +
-          "insert, affected-group recompute on an extreme-deleting " +
-          "delete; distinct counts by affected-group recompute)")
+          "avg(...), max(...), min(...) and count(distinct ...) are " +
+          "maintainable (sums/avgs by signed delta — an avg is stored " +
+          "as sum + non-null count and divided at read; extremes " +
+          "hybrid: greatest/least on insert, affected-group recompute " +
+          "on an extreme-deleting delete; distinct counts by " +
+          "affected-group recompute)")
     }
     // multi-column `count(distinct a, b)` is supported (a row counts
     // iff EVERY argument is non-null — Spark's Count semantics; the

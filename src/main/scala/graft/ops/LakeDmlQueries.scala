@@ -359,8 +359,10 @@ object LakeDmlQueries {
   def lakeJoinViewMinMax(spark: SparkSession, dir: String): DataFrame = {
     import graft.lake.{DimSpec, IncrementalJoinView, IncrementalView}
     val srcFile = new java.io.File(s"$dir/orders.parquet")
+    // "jvmm2": the view def gained an avg aggregate (stored sum + nn,
+    // divided at read) — a stale cache would miss the column
     val key = java.lang.Integer.toHexString(
-      (dir, srcFile.length, srcFile.lastModified, "jvmm1").hashCode)
+      (dir, srcFile.length, srcFile.lastModified, "jvmm2").hashCode)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_lake_jvmm_$key"
     val factT = new IncrementalTable(spark, s"$base/fact")
     val viewDir = s"$base/view"
@@ -388,6 +390,7 @@ object LakeDmlQueries {
         Seq("c_nationkey"), Seq(
           "cnt" -> "count(*)",
           "sum_price" -> "sum(cast(o_totalprice as decimal(18,2)))",
+          "avg_price" -> "avg(cast(o_totalprice as decimal(18,2)))",
           "max_price" -> "max(o_totalprice)",
           "min_order" -> "min(o_orderkey)"))
       fact.append(orders.filter(col("o_orderkey") > split)
@@ -409,6 +412,7 @@ object LakeDmlQueries {
     IncrementalJoinView.open(spark, viewDir).snapshot()
       .select(col("c_nationkey"), col("cnt"),
         col("sum_price").cast("double").as("sum_price"),
+        col("avg_price"),
         col("max_price"), col("min_order"))
       .orderBy("c_nationkey")
   }
@@ -966,6 +970,8 @@ object LakeDmlQueries {
         |SELECT c_nationkey,
         |       count(*) AS cnt,
         |       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+        |         / count(CAST(p AS DECIMAL(18,2))) AS avg_price,
         |       max(p) AS max_price,
         |       min(o_orderkey) AS min_order
         |FROM s JOIN customer ON o_custkey = c_custkey

@@ -79,6 +79,43 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
     assert(view.table.latestVersion.contains(v0))
   }
 
+  test("avg(x): stored as sum + non-null count, divided at read — delta " +
+    "maintenance equals a from-scratch avg across the arc, NULL when no " +
+    "non-null input survives") {
+    val base = mkBase()
+    val (fact, dim) = mkTables(base)
+    val view = IncrementalJoinView.create(spark, fact,
+      Seq(DimSpec(s"$base/dim", "ck", "dk")), s"$base/view",
+      Seq("nation"), Seq("cnt" -> "count(*)", "av" -> "avg(v)"))
+    def gotAvg: Map[String, Option[Double]] =
+      view.snapshot().collect()
+        .map(r => r.getString(0) ->
+          Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    def expAvg: Map[String, Option[Double]] =
+      fact.snapshot().join(dim.snapshot(), col("ck") === col("dk"))
+        .groupBy("nation")
+        .agg(avg(col("v").cast("double")).as("av"))
+        .collect().map(r => r.getString(0) ->
+          Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(gotAvg === expAvg)
+    assert(gotAvg("B") === Some(2.0), "NULL input must not dilute the avg")
+    // insert delta shifts the average; update rewrites a value;
+    // delete drops group B's only non-null row -> its avg goes NULL
+    fact.append(Seq((14L, 1L, Some(11L))).toDF("fk", "ck", "v").coalesce(1))
+    view.refresh()
+    assert(view.lastRefresh.exists(_.mode == "delta"))
+    assert(gotAvg === expAvg)
+    fact.updateWhere(col("fk") === 11L, Map("v" -> lit(100L)))
+    view.refresh()
+    assert(gotAvg === expAvg)
+    fact.deleteWhere(col("fk") === 12L)
+    view.refresh()
+    assert(view.lastRefresh.exists(_.mode == "delta"))
+    assert(gotAvg === expAvg)
+    assert(gotAvg("B") === None,
+      "a group whose non-null inputs all left must serve NULL avg")
+  }
+
   test("sum NULL contract survives delta maintenance of the accumulator") {
     val base = mkBase()
     val fact = new IncrementalTable(spark, s"$base/fact")
@@ -382,12 +419,14 @@ class IncrementalJoinViewSpec extends AnyFunSuite with SparkSpec {
         Seq("nation"), Seq("cnt" -> "count(*)", "sd" -> "sum(d)"))
     }
     assert(e1.getMessage.contains("delta-exact"))
-    // avg: not a stored aggregate (it routes via sum+count), refused
+    // avg over a DOUBLE argument: its stored accumulator is a double
+    // sum — order-dependent, refused like sum(d) (avg over integral/
+    // decimal IS accepted: stored as sum + nn, divided at read)
     val e2 = intercept[IllegalArgumentException] {
       IncrementalJoinView.create(spark, fact, dimSpec, s"$base/v2",
         Seq("nation"), Seq("cnt" -> "count(*)", "m" -> "avg(d)"))
     }
-    assert(e2.getMessage.contains("maintainable"))
+    assert(e2.getMessage.contains("delta-exact"))
     // no count(*): liveness untrackable, refused
     val e3 = intercept[IllegalArgumentException] {
       IncrementalJoinView.create(spark, fact, dimSpec, s"$base/v3",
