@@ -2299,6 +2299,58 @@ final class IncrementalTable(
         IncrementalTable.JoinBucketMetaKey -> s"$buckets+$column"))
   }
 
+  /** INCREMENTAL bucket maintenance: restore the one-sorted-file-per-
+    * bucket invariant — the layout under which storage-partitioned
+    * joins run with zero shuffles AND zero sorts — in O(fragmented
+    * data) instead of [[bucketize]]'s O(table). Buckets already a
+    * single `s1`-marked file keep their file untouched; every other
+    * bucket (multiple append files, an unmarked delete restage) has
+    * its rows rewritten into one fresh sorted file. Sound to do
+    * per-bucket because every current-spec file's rows hash to its own
+    * bucket — rewritten rows can never land in a kept bucket. If ANY
+    * live file is outside the current spec (a plain-staged commit, an
+    * old bucket spec, a stale hash type), rows may cross buckets and
+    * the call degrades to a full [[bucketize]] under the declared
+    * spec. Deletion vectors carry: kept files stay masked, rewritten
+    * files restage their LIVE rows (a removed file's vector entries
+    * dangle harmlessly). Returns the current version when nothing
+    * needs rewriting.
+    */
+  def compactBuckets(): Long = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty table $path"))
+    val (n, c) = joinBucketSpecAt(v).getOrElse(
+      throw new IllegalStateException(
+        s"$path declares no bucket layout — run bucketize(n, col) first"))
+    val tok = schemaAt(v).flatMap(_.fields.find(_.name == c))
+      .flatMap(f => IncrementalTable.bucketTypeToken(f.dataType))
+      .getOrElse(throw new IllegalStateException(
+        s"bucket column '$c' no longer has a hashable type at $path"))
+    val re = (java.util.regex.Pattern.quote(IncrementalTable.JoinBucketCol) +
+      "=([A-Za-z_][A-Za-z0-9_]*)-([a-z0-9_]+)-(?:(s1)-)?(\\d+)-(\\d+)/").r
+    val live = files(v)
+    // (bucket, sorted) per file — None = outside the current spec
+    val parsed: Seq[(String, Option[(Int, Boolean)])] = live.map { e =>
+      e -> (re.findPrefixMatchOf(e) match {
+        case Some(m) if m.group(1) == c && m.group(2) == tok &&
+            m.group(4).toInt == n =>
+          Some((m.group(5).toInt, m.group(3) != null))
+        case _ => None
+      })
+    }
+    if (parsed.exists(_._2.isEmpty)) return bucketize(n, c)
+    val byBucket = parsed.collect { case (e, Some((k, s))) => (k, e, s) }
+      .groupBy(_._1)
+    val rewrite = byBucket.valuesIterator
+      .filter(fs => fs.size > 1 || fs.exists(!_._3))
+      .flatMap(_.map(_._2)).toSet
+    if (rewrite.isEmpty) return v
+    val subset = snapshotOfFiles(v, rewrite).getOrElse(return v)
+    val added = stageBucketed(subset, n, c)
+    commitFiles(added, rewrite, s"compact-buckets[$n,$c]",
+      readVersion = Some(v), meta = Map("datachange" -> "false"))
+  }
+
   /** Stage `df` under the join-bucket layout: one task (so one file,
     * before `maxRecordsPerFile` splitting) per present bucket — without
     * the repartition every input partition would write a file per

@@ -44,6 +44,10 @@ object GraftMaintenanceSql {
   // OPTIMIZE t BUCKET BY (col, n)
   private val OptimizeBucket =
     """(?is)^\s*OPTIMIZE\s+(.+?)\s+BUCKET\s+BY\s*\(\s*([^,\s)]+)\s*,\s*(\d+)\s*\)\s*;?\s*$""".r
+  // incremental bucket maintenance: restore one-sorted-file-per-bucket
+  // in O(fragmented data) — OPTIMIZE t COMPACT BUCKETS
+  private val OptimizeCompactBuckets =
+    """(?is)^\s*OPTIMIZE\s+(.+?)\s+COMPACT\s+BUCKETS\s*;?\s*$""".r
   private val OptimizeWhere =
     """(?is)^\s*OPTIMIZE\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val Vacuum =
@@ -91,6 +95,8 @@ object GraftMaintenanceSql {
     case OptimizeBucket(target, bcol, n) =>
       Some(OptimizeBucketGraftCommand(target.trim,
         bcol.trim.stripPrefix("`").stripSuffix("`"), n.toInt))
+    case OptimizeCompactBuckets(target) =>
+      Some(OptimizeCompactBucketsGraftCommand(target.trim))
     case Optimize(target, zcols) =>
       Some(OptimizeGraftCommand(target.trim,
         Option(zcols).map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)))
@@ -308,6 +314,24 @@ case class OptimizeBucketGraftCommand(target: String, column: String, n: Int)
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftMaintenanceSql.incrementalAt(spark, target)
     val v = t.bucketize(n, column)
+    Seq(Row(v, t.operationAt(v)))
+  }
+}
+
+/** `OPTIMIZE t COMPACT BUCKETS` — incremental bucket maintenance
+  * ([[IncrementalTable.compactBuckets]]): restore one-sorted-file-per-
+  * bucket (the zero-shuffle AND zero-sort join layout) by rewriting
+  * only the fragmented buckets; degrades to a full re-bucketize when
+  * plain-staged files mean rows may cross buckets.
+  */
+case class OptimizeCompactBucketsGraftCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("operation", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftMaintenanceSql.incrementalAt(spark, target)
+    val v = t.compactBuckets()
     Seq(Row(v, t.operationAt(v)))
   }
 }

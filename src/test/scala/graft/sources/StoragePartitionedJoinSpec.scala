@@ -367,6 +367,57 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("COMPACT BUCKETS restores one-sorted-file-per-bucket in " +
+    "O(fragmented buckets): untouched buckets keep their very files, " +
+    "the sort-free merge join returns, re-run no-ops") {
+    val (wh, a, _) = mkTables()
+    val cat = registerCat(wh)
+    // three appended keys targeted at ONE bucket (same pmod(hash, 8))
+    val bucketOf = spark.range(3000, 4000)
+      .selectExpr("id", "pmod(hash(id), 8) AS bkt")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hot = (3000L until 4000L).filter(k => bucketOf(k) == bucketOf(3000L))
+      .take(3)
+    hot.foreach(k => a.append(Seq((k, s"x$k")).toDF("k", "va")))
+    val before = a.files(a.latestVersion.get)
+    assert(before.size === 11, s"8 buckets + 3 appends: ${before.size}")
+    val v = a.compactBuckets()
+    val after = a.files(v)
+    assert(after.size === 8, s"fragmented bucket must collapse: ${after.size}")
+    assert(before.toSet.intersect(after.toSet).size === 7,
+      "the 7 untouched buckets must keep their original files")
+    assert(a.snapshot().count() === 2003L)
+    withSpj {
+      val df = spark.sql(
+        s"SELECT a.k, b.vb FROM $cat.ta a JOIN $cat.tb b ON a.k = b.k")
+      assert(df.collect().length === 1000)
+      assert(countShuffles(df) === 0, df.queryExecution.executedPlan.toString)
+      assert(countSorts(df) === 0,
+        "compaction must restore the sort-free join:\n" +
+          df.queryExecution.executedPlan)
+    }
+    // already compact: the SQL surface no-ops at the same version
+    val out = spark.sql(s"OPTIMIZE '$wh/ta' COMPACT BUCKETS").collect()
+    assert(out.head.getLong(0) === v, "re-run must not rewrite anything")
+  }
+
+  test("COMPACT BUCKETS degrades to a FULL re-bucketize when plain files " +
+    "exist (rows may cross buckets)") {
+    val (wh, a, _) = mkTables()
+    val cat = registerCat(wh)
+    a.compact(2) // plain-staged rewrite: bucket spec can't place its rows
+    val v = a.compactBuckets()
+    assert(a.operationAt(v).startsWith("bucketize["),
+      s"plain files must force the full path: ${a.operationAt(v)}")
+    withSpj {
+      val df = spark.sql(
+        s"SELECT a.k, b.vb FROM $cat.ta a JOIN $cat.tb b ON a.k = b.k")
+      assert(df.collect().length === 1000)
+      assert(countShuffles(df) === 0, df.queryExecution.executedPlan.toString)
+      assert(countSorts(df) === 0, df.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("bucketize round-trips content exactly and is stats-scannable") {
     val wh = Files.createTempDirectory("spj_rt_").toString
     val t = new IncrementalTable(spark, s"$wh/t")
