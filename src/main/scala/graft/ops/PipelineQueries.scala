@@ -195,6 +195,19 @@ object PipelineQueries {
       col("lang") === "en")
       .orderBy("doc_id")
 
+  /** Deterministic shuffle-and-shard for training export
+    * ([[Sampling.shardCorpus]]): every document gets a pseudo-random
+    * shard (`hash % 8`) and a within-shard ordinal in hash order — a
+    * global permutation with no RNG state, stable under retries,
+    * replayed exactly by the oracle.
+    */
+  def shardCorpus(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shardCorpus(
+      Tables.load(spark, dir, "documents").select("doc_id", "source"),
+      "doc_id", 8)
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
   /** Per-source token budgets for `select_token_budget` — like
     * [[mixWeights]], the ONE config both the Spark CASE column and the
     * oracle CASE chain interpolate.
@@ -1376,6 +1389,15 @@ object PipelineQueries {
          |            THEN 1 ELSE 0 END AS pred
          |FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id, prior
          |ORDER BY d.doc_id""".stripMargin,
+    "shard_corpus" ->
+      raw"""WITH hashed AS (
+         |  SELECT doc_id, source,
+         |         CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT doc_id, source, h % 8 AS shard,
+         |       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+         |            AS BIGINT) AS pos
+         |FROM hashed ORDER BY doc_id""".stripMargin,
     "lm_perplexity" ->
       raw"""WITH toks AS (
          |  SELECT doc_id, CAST(lang = 'en' AS INT) AS is_ref,
@@ -2262,6 +2284,7 @@ object PipelineQueries {
     "quality_score" -> qualityScore _,
     "quality_classifier" -> qualityClassifier _,
     "lm_perplexity" -> lmPerplexity _,
+    "shard_corpus" -> shardCorpus _,
     "select_token_budget" -> selectTokenBudget _,
     "winnow_fingerprints" -> winnowFingerprints _,
     "winnow_overlap" -> winnowOverlap _,

@@ -39,6 +39,33 @@ object Sampling {
     df.filter(keep(col(keyCol), fraction))
   }
 
+  /** Deterministic SHUFFLE-AND-SHARD — the last step of every training
+    * pipeline (a trained-on corpus must be globally permuted, then cut
+    * into shards a loader can stream): `shard = hash % n` assigns each
+    * document a pseudo-random shard, and the within-shard ordinal
+    * follows the hash order — a deterministic global permutation with
+    * no RNG state, stable under retries, replayable in ANSI SQL.
+    *
+    * Scale shape: ONE shuffle on the shard id, then a per-shard sort —
+    * exactly the work a shard writer must do anyway; size `n` so a
+    * shard fits a task (10k shards at 100 TB ≈ 10 GB each). The
+    * hash-ordinal window never concentrates (hash order is uniform in
+    * every shard), unlike timestamp- or id-ordered exports that pile
+    * the newest data into the last shard.
+    */
+  def shardCorpus(df: DataFrame, keyCol: String, shards: Int): DataFrame = {
+    require(shards >= 1, s"shards=$shards must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val h = Shingles.baseHash(col(keyCol).cast("string"))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("__h"), col(keyCol))).cast("long"))
+      .drop("__h")
+  }
+
   /** Cumulative band cuts as LONG thresholds — the ONE place a band
     * list becomes hash-space boundaries. [[splitByHash]] and any
     * replaying oracle SQL must both interpolate THESE longs (same

@@ -386,8 +386,29 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.internal.Logging {
   override def readSchema(): StructType = inner.readSchema()
+
+  /** Planner statistics, delegated to the (possibly runtime-pruned)
+    * parquet scan's file-size estimate. Without this forward the
+    * wrapper hides the inner `FileScan`'s stats and Spark prices every
+    * graft relation at `defaultSizeInBytes` (Long.MaxValue) — a tiny
+    * graft dimension table would NEVER win a broadcast join, the single
+    * worst plan a star schema can get.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    pruned.getOrElse(inner) match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
+    }
   override def toBatch: Batch = {
     if (info.readChangeFeed)
       throw new UnsupportedOperationException(

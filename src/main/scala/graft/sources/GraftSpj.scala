@@ -94,8 +94,13 @@ private[sources] object GraftBucketFunction extends UnboundFunction {
       override def produceResult(input: InternalRow): Integer = {
         val n = input.getInt(0)
         val v = input.get(1, keyType)
-        val h = org.apache.spark.sql.catalyst.expressions
-          .Murmur3HashFunction.hash(v, keyType, 42L).toInt
+        // null hashes to the seed, exactly like the write side's
+        // hash(col) (Spark's hash() leaves the seed untouched for a
+        // null child) — spelled out rather than trusting the
+        // interpreted hasher's null dispatch
+        val h = if (v == null) 42
+          else org.apache.spark.sql.catalyst.expressions
+            .Murmur3HashFunction.hash(v, keyType, 42L).toInt
         Integer.valueOf(((h % n) + n) % n)
       }
     }

@@ -9,6 +9,31 @@ import graft.SparkSpec
   */
 class SamplingSpec extends AnyFunSuite with SparkSpec {
 
+  test("shardCorpus: a deterministic permutation — shards balanced, " +
+    "ordinals dense per shard, identical under any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0 until 5000).map(i => (f"d$i%05d", i)).toDF("doc_id", "x")
+    val a = Sampling.shardCorpus(docs.repartition(1), "doc_id", 16)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val b = Sampling.shardCorpus(docs.repartition(13), "doc_id", 16)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a === b, "the permutation must not depend on partitioning")
+    val byShard = a.groupBy(_._2).view.mapValues(_.map(_._3).sorted).toMap
+    assert(byShard.keySet.size === 16)
+    // hash balance: no shard more than 2x the mean
+    assert(byShard.values.map(_.size).max <= 2 * 5000 / 16)
+    // ordinals are 1..n dense within every shard
+    byShard.values.foreach(ps => assert(ps == (1L to ps.size).toSeq))
+    // it IS a shuffle: within a shard, hash order must not reproduce
+    // the lexicographic input order (vanishingly unlikely for ~300 docs)
+    val shard0 = a.filter(_._2 == 0L).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 !== shard0.sorted,
+      "hash order degenerated to input order — not a permutation")
+  }
+
   test("reproducible, approximately the requested rate, joinable across tables") {
     import spark.implicits._
     val a = spark.range(10000).toDF("k")
