@@ -739,6 +739,50 @@ object ScaleEvidence {
         f""""multi_s":$multiS%.2f,"multi_sorts":$multiSorts}""")
     }
 
+    /** Experiment: incremental bucket compaction vs table size. A
+      * bucketized table takes appends LOCALIZED to 4 of its 32 buckets
+      * (a hot-partition ingest shape); `compactBuckets` rewrites only
+      * those buckets — cost proportional to the FRAGMENTED SHARE
+      * (4/32 of the table here), not the table — while the full
+      * `bucketize` foil rewrites everything and grows linearly. When
+      * fragmentation is table-wide (every bucket took a file per
+      * batch), compaction degenerates to the full rewrite by
+      * construction — this measures the localized case the operation
+      * exists for.
+      */
+    def compactBucketsExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      val n = 2000000L * k
+      def mk(name: String): graft.lake.IncrementalTable = {
+        val t = new graft.lake.IncrementalTable(spark, s"$base/cb_x$k/$name")
+        t.append(spark.range(0, n).select(col("id").as("k"),
+          md5(col("id").cast("string")).as("v")))
+        t.bucketize(32, "k")
+        // appends LOCALIZED to buckets 0..3 (hot sources land on few
+        // buckets): 200k rows regardless of scale
+        t.append(spark.range(n, n + 1600000L)
+          .filter(org.apache.spark.sql.functions.expr("pmod(hash(id), 32) < 4"))
+          .limit(200000)
+          .select(col("id").as("k"), md5(col("id").cast("string")).as("v")))
+        t
+      }
+      val tInc = mk("inc")
+      tally.drain(); val (r0, w0) = tally.snapshot
+      val t0 = System.nanoTime()
+      val vInc = tInc.compactBuckets()
+      val incS = (System.nanoTime() - t0) / 1e9
+      tally.drain(); val (r1, w1) = tally.snapshot
+      require(tInc.operationAt(vInc).startsWith("compact-buckets["),
+        s"localized fragmentation must take the incremental path: " +
+          tInc.operationAt(vInc))
+      val tFull = mk("full")
+      val t1 = System.nanoTime()
+      tFull.bucketize(32, "k")
+      val fullS = (System.nanoTime() - t1) / 1e9
+      println(f"""{"scale":$k,"experiment":"compact_buckets","rows":$n,""" +
+        f""""compact_s":$incS%.2f,"compact_io_mb":${(r1 - r0 + w1 - w0) / 2e6}%.1f,""" +
+        f""""full_bucketize_s":$fullS%.2f}""")
+    }
+
     if (want("incr_view")) scales.foreach(k => viewExperiment(base, k))
     if (want("inc_dedup")) scales.foreach(k => incDedupExperiment(base, k))
     if (want("join_view")) scales.foreach(k => joinViewExperiment(base, k))
@@ -750,6 +794,7 @@ object ScaleEvidence {
     if (want("dfp")) scales.foreach(k => dfpExperiment(base, k))
     if (want("spj")) scales.foreach(k => spjExperiment(base, k))
     if (want("spj_sort")) scales.foreach(k => spjSortExperiment(base, k))
+    if (want("compact_buckets")) scales.foreach(k => compactBucketsExperiment(base, k))
     spark.stop()
   }
 }
