@@ -1479,6 +1479,36 @@ final class IncrementalTable(
       commitFiles(Seq.empty, Set.empty, "set type widening disabled",
         dropMeta = Set("widen"))
 
+  /** Delta's write optimization (`delta.autoOptimize.optimizeWrite` —
+    * the one perf-adjacent knob the reference's DDL sets): when
+    * enabled, appends and snapshot writes REBALANCE their output
+    * before staging — Spark's `rebalance` hint, whose AQE pass splits
+    * oversized and coalesces undersized post-shuffle partitions to the
+    * advisory size at runtime, which IS Delta's optimized-write
+    * shuffle — so a 200-partition trickle batch lands as one
+    * right-sized file instead of 200 shards, and a skewed batch splits
+    * instead of writing one giant file. Skipped when a declared write
+    * order or a live bucket layout already owns the output
+    * partitioning.
+    */
+  def optimizeWriteEnabled: Boolean =
+    latestVersion.exists(v => metaAt(v).get("optimizewrite").contains("true"))
+
+  /** Enable/disable optimized writes — a metadata-only commit. */
+  def setOptimizeWrite(enabled: Boolean): Long =
+    if (enabled)
+      commitFiles(Seq.empty, Set.empty, "set optimize write enabled",
+        meta = Map("optimizewrite" -> "true"))
+    else
+      commitFiles(Seq.empty, Set.empty, "set optimize write disabled",
+        dropMeta = Set("optimizewrite"))
+
+  private def applyOptimizeWrite(df: DataFrame): DataFrame =
+    if (optimizeWriteEnabled && writeOrder.isEmpty &&
+        latestVersion.flatMap(joinBucketSpecAt).isEmpty)
+      df.hint("rebalance")
+    else df
+
   /** Drop the `type-widening` reader-feature demand (Delta's
     * `ALTER TABLE ... DROP FEATURE` analog): once every live data file
     * is physically at the tracked width — after compact()/cluster()
@@ -1734,8 +1764,9 @@ final class IncrementalTable(
         // writeSnapshot too — they are table properties, not data
         // state).
         val carry = Seq("dv", "constraints", "bloom", "colmap", "coldrop",
-          "writeorder", "gencol", "identity", "rf", "widen", "widened",
-          "rowtracking", "copylog", IncrementalTable.JoinBucketMetaKey)
+          "writeorder", "optimizewrite", "gencol", "identity", "rf",
+          "widen", "widened", "rowtracking", "copylog",
+          IncrementalTable.JoinBucketMetaKey)
           .flatMap(k => baseMeta.get(k).map(k -> _)).toMap
         writeManifest(v, operation, prev.filterNot(removed) ++ added,
           (carry -- dropMeta) ++ watermarkCarry(baseMeta) ++ meta ++
@@ -1778,7 +1809,8 @@ final class IncrementalTable(
     // re-buckets — the write is O(table) either way, and keeping the
     // layout means storage-partitioned joins survive MERGE, not just
     // appends
-    commitSnapshot(stageForLayout(df), df.schema, operation, maxRetries, meta)
+    commitSnapshot(stageForLayout(applyOptimizeWrite(df)), df.schema,
+      operation, maxRetries, meta)
   }
 
   /** Publish already-staged files as a full snapshot (replaces every
@@ -1803,8 +1835,8 @@ final class IncrementalTable(
         // reverse (a silent misread) is not
         val consCarry = baseMeta
           .filter { case (k, _) => Set("constraints", "bloom", "colmap",
-            "coldrop", "writeorder", "gencol", "identity", "widen",
-            "widened", "rowtracking", "copylog",
+            "coldrop", "writeorder", "optimizewrite", "gencol", "identity",
+            "widen", "widened", "rowtracking", "copylog",
             IncrementalTable.JoinBucketMetaKey).contains(k) }
         writeManifest(v, operation, added,
           consCarry ++ watermarkCarry(baseMeta) ++ meta ++
@@ -1830,13 +1862,16 @@ final class IncrementalTable(
     case Seq() =>
       val materialized = applyGenerated(df)
       validateConstraints(materialized)
-      commitFiles(stageForLayout(applyWriteOrder(materialized)), Set.empty,
-        operation, meta = extraMeta, schema = Some(materialized.schema))
+      commitFiles(
+        stageForLayout(applyOptimizeWrite(applyWriteOrder(materialized))),
+        Set.empty, operation, meta = extraMeta,
+        schema = Some(materialized.schema))
     case specs =>
       withAllocated(df, specs) { withIds =>
         val materialized = applyGenerated(withIds)
         validateConstraints(materialized)
-        val added = stageForLayout(applyWriteOrder(materialized))
+        val added =
+          stageForLayout(applyOptimizeWrite(applyWriteOrder(materialized)))
         wmMeta => commitFiles(added, Set.empty, operation,
           maxRetries = 0, meta = extraMeta ++ wmMeta,
           schema = Some(materialized.schema))

@@ -409,6 +409,8 @@ case class DescribeDetailGraftCommand(target: String)
         Some(s"graft.writeOrder=${t.writeOrder.mkString(",")}") else None,
       if (t.typeWideningEnabled)
         Some("graft.enableTypeWidening=true") else None,
+      if (t.optimizeWriteEnabled)
+        Some("graft.autoOptimize.optimizeWrite=true") else None,
       t.joinBucketSpecAt(v).map { case (n, c) =>
         val live = fls.forall(_.startsWith(
           graft.lake.IncrementalTable.JoinBucketCol + "="))

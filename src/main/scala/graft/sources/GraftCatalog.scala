@@ -278,11 +278,20 @@ class GraftCatalog extends TableCatalog
           require(Set("true", "false").contains(v.trim.toLowerCase),
             s"graft: table property '$k' must be 'true' or 'false', got '$v'")
           graftProps += (k -> v)
+        // the one perf-adjacent property the reference's DDL sets
+        // (test_scd_handler.py:55-57) — its Delta spelling is accepted
+        // verbatim so that DDL ports run unchanged
+        case "graft.autoOptimize.optimizeWrite" |
+             "delta.autoOptimize.optimizeWrite" =>
+          require(Set("true", "false").contains(v.trim.toLowerCase),
+            s"graft: table property '$k' must be 'true' or 'false', got '$v'")
+          graftProps += ("graft.autoOptimize.optimizeWrite" -> v)
         case other if passthrough.contains(other) ||
           other.startsWith("option.") => ()
         case other => throw new IllegalArgumentException(
           s"graft: unknown table property '$other' (supported: " +
-            "graft.bloomColumns, graft.writeOrder, graft.enableTypeWidening)")
+            "graft.bloomColumns, graft.writeOrder, graft.enableTypeWidening, " +
+            "graft.autoOptimize.optimizeWrite)")
       }
     }
     val t = new IncrementalTable(spark, p)
@@ -294,6 +303,8 @@ class GraftCatalog extends TableCatalog
       case ("graft.writeOrder", v) => t.setWriteOrder(cols(v): _*)
       case ("graft.enableTypeWidening", v) =>
         if (v.trim.equalsIgnoreCase("true")) t.setTypeWidening(true)
+      case ("graft.autoOptimize.optimizeWrite", v) =>
+        if (v.trim.equalsIgnoreCase("true")) t.setOptimizeWrite(true)
       case _ => ()
     }
     tableAt(p, Map.empty)
@@ -342,9 +353,15 @@ class GraftCatalog extends TableCatalog
         require(Set("", "true", "false").contains(v.trim.toLowerCase),
           s"graft: 'graft.enableTypeWidening' must be 'true' or " +
             s"'false', got '$v'")
+      case ("graft.autoOptimize.optimizeWrite" |
+            "delta.autoOptimize.optimizeWrite", v) =>
+        require(Set("", "true", "false").contains(v.trim.toLowerCase),
+          s"graft: 'graft.autoOptimize.optimizeWrite' must be 'true' or " +
+            s"'false', got '$v'")
       case (k, _) => throw new IllegalArgumentException(
         s"graft: unknown table property '$k' (supported: " +
-          "graft.bloomColumns, graft.writeOrder, graft.enableTypeWidening)")
+          "graft.bloomColumns, graft.writeOrder, graft.enableTypeWidening, " +
+          "graft.autoOptimize.optimizeWrite)")
     }
     require((adds ++ renames ++ drops: Seq[TableChange.ColumnChange])
         .forall(_.fieldNames().length == 1),
@@ -398,6 +415,9 @@ class GraftCatalog extends TableCatalog
       case ("graft.writeOrder", v) => inc.setWriteOrder(cols(v): _*)
       case ("graft.enableTypeWidening", v) =>
         inc.setTypeWidening(v.trim.equalsIgnoreCase("true"))
+      case ("graft.autoOptimize.optimizeWrite" |
+            "delta.autoOptimize.optimizeWrite", v) =>
+        inc.setOptimizeWrite(v.trim.equalsIgnoreCase("true"))
       case _ => ()
     }
     if (adds.nonEmpty) {

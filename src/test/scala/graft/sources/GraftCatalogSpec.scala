@@ -119,6 +119,38 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       s"expected the DSv2 stream through the catalog, saw: $sources")
   }
 
+  test("optimizeWrite: the reference's Delta TBLPROPERTIES spelling is " +
+    "accepted, appends coalesce a many-partition trickle to right-sized " +
+    "files, and UNSET turns it back off") {
+    configure()
+    import spark.implicits._
+    // the reference DDL verbatim modulo catalog/provider
+    // (test_scd_handler.py:55-57)
+    spark.sql(
+      """CREATE TABLE lake.ow (id LONG, v STRING)
+        |TBLPROPERTIES ('delta.autoOptimize.optimizeWrite'='true')""".stripMargin)
+    val t = new IncrementalTable(spark, s"$wh/ow")
+    assert(t.optimizeWriteEnabled)
+    val props = spark.sql("DESCRIBE DETAIL lake.ow")
+      .collect().head.getString(7)
+    assert(props.contains("graft.autoOptimize.optimizeWrite=true"), props)
+    // a 64-partition trickle batch of 640 rows: without the rebalance
+    // it stages 64 shard files; with it, AQE coalesces to a handful
+    t.append((0L until 640L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(64))
+    val nFiles = t.files(t.latestVersion.get).size
+    assert(nFiles <= 4,
+      s"optimized write should coalesce the trickle batch, got $nFiles files")
+    assert(t.snapshot().count() === 640L)
+    spark.sql("ALTER TABLE lake.ow UNSET TBLPROPERTIES " +
+      "('graft.autoOptimize.optimizeWrite')")
+    assert(!new IncrementalTable(spark, s"$wh/ow").optimizeWriteEnabled)
+    t.append((0L until 640L).map(i => (i, s"w$i")).toDF("id", "v")
+      .repartition(64))
+    val after = t.files(t.latestVersion.get).size - nFiles
+    assert(after > 4, s"disabled optimizeWrite must stage as-is, got $after")
+  }
+
   test("CREATE TABLE with an illegal property VALUE leaves no half-created table") {
     configure()
     spark.sql("DROP TABLE IF EXISTS lake.badprops")
