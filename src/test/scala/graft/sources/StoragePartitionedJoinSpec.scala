@@ -188,6 +188,21 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a WINDOW partitioned by the bucket column reuses the key grouping " +
+    "— zero shuffle, and the single-file sort satisfies its ordering") {
+    val (wh, _, _) = mkTables()
+    val cat = registerCat(wh)
+    withSpj {
+      val df = spark.sql(
+        s"""SELECT k, va, row_number() OVER (PARTITION BY k ORDER BY k) AS rn
+           |FROM $cat.ta""".stripMargin)
+      assert(df.collect().length === 2000)
+      assert(countShuffles(df) === 0,
+        "bucket-clustered window should not shuffle:\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+
   test("a time-traveled version keeps ITS OWN bucket spec: a re-bucketize " +
     "with a different n can never mis-group the old files") {
     val wh = Files.createTempDirectory("spj_tt_").toString
