@@ -783,6 +783,50 @@ object ScaleEvidence {
         f""""full_bucketize_s":$fullS%.2f}""")
     }
 
+    /** Experiment: metadata-only aggregate pushdown vs table size. A
+      * global `count(*) / min / max` over an unfiltered graft scan is
+      * answered from the one-row-per-file stats sidecar
+      * (`GraftStatsLocalScan` — zero tasks, zero data files); the
+      * conf-off foil scans the table. Pushdown cost is O(files)
+      * metadata; the foil is O(rows) — at 100 TB the difference
+      * between milliseconds and a full-table scan for the most common
+      * dashboard probe there is.
+      */
+    def statsAggExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      // 20M rows/scale: the pushdown's cost is a FIXED ~0.4 s of
+      // driver-side metadata work (one job over the 32-row stats
+      // store), so the toy 2M base drowns the foil's linear term in
+      // job-launch noise — at 200M rows the shapes separate cleanly
+      val n = 20000000L * k
+      val dir = s"$base/sagg_x$k/t"
+      val t = new graft.lake.IncrementalTable(spark, dir)
+      t.append(spark.range(0, n).repartition(32).select(col("id").as("k"),
+        (col("id") % 97L).as("m")))
+      def q(): (Long, Long) = {
+        val r = spark.read.format("graft").load(dir)
+          .agg(count(lit(1)).as("n"),
+            org.apache.spark.sql.functions.min("k").as("mn"),
+            org.apache.spark.sql.functions.max("k").as("mx"))
+          .head()
+        (r.getLong(0), r.getLong(2))
+      }
+      def run(on: Boolean): Double = {
+        spark.conf.set("spark.graft.aggregatePushdown.enabled", on.toString)
+        require(q() == ((n, n - 1))) // warm + correctness under both plans
+        val t0 = System.nanoTime(); val a = q()
+        val s1 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime(); val b = q()
+        val s2 = (System.nanoTime() - t1) / 1e9
+        require(a == b && a == ((n, n - 1)))
+        math.min(s1, s2)
+      }
+      val onS = run(true)
+      val offS = run(false)
+      spark.conf.unset("spark.graft.aggregatePushdown.enabled")
+      println(f"""{"scale":$k,"experiment":"stats_agg","rows":$n,""" +
+        f""""pushdown_s":$onS%.3f,"scan_s":$offS%.3f}""")
+    }
+
     if (want("incr_view")) scales.foreach(k => viewExperiment(base, k))
     if (want("inc_dedup")) scales.foreach(k => incDedupExperiment(base, k))
     if (want("join_view")) scales.foreach(k => joinViewExperiment(base, k))
@@ -795,6 +839,7 @@ object ScaleEvidence {
     if (want("spj")) scales.foreach(k => spjExperiment(base, k))
     if (want("spj_sort")) scales.foreach(k => spjSortExperiment(base, k))
     if (want("compact_buckets")) scales.foreach(k => compactBucketsExperiment(base, k))
+    if (want("stats_agg")) scales.foreach(k => statsAggExperiment(base, k))
     spark.stop()
   }
 }
