@@ -1509,6 +1509,43 @@ final class IncrementalTable(
       df.hint("rebalance")
     else df
 
+  /** Delta's `delta.autoOptimize.autoCompact` twin: after an append on
+    * an enabled table, compact the accumulated small-file tail — the
+    * incremental path for each layout ([[compactBuckets]] on a
+    * bucketized table, [[compactSmall]] otherwise; both O(fragmented
+    * data), both `datachange=false` so feeds and streams skip them).
+    * Triggers only past `spark.graft.autoCompact.minFiles` (default
+    * 16) files BEYOND the layout's floor, and NEVER fails the append —
+    * compaction is advisory maintenance, the data is already durable.
+    */
+  def autoCompactEnabled: Boolean =
+    latestVersion.exists(v => metaAt(v).get("autocompact").contains("true"))
+
+  /** Enable/disable post-append auto-compaction — metadata-only. */
+  def setAutoCompact(enabled: Boolean): Long =
+    if (enabled)
+      commitFiles(Seq.empty, Set.empty, "set auto compact enabled",
+        meta = Map("autocompact" -> "true"))
+    else
+      commitFiles(Seq.empty, Set.empty, "set auto compact disabled",
+        dropMeta = Set("autocompact"))
+
+  private def maybeAutoCompact(): Unit = if (autoCompactEnabled) try {
+    val minFiles =
+      spark.conf.get("spark.graft.autoCompact.minFiles", "16").toInt
+    val v = latestVersion.getOrElse(return)
+    val live = files(v)
+    val floor = joinBucketSpecAt(v).map(_._1).getOrElse(1)
+    if (live.size - floor < minFiles) return
+    if (joinBucketSpecAt(v).isDefined) compactBuckets()
+    else compactSmall()
+    ()
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft auto-compact failed open for $path: $e")
+  }
+
   /** Drop the `type-widening` reader-feature demand (Delta's
     * `ALTER TABLE ... DROP FEATURE` analog): once every live data file
     * is physically at the tracked width — after compact()/cluster()
@@ -1764,8 +1801,8 @@ final class IncrementalTable(
         // writeSnapshot too — they are table properties, not data
         // state).
         val carry = Seq("dv", "constraints", "bloom", "colmap", "coldrop",
-          "writeorder", "optimizewrite", "gencol", "identity", "rf",
-          "widen", "widened", "rowtracking", "copylog",
+          "writeorder", "optimizewrite", "autocompact", "gencol", "identity",
+          "rf", "widen", "widened", "rowtracking", "copylog",
           IncrementalTable.JoinBucketMetaKey)
           .flatMap(k => baseMeta.get(k).map(k -> _)).toMap
         writeManifest(v, operation, prev.filterNot(removed) ++ added,
@@ -1835,8 +1872,8 @@ final class IncrementalTable(
         // reverse (a silent misread) is not
         val consCarry = baseMeta
           .filter { case (k, _) => Set("constraints", "bloom", "colmap",
-            "coldrop", "writeorder", "optimizewrite", "gencol", "identity",
-            "widen", "widened", "rowtracking", "copylog",
+            "coldrop", "writeorder", "optimizewrite", "autocompact", "gencol",
+            "identity", "widen", "widened", "rowtracking", "copylog",
             IncrementalTable.JoinBucketMetaKey).contains(k) }
         writeManifest(v, operation, added,
           consCarry ++ watermarkCarry(baseMeta) ++ meta ++
@@ -1858,24 +1895,29 @@ final class IncrementalTable(
     * commit without bypassing this materialization pipeline.
     */
   def append(df: DataFrame, operation: String = "append",
-      extraMeta: Map[String, String] = Map.empty): Long = allocSpecs match {
-    case Seq() =>
-      val materialized = applyGenerated(df)
-      validateConstraints(materialized)
-      commitFiles(
-        stageForLayout(applyOptimizeWrite(applyWriteOrder(materialized))),
-        Set.empty, operation, meta = extraMeta,
-        schema = Some(materialized.schema))
-    case specs =>
-      withAllocated(df, specs) { withIds =>
-        val materialized = applyGenerated(withIds)
+      extraMeta: Map[String, String] = Map.empty): Long = {
+    val committed = allocSpecs match {
+      case Seq() =>
+        val materialized = applyGenerated(df)
         validateConstraints(materialized)
-        val added =
-          stageForLayout(applyOptimizeWrite(applyWriteOrder(materialized)))
-        wmMeta => commitFiles(added, Set.empty, operation,
-          maxRetries = 0, meta = extraMeta ++ wmMeta,
+        commitFiles(
+          stageForLayout(applyOptimizeWrite(applyWriteOrder(materialized))),
+          Set.empty, operation, meta = extraMeta,
           schema = Some(materialized.schema))
-      }
+      case specs =>
+        withAllocated(df, specs) { withIds =>
+          val materialized = applyGenerated(withIds)
+          validateConstraints(materialized)
+          val added =
+            stageForLayout(applyOptimizeWrite(applyWriteOrder(materialized)))
+          wmMeta => commitFiles(added, Set.empty, operation,
+            maxRetries = 0, meta = extraMeta ++ wmMeta,
+            schema = Some(materialized.schema))
+        }
+    }
+    // post-commit, advisory: the append's version is already durable
+    maybeAutoCompact()
+    committed
   }
 
   /** [[stage]], except a [[bucketize]]d table's appends keep the
@@ -2739,16 +2781,7 @@ final class IncrementalTable(
     dirs.flatMap { d =>
       val slice = byDir.filter(col("__dir") === d)
         .drop("__dir", "__dv_file", "__dv_pos")
-      // a join-bucket dir keeps its bucket identity (a survivor's key
-      // is unchanged) but LOSES the `s1` sort marker: this restage
-      // gives no ordering guarantee (a scan partition can interleave
-      // chunks of several source files), and a falsely-marked file
-      // would let a merge join skip a sort it needs
-      val outDir =
-        if (d.startsWith(IncrementalTable.JoinBucketCol + "="))
-          d.replaceFirst("-s1-", "-")
-        else d
-      stage(slice, outDir)
+      stage(slice, IncrementalTable.unsortedDirName(d))
     }
   }
 
@@ -3421,7 +3454,7 @@ final class IncrementalTable(
       val bins = math.max(1,
         math.ceil(members.map(_._2).sum.toDouble / targetFileBytes).toInt)
       val slice = snapshotOfFiles(v, names).get // DV-applied, logical
-      stage(slice.repartition(bins), dir)
+      stage(slice.repartition(bins), IncrementalTable.unsortedDirName(dir))
     }
     commitFiles(added, byDir.values.flatten.map(_._1).toSet,
       s"compact-small[<${minFileBytes >> 20}MiB]", readVersion = Some(v),
@@ -3453,7 +3486,8 @@ final class IncrementalTable(
     if (byDir.isEmpty) return v
     val added = byDir.toSeq.sortBy(_._1).flatMap { case (dir, members) =>
       val slice = snapshotOfFiles(v, members.toSet).get // DV-applied, logical
-      stage(slice.repartition(targetFiles), dir)
+      stage(slice.repartition(targetFiles),
+        IncrementalTable.unsortedDirName(dir))
     }
     commitFiles(added, byDir.values.flatten.toSet, "compact-where",
       readVersion = Some(v), meta = Map("datachange" -> "false"))
@@ -3652,6 +3686,19 @@ object IncrementalTable {
     * cannot carry `:` — the pair parser owns it).
     */
   private[graft] val JoinBucketMetaKey = "jbucket"
+
+  /** `dir` with the `s1` SORT marker stripped when it is a join-bucket
+    * directory: any restage that preserves a file's directory but not
+    * a per-bucket (bucket, key) sort — delete survivors, small-file
+    * packing, predicate-scoped compaction — must write here instead.
+    * The bucket IDENTITY survives (rows still hash to the dir's
+    * bucket); only the ordering claim retreats. A falsely-marked file
+    * would let a merge join skip a sort it needs — silent wrong
+    * results, not a slow plan.
+    */
+  private[lake] def unsortedDirName(dir: String): String =
+    if (dir.startsWith(JoinBucketCol + "=")) dir.replaceFirst("-s1-", "-")
+    else dir
 
   /** The HASH-IDENTITY token a bucket directory value carries for its
     * column's type ([[IncrementalTable.bucketize]] /

@@ -411,6 +411,8 @@ case class DescribeDetailGraftCommand(target: String)
         Some("graft.enableTypeWidening=true") else None,
       if (t.optimizeWriteEnabled)
         Some("graft.autoOptimize.optimizeWrite=true") else None,
+      if (t.autoCompactEnabled)
+        Some("graft.autoOptimize.autoCompact=true") else None,
       t.joinBucketSpecAt(v).map { case (n, c) =>
         val live = fls.forall(_.startsWith(
           graft.lake.IncrementalTable.JoinBucketCol + "="))

@@ -286,6 +286,11 @@ class GraftCatalog extends TableCatalog
           require(Set("true", "false").contains(v.trim.toLowerCase),
             s"graft: table property '$k' must be 'true' or 'false', got '$v'")
           graftProps += ("graft.autoOptimize.optimizeWrite" -> v)
+        case "graft.autoOptimize.autoCompact" |
+             "delta.autoOptimize.autoCompact" =>
+          require(Set("true", "false").contains(v.trim.toLowerCase),
+            s"graft: table property '$k' must be 'true' or 'false', got '$v'")
+          graftProps += ("graft.autoOptimize.autoCompact" -> v)
         case other if passthrough.contains(other) ||
           other.startsWith("option.") => ()
         case other => throw new IllegalArgumentException(
@@ -305,6 +310,8 @@ class GraftCatalog extends TableCatalog
         if (v.trim.equalsIgnoreCase("true")) t.setTypeWidening(true)
       case ("graft.autoOptimize.optimizeWrite", v) =>
         if (v.trim.equalsIgnoreCase("true")) t.setOptimizeWrite(true)
+      case ("graft.autoOptimize.autoCompact", v) =>
+        if (v.trim.equalsIgnoreCase("true")) t.setAutoCompact(true)
       case _ => ()
     }
     tableAt(p, Map.empty)
@@ -357,6 +364,11 @@ class GraftCatalog extends TableCatalog
             "delta.autoOptimize.optimizeWrite", v) =>
         require(Set("", "true", "false").contains(v.trim.toLowerCase),
           s"graft: 'graft.autoOptimize.optimizeWrite' must be 'true' or " +
+            s"'false', got '$v'")
+      case ("graft.autoOptimize.autoCompact" |
+            "delta.autoOptimize.autoCompact", v) =>
+        require(Set("", "true", "false").contains(v.trim.toLowerCase),
+          s"graft: 'graft.autoOptimize.autoCompact' must be 'true' or " +
             s"'false', got '$v'")
       case (k, _) => throw new IllegalArgumentException(
         s"graft: unknown table property '$k' (supported: " +
@@ -418,6 +430,9 @@ class GraftCatalog extends TableCatalog
       case ("graft.autoOptimize.optimizeWrite" |
             "delta.autoOptimize.optimizeWrite", v) =>
         inc.setOptimizeWrite(v.trim.equalsIgnoreCase("true"))
+      case ("graft.autoOptimize.autoCompact" |
+            "delta.autoOptimize.autoCompact", v) =>
+        inc.setAutoCompact(v.trim.equalsIgnoreCase("true"))
       case _ => ()
     }
     if (adds.nonEmpty) {

@@ -151,6 +151,31 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(after > 4, s"disabled optimizeWrite must stage as-is, got $after")
   }
 
+  test("autoCompact: trickle appends self-heal past the small-file " +
+    "threshold; the append's own version is durable either way") {
+    configure()
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE lake.ac (id LONG, v STRING)
+        |TBLPROPERTIES ('delta.autoOptimize.autoCompact'='true')""".stripMargin)
+    val t = new IncrementalTable(spark, s"$wh/ac")
+    assert(t.autoCompactEnabled)
+    spark.conf.set("spark.graft.autoCompact.minFiles", "8")
+    try {
+      // 10 one-row appends: past 8 live files the post-append hook
+      // packs the small-file tail (datachange=false — feeds skip it)
+      (0 until 10).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+      val files = t.files(t.latestVersion.get)
+      assert(files.size < 10,
+        s"auto-compact should have packed the trickle tail: ${files.size}")
+      assert(t.snapshot().count() === 10L)
+      assert(t.operationAt(t.latestVersion.get).startsWith("compact-small") ||
+        (0L to t.latestVersion.get).exists(v =>
+          t.operationAt(v).startsWith("compact-small")),
+        "a compact-small commit should exist in the history")
+    } finally spark.conf.unset("spark.graft.autoCompact.minFiles")
+  }
+
   test("CREATE TABLE with an illegal property VALUE leaves no half-created table") {
     configure()
     spark.sql("DROP TABLE IF EXISTS lake.badprops")

@@ -433,6 +433,29 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("compactSmall on a bucketized table packs into UNMARKED dirs: the " +
+    "grouping survives, the forged-order hazard does not") {
+    val (wh, a, _) = mkTables()
+    val cat = registerCat(wh)
+    a.append(Seq((4000L, "late")).toDF("k", "va")) // a 2-file bucket
+    a.compactSmall(minFileBytes = 1L << 20) // everything here is "small"
+    val files = a.files(a.latestVersion.get)
+    assert(files.forall(_.startsWith("__jbucket=")), files.take(3))
+    assert(files.exists(!_.contains("-s1-")),
+      "the packed file must NOT carry the sort marker (its rows are " +
+        s"repartition-ordered): ${files.take(4)}")
+    withSpj {
+      val df = spark.sql(
+        s"SELECT a.k, b.vb FROM $cat.ta a JOIN $cat.tb b ON a.k = b.k")
+      assert(df.collect().length === 1000)
+      assert(countShuffles(df) === 0,
+        "bucket identity survives packing:\n" + df.queryExecution.executedPlan)
+      assert(countSorts(df) > 0,
+        "an unmarked packed file must not satisfy the merge join's order:\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+
   test("bucketize round-trips content exactly and is stats-scannable") {
     val wh = Files.createTempDirectory("spj_rt_").toString
     val t = new IncrementalTable(spark, s"$wh/t")
