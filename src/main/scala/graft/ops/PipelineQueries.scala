@@ -195,6 +195,18 @@ object PipelineQueries {
       col("lang") === "en")
       .orderBy("doc_id")
 
+  /** Temperature-flattened language mixing
+    * ([[Sampling.temperatureMixSqrt]]): the √n mixture rule over the
+    * corpus's skewed `lang` distribution — the majority language's
+    * share shrinks toward the tail's without discarding it, every
+    * keep decision a deterministic integer-threshold hash test.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMixSqrt(
+      Tables.load(spark, dir, "documents").select("doc_id", "lang"),
+      "doc_id", "lang", budget = 300L)
+      .orderBy("doc_id")
+
   /** Deterministic shuffle-and-shard for training export
     * ([[Sampling.shardCorpus]]): every document gets a pseudo-random
     * shard (`hash % 8`) and a within-shard ordinal in hash order — a
@@ -1389,6 +1401,22 @@ object PipelineQueries {
          |            THEN 1 ELSE 0 END AS pred
          |FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id, prior
          |ORDER BY d.doc_id""".stripMargin,
+    "mix_temperature" ->
+      raw"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |w AS (SELECT lang, n,
+         |        CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS wq
+         |      FROM c),
+         |tot AS (SELECT sum(wq) AS tw FROM w),
+         |thr AS (
+         |  SELECT lang,
+         |         CAST(LEAST(CAST(1152921504606846976 AS HUGEINT),
+         |           (CAST(1152921504606846976 AS HUGEINT) * 300 * wq)
+         |             / (CAST(tw AS HUGEINT) * n)) AS BIGINT) AS t
+         |  FROM w, tot)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN thr USING (lang)
+         |WHERE CAST('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) < thr.t
+         |ORDER BY d.doc_id""".stripMargin,
     "shard_corpus" ->
       raw"""WITH hashed AS (
          |  SELECT doc_id, source,
@@ -2285,6 +2313,7 @@ object PipelineQueries {
     "quality_classifier" -> qualityClassifier _,
     "lm_perplexity" -> lmPerplexity _,
     "shard_corpus" -> shardCorpus _,
+    "mix_temperature" -> mixTemperature _,
     "select_token_budget" -> selectTokenBudget _,
     "winnow_fingerprints" -> winnowFingerprints _,
     "winnow_overlap" -> winnowOverlap _,

@@ -39,6 +39,50 @@ object Sampling {
     df.filter(keep(col(keyCol), fraction))
   }
 
+  /** TEMPERATURE-FLATTENED group mixing — the Gopher/Llama mixture
+    * rule: group `g` (a language, a source family) is sampled with
+    * weight ∝ n_g^(1/T), so T=1 keeps natural proportions and T→∞
+    * approaches uniform — the standard move to stop a majority
+    * language/source from drowning the tail without discarding it.
+    * This implementation is T=2 (√n — the common choice) and EXACT:
+    *
+    *  - per-group weights quantize to integers model-side
+    *    (`round(sqrt(n)·1000)` — sqrt is exactly rounded IEEE, so both
+    *    engines produce identical bits), and every later step is
+    *    INTEGER arithmetic: the per-group keep threshold is
+    *    `⌊2^60 · budget · w_g / (Σw · n_g)⌋` computed in 128-bit
+    *    integers (`BigInt` here, HUGEINT in the oracle) — no float can
+    *    drift a document across a band edge;
+    *  - the keep decision is the same deterministic 60-bit sha
+    *    threshold as [[byHash]] — retry-stable, partitioning-free,
+    *    and joinable with every other hash-gated selection.
+    *
+    * Expected kept ≈ `budget` documents distributed ∝ √n_g, capped at
+    * each group's population (threshold clamps to the full hash
+    * space). Scale shape: one tiny group-count aggregate, then a
+    * broadcast-joined threshold per row — a narrow filter over the
+    * corpus.
+    */
+  def temperatureMixSqrt(df: DataFrame, keyCol: String, groupCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget=$budget must be >= 0")
+    val counts = df.groupBy(groupCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val wq = counts.map { case (g, n) =>
+      g -> math.round(math.sqrt(n.toDouble) * 1000)
+    }
+    val totW = wq.map(_._2).sum // integers: order-free
+    val thr: Seq[(String, Long)] = counts.zip(wq).map {
+      case ((g, n), (_, w)) =>
+        val t = (BigInt(HashSpace) * budget * w) / (BigInt(totW) * n)
+        g -> t.min(BigInt(HashSpace)).toLong
+    }
+    val thrCol = thr.foldLeft(lit(0L)) { case (acc, (g, t)) =>
+      when(col(groupCol) === g, lit(t)).otherwise(acc)
+    }
+    df.filter(Shingles.baseHash(col(keyCol).cast("string")) < thrCol)
+  }
+
   /** Deterministic SHUFFLE-AND-SHARD — the last step of every training
     * pipeline (a trained-on corpus must be globally permuted, then cut
     * into shards a loader can stream): `shard = hash % n` assigns each

@@ -9,6 +9,37 @@ import graft.SparkSpec
   */
 class SamplingSpec extends AnyFunSuite with SparkSpec {
 
+  test("temperatureMixSqrt: √n flattening — the minority group keeps a " +
+    "LARGER fraction than the majority, totals track the budget, and the " +
+    "decision is partitioning-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 9:1 skew, 5000 docs
+    val docs = (0 until 5000).map(i =>
+      (f"d$i%05d", if (i % 10 == 0) "tail" else "head")).toDF("doc_id", "g")
+    val kept = Sampling.temperatureMixSqrt(docs, "doc_id", "g", budget = 1000L)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = kept.values.sum
+    assert(math.abs(total - 1000L) < 150, s"kept $total of budget 1000")
+    // natural shares are 90/10; √n flattening targets √9:√1 = 3:1
+    val headFrac = kept("head").toDouble / 4500
+    val tailFrac = kept("tail").toDouble / 500
+    assert(tailFrac > 2 * headFrac,
+      s"flattening must favor the tail: head=$headFrac tail=$tailFrac")
+    assert(kept("head").toDouble / kept("tail") < 4.5,
+      s"kept ratio should approach 3:1, got ${kept("head")}:${kept("tail")}")
+    // deterministic in the key, not the partitioning
+    val a = Sampling.temperatureMixSqrt(docs.repartition(1), "doc_id", "g", 1000L)
+      .select("doc_id").collect().map(_.getString(0)).sorted.toSeq
+    val b = Sampling.temperatureMixSqrt(docs.repartition(11), "doc_id", "g", 1000L)
+      .select("doc_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(a === b)
+    // a budget past the population keeps everything (threshold clamps)
+    assert(Sampling.temperatureMixSqrt(docs, "doc_id", "g", 100000L)
+      .count() === 5000L)
+  }
+
   test("shardCorpus: a deterministic permutation — shards balanced, " +
     "ordinals dense per shard, identical under any partitioning") {
     import spark.implicits._
