@@ -802,22 +802,22 @@ object ScaleEvidence {
       val t = new graft.lake.IncrementalTable(spark, dir)
       t.append(spark.range(0, n).repartition(32).select(col("id").as("k"),
         (col("id") % 97L).as("m")))
-      def q(): (Long, Long) = {
+      def q(): (Long, Long, Long) = {
         val r = spark.read.format("graft").load(dir)
           .agg(count(lit(1)).as("n"),
             org.apache.spark.sql.functions.min("k").as("mn"),
             org.apache.spark.sql.functions.max("k").as("mx"))
           .head()
-        (r.getLong(0), r.getLong(2))
+        (r.getLong(0), r.getLong(1), r.getLong(2))
       }
       def run(on: Boolean): Double = {
         spark.conf.set("spark.graft.aggregatePushdown.enabled", on.toString)
-        require(q() == ((n, n - 1))) // warm + correctness under both plans
+        require(q() == ((n, 0L, n - 1))) // warm + correctness under both plans
         val t0 = System.nanoTime(); val a = q()
         val s1 = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime(); val b = q()
         val s2 = (System.nanoTime() - t1) / 1e9
-        require(a == b && a == ((n, n - 1)))
+        require(a == b && a == ((n, 0L, n - 1)))
         math.min(s1, s2)
       }
       val onS = run(true)

@@ -987,6 +987,35 @@ final class IncrementalTable(
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Per-file `num_rows` from the stats sidecar for exactly `names` —
+    * the metadata feed for [[compactBuckets]]'s convergence check. A
+    * file with no stats row, a doubled row, or a null count is simply
+    * ABSENT from the map (caller treats absence conservatively: the
+    * bucket rewrites once, which restores its stats). Fail-open: any
+    * store trouble returns an empty map, never a wrong count.
+    */
+  private def perFileRowCounts(names: Seq[String]): Map[String, Long] = {
+    if (names.isEmpty) return Map.empty
+    recoverSidecar(statsDir)
+    if (!fs.exists(statsDir)) return Map.empty
+    try {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val stats0 = readStatsStore()
+      if (!stats0.columns.contains("num_rows")) return Map.empty
+      val wanted =
+        if (names.size <= 256) stats0.filter(col("file").isInCollection(names))
+        else {
+          import spark.implicits._
+          stats0.join(broadcast(names.toDF("file")), Seq("file"), "left_semi")
+        }
+      wanted.select("file", "num_rows").collect()
+        .groupBy(_.getString(0))
+        .collect { case (f, rs) if rs.length == 1 && !rs.head.isNullAt(1) =>
+          f -> rs.head.getLong(1)
+        }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
   private def recordStats(df: DataFrame, named: Seq[String]): Unit =
     if (collectStats && named.nonEmpty) {
       val withPaths = named.map(n => n -> new Path(dataDir, n).toString)
@@ -2418,9 +2447,34 @@ final class IncrementalTable(
     if (parsed.exists(_._2.isEmpty)) return bucketize(n, c)
     val byBucket = parsed.collect { case (e, Some((k, s))) => (k, e, s) }
       .groupBy(_._1)
-    val rewrite = byBucket.valuesIterator
-      .filter(fs => fs.size > 1 || fs.exists(!_._3))
-      .flatMap(_.map(_._2)).toSet
+    val frag = byBucket.valuesIterator
+      .filter(fs => fs.size > 1 || fs.exists(!_._3)).toSeq
+    // CONVERGENCE: under spark.sql.files.maxRecordsPerFile the staging
+    // write legitimately splits an oversized bucket into several s1
+    // files — rewriting such a bucket reproduces the same file count
+    // forever (and with autoCompact on, O(bucket data) write
+    // amplification on every append). An all-s1 bucket already at its
+    // minimal achievable count (ceil(rows / maxRecordsPerFile), from
+    // the per-file stats sidecar) is COMPACT: a rewrite cannot reduce
+    // it. Any bucket with an unsorted file, a stats-less file, or more
+    // files than minimal still rewrites — and the rewrite's staged
+    // files carry fresh stats, so one pass restores eligibility and
+    // the next call no-ops.
+    val maxRec = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0").toLong
+    val rewrite: Set[String] =
+      if (maxRec <= 0L) frag.flatMap(_.map(_._2)).toSet
+      else {
+        val (allSorted, mixed) = frag.partition(_.forall(_._3))
+        val rowsByFile = perFileRowCounts(allSorted.flatMap(_.map(_._2)))
+        val stillFrag = allSorted.filter { fs =>
+          val per = fs.map(f => rowsByFile.get(f._2))
+          per.exists(_.isEmpty) || {
+            val total = per.flatten.sum
+            fs.size > math.max(1L, (total + maxRec - 1L) / maxRec)
+          }
+        }
+        (mixed ++ stillFrag).flatMap(_.map(_._2)).toSet
+      }
     if (rewrite.isEmpty) return v
     val subset = snapshotOfFiles(v, rewrite).getOrElse(return v)
     val added = stageBucketed(subset, n, c)

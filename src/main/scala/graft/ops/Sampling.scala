@@ -1,7 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.dedup.Shingles
 
@@ -62,25 +65,46 @@ object Sampling {
     * space). Scale shape: one tiny group-count aggregate, then a
     * broadcast-joined threshold per row — a narrow filter over the
     * corpus.
+    *
+    * DOMAIN: `groupCol` must be a low-cardinality group-like column
+    * (a language, a source family — dozens to a few thousand values of
+    * any equality-joinable type). The per-group thresholds are exact
+    * 128-bit integer arithmetic, which no SQL engine's distributed
+    * types express, so the (group, count) domain is computed on the
+    * driver — HARD-BOUNDED by `maxGroups`: a higher-cardinality column
+    * fails loudly at the limit probe instead of buffering an unbounded
+    * collect or (the old shape) folding an O(groups)-deep expression
+    * tree. Rows with a NULL group carry no threshold and are dropped
+    * (the oracle's inner `JOIN ... USING (group)` does the same).
     */
   def temperatureMixSqrt(df: DataFrame, keyCol: String, groupCol: String,
-      budget: Long): DataFrame = {
+      budget: Long, maxGroups: Int = 65536): DataFrame = {
     require(budget >= 0, s"budget=$budget must be >= 0")
-    val counts = df.groupBy(groupCol).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    val wq = counts.map { case (g, n) =>
-      g -> math.round(math.sqrt(n.toDouble) * 1000)
+    require(maxGroups >= 1, s"maxGroups=$maxGroups must be >= 1")
+    // limit-probe: maxGroups+1 rows prove the overflow without ever
+    // materializing more than maxGroups+1 rows on the driver
+    val probe = df.groupBy(groupCol).count().limit(maxGroups + 1).collect()
+    require(probe.length <= maxGroups,
+      s"temperatureMixSqrt: '$groupCol' exceeds maxGroups=$maxGroups " +
+        "distinct values — the mixer's domain is language/source-like " +
+        "columns; pre-bucket the column or raise maxGroups")
+    val counts = probe.iterator.filter(!_.isNullAt(0))
+      .map(r => r.get(0) -> r.getLong(1)).toSeq
+    val wq = counts.map { case (_, n) =>
+      math.round(math.sqrt(n.toDouble) * 1000)
     }
-    val totW = wq.map(_._2).sum // integers: order-free
-    val thr: Seq[(String, Long)] = counts.zip(wq).map {
-      case ((g, n), (_, w)) =>
-        val t = (BigInt(HashSpace) * budget * w) / (BigInt(totW) * n)
-        g -> t.min(BigInt(HashSpace)).toLong
+    val totW = wq.sum // integers: order-free
+    val thrRows: Seq[Row] = counts.zip(wq).map { case ((g, n), w) =>
+      val t = (BigInt(HashSpace) * budget * w) / (BigInt(totW) * n)
+      Row(g, t.min(BigInt(HashSpace)).toLong)
     }
-    val thrCol = thr.foldLeft(lit(0L)) { case (acc, (g, t)) =>
-      when(col(groupCol) === g, lit(t)).otherwise(acc)
-    }
-    df.filter(Shingles.baseHash(col(keyCol).cast("string")) < thrCol)
+    val thrDf = df.sparkSession.createDataFrame(
+      thrRows.asJava,
+      StructType(Seq(df.schema(groupCol).copy(nullable = false),
+        StructField("__thr", LongType, nullable = false))))
+    df.join(broadcast(thrDf), Seq(groupCol))
+      .filter(Shingles.baseHash(col(keyCol).cast("string")) < col("__thr"))
+      .select(df.columns.map(col): _*) // join fronts the key; restore order
   }
 
   /** Deterministic SHUFFLE-AND-SHARD — the last step of every training

@@ -296,7 +296,7 @@ class GraftCatalog extends TableCatalog
         case other => throw new IllegalArgumentException(
           s"graft: unknown table property '$other' (supported: " +
             "graft.bloomColumns, graft.writeOrder, graft.enableTypeWidening, " +
-            "graft.autoOptimize.optimizeWrite)")
+            "graft.autoOptimize.optimizeWrite, graft.autoOptimize.autoCompact)")
       }
     }
     val t = new IncrementalTable(spark, p)
@@ -373,7 +373,7 @@ class GraftCatalog extends TableCatalog
       case (k, _) => throw new IllegalArgumentException(
         s"graft: unknown table property '$k' (supported: " +
           "graft.bloomColumns, graft.writeOrder, graft.enableTypeWidening, " +
-          "graft.autoOptimize.optimizeWrite)")
+          "graft.autoOptimize.optimizeWrite, graft.autoOptimize.autoCompact)")
     }
     require((adds ++ renames ++ drops: Seq[TableChange.ColumnChange])
         .forall(_.fieldNames().length == 1),

@@ -85,7 +85,23 @@ object NgramLm {
     val cb = refPairs.groupBy("p", "c").agg(count(lit(1)).as("cb"))
       .orderBy(col("cb").desc, col("p"), col("c")).limit(bigramCap)
     // milli-nat quantization happens MODEL-side — identical float
-    // expressions to the oracle SQL, term for term
+    // expressions to the oracle SQL, term for term.
+    //
+    // EXACTNESS CAVEAT (accepted): unlike sqrt (correctly rounded by
+    // IEEE 754, which is what makes Sampling's sqrt-weights bit-exact
+    // across engines), ln carries a 1-ulp rounding allowance in both
+    // libm contracts, so JVM Math.log and DuckDB's log may disagree in
+    // the last bit. round(x*1000) then flips only when the TRUE value
+    // lies within ~1 ulp of a .5 milli-nat boundary — for the ln
+    // magnitudes here (|x| ≤ ~20, ulp ≈ 2e-15 absolute) that is a
+    // ~4e-12 boundary band per distinct (cb, cp, V) triple, i.e. a
+    // vanishing per-model probability, and the failure mode is a LOUD
+    // oracle hash mismatch on lm_perplexity, never a silently wrong
+    // standalone result (the Spark side alone is deterministic: one
+    // JVM libm, exact integer sums after quantization). An exact
+    // fixed-point log over the unbounded (cb, cp) integer domain is
+    // not expressible in portable SQL, so the tail risk is documented
+    // and accepted rather than hidden behind a pseudo-fix.
     val bm = cb.join(cp, Seq("p")).crossJoin(broadcast(vv))
       .select(col("p"), col("c"),
         round(log((col("cb") + 1).cast("double") /

@@ -40,6 +40,32 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .count() === 5000L)
   }
 
+  test("temperatureMixSqrt: 10k-group domain runs as a broadcast join " +
+    "(no O(groups) expression tree), group types are generic, null " +
+    "groups drop, column order survives, maxGroups fails loudly") {
+    import spark.implicits._
+    // 10k INTEGER groups, 3 docs each — the old when-chain folded a
+    // 10k-deep catalyst tree here and assumed string groups
+    val docs = (0 until 30000).map(i => (f"d$i%06d", i % 10000))
+      .toDF("doc_id", "g")
+    val kept = Sampling.temperatureMixSqrt(docs, "doc_id", "g", budget = 3000L)
+    assert(kept.columns.toSeq === Seq("doc_id", "g"),
+      "input column order must survive the threshold join")
+    val n = kept.count()
+    assert(n > 1500 && n < 4500, s"kept $n of budget 3000")
+    // null-group rows carry no threshold and drop; a budget past the
+    // population keeps every non-null-group row
+    val sdocs = (0 until 100)
+      .map(i => (s"s$i", if (i < 10) null else "g1")).toDF("doc_id", "g")
+    assert(Sampling.temperatureMixSqrt(sdocs, "doc_id", "g", 1000000L)
+      .count() === 90L)
+    // the cardinality bound is enforced by a limit probe, loudly
+    val err = intercept[IllegalArgumentException] {
+      Sampling.temperatureMixSqrt(docs, "doc_id", "g", 10L, maxGroups = 100)
+    }
+    assert(err.getMessage.contains("maxGroups"))
+  }
+
   test("shardCorpus: a deterministic permutation — shards balanced, " +
     "ordinals dense per shard, identical under any partitioning") {
     import spark.implicits._

@@ -416,6 +416,34 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getLong(0) === v, "re-run must not rewrite anything")
   }
 
+  test("COMPACT BUCKETS converges under maxRecordsPerFile: a bucket " +
+    "split into several s1 files by ONE staging run is already minimal " +
+    "— re-runs no-op instead of rewriting the bucket forever") {
+    val wh = Files.createTempDirectory("spj_wh_").toString
+    val a = new IncrementalTable(spark, s"$wh/ta")
+    a.append((0L until 2000L).map(k => (k, s"a$k")).toDF("k", "va"))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+    try {
+      a.bucketize(8, "k") // ~250 rows/bucket → ~3 s1 files per bucket
+      val v1 = a.latestVersion.get
+      assert(a.files(v1).size > 8,
+        s"buckets must split under the cap: ${a.files(v1).size}")
+      // every bucket already at ceil(rows/cap) files: a rewrite could
+      // not reduce any of them — the call must NO-OP at the version
+      assert(a.compactBuckets() === v1,
+        "minimal split buckets must not re-rewrite (the old behavior " +
+          "rewrote them on every call — O(bucket data) per autoCompact)")
+      // a genuinely fragmented bucket (a second staging run) still
+      // compacts, and the post-compact state is itself converged
+      a.append(Seq((0L, "x0")).toDF("k", "va"))
+      val v2 = a.latestVersion.get
+      val v3 = a.compactBuckets()
+      assert(v3 > v2, "a second run's file must still trigger compaction")
+      assert(a.compactBuckets() === v3, "post-compact state is minimal")
+      assert(a.snapshot().count() === 2001L)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("COMPACT BUCKETS degrades to a FULL re-bucketize when plain files " +
     "exist (rows may cross buckets)") {
     val (wh, a, _) = mkTables()
