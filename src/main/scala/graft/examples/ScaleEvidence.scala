@@ -827,7 +827,81 @@ object ScaleEvidence {
         f""""pushdown_s":$onS%.3f,"scan_s":$offS%.3f}""")
     }
 
+    /** Experiment: incremental SCD batch cost tracks TOUCHED BUCKETS.
+      * At 100 TB the bucket count is provisioned with the data (the
+      * operator's knob — per-bucket slice stays bounded), so this
+      * experiment scales rows AND buckets together (1e6·k rows,
+      * 64·k buckets) and applies a CONSTANT 2k-key batch confined to
+      * 4 buckets: the incremental apply must stay ~FLAT at 10× (it
+      * reads and rewrites only the touched buckets' slice — constant
+      * here by construction) while the reference-shaped plain
+      * [[graft.scd.ScdTable]] foil rewrites the whole dimension and
+      * grows ~linearly. Identity allocation is ON for the incremental
+      * table — the watermark ride is part of the batch cost being
+      * measured.
+      */
+    def scdIncExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      import graft.scd.{ScdConfig, ScdTable}
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+      val n = 1000000L * k
+      val buckets = 64 * k
+      val sysFields = ScdConfig.SystemCols.map(c => StructField(c,
+        if (c == "record_status" || c.endsWith("_key")) StringType
+        else TimestampType))
+      val idSchema = StructType(Seq(StructField("row_id", LongType),
+        StructField("k", LongType), StructField("v", StringType)) ++ sysFields)
+      val plainSchema = StructType(Seq(
+        StructField("k", LongType), StructField("v", StringType)) ++ sysFields)
+      val cfg0 = ScdConfig(pkCols = Seq("k"), scdKeyCols = Seq("v"),
+        selectCols = Some(Seq("k", "v")))
+      def at(i: Int) = cfg0.copy(
+        clock = () => java.time.Instant.parse(f"2025-08-$i%02dT00:00:00Z"))
+      def mkBatch(keys: DataFrame, tag: String, withId: Boolean) = {
+        val b = keys.select(col("id").as("k"),
+          concat(lit(tag), col("id")).as("v"))
+        if (withId) b.select(lit(null).cast("long").as("row_id"),
+          col("k"), col("v"))
+        else b
+      }
+      val t = new graft.lake.IncrementalScdTable(spark, s"$base/scdinc_x$k/t",
+        numBuckets = buckets, identityCol = Some("row_id"))
+      t.create(idSchema)
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val buildS = timed(
+        t.applyScd(mkBatch(spark.range(n).toDF("id"), "v", withId = true), at(1)))
+      // constant update batch: 2000 EXISTING keys from 4 fixed buckets
+      val hot = spark.range(n)
+        .filter(pmod(org.apache.spark.sql.functions.hash(col("id")),
+          lit(buckets)) < 4)
+        .limit(2000).toDF("id").localCheckpoint()
+      val vInc = {
+        var v = -1L
+        val s = timed { v = t.applyScd(mkBatch(hot, "w", withId = true), at(2)) }
+        (v, s)
+      }
+      val touched = """scd_apply\[(\d+) buckets\]""".r
+        .findFirstMatchIn(t.table.operationAt(vInc._1)).get.group(1).toInt
+      // correctness: every hot key closed + re-versioned, ids unique
+      val snap = t.snapshot()
+      require(snap.count() == n + 2000)
+      require(snap.filter(col("record_status") === "I").count() == 2000)
+      require(snap.select("row_id").distinct().count() == n + 2000)
+      // foil: the reference-shaped full-rewrite table, same two batches
+      val p = new ScdTable(spark, s"$base/scdinc_x$k/plain")
+      p.create(plainSchema)
+      p.applyScd(mkBatch(spark.range(n).toDF("id"), "v", withId = false), at(1))
+      val plainS = timed(
+        p.applyScd(mkBatch(hot, "w", withId = false), at(2)))
+      require(p.snapshot().count() == n + 2000)
+      println(f"""{"scale":$k,"experiment":"scd_inc","rows":$n,""" +
+        f""""buckets":$buckets,"touched":$touched,"build_s":$buildS%.2f,""" +
+        f""""inc_batch_s":${vInc._2}%.2f,"plain_batch_s":$plainS%.2f}""")
+    }
+
     if (want("incr_view")) scales.foreach(k => viewExperiment(base, k))
+    if (want("scd_inc")) scales.foreach(k => scdIncExperiment(base, k))
     if (want("inc_dedup")) scales.foreach(k => incDedupExperiment(base, k))
     if (want("join_view")) scales.foreach(k => joinViewExperiment(base, k))
     if (want("routing")) scales.foreach(k => routingExperiment(base, k))

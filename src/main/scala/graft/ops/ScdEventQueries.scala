@@ -205,7 +205,61 @@ object ScdEventQueries {
          |ORDER BY user_id, event_type, effective_from, record_status""".stripMargin
     Map(
       "scd_apply_day2" -> scdSql,
+      // the persisted-backend arc lands on the SAME final state: one
+      // oracle body checks both the algebra and the storage path
+      "scd_apply_incremental" -> scdSql,
       "scd_pointintime" -> scdPitSql.replace("%SCD%", scdSql))
+  }
+
+  /** The SAME two-batch apply, END-TO-END through the persisted scale
+    * backend: day-1 and day-2 are committed into an
+    * [[graft.lake.IncrementalScdTable]] (8 buckets, identity column
+    * on), and the final snapshot is read back FROM THE TABLE — through
+    * the bucket hashing, the touched-bucket file swap, the manifest
+    * commit, and the identity-watermark allocation — then hash-matched
+    * against the SAME DuckDB oracle body as `scd_apply_day2` (the two
+    * paths produce the same final state by construction; the planner
+    * query checks the algebra, this one checks the STORAGE ARC the
+    * 100 TB deployment actually runs). The surrogate-key column is
+    * exercised (allocated, persisted, watermarked) but projected away
+    * before the compare — the oracle cannot replay allocation order.
+    */
+  def scdApplyIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val t = incrementalDim(spark, dir)
+    t.snapshot()
+      .select(targetSchema.fieldNames.map(col): _*)
+      .orderBy("user_id", "event_type", "effective_from", "record_status")
+  }
+
+  /** Build-once cache of the two-batch incremental dimension, keyed on
+    * the events file (same contract as LakeDmlQueries.cached): complete
+    * iff exactly the two scd_apply commits exist — a half-built table
+    * from a crashed run is rebuilt, never trusted.
+    */
+  private def incrementalDim(spark: SparkSession, dir: String): graft.lake.IncrementalScdTable = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified, "scdinc").hashCode)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_scdinc_$key"
+    def open() = new graft.lake.IncrementalScdTable(spark, path,
+      numBuckets = 8, identityCol = Some("dim_sk"), identityStart = 10L)
+    val existing = open()
+    val complete = existing.exists &&
+      existing.table.latestVersion.contains(1L) &&
+      existing.table.operationAt(1L).startsWith("scd_apply[")
+    if (complete) return existing
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val t = open()
+    t.create(StructType(StructField("dim_sk", LongType) +: targetSchema.fields))
+    val batches = dimSources(spark, dir, Seq("2024-01-01", "2024-01-02"))
+      .localCheckpoint()
+    def day(d: String) = batches
+      .filter(col("day") === lit(d).cast("date")).drop("day")
+      .withColumn("dim_sk", lit(null).cast("long"))
+      .select("dim_sk", "user_id", "event_type", "value_cents", "props", "ts_utc")
+    t.applyScd(day("2024-01-01"), cfg(Clock1))
+    t.applyScd(day("2024-01-02"), cfg(Clock2))
+    t
   }
 
   /** Point-in-time lookup AGAINST the SCD2 dimension: every day-3 event
@@ -240,5 +294,6 @@ object ScdEventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd_apply_day2" -> scdApplyDay2 _,
+    "scd_apply_incremental" -> scdApplyIncremental _,
     "scd_pointintime" -> scdPointInTime _)
 }
