@@ -9,14 +9,21 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.scd.{MergeEmulator, ScdApply, ScdConfig}
 
-/** The full 100 TB SCD maintenance story, combining the two scale
-  * mechanisms this library builds separately:
+/** THE documented scale path for SCD maintenance (the one backend —
+  * an earlier `BucketedScdTable` that solved only the rewrite half via
+  * hive-partitioned dynamic overwrite was retired in its favor),
+  * combining the two mechanisms that make per-batch SCD viable at
+  * 100 TB:
   *
-  *  - [[BucketedScdTable]]'s touched-bucket-only rewrite (work per
-  *    batch is O(touched buckets), not O(table)), and
+  *  - touched-bucket-only rewrite: the table is laid out by
+  *    `__bucket = pmod(hash(pk...), numBuckets)`, a pure function of
+  *    the business key, so every target row a batch can match lives in
+  *    a touched bucket — work per batch is O(touched buckets), not
+  *    O(table); and
   *  - [[IncrementalTable]]'s file-level manifest commits (untouched
   *    buckets' files are RE-REFERENCED, not rewritten — plus time
-  *    travel and history for free).
+  *    travel, history, and atomic swap-in of the touched slice's next
+  *    state without ever overwriting the files the merge read).
   *
   * A batch: hash the incoming business keys to buckets → read ONLY the
   * touched buckets' files (straight from the manifest, no directory

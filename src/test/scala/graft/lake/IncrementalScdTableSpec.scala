@@ -76,6 +76,24 @@ class IncrementalScdTableSpec extends AnyFunSuite with SparkSpec {
       "new files must be confined to the touched buckets")
   }
 
+  test("snapshotOfBuckets prunes at FILE level through the manifest: " +
+    "only the named buckets' files are scanned, content matches the slice") {
+    val dir = Files.createTempDirectory("iscd_prune").toString
+    val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 16)
+    t.create(schema)
+    t.applyScd(batch((1L to 40L).map(k => (k, s"v$k")): _*), at(1))
+    val pruned = t.snapshotOfBuckets(Seq(3))
+    assert(pruned.inputFiles.nonEmpty, "bucket 3 should hold keys")
+    assert(pruned.inputFiles.forall(_.contains("__bucket=3")),
+      s"scan must touch only bucket 3's files: ${pruned.inputFiles.toSeq}")
+    import org.apache.spark.sql.functions._
+    val expected = t.snapshot()
+      .filter(pmod(hash(col("k")), lit(16)) === 3)
+      .select("k", "v").orderBy("k").collect()
+    assert(pruned.select("k", "v").orderBy("k").collect().toSeq ===
+      expected.toSeq)
+  }
+
   test("empty source batch on a brand-new table: no commit, snapshot stays readable") {
     val dir = Files.createTempDirectory("iscd_empty").toString
     val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 4)
