@@ -416,6 +416,62 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getLong(0) === v, "re-run must not rewrite anything")
   }
 
+  private def withConf[A](kv: (String, String)*)(f: => A): A = {
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally kv.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  test("bucket-presence ASYMMETRY never drops groups: a side serving " +
+    "FEWER distinct buckets (tiny table) joins correctly under BOTH " +
+    "settings of v2.bucketing.pushPartValues") {
+    val (wh, _, _) = mkTables()
+    val c = new IncrementalTable(spark, s"$wh/tc")
+    c.append(Seq((0L, "z0"), (1L, "z1"), (7L, "z7")).toDF("k", "vc"))
+    c.bucketize(8, "k") // 3 keys: at most 3 of 8 buckets hold files
+    val cat = registerCat(wh)
+    val q = s"SELECT a.k, a.va, c.vc FROM $cat.ta a JOIN $cat.tc c ON a.k = c.k"
+    val expected = spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(expected.map(_._1) === Seq(0L, 1L, 7L), "foil sanity")
+    for (push <- Seq("true", "false")) {
+      val (rows, shuffles) = withSpj {
+        withConf(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> push) {
+          val df = spark.sql(q)
+          (df.collect().map(r =>
+            (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq,
+            countShuffles(df))
+        }
+      }
+      assert(rows === expected,
+        s"pushPartValues=$push lost groups: got $rows")
+      info(s"pushPartValues=$push shuffles=$shuffles")
+    }
+  }
+
+  test("bucket-presence asymmetry from a SELECTIVE FILTER (stats-pruned " +
+    "files empty buckets on one side): same answer under both " +
+    "pushPartValues settings") {
+    val (wh, _, _) = mkTables()
+    val cat = registerCat(wh)
+    val q = s"SELECT a.k, a.va, b.vb FROM $cat.ta a JOIN $cat.tb b " +
+      "ON a.k = b.k WHERE a.k = 6"
+    val expected = spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(expected === Seq((6L, "a6", 60L)), "foil sanity")
+    for (push <- Seq("true", "false")) {
+      val rows = withSpj {
+        withConf(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> push) {
+          spark.sql(q).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            .sorted.toSeq
+        }
+      }
+      assert(rows === expected, s"pushPartValues=$push: got $rows")
+    }
+  }
+
   test("COMPACT BUCKETS converges under maxRecordsPerFile: a bucket " +
     "split into several s1 files by ONE staging run is already minimal " +
     "— re-runs no-op instead of rewriting the bucket forever") {
