@@ -2548,6 +2548,39 @@ final class IncrementalTable(
       concat(lit(s"$column-$tok-s1-$buckets-"), pmod(hash(fcol(column)), lit(buckets))))
   }
 
+  /** Structural health of the declared bucket layout at version `v`,
+    * judged by the SAME rules the scan applies to the files it serves
+    * (the declared spec is mutable head meta; GROUPING is a property
+    * of the live file set): `(wouldGroup, wouldClaimOrdering)`.
+    * `wouldGroup` — every live file parses to the declared spec with
+    * the CURRENT schema's hash-type token and an in-range bucket id
+    * (a plain-staged file, a stale spec, a widened type, or an empty
+    * file set all report false, exactly when the scan would fall back
+    * to a shuffled plan). `wouldClaimOrdering` — additionally every
+    * bucket is ONE `s1`-marked file (the sort-free merge-join layout).
+    * `DESCRIBE DETAIL` surfaces this so a user can see whether the
+    * promise the meta makes is one the current files keep.
+    */
+  def bucketLayoutHealth(v: Long): (Boolean, Boolean) = {
+    val (n, c) = joinBucketSpecAt(v).getOrElse(return (false, false))
+    val tok = schemaAt(v).flatMap(_.fields.find(_.name == c))
+      .flatMap(f => IncrementalTable.bucketTypeToken(f.dataType))
+      .getOrElse(return (false, false))
+    val re = (java.util.regex.Pattern.quote(IncrementalTable.JoinBucketCol) +
+      "=([A-Za-z_][A-Za-z0-9_]*)-([a-z0-9_]+)-(?:(s1)-)?(\\d+)-(\\d+)/").r
+    val live = files(v)
+    if (live.isEmpty) return (false, false)
+    val parsed = live.map(e => re.findPrefixMatchOf(e) match {
+      case Some(m) if m.group(1) == c && m.group(2) == tok &&
+          m.group(4).toInt == n && m.group(5).toInt < n =>
+        Some((m.group(5).toInt, m.group(3) != null))
+      case _ => None
+    })
+    if (parsed.exists(_.isEmpty)) return (false, false)
+    val byBucket = parsed.flatten.groupBy(_._1)
+    (true, byBucket.values.forall(fs => fs.size == 1 && fs.head._2))
+  }
+
   /** The declared (buckets, column) at version `v` — meta only; the
     * scan performs the structural file check on top.
     */

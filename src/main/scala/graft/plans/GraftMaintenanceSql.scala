@@ -414,11 +414,15 @@ case class DescribeDetailGraftCommand(target: String)
       if (t.autoCompactEnabled)
         Some("graft.autoOptimize.autoCompact=true") else None,
       t.joinBucketSpecAt(v).map { case (n, c) =>
-        val live = fls.forall(_.startsWith(
-          graft.lake.IncrementalTable.JoinBucketCol + "="))
-        // a broken layout (plain-staged files since the last
-        // bucketize) is reported as such — the scan will not SPJ it
-        s"graft.bucketBy=$c,$n${if (live) "" else " (layout broken)"}"
+        // the CURRENT live file set's health under the scan's own
+        // grouping rules (plain-staged files, stale spec, widened hash
+        // type all break it — the scan will not SPJ a broken layout);
+        // `sorted` additionally promises the sort-free merge join
+        val (groupable, sorted) = t.bucketLayoutHealth(v)
+        s"graft.bucketBy=$c,$n" + (
+          if (!groupable) " (layout broken)"
+          else if (sorted) " (groupable, sorted)"
+          else " (groupable)")
       },
       if (rf.nonEmpty)
         Some(s"readerFeatures=${rf.toSeq.sorted.mkString(",")}") else None,

@@ -97,6 +97,10 @@ class GraftCatalog extends TableCatalog
     val ds = new GraftDataSource
     val props = new java.util.HashMap[String, String]()
     props.put("path", path)
+    // the scan uses this to tell a catalog table (whose bucket
+    // transform Spark can resolve through this FunctionCatalog) from a
+    // path read (which silently misses SPJ on a bucketized layout)
+    props.put("graft.catalogResolved", "true")
     extra.foreach { case (k, v) => props.put(k, v) }
     val opts = new CaseInsensitiveStringMap(props)
     val t = ds.getTable(ds.inferSchema(opts), ds.inferPartitioning(opts), props)

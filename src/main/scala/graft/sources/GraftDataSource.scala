@@ -186,7 +186,8 @@ class GraftDataSource extends TableProvider
         Some(GraftStreamInfo(p, startingVersion,
           Option(opts.get("ignoreChanges")).exists(_.toBoolean),
           Option(opts.get("maxFilesPerTrigger")).map(_.trim.toInt),
-          Option(opts.get("readChangeFeed")).exists(_.toBoolean)))
+          Option(opts.get("readChangeFeed")).exists(_.toBoolean),
+          Option(opts.get("graft.catalogResolved")).exists(_.toBoolean)))
       }
     }
   }

@@ -22,7 +22,11 @@ import graft.lake.IncrementalTable
 private[sources] final case class GraftStreamInfo(
     path: String, startingVersion: Long, ignoreChanges: Boolean,
     maxFilesPerTrigger: Option[Int] = None,
-    readChangeFeed: Boolean = false)
+    readChangeFeed: Boolean = false,
+    // true iff the table resolved through GraftCatalog: only then can
+    // Spark resolve the reported bucket transform (FunctionCatalog),
+    // so a groupable PATH read is a silently missed SPJ worth a warning
+    catalogResolved: Boolean = false)
 
 /** Version offset on the wire: the bare committed-version number —
   * byte-identical to the v1 `LongOffset` json, so checkpoints written
@@ -505,6 +509,18 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
     val groups = byBucket.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((b, fs), i) => b -> FilePartition(i, fs.toArray)
     }
+    // MISSED-SPJ diagnostic: the file set groups, but a PATH read has
+    // no FunctionCatalog for Spark to resolve `bucket(n, col)` through,
+    // so the join will silently pay full shuffles on a perfectly
+    // bucketized table. Warn once per path, with the remediation.
+    if (!info.catalogResolved &&
+        GraftStreamScan.missedSpjPaths.add(info.path))
+      logWarning(s"graft: ${info.path} is fully bucketized " +
+        s"(bucket(${spec.n}, ${spec.column})) but was loaded BY PATH — " +
+        "storage-partitioned joins only plan for catalog-resolved " +
+        "tables. Register a graft catalog (spark.sql.catalog.<name>=" +
+        "graft.sources.GraftCatalog, spark.sql.catalog.<name>.warehouse=" +
+        "<dir>) and read the table through it to join with zero shuffles.")
     Some((spec, groups, allSorted))
   }
 
@@ -648,6 +664,13 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
 }
 
 private[sources] object GraftStreamScan {
+
+  /** Paths whose bucketized layout was served to a PATH read (no
+    * FunctionCatalog → SPJ silently missed): the once-per-path warn
+    * dedup, and the observable hook the diagnostic's spec asserts.
+    */
+  private[sources] val missedSpjPaths: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Manifest file name -> [[ScanPruneBridge.normPath]] identity
     * (entries prefixed `ext:` are absolute URIs — shallow-clone

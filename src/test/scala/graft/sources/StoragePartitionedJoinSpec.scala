@@ -169,10 +169,33 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     assert(t.snapshot().count() === 100L)
     def props() = spark.sql(s"DESCRIBE DETAIL '$wh/t'")
       .collect().head.getString(7)
-    assert(props().contains("graft.bucketBy=k,4"), props())
-    assert(!props().contains("layout broken"), props())
+    assert(props().contains("graft.bucketBy=k,4 (groupable, sorted)"),
+      props())
+    // an append fragments a bucket: still groupable, ordering gone
+    t.append(Seq((0L, 0L)).toDF("k", "v"))
+    assert(props().contains("graft.bucketBy=k,4 (groupable)"), props())
+    t.compactBuckets()
+    assert(props().contains("graft.bucketBy=k,4 (groupable, sorted)"),
+      props())
     t.compact(1) // plain-staged rewrite breaks the layout
     assert(props().contains("graft.bucketBy=k,4 (layout broken)"), props())
+  }
+
+  test("a PATH read of a bucketized table registers the missed-SPJ " +
+    "diagnostic (catalog remediation warned once); catalog reads do not") {
+    val (wh, _, _) = mkTables()
+    val cat = registerCat(wh)
+    withSpj {
+      // a real data scan — a bare count() is answered by the stats
+      // pushdown's LocalScan and never plans the bucketed batch
+      assert(spark.read.format("graft").load(s"$wh/ta")
+        .select("k").collect().length === 2000)
+      assert(spark.sql(s"SELECT k FROM $cat.tb").collect().length === 1000)
+    }
+    assert(GraftStreamScan.missedSpjPaths.contains(s"$wh/ta"),
+      "path read of a groupable layout must register the missed SPJ")
+    assert(!GraftStreamScan.missedSpjPaths.contains(s"$wh/tb"),
+      "catalog-resolved reads are not missed SPJs")
   }
 
   test("a direct GROUP BY on the bucket column aggregates WITHOUT a shuffle") {
