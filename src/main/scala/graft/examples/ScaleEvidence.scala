@@ -900,8 +900,58 @@ object ScaleEvidence {
         f""""inc_batch_s":${vInc._2}%.2f,"plain_batch_s":$plainS%.2f}""")
     }
 
+    /** Experiment: streaming ingestion vs the bucket layout. 20·k
+      * micro-batches through [[graft.streaming.Streams.incrementalAppendSink]]
+      * into a bucketized, autoCompact table: the FINAL FILE COUNT must
+      * be bounded by the layout floor + the autoCompact trigger —
+      * independent of how many batches ran (10× the batches, same
+      * tail) — and the storage-partitioned join must still plan with
+      * ~zero shuffle bytes at the end (correctness pinned against the
+      * bucketing-off foil inside the run).
+      */
+    def streamIngestExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      val batches = 20 * k
+      val perBatch = 2000L
+      val dir = s"$base/sing_x$k"
+      val t = new graft.lake.IncrementalTable(spark, s"$dir/t")
+      t.append(spark.range(0, 100000L)
+        .select(col("id").as("k"), (col("id") * 3L).as("v")))
+      t.bucketize(16, "k")
+      t.setAutoCompact(true)
+      val d = new graft.lake.IncrementalTable(spark, s"$dir/d")
+      d.append(spark.range(0, 100000L)
+        .select(col("id").as("k"), pmod(col("id"), lit(7L)).as("w")))
+      d.bucketize(16, "k")
+      val sink = graft.streaming.Streams.incrementalAppendSink(t)
+      val t0 = System.nanoTime()
+      (0 until batches).foreach { b =>
+        sink(spark.range(b * perBatch, (b + 1) * perBatch)
+          .select(pmod(col("id"), lit(100000L)).as("k"),
+            col("id").as("v")), b.toLong)
+      }
+      val ingestS = (System.nanoTime() - t0) / 1e9
+      val files = t.files(t.latestVersion.get).size
+      val cat = s"singcat$k"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
+      val q = s"SELECT t.k, t.v, d.w FROM $cat.t t JOIN $cat.d d ON t.k = d.k"
+      val expected = spark.sql(q).count() // bucketing off: shuffled foil
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (rows, joinS, rd, _) = measured(spark.sql(q).count())
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      require(rows == expected && rows > 0,
+        s"SPJ answer drifted: $rows vs $expected")
+      println(f"""{"scale":$k,"experiment":"stream_ingest","batches":$batches,""" +
+        f""""ingest_s":$ingestS%.1f,"final_files":$files,"floor":16,""" +
+        f""""join_s":$joinS%.2f,"join_shuffle_read_mb":${rd / 1e6}%.1f}""")
+    }
+
     if (want("incr_view")) scales.foreach(k => viewExperiment(base, k))
     if (want("scd_inc")) scales.foreach(k => scdIncExperiment(base, k))
+    if (want("stream_ingest")) scales.foreach(k => streamIngestExperiment(base, k))
     if (want("inc_dedup")) scales.foreach(k => incDedupExperiment(base, k))
     if (want("join_view")) scales.foreach(k => joinViewExperiment(base, k))
     if (want("routing")) scales.foreach(k => routingExperiment(base, k))

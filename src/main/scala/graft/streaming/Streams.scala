@@ -49,6 +49,16 @@ object Streams {
     * id already committed and no-ops — the same transactional-sink idea
     * as Delta's (appId, batchId) txn table, scoped to one stream per
     * table. Each micro-batch costs O(batch): new files + one manifest.
+    *
+    * Batches commit through [[graft.lake.IncrementalTable.append]], so
+    * a stream behaves exactly like batch ingestion: a `bucketize`d
+    * table's layout stays ALIVE (each batch hashes into per-bucket
+    * files — storage-partitioned joins survive a running stream),
+    * constraints/generated/identity columns apply, and `autoCompact`
+    * bounds the accumulating file tail. (The sink used to stage PLAIN
+    * files, which silently broke the bucket promise — the scan's
+    * structural check fell back to shuffled plans on the very tables
+    * streaming keeps hottest.)
     */
   def incrementalAppendSink(table: graft.lake.IncrementalTable)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
@@ -69,9 +79,10 @@ object Streams {
         .map(table.operationAt)
         .collectFirst { case StreamOp(id) => id.toLong }
     }
-    if (!watermark.exists(batchId <= _) && !batch.isEmpty)
-      table.commitFiles(table.stage(batch), Set.empty,
-        s"stream_append[batch=$batchId]", schema = Some(batch.schema))
+    if (!watermark.exists(batchId <= _) && !batch.isEmpty) {
+      table.append(batch, s"stream_append[batch=$batchId]")
+      ()
+    }
   }
 
   /** Exactly-once STREAMING corpus dedup: each micro-batch is deduped

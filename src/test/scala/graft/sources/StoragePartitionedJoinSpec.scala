@@ -495,6 +495,38 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("STREAMING appends keep the bucket layout alive: SPJ zero-shuffle " +
+    "after micro-batches, autoCompact bounds the file tail") {
+    val (wh, a, _) = mkTables()
+    a.setAutoCompact(true)
+    spark.conf.set("spark.graft.autoCompact.minFiles", "4")
+    try {
+      val sink = graft.streaming.Streams.incrementalAppendSink(a)
+      (0 until 6).foreach { i =>
+        sink(Seq((2000L + i, s"s$i")).toDF("k", "va"), i.toLong)
+      }
+      val files = a.files(a.latestVersion.get)
+      assert(files.forall(_.startsWith("__jbucket=")),
+        s"stream batches must stage under the layout: ${files.take(3)}")
+      assert(files.size <= 11,
+        s"autoCompact must bound the stream's tail (floor 8 + minFiles), " +
+          s"got ${files.size}")
+      val cat = registerCat(wh)
+      withSpj {
+        val df = spark.sql(
+          s"SELECT a.k, b.vb FROM $cat.ta a JOIN $cat.tb b ON a.k = b.k")
+        assert(df.collect().length === 1000)
+        assert(countShuffles(df) === 0,
+          "SPJ must survive a running stream:\n" +
+            df.queryExecution.executedPlan)
+      }
+      // replay of an already-committed batch id still no-ops
+      val v = a.latestVersion.get
+      sink(Seq((9999L, "dup")).toDF("k", "va"), 2L)
+      assert(a.latestVersion.get === v, "replayed batch must no-op")
+    } finally spark.conf.unset("spark.graft.autoCompact.minFiles")
+  }
+
   test("COMPACT BUCKETS converges under maxRecordsPerFile: a bucket " +
     "split into several s1 files by ONE staging run is already minimal " +
     "— re-runs no-op instead of rewriting the bucket forever") {
