@@ -2561,7 +2561,7 @@ final class IncrementalTable(
     * `DESCRIBE DETAIL` surfaces this so a user can see whether the
     * promise the meta makes is one the current files keep.
     */
-  def bucketLayoutHealth(v: Long): (Boolean, Boolean) = {
+  def bucketLayoutHealth(v: Long): (Boolean, Boolean) = try {
     val (n, c) = joinBucketSpecAt(v).getOrElse(return (false, false))
     val tok = schemaAt(v).flatMap(_.fields.find(_.name == c))
       .flatMap(f => IncrementalTable.bucketTypeToken(f.dataType))
@@ -2579,6 +2579,10 @@ final class IncrementalTable(
     if (parsed.exists(_.isEmpty)) return (false, false)
     val byBucket = parsed.flatten.groupBy(_._1)
     (true, byBucket.values.forall(fs => fs.size == 1 && fs.head._2))
+  } catch {
+    // fail toward "not healthy", never toward a false promise (e.g. a
+    // hand-crafted dir whose digits overflow toInt)
+    case scala.util.control.NonFatal(_) => (false, false)
   }
 
   /** The declared (buckets, column) at version `v` — meta only; the

@@ -88,15 +88,21 @@ object Sampling {
       s"temperatureMixSqrt: '$groupCol' exceeds maxGroups=$maxGroups " +
         "distinct values — the mixer's domain is language/source-like " +
         "columns; pre-bucket the column or raise maxGroups")
-    val counts = probe.iterator.filter(!_.isNullAt(0))
-      .map(r => r.get(0) -> r.getLong(1)).toSeq
+    // the NULL group's weight COUNTS toward the normalizer (exactly as
+    // the oracle's `sum(wq)` over the full GROUP BY does) even though
+    // null-group rows are dropped below — excluding it would inflate
+    // every other group's threshold and break the hash parity
+    val counts = probe.iterator
+      .map(r => (if (r.isNullAt(0)) null else r.get(0)) -> r.getLong(1))
+      .toSeq
     val wq = counts.map { case (_, n) =>
       math.round(math.sqrt(n.toDouble) * 1000)
     }
     val totW = wq.sum // integers: order-free
-    val thrRows: Seq[Row] = counts.zip(wq).map { case ((g, n), w) =>
-      val t = (BigInt(HashSpace) * budget * w) / (BigInt(totW) * n)
-      Row(g, t.min(BigInt(HashSpace)).toLong)
+    val thrRows: Seq[Row] = counts.zip(wq).collect {
+      case ((g, n), w) if g != null =>
+        val t = (BigInt(HashSpace) * budget * w) / (BigInt(totW) * n)
+        Row(g, t.min(BigInt(HashSpace)).toLong)
     }
     val thrDf = df.sparkSession.createDataFrame(
       thrRows.asJava,

@@ -59,6 +59,17 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .map(i => (s"s$i", if (i < 10) null else "g1")).toDF("doc_id", "g")
     assert(Sampling.temperatureMixSqrt(sdocs, "doc_id", "g", 1000000L)
       .count() === 90L)
+    // ...but the null group's √n weight still counts toward the
+    // NORMALIZER, exactly like the oracle's sum over the full GROUP BY:
+    // 100 g1 + 300 null ⇒ totW = 10000 + 17321, so budget 50 keeps
+    // ≈ 50·10000/27321 ≈ 18 g1 docs — NOT ≈ 50 (which a null-dropping
+    // normalizer would produce)
+    val ndocs = ((0 until 100).map(i => (s"a$i", "g1")) ++
+      (0 until 300).map(i => (s"b$i", null))).toDF("doc_id", "g")
+    val keptN = Sampling.temperatureMixSqrt(ndocs, "doc_id", "g", 50L).count()
+    assert(keptN > 5 && keptN < 35,
+      s"null-group weight must deflate the thresholds: kept $keptN, " +
+        "expected ~18 (a null-dropping normalizer keeps ~50)")
     // the cardinality bound is enforced by a limit probe, loudly
     val err = intercept[IllegalArgumentException] {
       Sampling.temperatureMixSqrt(docs, "doc_id", "g", 10L, maxGroups = 100)
