@@ -182,6 +182,15 @@ final class IncrementalScdTable(
     val idCfg = identityConfig
     val watermark = identityWatermark
     val merged = upsert.next.withColumn("__bucket", bucketOf(cfg.pkCols))
+      // bucket-align the tasks BEFORE the checkpoint: the merge shuffle
+      // leaves every task holding rows of EVERY touched bucket, so the
+      // partitioned write would explode into tasks × buckets files (a
+      // 10M-row initial load staged 20,490 files and the serial publish
+      // renames + per-file stats harvest dominated the build at ~400 s).
+      // One task per touched bucket stages exactly one file per bucket
+      // per batch — what snapshotOfBuckets, compactBuckets(maxFiles)
+      // and the untouched-carryover spec all assume.
+      .repartition(touched.size, col("__bucket"))
       .localCheckpoint()
     val next = idCfg match {
       case Some((idCol, _, step)) if merged.columns.contains(idCol) =>

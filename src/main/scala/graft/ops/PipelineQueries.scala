@@ -207,6 +207,18 @@ object PipelineQueries {
       "doc_id", "lang", budget = 300L)
       .orderBy("doc_id")
 
+  /** Hard per-group cap ([[Sampling.quotaPerGroup]]): exactly 25 docs
+    * per language (fewer where the language is smaller), chosen by the
+    * deterministic key-hash order — the "at most N per language"
+    * mixture spec, retry-stable and partition-free.
+    */
+  def sampleQuota(spark: SparkSession, dir: String): DataFrame =
+    Sampling.quotaPerGroup(
+      Tables.load(spark, dir, "documents")
+        .select("doc_id", "lang", "source"),
+      "doc_id", "lang", quota = 25)
+      .orderBy("doc_id")
+
   /** Deterministic shuffle-and-shard for training export
     * ([[Sampling.shardCorpus]]): every document gets a pseudo-random
     * shard (`hash % 8`) and a within-shard ordinal in hash order — a
@@ -415,6 +427,27 @@ object PipelineQueries {
       .join(multi.select("doc_id", "source"), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("lines_total"),
         col("lines_kept"), length(col("new_text")).cast("long").as("new_len"),
+        sha2(col("new_text"), 256).as("new_sha"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-domain boilerplate stripping over documents with KNOWN chrome
+    * injected (a cookie banner above, a per-source footer below — the
+    * deterministic fixture both engines construct identically): the
+    * injected lines recur in every document of a source and must strip;
+    * organic content lines survive unless they genuinely recur.
+    */
+  def stripBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+    val aug = docs.select(col("doc_id"), col("source"),
+      concat_ws("\n", lit("COOKIE NOTICE - accept to continue"),
+        col("text"),
+        concat(lit("(c) site "), col("source"))).as("text"))
+    graft.text.Boilerplate.strip(aug, "doc_id", "text", "source",
+      minDocFracBp = 5000, minDocs = 3)
+      .select(col("doc_id"), col("lines_total"), col("lines_kept"),
+        length(col("new_text")).cast("long").as("new_len"),
         sha2(col("new_text"), 256).as("new_sha"))
       .orderBy("doc_id")
   }
@@ -1417,6 +1450,17 @@ object PipelineQueries {
          |FROM documents d JOIN thr USING (lang)
          |WHERE CAST('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) < thr.t
          |ORDER BY d.doc_id""".stripMargin,
+    "sample_quota" ->
+      raw"""WITH h AS (
+         |  SELECT doc_id, lang, source,
+         |         CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, source,
+         |         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
+         |  FROM h)
+         |SELECT doc_id, lang, source FROM r WHERE rk <= 25
+         |ORDER BY doc_id""".stripMargin,
     "shard_corpus" ->
       raw"""WITH hashed AS (
          |  SELECT doc_id, source,
@@ -1640,6 +1684,40 @@ object PipelineQueries {
         |SELECT media_id, kind,
         |       CAST(sum(CAST(qv AS BIGINT) * CAST(qv AS BIGINT)) AS BIGINT) AS feature_norm_q
         |FROM q GROUP BY media_id, kind ORDER BY media_id""".stripMargin,
+    "strip_boilerplate" ->
+      raw"""WITH aug AS (
+        |  SELECT doc_id, source,
+        |         'COOKIE NOTICE - accept to continue' || chr(10) || text ||
+        |         chr(10) || '(c) site ' || source AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, source, generate_subscripts(ls, 1) - 1 AS pos,
+        |         unnest(ls) AS line
+        |  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+        |        FROM aug)),
+        |lk AS (SELECT doc_id, source, pos, line, trim(line) AS k FROM l),
+        |freq AS (
+        |  SELECT source, k, count(DISTINCT doc_id) AS nd
+        |  FROM lk WHERE length(k) > 0 GROUP BY 1, 2),
+        |dd AS (SELECT source, count(DISTINCT doc_id) AS dd FROM aug GROUP BY 1),
+        |boiler AS (
+        |  SELECT f.source, f.k FROM freq f JOIN dd USING (source)
+        |  WHERE f.nd >= 3 AND f.nd * 10000 >= dd.dd * 5000),
+        |kept AS (
+        |  SELECT lk.* FROM lk LEFT JOIN boiler b
+        |    ON lk.source = b.source AND lk.k = b.k
+        |  WHERE b.k IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS lines_kept,
+        |         string_agg(line, chr(10) ORDER BY pos) AS new_text
+        |  FROM kept GROUP BY 1)
+        |SELECT a.doc_id,
+        |       CAST(len(string_split(a.text, chr(10))) AS BIGINT) AS lines_total,
+        |       COALESCE(r.lines_kept, 0) AS lines_kept,
+        |       CAST(length(COALESCE(r.new_text, '')) AS BIGINT) AS new_len,
+        |       sha256(COALESCE(r.new_text, '')) AS new_sha
+        |FROM aug a LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
     "dedup_lines" ->
       raw"""WITH multi AS (
         |  SELECT d.doc_id, d.source,
@@ -2301,6 +2379,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_lines" -> dedupLines _,
+    "strip_boilerplate" -> stripBoilerplate _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "source_overlap_kmv" -> sourceOverlapKmv _,
     "range_join_events" -> rangeJoinEvents _,
@@ -2314,6 +2393,7 @@ object PipelineQueries {
     "lm_perplexity" -> lmPerplexity _,
     "shard_corpus" -> shardCorpus _,
     "mix_temperature" -> mixTemperature _,
+    "sample_quota" -> sampleQuota _,
     "select_token_budget" -> selectTokenBudget _,
     "winnow_fingerprints" -> winnowFingerprints _,
     "winnow_overlap" -> winnowOverlap _,

@@ -113,6 +113,32 @@ object Sampling {
       .select(df.columns.map(col): _*) // join fronts the key; restore order
   }
 
+  /** EXACT QUOTA per group — the deterministic companion to
+    * [[temperatureMixSqrt]] when the mixture spec is a hard per-group
+    * cap ("at most 50k docs per language") rather than a global budget:
+    * keep the `quota` documents whose key-hash is smallest within each
+    * group (hash order = an unbiased, retry-stable, cross-table-
+    * consistent permutation; ties broken by the key itself). Groups
+    * under the quota keep everything.
+    *
+    * Scale shape: ONE shuffle on the group key. The `row_number ≤ k`
+    * filter is recognized by Spark's WindowGroupLimit rule, which
+    * inserts a PARTIAL per-task top-k BEFORE the exchange — a hot
+    * group ships at most `quota` rows per upstream task, never its
+    * full population, so group skew cannot melt a reducer.
+    */
+  def quotaPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+      quota: Int): DataFrame = {
+    require(quota >= 1, s"quota=$quota must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(Shingles.baseHash(col(keyCol).cast("string")).asc,
+        col(keyCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
   /** Deterministic SHUFFLE-AND-SHARD — the last step of every training
     * pipeline (a trained-on corpus must be globally permuted, then cut
     * into shards a loader can stream): `shard = hash % n` assigns each

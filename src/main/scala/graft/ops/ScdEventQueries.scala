@@ -238,9 +238,11 @@ object ScdEventQueries {
     */
   private def incrementalDim(spark: SparkSession, dir: String): graft.lake.IncrementalScdTable = {
     val src = new java.io.File(s"$dir/events.parquet")
+    // tag v2: the applyScd build arc changed (bucket-aligned staging) —
+    // a stale v1 cache would serve the old file layout
     val key = java.lang.Integer.toHexString(
-      (dir, src.length, src.lastModified, "scdinc").hashCode)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_scdinc_$key"
+      (dir, src.length, src.lastModified, "scdinc2").hashCode)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_scdinc2_$key"
     def open() = new graft.lake.IncrementalScdTable(spark, path,
       numBuckets = 8, identityCol = Some("dim_sk"), identityStart = 10L)
     val existing = open()

@@ -246,9 +246,14 @@ class IncrementalScdTableSpec extends AnyFunSuite with SparkSpec {
     val dir = Files.createTempDirectory("iscd_cmp").toString
     val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 4)
     t.create(schema)
-    // seed every bucket, then hammer ONE key so its bucket gets fat
+    // seed every bucket, then hammer ONE key under a tiny
+    // maxRecordsPerFile so the hot bucket's staged slice SPLITS —
+    // applyScd itself keeps one file per touched bucket per batch
+    // (bucket-aligned staging), so splitting is how buckets get fat
     t.applyScd(batch((1L to 20L).map(k => (k, s"v$k")): _*), at(1))
-    (2 to 8).foreach(d => t.applyScd(batch((1L, s"change$d")), at(d)))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+    try (2 to 8).foreach(d => t.applyScd(batch((1L, s"change$d")), at(d)))
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
     val before = t.snapshot().orderBy("k", "effective_from", "record_status")
       .collect().toSeq
     val hotDir = {
@@ -278,9 +283,13 @@ class IncrementalScdTableSpec extends AnyFunSuite with SparkSpec {
     val dir = Files.createTempDirectory("iscd_dv").toString
     val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 2)
     t.create(schema)
-    // fatten both buckets with several batches
+    // fatten both buckets: a tiny maxRecordsPerFile splits each staged
+    // slice (applyScd alone keeps one file per touched bucket)
     t.applyScd(batch((1L to 12L).map(k => (k, s"v$k")): _*), at(1))
-    (2 to 6).foreach(d => t.applyScd(batch((1L, s"c$d"), (2L, s"d$d")), at(d)))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+    try (2 to 6).foreach(d =>
+      t.applyScd(batch((1L, s"c$d"), (2L, s"d$d")), at(d)))
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
     // merge-on-read delete of one key's rows — no file rewritten
     t.table.deleteVector(col("k") === 3L)
     val expect = t.snapshot().orderBy("k", "effective_from", "record_status")

@@ -77,6 +77,26 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("maxGroups"))
   }
 
+  test("quotaPerGroup: exact cap per group, under-quota groups keep " +
+    "everything, partitioning-independent, and the plan carries the " +
+    "partial WindowGroupLimit (skew-safe top-k before the exchange)") {
+    import spark.implicits._
+    val docs = ((0 until 500).map(i => (f"h$i%04d", "big")) ++
+      (0 until 7).map(i => (s"t$i", "small"))).toDF("doc_id", "g")
+    val out = Sampling.quotaPerGroup(docs, "doc_id", "g", 50)
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("big" -> 50L, "small" -> 7L))
+    val a = Sampling.quotaPerGroup(docs.repartition(1), "doc_id", "g", 50)
+      .select("doc_id").collect().map(_.getString(0)).sorted.toSeq
+    val b = Sampling.quotaPerGroup(docs.repartition(13), "doc_id", "g", 50)
+      .select("doc_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(a === b, "the kept set must not depend on partitioning")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must plan the partial group limit:\n$plan")
+  }
+
   test("shardCorpus: a deterministic permutation — shards balanced, " +
     "ordinals dense per shard, identical under any partitioning") {
     import spark.implicits._
