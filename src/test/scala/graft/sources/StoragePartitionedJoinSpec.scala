@@ -495,6 +495,49 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("partiallyClusteredDistribution (Spark's SPJ skew path: the small " +
+    "side replicates so a hot bucket splits) returns the same answer") {
+    val (wh, _, _) = mkTables()
+    val cat = registerCat(wh)
+    val q = s"SELECT a.k, a.va, b.vb FROM $cat.ta a JOIN $cat.tb b ON a.k = b.k"
+    val expected = spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val rows = withSpj {
+      withConf(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true") {
+        spark.sql(q).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      }
+    }
+    assert(rows === expected, "partially-clustered SPJ drifted")
+  }
+
+  test("MISMATCHED bucket counts (8 vs 16) never mis-group: the join " +
+    "falls back to a correct plan under both pushPartValues settings") {
+    val (wh, _, _) = mkTables() // ta: bucketize(8, k)
+    val c = new IncrementalTable(spark, s"$wh/tc16")
+    c.append((0L until 2000L by 4L).map(k => (k, k * 100)).toDF("k", "vc"))
+    c.bucketize(16, "k")
+    val cat = registerCat(wh)
+    val q = s"SELECT a.k, a.va, c.vc FROM $cat.ta a JOIN $cat.tc16 c ON a.k = c.k"
+    val expected = spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(expected.length === 500, "foil sanity")
+    for (push <- Seq("true", "false")) {
+      val rows = withSpj {
+        withConf(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> push) {
+          spark.sql(q).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            .sorted.toSeq
+        }
+      }
+      assert(rows === expected, s"pushPartValues=$push: bucket(8) joined " +
+        s"bucket(16) wrongly")
+    }
+  }
+
   test("STREAMING appends keep the bucket layout alive: SPJ zero-shuffle " +
     "after micro-batches, autoCompact bounds the file tail") {
     val (wh, a, _) = mkTables()
