@@ -153,10 +153,11 @@ final class IncrementalScdTable(
     * versions yet — an empty batch must not commit a zero-file v0).
     */
   def applyScd(source: DataFrame, cfg: ScdConfig): Long = {
-    val touched: Seq[Int] =
-      if (source.isEmpty) Seq.empty
-      else source.select(bucketOf(cfg.pkCols).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // ONE job decides both emptiness and the touched set (a separate
+    // isEmpty probe would re-scan the source — per-batch fixed costs
+    // are the incremental path's whole overhead at small batches)
+    val touched: Seq[Int] = source.select(bucketOf(cfg.pkCols).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty)
       return table.latestVersion.getOrElse(-1L)
 

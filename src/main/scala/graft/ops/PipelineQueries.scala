@@ -692,6 +692,24 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Context-length cap ([[TextFunctions.truncateTokens]]): every doc
+    * cut to its first 64 whitespace tokens — row-local slice+rejoin,
+    * the sequence-length guard ahead of packing. Emits the truncated
+    * text's sha so the oracle pins the exact rebuilt string.
+    */
+  def truncateDocs(spark: SparkSession, dir: String): DataFrame = {
+    val tks = filter(TextFunctions.tokens(col("text")),
+      t => length(t) > 0)
+    val nt = TextFunctions.truncateTokens(col("text"), 64)
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      size(tks).cast("long").as("n_tokens"),
+      least(size(tks), lit(64)).cast("long").as("kept_tokens"),
+      length(nt).cast("long").as("trunc_len"),
+      sha2(nt, 256).as("trunc_sha"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus cleaning, the composition a training-data run
     * actually ships: exact-dedup survivors → minimum length → English
     * prediction → emit with integer quality stats. One narrow scan +
@@ -2275,6 +2293,20 @@ object PipelineQueries {
          |HAVING count(*) * $HhSupportDenom >= (SELECT count(*) FROM big)
          |ORDER BY cnt DESC, token""".stripMargin,
 
+    "truncate_docs" ->
+      raw"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
+         |                     x -> length(x) > 0) AS tk
+         |  FROM documents),
+         |c AS (SELECT doc_id, tk,
+         |             array_to_string(list_slice(tk, 1, 64), ' ') AS nt
+         |      FROM t)
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |       CAST(LEAST(len(tk), 64) AS BIGINT) AS kept_tokens,
+         |       CAST(length(nt) AS BIGINT) AS trunc_len,
+         |       sha256(nt) AS trunc_sha
+         |FROM c ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       raw"""WITH $toksCte
            |SELECT d.doc_id,
@@ -2428,6 +2460,7 @@ object PipelineQueries {
     "balance_clusters" -> balanceClusters _,
     "semantic_decontaminate" -> semanticDecontaminate _,
     "text_stats" -> textStats _,
+    "truncate_docs" -> truncateDocs _,
     "lang_id" -> langId _,
     "corpus_clean" -> corpusClean _
   )

@@ -25,6 +25,22 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** CONTEXT-LENGTH CAP — truncate a document to its first `maxTokens`
+    * whitespace tokens (the sequence-length guard every training
+    * pipeline applies before packing; a doc past the model's context
+    * either truncates here or explodes the packer downstream).
+    * Row-local (`slice` + `array_join` — no shuffle, no UDF), exactly
+    * replayable in SQL (`list_slice`/`array_to_string` over the same
+    * whitespace tokenization). Whitespace runs collapse to single
+    * spaces in the rebuilt text — the same normalization [[tokens]]
+    * applies everywhere else.
+    */
+  def truncateTokens(text: Column, maxTokens: Int): Column = {
+    require(maxTokens >= 0, s"maxTokens=$maxTokens must be >= 0")
+    array_join(slice(filter(tokens(text), t => length(t) > 0),
+      1, maxTokens), " ")
+  }
+
   def charCount(text: Column): Column = length(text)
 
   /** Count of punctuation characters from an explicit class (explicit,

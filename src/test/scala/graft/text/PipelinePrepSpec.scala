@@ -8,6 +8,25 @@ import graft.SparkSpec
 /** Packing (concat-and-chunk) and benchmark decontamination. */
 class PipelinePrepSpec extends AnyFunSuite with SparkSpec {
 
+  test("truncateTokens: caps at N whitespace tokens, shorter docs pass " +
+    "through normalized, empty/whitespace docs yield empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a  b\tc\nd e f"), // 6 tokens, mixed whitespace
+      (2L, "one two"),
+      (3L, ""),
+      (4L, "   \t  ")
+    ).toDF("id", "text")
+    val out = docs.select(col("id"),
+      TextFunctions.truncateTokens(col("text"), 4).as("t"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(0) === "a b c d", "cap at 4, whitespace runs collapse")
+    assert(out(1) === "one two", "short docs pass through normalized")
+    assert(out(2) === "")
+    assert(out(3) === "", "whitespace-only docs truncate to empty")
+  }
+
   test("packBins: offsets are the shard cumsum, bins chunk by budget") {
     import spark.implicits._
     val docs = Seq(
