@@ -937,11 +937,17 @@ object ScaleEvidence {
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
       val q = s"SELECT t.k, t.v, d.w FROM $cat.t t JOIN $cat.d d ON t.k = d.k"
       val expected = spark.sql(q).count() // bucketing off: shuffled foil
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val (rows, joinS, rd, _) = measured(spark.sql(q).count())
-      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      val (rows, joinS, rd, _) =
+        try {
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          measured(spark.sql(q).count())
+        } finally {
+          // leak-proof: a failure here must not poison later
+          // experiments' plans (or the 10× foil) with SPJ settings
+          spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
       require(rows == expected && rows > 0,
         s"SPJ answer drifted: $rows vs $expected")
       println(f"""{"scale":$k,"experiment":"stream_ingest","batches":$batches,""" +

@@ -1564,7 +1564,24 @@ final class IncrementalTable(
       spark.conf.get("spark.graft.autoCompact.minFiles", "16").toInt
     val v = latestVersion.getOrElse(return)
     val live = files(v)
-    val floor = joinBucketSpecAt(v).map(_._1).getOrElse(1)
+    // the floor is the file count the layout SETTLED at after its last
+    // layout-defining rewrite, not just the bucket count: under
+    // maxRecordsPerFile a converged layout legitimately holds several
+    // files per bucket, and a bucket-count floor would fire the whole
+    // compaction check (a stats-store read) on EVERY append forever.
+    // Bounded newest→oldest manifest walk — same cadence contract as
+    // the identity watermark.
+    val layoutFloor = joinBucketSpecAt(v).map(_._1).getOrElse(1)
+    val settledAt: Option[Int] = (v to math.max(0L, v - 64L) by -1L)
+      .iterator.takeWhile(versionExists)
+      .find { u =>
+        val op = operationAt(u)
+        op.startsWith("bucketize[") || op.startsWith("compact-buckets[") ||
+          op.startsWith("compact-small[") || op == "compact" ||
+          op.startsWith("cluster[") || op.startsWith("zorder[")
+      }
+      .map(u => files(u).size)
+    val floor = math.max(layoutFloor, settledAt.getOrElse(1))
     if (live.size - floor < minFiles) return
     if (joinBucketSpecAt(v).isDefined) compactBuckets()
     else compactSmall()
@@ -2432,8 +2449,7 @@ final class IncrementalTable(
       .flatMap(f => IncrementalTable.bucketTypeToken(f.dataType))
       .getOrElse(throw new IllegalStateException(
         s"bucket column '$c' no longer has a hashable type at $path"))
-    val re = (java.util.regex.Pattern.quote(IncrementalTable.JoinBucketCol) +
-      "=([A-Za-z_][A-Za-z0-9_]*)-([a-z0-9_]+)-(?:(s1)-)?(\\d+)-(\\d+)/").r
+    val re = IncrementalTable.BucketDirRe
     val live = files(v)
     // (bucket, sorted) per file — None = outside the current spec
     val parsed: Seq[(String, Option[(Int, Boolean)])] = live.map { e =>
@@ -2461,8 +2477,14 @@ final class IncrementalTable(
     // files carry fresh stats, so one pass restores eligibility and
     // the next call no-ops.
     val maxRec = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0").toLong
+    // deletion vectors make the stats' PHYSICAL num_rows a lie about
+    // live data (a mostly-masked bucket would be deemed "minimal" and
+    // never reclaim its dead rows) — with a DV present, fall back to
+    // the always-rewrite rule, whose restage subtracts the vectors and
+    // shrinks the files to the live rows
+    val hasDv = metaAt(v).contains("dv")
     val rewrite: Set[String] =
-      if (maxRec <= 0L) frag.flatMap(_.map(_._2)).toSet
+      if (maxRec <= 0L || hasDv) frag.flatMap(_.map(_._2)).toSet
       else {
         val (allSorted, mixed) = frag.partition(_.forall(_._3))
         val rowsByFile = perFileRowCounts(allSorted.flatMap(_.map(_._2)))
@@ -2566,8 +2588,7 @@ final class IncrementalTable(
     val tok = schemaAt(v).flatMap(_.fields.find(_.name == c))
       .flatMap(f => IncrementalTable.bucketTypeToken(f.dataType))
       .getOrElse(return (false, false))
-    val re = (java.util.regex.Pattern.quote(IncrementalTable.JoinBucketCol) +
-      "=([A-Za-z_][A-Za-z0-9_]*)-([a-z0-9_]+)-(?:(s1)-)?(\\d+)-(\\d+)/").r
+    val re = IncrementalTable.BucketDirRe
     val live = files(v)
     if (live.isEmpty) return (false, false)
     val parsed = live.map(e => re.findPrefixMatchOf(e) match {
@@ -3773,6 +3794,19 @@ object IncrementalTable {
     * layouts have different pruning and clone semantics.
     */
   val JoinBucketCol = "__jbucket"
+
+  /** THE bucket-dir-value grammar —
+    * `__jbucket=<col>-<typeToken>-[s1-]<n>-<k>/` — shared by every
+    * consumer (the scan's grouping, [[IncrementalTable.compactBuckets]],
+    * [[IncrementalTable.bucketLayoutHealth]]): the spec rides the
+    * files, and THREE hand-rolled copies of this regex were a
+    * spec-drift hazard (each element of the grammar — the type token,
+    * the s1 marker — has been a real silent-wrong-results bug once).
+    * Groups: 1=column, 2=typeToken, 3=s1|null, 4=n, 5=k.
+    */
+  private[graft] val BucketDirRe: scala.util.matching.Regex =
+    (java.util.regex.Pattern.quote(JoinBucketCol) +
+      "=([A-Za-z_][A-Za-z0-9_]*)-([a-z0-9_]+)-(?:(s1)-)?(\\d+)-(\\d+)/").r
   /** Manifest meta key holding `"<buckets>+<column>"` (meta values
     * cannot carry `:` — the pair parser owns it).
     */

@@ -1475,7 +1475,7 @@ object PipelineQueries {
          |  FROM documents),
          |r AS (
          |  SELECT doc_id, lang, source,
-         |         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
+         |         rank() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
          |  FROM h)
          |SELECT doc_id, lang, source FROM r WHERE rk <= 25
          |ORDER BY doc_id""".stripMargin,

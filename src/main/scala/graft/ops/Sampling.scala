@@ -81,6 +81,8 @@ object Sampling {
       budget: Long, maxGroups: Int = 65536): DataFrame = {
     require(budget >= 0, s"budget=$budget must be >= 0")
     require(maxGroups >= 1, s"maxGroups=$maxGroups must be >= 1")
+    require(!df.columns.contains("__thr"),
+      "temperatureMixSqrt: input already has a __thr column")
     // limit-probe: maxGroups+1 rows prove the overflow without ever
     // materializing more than maxGroups+1 rows on the driver
     val probe = df.groupBy(groupCol).count().limit(maxGroups + 1).collect()
@@ -121,20 +123,30 @@ object Sampling {
     * consistent permutation; ties broken by the key itself). Groups
     * under the quota keep everything.
     *
-    * Scale shape: ONE shuffle on the group key. The `row_number ≤ k`
-    * filter is recognized by Spark's WindowGroupLimit rule, which
-    * inserts a PARTIAL per-task top-k BEFORE the exchange — a hot
-    * group ships at most `quota` rows per upstream task, never its
-    * full population, so group skew cannot melt a reducer.
+    * Scale shape: ONE shuffle on the group key. The `rank ≤ k` filter
+    * is recognized by Spark's WindowGroupLimit rule, which inserts a
+    * PARTIAL per-task top-k BEFORE the exchange — a hot group ships at
+    * most ~`quota` rows per upstream task, never its full population,
+    * so group skew cannot melt a reducer.
+    *
+    * Ties: `rank` (not `row_number`) — rows sharing an identical key
+    * are kept or dropped TOGETHER (the byHash-family contract: the
+    * decision is a function of the key, so duplicate keys can never
+    * make the kept set depend on partitioning or task retries). The
+    * cap is exact for distinct keys; a duplicated key straddling the
+    * boundary overshoots by its duplicate count rather than choosing
+    * an arbitrary physical row.
     */
   def quotaPerGroup(df: DataFrame, keyCol: String, groupCol: String,
       quota: Int): DataFrame = {
     require(quota >= 1, s"quota=$quota must be >= 1")
+    require(!df.columns.contains("__rk"),
+      "quotaPerGroup: input already has a __rk column")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
       .orderBy(Shingles.baseHash(col(keyCol).cast("string")).asc,
         col(keyCol).asc)
-    df.withColumn("__rk", row_number().over(w))
+    df.withColumn("__rk", rank().over(w))
       .filter(col("__rk") <= quota)
       .drop("__rk")
   }

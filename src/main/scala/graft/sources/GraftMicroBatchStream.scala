@@ -468,8 +468,9 @@ private[sources] final class GraftStreamScan(inner: Scan, info: GraftStreamInfo)
     // Grouping ignores it (a mix of sorted and restaged files still
     // buckets correctly); the ORDERING claim below requires it on
     // every file.
-    val re = (java.util.regex.Pattern.quote(IncrementalTable.JoinBucketCol) +
-      "=([A-Za-z_][A-Za-z0-9_]*)-([a-z0-9_]+)-(?:(s1)-)?(\\d+)-(\\d+)/").r
+    val re = IncrementalTable.BucketDirRe // ONE grammar, shared with
+    // compactBuckets/bucketLayoutHealth — spec drift was a triplicate
+    // hazard
     val files = inner.toBatch.planInputPartitions().toSeq.flatMap {
       case fp: FilePartition => fp.files.toSeq
       case _ => return None // not a parquet file batch — fail open

@@ -53,9 +53,8 @@ object Boilerplate {
     val boiler = freq.join(domDocs, Seq("dom"))
       .filter(col("nd") >= minDocs &&
         col("nd") * 10000L >= col("dd") * minDocFracBp)
-      .select(col("dom"), col("lk"), lit(1).as("__b"))
-    val kept = lines.join(boiler, Seq("dom", "lk"), "left")
-      .filter(col("__b").isNull)
+      .select(col("dom"), col("lk"))
+    val kept = lines.join(boiler, Seq("dom", "lk"), "left_anti")
     val rebuilt = kept.groupBy("doc_id")
       .agg(count(lit(1)).as("lines_kept"),
         array_join(

@@ -95,6 +95,16 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
       s"rank<=k must plan the partial group limit:\n$plan")
+    // duplicate keys keep or drop TOGETHER (rank ties — the decision
+    // is a function of the key, never of which physical row ranked
+    // first): 4 distinct keys x2 rows, quota 3 → ranks 1,1,3,3,5,5,7,7
+    // → exactly the 2 smallest-hash keys survive, both copies each
+    val dups = (0 until 4).flatMap(i => Seq((s"k$i", "g", "r1"),
+      (s"k$i", "g", "r2"))).toDF("doc_id", "g", "tag")
+    val keptDup = Sampling.quotaPerGroup(dups, "doc_id", "g", 3)
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(keptDup.size === 4 && keptDup.distinct.size === 2,
+      s"tied duplicates must ride together: $keptDup")
   }
 
   test("shardCorpus: a deterministic permutation — shards balanced, " +
