@@ -179,7 +179,11 @@ final class IncrementalScdTable(
     // the old watermark and this slice's new ids matter. Materialize
     // BEFORE allocating: the plan reads the files the commit will
     // de-reference, staging triggers the write, and the allocation's
-    // per-partition offsets need a pinned partitioning.
+    // per-partition offsets need a pinned partitioning. The
+    // localCheckpoint holds O(TOUCHED SLICE) in executor block storage
+    // — never O(table); at 100 TB the touched slice is bounded by the
+    // batch's bucket fan-out × per-bucket size, the very quantity the
+    // bucket count is provisioned to keep small.
     val idCfg = identityConfig
     val watermark = identityWatermark
     val merged = upsert.next.withColumn("__bucket", bucketOf(cfg.pkCols))

@@ -1570,8 +1570,11 @@ final class IncrementalTable(
     // files per bucket, and a bucket-count floor would fire the whole
     // compaction check (a stats-store read) on EVERY append forever.
     // Bounded newest→oldest manifest walk — same cadence contract as
-    // the identity watermark.
+    // the identity watermark — and only walked at all once the cheap
+    // bucket-count trigger would fire (the settled floor only GROWS
+    // the threshold, so a cheap early-out can never skip a needed run).
     val layoutFloor = joinBucketSpecAt(v).map(_._1).getOrElse(1)
+    if (live.size - layoutFloor < minFiles) return
     val settledAt: Option[Int] = (v to math.max(0L, v - 64L) by -1L)
       .iterator.takeWhile(versionExists)
       .find { u =>

@@ -43,6 +43,25 @@ object Streams {
       cfg.copy(clock = () => baseClock.plusSeconds(batchId)))
   }
 
+  /** [[scdSink]]'s SCALE twin: the same monotonic per-batch clock
+    * contract driving an [[graft.lake.IncrementalScdTable]] — each
+    * micro-batch costs O(touched buckets) (manifest-committed file
+    * swap of only the buckets the batch's keys hash to, identity
+    * watermark riding the manifest), so a continuously-maintained
+    * dimension stays viable at 100 TB where [[scdSink]]'s full-table
+    * rewrite per batch would not. Replay-idempotent in STATE exactly
+    * like the reference's duplicate-row no-op path: a re-run batch
+    * re-stamps the SAME timestamps, the split finds nothing changed,
+    * and the snapshot is value-identical.
+    */
+  def incrementalScdSink(table: graft.lake.IncrementalScdTable,
+      cfg: ScdConfig, baseClock: Instant): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      table.applyScd(batch,
+        cfg.copy(clock = () => baseClock.plusSeconds(batchId)))
+      ()
+    }
+
   /** Exactly-once streaming append into an [[graft.lake.IncrementalTable]]:
     * a `foreachBatch` sink whose commit records the micro-batch id in
     * the manifest operation. A batch REPLAYED after a failure finds its

@@ -163,6 +163,48 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental SCD sink: a streamed dimension maintained at " +
+    "O(touched buckets) per micro-batch — SCD2 semantics, untouched " +
+    "buckets carried, versions time-travel") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iscd_stream").toString
+    val table = new graft.lake.IncrementalScdTable(spark, s"$dir/dim",
+      numBuckets = 4)
+    table.create(StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)) ++
+      ScdConfig.SystemCols.map(c => StructField(c,
+        if (c == "record_status" || c.endsWith("_key")) StringType
+        else TimestampType))))
+    val cfg = ScdConfig(pkCols = Seq("k"), scdKeyCols = Seq("v"),
+      selectCols = Some(Seq("k", "v")))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("k", "v").writeStream
+      .foreachBatch(Streams.incrementalScdSink(table, cfg,
+        Instant.parse("2025-06-01T00:00:00Z")))
+      .start()
+    try {
+      input.addData((1L to 8L).map(k => (k, s"v$k")): _*)
+      q.processAllAvailable()
+      assert(table.snapshot().count() === 8)
+      val v0Files = table.table.files(table.table.latestVersion.get).toSet
+      input.addData((1L, "CHANGED")) // one key → one touched bucket
+      q.processAllAvailable()
+      val snap = table.snapshot()
+      assert(snap.count() === 9)
+      val k1 = snap.filter("k = 1").orderBy("effective_from")
+        .select("v", "record_status").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(k1.toSeq === Seq(("v1", "I"), ("CHANGED", "A")))
+      // untouched buckets' files carried forward, not rewritten
+      val v1Files = table.table.files(table.table.latestVersion.get).toSet
+      assert(v0Files.intersect(v1Files).nonEmpty,
+        "untouched bucket files must carry over across micro-batches")
+      // each batch is one commit; the first is time-travelable
+      assert(table.snapshotAt(0L).count() === 8)
+    } finally q.stop()
+  }
+
   test("incremental-table append sink: one version per batch, replay no-ops") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
