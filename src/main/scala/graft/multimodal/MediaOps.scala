@@ -95,6 +95,122 @@ object MediaOps {
     }
   }
 
+  /** REAL decoder for the formats a JVM can parse without native
+    * libraries: `wav` and `bmp` decode GENUINELY (features computed
+    * from actual samples/pixels via [[WavCodec]]/[[BmpCodec]]), and
+    * BMP resize is a real nearest-neighbor resample + re-encode.
+    * Everything else falls back to [[FakeDecoder]]'s byte histogram —
+    * the stub surface shrinks from "all codecs" to
+    * "compressed/container formats" (JPEG/MP3/MP4 need entropy
+    * decoders no pipeline hand-rolls).
+    */
+  final class JvmMediaDecoder(val featureDim: Int = 16) extends MediaDecoder {
+    private val fallback = new FakeDecoder(featureDim)
+    def decode(kind: String, format: String, bytes: Array[Byte]): Array[Float] =
+      format match {
+        case "wav" =>
+          val w = WavCodec.decode(bytes)
+          val n = math.max(1, w.samples.length)
+          var sumSq = 0.0; var peak = 0; var zc = 0
+          var i = 0
+          while (i < w.samples.length) {
+            val s = w.samples(i).toInt
+            sumSq += s.toDouble * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (i > 0 && (s.toLong * w.samples(i - 1)) < 0) zc += 1
+            i += 1
+          }
+          pad(Array(
+            n.toFloat / w.sampleRate,                    // duration s
+            math.sqrt(sumSq / n).toFloat / 32768f,       // rms, normalized
+            peak / 32768f,                               // peak, normalized
+            zc.toFloat / n))                             // zero-cross rate
+        case "bmp" =>
+          val img = BmpCodec.decode(bytes)
+          var r = 0L; var g = 0L; var b = 0L
+          img.pixels.foreach { p =>
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          }
+          val n = math.max(1, img.pixels.length)
+          pad(Array(img.width.toFloat, img.height.toFloat,
+            r.toFloat / n / 255f, g.toFloat / n / 255f, b.toFloat / n / 255f))
+        case _ => fallback.decode(kind, format, bytes)
+      }
+    private def pad(a: Array[Float]): Array[Float] =
+      if (a.length >= featureDim) a.take(featureDim)
+      else a ++ new Array[Float](featureDim - a.length)
+    override def resize(kind: String, format: String, bytes: Array[Byte],
+        width: Int, height: Int): Array[Byte] =
+      if (format == "bmp") {
+        val out = BmpCodec.resizeNearest(BmpCodec.decode(bytes), width, height)
+        BmpCodec.encode24(width, height, (x, y) => {
+          val p = out.rgb(x, y); ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+        })
+      } else super.resize(kind, format, bytes, width, height)
+  }
+
+  /** ENCODE → DECODE round trip over real formats, feature-exact: each
+    * document generates deterministic media from its id (even ids: a
+    * 24-bit BMP whose pixel channels follow a closed-form rule; odd
+    * ids: a square-wave PCM WAV whose period/amplitude/length derive
+    * from the id), the REAL codec decodes the bytes back, and the
+    * emitted integer features come from the DECODED samples/pixels
+    * only. The oracle computes the same features in closed form from
+    * the id — any encoder or decoder bug (padding, bottom-up rows,
+    * chunk walk, endianness) lands on the wrong integers and fails the
+    * hash, which is what makes this the round-trip PROOF rather than a
+    * fixture echo. Features: image `[w, h, sumR, sumG, sumB]`; audio
+    * `[n, sampleRate, durationMs, peak, meanSquare, zeroCrossings]`
+    * (the square wave makes meanSquare = A² exact).
+    */
+  def roundTripFeatures(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("features", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIx = docs.schema.fieldIndex("doc_id")
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIx)
+        if (d % 2 == 0) {
+          val w = (8 + d % 8).toInt; val h = (6 + d % 6).toInt
+          val bytes = BmpCodec.encode24(w, h, (x, y) => (
+            ((3L * x + 5L * y + d) % 256).toInt,
+            ((3L * x + 5L * y + 2 * d) % 256).toInt,
+            ((3L * x + 5L * y + 7 * d) % 256).toInt))
+          val img = BmpCodec.decode(bytes)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          img.pixels.foreach { p =>
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          }
+          Row(d, "image",
+            Seq(img.width.toLong, img.height.toLong, sr, sg, sb))
+        } else {
+          val k = (d % 7 + 2).toInt; val m = (20 + d % 10).toInt
+          val n = 2 * k * m
+          val amp = ((d % 5) + 1) * 6000
+          val samples = Array.tabulate(n)(i =>
+            (if ((i / k) % 2 == 0) amp else -amp).toShort)
+          val wav = WavCodec.decode(WavCodec.encodePcm16Mono(16000, samples))
+          var sumSq = 0L; var peak = 0L; var zc = 0L
+          var i = 0
+          while (i < wav.samples.length) {
+            val s = wav.samples(i).toLong
+            sumSq += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (i > 0 && s * wav.samples(i - 1) < 0) zc += 1
+            i += 1
+          }
+          val nn = wav.samples.length.toLong
+          Row(d, "audio", Seq(nn, wav.sampleRate.toLong,
+            nn * 1000L / wav.sampleRate, peak, sumSq / nn, zc))
+        }
+      }
+    }(enc)
+  }
+
   /** Decode + feature-extract: adds `features: array<float>`.
     * Batched mapPartitions — the Scala analog of an Arrow-batch UDF:
     * `batchSize` rows are materialized at a time (codecs amortize setup

@@ -964,6 +964,18 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** REAL-codec round trip ([[graft.multimodal.MediaOps.roundTripFeatures]]):
+    * deterministic BMP/WAV media generated per doc, decoded back by the
+    * pure-JVM codecs, integer features emitted from the DECODED bytes;
+    * the oracle derives the same features in closed form from the id —
+    * an encoder/decoder bug (row padding, bottom-up order, chunk walk,
+    * endianness) fails the hash.
+    */
+  def mediaRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.MediaOps.roundTripFeatures(
+      Tables.load(spark, dir, "documents").select("doc_id"))
+      .orderBy("doc_id")
+
   /** IVF ANN — statistical like [[annLshTopK]]: rows-only driver check;
     * recall vs brute force asserted in IvfAnnSpec.
     */
@@ -1677,6 +1689,33 @@ object PipelineQueries {
     // float32 (REAL) casts at every step — bit-identical to the JVM's
     // float arithmetic — then quantize-millis + int64 norm. Verified
     // exact at sf0.01 and sf0.1.
+    "media_roundtrip" ->
+      raw"""WITH img AS (
+        |  SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |ix AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM img),
+        |ixy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM ix),
+        |ipx AS (
+        |  SELECT doc_id, w, h,
+        |         sum((3*x + 5*y + doc_id) % 256) AS sr,
+        |         sum((3*x + 5*y + 2*doc_id) % 256) AS sg,
+        |         sum((3*x + 5*y + 7*doc_id) % 256) AS sb
+        |  FROM ixy GROUP BY 1, 2, 3),
+        |irow AS (
+        |  SELECT doc_id, 'image' AS kind,
+        |         [CAST(w AS BIGINT), CAST(h AS BIGINT), sr, sg, sb] AS features
+        |  FROM ipx),
+        |aud AS (
+        |  SELECT doc_id, doc_id % 7 + 2 AS k, 20 + doc_id % 10 AS m,
+        |         (doc_id % 5 + 1) * 6000 AS a
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |arow AS (
+        |  SELECT doc_id, 'audio' AS kind,
+        |         [2*k*m, CAST(16000 AS BIGINT), (2*k*m*1000)//16000,
+        |          a, a*a, 2*m - 1] AS features
+        |  FROM aud)
+        |SELECT * FROM (SELECT * FROM irow UNION ALL SELECT * FROM arow)
+        |ORDER BY doc_id""".stripMargin,
     "media_features" ->
       """WITH payload AS (
         |  SELECT doc_id AS media_id,
@@ -2442,6 +2481,7 @@ object PipelineQueries {
     "ann_ivf_index_topk" -> annIvfIndexTopK _,
     "approx_stats" -> approxStats _,
     "media_features" -> mediaFeatures _,
+    "media_roundtrip" -> mediaRoundtrip _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep_best" -> dedupKeepBest _,
     "corpus_clean_neardup" -> corpusCleanNearDup _,
