@@ -150,10 +150,24 @@ final class IncrementalJoinView private (
 
   private def nnCol(sumName: String) = s"__nn_$sumName"
 
-  /** The joined star frame over explicit table states. */
-  private def joined(factDf: DataFrame): DataFrame =
-    dims.foldLeft(factDf) { case (df, (spec, dim)) =>
-      df.join(dim.snapshot(), col(spec.factKey) === col(spec.dimKey))
+  /** The joined star frame over explicit table states. `dimVs` PINS
+    * each dim read to the version captured at refresh entry — the
+    * version the watermark meta will record. Reading `dim.snapshot()`
+    * (the head at EXECUTION time) instead would race a concurrent dim
+    * commit: the view's rows would reflect the new dim while its meta
+    * claimed the old one, and the inconsistent state (and its CDC)
+    * would serve until the next refresh noticed the version drift.
+    * `None` = unpinned head read, only for version-independent probes
+    * (accumulator typing).
+    */
+  private def joined(factDf: DataFrame,
+      dimVs: Option[Seq[Long]] = None): DataFrame =
+    dims.zipWithIndex.foldLeft(factDf) { case (df, ((spec, dim), i)) =>
+      val dimDf = dimVs match {
+        case Some(vs) => dim.snapshotAt(vs(i))
+        case None => dim.snapshot()
+      }
+      df.join(dimDf, col(spec.factKey) === col(spec.dimKey))
     }
 
   /** Accumulator dtype per sum agg, pinned by planning the full
@@ -290,7 +304,8 @@ final class IncrementalJoinView private (
   private def fullRefresh(factV: Long, dimVs: Seq[Long], viewV: Long,
       wm: Option[Long], targetFiles: Int): Long = {
     val oldFiles = table.files(viewV)
-    val next = storedAgg(joined(fact.snapshotAt(factV))).localCheckpoint()
+    val next = storedAgg(joined(fact.snapshotAt(factV), Some(dimVs)))
+      .localCheckpoint()
     val added = table.stage(clustered(next, targetFiles))
     val cdc = table.snapshotAt(viewV).withColumn("_change_type", lit("delete"))
       .unionByName(next.withColumn("_change_type", lit("insert")))
@@ -334,7 +349,7 @@ final class IncrementalJoinView private (
             max(when(visible, lit(1)).otherwise(lit(0)))
               .as(s"__dtouch_$n")
           })
-    val delta = joined(changes.withColumn("__w", weight))
+    val delta = joined(changes.withColumn("__w", weight), Some(dimVs))
       .groupBy(groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
       .localCheckpoint()
@@ -462,8 +477,8 @@ final class IncrementalJoinView private (
           groupCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
             .reduce(_ && _)
         }.reduce(_ || _)
-        val (factScan, scanned) = prunedFactScan(factV, recompSample)
-        val recomputed = storedAgg(joined(factScan).where(gPred))
+        val (factScan, scanned) = prunedFactScan(factV, dimVs, recompSample)
+        val recomputed = storedAgg(joined(factScan, Some(dimVs)).where(gPred))
           .localCheckpoint()
         (merged.filter(!col("__recomp")).drop("__recomp")
           .unionByName(recomputed), scanned)
@@ -494,7 +509,7 @@ final class IncrementalJoinView private (
     * safe (the post-join group predicate filters exactly). Returns the
     * scan plus how many fact files it reads (the metrics/spec hook).
     */
-  private def prunedFactScan(factV: Long,
+  private def prunedFactScan(factV: Long, dimVs: Seq[Long],
       groups: Array[org.apache.spark.sql.Row]): (DataFrame, Int) = {
     def fieldsOf(t: IncrementalTable): Set[String] =
       t.tableSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
@@ -507,7 +522,7 @@ final class IncrementalJoinView private (
       else Some(groups.map(r =>
         factIdx.map { case (c, i) => col(c) <=> lit(r.get(i)) }
           .reduce(_ && _)).reduce(_ || _))
-    val dimPreds = dims.flatMap { case (spec, dim) =>
+    val dimPreds = dims.zipWithIndex.flatMap { case ((spec, dim), di) =>
       val dimFields = fieldsOf(dim)
       val dimIdx = groupCols.zipWithIndex
         .filter { case (c, _) => dimFields(c.toLowerCase) }
@@ -521,7 +536,11 @@ final class IncrementalJoinView private (
         val dPred = groups.map(r =>
           dimIdx.map { case (c, i) => col(c) <=> lit(r.get(i)) }
             .reduce(_ && _)).reduce(_ || _)
-        val keys = dim.snapshot().where(dPred).select(spec.dimKey)
+        // pinned dim read: the key set must come from the SAME dim
+        // state the recompute joins (a head read could race a dim
+        // commit and prune files the pinned join still needs)
+        val keys = dim.snapshotAt(dimVs(di)).where(dPred)
+          .select(spec.dimKey)
           .limit(IncrementalView.MaxKeysInPredicate + 1).collect()
           .map(_.get(0))
         if (keys.length > IncrementalView.MaxKeysInPredicate ||
