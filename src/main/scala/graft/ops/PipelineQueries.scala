@@ -710,6 +710,19 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window chunking ([[TextFunctions.chunkDocs]]): 32-token
+    * windows at stride 24 (8-token overlap) — the RAG/pretraining
+    * chunker; row-local explode, no shuffle. Emits the chunk text's
+    * sha so the oracle pins exact window boundaries.
+    */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.chunkDocs(Tables.load(spark, dir, "documents"),
+      "doc_id", "text", size = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+        length(col("chunk_text")).cast("long").as("chunk_len"),
+        sha2(col("chunk_text"), 256).as("chunk_sha"))
+      .orderBy("doc_id", "chunk_id")
+
   /** End-to-end corpus cleaning, the composition a training-data run
     * actually ships: exact-dedup survivors → minimum length → English
     * prediction → emit with integer quality stats. One narrow scan +
@@ -2332,6 +2345,26 @@ object PipelineQueries {
          |HAVING count(*) * $HhSupportDenom >= (SELECT count(*) FROM big)
          |ORDER BY cnt DESC, token""".stripMargin,
 
+    "chunk_docs" ->
+      raw"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
+         |                     x -> length(x) > 0) AS tk
+         |  FROM documents),
+         |nz AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+         |st AS (
+         |  SELECT doc_id, tk, n, g.i AS start, g.i // 24 AS chunk_id
+         |  FROM nz, unnest(range(0, CAST(n AS BIGINT), 24)) AS g(i)),
+         |c AS (
+         |  SELECT doc_id, chunk_id,
+         |         array_to_string(list_slice(tk, start + 1, LEAST(start + 32, n)), ' ') AS ctext,
+         |         LEAST(32, n - start) AS ct
+         |  FROM st)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |       CAST(ct AS BIGINT) AS chunk_tokens,
+         |       CAST(length(ctext) AS BIGINT) AS chunk_len,
+         |       sha256(ctext) AS chunk_sha
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "truncate_docs" ->
       raw"""WITH t AS (
          |  SELECT doc_id,
@@ -2501,6 +2534,7 @@ object PipelineQueries {
     "semantic_decontaminate" -> semanticDecontaminate _,
     "text_stats" -> textStats _,
     "truncate_docs" -> truncateDocs _,
+    "chunk_docs" -> chunkDocs _,
     "lang_id" -> langId _,
     "corpus_clean" -> corpusClean _
   )

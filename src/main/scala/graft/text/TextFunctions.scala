@@ -41,6 +41,37 @@ object TextFunctions {
       1, maxTokens), " ")
   }
 
+  /** SLIDING-WINDOW CHUNKING — the other half of sequence shaping
+    * ([[Packing]] concatenates short docs into bins; this SPLITS long
+    * docs into overlapping windows, the RAG/pretraining chunker): one
+    * output row per (doc, window), window `i` covering tokens
+    * `[i·stride, i·stride + size)` — `stride < size` gives the overlap
+    * that keeps a fact straddling a boundary inside at least one
+    * window. Row-local throughout (`sequence` → `posexplode` → `slice`
+    * — no shuffle, no UDF); empty docs produce no chunks. Output:
+    * `(doc_id, chunk_id, chunk_tokens, chunk_text)`.
+    */
+  def chunkDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(size >= 1, s"size=$size must be >= 1")
+    require(stride >= 1, s"stride=$stride must be >= 1")
+    val tk = filter(tokens(col(textCol)), t => length(t) > 0)
+    docs.select(col(idCol).as("doc_id"), tk.as("__tk"))
+      .filter(size_(col("__tk")) > 0)
+      .select(col("doc_id"), col("__tk"),
+        posexplode(sequence(lit(0), size_(col("__tk")) - 1, lit(stride)))
+          .as(Seq("chunk_id", "__start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("__tk"), col("__start") + 1, lit(size)).as("__c"))
+      .select(col("doc_id"), col("chunk_id"),
+        size_(col("__c")).cast("long").as("chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  // `size` the function, shadowed by the chunker's param name
+  private def size_(c: Column): Column =
+    org.apache.spark.sql.functions.size(c)
+
   def charCount(text: Column): Column = length(text)
 
   /** Count of punctuation characters from an explicit class (explicit,

@@ -27,6 +27,27 @@ class PipelinePrepSpec extends AnyFunSuite with SparkSpec {
     assert(out(3) === "", "whitespace-only docs truncate to empty")
   }
 
+  test("chunkDocs: stride windows with overlap, tail window short, " +
+    "empty docs yield no chunks, boundaries exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 10 tokens a..j, size 4, stride 3 → starts 0,3,6,9
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.chunkDocs(docs, "doc_id", "text", 4, 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 4L, "a b c d"),
+      (1L, 1L, 4L, "d e f g"), // overlap of 1 with the previous window
+      (1L, 2L, 4L, "g h i j"),
+      (1L, 3L, 1L, "j"),       // tail window short, never empty
+      (2L, 0L, 2L, "x y")))
+  }
+
   test("packBins: offsets are the shard cumsum, bins chunk by budget") {
     import spark.implicits._
     val docs = Seq(
