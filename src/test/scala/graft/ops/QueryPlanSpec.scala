@@ -329,4 +329,20 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"line dedup must never plan an unbounded join:\n$p")
   }
+
+  test("strip_boilerplate: frequency and removal share the (domain, " +
+    "lineKey) partitioning, reconstruction is a row-local array_sort " +
+    "(no Window), no unbounded join anywhere") {
+    val p = PipelineQueries.stripBoilerplate(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(dom") || p.contains("hashpartitioning(lk"),
+      s"frequency agg / anti-join not keyed on (dom, lk):\n$p")
+    assert(!p.contains("Window"),
+      s"reconstruction must be array_sort, never a window sort:\n$p")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"reassembly not doc-keyed:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate strip must never plan an unbounded join:\n$p")
+  }
 }
