@@ -159,16 +159,17 @@ object MediaOps {
     * the id — any encoder or decoder bug (padding, bottom-up rows,
     * chunk walk, endianness) lands on the wrong integers and fails the
     * hash, which is what makes this the round-trip PROOF rather than a
-    * fixture echo. Features: image `[w, h, sumR, sumG, sumB]`; audio
-    * `[n, sampleRate, durationMs, peak, meanSquare, zeroCrossings]`
-    * (the square wave makes meanSquare = A² exact).
+    * fixture echo. Features are emitted as SCALAR columns `f0..f5`
+    * (BIGINT) — the driver's oracle checker hashes scalar cells, not
+    * arrays — image rows carry `[w, h, sumR, sumG, sumB, -1]`; audio
+    * rows `[n, sampleRate, durationMs, peak, meanSquare,
+    * zeroCrossings]` (the square wave makes meanSquare = A² exact).
     */
   def roundTripFeatures(docs: DataFrame): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("kind", StringType, nullable = false),
-      StructField("features", ArrayType(LongType, containsNull = false),
-        nullable = false)))
+    val outSchema = StructType(
+      StructField("doc_id", LongType, nullable = false) +:
+      StructField("kind", StringType, nullable = false) +:
+      (0 to 5).map(i => StructField(s"f$i", LongType, nullable = false)))
     val enc = ExpressionEncoder(outSchema)
     val idIx = docs.schema.fieldIndex("doc_id")
     docs.mapPartitions { rows =>
@@ -186,7 +187,7 @@ object MediaOps {
             sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
           }
           Row(d, "image",
-            Seq(img.width.toLong, img.height.toLong, sr, sg, sb))
+            img.width.toLong, img.height.toLong, sr, sg, sb, -1L)
         } else {
           val k = (d % 7 + 2).toInt; val m = (20 + d % 10).toInt
           val n = 2 * k * m
@@ -204,8 +205,8 @@ object MediaOps {
             i += 1
           }
           val nn = wav.samples.length.toLong
-          Row(d, "audio", Seq(nn, wav.sampleRate.toLong,
-            nn * 1000L / wav.sampleRate, peak, sumSq / nn, zc))
+          Row(d, "audio", nn, wav.sampleRate.toLong,
+            nn * 1000L / wav.sampleRate, peak, sumSq / nn, zc)
         }
       }
     }(enc)

@@ -1716,7 +1716,9 @@ object PipelineQueries {
         |  FROM ixy GROUP BY 1, 2, 3),
         |irow AS (
         |  SELECT doc_id, 'image' AS kind,
-        |         [CAST(w AS BIGINT), CAST(h AS BIGINT), sr, sg, sb] AS features
+        |         CAST(w AS BIGINT) AS f0, CAST(h AS BIGINT) AS f1,
+        |         CAST(sr AS BIGINT) AS f2, CAST(sg AS BIGINT) AS f3,
+        |         CAST(sb AS BIGINT) AS f4, CAST(-1 AS BIGINT) AS f5
         |  FROM ipx),
         |aud AS (
         |  SELECT doc_id, doc_id % 7 + 2 AS k, 20 + doc_id % 10 AS m,
@@ -1724,8 +1726,10 @@ object PipelineQueries {
         |  FROM documents WHERE doc_id % 2 = 1),
         |arow AS (
         |  SELECT doc_id, 'audio' AS kind,
-        |         [2*k*m, CAST(16000 AS BIGINT), (2*k*m*1000)//16000,
-        |          a, a*a, 2*m - 1] AS features
+        |         CAST(2*k*m AS BIGINT) AS f0, CAST(16000 AS BIGINT) AS f1,
+        |         CAST((2*k*m*1000)//16000 AS BIGINT) AS f2,
+        |         CAST(a AS BIGINT) AS f3, CAST(a*a AS BIGINT) AS f4,
+        |         CAST(2*m - 1 AS BIGINT) AS f5
         |  FROM aud)
         |SELECT * FROM (SELECT * FROM irow UNION ALL SELECT * FROM arow)
         |ORDER BY doc_id""".stripMargin,

@@ -91,6 +91,23 @@ def main(sf_dir, out_dir, only=()):
         if sorted(spark_cols) != sorted(ora_cols):
             failures.append((name, f"columns differ: {sorted(spark_cols)} vs {sorted(ora_cols)}"))
             continue
+        # shape gate (the round-12 media_roundtrip class of bug): the
+        # driver's pandas-based hasher throws on ndarray-valued cells
+        # (`TypeError: unhashable type`), so list/struct result columns
+        # must fail HERE even though this script's structural compare
+        # could handle them — the local gate must predict the driver's
+        nonscalar = [
+            f"{c}: spark={spark_types[c]}" for c in sorted(spark_cols)
+            if family(spark_types[c]) in ("list", "struct")
+        ] + [
+            f"{c}: oracle={ora_types[c]}" for c in sorted(ora_cols)
+            if family(ora_types[c]) in ("list", "struct")]
+        if nonscalar:
+            failures.append((name,
+                "non-scalar result column (driver's checker cannot hash "
+                "lists/structs — flatten to scalar columns): "
+                + "; ".join(nonscalar)))
+            continue
         # type-family gate (the round-5 mix_sources class of bug): the
         # driver's hasher is type-sensitive, so value-identical results
         # in drifting type families must fail HERE, not at the driver
