@@ -688,7 +688,13 @@ object IncrementalJoinView {
     val view = new IncrementalJoinView(spark, fact, dims, t, groupCols, aggs)
     val dimVs = view.currentDimVersions
     view.accType // force the delta-exactness validation before any write
-    val initial = view.storedAgg(view.joined(fact.snapshotAt(factV)))
+    // Pin the dims to the SAME versions the watermark meta records: a
+    // dim commit between the capture above and this scan would
+    // otherwise bake the newer dim into the initial state while the
+    // meta claimed dimVs, and the first refresh would double-apply
+    // those dim deltas.
+    val initial = view.storedAgg(
+      view.joined(fact.snapshotAt(factV), Some(dimVs)))
     val staged = t.stage(view.clustered(initial, targetFiles))
     val v = t.commitFiles(staged, Set.empty, "create-view", maxRetries = 0,
       meta = view.wmMeta(factV, dimVs), schema = Some(initial.schema))

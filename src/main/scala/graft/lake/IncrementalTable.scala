@@ -1016,6 +1016,30 @@ final class IncrementalTable(
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
+  /** Parquet-footer row count for a live data file — the fallback
+    * row-count basis when the stats sidecar has no row for it
+    * (`collectStats = false` tables, files staged by a pre-stats
+    * library era). Metadata-scale: one footer read, no data pages.
+    * Without this fallback an all-s1 split bucket on a stats-less
+    * table can never prove minimal and [[compactBuckets]] rewrites it
+    * on EVERY call — reinstating the O(bucket data) per-append write
+    * amplification the convergence check exists to remove. Fail-open:
+    * an unreadable footer returns None and the caller rewrites the
+    * bucket (the conservative direction — a rewrite is wasteful,
+    * never wrong). Footer `num_rows` is PHYSICAL like the sidecar's;
+    * the caller's deletion-vector carve-out covers both.
+    */
+  private def footerRowCount(name: String): Option[Long] =
+    try {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          dataPath(name), spark.sparkContext.hadoopConfiguration))
+      try {
+        import scala.jdk.CollectionConverters._
+        Some(rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+      } finally rd.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def recordStats(df: DataFrame, named: Seq[String]): Unit =
     if (collectStats && named.nonEmpty) {
       val withPaths = named.map(n => n -> new Path(dataDir, n).toString)
@@ -1569,21 +1593,23 @@ final class IncrementalTable(
     // maxRecordsPerFile a converged layout legitimately holds several
     // files per bucket, and a bucket-count floor would fire the whole
     // compaction check (a stats-store read) on EVERY append forever.
-    // Bounded newest→oldest manifest walk — same cadence contract as
-    // the identity watermark — and only walked at all once the cheap
-    // bucket-count trigger would fire (the settled floor only GROWS
-    // the threshold, so a cheap early-out can never skip a needed run).
+    // The settling commit STAMPS its file count into carried meta
+    // ("settled" in commitFiles), so the floor survives indefinitely;
+    // the bounded newest→oldest manifest walk remains only as the
+    // fallback for tables last compacted by a pre-stamp library
+    // version. Only consulted at all once the cheap bucket-count
+    // trigger would fire (the settled floor only GROWS the threshold,
+    // so a cheap early-out can never skip a needed run).
     val layoutFloor = joinBucketSpecAt(v).map(_._1).getOrElse(1)
     if (live.size - layoutFloor < minFiles) return
-    val settledAt: Option[Int] = (v to math.max(0L, v - 64L) by -1L)
-      .iterator.takeWhile(versionExists)
-      .find { u =>
-        val op = operationAt(u)
-        op.startsWith("bucketize[") || op.startsWith("compact-buckets[") ||
-          op.startsWith("compact-small[") || op == "compact" ||
-          op.startsWith("cluster[") || op.startsWith("zorder[")
+    val settledAt: Option[Int] = metaAt(v).get("settled")
+      .flatMap(_.toIntOption)
+      .orElse {
+        (v to math.max(0L, v - 64L) by -1L)
+          .iterator.takeWhile(versionExists)
+          .find(u => IncrementalTable.isLayoutSettling(operationAt(u)))
+          .map(u => files(u).size)
       }
-      .map(u => files(u).size)
     val floor = math.max(layoutFloor, settledAt.getOrElse(1))
     if (live.size - floor < minFiles) return
     if (joinBucketSpecAt(v).isDefined) compactBuckets()
@@ -1851,12 +1877,23 @@ final class IncrementalTable(
         // state).
         val carry = Seq("dv", "constraints", "bloom", "colmap", "coldrop",
           "writeorder", "optimizewrite", "autocompact", "gencol", "identity",
-          "rf", "widen", "widened", "rowtracking", "copylog",
+          "rf", "widen", "widened", "rowtracking", "copylog", "settled",
           IncrementalTable.JoinBucketMetaKey)
           .flatMap(k => baseMeta.get(k).map(k -> _)).toMap
-        writeManifest(v, operation, prev.filterNot(removed) ++ added,
-          (carry -- dropMeta) ++ watermarkCarry(baseMeta) ++ meta ++
-            schemaMetaFor(base, schema.map(physicalizeSchema)),
+        val resulting = prev.filterNot(removed) ++ added
+        // layout-defining rewrites stamp the file count the layout
+        // settled at (carried forward like "dv"): maybeAutoCompact's
+        // trigger floor must not depend on the settling commit staying
+        // within a bounded manifest walk — once it aged out, the floor
+        // collapsed and EVERY append re-ran the full compaction probe,
+        // the exact per-append cost the floor exists to avoid.
+        val settledStamp =
+          if (IncrementalTable.isLayoutSettling(operation))
+            Map("settled" -> resulting.size.toString)
+          else Map.empty[String, String]
+        writeManifest(v, operation, resulting,
+          (carry -- dropMeta) ++ watermarkCarry(baseMeta) ++ settledStamp ++
+            meta ++ schemaMetaFor(base, schema.map(physicalizeSchema)),
           prevFiles = Some(prev))
         return v
       } catch {
@@ -1923,7 +1960,7 @@ final class IncrementalTable(
           .filter { case (k, _) => Set("constraints", "bloom", "colmap",
             "coldrop", "writeorder", "optimizewrite", "autocompact", "gencol",
             "identity", "widen", "widened", "rowtracking", "copylog",
-            IncrementalTable.JoinBucketMetaKey).contains(k) }
+            "settled", IncrementalTable.JoinBucketMetaKey).contains(k) }
         writeManifest(v, operation, added,
           consCarry ++ watermarkCarry(baseMeta) ++ meta ++
             schemaMetaFor(base, Some(physicalizeSchema(schema))))
@@ -2475,10 +2512,12 @@ final class IncrementalTable(
     // amplification on every append). An all-s1 bucket already at its
     // minimal achievable count (ceil(rows / maxRecordsPerFile), from
     // the per-file stats sidecar) is COMPACT: a rewrite cannot reduce
-    // it. Any bucket with an unsorted file, a stats-less file, or more
-    // files than minimal still rewrites — and the rewrite's staged
-    // files carry fresh stats, so one pass restores eligibility and
-    // the next call no-ops.
+    // it. Any bucket with an unsorted file or more files than minimal
+    // still rewrites. Row counts come from the stats sidecar with a
+    // parquet-footer fallback ([[footerRowCount]]) — on a
+    // collectStats=false table the rewrite's staged files never gain
+    // sidecar rows, so without the fallback every call would rewrite
+    // all-s1 split buckets forever.
     val maxRec = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0").toLong
     // deletion vectors make the stats' PHYSICAL num_rows a lie about
     // live data (a mostly-masked bucket would be deemed "minimal" and
@@ -2492,7 +2531,8 @@ final class IncrementalTable(
         val (allSorted, mixed) = frag.partition(_.forall(_._3))
         val rowsByFile = perFileRowCounts(allSorted.flatMap(_.map(_._2)))
         val stillFrag = allSorted.filter { fs =>
-          val per = fs.map(f => rowsByFile.get(f._2))
+          val per = fs.map(f =>
+            rowsByFile.get(f._2).orElse(footerRowCount(f._2)))
           per.exists(_.isEmpty) || {
             val total = per.flatten.sum
             fs.size > math.max(1L, (total + maxRec - 1L) / maxRec)
@@ -3814,6 +3854,16 @@ object IncrementalTable {
     * cannot carry `:` — the pair parser owns it).
     */
   private[graft] val JoinBucketMetaKey = "jbucket"
+
+  /** Operations whose resulting live file count is the layout's
+    * settled floor — the auto-compact trigger baseline. `commitFiles`
+    * stamps `settled=<count>` on exactly these, and
+    * `maybeAutoCompact`'s fallback walk matches the same set.
+    */
+  private[lake] def isLayoutSettling(op: String): Boolean =
+    op.startsWith("bucketize[") || op.startsWith("compact-buckets[") ||
+      op.startsWith("compact-small[") || op == "compact" ||
+      op.startsWith("cluster[") || op.startsWith("zorder[")
 
   /** `dir` with the `s1` SORT marker stripped when it is a join-bucket
     * directory: any restage that preserves a file's directory but not

@@ -598,6 +598,55 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("COMPACT BUCKETS converges WITHOUT the stats sidecar " +
+    "(collectStats=false): footer row counts prove split buckets " +
+    "minimal — no rewrite-every-call") {
+    val wh = Files.createTempDirectory("spj_wh_").toString
+    val a = new IncrementalTable(spark, s"$wh/ta", collectStats = false)
+    a.append((0L until 2000L).map(k => (k, s"a$k")).toDF("k", "va"))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+    try {
+      a.bucketize(8, "k")
+      val v1 = a.latestVersion.get
+      assert(a.files(v1).size > 8,
+        s"buckets must split under the cap: ${a.files(v1).size}")
+      // no sidecar rows exist for ANY staged file on this table; the
+      // parquet-footer fallback must still prove the all-s1 split
+      // buckets minimal (the pre-fix behavior rewrote them on every
+      // call — unbounded per-append write amplification on exactly
+      // the collectStats=false tables)
+      assert(a.compactBuckets() === v1,
+        "stats-less minimal split buckets must no-op via footer counts")
+      a.append(Seq((0L, "x0")).toDF("k", "va"))
+      val v2 = a.latestVersion.get
+      val v3 = a.compactBuckets()
+      assert(v3 > v2, "genuine fragmentation must still compact")
+      assert(a.compactBuckets() === v3, "post-compact state is minimal")
+      assert(a.snapshot().count() === 2001L)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
+  test("settled floor survives past any walk bound: layout-defining " +
+    "commits stamp 'settled' meta and appends carry it") {
+    val wh = Files.createTempDirectory("spj_wh_").toString
+    val a = new IncrementalTable(spark, s"$wh/ta")
+    a.append((0L until 200L).map(k => (k, s"a$k")).toDF("k", "va"))
+    a.bucketize(4, "k")
+    val v1 = a.latestVersion.get
+    assert(a.metaAt(v1).get("settled") === Some(a.files(v1).size.toString),
+      "bucketize must stamp its resulting file count")
+    a.append(Seq((1L, "x")).toDF("k", "va"))
+    val v2 = a.latestVersion.get
+    assert(a.metaAt(v2).get("settled") === Some(a.files(v1).size.toString),
+      "appends must CARRY the stamp (the walk-based floor collapsed " +
+        "once the settling commit aged past the 64-version bound, " +
+        "re-running the full compaction probe on every append)")
+    val v3 = a.compactBuckets()
+    assert(v3 > v2)
+    assert(a.metaAt(v3).get("settled") === Some(a.files(v3).size.toString),
+      "a later settling commit must re-stamp at its own count")
+  }
+
   test("COMPACT BUCKETS degrades to a FULL re-bucketize when plain files " +
     "exist (rows may cross buckets)") {
     val (wh, a, _) = mkTables()
