@@ -208,6 +208,9 @@ object ScdEventQueries {
       // the persisted-backend arc lands on the SAME final state: one
       // oracle body checks both the algebra and the storage path
       "scd_apply_incremental" -> scdSql,
+      // ...and so does the STREAMING entry point: same batches, same
+      // per-batch clocks, through writeStream/foreachBatch
+      "scd_apply_stream" -> scdSql,
       "scd_pointintime" -> scdPitSql.replace("%SCD%", scdSql))
   }
 
@@ -264,6 +267,86 @@ object ScdEventQueries {
     t
   }
 
+  /** The SAME two-batch apply through the STREAMING entry point
+    * ([[graft.streaming.Streams.incrementalScdSink]]) — the sink a
+    * continuously-maintained 100 TB dimension actually runs: day-1 and
+    * day-2 arrive as two micro-batches of one Structured Streaming
+    * query whose `foreachBatch` sink maintains the persisted
+    * [[graft.lake.IncrementalScdTable]] (8 buckets, identity on), the
+    * per-batch clock mapping batch id → the same day-apart stamps the
+    * batch arcs pin, so the final snapshot hash-matches the SAME
+    * DuckDB oracle body as `scd_apply_day2`/`scd_apply_incremental`.
+    * The build arc additionally REPLAYS the day-2 batch through the
+    * sink under its original batch id — a failure-recovery rerun: the
+    * re-stamped clocks are identical, the split finds nothing changed,
+    * and the snapshot must be value-identical (asserted inside the
+    * arc, dim_sk included — a replay must not re-allocate surrogate
+    * keys). MemoryStream is the test-scale harness; a deployment
+    * points `readStream` at its real source and keeps the same sink.
+    */
+  def scdApplyStream(spark: SparkSession, dir: String): DataFrame = {
+    val t = streamedDim(spark, dir)
+    t.snapshot()
+      .select(targetSchema.fieldNames.map(col): _*)
+      .orderBy("user_id", "event_type", "effective_from", "record_status")
+  }
+
+  /** Build-once cache of the STREAMED two-batch dimension (cache
+    * contract as [[incrementalDim]]): complete iff exactly the two
+    * streamed batches AND the replay probe committed (v0/v1 the day
+    * batches, v2 the value-identical replayed day-2).
+    */
+  private def streamedDim(spark: SparkSession, dir: String): graft.lake.IncrementalScdTable = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified, "scdstrm1").hashCode)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_scdstrm1_$key"
+    def open() = new graft.lake.IncrementalScdTable(spark, path,
+      numBuckets = 8, identityCol = Some("dim_sk"), identityStart = 10L)
+    val existing = open()
+    val complete = existing.exists &&
+      existing.table.latestVersion.contains(2L) &&
+      (0L to 2L).forall(v =>
+        existing.table.operationAt(v).startsWith("scd_apply["))
+    if (complete) return existing
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val t = open()
+    t.create(StructType(StructField("dim_sk", LongType) +: targetSchema.fields))
+    val batches = dimSources(spark, dir, Seq("2024-01-01", "2024-01-02"))
+      .localCheckpoint()
+    def day(d: String) = batches
+      .filter(col("day") === lit(d).cast("date")).drop("day")
+      .withColumn("dim_sk", lit(null).cast("long"))
+      .select("dim_sk", "user_id", "event_type", "value_cents", "props", "ts_utc")
+    val day1 = day("2024-01-01")
+    val day2 = day("2024-01-02")
+    // batch id → stamp: Clock1 for the day-1 batch, Clock2 (one day
+    // later) for day-2 — strictly monotonic AND replay-deterministic
+    val sink = graft.streaming.Streams.incrementalScdSink(t, cfg(Clock1),
+      id => Instant.parse(Clock1).plus(java.time.Duration.ofDays(id)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(day1.schema)
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row]
+    val q = input.toDF().writeStream.foreachBatch(sink).start()
+    try {
+      input.addData(day1.collect().toSeq); q.processAllAvailable()
+      input.addData(day2.collect().toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // failure-recovery replay of the LAST micro-batch under its
+    // original id: identical re-stamped clocks → the split classifies
+    // every row unchanged → the restaged slice is value-identical,
+    // surrogate keys included (no re-allocation)
+    val before = t.snapshot().localCheckpoint()
+    sink(day2, 1L)
+    val after = t.snapshot()
+    require(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "replayed day-2 micro-batch must leave the SCD snapshot " +
+        "value-identical (the streaming sink's idempotence contract)")
+    t
+  }
+
   /** Point-in-time lookup AGAINST the SCD2 dimension: every day-3 event
     * joined to the dimension version valid at its event time
     * (`effective_from <= t < effective_to`, open interval = current).
@@ -297,5 +380,6 @@ object ScdEventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd_apply_day2" -> scdApplyDay2 _,
     "scd_apply_incremental" -> scdApplyIncremental _,
+    "scd_apply_stream" -> scdApplyStream _,
     "scd_pointintime" -> scdPointInTime _)
 }

@@ -56,9 +56,23 @@ object Streams {
     */
   def incrementalScdSink(table: graft.lake.IncrementalScdTable,
       cfg: ScdConfig, baseClock: Instant): (DataFrame, Long) => Unit =
+    incrementalScdSink(table, cfg, id => baseClock.plusSeconds(id))
+
+  /** General-clock form of [[incrementalScdSink]]: `clockForBatch`
+    * maps the micro-batch id to the batch's stamp. Any strictly
+    * monotonic pure function keeps both contracts — forward-moving
+    * clock across batches (the algorithm's precondition) and
+    * deterministic replay (a re-run batch re-stamps the SAME
+    * timestamps, so the sink stays idempotent in state). Lets a
+    * deployment stamp real ingest cadence (e.g. one day per batch in a
+    * daily-backfill stream) instead of the one-second default.
+    */
+  def incrementalScdSink(table: graft.lake.IncrementalScdTable,
+      cfg: ScdConfig, clockForBatch: Long => Instant)
+      : (DataFrame, Long) => Unit =
     (batch, batchId) => {
       table.applyScd(batch,
-        cfg.copy(clock = () => baseClock.plusSeconds(batchId)))
+        cfg.copy(clock = () => clockForBatch(batchId)))
       ()
     }
 
