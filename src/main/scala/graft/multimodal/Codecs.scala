@@ -2,15 +2,17 @@ package graft.multimodal
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** REAL pure-JVM codecs for the two media container formats that are
-  * fully specified as plain headers + raw samples — PCM WAV (RIFF) and
-  * uncompressed 24-bit BMP. No native or third-party libraries: a
-  * `ByteBuffer` and the published layouts are enough, which is exactly
-  * why these two are the honest place to make the multimodal seam REAL
-  * (compressed/container formats — JPEG, MP3, MP4 — stay stubbed; no
-  * sane pipeline hand-rolls an entropy decoder).
+/** REAL pure-JVM codecs for the media container formats a JVM can
+  * parse without native libraries — PCM WAV (RIFF), uncompressed
+  * 24-bit BMP, and 8-bit truecolor PNG (whose only compression is
+  * DEFLATE, which `java.util.zip` ships). No third-party libraries: a
+  * `ByteBuffer`, `Deflater`/`Inflater` and the published layouts are
+  * enough, which is exactly why these three are the honest place to
+  * make the multimodal seam REAL (entropy-coded formats — JPEG, MP3,
+  * MP4 — stay stubbed; no sane pipeline hand-rolls an entropy
+  * decoder).
   *
-  * Both codecs are deterministic byte-for-byte, so
+  * All codecs are deterministic byte-for-byte, so
   * `decode(encode(x)) == x` is testable and the oracle can derive
   * expected features of generated media in closed form.
   */
@@ -178,5 +180,220 @@ object BmpCodec {
       y += 1
     }
     Bmp(width, height, px)
+  }
+}
+
+/** 8-bit truecolor PNG (ISO/IEC 15948): the critical-chunk subset —
+  * IHDR / IDAT / IEND, zlib-DEFLATE pixel stream, all five scanline
+  * filter types (None, Sub, Up, Average, Paeth). `java.util.zip`
+  * provides the one non-trivial piece (DEFLATE), so the codec is
+  * pure-JVM like its WAV/BMP siblings. Ancillary chunks are skipped on
+  * decode, multiple IDATs concatenate (the spec requires treating them
+  * as one stream), and everything outside 8-bit color-type-2
+  * non-interlaced refuses loudly rather than misreading.
+  */
+object PngCodec {
+
+  /** Decoded PNG: pixels packed `0xRRGGBB`, row-major top-down (PNG's
+    * own row order — no BMP-style flip).
+    */
+  final case class Png(width: Int, height: Int, pixels: Array[Int]) {
+    def rgb(x: Int, y: Int): Int = pixels(y * width + x)
+  }
+
+  private val Signature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private val Bpp = 3 // bytes per pixel: 8-bit RGB
+
+  /** Paeth predictor (spec §9.4): closest of left/up/up-left to
+    * `a + b - c`, ties resolved left → up → up-left.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def chunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val len = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+      .putInt(data.length).array()
+    out.write(len)
+    val t = typ.getBytes("US-ASCII")
+    out.write(t)
+    out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+      .putInt(crc.getValue.toInt).array())
+  }
+
+  /** Encode 8-bit truecolor, one IDAT, non-interlaced. `filterForRow`
+    * picks each scanline's filter type (0–4) — any choice is valid PNG
+    * (filters are a per-row encoder freedom), so a round-trip generated
+    * with VARYING filters proves the decoder's whole de-filter matrix,
+    * not just the trivial None path.
+    */
+  def encodeRgb8(width: Int, height: Int,
+      rgb: (Int, Int) => (Int, Int, Int),
+      filterForRow: Int => Int = _ => 0): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val stride = width * Bpp
+    val raw = new Array[Byte](height * (1 + stride))
+    val cur = new Array[Int](stride)   // this row's unfiltered bytes
+    val prior = new Array[Int](stride) // previous row's unfiltered bytes
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        cur(x * Bpp) = r & 0xff; cur(x * Bpp + 1) = g & 0xff
+        cur(x * Bpp + 2) = b & 0xff
+        x += 1
+      }
+      val f = filterForRow(y)
+      require(f >= 0 && f <= 4, s"bad filter type $f for row $y")
+      val rowOff = y * (1 + stride)
+      raw(rowOff) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val left = if (i >= Bpp) cur(i - Bpp) else 0
+        val up = if (y > 0) prior(i) else 0
+        val upLeft = if (y > 0 && i >= Bpp) prior(i - Bpp) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        raw(rowOff + 1 + i) = ((cur(i) - pred) & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zipped = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished())
+      zipped.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature)
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .array()
+    chunk(out, "IHDR", ihdr)
+    chunk(out, "IDAT", zipped.toByteArray)
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): Png = {
+    require(bytes.length > 8 && Signature.indices.forall(i =>
+      bytes(i) == Signature(i)), "not a PNG")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    buf.position(8)
+    var width = -1; var height = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && buf.remaining() >= 12) {
+      val len = buf.getInt
+      require(len >= 0 && len <= buf.remaining() - 8,
+        s"corrupt chunk length $len")
+      val t = new Array[Byte](4); buf.get(t)
+      val typ = new String(t, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"bad IHDR length $len")
+          width = buf.getInt; height = buf.getInt
+          val depth = buf.get(); val color = buf.get()
+          val comp = buf.get(); val filt = buf.get(); val ilace = buf.get()
+          require(depth == 8, s"only 8-bit PNG supported (depth=$depth)")
+          require(color == 2,
+            s"only truecolor (type 2) PNG supported (type=$color)")
+          require(comp == 0 && filt == 0, "nonstandard compression/filter")
+          require(ilace == 0, "interlaced PNG not supported")
+        case "IDAT" =>
+          require(width > 0, "IDAT before IHDR")
+          val d = new Array[Byte](len); buf.get(d); idat.write(d)
+        case "IEND" => sawEnd = true
+        case _ => buf.position(buf.position() + len) // ancillary: skip
+      }
+      if (!sawEnd) buf.getInt // CRC (trusting transport integrity)
+    }
+    require(sawEnd, "no IEND chunk")
+    require(width > 0 && height > 0, "no IHDR chunk")
+    val stride = width * Bpp
+    val raw = new Array[Byte](height * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    while (off < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, off, raw.length - off)
+      require(n > 0 || inflater.finished(),
+        "truncated or corrupt IDAT stream")
+      off += n
+    }
+    inflater.end()
+    require(off == raw.length,
+      s"IDAT inflated to $off bytes, expected ${raw.length}")
+    val px = new Array[Int](width * height)
+    val cur = new Array[Int](stride)
+    val prior = new Array[Int](stride)
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + stride)
+      val f = raw(rowOff) & 0xff
+      require(f <= 4, s"bad filter type $f in row $y")
+      var i = 0
+      while (i < stride) {
+        val left = if (i >= Bpp) cur(i - Bpp) else 0
+        val up = if (y > 0) prior(i) else 0
+        val upLeft = if (y > 0 && i >= Bpp) prior(i - Bpp) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        cur(i) = ((raw(rowOff + 1 + i) & 0xff) + pred) & 0xff
+        i += 1
+      }
+      var x = 0
+      while (x < width) {
+        px(y * width + x) =
+          (cur(x * Bpp) << 16) | (cur(x * Bpp + 1) << 8) | cur(x * Bpp + 2)
+        x += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    Png(width, height, px)
+  }
+
+  /** Nearest-neighbor resample, mirroring [[BmpCodec.resizeNearest]]. */
+  def resizeNearest(img: Png, width: Int, height: Int): Png = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val px = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val sy = (y.toLong * img.height / height).toInt
+      var x = 0
+      while (x < width) {
+        val sx = (x.toLong * img.width / width).toInt
+        px(y * width + x) = img.rgb(sx, sy)
+        x += 1
+      }
+      y += 1
+    }
+    Png(width, height, px)
   }
 }

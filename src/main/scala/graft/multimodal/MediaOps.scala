@@ -96,13 +96,14 @@ object MediaOps {
   }
 
   /** REAL decoder for the formats a JVM can parse without native
-    * libraries: `wav` and `bmp` decode GENUINELY (features computed
-    * from actual samples/pixels via [[WavCodec]]/[[BmpCodec]]), and
-    * BMP resize is a real nearest-neighbor resample + re-encode.
-    * Everything else falls back to [[FakeDecoder]]'s byte histogram —
-    * the stub surface shrinks from "all codecs" to
-    * "compressed/container formats" (JPEG/MP3/MP4 need entropy
-    * decoders no pipeline hand-rolls).
+    * libraries: `wav`, `bmp` and `png` decode GENUINELY (features
+    * computed from actual samples/pixels via
+    * [[WavCodec]]/[[BmpCodec]]/[[PngCodec]] — PNG's DEFLATE comes from
+    * `java.util.zip`), and image resize is a real nearest-neighbor
+    * resample + re-encode. Everything else falls back to
+    * [[FakeDecoder]]'s byte histogram — the stub surface shrinks from
+    * "all codecs" to "entropy-coded formats" (JPEG/MP3/MP4 need
+    * entropy decoders no pipeline hand-rolls).
     */
   final class JvmMediaDecoder(val featureDim: Int = 16) extends MediaDecoder {
     private val fallback = new FakeDecoder(featureDim)
@@ -127,15 +128,21 @@ object MediaOps {
             zc.toFloat / n))                             // zero-cross rate
         case "bmp" =>
           val img = BmpCodec.decode(bytes)
-          var r = 0L; var g = 0L; var b = 0L
-          img.pixels.foreach { p =>
-            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-          }
-          val n = math.max(1, img.pixels.length)
-          pad(Array(img.width.toFloat, img.height.toFloat,
-            r.toFloat / n / 255f, g.toFloat / n / 255f, b.toFloat / n / 255f))
+          pad(imageFeatures(img.width, img.height, img.pixels))
+        case "png" =>
+          val img = PngCodec.decode(bytes)
+          pad(imageFeatures(img.width, img.height, img.pixels))
         case _ => fallback.decode(kind, format, bytes)
       }
+    private def imageFeatures(w: Int, h: Int, pixels: Array[Int]): Array[Float] = {
+      var r = 0L; var g = 0L; var b = 0L
+      pixels.foreach { p =>
+        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+      }
+      val n = math.max(1, pixels.length)
+      Array(w.toFloat, h.toFloat,
+        r.toFloat / n / 255f, g.toFloat / n / 255f, b.toFloat / n / 255f)
+    }
     private def pad(a: Array[Float]): Array[Float] =
       if (a.length >= featureDim) a.take(featureDim)
       else a ++ new Array[Float](featureDim - a.length)
@@ -146,19 +153,28 @@ object MediaOps {
         BmpCodec.encode24(width, height, (x, y) => {
           val p = out.rgb(x, y); ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
         })
+      } else if (format == "png") {
+        val out = PngCodec.resizeNearest(PngCodec.decode(bytes), width, height)
+        PngCodec.encodeRgb8(width, height, (x, y) => {
+          val p = out.rgb(x, y); ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+        })
       } else super.resize(kind, format, bytes, width, height)
   }
 
   /** ENCODE → DECODE round trip over real formats, feature-exact: each
-    * document generates deterministic media from its id (even ids: a
-    * 24-bit BMP whose pixel channels follow a closed-form rule; odd
-    * ids: a square-wave PCM WAV whose period/amplitude/length derive
-    * from the id), the REAL codec decodes the bytes back, and the
-    * emitted integer features come from the DECODED samples/pixels
-    * only. The oracle computes the same features in closed form from
-    * the id — any encoder or decoder bug (padding, bottom-up rows,
-    * chunk walk, endianness) lands on the wrong integers and fails the
-    * hash, which is what makes this the round-trip PROOF rather than a
+    * document generates deterministic media from its id (ids ≡ 0 mod
+    * 3: a 24-bit BMP whose pixel channels follow a closed-form rule;
+    * ≡ 1: a square-wave PCM WAV whose period/amplitude/length derive
+    * from the id; ≡ 2: an 8-bit truecolor PNG encoded with a DIFFERENT
+    * filter type per scanline — `y % 5` cycles None/Sub/Up/Average/
+    * Paeth, so the decode exercises the whole de-filter matrix plus
+    * the Inflater path, not just the trivial None row). The REAL codec
+    * decodes the bytes back and the emitted integer features come from
+    * the DECODED samples/pixels only; the oracle computes the same
+    * features in closed form from the id — any encoder or decoder bug
+    * (padding, bottom-up rows, chunk walk, endianness, filter
+    * reconstruction) lands on the wrong integers and fails the hash,
+    * which is what makes this the round-trip PROOF rather than a
     * fixture echo. Features are emitted as SCALAR columns `f0..f5`
     * (BIGINT) — the driver's oracle checker hashes scalar cells, not
     * arrays — image rows carry `[w, h, sumR, sumG, sumB, -1]`; audio
@@ -172,22 +188,34 @@ object MediaOps {
       (0 to 5).map(i => StructField(s"f$i", LongType, nullable = false)))
     val enc = ExpressionEncoder(outSchema)
     val idIx = docs.schema.fieldIndex("doc_id")
+    def imageRow(d: Long, kind: String, w: Int, h: Int,
+        pixels: Array[Int]): Row = {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      pixels.foreach { p =>
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      }
+      Row(d, kind, w.toLong, h.toLong, sr, sg, sb, -1L)
+    }
     docs.mapPartitions { rows =>
       rows.map { r =>
         val d = r.getLong(idIx)
-        if (d % 2 == 0) {
+        if (d % 3 == 0) {
           val w = (8 + d % 8).toInt; val h = (6 + d % 6).toInt
           val bytes = BmpCodec.encode24(w, h, (x, y) => (
             ((3L * x + 5L * y + d) % 256).toInt,
             ((3L * x + 5L * y + 2 * d) % 256).toInt,
             ((3L * x + 5L * y + 7 * d) % 256).toInt))
           val img = BmpCodec.decode(bytes)
-          var sr = 0L; var sg = 0L; var sb = 0L
-          img.pixels.foreach { p =>
-            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-          }
-          Row(d, "image",
-            img.width.toLong, img.height.toLong, sr, sg, sb, -1L)
+          imageRow(d, "image", img.width, img.height, img.pixels)
+        } else if (d % 3 == 2) {
+          val w = (8 + d % 8).toInt; val h = (6 + d % 6).toInt
+          val bytes = PngCodec.encodeRgb8(w, h, (x, y) => (
+            ((5L * x + 7L * y + d) % 256).toInt,
+            ((5L * x + 7L * y + 3 * d) % 256).toInt,
+            ((5L * x + 7L * y + 11 * d) % 256).toInt),
+            filterForRow = y => y % 5)
+          val img = PngCodec.decode(bytes)
+          imageRow(d, "png", img.width, img.height, img.pixels)
         } else {
           val k = (d % 7 + 2).toInt; val m = (20 + d % 10).toInt
           val n = 2 * k * m

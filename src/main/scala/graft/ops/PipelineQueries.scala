@@ -978,11 +978,13 @@ object PipelineQueries {
   }
 
   /** REAL-codec round trip ([[graft.multimodal.MediaOps.roundTripFeatures]]):
-    * deterministic BMP/WAV media generated per doc, decoded back by the
-    * pure-JVM codecs, integer features emitted from the DECODED bytes;
-    * the oracle derives the same features in closed form from the id —
-    * an encoder/decoder bug (row padding, bottom-up order, chunk walk,
-    * endianness) fails the hash.
+    * deterministic BMP/WAV/PNG media generated per doc (the PNG with a
+    * different scanline filter per row), decoded back by the pure-JVM
+    * codecs, integer features emitted from the DECODED bytes; the
+    * oracle derives the same features in closed form from the id — an
+    * encoder/decoder bug (row padding, bottom-up order, chunk walk,
+    * endianness, DEFLATE framing, filter reconstruction) fails the
+    * hash.
     */
   def mediaRoundtrip(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.MediaOps.roundTripFeatures(
@@ -1703,19 +1705,23 @@ object PipelineQueries {
     // float arithmetic — then quantize-millis + int64 norm. Verified
     // exact at sf0.01 and sf0.1.
     "media_roundtrip" ->
-      raw"""WITH img AS (
-        |  SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |ix AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM img),
-        |ixy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM ix),
+      raw"""WITH dims AS (
+        |  SELECT doc_id, doc_id % 3 AS md,
+        |         8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+        |  FROM documents WHERE doc_id % 3 <> 1),
+        |ix AS (SELECT doc_id, md, w, h, unnest(range(0, w)) AS x FROM dims),
+        |ixy AS (SELECT doc_id, md, w, h, x, unnest(range(0, h)) AS y FROM ix),
         |ipx AS (
-        |  SELECT doc_id, w, h,
-        |         sum((3*x + 5*y + doc_id) % 256) AS sr,
-        |         sum((3*x + 5*y + 2*doc_id) % 256) AS sg,
-        |         sum((3*x + 5*y + 7*doc_id) % 256) AS sb
-        |  FROM ixy GROUP BY 1, 2, 3),
+        |  SELECT doc_id, md, w, h,
+        |         sum(CASE WHEN md = 0 THEN (3*x + 5*y + doc_id) % 256
+        |                  ELSE (5*x + 7*y + doc_id) % 256 END) AS sr,
+        |         sum(CASE WHEN md = 0 THEN (3*x + 5*y + 2*doc_id) % 256
+        |                  ELSE (5*x + 7*y + 3*doc_id) % 256 END) AS sg,
+        |         sum(CASE WHEN md = 0 THEN (3*x + 5*y + 7*doc_id) % 256
+        |                  ELSE (5*x + 7*y + 11*doc_id) % 256 END) AS sb
+        |  FROM ixy GROUP BY 1, 2, 3, 4),
         |irow AS (
-        |  SELECT doc_id, 'image' AS kind,
+        |  SELECT doc_id, CASE WHEN md = 0 THEN 'image' ELSE 'png' END AS kind,
         |         CAST(w AS BIGINT) AS f0, CAST(h AS BIGINT) AS f1,
         |         CAST(sr AS BIGINT) AS f2, CAST(sg AS BIGINT) AS f3,
         |         CAST(sb AS BIGINT) AS f4, CAST(-1 AS BIGINT) AS f5
@@ -1723,7 +1729,7 @@ object PipelineQueries {
         |aud AS (
         |  SELECT doc_id, doc_id % 7 + 2 AS k, 20 + doc_id % 10 AS m,
         |         (doc_id % 5 + 1) * 6000 AS a
-        |  FROM documents WHERE doc_id % 2 = 1),
+        |  FROM documents WHERE doc_id % 3 = 1),
         |arow AS (
         |  SELECT doc_id, 'audio' AS kind,
         |         CAST(2*k*m AS BIGINT) AS f0, CAST(16000 AS BIGINT) AS f1,
