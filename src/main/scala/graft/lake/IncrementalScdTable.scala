@@ -179,15 +179,22 @@ final class IncrementalScdTable(
     // the old watermark and this slice's new ids matter. Materialize
     // BEFORE allocating: the plan reads the files the commit will
     // de-reference, staging triggers the write, and the allocation's
-    // per-partition offsets need a pinned partitioning. The
-    // localCheckpoint holds O(TOUCHED SLICE) in executor block storage
-    // — never O(table); at 100 TB the touched slice is bounded by the
-    // batch's bucket fan-out × per-bucket size, the very quantity the
-    // bucket count is provisioned to keep small.
+    // per-partition offsets need a pinned partitioning. The slice is
+    // materialized to FILES under the table's own `_tmp` (it used to
+    // `localCheckpoint`, but executor block storage is non-replicated
+    // — a lost executor silently discarded the slice mid-batch with no
+    // recompute path, and the residency taxed exactly the memory the
+    // merge needs) — O(TOUCHED SLICE) bytes, never O(table); at 100 TB
+    // the touched slice is bounded by the batch's bucket fan-out ×
+    // per-bucket size, the very quantity the bucket count is
+    // provisioned to keep small. Immutable files also make every later
+    // pass deterministic: the identity offsets job, the staging write
+    // and the max-id probe all re-read the same bytes with the same
+    // splits.
     val idCfg = identityConfig
     val watermark = identityWatermark
-    val merged = upsert.next.withColumn("__bucket", bucketOf(cfg.pkCols))
-      // bucket-align the tasks BEFORE the checkpoint: the merge shuffle
+    val merged0 = upsert.next.withColumn("__bucket", bucketOf(cfg.pkCols))
+      // bucket-align the tasks BEFORE materializing: the merge shuffle
       // leaves every task holding rows of EVERY touched bucket, so the
       // partitioned write would explode into tasks × buckets files (a
       // 10M-row initial load staged 20,490 files and the serial publish
@@ -196,7 +203,29 @@ final class IncrementalScdTable(
       // per batch — what snapshotOfBuckets, compactBuckets(maxFiles)
       // and the untouched-carryover spec all assume.
       .repartition(touched.size, col("__bucket"))
-      .localCheckpoint()
+    val tmpDir = new Path(path,
+      s"_tmp/slice-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      merged0.write.partitionBy("__bucket").parquet(tmpDir.toString)
+      val merged = spark.read.option("basePath", tmpDir.toString)
+        .parquet(tmpDir.toString)
+        .select(merged0.columns.map(col): _*) // partition col reads back last
+      applyScdCommit(merged, cfg, idCfg, watermark, snap, snapPrefixes,
+        touched, baseV)
+    } finally {
+      // the slice's bytes are in the staged data files once committed
+      // (or abandoned on failure) — either way the scratch copy goes.
+      // A JVM crash can orphan a `_tmp/slice-*` dir, like `_stage`'s
+      // crash window; both are scratch-only and never referenced by a
+      // manifest, so re-creation/vacuum may clear them freely.
+      fs.delete(tmpDir, true)
+    }
+  }
+
+  private def applyScdCommit(merged: DataFrame, cfg: ScdConfig,
+      idCfg: Option[(String, Long, Long)], watermark: Long,
+      snap: DataFrame, snapPrefixes: Set[String],
+      touched: Seq[Int], baseV: Option[Long]): Long = {
     val next = idCfg match {
       case Some((idCol, _, step)) if merged.columns.contains(idCol) =>
         allocateIdentity(merged, idCol, watermark, step)

@@ -241,11 +241,13 @@ object ScdEventQueries {
     */
   private def incrementalDim(spark: SparkSession, dir: String): graft.lake.IncrementalScdTable = {
     val src = new java.io.File(s"$dir/events.parquet")
-    // tag v2: the applyScd build arc changed (bucket-aligned staging) —
-    // a stale v1 cache would serve the old file layout
+    // tag v3: the applyScd build arc changed again (file-backed _tmp
+    // slice staging replaced localCheckpoint) — bumping forces the
+    // driver's gate to rebuild THROUGH the new arc rather than serve a
+    // cache the old code built
     val key = java.lang.Integer.toHexString(
-      (dir, src.length, src.lastModified, "scdinc2").hashCode)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_scdinc2_$key"
+      (dir, src.length, src.lastModified, "scdinc3").hashCode)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_scdinc3_$key"
     def open() = new graft.lake.IncrementalScdTable(spark, path,
       numBuckets = 8, identityCol = Some("dim_sk"), identityStart = 10L)
     val existing = open()
@@ -299,8 +301,8 @@ object ScdEventQueries {
   private def streamedDim(spark: SparkSession, dir: String): graft.lake.IncrementalScdTable = {
     val src = new java.io.File(s"$dir/events.parquet")
     val key = java.lang.Integer.toHexString(
-      (dir, src.length, src.lastModified, "scdstrm1").hashCode)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_scdstrm1_$key"
+      (dir, src.length, src.lastModified, "scdstrm2").hashCode)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_scdstrm2_$key"
     def open() = new graft.lake.IncrementalScdTable(spark, path,
       numBuckets = 8, identityCol = Some("dim_sk"), identityStart = 10L)
     val existing = open()

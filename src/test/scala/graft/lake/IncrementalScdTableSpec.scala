@@ -31,6 +31,39 @@ class IncrementalScdTableSpec extends AnyFunSuite with SparkSpec {
   private def at(day: Int) =
     cfg.copy(clock = () => Instant.parse(f"2025-08-$day%02dT00:00:00Z"))
 
+  test("applyScd holds the merged slice in FILES, not executor block " +
+    "storage: no checkpoint RDD survives the batch, the _tmp scratch " +
+    "dir is removed, and a batch works with an identity column") {
+    val dir = Files.createTempDirectory("iscd_tmp").toString
+    val inc = new IncrementalScdTable(spark, s"$dir/inc", numBuckets = 4,
+      identityCol = Some("sk"), identityStart = 100L)
+    inc.create(StructType(StructField("sk", LongType) +: schema.fields))
+    import spark.implicits._
+    def withSk(rows: (Long, String)*) =
+      rows.toDF("k", "v").withColumn("sk",
+        org.apache.spark.sql.functions.lit(null).cast("long"))
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    inc.applyScd(withSk((1L, "a"), (2L, "b"), (3L, "c")), at(1))
+    inc.applyScd(withSk((1L, "a2"), (9L, "z")), at(2))
+    // the old localCheckpoint pinned the slice in non-replicated
+    // executor block storage (lost with the executor, taxing exactly
+    // the memory the merge needs) — the file-backed path must leave
+    // nothing persisted behind
+    assert(spark.sparkContext.getPersistentRDDs.keySet === cachedBefore,
+      "applyScd must not leave checkpoint/cached RDDs behind")
+    val tmp = new java.io.File(s"$dir/inc/_tmp")
+    assert(!tmp.exists() || tmp.listFiles().isEmpty,
+      s"scratch slice dirs must be deleted: ${Option(tmp.listFiles())
+        .map(_.mkString(",")).getOrElse("")}")
+    val snap = inc.snapshot()
+    assert(snap.count() === 5L) // 3 + closed(1) + new version(1) + new key...
+    assert(snap.filter("sk is null").count() === 0L,
+      "identity allocation must fill every surrogate key")
+    assert(snap.select("sk").distinct().count() === snap.count(),
+      "surrogate keys must be unique")
+    assert(snap.agg(org.apache.spark.sql.functions.min("sk")).head().getLong(0) >= 100L)
+  }
+
   test("incremental apply equals the plain table's state; time travel works") {
     val dir = Files.createTempDirectory("iscd").toString
     val plain = new ScdTable(spark, s"$dir/plain")
