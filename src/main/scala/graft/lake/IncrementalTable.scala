@@ -2649,6 +2649,31 @@ final class IncrementalTable(
     case scala.util.control.NonFatal(_) => (false, false)
   }
 
+  /** The ACTUATOR for [[bucketLayoutHealth]] — `OPTIMIZE ... REPAIR
+    * LAYOUT`: when the declared bucket layout has degraded (a
+    * plain-staged file broke grouping, or a dir-preserving restage
+    * stripped the `s1` sort markers), restore it and return the
+    * repairing commit; when the layout already keeps both promises,
+    * return None without touching a file. The repair itself is
+    * [[compactBuckets]] — per-bucket for sort/fragmentation damage,
+    * degrading to a full [[bucketize]] exactly when plain files mean
+    * rows may cross buckets — so cost is O(damaged data) with the
+    * O(table) path reserved for the damage class that requires it.
+    * Throws on a table with no declared layout: there is nothing to
+    * repair TO (run `OPTIMIZE ... BUCKET BY` first).
+    */
+  def repairLayout(): Option[Long] = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty table $path"))
+    if (joinBucketSpecAt(v).isEmpty)
+      throw new IllegalStateException(
+        s"$path declares no bucket layout — nothing to repair; run " +
+          "bucketize(n, col) / OPTIMIZE ... BUCKET BY (col, n) first")
+    val (wouldGroup, wouldOrder) = bucketLayoutHealth(v)
+    if (wouldGroup && wouldOrder) None
+    else Some(compactBuckets()) // degrades to full bucketize on plain files
+  }
+
   /** The declared (buckets, column) at version `v` — meta only; the
     * scan performs the structural file check on top.
     */

@@ -48,6 +48,10 @@ object GraftMaintenanceSql {
   // in O(fragmented data) — OPTIMIZE t COMPACT BUCKETS
   private val OptimizeCompactBuckets =
     """(?is)^\s*OPTIMIZE\s+(.+?)\s+COMPACT\s+BUCKETS\s*;?\s*$""".r
+  // actuator for DESCRIBE DETAIL's layout-health diagnostic: restore a
+  // degraded bucket layout — OPTIMIZE t REPAIR LAYOUT
+  private val OptimizeRepairLayout =
+    """(?is)^\s*OPTIMIZE\s+(.+?)\s+REPAIR\s+LAYOUT\s*;?\s*$""".r
   private val OptimizeWhere =
     """(?is)^\s*OPTIMIZE\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val Vacuum =
@@ -97,6 +101,8 @@ object GraftMaintenanceSql {
         bcol.trim.stripPrefix("`").stripSuffix("`"), n.toInt))
     case OptimizeCompactBuckets(target) =>
       Some(OptimizeCompactBucketsGraftCommand(target.trim))
+    case OptimizeRepairLayout(target) =>
+      Some(OptimizeRepairLayoutGraftCommand(target.trim))
     case Optimize(target, zcols) =>
       Some(OptimizeGraftCommand(target.trim,
         Option(zcols).map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)))
@@ -333,6 +339,29 @@ case class OptimizeCompactBucketsGraftCommand(target: String)
     val t = GraftMaintenanceSql.incrementalAt(spark, target)
     val v = t.compactBuckets()
     Seq(Row(v, t.operationAt(v)))
+  }
+}
+
+/** `OPTIMIZE t REPAIR LAYOUT` — the actuator for the layout-health
+  * diagnostic `DESCRIBE DETAIL` reports: no-op (repaired=false) when
+  * the declared bucket layout already keeps its grouping+ordering
+  * promises, otherwise restore it via [[IncrementalTable.repairLayout]]
+  * and report the post-repair health so the one statement both fixes
+  * and re-verifies.
+  */
+case class OptimizeRepairLayoutGraftCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("repaired", BooleanType)(),
+    AttributeReference("layout_groups", BooleanType)(),
+    AttributeReference("layout_ordered", BooleanType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftMaintenanceSql.incrementalAt(spark, target)
+    val repairedAt = t.repairLayout()
+    val v = repairedAt.getOrElse(t.latestVersion.get)
+    val (g, o) = t.bucketLayoutHealth(v)
+    Seq(Row(v, repairedAt.isDefined, g, o))
   }
 }
 

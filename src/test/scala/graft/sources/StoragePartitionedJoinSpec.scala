@@ -647,6 +647,37 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
       "a later settling commit must re-stamp at its own count")
   }
 
+  test("OPTIMIZE ... REPAIR LAYOUT actuates the health diagnostic: " +
+    "no-op while healthy; plain files break grouping → health false → " +
+    "repair → health true → SPJ plans again") {
+    val (wh, a, _) = mkTables()
+    val cat = registerCat(wh)
+    // healthy layout: the statement verifies and touches nothing
+    val r0 = spark.sql(s"OPTIMIZE $cat.ta REPAIR LAYOUT").collect().head
+    assert(!r0.getBoolean(1), "healthy layout must not be rewritten")
+    assert(r0.getBoolean(2) && r0.getBoolean(3))
+    val v0 = a.latestVersion.get
+    a.compact(2) // plain-staged rewrite: the grouping promise breaks
+    assert(a.bucketLayoutHealth(a.latestVersion.get) === ((false, false)))
+    val r1 = spark.sql(s"OPTIMIZE $cat.ta REPAIR LAYOUT").collect().head
+    assert(r1.getBoolean(1), "degraded layout must be repaired")
+    assert(r1.getBoolean(2) && r1.getBoolean(3),
+      "the statement must report post-repair health true")
+    assert(r1.getLong(0) > v0)
+    withSpj {
+      val df = spark.sql(
+        s"SELECT a.k, b.vb FROM $cat.ta a JOIN $cat.tb b ON a.k = b.k")
+      assert(df.collect().length === 1000)
+      assert(countShuffles(df) === 0, df.queryExecution.executedPlan.toString)
+      assert(countSorts(df) === 0, df.queryExecution.executedPlan.toString)
+    }
+    // a table with no declared layout has nothing to repair TO
+    val bare = new IncrementalTable(spark, s"$wh/tbare")
+    bare.append(Seq((1L, "x")).toDF("k", "v"))
+    val e = intercept[IllegalStateException](bare.repairLayout())
+    assert(e.getMessage.contains("no bucket layout"))
+  }
+
   test("COMPACT BUCKETS degrades to a FULL re-bucketize when plain files " +
     "exist (rows may cross buckets)") {
     val (wh, a, _) = mkTables()
