@@ -723,6 +723,51 @@ object PipelineQueries {
         sha2(col("chunk_text"), 256).as("chunk_sha"))
       .orderBy("doc_id", "chunk_id")
 
+  /** BPE training knobs shared by the two queries and their oracles:
+    * fixed merge count (part of the deterministic-replay contract) and
+    * the vocabulary cap that bounds every training pass by V, not
+    * corpus bytes.
+    */
+  private val BpeMerges = 12
+  private val BpeVocabCap = 65536
+
+  /** Trained merges memoized per (session, dir): both BPE queries and
+    * any re-invocation reuse one training run (12 bounded-table
+    * passes), the way a deployment trains once and ships the merge
+    * list.
+    */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[graft.text.BpeTrainer.Merge]]
+  private def bpeMerges(spark: SparkSession, dir: String) =
+    bpeMemo.getOrElseUpdate((spark, dir), graft.text.BpeTrainer.train(
+      Tables.load(spark, dir, "documents"), "text",
+      numMerges = BpeMerges, maxVocabWords = BpeVocabCap))
+
+  /** BPE vocabulary training ([[graft.text.BpeTrainer]]): the learned
+    * merge table, rank-ordered — one corpus pass + `BpeMerges`
+    * bounded-table rounds, each collecting exactly one argmax row.
+    * The oracle replays every round in stacked CTEs (lexical
+    * tie-breaks make the argmax deterministic; islands-parity windows
+    * reproduce the canonical left-to-right merge scanner).
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeMerges(spark, dir).toDF().orderBy("merge_rank")
+  }
+
+  /** Tokenization with the trained vocabulary: the 200 most frequent
+    * words segmented into subword pieces by rank-ordered merge
+    * application — a narrow map with the driver-sized merge list in
+    * the closure (the full-corpus form shuffles nothing at any scale).
+    */
+  def bpeSegment(spark: SparkSession, dir: String): DataFrame = {
+    val top = graft.text.BpeTrainer.wordFrequencies(
+      Tables.load(spark, dir, "documents"), "text", BpeVocabCap)
+      .orderBy(desc("freq"), asc("word")).limit(200)
+    graft.text.BpeTrainer.segment(top, bpeMerges(spark, dir))
+      .orderBy(desc("freq"), asc("word"))
+  }
+
   /** End-to-end corpus cleaning, the composition a training-data run
     * actually ships: exact-dedup survivors → minimum length → English
     * prediction → emit with integer quality stats. One narrow scan +
@@ -2389,6 +2434,18 @@ object PipelineQueries {
          |       CAST(length(nt) AS BIGINT) AS trunc_len,
          |       sha256(nt) AS trunc_sha
          |FROM c ORDER BY doc_id""".stripMargin,
+    // Full replay of BPE training: one stacked-CTE group per merge
+    // rank (pair count → lexically-tie-broken argmax → islands-parity
+    // canonical merge), generated by BpeTrainer.oracleSql.
+    "bpe_train" -> graft.text.BpeTrainer.oracleSql(BpeMerges, BpeVocabCap,
+      "SELECT * FROM (" + (1 to BpeMerges).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, " +
+          s"a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b$i")
+        .mkString(" UNION ALL ") + ") ORDER BY merge_rank"),
+    "bpe_segment" -> graft.text.BpeTrainer.oracleSql(BpeMerges, BpeVocabCap,
+      s"""SELECT word, freq, array_to_string(syms, ' ') AS pieces
+         |FROM (SELECT * FROM w$BpeMerges ORDER BY freq DESC, word LIMIT 200)
+         |ORDER BY freq DESC, word""".stripMargin),
     "text_stats" ->
       raw"""WITH $toksCte
            |SELECT d.doc_id,
@@ -2545,6 +2602,8 @@ object PipelineQueries {
     "text_stats" -> textStats _,
     "truncate_docs" -> truncateDocs _,
     "chunk_docs" -> chunkDocs _,
+    "bpe_train" -> bpeTrain _,
+    "bpe_segment" -> bpeSegment _,
     "lang_id" -> langId _,
     "corpus_clean" -> corpusClean _
   )
