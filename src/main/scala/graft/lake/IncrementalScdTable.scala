@@ -199,9 +199,14 @@ final class IncrementalScdTable(
       // partitioned write would explode into tasks × buckets files (a
       // 10M-row initial load staged 20,490 files and the serial publish
       // renames + per-file stats harvest dominated the build at ~400 s).
-      // One task per touched bucket stages exactly one file per bucket
-      // per batch — what snapshotOfBuckets, compactBuckets(maxFiles)
-      // and the untouched-carryover spec all assume.
+      // One task per touched bucket stages one file per bucket per
+      // batch — what snapshotOfBuckets, compactBuckets(maxFiles) and
+      // the untouched-carryover spec assume. (Identity tables keep the
+      // guarantee through the allocation window's exchange; without an
+      // identity column, a bucket whose scratch file exceeds
+      // maxPartitionBytes can read back split and stage
+      // ceil(bytes/split) files — bounded fragmentation compactBuckets
+      // folds later, never a correctness issue.)
       .repartition(touched.size, col("__bucket"))
     val tmpDir = new Path(path,
       s"_tmp/slice-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -216,8 +221,9 @@ final class IncrementalScdTable(
       // the slice's bytes are in the staged data files once committed
       // (or abandoned on failure) — either way the scratch copy goes.
       // A JVM crash can orphan a `_tmp/slice-*` dir, like `_stage`'s
-      // crash window; both are scratch-only and never referenced by a
-      // manifest, so re-creation/vacuum may clear them freely.
+      // crash window; both are scratch-only, never referenced by a
+      // manifest, and VACUUM reaps both roots past the staging
+      // retention (the same mtime-window rule).
       fs.delete(tmpDir, true)
     }
   }
@@ -228,7 +234,7 @@ final class IncrementalScdTable(
       touched: Seq[Int], baseV: Option[Long]): Long = {
     val next = idCfg match {
       case Some((idCol, _, step)) if merged.columns.contains(idCol) =>
-        allocateIdentity(merged, idCol, watermark, step)
+        allocateIdentityByBucket(merged, idCol, watermark, step, cfg.pkCols)
       case _ => merged
     }
     val sliceMax: Option[Long] = idCfg match {
@@ -365,12 +371,45 @@ final class IncrementalScdTable(
     }
   }
 
-  /** Dense watermark-based allocation — shared with the plain table's
-    * identity columns; see [[IncrementalTable.allocateIdentity]].
+  /** Dense watermark-based allocation keyed by BUCKET VALUE, not by
+    * `spark_partition_id` — [[IncrementalTable.allocateIdentity]]'s
+    * pid-keyed offsets are only sound over a PINNED partitioning (the
+    * plain table checkpoints first); here the slice comes from a file
+    * readback, and if split planning shifted between the offsets job
+    * and the staging write (a concurrent conf change on the shared
+    * session), pid-keyed offsets would silently misallocate — NULL or
+    * duplicate surrogate keys. Bucket values ride the rows, so the
+    * offset lookup can never disagree with the data: per-bucket
+    * (rows, non-null-ids) counts collect once (touched buckets —
+    * model-sized), each NULL-id row ranks by primary key inside its
+    * bucket window (the batch contract — single row per key — makes
+    * the rank unique and deterministic in DATA alone), and
+    * `id = watermark + (bucketBase + rank − nonNull) · step`. The
+    * window's exchange also re-coalesces every bucket into ONE task,
+    * so staging keeps one file per touched bucket even when the
+    * readback split an oversized bucket file across partitions.
     */
-  private def allocateIdentity(df: DataFrame, idCol: String,
-      watermark: Long, step: Long): DataFrame =
-    IncrementalTable.allocateIdentity(df, idCol, watermark, step)
+  private def allocateIdentityByBucket(df: DataFrame, idCol: String,
+      watermark: Long, step: Long, pkCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("n"), count(col(idCol)).as("nn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    if (counts.isEmpty) return df
+    var acc = 0L
+    val base: Map[Int, Long] = counts.map { case (b, n, nn) =>
+      val o = b -> acc; acc += n - nn; o
+    }.toMap
+    val nonNull: Map[Int, Long] = counts.map(c => c._1 -> c._3).toMap
+    val w = Window.partitionBy(col("__bucket")).orderBy(
+      (col(idCol).isNull.asc +: pkCols.map(c => col(c).asc)): _*)
+    df.withColumn(idCol, coalesce(col(idCol),
+      (lit(watermark) + (element_at(typedLit(base), col("__bucket")) +
+        row_number().over(w).cast("long") -
+        element_at(typedLit(nonNull), col("__bucket"))) * lit(step))
+        .cast(df.schema(idCol).dataType)))
+  }
 
   /** Current identity high watermark. Newest→oldest manifest walk,
     * stopping at the first commit that carries the counter (commits

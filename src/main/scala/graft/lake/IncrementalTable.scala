@@ -1027,18 +1027,29 @@ final class IncrementalTable(
     * an unreadable footer returns None and the caller rewrites the
     * bucket (the conservative direction — a rewrite is wasteful,
     * never wrong). Footer `num_rows` is PHYSICAL like the sidecar's;
-    * the caller's deletion-vector carve-out covers both.
+    * the caller's deletion-vector carve-out covers both. Counts are
+    * memoized per file name for this instance's lifetime — staged
+    * names are single-use nonces over immutable files, and a
+    * long-lived handle (a streaming sink with autoCompact) would
+    * otherwise re-read the same footers on every append's convergence
+    * probe. Successful reads only: a transient failure may heal.
     */
+  private val footerRowCountMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
   private def footerRowCount(name: String): Option[Long] =
-    try {
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          dataPath(name), spark.sparkContext.hadoopConfiguration))
+    footerRowCountMemo.get(name).orElse {
       try {
-        import scala.jdk.CollectionConverters._
-        Some(rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
-      } finally rd.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            dataPath(name), spark.sparkContext.hadoopConfiguration))
+        val n = try {
+          import scala.jdk.CollectionConverters._
+          rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        } finally rd.close()
+        footerRowCountMemo.put(name, n)
+        Some(n)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   private def recordStats(df: DataFrame, named: Seq[String]): Unit =
     if (collectStats && named.nonEmpty) {
@@ -1957,10 +1968,17 @@ final class IncrementalTable(
         // refusing a table it could now read is acceptable, the
         // reverse (a silent misread) is not
         val consCarry = baseMeta
+          // "settled" is deliberately NOT carried: a snapshot restages
+          // every file, so the old floor describes a layout that no
+          // longer exists — carrying it could park the auto-compact
+          // trigger permanently above the new file count (a 400-file
+          // floor over a 16-file rewrite). With the key dropped, the
+          // next maybeAutoCompact falls back to the bounded walk until
+          // a new settling commit re-stamps.
           .filter { case (k, _) => Set("constraints", "bloom", "colmap",
             "coldrop", "writeorder", "optimizewrite", "autocompact", "gencol",
             "identity", "widen", "widened", "rowtracking", "copylog",
-            "settled", IncrementalTable.JoinBucketMetaKey).contains(k) }
+            IncrementalTable.JoinBucketMetaKey).contains(k) }
         writeManifest(v, operation, added,
           consCarry ++ watermarkCarry(baseMeta) ++ meta ++
             schemaMetaFor(base, Some(physicalizeSchema(schema))))
@@ -2653,14 +2671,19 @@ final class IncrementalTable(
     * LAYOUT`: when the declared bucket layout has degraded (a
     * plain-staged file broke grouping, or a dir-preserving restage
     * stripped the `s1` sort markers), restore it and return the
-    * repairing commit; when the layout already keeps both promises,
-    * return None without touching a file. The repair itself is
-    * [[compactBuckets]] — per-bucket for sort/fragmentation damage,
-    * degrading to a full [[bucketize]] exactly when plain files mean
-    * rows may cross buckets — so cost is O(damaged data) with the
-    * O(table) path reserved for the damage class that requires it.
-    * Throws on a table with no declared layout: there is nothing to
-    * repair TO (run `OPTIMIZE ... BUCKET BY` first).
+    * repairing commit; when the layout already keeps both promises —
+    * or nothing REPAIRABLE remains (under `maxRecordsPerFile` a
+    * converged bucket legitimately holds several sorted files, so the
+    * ordering promise is structurally unreachable and a rewrite would
+    * reproduce the same layout forever) — return None without
+    * touching a file, so "repair until repaired=false" terminates.
+    * The repair itself is [[compactBuckets]] — per-bucket for
+    * sort/fragmentation damage, degrading to a full [[bucketize]]
+    * exactly when plain files mean rows may cross buckets — so cost
+    * is O(damaged data) with the O(table) path reserved for the
+    * damage class that requires it. Throws on a table with no
+    * declared layout: there is nothing to repair TO (run
+    * `OPTIMIZE ... BUCKET BY` first).
     */
   def repairLayout(): Option[Long] = {
     val v = latestVersion.getOrElse(
@@ -2671,7 +2694,7 @@ final class IncrementalTable(
           "bucketize(n, col) / OPTIMIZE ... BUCKET BY (col, n) first")
     val (wouldGroup, wouldOrder) = bucketLayoutHealth(v)
     if (wouldGroup && wouldOrder) None
-    else Some(compactBuckets()) // degrades to full bucketize on plain files
+    else Some(compactBuckets()).filter(_ != v) // same version = no rewrite
   }
 
   /** The declared (buckets, column) at version `v` — meta only; the
@@ -3799,18 +3822,22 @@ final class IncrementalTable(
         }
       }
     // crashed writers leak `_stage/<nonce>` dirs (a successful publish
-    // deletes its own). Reap those older than the staging retention —
-    // a LIVE writer's stage dir is recent by definition, the same
-    // mtime-window rule Delta applies to uncommitted files
-    val stageRoot = new Path(path, "_stage")
-    if (fs.exists(stageRoot)) {
-      val retainMs = spark.conf
-        .get("graft.vacuum.stageRetentionMs", (24L * 3600 * 1000).toString)
-        .toLong
-      val horizon = System.currentTimeMillis() - retainMs
-      fs.listStatus(stageRoot).toSeq
-        .filter(_.getModificationTime < horizon)
-        .foreach(st => fs.delete(st.getPath, true))
+    // deletes its own), and a crashed incremental-SCD batch leaks its
+    // `_tmp/slice-*` scratch dir the same way. Reap both roots past
+    // the staging retention — a LIVE writer's dir is recent by
+    // definition, the same mtime-window rule Delta applies to
+    // uncommitted files; neither root is ever referenced by a manifest
+    val retainMs = spark.conf
+      .get("graft.vacuum.stageRetentionMs", (24L * 3600 * 1000).toString)
+      .toLong
+    val horizon = System.currentTimeMillis() - retainMs
+    Seq("_stage", "_tmp").foreach { scratch =>
+      val root = new Path(path, scratch)
+      if (fs.exists(root)) {
+        fs.listStatus(root).toSeq
+          .filter(_.getModificationTime < horizon)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
     }
     // drop stats rows for vacuumed files (stale rows are harmless for
     // correctness — pruning joins against the manifest — but unbounded)

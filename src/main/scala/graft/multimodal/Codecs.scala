@@ -341,6 +341,15 @@ object PngCodec {
         "truncated or corrupt IDAT stream")
       off += n
     }
+    // surplus guard: a stream carrying MORE pixel data than IHDR
+    // declares must refuse, not silently serve the declared prefix —
+    // one probe inflate decides (a valid stream yields 0 bytes and
+    // reports finished once its trailer is consumed)
+    val probe = new Array[Byte](1)
+    val extra = if (inflater.finished()) 0 else inflater.inflate(probe)
+    require(extra == 0 && inflater.finished(),
+      if (extra > 0) "IDAT stream carries more pixel data than IHDR declares"
+      else "truncated IDAT stream (no end-of-stream trailer)")
     inflater.end()
     require(off == raw.length,
       s"IDAT inflated to $off bytes, expected ${raw.length}")

@@ -731,17 +731,22 @@ object PipelineQueries {
   private val BpeMerges = 12
   private val BpeVocabCap = 65536
 
-  /** Trained merges memoized per (session, dir): both BPE queries and
-    * any re-invocation reuse one training run (12 bounded-table
-    * passes), the way a deployment trains once and ships the merge
-    * list.
+  /** Trained merges memoized per corpus FILE identity (dir + length +
+    * mtime — the same key contract as the lake build caches, so a
+    * regenerated documents.parquet in the same dir retrains instead of
+    * serving stale merges): both BPE queries and any re-invocation
+    * reuse one training run (12 bounded-table passes), the way a
+    * deployment trains once and ships the merge list.
     */
   private val bpeMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[graft.text.BpeTrainer.Merge]]
-  private def bpeMerges(spark: SparkSession, dir: String) =
-    bpeMemo.getOrElseUpdate((spark, dir), graft.text.BpeTrainer.train(
-      Tables.load(spark, dir, "documents"), "text",
-      numMerges = BpeMerges, maxVocabWords = BpeVocabCap))
+    .empty[(String, Long, Long), Seq[graft.text.BpeTrainer.Merge]]
+  private def bpeMerges(spark: SparkSession, dir: String) = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    bpeMemo.getOrElseUpdate((dir, src.length, src.lastModified),
+      graft.text.BpeTrainer.train(
+        Tables.load(spark, dir, "documents"), "text",
+        numMerges = BpeMerges, maxVocabWords = BpeVocabCap))
+  }
 
   /** BPE vocabulary training ([[graft.text.BpeTrainer]]): the learned
     * merge table, rank-ordered — one corpus pass + `BpeMerges`

@@ -241,13 +241,13 @@ object ScdEventQueries {
     */
   private def incrementalDim(spark: SparkSession, dir: String): graft.lake.IncrementalScdTable = {
     val src = new java.io.File(s"$dir/events.parquet")
-    // tag v3: the applyScd build arc changed again (file-backed _tmp
-    // slice staging replaced localCheckpoint) — bumping forces the
+    // tag v4: the applyScd build arc changed again (bucket-keyed identity
+    // allocation + file-backed _tmp staging) — bumping forces the
     // driver's gate to rebuild THROUGH the new arc rather than serve a
     // cache the old code built
     val key = java.lang.Integer.toHexString(
-      (dir, src.length, src.lastModified, "scdinc3").hashCode)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_scdinc3_$key"
+      (dir, src.length, src.lastModified, "scdinc4").hashCode)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_scdinc4_$key"
     def open() = new graft.lake.IncrementalScdTable(spark, path,
       numBuckets = 8, identityCol = Some("dim_sk"), identityStart = 10L)
     val existing = open()
@@ -301,8 +301,8 @@ object ScdEventQueries {
   private def streamedDim(spark: SparkSession, dir: String): graft.lake.IncrementalScdTable = {
     val src = new java.io.File(s"$dir/events.parquet")
     val key = java.lang.Integer.toHexString(
-      (dir, src.length, src.lastModified, "scdstrm2").hashCode)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_scdstrm2_$key"
+      (dir, src.length, src.lastModified, "scdstrm3").hashCode)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_scdstrm3_$key"
     def open() = new graft.lake.IncrementalScdTable(spark, path,
       numBuckets = 8, identityCol = Some("dim_sk"), identityStart = 10L)
     val existing = open()

@@ -678,6 +678,25 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("no bucket layout"))
   }
 
+  test("REPAIR LAYOUT terminates when ordering is structurally " +
+    "unreachable: maxRecordsPerFile-split buckets are converged, so " +
+    "repair reports repaired=false instead of claiming a fix forever") {
+    val wh = Files.createTempDirectory("spj_wh_").toString
+    val a = new IncrementalTable(spark, s"$wh/ta")
+    a.append((0L until 2000L).map(k => (k, s"a$k")).toDF("k", "va"))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+    try {
+      a.bucketize(8, "k") // every bucket splits into several s1 files
+      val v = a.latestVersion.get
+      assert(a.bucketLayoutHealth(v) === ((true, false)),
+        "grouping holds, single-file ordering is unreachable")
+      // nothing is rewritable: the call must be an honest no-op, not
+      // a repaired=true loop that rewrites (or claims to) every run
+      assert(a.repairLayout() === None)
+      assert(a.latestVersion.get === v, "no commit on a no-op repair")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("COMPACT BUCKETS degrades to a FULL re-bucketize when plain files " +
     "exist (rows may cross buckets)") {
     val (wh, a, _) = mkTables()
