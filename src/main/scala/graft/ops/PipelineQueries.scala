@@ -773,6 +773,43 @@ object PipelineQueries {
       .orderBy(desc("freq"), asc("word"))
   }
 
+  /** Corpus-level tokenization with the trained vocabulary — the
+    * shape a 100 TB tokenize pass actually wants: the V-word
+    * vocabulary is segmented ONCE ([[graft.text.BpeTrainer.segment]],
+    * a V-row frame), then the corpus explodes to words and
+    * BROADCAST-joins the segmented vocab — no per-row merge fold over
+    * corpus tokens, no shuffle except the per-doc reassembly groupBy.
+    * Closed-vocab semantics: alpha words outside the trained table
+    * count as OOV (reported per doc) rather than being segmented on
+    * the fly — which is also what makes the oracle exact (it reuses
+    * the training chain's final word table). Emits per doc the word /
+    * OOV / token counts and a sha over the in-order piece stream, so
+    * the hash pins exact segmentation and word order.
+    */
+  def bpeTokenizeDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val vocab = graft.text.BpeTrainer.segment(
+      graft.text.BpeTrainer.wordFrequencies(docs, "text", BpeVocabCap),
+      bpeMerges(spark, dir))
+      .select(col("word"), col("pieces"),
+        size(split(col("pieces"), " ")).cast("long").as("n_pieces"))
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "word")))
+      .filter(col("word").rlike("^[a-z]+$"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("pieces").isNull, 1L).otherwise(0L)).as("n_oov"),
+        coalesce(sum(col("n_pieces")), lit(0L)).as("n_tokens"),
+        sha2(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("pieces").isNotNull,
+            struct(col("pos"), col("pieces"))))),
+          x => x.getField("pieces"))), 256).as("pieces_sha"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus cleaning, the composition a training-data run
     * actually ships: exact-dedup survivors → minimum length → English
     * prediction → emit with integer quality stats. One narrow scan +
@@ -2451,6 +2488,34 @@ object PipelineQueries {
       s"""SELECT word, freq, array_to_string(syms, ' ') AS pieces
          |FROM (SELECT * FROM w$BpeMerges ORDER BY freq DESC, word LIMIT 200)
          |ORDER BY freq DESC, word""".stripMargin),
+    // finalSelect CONTINUES the WITH list (leading comma): corpus
+    // words in position order, closed-vocab join to the training
+    // chain's final word table, per-doc reassembly — string_agg and
+    // Spark's collect_list both skip NULL (OOV) pieces
+    "bpe_tokenize_docs" -> graft.text.BpeTrainer.oracleSql(
+      BpeMerges, BpeVocabCap,
+      s""", dw0 AS (
+         |  SELECT doc_id, words,
+         |         unnest(range(1, len(words) + 1)) AS pos
+         |  FROM (SELECT doc_id,
+         |          regexp_split_to_array(lower(text), '\\s+') AS words
+         |        FROM documents)),
+         |dw AS (
+         |  SELECT doc_id, pos, words[pos] AS word FROM dw0
+         |  WHERE regexp_matches(words[pos], '^[a-z]+$$')),
+         |seg AS (
+         |  SELECT word, array_to_string(syms, ' ') AS pieces,
+         |         len(syms) AS np
+         |  FROM w$BpeMerges),
+         |dj AS (
+         |  SELECT d.doc_id, d.pos, s.pieces, s.np
+         |  FROM dw d LEFT JOIN seg s USING (word))
+         |SELECT doc_id,
+         |       count(*) AS n_words,
+         |       CAST(sum(CASE WHEN pieces IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       CAST(coalesce(sum(np), 0) AS BIGINT) AS n_tokens,
+         |       sha256(coalesce(string_agg(pieces, ' ' ORDER BY pos), '')) AS pieces_sha
+         |FROM dj GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "text_stats" ->
       raw"""WITH $toksCte
            |SELECT d.doc_id,
@@ -2609,6 +2674,7 @@ object PipelineQueries {
     "chunk_docs" -> chunkDocs _,
     "bpe_train" -> bpeTrain _,
     "bpe_segment" -> bpeSegment _,
+    "bpe_tokenize_docs" -> bpeTokenizeDocs _,
     "lang_id" -> langId _,
     "corpus_clean" -> corpusClean _
   )

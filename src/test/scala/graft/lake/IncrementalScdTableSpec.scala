@@ -348,6 +348,24 @@ class IncrementalScdTableSpec extends AnyFunSuite with SparkSpec {
     assertThrows[Exception](t.snapshotAt(0L).collect())
   }
 
+  test("vacuum reaps a crashed batch's orphaned _tmp slice dir past " +
+    "the staging retention, and spares a recent one") {
+    val dir = Files.createTempDirectory("iscd_tmporphan").toString
+    val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 4)
+    t.create(schema)
+    t.applyScd(batch((1L, "a")), at(1))
+    val old = new java.io.File(s"$dir/t/_tmp/slice-deadbeef")
+    val fresh = new java.io.File(s"$dir/t/_tmp/slice-cafe0001")
+    old.mkdirs(); fresh.mkdirs()
+    assert(old.setLastModified(
+      System.currentTimeMillis() - 48L * 3600 * 1000))
+    t.table.vacuum(keepLast = 1)
+    assert(!old.exists(),
+      "an orphan past the retention window must be reaped")
+    assert(fresh.exists(),
+      "a recent dir may belong to a LIVE batch — must survive")
+  }
+
   test("emitChangeData feeds the SCD merge through changes()") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("iscd_cdf").toString
