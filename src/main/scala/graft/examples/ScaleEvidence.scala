@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, concat_ws, count, length, lit, md5, pmod, posexplode, repeat, row_number, sha2, split, sum, when}
+import org.apache.spark.sql.functions.{col, concat, concat_ws, count, expr, length, lit, md5, pmod, posexplode, repeat, row_number, sha2, split, sum, when}
 
 /** Empirical 1×/10× scaling evidence for SCALE.md.
   *
@@ -792,6 +792,44 @@ object ScaleEvidence {
       * between milliseconds and a full-table scan for the most common
       * dashboard probe there is.
       */
+    /** Experiment: BPE training cost vs corpus size. Training is ONE
+      * corpus pass (the word-frequency build) plus merge rounds over a
+      * VOCAB-bounded table — so growing the corpus 10× must grow only
+      * the pass, never the rounds. The synthetic corpus draws 20 words
+      * per doc from a fixed 1,000-word alphabet (3-letter codes from a
+      * closed-form hash), so vocab_words is IDENTICAL at both scales —
+      * any rounds growth would be a bounded-training violation, not
+      * data drift. Reported: wf_pass_s (the corpus pass alone, timed
+      * standalone), train_s (pass + 8 rounds); rounds ≈ train − pass.
+      */
+    def bpeExperiment(k: Int): Unit = {
+      val n = 200000L * k
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        expr("""array_join(transform(sequence(0, 19), j ->
+          concat(char(97 + (pmod(hash(id * 20 + j), 1000) div 676) % 26),
+                 char(97 + (pmod(hash(id * 20 + j), 1000) div 26) % 26),
+                 char(97 + pmod(hash(id * 20 + j), 1000) % 26))), ' ')""")
+          .as("text"))
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      var vocab = 0L
+      val wfS = timed {
+        vocab = graft.text.BpeTrainer
+          .wordFrequencies(docs, "text", 65536).count()
+      }
+      val merges = 8
+      var trained: Seq[graft.text.BpeTrainer.Merge] = Seq.empty
+      val trainS = timed {
+        trained = graft.text.BpeTrainer.train(docs, "text", merges)
+      }
+      require(trained.size == merges && vocab <= 1000,
+        s"bpe experiment drifted: ${trained.size} merges, $vocab words")
+      println(f"""{"scale":$k,"experiment":"bpe_train","docs":$n,""" +
+        f""""vocab_words":$vocab,"merges":$merges,""" +
+        f""""wf_pass_s":$wfS%.2f,"train_s":$trainS%.2f}""")
+    }
+
     def statsAggExperiment(base: java.nio.file.Path, k: Int): Unit = {
       // 20M rows/scale: the pushdown's cost is a FIXED ~0.4 s of
       // driver-side metadata work (one job over the 32-row stats
@@ -970,6 +1008,7 @@ object ScaleEvidence {
     if (want("spj_sort")) scales.foreach(k => spjSortExperiment(base, k))
     if (want("compact_buckets")) scales.foreach(k => compactBucketsExperiment(base, k))
     if (want("stats_agg")) scales.foreach(k => statsAggExperiment(base, k))
+    if (want("bpe")) scales.foreach(k => bpeExperiment(k))
     spark.stop()
   }
 }
