@@ -214,7 +214,12 @@ final class IncrementalScdTable(
       merged0.write.partitionBy("__bucket").parquet(tmpDir.toString)
       val merged = spark.read.option("basePath", tmpDir.toString)
         .parquet(tmpDir.toString)
-        .select(merged0.columns.map(col): _*) // partition col reads back last
+        // partition col reads back last, and its TYPE follows partition
+        // inference (a conf: disabled ⇒ string) — the explicit cast
+        // keeps every downstream consumer (bucket-keyed allocation, the
+        // partitioned staging) inference-agnostic
+        .withColumn("__bucket", col("__bucket").cast("int"))
+        .select(merged0.columns.map(col): _*)
       applyScdCommit(merged, cfg, idCfg, watermark, snap, snapPrefixes,
         touched, baseV)
     } finally {
@@ -232,20 +237,18 @@ final class IncrementalScdTable(
       idCfg: Option[(String, Long, Long)], watermark: Long,
       snap: DataFrame, snapPrefixes: Set[String],
       touched: Seq[Int], baseV: Option[Long]): Long = {
-    val next = idCfg match {
+    // `sliceMax` falls out of the allocation's own counts job — dense
+    // per-bucket ranks make the max allocated id a closed form, so no
+    // extra action ever re-executes the allocation window's exchange
+    val (next, sliceMax) = idCfg match {
       case Some((idCol, _, step)) if merged.columns.contains(idCol) =>
-        allocateIdentityByBucket(merged, idCol, watermark, step, cfg.pkCols)
-      case _ => merged
+        val (allocated, mx) =
+          allocateIdentityByBucket(merged, idCol, watermark, step, cfg.pkCols)
+        (allocated, Some(mx))
+      case _ => (merged, None)
     }
-    val sliceMax: Option[Long] = idCfg match {
-      case Some((idCol, _, _)) if next.columns.contains(idCol) =>
-        Some(next.agg(max(col(idCol))).head().getAs[Any](0) match {
-          case null => watermark
-          case n: Number => n.longValue()
-        })
-      case _ => None
-    }
-    // one partitioned write stages every touched bucket's next state
+    // one partitioned write stages every touched bucket's next state —
+    // the ONLY execution of the allocation plan
     val added = table.stagePartitioned(next, "__bucket")
     val removed = baseV.map(table.files(_)
       .filter(f => snapPrefixes.exists(f.startsWith)).toSet).getOrElse(Set.empty)
@@ -263,8 +266,17 @@ final class IncrementalScdTable(
     val cdcMeta: Map[String, String] =
       if (!emitChangeData) Map.empty
       else {
-        // align column order: except() resolves positionally
-        val after = next.drop("__bucket").select(snap.columns.map(col): _*)
+        // `after` reads the STAGED files rather than re-evaluating
+        // `next` — the diffs run except() twice, and each re-evaluation
+        // of the plan would re-execute the allocation window's exchange
+        // (separate actions never share exchanges). The staged bytes
+        // ARE `next` materialized; reading explicit file paths skips
+        // partition-dir inference, which is fine — the diff projects
+        // the data columns only. Align column order: except() resolves
+        // positionally.
+        val after = spark.read
+          .parquet(added.map(f => table.dataPath(f).toString): _*)
+          .select(snap.columns.map(col): _*)
         val appeared = after.except(snap)
         val disappeared = snap.except(after)
         val oldKeys = snap.select(cfg.pkCols.map(col): _*).distinct()
@@ -388,27 +400,43 @@ final class IncrementalScdTable(
     * window's exchange also re-coalesces every bucket into ONE task,
     * so staging keeps one file per touched bucket even when the
     * readback split an oversized bucket file across partitions.
+    *
+    * Returns `(allocated frame, slice max id)`. The max falls out of
+    * the SAME counts collect in closed form — dense ranks make the
+    * largest allocated id `watermark + totalNulls·step`, maxed with
+    * the largest pre-existing id — so callers never run a separate
+    * `max()` action that would re-execute the window's exchange
+    * (actions don't share exchanges; the old probe re-ran the whole
+    * allocation plan once per batch, and CDC diffs twice more).
     */
   private def allocateIdentityByBucket(df: DataFrame, idCol: String,
-      watermark: Long, step: Long, pkCols: Seq[String]): DataFrame = {
+      watermark: Long, step: Long, pkCols: Seq[String]): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col("__bucket"))
-      .agg(count(lit(1)).as("n"), count(col(idCol)).as("nn"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .agg(count(lit(1)).as("n"), count(col(idCol)).as("nn"),
+        max(col(idCol)).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue
+        else r.getAs[Number](3).longValue()))
       .sortBy(_._1)
-    if (counts.isEmpty) return df
+    if (counts.isEmpty) return (df, watermark)
     var acc = 0L
-    val base: Map[Int, Long] = counts.map { case (b, n, nn) =>
+    val base: Map[Int, Long] = counts.map { case (b, n, nn, _) =>
       val o = b -> acc; acc += n - nn; o
     }.toMap
     val nonNull: Map[Int, Long] = counts.map(c => c._1 -> c._3).toMap
+    val existingMax = counts.map(_._4).max
+    val sliceMax = math.max(
+      if (acc > 0) watermark + acc * step else watermark,
+      if (existingMax == Long.MinValue) watermark else existingMax)
     val w = Window.partitionBy(col("__bucket")).orderBy(
       (col(idCol).isNull.asc +: pkCols.map(c => col(c).asc)): _*)
-    df.withColumn(idCol, coalesce(col(idCol),
+    val allocated = df.withColumn(idCol, coalesce(col(idCol),
       (lit(watermark) + (element_at(typedLit(base), col("__bucket")) +
         row_number().over(w).cast("long") -
         element_at(typedLit(nonNull), col("__bucket"))) * lit(step))
         .cast(df.schema(idCol).dataType)))
+    (allocated, sliceMax)
   }
 
   /** Current identity high watermark. Newest→oldest manifest walk,

@@ -1033,11 +1033,16 @@ final class IncrementalTable(
     * long-lived handle (a streaming sink with autoCompact) would
     * otherwise re-read the same footers on every append's convergence
     * probe. Successful reads only: a transient failure may heal.
+    * Bounded: past 8192 entries the memo resets wholesale — vacuumed
+    * and compacted-away names would otherwise accumulate for the
+    * handle's lifetime (a weeks-long stream = a slow driver leak), and
+    * the working set (live fragmented files) re-memoizes in one probe.
     */
   private val footerRowCountMemo =
     scala.collection.concurrent.TrieMap.empty[String, Long]
   private def footerRowCount(name: String): Option[Long] =
     footerRowCountMemo.get(name).orElse {
+      if (footerRowCountMemo.size > 8192) footerRowCountMemo.clear()
       try {
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -1968,19 +1973,20 @@ final class IncrementalTable(
         // refusing a table it could now read is acceptable, the
         // reverse (a silent misread) is not
         val consCarry = baseMeta
-          // "settled" is deliberately NOT carried: a snapshot restages
-          // every file, so the old floor describes a layout that no
-          // longer exists — carrying it could park the auto-compact
-          // trigger permanently above the new file count (a 400-file
-          // floor over a 16-file rewrite). With the key dropped, the
-          // next maybeAutoCompact falls back to the bounded walk until
-          // a new settling commit re-stamps.
           .filter { case (k, _) => Set("constraints", "bloom", "colmap",
             "coldrop", "writeorder", "optimizewrite", "autocompact", "gencol",
             "identity", "widen", "widened", "rowtracking", "copylog",
             IncrementalTable.JoinBucketMetaKey).contains(k) }
+        // a snapshot RESTAGES every file, so it DEFINES the layout: its
+        // own file count is the new settled floor. Carrying the old
+        // stamp would park the auto-compact trigger above a smaller
+        // rewrite (a 400-file floor over 16 files) — and merely
+        // DROPPING the key wouldn't help either, because the fallback
+        // walk would find the pre-snapshot settling commit and
+        // resurrect the same stale count.
         writeManifest(v, operation, added,
-          consCarry ++ watermarkCarry(baseMeta) ++ meta ++
+          consCarry ++ watermarkCarry(baseMeta) ++
+            Map("settled" -> added.size.toString) ++ meta ++
             schemaMetaFor(base, Some(physicalizeSchema(schema))))
         return v
       } catch {

@@ -350,6 +350,11 @@ object PngCodec {
     require(extra == 0 && inflater.finished(),
       if (extra > 0) "IDAT stream carries more pixel data than IHDR declares"
       else "truncated IDAT stream (no end-of-stream trailer)")
+    // ...and compressed junk AFTER the zlib trailer must refuse too —
+    // finished() only says the stream ended, not that IDAT did
+    require(inflater.getRemaining == 0,
+      s"${inflater.getRemaining} trailing bytes after the zlib stream " +
+        "inside IDAT")
     inflater.end()
     require(off == raw.length,
       s"IDAT inflated to $off bytes, expected ${raw.length}")

@@ -731,21 +731,35 @@ object PipelineQueries {
   private val BpeMerges = 12
   private val BpeVocabCap = 65536
 
-  /** Trained merges memoized per corpus FILE identity (dir + length +
-    * mtime — the same key contract as the lake build caches, so a
-    * regenerated documents.parquet in the same dir retrains instead of
-    * serving stale merges): both BPE queries and any re-invocation
-    * reuse one training run (12 bounded-table passes), the way a
-    * deployment trains once and ships the merge list.
+  /** Trained merges AND the capped word-frequency vocabulary,
+    * memoized together per corpus FILE identity (dir + length + mtime
+    * — the same key contract as the lake build caches, so a
+    * regenerated documents.parquet in the same dir retrains instead
+    * of serving stale merges). ONE corpus pass serves all three BPE
+    * queries: the vocabulary collects once (V-bounded = driver-sized
+    * by design), training runs over the collected table, and the
+    * segment/tokenize consumers rebuild their V-row frames from the
+    * memo instead of re-scanning the corpus per invocation.
     */
   private val bpeMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Long), Seq[graft.text.BpeTrainer.Merge]]
-  private def bpeMerges(spark: SparkSession, dir: String) = {
+    .empty[(String, Long, Long),
+      (Seq[graft.text.BpeTrainer.Merge], Seq[(String, Long)])]
+  private def bpeTrained(spark: SparkSession, dir: String) = {
     val src = new java.io.File(s"$dir/documents.parquet")
-    bpeMemo.getOrElseUpdate((dir, src.length, src.lastModified),
-      graft.text.BpeTrainer.train(
-        Tables.load(spark, dir, "documents"), "text",
-        numMerges = BpeMerges, maxVocabWords = BpeVocabCap))
+    bpeMemo.getOrElseUpdate((dir, src.length, src.lastModified), {
+      val wfList = graft.text.BpeTrainer.wordFrequencies(
+        Tables.load(spark, dir, "documents"), "text", BpeVocabCap)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      import spark.implicits._
+      (graft.text.BpeTrainer.trainFromWordFrequencies(
+        wfList.toDF("word", "freq"), BpeMerges), wfList)
+    })
+  }
+  private def bpeMerges(spark: SparkSession, dir: String) =
+    bpeTrained(spark, dir)._1
+  private def bpeVocabDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrained(spark, dir)._2.toDF("word", "freq")
   }
 
   /** BPE vocabulary training ([[graft.text.BpeTrainer]]): the learned
@@ -766,8 +780,7 @@ object PipelineQueries {
     * the closure (the full-corpus form shuffles nothing at any scale).
     */
   def bpeSegment(spark: SparkSession, dir: String): DataFrame = {
-    val top = graft.text.BpeTrainer.wordFrequencies(
-      Tables.load(spark, dir, "documents"), "text", BpeVocabCap)
+    val top = bpeVocabDf(spark, dir)
       .orderBy(desc("freq"), asc("word")).limit(200)
     graft.text.BpeTrainer.segment(top, bpeMerges(spark, dir))
       .orderBy(desc("freq"), asc("word"))
@@ -789,8 +802,7 @@ object PipelineQueries {
   def bpeTokenizeDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val vocab = graft.text.BpeTrainer.segment(
-      graft.text.BpeTrainer.wordFrequencies(docs, "text", BpeVocabCap),
-      bpeMerges(spark, dir))
+      bpeVocabDf(spark, dir), bpeMerges(spark, dir))
       .select(col("word"), col("pieces"),
         size(split(col("pieces"), " ")).cast("long").as("n_pieces"))
     val words = docs

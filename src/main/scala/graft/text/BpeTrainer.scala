@@ -65,12 +65,23 @@ object BpeTrainer {
     * replay contract, so a silent early stop would desync the oracle.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      maxVocabWords: Int = 65536): Seq[Merge] = {
+      maxVocabWords: Int = 65536): Seq[Merge] =
+    trainFromWordFrequencies(
+      wordFrequencies(docs, textCol, maxVocabWords), numMerges)
+
+  /** [[train]] from an already-built `(word, freq)` table — the entry
+    * point for callers that reuse one corpus pass across training and
+    * downstream consumers (segmentation, tokenization): the vocabulary
+    * is V-bounded, so holding it and re-deriving from it is
+    * model-sized work.
+    */
+  def trainFromWordFrequencies(wordFreq: DataFrame,
+      numMerges: Int): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges=$numMerges must be >= 1")
-    val spark = docs.sparkSession
+    val spark = wordFreq.sparkSession
     import spark.implicits._
     val wf: Dataset[(String, Long)] =
-      wordFrequencies(docs, textCol, maxVocabWords).as[(String, Long)]
+      wordFreq.select(col("word"), col("freq")).as[(String, Long)]
         .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
