@@ -62,6 +62,14 @@ class IncrementalScdTableSpec extends AnyFunSuite with SparkSpec {
     assert(snap.select("sk").distinct().count() === snap.count(),
       "surrogate keys must be unique")
     assert(snap.agg(org.apache.spark.sql.functions.min("sk")).head().getLong(0) >= 100L)
+    // the published watermark is derived in CLOSED FORM from the
+    // allocation counts (never a max() re-execution of the allocation
+    // plan) — it must still equal the true max assigned id
+    val wm = inc.identityWatermark
+    val trueMax = snap.agg(org.apache.spark.sql.functions.max("sk"))
+      .head().getLong(0)
+    assert(wm === trueMax,
+      s"closed-form watermark $wm must equal the max assigned id $trueMax")
   }
 
   test("incremental apply equals the plain table's state; time travel works") {

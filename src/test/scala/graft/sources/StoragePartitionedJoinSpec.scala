@@ -598,6 +598,26 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("a full snapshot rewrite re-stamps the settled floor at its " +
+    "OWN file count — neither carrying nor resurrecting the stale one") {
+    val wh = Files.createTempDirectory("spj_wh_").toString
+    val a = new IncrementalTable(spark, s"$wh/ta")
+    a.append((0L until 400L).map(k => (k, s"a$k")).toDF("k", "va"))
+    a.bucketize(4, "k")
+    val before = a.metaAt(a.latestVersion.get)("settled").toInt
+    assert(before >= 4)
+    // MERGE/overwrite resolve to a snapshot: every file restages, so
+    // the OLD floor describes a dead layout — the commit must stamp
+    // the rewrite's own count (carrying 400 over a 16-file rewrite
+    // would park auto-compact; dropping would let the fallback walk
+    // resurrect the same stale count from the pre-snapshot commit)
+    a.writeSnapshot(
+      (0L until 10L).map(k => (k, s"b$k")).toDF("k", "va").coalesce(2))
+    val v = a.latestVersion.get
+    assert(a.metaAt(v).get("settled") === Some(a.files(v).size.toString),
+      "snapshot must stamp its own resulting file count")
+  }
+
   test("COMPACT BUCKETS converges WITHOUT the stats sidecar " +
     "(collectStats=false): footer row counts prove split buckets " +
     "minimal — no rewrite-every-call") {
