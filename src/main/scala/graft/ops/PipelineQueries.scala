@@ -825,35 +825,33 @@ object PipelineQueries {
   /** EXACT repeated-passage detection (the detection half of exact
     * substring deduplication, Lee et al. 2022): every 16-token window
     * of every document, stride 1 — exhaustive, not sampled like the
-    * winnowing fingerprints — hashed and grouped; a span kept iff it
-    * appears in ≥ 2 DISTINCT documents. O(corpus tokens) rows through
-    * one explode (row-local slice+join, each window leaves the task as
-    * a 64-char sha, never the text) and one aggregation; the
-    * distinct-doc count plans Spark's two-phase distinct. The
-    * suffix-array formulation trades this shuffle for a global sort —
-    * at cluster scale the hash-group form is the parallel-friendly
-    * one, and the ≥2-docs HAVING keeps the output model-sized. Top
-    * 100 by occurrence count (ties by sha — total order, so the LIMIT
-    * is deterministic).
+    * winnowing fingerprints — as the 16-gram shingle-hash stream
+    * ([[graft.dedup.Shingles.shingleHashesAll]]: the explode-index
+    * formulation that stays inside whole-stage codegen; an earlier
+    * `transform`-lambda draft of this query ran interpreted and ~25%
+    * slower); a span is kept iff it appears in ≥ 2 DISTINCT documents.
+    * O(corpus tokens) rows, each leaving the task as a 60-bit hash
+    * (never span text), into a TWO-LEVEL aggregation — (span, doc)
+    * first, so the fat stage is map-side combinable and no
+    * countDistinct Expand doubles it; the second level is model-sized.
+    * The suffix-array formulation trades this shuffle for a global
+    * sort — at cluster scale the hash-group form is the
+    * parallel-friendly one, and the ≥2-docs HAVING keeps the output
+    * tiny. Top 100 by occurrence (ties by hash — total order, so the
+    * LIMIT is deterministic).
     */
-  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
-    val W = 16
-    val tks = filter(TextFunctions.tokens(col("text")),
-      t => length(t) > 0)
-    val starts = when(size(tks) >= W,
-      sequence(lit(1), size(tks) - (W - 1)))
-      .otherwise(array().cast("array<int>"))
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), explode(transform(starts,
-        i => sha2(array_join(slice(tks, i, lit(W)), " "), 256))).as("span_sha"))
-      .groupBy("span_sha")
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occ"),
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Shingles.shingleHashesAll(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", n = 16)
+      .groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), sum("c").as("n_occ"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
-      .orderBy(desc("n_occ"), col("span_sha"))
+      .select(col("h").as("span_h"), col("n_docs"), col("n_occ"),
+        col("first_doc"))
+      .orderBy(desc("n_occ"), col("span_h"))
       .limit(100)
-  }
 
   /** End-to-end corpus cleaning, the composition a training-data run
     * actually ships: exact-dedup survivors → minimum length → English
@@ -2523,20 +2521,17 @@ object PipelineQueries {
          |FROM c ORDER BY doc_id""".stripMargin,
     "repeated_spans" ->
       raw"""WITH $toksCte,
-         |tf AS (
-         |  SELECT doc_id, list_filter(tk, x -> length(x) > 0) AS tk
-         |  FROM toks),
          |w AS (
          |  SELECT doc_id,
-         |         sha256(array_to_string(tk[i:i+15], ' ')) AS span_sha
-         |  FROM tf, unnest(generate_series(1, len(tk) - 15)) AS g(i)),
+         |         CAST('0x' || substr(sha256(array_to_string(tk[i:i+15], ' ')), 1, 15) AS BIGINT) AS span_h
+         |  FROM toks, unnest(generate_series(1, len(tk) - 15)) AS g(i)),
          |gg AS (
-         |  SELECT span_sha, count(DISTINCT doc_id) AS nd, count(*) AS no,
+         |  SELECT span_h, count(DISTINCT doc_id) AS nd, count(*) AS no,
          |         min(doc_id) AS first_doc
          |  FROM w GROUP BY 1)
-         |SELECT span_sha, CAST(nd AS BIGINT) AS n_docs,
+         |SELECT span_h, CAST(nd AS BIGINT) AS n_docs,
          |       CAST(no AS BIGINT) AS n_occ, first_doc
-         |FROM gg WHERE nd >= 2 ORDER BY n_occ DESC, span_sha LIMIT 100""".stripMargin,
+         |FROM gg WHERE nd >= 2 ORDER BY n_occ DESC, span_h LIMIT 100""".stripMargin,
     // Full replay of BPE training: one stacked-CTE group per merge
     // rank (pair count → lexically-tie-broken argmax → islands-parity
     // canonical merge), generated by BpeTrainer.oracleSql.
