@@ -1907,8 +1907,20 @@ final class IncrementalTable(
           if (IncrementalTable.isLayoutSettling(operation))
             Map("settled" -> resulting.size.toString)
           else Map.empty[String, String]
+        val carried = (carry -- dropMeta) ++ watermarkCarry(baseMeta)
+        // the carried floor must DECAY on a shrinking non-settling
+        // commit (delete/update rewrites are not layout-settling): its
+        // only invariant is settled <= the converged layout's count,
+        // and a stale high floor would suppress maybeAutoCompact until
+        // live files exceed floor + minFiles. The old 64-version walk
+        // self-healed by aging out; the carried stamp has to re-stamp
+        // down explicitly — min(carried, resulting file count).
+        val settledDecay = carried.get("settled").flatMap(_.toIntOption)
+          .filter(_ > resulting.size)
+          .map(_ => Map("settled" -> resulting.size.toString))
+          .getOrElse(Map.empty[String, String])
         writeManifest(v, operation, resulting,
-          (carry -- dropMeta) ++ watermarkCarry(baseMeta) ++ settledStamp ++
+          carried ++ settledDecay ++ settledStamp ++
             meta ++ schemaMetaFor(base, schema.map(physicalizeSchema)),
           prevFiles = Some(prev))
         return v

@@ -143,6 +143,17 @@ object BmpCodec {
     require(compression == 0, s"only uncompressed BMP supported")
     val bottomUp = heightRaw > 0
     val height = math.abs(heightRaw)
+    // same untrusted-dims hardening as PngCodec.decode: BMP is
+    // uncompressed, so declared dims are a lie unless the payload
+    // actually holds height x stride bytes past the data offset — check
+    // in LONG arithmetic before allocating width*height ints (the int
+    // product overflows near 2^31 and a huge declaration would OOM).
+    require(width > 0 && height > 0, s"bad BMP dims ${width}x$heightRaw")
+    val strideL = (width.toLong * 3 + 3) & ~3L
+    require(dataOffset >= 0 &&
+      dataOffset + strideL * height <= bytes.length,
+      s"BMP declares ${width}x$height but holds only ${bytes.length} " +
+        s"bytes (needs ${dataOffset + strideL * height})")
     val stride = rowStride(width)
     val px = new Array[Int](width * height)
     var row = 0
@@ -330,6 +341,19 @@ object PngCodec {
     }
     require(sawEnd, "no IEND chunk")
     require(width > 0 && height > 0, "no IHDR chunk")
+    // dims come from untrusted bytes: validate with LONG arithmetic
+    // BEFORE any allocation. Width near 2^30 overflows the int stride
+    // math, and a tiny file declaring huge dims must not force a
+    // multi-GB raw buffer — DEFLATE expands at most 1032x (zlib's
+    // documented bound), so a declared raw size beyond idat·1032 is a
+    // lie the inflate loop would otherwise discover only after the OOM.
+    val strideL = width.toLong * Bpp
+    val rawLenL = height.toLong * (1L + strideL)
+    require(rawLenL <= Int.MaxValue,
+      s"IHDR declares ${width}x$height: raw size $rawLenL overflows")
+    require(rawLenL <= idat.size.toLong * 1032L,
+      s"IHDR declares $rawLenL raw bytes but IDAT holds only " +
+        s"${idat.size} — beyond DEFLATE's 1032x max expansion")
     val stride = width * Bpp
     val raw = new Array[Byte](height * (1 + stride))
     val inflater = new java.util.zip.Inflater()

@@ -667,6 +667,33 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
       "a later settling commit must re-stamp at its own count")
   }
 
+  test("the carried settled floor DECAYS on a shrinking non-settling " +
+    "commit: a delete rewrite re-stamps min(carried, resulting count)") {
+    val wh = Files.createTempDirectory("spj_wh_").toString
+    val a = new IncrementalTable(spark, s"$wh/ta")
+    a.append((0L until 400L).map(k => (k, s"a$k")).toDF("k", "va"))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+    try a.bucketize(4, "k")
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val v1 = a.latestVersion.get
+    val before = a.metaAt(v1)("settled").toInt
+    assert(before > 4, s"fixture needs a split layout, got $before files")
+    // a delete rewrite is NOT in isLayoutSettling, so pre-decay the
+    // stale floor rode every later commit forever and suppressed
+    // maybeAutoCompact until live files exceeded floor + minFiles
+    a.deleteWhere(org.apache.spark.sql.functions.col("k") >= 40L)
+    val v2 = a.latestVersion.get
+    assert(a.files(v2).size < before,
+      s"fixture must shrink: ${a.files(v2).size} vs $before")
+    assert(a.metaAt(v2).get("settled") === Some(a.files(v2).size.toString),
+      "a shrinking non-settling commit must decay the carried floor")
+    // ...and a GROWING non-settling commit keeps carrying, never grows
+    a.append(Seq((1000L, "x")).toDF("k", "va"))
+    val v3 = a.latestVersion.get
+    assert(a.metaAt(v3).get("settled") === Some(a.files(v2).size.toString),
+      "appends must carry the decayed stamp unchanged")
+  }
+
   test("OPTIMIZE ... REPAIR LAYOUT actuates the health diagnostic: " +
     "no-op while healthy; plain files break grouping → health false → " +
     "repair → health true → SPJ plans again") {
