@@ -55,13 +55,23 @@ object Shingles {
     * buffer is a set): skips a full shuffle of every shingle.
     */
   def shingleHashesAll(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleHashesIndexed(df, idCol, textCol, n).select(col(idCol), col("h"))
+
+  /** [[shingleHashesAll]] keeping the 0-based window-start index:
+    * `(idCol, pos, h)`. The excision half of exact substring dedup
+    * ([[ExactSubstr]]) needs positions to cut; same codegen
+    * explode-index plan (the shared hot formulation — see
+    * [[wordShingles]] for why the `transform`-lambda form is not it).
+    */
+  def shingleHashesIndexed(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
     df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= n)
       .select(col(idCol), col("tk"),
-        explode(sequence(lit(0), size(col("tk")) - n)).as("i"))
-      .select(col(idCol),
+        explode(sequence(lit(0), size(col("tk")) - n)).as("pos"))
+      .select(col(idCol), col("pos"),
         baseHash(concat_ws(" ",
-          (0 until n).map(j => element_at(col("tk"), col("i") + lit(j + 1))): _*)).as("h"))
+          (0 until n).map(j => element_at(col("tk"), col("pos") + lit(j + 1))): _*)).as("h"))
 
   /** The i-th universal-ish rehash of a 60-bit base hash, for MinHash
     * signatures: `g_i(h) = (a_i*lo30(h) + b_i*hi30(h) + i) mod M`.

@@ -853,6 +853,22 @@ object PipelineQueries {
       .orderBy(desc("n_occ"), col("span_h"))
       .limit(100)
 
+  /** EXACT repeated-passage REMOVAL ([[graft.dedup.ExactSubstr]]) —
+    * the excision half [[repeatedSpans]] detects for: every token
+    * covered by a 16-token window that appears in >= 2 distinct
+    * documents is cut (Lee et al. 2022's ExactSubstr, cut-everywhere
+    * variant), and the corpus is re-emitted with integer cut
+    * accounting plus the sha of each doc's kept token stream — the
+    * hash pins exact excision boundaries including the
+    * overlap/adjacency interval merge.
+    */
+  def removeRepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.ExactSubstr.removeRepeatedSpans(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", n = 16)
+      .withColumn("cleaned_sha", sha2(col("cleaned_text"), 256))
+      .drop("cleaned_text")
+      .orderBy("doc_id")
+
   /** End-to-end corpus cleaning, the composition a training-data run
     * actually ships: exact-dedup survivors → minimum length → English
     * prediction → emit with integer quality stats. One narrow scan +
@@ -2532,6 +2548,46 @@ object PipelineQueries {
          |SELECT span_h, CAST(nd AS BIGINT) AS n_docs,
          |       CAST(no AS BIGINT) AS n_occ, first_doc
          |FROM gg WHERE nd >= 2 ORDER BY n_occ DESC, span_h LIMIT 100""".stripMargin,
+    // The covered-position formulation is the oracle's equivalent of
+    // the Spark side's interval merge: the union of merged
+    // overlap/adjacent intervals IS the set of covered positions, and
+    // contiguity islands over that set are exactly the merged cuts.
+    "remove_repeated_spans" ->
+      raw"""WITH $toksCte,
+         |w AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |         CAST('0x' || substr(sha256(array_to_string(tk[i:i+15], ' ')), 1, 15) AS BIGINT) AS h
+         |  FROM toks, unnest(generate_series(1, len(tk) - 15)) AS g(i)),
+         |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |hit AS (SELECT doc_id, pos FROM w JOIN dup USING (h)),
+         |cov AS (SELECT DISTINCT doc_id, pos + k AS j
+         |        FROM hit, unnest(range(0, 16)) AS r(k)),
+         |isl AS (SELECT doc_id, j,
+         |               j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+         |        FROM cov),
+         |hs AS (SELECT doc_id, count(*) AS n_hits FROM hit GROUP BY doc_id),
+         |cs AS (SELECT doc_id, count(*) AS cut_tokens,
+         |              count(DISTINCT grp) AS n_cuts
+         |       FROM isl GROUP BY doc_id),
+         |tok AS (SELECT doc_id, j - 1 AS idx, tk[j] AS t
+         |        FROM toks, unnest(generate_series(1, len(tk))) AS g(j)),
+         |kept AS (SELECT t.doc_id, t.idx, t.t
+         |         FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.j = t.idx
+         |         WHERE c.j IS NULL),
+         |ktxt AS (SELECT doc_id, string_agg(t, ' ' ORDER BY idx) AS txt
+         |         FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(len(d.tk) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(hs.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(cs.n_cuts, 0) AS BIGINT) AS n_cuts,
+         |       CAST(coalesce(cs.cut_tokens, 0) AS BIGINT) AS cut_tokens,
+         |       CAST(len(d.tk) - coalesce(cs.cut_tokens, 0) AS BIGINT) AS kept_tokens,
+         |       sha256(coalesce(k.txt, '')) AS cleaned_sha
+         |FROM toks d
+         |LEFT JOIN hs USING (doc_id)
+         |LEFT JOIN cs USING (doc_id)
+         |LEFT JOIN ktxt k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // Full replay of BPE training: one stacked-CTE group per merge
     // rank (pair count → lexically-tie-broken argmax → islands-parity
     // canonical merge), generated by BpeTrainer.oracleSql.
@@ -2732,6 +2788,7 @@ object PipelineQueries {
     "bpe_segment" -> bpeSegment _,
     "bpe_tokenize_docs" -> bpeTokenizeDocs _,
     "repeated_spans" -> repeatedSpans _,
+    "remove_repeated_spans" -> removeRepeatedSpans _,
     "lang_id" -> langId _,
     "corpus_clean" -> corpusClean _
   )
