@@ -723,13 +723,21 @@ object PipelineQueries {
         sha2(col("chunk_text"), 256).as("chunk_sha"))
       .orderBy("doc_id", "chunk_id")
 
-  /** BPE training knobs shared by the two queries and their oracles:
+  /** BPE training knobs shared by the three queries and their oracles:
     * fixed merge count (part of the deterministic-replay contract) and
     * the vocabulary cap that bounds every training pass by V, not
-    * corpus bytes.
+    * corpus bytes. `BpeLookupCap` is the TOKENIZER's broadcast-table
+    * budget: the most frequent `BpeLookupCap` words tokenize through
+    * the pre-segmented broadcast lookup, everything rarer through the
+    * fallback segmenter — in production the cap is sized to the
+    * broadcast budget (e.g. 1M words); here it is deliberately tiny so
+    * the fallback path is LIVE at test scale (the corpus has ~31
+    * distinct words — a realistic cap would never miss and the
+    * fallback would be dead code to the gate).
     */
   private val BpeMerges = 12
   private val BpeVocabCap = 65536
+  private val BpeLookupCap = 16
 
   /** Trained merges AND the capped word-frequency vocabulary,
     * memoized together per corpus FILE identity (dir + length + mtime
@@ -787,37 +795,57 @@ object PipelineQueries {
   }
 
   /** Corpus-level tokenization with the trained vocabulary — the
-    * shape a 100 TB tokenize pass actually wants: the V-word
-    * vocabulary is segmented ONCE ([[graft.text.BpeTrainer.segment]],
-    * a V-row frame), then the corpus explodes to words and
-    * BROADCAST-joins the segmented vocab — no per-row merge fold over
-    * corpus tokens, no shuffle except the per-doc reassembly groupBy.
-    * Closed-vocab semantics: alpha words outside the trained table
-    * count as OOV (reported per doc) rather than being segmented on
-    * the fly — which is also what makes the oracle exact (it reuses
-    * the training chain's final word table). Emits per doc the word /
-    * OOV / token counts and a sha over the in-order piece stream, so
-    * the hash pins exact segmentation and word order.
+    * shape a 100 TB tokenize pass actually wants, with GPT-2's
+    * zero-OOV property: EVERY word segments; none is dropped.
+    *
+    * Two paths, identical semantics (both apply the same rank-ordered
+    * merges via the one canonical scanner):
+    *  - HOT: the `BpeLookupCap` most frequent words are segmented once
+    *    ([[graft.text.BpeTrainer.segment]]) and BROADCAST — Zipf puts
+    *    almost every corpus token here, so the common case is a
+    *    broadcast lookup with no per-row merge fold;
+    *  - FALLBACK: words that miss the lookup are collected DISTINCT
+    *    (vocabulary-scale, not corpus-scale), segmented with the same
+    *    merge list, and joined back — a shuffle keyed on exactly the
+    *    RARE words (the frequent ones all hit the broadcast, so the
+    *    join has no skew by construction).
+    * `n_oov` counts fallback-path words per doc (words outside the
+    * broadcast table — with an open alphabet nothing is truly out of
+    * vocabulary anymore). The per-doc sha covers the in-order piece
+    * stream of ALL words, so the hash pins both paths' segmentation.
     */
   def bpeTokenizeDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val vocab = graft.text.BpeTrainer.segment(
-      bpeVocabDf(spark, dir), bpeMerges(spark, dir))
+    val merges = bpeMerges(spark, dir)
+    val lookup = graft.text.BpeTrainer.segment(
+      bpeVocabDf(spark, dir)
+        .orderBy(desc("freq"), asc("word")).limit(BpeLookupCap), merges)
       .select(col("word"), col("pieces"),
         size(split(col("pieces"), " ")).cast("long").as("n_pieces"))
     val words = docs
       .select(col("doc_id"),
         posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "word")))
-      .filter(col("word").rlike("^[a-z]+$"))
-    words.join(broadcast(vocab), Seq("word"), "left")
+      .filter(length(col("word")) > 0)
+    val joined = words.join(broadcast(lookup), Seq("word"), "left")
+    val hitPath = joined.filter(col("pieces").isNotNull)
+      .withColumn("oov", lit(0L))
+    val missSeg = graft.text.BpeTrainer.segment(
+      joined.filter(col("pieces").isNull).select("word").distinct()
+        .withColumn("freq", lit(1L)), merges)
+      .select(col("word"), col("pieces"),
+        size(split(col("pieces"), " ")).cast("long").as("n_pieces"))
+    val missPath = joined.filter(col("pieces").isNull)
+      .drop("pieces", "n_pieces")
+      .join(missSeg, Seq("word"))
+      .withColumn("oov", lit(1L))
+    hitPath.unionByName(missPath)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_words"),
-        sum(when(col("pieces").isNull, 1L).otherwise(0L)).as("n_oov"),
-        coalesce(sum(col("n_pieces")), lit(0L)).as("n_tokens"),
+        sum(col("oov")).as("n_oov"),
+        sum(col("n_pieces")).as("n_tokens"),
         sha2(concat_ws(" ", transform(
-          array_sort(collect_list(when(col("pieces").isNotNull,
-            struct(col("pos"), col("pieces"))))),
+          array_sort(collect_list(struct(col("pos"), col("pieces")))),
           x => x.getField("pieces"))), 256).as("pieces_sha"))
       .orderBy("doc_id")
   }
@@ -2601,11 +2629,13 @@ object PipelineQueries {
          |FROM (SELECT * FROM w$BpeMerges ORDER BY freq DESC, word LIMIT 200)
          |ORDER BY freq DESC, word""".stripMargin),
     // finalSelect CONTINUES the WITH list (leading comma): corpus
-    // words in position order, closed-vocab join to the training
-    // chain's final word table, per-doc reassembly — string_agg and
-    // Spark's collect_list both skip NULL (OOV) pieces
+    // words in position order, segmentation from the union of the
+    // training chain's final word table (w$N) and the OOV apply chain
+    // (ov$N) — every corpus word is in exactly one of them, so the
+    // join is total (zero-OOV); n_oov counts words outside the
+    // tokenizer's top-`BpeLookupCap` broadcast lookup
     "bpe_tokenize_docs" -> graft.text.BpeTrainer.oracleSql(
-      BpeMerges, BpeVocabCap,
+      BpeMerges, BpeVocabCap, withOovChain = true, finalSelect =
       s""", dw0 AS (
          |  SELECT doc_id, words,
          |         unnest(range(1, len(words) + 1)) AS pos
@@ -2614,19 +2644,26 @@ object PipelineQueries {
          |        FROM documents)),
          |dw AS (
          |  SELECT doc_id, pos, words[pos] AS word FROM dw0
-         |  WHERE regexp_matches(words[pos], '^[a-z]+$$')),
+         |  WHERE length(words[pos]) > 0),
          |seg AS (
          |  SELECT word, array_to_string(syms, ' ') AS pieces,
          |         len(syms) AS np
-         |  FROM w$BpeMerges),
+         |  FROM w$BpeMerges
+         |  UNION ALL
+         |  SELECT word, array_to_string(syms, ' '), len(syms)
+         |  FROM ov$BpeMerges),
+         |lk AS (SELECT word FROM wf ORDER BY freq DESC, word
+         |       LIMIT $BpeLookupCap),
          |dj AS (
-         |  SELECT d.doc_id, d.pos, s.pieces, s.np
-         |  FROM dw d LEFT JOIN seg s USING (word))
+         |  SELECT d.doc_id, d.pos, s.pieces, s.np,
+         |         CASE WHEN l.word IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM dw d JOIN seg s USING (word)
+         |  LEFT JOIN lk l ON l.word = d.word)
          |SELECT doc_id,
          |       count(*) AS n_words,
-         |       CAST(sum(CASE WHEN pieces IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-         |       CAST(coalesce(sum(np), 0) AS BIGINT) AS n_tokens,
-         |       sha256(coalesce(string_agg(pieces, ' ' ORDER BY pos), '')) AS pieces_sha
+         |       CAST(sum(oov) AS BIGINT) AS n_oov,
+         |       CAST(sum(np) AS BIGINT) AS n_tokens,
+         |       sha256(string_agg(pieces, ' ' ORDER BY pos)) AS pieces_sha
          |FROM dj GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "text_stats" ->
       raw"""WITH $toksCte

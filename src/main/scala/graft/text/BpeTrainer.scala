@@ -15,9 +15,11 @@ import org.apache.spark.storage.StorageLevel
   * sized, so training must cost ONE corpus pass plus iterations over a
   * BOUNDED table — never iterations over the corpus.
   *
-  *  - One corpus pass builds the word-frequency table (split → filter
-  *    `^[a-z]+$` after lower() → groupBy word), capped at the
-  *    `maxVocabWords` most frequent words (ties broken lexically) —
+  *  - One corpus pass builds the word-frequency table (split on
+  *    whitespace → lower() → groupBy word; ANY non-empty token is a
+  *    word — digits, punctuation and non-Latin text all train, the
+  *    round-13 `^[a-z]+$` alphabet silently dropped them), capped at
+  *    the `maxVocabWords` most frequent words (ties broken lexically) —
   *    Zipf makes the cap lossless for pair statistics long before it
   *    binds, and it bounds every later pass by V, not corpus bytes.
   *  - Each merge round re-derives symbol sequences by applying the
@@ -37,8 +39,10 @@ import org.apache.spark.storage.StorageLevel
   * Tokenizing a corpus with the trained vocabulary ([[segment]]) is a
   * pure narrow map with the merge list broadcast in the closure — zero
   * shuffle at any scale. No end-of-word marker is used (the GPT-2
-  * style choice, minus the byte alphabet); the alphabet is the corpus'
-  * own lowercase letters.
+  * style choice, minus the byte alphabet); the alphabet is OPEN — the
+  * corpus' own lowercased code points, whatever they are — so every
+  * word segments to single-character symbols at worst and tokenization
+  * is zero-OOV by construction.
   */
 object BpeTrainer {
 
@@ -49,12 +53,13 @@ object BpeTrainer {
       merged: String, pair_count: Long)
 
   /** The bounded training table: `(word, freq)` for the
-    * `maxVocabWords` most frequent lowercase-alpha words.
+    * `maxVocabWords` most frequent whitespace tokens (lowercased, any
+    * non-empty token — the open alphabet).
     */
   def wordFrequencies(docs: DataFrame, textCol: String,
       maxVocabWords: Int): DataFrame =
     docs.select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
-      .filter(col("word").rlike("^[a-z]+$"))
+      .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("word")).limit(maxVocabWords)
 
@@ -140,7 +145,12 @@ object BpeTrainer {
     * training counts consistent with tokenization).
     */
   def applyMerges(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms: IndexedSeq[String] = word.map(_.toString)
+    // CODE POINTS, not UTF-16 units: `word.map(_.toString)` splits a
+    // surrogate pair into two broken halves, while the DuckDB oracle's
+    // substring() iterates characters — with the open alphabet the two
+    // must agree on non-BMP input (emoji, rare CJK)
+    var syms: IndexedSeq[String] = word.codePoints().toArray.toIndexedSeq
+      .map(cp => new String(Character.toChars(cp)))
     merges.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
     syms
   }
@@ -160,68 +170,98 @@ object BpeTrainer {
     out.result()
   }
 
+  /** Character-symbol initialization of a `(word, freq)` table. */
+  private def symsInitSql(src: String, out: String): String =
+    s"""$out AS (
+       |  SELECT word, freq,
+       |         [substring(word, CAST(i AS INT), 1)
+       |          FOR i IN range(1, length(word) + 1)] AS syms
+       |  FROM $src)""".stripMargin
+
+  // e: position explode; s: (sym, next). MATERIALIZED is load-bearing
+  // on the vocab chain: s/b are each referenced twice, so inlining
+  // would double the plan per rank — 2^N copies of the corpus scan by
+  // the last merge.
+  private def symsExplodeSql(i: Int, src: String, p: String): String =
+    s"""${p}e$i AS (
+       |  SELECT word, freq, syms,
+       |         unnest(range(1, len(syms) + 1)) AS j FROM $src),
+       |${p}s$i AS MATERIALIZED (
+       |  SELECT word, freq, j AS pos, syms[j] AS sym, syms[j + 1] AS nxt
+       |  FROM ${p}e$i)""".stripMargin
+
+  // h/g/x: islands parity = the canonical scanner's 1st/3rd/5th… match
+  // per identical-symbol run; y/out: rebuild, dropping positions a
+  // preceding merge consumed. `b$i` (the rank's argmax) is shared by
+  // every chain applying the same training run.
+  private def applyTailSql(i: Int, p: String, out: String): String =
+    s"""${p}h$i AS (
+       |  SELECT s.word, s.freq, s.pos, s.sym, s.nxt,
+       |         CASE WHEN s.sym = b.a AND s.nxt = b.b THEN 1 ELSE 0 END AS hit
+       |  FROM ${p}s$i s CROSS JOIN b$i b),
+       |${p}g$i AS (
+       |  SELECT *, pos - row_number()
+       |      OVER (PARTITION BY word, hit ORDER BY pos) AS grp
+       |  FROM ${p}h$i),
+       |${p}x$i AS (
+       |  SELECT *, CASE WHEN hit = 1 AND row_number()
+       |      OVER (PARTITION BY word, hit, grp ORDER BY pos) % 2 = 1
+       |    THEN 1 ELSE 0 END AS act FROM ${p}g$i),
+       |${p}y$i AS (
+       |  SELECT word, freq, pos,
+       |         CASE WHEN act = 1 THEN sym || nxt ELSE sym END AS ns,
+       |         lag(act) OVER (PARTITION BY word ORDER BY pos) AS pact
+       |  FROM ${p}x$i),
+       |$out AS MATERIALIZED (
+       |  SELECT word, freq, list(ns ORDER BY pos) AS syms FROM ${p}y$i
+       |  WHERE pact IS NULL OR pact = 0 GROUP BY word, freq)""".stripMargin
+
   /** The DuckDB replay of [[train]] + [[segment]] as stacked CTEs —
     * one `(pair-count → lexically-tie-broken argmax → islands-parity
     * merge)` group per rank. `finalSelect` chooses the output: the
-    * merge table (`bpe_train`) or the segmented vocabulary
-    * (`bpe_segment`).
+    * merge table (`bpe_train`), the segmented vocabulary
+    * (`bpe_segment`) or the corpus tokenization (`bpe_tokenize_docs`).
+    *
+    * `withOovChain` adds a SECOND apply-only chain `ov0..ovN`: the
+    * distinct corpus words NOT in the capped training vocabulary,
+    * segmented by the same rank argmaxes (`b$$i`) — the oracle of the
+    * zero-OOV fallback path (every chain replays the one canonical
+    * scanner, so fallback segmentation ≡ vocabulary segmentation).
     */
   def oracleSql(numMerges: Int, maxVocabWords: Int,
-      finalSelect: String): String = {
+      finalSelect: String, withOovChain: Boolean = false): String = {
     val init =
       s"""WITH tok AS (
          |  SELECT lower(unnest(regexp_split_to_array(text, '\\s+'))) AS word
          |  FROM documents),
          |wf AS (
          |  SELECT word, count(*) AS freq FROM tok
-         |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word
+         |  WHERE length(word) > 0 GROUP BY word
          |  ORDER BY freq DESC, word LIMIT $maxVocabWords),
-         |w0 AS (
-         |  SELECT word, freq,
-         |         [substring(word, CAST(i AS INT), 1)
-         |          FOR i IN range(1, length(word) + 1)] AS syms
-         |  FROM wf)""".stripMargin
+         |${symsInitSql("wf", "w0")}""".stripMargin
+    val ovInit =
+      if (!withOovChain) ""
+      else s""",
+         |ovw AS (
+         |  SELECT DISTINCT word, CAST(1 AS BIGINT) AS freq FROM tok
+         |  WHERE length(word) > 0
+         |    AND word NOT IN (SELECT word FROM wf)),
+         |${symsInitSql("ovw", "ov0")}""".stripMargin
     val iters = (1 to numMerges).map { i =>
-      val p = i - 1
-      // e: position explode; s: (sym, next); p/b: weighted pair count →
-      // argmax with lexical ties; h/g/x: islands parity = the canonical
-      // scanner's 1st/3rd/5th… match per identical-symbol run; y/w:
-      // rebuild, dropping positions a preceding merge consumed.
-      // MATERIALIZED is load-bearing: s/b are each referenced twice, so
-      // inlining would double the plan per rank — 2^N copies of the
-      // corpus scan by the last merge.
-      s"""e$i AS (
-         |  SELECT word, freq, syms,
-         |         unnest(range(1, len(syms) + 1)) AS j FROM w$p),
-         |s$i AS MATERIALIZED (
-         |  SELECT word, freq, j AS pos, syms[j] AS sym, syms[j + 1] AS nxt
-         |  FROM e$i),
-         |p$i AS (
-         |  SELECT sym AS a, nxt AS b, sum(freq) AS cnt FROM s$i
-         |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
-         |b$i AS MATERIALIZED (
-         |  SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-         |h$i AS (
-         |  SELECT s.word, s.freq, s.pos, s.sym, s.nxt,
-         |         CASE WHEN s.sym = b.a AND s.nxt = b.b THEN 1 ELSE 0 END AS hit
-         |  FROM s$i s CROSS JOIN b$i b),
-         |g$i AS (
-         |  SELECT *, pos - row_number()
-         |      OVER (PARTITION BY word, hit ORDER BY pos) AS grp
-         |  FROM h$i),
-         |x$i AS (
-         |  SELECT *, CASE WHEN hit = 1 AND row_number()
-         |      OVER (PARTITION BY word, hit, grp ORDER BY pos) % 2 = 1
-         |    THEN 1 ELSE 0 END AS act FROM g$i),
-         |y$i AS (
-         |  SELECT word, freq, pos,
-         |         CASE WHEN act = 1 THEN sym || nxt ELSE sym END AS ns,
-         |         lag(act) OVER (PARTITION BY word ORDER BY pos) AS pact
-         |  FROM x$i),
-         |w$i AS MATERIALIZED (
-         |  SELECT word, freq, list(ns ORDER BY pos) AS syms FROM y$i
-         |  WHERE pact IS NULL OR pact = 0 GROUP BY word, freq)""".stripMargin
+      val vocabRound =
+        s"""${symsExplodeSql(i, s"w${i - 1}", "")},
+           |p$i AS (
+           |  SELECT sym AS a, nxt AS b, sum(freq) AS cnt FROM s$i
+           |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (
+           |  SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+           |${applyTailSql(i, "", s"w$i")}""".stripMargin
+      if (!withOovChain) vocabRound
+      else
+        s"""$vocabRound,
+           |${symsExplodeSql(i, s"ov${i - 1}", "ov")},
+           |${applyTailSql(i, "ov", s"ov$i")}""".stripMargin
     }
-    (init +: iters).mkString(",\n") + "\n" + finalSelect
+    ((init + ovInit) +: iters).mkString(",\n") + "\n" + finalSelect
   }
 }

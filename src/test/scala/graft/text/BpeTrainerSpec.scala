@@ -37,18 +37,40 @@ class BpeTrainerSpec extends AnyFunSuite with SparkSpec {
     assert(ms.map(_.merged) === Seq("ab", "ba"))
   }
 
-  test("pair counts are word-frequency weighted, words are " +
-    "lowercased and non-alpha tokens excluded") {
+  test("pair counts are word-frequency weighted; the alphabet is OPEN " +
+    "— digits, punctuation and non-Latin tokens all train") {
     val docs = Seq("See see Bee 42 x-y").toDF("text")
     val wf = BpeTrainer.wordFrequencies(docs, "text", 100)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    assert(wf === Map("see" -> 2L, "bee" -> 1L),
-      "lowercase + ^[a-z]+$ filter must drop '42' and 'x-y'")
+    assert(wf === Map("see" -> 2L, "bee" -> 1L, "42" -> 1L, "x-y" -> 1L),
+      "the open alphabet keeps every non-empty lowercased token")
     // (e,e) appears once per 'see' (freq 2) and once in 'bee' (freq 1)
     // → weighted count 3, beating (s,e)=2 and (b,e)=1
     val ms = BpeTrainer.train(docs, "text", numMerges = 1)
     assert(ms.head.lhs === "e" && ms.head.rhs === "e")
     assert(ms.head.pair_count === 3L)
+  }
+
+  test("symbols are CODE POINTS: a surrogate-pair character is one " +
+    "symbol, never two broken halves") {
+    val emoji = new String(Character.toChars(0x1F600)) // astral plane
+    assert(BpeTrainer.applyMerges(s"a${emoji}b", Nil) ===
+      Seq("a", emoji, "b"))
+    // and a merge against the intact symbol applies
+    assert(BpeTrainer.applyMerges(s"a$emoji", Seq(("a", emoji))) ===
+      Seq(s"a$emoji"))
+  }
+
+  test("fallback segmentation == vocabulary segmentation: applyMerges " +
+    "on a word absent from training still replays the same scanner") {
+    val docs = Seq.fill(4)("abc abd").toDF("text")
+    val ms = BpeTrainer.train(docs, "text", numMerges = 1)
+    val pairs = ms.map(m => (m.lhs, m.rhs))
+    // 'abe' never appeared in training; the fallback path segments it
+    // with the same merges a vocab entry would get
+    assert(BpeTrainer.applyMerges("abe", pairs) === Seq("ab", "e"))
+    assert(BpeTrainer.applyMerges("42!", pairs) === Seq("4", "2", "!"),
+      "an all-novel word falls back to single-symbol pieces — zero OOV")
   }
 
   test("segment applies merges in rank order over the vocabulary") {
