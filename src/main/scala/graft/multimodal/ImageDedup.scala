@@ -1,0 +1,195 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IMAGE NEAR-DUPLICATE DEDUPLICATION — perceptual difference-hash
+  * (dHash, the published 9×8 gradient fingerprint) computed from REAL
+  * decoded pixels ([[BmpCodec]]/[[PngCodec]]), paired by Hamming-band
+  * blocking. The first MULTIMODAL dedup operator: the same
+  * banded-equi-join scale shape as SimHash text dedup, driven by
+  * pixels instead of shingles.
+  *
+  * dHash (Krawetz's published algorithm): grayscale the image,
+  * downsample to a 9×8 grid (nearest neighbor, `floor(i*src/dst)` —
+  * the codecs' own resample rule), set bit `row*8 + col` iff
+  * `gray(col) > gray(col+1)` in that row — 8 comparisons per row × 8
+  * rows = a 64-bit fingerprint robust to scaling and brightness-
+  * preserving re-encodes. Carried as TWO 32-bit halves in BIGINTs
+  * (`h_hi`, `h_lo`) so every downstream step — banding, XOR popcount —
+  * is plain non-negative int64 arithmetic, identical in Spark and the
+  * DuckDB oracle (a single int64 would put bit 63 in the sign).
+  *
+  * Pairing: the 64 bits split into 8 byte-bands; candidates share at
+  * least one (band, value) — an EQUI-join, never all-pairs. Pigeonhole
+  * makes the blocking EXACT for `maxHamming <= 7`: fewer differing
+  * bits than bands forces one band equal, so no true pair is missed
+  * (same argument as SimHash's 4-chunk split, tighter because the
+  * bands are 8).
+  *
+  * Scale: hashing is one narrow decode pass (the documented
+  * mapPartitions media-codec seam); banding explodes 8 small rows per
+  * image; the self-join is hash-partitioned on (band, value); exact
+  * Hamming re-check runs only on candidates. 100 TB of images flows
+  * through the same plan — no driver state, no cartesian.
+  */
+object ImageDedup {
+
+  /** BT.601-ish integer grayscale used on both sides (no floats —
+    * the oracle must replay bit-for-bit): `(77r + 150g + 29b) >> 8`.
+    */
+  def grayOf(rgb: Int): Int =
+    (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+      29 * (rgb & 0xff)) >> 8
+
+  /** 64-bit dHash of decoded pixels as (hi32, lo32). */
+  def dHash64(width: Int, height: Int, pixels: Array[Int]): (Long, Long) = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      s"bad image ${width}x$height with ${pixels.length} px")
+    val gray = Array.ofDim[Int](8, 9)
+    var cy = 0
+    while (cy < 8) {
+      val sy = (cy.toLong * height / 8).toInt
+      var cx = 0
+      while (cx < 9) {
+        val sx = (cx.toLong * width / 9).toInt
+        gray(cy)(cx) = grayOf(pixels(sy * width + sx))
+        cx += 1
+      }
+      cy += 1
+    }
+    var hi = 0L; var lo = 0L
+    cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (gray(cy)(cx) > gray(cy)(cx + 1)) {
+          val j = cy * 8 + cx
+          if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    (hi, lo)
+  }
+
+  /** dHash over a media frame `(idCol, format, bytes)`: one narrow
+    * decode→hash pass (the media-codec mapPartitions seam — constant
+    * memory, partitioning preserved). Only the real pixel formats are
+    * hashable; anything else refuses loudly rather than fingerprinting
+    * undecoded bytes.
+    */
+  def dHashDf(media: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("h_hi", LongType, nullable = false),
+      StructField("h_lo", LongType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIx = media.schema.fieldIndex(idCol)
+    val fmtIx = media.schema.fieldIndex("format")
+    val bIx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](bIx)
+        val (w, h, px) = r.getString(fmtIx) match {
+          case "png" =>
+            val img = PngCodec.decode(bytes); (img.width, img.height, img.pixels)
+          case "bmp" =>
+            val img = BmpCodec.decode(bytes); (img.width, img.height, img.pixels)
+          case other => throw new IllegalArgumentException(
+            s"dHash needs decoded pixels; format '$other' is not a " +
+              "supported pixel codec")
+        }
+        val (hi, lo) = dHash64(w, h, px)
+        Row(r.getLong(idIx), hi, lo)
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate pairs among `(idCol, h_hi, h_lo)` fingerprints:
+    * Hamming-banded candidate join + exact popcount re-check.
+    * `maxHamming <= 7` keeps the 8-band pigeonhole exact.
+    */
+  def nearDupPairs(hashes: DataFrame, idCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming=$maxHamming: the 8-band pigeonhole is exact only " +
+        "for thresholds <= 7")
+    val bvals = array((0 until 8).map { k =>
+      val half = if (k < 4) col("h_lo") else col("h_hi")
+      struct(lit(k).as("band"),
+        shiftright(half, 8 * (k % 4)).bitwiseAND(lit(255L)).as("bv"))
+    }: _*)
+    val bands = hashes
+      .select(col(idCol), col("h_hi"), col("h_lo"), explode(bvals).as("b"))
+      .select(col(idCol), col("h_hi"), col("h_lo"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val a = bands.select(col(idCol).as("id_a"), col("h_hi").as("hia"),
+      col("h_lo").as("loa"), col("band"), col("bv"))
+    val b = bands.select(col(idCol).as("id_b"), col("h_hi").as("hib"),
+      col("h_lo").as("lob"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "hia", "loa", "hib", "lob")
+      .distinct() // images sharing several bands pair once
+      .withColumn("hamming",
+        (bit_count(col("hia").bitwiseXOR(col("hib"))) +
+          bit_count(col("loa").bitwiseXOR(col("lob")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Deterministic synthetic image corpus for the oracle-gated query
+    * (testdata carries no real image assets): id → a cell-constant
+    * image whose 9×8 cell grid follows a closed-form rule, so the
+    * decoded-then-downsampled grays equal the generator's cell values
+    * and the oracle can replay the WHOLE pipeline in SQL — any codec
+    * or hash bug lands on different integers.
+    *
+    * Near-dup structure: ids group by `id / 4`; variant `v = id % 4`
+    * perturbs cells `(2k, 0)` for `k < v`, each touching at most 2
+    * comparison bits — so within-group Hamming distances are <= 6 by
+    * construction (the recall contract the spec pins). Even groups
+    * encode PNG (a different scanline filter per row), odd groups BMP
+    * — both real codecs sit inside the hash path.
+    */
+  def syntheticImages(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIx = ids.schema.fieldIndex(idCol)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIx)
+        val g = id / 4; val v = id % 4
+        val cw = (2 + g % 3).toInt; val ch = (2 + g % 2).toInt
+        val w = 9 * cw; val h = 8 * ch
+        def rgbAt(x: Int, y: Int): (Int, Int, Int) = {
+          val cx = x / cw; val cy = y / ch
+          // group-dependent gradient DIRECTIONS (not just a constant
+          // offset): with fixed multipliers the pattern space collapsed
+          // to ~102 classes and 40% of all pairs were exact-dup —
+          // degenerate for a near-dup operator. Period lcm(5,11,17,3,2)
+          // = 5610 groups, beyond both test scales.
+          val base =
+            (((cx * (7 + g % 5) + cy * (13 + g % 11) + g * 31) % 17) * 15).toInt
+          val p =
+            if (cy == 0 && cx % 2 == 0 && cx / 2 < v)
+              ((base + 40 * (cx / 2 + 1)) % 256).toInt
+            else base
+          (p, (p + 60) % 256, (p + 120) % 256)
+        }
+        if (g % 2 == 0)
+          Row(id, "png",
+            PngCodec.encodeRgb8(w, h, rgbAt, filterForRow = y => y % 5))
+        else
+          Row(id, "bmp", BmpCodec.encode24(w, h, rgbAt))
+      }
+    }(enc)
+  }
+}

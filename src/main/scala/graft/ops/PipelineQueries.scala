@@ -897,6 +897,26 @@ object PipelineQueries {
       .drop("cleaned_text")
       .orderBy("doc_id")
 
+  /** IMAGE near-duplicate detection ([[graft.multimodal.ImageDedup]]):
+    * deterministic synthetic PNG/BMP images (near-dup groups of 4 by
+    * construction) are ENCODED and DECODED through the real codecs,
+    * perceptually fingerprinted with the published 9×8 dHash from the
+    * decoded pixels, and paired by the exact 8-band Hamming blocking —
+    * the first multimodal dedup operator. The oracle replays the whole
+    * pipeline in closed form from the generator rule (cell-constant
+    * images make decode→downsample transparent), so the hash match
+    * proves codec + grayscale + downsample + gradient hash + banding
+    * end to end.
+    */
+  def imageDedupDhash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.ImageDedup
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    ImageDedup.nearDupPairs(
+      ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"), "doc_id"),
+      "doc_id", maxHamming = 6)
+      .orderBy("id_a", "id_b")
+  }
+
   /** End-to-end corpus cleaning, the composition a training-data run
     * actually ships: exact-dedup survivors → minimum length → English
     * prediction → emit with integer quality stats. One narrow scan +
@@ -2616,6 +2636,59 @@ object PipelineQueries {
          |LEFT JOIN cs USING (doc_id)
          |LEFT JOIN ktxt k USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // Closed-form replay of the image-dedup pipeline: the generator's
+    // cell grid IS the decoded-downsampled gray grid (cell-constant
+    // pixels, dims = 9cw x 8ch), so grayscale→bits→halves→bands→join
+    // reproduce the Spark side integer-for-integer without parsing a
+    // single PNG byte — the codecs are proven by the MATCH, not
+    // reimplemented in SQL
+    "image_dedup_dhash" ->
+      raw"""WITH ids AS (
+         |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+         |  FROM documents),
+         |cell AS (
+         |  SELECT id, v, cy, cx,
+         |         ((cx*(7 + g % 5) + cy*(13 + g % 11) + g*31) % 17) * 15 AS base
+         |  FROM ids, unnest(range(0, 8)) AS r1(cy),
+         |       unnest(range(0, 9)) AS r2(cx)),
+         |pert AS (
+         |  SELECT id, cy, cx,
+         |         CASE WHEN cy = 0 AND cx % 2 = 0 AND cx // 2 < v
+         |              THEN (base + 40 * (cx // 2 + 1)) % 256
+         |              ELSE base END AS p
+         |  FROM cell),
+         |gray AS (
+         |  SELECT id, cy, cx,
+         |         (77*p + 150*((p + 60) % 256) + 29*((p + 120) % 256)) // 256 AS gv
+         |  FROM pert),
+         |bits AS (
+         |  SELECT a.id, a.cy * 8 + a.cx AS j,
+         |         CASE WHEN a.gv > b.gv THEN 1 ELSE 0 END AS bit
+         |  FROM gray a JOIN gray b
+         |    ON b.id = a.id AND b.cy = a.cy AND b.cx = a.cx + 1
+         |  WHERE a.cx < 8),
+         |hh AS (
+         |  SELECT id,
+         |         CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+         |                       ELSE 0 END) AS BIGINT) AS hi,
+         |         CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+         |                       ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY id),
+         |bands AS (
+         |  SELECT id, hi, lo, k AS band,
+         |         CASE WHEN k < 4 THEN (lo >> (8*k)) & 255
+         |              ELSE (hi >> (8*(k-4))) & 255 END AS bv
+         |  FROM hh, unnest(range(0, 8)) AS r(k)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |         a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+         |SELECT id_a, id_b,
+         |       CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
     // Full replay of BPE training: one stacked-CTE group per merge
     // rank (pair count → lexically-tie-broken argmax → islands-parity
     // canonical merge), generated by BpeTrainer.oracleSql.
@@ -2826,6 +2899,7 @@ object PipelineQueries {
     "bpe_tokenize_docs" -> bpeTokenizeDocs _,
     "repeated_spans" -> repeatedSpans _,
     "remove_repeated_spans" -> removeRepeatedSpans _,
+    "image_dedup_dhash" -> imageDedupDhash _,
     "lang_id" -> langId _,
     "corpus_clean" -> corpusClean _
   )

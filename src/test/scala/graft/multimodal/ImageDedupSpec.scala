@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** [[ImageDedup]]: dHash from real decoded pixels, codec-agnostic
+  * fingerprints, exact 8-band Hamming blocking, and the generated
+  * corpus' recall contract.
+  */
+class ImageDedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("dHash64 computes the published gradient hash: bit j=cy*8+cx " +
+    "set iff gray(cx) > gray(cx+1) on the 9x8 downsample") {
+    // a 9x8 image whose grays strictly DECREASE left to right on every
+    // row: every comparison true -> all 64 bits set
+    val desc = Array.tabulate(9 * 8)(i => {
+      val v = 255 - (i % 9) * 20; (v << 16) | (v << 8) | v
+    })
+    assert(ImageDedup.dHash64(9, 8, desc) === ((0xFFFFFFFFL, 0xFFFFFFFFL)))
+    // strictly increasing -> no bit set
+    val asc = Array.tabulate(9 * 8)(i => {
+      val v = (i % 9) * 20; (v << 16) | (v << 8) | v
+    })
+    assert(ImageDedup.dHash64(9, 8, asc) === ((0L, 0L)))
+    // single decrease at row 0, col 0 -> exactly bit 0 (lo's LSB)
+    val one = Array.tabulate(9 * 8)(i =>
+      if (i % 9 == 0 && i / 9 == 0) 0x0A0A0A else 0)
+    assert(ImageDedup.dHash64(9, 8, one) === ((0L, 1L)))
+    // ...and at row 4 col 3 -> bit 35 = hi bit 3
+    val mid = Array.tabulate(9 * 8)(i =>
+      if (i % 9 == 3 && i / 9 == 4) 0x0A0A0A else 0)
+    assert(ImageDedup.dHash64(9, 8, mid) === ((8L, 0L)))
+  }
+
+  test("fingerprints are CODEC-AGNOSTIC: the same pixels through PNG " +
+    "and BMP hash identically (the hash sees pixels, not bytes)") {
+    def rgb(x: Int, y: Int) = ((x * 29) % 256, (y * 47) % 256, (x * y) % 256)
+    val png = PngCodec.decode(
+      PngCodec.encodeRgb8(27, 16, rgb, filterForRow = y => y % 5))
+    val bmp = BmpCodec.decode(BmpCodec.encode24(27, 16, rgb))
+    assert(ImageDedup.dHash64(png.width, png.height, png.pixels) ===
+      ImageDedup.dHash64(bmp.width, bmp.height, bmp.pixels))
+  }
+
+  test("recall contract on the generated corpus: EVERY within-group " +
+    "pair surfaces with hamming <= 6 (pigeonhole blocking is exact)") {
+    val ids = (0L until 48L).toDF("doc_id") // 12 groups of 4
+    val pairs = ImageDedup.nearDupPairs(
+      ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"),
+        "doc_id"), "doc_id", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    for (g <- 0L until 12L; a <- 0L until 4L; b <- (a + 1) until 4L) {
+      val key = (g * 4 + a, g * 4 + b)
+      assert(pairs.contains(key),
+        s"within-group pair $key must be found (construction bounds " +
+          "its distance at 6; blocking must not lose it)")
+      assert(pairs(key) <= 6L)
+    }
+  }
+
+  test("thresholds beyond the 8-band pigeonhole refuse; non-pixel " +
+    "formats refuse at the decode seam") {
+    val ids = Seq(1L).toDF("doc_id")
+    val hashes = ImageDedup.dHashDf(
+      ImageDedup.syntheticImages(ids, "doc_id"), "doc_id")
+    intercept[IllegalArgumentException](
+      ImageDedup.nearDupPairs(hashes, "doc_id", maxHamming = 8))
+    val jpeg = Seq((1L, "jpeg", Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "format", "bytes")
+    val e = intercept[org.apache.spark.SparkException](
+      ImageDedup.dHashDf(jpeg, "doc_id").collect())
+    assert(e.getMessage != null)
+  }
+}
