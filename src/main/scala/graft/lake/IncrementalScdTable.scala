@@ -212,6 +212,8 @@ final class IncrementalScdTable(
       s"_tmp/slice-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
       merged0.write.partitionBy("__bucket").parquet(tmpDir.toString)
+      if (IncrementalScdTable.testCrashAfterSliceWrite)
+        throw new IncrementalScdTable.SimulatedCrash(tmpDir.toString)
       val merged = spark.read.option("basePath", tmpDir.toString)
         .parquet(tmpDir.toString)
         // partition col reads back last, and its TYPE follows partition
@@ -229,7 +231,8 @@ final class IncrementalScdTable(
       // crash window; both are scratch-only, never referenced by a
       // manifest, and VACUUM reaps both roots past the staging
       // retention (the same mtime-window rule).
-      fs.delete(tmpDir, true)
+      if (!IncrementalScdTable.testCrashAfterSliceWrite)
+        fs.delete(tmpDir, true)
     }
   }
 
@@ -454,4 +457,21 @@ final class IncrementalScdTable(
         .nextOption()
     }.map(_.toLong).getOrElse(start - step) // first allocated id = START
   }
+}
+
+object IncrementalScdTable {
+
+  /** TEST SEAM — emulates a JVM kill in the window between the scratch
+    * slice write and the commit: [[IncrementalScdTable.applyScd]]
+    * throws after materializing the slice AND leaves the `_tmp` dir
+    * behind, the exact state a real crash leaves (a thrown exception
+    * alone cannot produce it: the cleanup `finally` would run). Only
+    * the crash-recovery spec sets this; production code never reads it
+    * outside the two guarded lines in `applyScd`.
+    */
+  @volatile private[lake] var testCrashAfterSliceWrite: Boolean = false
+
+  private[lake] final class SimulatedCrash(tmpDir: String)
+    extends RuntimeException(
+      s"simulated crash after slice write, orphaning $tmpDir")
 }

@@ -374,6 +374,46 @@ class IncrementalScdTableSpec extends AnyFunSuite with SparkSpec {
       "a recent dir may belong to a LIVE batch — must survive")
   }
 
+  test("end-to-end crash between slice write and commit: no version " +
+    "commits, the re-run equals a never-crashed control, and vacuum " +
+    "reaps the orphan without touching live data") {
+    val dir = Files.createTempDirectory("iscd_crash").toString
+    val t = new IncrementalScdTable(spark, s"$dir/t", numBuckets = 4)
+    t.create(schema)
+    t.applyScd(batch((1L, "a"), (2L, "b")), at(1))
+    val v1 = t.table.latestVersion.get
+    // "kill" the JVM after the scratch slice is written, before commit
+    IncrementalScdTable.testCrashAfterSliceWrite = true
+    try intercept[RuntimeException](
+      t.applyScd(batch((1L, "a2"), (3L, "c")), at(2)))
+    finally IncrementalScdTable.testCrashAfterSliceWrite = false
+    val tmp = new java.io.File(s"$dir/t/_tmp")
+    val orphans = tmp.listFiles().filter(_.getName.startsWith("slice-"))
+    assert(orphans.length === 1, "the crash must orphan its slice dir")
+    assert(t.table.latestVersion.get === v1,
+      "the crashed batch must not have committed anything")
+    // re-run the batch (same clock — nothing committed in between)
+    t.applyScd(batch((1L, "a2"), (3L, "c")), at(2))
+    val ctl = new IncrementalScdTable(spark, s"$dir/ctl", numBuckets = 4)
+    ctl.create(schema)
+    ctl.applyScd(batch((1L, "a"), (2L, "b")), at(1))
+    ctl.applyScd(batch((1L, "a2"), (3L, "c")), at(2))
+    def canon(x: IncrementalScdTable) = x.snapshot()
+      .orderBy("k", "effective_from", "record_status").collect().toSeq
+    val expect = canon(ctl)
+    assert(canon(t) === expect,
+      "the re-run after a crash must produce the clean run's state")
+    // the orphan is scratch only: it survived the successful re-run
+    // (a LIVE writer's dir may be recent) and goes at vacuum once past
+    // the staging retention
+    assert(orphans.head.exists(), "commits must not touch foreign scratch")
+    assert(orphans.head.setLastModified(
+      System.currentTimeMillis() - 48L * 3600 * 1000))
+    t.table.vacuum(keepLast = 1)
+    assert(!orphans.head.exists(), "vacuum must reap the crash orphan")
+    assert(canon(t) === expect, "vacuum must not touch live data")
+  }
+
   test("emitChangeData feeds the SCD merge through changes()") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("iscd_cdf").toString
