@@ -22,18 +22,28 @@ import org.apache.spark.sql.types._
   * is plain non-negative int64 arithmetic, identical in Spark and the
   * DuckDB oracle (a single int64 would put bit 63 in the sign).
   *
-  * Pairing: the 64 bits split into 8 byte-bands; candidates share at
-  * least one (band, value) — an EQUI-join, never all-pairs. Pigeonhole
-  * makes the blocking EXACT for `maxHamming <= 7`: fewer differing
-  * bits than bands forces one band equal, so no true pair is missed
-  * (same argument as SimHash's 4-chunk split, tighter because the
-  * bands are 8).
+  * Pairing: the 64 bits split into `64/bandBits` bands; candidates
+  * share at least one (band, value) — an EQUI-join, never all-pairs.
+  * Pigeonhole makes the blocking EXACT for `maxHamming < bands`:
+  * fewer differing bits than bands forces one band equal, so no true
+  * pair is missed (same argument as SimHash's 4-chunk split).
+  *
+  * Band width IS the scale knob — selectivity per band is
+  * `2^bandBits`: 8-bit bands admit threshold 7 but hash random
+  * fingerprints into only 256 buckets per band (candidate volume
+  * ~N²/32 — quadratic at a billion images); 16-bit bands cap the
+  * threshold at 3 but give 65,536-way selectivity (~N²/16k) — the
+  * REGISTERED 100 TB configuration, the standard multi-index-hashing
+  * trade (Norouzi et al.; systems needing both high threshold AND
+  * selectivity move to longer perceptual hashes, e.g. 256-bit PDQ
+  * with 16-bit bands, which is this same plan with 16 bands).
   *
   * Scale: hashing is one narrow decode pass (the documented
-  * mapPartitions media-codec seam); banding explodes 8 small rows per
-  * image; the self-join is hash-partitioned on (band, value); exact
-  * Hamming re-check runs only on candidates. 100 TB of images flows
-  * through the same plan — no driver state, no cartesian.
+  * mapPartitions media-codec seam); banding explodes `bands` small
+  * rows per image; the self-join is hash-partitioned on (band,
+  * value); exact Hamming re-check runs only on candidates. 100 TB of
+  * images flows through the same plan — no driver state, no
+  * cartesian.
   */
 object ImageDedup {
 
@@ -111,17 +121,25 @@ object ImageDedup {
 
   /** Near-duplicate pairs among `(idCol, h_hi, h_lo)` fingerprints:
     * Hamming-banded candidate join + exact popcount re-check.
-    * `maxHamming <= 7` keeps the 8-band pigeonhole exact.
+    * `maxHamming < 64/bandBits` keeps the pigeonhole exact; see the
+    * object doc for the band-width selectivity trade (16-bit bands are
+    * the registered billion-image configuration).
     */
   def nearDupPairs(hashes: DataFrame, idCol: String,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      s"maxHamming=$maxHamming: the 8-band pigeonhole is exact only " +
-        "for thresholds <= 7")
-    val bvals = array((0 until 8).map { k =>
-      val half = if (k < 4) col("h_lo") else col("h_hi")
+      maxHamming: Int, bandBits: Int = 16): DataFrame = {
+    require(bandBits == 8 || bandBits == 16,
+      s"bandBits=$bandBits: the 32-bit halves split evenly at 8 or 16")
+    val nBands = 64 / bandBits
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"maxHamming=$maxHamming: the $nBands-band pigeonhole is exact " +
+        s"only for thresholds < $nBands")
+    val perHalf = 32 / bandBits
+    val mask = (1L << bandBits) - 1
+    val bvals = array((0 until nBands).map { k =>
+      val half = if (k < perHalf) col("h_lo") else col("h_hi")
       struct(lit(k).as("band"),
-        shiftright(half, 8 * (k % 4)).bitwiseAND(lit(255L)).as("bv"))
+        shiftright(half, bandBits * (k % perHalf)).bitwiseAND(lit(mask))
+          .as("bv"))
     }: _*)
     val bands = hashes
       .select(col(idCol), col("h_hi"), col("h_lo"), explode(bvals).as("b"))
@@ -150,11 +168,13 @@ object ImageDedup {
     * or hash bug lands on different integers.
     *
     * Near-dup structure: ids group by `id / 4`; variant `v = id % 4`
-    * perturbs cells `(2k, 0)` for `k < v`, each touching at most 2
-    * comparison bits — so within-group Hamming distances are <= 6 by
-    * construction (the recall contract the spec pins). Even groups
-    * encode PNG (a different scanline filter per row), odd groups BMP
-    * — both real codecs sit inside the hash path.
+    * perturbs cells `(8, cy)` for `cy < v` — the RIGHTMOST column's
+    * cells sit in exactly ONE gradient comparison each, so
+    * within-group Hamming distances are <= 3 by construction (the
+    * recall contract the spec pins, inside the 16-bit-band blocking's
+    * exact threshold). Even groups encode PNG (a different scanline
+    * filter per row), odd groups BMP — both real codecs sit inside
+    * the hash path.
     */
   def syntheticImages(ids: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(
@@ -179,8 +199,8 @@ object ImageDedup {
           val base =
             (((cx * (7 + g % 5) + cy * (13 + g % 11) + g * 31) % 17) * 15).toInt
           val p =
-            if (cy == 0 && cx % 2 == 0 && cx / 2 < v)
-              ((base + 40 * (cx / 2 + 1)) % 256).toInt
+            if (cx == 8 && cy < v)
+              ((base + 40 * (cy + 1)) % 256).toInt
             else base
           (p, (p + 60) % 256, (p + 120) % 256)
         }

@@ -901,19 +901,20 @@ object PipelineQueries {
     * deterministic synthetic PNG/BMP images (near-dup groups of 4 by
     * construction) are ENCODED and DECODED through the real codecs,
     * perceptually fingerprinted with the published 9×8 dHash from the
-    * decoded pixels, and paired by the exact 8-band Hamming blocking —
-    * the first multimodal dedup operator. The oracle replays the whole
-    * pipeline in closed form from the generator rule (cell-constant
-    * images make decode→downsample transparent), so the hash match
-    * proves codec + grayscale + downsample + gradient hash + banding
-    * end to end.
+    * decoded pixels, and paired by the exact 16-bit-band Hamming
+    * blocking (the registered billion-image configuration — 65,536-way
+    * band selectivity, pigeonhole-exact for distance <= 3) — the first
+    * multimodal dedup operator. The oracle replays the whole pipeline
+    * in closed form from the generator rule (cell-constant images make
+    * decode→downsample transparent), so the hash match proves codec +
+    * grayscale + downsample + gradient hash + banding end to end.
     */
   def imageDedupDhash(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.ImageDedup
     val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
     ImageDedup.nearDupPairs(
       ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"), "doc_id"),
-      "doc_id", maxHamming = 6)
+      "doc_id", maxHamming = 3, bandBits = 16)
       .orderBy("id_a", "id_b")
   }
 
@@ -2653,8 +2654,8 @@ object PipelineQueries {
          |       unnest(range(0, 9)) AS r2(cx)),
          |pert AS (
          |  SELECT id, cy, cx,
-         |         CASE WHEN cy = 0 AND cx % 2 = 0 AND cx // 2 < v
-         |              THEN (base + 40 * (cx // 2 + 1)) % 256
+         |         CASE WHEN cx = 8 AND cy < v
+         |              THEN (base + 40 * (cy + 1)) % 256
          |              ELSE base END AS p
          |  FROM cell),
          |gray AS (
@@ -2676,9 +2677,9 @@ object PipelineQueries {
          |  FROM bits GROUP BY id),
          |bands AS (
          |  SELECT id, hi, lo, k AS band,
-         |         CASE WHEN k < 4 THEN (lo >> (8*k)) & 255
-         |              ELSE (hi >> (8*(k-4))) & 255 END AS bv
-         |  FROM hh, unnest(range(0, 8)) AS r(k)),
+         |         CASE WHEN k < 2 THEN (lo >> (16*k)) & 65535
+         |              ELSE (hi >> (16*(k-2))) & 65535 END AS bv
+         |  FROM hh, unnest(range(0, 4)) AS r(k)),
          |cand AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          |         a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
@@ -2687,7 +2688,7 @@ object PipelineQueries {
          |SELECT id_a, id_b,
          |       CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS BIGINT) AS hamming
          |FROM cand
-         |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 6
+         |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     // Full replay of BPE training: one stacked-CTE group per merge
     // rank (pair count → lexically-tie-broken argmax → islands-parity

@@ -45,29 +45,37 @@ class ImageDedupSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("recall contract on the generated corpus: EVERY within-group " +
-    "pair surfaces with hamming <= 6 (pigeonhole blocking is exact)") {
+    "pair surfaces with hamming <= 3 under BOTH band widths " +
+    "(pigeonhole blocking is exact)") {
     val ids = (0L until 48L).toDF("doc_id") // 12 groups of 4
-    val pairs = ImageDedup.nearDupPairs(
-      ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"),
-        "doc_id"), "doc_id", maxHamming = 6)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
-      .toMap
-    for (g <- 0L until 12L; a <- 0L until 4L; b <- (a + 1) until 4L) {
-      val key = (g * 4 + a, g * 4 + b)
-      assert(pairs.contains(key),
-        s"within-group pair $key must be found (construction bounds " +
-          "its distance at 6; blocking must not lose it)")
-      assert(pairs(key) <= 6L)
+    val hashes = ImageDedup.dHashDf(
+      ImageDedup.syntheticImages(ids, "doc_id"), "doc_id")
+    for (bits <- Seq(8, 16)) {
+      val pairs = ImageDedup
+        .nearDupPairs(hashes, "doc_id", maxHamming = 3, bandBits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      for (g <- 0L until 12L; a <- 0L until 4L; b <- (a + 1) until 4L) {
+        val key = (g * 4 + a, g * 4 + b)
+        assert(pairs.contains(key),
+          s"within-group pair $key must be found at bandBits=$bits " +
+            "(construction bounds its distance at 3)")
+        assert(pairs(key) <= 3L)
+      }
     }
   }
 
-  test("thresholds beyond the 8-band pigeonhole refuse; non-pixel " +
-    "formats refuse at the decode seam") {
+  test("thresholds beyond the pigeonhole refuse per band width; " +
+    "non-pixel formats refuse at the decode seam") {
     val ids = Seq(1L).toDF("doc_id")
     val hashes = ImageDedup.dHashDf(
       ImageDedup.syntheticImages(ids, "doc_id"), "doc_id")
+    intercept[IllegalArgumentException]( // 8 bands admit <= 7
+      ImageDedup.nearDupPairs(hashes, "doc_id", maxHamming = 8, bandBits = 8))
+    intercept[IllegalArgumentException]( // 4 bands admit <= 3
+      ImageDedup.nearDupPairs(hashes, "doc_id", maxHamming = 4, bandBits = 16))
     intercept[IllegalArgumentException](
-      ImageDedup.nearDupPairs(hashes, "doc_id", maxHamming = 8))
+      ImageDedup.nearDupPairs(hashes, "doc_id", maxHamming = 2, bandBits = 12))
     val jpeg = Seq((1L, "jpeg", Array[Byte](1, 2, 3)))
       .toDF("doc_id", "format", "bytes")
     val e = intercept[org.apache.spark.SparkException](
