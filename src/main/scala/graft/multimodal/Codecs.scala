@@ -150,10 +150,15 @@ object BmpCodec {
     // product overflows near 2^31 and a huge declaration would OOM).
     require(width > 0 && height > 0, s"bad BMP dims ${width}x$heightRaw")
     val strideL = (width.toLong * 3 + 3) & ~3L
-    require(dataOffset >= 0 &&
-      dataOffset + strideL * height <= bytes.length,
+    // bound via DIVISION, not the product: strideL*height itself wraps
+    // Long for dims near 2^31 (the first version of this guard had
+    // exactly that hole — the check must not overflow before it checks)
+    require(dataOffset >= 0 && dataOffset < bytes.length &&
+      height <= (bytes.length - dataOffset) / strideL,
       s"BMP declares ${width}x$height but holds only ${bytes.length} " +
-        s"bytes (needs ${dataOffset + strideL * height})")
+        s"bytes past offset $dataOffset")
+    require(width.toLong * height <= Int.MaxValue, // no Long overflow: <= 2^62
+      s"BMP pixel count ${width}x$height overflows")
     val stride = rowStride(width)
     val px = new Array[Int](width * height)
     var row = 0
@@ -347,10 +352,15 @@ object PngCodec {
     // multi-GB raw buffer — DEFLATE expands at most 1032x (zlib's
     // documented bound), so a declared raw size beyond idat·1032 is a
     // lie the inflate loop would otherwise discover only after the OOM.
-    val strideL = width.toLong * Bpp
-    val rawLenL = height.toLong * (1L + strideL)
-    require(rawLenL <= Int.MaxValue,
-      s"IHDR declares ${width}x$height: raw size $rawLenL overflows")
+    // bound stride first, then height via DIVISION: the raw-length
+    // product itself wraps Long for dims near 2^31 (the first version
+    // of this guard had exactly that hole)
+    val strideL = width.toLong * Bpp // <= 3*2^31: no overflow
+    require(strideL <= Int.MaxValue - 1,
+      s"IHDR width $width: scanline stride overflows")
+    require(height <= Int.MaxValue / (1L + strideL),
+      s"IHDR declares ${width}x$height: raw size overflows")
+    val rawLenL = height * (1L + strideL) // safe: <= Int.MaxValue now
     require(rawLenL <= idat.size.toLong * 1032L,
       s"IHDR declares $rawLenL raw bytes but IDAT holds only " +
         s"${idat.size} — beyond DEFLATE's 1032x max expansion")

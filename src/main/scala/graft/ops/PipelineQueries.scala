@@ -824,8 +824,17 @@ object PipelineQueries {
         size(split(col("pieces"), " ")).cast("long").as("n_pieces"))
     val words = docs
       .select(col("doc_id"),
-        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "word")))
+        posexplode(split(graft.text.BpeTrainer.asciiLower(col("text")),
+          "\\s+")).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
+    // `joined` feeds THREE branches (hit rows, miss rows, the distinct
+    // miss-word table) and Catalyst plans the shared lineage per
+    // branch: three narrow corpus scans. Deliberate — the alternative
+    // single-scan form (full segmentation table, corpus LEFT JOIN on
+    // `word`) trades the two extra narrow passes for one corpus-wide
+    // SHUFFLE keyed on the most skewed column in the dataset; narrow
+    // scans are the cheap currency at 100 TB, skewed shuffles the
+    // expensive one. The only shuffle here stays on the RARE words.
     val joined = words.join(broadcast(lookup), Seq("word"), "left")
     val hitPath = joined.filter(col("pieces").isNotNull)
       .withColumn("oov", lit(0L))
@@ -2714,7 +2723,9 @@ object PipelineQueries {
          |  SELECT doc_id, words,
          |         unnest(range(1, len(words) + 1)) AS pos
          |  FROM (SELECT doc_id,
-         |          regexp_split_to_array(lower(text), '\\s+') AS words
+         |          regexp_split_to_array(
+         |            ${graft.text.BpeTrainer.asciiLowerSql("text")},
+         |            '\\s+') AS words
          |        FROM documents)),
          |dw AS (
          |  SELECT doc_id, pos, words[pos] AS word FROM dw0

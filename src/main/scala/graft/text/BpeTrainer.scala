@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -52,13 +52,33 @@ object BpeTrainer {
   final case class Merge(merge_rank: Long, lhs: String, rhs: String,
       merged: String, pair_count: Long)
 
+  private val AsciiUpper = ('A' to 'Z').mkString
+  private val AsciiLower = ('a' to 'z').mkString
+
+  /** ASCII-ONLY case fold — the engine-portable contract. Full Unicode
+    * lowercasing DIVERGES between engines (java.lang.String applies
+    * conditional/full mappings — Greek final sigma, Turkish dotted I
+    * expanding to i+U+0307 — while DuckDB's utf8proc does simple
+    * per-codepoint maps), so an open-alphabet trainer that lower()ed
+    * everything would train DIFFERENT words per engine on Greek or
+    * Turkish text and desync the bit-for-bit oracle. Folding [A-Z]
+    * only is deterministic everywhere; other scripts keep their case
+    * (two case variants train as two words — a documented contract,
+    * not a silent divergence).
+    */
+  def asciiLower(c: Column): Column = translate(c, AsciiUpper, AsciiLower)
+
+  /** [[asciiLower]] as DuckDB SQL over the given expression. */
+  def asciiLowerSql(expr: String): String =
+    s"translate($expr, '$AsciiUpper', '$AsciiLower')"
+
   /** The bounded training table: `(word, freq)` for the
-    * `maxVocabWords` most frequent whitespace tokens (lowercased, any
-    * non-empty token — the open alphabet).
+    * `maxVocabWords` most frequent whitespace tokens (ASCII-folded,
+    * any non-empty token — the open alphabet).
     */
   def wordFrequencies(docs: DataFrame, textCol: String,
       maxVocabWords: Int): DataFrame =
-    docs.select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+    docs.select(explode(split(asciiLower(col(textCol)), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("word")).limit(maxVocabWords)
@@ -232,7 +252,7 @@ object BpeTrainer {
       finalSelect: String, withOovChain: Boolean = false): String = {
     val init =
       s"""WITH tok AS (
-         |  SELECT lower(unnest(regexp_split_to_array(text, '\\s+'))) AS word
+         |  SELECT ${asciiLowerSql("unnest(regexp_split_to_array(text, '\\s+'))")} AS word
          |  FROM documents),
          |wf AS (
          |  SELECT word, count(*) AS freq FROM tok

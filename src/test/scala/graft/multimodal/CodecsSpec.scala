@@ -192,6 +192,15 @@ class CodecsSpec extends AnyFunSuite {
       BmpCodec.decode(patchBmp(20000, 20000)))
     assert(e4.getMessage.contains("holds only"))
     intercept[IllegalArgumentException](BmpCodec.decode(patchBmp(-4, 3)))
+    // (3) the GUARD itself must not overflow: dims near 2^31 wrap the
+    // naive stride*height Long product and would slip past a product-
+    // form check into the allocation
+    intercept[IllegalArgumentException](
+      BmpCodec.decode(patchBmp(1900000000, 1900000000)))
+    intercept[IllegalArgumentException](
+      PngCodec.decode(patchPng(1900000000, 1900000000)))
+    intercept[IllegalArgumentException]( // height alone overflows raw len
+      PngCodec.decode(patchPng(1000, 1900000000)))
     // sane files still decode after the hardening
     assert(PngCodec.decode(png).width === 4)
     assert(BmpCodec.decode(bmp).width === 4)

@@ -43,7 +43,16 @@ class BpeTrainerSpec extends AnyFunSuite with SparkSpec {
     val wf = BpeTrainer.wordFrequencies(docs, "text", 100)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(wf === Map("see" -> 2L, "bee" -> 1L, "42" -> 1L, "x-y" -> 1L),
-      "the open alphabet keeps every non-empty lowercased token")
+      "the open alphabet keeps every non-empty folded token")
+    // case folding is ASCII-ONLY by contract: full Unicode lowercasing
+    // diverges between engines (Greek final sigma, Turkish dotted I),
+    // so non-ASCII case must pass through UNTOUCHED on both sides
+    val uni = Seq("İstanbul ΟΔΟΣ Mixed")
+      .toDF("text")
+    val wfu = BpeTrainer.wordFrequencies(uni, "text", 100)
+      .collect().map(_.getString(0)).toSet
+    assert(wfu === Set("İstanbul", "ΟΔΟΣ", "mixed"),
+      "non-ASCII case must survive the fold; ASCII must fold")
     // (e,e) appears once per 'see' (freq 2) and once in 'bee' (freq 1)
     // → weighted count 3, beating (s,e)=2 and (b,e)=1
     val ms = BpeTrainer.train(docs, "text", numMerges = 1)
