@@ -993,6 +993,39 @@ object ScaleEvidence {
         f""""join_s":$joinS%.2f,"join_shuffle_read_mb":${rd / 1e6}%.1f}""")
     }
 
+    /** Experiment: the media decode+hash seam is LINEAR and
+      * shuffle-free. The multimodal dedup operators' cost has two
+      * parts: a decode→fingerprint pass (the per-byte codec work — the
+      * part unique to media) and the banded candidate self-join (the
+      * SAME plan as SimHash text dedup, whose scaling earlier rounds
+      * measured; band selectivity is the documented knob). This
+      * experiment prices the first part: synthetic GVID videos
+      * (encode + container parse + per-frame PNG/BMP decode + dHash ×
+      * ~5 sampled frames each) and WAV clips (encode + RIFF parse +
+      * 65-window energy hash) at 1×/10× — both passes must grow ~10×
+      * (row-local work) and shuffle ~nothing (only count()'s partial
+      * agg crosses the wire).
+      */
+    def mediaDedupExperiment(k: Int): Unit = {
+      import graft.multimodal.{AudioDedup, VideoDedup}
+      val n = 30000L * k
+      val ids = spark.range(n).select(col("id").as("doc_id"))
+      val (vRows, vS, vRd, _) = measured(
+        VideoDedup.frameHashDf(
+          VideoDedup.syntheticVideos(ids, "doc_id"), "doc_id", 2).count())
+      val (aRows, aS, aRd, _) = measured(
+        AudioDedup.energyHashDf(
+          AudioDedup.syntheticAudio(ids, "doc_id"), "doc_id").count())
+      require(vRows >= 4 * n && aRows == n,
+        s"media hash passes drifted: $vRows frame hashes, $aRows clips")
+      require(vRd + aRd < (10L << 20),
+        s"decode+hash passes shuffled ${(vRd + aRd) >> 20} MiB — " +
+          "the seam must be row-local")
+      println(f"""{"scale":$k,"experiment":"media_dedup","clips":$n,""" +
+        f""""video_frame_hashes":$vRows,"video_hash_s":$vS%.2f,""" +
+        f""""audio_hash_s":$aS%.2f,"shuffle_read_mb":${(vRd + aRd) / 1e6}%.1f}""")
+    }
+
     if (want("incr_view")) scales.foreach(k => viewExperiment(base, k))
     if (want("scd_inc")) scales.foreach(k => scdIncExperiment(base, k))
     if (want("stream_ingest")) scales.foreach(k => streamIngestExperiment(base, k))
@@ -1009,6 +1042,7 @@ object ScaleEvidence {
     if (want("compact_buckets")) scales.foreach(k => compactBucketsExperiment(base, k))
     if (want("stats_agg")) scales.foreach(k => statsAggExperiment(base, k))
     if (want("bpe")) scales.foreach(k => bpeExperiment(k))
+    if (want("media_dedup")) scales.foreach(k => mediaDedupExperiment(k))
     spark.stop()
   }
 }

@@ -1,0 +1,244 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** VIDEO NEAR-DUPLICATE DEDUPLICATION — frame-sampled perceptual
+  * matching: sample every `stride`-th frame, dHash each sampled frame
+  * from REAL decoded pixels ([[ImageDedup.dHash64]] over
+  * [[BmpCodec]]/[[PngCodec]]), block candidate pairs per (frame,
+  * Hamming band), and verify by counting exactly-matching frames.
+  * The published shape is frame-signature video copy detection (Wu,
+  * Ngo & Hauptmann's near-duplicate video elimination: keyframe
+  * perceptual signatures matched position-wise, pairs scored by the
+  * fraction of matching keyframes); the per-frame fingerprint and
+  * blocking engine are shared with [[ImageDedup]], so image, audio
+  * and video dedup all ride ONE audited banded-join plan.
+  *
+  * Container: real video containers (MP4/MKV) need entropy decoders
+  * no sane pipeline hand-rolls, so the container here is GVID — a
+  * trivial length-prefixed frame list DEFINED by this module (magic,
+  * frame count, then per frame: codec tag + byte length + the real
+  * PNG/BMP payload). The container parse is a deterministic fake per
+  * the multimodal brief; everything INSIDE it — pixel codecs, hashing,
+  * blocking — is real and oracle-proven.
+  *
+  * Matching semantics: for a candidate pair, a sampled frame index
+  * MATCHES iff both videos sampled it and the frame dHashes sit
+  * within `maxHamming`; the pair is a near-dup iff at least
+  * `minMatched` indices match. Per frame index the banded blocking is
+  * pigeonhole-EXACT (same argument as the image operator), so the
+  * match count — and therefore the emitted pair set — is exact, not
+  * approximate.
+  *
+  * Scale: frame hashing is one narrow decode pass that explodes
+  * `ceil(frames/stride)` small rows per video (the media-codec
+  * mapPartitions seam); banding multiplies by 64/bandBits; the
+  * self-join is hash-partitioned on (frame, band, value); the exact
+  * re-check and match count run only on candidates. No driver state,
+  * no cartesian — 100 TB of video flows through the same plan.
+  */
+object VideoDedup {
+
+  private val Magic = 0x47564944 // "GVID"
+
+  /** Serialize frames `(format, bytes)` into the GVID container. */
+  def encodeGvid(frames: Seq[(String, Array[Byte])]): Array[Byte] = {
+    require(frames.nonEmpty, "a video needs at least one frame")
+    val size = 8 + frames.map(5 + _._2.length).sum
+    val buf = ByteBuffer.allocate(size).order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(Magic).putInt(frames.length)
+    frames.foreach { case (fmt, bytes) =>
+      val tag: Byte = fmt match {
+        case "bmp" => 0
+        case "png" => 1
+        case other => throw new IllegalArgumentException(
+          s"GVID carries real pixel codecs only; '$other' is not one")
+      }
+      buf.put(tag).putInt(bytes.length).put(bytes)
+    }
+    buf.array()
+  }
+
+  /** Parse a GVID container back into `(format, bytes)` frames. */
+  def decodeGvid(bytes: Array[Byte]): Array[(String, Array[Byte])] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    require(buf.remaining() >= 8 && buf.getInt() == Magic, "not a GVID file")
+    val n = buf.getInt()
+    require(n > 0 && n <= buf.remaining() / 5,
+      s"frame count $n inconsistent with ${buf.remaining()} payload bytes")
+    Array.fill(n) {
+      require(buf.remaining() >= 5,
+        "truncated container: a frame header runs past the payload")
+      val fmt = buf.get() match {
+        case 0 => "bmp"
+        case 1 => "png"
+        case t => throw new IllegalArgumentException(s"unknown codec tag $t")
+      }
+      val len = buf.getInt()
+      require(len >= 0 && len <= buf.remaining(),
+        s"frame length $len exceeds remaining ${buf.remaining()} bytes")
+      val b = new Array[Byte](len); buf.get(b); (fmt, b)
+    }
+  }
+
+  /** Per-sampled-frame dHashes over a media frame `(idCol, format,
+    * bytes)`: one narrow decode pass emitting `(id, frame, h_hi,
+    * h_lo)` for frame indices `0, stride, 2*stride, …`. Only GVID is
+    * parseable; anything else refuses loudly.
+    */
+  def frameHashDf(media: DataFrame, idCol: String, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride=$stride must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame", IntegerType, nullable = false),
+      StructField("h_hi", LongType, nullable = false),
+      StructField("h_lo", LongType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIx = media.schema.fieldIndex(idCol)
+    val fmtIx = media.schema.fieldIndex("format")
+    val bIx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val fmt = r.getString(fmtIx)
+        if (fmt != "gvid") throw new IllegalArgumentException(
+          s"frame hashing needs the GVID container; format '$fmt' is not it")
+        val id = r.getLong(idIx)
+        val frames = decodeGvid(r.getAs[Array[Byte]](bIx))
+        (0 until frames.length by stride).iterator.map { f =>
+          val (w, h, px) = frames(f) match {
+            case ("png", b) =>
+              val img = PngCodec.decode(b); (img.width, img.height, img.pixels)
+            case ("bmp", b) =>
+              val img = BmpCodec.decode(b); (img.width, img.height, img.pixels)
+            case (other, _) => throw new IllegalArgumentException(
+              s"unsupported frame codec '$other'") // unreachable past decodeGvid
+          }
+          val (hi, lo) = ImageDedup.dHash64(w, h, px)
+          Row(id, f, hi, lo)
+        }
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate video pairs from per-frame fingerprints
+    * `(idCol, frame, h_hi, h_lo)`: banded candidates PER FRAME INDEX,
+    * exact popcount re-check, pairs scored by the count of matching
+    * indices. Emits `(id_a, id_b, n_matched, n_common)` for pairs with
+    * `n_matched >= minMatched`, where `n_common` counts frame indices
+    * sampled by both sides (the denominator for a match-fraction cut).
+    * `maxHamming < 64/bandBits` keeps the per-frame pigeonhole exact,
+    * which makes the match COUNT exact too.
+    */
+  def nearDupPairs(frameHashes: DataFrame, idCol: String, maxHamming: Int,
+      minMatched: Int, bandBits: Int = 16): DataFrame = {
+    require(bandBits == 8 || bandBits == 16,
+      s"bandBits=$bandBits: the 32-bit halves split evenly at 8 or 16")
+    val nBands = 64 / bandBits
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"maxHamming=$maxHamming: the $nBands-band pigeonhole is exact " +
+        s"only for thresholds < $nBands")
+    require(minMatched >= 1, s"minMatched=$minMatched must be >= 1")
+    val perHalf = 32 / bandBits
+    val mask = (1L << bandBits) - 1
+    val bvals = array((0 until nBands).map { k =>
+      val half = if (k < perHalf) col("h_lo") else col("h_hi")
+      struct(lit(k).as("band"),
+        shiftright(half, bandBits * (k % perHalf)).bitwiseAND(lit(mask))
+          .as("bv"))
+    }: _*)
+    val bands = frameHashes
+      .select(col(idCol), col("frame"), col("h_hi"), col("h_lo"),
+        explode(bvals).as("b"))
+      .select(col(idCol), col("frame"), col("h_hi"), col("h_lo"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val a = bands.select(col(idCol).as("id_a"), col("frame"),
+      col("h_hi").as("hia"), col("h_lo").as("loa"), col("band"), col("bv"))
+    val b = bands.select(col(idCol).as("id_b"), col("frame"),
+      col("h_hi").as("hib"), col("h_lo").as("lob"), col("band"), col("bv"))
+    // exact per-frame matches: candidates share a band value AT THE
+    // SAME sampled index, re-checked by full popcount
+    val matched = a.join(b, Seq("frame", "band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "frame", "hia", "loa", "hib", "lob")
+      .distinct() // frames agreeing on several bands match once
+      .filter(
+        (bit_count(col("hia").bitwiseXOR(col("hib"))) +
+          bit_count(col("loa").bitwiseXOR(col("lob")))) <= maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("n_matched"))
+      .filter(col("n_matched") >= minMatched)
+    // denominator: indices sampled by both sides — computed only for
+    // surviving pairs (broadcast-sized after the minMatched cut)
+    val perIdx = frameHashes.select(col(idCol), col("frame"))
+    val common = matched.select("id_a", "id_b")
+      .join(perIdx.select(col(idCol).as("id_a"), col("frame")), Seq("id_a"))
+      .join(perIdx.select(col(idCol).as("id_b"), col("frame")),
+        Seq("id_b", "frame"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("n_common"))
+    matched.join(common, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("n_matched"), col("n_common"))
+  }
+
+  /** Deterministic synthetic video corpus for the oracle-gated query
+    * (testdata carries no real video assets): id → a GVID clip of
+    * `8 + g%3` frames of cell-constant images following the
+    * [[ImageDedup.syntheticImages]] closed-form rule with the FRAME
+    * INDEX mixed into the gradient, so the oracle replays
+    * decode→downsample→hash per frame in SQL.
+    *
+    * Near-dup structure: ids group by `id / 4`; variant `v = id % 4`
+    * REPLACES the content of frames `f < v` (a re-rolled gradient —
+    * edited intro frames, the classic near-dup video case); frames
+    * `f >= v` are bit-identical across the group. Two variants of one
+    * group therefore agree on every sampled frame except those in
+    * `[min(v_a,v_b), max(v_a,v_b))` — at stride 2 that is at most 2
+    * indices, so within-group pairs match on all but <= 2 sampled
+    * frames (the recall contract the spec pins). Even groups encode
+    * PNG frames, odd groups BMP — both real codecs sit inside the
+    * hash path.
+    */
+  def syntheticVideos(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIx = ids.schema.fieldIndex(idCol)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIx)
+        val g = id / 4; val v = (id % 4).toInt
+        val nFrames = (8 + g % 3).toInt
+        val cw = (2 + g % 3).toInt; val ch = (2 + g % 2).toInt
+        val w = 9 * cw; val h = 8 * ch
+        val frames = (0 until nFrames).map { f =>
+          val edited = f < v
+          def rgbAt(x: Int, y: Int): (Int, Int, Int) = {
+            val cx = x / cw; val cy = y / ch
+            // edited frames re-roll the gradient directions entirely
+            // (replaced content), unedited frames mix f in linearly
+            val p =
+              if (edited)
+                (((cx * (11 + g % 3) + cy * (5 + g % 13) + f * 7 + g * 19)
+                  % 17) * 15).toInt
+              else
+                (((cx * (7 + g % 5) + cy * (13 + g % 11) + f * 19 + g * 31)
+                  % 17) * 15).toInt
+            (p, (p + 60) % 256, (p + 120) % 256)
+          }
+          if (g % 2 == 0)
+            ("png", PngCodec.encodeRgb8(w, h, rgbAt, filterForRow = y => y % 5))
+          else
+            ("bmp", BmpCodec.encode24(w, h, rgbAt))
+        }
+        Row(id, "gvid", encodeGvid(frames))
+      }
+    }(enc)
+  }
+}

@@ -927,6 +927,48 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** AUDIO near-duplicate detection ([[graft.multimodal.AudioDedup]]):
+    * deterministic synthetic PCM clips (near-dup groups of 4 by
+    * construction) are ENCODED and DECODED through the real WAV codec,
+    * fingerprinted with the Haitsma–Kalker sign-of-energy-delta bits
+    * over 65 time windows, and paired by the SAME exact 16-bit-band
+    * Hamming blocking as the image operator — one blocking engine for
+    * every 64-bit perceptual fingerprint. The oracle replays the whole
+    * pipeline in closed form from the generator rule (window-constant
+    * amplitudes make decode→energy transparent: E = winlen·A²), so the
+    * hash match proves WAV codec + windowing + energy + sign-delta +
+    * banding end to end.
+    */
+  def audioDedupEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.AudioDedup
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    AudioDedup.nearDupPairs(
+      AudioDedup.energyHashDf(AudioDedup.syntheticAudio(ids, "doc_id"),
+        "doc_id"),
+      "doc_id", maxHamming = 3, bandBits = 16)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** VIDEO near-duplicate detection ([[graft.multimodal.VideoDedup]]):
+    * deterministic synthetic GVID clips (8–10 real PNG/BMP frames;
+    * near-dup groups of 4 whose variants REPLACE intro frames) are
+    * container-parsed, frame-sampled at stride 2, per-frame dHashed
+    * from real decoded pixels, blocked per (frame, 16-bit band), and
+    * scored by the EXACT count of matching frame indices — the
+    * frame-signature video copy detection shape, on the same banded
+    * engine as image and audio dedup. The oracle replays the whole
+    * pipeline per frame in closed form from the generator rule.
+    */
+  def videoDedupFrames(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.VideoDedup
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    VideoDedup.nearDupPairs(
+      VideoDedup.frameHashDf(VideoDedup.syntheticVideos(ids, "doc_id"),
+        "doc_id", stride = 2),
+      "doc_id", maxHamming = 3, minMatched = 2, bandBits = 16)
+      .orderBy("id_a", "id_b")
+  }
+
   /** End-to-end corpus cleaning, the composition a training-data run
     * actually ships: exact-dedup survivors → minimum length → English
     * prediction → emit with integer quality stats. One narrow scan +
@@ -2699,6 +2741,116 @@ object PipelineQueries {
          |FROM cand
          |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // Closed-form replay of the audio-dedup pipeline: the generator's
+    // window amplitudes ARE the decoded energies up to the constant
+    // winlen factor (window-constant ±A samples → E = winlen·A²), so
+    // amplitude→energy→sign-delta bits→halves→bands→join reproduce the
+    // Spark side integer-for-integer without parsing a single RIFF
+    // byte — the WAV codec is proven by the MATCH (same construction
+    // as image_dedup_dhash, one dimension down)
+    "audio_dedup_energy" ->
+      raw"""WITH ids AS (
+         |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+         |  FROM documents),
+         |amp AS (
+         |  SELECT id, w,
+         |         1 + (CASE WHEN w >= 65 - v
+         |              THEN (w*(3 + g % 7) + w*w*(1 + g % 11) + g*13 + 9) % 23
+         |              ELSE (w*(3 + g % 7) + w*w*(1 + g % 11) + g*13) % 23
+         |              END) * 40 AS a,
+         |         80 + (g % 3) * 40 AS winlen
+         |  FROM ids, unnest(range(0, 65)) AS r(w)),
+         |en AS (
+         |  SELECT id, w, CAST(winlen AS BIGINT) * a * a AS e FROM amp),
+         |bits AS (
+         |  SELECT a.id, a.w AS j, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+         |  FROM en a JOIN en b ON b.id = a.id AND b.w = a.w + 1
+         |  WHERE a.w < 64),
+         |hh AS (
+         |  SELECT id,
+         |         CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+         |                       ELSE 0 END) AS BIGINT) AS hi,
+         |         CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+         |                       ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY id),
+         |bands AS (
+         |  SELECT id, hi, lo, k AS band,
+         |         CASE WHEN k < 2 THEN (lo >> (16*k)) & 65535
+         |              ELSE (hi >> (16*(k-2))) & 65535 END AS bv
+         |  FROM hh, unnest(range(0, 4)) AS r(k)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |         a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+         |SELECT id_a, id_b,
+         |       CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    // Closed-form replay of the video-dedup pipeline: one image-dedup
+    // replay PER SAMPLED FRAME (the generator's cell grid is the
+    // decoded-downsampled gray grid frame by frame), then the exact
+    // per-frame-match count and the common-index denominator — GVID
+    // parse, per-frame codecs and the match count are all proven by
+    // the hash MATCH
+    "video_dedup_frames" ->
+      raw"""WITH ids AS (
+         |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+         |  FROM documents),
+         |fr AS (
+         |  SELECT id, g, v, f
+         |  FROM ids, unnest(range(0, 9, 2)) AS r(f)
+         |  WHERE f < 8 + g % 3),
+         |cell AS (
+         |  SELECT id, f, cy, cx,
+         |         CASE WHEN f < v
+         |           THEN ((cx*(11 + g % 3) + cy*(5 + g % 13) + f*7 + g*19) % 17) * 15
+         |           ELSE ((cx*(7 + g % 5) + cy*(13 + g % 11) + f*19 + g*31) % 17) * 15
+         |         END AS p
+         |  FROM fr, unnest(range(0, 8)) AS r1(cy),
+         |       unnest(range(0, 9)) AS r2(cx)),
+         |gray AS (
+         |  SELECT id, f, cy, cx,
+         |         (77*p + 150*((p + 60) % 256) + 29*((p + 120) % 256)) // 256 AS gv
+         |  FROM cell),
+         |bits AS (
+         |  SELECT a.id, a.f, a.cy * 8 + a.cx AS j,
+         |         CASE WHEN a.gv > b.gv THEN 1 ELSE 0 END AS bit
+         |  FROM gray a JOIN gray b
+         |    ON b.id = a.id AND b.f = a.f AND b.cy = a.cy AND b.cx = a.cx + 1
+         |  WHERE a.cx < 8),
+         |hh AS (
+         |  SELECT id, f,
+         |         CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+         |                       ELSE 0 END) AS BIGINT) AS hi,
+         |         CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+         |                       ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY id, f),
+         |bands AS (
+         |  SELECT id, f, hi, lo, k AS band,
+         |         CASE WHEN k < 2 THEN (lo >> (16*k)) & 65535
+         |              ELSE (hi >> (16*(k-2))) & 65535 END AS bv
+         |  FROM hh, unnest(range(0, 4)) AS r(k)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.f AS f,
+         |         a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.f = b.f AND a.id < b.id),
+         |m AS (
+         |  SELECT id_a, id_b, count(*) AS n_matched
+         |  FROM cand
+         |  WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 3
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |com AS (
+         |  SELECT m.id_a, m.id_b, count(*) AS n_common
+         |  FROM m JOIN fr a ON a.id = m.id_a
+         |         JOIN fr b ON b.id = m.id_b AND b.f = a.f
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(n_matched AS BIGINT) AS n_matched,
+         |       CAST(n_common AS BIGINT) AS n_common
+         |FROM m JOIN com USING (id_a, id_b)
+         |ORDER BY id_a, id_b""".stripMargin,
     // Full replay of BPE training: one stacked-CTE group per merge
     // rank (pair count → lexically-tie-broken argmax → islands-parity
     // canonical merge), generated by BpeTrainer.oracleSql.
@@ -2912,6 +3064,8 @@ object PipelineQueries {
     "repeated_spans" -> repeatedSpans _,
     "remove_repeated_spans" -> removeRepeatedSpans _,
     "image_dedup_dhash" -> imageDedupDhash _,
+    "audio_dedup_energy" -> audioDedupEnergy _,
+    "video_dedup_frames" -> videoDedupFrames _,
     "lang_id" -> langId _,
     "corpus_clean" -> corpusClean _
   )

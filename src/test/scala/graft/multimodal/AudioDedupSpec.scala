@@ -1,0 +1,105 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** [[AudioDedup]]: sign-of-energy-delta fingerprints from real decoded
+  * PCM, gain invariance (the Haitsma–Kalker property the bit
+  * derivation buys), the shared Hamming-band blocking, and the
+  * generated corpus' recall contract.
+  */
+class AudioDedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("energyHash64 sets bit j iff window j+1 carries more energy " +
+    "than window j, on the long-math window grid") {
+    // 65 windows of 10 samples; amplitudes strictly increase -> all
+    // 64 bits set
+    val up = Array.tabulate(65 * 10)(i => (1 + i / 10).toShort)
+    assert(AudioDedup.energyHash64(up) === ((0xFFFFFFFFL, 0xFFFFFFFFL)))
+    // strictly decreasing -> no bit set
+    val down = Array.tabulate(65 * 10)(i => (65 - i / 10).toShort)
+    assert(AudioDedup.energyHash64(down) === ((0L, 0L)))
+    // a single louder window w=1 makes exactly bit 0 (E(1)>E(0)) —
+    // bit 1 compares E(2)>E(1) which is FALSE, rest equal -> only lo's
+    // LSB
+    val one = Array.tabulate(65 * 10)(i =>
+      if (i / 10 == 1) 5.toShort else 1.toShort)
+    assert(AudioDedup.energyHash64(one) === ((0L, 1L)))
+    // louder window 33 -> bit 32 = hi's LSB
+    val mid = Array.tabulate(65 * 10)(i =>
+      if (i / 10 == 33) 5.toShort else 1.toShort)
+    assert(AudioDedup.energyHash64(mid) === ((1L, 0L)))
+    // shorter than the grid refuses
+    intercept[IllegalArgumentException](
+      AudioDedup.energyHash64(new Array[Short](64)))
+  }
+
+  test("fingerprints are GAIN-INVARIANT: doubling every sample leaves " +
+    "the hash unchanged (sign of energy delta, not magnitude)") {
+    val clip = Array.tabulate(65 * 7)(i =>
+      ((i * 31 + i / 7 * 17) % 199 - 99).toShort)
+    val doubled = clip.map(s => (s * 2).toShort)
+    assert(AudioDedup.energyHash64(clip) === AudioDedup.energyHash64(doubled))
+    // ...and sign inversion (phase flip) too: energies square the gain
+    val flipped = clip.map(s => (-s).toShort)
+    assert(AudioDedup.energyHash64(clip) === AudioDedup.energyHash64(flipped))
+  }
+
+  test("the hash survives the real codec round-trip: encode->decode " +
+    "through WavCodec yields the in-memory fingerprint") {
+    val clip = Array.tabulate(65 * 12)(i => ((i * 13) % 401 - 200).toShort)
+    val direct = AudioDedup.energyHash64(clip)
+    val wav = WavCodec.decode(WavCodec.encodePcm16Mono(8000, clip))
+    assert(AudioDedup.energyHash64(wav.samples) === direct)
+  }
+
+  test("recall contract on the generated corpus: EVERY within-group " +
+    "pair surfaces with hamming <= 3 under BOTH band widths " +
+    "(pigeonhole blocking is exact)") {
+    val ids = (0L until 48L).toDF("doc_id") // 12 groups of 4
+    val hashes = AudioDedup.energyHashDf(
+      AudioDedup.syntheticAudio(ids, "doc_id"), "doc_id")
+    for (bits <- Seq(8, 16)) {
+      val pairs = AudioDedup
+        .nearDupPairs(hashes, "doc_id", maxHamming = 3, bandBits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      for (g <- 0L until 12L; a <- 0L until 4L; b <- (a + 1) until 4L) {
+        val key = (g * 4 + a, g * 4 + b)
+        assert(pairs.contains(key),
+          s"within-group pair $key must be found at bandBits=$bits " +
+            "(construction bounds its distance at 3)")
+        assert(pairs(key) <= 3L)
+      }
+    }
+  }
+
+  test("variants DO flip bits (the corpus is a near-dup corpus, not " +
+    "an exact-dup one) and distances stay within the variant bound") {
+    val ids = (0L until 48L).toDF("doc_id")
+    val hashes = AudioDedup.energyHashDf(
+      AudioDedup.syntheticAudio(ids, "doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    var flipped = 0
+    for (g <- 0L until 12L; v <- 1L until 4L) {
+      val d = ham(hashes(g * 4), hashes(g * 4 + v))
+      assert(d <= v, s"variant $v of group $g moved $d bits (> $v): the " +
+        "perturbation leaked outside the last-v-window comparisons")
+      if (d > 0) flipped += 1
+    }
+    assert(flipped > 0, "no variant flipped any bit — the perturbation " +
+      "is inert and the corpus degenerates to exact dups")
+  }
+
+  test("non-audio formats refuse at the decode seam") {
+    val png = Seq((1L, "png", Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "format", "bytes")
+    val e = intercept[org.apache.spark.SparkException](
+      AudioDedup.energyHashDf(png, "doc_id").collect())
+    assert(e.getMessage != null)
+  }
+}

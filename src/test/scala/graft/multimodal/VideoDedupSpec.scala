@@ -1,0 +1,115 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** [[VideoDedup]]: GVID container round-trip and refusals, stride
+  * sampling, exact per-frame match counting, and the generated
+  * corpus' recall contract.
+  */
+class VideoDedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def frame(seed: Int, fmt: String): (String, Array[Byte]) = {
+    def rgb(x: Int, y: Int) =
+      ((x * 29 + seed) % 256, (y * 47 + seed * 3) % 256, (x * y + seed) % 256)
+    fmt match {
+      case "png" => ("png", PngCodec.encodeRgb8(18, 16, rgb, y => y % 5))
+      case _ => ("bmp", BmpCodec.encode24(18, 16, rgb))
+    }
+  }
+
+  test("GVID round-trips mixed-codec frames byte-for-byte and refuses " +
+    "junk: bad magic, inconsistent frame count, overlong frame") {
+    val frames = Seq(frame(1, "png"), frame(2, "bmp"), frame(3, "png"))
+    val out = VideoDedup.decodeGvid(VideoDedup.encodeGvid(frames))
+    assert(out.length === 3)
+    frames.zip(out).foreach { case ((f1, b1), (f2, b2)) =>
+      assert(f1 === f2); assert(b1.toSeq === b2.toSeq)
+    }
+    intercept[IllegalArgumentException](
+      VideoDedup.decodeGvid("not a video".getBytes("US-ASCII")))
+    val good = VideoDedup.encodeGvid(Seq(frame(1, "bmp")))
+    val badCount = good.clone(); badCount(7) = 99 // claims 99 frames
+    intercept[IllegalArgumentException](VideoDedup.decodeGvid(badCount))
+    val badLen = good.clone(); badLen(9) = 0x7f // frame longer than payload
+    intercept[IllegalArgumentException](VideoDedup.decodeGvid(badLen))
+    intercept[IllegalArgumentException](VideoDedup.encodeGvid(Seq.empty))
+    intercept[IllegalArgumentException](
+      VideoDedup.encodeGvid(Seq(("jpeg", Array[Byte](1)))))
+  }
+
+  test("frameHashDf samples every stride-th frame and hashes the " +
+    "DECODED pixels (codec-agnostic per frame)") {
+    val fs = Seq(frame(1, "png"), frame(2, "bmp"), frame(3, "png"),
+      frame(4, "bmp"), frame(5, "png"))
+    val media = Seq((7L, "gvid", VideoDedup.encodeGvid(fs)))
+      .toDF("vid", "format", "bytes")
+    val rows = VideoDedup.frameHashDf(media, "vid", stride = 2)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set(0, 2, 4))
+    // each sampled hash equals the direct dHash of that frame's pixels
+    for (f <- Seq(0, 2, 4)) {
+      val img = fs(f) match {
+        case ("png", b) =>
+          val p = PngCodec.decode(b); (p.width, p.height, p.pixels)
+        case (_, b) =>
+          val p = BmpCodec.decode(b); (p.width, p.height, p.pixels)
+      }
+      assert(rows(f) === ImageDedup.dHash64(img._1, img._2, img._3))
+    }
+    val notVideo = Seq((1L, "png", Array[Byte](1, 2, 3)))
+      .toDF("vid", "format", "bytes")
+    val e = intercept[org.apache.spark.SparkException](
+      VideoDedup.frameHashDf(notVideo, "vid", 1).collect())
+    assert(e.getMessage != null)
+  }
+
+  test("nearDupPairs counts EXACT per-frame matches and reports the " +
+    "common-index denominator") {
+    // vids 1,2: 3 shared sampled indices, hashes equal at frames 0,4;
+    // frame 2 differs by 5 bits (> maxHamming). vid 3: matches vid 1
+    // only at frame 0 -> below minMatched=2.
+    val rows = Seq(
+      (1L, 0, 0L, 1L), (1L, 2, 0L, 2L), (1L, 4, 0L, 4L),
+      (2L, 0, 0L, 1L), (2L, 2, 0L, 2L | 0x3e0L), (2L, 4, 0L, 4L),
+      (3L, 0, 0L, 1L), (3L, 2, 7L, 0L), (3L, 4, 0L, 0xF00L))
+      .toDF("vid", "frame", "h_hi", "h_lo")
+    val out = VideoDedup
+      .nearDupPairs(rows, "vid", maxHamming = 3, minMatched = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map((1L, 2L) -> ((2L, 3L))))
+    intercept[IllegalArgumentException](
+      VideoDedup.nearDupPairs(rows, "vid", maxHamming = 4, minMatched = 1))
+    intercept[IllegalArgumentException](
+      VideoDedup.nearDupPairs(rows, "vid", maxHamming = 1, minMatched = 0))
+  }
+
+  test("recall contract on the generated corpus: EVERY within-group " +
+    "pair surfaces (variants edit at most 2 sampled intro frames; " +
+    "the rest match exactly), and edited frames DO break their match") {
+    val ids = (0L until 48L).toDF("doc_id") // 12 groups of 4
+    val hashes = VideoDedup.frameHashDf(
+      VideoDedup.syntheticVideos(ids, "doc_id"), "doc_id", stride = 2)
+    val pairs = VideoDedup
+      .nearDupPairs(hashes, "doc_id", maxHamming = 3, minMatched = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    var edited = 0
+    for (g <- 0L until 12L; a <- 0L until 4L; b <- (a + 1) until 4L) {
+      val key = (g * 4 + a, g * 4 + b)
+      assert(pairs.contains(key),
+        s"within-group pair $key must be found (non-intro frames are " +
+          "bit-identical)")
+      val (matched, common) = pairs(key)
+      assert(common - matched <= 2,
+        s"pair $key mismatches $common-$matched sampled frames; the " +
+          "edit window is capped at sampled indices {0, 2}")
+      if (matched < common) edited += 1
+    }
+    assert(edited > 0, "no edited intro frame broke a match — the " +
+      "corpus degenerates to exact dups")
+  }
+}
