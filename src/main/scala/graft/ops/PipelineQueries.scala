@@ -316,51 +316,87 @@ object PipelineQueries {
     *    (tests, notebook teardown, or after replacing the dataset at a
     *    directory — the cache cannot see in-place dataset swaps).
     */
-  private val WinnowCacheMaxEntries = 8
-  private val winnowTick = new java.util.concurrent.atomic.AtomicLong
-  private final class WinnowEntry(val spark: SparkSession, val df: DataFrame) {
-    @volatile var lastUsed: Long = winnowTick.incrementAndGet()
-  }
-  private val winnowCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), WinnowEntry]
-
   private def sessionKey(spark: SparkSession): String =
     org.apache.spark.sql.graftbridge.ColumnBridge.sessionUuid(spark)
       .getOrElse("idhash-" + System.identityHashCode(spark))
 
-  private[ops] def winnowCacheKeys: Set[(String, String)] = winnowCache.keySet.toSet
+  /** A bounded (session, key) → persisted-DataFrame cache — the
+    * shared-subplan pattern several queries need (a frame feeding 2+
+    * join sides that Spark would otherwise recompute per side, exchange
+    * reuse notwithstanding). Same lifetime rules the winnow cache
+    * established in round 5: stable session-uuid keys, dead-session
+    * sweep + LRU eviction (with unpersist) on every access, and an
+    * eager per-session release hook because the persisted handle never
+    * escapes to the caller.
+    */
+  private final class KeyedFrameCache(maxEntries: Int) {
+    private val tick = new java.util.concurrent.atomic.AtomicLong
+    private final class Entry(val spark: SparkSession, val df: DataFrame) {
+      @volatile var lastUsed: Long = tick.incrementAndGet()
+    }
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(String, String), Entry]
 
-  /** Unpersist and drop every winnow frame cached for `spark`. */
-  def releaseWinnowCache(spark: SparkSession): Unit = {
-    val k = sessionKey(spark)
-    winnowCache.keys.filter(_._1 == k).foreach { key =>
-      winnowCache.remove(key).foreach(e =>
-        try e.df.unpersist(blocking = true)
-        catch { case scala.util.control.NonFatal(_) => () })
+    def keys: Set[(String, String)] = cache.keySet.toSet
+
+    /** Unpersist and drop every frame cached for `spark`. */
+    def release(spark: SparkSession): Unit = {
+      val k = sessionKey(spark)
+      cache.keys.filter(_._1 == k).foreach { key =>
+        cache.remove(key).foreach(e =>
+          try e.df.unpersist(blocking = true)
+          catch { case scala.util.control.NonFatal(_) => () })
+      }
+    }
+
+    /** The cached persisted frame for (session, key), building it on
+      * first access; housekeeping (dead sessions out, LRU bound kept)
+      * runs before every lookup.
+      */
+    def get(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+      cache.foreach { case (k, e) =>
+        if (e.spark.sparkContext.isStopped) cache.remove(k)
+      }
+      while (cache.size >= maxEntries &&
+          !cache.contains((sessionKey(spark), key))) {
+        val oldest = cache.toSeq.minBy(_._2.lastUsed)._1
+        cache.remove(oldest).foreach(e =>
+          try e.df.unpersist(blocking = false)
+          catch { case scala.util.control.NonFatal(_) => () })
+      }
+      val entry = cache.getOrElseUpdate(
+        (sessionKey(spark), key),
+        new Entry(spark,
+          build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+      entry.lastUsed = tick.incrementAndGet()
+      entry.df
     }
   }
 
+  private val winnowCache = new KeyedFrameCache(8)
+
+  /** The media-dedup fingerprint frames (tiny: an id + 2-4 int64s per
+    * row) — generated-media decode+hash is the expensive part of those
+    * queries and feeds both self-join sides (plus the common-index
+    * denominator for video), so it must run once, not per subplan.
+    */
+  private val mediaHashCache = new KeyedFrameCache(8)
+
+  private[ops] def winnowCacheKeys: Set[(String, String)] = winnowCache.keys
+  private[ops] def mediaHashCacheKeys: Set[(String, String)] = mediaHashCache.keys
+
+  /** Unpersist and drop every winnow frame cached for `spark`. */
+  def releaseWinnowCache(spark: SparkSession): Unit = winnowCache.release(spark)
+
+  /** Unpersist and drop every media fingerprint frame cached for `spark`. */
+  def releaseMediaHashCache(spark: SparkSession): Unit =
+    mediaHashCache.release(spark)
+
   def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
-    // housekeeping before lookup: dead sessions out, LRU bound kept
-    winnowCache.foreach { case (key, e) =>
-      if (e.spark.sparkContext.isStopped) winnowCache.remove(key)
-    }
-    while (winnowCache.size >= WinnowCacheMaxEntries &&
-        !winnowCache.contains((sessionKey(spark), dir))) {
-      val oldest = winnowCache.toSeq.minBy(_._2.lastUsed)._1
-      winnowCache.remove(oldest).foreach(e =>
-        try e.df.unpersist(blocking = false)
-        catch { case scala.util.control.NonFatal(_) => () })
-    }
     // the winnow scan feeds FOUR subplans (nf, rare, both join sides)
     // and Spark shares no common subplans beyond exchange reuse — cache
     // it once or the codegen'd canon+winnow pass runs ~4×
-    val entry = winnowCache.getOrElseUpdate(
-      (sessionKey(spark), dir),
-      new WinnowEntry(spark, winnowFpsFrame(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
-    entry.lastUsed = winnowTick.incrementAndGet()
-    val fps = entry.df
+    val fps = winnowCache.get(spark, dir)(winnowFpsFrame(spark, dir))
     val nf = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 50)).select("fp")
@@ -920,10 +956,13 @@ object PipelineQueries {
     */
   def imageDedupDhash(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.ImageDedup
-    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
-    ImageDedup.nearDupPairs(
-      ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"), "doc_id"),
-      "doc_id", maxHamming = 3, bandBits = 16)
+    // the fingerprint frame feeds both self-join sides; cached so the
+    // generate→encode→decode→hash pass runs once, not per side
+    val hashes = mediaHashCache.get(spark, dir + "#image") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"), "doc_id")
+    }
+    ImageDedup.nearDupPairs(hashes, "doc_id", maxHamming = 3, bandBits = 16)
       .orderBy("id_a", "id_b")
   }
 
@@ -941,11 +980,12 @@ object PipelineQueries {
     */
   def audioDedupEnergy(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.AudioDedup
-    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
-    AudioDedup.nearDupPairs(
+    val hashes = mediaHashCache.get(spark, dir + "#audio") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
       AudioDedup.energyHashDf(AudioDedup.syntheticAudio(ids, "doc_id"),
-        "doc_id"),
-      "doc_id", maxHamming = 3, bandBits = 16)
+        "doc_id")
+    }
+    AudioDedup.nearDupPairs(hashes, "doc_id", maxHamming = 3, bandBits = 16)
       .orderBy("id_a", "id_b")
   }
 
@@ -961,10 +1001,15 @@ object PipelineQueries {
     */
   def videoDedupFrames(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.VideoDedup
-    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
-    VideoDedup.nearDupPairs(
+    // per-frame fingerprints feed both self-join sides AND the
+    // common-index denominator: cached, or the container parse +
+    // per-frame codec pass runs ~3×
+    val hashes = mediaHashCache.get(spark, dir + "#video") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
       VideoDedup.frameHashDf(VideoDedup.syntheticVideos(ids, "doc_id"),
-        "doc_id", stride = 2),
+        "doc_id", stride = 2)
+    }
+    VideoDedup.nearDupPairs(hashes,
       "doc_id", maxHamming = 3, minMatched = 2, bandBits = 16)
       .orderBy("id_a", "id_b")
   }
