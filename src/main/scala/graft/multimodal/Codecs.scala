@@ -59,8 +59,16 @@ object WavCodec {
     var samples: Array[Short] = null
     while (buf.remaining() >= 8 && samples == null) {
       val id = tag(); val size = buf.getInt
+      // declared sizes are UNTRUSTED (same hardening as the BMP/PNG
+      // dim guards): a negative size would walk the cursor backwards
+      // (infinite loop) or throw NegativeArraySizeException, and a
+      // size past the payload would allocate gigabytes from a 50-byte
+      // file before any read failed — refuse loudly up front instead
+      require(size >= 0 && size <= buf.remaining(),
+        s"chunk '$id' declares $size bytes but ${buf.remaining()} remain")
       id match {
         case "fmt " =>
+          require(size >= 16, s"fmt chunk too short ($size bytes)")
           val fmtEnd = buf.position() + size
           val audioFormat = buf.getShort
           require(audioFormat == 1, s"not PCM (format=$audioFormat)")
@@ -153,10 +161,13 @@ object BmpCodec {
     // bound via DIVISION, not the product: strideL*height itself wraps
     // Long for dims near 2^31 (the first version of this guard had
     // exactly that hole — the check must not overflow before it checks)
-    require(dataOffset >= 0 && dataOffset < bytes.length &&
+    // the offset must also clear the file + DIB headers: an offset
+    // pointing INSIDE them would silently decode header bytes as
+    // pixels instead of refusing loudly
+    require(dataOffset >= 14L + headerSize && dataOffset < bytes.length &&
       height <= (bytes.length - dataOffset) / strideL,
       s"BMP declares ${width}x$height but holds only ${bytes.length} " +
-        s"bytes past offset $dataOffset")
+        s"bytes past offset $dataOffset (headers end at ${14L + headerSize})")
     require(width.toLong * height <= Int.MaxValue, // no Long overflow: <= 2^62
       s"BMP pixel count ${width}x$height overflows")
     val stride = rowStride(width)

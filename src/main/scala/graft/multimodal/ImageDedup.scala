@@ -125,14 +125,29 @@ object ImageDedup {
     * object doc for the band-width selectivity trade (16-bit bands are
     * the registered billion-image configuration).
     */
-  def nearDupPairs(hashes: DataFrame, idCol: String,
-      maxHamming: Int, bandBits: Int = 16): DataFrame = {
+  /** Validates the exact-pigeonhole contract shared by every 64-bit
+    * Hamming-band blocking join: `64/bandBits` bands, candidate
+    * recall is exact only for `maxHamming < bands`.
+    */
+  private[multimodal] def requireExactPigeonhole(
+      maxHamming: Int, bandBits: Int): Unit = {
     require(bandBits == 8 || bandBits == 16,
       s"bandBits=$bandBits: the 32-bit halves split evenly at 8 or 16")
     val nBands = 64 / bandBits
     require(maxHamming >= 0 && maxHamming < nBands,
       s"maxHamming=$maxHamming: the $nBands-band pigeonhole is exact " +
         s"only for thresholds < $nBands")
+  }
+
+  /** Explodes `64/bandBits` (band, bv) rows per fingerprint — the
+    * blocking half every 64-bit Hamming dedup shares (image, audio,
+    * video). All input columns are carried through, so callers can
+    * thread extra join keys (e.g. the video frame index) alongside
+    * `(h_hi, h_lo)`.
+    */
+  private[multimodal] def bandExploded(
+      hashes: DataFrame, bandBits: Int): DataFrame = {
+    val nBands = 64 / bandBits
     val perHalf = 32 / bandBits
     val mask = (1L << bandBits) - 1
     val bvals = array((0 until nBands).map { k =>
@@ -141,10 +156,17 @@ object ImageDedup {
         shiftright(half, bandBits * (k % perHalf)).bitwiseAND(lit(mask))
           .as("bv"))
     }: _*)
-    val bands = hashes
-      .select(col(idCol), col("h_hi"), col("h_lo"), explode(bvals).as("b"))
-      .select(col(idCol), col("h_hi"), col("h_lo"),
-        col("b.band").as("band"), col("b.bv").as("bv"))
+    val carried = hashes.columns.map(col).toSeq
+    hashes
+      .select(carried :+ explode(bvals).as("b"): _*)
+      .select(carried :+ col("b.band").as("band") :+ col("b.bv").as("bv"): _*)
+  }
+
+  def nearDupPairs(hashes: DataFrame, idCol: String,
+      maxHamming: Int, bandBits: Int = 16): DataFrame = {
+    requireExactPigeonhole(maxHamming, bandBits)
+    val bands = bandExploded(hashes.select(col(idCol), col("h_hi"),
+      col("h_lo")), bandBits)
     val a = bands.select(col(idCol).as("id_a"), col("h_hi").as("hia"),
       col("h_lo").as("loa"), col("band"), col("bv"))
     val b = bands.select(col(idCol).as("id_b"), col("h_hi").as("hib"),

@@ -136,26 +136,14 @@ object VideoDedup {
     */
   def nearDupPairs(frameHashes: DataFrame, idCol: String, maxHamming: Int,
       minMatched: Int, bandBits: Int = 16): DataFrame = {
-    require(bandBits == 8 || bandBits == 16,
-      s"bandBits=$bandBits: the 32-bit halves split evenly at 8 or 16")
-    val nBands = 64 / bandBits
-    require(maxHamming >= 0 && maxHamming < nBands,
-      s"maxHamming=$maxHamming: the $nBands-band pigeonhole is exact " +
-        s"only for thresholds < $nBands")
+    ImageDedup.requireExactPigeonhole(maxHamming, bandBits)
     require(minMatched >= 1, s"minMatched=$minMatched must be >= 1")
-    val perHalf = 32 / bandBits
-    val mask = (1L << bandBits) - 1
-    val bvals = array((0 until nBands).map { k =>
-      val half = if (k < perHalf) col("h_lo") else col("h_hi")
-      struct(lit(k).as("band"),
-        shiftright(half, bandBits * (k % perHalf)).bitwiseAND(lit(mask))
-          .as("bv"))
-    }: _*)
-    val bands = frameHashes
-      .select(col(idCol), col("frame"), col("h_hi"), col("h_lo"),
-        explode(bvals).as("b"))
-      .select(col(idCol), col("frame"), col("h_hi"), col("h_lo"),
-        col("b.band").as("band"), col("b.bv").as("bv"))
+    // the shared blocking engine, with the frame index carried through
+    // as an extra join key (candidates must collide at the SAME
+    // sampled position)
+    val bands = ImageDedup.bandExploded(
+      frameHashes.select(col(idCol), col("frame"), col("h_hi"),
+        col("h_lo")), bandBits)
     val a = bands.select(col(idCol).as("id_a"), col("frame"),
       col("h_hi").as("hia"), col("h_lo").as("loa"), col("band"), col("bv"))
     val b = bands.select(col(idCol).as("id_b"), col("frame"),

@@ -206,6 +206,56 @@ class CodecsSpec extends AnyFunSuite {
     assert(BmpCodec.decode(bmp).width === 4)
   }
 
+  test("adversarial RIFF chunk sizes refuse loudly: negative sizes " +
+    "cannot loop or throw raw array errors, oversized data cannot OOM") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val wav = WavCodec.encodePcm16Mono(8000, Array[Short](1, 2, 3, 4))
+    // data chunk size field sits at offset 40 in the canonical 44-byte
+    // header; fmt size at 16
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val p = wav.clone()
+      ByteBuffer.wrap(p, off, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(v)
+      p
+    }
+    // (1) negative data size: NegativeArraySizeException class
+    val e1 = intercept[IllegalArgumentException](
+      WavCodec.decode(patched(40, -8)))
+    assert(e1.getMessage.contains("declares"))
+    // (2) huge declared data in a tiny file: multi-GB allocation class
+    val e2 = intercept[IllegalArgumentException](
+      WavCodec.decode(patched(40, 0x7ffffffe)))
+    assert(e2.getMessage.contains("remain"))
+    // (3) negative size on a SKIPPED foreign chunk: the word-aligned
+    // skip would walk the cursor backwards and spin forever
+    val junk = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    junk.put("RIFF".getBytes("US-ASCII")).putInt(12)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(-8)
+    intercept[IllegalArgumentException](WavCodec.decode(junk.array()))
+    // (4) fmt chunk too short to hold the PCM header
+    intercept[IllegalArgumentException](WavCodec.decode(patched(16, 4)))
+    // sane files still decode after the hardening
+    assert(WavCodec.decode(wav).samples.toSeq === Seq[Short](1, 2, 3, 4))
+  }
+
+  test("a BMP data offset pointing inside the headers refuses instead " +
+    "of silently decoding header bytes as pixels") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // pad the file so the pixel-payload bound passes at offset 0 — only
+    // the headers-end check can reject it
+    val bmp = BmpCodec.encode24(4, 3, (x, y) => (x, y, x + y)) ++
+      Array.fill[Byte](64)(0)
+    def withOffset(off: Int): Array[Byte] = {
+      val p = bmp.clone()
+      ByteBuffer.wrap(p, 10, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(off)
+      p
+    }
+    val e = intercept[IllegalArgumentException](BmpCodec.decode(withOffset(0)))
+    assert(e.getMessage.contains("headers end"))
+    intercept[IllegalArgumentException](BmpCodec.decode(withOffset(53)))
+    assert(BmpCodec.decode(withOffset(54)).width === 4) // first legal byte
+  }
+
   test("JvmMediaDecoder: wav features come from the REAL samples " +
     "(square wave: rms == peak == amplitude), bmp features from the " +
     "REAL pixels; unknown formats fall back to the stub") {

@@ -278,6 +278,36 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
       s"released winnow frames still pinned: ${winnowRddIds() -- before}")
   }
 
+  test("media fingerprint cache: one entry per (session, dataset, modality), " +
+    "reuse within a session, release frees storage") {
+    def rddIds(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    PipelineQueries.releaseMediaHashCache(spark)
+    val before = rddIds()
+    val keysBefore = PipelineQueries.mediaHashCacheKeys
+    PipelineQueries.imageDedupDhash(spark, dir).count()
+    val afterFirst = rddIds() -- before
+    assert(afterFirst.nonEmpty,
+      "first call should persist the shared fingerprint frame")
+    val keysImage = PipelineQueries.mediaHashCacheKeys -- keysBefore
+    assert(keysImage.size === 1)
+    // a second call reuses the entry (the generate+codec+hash pass is
+    // the expensive part — it must run once, not per invocation)
+    PipelineQueries.imageDedupDhash(spark, dir).count()
+    assert((rddIds() -- before) === afterFirst,
+      "second call must not persist a new frame")
+    assert((PipelineQueries.mediaHashCacheKeys -- keysBefore) === keysImage)
+    // a different MODALITY on the same dataset gets its own entry
+    PipelineQueries.audioDedupEnergy(spark, dir).count()
+    val keysBoth = PipelineQueries.mediaHashCacheKeys -- keysBefore
+    assert(keysBoth.size === 2,
+      s"audio must cache under its own modality key: $keysBoth")
+    // release drops this session's entries and unpins all blocks
+    PipelineQueries.releaseMediaHashCache(spark)
+    assert((PipelineQueries.mediaHashCacheKeys -- keysBefore).isEmpty)
+    assert((rddIds() -- before).isEmpty,
+      s"released fingerprint frames still pinned: ${rddIds() -- before}")
+  }
+
   test("heavy_hitters: the exact recount joins BROADCAST candidates — " +
     "the n-gram vocabulary never shuffles") {
     val p = PipelineQueries.heavyHitters(spark, dir)
