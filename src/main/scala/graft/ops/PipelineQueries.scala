@@ -989,6 +989,29 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Image near-dup CLUSTER ASSIGNMENT — the consumer the pair list
+    * exists for: near-dup pairs close into connected components
+    * ([[graft.dedup.Clusters]]' bounded min-label propagation, the
+    * same engine text dedup uses) and each component keeps its min-id
+    * member as the canonical (deterministic keep-first; media carries
+    * no text-quality score to rank "best" by). Output is the
+    * (doc_id, cluster_id, kept) assignment for every image that
+    * appears in a near-dup pair — the droppable set is `kept = 0`.
+    */
+  def imageDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.ImageDedup
+    val hashes = mediaHashCache.get(spark, dir + "#image") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"), "doc_id")
+    }
+    val pairs = ImageDedup.nearDupPairs(hashes, "doc_id",
+      maxHamming = 3, bandBits = 16)
+    graft.dedup.Clusters.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        when(col("id") === col("cluster_id"), 1L).otherwise(0L).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** VIDEO near-duplicate detection ([[graft.multimodal.VideoDedup]]):
     * deterministic synthetic GVID clips (8–10 real PNG/BMP frames;
     * near-dup groups of 4 whose variants REPLACE intro frames) are
@@ -1624,6 +1647,59 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT q_id, rank, nn_id, dot, na, nb FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin
+
+  /** Closed-form replay of the image-dedup pipeline up to the banded
+    * candidate list (shared by `image_dedup_dhash` and the
+    * cluster-assignment consumer): the generator's cell grid IS the
+    * decoded-downsampled gray grid (cell-constant pixels, dims =
+    * 9cw x 8ch), so grayscale→bits→halves→bands→join reproduce the
+    * Spark side integer-for-integer without parsing a single PNG
+    * byte — the codecs are proven by the MATCH, not reimplemented in
+    * SQL. Pre-stripped so consumers can interpolate it into their own
+    * stripMargin strings.
+    */
+  private val imageDhashCtes: String =
+    raw"""ids AS (
+       |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+       |  FROM documents),
+       |cell AS (
+       |  SELECT id, v, cy, cx,
+       |         ((cx*(7 + g % 5) + cy*(13 + g % 11) + g*31) % 17) * 15 AS base
+       |  FROM ids, unnest(range(0, 8)) AS r1(cy),
+       |       unnest(range(0, 9)) AS r2(cx)),
+       |pert AS (
+       |  SELECT id, cy, cx,
+       |         CASE WHEN cx = 8 AND cy < v
+       |              THEN (base + 40 * (cy + 1)) % 256
+       |              ELSE base END AS p
+       |  FROM cell),
+       |gray AS (
+       |  SELECT id, cy, cx,
+       |         (77*p + 150*((p + 60) % 256) + 29*((p + 120) % 256)) // 256 AS gv
+       |  FROM pert),
+       |bits AS (
+       |  SELECT a.id, a.cy * 8 + a.cx AS j,
+       |         CASE WHEN a.gv > b.gv THEN 1 ELSE 0 END AS bit
+       |  FROM gray a JOIN gray b
+       |    ON b.id = a.id AND b.cy = a.cy AND b.cx = a.cx + 1
+       |  WHERE a.cx < 8),
+       |hh AS (
+       |  SELECT id,
+       |         CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+       |                       ELSE 0 END) AS BIGINT) AS hi,
+       |         CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+       |                       ELSE 0 END) AS BIGINT) AS lo
+       |  FROM bits GROUP BY id),
+       |bands AS (
+       |  SELECT id, hi, lo, k AS band,
+       |         CASE WHEN k < 2 THEN (lo >> (16*k)) & 65535
+       |              ELSE (hi >> (16*(k-2))) & 65535 END AS bv
+       |  FROM hh, unnest(range(0, 4)) AS r(k)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |         a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ann_ivf_topk" -> ivfReplaySql,
@@ -2733,59 +2809,34 @@ object PipelineQueries {
          |LEFT JOIN cs USING (doc_id)
          |LEFT JOIN ktxt k USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
-    // Closed-form replay of the image-dedup pipeline: the generator's
-    // cell grid IS the decoded-downsampled gray grid (cell-constant
-    // pixels, dims = 9cw x 8ch), so grayscale→bits→halves→bands→join
-    // reproduce the Spark side integer-for-integer without parsing a
-    // single PNG byte — the codecs are proven by the MATCH, not
-    // reimplemented in SQL
+    // [[imageDhashCtes]] carries the whole closed-form image replay;
+    // the final select is just the exact-Hamming re-check
     "image_dedup_dhash" ->
-      raw"""WITH ids AS (
-         |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
-         |  FROM documents),
-         |cell AS (
-         |  SELECT id, v, cy, cx,
-         |         ((cx*(7 + g % 5) + cy*(13 + g % 11) + g*31) % 17) * 15 AS base
-         |  FROM ids, unnest(range(0, 8)) AS r1(cy),
-         |       unnest(range(0, 9)) AS r2(cx)),
-         |pert AS (
-         |  SELECT id, cy, cx,
-         |         CASE WHEN cx = 8 AND cy < v
-         |              THEN (base + 40 * (cy + 1)) % 256
-         |              ELSE base END AS p
-         |  FROM cell),
-         |gray AS (
-         |  SELECT id, cy, cx,
-         |         (77*p + 150*((p + 60) % 256) + 29*((p + 120) % 256)) // 256 AS gv
-         |  FROM pert),
-         |bits AS (
-         |  SELECT a.id, a.cy * 8 + a.cx AS j,
-         |         CASE WHEN a.gv > b.gv THEN 1 ELSE 0 END AS bit
-         |  FROM gray a JOIN gray b
-         |    ON b.id = a.id AND b.cy = a.cy AND b.cx = a.cx + 1
-         |  WHERE a.cx < 8),
-         |hh AS (
-         |  SELECT id,
-         |         CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
-         |                       ELSE 0 END) AS BIGINT) AS hi,
-         |         CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
-         |                       ELSE 0 END) AS BIGINT) AS lo
-         |  FROM bits GROUP BY id),
-         |bands AS (
-         |  SELECT id, hi, lo, k AS band,
-         |         CASE WHEN k < 2 THEN (lo >> (16*k)) & 65535
-         |              ELSE (hi >> (16*(k-2))) & 65535 END AS bv
-         |  FROM hh, unnest(range(0, 4)) AS r(k)),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-         |         a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+      raw"""WITH $imageDhashCtes
          |SELECT id_a, id_b,
          |       CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS BIGINT) AS hamming
          |FROM cand
          |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // The cluster-assignment consumer: near-dup pairs close into
+    // connected components (recursive reachability, min-id label —
+    // the dedup_clusters construction on the image pair graph) and
+    // the min-id member is the kept canonical
+    "image_dedup_clusters" ->
+      raw"""WITH RECURSIVE $imageDhashCtes,
+         |pairs AS (
+         |  SELECT id_a AS a, id_b AS b FROM cand
+         |  WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 3),
+         |nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id,
+         |       CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // Closed-form replay of the audio-dedup pipeline: the generator's
     // window amplitudes ARE the decoded energies up to the constant
     // winlen factor (window-constant ±A samples → E = winlen·A²), so
@@ -3109,6 +3160,7 @@ object PipelineQueries {
     "repeated_spans" -> repeatedSpans _,
     "remove_repeated_spans" -> removeRepeatedSpans _,
     "image_dedup_dhash" -> imageDedupDhash _,
+    "image_dedup_clusters" -> imageDedupClusters _,
     "audio_dedup_energy" -> audioDedupEnergy _,
     "video_dedup_frames" -> videoDedupFrames _,
     "lang_id" -> langId _,

@@ -65,6 +65,30 @@ class ImageDedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cluster assignment: within-group members land in one component " +
+    "labeled by the min id, which is the kept canonical") {
+    val ids = (0L until 24L).toDF("doc_id") // 6 groups of 4
+    val hashes = ImageDedup.dHashDf(
+      ImageDedup.syntheticImages(ids, "doc_id"), "doc_id")
+    val pairs = ImageDedup.nearDupPairs(hashes, "doc_id",
+      maxHamming = 3, bandBits = 16)
+    val assign = graft.dedup.Clusters.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (g <- 0L until 6L; v <- 0L until 4L) {
+      val id = g * 4 + v
+      assert(assign.contains(id), s"id $id paired within its group, so it " +
+        "must receive a cluster")
+      // every group is fully connected (all pairwise distances <= 3),
+      // so the component label is AT MOST the group's min id (smaller
+      // only if a cross-group near-collision bridges components —
+      // legitimate, both engines see the same pairs)
+      assert(assign(id) <= g * 4,
+        s"id $id labeled ${assign(id)}, above its group min ${g * 4}")
+      assert(assign(id) === assign(g * 4),
+        s"group $g split: $id -> ${assign(id)} vs ${g * 4} -> ${assign(g * 4)}")
+    }
+  }
+
   test("thresholds beyond the pigeonhole refuse per band width; " +
     "non-pixel formats refuse at the decode seam") {
     val ids = Seq(1L).toDF("doc_id")
