@@ -1,0 +1,62 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HAMMING-SPACE k-NN over 64-bit perceptual fingerprints —
+  * multi-index hashing (Norouzi, Punjani & Fleet, Fast Search in
+  * Hamming Space with Multi-Index Hashing, CVPR 2012): the retrieval
+  * counterpart of the dedup blocking. Each `bandBits`-bit substring of
+  * the fingerprint is an inverted index; a query probes each of its
+  * substrings' postings, and for search radius `r < bands` the
+  * pigeonhole principle makes the candidate union EXACT — every
+  * fingerprint within `r` shares at least one substring with the
+  * query, so radius-bounded k-NN returns exactly what a brute-force
+  * scan would.
+  *
+  * Spark shape: probes band-explode and equi-join the band-exploded
+  * index on (band, value) — probe postings-lookup as a hash join, no
+  * per-query loop — then exact XOR-popcount re-check, then a bounded
+  * top-k aggregate ([[graft.functions.HammingTopKAgg]]) whose map-side
+  * partials carry at most k rows per (probe, partition) into the
+  * shuffle (a window rank would sort the full candidate set). At
+  * 100 TB: the index side is the big table, hash-partitioned by band
+  * value; the probe side is small and broadcastable; candidates per
+  * probe are governed by band selectivity (`~ 4·N/2^16` at 16-bit
+  * bands — the documented knob, same trade as the dedup blocking).
+  */
+object HammingKnn {
+
+  /** The k nearest fingerprints (exact Hamming, `ham ASC, id ASC`)
+    * within `radius` of each probe, self excluded. Emits
+    * `(probe_id, neighbor_id, hamming, rnk)`; probes with no neighbor
+    * inside the radius emit nothing. `radius < 64/bandBits` keeps the
+    * pigeonhole exact.
+    */
+  def knnWithinRadius(hashes: DataFrame, probes: DataFrame, idCol: String,
+      k: Int, radius: Int, bandBits: Int = 16): DataFrame = {
+    ImageDedup.requireExactPigeonhole(radius, bandBits)
+    require(k >= 1, s"k=$k must be >= 1")
+    val idx = ImageDedup.bandExploded(
+      hashes.select(col(idCol), col("h_hi"), col("h_lo")), bandBits)
+    val q = ImageDedup.bandExploded(
+      probes.select(col(idCol), col("h_hi"), col("h_lo")), bandBits)
+      .select(col(idCol).as("probe_id"), col("h_hi").as("qhi"),
+        col("h_lo").as("qlo"), col("band"), col("bv"))
+    val cands = q.join(idx, Seq("band", "bv"))
+      .filter(col("probe_id") =!= col(idCol))
+      .select(col("probe_id"), col(idCol).as("nn_id"),
+        col("qhi"), col("qlo"), col("h_hi"), col("h_lo"))
+      .distinct() // fingerprints sharing several bands are one candidate
+      .withColumn("hamming",
+        (bit_count(col("qhi").bitwiseXOR(col("h_hi"))) +
+          bit_count(col("qlo").bitwiseXOR(col("h_lo")))).cast("long"))
+      .filter(col("hamming") <= radius)
+    val topK = graft.functions.HammingTopKAgg(k)
+    cands.groupBy("probe_id")
+      .agg(topK(col("hamming"), col("nn_id")).as("hits"))
+      .select(col("probe_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("probe_id"), col("hit.nnId").as("neighbor_id"),
+        col("hit.ham").as("hamming"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+}

@@ -1012,6 +1012,26 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Hamming-space k-NN over the image fingerprints
+    * ([[graft.multimodal.HammingKnn]] — multi-index hashing): every
+    * 10th document's fingerprint probes the banded inverted index for
+    * its 5 nearest neighbors within radius 3 (exact by pigeonhole).
+    * The oracle replays the fingerprints in closed form and ranks by
+    * brute force — equality proves the banded probe path loses no
+    * neighbor inside the radius.
+    */
+  def mediaHammingKnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{HammingKnn, ImageDedup}
+    val hashes = mediaHashCache.get(spark, dir + "#image") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"), "doc_id")
+    }
+    val probes = hashes.filter(col("doc_id") % 10 === 0)
+    HammingKnn.knnWithinRadius(hashes, probes, "doc_id",
+      k = 5, radius = 3, bandBits = 16)
+      .orderBy("probe_id", "rnk")
+  }
+
   /** VIDEO near-duplicate detection ([[graft.multimodal.VideoDedup]]):
     * deterministic synthetic GVID clips (8–10 real PNG/BMP frames;
     * near-dup groups of 4 whose variants REPLACE intro frames) are
@@ -2837,6 +2857,26 @@ object PipelineQueries {
          |SELECT id AS doc_id, min(r) AS cluster_id,
          |       CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // Brute-force rank over the closed-form fingerprints: the banded
+    // probe path must lose no neighbor within the radius (pigeonhole),
+    // so its top-5 equals this exhaustive scan's
+    "media_hamming_knn" ->
+      raw"""WITH $imageDhashCtes,
+         |probes AS (SELECT id, hi, lo FROM hh WHERE id % 10 = 0),
+         |scored AS (
+         |  SELECT p.id AS probe_id, h.id AS neighbor_id,
+         |         CAST(bit_count(xor(p.hi, h.hi)) +
+         |              bit_count(xor(p.lo, h.lo)) AS BIGINT) AS hamming
+         |  FROM probes p JOIN hh h ON h.id <> p.id
+         |  WHERE bit_count(xor(p.hi, h.hi)) +
+         |        bit_count(xor(p.lo, h.lo)) <= 3),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, hamming,
+         |         row_number() OVER (PARTITION BY probe_id
+         |                            ORDER BY hamming, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, hamming, CAST(rn AS BIGINT) AS rnk
+         |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rnk""".stripMargin,
     // Closed-form replay of the audio-dedup pipeline: the generator's
     // window amplitudes ARE the decoded energies up to the constant
     // winlen factor (window-constant ±A samples → E = winlen·A²), so
@@ -3161,6 +3201,7 @@ object PipelineQueries {
     "remove_repeated_spans" -> removeRepeatedSpans _,
     "image_dedup_dhash" -> imageDedupDhash _,
     "image_dedup_clusters" -> imageDedupClusters _,
+    "media_hamming_knn" -> mediaHammingKnn _,
     "audio_dedup_energy" -> audioDedupEnergy _,
     "video_dedup_frames" -> videoDedupFrames _,
     "lang_id" -> langId _,
