@@ -119,17 +119,11 @@ object ImageDedup {
     }(enc)
   }
 
-  /** Near-duplicate pairs among `(idCol, h_hi, h_lo)` fingerprints:
-    * Hamming-banded candidate join + exact popcount re-check.
-    * `maxHamming < 64/bandBits` keeps the pigeonhole exact; see the
-    * object doc for the band-width selectivity trade (16-bit bands are
-    * the registered billion-image configuration).
-    */
   /** Validates the exact-pigeonhole contract shared by every 64-bit
     * Hamming-band blocking join: `64/bandBits` bands, candidate
     * recall is exact only for `maxHamming < bands`.
     */
-  private[multimodal] def requireExactPigeonhole(
+  private[graft] def requireExactPigeonhole(
       maxHamming: Int, bandBits: Int): Unit = {
     require(bandBits == 8 || bandBits == 16,
       s"bandBits=$bandBits: the 32-bit halves split evenly at 8 or 16")
@@ -145,7 +139,7 @@ object ImageDedup {
     * thread extra join keys (e.g. the video frame index) alongside
     * `(h_hi, h_lo)`.
     */
-  private[multimodal] def bandExploded(
+  private[graft] def bandExploded(
       hashes: DataFrame, bandBits: Int): DataFrame = {
     val nBands = 64 / bandBits
     val perHalf = 32 / bandBits
@@ -162,6 +156,12 @@ object ImageDedup {
       .select(carried :+ col("b.band").as("band") :+ col("b.bv").as("bv"): _*)
   }
 
+  /** Near-duplicate pairs among `(idCol, h_hi, h_lo)` fingerprints:
+    * Hamming-banded candidate join + exact popcount re-check.
+    * `maxHamming < 64/bandBits` keeps the pigeonhole exact; see the
+    * object doc for the band-width selectivity trade (16-bit bands are
+    * the registered billion-image configuration).
+    */
   def nearDupPairs(hashes: DataFrame, idCol: String,
       maxHamming: Int, bandBits: Int = 16): DataFrame = {
     requireExactPigeonhole(maxHamming, bandBits)

@@ -1032,6 +1032,47 @@ object PipelineQueries {
       .orderBy("probe_id", "rnk")
   }
 
+  /** INCREMENTAL media dedup
+    * ([[graft.dedup.FingerprintDedupIndex]] — the daily-ingest path):
+    * bootstrap the fingerprint index from a third of the image corpus
+    * (whole near-dup groups), then drive two batches through
+    * dedupBatch→admit — batch 2 deduplicates against corpus ∪ batch-1
+    * kept, proving the index actually GROWS. The oracle replays the
+    * full two-batch arc (banded cross matches, intra-batch components,
+    * index membership evolution) from the closed-form fingerprints.
+    */
+  def mediaDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.IncrementalTable
+    import graft.dedup.FingerprintDedupIndex
+    import graft.multimodal.ImageDedup
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified, "mediainc1").hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_mediainc_$key"
+    val decisions = new IncrementalTable(spark, s"$base/decisions")
+    val complete = decisions.exists && decisions.latestVersion.contains(1L)
+    if (!complete) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val hashes = mediaHashCache.get(spark, dir + "#image") {
+        val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+        ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"), "doc_id")
+      }
+      def slice(r: Int) = hashes.filter(expr(s"(doc_id div 4) % 3 = $r"))
+      val idx = new FingerprintDedupIndex(spark, s"$base/index", "doc_id",
+        maxHamming = 3, bandBits = 16)
+      idx.bootstrap(slice(0))
+      val dec = new IncrementalTable(spark, s"$base/decisions")
+      val b1 = slice(1)
+      val d1 = idx.dedupBatch(b1).localCheckpoint()
+      idx.admit(b1, d1)
+      dec.append(d1.withColumn("batch", lit(1L)))
+      dec.append(idx.dedupBatch(slice(2)).withColumn("batch", lit(2L)))
+    }
+    new IncrementalTable(spark, s"$base/decisions").snapshot()
+      .select("doc_id", "batch", "status", "kept")
+      .orderBy("doc_id")
+  }
+
   /** VIDEO near-duplicate detection ([[graft.multimodal.VideoDedup]]):
     * deterministic synthetic GVID clips (8–10 real PNG/BMP frames;
     * near-dup groups of 4 whose variants REPLACE intro frames) are
@@ -1720,6 +1761,47 @@ object PipelineQueries {
        |         a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)""".stripMargin
+
+  /** One incremental-media-dedup batch's oracle CTE group (the
+    * [[incDedupOracle]] construction on Hamming fingerprints):
+    * cross matches against the `idxCte` membership (self excluded),
+    * intra-batch pairs among survivors, recursive min-label
+    * components, decisions. `pred(x)` is the batch-membership
+    * predicate applied to an id expression.
+    */
+  private def fpIncCtes(tag: String, idxCte: String,
+      pred: String => String): String =
+    raw"""cross_$tag AS (
+       |  SELECT DISTINCT n.id AS id
+       |  FROM bands n JOIN bands c ON c.band = n.band AND c.bv = n.bv
+       |  JOIN $idxCte i ON i.id = c.id
+       |  WHERE ${pred("n.id")} AND c.id <> n.id
+       |    AND bit_count(xor(n.hi, c.hi)) + bit_count(xor(n.lo, c.lo)) <= 3),
+       |pairs_$tag AS (
+       |  SELECT DISTINCT a.id AS pa, b.id AS pb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+       |  WHERE ${pred("a.id")} AND ${pred("b.id")}
+       |    AND a.id NOT IN (SELECT id FROM cross_$tag)
+       |    AND b.id NOT IN (SELECT id FROM cross_$tag)
+       |    AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+       |nodes_$tag AS (SELECT pa AS id FROM pairs_$tag
+       |               UNION SELECT pb FROM pairs_$tag),
+       |edges_$tag AS (SELECT pa AS src, pb AS dst FROM pairs_$tag
+       |               UNION SELECT pb, pa FROM pairs_$tag),
+       |reach_$tag AS (
+       |  SELECT id, id AS r FROM nodes_$tag
+       |  UNION
+       |  SELECT e.src, reach_$tag.r
+       |  FROM edges_$tag e JOIN reach_$tag ON e.dst = reach_$tag.id),
+       |comp_$tag AS (SELECT id, min(r) AS cl FROM reach_$tag GROUP BY id),
+       |dec_$tag AS (
+       |  SELECT h.id AS doc_id,
+       |         CASE WHEN h.id IN (SELECT id FROM cross_$tag) THEN 'dup_corpus'
+       |              WHEN c.cl IS NOT NULL AND c.cl <> h.id THEN 'dup_batch'
+       |              ELSE 'kept' END AS status
+       |  FROM hh h LEFT JOIN comp_$tag c ON c.id = h.id
+       |  WHERE ${pred("h.id")})""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ann_ivf_topk" -> ivfReplaySql,
@@ -2857,6 +2939,28 @@ object PipelineQueries {
          |SELECT id AS doc_id, min(r) AS cluster_id,
          |       CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // Full replay of the two-batch incremental arc over the
+    // closed-form fingerprints: batch-1 decisions against the
+    // bootstrap third, index grows by batch-1 kept, batch-2 decisions
+    // against the grown membership — the index tables, pruning and
+    // admit watermarking on the Spark side are proven by the MATCH
+    "media_dedup_incremental" -> {
+      def p(r: Int): String => String = x => s"($x // 4) % 3 = $r"
+      raw"""WITH RECURSIVE $imageDhashCtes,
+         |idx_c0 AS (SELECT id FROM hh WHERE (id // 4) % 3 = 0),
+         |${fpIncCtes("b1", "idx_c0", p(1))},
+         |idx_c1 AS (SELECT id FROM idx_c0
+         |           UNION ALL
+         |           SELECT doc_id FROM dec_b1 WHERE status = 'kept'),
+         |${fpIncCtes("b2", "idx_c1", p(2))}
+         |SELECT doc_id, CAST(1 AS BIGINT) AS batch, status,
+         |       CAST(status = 'kept' AS BIGINT) AS kept
+         |FROM dec_b1
+         |UNION ALL
+         |SELECT doc_id, CAST(2 AS BIGINT), status, CAST(status = 'kept' AS BIGINT)
+         |FROM dec_b2
+         |ORDER BY doc_id""".stripMargin
+    },
     // Brute-force rank over the closed-form fingerprints: the banded
     // probe path must lose no neighbor within the radius (pigeonhole),
     // so its top-5 equals this exhaustive scan's
@@ -3202,6 +3306,7 @@ object PipelineQueries {
     "image_dedup_dhash" -> imageDedupDhash _,
     "image_dedup_clusters" -> imageDedupClusters _,
     "media_hamming_knn" -> mediaHammingKnn _,
+    "media_dedup_incremental" -> mediaDedupIncremental _,
     "audio_dedup_energy" -> audioDedupEnergy _,
     "video_dedup_frames" -> videoDedupFrames _,
     "lang_id" -> langId _,

@@ -1,0 +1,117 @@
+package graft.dedup
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Incremental media near-dup detection against a persisted
+  * fingerprint index ([[FingerprintDedupIndex]]): decisions, index
+  * growth, idempotent admits, takedown, and the single-table
+  * exactly-once property.
+  *
+  * Fingerprints are crafted 64-bit values (the index is
+  * modality-agnostic over (id, h_hi, h_lo) — the codec seams are
+  * proven in the modality specs): distances are controlled bit flips.
+  */
+class FingerprintDedupIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def freshIndex(): FingerprintDedupIndex = {
+    val base = Files.createTempDirectory("fpi_").toString + "/idx"
+    new FingerprintDedupIndex(spark, base, "doc_id",
+      maxHamming = 3, bandBits = 16)
+  }
+
+  private def fps(rows: (Long, Long, Long)*): DataFrame =
+    rows.toDF("doc_id", "h_hi", "h_lo")
+
+  private def decisionMap(d: DataFrame): Map[Long, String] =
+    d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  // two fingerprint families, far apart (>= 16 bits)
+  private val A = (0x0L, 0x0L)
+  private val B = (0xFFFF0000L, 0x0000FFFFL)
+  private def near(h: (Long, Long), flips: Long): (Long, Long) =
+    (h._1, h._2 ^ flips) // flip low bits: distance = popcount(flips)
+
+  test("batch decisions: dup_corpus within radius, dup_batch components " +
+    "keep the min id, unique fingerprints kept") {
+    val idx = freshIndex()
+    idx.bootstrap(fps((1L, A._1, A._2)))
+    val nearA = near(A, 3L) // 2 bits from A -> dup_corpus
+    val b = near(B, 1L) // 1 bit from B
+    val d = decisionMap(idx.dedupBatch(fps(
+      (10L, nearA._1, nearA._2),
+      (11L, B._1, B._2), (12L, b._1, b._2), // intra pair, min 11 kept
+      (13L, 0x00FF00FFL, 0x0L)))) // unique
+    assert(d === Map(10L -> "dup_corpus", 11L -> "kept",
+      12L -> "dup_batch", 13L -> "kept"))
+  }
+
+  test("admit grows the index: batch 2 dups against batch 1's kept; " +
+    "batch-1 dups are NOT anchors") {
+    val idx = freshIndex()
+    idx.bootstrap(fps((1L, A._1, A._2)))
+    val b1 = fps((10L, B._1, B._2), (11L, near(B, 1L)._1, near(B, 1L)._2))
+    val d1 = idx.dedupBatch(b1)
+    assert(decisionMap(d1) === Map(10L -> "kept", 11L -> "dup_batch"))
+    idx.admit(b1, d1)
+    // near the admitted 10 -> dup_corpus; 8 bits from everything -> kept
+    // (dropped fingerprints like 11 were never admitted)
+    val d2 = decisionMap(idx.dedupBatch(fps(
+      (20L, near(B, 2L)._1, near(B, 2L)._2),
+      (21L, B._1 ^ 0xF0F0L, B._2))))
+    assert(d2(20L) === "dup_corpus")
+    assert(d2(21L) === "kept", "8 bits from every anchor must be kept")
+  }
+
+  test("batch components span transitively through a shared neighbor " +
+    "and keep exactly the min id") {
+    val idx = freshIndex()
+    idx.bootstrap(fps((1L, A._1, A._2)))
+    val p = near(B, 0L) // far from the A anchor: not a corpus dup
+    val q = near(B, 7L) // flips {0,1,2}: d(p)=3 -> pair with p
+    val r = near(B, 0x46L) // flips {1,2,6}: d(p)=3 -> pair with p
+    val d = decisionMap(idx.dedupBatch(fps(
+      (30L, p._1, p._2), (31L, q._1, q._2), (32L, r._1, r._2))))
+    // p connects q and r -> one component, min 30 kept
+    assert(d === Map(30L -> "kept", 31L -> "dup_batch", 32L -> "dup_batch"))
+  }
+
+  test("idempotent admit: a replayed batch neither re-commits nor " +
+    "flags itself dup_corpus on re-dedup") {
+    val idx = freshIndex()
+    idx.bootstrap(fps((1L, A._1, A._2)))
+    val b1 = fps((10L, B._1, B._2))
+    val d1 = idx.dedupBatch(b1).localCheckpoint()
+    idx.admitIdempotent(b1, d1, batchId = 1L)
+    val vAfter = idx.fpTable.latestVersion.get
+    // replay: the watermark short-circuits the commit
+    idx.admitIdempotent(b1, d1, batchId = 1L)
+    assert(idx.fpTable.latestVersion.get === vAfter, "replayed admit committed")
+    // and re-running dedupBatch on the already-admitted batch does not
+    // see itself as a corpus dup (the self-match guard)
+    assert(decisionMap(idx.dedupBatch(b1))(10L) === "kept")
+  }
+
+  test("TAKEDOWN: remove() retracts a fingerprint merge-on-read; its " +
+    "near-dups stop being rejected; un-bootstrapped/empty refusals") {
+    val idx = freshIndex()
+    idx.bootstrap(fps((1L, A._1, A._2), (2L, B._1, B._2)))
+    val probe = fps((10L, near(A, 1L)._1, near(A, 1L)._2))
+    assert(decisionMap(idx.dedupBatch(probe))(10L) === "dup_corpus")
+    idx.remove(Seq(1L))
+    assert(idx.fpTable.snapshot().filter(col("doc_id") === 1L).count() === 0L)
+    assert(decisionMap(idx.dedupBatch(probe))(10L) === "kept",
+      "removed fingerprints must not stay ghost anchors")
+    idx.remove(Seq(1L)) // idempotent
+    intercept[IllegalArgumentException](idx.remove(Seq.empty))
+    val cold = freshIndex()
+    intercept[IllegalArgumentException](cold.dedupBatch(probe))
+    intercept[IllegalArgumentException](cold.remove(Seq(1L)))
+  }
+}
