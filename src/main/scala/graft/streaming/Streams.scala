@@ -164,6 +164,39 @@ object Streams {
       }
   }
 
+  /** Exactly-once STREAMING media dedup — [[corpusDedupSink]]'s shape
+    * over the single-table [[graft.dedup.FingerprintDedupIndex]]: each
+    * micro-batch of fingerprints `(id, h_hi, h_lo)` is deduped against
+    * the persisted index, its kept fingerprints admitted, and its
+    * per-id decisions appended to `decisions` — the continuous-ingest
+    * form of the `media_dedup_incremental` batch arc. The same layered
+    * idempotence (decisions watermark gates the unit, the admit
+    * watermark guards the index commit, the self-match guard covers a
+    * fully-admitted replay) with one FEWER failure window: the index
+    * is one table, so there is no half-admitted interleaving at all.
+    */
+  def mediaDedupSink(idx: graft.dedup.FingerprintDedupIndex,
+      decisions: graft.lake.IncrementalTable,
+      maintainEvery: Int = 0): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val Op = """stream_fp_dedup\[batch=(\d+)\]""".r
+      val wm: Option[Long] = decisions.latestVersion.flatMap { latest =>
+        (latest to 0L by -1).iterator
+          .takeWhile(decisions.versionExists)
+          .map(decisions.operationAt)
+          .collectFirst { case Op(id) => id.toLong }
+      }
+      if (!wm.exists(batchId <= _) && !batch.isEmpty) {
+        val d = idx.dedupBatch(batch)
+        idx.admitIdempotent(batch, d, batchId)
+        val rows = d.withColumn("batch", lit(batchId))
+        decisions.commitFiles(decisions.stage(rows), Set.empty,
+          s"stream_fp_dedup[batch=$batchId]", schema = Some(rows.schema))
+        if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0)
+          Seq(idx.fpTable, decisions).foreach(_.compactSmall())
+      }
+  }
+
   /** Streaming-maintained MATERIALIZED VIEWS: the exactly-once append
     * of [[incrementalAppendSink]] followed by an affected-key refresh
     * of each downstream [[graft.lake.IncrementalView]], all inside the

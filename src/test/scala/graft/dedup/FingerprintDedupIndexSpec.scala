@@ -98,6 +98,40 @@ class FingerprintDedupIndexSpec extends AnyFunSuite with SparkSpec {
     assert(decisionMap(idx.dedupBatch(b1))(10L) === "kept")
   }
 
+  test("streaming sink: decisions accumulate, replay no-ops on both " +
+    "tables, maintenance cadence packs the tail") {
+    import graft.lake.IncrementalTable
+    val idx = freshIndex()
+    idx.bootstrap(fps((1L, A._1, A._2)))
+    val dec = new IncrementalTable(spark,
+      Files.createTempDirectory("fpi_dec_").toString + "/d")
+    val sink = graft.streaming.Streams.mediaDedupSink(idx, dec,
+      maintainEvery = 2)
+    sink(fps((10L, B._1, B._2)), 0L) // kept + admitted
+    sink(fps((20L, near(B, 1L)._1, near(B, 1L)._2)), 1L) // dup of 10
+    sink(fps((30L, 0x00FF00FFL, 0x0L)), 2L) // kept; cadence hit
+    val rows = dec.snapshot().select("doc_id", "status", "batch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set((10L, "kept", 0L), (20L, "dup_corpus", 1L),
+      (30L, "kept", 2L)))
+    // replay batch 1: decisions AND the index unchanged
+    val decV = dec.latestVersion.get
+    val idxV = idx.fpTable.latestVersion.get
+    sink(fps((20L, near(B, 1L)._1, near(B, 1L)._2)), 1L)
+    assert(dec.latestVersion.get === decV)
+    assert(idx.fpTable.latestVersion.get === idxV)
+    // cadence: the index's newest ops include a bin-packing, each
+    // fingerprint indexed exactly once, dedup still works after
+    val ops = (0L to idx.fpTable.latestVersion.get)
+      .map(idx.fpTable.operationAt)
+    assert(ops.exists(_.startsWith("compact-small")), ops.toString)
+    val dupRows = idx.fpTable.snapshot()
+      .groupBy("doc_id", "band").count().filter(col("count") > 1).count()
+    assert(dupRows === 0L)
+    assert(decisionMap(idx.dedupBatch(
+      fps((99L, near(B, 2L)._1, near(B, 2L)._2))))(99L) === "dup_corpus")
+  }
+
   test("TAKEDOWN: remove() retracts a fingerprint merge-on-read; its " +
     "near-dups stop being rejected; un-bootstrapped/empty refusals") {
     val idx = freshIndex()
