@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, concat_ws, count, expr, length, lit, md5, pmod, posexplode, repeat, row_number, sha2, split, sum, when}
+import org.apache.spark.sql.functions.{col, concat, concat_ws, count, expr, length, lit, md5, pmod, xxhash64, posexplode, repeat, row_number, sha2, split, sum, when}
 
 /** Empirical 1×/10× scaling evidence for SCALE.md.
   *
@@ -1026,6 +1026,62 @@ object ScaleEvidence {
         f""""audio_hash_s":$aS%.2f,"shuffle_read_mb":${(vRd + aRd) / 1e6}%.1f}""")
     }
 
+    /** Experiment: incremental media dedup cost vs INDEX size. A
+      * constant batch against a 1×/10× fingerprint index: the pruned
+      * path (small batch — band-value set under the 256-key predicate
+      * rule) must stay ~FLAT because stats skip the untouched
+      * (band, bv)-clustered files; the large batch documents the
+      * fallback — the index scan grows with the table but STREAMS
+      * through the broadcast join (shuffle stays batch-sized), the
+      * same contract the text index measured (inc_dedup).
+      */
+    var mediaIncRun = 0
+    def mediaIncExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      import graft.dedup.FingerprintDedupIndex
+      val n = 100000L * k
+      mediaIncRun += 1
+      val dir = s"$base/mediainc_x${k}_r$mediaIncRun/idx"
+      val corpus = spark.range(n).select(col("id").as("doc_id"),
+        // well-spread deterministic fingerprints (hash-derived halves,
+        // masked to the 32-bit contract)
+        pmod(xxhash64(col("id")), lit(1L << 32)).as("h_hi"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1L << 32)).as("h_lo"))
+      val idx = new FingerprintDedupIndex(spark, dir, "doc_id",
+        maxHamming = 3, bandBits = 16)
+      val buildT0 = System.nanoTime()
+      idx.bootstrap(corpus)
+      val buildS = (System.nanoTime() - buildT0) / 1e9
+      // constant batches: 40 ids re-using corpus fingerprints (every
+      // one a dup_corpus — the probe must FIND them) + 10 fresh
+      def batchOf(sz: Int): org.apache.spark.sql.DataFrame =
+        corpus.filter(col("doc_id") < sz * 4 / 5)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            col("h_hi"), col("h_lo"))
+          .unionByName(spark.range(sz / 5).select(
+            (col("id") + 20000000L).as("doc_id"),
+            pmod(xxhash64(col("id"), lit(7)), lit(1L << 32)).as("h_hi"),
+            pmod(xxhash64(col("id"), lit(9)), lit(1L << 32)).as("h_lo")))
+      def timedDedup(sz: Int): (Double, Long, Long) = {
+        tally.drain()
+        val (r0, _) = tally.snapshot
+        val t0 = System.nanoTime()
+        val d = idx.dedupBatch(batchOf(sz))
+        val dups = d.filter(col("status") === "dup_corpus").count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        tally.drain()
+        val (r1, _) = tally.snapshot
+        (secs, dups, r1 - r0)
+      }
+      val (smallS, smallDups, smallRd) = timedDedup(50) // pruned path
+      val (largeS, largeDups, largeRd) = timedDedup(2000) // full-scan path
+      require(smallDups == 40L && largeDups == 1600L,
+        s"probe recall drifted: $smallDups/$largeDups corpus dups found")
+      println(f"""{"scale":$k,"experiment":"media_inc","index_rows":$n,""" +
+        f""""build_s":$buildS%.1f,"small_batch_s":$smallS%.2f,""" +
+        f""""small_shuffle_mb":${smallRd / 1e6}%.1f,""" +
+        f""""large_batch_s":$largeS%.2f,"large_shuffle_mb":${largeRd / 1e6}%.1f}""")
+    }
+
     if (want("incr_view")) scales.foreach(k => viewExperiment(base, k))
     if (want("scd_inc")) scales.foreach(k => scdIncExperiment(base, k))
     if (want("stream_ingest")) scales.foreach(k => streamIngestExperiment(base, k))
@@ -1043,6 +1099,7 @@ object ScaleEvidence {
     if (want("stats_agg")) scales.foreach(k => statsAggExperiment(base, k))
     if (want("bpe")) scales.foreach(k => bpeExperiment(k))
     if (want("media_dedup")) scales.foreach(k => mediaDedupExperiment(k))
+    if (want("media_inc")) scales.foreach(k => mediaIncExperiment(base, k))
     spark.stop()
   }
 }
