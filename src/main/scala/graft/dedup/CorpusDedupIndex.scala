@@ -52,7 +52,16 @@ class CorpusDedupIndex(
   val sizesTable = new IncrementalTable(spark, s"$base/sizes")
   val shinglesTable = new IncrementalTable(spark, s"$base/shingles")
 
-  def exists: Boolean = bandsTable.exists
+  /** Bootstrapped means the bands table has a DATA-BEARING commit:
+    * bands commit LAST in [[bootstrap]], so this is the whole-index
+    * durability marker — and requiring a version past the write-order
+    * config (version 0) closes the crash window between the config
+    * commit and the data landing, which would otherwise leave a
+    * permanently "bootstrapped" index with an empty candidate side
+    * (zero corpus recall, silently).
+    */
+  def exists: Boolean =
+    bandsTable.exists && bandsTable.latestVersion.exists(_ >= 1)
 
   /** Index rows of a document frame: (bands, sizes, shingles). The
     * shingle frame is persisted by the caller when it feeds several
@@ -77,13 +86,16 @@ class CorpusDedupIndex(
       val (b, s, shr) = indexRows(sh)
       // bands LAST (see [[admitIdempotent]]): candidates come only
       // from the bands table, so docs become visible only once their
-      // verify-side rows (shingles, sizes) are durable
-      shinglesTable.setWriteOrder(idCol)
-      shinglesTable.append(shr)
-      sizesTable.setWriteOrder(idCol)
-      sizesTable.append(s)
-      bandsTable.setWriteOrder("band_no", "bucket")
-      bandsTable.append(b)
+      // verify-side rows (shingles, sizes) are durable. Snapshot
+      // writes (not appends) + conditional config commits make a
+      // re-run after ANY mid-bootstrap crash converge instead of
+      // duplicating the half-written tables' rows.
+      if (!shinglesTable.exists) shinglesTable.setWriteOrder(idCol)
+      shinglesTable.writeSnapshot(shr)
+      if (!sizesTable.exists) sizesTable.setWriteOrder(idCol)
+      sizesTable.writeSnapshot(s)
+      if (!bandsTable.exists) bandsTable.setWriteOrder("band_no", "bucket")
+      bandsTable.writeSnapshot(b)
     } finally sh.unpersist()
   }
 
@@ -279,18 +291,8 @@ object CorpusDedupIndex {
 
   private val AdmitOp = """dedup_admit\[batch=(\d+)\]""".r
 
-  /** Newest `dedup_admit` micro-batch id committed to `t` — the
-    * [[graft.streaming.Streams.incrementalAppendSink]] watermark scan:
-    * newest→oldest, stop at the first admit commit or the first
-    * vacuumed manifest. Admits commit in increasing batch-id order, so
-    * the first hit is the high watermark.
-    */
-  private[graft] def admitWatermark(
-      t: IncrementalTable): Option[Long] =
-    t.latestVersion.flatMap { latest =>
-      (latest to 0L by -1).iterator
-        .takeWhile(t.versionExists)
-        .map(t.operationAt)
-        .collectFirst { case AdmitOp(id) => id.toLong }
-    }
+  /** Newest `dedup_admit` micro-batch id committed to `t` (the shared
+    * [[IncrementalTable.latestOpId]] high-watermark walk). */
+  private[graft] def admitWatermark(t: IncrementalTable): Option[Long] =
+    t.latestOpId(AdmitOp)
 }

@@ -46,7 +46,14 @@ class FingerprintDedupIndex(
 
   val fpTable = new IncrementalTable(spark, s"$base/fps")
 
-  def exists: Boolean = fpTable.exists
+  /** Bootstrapped means a DATA-BEARING commit exists, not just the
+    * write-order config (version 0): a crash between
+    * [[bootstrap]]'s setWriteOrder and its append must not leave a
+    * permanently "bootstrapped" EMPTY index that silently returns
+    * zero corpus recall forever — re-running bootstrap completes it
+    * instead.
+    */
+  def exists: Boolean = fpTable.exists && fpTable.latestVersion.exists(_ >= 1)
 
   private def bandRows(hashes: DataFrame): DataFrame =
     ImageDedup.bandExploded(
@@ -60,7 +67,9 @@ class FingerprintDedupIndex(
     */
   def bootstrap(hashes: DataFrame): Unit = {
     require(!exists, s"fingerprint index at $base is already bootstrapped")
-    fpTable.setWriteOrder("band", "bv")
+    // a half-bootstrapped table (config committed, crash before the
+    // data landed) resumes here: the write order is already declared
+    if (!fpTable.exists) fpTable.setWriteOrder("band", "bv")
     fpTable.append(bandRows(hashes))
   }
 
@@ -176,13 +185,8 @@ class FingerprintDedupIndex(
 object FingerprintDedupIndex {
   private val AdmitOp = """fp_admit\[batch=(\d+)\]""".r
 
-  /** Newest `fp_admit` micro-batch id committed — the same
-    * newest→oldest watermark walk as [[CorpusDedupIndex]]. */
+  /** Newest `fp_admit` micro-batch id committed (the shared
+    * [[IncrementalTable.latestOpId]] high-watermark walk). */
   private[graft] def admitWatermark(t: IncrementalTable): Option[Long] =
-    t.latestVersion.flatMap { latest =>
-      (latest to 0L by -1).iterator
-        .takeWhile(t.versionExists)
-        .map(t.operationAt)
-        .collectFirst { case AdmitOp(id) => id.toLong }
-    }
+    t.latestOpId(AdmitOp)
 }

@@ -612,6 +612,24 @@ final class IncrementalTable(
   /** The operation string version `v` was committed with. */
   def operationAt(v: Long): String = readManifestParts(v)._1
 
+  /** Newest version whose operation matches `re`, decoded as the
+    * regex's single numeric group — the high-watermark walk every
+    * idempotent batch consumer shares (streaming sinks, dedup-index
+    * admits): newest→oldest, stop at the first match or the first
+    * vacuumed (missing) manifest, O(commits since the last watermarked
+    * op). Watermarked ops commit in increasing id order, so the first
+    * hit IS the high watermark. If vacuum removed every watermarked
+    * manifest the guard is lost and a replayed batch re-applies — keep
+    * ≥ 2 versions when streaming (the Delta txn-log caveat).
+    */
+  def latestOpId(re: scala.util.matching.Regex): Option[Long] =
+    latestVersion.flatMap { latest =>
+      (latest to 0L by -1).iterator
+        .takeWhile(versionExists)
+        .map(operationAt)
+        .collectFirst { case re(id) => id.toLong }
+    }
+
   /** Commit-carried metadata of version `v` (e.g. identity watermarks).
     * Values ride the manifest, so reading them is one small file — no
     * table scan, and they time-travel with the version.

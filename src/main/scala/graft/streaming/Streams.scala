@@ -99,20 +99,9 @@ object Streams {
     // High-watermark idempotence: micro-batches commit in increasing
     // batchId order, so the NEWEST stream_append commit carries the
     // highest id — a replayed batch is a no-op iff its id <= that
-    // watermark. Scan newest→oldest and stop at the first
-    // stream_append commit or the first vacuumed (missing) manifest:
-    // O(commits since the last stream append) per batch, and a
-    // vacuumed history no longer throws. (If vacuum removed EVERY
-    // stream_append manifest and the failed batch then replays, the
-    // watermark is lost and the batch double-appends — same caveat as
-    // vacuuming Delta's txn log; keep ≥2 versions when streaming.)
-    val watermark: Option[Long] = table.latestVersion.flatMap { latest =>
-      (latest to 0L by -1).iterator
-        .takeWhile(table.versionExists)
-        .map(table.operationAt)
-        .collectFirst { case StreamOp(id) => id.toLong }
-    }
-    if (!watermark.exists(batchId <= _) && !batch.isEmpty) {
+    // watermark (`latestOpId` documents the walk and the vacuum
+    // caveat).
+    if (!table.latestOpId(StreamOp).exists(batchId <= _) && !batch.isEmpty) {
       table.append(batch, s"stream_append[batch=$batchId]")
       ()
     }
@@ -140,18 +129,26 @@ object Streams {
       maintainEvery: Int = 0): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       val Op = """stream_dedup\[batch=(\d+)\]""".r
-      val wm: Option[Long] = decisions.latestVersion.flatMap { latest =>
-        (latest to 0L by -1).iterator
-          .takeWhile(decisions.versionExists)
-          .map(decisions.operationAt)
-          .collectFirst { case Op(id) => id.toLong }
-      }
-      if (!wm.exists(batchId <= _) && !batch.isEmpty) {
-        val d = idx.dedupBatch(batch)
-        idx.admitIdempotent(batch, d, batchId)
-        val rows = d.withColumn("batch", lit(batchId))
-        decisions.commitFiles(decisions.stage(rows), Set.empty,
-          s"stream_dedup[batch=$batchId]", schema = Some(rows.schema))
+      if (!batch.isEmpty) {
+        // decisions commit FIRST, then admit FROM THE STORED rows: the
+        // decisions table is the single source of truth for the kept
+        // set. The old order (admit, then decisions) had a window —
+        // crash between the two, and the replayed dedupBatch could
+        // re-split a component whose anchor was now indexed, changing
+        // which ids came back kept while the admit watermark refused
+        // to admit the new kept set. Now the kept set is frozen at the
+        // decisions commit; a crash before it replays a deterministic
+        // dedupBatch against an UNCHANGED index, and a crash after it
+        // replays straight to the admit, which reads the frozen rows.
+        if (!decisions.latestOpId(Op).exists(batchId <= _)) {
+          val d = idx.dedupBatch(batch)
+          val rows = d.withColumn("batch", lit(batchId))
+          decisions.commitFiles(decisions.stage(rows), Set.empty,
+            s"stream_dedup[batch=$batchId]", schema = Some(rows.schema))
+        }
+        val stored = decisions.snapshot()
+          .filter(col("batch") === batchId).drop("batch")
+        idx.admitIdempotent(batch, stored, batchId)
         // per-batch appends accrete a small-file tail on all four
         // tables; bin-pack it every `maintainEvery` batches. The
         // compactions commit datachange=false, so downstream CDF
@@ -169,29 +166,27 @@ object Streams {
     * micro-batch of fingerprints `(id, h_hi, h_lo)` is deduped against
     * the persisted index, its kept fingerprints admitted, and its
     * per-id decisions appended to `decisions` — the continuous-ingest
-    * form of the `media_dedup_incremental` batch arc. The same layered
-    * idempotence (decisions watermark gates the unit, the admit
-    * watermark guards the index commit, the self-match guard covers a
-    * fully-admitted replay) with one FEWER failure window: the index
-    * is one table, so there is no half-admitted interleaving at all.
+    * form of the `media_dedup_incremental` batch arc. Same
+    * decisions-first protocol as [[corpusDedupSink]] (the decisions
+    * commit freezes the kept set; the admit replays from the stored
+    * rows), with one FEWER failure window: the index is one table, so
+    * there is no half-admitted interleaving at all.
     */
   def mediaDedupSink(idx: graft.dedup.FingerprintDedupIndex,
       decisions: graft.lake.IncrementalTable,
       maintainEvery: Int = 0): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       val Op = """stream_fp_dedup\[batch=(\d+)\]""".r
-      val wm: Option[Long] = decisions.latestVersion.flatMap { latest =>
-        (latest to 0L by -1).iterator
-          .takeWhile(decisions.versionExists)
-          .map(decisions.operationAt)
-          .collectFirst { case Op(id) => id.toLong }
-      }
-      if (!wm.exists(batchId <= _) && !batch.isEmpty) {
-        val d = idx.dedupBatch(batch)
-        idx.admitIdempotent(batch, d, batchId)
-        val rows = d.withColumn("batch", lit(batchId))
-        decisions.commitFiles(decisions.stage(rows), Set.empty,
-          s"stream_fp_dedup[batch=$batchId]", schema = Some(rows.schema))
+      if (!batch.isEmpty) {
+        if (!decisions.latestOpId(Op).exists(batchId <= _)) {
+          val d = idx.dedupBatch(batch)
+          val rows = d.withColumn("batch", lit(batchId))
+          decisions.commitFiles(decisions.stage(rows), Set.empty,
+            s"stream_fp_dedup[batch=$batchId]", schema = Some(rows.schema))
+        }
+        val stored = decisions.snapshot()
+          .filter(col("batch") === batchId).drop("batch")
+        idx.admitIdempotent(batch, stored, batchId)
         if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0)
           Seq(idx.fpTable, decisions).foreach(_.compactSmall())
       }

@@ -205,6 +205,29 @@ class CorpusDedupIndexSpec extends AnyFunSuite with SparkSpec {
     assert(d.collect().map(r => r.getString(1)).toSeq === Seq("dup_corpus"))
   }
 
+  test("mid-bootstrap crash converges on re-run: no duplicate index " +
+    "rows, config-only bands table is not 'exists'") {
+    val idx = freshIndex()
+    // simulate a crash after the verify-side tables landed but before
+    // the bands data (worst window: the old append-based bootstrap
+    // would duplicate shingles/sizes on re-run, inflating Jaccard
+    // intersections)
+    val corpus = docs(1L -> baseText, 2L -> otherText)
+    val sh = Shingles.shingleHashes(corpus, "doc_id", "text", 3)
+    idx.shinglesTable.setWriteOrder("doc_id")
+    idx.shinglesTable.writeSnapshot(sh)
+    idx.bandsTable.setWriteOrder("band_no", "bucket") // config, no data
+    assert(!idx.exists, "a config-only bands table must not count as " +
+      "bootstrapped (empty candidate side = silent zero recall)")
+    idx.bootstrap(corpus) // resume: snapshot writes replace, not append
+    assert(idx.exists)
+    val dupSh = idx.shinglesTable.snapshot()
+      .groupBy("doc_id", "h").count().filter(col("count") > 1).count()
+    assert(dupSh === 0L, "re-run bootstrap duplicated shingle rows")
+    assert(decisionMap(idx.dedupBatch(docs(10L -> nearCopy)))(10L)
+      === "dup_corpus")
+  }
+
   test("replay after full admit but before the decisions commit") {
     import graft.lake.IncrementalTable
     val idx = freshIndex()

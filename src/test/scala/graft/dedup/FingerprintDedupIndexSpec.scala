@@ -132,6 +132,61 @@ class FingerprintDedupIndexSpec extends AnyFunSuite with SparkSpec {
       fps((99L, near(B, 2L)._1, near(B, 2L)._2))))(99L) === "dup_corpus")
   }
 
+  test("half-bootstrapped index (config committed, crash before data) " +
+    "is NOT 'exists'; re-running bootstrap completes it") {
+    val base = Files.createTempDirectory("fpi_half_").toString + "/idx"
+    val idx = new FingerprintDedupIndex(spark, base, "doc_id",
+      maxHamming = 3, bandBits = 16)
+    // simulate the crash window: the write-order config landed
+    // (version 0), the data append did not
+    idx.fpTable.setWriteOrder("band", "bv")
+    assert(!idx.exists,
+      "a config-only table must not count as bootstrapped — dedupBatch " +
+        "against it would silently return zero corpus recall forever")
+    intercept[IllegalArgumentException](
+      idx.dedupBatch(fps((9L, A._1, A._2))))
+    idx.bootstrap(fps((1L, A._1, A._2))) // resume completes
+    assert(idx.exists)
+    assert(decisionMap(idx.dedupBatch(
+      fps((9L, near(A, 1L)._1, near(A, 1L)._2))))(9L) === "dup_corpus")
+  }
+
+  test("sink crash between the decisions commit and the admit: replay " +
+    "admits exactly the FROZEN kept set (a chain component cannot " +
+    "re-split into a different kept set)") {
+    import graft.lake.IncrementalTable
+    val idx = freshIndex()
+    idx.bootstrap(fps((1L, A._1, A._2)))
+    val dec = new IncrementalTable(spark,
+      Files.createTempDirectory("fpi_dec_").toString + "/d")
+    // chain component: q and r are both within 3 of p but 6 apart —
+    // the round-13-review scenario where the OLD admit-first order
+    // could re-split the component on replay
+    val p = near(B, 0L); val q = near(B, 7L); val r = near(B, 0x38L)
+    val batch = fps((30L, p._1, p._2), (31L, q._1, q._2), (32L, r._1, r._2))
+    // simulate: decisions committed, crash before the admit
+    val d = idx.dedupBatch(batch).localCheckpoint()
+    assert(decisionMap(d) ===
+      Map(30L -> "kept", 31L -> "dup_batch", 32L -> "dup_batch"))
+    val rows = d.withColumn("batch", lit(5L))
+    dec.commitFiles(dec.stage(rows), Set.empty, "stream_fp_dedup[batch=5]",
+      schema = Some(rows.schema))
+    val idxVBefore = idx.fpTable.latestVersion.get
+    // the replayed micro-batch: skips the dedup (decisions watermark),
+    // admits from the STORED rows
+    graft.streaming.Streams.mediaDedupSink(idx, dec)(batch, 5L)
+    assert(idx.fpTable.latestVersion.get > idxVBefore, "admit must land")
+    val indexed = idx.fpTable.snapshot().select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(indexed === Set(1L, 30L),
+      "exactly the frozen kept set joins the index — not a re-split one")
+    // decisions unchanged, and a second full replay no-ops everywhere
+    val decV = dec.latestVersion.get
+    graft.streaming.Streams.mediaDedupSink(idx, dec)(batch, 5L)
+    assert(dec.latestVersion.get === decV)
+    assert(idx.fpTable.snapshot().select("doc_id").distinct().count() === 2L)
+  }
+
   test("TAKEDOWN: remove() retracts a fingerprint merge-on-read; its " +
     "near-dups stop being rejected; un-bootstrapped/empty refusals") {
     val idx = freshIndex()
