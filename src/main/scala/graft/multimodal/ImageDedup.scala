@@ -182,6 +182,152 @@ object ImageDedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** 256-BIT dHash — the documented scale path for workloads needing
+    * a HIGH Hamming threshold AND high band selectivity at once (the
+    * 64-bit hash caps the exact threshold at 3 under 16-bit bands;
+    * production image-matching systems use 256-bit perceptual hashes
+    * — Facebook's PDQ is the published example — for exactly this
+    * reason). Grid: 16 rows × 17 columns, one 16-bit limb per row
+    * (`bit c` iff `gray(c) > gray(c+1)`), fingerprint = 16 limbs.
+    *
+    * The limb IS the band: 16 bands × 16 bits by construction, so the
+    * pigeonhole admits thresholds up to 15 at 65,536-way selectivity
+    * per band. Banding is `posexplode` of the limb array — no halves,
+    * no shift/mask — and the exact Hamming verify is a RELATIONAL
+    * re-join of the two candidates' limb rows summed per pair (16
+    * small rows each; stays in codegen, no array lambdas).
+    */
+  def dHash256(width: Int, height: Int, pixels: Array[Int]): Array[Long] = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      s"bad image ${width}x$height with ${pixels.length} px")
+    val gray = Array.ofDim[Int](16, 17)
+    var cy = 0
+    while (cy < 16) {
+      val sy = (cy.toLong * height / 16).toInt
+      var cx = 0
+      while (cx < 17) {
+        val sx = (cx.toLong * width / 17).toInt
+        gray(cy)(cx) = grayOf(pixels(sy * width + sx))
+        cx += 1
+      }
+      cy += 1
+    }
+    val limbs = new Array[Long](16)
+    cy = 0
+    while (cy < 16) {
+      var limb = 0L
+      var cx = 0
+      while (cx < 16) {
+        if (gray(cy)(cx) > gray(cy)(cx + 1)) limb |= 1L << cx
+        cx += 1
+      }
+      limbs(cy) = limb
+      cy += 1
+    }
+    limbs
+  }
+
+  /** [[dHash256]] over a media frame `(idCol, format, bytes)`: emits
+    * `(idCol, fp array<bigint>)` — same decode seam and refusal
+    * contract as [[dHashDf]].
+    */
+  def dHash256Df(media: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("fp", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIx = media.schema.fieldIndex(idCol)
+    val fmtIx = media.schema.fieldIndex("format")
+    val bIx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](bIx)
+        val (w, h, px) = r.getString(fmtIx) match {
+          case "png" =>
+            val img = PngCodec.decode(bytes); (img.width, img.height, img.pixels)
+          case "bmp" =>
+            val img = BmpCodec.decode(bytes); (img.width, img.height, img.pixels)
+          case other => throw new IllegalArgumentException(
+            s"dHash needs decoded pixels; format '$other' is not a " +
+              "supported pixel codec")
+        }
+        Row(r.getLong(idIx), dHash256(w, h, px))
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate pairs among 256-bit fingerprints `(idCol, fp)`:
+    * limb-band blocking (pigeonhole-exact for `maxHamming < 16`) +
+    * relational exact-Hamming verify. The higher admissible threshold
+    * is paid for in candidate volume — 16 bands at 65,536-way
+    * selectivity is ~4× the 64-bit operator's blocking cost, the
+    * standard long-hash trade.
+    */
+  def nearDupPairs256(hashes: DataFrame, idCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16,
+      s"maxHamming=$maxHamming: the 16-limb pigeonhole is exact only " +
+        "for thresholds < 16")
+    val limbs = hashes
+      .select(col(idCol), posexplode(col("fp")).as(Seq("band", "bv")))
+    val a = limbs.select(col(idCol).as("id_a"), col("band"), col("bv"))
+    val b = limbs.select(col(idCol).as("id_b"), col("band"), col("bv"))
+    val cand = a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val la = limbs.select(col(idCol).as("id_a"), col("band"),
+      col("bv").as("bva"))
+    val lb = limbs.select(col(idCol).as("id_b"), col("band"),
+      col("bv").as("bvb"))
+    cand.join(la, Seq("id_a")).join(lb, Seq("id_b", "band"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(bit_count(col("bva").bitwiseXOR(col("bvb"))))
+        .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Deterministic 17×16-cell synthetic corpus for the 256-bit query:
+    * the [[syntheticImages]] construction on the wider grid, with a
+    * near-dup structure that EXERCISES the high threshold — variant
+    * `v = id % 4` perturbs the last column's cells in rows
+    * `cy < 3v`, each sitting in exactly one gradient comparison, so
+    * within-group distances are bounded by 9: inside the 16-limb
+    * pigeonhole's exactness but far beyond the 64-bit operator's
+    * threshold-3 ceiling.
+    */
+  def syntheticImages256(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIx = ids.schema.fieldIndex(idCol)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIx)
+        val g = id / 4; val v = (id % 4).toInt
+        val cw = (2 + g % 3).toInt; val ch = (2 + g % 2).toInt
+        val w = 17 * cw; val h = 16 * ch
+        def rgbAt(x: Int, y: Int): (Int, Int, Int) = {
+          val cx = x / cw; val cy = y / ch
+          val base =
+            (((cx * (7 + g % 5) + cy * (13 + g % 11) + g * 31) % 17) * 15).toInt
+          val p =
+            if (cx == 16 && cy < 3 * v)
+              ((base + 40 * (cy + 1)) % 256).toInt
+            else base
+          (p, (p + 60) % 256, (p + 120) % 256)
+        }
+        if (g % 2 == 0)
+          Row(id, "png",
+            PngCodec.encodeRgb8(w, h, rgbAt, filterForRow = y => y % 5))
+        else
+          Row(id, "bmp", BmpCodec.encode24(w, h, rgbAt))
+      }
+    }(enc)
+  }
+
   /** Deterministic synthetic image corpus for the oracle-gated query
     * (testdata carries no real image assets): id → a cell-constant
     * image whose 9×8 cell grid follows a closed-form rule, so the

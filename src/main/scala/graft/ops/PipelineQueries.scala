@@ -1012,6 +1012,26 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** 256-BIT image near-dup detection
+    * ([[graft.multimodal.ImageDedup.dHash256]]): the high-threshold
+    * configuration the 64-bit operator documents as its scale
+    * successor — 16 rows × 17 cols gradient grid, one 16-bit limb per
+    * row, limb-band blocking (pigeonhole-exact to distance 15), and a
+    * RELATIONAL exact-Hamming verify. The generated corpus' variants
+    * sit up to 9 bits apart — three times past the 64-bit operator's
+    * exact ceiling — and the query runs at `maxHamming = 9`.
+    */
+  def imageDedupDhash256(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.ImageDedup
+    val hashes = mediaHashCache.get(spark, dir + "#image256") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      ImageDedup.dHash256Df(ImageDedup.syntheticImages256(ids, "doc_id"),
+        "doc_id")
+    }
+    ImageDedup.nearDupPairs256(hashes, "doc_id", maxHamming = 9)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Hamming-space k-NN over the image fingerprints
     * ([[graft.multimodal.HammingKnn]] — multi-index hashing): every
     * 10th document's fingerprint probes the banded inverted index for
@@ -2939,6 +2959,50 @@ object PipelineQueries {
          |SELECT id AS doc_id, min(r) AS cluster_id,
          |       CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // Closed-form replay of the 256-bit pipeline on the 17x16 cell
+    // grid: limbs assemble per row (no halves), candidates block on
+    // limb equality, and the exact Hamming re-joins the limb rows —
+    // the same relational verify shape as the Spark side
+    "image_dedup_dhash256" ->
+      raw"""WITH ids AS (
+         |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+         |  FROM documents),
+         |cell AS (
+         |  SELECT id, v, cy, cx,
+         |         ((cx*(7 + g % 5) + cy*(13 + g % 11) + g*31) % 17) * 15 AS base
+         |  FROM ids, unnest(range(0, 16)) AS r1(cy),
+         |       unnest(range(0, 17)) AS r2(cx)),
+         |pert AS (
+         |  SELECT id, cy, cx,
+         |         CASE WHEN cx = 16 AND cy < 3 * v
+         |              THEN (base + 40 * (cy + 1)) % 256
+         |              ELSE base END AS p
+         |  FROM cell),
+         |gray AS (
+         |  SELECT id, cy, cx,
+         |         (77*p + 150*((p + 60) % 256) + 29*((p + 120) % 256)) // 256 AS gv
+         |  FROM pert),
+         |bits AS (
+         |  SELECT a.id, a.cy, a.cx,
+         |         CASE WHEN a.gv > b.gv THEN 1 ELSE 0 END AS bit
+         |  FROM gray a JOIN gray b
+         |    ON b.id = a.id AND b.cy = a.cy AND b.cx = a.cx + 1
+         |  WHERE a.cx < 16),
+         |limb AS (
+         |  SELECT id, cy AS band,
+         |         CAST(sum(bit * (1::BIGINT << cx)) AS BIGINT) AS bv
+         |  FROM bits GROUP BY id, cy),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM limb a JOIN limb b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id),
+         |ham AS (
+         |  SELECT c.id_a, c.id_b, sum(bit_count(xor(la.bv, lb.bv))) AS h
+         |  FROM cand c JOIN limb la ON la.id = c.id_a
+         |       JOIN limb lb ON lb.id = c.id_b AND lb.band = la.band
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(h AS BIGINT) AS hamming
+         |FROM ham WHERE h <= 9 ORDER BY id_a, id_b""".stripMargin,
     // Full replay of the two-batch incremental arc over the
     // closed-form fingerprints: batch-1 decisions against the
     // bootstrap third, index grows by batch-1 kept, batch-2 decisions
@@ -3305,6 +3369,7 @@ object PipelineQueries {
     "remove_repeated_spans" -> removeRepeatedSpans _,
     "image_dedup_dhash" -> imageDedupDhash _,
     "image_dedup_clusters" -> imageDedupClusters _,
+    "image_dedup_dhash256" -> imageDedupDhash256 _,
     "media_hamming_knn" -> mediaHammingKnn _,
     "media_dedup_incremental" -> mediaDedupIncremental _,
     "audio_dedup_energy" -> audioDedupEnergy _,

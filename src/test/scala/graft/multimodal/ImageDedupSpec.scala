@@ -89,6 +89,50 @@ class ImageDedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dHash256: one 16-bit limb per row of the 16x17 grid, bit c " +
+    "iff gray(c) > gray(c+1)") {
+    // strictly decreasing rows -> every limb all-ones (0xFFFF)
+    val desc = Array.tabulate(17 * 16)(i => {
+      val vv = 255 - (i % 17) * 15; (vv << 16) | (vv << 8) | vv
+    })
+    assert(ImageDedup.dHash256(17, 16, desc).toSeq ===
+      Seq.fill(16)(0xFFFFL))
+    // increasing -> all zero
+    val asc = Array.tabulate(17 * 16)(i => {
+      val vv = (i % 17) * 15; (vv << 16) | (vv << 8) | vv
+    })
+    assert(ImageDedup.dHash256(17, 16, asc).toSeq === Seq.fill(16)(0L))
+    // single decrease at row 5 col 3 -> limb 5 = 1 << 3, rest 0
+    val one = Array.tabulate(17 * 16)(i =>
+      if (i % 17 == 3 && i / 17 == 5) 0x0A0A0A else 0)
+    val fp = ImageDedup.dHash256(17, 16, one)
+    assert(fp(5) === 8L)
+    assert(fp.zipWithIndex.filter(_._1 != 0L).map(_._2).toSeq === Seq(5))
+  }
+
+  test("256-bit recall contract: within-group pairs up to distance 9 " +
+    "ALL surface at maxHamming = 9 (past the 64-bit exact ceiling), " +
+    "and the pigeonhole bound refuses at 16") {
+    val ids = (0L until 48L).toDF("doc_id")
+    val hashes = ImageDedup.dHash256Df(
+      ImageDedup.syntheticImages256(ids, "doc_id"), "doc_id")
+    val pairs = ImageDedup.nearDupPairs256(hashes, "doc_id", maxHamming = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    var past3 = 0
+    for (g <- 0L until 12L; a <- 0L until 4L; b <- (a + 1) until 4L) {
+      val key = (g * 4 + a, g * 4 + b)
+      assert(pairs.contains(key),
+        s"within-group pair $key must be found (construction bounds " +
+          "its distance at 9)")
+      assert(pairs(key) <= 9L)
+      if (pairs(key) > 3L) past3 += 1
+    }
+    assert(past3 > 0, "no pair used the high threshold — the corpus " +
+      "fails to exercise what dHash256 exists for")
+    intercept[IllegalArgumentException](
+      ImageDedup.nearDupPairs256(hashes, "doc_id", maxHamming = 16))
+  }
+
   test("thresholds beyond the pigeonhole refuse per band width; " +
     "non-pixel formats refuse at the decode seam") {
     val ids = Seq(1L).toDF("doc_id")

@@ -137,6 +137,19 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
   // execution smoke for every registered query lives in
   // graft.RegistrySmokeSpec (one named test per query); this pins only
   // the registry's shape
+  test("media_hamming_knn: bounded top-k aggregates partial (map-side), " +
+    "no window rank over the candidate set") {
+    val p = PipelineQueries.mediaHammingKnn(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the HammingTopKAgg partials truncate to k rows per group before
+    // the shuffle — a Window here would sort the full candidate set
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected the typed top-k aggregate:\n$p")
+    assert(p.contains("hammingtopkagg") || p.toLowerCase.contains("partial"),
+      s"expected partial top-k aggregation:\n$p")
+    assert(!p.contains("Window"), s"window rank crept into the knn plan:\n$p")
+  }
+
   test("registry shape: distinct names, oracle keys subset of queries") {
     val qs = graft.SparkEntry.queries
     assert(qs.nonEmpty)
