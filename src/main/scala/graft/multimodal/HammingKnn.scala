@@ -59,4 +59,42 @@ object HammingKnn {
       .select(col("probe_id"), col("hit.nnId").as("neighbor_id"),
         col("hit.ham").as("hamming"), (col("pos") + 1).cast("long").as("rnk"))
   }
+
+  /** 256-BIT variant over `(idCol, fp array<bigint>)` limb
+    * fingerprints ([[ImageDedup.dHash256]]) — multi-index hashing's
+    * home configuration (Norouzi et al. evaluate 64–256-bit codes;
+    * longer codes are WHY the multi-index exists): 16 limb-bands admit
+    * radii up to 15, candidates block on (band, limb) equality at the
+    * same sampled substring, the exact distance re-joins both sides'
+    * limb rows relationally, and the same bounded top-k finishes.
+    */
+  def knnWithinRadius256(hashes: DataFrame, probes: DataFrame,
+      idCol: String, k: Int, radius: Int): DataFrame = {
+    require(radius >= 0 && radius < 16,
+      s"radius=$radius: the 16-limb pigeonhole is exact only below 16")
+    require(k >= 1, s"k=$k must be >= 1")
+    val idxLimbs = hashes
+      .select(col(idCol), posexplode(col("fp")).as(Seq("band", "bv")))
+    val qLimbs = probes
+      .select(col(idCol).as("probe_id"),
+        posexplode(col("fp")).as(Seq("band", "bv")))
+    val cand = qLimbs.join(idxLimbs, Seq("band", "bv"))
+      .filter(col("probe_id") =!= col(idCol))
+      .select(col("probe_id"), col(idCol).as("nn_id")).distinct()
+    val la = qLimbs.select(col("probe_id"), col("band"),
+      col("bv").as("bva"))
+    val lb = idxLimbs.select(col(idCol).as("nn_id"), col("band"),
+      col("bv").as("bvb"))
+    val scored = cand.join(la, Seq("probe_id")).join(lb, Seq("nn_id", "band"))
+      .groupBy("probe_id", "nn_id")
+      .agg(sum(bit_count(col("bva").bitwiseXOR(col("bvb"))))
+        .cast("long").as("hamming"))
+      .filter(col("hamming") <= radius)
+    val topK = graft.functions.HammingTopKAgg(k)
+    scored.groupBy("probe_id")
+      .agg(topK(col("hamming"), col("nn_id")).as("hits"))
+      .select(col("probe_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("probe_id"), col("hit.nnId").as("neighbor_id"),
+        col("hit.ham").as("hamming"), (col("pos") + 1).cast("long").as("rnk"))
+  }
 }

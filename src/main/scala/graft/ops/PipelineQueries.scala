@@ -1032,6 +1032,25 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** 256-bit Hamming k-NN ([[graft.multimodal.HammingKnn]] — the
+    * multi-index on its home code length): every 10th document's
+    * 256-bit fingerprint probes the limb-banded index for its 5
+    * nearest within radius 9. Same brute-force oracle construction as
+    * the 64-bit query.
+    */
+  def mediaHammingKnn256(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{HammingKnn, ImageDedup}
+    val hashes = mediaHashCache.get(spark, dir + "#image256") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      ImageDedup.dHash256Df(ImageDedup.syntheticImages256(ids, "doc_id"),
+        "doc_id")
+    }
+    val probes = hashes.filter(col("doc_id") % 10 === 0)
+    HammingKnn.knnWithinRadius256(hashes, probes, "doc_id",
+      k = 5, radius = 9)
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Hamming-space k-NN over the image fingerprints
     * ([[graft.multimodal.HammingKnn]] — multi-index hashing): every
     * 10th document's fingerprint probes the banded inverted index for
@@ -1822,6 +1841,40 @@ object PipelineQueries {
        |              ELSE 'kept' END AS status
        |  FROM hh h LEFT JOIN comp_$tag c ON c.id = h.id
        |  WHERE ${pred("h.id")})""".stripMargin
+
+  /** Closed-form replay of the 256-bit fingerprints up to the limb
+    * table (shared by the dedup and k-NN oracles); pre-stripped like
+    * [[imageDhashCtes]].
+    */
+  private val image256LimbCtes: String =
+    raw"""ids AS (
+       |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+       |  FROM documents),
+       |cell AS (
+       |  SELECT id, v, cy, cx,
+       |         ((cx*(7 + g % 5) + cy*(13 + g % 11) + g*31) % 17) * 15 AS base
+       |  FROM ids, unnest(range(0, 16)) AS r1(cy),
+       |       unnest(range(0, 17)) AS r2(cx)),
+       |pert AS (
+       |  SELECT id, cy, cx,
+       |         CASE WHEN cx = 16 AND cy < 3 * v
+       |              THEN (base + 40 * (cy + 1)) % 256
+       |              ELSE base END AS p
+       |  FROM cell),
+       |gray AS (
+       |  SELECT id, cy, cx,
+       |         (77*p + 150*((p + 60) % 256) + 29*((p + 120) % 256)) // 256 AS gv
+       |  FROM pert),
+       |bits AS (
+       |  SELECT a.id, a.cy, a.cx,
+       |         CASE WHEN a.gv > b.gv THEN 1 ELSE 0 END AS bit
+       |  FROM gray a JOIN gray b
+       |    ON b.id = a.id AND b.cy = a.cy AND b.cx = a.cx + 1
+       |  WHERE a.cx < 16),
+       |limb AS (
+       |  SELECT id, cy AS band,
+       |         CAST(sum(bit * (1::BIGINT << cx)) AS BIGINT) AS bv
+       |  FROM bits GROUP BY id, cy)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ann_ivf_topk" -> ivfReplaySql,
@@ -2960,38 +3013,11 @@ object PipelineQueries {
          |       CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // Closed-form replay of the 256-bit pipeline on the 17x16 cell
-    // grid: limbs assemble per row (no halves), candidates block on
-    // limb equality, and the exact Hamming re-joins the limb rows —
-    // the same relational verify shape as the Spark side
+    // grid ([[image256LimbCtes]]): candidates block on limb equality,
+    // and the exact Hamming re-joins the limb rows — the same
+    // relational verify shape as the Spark side
     "image_dedup_dhash256" ->
-      raw"""WITH ids AS (
-         |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
-         |  FROM documents),
-         |cell AS (
-         |  SELECT id, v, cy, cx,
-         |         ((cx*(7 + g % 5) + cy*(13 + g % 11) + g*31) % 17) * 15 AS base
-         |  FROM ids, unnest(range(0, 16)) AS r1(cy),
-         |       unnest(range(0, 17)) AS r2(cx)),
-         |pert AS (
-         |  SELECT id, cy, cx,
-         |         CASE WHEN cx = 16 AND cy < 3 * v
-         |              THEN (base + 40 * (cy + 1)) % 256
-         |              ELSE base END AS p
-         |  FROM cell),
-         |gray AS (
-         |  SELECT id, cy, cx,
-         |         (77*p + 150*((p + 60) % 256) + 29*((p + 120) % 256)) // 256 AS gv
-         |  FROM pert),
-         |bits AS (
-         |  SELECT a.id, a.cy, a.cx,
-         |         CASE WHEN a.gv > b.gv THEN 1 ELSE 0 END AS bit
-         |  FROM gray a JOIN gray b
-         |    ON b.id = a.id AND b.cy = a.cy AND b.cx = a.cx + 1
-         |  WHERE a.cx < 16),
-         |limb AS (
-         |  SELECT id, cy AS band,
-         |         CAST(sum(bit * (1::BIGINT << cx)) AS BIGINT) AS bv
-         |  FROM bits GROUP BY id, cy),
+      raw"""WITH $image256LimbCtes,
          |cand AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM limb a JOIN limb b
@@ -3003,6 +3029,26 @@ object PipelineQueries {
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, CAST(h AS BIGINT) AS hamming
          |FROM ham WHERE h <= 9 ORDER BY id_a, id_b""".stripMargin,
+    // Brute-force rank over the 256-bit limbs: the limb-banded probe
+    // path must lose no neighbor within the radius
+    "media_hamming_knn256" ->
+      raw"""WITH $image256LimbCtes,
+         |scored AS (
+         |  SELECT p.id AS probe_id, o.id AS neighbor_id,
+         |         sum(bit_count(xor(lp.bv, lo.bv))) AS hamming
+         |  FROM ids p JOIN ids o ON o.id <> p.id
+         |       JOIN limb lp ON lp.id = p.id
+         |       JOIN limb lo ON lo.id = o.id AND lo.band = lp.band
+         |  WHERE p.id % 10 = 0
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, hamming,
+         |         row_number() OVER (PARTITION BY probe_id
+         |                            ORDER BY hamming, neighbor_id) AS rn
+         |  FROM scored WHERE hamming <= 9)
+         |SELECT probe_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+         |       CAST(rn AS BIGINT) AS rnk
+         |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rnk""".stripMargin,
     // Full replay of the two-batch incremental arc over the
     // closed-form fingerprints: batch-1 decisions against the
     // bootstrap third, index grows by batch-1 kept, batch-2 decisions
@@ -3371,6 +3417,7 @@ object PipelineQueries {
     "image_dedup_clusters" -> imageDedupClusters _,
     "image_dedup_dhash256" -> imageDedupDhash256 _,
     "media_hamming_knn" -> mediaHammingKnn _,
+    "media_hamming_knn256" -> mediaHammingKnn256 _,
     "media_dedup_incremental" -> mediaDedupIncremental _,
     "audio_dedup_energy" -> audioDedupEnergy _,
     "video_dedup_frames" -> videoDedupFrames _,

@@ -63,6 +63,37 @@ class HammingKnnSpec extends AnyFunSuite with SparkSpec {
     assert(banded === brute)
   }
 
+  test("256-bit: limb-banded probe equals brute force on the generated " +
+    "corpus at radius 9, and the limb pigeonhole refuses at 16") {
+    val ids = (0L until 60L).toDF("doc_id")
+    val hashes = ImageDedup.dHash256Df(
+      ImageDedup.syntheticImages256(ids, "doc_id"), "doc_id")
+    val probes = hashes.filter($"doc_id" % 4 === 0)
+    val banded = HammingKnn
+      .knnWithinRadius256(hashes, probes, "doc_id", k = 5, radius = 9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getLong(2)))
+      .toSet
+    val all = hashes.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def ham(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+    val brute = (for {
+      (p, pfp) <- all if p % 4 == 0
+      hits = all.filter(_._1 != p)
+        .map { case (n, fp) => (ham(pfp, fp), n) }
+        .filter(_._1 <= 9).sorted.take(5)
+      ((d, n), i) <- hits.zipWithIndex
+    } yield (p, i + 1L, n, d)).toSet
+    assert(banded === brute)
+    intercept[IllegalArgumentException](
+      HammingKnn.knnWithinRadius256(hashes, probes, "doc_id", k = 5,
+        radius = 16))
+    intercept[IllegalArgumentException](
+      HammingKnn.knnWithinRadius256(hashes, probes, "doc_id", k = 0,
+        radius = 9))
+  }
+
   test("refusals: radius beyond the pigeonhole, k < 1") {
     val df = Seq((1L, 0L, 0L)).toDF("id", "h_hi", "h_lo")
     intercept[IllegalArgumentException](
