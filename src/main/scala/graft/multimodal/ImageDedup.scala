@@ -86,11 +86,24 @@ object ImageDedup {
     (hi, lo)
   }
 
+  /** The shared pixel-decode seam of both fingerprint passes: only
+    * the real pixel codecs are decodable; anything else refuses loudly
+    * rather than fingerprinting undecoded bytes.
+    */
+  private def decodePixels(fmt: String,
+      bytes: Array[Byte]): (Int, Int, Array[Int]) = fmt match {
+    case "png" =>
+      val img = PngCodec.decode(bytes); (img.width, img.height, img.pixels)
+    case "bmp" =>
+      val img = BmpCodec.decode(bytes); (img.width, img.height, img.pixels)
+    case other => throw new IllegalArgumentException(
+      s"dHash needs decoded pixels; format '$other' is not a " +
+        "supported pixel codec")
+  }
+
   /** dHash over a media frame `(idCol, format, bytes)`: one narrow
     * decode→hash pass (the media-codec mapPartitions seam — constant
-    * memory, partitioning preserved). Only the real pixel formats are
-    * hashable; anything else refuses loudly rather than fingerprinting
-    * undecoded bytes.
+    * memory, partitioning preserved).
     */
   def dHashDf(media: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(
@@ -103,16 +116,8 @@ object ImageDedup {
     val bIx = media.schema.fieldIndex("bytes")
     media.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](bIx)
-        val (w, h, px) = r.getString(fmtIx) match {
-          case "png" =>
-            val img = PngCodec.decode(bytes); (img.width, img.height, img.pixels)
-          case "bmp" =>
-            val img = BmpCodec.decode(bytes); (img.width, img.height, img.pixels)
-          case other => throw new IllegalArgumentException(
-            s"dHash needs decoded pixels; format '$other' is not a " +
-              "supported pixel codec")
-        }
+        val (w, h, px) =
+          decodePixels(r.getString(fmtIx), r.getAs[Array[Byte]](bIx))
         val (hi, lo) = dHash64(w, h, px)
         Row(r.getLong(idIx), hi, lo)
       }
@@ -242,16 +247,8 @@ object ImageDedup {
     val bIx = media.schema.fieldIndex("bytes")
     media.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](bIx)
-        val (w, h, px) = r.getString(fmtIx) match {
-          case "png" =>
-            val img = PngCodec.decode(bytes); (img.width, img.height, img.pixels)
-          case "bmp" =>
-            val img = BmpCodec.decode(bytes); (img.width, img.height, img.pixels)
-          case other => throw new IllegalArgumentException(
-            s"dHash needs decoded pixels; format '$other' is not a " +
-              "supported pixel codec")
-        }
+        val (w, h, px) =
+          decodePixels(r.getString(fmtIx), r.getAs[Array[Byte]](bIx))
         Row(r.getLong(idIx), dHash256(w, h, px))
       }
     }(enc)
@@ -311,8 +308,17 @@ object ImageDedup {
         val w = 17 * cw; val h = 16 * ch
         def rgbAt(x: Int, y: Int): (Int, Int, Int) = {
           val cx = x / cw; val cy = y / ch
+          // the cx*cy cross-term matters at the LIMB level: without it
+          // each row's 16-bit gradient pattern collapsed to ~1,462
+          // distinct (band, value) pairs corpus-wide, so the banded
+          // join degenerated into hot buckets (2.1M candidate pairs
+          // from 5k images at sf0.1 — the 64-bit generator's
+          // "gradient directions" lesson, one level up). With it the
+          // per-band value space spreads ~6k-wide and candidates stay
+          // pair-sparse.
           val base =
-            (((cx * (7 + g % 5) + cy * (13 + g % 11) + g * 31) % 17) * 15).toInt
+            (((cx * (7 + g % 5) + cy * (13 + g % 11) +
+              cx * cy * (3 + g % 7) + g * 31) % 17) * 15).toInt
           val p =
             if (cx == 16 && cy < 3 * v)
               ((base + 40 * (cy + 1)) % 256).toInt

@@ -1852,7 +1852,7 @@ object PipelineQueries {
        |  FROM documents),
        |cell AS (
        |  SELECT id, v, cy, cx,
-       |         ((cx*(7 + g % 5) + cy*(13 + g % 11) + g*31) % 17) * 15 AS base
+       |         ((cx*(7 + g % 5) + cy*(13 + g % 11) + cx*cy*(3 + g % 7) + g*31) % 17) * 15 AS base
        |  FROM ids, unnest(range(0, 16)) AS r1(cy),
        |       unnest(range(0, 17)) AS r2(cx)),
        |pert AS (

@@ -112,17 +112,19 @@ object Streams {
     * docs admitted, and its per-doc decisions appended to `decisions`
     * — the continuous-ingest form of the `dedup_incremental` batch arc.
     *
-    * Idempotence is layered so a crash at ANY point replays cleanly:
-    * the `decisions` table's `stream_dedup[batch=N]` watermark gates
-    * the whole unit; [[graft.dedup.CorpusDedupIndex.admitIdempotent]]
-    * guards each index table separately (bands-last commit order keeps
-    * half-admitted docs invisible to candidate generation); and
-    * `dedupBatch`'s self-match guard keeps a fully-admitted replay
-    * from flagging every doc as its own duplicate. One caveat shared
-    * with [[incrementalAppendSink]]: a replay after full admit may
-    * re-label a `dup_batch` doc as `dup_corpus` (its kept twin is now
-    * in the index) — the KEPT set is unchanged, which is the invariant
-    * downstream consumers key on.
+    * Idempotence is layered with the DECISIONS COMMIT FIRST as the
+    * anchor: `dedupBatch` has no side effects, so a crash before the
+    * decisions commit replays the whole unit against an UNCHANGED
+    * index; the `stream_dedup[batch=N]` watermark then freezes the
+    * kept set, and the admit — which runs AFTER that commit and
+    * OUTSIDE its gate on every delivery — replays from the frozen
+    * rows under [[graft.dedup.CorpusDedupIndex.admitIdempotent]]'s
+    * own per-table watermarks (bands-last commit order keeps
+    * half-admitted docs invisible to candidate generation) until it
+    * lands. A crash at ANY point therefore converges to exactly the
+    * first-committed decisions and exactly one admitted copy of their
+    * kept docs — the kept set can never shift on replay, because
+    * nothing ever re-runs `dedupBatch` after an admit.
     */
   def corpusDedupSink(idx: graft.dedup.CorpusDedupIndex,
       decisions: graft.lake.IncrementalTable,
@@ -140,15 +142,22 @@ object Streams {
         // decisions commit; a crash before it replays a deterministic
         // dedupBatch against an UNCHANGED index, and a crash after it
         // replays straight to the admit, which reads the frozen rows.
-        if (!decisions.latestOpId(Op).exists(batchId <= _)) {
-          val d = idx.dedupBatch(batch)
-          val rows = d.withColumn("batch", lit(batchId))
-          decisions.commitFiles(decisions.stage(rows), Set.empty,
-            s"stream_dedup[batch=$batchId]", schema = Some(rows.schema))
-        }
-        val stored = decisions.snapshot()
-          .filter(col("batch") === batchId).drop("batch")
-        idx.admitIdempotent(batch, stored, batchId)
+        val fresh: Option[DataFrame] =
+          if (decisions.latestOpId(Op).exists(batchId <= _)) None
+          else {
+            val d = idx.dedupBatch(batch)
+            val rows = d.withColumn("batch", lit(batchId))
+            decisions.commitFiles(decisions.stage(rows), Set.empty,
+              s"stream_dedup[batch=$batchId]", schema = Some(rows.schema))
+            Some(d)
+          }
+        // admit from the frozen rows: the in-hand frame on the fresh
+        // path (dedupBatch localCheckpoints, so it IS what was just
+        // committed — no re-scan of the growing decisions table per
+        // batch), the stored rows only on the replay path
+        val frozen = fresh.getOrElse(decisions.snapshot()
+          .filter(col("batch") === batchId).drop("batch"))
+        idx.admitIdempotent(batch, frozen, batchId)
         // per-batch appends accrete a small-file tail on all four
         // tables; bin-pack it every `maintainEvery` batches. The
         // compactions commit datachange=false, so downstream CDF
@@ -178,15 +187,18 @@ object Streams {
     (batch, batchId) =>
       val Op = """stream_fp_dedup\[batch=(\d+)\]""".r
       if (!batch.isEmpty) {
-        if (!decisions.latestOpId(Op).exists(batchId <= _)) {
-          val d = idx.dedupBatch(batch)
-          val rows = d.withColumn("batch", lit(batchId))
-          decisions.commitFiles(decisions.stage(rows), Set.empty,
-            s"stream_fp_dedup[batch=$batchId]", schema = Some(rows.schema))
-        }
-        val stored = decisions.snapshot()
-          .filter(col("batch") === batchId).drop("batch")
-        idx.admitIdempotent(batch, stored, batchId)
+        val fresh: Option[DataFrame] =
+          if (decisions.latestOpId(Op).exists(batchId <= _)) None
+          else {
+            val d = idx.dedupBatch(batch)
+            val rows = d.withColumn("batch", lit(batchId))
+            decisions.commitFiles(decisions.stage(rows), Set.empty,
+              s"stream_fp_dedup[batch=$batchId]", schema = Some(rows.schema))
+            Some(d)
+          }
+        val frozen = fresh.getOrElse(decisions.snapshot()
+          .filter(col("batch") === batchId).drop("batch"))
+        idx.admitIdempotent(batch, frozen, batchId)
         if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0)
           Seq(idx.fpTable, decisions).foreach(_.compactSmall())
       }

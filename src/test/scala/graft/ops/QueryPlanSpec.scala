@@ -142,11 +142,12 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
     val p = PipelineQueries.mediaHammingKnn(spark, dir)
       .queryExecution.executedPlan.toString
     // the HammingTopKAgg partials truncate to k rows per group before
-    // the shuffle — a Window here would sort the full candidate set
-    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
-      s"expected the typed top-k aggregate:\n$p")
-    assert(p.contains("hammingtopkagg") || p.toLowerCase.contains("partial"),
-      s"expected partial top-k aggregation:\n$p")
+    // the shuffle — a Window here would sort the full candidate set.
+    // `partial_hammingtopkagg` pins BOTH the typed aggregate and its
+    // map-side partial mode by name (a collect+sort rewrite could not
+    // fake it).
+    assert(p.contains("partial_hammingtopkagg"),
+      s"expected the map-side partial of the typed top-k aggregate:\n$p")
     assert(!p.contains("Window"), s"window rank crept into the knn plan:\n$p")
   }
 
