@@ -108,6 +108,91 @@ object AudioDedup {
       maxHamming: Int, bandBits: Int = 16): DataFrame =
     ImageDedup.nearDupPairs(hashes, idCol, maxHamming, bandBits)
 
+  /** ENERGY-BASED SEGMENTATION (voice-activity endpointing): the
+    * published Rabiner–Sambur shape — an utterance's endpoints are
+    * found by thresholding short-time ENERGY against a clip-relative
+    * level — on the same 65-window integer-energy grid as the
+    * fingerprint, so decode, windowing and energies are shared and
+    * the DuckDB oracle replays segmentation in closed form. A window
+    * is ACTIVE iff `5·E(w) > max_w E(w)` (20% of the clip's peak —
+    * clip-relative, so global gain cancels exactly like the
+    * fingerprint bits); consecutive active windows merge into
+    * segments. This is the audio analog of text chunking: the
+    * segment table is what downstream per-utterance feature
+    * extraction consumes.
+    *
+    * Returns `(start_win, end_win, n_windows, sum_energy)` per
+    * segment, in start order. Row-local per clip (the media seam):
+    * one decode, one 65-energy array, one scan.
+    */
+  def segmentsOf(samples: Array[Short]): Seq[(Int, Int, Int, Long)] = {
+    val n = samples.length
+    require(n >= Windows,
+      s"clip of $n samples is shorter than the $Windows-window grid")
+    val e = new Array[Long](Windows)
+    var w = 0
+    while (w < Windows) {
+      val from = (w.toLong * n / Windows).toInt
+      val until = ((w + 1).toLong * n / Windows).toInt
+      var s = 0L
+      var i = from
+      while (i < until) { val v = samples(i).toLong; s += v * v; i += 1 }
+      e(w) = s
+      w += 1
+    }
+    val emax = e.max
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
+    var start = -1
+    var sum = 0L
+    w = 0
+    while (w <= Windows) {
+      val active = w < Windows && 5L * e(w) > emax
+      if (active) {
+        if (start < 0) { start = w; sum = 0L }
+        sum += e(w)
+      } else if (start >= 0) {
+        out += ((start, w - 1, w - start, sum))
+        start = -1
+      }
+      w += 1
+    }
+    out.toSeq
+  }
+
+  /** [[segmentsOf]] over a media frame `(idCol, format, bytes)`: one
+    * narrow decode pass emitting
+    * `(id, seg_idx, start_win, end_win, n_windows, sum_energy)` rows
+    * (seg_idx 1-based in start order). Same WAV-only refusal contract
+    * as [[energyHashDf]]; a clip with no active window emits nothing.
+    */
+  def segmentsDf(media: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("seg_idx", LongType, nullable = false),
+      StructField("start_win", LongType, nullable = false),
+      StructField("end_win", LongType, nullable = false),
+      StructField("n_windows", LongType, nullable = false),
+      StructField("sum_energy", LongType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIx = media.schema.fieldIndex(idCol)
+    val fmtIx = media.schema.fieldIndex("format")
+    val bIx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val fmt = r.getString(fmtIx)
+        if (fmt != "wav") throw new IllegalArgumentException(
+          s"segmentation needs decoded PCM; format '$fmt' is not a " +
+            "supported audio codec")
+        val wav = WavCodec.decode(r.getAs[Array[Byte]](bIx))
+        val id = r.getLong(idIx)
+        segmentsOf(wav.samples).zipWithIndex.map {
+          case ((s, eW, nW, sum), i) =>
+            Row(id, (i + 1).toLong, s.toLong, eW.toLong, nW.toLong, sum)
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic synthetic audio corpus for the oracle-gated query
     * (testdata carries no real audio assets): id → a clip of 65
     * window-constant-amplitude segments whose amplitudes follow a

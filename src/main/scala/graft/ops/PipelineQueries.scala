@@ -1112,6 +1112,22 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Energy-based audio segmentation
+    * ([[graft.multimodal.AudioDedup.segmentsOf]] — Rabiner–Sambur
+    * voice-activity endpointing on the shared 65-window integer-energy
+    * grid): active windows (> 20% of the clip's peak energy,
+    * clip-relative so gain cancels) merge into segments — the audio
+    * analog of text chunking, feeding per-utterance downstream work.
+    * One narrow decode pass; the oracle replays threshold, islands and
+    * exact energy sums in closed form.
+    */
+  def audioSegments(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.AudioDedup
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    AudioDedup.segmentsDf(AudioDedup.syntheticAudio(ids, "doc_id"), "doc_id")
+      .orderBy("doc_id", "seg_idx")
+  }
+
   /** VIDEO near-duplicate detection ([[graft.multimodal.VideoDedup]]):
     * deterministic synthetic GVID clips (8–10 real PNG/BMP frames;
     * near-dup groups of 4 whose variants REPLACE intro frames) are
@@ -1875,6 +1891,26 @@ object PipelineQueries {
        |  SELECT id, cy AS band,
        |         CAST(sum(bit * (1::BIGINT << cx)) AS BIGINT) AS bv
        |  FROM bits GROUP BY id, cy)""".stripMargin
+
+  /** Closed-form replay of the synthetic audio corpus up to per-window
+    * energies (shared by the dedup and segmentation oracles):
+    * window-constant ±A samples make E = winlen·A². Pre-stripped like
+    * [[imageDhashCtes]].
+    */
+  private val audioEnergyCtes: String =
+    raw"""ids AS (
+       |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+       |  FROM documents),
+       |amp AS (
+       |  SELECT id, w,
+       |         1 + (CASE WHEN w >= 65 - v
+       |              THEN (w*(3 + g % 7) + w*w*(1 + g % 11) + g*13 + 9) % 23
+       |              ELSE (w*(3 + g % 7) + w*w*(1 + g % 11) + g*13) % 23
+       |              END) * 40 AS a,
+       |         80 + (g % 3) * 40 AS winlen
+       |  FROM ids, unnest(range(0, 65)) AS r(w)),
+       |en AS (
+       |  SELECT id, w, CAST(winlen AS BIGINT) * a * a AS e FROM amp)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ann_ivf_topk" -> ivfReplaySql,
@@ -3099,19 +3135,7 @@ object PipelineQueries {
     // byte — the WAV codec is proven by the MATCH (same construction
     // as image_dedup_dhash, one dimension down)
     "audio_dedup_energy" ->
-      raw"""WITH ids AS (
-         |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
-         |  FROM documents),
-         |amp AS (
-         |  SELECT id, w,
-         |         1 + (CASE WHEN w >= 65 - v
-         |              THEN (w*(3 + g % 7) + w*w*(1 + g % 11) + g*13 + 9) % 23
-         |              ELSE (w*(3 + g % 7) + w*w*(1 + g % 11) + g*13) % 23
-         |              END) * 40 AS a,
-         |         80 + (g % 3) * 40 AS winlen
-         |  FROM ids, unnest(range(0, 65)) AS r(w)),
-         |en AS (
-         |  SELECT id, w, CAST(winlen AS BIGINT) * a * a AS e FROM amp),
+      raw"""WITH $audioEnergyCtes,
          |bits AS (
          |  SELECT a.id, a.w AS j, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
          |  FROM en a JOIN en b ON b.id = a.id AND b.w = a.w + 1
@@ -3138,6 +3162,32 @@ object PipelineQueries {
          |FROM cand
          |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // Closed-form replay of the segmentation: clip-relative activity
+    // threshold (5e > emax — winlen cancels), contiguity islands,
+    // per-segment bounds and exact energy sums
+    "audio_segments" ->
+      raw"""WITH $audioEnergyCtes,
+         |mx AS (SELECT id, max(e) AS emax FROM en GROUP BY id),
+         |act AS (
+         |  SELECT en.id, en.w, en.e
+         |  FROM en JOIN mx ON mx.id = en.id
+         |  WHERE 5 * en.e > mx.emax),
+         |isl AS (
+         |  SELECT id, w, e,
+         |         w - row_number() OVER (PARTITION BY id ORDER BY w) AS grp
+         |  FROM act),
+         |seg AS (
+         |  SELECT id, grp, min(w) AS start_win, max(w) AS end_win,
+         |         count(*) AS n_windows, sum(e) AS sum_energy
+         |  FROM isl GROUP BY id, grp)
+         |SELECT id AS doc_id,
+         |       CAST(row_number() OVER (PARTITION BY id ORDER BY start_win)
+         |            AS BIGINT) AS seg_idx,
+         |       CAST(start_win AS BIGINT) AS start_win,
+         |       CAST(end_win AS BIGINT) AS end_win,
+         |       CAST(n_windows AS BIGINT) AS n_windows,
+         |       CAST(sum_energy AS BIGINT) AS sum_energy
+         |FROM seg ORDER BY doc_id, seg_idx""".stripMargin,
     // Closed-form replay of the video-dedup pipeline: one image-dedup
     // replay PER SAMPLED FRAME (the generator's cell grid is the
     // decoded-downsampled gray grid frame by frame), then the exact
@@ -3420,6 +3470,7 @@ object PipelineQueries {
     "media_hamming_knn256" -> mediaHammingKnn256 _,
     "media_dedup_incremental" -> mediaDedupIncremental _,
     "audio_dedup_energy" -> audioDedupEnergy _,
+    "audio_segments" -> audioSegments _,
     "video_dedup_frames" -> videoDedupFrames _,
     "lang_id" -> langId _,
     "corpus_clean" -> corpusClean _

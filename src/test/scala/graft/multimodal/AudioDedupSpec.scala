@@ -95,6 +95,47 @@ class AudioDedupSpec extends AnyFunSuite with SparkSpec {
       "is inert and the corpus degenerates to exact dups")
   }
 
+  test("segmentsOf: clip-relative threshold, island merging, exact " +
+    "energy sums, gain invariance") {
+    // 65 windows of 4 samples; windows 10-12 and 20 loud (amp 10),
+    // rest quiet (amp 1): threshold = 20% of peak energy ->
+    // quiet windows (1% of peak) are inactive
+    def clip(gain: Int): Array[Short] = Array.tabulate(65 * 4) { i =>
+      val w = i / 4
+      val a = if ((w >= 10 && w <= 12) || w == 20) 10 * gain else gain
+      (if (i % 2 == 0) a else -a).toShort
+    }
+    val segs = AudioDedup.segmentsOf(clip(1))
+    // energies: loud = 4*100 = 400, quiet = 4; 5*400 > 400 active,
+    // 5*4 <= 400 inactive
+    assert(segs === Seq((10, 12, 3, 1200L), (20, 20, 1, 400L)))
+    // gain scales all energies by gain^2: same segments, scaled sums
+    assert(AudioDedup.segmentsOf(clip(3)) ===
+      Seq((10, 12, 3, 10800L), (20, 20, 1, 3600L)))
+    // a flat clip is ALL one segment: every window is its own peak
+    val flat = Array.tabulate(65 * 4)(i =>
+      (if (i % 2 == 0) 7 else -7).toShort)
+    assert(AudioDedup.segmentsOf(flat) === Seq((0, 64, 65, 65L * 4 * 49)))
+  }
+
+  test("segmentsDf emits 1-based ordered segment rows through the " +
+    "real codec and refuses non-audio") {
+    val clip = Array.tabulate(65 * 4) { i =>
+      val w = i / 4
+      val a = if (w == 2 || w == 60) 9 else 1
+      (if (i % 2 == 0) a else -a).toShort
+    }
+    val media = Seq((5L, "wav", WavCodec.encodePcm16Mono(8000, clip)))
+      .toDF("doc_id", "format", "bytes")
+    val rows = AudioDedup.segmentsDf(media, "doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq((1L, 2L, 2L, 1L), (2L, 60L, 60L, 1L)))
+    val png = Seq((1L, "png", Array[Byte](1)))
+      .toDF("doc_id", "format", "bytes")
+    intercept[org.apache.spark.SparkException](
+      AudioDedup.segmentsDf(png, "doc_id").collect())
+  }
+
   test("non-audio formats refuse at the decode seam") {
     val png = Seq((1L, "png", Array[Byte](1, 2, 3)))
       .toDF("doc_id", "format", "bytes")
