@@ -173,6 +173,91 @@ object VideoDedup {
       .select(col("id_a"), col("id_b"), col("n_matched"), col("n_common"))
   }
 
+  /** SHOT-BOUNDARY DETECTION (temporal segmentation): the classic
+    * frame-difference formulation — a CUT lies between consecutive
+    * frames whose perceptual distance exceeds a threshold; maximal
+    * runs between cuts are SHOTS. Here the frame difference is the
+    * dHash Hamming distance (the same fingerprint the dedup and k-NN
+    * operators use), computed RELATIONALLY: a self-join of the frame
+    * table on `frame + 1`, then one per-video prefix-sum window turns
+    * the cut indicators into shot ids. The shot table is what
+    * per-scene downstream work (keyframe extraction, captioning)
+    * consumes — the video analog of the audio segmenter.
+    *
+    * Scale: the consecutive-frame join is an equi-join on
+    * (id, frame); the single window partitions BY VIDEO (thousands of
+    * frames each, millions of videos — maximal parallelism, no global
+    * sort). Emits `(id, shot_idx, start_frame, end_frame, n_frames)`,
+    * shot_idx 1-based.
+    */
+  def shots(frameHashes: DataFrame, idCol: String,
+      cutHamming: Int): DataFrame = {
+    require(cutHamming >= 1 && cutHamming <= 64,
+      s"cutHamming=$cutHamming must be in [1, 64]")
+    import org.apache.spark.sql.expressions.Window
+    val cur = frameHashes.select(col(idCol), col("frame"),
+      col("h_hi").as("chi"), col("h_lo").as("clo"))
+    val prev = frameHashes.select(col(idCol),
+      (col("frame") + 1).as("frame"),
+      col("h_hi").as("phi"), col("h_lo").as("plo"))
+    // cut indicator per frame: 1 iff this frame starts a new shot
+    // (distance to its predecessor > threshold); frame 0 starts shot 1
+    val marked = cur.join(prev, Seq(idCol, "frame"), "left")
+      .withColumn("cut",
+        when(col("phi").isNull, lit(1))
+          .when((bit_count(col("chi").bitwiseXOR(col("phi"))) +
+            bit_count(col("clo").bitwiseXOR(col("plo")))) > cutHamming,
+            lit(1))
+          .otherwise(lit(0)))
+    val shotId = sum(col("cut"))
+      .over(Window.partitionBy(col(idCol)).orderBy(col("frame")))
+    marked.withColumn("shot_idx", shotId.cast("long"))
+      .groupBy(col(idCol), col("shot_idx"))
+      .agg(min("frame").cast("long").as("start_frame"),
+        max("frame").cast("long").as("end_frame"),
+        count(lit(1)).cast("long").as("n_frames"))
+  }
+
+  /** Deterministic synthetic SHOT corpus for the oracle-gated shots
+    * query: `12 + g%3` frames per video, shot changes at frames 4 and
+    * 9 — within a shot frames are BIT-IDENTICAL (distance 0), across a
+    * cut the gradient directions re-roll entirely (the edited-frame
+    * rule keyed by the shot index), so distances are large and the
+    * spec can pin cuts exactly at {4, 9}. Even ids encode PNG, odd
+    * BMP.
+    */
+  def syntheticShotVideos(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIx = ids.schema.fieldIndex(idCol)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIx)
+        val g = id
+        val nFrames = (12 + g % 3).toInt
+        val cw = (2 + g % 3).toInt; val ch = (2 + g % 2).toInt
+        val w = 9 * cw; val h = 8 * ch
+        val frames = (0 until nFrames).map { f =>
+          val s = (if (f >= 4) 1 else 0) + (if (f >= 9) 1 else 0)
+          def rgbAt(x: Int, y: Int): (Int, Int, Int) = {
+            val cx = x / cw; val cy = y / ch
+            val p = (((cx * (7 + (g + s) % 5) + cy * (13 + (g + s) % 11) +
+              (g + s * 7) * 31) % 17) * 15).toInt
+            (p, (p + 60) % 256, (p + 120) % 256)
+          }
+          if (g % 2 == 0)
+            ("png", PngCodec.encodeRgb8(w, h, rgbAt, filterForRow = y => y % 5))
+          else
+            ("bmp", BmpCodec.encode24(w, h, rgbAt))
+        }
+        Row(id, "gvid", encodeGvid(frames))
+      }
+    }(enc)
+  }
+
   /** Deterministic synthetic video corpus for the oracle-gated query
     * (testdata carries no real video assets): id → a GVID clip of
     * `8 + g%3` frames of cell-constant images following the

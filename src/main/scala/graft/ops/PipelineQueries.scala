@@ -1153,6 +1153,24 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Shot-boundary detection ([[graft.multimodal.VideoDedup.shots]]):
+    * every frame of a synthetic multi-shot GVID corpus is dHashed,
+    * consecutive-frame Hamming distance > 8 marks a cut, and one
+    * per-video prefix-sum window rolls cut indicators into the shot
+    * table — temporal segmentation, the video analog of the audio
+    * segmenter. The oracle replays frame hashes, distances, cuts and
+    * the window in closed form.
+    */
+  def videoShots(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.VideoDedup
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    VideoDedup.shots(
+      VideoDedup.frameHashDf(VideoDedup.syntheticShotVideos(ids, "doc_id"),
+        "doc_id", stride = 1),
+      "doc_id", cutHamming = 8)
+      .orderBy("doc_id", "shot_idx")
+  }
+
   /** End-to-end corpus cleaning, the composition a training-data run
     * actually ships: exact-dedup survivors → minimum length → English
     * prediction → emit with integer quality stats. One narrow scan +
@@ -3085,6 +3103,58 @@ object PipelineQueries {
          |SELECT probe_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
          |       CAST(rn AS BIGINT) AS rnk
          |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rnk""".stripMargin,
+    // Closed-form replay of shot detection: per-frame hashes on the
+    // shot-keyed cell rule, consecutive distances, cut indicators
+    // (frame 0 always cuts), prefix-sum shot ids, per-shot bounds
+    "video_shots" ->
+      raw"""WITH ids AS (SELECT doc_id AS id FROM documents),
+         |fr AS (
+         |  SELECT id, f,
+         |         (CASE WHEN f >= 4 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN f >= 9 THEN 1 ELSE 0 END) AS s
+         |  FROM ids, unnest(range(0, 14)) AS r(f)
+         |  WHERE f < 12 + id % 3),
+         |cell AS (
+         |  SELECT id, f, cy, cx,
+         |         ((cx*(7 + (id + s) % 5) + cy*(13 + (id + s) % 11) +
+         |           (id + s*7)*31) % 17) * 15 AS p
+         |  FROM fr, unnest(range(0, 8)) AS r1(cy),
+         |       unnest(range(0, 9)) AS r2(cx)),
+         |gray AS (
+         |  SELECT id, f, cy, cx,
+         |         (77*p + 150*((p + 60) % 256) + 29*((p + 120) % 256)) // 256 AS gv
+         |  FROM cell),
+         |bits AS (
+         |  SELECT a.id, a.f, a.cy * 8 + a.cx AS j,
+         |         CASE WHEN a.gv > b.gv THEN 1 ELSE 0 END AS bit
+         |  FROM gray a JOIN gray b
+         |    ON b.id = a.id AND b.f = a.f AND b.cy = a.cy AND b.cx = a.cx + 1
+         |  WHERE a.cx < 8),
+         |hh AS (
+         |  SELECT id, f,
+         |         CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+         |                       ELSE 0 END) AS BIGINT) AS hi,
+         |         CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+         |                       ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY id, f),
+         |dist AS (
+         |  SELECT a.id, a.f,
+         |         bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS d
+         |  FROM hh a JOIN hh b ON b.id = a.id AND b.f = a.f - 1),
+         |cuts AS (
+         |  SELECT h.id, h.f,
+         |         CASE WHEN d.d IS NULL OR d.d > 8 THEN 1 ELSE 0 END AS cut
+         |  FROM hh h LEFT JOIN dist d ON d.id = h.id AND d.f = h.f),
+         |shotid AS (
+         |  SELECT id, f,
+         |         sum(cut) OVER (PARTITION BY id ORDER BY f) AS shot_idx
+         |  FROM cuts)
+         |SELECT id AS doc_id, CAST(shot_idx AS BIGINT) AS shot_idx,
+         |       CAST(min(f) AS BIGINT) AS start_frame,
+         |       CAST(max(f) AS BIGINT) AS end_frame,
+         |       CAST(count(*) AS BIGINT) AS n_frames
+         |FROM shotid GROUP BY id, shot_idx
+         |ORDER BY doc_id, shot_idx""".stripMargin,
     // Full replay of the two-batch incremental arc over the
     // closed-form fingerprints: batch-1 decisions against the
     // bootstrap third, index grows by batch-1 kept, batch-2 decisions
@@ -3472,6 +3542,7 @@ object PipelineQueries {
     "audio_dedup_energy" -> audioDedupEnergy _,
     "audio_segments" -> audioSegments _,
     "video_dedup_frames" -> videoDedupFrames _,
+    "video_shots" -> videoShots _,
     "lang_id" -> langId _,
     "corpus_clean" -> corpusClean _
   )

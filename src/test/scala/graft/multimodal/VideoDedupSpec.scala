@@ -87,6 +87,43 @@ class VideoDedupSpec extends AnyFunSuite with SparkSpec {
       VideoDedup.nearDupPairs(rows, "vid", maxHamming = 1, minMatched = 0))
   }
 
+  test("shots: cut indicators roll into 1-based shot spans; crafted " +
+    "hashes pin the threshold boundary") {
+    // video 1: frames 0-2 identical, frame 3 differs by 9 bits (> 8:
+    // cut), frames 3-4 differ by 8 (NOT > 8: same shot)
+    val rows = Seq(
+      (1L, 0, 0L, 0L), (1L, 1, 0L, 0L), (1L, 2, 0L, 0L),
+      (1L, 3, 0L, 0x1FFL), (1L, 4, 0xFFL, 0x1FFL))
+      .toDF("vid", "frame", "h_hi", "h_lo")
+    val out = VideoDedup.shots(rows, "vid", cutHamming = 8)
+      .collect().map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).sorted
+    assert(out.toSeq === Seq((1L, 0L, 2L, 3L), (2L, 3L, 4L, 2L)))
+    intercept[IllegalArgumentException](
+      VideoDedup.shots(rows, "vid", cutHamming = 0))
+  }
+
+  test("shot corpus: cuts detected at EXACTLY frames 4 and 9 for " +
+    "every video (within-shot frames are bit-identical; re-rolled " +
+    "gradients exceed the threshold)") {
+    val ids = (0L until 30L).toDF("doc_id")
+    val shots = VideoDedup.shots(
+      VideoDedup.frameHashDf(
+        VideoDedup.syntheticShotVideos(ids, "doc_id"), "doc_id", stride = 1),
+      "doc_id", cutHamming = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    for (id <- 0L until 30L) {
+      val spans = shots(id).map(_._2).sortBy(_._1)
+      val nF = 12 + id % 3
+      assert(spans.map(s => (s._2, s._3)).toSeq ===
+        Seq((0L, 3L), (4L, 8L), (9L, nF - 1)),
+        s"video $id: expected shots [0,3][4,8][9,${nF - 1}], got " +
+          spans.mkString(","))
+    }
+  }
+
   test("recall contract on the generated corpus: EVERY within-group " +
     "pair surfaces (variants edit at most 2 sampled intro frames; " +
     "the rest match exactly), and edited frames DO break their match") {
