@@ -1163,11 +1163,14 @@ object PipelineQueries {
     */
   def videoShots(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.VideoDedup
-    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
-    VideoDedup.shots(
+    // the frame table feeds BOTH sides of the consecutive-frame join:
+    // cached, or the container parse + per-frame codec pass runs twice
+    val hashes = mediaHashCache.get(spark, dir + "#shots") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
       VideoDedup.frameHashDf(VideoDedup.syntheticShotVideos(ids, "doc_id"),
-        "doc_id", stride = 1),
-      "doc_id", cutHamming = 8)
+        "doc_id", stride = 1)
+    }
+    VideoDedup.shots(hashes, "doc_id", cutHamming = 8)
       .orderBy("doc_id", "shot_idx")
   }
 
