@@ -46,7 +46,11 @@ object AudioDedup {
     * Gain-invariant: scaling every sample by a constant scales every
     * energy by its square, preserving all comparisons.
     */
-  def energyHash64(samples: Array[Short]): (Long, Long) = {
+  /** Exact int64 energies over the 65-window long-math grid — the one
+    * windowing rule the fingerprint and the segmenter share (a change
+    * here changes both, by construction).
+    */
+  private def windowEnergies(samples: Array[Short]): Array[Long] = {
     val n = samples.length
     require(n >= Windows,
       s"clip of $n samples is shorter than the $Windows-window grid")
@@ -61,6 +65,11 @@ object AudioDedup {
       e(w) = s
       w += 1
     }
+    e
+  }
+
+  def energyHash64(samples: Array[Short]): (Long, Long) = {
+    val e = windowEnergies(samples)
     var hi = 0L; var lo = 0L
     var j = 0
     while (j < 64) {
@@ -126,25 +135,12 @@ object AudioDedup {
     * one decode, one 65-energy array, one scan.
     */
   def segmentsOf(samples: Array[Short]): Seq[(Int, Int, Int, Long)] = {
-    val n = samples.length
-    require(n >= Windows,
-      s"clip of $n samples is shorter than the $Windows-window grid")
-    val e = new Array[Long](Windows)
-    var w = 0
-    while (w < Windows) {
-      val from = (w.toLong * n / Windows).toInt
-      val until = ((w + 1).toLong * n / Windows).toInt
-      var s = 0L
-      var i = from
-      while (i < until) { val v = samples(i).toLong; s += v * v; i += 1 }
-      e(w) = s
-      w += 1
-    }
+    val e = windowEnergies(samples)
     val emax = e.max
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
     var start = -1
     var sum = 0L
-    w = 0
+    var w = 0
     while (w <= Windows) {
       val active = w < Windows && 5L * e(w) > emax
       if (active) {

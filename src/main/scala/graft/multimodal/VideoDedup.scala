@@ -178,40 +178,41 @@ object VideoDedup {
     * frames whose perceptual distance exceeds a threshold; maximal
     * runs between cuts are SHOTS. Here the frame difference is the
     * dHash Hamming distance (the same fingerprint the dedup and k-NN
-    * operators use), computed RELATIONALLY: a self-join of the frame
-    * table on `frame + 1`, then one per-video prefix-sum window turns
-    * the cut indicators into shot ids. The shot table is what
-    * per-scene downstream work (keyframe extraction, captioning)
+    * operators use) against the PREVIOUS SAMPLED frame, taken with
+    * `lag` over the per-video frame order; a prefix sum over the same
+    * window turns cut indicators into shot ids. The shot table is
+    * what per-scene downstream work (keyframe extraction, captioning)
     * consumes — the video analog of the audio segmenter.
     *
-    * Scale: the consecutive-frame join is an equi-join on
-    * (id, frame); the single window partitions BY VIDEO (thousands of
-    * frames each, millions of videos — maximal parallelism, no global
-    * sort). Emits `(id, shot_idx, start_frame, end_frame, n_frames)`,
-    * shot_idx 1-based.
+    * Scale: ONE window spec does everything — lag and prefix sum
+    * share a single exchange + per-partition sort, partitioned BY
+    * VIDEO (thousands of frames each, millions of videos — maximal
+    * parallelism, no global sort, and no self-join re-reading the
+    * frame table). Because the predecessor is the previous SAMPLED
+    * frame, strided frame tables segment the sampled sequence instead
+    * of degenerating. Emits `(id, shot_idx, start_frame, end_frame,
+    * n_frames)`, shot_idx 1-based.
     */
   def shots(frameHashes: DataFrame, idCol: String,
       cutHamming: Int): DataFrame = {
     require(cutHamming >= 1 && cutHamming <= 64,
       s"cutHamming=$cutHamming must be in [1, 64]")
     import org.apache.spark.sql.expressions.Window
-    val cur = frameHashes.select(col(idCol), col("frame"),
-      col("h_hi").as("chi"), col("h_lo").as("clo"))
-    val prev = frameHashes.select(col(idCol),
-      (col("frame") + 1).as("frame"),
-      col("h_hi").as("phi"), col("h_lo").as("plo"))
+    val perVideo = Window.partitionBy(col(idCol)).orderBy(col("frame"))
     // cut indicator per frame: 1 iff this frame starts a new shot
-    // (distance to its predecessor > threshold); frame 0 starts shot 1
-    val marked = cur.join(prev, Seq(idCol, "frame"), "left")
+    // (distance to its predecessor > threshold); the first sampled
+    // frame starts shot 1
+    val marked = frameHashes
+      .select(col(idCol), col("frame"), col("h_hi"), col("h_lo"))
+      .withColumn("phi", lag(col("h_hi"), 1).over(perVideo))
+      .withColumn("plo", lag(col("h_lo"), 1).over(perVideo))
       .withColumn("cut",
         when(col("phi").isNull, lit(1))
-          .when((bit_count(col("chi").bitwiseXOR(col("phi"))) +
-            bit_count(col("clo").bitwiseXOR(col("plo")))) > cutHamming,
+          .when((bit_count(col("h_hi").bitwiseXOR(col("phi"))) +
+            bit_count(col("h_lo").bitwiseXOR(col("plo")))) > cutHamming,
             lit(1))
           .otherwise(lit(0)))
-    val shotId = sum(col("cut"))
-      .over(Window.partitionBy(col(idCol)).orderBy(col("frame")))
-    marked.withColumn("shot_idx", shotId.cast("long"))
+    marked.withColumn("shot_idx", sum(col("cut")).over(perVideo).cast("long"))
       .groupBy(col(idCol), col("shot_idx"))
       .agg(min("frame").cast("long").as("start_frame"),
         max("frame").cast("long").as("end_frame"),

@@ -101,6 +101,16 @@ class VideoDedupSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((1L, 0L, 2L, 3L), (2L, 3L, 4L, 2L)))
     intercept[IllegalArgumentException](
       VideoDedup.shots(rows, "vid", cutHamming = 0))
+    // STRIDED frame tables segment the SAMPLED sequence (lag over the
+    // per-video order, not a frame+1 join — which would have seen no
+    // predecessor anywhere and split every frame into its own shot)
+    val strided = Seq((7L, 0, 0L, 0L), (7L, 2, 0L, 0L), (7L, 4, 0L, 0L))
+      .toDF("vid", "frame", "h_hi", "h_lo")
+    val s = VideoDedup.shots(strided, "vid", cutHamming = 8)
+      .collect().map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(s.toSeq === Seq((1L, 0L, 4L, 3L)),
+      "identical sampled frames must form ONE shot at any stride")
   }
 
   test("shot corpus: cuts detected at EXACTLY frames 4 and 9 for " +
