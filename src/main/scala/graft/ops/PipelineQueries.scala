@@ -364,10 +364,23 @@ object PipelineQueries {
           try e.df.unpersist(blocking = false)
           catch { case scala.util.control.NonFatal(_) => () })
       }
-      val entry = cache.getOrElseUpdate(
-        (sessionKey(spark), key),
-        new Entry(spark,
-          build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+      val k = (sessionKey(spark), key)
+      // putIfAbsent, not getOrElseUpdate: the latter's value thunk runs
+      // persist() BEFORE the atomic insert, so two racing first accesses
+      // both persisted and the loser's storage leaked until session end
+      val entry = cache.get(k) match {
+        case Some(e) => e
+        case None =>
+          val fresh = new Entry(spark, build.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          cache.putIfAbsent(k, fresh) match {
+            case None => fresh
+            case Some(winner) => // lost the race: release the loser
+              try fresh.df.unpersist(blocking = false)
+              catch { case scala.util.control.NonFatal(_) => () }
+              winner
+          }
+      }
       entry.lastUsed = tick.incrementAndGet()
       entry.df
     }
@@ -379,11 +392,31 @@ object PipelineQueries {
     * row) — generated-media decode+hash is the expensive part of those
     * queries and feeds both self-join sides (plus the common-index
     * denominator for video), so it must run once, not per subplan.
+    * Sized for the key fan-out: ONE dataset populates several keys
+    * (#image, #image256, #audio, #video, #shots, …), so 16 entries keep
+    * two datasets used alternately (e.g. sf0.1 and sf1 in one session)
+    * from LRU-thrashing the expensive decode+hash passes.
     */
-  private val mediaHashCache = new KeyedFrameCache(8)
+  private val mediaHashCache = new KeyedFrameCache(16)
+
+  /** Corpus-scale TEXT frames feeding multiple subplans — the same
+    * rule the winnow and media caches encode (a frame consumed by N
+    * branches must persist or its upstream pass re-runs per branch):
+    * the BPE tokenizer's post-broadcast-join word frame feeds three
+    * branches (hit rows, miss rows, the distinct miss-word table), so
+    * uncached the corpus explode+lookup scan ran three times
+    * (measured 0.38 → 0.84 s warm at sf0.1 when the zero-OOV rework
+    * added the third branch; cached it is one pass).
+    */
+  private val textFrameCache = new KeyedFrameCache(8)
 
   private[ops] def winnowCacheKeys: Set[(String, String)] = winnowCache.keys
   private[ops] def mediaHashCacheKeys: Set[(String, String)] = mediaHashCache.keys
+  private[ops] def textFrameCacheKeys: Set[(String, String)] = textFrameCache.keys
+
+  /** Unpersist and drop every text frame cached for `spark`. */
+  def releaseTextFrameCache(spark: SparkSession): Unit =
+    textFrameCache.release(spark)
 
   /** Unpersist and drop every winnow frame cached for `spark`. */
   def releaseWinnowCache(spark: SparkSession): Unit = winnowCache.release(spark)
@@ -851,27 +884,30 @@ object PipelineQueries {
     * stream of ALL words, so the hash pins both paths' segmentation.
     */
   def bpeTokenizeDocs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
     val merges = bpeMerges(spark, dir)
-    val lookup = graft.text.BpeTrainer.segment(
-      bpeVocabDf(spark, dir)
-        .orderBy(desc("freq"), asc("word")).limit(BpeLookupCap), merges)
-      .select(col("word"), col("pieces"),
-        size(split(col("pieces"), " ")).cast("long").as("n_pieces"))
-    val words = docs
-      .select(col("doc_id"),
-        posexplode(split(graft.text.BpeTrainer.asciiLower(col("text")),
-          "\\s+")).as(Seq("pos", "word")))
-      .filter(length(col("word")) > 0)
     // `joined` feeds THREE branches (hit rows, miss rows, the distinct
-    // miss-word table) and Catalyst plans the shared lineage per
-    // branch: three narrow corpus scans. Deliberate — the alternative
-    // single-scan form (full segmentation table, corpus LEFT JOIN on
-    // `word`) trades the two extra narrow passes for one corpus-wide
-    // SHUFFLE keyed on the most skewed column in the dataset; narrow
-    // scans are the cheap currency at 100 TB, skewed shuffles the
-    // expensive one. The only shuffle here stays on the RARE words.
-    val joined = words.join(broadcast(lookup), Seq("word"), "left")
+    // miss-word table); the single-scan alternative (full segmentation
+    // table, corpus LEFT JOIN on `word`) would trade the extra passes
+    // for one corpus-wide SHUFFLE keyed on the most skewed column in
+    // the dataset — so instead the frame is PERSISTED once (the
+    // winnow/mediaHash multi-subplan cache rule; uncached, the corpus
+    // explode+lookup pass re-ran per branch and the query regressed
+    // 0.38 → 0.84 s warm at sf0.1). The only shuffle stays on the
+    // RARE words.
+    val joined = textFrameCache.get(spark, dir + "#bpejoined") {
+      val docs = Tables.load(spark, dir, "documents")
+      val lookup = graft.text.BpeTrainer.segment(
+        bpeVocabDf(spark, dir)
+          .orderBy(desc("freq"), asc("word")).limit(BpeLookupCap), merges)
+        .select(col("word"), col("pieces"),
+          size(split(col("pieces"), " ")).cast("long").as("n_pieces"))
+      val words = docs
+        .select(col("doc_id"),
+          posexplode(split(graft.text.BpeTrainer.asciiLower(col("text")),
+            "\\s+")).as(Seq("pos", "word")))
+        .filter(length(col("word")) > 0)
+      words.join(broadcast(lookup), Seq("word"), "left")
+    }
     val hitPath = joined.filter(col("pieces").isNotNull)
       .withColumn("oov", lit(0L))
     val missSeg = graft.text.BpeTrainer.segment(
