@@ -40,7 +40,8 @@ import graft.multimodal.ImageDedup
   */
 class FingerprintDedupIndex(
     spark: SparkSession, val base: String, idCol: String,
-    maxHamming: Int, bandBits: Int = 16) {
+    maxHamming: Int, bandBits: Int = 16,
+    maxBucketSize: Int = Int.MaxValue) {
 
   ImageDedup.requireExactPigeonhole(maxHamming, bandBits)
 
@@ -92,7 +93,14 @@ class FingerprintDedupIndex(
     require(exists, s"fingerprint index at $base is not bootstrapped")
     val batch = hashes.select(col(idCol), col("h_hi"), col("h_lo"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val newBands = bandRows(batch)
+    // the optional hot-bucket cap ([[ImageDedup.capBuckets]], off by
+    // default) bounds the cross join too: a degenerate batch (all-black
+    // frames) otherwise multiplies its hottest (band, bv) bucket
+    // against the index's matching slice. Over-cap batch rows skip
+    // blocking on that band — the documented recall trade; decisions
+    // for them fall through to `kept`.
+    val newBands = ImageDedup.capBuckets(bandRows(batch), maxBucketSize,
+      "band", "bv")
     val bvs = newBands.select("bv").distinct()
       .limit(CorpusDedupIndex.MaxKeysInPredicate + 1)
       .collect().map(_.getLong(0)).toSeq
@@ -115,7 +123,7 @@ class FingerprintDedupIndex(
     // check (a corpus-dup must not bridge two components), then
     // min-label connected components
     val intraPairs = ImageDedup
-      .nearDupPairs(batch, idCol, maxHamming, bandBits)
+      .nearDupPairs(batch, idCol, maxHamming, bandBits, maxBucketSize)
       .join(crossDup.withColumnRenamed("new_id", "id_a"), Seq("id_a"),
         "left_anti")
       .join(crossDup.withColumnRenamed("new_id", "id_b"), Seq("id_b"),

@@ -161,17 +161,53 @@ object ImageDedup {
       .select(carried :+ col("b.band").as("band") :+ col("b.bv").as("bv"): _*)
   }
 
+  /** Drops every blocking bucket larger than `cap` from exploded band
+    * rows — [[graft.dedup.MinHashLSH]]'s `maxBucketSize` recall trade
+    * brought to Hamming blocking: an ADVERSARIAL real-world corpus
+    * (flat images, black frames, silence) can put millions of
+    * fingerprints into one (band, value) bucket, and a banded
+    * self-join is quadratic IN THE BUCKET — the cap bounds every
+    * bucket's pair contribution at `cap²` for a documented recall
+    * trade (members of an over-cap bucket skip blocking on that band;
+    * they can still pair through their other, unskewed bands, and a
+    * bucket past the cap is near-certainly a degenerate-content
+    * cluster, not a near-dup FRONTIER). The window's partitionBy is
+    * exactly the join's distribution, so Catalyst reuses the exchange
+    * (one shuffle total — the MinHashLSH plan shape). `cap =
+    * Int.MaxValue` (the default everywhere) applies no window at all:
+    * plans and results of the exact-pigeonhole configurations are
+    * unchanged. `keys` are the bucket identity columns (video threads
+    * `frame` through).
+    */
+  private[graft] def capBuckets(bands: DataFrame, cap: Int,
+      keys: String*): DataFrame =
+    if (cap == Int.MaxValue) bands
+    else {
+      require(cap >= 1, s"maxBucketSize=$cap must be >= 1")
+      import org.apache.spark.sql.expressions.Window
+      bands
+        .withColumn("bsz",
+          count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+        .filter(col("bsz") <= cap)
+        .drop("bsz")
+    }
+
   /** Near-duplicate pairs among `(idCol, h_hi, h_lo)` fingerprints:
     * Hamming-banded candidate join + exact popcount re-check.
     * `maxHamming < 64/bandBits` keeps the pigeonhole exact; see the
     * object doc for the band-width selectivity trade (16-bit bands are
-    * the registered billion-image configuration).
+    * the registered billion-image configuration). `maxBucketSize`
+    * bounds hot blocking buckets ([[capBuckets]] — a recall trade,
+    * OFF by default so the pigeonhole exactness contract holds).
     */
   def nearDupPairs(hashes: DataFrame, idCol: String,
-      maxHamming: Int, bandBits: Int = 16): DataFrame = {
+      maxHamming: Int, bandBits: Int = 16,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     requireExactPigeonhole(maxHamming, bandBits)
-    val bands = bandExploded(hashes.select(col(idCol), col("h_hi"),
-      col("h_lo")), bandBits)
+    val bands = capBuckets(
+      bandExploded(hashes.select(col(idCol), col("h_hi"),
+        col("h_lo")), bandBits),
+      maxBucketSize, "band", "bv")
     val a = bands.select(col(idCol).as("id_a"), col("h_hi").as("hia"),
       col("h_lo").as("loa"), col("band"), col("bv"))
     val b = bands.select(col(idCol).as("id_b"), col("h_hi").as("hib"),
@@ -262,14 +298,18 @@ object ImageDedup {
     * standard long-hash trade.
     */
   def nearDupPairs256(hashes: DataFrame, idCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16,
       s"maxHamming=$maxHamming: the 16-limb pigeonhole is exact only " +
         "for thresholds < 16")
     val limbs = hashes
       .select(col(idCol), posexplode(col("fp")).as(Seq("band", "bv")))
-    val a = limbs.select(col(idCol).as("id_a"), col("band"), col("bv"))
-    val b = limbs.select(col(idCol).as("id_b"), col("band"), col("bv"))
+    // the cap applies to CANDIDATE GENERATION only; the verify below
+    // re-joins the UNCAPPED limb rows, so every emitted distance stays
+    // the exact 256-bit Hamming distance
+    val blocked = capBuckets(limbs, maxBucketSize, "band", "bv")
+    val a = blocked.select(col(idCol).as("id_a"), col("band"), col("bv"))
+    val b = blocked.select(col(idCol).as("id_b"), col("band"), col("bv"))
     val cand = a.join(b, Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

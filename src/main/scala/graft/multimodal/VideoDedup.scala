@@ -135,15 +135,20 @@ object VideoDedup {
     * which makes the match COUNT exact too.
     */
   def nearDupPairs(frameHashes: DataFrame, idCol: String, maxHamming: Int,
-      minMatched: Int, bandBits: Int = 16): DataFrame = {
+      minMatched: Int, bandBits: Int = 16,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     ImageDedup.requireExactPigeonhole(maxHamming, bandBits)
     require(minMatched >= 1, s"minMatched=$minMatched must be >= 1")
     // the shared blocking engine, with the frame index carried through
     // as an extra join key (candidates must collide at the SAME
-    // sampled position)
-    val bands = ImageDedup.bandExploded(
-      frameHashes.select(col(idCol), col("frame"), col("h_hi"),
-        col("h_lo")), bandBits)
+    // sampled position); the bucket cap ([[ImageDedup.capBuckets]],
+    // off by default) is keyed per (frame, band, bv) — an adversarial
+    // corpus of black frames cannot quadratic a position's bucket
+    val bands = ImageDedup.capBuckets(
+      ImageDedup.bandExploded(
+        frameHashes.select(col(idCol), col("frame"), col("h_hi"),
+          col("h_lo")), bandBits),
+      maxBucketSize, "frame", "band", "bv")
     val a = bands.select(col(idCol).as("id_a"), col("frame"),
       col("h_hi").as("hia"), col("h_lo").as("loa"), col("band"), col("bv"))
     val b = bands.select(col(idCol).as("id_b"), col("frame"),

@@ -187,6 +187,27 @@ class FingerprintDedupIndexSpec extends AnyFunSuite with SparkSpec {
     assert(idx.fpTable.snapshot().select("doc_id").distinct().count() === 2L)
   }
 
+  test("maxBucketSize: a degenerate all-identical batch completes " +
+    "under the cap — its quadratic bucket skips blocking (recall " +
+    "trade: decisions fall through to kept) while uncapped the same " +
+    "batch collapses to one component") {
+    val base = Files.createTempDirectory("fpi_").toString
+    val batch = fps((0L until 40L).map(i => (i, 0x5a5a5a5aL, 0x0ff00ff0L)): _*)
+    val capped = new FingerprintDedupIndex(spark, s"$base/capped", "doc_id",
+      maxHamming = 3, bandBits = 16, maxBucketSize = 10)
+    capped.bootstrap(fps((1000L, B._1, B._2)))
+    val dc = decisionMap(capped.dedupBatch(batch))
+    assert(dc.size === 40 && dc.values.forall(_ == "kept"),
+      "over-cap bucket members skip blocking and are kept — the " +
+        "documented recall trade, not a hang")
+    val uncapped = new FingerprintDedupIndex(spark, s"$base/uncapped",
+      "doc_id", maxHamming = 3, bandBits = 16)
+    uncapped.bootstrap(fps((1000L, B._1, B._2)))
+    val du = decisionMap(uncapped.dedupBatch(batch))
+    assert(du(0L) === "kept" &&
+      (1L until 40L).forall(i => du(i) === "dup_batch"))
+  }
+
   test("TAKEDOWN: remove() retracts a fingerprint merge-on-read; its " +
     "near-dups stop being rejected; un-bootstrapped/empty refusals") {
     val idx = freshIndex()

@@ -133,6 +133,44 @@ class ImageDedupSpec extends AnyFunSuite with SparkSpec {
       ImageDedup.nearDupPairs256(hashes, "doc_id", maxHamming = 16))
   }
 
+  test("maxBucketSize: a degenerate all-identical corpus (the " +
+    "adversarial flat-image case) completes under the cap with its " +
+    "quadratic bucket dropped, while pairs in small buckets survive") {
+    // 60 identical fingerprints -> one 60-row bucket PER BAND (the
+    // all-pairs bomb the cap exists for), plus one near-dup pair whose
+    // band values are disjoint from the hot bucket's
+    val hot = (0L until 60L).map(i => (i, 0x12345678L, 0x0abcdef0L))
+    val cold = Seq((100L, 0x7fff5a5aL, 0x70f0f0f0L),
+      (101L, 0x7fff5a5aL, 0x70f0f0f1L)) // distance 1, shares 3 bands
+    val hashes = (hot ++ cold).toDF("doc_id", "h_hi", "h_lo")
+    val capped = ImageDedup.nearDupPairs(hashes, "doc_id",
+      maxHamming = 3, bandBits = 16, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)),
+      "over-cap buckets drop; small buckets keep pairing")
+    // the drop is exactly the hot bucket's C(60,2) pairs
+    val uncapped = ImageDedup.nearDupPairs(hashes, "doc_id",
+      maxHamming = 3, bandBits = 16).count()
+    assert(uncapped === 60L * 59 / 2 + 1)
+
+    // 256-bit: same shape on limb fingerprints; the cap bounds
+    // candidate generation, the exact verify still re-joins uncapped
+    val hot256 = (0L until 60L).map(i => (i, Array.fill(16)(7L)))
+    val cold256 = Seq((100L, Array.tabulate(16)(i => 100L + i)),
+      (101L, Array.tabulate(16)(i => 100L + i)))
+    val fp = (hot256 ++ cold256).toDF("doc_id", "fp")
+    val capped256 = ImageDedup.nearDupPairs256(fp, "doc_id",
+      maxHamming = 9, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped256 === Set((100L, 101L)))
+    assert(ImageDedup.nearDupPairs256(fp, "doc_id", maxHamming = 9)
+      .count() === 60L * 59 / 2 + 1)
+    // a nonsensical cap refuses loudly
+    intercept[IllegalArgumentException] {
+      ImageDedup.nearDupPairs(hashes, "doc_id", 3, 16, maxBucketSize = 0)
+    }
+  }
+
   test("thresholds beyond the pigeonhole refuse per band width; " +
     "non-pixel formats refuse at the decode seam") {
     val ids = Seq(1L).toDF("doc_id")
