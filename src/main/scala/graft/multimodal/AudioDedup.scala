@@ -117,6 +117,60 @@ object AudioDedup {
       maxHamming: Int, bandBits: Int = 16): DataFrame =
     ImageDedup.nearDupPairs(hashes, idCol, maxHamming, bandBits)
 
+  /** OFFSET-ROBUST fingerprint SEQUENCE over FIXED-DURATION blocks —
+    * the trim/padding fix for [[energyHash64]]'s documented boundary:
+    * the 65-window grid there is CLIP-RELATIVE (window w covers
+    * `[w*n/65, (w+1)*n/65)`), so trimming the clip re-stretches every
+    * window and changes every bit. Here the clip is cut into
+    * consecutive blocks of exactly `blockSamples` samples (a trailing
+    * partial block is dropped — it has no complete grid) and each
+    * block fingerprints independently on ITS OWN 65-window grid, so a
+    * block's bits depend only on the block's samples: a copy trimmed
+    * by whole blocks keeps every surviving block's fingerprint
+    * bit-identical, and [[SignatureDedup.nearDupPairsBySignature]]
+    * matches the sequences alignment-free (same engine as video shot
+    * signatures — this is Haitsma–Kalker's sub-fingerprint-sequence
+    * shape with the blocks as sub-fingerprints). Trims that are not
+    * block-aligned shift the grid inside every block and are OUT of
+    * this operator's contract (real systems recover them with
+    * overlapping hop offsets — a constant-factor emission increase on
+    * the same plan, documented, not implemented).
+    *
+    * Emits `(id, block_idx, h_hi, h_lo)`. One narrow decode pass,
+    * `floor(samples/blockSamples)` small rows per clip — the same
+    * media-codec mapPartitions seam as every fingerprint pass.
+    */
+  def blockHashDf(media: DataFrame, idCol: String,
+      blockSamples: Int): DataFrame = {
+    require(blockSamples >= Windows,
+      s"blockSamples=$blockSamples cannot carry the $Windows-window grid")
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("block_idx", LongType, nullable = false),
+      StructField("h_hi", LongType, nullable = false),
+      StructField("h_lo", LongType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIx = media.schema.fieldIndex(idCol)
+    val fmtIx = media.schema.fieldIndex("format")
+    val bIx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val fmt = r.getString(fmtIx)
+        if (fmt != "wav") throw new IllegalArgumentException(
+          s"block fingerprints need decoded PCM; format '$fmt' is not " +
+            "a supported audio codec")
+        val wav = WavCodec.decode(r.getAs[Array[Byte]](bIx))
+        val id = r.getLong(idIx)
+        val nBlocks = wav.samples.length / blockSamples
+        (0 until nBlocks).iterator.map { b =>
+          val (hi, lo) = energyHash64(java.util.Arrays.copyOfRange(
+            wav.samples, b * blockSamples, (b + 1) * blockSamples))
+          Row(id, b.toLong, hi, lo)
+        }
+      }
+    }(enc)
+  }
+
   /** ENERGY-BASED SEGMENTATION (voice-activity endpointing): the
     * published Rabiner–Sambur shape — an utterance's endpoints are
     * found by thresholding short-time ENERGY against a clip-relative
@@ -188,6 +242,77 @@ object AudioDedup {
       }
     }(enc)
   }
+
+  /** Deterministic TRIMMED-VARIANT block corpus for the oracle-gated
+    * offset-robust query: a group (`g = id / 4`) shares a 6-block
+    * MASTER clip (block `b` = 65 windows × 64 samples of
+    * window-constant ±A amplitude, the amplitude residue a quadratic
+    * in `w` whose coefficients are multiplicative permutations of the
+    * globally-unique master block id `m = g·6+b` — see the inline
+    * rule — so unrelated blocks cannot collide at test scale);
+    * variant `v = id % 4` DROPS the
+    * first `v` blocks — a block-aligned trim, the transform that
+    * changes EVERY bit of the clip-relative [[energyHash64]] (its 65
+    * windows re-stretch over the shorter clip) while every surviving
+    * block's [[blockHashDf]] fingerprint stays bit-identical.
+    * Variants `(v_a, v_b)` share the `6 - max(v_a, v_b)` trailing
+    * master blocks.
+    */
+  def syntheticOffsetAudio(ids: DataFrame, idCol: String): DataFrame = {
+    val blockSamples = OffsetBlockSamples
+    val winlen = blockSamples / Windows
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIx = ids.schema.fieldIndex(idCol)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIx)
+        val g = id / 4; val v = (id % 4).toInt
+        val blocks = (v until 6).toArray
+        val samples = new Array[Short](blocks.length * blockSamples)
+        var bi = 0
+        while (bi < blocks.length) {
+          val b = blocks(bi)
+          // pattern key = the globally-unique MASTER block id, driving
+          // the w-polynomial's COEFFICIENTS through multiplicative
+          // permutations (m*K % 65521 is injective in m beyond sf1's
+          // id range for K coprime to the prime) — a rule whose
+          // m-dependence passes only through a small modulus is
+          // PERIODIC in m (identical blocks every few hundred master
+          // ids → quadratic accidental pairs at sf0.1), and the
+          // syntheticAudio per-clip residue family reused per block
+          // left unrelated blocks within 3 bits 4:1 over true pairs.
+          // Integer closed form throughout for the oracle.
+          val m = g * 6 + b
+          var w = 0
+          while (w < Windows) {
+            val res = ((w.toLong * (1 + (m * 73 % 65521) % 996) +
+              w.toLong * w * (1 + (m * 79 % 65521) % 996) + m) % 997) % 23
+            val a = (1 + res * 40).toShort
+            var i = 0
+            while (i < winlen) {
+              samples(bi * blockSamples + w * winlen + i) =
+                if (i % 2 == 0) a else (-a).toShort
+              i += 1
+            }
+            w += 1
+          }
+          bi += 1
+        }
+        Row(id, "wav", WavCodec.encodePcm16Mono(16000, samples))
+      }
+    }(enc)
+  }
+
+  /** Fixed block duration of the offset-robust corpus and query:
+    * 65 windows × 64 samples — `windowEnergies`' long-math boundaries
+    * land exactly on the 64-sample sub-windows, so the oracle replays
+    * each block's energies as `64·A²` in closed form.
+    */
+  val OffsetBlockSamples: Int = Windows * 64
 
   /** Deterministic synthetic audio corpus for the oracle-gated query
     * (testdata carries no real audio assets): id → a clip of 65

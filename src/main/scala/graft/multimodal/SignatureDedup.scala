@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ALIGNMENT-FREE near-duplicate matching between fingerprint
+  * SEQUENCES — the robustness layer over the position-wise media
+  * matchers: [[VideoDedup.nearDupPairs]] requires candidates to
+  * collide at the SAME sampled frame index and the clip-relative
+  * audio grid ([[AudioDedup.energyHash64]]) bakes the clip length
+  * into every window, so a TRIMMED copy (intro cut, padding added, a
+  * 2-second offset) shifts every index and matches nothing — and
+  * trimming is the dominant real-world transform for both modalities.
+  *
+  * The published fix is signature-SET matching (Wu, Ngo & Hauptmann's
+  * near-duplicate video elimination scores clips by the fraction of
+  * matching keyframe signatures; audio fingerprinting systems à la
+  * Haitsma–Kalker match sub-fingerprint values through an inverted
+  * index and let the vote count decide): a clip is a BAG of unit
+  * signatures — one per shot ([[VideoDedup.shotSignatures]]) or per
+  * fixed-duration block ([[AudioDedup.blockHashDf]]) — and two clips
+  * are near-dups when enough units match REGARDLESS of position.
+  * Dropping the unit index from the join key is exactly what buys
+  * the alignment invariance: a trimmed copy keeps its surviving
+  * units' signatures bit-identical (shots re-detect relative to their
+  * own content; fixed-duration blocks re-cut at the same boundaries
+  * when the trim is block-aligned), so they still collide.
+  *
+  * Semantics: units match iff their 64-bit signatures sit within
+  * `maxHamming` (banded blocking, pigeonhole-exact below the band
+  * count, the [[ImageDedup]] engine); a clip pair is emitted iff at
+  * least `minMatched` DISTINCT units match ON EACH side
+  * (`least(n_matched_a, n_matched_b) >= minMatched` — symmetric, so a
+  * short clip spuriously hitting one repeated unit of a long clip
+  * does not qualify through multiplicity). Output carries both match
+  * counts and both unit counts — the numerators and denominators of
+  * whatever overlap-fraction cut the caller wants.
+  *
+  * Scale: the blocking is the audited banded equi-join (hash-
+  * partitioned on (band, value), optional [[ImageDedup.capBuckets]]
+  * hot-bucket cap); the exact popcount runs per candidate collision
+  * BEFORE the distinct, so the distinct dedups bare (id_a, unit_a,
+  * id_b, unit_b) tuples; the two distinct-unit counts run on the
+  * matched pairs only (candidate-volume-sized, not corpus-sized), and
+  * the unit-count denominators join only to SURVIVING pairs. No
+  * cartesian, no driver state, no per-clip loop.
+  */
+object SignatureDedup {
+
+  /** Near-dup clip pairs from unit signatures `(idCol, unitCol, h_hi,
+    * h_lo)` (one row per unit): emits `(id_a, id_b, n_matched_a,
+    * n_matched_b, n_units_a, n_units_b)` for pairs where at least
+    * `minMatched` distinct units match on BOTH sides. `maxHamming <
+    * 64/bandBits` keeps the per-unit pigeonhole exact, which makes the
+    * match counts exact too.
+    */
+  def nearDupPairsBySignature(units: DataFrame, idCol: String,
+      unitCol: String, maxHamming: Int, minMatched: Int,
+      bandBits: Int = 16, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    ImageDedup.requireExactPigeonhole(maxHamming, bandBits)
+    require(minMatched >= 1, s"minMatched=$minMatched must be >= 1")
+    // the shared blocking engine WITHOUT the unit index in the join
+    // key — colliding at any position is what alignment-free means
+    val bands = ImageDedup.capBuckets(
+      ImageDedup.bandExploded(
+        units.select(col(idCol), col(unitCol), col("h_hi"), col("h_lo")),
+        bandBits),
+      maxBucketSize, "band", "bv")
+    def side(tag: String) = bands.select(
+      col(idCol).as(s"id_$tag"), col(unitCol).as(s"u$tag"),
+      col("h_hi").as(s"hi$tag"), col("h_lo").as(s"lo$tag"),
+      col("band"), col("bv"))
+    val matched = side("a").join(side("b"), Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      // exact re-check BEFORE the distinct: the popcount is codegen'd
+      // per collision row, and the distinct then dedups bare unit-pair
+      // tuples instead of carrying four hash columns through the agg
+      .filter(
+        (bit_count(col("hia").bitwiseXOR(col("hib"))) +
+          bit_count(col("loa").bitwiseXOR(col("lob")))) <= maxHamming)
+      .select("id_a", "ua", "id_b", "ub")
+      .distinct() // units agreeing on several bands match once
+    val pairs = matched
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct(col("ua")).as("n_matched_a"),
+        countDistinct(col("ub")).as("n_matched_b"))
+      .filter(least(col("n_matched_a"), col("n_matched_b")) >= minMatched)
+    // denominators: unit counts per clip, joined only to the pairs
+    // that survived the minMatched cut (broadcast-sized by then)
+    val nUnits = units.groupBy(col(idCol)).agg(
+      count(lit(1)).cast("long").as("n_units"))
+    pairs
+      .join(nUnits.select(col(idCol).as("id_a"),
+        col("n_units").as("n_units_a")), Seq("id_a"))
+      .join(nUnits.select(col(idCol).as("id_b"),
+        col("n_units").as("n_units_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        col("n_matched_a"), col("n_matched_b"),
+        col("n_units_a"), col("n_units_b"))
+  }
+}

@@ -198,7 +198,12 @@ object VideoDedup {
     * of degenerating. Emits `(id, shot_idx, start_frame, end_frame,
     * n_frames)`, shot_idx 1-based.
     */
-  def shots(frameHashes: DataFrame, idCol: String,
+  /** Frame rows with their shot id — the shared cut-detection half of
+    * [[shots]] and [[shotSignatures]]: ONE window spec computes the
+    * lag distances, cut indicators and the prefix-sum shot ids
+    * (partitioned by video, one exchange + per-partition sort total).
+    */
+  private def withShotIdx(frameHashes: DataFrame, idCol: String,
       cutHamming: Int): DataFrame = {
     require(cutHamming >= 1 && cutHamming <= 64,
       s"cutHamming=$cutHamming must be in [1, 64]")
@@ -207,7 +212,7 @@ object VideoDedup {
     // cut indicator per frame: 1 iff this frame starts a new shot
     // (distance to its predecessor > threshold); the first sampled
     // frame starts shot 1
-    val marked = frameHashes
+    frameHashes
       .select(col(idCol), col("frame"), col("h_hi"), col("h_lo"))
       .withColumn("phi", lag(col("h_hi"), 1).over(perVideo))
       .withColumn("plo", lag(col("h_lo"), 1).over(perVideo))
@@ -217,12 +222,39 @@ object VideoDedup {
             bit_count(col("h_lo").bitwiseXOR(col("plo")))) > cutHamming,
             lit(1))
           .otherwise(lit(0)))
-    marked.withColumn("shot_idx", sum(col("cut")).over(perVideo).cast("long"))
+      .withColumn("shot_idx", sum(col("cut")).over(perVideo).cast("long"))
+  }
+
+  def shots(frameHashes: DataFrame, idCol: String,
+      cutHamming: Int): DataFrame =
+    withShotIdx(frameHashes, idCol, cutHamming)
       .groupBy(col(idCol), col("shot_idx"))
       .agg(min("frame").cast("long").as("start_frame"),
         max("frame").cast("long").as("end_frame"),
         count(lit(1)).cast("long").as("n_frames"))
-  }
+
+  /** One signature per detected shot: the shot's FIRST frame's dHash
+    * (the canonical keyframe signature — deterministic, and for any
+    * within-shot-stable content representative of the whole shot).
+    * Emits `(id, shot_idx, start_frame, h_hi, h_lo)` — the unit table
+    * [[SignatureDedup.nearDupPairsBySignature]] consumes for
+    * ALIGNMENT-ROBUST video near-dup: shot boundaries re-detect
+    * relative to the content itself, so a trimmed copy's surviving
+    * shots keep their signatures even though every absolute frame
+    * index shifted (the case the frame-index matcher
+    * [[nearDupPairs]] provably misses).
+    *
+    * Scale: rides [[withShotIdx]]'s single per-video window, then one
+    * hash-agg with `min_by` picking the keyframe hash — no self-join
+    * back onto the frame table.
+    */
+  def shotSignatures(frameHashes: DataFrame, idCol: String,
+      cutHamming: Int): DataFrame =
+    withShotIdx(frameHashes, idCol, cutHamming)
+      .groupBy(col(idCol), col("shot_idx"))
+      .agg(min("frame").cast("long").as("start_frame"),
+        min_by(col("h_hi"), col("frame")).as("h_hi"),
+        min_by(col("h_lo"), col("frame")).as("h_lo"))
 
   /** Deterministic synthetic SHOT corpus for the oracle-gated shots
     * query: `12 + g%3` frames per video, shot changes at frames 4 and
@@ -258,6 +290,95 @@ object VideoDedup {
             ("png", PngCodec.encodeRgb8(w, h, rgbAt, filterForRow = y => y % 5))
           else
             ("bmp", BmpCodec.encode24(w, h, rgbAt))
+        }
+        Row(id, "gvid", encodeGvid(frames))
+      }
+    }(enc)
+  }
+
+  /** Deterministic TRIMMED-VARIANT shot corpus for the oracle-gated
+    * alignment-robust query: a group (`g = id / 4`) shares a 4-shot
+    * MASTER video (every shot `3 + g%3` frames of bit-identical
+    * cell-constant content, directions re-rolled per shot — the
+    * [[syntheticShotVideos]] construction); variant `v = id % 4` DROPS
+    * the first `v` shots. Uniform per-video shot length makes every
+    * trim offset a MULTIPLE of the shot length, so two variants never
+    * show the same master shot at the same absolute frame index —
+    * [[nearDupPairs]] (same-index matching) misses EVERY within-group
+    * pair, provably, while shot-signature matching finds the
+    * overlaps (a draft with per-shot lengths `3 + (g+s)%3` left long
+    * later shots partially overlapping at the same indices, and the
+    * frame matcher caught one-shot trims). Variants additionally
+    * perturb the rightmost cell column for `cy < v` with a
+    * v-independent formula, so two variants' common shots sit within
+    * `|v_a - v_b| <= 3` Hamming bits (true NEAR-dups, the image
+    * generator's construction): variants `(v_a, v_b)` share the
+    * `4 - max(v_a, v_b)` trailing master shots. Even groups encode
+    * PNG, odd BMP.
+    */
+  def syntheticTrimmedShotVideos(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIx = ids.schema.fieldIndex(idCol)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIx)
+        val g = id / 4; val v = (id % 4).toInt
+        val cw = (2 + g % 3).toInt; val ch = (2 + g % 2).toInt
+        val w = 9 * cw; val h = 8 * ch
+        val frames = (v to 3).flatMap { s =>
+          // pattern key = the globally-unique MASTER shot id, driving
+          // the gradient DIRECTIONS through multiplicative
+          // permutations. Two drafts of this rule degenerated: the
+          // image generators' ((linear) % 17)*15 family collapses the
+          // hash space to four mod-17 residues (thousands of
+          // distance-0 collisions between unrelated shots at sf0.01),
+          // and fixed directions with only an m-dependent OFFSET make
+          // content periodic in m mod the cell modulus (identical
+          // shots every 251 master ids — quadratic pair blowup at
+          // sf0.1). m*K % 65521 is a PERMUTATION of m for every K
+          // coprime to the prime 65521 (injective beyond sf1's id
+          // range), so the three direction residues are jointly
+          // collision-free at any test scale and unrelated shots land
+          // effectively independent 64-bit hashes. Pure integer closed
+          // form — the oracle replays it verbatim.
+          // two structural rules, both learned by measuring collisions:
+          // (1) the cx² term varies the step INSIDE each row — without
+          // it rows are constant-step progressions mod 251 whose
+          // gradient bits are ~256 possible wrap patterns, and
+          // unrelated shots collided within 3 bits at ~1.4e-3 per unit
+          // pair; (2) each coefficient gets its OWN coprime modulus —
+          // any polynomial in m mod n is PERIODIC in m with period n,
+          // so a shared modulus made shots at m and m+250 near-twins
+          // (449 cross-group distance-0 pairs at sf0.01); with four
+          // coprime moduli the joint coefficient period is ~7.7e11,
+          // unique at any test scale. Pure integer closed form — the
+          // oracle replays it verbatim.
+          val m = g * 4 + s
+          def rgbAt(x: Int, y: Int): (Int, Int, Int) = {
+            val cx = x / cw; val cy = y / ch
+            val base = ((cx * (1 + (m * m + m * 131) % 241) +
+              cy * (1 + (m * m * 3 + m * 137) % 239) +
+              cx * cy * (1 + (m * m * 7 + m * 139) % 233) +
+              cx * cx * (1 + (m * m * 11 + m * 149) % 229) + m) % 251).toInt
+            // the variant perturbation is keyed by cy ONLY (not v), so
+            // two variants' common shots differ in exactly the cells
+            // cy in [min(va,vb), max(va,vb)) — each in ONE gradient
+            // comparison — bounding their signature distance by 3
+            val p = if (cx == 8 && cy < v) ((base + 40 * (cy + 1)) % 256).toInt
+              else base
+            (p, (p + 60) % 256, (p + 120) % 256)
+          }
+          val nFrames = (3 + g % 3).toInt
+          val frame =
+            if (g % 2 == 0)
+              ("png", PngCodec.encodeRgb8(w, h, rgbAt, filterForRow = y => y % 5))
+            else
+              ("bmp", BmpCodec.encode24(w, h, rgbAt))
+          Seq.fill(nFrames)(frame) // within a shot, frames bit-identical
         }
         Row(id, "gvid", encodeGvid(frames))
       }

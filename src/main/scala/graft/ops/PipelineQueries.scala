@@ -1210,6 +1210,62 @@ object PipelineQueries {
       .orderBy("doc_id", "shot_idx")
   }
 
+  /** ALIGNMENT-ROBUST video near-dup
+    * ([[graft.multimodal.VideoDedup.shotSignatures]] +
+    * [[graft.multimodal.SignatureDedup]]): the trim/offset fix for
+    * [[videoDedupFrames]]' same-frame-index matching — the corpus is
+    * trimmed variants (variant v DROPS the first v shots of a 4-shot
+    * master, shifting every absolute frame index), shot boundaries
+    * re-detect relative to content, each shot contributes its
+    * keyframe dHash, and clips pair by DISTINCT-matched-shot overlap
+    * regardless of position. The frame-index matcher provably misses
+    * every one of these pairs (the spec pins it); this query finds
+    * exactly the `4 - max(v_a, v_b) >= 2` overlaps. The oracle
+    * replays shot content, signatures, banding and both distinct
+    * counts in closed form.
+    */
+  def videoDedupShots(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{SignatureDedup, VideoDedup}
+    // the frame table feeds the shot window's lag AND prefix sum (one
+    // window spec) but ALSO re-materializes per downstream branch if
+    // uncached — same rule as every media fingerprint frame
+    val hashes = mediaHashCache.get(spark, dir + "#trimshots") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      VideoDedup.frameHashDf(
+        VideoDedup.syntheticTrimmedShotVideos(ids, "doc_id"),
+        "doc_id", stride = 1)
+    }
+    val sigs = VideoDedup.shotSignatures(hashes, "doc_id", cutHamming = 8)
+    SignatureDedup.nearDupPairsBySignature(sigs, "doc_id", "shot_idx",
+      maxHamming = 3, minMatched = 2, bandBits = 16)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** OFFSET-ROBUST audio near-dup
+    * ([[graft.multimodal.AudioDedup.blockHashDf]] +
+    * [[graft.multimodal.SignatureDedup]]): the trim fix for the
+    * clip-relative 65-window grid — fixed-duration blocks fingerprint
+    * independently (a block's bits depend only on its own samples),
+    * the corpus is block-aligned trimmed variants (variant v drops
+    * the first v of 6 master blocks — a transform that changes EVERY
+    * bit of the clip-relative fingerprint, which the spec pins), and
+    * clips pair by distinct-matched-block overlap on the same
+    * alignment-free engine as video shots. The oracle replays block
+    * energies (`64·A²`), sign-delta bits, banding and both distinct
+    * counts in closed form.
+    */
+  def audioDedupOffset(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{AudioDedup, SignatureDedup}
+    val sigs = mediaHashCache.get(spark, dir + "#audioblocks") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      AudioDedup.blockHashDf(AudioDedup.syntheticOffsetAudio(ids, "doc_id"),
+        "doc_id", AudioDedup.OffsetBlockSamples)
+    }
+    SignatureDedup.nearDupPairsBySignature(sigs, "doc_id", "block_idx",
+      maxHamming = 3, minMatched = 2, bandBits = 16)
+      .orderBy("id_a", "id_b")
+  }
+
   /** End-to-end corpus cleaning, the composition a training-data run
     * actually ships: exact-dedup survivors → minimum length → English
     * prediction → emit with integer quality stats. One narrow scan +
@@ -1968,6 +2024,40 @@ object PipelineQueries {
        |  FROM ids, unnest(range(0, 65)) AS r(w)),
        |en AS (
        |  SELECT id, w, CAST(winlen AS BIGINT) * a * a AS e FROM amp)""".stripMargin
+
+  /** Shared tail of the alignment-free signature-overlap oracles
+    * (video shots, audio blocks): expects a `units(id, u, hi, lo)`
+    * CTE — one row per clip unit — and replays 16-bit banding,
+    * cross-clip unit matches within Hamming 3, the two
+    * distinct-matched counts with the `minMatched >= 2` HAVING, and
+    * the unit-count denominators joined to survivors. Pre-stripped
+    * like [[imageDhashCtes]] (so it carries no margin chars).
+    */
+  private val sigOverlapTail: String =
+    raw"""bands AS (
+       |  SELECT id, u, hi, lo, k AS band,
+       |         CASE WHEN k < 2 THEN (lo >> (16*k)) & 65535
+       |              ELSE (hi >> (16*(k-2))) & 65535 END AS bv
+       |  FROM units, unnest(range(0, 4)) AS r(k)),
+       |m AS (
+       |  SELECT DISTINCT a.id AS id_a, a.u AS ua, b.id AS id_b, b.u AS ub
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+       |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+       |agg AS (
+       |  SELECT id_a, id_b,
+       |         count(DISTINCT ua) AS nma, count(DISTINCT ub) AS nmb
+       |  FROM m GROUP BY 1, 2
+       |  HAVING least(count(DISTINCT ua), count(DISTINCT ub)) >= 2),
+       |nu AS (SELECT id, count(*) AS n FROM units GROUP BY id)
+       |SELECT agg.id_a, agg.id_b,
+       |       CAST(nma AS BIGINT) AS n_matched_a,
+       |       CAST(nmb AS BIGINT) AS n_matched_b,
+       |       CAST(na.n AS BIGINT) AS n_units_a,
+       |       CAST(nb.n AS BIGINT) AS n_units_b
+       |FROM agg JOIN nu na ON na.id = agg.id_a
+       |         JOIN nu nb ON nb.id = agg.id_b
+       |ORDER BY id_a, id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ann_ivf_topk" -> ivfReplaySql,
@@ -3360,6 +3450,82 @@ object PipelineQueries {
          |       CAST(n_common AS BIGINT) AS n_common
          |FROM m JOIN com USING (id_a, id_b)
          |ORDER BY id_a, id_b""".stripMargin,
+    // Closed-form replay of the alignment-robust video dedup: shot
+    // content (keyed by MASTER shot index, trimmed per variant),
+    // keyframe hashes, then the shared signature-overlap tail —
+    // Spark's cut detection must recover exactly the master shot
+    // partition or its signature set (and the hash) diverges
+    "video_dedup_shots" ->
+      raw"""WITH ids AS (
+         |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+         |  FROM documents),
+         |sh AS (
+         |  SELECT id, v, s, g*4 + s AS m
+         |  FROM ids, unnest(range(0, 4)) AS r(s) WHERE s >= v),
+         |cell AS (
+         |  SELECT id, v, s, cy, cx,
+         |         (cx*(1 + (m*m + m*131) % 241) +
+         |          cy*(1 + (m*m*3 + m*137) % 239) +
+         |          cx*cy*(1 + (m*m*7 + m*139) % 233) +
+         |          cx*cx*(1 + (m*m*11 + m*149) % 229) + m) % 251 AS base
+         |  FROM sh, unnest(range(0, 8)) AS r1(cy),
+         |       unnest(range(0, 9)) AS r2(cx)),
+         |pert AS (
+         |  SELECT id, s, cy, cx,
+         |         CASE WHEN cx = 8 AND cy < v
+         |              THEN (base + 40 * (cy + 1)) % 256
+         |              ELSE base END AS p
+         |  FROM cell),
+         |gray AS (
+         |  SELECT id, s, cy, cx,
+         |         (77*p + 150*((p + 60) % 256) + 29*((p + 120) % 256)) // 256 AS gv
+         |  FROM pert),
+         |bits AS (
+         |  SELECT a.id, a.s, a.cy * 8 + a.cx AS j,
+         |         CASE WHEN a.gv > b.gv THEN 1 ELSE 0 END AS bit
+         |  FROM gray a JOIN gray b
+         |    ON b.id = a.id AND b.s = a.s AND b.cy = a.cy AND b.cx = a.cx + 1
+         |  WHERE a.cx < 8),
+         |units AS (
+         |  SELECT id, s AS u,
+         |         CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+         |                       ELSE 0 END) AS BIGINT) AS hi,
+         |         CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+         |                       ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY id, s),
+         |$sigOverlapTail""".stripMargin,
+    // Closed-form replay of the offset-robust audio dedup: per-block
+    // energies (64·A² — the fixed 64-sample sub-windows land exactly
+    // on the long-math grid), sign-delta bits per block, then the
+    // same signature-overlap tail as video shots
+    "audio_dedup_offset" ->
+      raw"""WITH ids AS (
+         |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+         |  FROM documents),
+         |blk AS (
+         |  SELECT id, b, g*6 + b AS m
+         |  FROM ids, unnest(range(0, 6)) AS r(b) WHERE b >= v),
+         |amp AS (
+         |  SELECT id, b, w,
+         |         1 + (((w*(1 + ((m*73) % 65521) % 996) +
+         |                w*w*(1 + ((m*79) % 65521) % 996) + m) % 997) % 23)
+         |             * 40 AS a
+         |  FROM blk, unnest(range(0, 65)) AS r(w)),
+         |en AS (
+         |  SELECT id, b, w, 64 * CAST(a AS BIGINT) * a AS e FROM amp),
+         |bits AS (
+         |  SELECT a.id, a.b, a.w AS j,
+         |         CASE WHEN c.e > a.e THEN 1 ELSE 0 END AS bit
+         |  FROM en a JOIN en c ON c.id = a.id AND c.b = a.b AND c.w = a.w + 1
+         |  WHERE a.w < 64),
+         |units AS (
+         |  SELECT id, b AS u,
+         |         CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+         |                       ELSE 0 END) AS BIGINT) AS hi,
+         |         CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+         |                       ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY id, b),
+         |$sigOverlapTail""".stripMargin,
     // Full replay of BPE training: one stacked-CTE group per merge
     // rank (pair count → lexically-tie-broken argmax → islands-parity
     // canonical merge), generated by BpeTrainer.oracleSql.
@@ -3582,6 +3748,8 @@ object PipelineQueries {
     "audio_segments" -> audioSegments _,
     "video_dedup_frames" -> videoDedupFrames _,
     "video_shots" -> videoShots _,
+    "video_dedup_shots" -> videoDedupShots _,
+    "audio_dedup_offset" -> audioDedupOffset _,
     "lang_id" -> langId _,
     "corpus_clean" -> corpusClean _
   )

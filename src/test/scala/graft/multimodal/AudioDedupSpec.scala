@@ -143,4 +143,52 @@ class AudioDedupSpec extends AnyFunSuite with SparkSpec {
       AudioDedup.energyHashDf(png, "doc_id").collect())
     assert(e.getMessage != null)
   }
+
+  test("OFFSET robustness: block fingerprints survive a block-aligned " +
+    "trim bit-for-bit while the clip-relative fingerprint changes — " +
+    "the miss blockHashDf exists to fix") {
+    val ids = (0L until 48L).toDF("doc_id")
+    val clips = AudioDedup.syntheticOffsetAudio(ids, "doc_id")
+    val blocks = AudioDedup
+      .blockHashDf(clips, "doc_id", AudioDedup.OffsetBlockSamples)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    for (id <- 0L until 48L) {
+      val v = (id % 4).toInt
+      assert(blocks.keys.count(_._1 == id) === 6 - v,
+        s"clip $id (variant $v) carries 6 - $v complete blocks")
+    }
+    // master block b of variant v sits at sequence index b - v: the
+    // fingerprints are BIT-IDENTICAL across variants
+    for (g <- 0L until 12L; va <- 0 to 3; vb <- (va + 1) to 3; b <- vb to 5)
+      assert(blocks((g * 4 + va, (b - va).toLong)) ===
+        blocks((g * 4 + vb, (b - vb).toLong)),
+        s"group $g block $b must survive the trim unchanged")
+    // whereas the CLIP-RELATIVE grid re-stretches: variants of one
+    // group disagree (the documented boundary of energyHash64)
+    val whole = AudioDedup.energyHashDf(clips, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val clipRelativeBroken = (0L until 12L).count { g =>
+      whole(g * 4) != whole(g * 4 + 1)
+    }
+    assert(clipRelativeBroken === 12,
+      "every trim must change the clip-relative fingerprint")
+  }
+
+  test("offset-robust recall: every within-group pair pairs by " +
+    "distinct-block overlap with exact counts (6 - max shared blocks)") {
+    val ids = (0L until 48L).toDF("doc_id")
+    val sigs = AudioDedup.blockHashDf(
+      AudioDedup.syntheticOffsetAudio(ids, "doc_id"),
+      "doc_id", AudioDedup.OffsetBlockSamples)
+    val pairs = SignatureDedup.nearDupPairsBySignature(sigs, "doc_id",
+      "block_idx", maxHamming = 3, minMatched = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val expected = for {
+      g <- 0L until 12L; a <- 0 to 3; b <- (a + 1) to 3
+    } yield (g * 4 + a, g * 4 + b) ->
+      ((6 - b).toLong, (6 - b).toLong, (6 - a).toLong, (6 - b).toLong)
+    assert(pairs === expected.toMap)
+  }
 }

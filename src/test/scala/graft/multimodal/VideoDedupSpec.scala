@@ -159,4 +159,66 @@ class VideoDedupSpec extends AnyFunSuite with SparkSpec {
     assert(edited > 0, "no edited intro frame broke a match — the " +
       "corpus degenerates to exact dups")
   }
+
+  test("trimmed corpus: shot boundaries re-detect per variant (4 - v " +
+    "shots, the master partition) and cross-variant signature " +
+    "distances honor the <= |va - vb| perturbation bound") {
+    val ids = (0L until 48L).toDF("doc_id")
+    val hashes = VideoDedup.frameHashDf(
+      VideoDedup.syntheticTrimmedShotVideos(ids, "doc_id"),
+      "doc_id", stride = 1)
+    val sigs = VideoDedup.shotSignatures(hashes, "doc_id", cutHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    for (id <- 0L until 48L) {
+      val v = (id % 4).toInt
+      val n = sigs.keys.count(_._1 == id)
+      assert(n === 4 - v,
+        s"video $id (variant $v) must re-detect its ${4 - v} shots")
+    }
+    // same master shot s across variants va < vb: shot_idx differs
+    // (s - va + 1 vs s - vb + 1) but the signatures sit within
+    // |va - vb| bits — the alignment-free engine's whole premise
+    def dist(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    for (g <- 0L until 12L; va <- 0 to 3; vb <- (va + 1) to 3; s <- vb to 3) {
+      val d = dist(sigs((g * 4 + va, (s - va + 1).toLong)),
+        sigs((g * 4 + vb, (s - vb + 1).toLong)))
+      assert(d <= vb - va,
+        s"group $g shot $s: variants $va/$vb sit $d bits apart")
+    }
+  }
+
+  test("ALIGNMENT: the frame-index matcher misses every trimmed " +
+    "within-group pair; shot-signature matching finds exactly the " +
+    ">= 2-shot overlaps with exact counts both sides") {
+    val ids = (0L until 48L).toDF("doc_id")
+    val hashes = VideoDedup.frameHashDf(
+      VideoDedup.syntheticTrimmedShotVideos(ids, "doc_id"),
+      "doc_id", stride = 1)
+    // the round-14 operator: candidates must collide at the SAME
+    // absolute frame index — uniform shot length makes every trim a
+    // whole-shot offset, so no master shot ever reappears at its old
+    // index and the matcher misses EVERY within-group pair
+    val byFrame = VideoDedup
+      .nearDupPairs(hashes, "doc_id", maxHamming = 3, minMatched = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (g <- 0L until 12L; a <- 0 to 3; b <- (a + 1) to 3)
+      assert(!byFrame.contains((g * 4 + a, g * 4 + b)),
+        s"frame-index matching cannot survive the trim (pair ($a,$b))")
+    // the alignment-free operator: exact overlap structure
+    val sigs = VideoDedup.shotSignatures(hashes, "doc_id", cutHamming = 8)
+    val byShot = SignatureDedup.nearDupPairsBySignature(sigs, "doc_id",
+      "shot_idx", maxHamming = 3, minMatched = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val expected = for {
+      g <- 0L until 12L; a <- 0 to 3; b <- (a + 1) to 3
+      if 4 - b >= 2
+    } yield (g * 4 + a, g * 4 + b) ->
+      ((4 - b).toLong, (4 - b).toLong, (4 - a).toLong, (4 - b).toLong)
+    assert(byShot === expected.toMap,
+      "shot overlap = the 4 - max(va, vb) shared trailing master shots")
+  }
 }
