@@ -175,6 +175,44 @@ class FingerprintDedupIndex(
     }
   }
 
+  /** Radius-bounded k-NN retrieval AGAINST THE PERSISTED INDEX — the
+    * retrieval half of the multi-index layout [[dedupBatch]] makes
+    * dedup decisions with (the media analog of `ann_ivf_index_topk`):
+    * [[graft.multimodal.HammingKnn]] re-band-explodes its corpus in
+    * memory per run, but the index already stores exactly the
+    * (band, bv)-ordered postings, so probes broadcast against the
+    * stats-PRUNED scan (the big side streams through the join; a
+    * small probe set's band values prune the scan to the files they
+    * can collide with), the exact popcount re-checks inline, and the
+    * shared bounded top-k finishes. Self-matches (a probe that is
+    * itself indexed) are excluded, like the in-memory operator.
+    * `radius < 64/bandBits` keeps the candidate union pigeonhole-exact,
+    * so results equal a brute-force scan's.
+    */
+  def knnAgainstIndex(probes: DataFrame, k: Int, radius: Int): DataFrame = {
+    require(exists, s"fingerprint index at $base is not bootstrapped")
+    ImageDedup.requireExactPigeonhole(radius, bandBits)
+    require(k >= 1, s"k=$k must be >= 1")
+    val pBands = bandRows(
+      probes.select(col(idCol), col("h_hi"), col("h_lo")))
+      .select(col("band"), col("bv"), col(idCol).as("probe_id"),
+        col("h_hi").as("qhi"), col("h_lo").as("qlo"))
+    val bvs = pBands.select("bv").distinct()
+      .limit(CorpusDedupIndex.MaxKeysInPredicate + 1)
+      .collect().map(_.getLong(0)).toSeq
+    val scored = prunedScan(bvs)
+      .join(broadcast(pBands), Seq("band", "bv"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("nn_id"),
+        col("qhi"), col("qlo"), col("h_hi"), col("h_lo"))
+      .distinct() // fingerprints sharing several bands are one candidate
+      .withColumn("hamming",
+        (bit_count(col("qhi").bitwiseXOR(col("h_hi"))) +
+          bit_count(col("qlo").bitwiseXOR(col("h_lo")))).cast("long"))
+      .filter(col("hamming") <= radius)
+    graft.multimodal.HammingKnn.topKFinish(scored, k)
+  }
+
   /** TAKEDOWN (the [[CorpusDedupIndex.remove]] contract): a removed
     * fingerprint must not stay a ghost anchor rejecting future
     * near-dups of media that no longer exists. A fingerprint's rows

@@ -52,8 +52,18 @@ object HammingKnn {
         (bit_count(col("qhi").bitwiseXOR(col("h_hi"))) +
           bit_count(col("qlo").bitwiseXOR(col("h_lo")))).cast("long"))
       .filter(col("hamming") <= radius)
+    topKFinish(cands, k)
+  }
+
+  /** The shared bounded top-k finisher over scored candidates
+    * `(probe_id, nn_id, hamming)`: [[graft.functions.HammingTopKAgg]]
+    * partials carry at most k rows per (probe, partition) into the
+    * shuffle, then rank positions explode out. Used by both band
+    * widths and the persisted-index retrieval path.
+    */
+  private[graft] def topKFinish(scored: DataFrame, k: Int): DataFrame = {
     val topK = graft.functions.HammingTopKAgg(k)
-    cands.groupBy("probe_id")
+    scored.groupBy("probe_id")
       .agg(topK(col("hamming"), col("nn_id")).as("hits"))
       .select(col("probe_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
       .select(col("probe_id"), col("hit.nnId").as("neighbor_id"),
@@ -90,11 +100,6 @@ object HammingKnn {
       .agg(sum(bit_count(col("bva").bitwiseXOR(col("bvb"))))
         .cast("long").as("hamming"))
       .filter(col("hamming") <= radius)
-    val topK = graft.functions.HammingTopKAgg(k)
-    scored.groupBy("probe_id")
-      .agg(topK(col("hamming"), col("nn_id")).as("hits"))
-      .select(col("probe_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
-      .select(col("probe_id"), col("hit.nnId").as("neighbor_id"),
-        col("hit.ham").as("hamming"), (col("pos") + 1).cast("long").as("rnk"))
+    topKFinish(scored, k)
   }
 }

@@ -1107,6 +1107,36 @@ object PipelineQueries {
       .orderBy("probe_id", "rnk")
   }
 
+  /** k-NN retrieval against the PERSISTED fingerprint index
+    * ([[graft.dedup.FingerprintDedupIndex.knnAgainstIndex]] — the
+    * retrieval half of the multi-index layout the incremental dedup
+    * decides with, and the media analog of `ann_ivf_index_topk`):
+    * the index bootstraps once from the full image-fingerprint corpus
+    * ((band, bv)-write-ordered files), then every 10th document
+    * probes it for its 5 nearest within radius 3 — probe band values
+    * stats-prune the scan, the batch side broadcasts, the bounded
+    * top-k finishes. The oracle is the SAME brute-force rank as the
+    * in-memory k-NN: a full-corpus index must answer identically.
+    */
+  def mediaHammingKnnIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.FingerprintDedupIndex
+    import graft.multimodal.ImageDedup
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified, "mediaknnidx1").hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_mediaknn_$key"
+    val hashes = mediaHashCache.get(spark, dir + "#image") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"), "doc_id")
+    }
+    val idx = new FingerprintDedupIndex(spark, s"$base/index", "doc_id",
+      maxHamming = 3, bandBits = 16)
+    if (!idx.exists) idx.bootstrap(hashes)
+    idx.knnAgainstIndex(hashes.filter(col("doc_id") % 10 === 0),
+      k = 5, radius = 3)
+      .orderBy("probe_id", "rnk")
+  }
+
   /** INCREMENTAL media dedup
     * ([[graft.dedup.FingerprintDedupIndex]] — the daily-ingest path):
     * bootstrap the fingerprint index from a third of the image corpus
@@ -2058,6 +2088,32 @@ object PipelineQueries {
        |FROM agg JOIN nu na ON na.id = agg.id_a
        |         JOIN nu nb ON nb.id = agg.id_b
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Brute-force Hamming k-NN over the closed-form image
+    * fingerprints: the banded probe path must lose no neighbor within
+    * the radius (pigeonhole), so its top-5 equals this exhaustive
+    * scan's — shared verbatim by the in-memory operator
+    * (`media_hamming_knn`) and the persisted-index retrieval
+    * (`media_hamming_knn_index`, whose index bootstraps from the full
+    * corpus and must answer identically).
+    */
+  private val hammingKnnBruteSql: String =
+    raw"""WITH $imageDhashCtes,
+       |probes AS (SELECT id, hi, lo FROM hh WHERE id % 10 = 0),
+       |scored AS (
+       |  SELECT p.id AS probe_id, h.id AS neighbor_id,
+       |         CAST(bit_count(xor(p.hi, h.hi)) +
+       |              bit_count(xor(p.lo, h.lo)) AS BIGINT) AS hamming
+       |  FROM probes p JOIN hh h ON h.id <> p.id
+       |  WHERE bit_count(xor(p.hi, h.hi)) +
+       |        bit_count(xor(p.lo, h.lo)) <= 3),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, hamming,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY hamming, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT probe_id, neighbor_id, hamming, CAST(rn AS BIGINT) AS rnk
+       |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rnk""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ann_ivf_topk" -> ivfReplaySql,
@@ -3308,24 +3364,12 @@ object PipelineQueries {
     },
     // Brute-force rank over the closed-form fingerprints: the banded
     // probe path must lose no neighbor within the radius (pigeonhole),
-    // so its top-5 equals this exhaustive scan's
-    "media_hamming_knn" ->
-      raw"""WITH $imageDhashCtes,
-         |probes AS (SELECT id, hi, lo FROM hh WHERE id % 10 = 0),
-         |scored AS (
-         |  SELECT p.id AS probe_id, h.id AS neighbor_id,
-         |         CAST(bit_count(xor(p.hi, h.hi)) +
-         |              bit_count(xor(p.lo, h.lo)) AS BIGINT) AS hamming
-         |  FROM probes p JOIN hh h ON h.id <> p.id
-         |  WHERE bit_count(xor(p.hi, h.hi)) +
-         |        bit_count(xor(p.lo, h.lo)) <= 3),
-         |ranked AS (
-         |  SELECT probe_id, neighbor_id, hamming,
-         |         row_number() OVER (PARTITION BY probe_id
-         |                            ORDER BY hamming, neighbor_id) AS rn
-         |  FROM scored)
-         |SELECT probe_id, neighbor_id, hamming, CAST(rn AS BIGINT) AS rnk
-         |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rnk""".stripMargin,
+    // so its top-5 equals this exhaustive scan's. The SAME brute-force
+    // body oracles the persisted-index retrieval (an index bootstrapped
+    // from the full corpus answers identically to the in-memory
+    // operator — pruning and postings layout are proven by the MATCH)
+    "media_hamming_knn" -> hammingKnnBruteSql,
+    "media_hamming_knn_index" -> hammingKnnBruteSql,
     // Closed-form replay of the audio-dedup pipeline: the generator's
     // window amplitudes ARE the decoded energies up to the constant
     // winlen factor (window-constant ±A samples → E = winlen·A²), so
@@ -3743,6 +3787,7 @@ object PipelineQueries {
     "image_dedup_dhash256" -> imageDedupDhash256 _,
     "media_hamming_knn" -> mediaHammingKnn _,
     "media_hamming_knn256" -> mediaHammingKnn256 _,
+    "media_hamming_knn_index" -> mediaHammingKnnIndex _,
     "media_dedup_incremental" -> mediaDedupIncremental _,
     "audio_dedup_energy" -> audioDedupEnergy _,
     "audio_segments" -> audioSegments _,

@@ -208,6 +208,47 @@ class FingerprintDedupIndexSpec extends AnyFunSuite with SparkSpec {
       (1L until 40L).forall(i => du(i) === "dup_batch"))
   }
 
+  test("knnAgainstIndex: answers equal the in-memory banded k-NN " +
+    "(and thus brute force), self-matches excluded, and the probe's " +
+    "band values STATS-PRUNE the scan to the colliding files") {
+    val base = Files.createTempDirectory("fpi_").toString + "/idx"
+    val idx = new FingerprintDedupIndex(spark, base, "doc_id",
+      maxHamming = 3, bandBits = 16)
+    // batch 1: all 16-bit band slices SMALL; batch 2: all slices HIGH
+    // — two appends whose files carry disjoint bv ranges, so a
+    // low-band probe must prune batch 2's files away
+    val low = fps((0L until 8L).map(i =>
+      (i, 0x00010002L + (i << 32), 0x00030004L ^ i)): _*)
+    val high = fps((100L until 108L).map(i =>
+      (i, 0x80018002L + ((i - 100) << 33), 0x80038004L ^ (i - 100))): _*)
+    idx.bootstrap(low)
+    // admit the whole second batch (some of its members are mutual
+    // near-dups; retrieval must see every indexed fingerprint)
+    idx.admit(high, high.select(col("doc_id")).withColumn("kept", lit(1L)))
+    // retrieval equivalence against the in-memory operator over the
+    // same corpus (corpus = index contents)
+    val corpus = low.unionByName(high)
+    val probes = fps((0L, 0x00010002L, 0x00030004L ^ 2L),
+      (105L, 0x80018002L + (5L << 33), 0x80038004L ^ 5L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaIndex = rows(idx.knnAgainstIndex(probes, k = 5, radius = 3))
+    val inMemory = rows(graft.multimodal.HammingKnn
+      .knnWithinRadius(corpus, probes, "doc_id", k = 5, radius = 3))
+    assert(viaIndex === inMemory)
+    assert(!viaIndex.exists(t => t._1 == t._2), "self-matches excluded")
+    assert(viaIndex.exists(_._1 == 0L) && viaIndex.exists(_._1 == 105L))
+    // the pruning claim, asserted at the file level like the lake specs
+    val t = idx.fpTable
+    val all = t.files(t.latestVersion.get).toSeq
+    val lowBvs = Seq(1L, 2L, 3L, 4L)
+    val kept = t.prunedFiles(all, Seq(col("bv").isInCollection(lowBvs)))
+    assert(kept.size < all.size,
+      s"low-bv probe kept ${kept.size} of ${all.size} files — the " +
+        "write-ordered index must stats-prune the high-bv appends")
+  }
+
   test("TAKEDOWN: remove() retracts a fingerprint merge-on-read; its " +
     "near-dups stop being rejected; un-bootstrapped/empty refusals") {
     val idx = freshIndex()
