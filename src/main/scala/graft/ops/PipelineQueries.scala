@@ -1178,6 +1178,51 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** 256-BIT incremental media dedup
+    * ([[graft.dedup.FingerprintDedupIndex256]]): the daily-ingest arc
+    * on the limb-array fingerprints the repo registers as the
+    * production image configuration — the 64-bit index's schema was
+    * hard-wired to `(h_hi, h_lo)`, so the high-threshold path could
+    * not be served incrementally. Same two-batch bootstrap→dedup→admit
+    * arc as [[mediaDedupIncremental]], at `maxHamming = 9` (3× past
+    * the 64-bit exact ceiling); band rows carry the full limb array so
+    * verification is relational against the broadcast batch, never a
+    * second index scan. The oracle replays the whole arc from the
+    * closed-form limbs, exact distances summed per candidate.
+    */
+  def mediaDedupIncremental256(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.IncrementalTable
+    import graft.dedup.FingerprintDedupIndex256
+    import graft.multimodal.ImageDedup
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified, "mediainc256v1").hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_mediainc256_$key"
+    val decisions = new IncrementalTable(spark, s"$base/decisions")
+    val complete = decisions.exists && decisions.latestVersion.contains(1L)
+    if (!complete) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val hashes = mediaHashCache.get(spark, dir + "#image256") {
+        val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+        ImageDedup.dHash256Df(ImageDedup.syntheticImages256(ids, "doc_id"),
+          "doc_id")
+      }
+      def slice(r: Int) = hashes.filter(expr(s"(doc_id div 4) % 3 = $r"))
+      val idx = new FingerprintDedupIndex256(spark, s"$base/index", "doc_id",
+        maxHamming = 9)
+      idx.bootstrap(slice(0))
+      val dec = new IncrementalTable(spark, s"$base/decisions")
+      val b1 = slice(1)
+      val d1 = idx.dedupBatch(b1).localCheckpoint()
+      idx.admit(b1, d1)
+      dec.append(d1.withColumn("batch", lit(1L)))
+      dec.append(idx.dedupBatch(slice(2)).withColumn("batch", lit(2L)))
+    }
+    new IncrementalTable(spark, s"$base/decisions").snapshot()
+      .select("doc_id", "batch", "status", "kept")
+      .orderBy("doc_id")
+  }
+
   /** Energy-based audio segmentation
     * ([[graft.multimodal.AudioDedup.segmentsOf]] — Rabiner–Sambur
     * voice-activity endpointing on the shared 65-window integer-energy
@@ -2001,6 +2046,58 @@ object PipelineQueries {
        |  FROM hh h LEFT JOIN comp_$tag c ON c.id = h.id
        |  WHERE ${pred("h.id")})""".stripMargin
 
+  /** One 256-bit incremental-dedup batch's oracle CTE group — the
+    * [[fpIncCtes]] construction on the `limb(id, band, bv)` table at
+    * threshold 9: limb-banded candidates against the `idxCte`
+    * membership (self excluded), exact distances summed relationally,
+    * intra-batch pairs among survivors, recursive min-label
+    * components, decisions (batch ids come from the `ids` CTE).
+    */
+  private def fpInc256Ctes(tag: String, idxCte: String,
+      pred: String => String): String =
+    raw"""xcand_$tag AS (
+       |  SELECT DISTINCT n.id AS nid, c.id AS cid
+       |  FROM limb n JOIN limb c ON c.band = n.band AND c.bv = n.bv
+       |  JOIN $idxCte i ON i.id = c.id
+       |  WHERE ${pred("n.id")} AND c.id <> n.id),
+       |xham_$tag AS (
+       |  SELECT x.nid, x.cid, sum(bit_count(xor(ln.bv, lc.bv))) AS h
+       |  FROM xcand_$tag x JOIN limb ln ON ln.id = x.nid
+       |       JOIN limb lc ON lc.id = x.cid AND lc.band = ln.band
+       |  GROUP BY 1, 2),
+       |cross_$tag AS MATERIALIZED (
+       |  SELECT DISTINCT nid AS id FROM xham_$tag WHERE h <= 9),
+       |pcand_$tag AS (
+       |  SELECT DISTINCT a.id AS pa, b.id AS pb
+       |  FROM limb a JOIN limb b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+       |  WHERE ${pred("a.id")} AND ${pred("b.id")}
+       |    AND a.id NOT IN (SELECT id FROM cross_$tag)
+       |    AND b.id NOT IN (SELECT id FROM cross_$tag)),
+       |pairs_$tag AS MATERIALIZED (
+       |  SELECT pa, pb FROM (
+       |    SELECT x.pa, x.pb, sum(bit_count(xor(la.bv, lb.bv))) AS h
+       |    FROM pcand_$tag x JOIN limb la ON la.id = x.pa
+       |         JOIN limb lb ON lb.id = x.pb AND lb.band = la.band
+       |    GROUP BY 1, 2) WHERE h <= 9),
+       |nodes_$tag AS (SELECT pa AS id FROM pairs_$tag
+       |               UNION SELECT pb FROM pairs_$tag),
+       |edges_$tag AS (SELECT pa AS src, pb AS dst FROM pairs_$tag
+       |               UNION SELECT pb, pa FROM pairs_$tag),
+       |reach_$tag AS (
+       |  SELECT id, id AS r FROM nodes_$tag
+       |  UNION
+       |  SELECT e.src, reach_$tag.r
+       |  FROM edges_$tag e JOIN reach_$tag ON e.dst = reach_$tag.id),
+       |comp_$tag AS (SELECT id, min(r) AS cl FROM reach_$tag GROUP BY id),
+       |dec_$tag AS (
+       |  SELECT h.id AS doc_id,
+       |         CASE WHEN h.id IN (SELECT id FROM cross_$tag) THEN 'dup_corpus'
+       |              WHEN c.cl IS NOT NULL AND c.cl <> h.id THEN 'dup_batch'
+       |              ELSE 'kept' END AS status
+       |  FROM ids h LEFT JOIN comp_$tag c ON c.id = h.id
+       |  WHERE ${pred("h.id")})""".stripMargin
+
   /** Closed-form replay of the 256-bit fingerprints up to the limb
     * table (shared by the dedup and k-NN oracles); pre-stripped like
     * [[imageDhashCtes]].
@@ -2030,7 +2127,7 @@ object PipelineQueries {
        |  FROM gray a JOIN gray b
        |    ON b.id = a.id AND b.cy = a.cy AND b.cx = a.cx + 1
        |  WHERE a.cx < 16),
-       |limb AS (
+       |limb AS MATERIALIZED (
        |  SELECT id, cy AS band,
        |         CAST(sum(bit * (1::BIGINT << cx)) AS BIGINT) AS bv
        |  FROM bits GROUP BY id, cy)""".stripMargin
@@ -3268,6 +3365,27 @@ object PipelineQueries {
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, CAST(h AS BIGINT) AS hamming
          |FROM ham WHERE h <= 9 ORDER BY id_a, id_b""".stripMargin,
+    // Full replay of the 256-bit two-batch incremental arc over the
+    // closed-form limb fingerprints at threshold 9 — the limb-carried
+    // index rows, relational verification, pruning and admit
+    // watermarking on the Spark side are proven by the MATCH
+    "media_dedup_incremental256" -> {
+      def p(r: Int): String => String = x => s"($x // 4) % 3 = $r"
+      raw"""WITH RECURSIVE $image256LimbCtes,
+         |idx_c0 AS (SELECT id FROM ids WHERE (id // 4) % 3 = 0),
+         |${fpInc256Ctes("b1", "idx_c0", p(1))},
+         |idx_c1 AS (SELECT id FROM idx_c0
+         |           UNION ALL
+         |           SELECT doc_id FROM dec_b1 WHERE status = 'kept'),
+         |${fpInc256Ctes("b2", "idx_c1", p(2))}
+         |SELECT doc_id, CAST(1 AS BIGINT) AS batch, status,
+         |       CAST(status = 'kept' AS BIGINT) AS kept
+         |FROM dec_b1
+         |UNION ALL
+         |SELECT doc_id, CAST(2 AS BIGINT), status, CAST(status = 'kept' AS BIGINT)
+         |FROM dec_b2
+         |ORDER BY doc_id""".stripMargin
+    },
     // Brute-force rank over the 256-bit limbs: the limb-banded probe
     // path must lose no neighbor within the radius
     "media_hamming_knn256" ->
@@ -3789,6 +3907,7 @@ object PipelineQueries {
     "media_hamming_knn256" -> mediaHammingKnn256 _,
     "media_hamming_knn_index" -> mediaHammingKnnIndex _,
     "media_dedup_incremental" -> mediaDedupIncremental _,
+    "media_dedup_incremental256" -> mediaDedupIncremental256 _,
     "audio_dedup_energy" -> audioDedupEnergy _,
     "audio_segments" -> audioSegments _,
     "video_dedup_frames" -> videoDedupFrames _,

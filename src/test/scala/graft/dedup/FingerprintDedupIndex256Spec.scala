@@ -1,0 +1,81 @@
+package graft.dedup
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** [[FingerprintDedupIndex256]]: the 64-bit index's incremental
+  * protocol on limb-array fingerprints — decisions at high thresholds,
+  * index growth, idempotent admits, takedown. Fingerprints are crafted
+  * 16-limb arrays; distances are controlled per-limb bit flips.
+  */
+class FingerprintDedupIndex256Spec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def freshIndex(maxHamming: Int = 9): FingerprintDedupIndex256 = {
+    val base = Files.createTempDirectory("fpi256_").toString + "/idx"
+    new FingerprintDedupIndex256(spark, base, "doc_id", maxHamming)
+  }
+
+  private def fp(seed: Long): Array[Long] =
+    Array.tabulate(16)(i => (seed * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L) & 0xFFFFL)
+
+  /** Flip `flips` bits spread across limbs (bit k of limb k). */
+  private def near(base: Array[Long], flips: Int): Array[Long] =
+    Array.tabulate(16)(i => if (i < flips) base(i) ^ (1L << i) else base(i))
+
+  private def fps(rows: (Long, Array[Long])*): DataFrame =
+    rows.toDF("doc_id", "fp")
+
+  private def decisionMap(d: DataFrame): Map[Long, String] =
+    d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("decisions at threshold 9 — far beyond the 64-bit ceiling: " +
+    "dup_corpus within radius, dup_batch components keep the min id, " +
+    "unique fingerprints kept") {
+    val idx = freshIndex()
+    val a = fp(1)
+    idx.bootstrap(fps((1L, a)))
+    val d = decisionMap(idx.dedupBatch(fps(
+      (10L, near(a, 9)), // 9 bits from the corpus anchor -> dup_corpus
+      (11L, fp(2)), (12L, near(fp(2), 7)), // intra pair, min 11 kept
+      (13L, fp(3))))) // unique
+    assert(d === Map(10L -> "dup_corpus", 11L -> "kept",
+      12L -> "dup_batch", 13L -> "kept"))
+    // ...and 10 bits out is NOT a dup at threshold 9
+    val d2 = decisionMap(idx.dedupBatch(fps((20L, near(a, 10)))))
+    assert(d2 === Map(20L -> "kept"))
+  }
+
+  test("admit grows the index; idempotent admit replays as a no-op; " +
+    "takedown retracts merge-on-read") {
+    val idx = freshIndex()
+    idx.bootstrap(fps((1L, fp(1))))
+    val b1 = fps((10L, fp(5)))
+    val d1 = idx.dedupBatch(b1)
+    idx.admitIdempotent(b1, d1, batchId = 1L)
+    val v1 = idx.fpTable.latestVersion.get
+    idx.admitIdempotent(b1, d1, batchId = 1L) // replay: watermarked no-op
+    assert(idx.fpTable.latestVersion.get === v1)
+    // batch 2 near the ADMITTED fingerprint -> the index grew
+    val d2 = decisionMap(idx.dedupBatch(fps((20L, near(fp(5), 3)))))
+    assert(d2 === Map(20L -> "dup_corpus"))
+    // takedown: the anchor stops rejecting
+    idx.remove(Seq(10L))
+    val d3 = decisionMap(idx.dedupBatch(fps((21L, near(fp(5), 3)))))
+    assert(d3 === Map(21L -> "kept"))
+  }
+
+  test("refusals: threshold past the limb pigeonhole; un-bootstrapped " +
+    "batch; double bootstrap") {
+    intercept[IllegalArgumentException](freshIndex(maxHamming = 16))
+    val idx = freshIndex()
+    intercept[IllegalArgumentException](idx.dedupBatch(fps((1L, fp(1)))))
+    idx.bootstrap(fps((1L, fp(1))))
+    intercept[IllegalArgumentException](idx.bootstrap(fps((2L, fp(2)))))
+  }
+}
