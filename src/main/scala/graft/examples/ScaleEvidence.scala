@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, concat_ws, count, expr, length, lit, md5, pmod, xxhash64, posexplode, repeat, row_number, sha2, split, sum, when}
+import org.apache.spark.sql.functions.{col, concat, concat_ws, count, explode, expr, length, lit, md5, pmod, xxhash64, posexplode, repeat, row_number, sequence, sha2, split, sum, when}
 
 /** Empirical 1×/10× scaling evidence for SCALE.md.
   *
@@ -1026,6 +1026,38 @@ object ScaleEvidence {
         f""""audio_hash_s":$aS%.2f,"shuffle_read_mb":${(vRd + aRd) / 1e6}%.1f}""")
     }
 
+    /** Experiment: the ALIGNMENT-FREE signature matcher
+      * ([[graft.multimodal.SignatureDedup]]) is the banded self-join
+      * shape at unit granularity — this prices the match side alone
+      * (the decode seam is media_dedup's measurement): 1×/10× clips of
+      * up to 4 units each, trimmed-variant groups of 4, well-spread
+      * signatures; pairs must be EXACTLY the constructed 3-per-group
+      * overlaps (recall asserted inside the run), wall ~linear in
+      * units, shuffle proportional to band rows + matches (never
+      * pairs-quadratic).
+      */
+    def mediaSigExperiment(k: Int): Unit = {
+      import graft.multimodal.SignatureDedup
+      val n = 100000L * k // clips; 2.5 units each on average
+      val clips = spark.range(n).select(col("id").as("doc_id"),
+        expr("id div 4").as("g"), pmod(col("id"), lit(4L)).as("v"))
+      val units = clips
+        .select(col("doc_id"), col("g"),
+          explode(sequence(col("v"), lit(3L))).as("s"))
+        .select(col("doc_id"), col("s").as("unit_idx"),
+          pmod(xxhash64(col("g") * 4 + col("s")), lit(1L << 32)).as("h_hi"),
+          pmod(xxhash64(col("g") * 4 + col("s"), lit(1)), lit(1L << 32))
+            .as("h_lo"))
+      val (pairs, secs, rd, _) = measured(
+        SignatureDedup.nearDupPairsBySignature(units, "doc_id", "unit_idx",
+          maxHamming = 3, minMatched = 2).count())
+      require(pairs == 3L * (n / 4),
+        s"signature-overlap recall drifted: $pairs pairs for $n clips")
+      println(f"""{"scale":$k,"experiment":"media_sig","clips":$n,""" +
+        f""""units":${n / 4 * 10},"pairs":$pairs,"match_s":$secs%.2f,""" +
+        f""""shuffle_read_mb":${rd / 1e6}%.1f}""")
+    }
+
     /** Experiment: incremental media dedup cost vs INDEX size. A
       * constant batch against a 1×/10× fingerprint index: the pruned
       * path (small batch — band-value set under the 256-key predicate
@@ -1100,6 +1132,7 @@ object ScaleEvidence {
     if (want("bpe")) scales.foreach(k => bpeExperiment(k))
     if (want("media_dedup")) scales.foreach(k => mediaDedupExperiment(k))
     if (want("media_inc")) scales.foreach(k => mediaIncExperiment(base, k))
+    if (want("media_sig")) scales.foreach(k => mediaSigExperiment(k))
     spark.stop()
   }
 }
