@@ -38,10 +38,24 @@ import graft.multimodal.ImageDedup
   * replays the whole multi-batch arc bit-for-bit (the
   * `media_dedup_incremental` gate).
   */
+/** The streaming sink's (and any daily-ingest driver's) view of a
+  * persistent fingerprint index — implemented by BOTH hash widths
+  * ([[FingerprintDedupIndex]] for 64-bit halves,
+  * [[FingerprintDedupIndex256]] for limb arrays), so one
+  * decisions-first exactly-once protocol
+  * ([[graft.streaming.Streams.mediaDedupSink]]) serves either.
+  */
+trait FingerprintIndexLike {
+  def fpTable: graft.lake.IncrementalTable
+  def dedupBatch(hashes: DataFrame): DataFrame
+  def admitIdempotent(hashes: DataFrame, decisions: DataFrame,
+      batchId: Long): Unit
+}
+
 class FingerprintDedupIndex(
     spark: SparkSession, val base: String, idCol: String,
     maxHamming: Int, bandBits: Int = 16,
-    maxBucketSize: Int = Int.MaxValue) {
+    maxBucketSize: Int = Int.MaxValue) extends FingerprintIndexLike {
 
   ImageDedup.requireExactPigeonhole(maxHamming, bandBits)
 

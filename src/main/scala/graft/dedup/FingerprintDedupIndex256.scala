@@ -33,7 +33,8 @@ import graft.multimodal.ImageDedup
   */
 class FingerprintDedupIndex256(
     spark: SparkSession, val base: String, idCol: String,
-    maxHamming: Int, maxBucketSize: Int = Int.MaxValue) {
+    maxHamming: Int, maxBucketSize: Int = Int.MaxValue)
+    extends FingerprintIndexLike {
 
   require(maxHamming >= 0 && maxHamming < 16,
     s"maxHamming=$maxHamming: the 16-limb pigeonhole is exact only " +
@@ -144,6 +145,44 @@ class FingerprintDedupIndex256(
           fpTable.commitFiles(fpTable.stage(fpTable.orderForWrite(rows)),
             Set.empty, s"fp256_admit[batch=$id]", schema = Some(rows.schema))
     }
+  }
+
+  /** Radius-bounded k-NN retrieval against the persisted limb index —
+    * [[FingerprintDedupIndex.knnAgainstIndex]] on 256-bit
+    * fingerprints: probe limbs broadcast against the stats-pruned
+    * scan, the exact distance re-uses the carried corpus arrays
+    * (candidate rows posexplode against the broadcast probe limbs —
+    * never a second index scan), the shared bounded top-k finishes.
+    * `radius < 16` keeps the candidate union pigeonhole-exact.
+    */
+  def knnAgainstIndex(probes: DataFrame, k: Int, radius: Int): DataFrame = {
+    require(exists, s"fingerprint index at $base is not bootstrapped")
+    require(radius >= 0 && radius < 16,
+      s"radius=$radius: the 16-limb pigeonhole is exact only below 16")
+    require(k >= 1, s"k=$k must be >= 1")
+    val qLimbs = probes.select(col(idCol).as("probe_id"),
+      posexplode(col("fp")).as(Seq("band", "bv")))
+    val bvs = qLimbs.select("bv").distinct()
+      .limit(CorpusDedupIndex.MaxKeysInPredicate + 1)
+      .collect().map(_.getLong(0)).toSeq
+    val cand = prunedScan(bvs)
+      .select(col("band"), col("bv"), col(idCol).as("nn_id"),
+        col("fp").as("cfp"))
+      .join(broadcast(qLimbs.select(col("band"), col("bv"),
+        col("probe_id"))), Seq("band", "bv"))
+      .filter(col("nn_id") =!= col("probe_id"))
+      .select("probe_id", "nn_id", "cfp")
+      .dropDuplicates("probe_id", "nn_id")
+    val scored = cand
+      .select(col("probe_id"), col("nn_id"),
+        posexplode(col("cfp")).as(Seq("band", "cbv")))
+      .join(broadcast(qLimbs.select(col("probe_id"), col("band"),
+        col("bv").as("qbv"))), Seq("probe_id", "band"))
+      .groupBy("probe_id", "nn_id")
+      .agg(sum(bit_count(col("cbv").bitwiseXOR(col("qbv"))))
+        .cast("long").as("hamming"))
+      .filter(col("hamming") <= radius)
+    graft.multimodal.HammingKnn.topKFinish(scored, k)
   }
 
   /** Merge-on-read takedown, the [[FingerprintDedupIndex.remove]]

@@ -1137,6 +1137,34 @@ object PipelineQueries {
       .orderBy("probe_id", "rnk")
   }
 
+  /** [[mediaHammingKnnIndex]]'s 256-bit sibling
+    * ([[graft.dedup.FingerprintDedupIndex256.knnAgainstIndex]]): the
+    * persisted limb index bootstraps once from the full 256-bit
+    * corpus, every 10th document probes for its 5 nearest within
+    * radius 9; the exact distance re-uses the carried corpus arrays
+    * against broadcast probe limbs. Same brute-force oracle as the
+    * in-memory 256-bit k-NN.
+    */
+  def mediaHammingKnnIndex256(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.FingerprintDedupIndex256
+    import graft.multimodal.ImageDedup
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified, "mediaknn256v1").hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_mediaknn256_$key"
+    val hashes = mediaHashCache.get(spark, dir + "#image256") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      ImageDedup.dHash256Df(ImageDedup.syntheticImages256(ids, "doc_id"),
+        "doc_id")
+    }
+    val idx = new FingerprintDedupIndex256(spark, s"$base/index", "doc_id",
+      maxHamming = 9)
+    if (!idx.exists) idx.bootstrap(hashes)
+    idx.knnAgainstIndex(hashes.filter(col("doc_id") % 10 === 0),
+      k = 5, radius = 9)
+      .orderBy("probe_id", "rnk")
+  }
+
   /** INCREMENTAL media dedup
     * ([[graft.dedup.FingerprintDedupIndex]] — the daily-ingest path):
     * bootstrap the fingerprint index from a third of the image corpus
@@ -2210,6 +2238,28 @@ object PipelineQueries {
        |                            ORDER BY hamming, neighbor_id) AS rn
        |  FROM scored)
        |SELECT probe_id, neighbor_id, hamming, CAST(rn AS BIGINT) AS rnk
+       |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rnk""".stripMargin
+
+  /** [[hammingKnnBruteSql]]'s 256-bit sibling, shared by the
+    * in-memory and persisted-index limb k-NN oracles.
+    */
+  private val hammingKnn256BruteSql: String =
+    raw"""WITH $image256LimbCtes,
+       |scored AS (
+       |  SELECT p.id AS probe_id, o.id AS neighbor_id,
+       |         sum(bit_count(xor(lp.bv, lo.bv))) AS hamming
+       |  FROM ids p JOIN ids o ON o.id <> p.id
+       |       JOIN limb lp ON lp.id = p.id
+       |       JOIN limb lo ON lo.id = o.id AND lo.band = lp.band
+       |  WHERE p.id % 10 = 0
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, hamming,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY hamming, neighbor_id) AS rn
+       |  FROM scored WHERE hamming <= 9)
+       |SELECT probe_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+       |       CAST(rn AS BIGINT) AS rnk
        |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rnk""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -3387,25 +3437,11 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin
     },
     // Brute-force rank over the 256-bit limbs: the limb-banded probe
-    // path must lose no neighbor within the radius
-    "media_hamming_knn256" ->
-      raw"""WITH $image256LimbCtes,
-         |scored AS (
-         |  SELECT p.id AS probe_id, o.id AS neighbor_id,
-         |         sum(bit_count(xor(lp.bv, lo.bv))) AS hamming
-         |  FROM ids p JOIN ids o ON o.id <> p.id
-         |       JOIN limb lp ON lp.id = p.id
-         |       JOIN limb lo ON lo.id = o.id AND lo.band = lp.band
-         |  WHERE p.id % 10 = 0
-         |  GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT probe_id, neighbor_id, hamming,
-         |         row_number() OVER (PARTITION BY probe_id
-         |                            ORDER BY hamming, neighbor_id) AS rn
-         |  FROM scored WHERE hamming <= 9)
-         |SELECT probe_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
-         |       CAST(rn AS BIGINT) AS rnk
-         |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rnk""".stripMargin,
+    // path must lose no neighbor within the radius. Shared verbatim
+    // with the persisted-limb-index retrieval (full-corpus index ==
+    // in-memory operator, like the 64-bit pair)
+    "media_hamming_knn256" -> hammingKnn256BruteSql,
+    "media_hamming_knn_index256" -> hammingKnn256BruteSql,
     // Closed-form replay of shot detection: per-frame hashes on the
     // shot-keyed cell rule, consecutive distances, cut indicators
     // (frame 0 always cuts), prefix-sum shot ids, per-shot bounds
@@ -3906,6 +3942,7 @@ object PipelineQueries {
     "media_hamming_knn" -> mediaHammingKnn _,
     "media_hamming_knn256" -> mediaHammingKnn256 _,
     "media_hamming_knn_index" -> mediaHammingKnnIndex _,
+    "media_hamming_knn_index256" -> mediaHammingKnnIndex256 _,
     "media_dedup_incremental" -> mediaDedupIncremental _,
     "media_dedup_incremental256" -> mediaDedupIncremental256 _,
     "audio_dedup_energy" -> audioDedupEnergy _,

@@ -179,9 +179,11 @@ object Streams {
     * decisions-first protocol as [[corpusDedupSink]] (the decisions
     * commit freezes the kept set; the admit replays from the stored
     * rows), with one FEWER failure window: the index is one table, so
-    * there is no half-admitted interleaving at all.
+    * there is no half-admitted interleaving at all. Takes any
+    * [[graft.dedup.FingerprintIndexLike]], so the SAME sink serves the
+    * 64-bit halves index and the 256-bit limb index.
     */
-  def mediaDedupSink(idx: graft.dedup.FingerprintDedupIndex,
+  def mediaDedupSink(idx: graft.dedup.FingerprintIndexLike,
       decisions: graft.lake.IncrementalTable,
       maintainEvery: Int = 0): (DataFrame, Long) => Unit = {
     (batch, batchId) =>

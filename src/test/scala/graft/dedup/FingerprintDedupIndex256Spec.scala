@@ -70,6 +70,49 @@ class FingerprintDedupIndex256Spec extends AnyFunSuite with SparkSpec {
     assert(d3 === Map(21L -> "kept"))
   }
 
+  test("knnAgainstIndex: answers equal the in-memory limb k-NN, self " +
+    "excluded, radius honored") {
+    val idx = freshIndex()
+    // four groups of six variants: member i flips i%6 bits of its
+    // group base, so within-group distances are <= 5 (inside radius 9)
+    // and each probe has 5 true neighbors — k=4 must truncate
+    val corpusRows = (0L until 24L).map(i =>
+      (i, near(fp(i / 6), (i % 6).toInt)))
+    val corpus = fps(corpusRows: _*)
+    idx.bootstrap(corpus)
+    val probes = fps((0L, corpusRows(0)._2), (6L, corpusRows(6)._2))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaIndex = rows(idx.knnAgainstIndex(probes, k = 4, radius = 9))
+    val inMemory = rows(graft.multimodal.HammingKnn
+      .knnWithinRadius256(corpus, probes, "doc_id", k = 4, radius = 9))
+    assert(viaIndex === inMemory)
+    assert(!viaIndex.exists(t => t._1 == t._2), "self-matches excluded")
+    assert(viaIndex.forall(_._3 <= 9), "radius honored")
+    intercept[IllegalArgumentException](
+      idx.knnAgainstIndex(probes, k = 4, radius = 16))
+  }
+
+  test("streaming sink (shared FingerprintIndexLike protocol): " +
+    "decisions accumulate, replay no-ops on both tables") {
+    import graft.lake.IncrementalTable
+    val idx = freshIndex()
+    idx.bootstrap(fps((1L, fp(1))))
+    val dec = new IncrementalTable(spark,
+      Files.createTempDirectory("fpi256_dec_").toString + "/d")
+    val sink = graft.streaming.Streams.mediaDedupSink(idx, dec)
+    sink(fps((10L, fp(5))), 0L) // kept + admitted
+    sink(fps((20L, near(fp(5), 5))), 1L) // dup of the ADMITTED 10
+    val rows = dec.snapshot().select("doc_id", "status", "batch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set((10L, "kept", 0L), (20L, "dup_corpus", 1L)))
+    val (decV, idxV) = (dec.latestVersion.get, idx.fpTable.latestVersion.get)
+    sink(fps((20L, near(fp(5), 5))), 1L) // replay: both tables unchanged
+    assert(dec.latestVersion.get === decV)
+    assert(idx.fpTable.latestVersion.get === idxV)
+  }
+
   test("refusals: threshold past the limb pigeonhole; un-bootstrapped " +
     "batch; double bootstrap") {
     intercept[IllegalArgumentException](freshIndex(maxHamming = 16))
