@@ -141,9 +141,28 @@ object AudioDedup {
     * media-codec mapPartitions seam as every fingerprint pass.
     */
   def blockHashDf(media: DataFrame, idCol: String,
-      blockSamples: Int): DataFrame = {
+      blockSamples: Int): DataFrame =
+    blockHashDf(media, idCol, blockSamples, hopSamples = blockSamples)
+
+  /** OVERLAPPING-HOP variant — the recovery path for trims that are
+    * NOT block-aligned: fingerprints are emitted at every start
+    * `k·hopSamples` with a full block ahead, so any trim that is a
+    * multiple of the HOP (a `blockSamples/hopSamples`× finer grid)
+    * leaves every surviving hop-aligned block's fingerprint
+    * bit-identical. This is exactly the constant-factor emission
+    * increase the published systems pay (Haitsma–Kalker emit a
+    * sub-fingerprint per ~11 ms hop over ~370 ms frames): the same
+    * decode pass emits `blockSamples/hopSamples`× more rows through
+    * the SAME downstream plan — no new join shape, just denser units.
+    * `hopSamples = blockSamples` is the non-overlapping contract
+    * above; the trim granularity knob is the hop.
+    */
+  def blockHashDf(media: DataFrame, idCol: String,
+      blockSamples: Int, hopSamples: Int): DataFrame = {
     require(blockSamples >= Windows,
       s"blockSamples=$blockSamples cannot carry the $Windows-window grid")
+    require(hopSamples >= 1 && hopSamples <= blockSamples,
+      s"hopSamples=$hopSamples must be in [1, blockSamples=$blockSamples]")
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("block_idx", LongType, nullable = false),
@@ -161,11 +180,14 @@ object AudioDedup {
             "a supported audio codec")
         val wav = WavCodec.decode(r.getAs[Array[Byte]](bIx))
         val id = r.getLong(idIx)
-        val nBlocks = wav.samples.length / blockSamples
-        (0 until nBlocks).iterator.map { b =>
+        val n = wav.samples.length
+        val nHops =
+          if (n < blockSamples) 0 else (n - blockSamples) / hopSamples + 1
+        (0 until nHops).iterator.map { k =>
+          val start = k * hopSamples
           val (hi, lo) = energyHash64(java.util.Arrays.copyOfRange(
-            wav.samples, b * blockSamples, (b + 1) * blockSamples))
-          Row(id, b.toLong, hi, lo)
+            wav.samples, start, start + blockSamples))
+          Row(id, k.toLong, hi, lo)
         }
       }
     }(enc)
@@ -313,6 +335,55 @@ object AudioDedup {
     * each block's energies as `64·A²` in closed form.
     */
   val OffsetBlockSamples: Int = Windows * 64
+
+  /** Hop of the overlapping-hop corpus and query: 13 windows × 64
+    * samples — 1/5 of a block, and a multiple of the 64-sample window
+    * so hop-aligned blocks keep their sub-windows on the master
+    * window grid (what lets the oracle stay closed-form).
+    */
+  val HopSamples: Int = 13 * 64
+
+  /** Deterministic HOP-TRIMMED corpus for the overlapping-hop query:
+    * one MASTER timeline of `6 × 65` windows per group (amplitude
+    * keyed by the ABSOLUTE master window index `w` and the group —
+    * same de-linearized residue family as [[syntheticOffsetAudio]],
+    * no block structure at all); variant `v = id % 4` trims the first
+    * `v` HOPS (`v × 13` windows = `v × 832` samples) — a trim that is
+    * NOT block-aligned, so every non-overlapping block fingerprint
+    * changes, while every surviving hop-aligned block (master starts
+    * `u × 13 >= v × 13`) is bit-identical across variants.
+    */
+  def syntheticHopAudio(ids: DataFrame, idCol: String): DataFrame = {
+    val winlen = 64
+    val masterWindows = 6 * Windows // 390
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIx = ids.schema.fieldIndex(idCol)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIx)
+        val g = id / 4; val v = (id % 4).toInt
+        val from = v * 13
+        val samples = new Array[Short]((masterWindows - from) * winlen)
+        var w = from
+        while (w < masterWindows) {
+          val res = ((w.toLong * (1 + (g * 73 % 65521) % 996) +
+            w.toLong * w * (1 + (g * 79 % 65521) % 996) + g) % 997) % 23
+          val a = (1 + res * 40).toShort
+          var i = 0
+          while (i < winlen) {
+            samples((w - from) * winlen + i) = if (i % 2 == 0) a else (-a).toShort
+            i += 1
+          }
+          w += 1
+        }
+        Row(id, "wav", WavCodec.encodePcm16Mono(16000, samples))
+      }
+    }(enc)
+  }
 
   /** Deterministic synthetic audio corpus for the oracle-gated query
     * (testdata carries no real audio assets): id → a clip of 65

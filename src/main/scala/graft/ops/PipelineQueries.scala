@@ -1369,6 +1369,30 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** OVERLAPPING-HOP audio near-dup
+    * ([[graft.multimodal.AudioDedup.blockHashDf]] with a hop): the
+    * recovery path for trims that are NOT block-aligned — the
+    * [[audioDedupOffset]] contract's documented boundary. Fingerprints
+    * emit at every 13-window hop (5 per block length), so the corpus'
+    * one-hop trims — which change EVERY non-overlapping block
+    * fingerprint (the spec pins that miss) — leave all surviving
+    * hop-aligned blocks bit-identical, and the same alignment-free
+    * engine matches them. The published constant-factor trade
+    * (Haitsma–Kalker's sub-fingerprint hop), priced: 5× unit rows
+    * through an unchanged plan.
+    */
+  def audioDedupHop(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{AudioDedup, SignatureDedup}
+    val sigs = mediaHashCache.get(spark, dir + "#audiohops") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      AudioDedup.blockHashDf(AudioDedup.syntheticHopAudio(ids, "doc_id"),
+        "doc_id", AudioDedup.OffsetBlockSamples, AudioDedup.HopSamples)
+    }
+    SignatureDedup.nearDupPairsBySignature(sigs, "doc_id", "block_idx",
+      maxHamming = 3, minMatched = 2, bandBits = 16)
+      .orderBy("id_a", "id_b")
+  }
+
   /** End-to-end corpus cleaning, the composition a training-data run
     * actually ships: exact-dedup survivors → minimum length → English
     * prediction → emit with integer quality stats. One narrow scan +
@@ -3724,6 +3748,40 @@ object PipelineQueries {
          |                       ELSE 0 END) AS BIGINT) AS lo
          |  FROM bits GROUP BY id, b),
          |$sigOverlapTail""".stripMargin,
+    // Closed-form replay of the overlapping-hop audio dedup: ONE
+    // master window timeline per group (amplitudes keyed by absolute
+    // window index), per-variant hop trim, a fingerprint per
+    // hop-aligned 65-window block, then the shared overlap tail
+    "audio_dedup_hop" ->
+      raw"""WITH ids AS (
+         |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+         |  FROM documents),
+         |en AS (
+         |  SELECT id, w, 64 * CAST(a AS BIGINT) * a AS e
+         |  FROM (SELECT id, w,
+         |          1 + (((w*(1 + ((g*73) % 65521) % 996) +
+         |                 w*w*(1 + ((g*79) % 65521) % 996) + g) % 997) % 23)
+         |              * 40 AS a
+         |        FROM ids, unnest(range(0, 390)) AS r(w))),
+         |hop AS (
+         |  SELECT id, u FROM ids, unnest(range(0, 26)) AS r(u)
+         |  WHERE u >= v),
+         |bitsrc AS (
+         |  SELECT id, u, j, u*13 + j AS w
+         |  FROM hop, unnest(range(0, 64)) AS r(j)),
+         |bits AS (
+         |  SELECT b.id, b.u, b.j,
+         |         CASE WHEN e2.e > e1.e THEN 1 ELSE 0 END AS bit
+         |  FROM bitsrc b JOIN en e1 ON e1.id = b.id AND e1.w = b.w
+         |       JOIN en e2 ON e2.id = b.id AND e2.w = b.w + 1),
+         |units AS (
+         |  SELECT id, u,
+         |         CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+         |                       ELSE 0 END) AS BIGINT) AS hi,
+         |         CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+         |                       ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY id, u),
+         |$sigOverlapTail""".stripMargin,
     // Full replay of BPE training: one stacked-CTE group per merge
     // rank (pair count → lexically-tie-broken argmax → islands-parity
     // canonical merge), generated by BpeTrainer.oracleSql.
@@ -3951,6 +4009,7 @@ object PipelineQueries {
     "video_shots" -> videoShots _,
     "video_dedup_shots" -> videoDedupShots _,
     "audio_dedup_offset" -> audioDedupOffset _,
+    "audio_dedup_hop" -> audioDedupHop _,
     "lang_id" -> langId _,
     "corpus_clean" -> corpusClean _
   )

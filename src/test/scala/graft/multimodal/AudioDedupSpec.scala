@@ -175,6 +175,47 @@ class AudioDedupSpec extends AnyFunSuite with SparkSpec {
       "every trim must change the clip-relative fingerprint")
   }
 
+  test("overlapping hops recover NON-block-aligned trims: the " +
+    "non-overlapping fingerprints all change, the hop-aligned ones " +
+    "survive bit-for-bit and every within-group pair matches") {
+    val ids = (0L until 48L).toDF("doc_id")
+    val clips = AudioDedup.syntheticHopAudio(ids, "doc_id")
+    val bs = AudioDedup.OffsetBlockSamples
+    // non-overlapping blocks: a one-hop trim (832 samples, not a
+    // multiple of 4160) shifts every block boundary — zero shared
+    // fingerprints between variants
+    val coarse = AudioDedup.blockHashDf(clips, "doc_id", bs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+    for (g <- 0L until 12L; v <- 1 to 3) {
+      val a = coarse.filter(_._1 == g * 4).map(_._2).toSet
+      val b = coarse.filter(_._1 == g * 4 + v).map(_._2).toSet
+      assert(a.intersect(b).isEmpty,
+        s"group $g variant $v: a non-aligned trim must break every " +
+          "non-overlapping block fingerprint")
+    }
+    // hop-aligned blocks: master hop u of variant v sits at local
+    // index u - v; fingerprints are bit-identical across variants
+    val fine = AudioDedup.blockHashDf(clips, "doc_id", bs,
+      AudioDedup.HopSamples)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    for (id <- 0L until 48L)
+      assert(fine.keys.count(_._1 == id) === 26 - (id % 4).toInt)
+    for (g <- 0L until 12L; va <- 0 to 3; vb <- (va + 1) to 3; u <- vb to 25)
+      assert(fine((g * 4 + va, (u - va).toLong)) ===
+        fine((g * 4 + vb, (u - vb).toLong)),
+        s"group $g hop $u must survive the trim unchanged")
+    // ...and the alignment-free matcher finds every within-group pair
+    val sigs = AudioDedup.blockHashDf(clips, "doc_id", bs,
+      AudioDedup.HopSamples)
+    val pairs = SignatureDedup.nearDupPairsBySignature(sigs, "doc_id",
+      "block_idx", maxHamming = 3, minMatched = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (g <- 0L until 12L; a <- 0 to 3; b <- (a + 1) to 3)
+      assert(pairs.get((g * 4 + a, g * 4 + b)).exists(_ >= 26 - b),
+        s"group $g pair ($a,$b) must match on its shared hops")
+  }
+
   test("offset-robust recall: every within-group pair pairs by " +
     "distinct-block overlap with exact counts (6 - max shared blocks)") {
     val ids = (0L until 48L).toDF("doc_id")
