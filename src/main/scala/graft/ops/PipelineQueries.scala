@@ -1251,6 +1251,51 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL alignment-free video dedup
+    * ([[graft.dedup.SignatureDedupIndex]]): the daily-ingest arc for
+    * the shot-signature matcher — a whole-clip fingerprint cannot
+    * serve trimmed near-dups, so the index persists one band row per
+    * SHOT and batch clips match indexed clips by the same symmetric
+    * distinct-shot overlap gate as [[videoDedupShots]]. Same
+    * bootstrap→dedup→admit two-batch arc as the fingerprint indexes,
+    * on the trimmed-variant corpus; the oracle replays the full
+    * membership evolution from the closed-form shot signatures.
+    */
+  def videoDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.IncrementalTable
+    import graft.dedup.SignatureDedupIndex
+    import graft.multimodal.VideoDedup
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified, "vidincv1").hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_vidinc_$key"
+    val decisions = new IncrementalTable(spark, s"$base/decisions")
+    val complete = decisions.exists && decisions.latestVersion.contains(1L)
+    if (!complete) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val hashes = mediaHashCache.get(spark, dir + "#trimshots") {
+        val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+        VideoDedup.frameHashDf(
+          VideoDedup.syntheticTrimmedShotVideos(ids, "doc_id"),
+          "doc_id", stride = 1)
+      }
+      val sigs = VideoDedup.shotSignatures(hashes, "doc_id", cutHamming = 8)
+      def slice(r: Int) = sigs.filter(expr(s"(doc_id div 4) % 3 = $r"))
+      val idx = new SignatureDedupIndex(spark, s"$base/index", "doc_id",
+        "shot_idx", maxHamming = 3, minMatched = 2, bandBits = 16)
+      idx.bootstrap(slice(0))
+      val dec = new IncrementalTable(spark, s"$base/decisions")
+      val b1 = slice(1)
+      val d1 = idx.dedupBatch(b1).localCheckpoint()
+      idx.admit(b1, d1)
+      dec.append(d1.withColumn("batch", lit(1L)))
+      dec.append(idx.dedupBatch(slice(2)).withColumn("batch", lit(2L)))
+    }
+    new IncrementalTable(spark, s"$base/decisions").snapshot()
+      .select("doc_id", "batch", "status", "kept")
+      .orderBy("doc_id")
+  }
+
   /** Energy-based audio segmentation
     * ([[graft.multimodal.AudioDedup.segmentsOf]] — Rabiner–Sambur
     * voice-activity endpointing on the shared 65-window integer-energy
@@ -2203,6 +2248,103 @@ object PipelineQueries {
        |  FROM ids, unnest(range(0, 65)) AS r(w)),
        |en AS (
        |  SELECT id, w, CAST(winlen AS BIGINT) * a * a AS e FROM amp)""".stripMargin
+
+  /** Closed-form replay of the TRIMMED-SHOT video corpus up to the
+    * per-shot signature table `units(id, u, hi, lo)` (shared by the
+    * shot-dedup and incremental-shot-index oracles); pre-stripped like
+    * [[imageDhashCtes]]. `ids` carries one row per clip.
+    */
+  private val trimShotUnitsCtes: String =
+    raw"""ids AS (
+       |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+       |  FROM documents),
+       |sh AS (
+       |  SELECT id, v, s, g*4 + s AS m
+       |  FROM ids, unnest(range(0, 4)) AS r(s) WHERE s >= v),
+       |cell AS (
+       |  SELECT id, v, s, cy, cx,
+       |         (cx*(1 + (m*m + m*131) % 241) +
+       |          cy*(1 + (m*m*3 + m*137) % 239) +
+       |          cx*cy*(1 + (m*m*7 + m*139) % 233) +
+       |          cx*cx*(1 + (m*m*11 + m*149) % 229) + m) % 251 AS base
+       |  FROM sh, unnest(range(0, 8)) AS r1(cy),
+       |       unnest(range(0, 9)) AS r2(cx)),
+       |pert AS (
+       |  SELECT id, s, cy, cx,
+       |         CASE WHEN cx = 8 AND cy < v
+       |              THEN (base + 40 * (cy + 1)) % 256
+       |              ELSE base END AS p
+       |  FROM cell),
+       |gray AS (
+       |  SELECT id, s, cy, cx,
+       |         (77*p + 150*((p + 60) % 256) + 29*((p + 120) % 256)) // 256 AS gv
+       |  FROM pert),
+       |bits AS (
+       |  SELECT a.id, a.s, a.cy * 8 + a.cx AS j,
+       |         CASE WHEN a.gv > b.gv THEN 1 ELSE 0 END AS bit
+       |  FROM gray a JOIN gray b
+       |    ON b.id = a.id AND b.s = a.s AND b.cy = a.cy AND b.cx = a.cx + 1
+       |  WHERE a.cx < 8),
+       |units AS MATERIALIZED (
+       |  SELECT id, s AS u,
+       |         CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+       |                       ELSE 0 END) AS BIGINT) AS hi,
+       |         CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+       |                       ELSE 0 END) AS BIGINT) AS lo
+       |  FROM bits GROUP BY id, s)""".stripMargin
+
+  /** One incremental SHOT-SIGNATURE dedup batch's oracle CTE group —
+    * the [[fpIncCtes]] construction at clip granularity with the
+    * symmetric distinct-unit overlap gate (`least >= 2` at unit
+    * Hamming <= 3): cross matches against the `idxCte` membership,
+    * intra-batch pairs among survivors, recursive min-label
+    * components, decisions. Expects `bands(id, u, hi, lo, band, bv)`
+    * and a one-row-per-clip `ids` CTE.
+    */
+  private def sigIncCtes(tag: String, idxCte: String,
+      pred: String => String): String =
+    raw"""xm_$tag AS (
+       |  SELECT DISTINCT a.id AS nid, a.u AS nu, b.id AS cid, b.u AS cu
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv
+       |  JOIN $idxCte i ON i.id = b.id
+       |  WHERE ${pred("a.id")} AND b.id <> a.id
+       |    AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+       |cross_$tag AS MATERIALIZED (
+       |  SELECT DISTINCT nid AS id FROM (
+       |    SELECT nid, cid, count(DISTINCT nu) AS mn, count(DISTINCT cu) AS mc
+       |    FROM xm_$tag GROUP BY 1, 2)
+       |  WHERE least(mn, mc) >= 2),
+       |pm_$tag AS (
+       |  SELECT DISTINCT a.id AS pa, a.u AS ua, b.id AS pb, b.u AS ub
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+       |  WHERE ${pred("a.id")} AND ${pred("b.id")}
+       |    AND a.id NOT IN (SELECT id FROM cross_$tag)
+       |    AND b.id NOT IN (SELECT id FROM cross_$tag)
+       |    AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+       |pairs_$tag AS MATERIALIZED (
+       |  SELECT pa, pb FROM (
+       |    SELECT pa, pb, count(DISTINCT ua) AS na, count(DISTINCT ub) AS nb
+       |    FROM pm_$tag GROUP BY 1, 2)
+       |  WHERE least(na, nb) >= 2),
+       |nodes_$tag AS (SELECT pa AS id FROM pairs_$tag
+       |               UNION SELECT pb FROM pairs_$tag),
+       |edges_$tag AS (SELECT pa AS src, pb AS dst FROM pairs_$tag
+       |               UNION SELECT pb, pa FROM pairs_$tag),
+       |reach_$tag AS (
+       |  SELECT id, id AS r FROM nodes_$tag
+       |  UNION
+       |  SELECT e.src, reach_$tag.r
+       |  FROM edges_$tag e JOIN reach_$tag ON e.dst = reach_$tag.id),
+       |comp_$tag AS (SELECT id, min(r) AS cl FROM reach_$tag GROUP BY id),
+       |dec_$tag AS (
+       |  SELECT h.id AS doc_id,
+       |         CASE WHEN h.id IN (SELECT id FROM cross_$tag) THEN 'dup_corpus'
+       |              WHEN c.cl IS NOT NULL AND c.cl <> h.id THEN 'dup_batch'
+       |              ELSE 'kept' END AS status
+       |  FROM ids h LEFT JOIN comp_$tag c ON c.id = h.id
+       |  WHERE ${pred("h.id")})""".stripMargin
 
   /** Shared tail of the alignment-free signature-overlap oracles
     * (video shots, audio blocks): expects a `units(id, u, hi, lo)`
@@ -3678,44 +3820,35 @@ object PipelineQueries {
     // Spark's cut detection must recover exactly the master shot
     // partition or its signature set (and the hash) diverges
     "video_dedup_shots" ->
-      raw"""WITH ids AS (
-         |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
-         |  FROM documents),
-         |sh AS (
-         |  SELECT id, v, s, g*4 + s AS m
-         |  FROM ids, unnest(range(0, 4)) AS r(s) WHERE s >= v),
-         |cell AS (
-         |  SELECT id, v, s, cy, cx,
-         |         (cx*(1 + (m*m + m*131) % 241) +
-         |          cy*(1 + (m*m*3 + m*137) % 239) +
-         |          cx*cy*(1 + (m*m*7 + m*139) % 233) +
-         |          cx*cx*(1 + (m*m*11 + m*149) % 229) + m) % 251 AS base
-         |  FROM sh, unnest(range(0, 8)) AS r1(cy),
-         |       unnest(range(0, 9)) AS r2(cx)),
-         |pert AS (
-         |  SELECT id, s, cy, cx,
-         |         CASE WHEN cx = 8 AND cy < v
-         |              THEN (base + 40 * (cy + 1)) % 256
-         |              ELSE base END AS p
-         |  FROM cell),
-         |gray AS (
-         |  SELECT id, s, cy, cx,
-         |         (77*p + 150*((p + 60) % 256) + 29*((p + 120) % 256)) // 256 AS gv
-         |  FROM pert),
-         |bits AS (
-         |  SELECT a.id, a.s, a.cy * 8 + a.cx AS j,
-         |         CASE WHEN a.gv > b.gv THEN 1 ELSE 0 END AS bit
-         |  FROM gray a JOIN gray b
-         |    ON b.id = a.id AND b.s = a.s AND b.cy = a.cy AND b.cx = a.cx + 1
-         |  WHERE a.cx < 8),
-         |units AS (
-         |  SELECT id, s AS u,
-         |         CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
-         |                       ELSE 0 END) AS BIGINT) AS hi,
-         |         CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
-         |                       ELSE 0 END) AS BIGINT) AS lo
-         |  FROM bits GROUP BY id, s),
+      raw"""WITH $trimShotUnitsCtes,
          |$sigOverlapTail""".stripMargin,
+    // Full replay of the two-batch INCREMENTAL shot-signature arc:
+    // batch clips match the index membership by the SAME symmetric
+    // distinct-unit overlap gate, components among survivors, index
+    // grows by kept — the persisted unit postings, pruning and admit
+    // watermarking on the Spark side are proven by the MATCH
+    "video_dedup_incremental" -> {
+      def p(r: Int): String => String = x => s"($x // 4) % 3 = $r"
+      raw"""WITH RECURSIVE $trimShotUnitsCtes,
+         |bands AS MATERIALIZED (
+         |  SELECT id, u, hi, lo, k AS band,
+         |         CASE WHEN k < 2 THEN (lo >> (16*k)) & 65535
+         |              ELSE (hi >> (16*(k-2))) & 65535 END AS bv
+         |  FROM units, unnest(range(0, 4)) AS r(k)),
+         |idx_c0 AS (SELECT id FROM ids WHERE (id // 4) % 3 = 0),
+         |${sigIncCtes("b1", "idx_c0", p(1))},
+         |idx_c1 AS (SELECT id FROM idx_c0
+         |           UNION ALL
+         |           SELECT doc_id FROM dec_b1 WHERE status = 'kept'),
+         |${sigIncCtes("b2", "idx_c1", p(2))}
+         |SELECT doc_id, CAST(1 AS BIGINT) AS batch, status,
+         |       CAST(status = 'kept' AS BIGINT) AS kept
+         |FROM dec_b1
+         |UNION ALL
+         |SELECT doc_id, CAST(2 AS BIGINT), status, CAST(status = 'kept' AS BIGINT)
+         |FROM dec_b2
+         |ORDER BY doc_id""".stripMargin
+    },
     // Closed-form replay of the offset-robust audio dedup: per-block
     // energies (64·A² — the fixed 64-sample sub-windows land exactly
     // on the long-math grid), sign-delta bits per block, then the
@@ -4003,6 +4136,7 @@ object PipelineQueries {
     "media_hamming_knn_index256" -> mediaHammingKnnIndex256 _,
     "media_dedup_incremental" -> mediaDedupIncremental _,
     "media_dedup_incremental256" -> mediaDedupIncremental256 _,
+    "video_dedup_incremental" -> videoDedupIncremental _,
     "audio_dedup_energy" -> audioDedupEnergy _,
     "audio_segments" -> audioSegments _,
     "video_dedup_frames" -> videoDedupFrames _,
