@@ -1296,6 +1296,44 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** [[videoDedupIncremental]]'s audio twin: the SAME persisted
+    * unit-signature index over block fingerprints — incremental
+    * ingest for offset-robust audio dedup, modality swapped, protocol
+    * identical (the index is unit-agnostic by design).
+    */
+  def audioDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.IncrementalTable
+    import graft.dedup.SignatureDedupIndex
+    import graft.multimodal.AudioDedup
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified, "audincv1").hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_audinc_$key"
+    val decisions = new IncrementalTable(spark, s"$base/decisions")
+    val complete = decisions.exists && decisions.latestVersion.contains(1L)
+    if (!complete) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val sigs = mediaHashCache.get(spark, dir + "#audioblocks") {
+        val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+        AudioDedup.blockHashDf(AudioDedup.syntheticOffsetAudio(ids, "doc_id"),
+          "doc_id", AudioDedup.OffsetBlockSamples)
+      }
+      def slice(r: Int) = sigs.filter(expr(s"(doc_id div 4) % 3 = $r"))
+      val idx = new SignatureDedupIndex(spark, s"$base/index", "doc_id",
+        "block_idx", maxHamming = 3, minMatched = 2, bandBits = 16)
+      idx.bootstrap(slice(0))
+      val dec = new IncrementalTable(spark, s"$base/decisions")
+      val b1 = slice(1)
+      val d1 = idx.dedupBatch(b1).localCheckpoint()
+      idx.admit(b1, d1)
+      dec.append(d1.withColumn("batch", lit(1L)))
+      dec.append(idx.dedupBatch(slice(2)).withColumn("batch", lit(2L)))
+    }
+    new IncrementalTable(spark, s"$base/decisions").snapshot()
+      .select("doc_id", "batch", "status", "kept")
+      .orderBy("doc_id")
+  }
+
   /** Energy-based audio segmentation
     * ([[graft.multimodal.AudioDedup.segmentsOf]] — Rabiner–Sambur
     * voice-activity endpointing on the shared 65-window integer-energy
@@ -2345,6 +2383,39 @@ object PipelineQueries {
        |              ELSE 'kept' END AS status
        |  FROM ids h LEFT JOIN comp_$tag c ON c.id = h.id
        |  WHERE ${pred("h.id")})""".stripMargin
+
+  /** Closed-form replay of the TRIMMED-BLOCK audio corpus up to the
+    * per-block fingerprint table `units(id, u, hi, lo)` (shared by
+    * the offset-dedup and incremental oracles); `ids` carries one row
+    * per clip. Pre-stripped like [[imageDhashCtes]].
+    */
+  private val audioBlockUnitsCtes: String =
+    raw"""ids AS (
+       |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+       |  FROM documents),
+       |blk AS (
+       |  SELECT id, b, g*6 + b AS m
+       |  FROM ids, unnest(range(0, 6)) AS r(b) WHERE b >= v),
+       |amp AS (
+       |  SELECT id, b, w,
+       |         1 + (((w*(1 + ((m*73) % 65521) % 996) +
+       |                w*w*(1 + ((m*79) % 65521) % 996) + m) % 997) % 23)
+       |             * 40 AS a
+       |  FROM blk, unnest(range(0, 65)) AS r(w)),
+       |en AS (
+       |  SELECT id, b, w, 64 * CAST(a AS BIGINT) * a AS e FROM amp),
+       |bits AS (
+       |  SELECT a.id, a.b, a.w AS j,
+       |         CASE WHEN c.e > a.e THEN 1 ELSE 0 END AS bit
+       |  FROM en a JOIN en c ON c.id = a.id AND c.b = a.b AND c.w = a.w + 1
+       |  WHERE a.w < 64),
+       |units AS MATERIALIZED (
+       |  SELECT id, b AS u,
+       |         CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+       |                       ELSE 0 END) AS BIGINT) AS hi,
+       |         CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+       |                       ELSE 0 END) AS BIGINT) AS lo
+       |  FROM bits GROUP BY id, b)""".stripMargin
 
   /** Shared tail of the alignment-free signature-overlap oracles
     * (video shots, audio blocks): expects a `units(id, u, hi, lo)`
@@ -3854,33 +3925,33 @@ object PipelineQueries {
     // on the long-math grid), sign-delta bits per block, then the
     // same signature-overlap tail as video shots
     "audio_dedup_offset" ->
-      raw"""WITH ids AS (
-         |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
-         |  FROM documents),
-         |blk AS (
-         |  SELECT id, b, g*6 + b AS m
-         |  FROM ids, unnest(range(0, 6)) AS r(b) WHERE b >= v),
-         |amp AS (
-         |  SELECT id, b, w,
-         |         1 + (((w*(1 + ((m*73) % 65521) % 996) +
-         |                w*w*(1 + ((m*79) % 65521) % 996) + m) % 997) % 23)
-         |             * 40 AS a
-         |  FROM blk, unnest(range(0, 65)) AS r(w)),
-         |en AS (
-         |  SELECT id, b, w, 64 * CAST(a AS BIGINT) * a AS e FROM amp),
-         |bits AS (
-         |  SELECT a.id, a.b, a.w AS j,
-         |         CASE WHEN c.e > a.e THEN 1 ELSE 0 END AS bit
-         |  FROM en a JOIN en c ON c.id = a.id AND c.b = a.b AND c.w = a.w + 1
-         |  WHERE a.w < 64),
-         |units AS (
-         |  SELECT id, b AS u,
-         |         CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
-         |                       ELSE 0 END) AS BIGINT) AS hi,
-         |         CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
-         |                       ELSE 0 END) AS BIGINT) AS lo
-         |  FROM bits GROUP BY id, b),
+      raw"""WITH $audioBlockUnitsCtes,
          |$sigOverlapTail""".stripMargin,
+    // The audio twin of video_dedup_incremental: the SAME persisted
+    // unit-signature index protocol over block fingerprints — the
+    // membership-evolution replay swaps only the units chain
+    "audio_dedup_incremental" -> {
+      def p(r: Int): String => String = x => s"($x // 4) % 3 = $r"
+      raw"""WITH RECURSIVE $audioBlockUnitsCtes,
+         |bands AS MATERIALIZED (
+         |  SELECT id, u, hi, lo, k AS band,
+         |         CASE WHEN k < 2 THEN (lo >> (16*k)) & 65535
+         |              ELSE (hi >> (16*(k-2))) & 65535 END AS bv
+         |  FROM units, unnest(range(0, 4)) AS r(k)),
+         |idx_c0 AS (SELECT id FROM ids WHERE (id // 4) % 3 = 0),
+         |${sigIncCtes("b1", "idx_c0", p(1))},
+         |idx_c1 AS (SELECT id FROM idx_c0
+         |           UNION ALL
+         |           SELECT doc_id FROM dec_b1 WHERE status = 'kept'),
+         |${sigIncCtes("b2", "idx_c1", p(2))}
+         |SELECT doc_id, CAST(1 AS BIGINT) AS batch, status,
+         |       CAST(status = 'kept' AS BIGINT) AS kept
+         |FROM dec_b1
+         |UNION ALL
+         |SELECT doc_id, CAST(2 AS BIGINT), status, CAST(status = 'kept' AS BIGINT)
+         |FROM dec_b2
+         |ORDER BY doc_id""".stripMargin
+    },
     // Closed-form replay of the overlapping-hop audio dedup: ONE
     // master window timeline per group (amplitudes keyed by absolute
     // window index), per-variant hop trim, a fingerprint per
@@ -4137,6 +4208,7 @@ object PipelineQueries {
     "media_dedup_incremental" -> mediaDedupIncremental _,
     "media_dedup_incremental256" -> mediaDedupIncremental256 _,
     "video_dedup_incremental" -> videoDedupIncremental _,
+    "audio_dedup_incremental" -> audioDedupIncremental _,
     "audio_dedup_energy" -> audioDedupEnergy _,
     "audio_segments" -> audioSegments _,
     "video_dedup_frames" -> videoDedupFrames _,

@@ -151,6 +151,29 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), s"window rank crept into the knn plan:\n$p")
   }
 
+  test("video_dedup_shots: the alignment-free matcher stays a banded " +
+    "equi-join — no cartesian, no nested-loop, and the index k-NN " +
+    "retrieval path broadcasts the probe side") {
+    val p = PipelineQueries.videoDedupShots(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"signature matching degenerated to all-pairs:\n$p")
+    // exactly ONE window family in the plan: shot detection's
+    // per-video lag/prefix-sum (partitioned by doc_id). The symmetric
+    // gate's distinct-unit counts are hash aggregates — a window over
+    // the CANDIDATE set would partition by id_a/id_b
+    assert(!p.contains("windowspecdefinition(id_a") &&
+      !p.contains("windowspecdefinition(id_b"),
+      s"window over the candidate set crept into the matcher:\n$p")
+    val knn = PipelineQueries.mediaHammingKnnIndex(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(knn.contains("BroadcastHashJoin"),
+      s"index retrieval must broadcast the probe band rows:\n$knn")
+    assert(knn.contains("partial_hammingtopkagg"),
+      s"expected the shared map-side top-k partial:\n$knn")
+  }
+
   test("registry shape: distinct names, oracle keys subset of queries") {
     val qs = graft.SparkEntry.queries
     assert(qs.nonEmpty)
