@@ -7,6 +7,23 @@ import org.apache.spark.storage.StorageLevel
 import graft.lake.IncrementalTable
 import graft.multimodal.ImageDedup
 
+/** The streaming sink's (and any daily-ingest driver's) view of a
+  * persistent fingerprint index — implemented by BOTH hash widths
+  * ([[FingerprintDedupIndex]] for 64-bit halves,
+  * [[FingerprintDedupIndex256]] for limb arrays), so one
+  * decisions-first exactly-once protocol
+  * ([[graft.streaming.Streams.mediaDedupSink]]) serves either.
+  */
+trait FingerprintIndexLike {
+  def fpTable: graft.lake.IncrementalTable
+  def exists: Boolean
+  def bootstrap(hashes: DataFrame): Unit
+  def dedupBatch(hashes: DataFrame): DataFrame
+  def admit(hashes: DataFrame, decisions: DataFrame): Unit
+  def admitIdempotent(hashes: DataFrame, decisions: DataFrame,
+      batchId: Long): Unit
+}
+
 /** Persistent Hamming-fingerprint index for INCREMENTAL media
   * near-duplicate detection — [[CorpusDedupIndex]]'s daily-ingest
   * shape for 64-bit perceptual fingerprints (image dHash, audio
@@ -38,20 +55,6 @@ import graft.multimodal.ImageDedup
   * replays the whole multi-batch arc bit-for-bit (the
   * `media_dedup_incremental` gate).
   */
-/** The streaming sink's (and any daily-ingest driver's) view of a
-  * persistent fingerprint index — implemented by BOTH hash widths
-  * ([[FingerprintDedupIndex]] for 64-bit halves,
-  * [[FingerprintDedupIndex256]] for limb arrays), so one
-  * decisions-first exactly-once protocol
-  * ([[graft.streaming.Streams.mediaDedupSink]]) serves either.
-  */
-trait FingerprintIndexLike {
-  def fpTable: graft.lake.IncrementalTable
-  def dedupBatch(hashes: DataFrame): DataFrame
-  def admitIdempotent(hashes: DataFrame, decisions: DataFrame,
-      batchId: Long): Unit
-}
-
 class FingerprintDedupIndex(
     spark: SparkSession, val base: String, idCol: String,
     maxHamming: Int, bandBits: Int = 16,

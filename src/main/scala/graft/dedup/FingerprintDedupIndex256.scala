@@ -72,10 +72,14 @@ class FingerprintDedupIndex256(
     require(exists, s"fingerprint index at $base is not bootstrapped")
     val batch = hashes.select(col(idCol), col("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val newLimbs = ImageDedup.capBuckets(
-      batch.select(col(idCol).as("new_id"),
-        posexplode(col("fp")).as(Seq("band", "bv"))),
-      maxBucketSize, "band", "bv")
+    val allLimbs = batch.select(col(idCol).as("new_id"),
+      posexplode(col("fp")).as(Seq("band", "bv")))
+    // the cap applies to CANDIDATE GENERATION only; the verify below
+    // re-joins the UNCAPPED batch limbs — summing over the capped rows
+    // would omit the hot bands from the distance and under-count it
+    // into false dup_corpus decisions (the nearDupPairs256 contract)
+    val newLimbs = ImageDedup.capBuckets(allLimbs, maxBucketSize,
+      "band", "bv")
     val bvs = newLimbs.select("bv").distinct()
       .limit(CorpusDedupIndex.MaxKeysInPredicate + 1)
       .collect().map(_.getLong(0)).toSeq
@@ -96,7 +100,7 @@ class FingerprintDedupIndex256(
     val crossDup = cand
       .select(col("corpus_id"), col("new_id"),
         posexplode(col("cfp")).as(Seq("band", "cbv")))
-      .join(broadcast(newLimbs.select(col("new_id"), col("band"),
+      .join(broadcast(allLimbs.select(col("new_id"), col("band"),
         col("bv").as("nbv"))), Seq("new_id", "band"))
       .groupBy("corpus_id", "new_id")
       .agg(sum(bit_count(col("cbv").bitwiseXOR(col("nbv"))))

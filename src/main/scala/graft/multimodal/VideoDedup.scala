@@ -178,26 +178,6 @@ object VideoDedup {
       .select(col("id_a"), col("id_b"), col("n_matched"), col("n_common"))
   }
 
-  /** SHOT-BOUNDARY DETECTION (temporal segmentation): the classic
-    * frame-difference formulation — a CUT lies between consecutive
-    * frames whose perceptual distance exceeds a threshold; maximal
-    * runs between cuts are SHOTS. Here the frame difference is the
-    * dHash Hamming distance (the same fingerprint the dedup and k-NN
-    * operators use) against the PREVIOUS SAMPLED frame, taken with
-    * `lag` over the per-video frame order; a prefix sum over the same
-    * window turns cut indicators into shot ids. The shot table is
-    * what per-scene downstream work (keyframe extraction, captioning)
-    * consumes — the video analog of the audio segmenter.
-    *
-    * Scale: ONE window spec does everything — lag and prefix sum
-    * share a single exchange + per-partition sort, partitioned BY
-    * VIDEO (thousands of frames each, millions of videos — maximal
-    * parallelism, no global sort, and no self-join re-reading the
-    * frame table). Because the predecessor is the previous SAMPLED
-    * frame, strided frame tables segment the sampled sequence instead
-    * of degenerating. Emits `(id, shot_idx, start_frame, end_frame,
-    * n_frames)`, shot_idx 1-based.
-    */
   /** Frame rows with their shot id — the shared cut-detection half of
     * [[shots]] and [[shotSignatures]]: ONE window spec computes the
     * lag distances, cut indicators and the prefix-sum shot ids
@@ -225,6 +205,26 @@ object VideoDedup {
       .withColumn("shot_idx", sum(col("cut")).over(perVideo).cast("long"))
   }
 
+  /** SHOT-BOUNDARY DETECTION (temporal segmentation): the classic
+    * frame-difference formulation — a CUT lies between consecutive
+    * frames whose perceptual distance exceeds a threshold; maximal
+    * runs between cuts are SHOTS. Here the frame difference is the
+    * dHash Hamming distance (the same fingerprint the dedup and k-NN
+    * operators use) against the PREVIOUS SAMPLED frame, taken with
+    * `lag` over the per-video frame order; a prefix sum over the same
+    * window turns cut indicators into shot ids. The shot table is
+    * what per-scene downstream work (keyframe extraction, captioning)
+    * consumes — the video analog of the audio segmenter.
+    *
+    * Scale: ONE window spec does everything ([[withShotIdx]]) — lag
+    * and prefix sum share a single exchange + per-partition sort,
+    * partitioned BY VIDEO (thousands of frames each, millions of
+    * videos — maximal parallelism, no global sort, and no self-join
+    * re-reading the frame table). Because the predecessor is the
+    * previous SAMPLED frame, strided frame tables segment the sampled
+    * sequence instead of degenerating. Emits `(id, shot_idx,
+    * start_frame, end_frame, n_frames)`, shot_idx 1-based.
+    */
   def shots(frameHashes: DataFrame, idCol: String,
       cutHamming: Int): DataFrame =
     withShotIdx(frameHashes, idCol, cutHamming)

@@ -407,8 +407,19 @@ object PipelineQueries {
     * uncached the corpus explode+lookup scan ran three times
     * (measured 0.38 → 0.84 s warm at sf0.1 when the zero-OOV rework
     * added the third branch; cached it is one pass).
+    *
+    * SIZE-aware bound: unlike the media caches' 3-int64 rows, this
+    * frame is per word OCCURRENCE — larger than the corpus itself —
+    * so the entry bound stays small (2 datasets), MEMORY_AND_DISK
+    * spills rather than pinning heap, and [[releaseTextFrameCache]]
+    * drops a session's entries eagerly. At full cluster scale the
+    * trade inverts per dataset size: persisting a corpus-sized frame
+    * to executor disk buys two avoided re-scans — worth it while the
+    * frame fits the cluster's scratch, and the knob to turn off is a
+    * cache miss away (entries evict LRU; nothing is correctness-
+    * bearing).
     */
-  private val textFrameCache = new KeyedFrameCache(8)
+  private val textFrameCache = new KeyedFrameCache(2)
 
   private[ops] def winnowCacheKeys: Set[(String, String)] = winnowCache.keys
   private[ops] def mediaHashCacheKeys: Set[(String, String)] = mediaHashCache.keys
@@ -1174,25 +1185,54 @@ object PipelineQueries {
     * full two-batch arc (banded cross matches, intra-batch components,
     * index membership evolution) from the closed-form fingerprints.
     */
-  def mediaDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+  /** The incremental arcs' batch-slice rule, shared VERBATIM between
+    * the Spark `expr` and the DuckDB oracle (only the integer-division
+    * spelling differs — `div` vs `//`, the caller passes it in).
+    * Near-dup groups are keyed `id div 4`; the rule routes group
+    * CLASSES so every decision path is gate-covered:
+    *  - `g % 4 == 3` → members split between batches 1 and 2 ONLY
+    *    (`1 + id % 2`): batch 1 forms an intra-batch component
+    *    (`dup_batch` + min-id kept), batch 2 then matches the
+    *    batch-1 KEPT — the index-GROWTH path;
+    *  - even `g` → the whole group lands in slice `g % 3`: bootstrap
+    *    anchors and 4-member intra-batch components;
+    *  - remaining odd `g` → members spread `id % 3`: the classic
+    *    cross-index `dup_corpus` against bootstrap anchors (and, for
+    *    unit matchers, single-unit variants that stay `kept`).
+    * A group-aligned-only key (rounds 14's `(id div 4) % 3`) never
+    * exercised dup_corpus; a plain `id % 3` gave every group a
+    * bootstrap anchor and never exercised dup_batch or growth.
+    */
+  private def incSliceExpr(id: String, g: String): String =
+    s"(CASE WHEN $g % 4 = 3 THEN 1 + ($id % 2) " +
+      s"WHEN $g % 2 = 0 THEN $g % 3 ELSE $id % 3 END)"
+
+  /** The shared two-batch incremental-dedup GATE ARC behind all four
+    * `*_dedup_incremental` queries: bootstrap an index from slice 0 of
+    * the fingerprint/unit frame, drive slices 1 and 2 through
+    * dedupBatch→admit, persist the decisions, serve their snapshot
+    * (cached under /tmp keyed on corpus file identity + `tag` — bump
+    * the tag when the arc changes). Batch membership is
+    * [[incSliceExpr]] — routing group classes so `dup_corpus`,
+    * `dup_batch`, `kept` AND the index-growth path are all exercised
+    * by every gate.
+    */
+  private def incDedupArc(spark: SparkSession, dir: String, tag: String,
+      mkIndex: String => graft.dedup.FingerprintIndexLike)(
+      sigs: => DataFrame): DataFrame = {
     import graft.lake.IncrementalTable
-    import graft.dedup.FingerprintDedupIndex
-    import graft.multimodal.ImageDedup
     val src = new java.io.File(s"$dir/documents.parquet")
     val key = java.lang.Integer.toHexString(
-      (dir, src.length, src.lastModified, "mediainc1").hashCode)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_mediainc_$key"
+      (dir, src.length, src.lastModified, tag).hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$key"
     val decisions = new IncrementalTable(spark, s"$base/decisions")
     val complete = decisions.exists && decisions.latestVersion.contains(1L)
     if (!complete) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      val hashes = mediaHashCache.get(spark, dir + "#image") {
-        val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
-        ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"), "doc_id")
-      }
-      def slice(r: Int) = hashes.filter(expr(s"(doc_id div 4) % 3 = $r"))
-      val idx = new FingerprintDedupIndex(spark, s"$base/index", "doc_id",
-        maxHamming = 3, bandBits = 16)
+      val s = sigs
+      def slice(r: Int) = s.filter(
+        expr(s"${incSliceExpr("doc_id", "(doc_id div 4)")} = $r"))
+      val idx = mkIndex(s"$base/index")
       idx.bootstrap(slice(0))
       val dec = new IncrementalTable(spark, s"$base/decisions")
       val b1 = slice(1)
@@ -1205,6 +1245,18 @@ object PipelineQueries {
       .select("doc_id", "batch", "status", "kept")
       .orderBy("doc_id")
   }
+
+  def mediaDedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    incDedupArc(spark, dir, "mediainc3",
+      base => new graft.dedup.FingerprintDedupIndex(spark, base, "doc_id",
+        maxHamming = 3, bandBits = 16)) {
+      mediaHashCache.get(spark, dir + "#image") {
+        import graft.multimodal.ImageDedup
+        val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+        ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"),
+          "doc_id")
+      }
+    }
 
   /** 256-BIT incremental media dedup
     * ([[graft.dedup.FingerprintDedupIndex256]]): the daily-ingest arc
@@ -1218,38 +1270,17 @@ object PipelineQueries {
     * second index scan. The oracle replays the whole arc from the
     * closed-form limbs, exact distances summed per candidate.
     */
-  def mediaDedupIncremental256(spark: SparkSession, dir: String): DataFrame = {
-    import graft.lake.IncrementalTable
-    import graft.dedup.FingerprintDedupIndex256
-    import graft.multimodal.ImageDedup
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val key = java.lang.Integer.toHexString(
-      (dir, src.length, src.lastModified, "mediainc256v1").hashCode)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_mediainc256_$key"
-    val decisions = new IncrementalTable(spark, s"$base/decisions")
-    val complete = decisions.exists && decisions.latestVersion.contains(1L)
-    if (!complete) {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      val hashes = mediaHashCache.get(spark, dir + "#image256") {
+  def mediaDedupIncremental256(spark: SparkSession, dir: String): DataFrame =
+    incDedupArc(spark, dir, "mediainc256v3",
+      base => new graft.dedup.FingerprintDedupIndex256(spark, base,
+        "doc_id", maxHamming = 9)) {
+      mediaHashCache.get(spark, dir + "#image256") {
+        import graft.multimodal.ImageDedup
         val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
         ImageDedup.dHash256Df(ImageDedup.syntheticImages256(ids, "doc_id"),
           "doc_id")
       }
-      def slice(r: Int) = hashes.filter(expr(s"(doc_id div 4) % 3 = $r"))
-      val idx = new FingerprintDedupIndex256(spark, s"$base/index", "doc_id",
-        maxHamming = 9)
-      idx.bootstrap(slice(0))
-      val dec = new IncrementalTable(spark, s"$base/decisions")
-      val b1 = slice(1)
-      val d1 = idx.dedupBatch(b1).localCheckpoint()
-      idx.admit(b1, d1)
-      dec.append(d1.withColumn("batch", lit(1L)))
-      dec.append(idx.dedupBatch(slice(2)).withColumn("batch", lit(2L)))
     }
-    new IncrementalTable(spark, s"$base/decisions").snapshot()
-      .select("doc_id", "batch", "status", "kept")
-      .orderBy("doc_id")
-  }
 
   /** INCREMENTAL alignment-free video dedup
     * ([[graft.dedup.SignatureDedupIndex]]): the daily-ingest arc for
@@ -1261,78 +1292,36 @@ object PipelineQueries {
     * on the trimmed-variant corpus; the oracle replays the full
     * membership evolution from the closed-form shot signatures.
     */
-  def videoDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    import graft.lake.IncrementalTable
-    import graft.dedup.SignatureDedupIndex
-    import graft.multimodal.VideoDedup
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val key = java.lang.Integer.toHexString(
-      (dir, src.length, src.lastModified, "vidincv1").hashCode)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_vidinc_$key"
-    val decisions = new IncrementalTable(spark, s"$base/decisions")
-    val complete = decisions.exists && decisions.latestVersion.contains(1L)
-    if (!complete) {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  def videoDedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    incDedupArc(spark, dir, "vidincv3",
+      base => new graft.dedup.SignatureDedupIndex(spark, base, "doc_id",
+        "shot_idx", maxHamming = 3, minMatched = 2, bandBits = 16)) {
+      import graft.multimodal.VideoDedup
       val hashes = mediaHashCache.get(spark, dir + "#trimshots") {
         val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
         VideoDedup.frameHashDf(
           VideoDedup.syntheticTrimmedShotVideos(ids, "doc_id"),
           "doc_id", stride = 1)
       }
-      val sigs = VideoDedup.shotSignatures(hashes, "doc_id", cutHamming = 8)
-      def slice(r: Int) = sigs.filter(expr(s"(doc_id div 4) % 3 = $r"))
-      val idx = new SignatureDedupIndex(spark, s"$base/index", "doc_id",
-        "shot_idx", maxHamming = 3, minMatched = 2, bandBits = 16)
-      idx.bootstrap(slice(0))
-      val dec = new IncrementalTable(spark, s"$base/decisions")
-      val b1 = slice(1)
-      val d1 = idx.dedupBatch(b1).localCheckpoint()
-      idx.admit(b1, d1)
-      dec.append(d1.withColumn("batch", lit(1L)))
-      dec.append(idx.dedupBatch(slice(2)).withColumn("batch", lit(2L)))
+      VideoDedup.shotSignatures(hashes, "doc_id", cutHamming = 8)
     }
-    new IncrementalTable(spark, s"$base/decisions").snapshot()
-      .select("doc_id", "batch", "status", "kept")
-      .orderBy("doc_id")
-  }
 
   /** [[videoDedupIncremental]]'s audio twin: the SAME persisted
     * unit-signature index over block fingerprints — incremental
     * ingest for offset-robust audio dedup, modality swapped, protocol
     * identical (the index is unit-agnostic by design).
     */
-  def audioDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    import graft.lake.IncrementalTable
-    import graft.dedup.SignatureDedupIndex
-    import graft.multimodal.AudioDedup
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val key = java.lang.Integer.toHexString(
-      (dir, src.length, src.lastModified, "audincv1").hashCode)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_audinc_$key"
-    val decisions = new IncrementalTable(spark, s"$base/decisions")
-    val complete = decisions.exists && decisions.latestVersion.contains(1L)
-    if (!complete) {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      val sigs = mediaHashCache.get(spark, dir + "#audioblocks") {
+  def audioDedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    incDedupArc(spark, dir, "audincv3",
+      base => new graft.dedup.SignatureDedupIndex(spark, base, "doc_id",
+        "block_idx", maxHamming = 3, minMatched = 2, bandBits = 16)) {
+      mediaHashCache.get(spark, dir + "#audioblocks") {
+        import graft.multimodal.AudioDedup
         val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
         AudioDedup.blockHashDf(AudioDedup.syntheticOffsetAudio(ids, "doc_id"),
           "doc_id", AudioDedup.OffsetBlockSamples)
       }
-      def slice(r: Int) = sigs.filter(expr(s"(doc_id div 4) % 3 = $r"))
-      val idx = new SignatureDedupIndex(spark, s"$base/index", "doc_id",
-        "block_idx", maxHamming = 3, minMatched = 2, bandBits = 16)
-      idx.bootstrap(slice(0))
-      val dec = new IncrementalTable(spark, s"$base/decisions")
-      val b1 = slice(1)
-      val d1 = idx.dedupBatch(b1).localCheckpoint()
-      idx.admit(b1, d1)
-      dec.append(d1.withColumn("batch", lit(1L)))
-      dec.append(idx.dedupBatch(slice(2)).withColumn("batch", lit(2L)))
     }
-    new IncrementalTable(spark, s"$base/decisions").snapshot()
-      .select("doc_id", "batch", "status", "kept")
-      .orderBy("doc_id")
-  }
 
   /** Energy-based audio segmentation
     * ([[graft.multimodal.AudioDedup.segmentsOf]] — Rabiner–Sambur
@@ -2416,6 +2405,42 @@ object PipelineQueries {
        |         CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
        |                       ELSE 0 END) AS BIGINT) AS lo
        |  FROM bits GROUP BY id, b)""".stripMargin
+
+  /** The full two-batch incremental SIGNATURE-dedup arc's oracle over
+    * a given `units(id, u, hi, lo)` + one-row-per-clip `ids` CTE chain
+    * ([[trimShotUnitsCtes]] for video shots, [[audioBlockUnitsCtes]]
+    * for audio blocks — the SQL scaffold differs only in the units
+    * source, matching [[incDedupArc]] on the Spark side): 16-bit
+    * banding, `id % 3` slice membership (see incDedupArc for why NOT
+    * group-aligned), two [[sigIncCtes]] batch groups with the
+    * membership growing by batch-1 kept.
+    */
+  /** The oracle spelling of [[incSliceExpr]] (DuckDB `//` division). */
+  private def incSlicePredSql(r: Int): String => String =
+    x => s"${incSliceExpr(x, s"($x // 4)")} = $r"
+
+  private def sigIncArcSql(unitsCtes: String): String = {
+    val p = incSlicePredSql _
+    raw"""WITH RECURSIVE $unitsCtes,
+       |bands AS MATERIALIZED (
+       |  SELECT id, u, hi, lo, k AS band,
+       |         CASE WHEN k < 2 THEN (lo >> (16*k)) & 65535
+       |              ELSE (hi >> (16*(k-2))) & 65535 END AS bv
+       |  FROM units, unnest(range(0, 4)) AS r(k)),
+       |idx_c0 AS (SELECT id FROM ids WHERE ${p(0)("id")}),
+       |${sigIncCtes("b1", "idx_c0", p(1))},
+       |idx_c1 AS (SELECT id FROM idx_c0
+       |           UNION ALL
+       |           SELECT doc_id FROM dec_b1 WHERE status = 'kept'),
+       |${sigIncCtes("b2", "idx_c1", p(2))}
+       |SELECT doc_id, CAST(1 AS BIGINT) AS batch, status,
+       |       CAST(status = 'kept' AS BIGINT) AS kept
+       |FROM dec_b1
+       |UNION ALL
+       |SELECT doc_id, CAST(2 AS BIGINT), status, CAST(status = 'kept' AS BIGINT)
+       |FROM dec_b2
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared tail of the alignment-free signature-overlap oracles
     * (video shots, audio blocks): expects a `units(id, u, hi, lo)`
@@ -3657,9 +3682,9 @@ object PipelineQueries {
     // index rows, relational verification, pruning and admit
     // watermarking on the Spark side are proven by the MATCH
     "media_dedup_incremental256" -> {
-      def p(r: Int): String => String = x => s"($x // 4) % 3 = $r"
+      val p = incSlicePredSql _
       raw"""WITH RECURSIVE $image256LimbCtes,
-         |idx_c0 AS (SELECT id FROM ids WHERE (id // 4) % 3 = 0),
+         |idx_c0 AS (SELECT id FROM ids WHERE ${p(0)("id")}),
          |${fpInc256Ctes("b1", "idx_c0", p(1))},
          |idx_c1 AS (SELECT id FROM idx_c0
          |           UNION ALL
@@ -3737,9 +3762,11 @@ object PipelineQueries {
     // against the grown membership — the index tables, pruning and
     // admit watermarking on the Spark side are proven by the MATCH
     "media_dedup_incremental" -> {
-      def p(r: Int): String => String = x => s"($x // 4) % 3 = $r"
+      // incSliceExpr slices: group classes route so dup_corpus,
+      // dup_batch, kept AND index growth are all gate-covered
+      val p = incSlicePredSql _
       raw"""WITH RECURSIVE $imageDhashCtes,
-         |idx_c0 AS (SELECT id FROM hh WHERE (id // 4) % 3 = 0),
+         |idx_c0 AS (SELECT id FROM hh WHERE ${p(0)("id")}),
          |${fpIncCtes("b1", "idx_c0", p(1))},
          |idx_c1 AS (SELECT id FROM idx_c0
          |           UNION ALL
@@ -3898,28 +3925,7 @@ object PipelineQueries {
     // distinct-unit overlap gate, components among survivors, index
     // grows by kept — the persisted unit postings, pruning and admit
     // watermarking on the Spark side are proven by the MATCH
-    "video_dedup_incremental" -> {
-      def p(r: Int): String => String = x => s"($x // 4) % 3 = $r"
-      raw"""WITH RECURSIVE $trimShotUnitsCtes,
-         |bands AS MATERIALIZED (
-         |  SELECT id, u, hi, lo, k AS band,
-         |         CASE WHEN k < 2 THEN (lo >> (16*k)) & 65535
-         |              ELSE (hi >> (16*(k-2))) & 65535 END AS bv
-         |  FROM units, unnest(range(0, 4)) AS r(k)),
-         |idx_c0 AS (SELECT id FROM ids WHERE (id // 4) % 3 = 0),
-         |${sigIncCtes("b1", "idx_c0", p(1))},
-         |idx_c1 AS (SELECT id FROM idx_c0
-         |           UNION ALL
-         |           SELECT doc_id FROM dec_b1 WHERE status = 'kept'),
-         |${sigIncCtes("b2", "idx_c1", p(2))}
-         |SELECT doc_id, CAST(1 AS BIGINT) AS batch, status,
-         |       CAST(status = 'kept' AS BIGINT) AS kept
-         |FROM dec_b1
-         |UNION ALL
-         |SELECT doc_id, CAST(2 AS BIGINT), status, CAST(status = 'kept' AS BIGINT)
-         |FROM dec_b2
-         |ORDER BY doc_id""".stripMargin
-    },
+    "video_dedup_incremental" -> sigIncArcSql(trimShotUnitsCtes),
     // Closed-form replay of the offset-robust audio dedup: per-block
     // energies (64·A² — the fixed 64-sample sub-windows land exactly
     // on the long-math grid), sign-delta bits per block, then the
@@ -3930,28 +3936,7 @@ object PipelineQueries {
     // The audio twin of video_dedup_incremental: the SAME persisted
     // unit-signature index protocol over block fingerprints — the
     // membership-evolution replay swaps only the units chain
-    "audio_dedup_incremental" -> {
-      def p(r: Int): String => String = x => s"($x // 4) % 3 = $r"
-      raw"""WITH RECURSIVE $audioBlockUnitsCtes,
-         |bands AS MATERIALIZED (
-         |  SELECT id, u, hi, lo, k AS band,
-         |         CASE WHEN k < 2 THEN (lo >> (16*k)) & 65535
-         |              ELSE (hi >> (16*(k-2))) & 65535 END AS bv
-         |  FROM units, unnest(range(0, 4)) AS r(k)),
-         |idx_c0 AS (SELECT id FROM ids WHERE (id // 4) % 3 = 0),
-         |${sigIncCtes("b1", "idx_c0", p(1))},
-         |idx_c1 AS (SELECT id FROM idx_c0
-         |           UNION ALL
-         |           SELECT doc_id FROM dec_b1 WHERE status = 'kept'),
-         |${sigIncCtes("b2", "idx_c1", p(2))}
-         |SELECT doc_id, CAST(1 AS BIGINT) AS batch, status,
-         |       CAST(status = 'kept' AS BIGINT) AS kept
-         |FROM dec_b1
-         |UNION ALL
-         |SELECT doc_id, CAST(2 AS BIGINT), status, CAST(status = 'kept' AS BIGINT)
-         |FROM dec_b2
-         |ORDER BY doc_id""".stripMargin
-    },
+    "audio_dedup_incremental" -> sigIncArcSql(audioBlockUnitsCtes),
     // Closed-form replay of the overlapping-hop audio dedup: ONE
     // master window timeline per group (amplitudes keyed by absolute
     // window index), per-variant hop trim, a fingerprint per

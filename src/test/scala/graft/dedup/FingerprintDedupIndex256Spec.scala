@@ -113,6 +113,33 @@ class FingerprintDedupIndex256Spec extends AnyFunSuite with SparkSpec {
     assert(idx.fpTable.latestVersion.get === idxV)
   }
 
+  test("capped candidate generation NEVER corrupts the verify: a batch " +
+    "member of a hot (capped) bucket still gets its FULL 256-bit " +
+    "distance — a partial sum over surviving limbs would fake " +
+    "dup_corpus") {
+    val base = Files.createTempDirectory("fpi256_").toString + "/idx"
+    val idx = new FingerprintDedupIndex256(spark, base, "doc_id",
+      maxHamming = 9, maxBucketSize = 10)
+    val c = Array.tabulate(16)(i => 0x1000L + i) // corpus anchor
+    idx.bootstrap(fps((1L, c)))
+    // X: band 0 is 16 bits from the anchor (a HOT value shared with 11
+    // fillers -> that bucket caps away), bands 1-15 equal the anchor —
+    // true distance 16 > 9, but a verify over X's SURVIVING limb rows
+    // would sum only bands 1-15 (= 0) and call it dup_corpus
+    val hot = 0xFFFFL ^ c(0)
+    val x = c.clone(); x(0) = hot
+    val fillers = (100L until 111L).map { i =>
+      (i, Array.tabulate(16)(k =>
+        if (k == 0) hot else (i * 0x9E3779B97F4A7C15L + k * 0x94D049BB) & 0xFFFFL))
+    }
+    val d = decisionMap(idx.dedupBatch(fps(fillers :+ ((50L, x)): _*)))
+    assert(d(50L) === "kept",
+      "the exact verify must include the capped band's 16-bit distance")
+    // ...while a genuine near-dup through an UNCAPPED band still hits
+    val y = c.clone(); y(5) = c(5) ^ 0x7L // distance 3
+    assert(decisionMap(idx.dedupBatch(fps((60L, y))))(60L) === "dup_corpus")
+  }
+
   test("refusals: threshold past the limb pigeonhole; un-bootstrapped " +
     "batch; double bootstrap") {
     intercept[IllegalArgumentException](freshIndex(maxHamming = 16))
