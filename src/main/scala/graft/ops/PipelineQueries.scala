@@ -1176,15 +1176,6 @@ object PipelineQueries {
       .orderBy("probe_id", "rnk")
   }
 
-  /** INCREMENTAL media dedup
-    * ([[graft.dedup.FingerprintDedupIndex]] — the daily-ingest path):
-    * bootstrap the fingerprint index from a third of the image corpus
-    * (whole near-dup groups), then drive two batches through
-    * dedupBatch→admit — batch 2 deduplicates against corpus ∪ batch-1
-    * kept, proving the index actually GROWS. The oracle replays the
-    * full two-batch arc (banded cross matches, intra-batch components,
-    * index membership evolution) from the closed-form fingerprints.
-    */
   /** The incremental arcs' batch-slice rule, shared VERBATIM between
     * the Spark `expr` and the DuckDB oracle (only the integer-division
     * spelling differs — `div` vs `//`, the caller passes it in).
@@ -1246,6 +1237,14 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL media dedup
+    * ([[graft.dedup.FingerprintDedupIndex]] — the daily-ingest path):
+    * the [[incDedupArc]] two-batch arc on 64-bit image fingerprints —
+    * batch 2 deduplicates against corpus ∪ batch-1 kept, proving the
+    * index actually GROWS. The oracle replays the full arc (banded
+    * cross matches, intra-batch components, membership evolution)
+    * from the closed-form fingerprints.
+    */
   def mediaDedupIncremental(spark: SparkSession, dir: String): DataFrame =
     incDedupArc(spark, dir, "mediainc3",
       base => new graft.dedup.FingerprintDedupIndex(spark, base, "doc_id",
@@ -2406,19 +2405,20 @@ object PipelineQueries {
        |                       ELSE 0 END) AS BIGINT) AS lo
        |  FROM bits GROUP BY id, b)""".stripMargin
 
+  /** The oracle spelling of [[incSliceExpr]] (DuckDB `//` division). */
+  private def incSlicePredSql(r: Int): String => String =
+    x => s"${incSliceExpr(x, s"($x // 4)")} = $r"
+
   /** The full two-batch incremental SIGNATURE-dedup arc's oracle over
     * a given `units(id, u, hi, lo)` + one-row-per-clip `ids` CTE chain
     * ([[trimShotUnitsCtes]] for video shots, [[audioBlockUnitsCtes]]
     * for audio blocks — the SQL scaffold differs only in the units
     * source, matching [[incDedupArc]] on the Spark side): 16-bit
-    * banding, `id % 3` slice membership (see incDedupArc for why NOT
-    * group-aligned), two [[sigIncCtes]] batch groups with the
+    * banding, [[incSliceExpr]] batch membership (the group-class
+    * routing that keeps every status and the growth path
+    * gate-covered), two [[sigIncCtes]] batch groups with the
     * membership growing by batch-1 kept.
     */
-  /** The oracle spelling of [[incSliceExpr]] (DuckDB `//` division). */
-  private def incSlicePredSql(r: Int): String => String =
-    x => s"${incSliceExpr(x, s"($x // 4)")} = $r"
-
   private def sigIncArcSql(unitsCtes: String): String = {
     val p = incSlicePredSql _
     raw"""WITH RECURSIVE $unitsCtes,
