@@ -1026,6 +1026,65 @@ object ScaleEvidence {
         f""""audio_hash_s":$aS%.2f,"shuffle_read_mb":${(vRd + aRd) / 1e6}%.1f}""")
     }
 
+    /** Experiment: incremental ALIGNMENT-FREE dedup cost vs INDEX
+      * size ([[graft.dedup.SignatureDedupIndex]] — the unit-signature
+      * analog of media_inc): constant batches against a 1×/10× unit
+      * index. Reused batch clips carry their corpus units at SHIFTED
+      * positions (the trim case the index exists for) and every one
+      * must come back dup_corpus — alignment-free recall asserted at
+      * scale, inside the run. The small batch's band-value set stays
+      * under the 256-key predicate rule (pruned scan, ~flat cost);
+      * the large batch documents the full-scan fallback whose shuffle
+      * stays batch-sized (the index streams through the broadcast
+      * join).
+      */
+    var sigIncRun = 0
+    def sigIncExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      import graft.dedup.SignatureDedupIndex
+      val n = 100000L * k // clips; 4 units each
+      sigIncRun += 1
+      val dir = s"$base/siginc_x${k}_r$sigIncRun/idx"
+      val corpus = spark.range(n * 4).select(
+        expr("id div 4").as("doc_id"), pmod(col("id"), lit(4L)).as("u"),
+        pmod(xxhash64(col("id")), lit(1L << 32)).as("h_hi"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1L << 32)).as("h_lo"))
+      val idx = new SignatureDedupIndex(spark, dir, "doc_id", "u",
+        maxHamming = 3, minMatched = 2, bandBits = 16)
+      val buildT0 = System.nanoTime()
+      idx.bootstrap(corpus)
+      val buildS = (System.nanoTime() - buildT0) / 1e9
+      // reused clips: corpus units at SHIFTED unit positions (+5) under
+      // new ids; fresh clips: disjoint signature streams
+      def batchOf(clips: Int): org.apache.spark.sql.DataFrame =
+        corpus.filter(col("doc_id") < clips * 4 / 5)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            (col("u") + 5L).as("u"), col("h_hi"), col("h_lo"))
+          .unionByName(spark.range(clips.toLong / 5 * 4).select(
+            (expr("id div 4") + 20000000L).as("doc_id"),
+            pmod(col("id"), lit(4L)).as("u"),
+            pmod(xxhash64(col("id"), lit(7)), lit(1L << 32)).as("h_hi"),
+            pmod(xxhash64(col("id"), lit(9)), lit(1L << 32)).as("h_lo")))
+      def timedDedup(clips: Int): (Double, Long, Long) = {
+        tally.drain()
+        val (r0, _) = tally.snapshot
+        val t0 = System.nanoTime()
+        val d = idx.dedupBatch(batchOf(clips))
+        val dups = d.filter(col("status") === "dup_corpus").count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        tally.drain()
+        val (r1, _) = tally.snapshot
+        (secs, dups, r1 - r0)
+      }
+      val (smallS, smallDups, smallRd) = timedDedup(15) // pruned path
+      val (largeS, largeDups, largeRd) = timedDedup(2000) // full-scan path
+      require(smallDups == 12L && largeDups == 1600L,
+        s"shifted-position recall drifted: $smallDups/$largeDups dups")
+      println(f"""{"scale":$k,"experiment":"sig_inc","index_units":${n * 4},""" +
+        f""""build_s":$buildS%.1f,"small_batch_s":$smallS%.2f,""" +
+        f""""small_shuffle_mb":${smallRd / 1e6}%.1f,""" +
+        f""""large_batch_s":$largeS%.2f,"large_shuffle_mb":${largeRd / 1e6}%.1f}""")
+    }
+
     /** Experiment: the ALIGNMENT-FREE signature matcher
       * ([[graft.multimodal.SignatureDedup]]) is the banded self-join
       * shape at unit granularity — this prices the match side alone
@@ -1133,6 +1192,7 @@ object ScaleEvidence {
     if (want("media_dedup")) scales.foreach(k => mediaDedupExperiment(k))
     if (want("media_inc")) scales.foreach(k => mediaIncExperiment(base, k))
     if (want("media_sig")) scales.foreach(k => mediaSigExperiment(k))
+    if (want("sig_inc")) scales.foreach(k => sigIncExperiment(base, k))
     spark.stop()
   }
 }
