@@ -1415,6 +1415,31 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Shot-level near-dup CLUSTER ASSIGNMENT — [[imageDedupClusters]]'
+    * consumer shape on the alignment-free pair list: shot-signature
+    * pairs close into connected components ([[graft.dedup.Clusters]]'
+    * bounded min-label propagation) and each component keeps its
+    * min-id member as the canonical cut of the clip family. On the
+    * trimmed corpus this groups a master video with its trims — the
+    * droppable set (`kept = 0`) is exactly what a dedup pass removes.
+    */
+  def videoDedupShotClusters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{SignatureDedup, VideoDedup}
+    val hashes = mediaHashCache.get(spark, dir + "#trimshots") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      VideoDedup.frameHashDf(
+        VideoDedup.syntheticTrimmedShotVideos(ids, "doc_id"),
+        "doc_id", stride = 1)
+    }
+    val sigs = VideoDedup.shotSignatures(hashes, "doc_id", cutHamming = 8)
+    val pairs = SignatureDedup.nearDupPairsBySignature(sigs, "doc_id",
+      "shot_idx", maxHamming = 3, minMatched = 2, bandBits = 16)
+    graft.dedup.Clusters.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        when(col("id") === col("cluster_id"), 1L).otherwise(0L).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** OFFSET-ROBUST audio near-dup
     * ([[graft.multimodal.AudioDedup.blockHashDf]] +
     * [[graft.multimodal.SignatureDedup]]): the trim fix for the
@@ -2450,7 +2475,12 @@ object PipelineQueries {
     * the unit-count denominators joined to survivors. Pre-stripped
     * like [[imageDhashCtes]] (so it carries no margin chars).
     */
-  private val sigOverlapTail: String =
+  /** The PAIR half of the overlap replay (banding → unit matches →
+    * the symmetric distinct-count gate in `agg(id_a, id_b, nma,
+    * nmb)`) — shared by [[sigOverlapTail]] and the cluster-assignment
+    * oracle's recursive closure.
+    */
+  private val sigOverlapPairsCtes: String =
     raw"""bands AS (
        |  SELECT id, u, hi, lo, k AS band,
        |         CASE WHEN k < 2 THEN (lo >> (16*k)) & 65535
@@ -2465,7 +2495,10 @@ object PipelineQueries {
        |  SELECT id_a, id_b,
        |         count(DISTINCT ua) AS nma, count(DISTINCT ub) AS nmb
        |  FROM m GROUP BY 1, 2
-       |  HAVING least(count(DISTINCT ua), count(DISTINCT ub)) >= 2),
+       |  HAVING least(count(DISTINCT ua), count(DISTINCT ub)) >= 2)""".stripMargin
+
+  private val sigOverlapTail: String =
+    raw"""$sigOverlapPairsCtes,
        |nu AS (SELECT id, count(*) AS n FROM units GROUP BY id)
        |SELECT agg.id_a, agg.id_b,
        |       CAST(nma AS BIGINT) AS n_matched_a,
@@ -3920,6 +3953,23 @@ object PipelineQueries {
     "video_dedup_shots" ->
       raw"""WITH $trimShotUnitsCtes,
          |$sigOverlapTail""".stripMargin,
+    // Recursive min-label closure over the shot-signature pair list
+    // (the image_dedup_clusters construction on the overlap-gated
+    // pairs): components keep their min id as canonical
+    "video_dedup_shot_clusters" ->
+      raw"""WITH RECURSIVE $trimShotUnitsCtes,
+         |$sigOverlapPairsCtes,
+         |nodes AS (SELECT id_a AS nid FROM agg
+         |          UNION SELECT id_b FROM agg),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM agg
+         |          UNION SELECT id_b, id_a FROM agg),
+         |reach AS (
+         |  SELECT nid, nid AS r FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.nid)
+         |SELECT nid AS doc_id, min(r) AS cluster_id,
+         |       CAST(CASE WHEN nid = min(r) THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM reach GROUP BY nid ORDER BY doc_id""".stripMargin,
     // Full replay of the two-batch INCREMENTAL shot-signature arc:
     // batch clips match the index membership by the SAME symmetric
     // distinct-unit overlap gate, components among survivors, index
@@ -4199,6 +4249,7 @@ object PipelineQueries {
     "video_dedup_frames" -> videoDedupFrames _,
     "video_shots" -> videoShots _,
     "video_dedup_shots" -> videoDedupShots _,
+    "video_dedup_shot_clusters" -> videoDedupShotClusters _,
     "audio_dedup_offset" -> audioDedupOffset _,
     "audio_dedup_hop" -> audioDedupHop _,
     "lang_id" -> langId _,

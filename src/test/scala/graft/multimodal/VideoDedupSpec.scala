@@ -220,5 +220,16 @@ class VideoDedupSpec extends AnyFunSuite with SparkSpec {
       ((4 - b).toLong, (4 - b).toLong, (4 - a).toLong, (4 - b).toLong)
     assert(byShot === expected.toMap,
       "shot overlap = the 4 - max(va, vb) shared trailing master shots")
+    // ...and the cluster consumer: each group's >= 2-overlap members
+    // close into one component keeping the min id; the 1-shot variant
+    // (v = 3) pairs with nobody and is absent
+    val clusters = graft.dedup.Clusters
+      .connectedComponents(SignatureDedup.nearDupPairsBySignature(sigs,
+        "doc_id", "shot_idx", maxHamming = 3, minMatched = 2),
+        "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedClusters = (for (g <- 0L until 12L; v <- 0 to 2)
+      yield (g * 4 + v) -> (g * 4)).toMap
+    assert(clusters === expectedClusters)
   }
 }
