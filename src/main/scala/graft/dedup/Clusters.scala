@@ -18,14 +18,36 @@ import org.apache.spark.sql.functions._
   * Scale shape: the edge list is only the NEAR-DUP PAIRS — orders of
   * magnitude smaller than the corpus — and every round is one
   * edge-vs-label equi-join + a min-aggregate, all hash-partitioned on
-  * node id. Each round materializes its labels (`localCheckpoint`), so
+  * node id. Each round materializes its labels ([[materialize]]), so
   * the plan never grows with the iteration count. For adversarial
   * graphs with long chains the standard upgrade is the large-star /
   * small-star algorithm (Kiveris et al., "Connected Components in
   * MapReduce and Beyond"), which converges in O(log n) rounds of the
-  * same join shape.
+  * same join shape — [[connectedComponents]] FALLS BACK to it
+  * automatically when the diameter budget runs out, so a pathological
+  * pair graph degrades to O(log n) rounds instead of failing.
+  *
+  * Fault tolerance: per-round materialization uses the session's
+  * RELIABLE checkpoint dir when one is configured
+  * (`spark.sparkContext.setCheckpointDir(...)` — HDFS/S3-backed, so a
+  * lost executor late in a long propagation recomputes nothing), and
+  * falls back to `localCheckpoint` otherwise. The local fallback
+  * stores blocks on executors WITHOUT replication: on executor loss
+  * the whole query fails and retries from the source — acceptable
+  * for a QUERY (no table state can corrupt, unlike a sink), but for
+  * expensive pair lists on preemptible clusters set a checkpoint dir.
   */
 object Clusters {
+
+  /** Cut lineage and pin this round's frame: reliable `checkpoint`
+    * when the session has a checkpoint dir (survives executor loss),
+    * `localCheckpoint` otherwise (see the object doc's fault-tolerance
+    * contract).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
 
   /** `(id, cluster_id)` for every node appearing in `pairs`;
     * `cluster_id` = min node id of the connected component.
@@ -38,14 +60,14 @@ object Clusters {
     // materialize the pair list FIRST: the caller usually hands us the
     // lazy output of a whole near-dup pipeline, and referencing it in
     // both union branches below would execute that pipeline twice
-    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint()
-    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint()
+    val p = materialize(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    val edges = materialize(
+      p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var labels = materialize(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster_id", col("id")))
     // one lazy min-label propagation step; extra columns pass through
     def step(ls: DataFrame): DataFrame = {
       val neighborMin = edges
@@ -67,19 +89,26 @@ object Clusters {
       // matters more than the occasional extra lazy join after
       // convergence. The original label rides along so the convergence
       // flag spans both steps without an old-vs-new join.
-      val next = step(step(labels.withColumn("orig", col("cluster_id"))))
-        .withColumn("chg", col("cluster_id") < col("orig"))
-        .drop("orig")
-        .localCheckpoint()
+      val next = materialize(
+        step(step(labels.withColumn("orig", col("cluster_id"))))
+          .withColumn("chg", col("cluster_id") < col("orig"))
+          .drop("orig"))
       converged = next.filter(col("chg")).limit(1).isEmpty
       labels = next.drop("chg")
       i += 1
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          s"(component diameter > ${2 * maxIter}); raise maxIter or use " +
-          "connectedComponentsStar for long-chain graphs")
+    if (!converged) {
+      // adversarial long-chain graph: min-label needs O(diameter)
+      // rounds, which just ran out — degrade to the O(log n) star
+      // rounds from the (already materialized) edge list instead of
+      // failing the query. Partial labels are discarded: star is
+      // label-free (it rewrites edges, not labels), and re-deriving
+      // from `p` keeps the fallback a pure function of the input.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: diameter budget exhausted after $maxIter " +
+          "rounds; falling back to large-star/small-star (O(log n))")
+      return connectedComponentsStar(p, "src", "dst")
+    }
     labels
   }
 
@@ -98,11 +127,12 @@ object Clusters {
   def connectedComponentsStar(
       pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIter: Int = 50): DataFrame = {
-    val p0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .filter(col("u") =!= col("v"))
-      .localCheckpoint()
-    val nodes = p0.select(col("u").as("id"))
-      .union(p0.select(col("v").as("id"))).distinct().localCheckpoint()
+    val p0 = materialize(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .filter(col("u") =!= col("v")))
+    val nodes = materialize(
+      p0.select(col("u").as("id"))
+        .union(p0.select(col("v").as("id"))).distinct())
 
     // canonicalize an emitted arc list to an undirected (u < v) edge set
     def canonical(arcs: DataFrame): DataFrame = arcs
@@ -126,14 +156,14 @@ object Clusters {
       canonical(repointed.unionByName(self))
     }
 
-    var edges = p0
+    var edges = materialize(p0
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct())
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = star(star(edges, large = true), large = false).localCheckpoint()
+      val next = materialize(star(star(edges, large = true), large = false))
       // fixpoint: edge sets equal (both canonical + distinct)
       converged = next.count() == edges.count() &&
         next.except(edges).limit(1).isEmpty

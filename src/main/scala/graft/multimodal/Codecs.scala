@@ -7,10 +7,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * 24-bit BMP, and 8-bit truecolor PNG (whose only compression is
   * DEFLATE, which `java.util.zip` ships). No third-party libraries: a
   * `ByteBuffer`, `Deflater`/`Inflater` and the published layouts are
-  * enough, which is exactly why these three are the honest place to
-  * make the multimodal seam REAL (entropy-coded formats — JPEG, MP3,
-  * MP4 — stay stubbed; no sane pipeline hand-rolls an entropy
-  * decoder).
+  * enough. Baseline JPEG — the dominant real-world image format —
+  * lives in its own module ([[JpegCodec]]: hand-rolled Huffman, 8×8
+  * DCT, 4:2:0 chroma); the remaining stub surface is the audio/video
+  * entropy formats (MP3/MP4).
   *
   * All codecs are deterministic byte-for-byte, so
   * `decode(encode(x)) == x` is testable and the oracle can derive

@@ -96,6 +96,8 @@ object ImageDedup {
       val img = PngCodec.decode(bytes); (img.width, img.height, img.pixels)
     case "bmp" =>
       val img = BmpCodec.decode(bytes); (img.width, img.height, img.pixels)
+    case "jpeg" | "jpg" =>
+      val img = JpegCodec.decode(bytes); (img.width, img.height, img.pixels)
     case other => throw new IllegalArgumentException(
       s"dHash needs decoded pixels; format '$other' is not a " +
         "supported pixel codec")
@@ -178,6 +180,22 @@ object ImageDedup {
     * plans and results of the exact-pigeonhole configurations are
     * unchanged. `keys` are the bucket identity columns (video threads
     * `frame` through).
+    *
+    * CHOOSING a production cap — the worked default: under 16-bit
+    * bands a non-degenerate corpus spreads ~uniformly, so the expected
+    * bucket load is `L = N / 65536` fingerprints per (band, value)
+    * (per extra key value for video/audio — N there is units per
+    * frame/position). Set `cap ≈ 100·L` (min a few hundred): two
+    * orders of magnitude above the expected load only ever trips on
+    * degenerate content (flat images, silence, black frames) — which
+    * upstream exact dedup should have collapsed anyway — while
+    * bounding the worst bucket's pair contribution at `cap²` ≈ 10⁴·L²
+    * instead of the flood's unbounded quadratic. Worked: N = 10⁹
+    * images → L ≈ 15k → cap ≈ 1.5M is still too permissive to matter;
+    * N = 10⁶ per shuffle partition of a banded join → L ≈ 15 → cap ≈
+    * 1500. Size it off the JOIN's N (what one bucket can actually
+    * collect), re-derive when N grows 10×, and treat every cap trip as
+    * a data-quality signal to investigate, not noise.
     */
   private[graft] def capBuckets(bands: DataFrame, cap: Int,
       keys: String*): DataFrame =
@@ -370,6 +388,53 @@ object ImageDedup {
             PngCodec.encodeRgb8(w, h, rgbAt, filterForRow = y => y % 5))
         else
           Row(id, "bmp", BmpCodec.encode24(w, h, rgbAt))
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic JPEG corpus for the oracle-gated
+    * `image_dedup_jpeg` query — [[syntheticImages]]' construction
+    * carried through the LOSSY codec: cells are sized in multiples of
+    * 8 (`cw ∈ {8,16,24}`, `ch ∈ {8,16}`), so every 8×8 JPEG block is
+    * CONSTANT (cell boundaries land on block boundaries; the encoder's
+    * edge-replicated MCU padding extends the last cell, so padded
+    * blocks stay constant too) and every block quantizes on the DC
+    * closed form. Content is GRAY (r = g = b = p): the fixed-point
+    * color matrices then put chroma at exactly 128 through the whole
+    * 4:2:0 encode→decode chain, so the decoded pixel is
+    * `dec(p) = min(255, 2·((p+1) div 2))` ([[JpegCodec]] doc) and the
+    * oracle replays generate→ENCODE→DECODE→downsample→hash fully in
+    * SQL — Huffman tables, bit stuffing, DC prediction, the IDCT: all
+    * proven by the hash match. The dHash grid samples cell corners
+    * (dims are 9cw × 8ch), and `dec` collapses only ADJACENT values
+    * (odd p joins p+1) while cell values step in ±40·k mod 256, so
+    * the perturbation structure (variant v = id%4 perturbs the
+    * rightmost column's first v cells → within-group distance <= 3)
+    * survives quantization.
+    */
+  def syntheticImagesJpeg(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIx = ids.schema.fieldIndex(idCol)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIx)
+        val g = id / 4; val v = id % 4
+        val cw = (8 * (1 + g % 3)).toInt; val ch = (8 * (1 + g % 2)).toInt
+        val w = 9 * cw; val h = 8 * ch
+        def grayAt(x: Int, y: Int): Int = {
+          val cx = x / cw; val cy = y / ch
+          val base =
+            (((cx * (7 + g % 5) + cy * (13 + g % 11) + g * 31) % 17) * 15).toInt
+          if (cx == 8 && cy < v) ((base + 40 * (cy + 1)) % 256).toInt
+          else base
+        }
+        Row(id, "jpeg", JpegCodec.encode420(w, h, (x, y) => {
+          val p = grayAt(x, y); (p, p, p)
+        }))
       }
     }(enc)
   }

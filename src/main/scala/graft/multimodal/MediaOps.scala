@@ -95,15 +95,15 @@ object MediaOps {
     }
   }
 
-  /** REAL decoder for the formats a JVM can parse without native
-    * libraries: `wav`, `bmp` and `png` decode GENUINELY (features
-    * computed from actual samples/pixels via
-    * [[WavCodec]]/[[BmpCodec]]/[[PngCodec]] — PNG's DEFLATE comes from
-    * `java.util.zip`), and image resize is a real nearest-neighbor
-    * resample + re-encode. Everything else falls back to
-    * [[FakeDecoder]]'s byte histogram — the stub surface shrinks from
-    * "all codecs" to "entropy-coded formats" (JPEG/MP3/MP4 need
-    * entropy decoders no pipeline hand-rolls).
+  /** REAL decoder for the formats this library implements genuinely:
+    * `wav`, `bmp`, `png` AND baseline `jpeg` decode from actual
+    * samples/pixels via
+    * [[WavCodec]]/[[BmpCodec]]/[[PngCodec]]/[[JpegCodec]] (PNG's
+    * DEFLATE comes from `java.util.zip`; JPEG's Huffman + IDCT +
+    * 4:2:0 chain is hand-rolled baseline JFIF), and image resize is a
+    * real nearest-neighbor resample + re-encode. Everything else
+    * falls back to [[FakeDecoder]]'s byte histogram — the remaining
+    * stub surface is the audio/video entropy formats (MP3/MP4).
     */
   final class JvmMediaDecoder(val featureDim: Int = 16) extends MediaDecoder {
     private val fallback = new FakeDecoder(featureDim)
@@ -132,6 +132,9 @@ object MediaOps {
         case "png" =>
           val img = PngCodec.decode(bytes)
           pad(imageFeatures(img.width, img.height, img.pixels))
+        case "jpeg" | "jpg" =>
+          val img = JpegCodec.decode(bytes)
+          pad(imageFeatures(img.width, img.height, img.pixels))
         case _ => fallback.decode(kind, format, bytes)
       }
     private def imageFeatures(w: Int, h: Int, pixels: Array[Int]): Array[Float] = {
@@ -156,6 +159,14 @@ object MediaOps {
       } else if (format == "png") {
         val out = PngCodec.resizeNearest(PngCodec.decode(bytes), width, height)
         PngCodec.encodeRgb8(width, height, (x, y) => {
+          val p = out.rgb(x, y); ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+        })
+      } else if (format == "jpeg" || format == "jpg") {
+        // decode → nearest resample → re-encode baseline 4:2:0: the
+        // real lossy resize a JPEG pipeline performs
+        val out =
+          JpegCodec.resizeNearest(JpegCodec.decode(bytes), width, height)
+        JpegCodec.encode420(width, height, (x, y) => {
           val p = out.rgb(x, y); ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
         })
       } else super.resize(kind, format, bytes, width, height)

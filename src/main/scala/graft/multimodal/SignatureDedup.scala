@@ -53,14 +53,71 @@ object SignatureDedup {
     * `minMatched` distinct units match on BOTH sides. `maxHamming <
     * 64/bandBits` keeps the per-unit pigeonhole exact, which makes the
     * match counts exact too.
+    *
+    * Input contract: ONE ROW PER (clip, unit) — the shape every
+    * producer here emits ([[VideoDedup.shotSignatures]] groups by
+    * (id, shot); [[AudioDedup.blockHashDf]] cuts disjoint or
+    * hop-strided blocks). The `n_units_*` denominators are
+    * `countDistinct(unitCol)` — so an input that violates the
+    * contract (duplicate (id, unit) rows) cannot silently inflate the
+    * denominators relative to the distinct-unit numerators and skew a
+    * caller's overlap-fraction cut.
     */
   def nearDupPairsBySignature(units: DataFrame, idCol: String,
       unitCol: String, maxHamming: Int, minMatched: Int,
       bandBits: Int = 16, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val matched =
+      matchedUnits(units, idCol, unitCol, maxHamming, bandBits, maxBucketSize)
+    val pairs = gatedPairs(matched, minMatched, Nil)
+    withUnitCounts(pairs, units, idCol, unitCol)
+      .select(col("id_a"), col("id_b"),
+        col("n_matched_a"), col("n_matched_b"),
+        col("n_units_a"), col("n_units_b"))
+  }
+
+  /** [[nearDupPairsBySignature]] plus the TEMPORAL ALIGNMENT the
+    * alignment-free matcher implicitly finds and would otherwise
+    * discard: `best_offset` = the MODE of `unit_a − unit_b` over the
+    * pair's matched unit pairs (ties broken to the smallest offset —
+    * deterministic, so the oracle replays it). For a true trimmed copy
+    * the matched units' index deltas are CONSTANT — unit k+off of A is
+    * unit k of B — so the mode is the trim length in units:
+    * `best_offset = off > 0` reads "id_b is id_a with its first `off`
+    * units removed" (unit indexes must count from each clip's own
+    * start, which both producers' do). Spurious extra matches can only
+    * add minority deltas; the mode stays on the alignment. This turns
+    * "these clips match" into the actionable "B is A trimmed by k
+    * shots/blocks" a takedown or canonical-cut picker acts on.
+    *
+    * Emitted as one extra aggregate in the SAME per-pair hash
+    * aggregation (Spark's deterministic `mode`), so the plan is the
+    * gate query's plan — no second pass over the banded join.
+    */
+  def nearDupPairsWithOffset(units: DataFrame, idCol: String,
+      unitCol: String, maxHamming: Int, minMatched: Int,
+      bandBits: Int = 16, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val matched =
+      matchedUnits(units, idCol, unitCol, maxHamming, bandBits, maxBucketSize)
+    val pairs = gatedPairs(matched, minMatched, Seq(
+      mode((col("ua") - col("ub")).cast("long"), deterministic = true)
+        .as("best_offset")))
+    withUnitCounts(pairs, units, idCol, unitCol)
+      .select(col("id_a"), col("id_b"),
+        col("n_matched_a"), col("n_matched_b"),
+        col("n_units_a"), col("n_units_b"), col("best_offset"))
+  }
+
+  /** The shared match pipeline: banding WITHOUT the unit index in the
+    * join key (colliding at any position is what alignment-free
+    * means), exact popcount re-check BEFORE the distinct (codegen'd
+    * per collision row; the distinct then dedups bare unit-pair tuples
+    * instead of carrying four hash columns through the agg). Emits
+    * one row per matched `(id_a, ua, id_b, ub)`.
+    */
+  private def matchedUnits(units: DataFrame, idCol: String,
+      unitCol: String, maxHamming: Int, bandBits: Int,
+      maxBucketSize: Int): DataFrame = {
     ImageDedup.requireExactPigeonhole(maxHamming, bandBits)
-    require(minMatched >= 1, s"minMatched=$minMatched must be >= 1")
-    // the shared blocking engine WITHOUT the unit index in the join
-    // key — colliding at any position is what alignment-free means
     val bands = ImageDedup.capBuckets(
       ImageDedup.bandExploded(
         units.select(col(idCol), col(unitCol), col("h_hi"), col("h_lo")),
@@ -70,32 +127,43 @@ object SignatureDedup {
       col(idCol).as(s"id_$tag"), col(unitCol).as(s"u$tag"),
       col("h_hi").as(s"hi$tag"), col("h_lo").as(s"lo$tag"),
       col("band"), col("bv"))
-    val matched = side("a").join(side("b"), Seq("band", "bv"))
+    side("a").join(side("b"), Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
-      // exact re-check BEFORE the distinct: the popcount is codegen'd
-      // per collision row, and the distinct then dedups bare unit-pair
-      // tuples instead of carrying four hash columns through the agg
       .filter(
         (bit_count(col("hia").bitwiseXOR(col("hib"))) +
           bit_count(col("loa").bitwiseXOR(col("lob")))) <= maxHamming)
       .select("id_a", "ua", "id_b", "ub")
       .distinct() // units agreeing on several bands match once
-    val pairs = matched
-      .groupBy("id_a", "id_b")
-      .agg(countDistinct(col("ua")).as("n_matched_a"),
-        countDistinct(col("ub")).as("n_matched_b"))
+  }
+
+  /** The symmetric distinct-unit gate (see the object doc), with
+    * optional extra aggregates computed in the same hash aggregation.
+    */
+  private def gatedPairs(matched: DataFrame, minMatched: Int,
+      extraAggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(minMatched >= 1, s"minMatched=$minMatched must be >= 1")
+    val aggs = Seq(
+      countDistinct(col("ua")).as("n_matched_a"),
+      countDistinct(col("ub")).as("n_matched_b")) ++ extraAggs
+    matched.groupBy("id_a", "id_b")
+      .agg(aggs.head, aggs.tail: _*)
       .filter(least(col("n_matched_a"), col("n_matched_b")) >= minMatched)
-    // denominators: unit counts per clip, joined only to the pairs
-    // that survived the minMatched cut (broadcast-sized by then)
+  }
+
+  /** Denominators: DISTINCT unit counts per clip (the input contract
+    * says one row per unit; countDistinct keeps the denominators
+    * consistent with the distinct-unit numerators even if a caller
+    * violates it), joined only to the pairs that survived the
+    * minMatched cut (broadcast-sized by then).
+    */
+  private def withUnitCounts(pairs: DataFrame, units: DataFrame,
+      idCol: String, unitCol: String): DataFrame = {
     val nUnits = units.groupBy(col(idCol)).agg(
-      count(lit(1)).cast("long").as("n_units"))
+      countDistinct(col(unitCol)).cast("long").as("n_units"))
     pairs
       .join(nUnits.select(col(idCol).as("id_a"),
         col("n_units").as("n_units_a")), Seq("id_a"))
       .join(nUnits.select(col(idCol).as("id_b"),
         col("n_units").as("n_units_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        col("n_matched_a"), col("n_matched_b"),
-        col("n_units_a"), col("n_units_b"))
   }
 }

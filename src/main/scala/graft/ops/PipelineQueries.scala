@@ -591,6 +591,40 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023): k-means the embedding corpus, then
+    * near-duplicate WITHIN each cluster, then keep one canonical per
+    * duplicate component — the published composition of pieces this
+    * library already ships: [[graft.sim.KMeans.assign]] (broadcast-
+    * argmin assignment, zero vector shuffle) →
+    * [[graft.sim.CosineSim.blockedSimilarPairsWithin]] (sign-LSH
+    * bucket equi-join SCOPED per cluster — cross-cluster pairs are
+    * never candidates, the blocking that makes 100 TB semantic dedup
+    * tractable) → min-label components → min-id keep. Output carries
+    * both granularities: `kcluster` (the k-means topic) and
+    * `cluster_id`/`keep` (the dup component and its canonical).
+    * Deterministic end to end, so the oracle replays k-means, the
+    * scoped LSH blocking, the exact integer cosine gate and the
+    * recursive closure in SQL.
+    */
+  def semanticDedupClustered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val kc = graft.sim.KMeans.assign(emb, "vec_id", "embedding",
+      k = 8, iterations = 3)
+      .withColumnRenamed("cluster_id", "kcluster")
+    val pairs = CosineSim.blockedSimilarPairsWithin(
+      emb.join(kc, "vec_id"), "vec_id", "embedding", "kcluster",
+      num = 2, den = 5)
+      .select(col("a"), col("b"))
+    val comps = graft.dedup.Clusters.connectedComponents(pairs)
+    kc
+      .join(comps, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"), col("kcluster"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep",
+        (col("vec_id") === col("cluster_id")).cast("long"))
+      .orderBy("vec_id")
+  }
+
   def annBruteTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     CosineSim.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
@@ -905,7 +939,15 @@ object PipelineQueries {
     // explode+lookup pass re-ran per branch and the query regressed
     // 0.38 → 0.84 s warm at sf0.1). The only shuffle stays on the
     // RARE words.
-    val joined = textFrameCache.get(spark, dir + "#bpejoined") {
+    // cache key folds corpus FILE identity (length+mtime — the bpeMemo
+    // / lake-build-cache contract) so regenerating the dataset at the
+    // same path within a session rebuilds instead of serving the stale
+    // materialized frame
+    val srcId = {
+      val src = new java.io.File(s"$dir/documents.parquet")
+      s"${src.length}:${src.lastModified}"
+    }
+    val joined = textFrameCache.get(spark, s"$dir#bpejoined@$srcId") {
       val docs = Tables.load(spark, dir, "documents")
       val lookup = graft.text.BpeTrainer.segment(
         bpeVocabDf(spark, dir)
@@ -1008,6 +1050,32 @@ object PipelineQueries {
     val hashes = mediaHashCache.get(spark, dir + "#image") {
       val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
       ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"), "doc_id")
+    }
+    ImageDedup.nearDupPairs(hashes, "doc_id", maxHamming = 3, bandBits = 16)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** JPEG image near-duplicate detection — [[imageDedupDhash]] with
+    * the corpus carried through the REAL baseline JPEG codec
+    * ([[graft.multimodal.JpegCodec]]): deterministic synthetic GRAY
+    * cell-constant images (cells sized to 8×8 JPEG blocks) are
+    * ENCODED as baseline 4:2:0 color JFIF — Annex K Huffman tables,
+    * FDCT, DC-predicted entropy coding, byte stuffing — then DECODED
+    * (Huffman → dequant → IDCT → chroma upsample → color convert),
+    * dHashed from the decoded pixels and paired by the same exact
+    * 16-bit-band blocking. Block-constant content quantizes on the DC
+    * closed form `dec(p) = min(255, 2·((p+1) div 2))`, so the oracle
+    * replays generate→encode→decode→hash fully in SQL: the hash match
+    * proves the entire entropy-coded codec chain, the first for a
+    * LOSSY format (WAV/BMP/PNG round-trip losslessly; here the oracle
+    * replays the LOSS itself).
+    */
+  def imageDedupJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.ImageDedup
+    val hashes = mediaHashCache.get(spark, dir + "#jpeg") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      ImageDedup.dHashDf(ImageDedup.syntheticImagesJpeg(ids, "doc_id"),
+        "doc_id")
     }
     ImageDedup.nearDupPairs(hashes, "doc_id", maxHamming = 3, bandBits = 16)
       .orderBy("id_a", "id_b")
@@ -1438,6 +1506,35 @@ object PipelineQueries {
       .select(col("id").as("doc_id"), col("cluster_id"),
         when(col("id") === col("cluster_id"), 1L).otherwise(0L).as("kept"))
       .orderBy("doc_id")
+  }
+
+  /** TEMPORAL ALIGNMENT ESTIMATE for matched clips
+    * ([[graft.multimodal.SignatureDedup.nearDupPairsWithOffset]]):
+    * the alignment-free matcher implicitly finds the offset between
+    * two trimmed cuts — this query EMITS it instead of discarding it.
+    * `best_offset` = mode of matched shot-index deltas, deterministic
+    * smallest-on-ties, computed inside the same per-pair aggregation
+    * as the match counts (no second pass over the banded join). On
+    * the trimmed corpus the construction fixes the truth: variants
+    * `(v_a, v_b)` of one master differ by exactly `v_b - v_a` leading
+    * shots, so every within-group pair's `best_offset` equals the
+    * trim length — "id_b is id_a trimmed by k shots", the actionable
+    * output a takedown/canonical-cut pipeline needs. The oracle
+    * replays the mode over the closed-form matched-unit deltas
+    * (re-based to each clip's own 1-based detected-shot ordinals).
+    */
+  def videoDedupOffsetEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{SignatureDedup, VideoDedup}
+    val hashes = mediaHashCache.get(spark, dir + "#trimshots") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      VideoDedup.frameHashDf(
+        VideoDedup.syntheticTrimmedShotVideos(ids, "doc_id"),
+        "doc_id", stride = 1)
+    }
+    val sigs = VideoDedup.shotSignatures(hashes, "doc_id", cutHamming = 8)
+    SignatureDedup.nearDupPairsWithOffset(sigs, "doc_id", "shot_idx",
+      maxHamming = 3, minMatched = 2, bandBits = 16)
+      .orderBy("id_a", "id_b")
   }
 
   /** OFFSET-ROBUST audio near-dup
@@ -2128,6 +2225,59 @@ object PipelineQueries {
        |gray AS (
        |  SELECT id, cy, cx,
        |         (77*p + 150*((p + 60) % 256) + 29*((p + 120) % 256)) // 256 AS gv
+       |  FROM pert),
+       |bits AS (
+       |  SELECT a.id, a.cy * 8 + a.cx AS j,
+       |         CASE WHEN a.gv > b.gv THEN 1 ELSE 0 END AS bit
+       |  FROM gray a JOIN gray b
+       |    ON b.id = a.id AND b.cy = a.cy AND b.cx = a.cx + 1
+       |  WHERE a.cx < 8),
+       |hh AS (
+       |  SELECT id,
+       |         CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+       |                       ELSE 0 END) AS BIGINT) AS hi,
+       |         CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+       |                       ELSE 0 END) AS BIGINT) AS lo
+       |  FROM bits GROUP BY id),
+       |bands AS (
+       |  SELECT id, hi, lo, k AS band,
+       |         CASE WHEN k < 2 THEN (lo >> (16*k)) & 65535
+       |              ELSE (hi >> (16*(k-2))) & 65535 END AS bv
+       |  FROM hh, unnest(range(0, 4)) AS r(k)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |         a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)""".stripMargin
+
+  /** [[imageDhashCtes]] carried through the LOSSY JPEG round trip:
+    * gray content (`r = g = b = p`) rides the exact fixed-point color
+    * chain (chroma pinned at 128), every 8×8 block is cell-constant,
+    * so the decoded gray is the DC quantization closed form
+    * `least(255, 2·((p+1) // 2))` — `(p+1)` keeps the arithmetic
+    * non-negative (DuckDB `//` truncates toward zero, Java floorDiv
+    * floors; they agree only at >= 0). Everything the SQL does NOT
+    * model — Huffman coding, bit stuffing, DC prediction, the IDCT —
+    * is exactly what the hash match proves. Pre-stripped like
+    * [[imageDhashCtes]].
+    */
+  private val jpegDhashCtes: String =
+    raw"""ids AS (
+       |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+       |  FROM documents),
+       |cell AS (
+       |  SELECT id, v, cy, cx,
+       |         ((cx*(7 + g % 5) + cy*(13 + g % 11) + g*31) % 17) * 15 AS base
+       |  FROM ids, unnest(range(0, 8)) AS r1(cy),
+       |       unnest(range(0, 9)) AS r2(cx)),
+       |pert AS (
+       |  SELECT id, cy, cx,
+       |         CASE WHEN cx = 8 AND cy < v
+       |              THEN (base + 40 * (cy + 1)) % 256
+       |              ELSE base END AS p
+       |  FROM cell),
+       |gray AS (
+       |  SELECT id, cy, cx, least(255, 2 * ((p + 1) // 2)) AS gv
        |  FROM pert),
        |bits AS (
        |  SELECT a.id, a.cy * 8 + a.cx AS j,
@@ -3674,6 +3824,16 @@ object PipelineQueries {
          |FROM cand
          |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // [[jpegDhashCtes]] replays the LOSSY jpeg round trip in closed
+    // form (DC quantization of constant blocks); same exact-Hamming
+    // re-check tail as image_dedup_dhash
+    "image_dedup_jpeg" ->
+      raw"""WITH $jpegDhashCtes
+         |SELECT id_a, id_b,
+         |       CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     // The cluster-assignment consumer: near-dup pairs close into
     // connected components (recursive reachability, min-id label —
     // the dedup_clusters construction on the image pair graph) and
@@ -3970,6 +4130,36 @@ object PipelineQueries {
          |SELECT nid AS doc_id, min(r) AS cluster_id,
          |       CAST(CASE WHEN nid = min(r) THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM reach GROUP BY nid ORDER BY doc_id""".stripMargin,
+    // The overlap tail plus the matched-delta MODE: deltas re-based to
+    // each clip's own 1-based detected-shot ordinal (absolute master
+    // index s minus the variant's trim v), counted over the DISTINCT
+    // matched unit pairs, mode ties to the smallest offset — exactly
+    // Spark's deterministic mode over (ua - ub)
+    "video_dedup_offset_estimate" ->
+      raw"""WITH $trimShotUnitsCtes,
+         |$sigOverlapPairsCtes,
+         |deltas AS (
+         |  SELECT m.id_a, m.id_b,
+         |         (m.ua - m.ub) + (m.id_b % 4) - (m.id_a % 4) AS off,
+         |         count(*) AS cnt
+         |  FROM m GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT id_a, id_b, off,
+         |         row_number() OVER (PARTITION BY id_a, id_b
+         |                            ORDER BY cnt DESC, off ASC) AS rn
+         |  FROM deltas),
+         |nu AS (SELECT id, count(DISTINCT u) AS n FROM units GROUP BY id)
+         |SELECT agg.id_a, agg.id_b,
+         |       CAST(nma AS BIGINT) AS n_matched_a,
+         |       CAST(nmb AS BIGINT) AS n_matched_b,
+         |       CAST(na.n AS BIGINT) AS n_units_a,
+         |       CAST(nb.n AS BIGINT) AS n_units_b,
+         |       CAST(b.off AS BIGINT) AS best_offset
+         |FROM agg JOIN nu na ON na.id = agg.id_a
+         |         JOIN nu nb ON nb.id = agg.id_b
+         |         JOIN best b ON b.id_a = agg.id_a AND b.id_b = agg.id_b
+         |                    AND b.rn = 1
+         |ORDER BY agg.id_a, agg.id_b""".stripMargin,
     // Full replay of the two-batch INCREMENTAL shot-signature arc:
     // batch clips match the index membership by the SAME symmetric
     // distinct-unit overlap gate, components among survivors, index
@@ -4234,6 +4424,7 @@ object PipelineQueries {
     "repeated_spans" -> repeatedSpans _,
     "remove_repeated_spans" -> removeRepeatedSpans _,
     "image_dedup_dhash" -> imageDedupDhash _,
+    "image_dedup_jpeg" -> imageDedupJpeg _,
     "image_dedup_clusters" -> imageDedupClusters _,
     "image_dedup_dhash256" -> imageDedupDhash256 _,
     "media_hamming_knn" -> mediaHammingKnn _,
@@ -4250,6 +4441,7 @@ object PipelineQueries {
     "video_shots" -> videoShots _,
     "video_dedup_shots" -> videoDedupShots _,
     "video_dedup_shot_clusters" -> videoDedupShotClusters _,
+    "video_dedup_offset_estimate" -> videoDedupOffsetEstimate _,
     "audio_dedup_offset" -> audioDedupOffset _,
     "audio_dedup_hop" -> audioDedupHop _,
     "lang_id" -> langId _,

@@ -87,12 +87,14 @@ object CosineSim {
     */
   private def signBuckets(
       emb: DataFrame, idCol: String, vecCol: String,
-      planes: Int, tables: Int, maxBucketSize: Int): DataFrame = {
+      planes: Int, tables: Int, maxBucketSize: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val dim = emb.select(size(col(vecCol))).head.getInt(0)
     def planeVec(plane: Int): Array[Long] = Array.tabulate(dim) { i =>
       ((2654435761L * (i + 1) * (plane + 1) + 40503L * (plane + 1)) % 2001L) - 1000L
     }
-    val q = emb.select(col(idCol), quantize(col(vecCol)).as("q"))
+    val q = emb.select(col(idCol) +: extraCols.map(col) :+
+      quantize(col(vecCol)).as("q"): _*)
       .withColumn("nrm", normQ(col("q")))
     val tb = (0 until tables).map { t =>
       val bits = (0 until planes).map { j =>
@@ -101,9 +103,13 @@ object CosineSim {
       }
       struct(lit(t).as("t"), bits.reduce(_ + _).as("b"))
     }
+    // extra scoping columns join the bucket identity: the cap window's
+    // partition is exactly the downstream pair join's distribution
+    // (the shared-exchange rule), with or without them
     q.withColumn("tb", explode(array(tb: _*)))
       .withColumn("bsz",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("tb")))
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy((extraCols :+ "tb").map(col): _*)))
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")
   }
@@ -121,6 +127,35 @@ object CosineSim {
         col("dot") * col("dot") * lit(den * den) >= lit(num * num) * col("na") * col("nb"))
       // a pair can collide in several tables; dot/na/nb are pure
       // functions of the pair, so the kept row is deterministic
+      .dropDuplicates("a", "b")
+  }
+
+  /** SemDeDup's pair half (Abbas et al.: k-means the corpus, then
+    * near-dedup WITHIN each cluster): [[blockedSimilarPairs]] SCOPED
+    * by `withinCol` — a candidate pair must share the scope value AND
+    * an LSH (table, bucket), so cross-scope pairs are never even
+    * generated. The scope column joins the bucket identity end to end
+    * (hot-bucket cap included), which is exactly what makes 100 TB
+    * semantic dedup tractable: the quadratic term drops from
+    * Σ bucket² to Σ (bucket ∩ cluster)², and each cluster's work is
+    * independent — the published recipe sizes k so clusters fit a
+    * worker's neighborhood. Emits the [[blockedSimilarPairs]] contract
+    * `(a, b, dot, na, nb)`.
+    */
+  def blockedSimilarPairsWithin(
+      emb: DataFrame, idCol: String, vecCol: String, withinCol: String,
+      num: Long, den: Long, planes: Int = 8, tables: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val capped = signBuckets(emb, idCol, vecCol, planes, tables,
+      maxBucketSize, extraCols = Seq(withinCol))
+    capped.as("x").join(capped.as("y"),
+        col(s"x.$withinCol") === col(s"y.$withinCol") &&
+          col("x.tb") === col("y.tb") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        dotQ(col("x.q"), col("y.q")).as("dot"),
+        col("x.nrm").as("na"), col("y.nrm").as("nb"))
+      .filter(col("dot") >= 0 &&
+        col("dot") * col("dot") * lit(den * den) >= lit(num * num) * col("na") * col("nb"))
       .dropDuplicates("a", "b")
   }
 

@@ -181,7 +181,22 @@ object Streams {
     * rows), with one FEWER failure window: the index is one table, so
     * there is no half-admitted interleaving at all. Takes any
     * [[graft.dedup.FingerprintIndexLike]], so the SAME sink serves the
-    * 64-bit halves index and the 256-bit limb index.
+    * 64-bit halves index, the 256-bit limb index, and the unit-
+    * signature index.
+    *
+    * CLIP-ATOMICITY contract for [[graft.dedup.SignatureDedupIndex]]:
+    * that index decides PER CLIP from a batch of per-UNIT rows, so a
+    * clip whose units straddle a micro-batch boundary would be judged
+    * fragment by fragment — each fragment can fall under `minMatched`
+    * and be kept, and the clip accretes conflicting decision rows
+    * across batches. The stream feeding this sink must therefore emit
+    * every clip's unit rows inside ONE micro-batch (natural when the
+    * source row IS a clip and units explode inside the batch — the
+    * [[graft.multimodal.VideoDedup.frameHashDf]] shape; if units
+    * arrive pre-exploded, aggregate them to clips upstream, e.g. a
+    * `groupByKey(clipId).flatMapGroups` stage or a per-clip
+    * watermarked window, before the sink). The fingerprint indexes
+    * (64/256-bit) decide per ROW and carry no such requirement.
     */
   def mediaDedupSink(idx: graft.dedup.FingerprintIndexLike,
       decisions: graft.lake.IncrementalTable,

@@ -56,11 +56,50 @@ class ClustersSpec extends AnyFunSuite with SparkSpec {
     assert(got === (0L to 199L).map(_ -> 0L).toMap)
   }
 
-  test("min-label throws (not silent wrong answers) past its diameter budget") {
+  test("min-label auto-falls-back to star past its diameter budget") {
     import spark.implicits._
+    // diameter 30 > 2*3 propagation steps: the old behavior threw;
+    // now the star fallback must return the exact components
     val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
-    intercept[IllegalStateException] {
-      Clusters.connectedComponents(pairs, maxIter = 3)
+    val got = Clusters.connectedComponents(pairs, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 30L).map(_ -> 0L).toMap)
+  }
+
+  test("500-node path graph through the default entry point (adversarial chain)") {
+    import spark.implicits._
+    // the dedup_clusters entry shape: default maxIter=25 gives 50
+    // propagation steps < diameter 500, so this exercises the full
+    // exhaust-then-star-fallback path end to end
+    val pairs = (0L until 499L).map(i => (i + 1, i)).toDF("a", "b")
+    val got = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 499L).map(_ -> 0L).toMap)
+  }
+
+  test("reliable checkpoint dir is honored when configured") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite assumes no global ckpt dir")
+    sc.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+      val got = Clusters.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the reliable path actually wrote RDD checkpoints
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "no checkpoint files written under the configured dir")
+    } finally {
+      // SparkContext has no unsetCheckpointDir: reflectively restore
+      // None so the rest of the (shared-session) suite keeps the
+      // localCheckpoint path. The temp dir is left for /tmp cleanup —
+      // deleting it here could race a concurrent suite's checkpoint.
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
     }
   }
 }

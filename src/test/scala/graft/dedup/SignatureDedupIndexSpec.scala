@@ -87,6 +87,43 @@ class SignatureDedupIndexSpec extends AnyFunSuite with SparkSpec {
     assert(d === Map(30L -> "kept"))
   }
 
+  test("capped batch buckets: a clip in a hot bucket still reaches " +
+    "dup_corpus through its UNSKEWED bands; a fully-capped unit is the " +
+    "documented recall trade but its clip still gets a decision row") {
+    val base = Files.createTempDirectory("sigidx_cap_").toString + "/idx"
+    val idx = new SignatureDedupIndex(spark, base, "doc_id", "u",
+      maxHamming = 3, minMatched = 2, bandBits = 16, maxBucketSize = 8)
+    val (ahi, alo) = sig(101) // corpus unit A
+    val x = (0x12345678L, 0x0BADF00DL) // the fully-flooded signature X
+    idx.bootstrap(clip(1L, Seq(101, 102)) // anchor {A, B}
+      .unionByName(Seq((2L, 1L, x._1, x._2)).toDF("doc_id", "u", "h_hi", "h_lo"))
+      .unionByName(clip(2L, Seq(202), at = 2L))) // anchor {X, Y}
+    // floods: 12 one-unit clips pinning X's ALL FOUR band buckets hot,
+    // and 12 sharing only unit A's BAND-0 value (lo & 0xFFFF) — so A
+    // keeps three unskewed bands while X keeps none
+    val floodX = (100L until 112L).map(i => (i, 1L, x._1, x._2))
+    val floodA0 = (200L until 212L).map(i =>
+      (i, 1L, i * 0x9E3779B9L & 0xFFFFFFFFL, (i << 16) | (alo & 0xFFFFL)))
+    val batch = clip(50L, Seq(101, 102), at = 5L) // trimmed copy of {A, B}
+      .unionByName(Seq((60L, 1L, x._1, x._2)).toDF("doc_id", "u", "h_hi", "h_lo"))
+      .unionByName(clip(60L, Seq(202), at = 2L)) // {X, Y} — a TRUE dup of 2
+      .unionByName((floodX ++ floodA0).toDF("doc_id", "u", "h_hi", "h_lo"))
+    val d = decisionMap(idx.dedupBatch(batch))
+    // every batch clip gets a decision row even when bands capped away
+    assert(d.size === 26, s"decision frame must key ALL batch clips: $d")
+    // clip 50's unit A lost band 0 to the hot bucket; bands 1-3 still
+    // carry it to the indexed A, so the pair gate sees 2 distinct units
+    assert(d(50L) === "dup_corpus",
+      "a hot bucket on ONE band must not mask the other three")
+    // clip 60's unit X is capped in every band: only Y matches — under
+    // the symmetric >= 2 gate the true dup is MISSED. This is the
+    // documented maxBucketSize recall trade, pinned so it stays a
+    // conscious trade rather than silent behavior.
+    assert(d(60L) === "kept")
+    assert((100L until 112L).forall(i => d(i) === "kept"))
+    assert((200L until 212L).forall(i => d(i) === "kept"))
+  }
+
   test("refusals: pigeonhole, minMatched, un-bootstrapped, double " +
     "bootstrap") {
     intercept[IllegalArgumentException](new SignatureDedupIndex(spark,

@@ -1,0 +1,204 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[JpegCodec]]: baseline JFIF exactness pins. The decoder is pinned
+  * against HAND-ASSEMBLED fixture byte streams (built from the
+  * published marker/Huffman layout with minimal custom tables — no
+  * round-trip circularity), the closed-form constant-block formula
+  * `dec(p) = min(255, 2·((p+1) div 2))` the oracle queries replay, the
+  * 4:2:0 chroma path on genuine color, restart markers, and the
+  * refusal surface.
+  */
+class JpegCodecSpec extends AnyFunSuite {
+
+  /** The closed form for constant gray content (object doc). */
+  private def dec(p: Int): Int = math.min(255, 2 * ((p + 1) / 2))
+
+  // ------------------------------------------------ hand-built fixtures
+
+  /** Minimal grayscale baseline JPEG: all-16 quant table, a one-code
+    * DC table mapping the single length-1 code to `dcSym`, a one-code
+    * AC table mapping it to EOB, `w`×`h` in 8×8 blocks, and the given
+    * raw scan bytes. Layout written from T.81 directly.
+    */
+  private def grayFixture(w: Int, h: Int, dcSym: Int,
+      scan: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(out.write)
+    b(0xFF, 0xD8) // SOI
+    b(0xFF, 0xDB, 0x00, 0x43, 0x00) // DQT: len 67, Pq/Tq 0
+    (0 until 64).foreach(_ => out.write(16))
+    b(0xFF, 0xC0, 0x00, 0x0B, 0x08, h >> 8, h & 0xFF, w >> 8, w & 0xFF,
+      0x01, 0x01, 0x11, 0x00) // SOF0: 8-bit, 1 component, 1x1, Q0
+    b(0xFF, 0xC4, 0x00, 0x26) // DHT: len 2 + 2*(1+16+1) = 38
+    b(0x00); b(1); (2 to 16).foreach(_ => out.write(0)); b(dcSym)
+    b(0x10); b(1); (2 to 16).foreach(_ => out.write(0)); b(0x00) // AC0: EOB
+    b(0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00) // SOS
+    scan.foreach(out.write)
+    b(0xFF, 0xD9) // EOI
+    out.toByteArray
+  }
+
+  test("fixture vector: DC 0 block decodes to the 128 plane") {
+    // scan: DC code '0' (symbol 0 → no magnitude bits), AC '0' (EOB),
+    // padded with 1s → 0b00111111
+    val img = JpegCodec.decode(grayFixture(8, 8, dcSym = 0,
+      scan = Array(0x3F)))
+    assert(img.width === 8 && img.height === 8)
+    assert(img.pixels.forall(_ === 0x808080),
+      s"expected all 128, got ${img.pixels.take(8).map(_.toHexString).toSeq}")
+  }
+
+  test("fixture vector: DC diff 8 under Q=16 decodes to the 144 plane") {
+    // DC table maps the length-1 code to category 4; scan: '0' + 1000
+    // (diff = 8) + '0' (EOB) + 11 padding → 0b01000011. Dequantized DC
+    // = 8·16 = 128 → pixel = 128/8 + 128 = 144 exactly.
+    val img = JpegCodec.decode(grayFixture(8, 8, dcSym = 4,
+      scan = Array(0x43)))
+    assert(img.pixels.forall(_ === 0x909090),
+      s"expected all 144 (0x90), got ${(img.pixels(0) & 0xFF)}")
+  }
+
+  test("fixture vector: restart markers byte-align and reset the DC " +
+    "predictor") {
+    // 24×8 = 3 MCUs with DRI = 1: each MCU is the 2-bit '00' block
+    // padded to 0x3F, separated by RST0, RST1
+    val base = grayFixture(24, 8, dcSym = 0,
+      scan = Array(0x3F, 0xFF, 0xD0, 0x3F, 0xFF, 0xD1, 0x3F))
+    // splice a DRI segment before SOS (after DHT): find FFDA
+    val idx = base.indices.find(i =>
+      (base(i) & 0xFF) == 0xFF && (base(i + 1) & 0xFF) == 0xDA).get
+    val dri = Array(0xFF, 0xDD, 0x00, 0x04, 0x00, 0x01).map(_.toByte)
+    val withDri = base.take(idx) ++ dri ++ base.drop(idx)
+    val img = JpegCodec.decode(withDri)
+    assert(img.width === 24 && img.height === 8)
+    assert(img.pixels.forall(_ === 0x808080))
+  }
+
+  // ------------------------------------------- closed-form round trips
+
+  test("constant gray round-trips by the closed form, gray and 4:2:0 " +
+    "color paths alike (the formula the oracle replays)") {
+    val ps = (0 to 255 by 7) ++ Seq(1, 127, 128, 129, 254, 255)
+    ps.foreach { p =>
+      val g = JpegCodec.decode(JpegCodec.encodeGray(8, 8, (_, _) => p))
+      assert((g.pixels(0) & 0xFF) === dec(p), s"gray p=$p")
+      assert(g.pixels.forall(_ === g.pixels(0)), s"gray p=$p not constant")
+      val c = JpegCodec.decode(
+        JpegCodec.encode420(16, 16, (_, _) => (p, p, p)))
+      val px = c.pixels(0)
+      assert(((px >> 16) & 0xFF) === dec(p) && ((px >> 8) & 0xFF) === dec(p)
+        && (px & 0xFF) === dec(p), s"420 p=$p: got ${px.toHexString}")
+      assert(c.pixels.forall(_ === px), s"420 p=$p not constant")
+    }
+  }
+
+  test("non-MCU-aligned dims: edge replication keeps constant content " +
+    "exact, and the decode crops to the declared size") {
+    val img = JpegCodec.decode(JpegCodec.encode420(20, 13,
+      (_, _) => (77, 77, 77)))
+    assert(img.width === 20 && img.height === 13)
+    assert(img.pixels.forall(p => (p & 0xFF) === dec(77)))
+    val g = JpegCodec.decode(JpegCodec.encodeGray(17, 9, (_, _) => 200))
+    assert(g.width === 17 && g.height === 9)
+    assert(g.pixels.forall(p => (p & 0xFF) === dec(200)))
+  }
+
+  test("genuine color through the 4:2:0 chroma path: constant color " +
+    "decodes within ±2 of the independently-derived fixed-point chain") {
+    // re-derive the published arithmetic in the test (encoder color
+    // matrix → DC quantization at QLuma(0)=16 / QChroma(0)=17 →
+    // dequant/8 → decoder color matrix). The chroma DC (×17/8) can
+    // land exactly on a half-integer where the codec's double IDCT and
+    // this integer chain may round apart by 1; that ±1 chroma sample
+    // scales by ≤1.772 into RGB → ±2 channel tolerance. (The EXACT
+    // pins live in the gray/4:2:0 closed-form test — luma Q=16 is
+    // divisible by 8, so no half-integers exist there.)
+    val cases = Seq((200, 30, 100), (10, 250, 60), (255, 0, 0), (0, 0, 255))
+    cases.foreach { case (r, g, b) =>
+      def cl(v: Int): Int = Math.max(0, Math.min(255, v))
+      val yv = cl((19595 * r + 38470 * g + 7471 * b + 32768) >> 16)
+      val cb = cl(128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16))
+      val cr = cl(128 + ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16))
+      def dcRt(v: Int, q: Int): Int = Math.max(0, Math.min(255,
+        Math.round(Math.round(8.0 * (v - 128) / q) * q / 8.0).toInt + 128))
+      val y2 = dcRt(yv, 16)
+      val cb2 = dcRt(cb, 17) - 128
+      val cr2 = dcRt(cr, 17) - 128
+      val er = Math.max(0, Math.min(255, y2 + ((91881 * cr2 + 32768) >> 16)))
+      val eg = Math.max(0, Math.min(255,
+        y2 - ((22554 * cb2 + 46802 * cr2 + 32768) >> 16)))
+      val eb = Math.max(0, Math.min(255, y2 + ((116130 * cb2 + 32768) >> 16)))
+      val img = JpegCodec.decode(JpegCodec.encode420(16, 16,
+        (_, _) => (r, g, b)))
+      val px = img.pixels(0)
+      assert(img.pixels.forall(_ === px), s"($r,$g,$b) not constant")
+      assert(math.abs(((px >> 16) & 0xFF) - er) <= 2 &&
+        math.abs(((px >> 8) & 0xFF) - eg) <= 2 &&
+        math.abs((px & 0xFF) - eb) <= 2,
+        s"($r,$g,$b): got ${px.toHexString}, expected ~($er,$eg,$eb)")
+    }
+  }
+
+  test("smooth gradients round-trip within the lossy budget (AC path " +
+    "actually exercised end to end)") {
+    def rgbAt(x: Int, y: Int): (Int, Int, Int) =
+      (math.min(255, x * 3), math.min(255, y * 3),
+        math.min(255, (x + y) * 2))
+    val img = JpegCodec.decode(JpegCodec.encode420(64, 64, rgbAt))
+    var maxErr = 0
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val (r, g, b) = rgbAt(x, y)
+      val p = img.rgb(x, y)
+      maxErr = maxErr.max(math.abs(((p >> 16) & 0xFF) - r))
+        .max(math.abs(((p >> 8) & 0xFF) - g))
+        .max(math.abs((p & 0xFF) - b))
+    }
+    assert(maxErr <= 20, s"max channel error $maxErr exceeds the Q50 budget")
+    assert(maxErr >= 1, "a 0-error lossy round trip means the AC path " +
+      "was never exercised — suspicious")
+  }
+
+  test("decode is bit-deterministic (same bytes → same pixels)") {
+    val bytes = JpegCodec.encode420(48, 32, (x, y) =>
+      ((x * 7) % 256, (y * 11) % 256, ((x + y) * 5) % 256))
+    val a = JpegCodec.decode(bytes)
+    val b = JpegCodec.decode(bytes)
+    assert(java.util.Arrays.equals(a.pixels, b.pixels))
+    // and the encoder is too
+    assert(java.util.Arrays.equals(bytes,
+      JpegCodec.encode420(48, 32, (x, y) =>
+        ((x * 7) % 256, (y * 11) % 256, ((x + y) * 5) % 256))))
+  }
+
+  test("resizeNearest matches the shared floor(i·src/dst) rule") {
+    val img = JpegCodec.decode(JpegCodec.encodeGray(16, 16,
+      (x, _) => if (x < 8) 50 else 200))
+    val half = JpegCodec.resizeNearest(img, 8, 8)
+    assert(half.width === 8 && half.height === 8)
+    assert((half.rgb(0, 0) & 0xFF) === (img.rgb(0, 0) & 0xFF))
+    assert((half.rgb(7, 7) & 0xFF) === (img.rgb(14, 14) & 0xFF))
+  }
+
+  test("refusals: progressive, non-JPEG, truncation, overfull DHT") {
+    // progressive: flip the hand-built fixture's SOF0 to SOF2
+    val fx = grayFixture(8, 8, 0, Array(0x3F))
+    val sofAt = fx.indices.find(i =>
+      (fx(i) & 0xFF) == 0xFF && (fx(i + 1) & 0xFF) == 0xC0).get
+    val prog = fx.clone(); prog(sofAt + 1) = 0xC2.toByte
+    val e1 = intercept[IllegalArgumentException](JpegCodec.decode(prog))
+    assert(e1.getMessage.contains("SOF"), e1.getMessage)
+    intercept[IllegalArgumentException](
+      JpegCodec.decode("definitely not a jpeg".getBytes))
+    // truncation inside the entropy stream
+    intercept[IllegalArgumentException](
+      JpegCodec.decode(fx.dropRight(3)))
+    // overfull DHT: 3 codes of length 1 cannot be canonical
+    val bad = fx.clone()
+    val dhtAt = bad.indices.find(i =>
+      (bad(i) & 0xFF) == 0xFF && (bad(i + 1) & 0xFF) == 0xC4).get
+    bad(dhtAt + 5) = 3 // count of length-1 codes for the DC table
+    intercept[IllegalArgumentException](JpegCodec.decode(bad))
+  }
+}

@@ -68,4 +68,45 @@ class SignatureDedupSpec extends AnyFunSuite with SparkSpec {
       "u", maxHamming = 3, minMatched = 2, maxBucketSize = 10)
       .count() === 0L)
   }
+
+  test("duplicate (id, unit) input rows cannot inflate the n_units " +
+    "denominators (countDistinct contract)") {
+    // clip 2's unit 5 appears TWICE (a contract violation): the
+    // denominator must still read 3 distinct units, matching the
+    // distinct-unit numerators' basis
+    val d = pairs(SignatureDedup.nearDupPairsBySignature(units(
+      (1L, 1L, 0x10L, 0x01L), (1L, 2L, 0x20L, 0x02L), (1L, 3L, 0x30L, 0x03L),
+      (2L, 5L, 0x10L, 0x01L), (2L, 5L, 0x10L, 0x01L),
+      (2L, 6L, 0x20L, 0x02L), (2L, 7L, 0x30L, 0x03L)),
+      "doc_id", "u", maxHamming = 3, minMatched = 2))
+    assert(d === Map((1L, 2L) -> ((3L, 3L, 3L, 3L))))
+  }
+
+  test("offset estimate: mode of matched unit-index deltas, ties to " +
+    "the smallest offset, same gate and counts as the plain matcher") {
+    def offsets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    // clip 2 = clip 1 trimmed by 2 leading units: every matched delta
+    // is +2, so best_offset = 2 with full support
+    val trimmed = offsets(SignatureDedup.nearDupPairsWithOffset(units(
+      (1L, 3L, 0x10L, 0x01L), (1L, 4L, 0x20L, 0x02L), (1L, 5L, 0x30L, 0x03L),
+      (2L, 1L, 0x10L, 0x01L), (2L, 2L, 0x20L, 0x02L), (2L, 3L, 0x30L, 0x03L)),
+      "doc_id", "u", maxHamming = 3, minMatched = 2))
+    assert(trimmed === Map((1L, 2L) -> ((3L, 3L, 3L, 3L, 2L))))
+    // a 2-vs-1 delta split: the majority delta wins over a spurious one
+    val majority = offsets(SignatureDedup.nearDupPairsWithOffset(units(
+      (1L, 2L, 0x10L, 0x01L), (1L, 3L, 0x20L, 0x02L), (1L, 9L, 0x30L, 0x03L),
+      (2L, 1L, 0x10L, 0x01L), (2L, 2L, 0x20L, 0x02L), (2L, 3L, 0x30L, 0x03L)),
+      "doc_id", "u", maxHamming = 3, minMatched = 2))
+    assert(majority((1L, 2L))._5 === 1L, "mode must pick the 2-vote delta 1")
+    // exact tie between deltas 0 and 4: deterministic mode takes the
+    // SMALLEST — the oracle's (cnt DESC, off ASC) order
+    val tie = offsets(SignatureDedup.nearDupPairsWithOffset(units(
+      (1L, 1L, 0x10L, 0x01L), (1L, 6L, 0x20L, 0x02L),
+      (2L, 1L, 0x10L, 0x01L), (2L, 2L, 0x20L, 0x02L)),
+      "doc_id", "u", maxHamming = 3, minMatched = 2))
+    assert(tie((1L, 2L))._5 === 0L, "tie must resolve to the smaller offset")
+  }
 }

@@ -345,6 +345,33 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
       s"released fingerprint frames still pinned: ${rddIds() -- before}")
   }
 
+  test("text frame cache: file-identity keyed, reuse within a session, " +
+    "release frees storage") {
+    def rddIds(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    PipelineQueries.releaseTextFrameCache(spark)
+    val before = rddIds()
+    val keysBefore = PipelineQueries.textFrameCacheKeys
+    PipelineQueries.bpeTokenizeDocs(spark, dir).count()
+    val afterFirst = rddIds() -- before
+    assert(afterFirst.nonEmpty, "first call should persist the joined word frame")
+    val keys = PipelineQueries.textFrameCacheKeys -- keysBefore
+    assert(keys.size === 1)
+    // the key carries the corpus FILE identity (length:mtime), so a
+    // regenerated dataset at the same path cannot serve a stale frame
+    val src = new java.io.File(s"$dir/documents.parquet")
+    assert(keys.head._2.endsWith(s"@${src.length}:${src.lastModified}"),
+      s"cache key must fold file identity: ${keys.head._2}")
+    // reuse within the session: no new persisted blocks
+    PipelineQueries.bpeTokenizeDocs(spark, dir).count()
+    assert((rddIds() -- before) === afterFirst,
+      "second call must not persist a new frame")
+    // release drops the entry and unpins all blocks
+    PipelineQueries.releaseTextFrameCache(spark)
+    assert((PipelineQueries.textFrameCacheKeys -- keysBefore).isEmpty)
+    assert((rddIds() -- before).isEmpty,
+      s"released text frames still pinned: ${rddIds() -- before}")
+  }
+
   test("heavy_hitters: the exact recount joins BROADCAST candidates — " +
     "the n-gram vocabulary never shuffles") {
     val p = PipelineQueries.heavyHitters(spark, dir)
