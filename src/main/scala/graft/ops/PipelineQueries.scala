@@ -3494,6 +3494,74 @@ object PipelineQueries {
          |FROM embeddings v LEFT JOIN comp c ON c.id = v.vec_id
          |ORDER BY vec_id""".stripMargin,
 
+    // SemDeDup: the k-means replay (cluster_embeddings' CTE chain)
+    // joined INTO the sign-LSH bucket identity — the cap window and
+    // the pair join are both scoped per k-means cluster, so a
+    // cross-cluster pair cannot appear even as a candidate — then the
+    // exact integer cosine gate and the recursive min-label closure
+    "semantic_dedup_clustered" ->
+      s"""WITH RECURSIVE ${qCte()},
+         |dims AS (
+         |  SELECT unnest(generate_series(1, len(embedding))) AS d
+         |  FROM (SELECT embedding FROM embeddings LIMIT 1)),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cvec
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+         |${ivfLloydIterSql(1)},
+         |${ivfLloydIterSql(2)},
+         |${ivfLloydIterSql(3)},
+         |xf AS (
+         |  SELECT v.vec_id, c.cid,
+         |         -(CAST(${dot("v.qv", "c.cvec")} AS DOUBLE)) / sqrt(CAST(${dot("c.cvec", "c.cvec")} AS DOUBLE)) AS neg_sim
+         |  FROM q v, c3 c),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY neg_sim ASC, cid ASC) AS rn
+         |    FROM xf)
+         |  WHERE rn = 1),
+         |planes AS (
+         |  SELECT p, list(((2654435761 * d * (p+1) + 40503 * (p+1)) % 2001) - 1000 ORDER BY d) AS pv
+         |  FROM generate_series(0, 31) AS gp(p), dims
+         |  GROUP BY p),
+         |vb AS (
+         |  SELECT v.vec_id, a.cid AS kc, p.p // 8 AS t,
+         |         sum(CASE WHEN ${dot("v.qv", "p.pv")} >= 0
+         |                  THEN (CAST(1 AS BIGINT) << (p.p % 8)) ELSE 0 END) AS b
+         |  FROM q v JOIN asg a USING (vec_id), planes p
+         |  GROUP BY v.vec_id, a.cid, p.p // 8),
+         |vbc AS (
+         |  SELECT *, count(*) OVER (PARTITION BY kc, t, b) AS bsz FROM vb),
+         |cpairs AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM vbc x JOIN vbc y ON x.kc = y.kc AND x.t = y.t AND x.b = y.b
+         |    AND x.vec_id < y.vec_id
+         |  WHERE x.bsz <= 1000 AND y.bsz <= 1000),
+         |scored AS (
+         |  SELECT pr.a, pr.b,
+         |         ${dot("xa.qv", "yb.qv")} AS dot,
+         |         ${dot("xa.qv", "xa.qv")} AS na,
+         |         ${dot("yb.qv", "yb.qv")} AS nb
+         |  FROM cpairs pr JOIN q xa ON xa.vec_id = pr.a
+         |                 JOIN q yb ON yb.vec_id = pr.b),
+         |pairs AS (
+         |  SELECT a, b FROM scored
+         |  WHERE dot >= 0 AND dot * dot * 25 >= 4 * na * nb),
+         |nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT a.vec_id,
+         |       CAST(a.cid AS BIGINT) AS kcluster,
+         |       coalesce(c.cluster_id, a.vec_id) AS cluster_id,
+         |       CAST(CASE WHEN coalesce(c.cluster_id, a.vec_id) = a.vec_id
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM asg a LEFT JOIN comp c ON c.id = a.vec_id
+         |ORDER BY vec_id""".stripMargin,
+
     // Replays AnnLsh.topK end-to-end: the integer hyperplane family,
     // per-table sign buckets, multiprobe (Hamming-1) probe set,
     // DISTINCT candidates (TopKAgg collapses exact dups), exact integer
@@ -4391,6 +4459,7 @@ object PipelineQueries {
     "dedup_embedding" -> dedupEmbedding _,
     "dedup_embedding_blocked" -> dedupEmbeddingBlocked _,
     "semantic_dedup" -> semanticDedup _,
+    "semantic_dedup_clustered" -> semanticDedupClustered _,
     "ann_brute_topk" -> annBruteTopK _,
     "ann_lsh_topk" -> annLshTopK _,
     "ann_ivf_topk" -> annIvfTopK _,

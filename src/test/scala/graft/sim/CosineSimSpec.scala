@@ -41,6 +41,39 @@ class CosineSimSpec extends AnyFunSuite with SparkSpec {
       assert(blocked.nonEmpty, "LSH blocking found none of the exact pairs")
   }
 
+  test("blockedSimilarPairsWithin: cross-scope pairs are NEVER " +
+    "candidates — identical vectors in different clusters stay apart") {
+    import spark.implicits._
+    // four IDENTICAL embeddings (cosine 1.0, same LSH bucket in every
+    // table): 1 and 2 share cluster 0, 3 and 4 sit in clusters 1 and 2
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val emb = Seq(
+      (1L, v.toSeq, 0L), (2L, v.toSeq, 0L), (3L, v.toSeq, 1L),
+      (4L, v.toSeq, 2L)).toDF("vec_id", "embedding", "kc")
+    val got = CosineSim.blockedSimilarPairsWithin(
+      emb, "vec_id", "embedding", "kc", num = 2, den = 5)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)),
+      "only the same-cluster pair may survive; identical cross-cluster " +
+        s"vectors must not even be candidates — got $got")
+    // and the scoped result equals the unscoped result filtered to
+    // same-cluster, on real data (the semantics contract)
+    val real = Tables.load(spark, dir, "embeddings").limit(400)
+      .withColumn("kc", pmod(col("vec_id"), lit(3)))
+    val unscoped = CosineSim.blockedSimilarPairs(
+      real, "vec_id", "embedding", 2, 5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scoped = CosineSim.blockedSimilarPairsWithin(
+      real, "vec_id", "embedding", "kc", 2, 5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kcOf = real.select("vec_id", "kc").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scoped === unscoped.filter { case (a, b) => kcOf(a) == kcOf(b) },
+      "scoped pairs must equal the unscoped result restricted to " +
+        "same-cluster (cap effects aside on this uncapped-size data)")
+  }
+
   test("blocked plan joins on the block key (equi-join, no cross product)") {
     val emb = Tables.load(spark, dir, "embeddings")
     val plan = CosineSim.similarPairs(emb, "vec_id", "embedding", 2, 5,
