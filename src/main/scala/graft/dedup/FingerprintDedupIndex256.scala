@@ -30,6 +30,16 @@ import graft.multimodal.ImageDedup
   * takedown. Deterministic integer arithmetic end to end — the
   * `media_dedup_incremental256` oracle replays the full multi-batch
   * arc bit-for-bit.
+  *
+  * PRUNING BUDGET — the limb-row multiplier bites here too: the
+  * stats-pruned scan needs the batch's distinct limb values inside
+  * the 256-key predicate rule, and 16 limbs per fingerprint means
+  * only batches of ≤ 16 fingerprints prune; larger batches take the
+  * (streaming, broadcast-joined) full scan. The 64-bit index prunes
+  * to 64-fingerprint batches on the same rule. Measured in the
+  * `fp256_inc` ScaleEvidence arc; for trickle ingest (takedown
+  * probes, single-item lookups) the pruned path is the one that
+  * matters, and it stays flat in index size.
   */
 class FingerprintDedupIndex256(
     spark: SparkSession, val base: String, idCol: String,

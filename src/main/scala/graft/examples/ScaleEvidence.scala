@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, concat_ws, count, explode, expr, length, lit, md5, pmod, xxhash64, posexplode, repeat, row_number, sequence, sha2, split, sum, when}
+import org.apache.spark.sql.functions.{array, col, concat, concat_ws, count, explode, expr, length, lit, md5, pmod, xxhash64, posexplode, repeat, row_number, sequence, sha2, split, sum, when}
 
 /** Empirical 1×/10× scaling evidence for SCALE.md.
   *
@@ -1173,6 +1173,170 @@ object ScaleEvidence {
         f""""large_batch_s":$largeS%.2f,"large_shuffle_mb":${largeRd / 1e6}%.1f}""")
     }
 
+    /** Experiment: the 256-BIT fingerprint index's incremental
+      * contract, measured — `sig_inc`/`media_inc` cover the 64-bit and
+      * signature indexes; this prices the 16-limb-row variant
+      * ([[graft.dedup.FingerprintDedupIndex256]]): constant batches
+      * against a 1×/10× index at threshold 9. The pruned path (small
+      * batch under the 256-key predicate rule) must stay ~flat on
+      * stats-skipped (band, bv)-ordered files; the large batch
+      * documents the fallback (index streams through the broadcast
+      * join; shuffle stays batch-sized). The limb-row multiplier is
+      * the priced difference: 16 index rows and 16 banded probes per
+      * fingerprint vs the 64-bit index's 1 row / 4 bands.
+      */
+    var fp256IncRun = 0
+    def fp256IncExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      import graft.dedup.FingerprintDedupIndex256
+      val n = 100000L * k
+      fp256IncRun += 1
+      val dir = s"$base/fp256inc_x${k}_r$fp256IncRun/idx"
+      // well-spread deterministic 16-limb fingerprints (each limb a
+      // 16-bit hash — the dHash256 contract)
+      val limbs = (0 until 16).map(j =>
+        pmod(xxhash64(col("id"), lit(j)), lit(65536L)))
+      val corpus = spark.range(n).select(col("id").as("doc_id"),
+        array(limbs: _*).as("fp"))
+      val idx = new FingerprintDedupIndex256(spark, dir, "doc_id",
+        maxHamming = 9)
+      val buildT0 = System.nanoTime()
+      idx.bootstrap(corpus)
+      val buildS = (System.nanoTime() - buildT0) / 1e9
+      // constant batches: 4/5 re-use corpus fingerprints (distance 0 —
+      // every one must come back dup_corpus) + 1/5 fresh
+      def batchOf(sz: Int): org.apache.spark.sql.DataFrame =
+        corpus.filter(col("doc_id") < sz * 4 / 5)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("fp"))
+          .unionByName(spark.range(sz / 5).select(
+            (col("id") + 20000000L).as("doc_id"),
+            array((0 until 16).map(j =>
+              pmod(xxhash64(col("id"), lit(100 + j)), lit(65536L))): _*)
+              .as("fp")))
+      def timedDedup(sz: Int): (Double, Long, Long, Long) = {
+        tally.drain()
+        val (r0, _) = tally.snapshot
+        val in0 = tally.inputSnapshot
+        val t0 = System.nanoTime()
+        val d = idx.dedupBatch(batchOf(sz))
+        val dups = d.filter(col("status") === "dup_corpus").count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        tally.drain()
+        val (r1, _) = tally.snapshot
+        (secs, dups, r1 - r0, tally.inputSnapshot - in0)
+      }
+      // 15 fps × 16 limbs = 240 distinct bvs — under the 256-key
+      // predicate rule, so the scan stats-prunes; a 50-fp batch would
+      // already carry 800 bvs and silently take the full-scan path
+      // (the limb-row multiplier bites the PRUNING BUDGET too: the
+      // 256-bit index prunes only for batches ≤ 16 fingerprints).
+      // input bytes are printed per batch: pruning shows up THERE
+      // (walls at toy scale are job-scheduling noise)
+      val (smallS, smallDups, smallRd, smallIn) = timedDedup(15)
+      val (largeS, largeDups, largeRd, largeIn) = timedDedup(2000)
+      require(smallDups == 12L && largeDups == 1600L,
+        s"256-bit probe recall drifted: $smallDups/$largeDups corpus dups")
+      println(f"""{"scale":$k,"experiment":"fp256_inc","index_fps":$n,""" +
+        f""""index_limb_rows":${n * 16},"build_s":$buildS%.1f,""" +
+        f""""small_batch_s":$smallS%.2f,""" +
+        f""""small_shuffle_mb":${smallRd / 1e6}%.1f,""" +
+        f""""small_input_mb":${smallIn / 1e6}%.1f,""" +
+        f""""large_batch_s":$largeS%.2f,"large_shuffle_mb":${largeRd / 1e6}%.1f,""" +
+        f""""large_input_mb":${largeIn / 1e6}%.1f}""")
+    }
+
+    /** Experiment: the audio HOP knob priced below the 13-window
+      * default — unit-row volume and match wall vs trim granularity,
+      * through the REAL WAV encode→decode→block-fingerprint pass
+      * ([[graft.multimodal.AudioDedup.blockHashDf]]). Corpus: groups
+      * of (master, variant trimmed by t windows), t cycling
+      * {1, 5, 13, 65}; a hop of h windows recovers exactly the groups
+      * with h | t (trim alignment is the hop's contract — asserted
+      * exactly per hop). The cost axis: units/clip ≈ (390−65)/h, so
+      * hop 1 pays 65× the non-overlapping unit volume for full
+      * window-granularity recall — the published sub-fingerprint
+      * trade (Haitsma–Kalker hop ≈ 1/32 frame), measured end to end.
+      */
+    def hopSweepExperiment(k: Int): Unit = {
+      import graft.multimodal.{AudioDedup, SignatureDedup, WavCodec}
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      val winlen = 64
+      val masterWindows = 390 // 6 blocks of the 65-window grid
+      val nGroups = 1000L * k
+      val trims = Array(1, 5, 13, 65)
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("format", StringType, nullable = false),
+        StructField("bytes", BinaryType, nullable = false)))
+      val enc = ExpressionEncoder(outSchema)
+      val media = spark.range(nGroups * 2).mapPartitions { rows =>
+        rows.map { idBoxed =>
+          val id: Long = idBoxed
+          val g = id / 2
+          val t = if (id % 2 == 0) 0 else trims((g % 4).toInt)
+          val samples = new Array[Short]((masterWindows - t) * winlen)
+          var w = t
+          while (w < masterWindows) {
+            // murmur3-finalizer amplitudes: the gate generators'
+            // polynomial-mod rules leave cross-group sign-delta
+            // correlations that at 4k+ groups produce structured
+            // Hamming-<=3 collisions (a generator artifact, not the
+            // operator's physics); a full-avalanche mix kills them
+            var z = g * 100003L + w
+            z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+            z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+            z ^= z >>> 33
+            val res = java.lang.Long.remainderUnsigned(z, 23L)
+            val a = (1 + res * 40).toShort
+            var i = 0
+            while (i < winlen) {
+              samples((w - t) * winlen + i) =
+                if (i % 2 == 0) a else (-a).toShort
+              i += 1
+            }
+            w += 1
+          }
+          org.apache.spark.sql.Row(id, "wav",
+            WavCodec.encodePcm16Mono(16000, samples))
+        }
+      }(enc).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      media.count() // one generate+encode pass shared by all hops
+      Seq(65, 13, 5, 1).foreach { hopW =>
+        val units = AudioDedup.blockHashDf(media, "doc_id",
+          AudioDedup.OffsetBlockSamples, hopW * winlen)
+        val nUnits = units.count()
+        var truePairs = -1L
+        val (pairs, secs, rd, _) = measured {
+          val p = SignatureDedup.nearDupPairsBySignature(units, "doc_id",
+            "block_idx", maxHamming = 3, minMatched = 2)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val total = p.count()
+          // the constructed truth: (master 2g, its variant 2g+1)
+          truePairs = p.filter(col("id_b") === col("id_a") + 1 &&
+            pmod(col("id_a"), lit(2L)) === 0L).count()
+          p.unpersist(blocking = false)
+          total
+        }
+        // RECALL is the hop contract and must be exact: every h | t
+        // group recovered, no h ∤ t group. Spurious cross-content
+        // pairs (structured 64-bit hashes at 10-65× unit density can
+        // land within Hamming 3 twice) are PRECISION, the published
+        // reason dense-hop systems add a voting layer — reported, not
+        // hidden, and bounded tightly here.
+        val expected = nGroups / 4 * trims.count(_ % hopW == 0)
+        require(truePairs == expected,
+          s"hop $hopW recovered $truePairs true pairs, expected $expected " +
+            s"(${nGroups} groups, trims ${trims.mkString(",")})")
+        require(pairs - truePairs <= nGroups / 100,
+          s"hop $hopW: ${pairs - truePairs} spurious pairs exceeds the 1% band")
+        println(f"""{"scale":$k,"experiment":"hop_sweep","hop_windows":$hopW,""" +
+          f""""clips":${nGroups * 2},"units":$nUnits,"pairs":$truePairs,""" +
+          f""""spurious":${pairs - truePairs},""" +
+          f""""match_s":$secs%.2f,"shuffle_read_mb":${rd / 1e6}%.1f}""")
+      }
+      media.unpersist(blocking = false)
+    }
+
     if (want("incr_view")) scales.foreach(k => viewExperiment(base, k))
     if (want("scd_inc")) scales.foreach(k => scdIncExperiment(base, k))
     if (want("stream_ingest")) scales.foreach(k => streamIngestExperiment(base, k))
@@ -1193,6 +1357,8 @@ object ScaleEvidence {
     if (want("media_inc")) scales.foreach(k => mediaIncExperiment(base, k))
     if (want("media_sig")) scales.foreach(k => mediaSigExperiment(k))
     if (want("sig_inc")) scales.foreach(k => sigIncExperiment(base, k))
+    if (want("fp256_inc")) scales.foreach(k => fp256IncExperiment(base, k))
+    if (want("hop_sweep")) scales.foreach(k => hopSweepExperiment(k))
     spark.stop()
   }
 }

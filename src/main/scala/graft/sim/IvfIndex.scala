@@ -189,9 +189,101 @@ final class IvfIndex private (
     */
   def probedScan(lists: Seq[Int]): DataFrame =
     spark.read.parquet(s"$path/index").filter(col("list_id").isin(lists: _*))
+
+  /** Mean assignment cosine of `(nn_id, cq, nb)` rows against the
+    * trained centroids — the quantizer-quality statistic drift
+    * monitoring compares across time.
+    */
+  private def meanAssignSim(rows: DataFrame): (Long, Double) = {
+    // a typed narrow map, not assignLists + join: the fused
+    // centroid-fold + join + avg stage generates > 64 KB of Java and
+    // Janino refuses (whole-stage fallback). The centroids are a
+    // driver-side model (they're in this object's constructor), so a
+    // plain closure loop is the honest shape — deterministic doubles,
+    // one pass, zero shuffle before the 1-row aggregate.
+    val cents = centroids.map(c =>
+      (c, math.sqrt(c.map(x => x.toDouble * x).sum)))
+    import spark.implicits._
+    val sims = rows.select(col("cq"), col("nb"))
+      .as[(Array[Long], Long)]
+      .mapPartitions { it =>
+        it.map { case (q, nb) =>
+          val qn = math.sqrt(nb.toDouble)
+          var best = Double.NegativeInfinity
+          cents.foreach { case (c, cn) =>
+            var d = 0L
+            var i = 0
+            val n = math.min(q.length, c.length)
+            while (i < n) { d += q(i) * c(i); i += 1 }
+            val s = if (cn == 0 || qn == 0) 0.0 else d / (cn * qn)
+            if (s > best) best = s
+          }
+          best
+        }
+      }
+    val r = sims.toDF("sim")
+      .agg(count(lit(1)).as("n"), avg("sim").as("s")).head
+    (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+  }
+
+  /** DRIFT / STALENESS SIGNAL — the missing half of [[append]]'s
+    * train-once-add-many contract: appends never retrain, so when the
+    * data distribution moves away from the trained centroids, recall
+    * degrades SILENTLY (vectors land in lists whose centroid is a poor
+    * proxy, and nprobe lists stop covering the true neighbors).
+    * This measures it instead of hoping: the per-vector assignment
+    * cosine (vector ↔ its nearest centroid) is the quantizer-quality
+    * statistic; [[IvfIndex.build]] persists the TRAINING-TIME mean as
+    * the baseline, and `drift()` recomputes the current mean over a
+    * deterministic hash-sample of the raw store (tombstones masked).
+    *
+    * Reading it: `ratio = current/baseline`. In-distribution growth
+    * holds ratio ≈ 1 (sampling noise aside); a shifted corpus pulls
+    * assignment cosines down and the ratio with it. The worked
+    * trigger: re-run [[IvfIndex.build]] when `ratio < 0.95` or when
+    * appended rows outnumber the trained corpus — both cheap to check
+    * on a maintenance cadence, and the rebuild also compacts
+    * tombstones. Cost: one narrow scan of `samplePerMille`/1000 of the
+    * raw store against broadcast centroids — no shuffle of vectors.
+    *
+    * Indexes built before this signal existed carry no baseline and
+    * refuse loudly (rebuild to enable).
+    */
+  def drift(samplePerMille: Int = 1000): IvfIndex.IvfDrift = {
+    require(samplePerMille >= 1 && samplePerMille <= 1000,
+      s"samplePerMille=$samplePerMille must be in [1, 1000]")
+    val st = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(st),
+      s"IVF index at $path predates the drift baseline — rebuild with " +
+        "IvfIndex.build to persist training-time assignment quality")
+    val base = spark.read.parquet(s"$path/stats").head
+    val sample = IvfIndex.maskRemoved(spark, path,
+      new graft.lake.IncrementalTable(spark, s"$path/raw").snapshot())
+      .filter(pmod(xxhash64(col("nn_id")), lit(1000L)) < samplePerMille)
+    val (n, cur) = meanAssignSim(sample)
+    IvfIndex.IvfDrift(base.getDouble(1), cur, base.getLong(0), n)
+  }
+
+  /** [[IvfIndex.build]]'s hook: persist the training-time baseline. */
+  private[sim] def writeBaseline(rows: DataFrame): Unit = {
+    val (n, s) = meanAssignSim(rows)
+    import spark.implicits._
+    Seq((n, s)).toDF("n", "mean_sim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
 }
 
 object IvfIndex {
+
+  /** [[IvfIndex.drift]]'s report: training-time vs current mean
+    * assignment cosine. `ratio < 0.95` is the worked rebuild trigger.
+    */
+  final case class IvfDrift(baselineMeanSim: Double, currentMeanSim: Double,
+      trainedRows: Long, sampledRows: Long) {
+    def ratio: Double =
+      if (baselineMeanSim <= 0) 1.0 else currentMeanSim / baselineMeanSim
+  }
 
   /** Cap on the re-rank id set pushed as a raw-scan predicate; above
     * it the predicate is dropped (the broadcast join stays correct).
@@ -238,8 +330,11 @@ object IvfIndex {
     val rm = new org.apache.hadoop.fs.Path(s"$path/removed")
     val fs = rm.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(rm)) fs.delete(rm, true)
+    val idx = new IvfIndex(spark, path, centroids)
+    // drift baseline: the training corpus' mean assignment cosine
+    idx.writeBaseline(q)
     q.unpersist()
-    new IvfIndex(spark, path, centroids)
+    idx
   }
 
   /** `df` minus tombstoned ids — a no-op (and no plan change) when no

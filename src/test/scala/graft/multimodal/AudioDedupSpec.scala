@@ -216,6 +216,40 @@ class AudioDedupSpec extends AnyFunSuite with SparkSpec {
         s"group $g pair ($a,$b) must match on its shared hops")
   }
 
+  test("hop granularity contract: at hop h the smallest recovered trim " +
+    "is exactly h windows (h | trim recovers, h ∤ trim misses)") {
+    // one master (id 0) + variants trimmed by t ∈ {1, 5, 13, 65}
+    // windows (ids 1..4); window-constant ±A content keyed by the
+    // ABSOLUTE master window, so a trimmed clip is a bit-exact suffix
+    val winlen = 64
+    val masterWindows = 390
+    val trims = Array(0, 1, 5, 13, 65)
+    def wav(t: Int): Array[Byte] = {
+      val s = new Array[Short]((masterWindows - t) * winlen)
+      for (w <- t until masterWindows; i <- 0 until winlen) {
+        val a = (1 + ((w * 7 + w * w * 3) % 997) % 23 * 40).toShort
+        s((w - t) * winlen + i) = if (i % 2 == 0) a else (-a).toShort
+      }
+      WavCodec.encodePcm16Mono(16000, s)
+    }
+    val clips = trims.indices.map(i => (i.toLong, "wav", wav(trims(i))))
+      .toDF("doc_id", "format", "bytes")
+    for (hopW <- Seq(65, 13, 5, 1)) {
+      val units = AudioDedup.blockHashDf(clips, "doc_id",
+        AudioDedup.OffsetBlockSamples, hopW * winlen)
+      val matchedTrims = SignatureDedup.nearDupPairsBySignature(units,
+        "doc_id", "block_idx", maxHamming = 3, minMatched = 2)
+        .collect().filter(_.getLong(0) == 0L) // pairs with the master
+        .map(r => trims(r.getLong(1).toInt)).toSet
+      val expected = trims.filter(t => t > 0 && t % hopW == 0).toSet
+      assert(matchedTrims === expected,
+        s"hop $hopW: recovered trims $matchedTrims, expected $expected")
+      if (expected.nonEmpty)
+        assert(matchedTrims.min === hopW,
+          s"smallest recovered trim at hop $hopW must be $hopW windows")
+    }
+  }
+
   test("offset-robust recall: every within-group pair pairs by " +
     "distinct-block overlap with exact counts (6 - max shared blocks)") {
     val ids = (0L until 48L).toDF("doc_id")

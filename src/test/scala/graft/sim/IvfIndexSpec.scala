@@ -147,6 +147,53 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       === approx)
   }
 
+  test("drift signal: in-distribution appends hold ratio ~1; a shifted " +
+    "corpus pulls it down — the silent-recall-decay detector") {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+    val path = Files.createTempDirectory("ivf_index_drift").toString
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val index = IvfIndex.build(first, "vec_id", "embedding", path,
+      nCentroids = 16)
+    val base = index.drift()
+    // right after build, the full-store sample IS the training corpus
+    assert(math.abs(base.ratio - 1.0) < 1e-9,
+      s"fresh index must read ratio 1, got ${base.ratio}")
+    assert(base.trainedRows === first.count())
+    // in-distribution growth: copies of TRAINED vectors under fresh
+    // ids — the exact null case (a held-out half of a 500-row corpus
+    // against 16 overfit centroids shows a real generalization gap,
+    // ~0.78 here; that's honest drift, not noise, so the null must be
+    // distribution-identical)
+    index.append(first.withColumn("vec_id", col("vec_id") + 500000L),
+      "vec_id", "embedding")
+    val inDist = index.drift()
+    assert(inDist.ratio > 0.97 && inDist.ratio < 1.03,
+      s"in-distribution appends must hold ratio ~1, got ${inDist.ratio}")
+    // distribution SHIFT: vectors concentrated on one axis direction
+    // the trained centroids never saw — assignment cosines collapse
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val shifted = (0 until 500).map { i =>
+      val v = Array.fill(dim)(0.001f * ((i * 7) % 5))
+      v(i % dim) = 1.0f
+      (1000000L + i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    index.append(shifted, "vec_id", "embedding")
+    val drifted = index.drift()
+    assert(drifted.ratio < inDist.ratio - 0.02,
+      s"a shifted corpus must pull the drift ratio down: " +
+        s"${inDist.ratio} -> ${drifted.ratio}")
+    // pre-baseline indexes refuse loudly rather than guessing
+    val legacy = Files.createTempDirectory("ivf_index_nostats").toString
+    IvfIndex.build(first.limit(300), "vec_id", "embedding", legacy,
+      nCentroids = 4)
+    val st = new java.io.File(s"$legacy/stats")
+    st.listFiles().foreach(_.delete()); st.delete()
+    val e = intercept[IllegalArgumentException](
+      IvfIndex.load(spark, legacy).drift())
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
   test("remove: a retracted id never serves again (probe AND re-rank), " +
     "survivors keep their slots, re-removal is idempotent") {
     val emb = Tables.load(spark, dir, "embeddings")
