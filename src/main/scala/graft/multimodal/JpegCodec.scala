@@ -662,6 +662,12 @@ object JpegCodec {
             val cs = u8(); val tdta = u8()
             val c = comps.find(_.id == cs).getOrElse(
               throw new IllegalArgumentException(s"scan names component $cs"))
+            // the MCU loop interleaves in SOF order; T.81 interleaves
+            // in SCAN order — refuse loudly on a reordered scan rather
+            // than silently swapping planes (they agree in practice)
+            require(c eq comps(i),
+              s"scan component order differs from SOF order at slot $i " +
+                s"(component $cs) — unsupported")
             c.td = tdta >> 4; c.ta = tdta & 0xF
             require(dcTabs(c.td) != null && acTabs(c.ta) != null,
               s"scan references undefined Huffman table ${tdta}")

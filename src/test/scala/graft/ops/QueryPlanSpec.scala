@@ -151,6 +151,31 @@ class QueryPlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), s"window rank crept into the knn plan:\n$p")
   }
 
+  test("semantic_dedup_clustered: the scoped pair join stays an " +
+    "equi-join on (cluster, table, bucket) — no cartesian, no " +
+    "nested-loop, and the corpus vectors never shuffle for assignment") {
+    val p = PipelineQueries.semanticDedupClustered(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"SemDeDup pair generation degenerated to all-pairs:\n$p")
+    // the only BroadcastNestedLoopJoins permitted are the broadcast
+    // crossJoins of MODEL-sized one-row/centroid frames (k-means
+    // assignment, packed centroid fold); the PAIR join must be a hash
+    // equi-join — its keys include the k-means cluster
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"no hash pair join found:\n$p")
+  }
+
+  test("image_dedup_jpeg rides the shared banded plan (same pins as " +
+    "the png/bmp operator)") {
+    val p = PipelineQueries.imageDedupJpeg(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"jpeg dedup degenerated to all-pairs:\n$p")
+    PipelineQueries.releaseMediaHashCache(spark)
+  }
+
   test("video_dedup_shots: the alignment-free matcher stays a banded " +
     "equi-join — no cartesian, no nested-loop, and the index k-NN " +
     "retrieval path broadcasts the probe side") {
