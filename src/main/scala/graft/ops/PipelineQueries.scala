@@ -1562,6 +1562,23 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The audio twin of [[videoDedupOffsetEstimate]]: block-trimmed
+    * clips, same alignment-free engine, and `best_offset` = the mode
+    * of matched block-index deltas — "B is A trimmed by k blocks".
+    * One engine, two modalities, one shared oracle tail.
+    */
+  def audioDedupOffsetEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{AudioDedup, SignatureDedup}
+    val sigs = mediaHashCache.get(spark, dir + "#audioblocks") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      AudioDedup.blockHashDf(AudioDedup.syntheticOffsetAudio(ids, "doc_id"),
+        "doc_id", AudioDedup.OffsetBlockSamples)
+    }
+    SignatureDedup.nearDupPairsWithOffset(sigs, "doc_id", "block_idx",
+      maxHamming = 3, minMatched = 2, bandBits = 16)
+      .orderBy("id_a", "id_b")
+  }
+
   /** OVERLAPPING-HOP audio near-dup
     * ([[graft.multimodal.AudioDedup.blockHashDf]] with a hop): the
     * recovery path for trims that are NOT block-aligned — the
@@ -2646,6 +2663,40 @@ object PipelineQueries {
        |         count(DISTINCT ua) AS nma, count(DISTINCT ub) AS nmb
        |  FROM m GROUP BY 1, 2
        |  HAVING least(count(DISTINCT ua), count(DISTINCT ub)) >= 2)""".stripMargin
+
+  /** The offset-estimate tail over a `units(id, u, hi, lo)` chain +
+    * [[sigOverlapPairsCtes]]: per-pair matched-delta counts with
+    * deltas re-based to clip-relative ordinals (both trim generators
+    * use `v = id % 4` leading-unit trims, so the re-basing term is
+    * `(id_b % 4) - (id_a % 4)` for either modality), the
+    * (cnt DESC, off ASC) mode — Spark's deterministic `mode` — and
+    * the countDistinct denominators. Pre-stripped like
+    * [[imageDhashCtes]].
+    */
+  private val sigOffsetTail: String =
+    raw"""$sigOverlapPairsCtes,
+       |deltas AS (
+       |  SELECT m.id_a, m.id_b,
+       |         (m.ua - m.ub) + (m.id_b % 4) - (m.id_a % 4) AS off,
+       |         count(*) AS cnt
+       |  FROM m GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT id_a, id_b, off,
+       |         row_number() OVER (PARTITION BY id_a, id_b
+       |                            ORDER BY cnt DESC, off ASC) AS rn
+       |  FROM deltas),
+       |nu AS (SELECT id, count(DISTINCT u) AS n FROM units GROUP BY id)
+       |SELECT agg.id_a, agg.id_b,
+       |       CAST(nma AS BIGINT) AS n_matched_a,
+       |       CAST(nmb AS BIGINT) AS n_matched_b,
+       |       CAST(na.n AS BIGINT) AS n_units_a,
+       |       CAST(nb.n AS BIGINT) AS n_units_b,
+       |       CAST(b.off AS BIGINT) AS best_offset
+       |FROM agg JOIN nu na ON na.id = agg.id_a
+       |         JOIN nu nb ON nb.id = agg.id_b
+       |         JOIN best b ON b.id_a = agg.id_a AND b.id_b = agg.id_b
+       |                    AND b.rn = 1
+       |ORDER BY agg.id_a, agg.id_b""".stripMargin
 
   private val sigOverlapTail: String =
     raw"""$sigOverlapPairsCtes,
@@ -4199,35 +4250,20 @@ object PipelineQueries {
          |       CAST(CASE WHEN nid = min(r) THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM reach GROUP BY nid ORDER BY doc_id""".stripMargin,
     // The overlap tail plus the matched-delta MODE: deltas re-based to
-    // each clip's own 1-based detected-shot ordinal (absolute master
-    // index s minus the variant's trim v), counted over the DISTINCT
-    // matched unit pairs, mode ties to the smallest offset — exactly
-    // Spark's deterministic mode over (ua - ub)
+    // each clip's own 0/1-based detected-unit ordinal (absolute master
+    // index minus the variant's trim v — the basis shift cancels in
+    // differences), counted over the DISTINCT matched unit pairs,
+    // mode ties to the smallest offset — exactly Spark's deterministic
+    // mode over (ua - ub). Shared by the video-shot and audio-block
+    // offset oracles ([[sigOffsetTail]]).
     "video_dedup_offset_estimate" ->
       raw"""WITH $trimShotUnitsCtes,
-         |$sigOverlapPairsCtes,
-         |deltas AS (
-         |  SELECT m.id_a, m.id_b,
-         |         (m.ua - m.ub) + (m.id_b % 4) - (m.id_a % 4) AS off,
-         |         count(*) AS cnt
-         |  FROM m GROUP BY 1, 2, 3),
-         |best AS (
-         |  SELECT id_a, id_b, off,
-         |         row_number() OVER (PARTITION BY id_a, id_b
-         |                            ORDER BY cnt DESC, off ASC) AS rn
-         |  FROM deltas),
-         |nu AS (SELECT id, count(DISTINCT u) AS n FROM units GROUP BY id)
-         |SELECT agg.id_a, agg.id_b,
-         |       CAST(nma AS BIGINT) AS n_matched_a,
-         |       CAST(nmb AS BIGINT) AS n_matched_b,
-         |       CAST(na.n AS BIGINT) AS n_units_a,
-         |       CAST(nb.n AS BIGINT) AS n_units_b,
-         |       CAST(b.off AS BIGINT) AS best_offset
-         |FROM agg JOIN nu na ON na.id = agg.id_a
-         |         JOIN nu nb ON nb.id = agg.id_b
-         |         JOIN best b ON b.id_a = agg.id_a AND b.id_b = agg.id_b
-         |                    AND b.rn = 1
-         |ORDER BY agg.id_a, agg.id_b""".stripMargin,
+         |$sigOffsetTail""".stripMargin,
+    // The audio twin: the SAME offset tail over the trimmed-block
+    // units — "B is A trimmed by k blocks", the actionable output
+    "audio_dedup_offset_estimate" ->
+      raw"""WITH $audioBlockUnitsCtes,
+         |$sigOffsetTail""".stripMargin,
     // Full replay of the two-batch INCREMENTAL shot-signature arc:
     // batch clips match the index membership by the SAME symmetric
     // distinct-unit overlap gate, components among survivors, index
@@ -4512,6 +4548,7 @@ object PipelineQueries {
     "video_dedup_shot_clusters" -> videoDedupShotClusters _,
     "video_dedup_offset_estimate" -> videoDedupOffsetEstimate _,
     "audio_dedup_offset" -> audioDedupOffset _,
+    "audio_dedup_offset_estimate" -> audioDedupOffsetEstimate _,
     "audio_dedup_hop" -> audioDedupHop _,
     "lang_id" -> langId _,
     "corpus_clean" -> corpusClean _

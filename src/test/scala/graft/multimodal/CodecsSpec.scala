@@ -158,6 +158,25 @@ class CodecsSpec extends AnyFunSuite {
     assert(back.rgb(1, 1) === ((2 * 60) << 16 | (2 * 60) << 8))
   }
 
+  test("JPEG: JvmMediaDecoder decodes real baseline-JFIF features and " +
+    "resizes via decode→resample→re-encode (the lossy path)") {
+    val dec = new MediaOps.JvmMediaDecoder(8)
+    // constant gray 100: decodes exactly by the DC closed form
+    val g = dec.decode("image", "jpeg",
+      JpegCodec.encode420(16, 16, (_, _) => (100, 100, 100)))
+    assert(g(0) === 16f && g(1) === 16f)
+    val expect = math.min(255, 2 * ((100 + 1) / 2)) / 255f
+    assert(math.abs(g(2) - expect) < 1e-6 && math.abs(g(3) - expect) < 1e-6
+      && math.abs(g(4) - expect) < 1e-6)
+    val resized = dec.resize("image", "jpeg",
+      JpegCodec.encode420(32, 32, (_, _) => (200, 200, 200)), 16, 16)
+    val back = JpegCodec.decode(resized)
+    assert(back.width === 16 && back.height === 16)
+    // two lossy round trips: 200 is even and dec() is idempotent on
+    // even values, so the constant survives both hops exactly
+    assert(back.pixels.forall(p => (p & 0xFF) === 200))
+  }
+
   test("adversarial declared dims refuse BEFORE allocating: a tiny " +
     "payload claiming huge or overflowing dims must not OOM") {
     import java.nio.{ByteBuffer, ByteOrder}
