@@ -607,6 +607,7 @@ object JpegCodec {
           while (pos < end) {
             val pqTq = u8()
             require((pqTq >> 4) == 0, "only 8-bit quantization tables")
+            require((pqTq & 0xF) <= 3, s"DQT table id ${pqTq & 0xF} > 3")
             val t = new Array[Int](64)
             var k = 0
             while (k < 64) { t(ZigZag(k)) = u8(); k += 1 }
@@ -618,6 +619,8 @@ object JpegCodec {
           require(end <= bytes.length, "DHT overruns the file")
           while (pos < end) {
             val tcTh = u8()
+            require((tcTh >> 4) <= 1 && (tcTh & 0xF) <= 3,
+              s"DHT class/id ${tcTh >> 4}/${tcTh & 0xF} outside baseline")
             val bits = Array.fill(16)(u8())
             val nv = bits.sum
             require(pos + nv <= end, "DHT values overrun the segment")
@@ -641,6 +644,7 @@ object JpegCodec {
             val c = Component(id, hv >> 4, hv & 0xF, tq)
             require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
               s"sampling ${c.h}x${c.v} outside the {1,2} baseline set")
+            require(tq <= 3, s"component $id quant table $tq > 3")
             c
           }
         case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
@@ -669,6 +673,8 @@ object JpegCodec {
               s"scan component order differs from SOF order at slot $i " +
                 s"(component $cs) — unsupported")
             c.td = tdta >> 4; c.ta = tdta & 0xF
+            require(c.td <= 3 && c.ta <= 3,
+              s"scan Huffman table ids ${c.td}/${c.ta} > 3")
             require(dcTabs(c.td) != null && acTabs(c.ta) != null,
               s"scan references undefined Huffman table ${tdta}")
             require(qtabs(c.tq) != null,

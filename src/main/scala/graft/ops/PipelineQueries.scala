@@ -1081,6 +1081,41 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** JPEG round-trip over the FULL pixel field: every synthetic JPEG
+    * decodes back and the per-image channel SUMS are emitted —
+    * unlike the dHash queries (which sample only the 9×8 cell
+    * corners), the sums cover every pixel, so the hash match proves
+    * every 8×8 block's DC closed form AND that the decoder crops the
+    * MCU edge padding exactly (a padded-row leak would inflate the
+    * sums). Integer features only (the [[MediaOps.roundTripFeatures]]
+    * rule: the driver hashes scalar cells).
+    */
+  def mediaRoundtripJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.types._
+    val imgs = graft.multimodal.ImageDedup.syntheticImagesJpeg(
+      Tables.load(spark, dir, "documents").select(col("doc_id")), "doc_id")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("w", LongType, nullable = false),
+      StructField("h", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    imgs.mapPartitions { rows =>
+      rows.map { r =>
+        val img = graft.multimodal.JpegCodec.decode(r.getAs[Array[Byte]](2))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        img.pixels.foreach { p =>
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        }
+        org.apache.spark.sql.Row(r.getLong(0), img.width.toLong,
+          img.height.toLong, sr, sg, sb)
+      }
+    }(enc).orderBy("doc_id")
+  }
+
   /** AUDIO near-duplicate detection ([[graft.multimodal.AudioDedup]]):
     * deterministic synthetic PCM clips (near-dup groups of 4 by
     * construction) are ENCODED and DECODED through the real WAV codec,
@@ -3953,6 +3988,38 @@ object PipelineQueries {
          |FROM cand
          |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // Full-pixel-field replay: per-cell decoded value × cell area,
+    // summed — covers every pixel including the cropped MCU padding
+    // (the dHash oracles only touch cell corners). r = g = b by the
+    // gray construction, so one sum serves all three channels.
+    "media_roundtrip_jpeg" ->
+      raw"""WITH ids AS (
+         |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+         |  FROM documents),
+         |dims AS (
+         |  SELECT id, g, v, 8 * (1 + g % 3) AS cw, 8 * (1 + g % 2) AS ch
+         |  FROM ids),
+         |cell AS (
+         |  SELECT id, v, cw, ch, cy, cx,
+         |         ((cx*(7 + g % 5) + cy*(13 + g % 11) + g*31) % 17) * 15 AS base
+         |  FROM dims, unnest(range(0, 8)) AS r1(cy),
+         |       unnest(range(0, 9)) AS r2(cx)),
+         |pert AS (
+         |  SELECT id, cw, ch, cy, cx,
+         |         CASE WHEN cx = 8 AND cy < v
+         |              THEN (base + 40 * (cy + 1)) % 256
+         |              ELSE base END AS p
+         |  FROM cell),
+         |sums AS (
+         |  SELECT id, CAST(sum(least(255, 2 * ((p + 1) // 2)) * cw * ch)
+         |               AS BIGINT) AS s
+         |  FROM pert GROUP BY id)
+         |SELECT d.id AS doc_id,
+         |       CAST(9 * d.cw AS BIGINT) AS w,
+         |       CAST(8 * d.ch AS BIGINT) AS h,
+         |       s.s AS sum_r, s.s AS sum_g, s.s AS sum_b
+         |FROM dims d JOIN sums s ON s.id = d.id
+         |ORDER BY doc_id""".stripMargin,
     // The cluster-assignment consumer: near-dup pairs close into
     // connected components (recursive reachability, min-id label —
     // the dedup_clusters construction on the image pair graph) and
@@ -4530,6 +4597,7 @@ object PipelineQueries {
     "remove_repeated_spans" -> removeRepeatedSpans _,
     "image_dedup_dhash" -> imageDedupDhash _,
     "image_dedup_jpeg" -> imageDedupJpeg _,
+    "media_roundtrip_jpeg" -> mediaRoundtripJpeg _,
     "image_dedup_clusters" -> imageDedupClusters _,
     "image_dedup_dhash256" -> imageDedupDhash256 _,
     "media_hamming_knn" -> mediaHammingKnn _,

@@ -181,6 +181,34 @@ class JpegCodecSpec extends AnyFunSuite {
     assert((half.rgb(7, 7) & 0xFF) === (img.rgb(14, 14) & 0xFF))
   }
 
+  test("corruption sweep: every single-byte corruption either decodes " +
+    "or refuses with the loud IllegalArgumentException — never an " +
+    "index/allocation error, never a hang") {
+    // untrusted-bytes hardening, the WAV/BMP/PNG rule applied to the
+    // entropy format: flip and zero every byte of a small valid file
+    // (headers, tables, scan data, markers alike) and demand a
+    // two-outcome contract
+    val base = JpegCodec.encode420(24, 16, (x, y) =>
+      ((x * 31) % 256, (y * 57) % 256, ((x + y) * 11) % 256))
+    def attempt(b: Array[Byte], what: String): Unit =
+      try { JpegCodec.decode(b); () }
+      catch {
+        case _: IllegalArgumentException => () // the loud refusal
+        case e: Throwable =>
+          fail(s"$what: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    base.indices.foreach { i =>
+      val zeroed = base.clone(); zeroed(i) = 0
+      attempt(zeroed, s"byte $i zeroed")
+      val flipped = base.clone(); flipped(i) = (flipped(i) ^ 0xFF).toByte
+      attempt(flipped, s"byte $i flipped")
+    }
+    // truncation at every prefix length
+    (0 until base.length by 7).foreach { n =>
+      attempt(base.take(n), s"truncated to $n bytes")
+    }
+  }
+
   test("refusals: progressive, non-JPEG, truncation, overfull DHT") {
     // progressive: flip the hand-built fixture's SOF0 to SOF2
     val fx = grayFixture(8, 8, 0, Array(0x3F))
