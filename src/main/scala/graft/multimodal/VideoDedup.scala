@@ -56,6 +56,7 @@ object VideoDedup {
       val tag: Byte = fmt match {
         case "bmp" => 0
         case "png" => 1
+        case "jpeg" => 2 // Motion-JPEG shape: entropy-coded frames
         case other => throw new IllegalArgumentException(
           s"GVID carries real pixel codecs only; '$other' is not one")
       }
@@ -77,6 +78,7 @@ object VideoDedup {
       val fmt = buf.get() match {
         case 0 => "bmp"
         case 1 => "png"
+        case 2 => "jpeg"
         case t => throw new IllegalArgumentException(s"unknown codec tag $t")
       }
       val len = buf.getInt()
@@ -115,6 +117,8 @@ object VideoDedup {
               val img = PngCodec.decode(b); (img.width, img.height, img.pixels)
             case ("bmp", b) =>
               val img = BmpCodec.decode(b); (img.width, img.height, img.pixels)
+            case ("jpeg", b) => // the Motion-JPEG path: real entropy decode
+              val img = JpegCodec.decode(b); (img.width, img.height, img.pixels)
             case (other, _) => throw new IllegalArgumentException(
               s"unsupported frame codec '$other'") // unreachable past decodeGvid
           }
@@ -378,6 +382,56 @@ object VideoDedup {
               ("png", PngCodec.encodeRgb8(w, h, rgbAt, filterForRow = y => y % 5))
             else
               ("bmp", BmpCodec.encode24(w, h, rgbAt))
+          Seq.fill(nFrames)(frame) // within a shot, frames bit-identical
+        }
+        Row(id, "gvid", encodeGvid(frames))
+      }
+    }(enc)
+  }
+
+  /** [[syntheticTrimmedShotVideos]] carried through the LOSSY codec —
+    * the Motion-JPEG corpus for the oracle-gated
+    * `video_dedup_shots_jpeg` query: the same 4-shot master / v-trim
+    * group structure and coprime-moduli content rule, but GRAY cells
+    * sized in multiples of 8 (cw ∈ {8,16}, ch = 8 — cell boundaries
+    * land on JPEG block boundaries, so every block is constant and
+    * decodes on the DC closed form `dec(p)`), every frame encoded
+    * baseline 4:2:0 JFIF. The oracle replays the full
+    * generate→ENCODE→DECODE→shot-detect→signature→match chain with
+    * one extra `dec()` wrap over the cell values; quantization
+    * collapses only adjacent (odd, even) value pairs, so the ±40·k
+    * perturbation structure — and the within-group distance <= 3
+    * contract — survives the loss.
+    */
+  def syntheticTrimmedShotVideosJpeg(
+      ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIx = ids.schema.fieldIndex(idCol)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIx)
+        val g = id / 4; val v = (id % 4).toInt
+        val cw = (8 * (1 + g % 2)).toInt; val ch = 8
+        val w = 9 * cw; val h = 8 * ch
+        val frames = (v to 3).flatMap { s =>
+          val m = g * 4 + s
+          def grayAt(x: Int, y: Int): Int = {
+            val cx = x / cw; val cy = y / ch
+            val base = ((cx * (1 + (m * m + m * 131) % 241) +
+              cy * (1 + (m * m * 3 + m * 137) % 239) +
+              cx * cy * (1 + (m * m * 7 + m * 139) % 233) +
+              cx * cx * (1 + (m * m * 11 + m * 149) % 229) + m) % 251).toInt
+            if (cx == 8 && cy < v) ((base + 40 * (cy + 1)) % 256).toInt
+            else base
+          }
+          val nFrames = (3 + g % 3).toInt
+          val frame = ("jpeg", JpegCodec.encode420(w, h, (x, y) => {
+            val p = grayAt(x, y); (p, p, p)
+          }))
           Seq.fill(nFrames)(frame) // within a shot, frames bit-identical
         }
         Row(id, "gvid", encodeGvid(frames))

@@ -1543,6 +1543,31 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** MOTION-JPEG alignment-robust video dedup — [[videoDedupShots]]
+    * with every frame carried through the REAL baseline JPEG codec
+    * ([[graft.multimodal.VideoDedup.syntheticTrimmedShotVideosJpeg]]):
+    * the GVID container's frames are entropy-coded JFIF (the MJPEG
+    * shape — the video-family analog of `image_dedup_jpeg`), so shot
+    * detection, keyframe signatures and the alignment-free matcher
+    * all run over LOSSY-decoded pixels. The oracle replays the loss
+    * itself (one `dec()` wrap over the closed-form cell values) plus
+    * the whole shot/signature/overlap chain — Huffman, IDCT, chroma
+    * and the crop are proven inside a video pipeline end to end.
+    */
+  def videoDedupShotsJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{SignatureDedup, VideoDedup}
+    val hashes = mediaHashCache.get(spark, dir + "#trimshotsjpeg") {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      VideoDedup.frameHashDf(
+        VideoDedup.syntheticTrimmedShotVideosJpeg(ids, "doc_id"),
+        "doc_id", stride = 1)
+    }
+    val sigs = VideoDedup.shotSignatures(hashes, "doc_id", cutHamming = 8)
+    SignatureDedup.nearDupPairsBySignature(sigs, "doc_id", "shot_idx",
+      maxHamming = 3, minMatched = 2, bandBits = 16)
+      .orderBy("id_a", "id_b")
+  }
+
   /** TEMPORAL ALIGNMENT ESTIMATE for matched clips
     * ([[graft.multimodal.SignatureDedup.nearDupPairsWithOffset]]):
     * the alignment-free matcher implicitly finds the offset between
@@ -2531,6 +2556,53 @@ object PipelineQueries {
        |gray AS (
        |  SELECT id, s, cy, cx,
        |         (77*p + 150*((p + 60) % 256) + 29*((p + 120) % 256)) // 256 AS gv
+       |  FROM pert),
+       |bits AS (
+       |  SELECT a.id, a.s, a.cy * 8 + a.cx AS j,
+       |         CASE WHEN a.gv > b.gv THEN 1 ELSE 0 END AS bit
+       |  FROM gray a JOIN gray b
+       |    ON b.id = a.id AND b.s = a.s AND b.cy = a.cy AND b.cx = a.cx + 1
+       |  WHERE a.cx < 8),
+       |units AS MATERIALIZED (
+       |  SELECT id, s AS u,
+       |         CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+       |                       ELSE 0 END) AS BIGINT) AS hi,
+       |         CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+       |                       ELSE 0 END) AS BIGINT) AS lo
+       |  FROM bits GROUP BY id, s)""".stripMargin
+
+  /** [[trimShotUnitsCtes]] carried through the JPEG round trip: the
+    * Motion-JPEG corpus' cells are 8-multiples of constant gray, so
+    * the decoded value is the DC closed form — one `dec()` wrap
+    * (`least(255, 2*((p+1) // 2))`, non-negative arithmetic for
+    * DuckDB's truncating `//`) over the same coprime-moduli content
+    * rule, then the identical signature chain. cw = 8·(1 + g%2),
+    * ch = 8 (the jpeg generator's block-aligned grid). Pre-stripped
+    * like [[imageDhashCtes]].
+    */
+  private val trimShotUnitsJpegCtes: String =
+    raw"""ids AS (
+       |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+       |  FROM documents),
+       |sh AS (
+       |  SELECT id, v, s, g*4 + s AS m
+       |  FROM ids, unnest(range(0, 4)) AS r(s) WHERE s >= v),
+       |cell AS (
+       |  SELECT id, v, s, cy, cx,
+       |         (cx*(1 + (m*m + m*131) % 241) +
+       |          cy*(1 + (m*m*3 + m*137) % 239) +
+       |          cx*cy*(1 + (m*m*7 + m*139) % 233) +
+       |          cx*cx*(1 + (m*m*11 + m*149) % 229) + m) % 251 AS base
+       |  FROM sh, unnest(range(0, 8)) AS r1(cy),
+       |       unnest(range(0, 9)) AS r2(cx)),
+       |pert AS (
+       |  SELECT id, s, cy, cx,
+       |         CASE WHEN cx = 8 AND cy < v
+       |              THEN (base + 40 * (cy + 1)) % 256
+       |              ELSE base END AS p
+       |  FROM cell),
+       |gray AS (
+       |  SELECT id, s, cy, cx, least(255, 2 * ((p + 1) // 2)) AS gv
        |  FROM pert),
        |bits AS (
        |  SELECT a.id, a.s, a.cy * 8 + a.cx AS j,
@@ -4299,6 +4371,11 @@ object PipelineQueries {
     "video_dedup_shots" ->
       raw"""WITH $trimShotUnitsCtes,
          |$sigOverlapTail""".stripMargin,
+    // The Motion-JPEG twin: the same chain over LOSSY frames — the
+    // units CTE swaps in the dec()-wrapped cell values
+    "video_dedup_shots_jpeg" ->
+      raw"""WITH $trimShotUnitsJpegCtes,
+         |$sigOverlapTail""".stripMargin,
     // Recursive min-label closure over the shot-signature pair list
     // (the image_dedup_clusters construction on the overlap-gated
     // pairs): components keep their min id as canonical
@@ -4613,6 +4690,7 @@ object PipelineQueries {
     "video_dedup_frames" -> videoDedupFrames _,
     "video_shots" -> videoShots _,
     "video_dedup_shots" -> videoDedupShots _,
+    "video_dedup_shots_jpeg" -> videoDedupShotsJpeg _,
     "video_dedup_shot_clusters" -> videoDedupShotClusters _,
     "video_dedup_offset_estimate" -> videoDedupOffsetEstimate _,
     "audio_dedup_offset" -> audioDedupOffset _,

@@ -22,9 +22,12 @@ class VideoDedupSpec extends AnyFunSuite with SparkSpec {
 
   test("GVID round-trips mixed-codec frames byte-for-byte and refuses " +
     "junk: bad magic, inconsistent frame count, overlong frame") {
-    val frames = Seq(frame(1, "png"), frame(2, "bmp"), frame(3, "png"))
+    // jpeg frames ride the container since round 16 (the MJPEG shape)
+    val frames = Seq(frame(1, "png"), frame(2, "bmp"), frame(3, "png"),
+      ("jpeg", JpegCodec.encode420(16, 16, (x, y) =>
+        ((x * 29 + 4) % 256, (y * 47) % 256, (x * y) % 256))))
     val out = VideoDedup.decodeGvid(VideoDedup.encodeGvid(frames))
-    assert(out.length === 3)
+    assert(out.length === 4)
     frames.zip(out).foreach { case ((f1, b1), (f2, b2)) =>
       assert(f1 === f2); assert(b1.toSeq === b2.toSeq)
     }
@@ -37,7 +40,21 @@ class VideoDedupSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](VideoDedup.decodeGvid(badLen))
     intercept[IllegalArgumentException](VideoDedup.encodeGvid(Seq.empty))
     intercept[IllegalArgumentException](
-      VideoDedup.encodeGvid(Seq(("jpeg", Array[Byte](1)))))
+      VideoDedup.encodeGvid(Seq(("gif", Array[Byte](1)))))
+  }
+
+  test("MJPEG frames hash from LOSSY-decoded pixels: a constant-gray " +
+    "jpeg frame lands on the closed-form dHash (all-zero gradients)") {
+    // constant gray → dec(p) constant plane → every gradient bit 0
+    val clip = VideoDedup.encodeGvid(Seq(
+      ("jpeg", JpegCodec.encode420(18, 16, (_, _) => (90, 90, 90))),
+      ("bmp", BmpCodec.encode24(18, 16, (_, _) => (90, 90, 90)))))
+    val rows = VideoDedup.frameHashDf(
+      Seq((7L, "gvid", clip)).toDF("doc_id", "format", "bytes"),
+      "doc_id", stride = 1)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows === Map(0 -> ((0L, 0L)), 1 -> ((0L, 0L))),
+      "constant frames must hash to zero through BOTH codecs")
   }
 
   test("frameHashDf samples every stride-th frame and hashes the " +
