@@ -1116,6 +1116,58 @@ object PipelineQueries {
     }(enc).orderBy("doc_id")
   }
 
+  /** REAL image RESIZE through the lossy codec, oracle-gated — the
+    * resize seam ([[MediaOps.MediaDecoder.resize]]) was spec-only
+    * until now: 144×128 cell-constant gray JPEGs (16×16 cells aligned
+    * to blocks) are decoded, nearest-resampled to 72×64 (source index
+    * 2i — cells become exactly 8×8, still block-aligned), RE-ENCODED
+    * baseline 4:2:0 and decoded again; per-image channel sums over
+    * the final pixels are emitted. The closed form survives BOTH
+    * lossy hops because `dec(p)` always lands on an even value and
+    * `dec` is idempotent on evens — so the oracle is one `dec()` per
+    * cell × 64 pixels, and the hash match proves
+    * decode→resample→re-encode→decode end to end.
+    */
+  def mediaResizeJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.types._
+    import graft.multimodal.{JpegCodec, MediaOps}
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("w", LongType, nullable = false),
+      StructField("h", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = ExpressionEncoder(outSchema)
+    Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .mapPartitions { rows =>
+        val dec = new MediaOps.JvmMediaDecoder()
+        rows.map { r =>
+          val id = r.getLong(0)
+          val g = id / 4; val v = id % 4
+          def grayAt(x: Int, y: Int): Int = {
+            val cx = x / 16; val cy = y / 16
+            val base =
+              (((cx * (7 + g % 5) + cy * (13 + g % 11) + g * 31) % 17) * 15).toInt
+            if (cx == 8 && cy < v) ((base + 40 * (cy + 1)) % 256).toInt
+            else base
+          }
+          val bytes = JpegCodec.encode420(144, 128, (x, y) => {
+            val p = grayAt(x, y); (p, p, p)
+          })
+          val img = JpegCodec.decode(
+            dec.resize("image", "jpeg", bytes, 72, 64))
+          var sr = 0L; var sg = 0L; var sb = 0L
+          img.pixels.foreach { p =>
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          }
+          org.apache.spark.sql.Row(id, img.width.toLong,
+            img.height.toLong, sr, sg, sb)
+        }
+      }(enc).orderBy("doc_id")
+  }
+
   /** AUDIO near-duplicate detection ([[graft.multimodal.AudioDedup]]):
     * deterministic synthetic PCM clips (near-dup groups of 4 by
     * construction) are ENCODED and DECODED through the real WAV codec,
@@ -4092,6 +4144,32 @@ object PipelineQueries {
          |       s.s AS sum_r, s.s AS sum_g, s.s AS sum_b
          |FROM dims d JOIN sums s ON s.id = d.id
          |ORDER BY doc_id""".stripMargin,
+    // Double-lossy replay: dec(p) is even and dec is idempotent on
+    // evens, so decode→half-resample→re-encode→decode lands every
+    // (now 8×8) cell exactly on dec(p) — one dec() per cell × 64 px
+    "media_resize_jpeg" ->
+      raw"""WITH ids AS (
+         |  SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS v
+         |  FROM documents),
+         |cell AS (
+         |  SELECT id, v, cy, cx,
+         |         ((cx*(7 + g % 5) + cy*(13 + g % 11) + g*31) % 17) * 15 AS base
+         |  FROM ids, unnest(range(0, 8)) AS r1(cy),
+         |       unnest(range(0, 9)) AS r2(cx)),
+         |pert AS (
+         |  SELECT id, cy, cx,
+         |         CASE WHEN cx = 8 AND cy < v
+         |              THEN (base + 40 * (cy + 1)) % 256
+         |              ELSE base END AS p
+         |  FROM cell),
+         |sums AS (
+         |  SELECT id, CAST(sum(least(255, 2 * ((p + 1) // 2)) * 64)
+         |               AS BIGINT) AS s
+         |  FROM pert GROUP BY id)
+         |SELECT id AS doc_id,
+         |       CAST(72 AS BIGINT) AS w, CAST(64 AS BIGINT) AS h,
+         |       s AS sum_r, s AS sum_g, s AS sum_b
+         |FROM sums ORDER BY doc_id""".stripMargin,
     // The cluster-assignment consumer: near-dup pairs close into
     // connected components (recursive reachability, min-id label —
     // the dedup_clusters construction on the image pair graph) and
@@ -4675,6 +4753,7 @@ object PipelineQueries {
     "image_dedup_dhash" -> imageDedupDhash _,
     "image_dedup_jpeg" -> imageDedupJpeg _,
     "media_roundtrip_jpeg" -> mediaRoundtripJpeg _,
+    "media_resize_jpeg" -> mediaResizeJpeg _,
     "image_dedup_clusters" -> imageDedupClusters _,
     "image_dedup_dhash256" -> imageDedupDhash256 _,
     "media_hamming_knn" -> mediaHammingKnn _,
