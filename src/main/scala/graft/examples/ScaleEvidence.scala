@@ -1337,6 +1337,34 @@ object ScaleEvidence {
       media.unpersist(blocking = false)
     }
 
+    /** Experiment: the JPEG codec seam priced — the full
+      * generate→ENCODE→DECODE→dHash pass of the `image_dedup_jpeg`
+      * corpus at 1×/4× image counts, as one narrow mapPartitions
+      * pipeline (the deployed seam shape: no shuffle, no driver
+      * state). Wall should scale ~linearly in decoded pixels — the
+      * codec is row-local — and the Mpx/s figure is the planning
+      * number for a real corpus (how many executor-hours per billion
+      * images at this image size).
+      */
+    def jpegCodecExperiment(k: Int): Unit = {
+      import graft.multimodal.ImageDedup
+      val n = 5000L * k
+      val ids = spark.range(n).select(col("id").as("doc_id"))
+      val (rows, secs, _, _) = measured(
+        ImageDedup.dHashDf(
+          ImageDedup.syntheticImagesJpeg(ids, "doc_id"), "doc_id").count())
+      require(rows == n, s"jpeg hash pass lost rows: $rows of $n")
+      // exact pixel count from the generator rule:
+      // w·h = (9·8·(1+g%3)) × (8·8·(1+g%2))
+      val px = spark.range(n).select(sum(
+        (lit(72L) * (lit(1L) + pmod(expr("id div 4"), lit(3L)))) *
+          (lit(64L) * (lit(1L) + pmod(expr("id div 4"), lit(2L)))))
+        .cast("long")).head.getLong(0)
+      println(f"""{"scale":$k,"experiment":"jpeg_codec","images":$n,""" +
+        f""""megapixels":${px / 1e6}%.1f,"wall_s":$secs%.2f,""" +
+        f""""mpx_per_s":${px / 1e6 / secs}%.1f}""")
+    }
+
     if (want("incr_view")) scales.foreach(k => viewExperiment(base, k))
     if (want("scd_inc")) scales.foreach(k => scdIncExperiment(base, k))
     if (want("stream_ingest")) scales.foreach(k => streamIngestExperiment(base, k))
@@ -1359,6 +1387,7 @@ object ScaleEvidence {
     if (want("sig_inc")) scales.foreach(k => sigIncExperiment(base, k))
     if (want("fp256_inc")) scales.foreach(k => fp256IncExperiment(base, k))
     if (want("hop_sweep")) scales.foreach(k => hopSweepExperiment(k))
+    if (want("jpeg_codec")) scales.foreach(k => jpegCodecExperiment(k))
     spark.stop()
   }
 }
