@@ -36,6 +36,10 @@ import org.apache.spark.sql.functions._
   * the whole query fails and retries from the source — acceptable
   * for a QUERY (no table state can corrupt, unlike a sink), but for
   * expensive pair lists on preemptible clusters set a checkpoint dir.
+  * Note Spark retains reliable checkpoint files unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints` is enabled —
+  * point the dir at scratch storage with a lifecycle rule, the
+  * standard operational practice for iterative jobs.
   */
 object Clusters {
 

@@ -1031,6 +1031,19 @@ object PipelineQueries {
       .drop("cleaned_text")
       .orderBy("doc_id")
 
+  /** Ids fanned out for a heavy per-row codec pass: the documents
+    * table at test scales is ONE parquet file, so a generator keyed
+    * off `doc_id` inherits a single partition and the whole
+    * generate→encode→decode chain runs on one core (media_resize_jpeg
+    * measured 21 s single-threaded vs ~2 s fanned out). The ids are a
+    * few KB — the repartition shuffle is nothing — and at production
+    * scale, where the id source is already many-partitioned, the
+    * round-robin is a harmless no-op-shaped exchange.
+    */
+  private def fanoutIds(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** IMAGE near-duplicate detection ([[graft.multimodal.ImageDedup]]):
     * deterministic synthetic PNG/BMP images (near-dup groups of 4 by
     * construction) are ENCODED and DECODED through the real codecs,
@@ -1048,7 +1061,7 @@ object PipelineQueries {
     // the fingerprint frame feeds both self-join sides; cached so the
     // generate→encode→decode→hash pass runs once, not per side
     val hashes = mediaHashCache.get(spark, dir + "#image") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"), "doc_id")
     }
     ImageDedup.nearDupPairs(hashes, "doc_id", maxHamming = 3, bandBits = 16)
@@ -1073,7 +1086,7 @@ object PipelineQueries {
   def imageDedupJpeg(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.ImageDedup
     val hashes = mediaHashCache.get(spark, dir + "#jpeg") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       ImageDedup.dHashDf(ImageDedup.syntheticImagesJpeg(ids, "doc_id"),
         "doc_id")
     }
@@ -1094,7 +1107,7 @@ object PipelineQueries {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     import org.apache.spark.sql.types._
     val imgs = graft.multimodal.ImageDedup.syntheticImagesJpeg(
-      Tables.load(spark, dir, "documents").select(col("doc_id")), "doc_id")
+      fanoutIds(spark, dir), "doc_id")
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("w", LongType, nullable = false),
@@ -1140,7 +1153,7 @@ object PipelineQueries {
       StructField("sum_g", LongType, nullable = false),
       StructField("sum_b", LongType, nullable = false)))
     val enc = ExpressionEncoder(outSchema)
-    Tables.load(spark, dir, "documents").select(col("doc_id"))
+    fanoutIds(spark, dir)
       .mapPartitions { rows =>
         val dec = new MediaOps.JvmMediaDecoder()
         rows.map { r =>
@@ -1183,7 +1196,7 @@ object PipelineQueries {
   def audioDedupEnergy(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.AudioDedup
     val hashes = mediaHashCache.get(spark, dir + "#audio") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       AudioDedup.energyHashDf(AudioDedup.syntheticAudio(ids, "doc_id"),
         "doc_id")
     }
@@ -1203,7 +1216,7 @@ object PipelineQueries {
   def imageDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.ImageDedup
     val hashes = mediaHashCache.get(spark, dir + "#image") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"), "doc_id")
     }
     val pairs = ImageDedup.nearDupPairs(hashes, "doc_id",
@@ -1226,7 +1239,7 @@ object PipelineQueries {
   def imageDedupDhash256(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.ImageDedup
     val hashes = mediaHashCache.get(spark, dir + "#image256") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       ImageDedup.dHash256Df(ImageDedup.syntheticImages256(ids, "doc_id"),
         "doc_id")
     }
@@ -1243,7 +1256,7 @@ object PipelineQueries {
   def mediaHammingKnn256(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{HammingKnn, ImageDedup}
     val hashes = mediaHashCache.get(spark, dir + "#image256") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       ImageDedup.dHash256Df(ImageDedup.syntheticImages256(ids, "doc_id"),
         "doc_id")
     }
@@ -1264,7 +1277,7 @@ object PipelineQueries {
   def mediaHammingKnn(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{HammingKnn, ImageDedup}
     val hashes = mediaHashCache.get(spark, dir + "#image") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"), "doc_id")
     }
     val probes = hashes.filter(col("doc_id") % 10 === 0)
@@ -1292,7 +1305,7 @@ object PipelineQueries {
       (dir, src.length, src.lastModified, "mediaknnidx1").hashCode)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_mediaknn_$key"
     val hashes = mediaHashCache.get(spark, dir + "#image") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"), "doc_id")
     }
     val idx = new FingerprintDedupIndex(spark, s"$base/index", "doc_id",
@@ -1319,7 +1332,7 @@ object PipelineQueries {
       (dir, src.length, src.lastModified, "mediaknn256v1").hashCode)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_mediaknn256_$key"
     val hashes = mediaHashCache.get(spark, dir + "#image256") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       ImageDedup.dHash256Df(ImageDedup.syntheticImages256(ids, "doc_id"),
         "doc_id")
     }
@@ -1406,7 +1419,7 @@ object PipelineQueries {
         maxHamming = 3, bandBits = 16)) {
       mediaHashCache.get(spark, dir + "#image") {
         import graft.multimodal.ImageDedup
-        val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+        val ids = fanoutIds(spark, dir)
         ImageDedup.dHashDf(ImageDedup.syntheticImages(ids, "doc_id"),
           "doc_id")
       }
@@ -1430,7 +1443,7 @@ object PipelineQueries {
         "doc_id", maxHamming = 9)) {
       mediaHashCache.get(spark, dir + "#image256") {
         import graft.multimodal.ImageDedup
-        val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+        val ids = fanoutIds(spark, dir)
         ImageDedup.dHash256Df(ImageDedup.syntheticImages256(ids, "doc_id"),
           "doc_id")
       }
@@ -1452,7 +1465,7 @@ object PipelineQueries {
         "shot_idx", maxHamming = 3, minMatched = 2, bandBits = 16)) {
       import graft.multimodal.VideoDedup
       val hashes = mediaHashCache.get(spark, dir + "#trimshots") {
-        val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+        val ids = fanoutIds(spark, dir)
         VideoDedup.frameHashDf(
           VideoDedup.syntheticTrimmedShotVideos(ids, "doc_id"),
           "doc_id", stride = 1)
@@ -1471,7 +1484,7 @@ object PipelineQueries {
         "block_idx", maxHamming = 3, minMatched = 2, bandBits = 16)) {
       mediaHashCache.get(spark, dir + "#audioblocks") {
         import graft.multimodal.AudioDedup
-        val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+        val ids = fanoutIds(spark, dir)
         AudioDedup.blockHashDf(AudioDedup.syntheticOffsetAudio(ids, "doc_id"),
           "doc_id", AudioDedup.OffsetBlockSamples)
       }
@@ -1488,7 +1501,7 @@ object PipelineQueries {
     */
   def audioSegments(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.AudioDedup
-    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val ids = fanoutIds(spark, dir)
     AudioDedup.segmentsDf(AudioDedup.syntheticAudio(ids, "doc_id"), "doc_id")
       .orderBy("doc_id", "seg_idx")
   }
@@ -1509,7 +1522,7 @@ object PipelineQueries {
     // common-index denominator: cached, or the container parse +
     // per-frame codec pass runs ~3×
     val hashes = mediaHashCache.get(spark, dir + "#video") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       VideoDedup.frameHashDf(VideoDedup.syntheticVideos(ids, "doc_id"),
         "doc_id", stride = 2)
     }
@@ -1531,7 +1544,7 @@ object PipelineQueries {
     // the frame table feeds BOTH sides of the consecutive-frame join:
     // cached, or the container parse + per-frame codec pass runs twice
     val hashes = mediaHashCache.get(spark, dir + "#shots") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       VideoDedup.frameHashDf(VideoDedup.syntheticShotVideos(ids, "doc_id"),
         "doc_id", stride = 1)
     }
@@ -1559,7 +1572,7 @@ object PipelineQueries {
     // window spec) but ALSO re-materializes per downstream branch if
     // uncached — same rule as every media fingerprint frame
     val hashes = mediaHashCache.get(spark, dir + "#trimshots") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       VideoDedup.frameHashDf(
         VideoDedup.syntheticTrimmedShotVideos(ids, "doc_id"),
         "doc_id", stride = 1)
@@ -1581,7 +1594,7 @@ object PipelineQueries {
   def videoDedupShotClusters(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{SignatureDedup, VideoDedup}
     val hashes = mediaHashCache.get(spark, dir + "#trimshots") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       VideoDedup.frameHashDf(
         VideoDedup.syntheticTrimmedShotVideos(ids, "doc_id"),
         "doc_id", stride = 1)
@@ -1609,7 +1622,7 @@ object PipelineQueries {
   def videoDedupShotsJpeg(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{SignatureDedup, VideoDedup}
     val hashes = mediaHashCache.get(spark, dir + "#trimshotsjpeg") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       VideoDedup.frameHashDf(
         VideoDedup.syntheticTrimmedShotVideosJpeg(ids, "doc_id"),
         "doc_id", stride = 1)
@@ -1638,7 +1651,7 @@ object PipelineQueries {
   def videoDedupOffsetEstimate(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{SignatureDedup, VideoDedup}
     val hashes = mediaHashCache.get(spark, dir + "#trimshots") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       VideoDedup.frameHashDf(
         VideoDedup.syntheticTrimmedShotVideos(ids, "doc_id"),
         "doc_id", stride = 1)
@@ -1665,7 +1678,7 @@ object PipelineQueries {
   def audioDedupOffset(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{AudioDedup, SignatureDedup}
     val sigs = mediaHashCache.get(spark, dir + "#audioblocks") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       AudioDedup.blockHashDf(AudioDedup.syntheticOffsetAudio(ids, "doc_id"),
         "doc_id", AudioDedup.OffsetBlockSamples)
     }
@@ -1682,7 +1695,7 @@ object PipelineQueries {
   def audioDedupOffsetEstimate(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{AudioDedup, SignatureDedup}
     val sigs = mediaHashCache.get(spark, dir + "#audioblocks") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       AudioDedup.blockHashDf(AudioDedup.syntheticOffsetAudio(ids, "doc_id"),
         "doc_id", AudioDedup.OffsetBlockSamples)
     }
@@ -1706,7 +1719,7 @@ object PipelineQueries {
   def audioDedupHop(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{AudioDedup, SignatureDedup}
     val sigs = mediaHashCache.get(spark, dir + "#audiohops") {
-      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val ids = fanoutIds(spark, dir)
       AudioDedup.blockHashDf(AudioDedup.syntheticHopAudio(ids, "doc_id"),
         "doc_id", AudioDedup.OffsetBlockSamples, AudioDedup.HopSamples)
     }
