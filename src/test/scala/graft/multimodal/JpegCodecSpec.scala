@@ -181,6 +181,51 @@ class JpegCodecSpec extends AnyFunSuite {
     assert((half.rgb(7, 7) & 0xFF) === (img.rgb(14, 14) & 0xFF))
   }
 
+  test("fixture vectors: 4:2:2 and 4:4:0 sampling layouts walk the " +
+    "generic MCU loop correctly (hand-built 3-component streams)") {
+    // minimal color fixture: all-16 quant (id 0 for every component),
+    // one-code DC table (symbol 0) and one-code AC table (EOB), all
+    // blocks DC 0 → Y = 128, Cb = Cr = 128 → a constant 128 image.
+    // Per MCU: Y h·v blocks + Cb + Cr, each '00' (2 bits)
+    def colorFixture(w: Int, h: Int, yH: Int, yV: Int,
+        scan: Array[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def b(vs: Int*): Unit = vs.foreach(out.write)
+      b(0xFF, 0xD8)
+      b(0xFF, 0xDB, 0x00, 0x43, 0x00)
+      (0 until 64).foreach(_ => out.write(16))
+      b(0xFF, 0xC0, 0x00, 0x11, 0x08, h >> 8, h & 0xFF, w >> 8, w & 0xFF,
+        0x03,
+        0x01, (yH << 4) | yV, 0x00,
+        0x02, 0x11, 0x00,
+        0x03, 0x11, 0x00)
+      b(0xFF, 0xC4, 0x00, 0x26)
+      b(0x00); b(1); (2 to 16).foreach(_ => out.write(0)); b(0x00)
+      b(0x10); b(1); (2 to 16).foreach(_ => out.write(0)); b(0x00)
+      b(0xFF, 0xDA, 0x00, 0x0C, 0x03,
+        0x01, 0x00, 0x02, 0x00, 0x03, 0x00, 0x00, 0x3F, 0x00)
+      scan.foreach(out.write)
+      b(0xFF, 0xD9)
+      out.toByteArray
+    }
+    // 4:2:2 (Y 2x1): MCU 16x8 → 2+1+1 = 4 blocks × 2 bits = 0x00
+    val h422 = JpegCodec.decode(colorFixture(16, 8, 2, 1, Array(0x00)))
+    assert(h422.width === 16 && h422.height === 8)
+    assert(h422.pixels.forall(_ === 0x808080),
+      "4:2:2 constant stream must decode to the 128 plane")
+    // 4:4:0 (Y 1x2): MCU 8x16 → same 4 blocks
+    val h440 = JpegCodec.decode(colorFixture(8, 16, 1, 2, Array(0x00)))
+    assert(h440.width === 8 && h440.height === 16)
+    assert(h440.pixels.forall(_ === 0x808080),
+      "4:4:0 constant stream must decode to the 128 plane")
+    // 4:4:4 (all 1x1), two MCUs wide: 2 MCUs × 3 blocks × 2 bits =
+    // 12 bits → 0x00, 0x0F (4 padding 1s)
+    val h444 = JpegCodec.decode(colorFixture(16, 8, 1, 1, Array(0x00, 0x0F)))
+    assert(h444.width === 16 && h444.height === 8)
+    assert(h444.pixels.forall(_ === 0x808080),
+      "4:4:4 two-MCU stream must decode to the 128 plane")
+  }
+
   test("corruption sweep: every single-byte corruption either decodes " +
     "or refuses with the loud IllegalArgumentException — never an " +
     "index/allocation error, never a hang") {
