@@ -131,12 +131,17 @@ object Clusters {
   def connectedComponentsStar(
       pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIter: Int = 50): DataFrame = {
-    val p0 = materialize(
-      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-        .filter(col("u") =!= col("v")))
+    // nodes derive from the UNFILTERED pair list: a node appearing
+    // only as a self-pair (x, x) must still come back as a singleton
+    // component (the min-label path keeps it, so this path must too —
+    // both the direct caller and the diameter-budget fallback depend
+    // on the two outputs being identical)
+    val pAll = materialize(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+    val p0 = materialize(pAll.filter(col("u") =!= col("v")))
     val nodes = materialize(
-      p0.select(col("u").as("id"))
-        .union(p0.select(col("v").as("id"))).distinct())
+      pAll.select(col("u").as("id"))
+        .union(pAll.select(col("v").as("id"))).distinct())
 
     // canonicalize an emitted arc list to an undirected (u < v) edge set
     def canonical(arcs: DataFrame): DataFrame = arcs

@@ -647,6 +647,22 @@ object JpegCodec {
             require(tq <= 3, s"component $id quant table $tq > 3")
             c
           }
+          if (nf == 1) {
+            // T.81 A.2: a single-component scan is NON-interleaved —
+            // the MCU is one 8x8 data unit and the sampling factors
+            // are ignored for the scan walk (they only matter for the
+            // interleaved multi-component case). Normalize h=v=1 so a
+            // grayscale file that kept 2x2 factors (e.g. jpegtran
+            // -grayscale output) walks blocks row-major instead of in
+            // 2x2-MCU order; restart counting then also counts data
+            // units, as the spec requires for non-interleaved scans.
+            val c0 = comps(0)
+            if (c0.h != 1 || c0.v != 1) {
+              val n = Component(c0.id, 1, 1, c0.tq)
+              n.td = c0.td; n.ta = c0.ta
+              comps(0) = n
+            }
+          }
         case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
              0xCD | 0xCE | 0xCF =>
           throw new IllegalArgumentException(
@@ -688,9 +704,13 @@ object JpegCodec {
             case (px, endPos) => pos = endPos; px
           }
         case x if x >= 0xE0 && x <= 0xEF => // APPn
-          val lenA = u16(); pos += lenA - 2
+          val lenA = u16()
+          require(lenA >= 2, s"bad APPn length $lenA (< 2)")
+          pos += lenA - 2
         case 0xFE => // COM
-          val lenC = u16(); pos += lenC - 2
+          val lenC = u16()
+          require(lenC >= 2, s"bad COM length $lenC (< 2)")
+          pos += lenC - 2
         case 0x01 => () // TEM, no payload
         case other =>
           throw new IllegalArgumentException(

@@ -77,6 +77,22 @@ class ClustersSpec extends AnyFunSuite with SparkSpec {
     assert(got === (0L to 499L).map(_ -> 0L).toMap)
   }
 
+  test("self-pair-only nodes survive both paths as singleton components") {
+    import spark.implicits._
+    // node 7 appears ONLY as the self-pair (7,7): the min-label path
+    // keeps it (it survives the edge union), and the star path must
+    // return it too — a divergence here makes the diameter-budget
+    // fallback change the output contract mid-query
+    val pairs = Seq((1L, 2L), (7L, 7L)).toDF("a", "b")
+    val want = Map(1L -> 1L, 2L -> 1L, 7L -> 7L)
+    val simple = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Clusters.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(simple === want)
+    assert(star === want)
+  }
+
   test("reliable checkpoint dir is honored when configured") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString

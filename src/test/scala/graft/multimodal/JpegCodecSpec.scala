@@ -226,6 +226,72 @@ class JpegCodecSpec extends AnyFunSuite {
       "4:4:4 two-MCU stream must decode to the 128 plane")
   }
 
+  test("single-component scan is non-interleaved: grayscale with 2x2 " +
+    "sampling factors walks blocks row-major (T.81 A.2)") {
+    // a grayscale file that KEPT its source's 2x2 luma factors (the
+    // jpegtran -grayscale shape): per T.81 A.2 a one-component scan is
+    // non-interleaved — MCU = one 8x8 data unit, sampling factors
+    // ignored. 24x8 = three blocks ROW-MAJOR; the interleaved walk
+    // would instead consume a 16x16 MCU (2x2 blocks incl. padding
+    // rows) and garble the stream. DC diffs +8, -8, +8 under Q=16 →
+    // block columns 144, 128, 144.
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(out.write)
+    b(0xFF, 0xD8)
+    b(0xFF, 0xDB, 0x00, 0x43, 0x00)
+    (0 until 64).foreach(_ => out.write(16))
+    b(0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 8, 0x00, 24,
+      0x01, 0x01, 0x22, 0x00) // 1 component, h=v=2
+    b(0xFF, 0xC4, 0x00, 0x26)
+    b(0x00); b(1); (2 to 16).foreach(_ => out.write(0)); b(0x04) // DC: cat 4
+    b(0x10); b(1); (2 to 16).foreach(_ => out.write(0)); b(0x00) // AC: EOB
+    b(0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00)
+    // per block: '0' + 4 magnitude bits + EOB '0'; diffs +8, -8, +8 →
+    // 010000 001110 010000 + 6 pad 1s = 0x40 0xE4 0x3F
+    b(0x40, 0xE4, 0x3F)
+    b(0xFF, 0xD9)
+    val img = JpegCodec.decode(out.toByteArray)
+    assert(img.width === 24 && img.height === 8)
+    (0 until 8).foreach { y =>
+      (0 until 24).foreach { x =>
+        val want = if (x < 8 || x >= 16) 144 else 128
+        assert((img.pixels(y * 24 + x) & 0xFF) === want,
+          s"pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("APPn/COM with declared length < 2 refuses loudly") {
+    // a declared segment length of 0 or 1 would move pos BACKWARDS
+    // onto already-consumed bytes — must refuse with the precise
+    // untrusted-length message, not a later misleading marker error
+    val fx = grayFixture(8, 8, 0, Array(0x3F))
+    def withSeg(marker: Int, len: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(fx, 0, 2) // SOI
+      out.write(0xFF); out.write(marker)
+      out.write(len >> 8); out.write(len & 0xFF)
+      out.write(fx, 2, fx.length - 2)
+      out.toByteArray
+    }
+    Seq(0xE0 -> 0, 0xE0 -> 1, 0xFE -> 0, 0xFE -> 1).foreach {
+      case (m, len) =>
+        val e = intercept[IllegalArgumentException](
+          JpegCodec.decode(withSeg(m, len)))
+        assert(e.getMessage.contains("length"), s"FF$m%02X len=$len: ${e.getMessage}")
+    }
+    // a well-formed APP0 of the same shape still decodes
+    val ok = withSeg(0xE0, 4)
+    val okOut = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(ok, 0, ok.length - (fx.length - 2))
+      out.write(0); out.write(0) // 2 payload bytes for len 4
+      out.write(fx, 2, fx.length - 2)
+      out.toByteArray
+    }
+    assert(JpegCodec.decode(okOut).pixels.forall(_ === 0x808080))
+  }
+
   test("corruption sweep: every single-byte corruption either decodes " +
     "or refuses with the loud IllegalArgumentException — never an " +
     "index/allocation error, never a hang") {
