@@ -91,6 +91,30 @@ object ScaleEvidence {
     Emb(id, v.map(x => x + 0.3f * (r.nextDouble() * 2 - 1).toFloat), label)
   }
 
+  /** [[emb]] scaled ×0.25 so milli-dots of these NON-unit vectors stay
+    * inside the exact-int64 budget of a 99/100 cosine predicate
+    * (dot²·den² must fit a long; cosine is scale-invariant, the
+    * geometry is unchanged). Top-level on purpose: a local def would
+    * capture the enclosing frame and break closure serialization.
+    */
+  private def semEmb(seed: Long, id: Long): Emb = {
+    val e = emb(seed, id)
+    Emb(e.vec_id, e.embedding.map(_ * 0.25f), e.label)
+  }
+
+  /** One semdedup_inc batch row: i < 800 → near-dup of corpus vector
+    * `src` (±1%-scale per-dim nudge, cos ≈ 0.9998), else a fresh
+    * vector from a different seed.
+    */
+  private def semBatchRow(seed: Long, idBase: Long, i: Long, src: Long): Emb =
+    if (i < 800) {
+      val e = semEmb(seed, src)
+      val r = new SplittableRandom(0x5eed ^ (idBase + i))
+      Emb(idBase + i,
+        e.embedding.map(x => x + 0.0025f * (r.nextDouble() * 2 - 1).toFloat),
+        e.label)
+    } else semEmb(seed + 99, idBase + 1000000L + i)
+
   /** Write documents+embeddings parquet for `n` docs under `dir`. */
   def genCorpus(spark: SparkSession, dir: String, nDocs: Long,
       nVecs: Long, seed: Long): Unit = {
@@ -1365,6 +1389,91 @@ object ScaleEvidence {
         f""""mpx_per_s":${px / 1e6 / secs}%.1f}""")
     }
 
+    /** Experiment: the SemDeDup RETRAIN-vs-INDEX trade priced
+      * ([[graft.sim.SemDedupIndex]]). Corpus at 1×/10×, batch CONSTANT
+      * (1000 vecs: 800 planted near-dups of spread corpus vectors +
+      * 200 fresh). Index world: bootstrap once (train + assign +
+      * bucket — the corpus-sized cost, paid once), then each arrival
+      * pays ONE O(batch)-broadcast join against the (kcluster-pruned,
+      * narrow) buckets/vecs tables. Retrain world: what
+      * `semantic_dedup_clustered` pays per arrival — k-means retrain +
+      * full-corpus re-bucket + full-corpus scoped pair join. The
+      * per-batch gap is the executor-hour number that justifies the
+      * index; a cluster-CONCENTRATED batch additionally shows the
+      * kcluster predicate pruning the index scan (input MB drops).
+      */
+    var semIncRun = 0
+    def semDedupIncExperiment(base: java.nio.file.Path, k: Int): Unit = {
+      import spark.implicits._
+      import graft.sim.{KMeans, CosineSim, SemDedupIndex}
+      val n = 20000L * k
+      semIncRun += 1
+      val dir = s"$base/semdedupinc_x${k}_r$semIncRun/idx"
+      val seed = 7L
+      val corpus = spark.range(n).map(r => semEmb(seed, r))
+        .select(col("vec_id"), col("embedding"))
+      val batchSz = 1000
+      // 0.99 threshold: planted dups sit at cos ≈ 0.9998, same-label
+      // strangers at ~0.92 — candidates mostly verify-and-REJECT, the
+      // real workload shape
+      def plantedBatch(idBase: Long, pick: Long => Long): DataFrame =
+        spark.range(batchSz)
+          .map(i => semBatchRow(seed, idBase, i, pick(i)))
+          .select(col("vec_id"), col("embedding"))
+      // planes=16, not the gate default 8: bucket entropy is the
+      // hot-bucket lever — semantically concentrated corpora put most
+      // of a label into ONE 8-plane bucket (the label center decides
+      // every sign), and the uncapped INDEX side of the candidate join
+      // then hands each batch vector the whole label. 2^16 buckets
+      // per table keep (cluster ∩ bucket) candidate sets O(100) at
+      // 10×; near-dups at cos ≥ 0.99 still collide in ≥1 of 4 tables
+      // w.p. ~0.9998 ((1−(1−θ/π)^16)-complement over tables)
+      val idx = new SemDedupIndex(spark, dir, "vec_id", "embedding",
+        k = 16, iterations = 3, num = 99, den = 100, planes = 16)
+      val bootT0 = System.nanoTime()
+      idx.bootstrap(corpus)
+      val bootS = (System.nanoTime() - bootT0) / 1e9
+      def timedBatch(b: DataFrame): (Double, Long, Long, Long) = {
+        tally.drain()
+        val (r0, _) = tally.snapshot
+        val in0 = tally.inputSnapshot
+        val t0 = System.nanoTime()
+        val dups = idx.dedupBatch(b)
+          .filter(col("status") === "dup_corpus").count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        tally.drain()
+        val (r1, _) = tally.snapshot
+        (secs, dups, r1 - r0, tally.inputSnapshot - in0)
+      }
+      // spread batch: near-dups of corpus vectors across ALL labels
+      val (sprS, sprDups, sprRd, sprIn) =
+        timedBatch(plantedBatch(n, i => math.min(i * (n / 800), n - 1)))
+      // concentrated batch: sources share ONE label (id ≡ 3 mod 10) —
+      // the kcluster predicate prunes the buckets scan to that
+      // cluster's files
+      val (conS, conDups, conRd, conIn) =
+        timedBatch(plantedBatch(n + 10000L, i => 3 + 10 * (i % (n / 10))))
+      require(sprDups >= 720 && conDups >= 720,
+        s"planted near-dup recall drifted: $sprDups/$conDups of 800")
+      // retrain world: the per-arrival cost WITHOUT the index — train,
+      // assign, scope, pair-join the whole corpus ∪ batch
+      val retrainT0 = System.nanoTime()
+      val all = corpus.unionByName(
+        plantedBatch(n + 20000L, i => math.min(i * (n / 800), n - 1)))
+        .localCheckpoint()
+      val kc = KMeans.assign(all, "vec_id", "embedding",
+        k = 16, iterations = 3).withColumnRenamed("cluster_id", "kcluster")
+      val retrainPairs = CosineSim.blockedSimilarPairsWithin(
+        all.join(kc, "vec_id"), "vec_id", "embedding", "kcluster",
+        num = 99, den = 100, planes = 16).count()
+      val retrainS = (System.nanoTime() - retrainT0) / 1e9
+      println(f"""{"scale":$k,"experiment":"semdedup_inc","corpus_vecs":$n,""" +
+        f""""bootstrap_s":$bootS%.1f,"batch_s":$sprS%.2f,""" +
+        f""""batch_shuffle_mb":${sprRd / 1e6}%.1f,"batch_input_mb":${sprIn / 1e6}%.1f,""" +
+        f""""concentrated_s":$conS%.2f,"concentrated_input_mb":${conIn / 1e6}%.1f,""" +
+        f""""retrain_world_s":$retrainS%.1f,"retrain_pairs":$retrainPairs}""")
+    }
+
     if (want("incr_view")) scales.foreach(k => viewExperiment(base, k))
     if (want("scd_inc")) scales.foreach(k => scdIncExperiment(base, k))
     if (want("stream_ingest")) scales.foreach(k => streamIngestExperiment(base, k))
@@ -1388,6 +1497,7 @@ object ScaleEvidence {
     if (want("fp256_inc")) scales.foreach(k => fp256IncExperiment(base, k))
     if (want("hop_sweep")) scales.foreach(k => hopSweepExperiment(k))
     if (want("jpeg_codec")) scales.foreach(k => jpegCodecExperiment(k))
+    if (want("semdedup_inc")) scales.foreach(k => semDedupIncExperiment(base, k))
     spark.stop()
   }
 }

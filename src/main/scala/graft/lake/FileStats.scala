@@ -236,11 +236,18 @@ object FileStats {
       case In(R(r), vs) if vs.nonEmpty &&
         vs.forall(v => v.isInstanceOf[Literal] && v.asInstanceOf[Literal].value != null) =>
         val lits = vs.map(_.asInstanceOf[Literal])
-        if (lits.size <= 512) {
+        if (lits.size <= 128) {
           // balanced, not reduceLeft: a runtime IN (dynamic file
           // pruning hands over the build side's key set) can carry
           // hundreds of values, and a left-deep OR chain overflows the
-          // stack in every later tree traversal
+          // stack in every later tree traversal. 128, not 512: each
+          // per-value range term compiles to ~30 lines of generated
+          // Java, and a ~450-term tree blows janino's 64 KB method
+          // limit — the stats Project then runs INTERPRETED with an
+          // ERROR logged per scan (measured on the IVF re-rank fetch,
+          // whose candidate sets sit in the 300–2000 range). Above
+          // 128 the envelope below prunes by range and blooms prune
+          // by value — sound, constant-size code, zero fallbacks.
           def orTree(es: Seq[Expression]): Expression =
             if (es.size == 1) es.head
             else {

@@ -625,6 +625,46 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** INCREMENTAL SemDeDup ([[graft.sim.SemDedupIndex]]) as one oracled
+    * arc — the index twin of [[semanticDedupClustered]], which
+    * retrains k-means and rebuilds the LSH scope per call: here
+    * k-means trains ONCE on the bootstrap corpus (`vec_id % 3 = 0`),
+    * centroids persist, and TWO arriving batches (`% 3 = 1`, then
+    * `% 3 = 2`) assign against the stored centroids and near-dedup
+    * only within (cluster ∩ bucket) against index + batch — O(batch)
+    * per arrival. Batch 1's kept vectors are admitted before batch 2,
+    * so batch 2's decisions prove the index grew. The oracle replays
+    * the whole multi-batch arc (one k-means train, per-batch
+    * assignment, scoped LSH, exact cosine gates, recursive closures)
+    * from the raw table in plain SQL.
+    */
+  def semanticDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.IncrementalTable
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, src.length, src.lastModified, "semdedupinc1").hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_semdedup_$key"
+    val decisions = new IncrementalTable(spark, s"$base/decisions")
+    val complete = decisions.exists && decisions.latestVersion.contains(1L)
+    if (!complete) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val emb = Tables.load(spark, dir, "embeddings")
+      val idx = new graft.sim.SemDedupIndex(spark, s"$base/index",
+        "vec_id", "embedding", k = 8, iterations = 3, num = 2, den = 5)
+      idx.bootstrap(emb.filter(col("vec_id") % 3 === 0))
+      val dec = new IncrementalTable(spark, s"$base/decisions")
+      val b1 = emb.filter(col("vec_id") % 3 === 1)
+      val d1 = idx.dedupBatch(b1).localCheckpoint()
+      idx.admit(b1, d1)
+      dec.append(d1.withColumn("batch", lit(1L)))
+      val b2 = emb.filter(col("vec_id") % 3 === 2)
+      dec.append(idx.dedupBatch(b2).withColumn("batch", lit(2L)))
+    }
+    new IncrementalTable(spark, s"$base/decisions").snapshot()
+      .select("vec_id", "batch", "kcluster", "status", "kept")
+      .orderBy("vec_id")
+  }
+
   def annBruteTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     CosineSim.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
@@ -2239,6 +2279,65 @@ object PipelineQueries {
        |FROM dec_b2
        |ORDER BY doc_id""".stripMargin
 
+  /** One batch's SemDeDup decision chain against index membership
+    * `idxRel` (batch = `vec_id % 3 = m`): hot-capped batch bucket rows
+    * → cluster∩bucket-scoped cross candidates vs the index → exact
+    * integer cosine corpus dups → scoped intra-batch components among
+    * the survivors → per-vector status. Mirrors
+    * [[graft.sim.SemDedupIndex.dedupBatch]] clause for clause; needs
+    * CTEs `qall` (quantized vectors), `asg` (kcluster assignment) and
+    * `vb` (uncapped bucket rows for ALL vectors — bucketing is a pure
+    * function of the vector, so one CTE serves index and batch sides).
+    */
+  private def semIncDecisions(bt: String, m: Int, idxRel: String): String =
+    s"""vb_$bt AS MATERIALIZED (SELECT * FROM vb WHERE vec_id % 3 = $m),
+       |vbc_$bt AS MATERIALIZED (
+       |  SELECT vec_id, kc, t, b FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY kc, t, b) AS bsz FROM vb_$bt)
+       |  WHERE bsz <= 1000),
+       |xcand_$bt AS MATERIALIZED (
+       |  SELECT DISTINCT nw.vec_id AS new_id, cb.vec_id AS corpus_id
+       |  FROM vbc_$bt nw JOIN vb cb
+       |    ON cb.kc = nw.kc AND cb.t = nw.t AND cb.b = nw.b
+       |  WHERE cb.vec_id IN (SELECT vec_id FROM $idxRel)),
+       |dupc_$bt AS MATERIALIZED (
+       |  SELECT DISTINCT x.new_id AS vec_id
+       |  FROM xcand_$bt x JOIN qall a ON a.vec_id = x.new_id
+       |                   JOIN qall c ON c.vec_id = x.corpus_id
+       |  WHERE ${dot("a.qv", "c.qv")} >= 0
+       |    AND ${dot("a.qv", "c.qv")} * ${dot("a.qv", "c.qv")} * 25
+       |        >= 4 * ${dot("a.qv", "a.qv")} * ${dot("c.qv", "c.qv")}),
+       |ipairs_$bt AS MATERIALIZED (
+       |  SELECT p.a, p.b FROM (
+       |    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |    FROM vbc_$bt x JOIN vbc_$bt y
+       |      ON x.kc = y.kc AND x.t = y.t AND x.b = y.b
+       |      AND x.vec_id < y.vec_id) p
+       |    JOIN qall xa ON xa.vec_id = p.a JOIN qall yb ON yb.vec_id = p.b
+       |  WHERE ${dot("xa.qv", "yb.qv")} >= 0
+       |    AND ${dot("xa.qv", "yb.qv")} * ${dot("xa.qv", "yb.qv")} * 25
+       |        >= 4 * ${dot("xa.qv", "xa.qv")} * ${dot("yb.qv", "yb.qv")}
+       |    AND p.a NOT IN (SELECT vec_id FROM dupc_$bt)
+       |    AND p.b NOT IN (SELECT vec_id FROM dupc_$bt)),
+       |nodes_$bt AS MATERIALIZED (SELECT a AS id FROM ipairs_$bt UNION SELECT b FROM ipairs_$bt),
+       |edges_$bt AS MATERIALIZED (SELECT a AS src, b AS dst FROM ipairs_$bt
+       |             UNION SELECT b, a FROM ipairs_$bt),
+       |reach_$bt AS (
+       |  SELECT id, id AS r FROM nodes_$bt
+       |  UNION
+       |  SELECT e.src, reach_$bt.r FROM edges_$bt e JOIN reach_$bt ON e.dst = reach_$bt.id),
+       |comp_$bt AS MATERIALIZED (SELECT id, min(r) AS cluster_id FROM reach_$bt GROUP BY id),
+       |dec_$bt AS MATERIALIZED (
+       |  SELECT v.vec_id, a.kc,
+       |         CASE WHEN dc.vec_id IS NOT NULL THEN 'dup_corpus'
+       |              WHEN cp.cluster_id IS NOT NULL AND cp.cluster_id <> v.vec_id
+       |                THEN 'dup_batch'
+       |              ELSE 'kept' END AS status
+       |  FROM (SELECT vec_id FROM qall WHERE vec_id % 3 = $m) v
+       |    JOIN asg a ON a.vec_id = v.vec_id
+       |    LEFT JOIN dupc_$bt dc ON dc.vec_id = v.vec_id
+       |    LEFT JOIN comp_$bt cp ON cp.id = v.vec_id)""".stripMargin
+
   /** Shared CTE chain for the MinHash+LSH pipeline up to verified pairs
     * (used by both the pair-list oracle and the cluster oracle).
     */
@@ -3785,6 +3884,62 @@ object PipelineQueries {
          |FROM asg a LEFT JOIN comp c ON c.id = a.vec_id
          |ORDER BY vec_id""".stripMargin,
 
+    // The incremental SemDeDup arc: ONE k-means train on the bootstrap
+    // corpus (vec_id % 3 = 0), then two batches assigned against the
+    // FIXED centroids, near-deduped only within (cluster ∩ bucket)
+    // against index-so-far ∪ batch, batch 1's kept admitted before
+    // batch 2 — the semIncDecisions chain once per batch, with
+    // explicit index-membership CTEs (idx0, idx1)
+    "semantic_dedup_incremental" ->
+      s"""WITH RECURSIVE qall AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |q AS MATERIALIZED (SELECT vec_id, qv FROM qall WHERE vec_id % 3 = 0),
+         |dims AS (
+         |  SELECT unnest(generate_series(1, len(embedding))) AS d
+         |  FROM (SELECT embedding FROM embeddings LIMIT 1)),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cvec
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+         |${ivfLloydIterSql(1)},
+         |${ivfLloydIterSql(2)},
+         |${ivfLloydIterSql(3)},
+         |xf AS (
+         |  SELECT v.vec_id, c.cid,
+         |         -(CAST(${dot("v.qv", "c.cvec")} AS DOUBLE)) / sqrt(CAST(${dot("c.cvec", "c.cvec")} AS DOUBLE)) AS neg_sim
+         |  FROM qall v, c3 c),
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, cid AS kc FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY neg_sim ASC, cid ASC) AS rn
+         |    FROM xf)
+         |  WHERE rn = 1),
+         |planes AS (
+         |  SELECT p, list(((2654435761 * d * (p+1) + 40503 * (p+1)) % 2001) - 1000 ORDER BY d) AS pv
+         |  FROM generate_series(0, 31) AS gp(p), dims
+         |  GROUP BY p),
+         |vb AS MATERIALIZED (
+         |  SELECT v.vec_id, a.kc, p.p // 8 AS t,
+         |         sum(CASE WHEN ${dot("v.qv", "p.pv")} >= 0
+         |                  THEN (CAST(1 AS BIGINT) << (p.p % 8)) ELSE 0 END) AS b
+         |  FROM qall v JOIN asg a USING (vec_id), planes p
+         |  GROUP BY v.vec_id, a.kc, p.p // 8),
+         |idx0 AS MATERIALIZED (SELECT vec_id FROM qall WHERE vec_id % 3 = 0),
+         |${semIncDecisions("b1", 1, "idx0")},
+         |idx1 AS MATERIALIZED (
+         |  SELECT vec_id FROM idx0
+         |  UNION ALL
+         |  SELECT vec_id FROM dec_b1 WHERE status = 'kept'),
+         |${semIncDecisions("b2", 2, "idx1")}
+         |SELECT vec_id, CAST(1 AS BIGINT) AS batch, CAST(kc AS BIGINT) AS kcluster,
+         |       status, CAST(status = 'kept' AS BIGINT) AS kept
+         |FROM dec_b1
+         |UNION ALL
+         |SELECT vec_id, CAST(2 AS BIGINT), CAST(kc AS BIGINT), status,
+         |       CAST(status = 'kept' AS BIGINT)
+         |FROM dec_b2
+         |ORDER BY vec_id""".stripMargin,
+
     // Replays AnnLsh.topK end-to-end: the integer hyperplane family,
     // per-table sign buckets, multiprobe (Hamming-1) probe set,
     // DISTINCT candidates (TopKAgg collapses exact dups), exact integer
@@ -4731,6 +4886,7 @@ object PipelineQueries {
     "dedup_embedding_blocked" -> dedupEmbeddingBlocked _,
     "semantic_dedup" -> semanticDedup _,
     "semantic_dedup_clustered" -> semanticDedupClustered _,
+    "semantic_dedup_incremental" -> semanticDedupIncremental _,
     "ann_brute_topk" -> annBruteTopK _,
     "ann_lsh_topk" -> annLshTopK _,
     "ann_ivf_topk" -> annIvfTopK _,

@@ -85,14 +85,46 @@ object CosineSim {
     * exchange is exactly the downstream pair join's distribution, so
     * the shuffle is shared.
     */
+  /** The shared deterministic integer hyperplane:
+    * `p_j[d] = ((2654435761·(d+1)·(j+1) + 40503·(j+1)) mod 2001) − 1000`
+    * — one source of truth for every sign-LSH consumer (here, AnnLsh,
+    * [[SemDedupIndex]]) and the SQL replays.
+    */
+  private[graft] def planeVector(dim: Int, plane: Int): Array[Long] =
+    Array.tabulate(dim) { i =>
+      ((2654435761L * (i + 1) * (plane + 1) + 40503L * (plane + 1)) % 2001L) - 1000L
+    }
+
+  /** UNCAPPED flat sign-LSH bucket rows for an ALREADY-QUANTIZED frame
+    * carrying a `q` (`array<long>`) column: every input row explodes
+    * into `tables` rows with integer columns `(t, b)` appended; all
+    * other columns pass through. Capping is the caller's policy — an
+    * incremental index caps its (small) arriving batch but not the
+    * accreted corpus side (the [[graft.dedup.CorpusDedupIndex]] rule),
+    * whereas the one-shot operators cap everything via the window in
+    * `signBuckets`.
+    */
+  private[graft] def signBucketRowsQ(
+      q: DataFrame, dim: Int, planes: Int, tables: Int): DataFrame = {
+    val tb = (0 until tables).map { t =>
+      val bits = (0 until planes).map { j =>
+        val d = dotQ(col("q"), lit(planeVector(dim, t * planes + j)))
+        when(d >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("t"), bits.reduce(_ + _).as("b"))
+    }
+    q.withColumn("__tb", explode(array(tb: _*)))
+      .withColumn("t", col("__tb.t"))
+      .withColumn("b", col("__tb.b"))
+      .drop("__tb")
+  }
+
   private def signBuckets(
       emb: DataFrame, idCol: String, vecCol: String,
       planes: Int, tables: Int, maxBucketSize: Int,
       extraCols: Seq[String] = Nil): DataFrame = {
     val dim = emb.select(size(col(vecCol))).head.getInt(0)
-    def planeVec(plane: Int): Array[Long] = Array.tabulate(dim) { i =>
-      ((2654435761L * (i + 1) * (plane + 1) + 40503L * (plane + 1)) % 2001L) - 1000L
-    }
+    def planeVec(plane: Int): Array[Long] = planeVector(dim, plane)
     val q = emb.select(col(idCol) +: extraCols.map(col) :+
       quantize(col(vecCol)).as("q"): _*)
       .withColumn("nrm", normQ(col("q")))

@@ -160,7 +160,45 @@ final class IvfIndex private (
     IvfIndex.writeLists(assigned, s"$path/index", overwrite = false)
     new graft.lake.IncrementalTable(spark, s"$path/raw")
       .append(q.orderBy("nn_id"))
+    // DRIFT LIFECYCLE: fold this batch's mean assignment cosine into
+    // the rolling current mean (one extra aggregate over rows this
+    // append already quantized and scanned), so [[drift]] is
+    // O(metadata) and the 0.95 trigger surfaces DURING normal
+    // operation instead of waiting for someone to ask. Log-don't-
+    // refuse: a drifted append is degraded recall, not corruption —
+    // the operator rebuilds on the logged trigger.
+    val st = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val sfs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (sfs.exists(st)) { // legacy pre-baseline indexes skip quietly
+      val (bn, bs) = meanAssignSim(q)
+      val cur = currentStats.getOrElse {
+        val b = spark.read.parquet(s"$path/stats").head
+        (b.getLong(0), b.getDouble(1))
+      }
+      val n2 = cur._1 + bn
+      val s2 = if (n2 == 0) 0.0 else (cur._1 * cur._2 + bn * bs) / n2
+      IvfIndex.writeStatsRow(spark, s"$path/stats_current", n2, s2)
+      val d = drift()
+      if (d.ratio < 0.95)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"IVF index at $path: drift ratio ${d.ratio}%.3f < 0.95 after " +
+            s"append — recall is degrading; rebuild with IvfIndex.build")
+    }
     this
+  }
+
+  /** `(n, mean_sim)` rolling current stats, when the index has them
+    * (written by [[IvfIndex.build]] since the append-lifecycle wiring;
+    * older baselined indexes fall back to a measured sample).
+    */
+  private def currentStats: Option[(Long, Double)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/stats_current")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(s"$path/stats_current").head
+      Some((r.getLong(0), r.getDouble(1)))
+    }
   }
 
   /** TAKEDOWN: retract `ids` from the index. Tombstones for the
@@ -194,13 +232,109 @@ final class IvfIndex private (
     * trained centroids — the quantizer-quality statistic drift
     * monitoring compares across time.
     */
-  private def meanAssignSim(rows: DataFrame): (Long, Double) = {
-    // a typed narrow map, not assignLists + join: the fused
-    // centroid-fold + join + avg stage generates > 64 KB of Java and
-    // Janino refuses (whole-stage fallback). The centroids are a
-    // driver-side model (they're in this object's constructor), so a
-    // plain closure loop is the honest shape — deterministic doubles,
-    // one pass, zero shuffle before the 1-row aggregate.
+  private def meanAssignSim(rows: DataFrame): (Long, Double) =
+    IvfIndex.meanAssignSim(spark, centroids, rows)
+
+  /** DRIFT / STALENESS SIGNAL — the missing half of [[append]]'s
+    * train-once-add-many contract: appends never retrain, so when the
+    * data distribution moves away from the trained centroids, recall
+    * degrades SILENTLY (vectors land in lists whose centroid is a poor
+    * proxy, and nprobe lists stop covering the true neighbors).
+    * This measures it instead of hoping: the per-vector assignment
+    * cosine (vector ↔ its nearest centroid) is the quantizer-quality
+    * statistic; [[IvfIndex.build]] persists the TRAINING-TIME mean as
+    * the baseline, and `drift()` recomputes the current mean over a
+    * deterministic hash-sample of the raw store (tombstones masked).
+    *
+    * Reading it: `ratio = current/baseline`. In-distribution growth
+    * holds ratio ≈ 1 (sampling noise aside); a shifted corpus pulls
+    * assignment cosines down and the ratio with it. The worked
+    * trigger: re-run [[IvfIndex.build]] when `ratio < 0.95` or when
+    * appended rows outnumber the trained corpus — and since [[append]]
+    * now FOLDS each batch's mean into a rolling current stat and logs
+    * past the trigger, the signal surfaces during normal operation.
+    *
+    * Cost: O(metadata) — two one-row parquet reads — when the rolling
+    * `stats_current/` exists (every index built or appended since the
+    * lifecycle wiring). Older baselined indexes fall back to
+    * [[driftMeasured]] over the full raw store. Note the rolling stat
+    * is assign-time: takedowns don't re-weight it (removal-scale bias;
+    * a rebuild resets both stats exactly).
+    *
+    * Indexes built before this signal existed carry no baseline and
+    * refuse loudly (rebuild to enable).
+    */
+  def drift(): IvfIndex.IvfDrift = {
+    val st = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(st),
+      s"IVF index at $path predates the drift baseline — rebuild with " +
+        "IvfIndex.build to persist training-time assignment quality")
+    currentStats match {
+      case Some((n, cur)) =>
+        val base = spark.read.parquet(s"$path/stats").head
+        IvfIndex.IvfDrift(base.getDouble(1), cur, base.getLong(0), n)
+      case None => driftMeasured()
+    }
+  }
+
+  /** [[drift]] by MEASUREMENT: recompute the current mean over a
+    * deterministic hash-sample of the raw store (tombstones masked) —
+    * one narrow scan of `samplePerMille`/1000 of the rows against
+    * broadcast centroids, no vector shuffle. The audit path: unlike
+    * the rolling stat it observes takedowns and post-append state
+    * exactly as stored.
+    */
+  def driftMeasured(samplePerMille: Int = 1000): IvfIndex.IvfDrift = {
+    require(samplePerMille >= 1 && samplePerMille <= 1000,
+      s"samplePerMille=$samplePerMille must be in [1, 1000]")
+    val st = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(st),
+      s"IVF index at $path predates the drift baseline — rebuild with " +
+        "IvfIndex.build to persist training-time assignment quality")
+    val base = spark.read.parquet(s"$path/stats").head
+    val sample = IvfIndex.maskRemoved(spark, path,
+      new graft.lake.IncrementalTable(spark, s"$path/raw").snapshot())
+      .filter(pmod(xxhash64(col("nn_id")), lit(1000L)) < samplePerMille)
+    val (n, cur) = meanAssignSim(sample)
+    IvfIndex.IvfDrift(base.getDouble(1), cur, base.getLong(0), n)
+  }
+
+  /** [[IvfIndex.build]]'s hook: persist the training-time baseline AND
+    * seed the rolling current stat with it (ratio reads exactly 1 on a
+    * fresh index).
+    */
+  private[sim] def writeBaseline(rows: DataFrame): Unit = {
+    val (n, s) = meanAssignSim(rows)
+    IvfIndex.writeStatsRow(spark, s"$path/stats", n, s)
+    IvfIndex.writeStatsRow(spark, s"$path/stats_current", n, s)
+  }
+}
+
+object IvfIndex {
+
+  /** [[IvfIndex.drift]]'s report: training-time vs current mean
+    * assignment cosine. `ratio < 0.95` is the worked rebuild trigger.
+    */
+  final case class IvfDrift(baselineMeanSim: Double, currentMeanSim: Double,
+      trainedRows: Long, sampledRows: Long) {
+    def ratio: Double =
+      if (baselineMeanSim <= 0) 1.0 else currentMeanSim / baselineMeanSim
+  }
+
+  /** Mean assignment cosine of `(cq array<long>, nb long)` rows
+    * against trained centroids — the quantizer-quality statistic drift
+    * monitoring compares across time, shared by this index and
+    * [[SemDedupIndex]]. A typed narrow map, not assignLists + join:
+    * the fused centroid-fold + join + avg stage generates > 64 KB of
+    * Java and Janino refuses (whole-stage fallback). The centroids are
+    * a driver-side model, so a plain closure loop is the honest
+    * shape — deterministic doubles, one pass, zero shuffle before the
+    * 1-row aggregate.
+    */
+  private[sim] def meanAssignSim(spark: SparkSession,
+      centroids: Array[Array[Long]], rows: DataFrame): (Long, Double) = {
     val cents = centroids.map(c =>
       (c, math.sqrt(c.map(x => x.toDouble * x).sum)))
     import spark.implicits._
@@ -226,63 +360,14 @@ final class IvfIndex private (
     (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
   }
 
-  /** DRIFT / STALENESS SIGNAL — the missing half of [[append]]'s
-    * train-once-add-many contract: appends never retrain, so when the
-    * data distribution moves away from the trained centroids, recall
-    * degrades SILENTLY (vectors land in lists whose centroid is a poor
-    * proxy, and nprobe lists stop covering the true neighbors).
-    * This measures it instead of hoping: the per-vector assignment
-    * cosine (vector ↔ its nearest centroid) is the quantizer-quality
-    * statistic; [[IvfIndex.build]] persists the TRAINING-TIME mean as
-    * the baseline, and `drift()` recomputes the current mean over a
-    * deterministic hash-sample of the raw store (tombstones masked).
-    *
-    * Reading it: `ratio = current/baseline`. In-distribution growth
-    * holds ratio ≈ 1 (sampling noise aside); a shifted corpus pulls
-    * assignment cosines down and the ratio with it. The worked
-    * trigger: re-run [[IvfIndex.build]] when `ratio < 0.95` or when
-    * appended rows outnumber the trained corpus — both cheap to check
-    * on a maintenance cadence, and the rebuild also compacts
-    * tombstones. Cost: one narrow scan of `samplePerMille`/1000 of the
-    * raw store against broadcast centroids — no shuffle of vectors.
-    *
-    * Indexes built before this signal existed carry no baseline and
-    * refuse loudly (rebuild to enable).
+  /** One-row `(n, mean_sim)` stats parquet (baseline and rolling
+    * current share the layout).
     */
-  def drift(samplePerMille: Int = 1000): IvfIndex.IvfDrift = {
-    require(samplePerMille >= 1 && samplePerMille <= 1000,
-      s"samplePerMille=$samplePerMille must be in [1, 1000]")
-    val st = new org.apache.hadoop.fs.Path(s"$path/stats")
-    val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(st),
-      s"IVF index at $path predates the drift baseline — rebuild with " +
-        "IvfIndex.build to persist training-time assignment quality")
-    val base = spark.read.parquet(s"$path/stats").head
-    val sample = IvfIndex.maskRemoved(spark, path,
-      new graft.lake.IncrementalTable(spark, s"$path/raw").snapshot())
-      .filter(pmod(xxhash64(col("nn_id")), lit(1000L)) < samplePerMille)
-    val (n, cur) = meanAssignSim(sample)
-    IvfIndex.IvfDrift(base.getDouble(1), cur, base.getLong(0), n)
-  }
-
-  /** [[IvfIndex.build]]'s hook: persist the training-time baseline. */
-  private[sim] def writeBaseline(rows: DataFrame): Unit = {
-    val (n, s) = meanAssignSim(rows)
+  private[sim] def writeStatsRow(spark: SparkSession, dir: String,
+      n: Long, s: Double): Unit = {
     import spark.implicits._
     Seq((n, s)).toDF("n", "mean_sim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-  }
-}
-
-object IvfIndex {
-
-  /** [[IvfIndex.drift]]'s report: training-time vs current mean
-    * assignment cosine. `ratio < 0.95` is the worked rebuild trigger.
-    */
-  final case class IvfDrift(baselineMeanSim: Double, currentMeanSim: Double,
-      trainedRows: Long, sampledRows: Long) {
-    def ratio: Double =
-      if (baselineMeanSim <= 0) 1.0 else currentMeanSim / baselineMeanSim
+      .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
   /** Cap on the re-rank id set pushed as a raw-scan predicate; above

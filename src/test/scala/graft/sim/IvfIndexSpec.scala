@@ -194,6 +194,34 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("rebuild"), e.getMessage)
   }
 
+  test("drift lifecycle: append FOLDS a rolling current mean (drift() " +
+    "is O(metadata)); driftMeasured() audits storage and sees takedowns") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val path = Files.createTempDirectory("ivf_drift_roll").toString
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val index = IvfIndex.build(first, "vec_id", "embedding", path,
+      nCentroids = 16)
+    val n0 = first.count()
+
+    // in-distribution append: rolling stat grows, ratio holds — no trip
+    index.append(first.withColumn("vec_id", col("vec_id") + 500000L),
+      "vec_id", "embedding")
+    val d1 = index.drift()
+    assert(d1.sampledRows === 2 * n0,
+      "rolling n must count trained + appended rows")
+    assert(d1.ratio > 0.97 && d1.ratio < 1.03, s"null tripped: ${d1.ratio}")
+
+    // drift() is O(metadata): after a takedown the rolling n is
+    // UNCHANGED (assign-time stat, removal-scale bias documented),
+    // while driftMeasured() — the storage audit — sees the rows gone
+    index.remove((0L until 20L by 2L).map(i => i: java.lang.Long))
+    val roll = index.drift()
+    val meas = index.driftMeasured()
+    assert(roll.sampledRows === 2 * n0, "rolling stat must not rescan")
+    assert(meas.sampledRows === 2 * n0 - 10,
+      s"measured audit must mask tombstones: ${meas.sampledRows}")
+  }
+
   test("remove: a retracted id never serves again (probe AND re-rank), " +
     "survivors keep their slots, re-removal is idempotent") {
     val emb = Tables.load(spark, dir, "embeddings")
