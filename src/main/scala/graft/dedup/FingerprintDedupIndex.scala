@@ -22,6 +22,19 @@ trait FingerprintIndexLike {
   def admit(hashes: DataFrame, decisions: DataFrame): Unit
   def admitIdempotent(hashes: DataFrame, decisions: DataFrame,
       batchId: Long): Unit
+
+  /** Name of the id column decision rows carry. */
+  def decisionIdCol: String
+
+  /** True when [[dedupBatch]] decides per CLIP from multiple unit
+    * rows (the [[SignatureDedupIndex]] shape) — such an index requires
+    * every clip's unit rows to arrive inside one batch, and the
+    * streaming sink ENFORCES that (a straddled clip would be judged
+    * fragment by fragment, each fragment falling under `minMatched`
+    * and accreting conflicting decision rows). Per-ROW indexes carry
+    * no such requirement.
+    */
+  def decidesPerClip: Boolean = false
 }
 
 /** Persistent Hamming-fingerprint index for INCREMENTAL media
@@ -59,6 +72,8 @@ class FingerprintDedupIndex(
     spark: SparkSession, val base: String, idCol: String,
     maxHamming: Int, bandBits: Int = 16,
     maxBucketSize: Int = Int.MaxValue) extends FingerprintIndexLike {
+
+  def decisionIdCol: String = idCol
 
   ImageDedup.requireExactPigeonhole(maxHamming, bandBits)
 

@@ -46,6 +46,8 @@ class FingerprintDedupIndex256(
     maxHamming: Int, maxBucketSize: Int = Int.MaxValue)
     extends FingerprintIndexLike {
 
+  def decisionIdCol: String = idCol
+
   require(maxHamming >= 0 && maxHamming < 16,
     s"maxHamming=$maxHamming: the 16-limb pigeonhole is exact only " +
       "for thresholds < 16")

@@ -39,6 +39,13 @@ class SignatureDedupIndex(
   ImageDedup.requireExactPigeonhole(maxHamming, bandBits)
   require(minMatched >= 1, s"minMatched=$minMatched must be >= 1")
 
+  def decisionIdCol: String = idCol
+
+  /** Decisions are per CLIP over multiple unit rows — the streaming
+    * sink enforces clip atomicity for this index (trait doc).
+    */
+  override def decidesPerClip: Boolean = true
+
   val fpTable = new IncrementalTable(spark, s"$base/units")
 
   /** Data-bearing commit exists (the shared crash-convergence rule). */

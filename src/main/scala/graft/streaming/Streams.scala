@@ -197,6 +197,15 @@ object Streams {
     * `groupByKey(clipId).flatMapGroups` stage or a per-clip
     * watermarked window, before the sink). The fingerprint indexes
     * (64/256-bit) decide per ROW and carry no such requirement.
+    *
+    * The contract is ENFORCED, not just documented: when
+    * `idx.decidesPerClip`, a fresh batch whose clip ids already carry
+    * a decision from a PRIOR batch fails loudly (naming the clips)
+    * before any decision or admit lands — a mis-shaped stream cannot
+    * silently fragment a clip's decision. The guard is one pruned
+    * probe of the decisions table against the batch's broadcast clip
+    * ids (O(batch) + touched files; a replayed batch skips it on the
+    * watermark, since its own ids are legitimately present).
     */
   def mediaDedupSink(idx: graft.dedup.FingerprintIndexLike,
       decisions: graft.lake.IncrementalTable,
@@ -207,6 +216,29 @@ object Streams {
         val fresh: Option[DataFrame] =
           if (decisions.latestOpId(Op).exists(batchId <= _)) None
           else {
+            if (idx.decidesPerClip && decisions.exists &&
+                decisions.latestVersion.isDefined) {
+              val ic = idx.decisionIdCol
+              val ids = batch.select(col(ic)).distinct()
+                .limit(graft.dedup.CorpusDedupIndex.MaxKeysInPredicate + 1)
+                .localCheckpoint()
+              val idVals = ids.collect().map(_.get(0)).toSeq
+              val prior =
+                (if (idVals.size <= graft.dedup.CorpusDedupIndex.MaxKeysInPredicate)
+                  decisions.scan(col(ic).isInCollection(idVals))
+                else decisions.snapshot())
+                  .filter(col("batch") < batchId)
+                  .join(broadcast(batch.select(col(ic)).distinct()), Seq(ic),
+                    "left_semi")
+                  .limit(5).collect().map(_.get(0))
+              require(prior.isEmpty,
+                s"mediaDedupSink[batch=$batchId]: clip(s) " +
+                  s"${prior.mkString(", ")} already decided in a prior " +
+                  "batch — this index decides per clip, so every clip's " +
+                  "unit rows must arrive inside ONE micro-batch " +
+                  "(clip-atomicity contract); aggregate units to clips " +
+                  "upstream of the sink")
+            }
             val d = idx.dedupBatch(batch)
             val rows = d.withColumn("batch", lit(batchId))
             decisions.commitFiles(decisions.stage(rows), Set.empty,

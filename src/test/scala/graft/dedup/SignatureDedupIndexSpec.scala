@@ -87,6 +87,36 @@ class SignatureDedupIndexSpec extends AnyFunSuite with SparkSpec {
     assert(d === Map(30L -> "kept"))
   }
 
+  test("clip atomicity is ENFORCED at the sink: a clip whose units " +
+    "straddle two micro-batches fails loudly before any decision " +
+    "lands; per-row indexes are exempt") {
+    import graft.lake.IncrementalTable
+    val idx = freshIndex()
+    idx.bootstrap(clip(1L, Seq(101, 102, 103)))
+    val dec = new IncrementalTable(spark,
+      Files.createTempDirectory("sigidx_atom_").toString + "/d")
+    val sink = graft.streaming.Streams.mediaDedupSink(idx, dec)
+    // batch 0: clip 40's FIRST fragment (2 of its 4 units) — decided
+    sink(clip(40L, Seq(501, 502)), 0L)
+    val decV = dec.latestVersion.get
+    val idxV = idx.fpTable.latestVersion.get
+    // batch 1: the straddled remainder — must refuse, naming the clip,
+    // with NOTHING committed (no fragment-by-fragment decisions)
+    val e = intercept[IllegalArgumentException](
+      sink(clip(40L, Seq(503, 504), at = 3L), 1L))
+    assert(e.getMessage.contains("40") &&
+      e.getMessage.contains("clip-atomicity"), e.getMessage)
+    assert(dec.latestVersion.get === decV, "no decision row may land")
+    assert(idx.fpTable.latestVersion.get === idxV, "no admit may land")
+    // a replayed batch 0 (same ids, same batch id) stays a no-op, not
+    // a false atomicity violation
+    sink(clip(40L, Seq(501, 502)), 0L)
+    assert(dec.latestVersion.get === decV)
+    // fresh clip ids keep flowing
+    sink(clip(41L, Seq(601, 602)), 2L)
+    assert(dec.snapshot().filter(col("doc_id") === 41L).count() === 1L)
+  }
+
   test("capped batch buckets: a clip in a hot bucket still reaches " +
     "dup_corpus through its UNSKEWED bands; a fully-capped unit is the " +
     "documented recall trade but its clip still gets a decision row") {
