@@ -9,8 +9,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   * `ByteBuffer`, `Deflater`/`Inflater` and the published layouts are
   * enough. Baseline JPEG — the dominant real-world image format —
   * lives in its own module ([[JpegCodec]]: hand-rolled Huffman, 8×8
-  * DCT, 4:2:0 chroma); the remaining stub surface is the audio/video
-  * entropy formats (MP3/MP4).
+  * DCT, 4:2:0 chroma), and the ISO-BMFF (MP4) CONTAINER in
+  * [[Mp4Codec]] (box walk + sample-table resolution — an MJPEG track
+  * feeds the existing frame pipelines from real files); the remaining
+  * stub surface is the compressed audio/video BITSTREAM codecs
+  * (MP3/AAC audio, H.26x video — SIMD-hungry entropy formats a
+  * production deployment binds to native decoders behind the same
+  * sample-extraction seam) plus fragmented MP4 (`moof`, refused
+  * loudly) and progressive JPEG (SOF2, refused loudly).
   *
   * All codecs are deterministic byte-for-byte, so
   * `decode(encode(x)) == x` is testable and the oracle can derive

@@ -90,8 +90,11 @@ object VideoDedup {
 
   /** Per-sampled-frame dHashes over a media frame `(idCol, format,
     * bytes)`: one narrow decode pass emitting `(id, frame, h_hi,
-    * h_lo)` for frame indices `0, stride, 2*stride, …`. Only GVID is
-    * parseable; anything else refuses loudly.
+    * h_lo)` for frame indices `0, stride, 2*stride, …`. Containers:
+    * GVID, and ISO-BMFF MP4 carrying an MJPEG track
+    * ([[Mp4Codec]] box walk → sample extraction → the same per-frame
+    * [[JpegCodec]] decode — real files feed the existing shot chain
+    * with no new pixel path). Anything else refuses loudly.
     */
   def frameHashDf(media: DataFrame, idCol: String, stride: Int): DataFrame = {
     require(stride >= 1, s"stride=$stride must be >= 1")
@@ -107,10 +110,20 @@ object VideoDedup {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         val fmt = r.getString(fmtIx)
-        if (fmt != "gvid") throw new IllegalArgumentException(
-          s"frame hashing needs the GVID container; format '$fmt' is not it")
         val id = r.getLong(idIx)
-        val frames = decodeGvid(r.getAs[Array[Byte]](bIx))
+        val frames: IndexedSeq[(String, Array[Byte])] = fmt match {
+          case "gvid" => decodeGvid(r.getAs[Array[Byte]](bIx))
+          case "mp4" =>
+            val mp4 = Mp4Codec.decode(r.getAs[Array[Byte]](bIx))
+            val t = mp4.mjpegTrack.getOrElse(
+              throw new IllegalArgumentException(
+                "mp4 carries no MJPEG (jpeg sample entry, vide handler) " +
+                  "track to hash"))
+            t.samples.iterator.map(("jpeg", _)).toIndexedSeq
+          case other => throw new IllegalArgumentException(
+            s"frame hashing needs a GVID or MP4 container; format " +
+              s"'$other' is neither")
+        }
         (0 until frames.length by stride).iterator.map { f =>
           val (w, h, px) = frames(f) match {
             case ("png", b) =>
@@ -404,7 +417,25 @@ object VideoDedup {
     * contract — survives the loss.
     */
   def syntheticTrimmedShotVideosJpeg(
-      ids: DataFrame, idCol: String): DataFrame = {
+      ids: DataFrame, idCol: String): DataFrame =
+    trimmedShotJpegCorpus(ids, idCol, mp4 = false)
+
+  /** [[syntheticTrimmedShotVideosJpeg]]'s frames in a REAL ISO-BMFF
+    * container ([[Mp4Codec.encodeMjpeg]]) instead of GVID — the
+    * `video_dedup_mp4` corpus. Same ids → bit-identical frame bytes,
+    * so the two queries share one oracle: the hash match then proves
+    * the box walk + stsc/stsz/stco sample extraction end to end (the
+    * only thing that differs is the container).
+    */
+  def syntheticTrimmedShotVideosMp4(
+      ids: DataFrame, idCol: String): DataFrame =
+    trimmedShotJpegCorpus(ids, idCol, mp4 = true)
+
+  /** The shared trimmed-shot MJPEG frame rule (scaladoc above), packed
+    * in either container.
+    */
+  private def trimmedShotJpegCorpus(
+      ids: DataFrame, idCol: String, mp4: Boolean): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("format", StringType, nullable = false),
@@ -429,12 +460,13 @@ object VideoDedup {
             else base
           }
           val nFrames = (3 + g % 3).toInt
-          val frame = ("jpeg", JpegCodec.encode420(w, h, (x, y) => {
+          val frame = JpegCodec.encode420(w, h, (x, y) => {
             val p = grayAt(x, y); (p, p, p)
-          }))
+          })
           Seq.fill(nFrames)(frame) // within a shot, frames bit-identical
         }
-        Row(id, "gvid", encodeGvid(frames))
+        if (mp4) Row(id, "mp4", Mp4Codec.encodeMjpeg(frames, w, h))
+        else Row(id, "gvid", encodeGvid(frames.map(("jpeg", _))))
       }
     }(enc)
   }

@@ -1673,6 +1673,28 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** [[videoDedupShotsJpeg]] through a REAL ISO-BMFF container
+    * ([[graft.multimodal.Mp4Codec]]): the same ids produce
+    * bit-identical MJPEG frame bytes, packed as an MP4
+    * `jpeg`-in-`vide` track (two-chunk stsc/stsz/stco layout) instead
+    * of GVID — so the oracle is the SHARED lossy-shot SQL, and the
+    * hash match proves the box walk + sample-table resolution end to
+    * end: the container parse is the only new code on the path.
+    */
+  def videoDedupMp4(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{SignatureDedup, VideoDedup}
+    val hashes = mediaHashCache.get(spark, dir + "#trimshotsmp4") {
+      val ids = fanoutIds(spark, dir)
+      VideoDedup.frameHashDf(
+        VideoDedup.syntheticTrimmedShotVideosMp4(ids, "doc_id"),
+        "doc_id", stride = 1)
+    }
+    val sigs = VideoDedup.shotSignatures(hashes, "doc_id", cutHamming = 8)
+    SignatureDedup.nearDupPairsBySignature(sigs, "doc_id", "shot_idx",
+      maxHamming = 3, minMatched = 2, bandBits = 16)
+      .orderBy("id_a", "id_b")
+  }
+
   /** TEMPORAL ALIGNMENT ESTIMATE for matched clips
     * ([[graft.multimodal.SignatureDedup.nearDupPairsWithOffset]]):
     * the alignment-free matcher implicitly finds the offset between
@@ -4622,6 +4644,13 @@ object PipelineQueries {
     "video_dedup_shots_jpeg" ->
       raw"""WITH $trimShotUnitsJpegCtes,
          |$sigOverlapTail""".stripMargin,
+    // The ISO-BMFF twin: bit-identical MJPEG frames in a real MP4
+    // container — same oracle; the hash match proves the box walk +
+    // stsc/stsz/stco sample extraction (Mp4Codec), nothing else
+    // differs
+    "video_dedup_mp4" ->
+      raw"""WITH $trimShotUnitsJpegCtes,
+         |$sigOverlapTail""".stripMargin,
     // Recursive min-label closure over the shot-signature pair list
     // (the image_dedup_clusters construction on the overlap-gated
     // pairs): components keep their min id as canonical
@@ -4939,6 +4968,7 @@ object PipelineQueries {
     "video_shots" -> videoShots _,
     "video_dedup_shots" -> videoDedupShots _,
     "video_dedup_shots_jpeg" -> videoDedupShotsJpeg _,
+    "video_dedup_mp4" -> videoDedupMp4 _,
     "video_dedup_shot_clusters" -> videoDedupShotClusters _,
     "video_dedup_offset_estimate" -> videoDedupOffsetEstimate _,
     "audio_dedup_offset" -> audioDedupOffset _,
