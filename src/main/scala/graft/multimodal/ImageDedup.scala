@@ -412,7 +412,23 @@ object ImageDedup {
     * rightmost column's first v cells → within-group distance <= 3)
     * survives quantization.
     */
-  def syntheticImagesJpeg(ids: DataFrame, idCol: String): DataFrame = {
+  def syntheticImagesJpeg(ids: DataFrame, idCol: String): DataFrame =
+    syntheticImagesJpegImpl(ids, idCol, progressive = false)
+
+  /** [[syntheticImagesJpeg]]'s corpus encoded PROGRESSIVE
+    * ([[JpegCodec.encodeGrayProgressive]]: SOF2, DC successive
+    * approximation + AC band scan) — the `image_dedup_jpeg_progressive`
+    * gate corpus. Content is gray, and the progressive refinement
+    * reaches exactly the baseline's quantized values, so decoded
+    * pixels — and therefore the ORACLE — are identical to the
+    * baseline twin: the hash match proves the multi-scan accumulation
+    * path end to end.
+    */
+  def syntheticImagesJpegProgressive(ids: DataFrame, idCol: String): DataFrame =
+    syntheticImagesJpegImpl(ids, idCol, progressive = true)
+
+  private def syntheticImagesJpegImpl(ids: DataFrame, idCol: String,
+      progressive: Boolean): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("format", StringType, nullable = false),
@@ -432,9 +448,12 @@ object ImageDedup {
           if (cx == 8 && cy < v) ((base + 40 * (cy + 1)) % 256).toInt
           else base
         }
-        Row(id, "jpeg", JpegCodec.encode420(w, h, (x, y) => {
-          val p = grayAt(x, y); (p, p, p)
-        }))
+        val bytes =
+          if (progressive) JpegCodec.encodeGrayProgressive(w, h, grayAt)
+          else JpegCodec.encode420(w, h, (x, y) => {
+            val p = grayAt(x, y); (p, p, p)
+          })
+        Row(id, "jpeg", bytes)
       }
     }(enc)
   }

@@ -28,10 +28,22 @@ package graft.multimodal
   *    and (Y, 128, 128) maps back to R = G = B = Y exactly on decode
   *    (the coefficient rows sum to 65536 / 0 by construction).
   *
-  * Everything outside baseline sequential (progressive SOF2,
-  * arithmetic coding, 12-bit precision, hierarchical) refuses loudly
-  * rather than misreading. All parsing treats lengths and dimensions
-  * as UNTRUSTED (the WAV/BMP/PNG hardening rules).
+  * PROGRESSIVE (SOF2) decodes too — the large second share of real
+  * web JPEGs: per-scan spectral selection (DC and AC bands) and
+  * successive approximation (DC first/refine, AC first with EOB-run
+  * codes, AC refinement with correction bits and ±1·2^Al insertions),
+  * accumulated into per-component raw-coefficient storage across
+  * scans and dequantized+IDCT'd once at EOI — so a fully-refined
+  * progressive stream decodes to exactly the pixels of its baseline
+  * equivalent (pinned by spec and by the `image_dedup_jpeg_progressive`
+  * oracle). The encoder side ships [[encodeGrayProgressive]] (the
+  * canonical 3-scan DC-approximation + AC-band structure) for
+  * generated corpora; [[encode420]]/[[encodeGray]] stay baseline.
+  *
+  * Everything else outside those profiles (arithmetic coding, 12-bit
+  * precision, hierarchical, lossless) refuses loudly rather than
+  * misreading. All parsing treats lengths and dimensions as UNTRUSTED
+  * (the WAV/BMP/PNG hardening rules).
   *
   * Decoded-value closed form used by the oracle-gated queries: for a
   * constant block of gray value p (level shift v = p − 128), the only
@@ -449,6 +461,127 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Encode PROGRESSIVE grayscale (SOF2, three scans): DC first at
+    * successive approximation Al=1, DC refinement (the low bit), then
+    * the full AC band 1..63 — the canonical spectral-selection +
+    * successive-approximation structure of real progressive files,
+    * through the same Annex K quantizer as [[encodeGray]], so the
+    * DECODED PIXELS are bit-identical to the baseline encoding of the
+    * same content (the refinement reaches the same quantized values)
+    * and every oracle closed form carries over unchanged. AC blocks
+    * end with plain EOB (run length 1 — the only EOB symbol in the
+    * Annex K table); multi-block EOB runs are a decoder-side feature
+    * pinned by hand-built fixtures in JpegCodecSpec.
+    */
+  def encodeGrayProgressive(width: Int, height: Int,
+      gray: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xFFFF && height <= 0xFFFF,
+      s"bad dims ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    // headers as in the gray baseline, but SOF2
+    out.write(0xFF); out.write(0xD8)
+    writeSeg(out, 0xE0, Array[Byte]('J', 'F', 'I', 'F', 0,
+      1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = new java.io.ByteArrayOutputStream()
+    dqt.write(0x00); ZigZag.foreach(i => dqt.write(QLuma(i)))
+    writeSeg(out, 0xDB, dqt.toByteArray)
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8)
+    sof.write(height >> 8); sof.write(height & 0xFF)
+    sof.write(width >> 8); sof.write(width & 0xFF)
+    sof.write(1); sof.write(1); sof.write(0x11); sof.write(0)
+    writeSeg(out, 0xC2, sof.toByteArray)
+    val dht = new java.io.ByteArrayOutputStream()
+    dht.write(0x00); DcLumaBits.foreach(dht.write); DcLumaVals.foreach(dht.write)
+    dht.write(0x10); AcLumaBits.foreach(dht.write); AcLumaVals.foreach(dht.write)
+    writeSeg(out, 0xC4, dht.toByteArray)
+    val dcL = huffEncodeTable(DcLumaBits, DcLumaVals)
+    val acL = huffEncodeTable(AcLumaBits, AcLumaVals)
+
+    // quantized blocks, zigzag order, computed once
+    val mcusX = (width + 7) / 8
+    val mcusY = (height + 7) / 8
+    val qblocks = new Array[Array[Int]](mcusX * mcusY)
+    val block = new Array[Int](64)
+    var bi = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var k = 0
+        while (k < 64) {
+          val sy = math.min(my * 8 + k / 8, height - 1)
+          val sx = math.min(mx * 8 + k % 8, width - 1)
+          block(k) = (gray(sx, sy) & 0xFF) - 128
+          k += 1
+        }
+        val f = fdct(block)
+        val q = new Array[Int](64)
+        k = 0
+        while (k < 64) {
+          val nat = ZigZag(k)
+          q(k) = Math.round(f(nat) / QLuma(nat)).toInt
+          k += 1
+        }
+        qblocks(bi) = q
+        bi += 1
+        mx += 1
+      }
+      my += 1
+    }
+
+    def sos(comps: Array[Byte], ss: Int, se: Int, ah: Int, al: Int)(
+        body: BitWriter => Unit): Unit = {
+      val hdr = new java.io.ByteArrayOutputStream()
+      hdr.write(comps.length / 2)
+      comps.foreach(b => hdr.write(b & 0xFF))
+      hdr.write(ss); hdr.write(se); hdr.write((ah << 4) | al)
+      writeSeg(out, 0xDA, hdr.toByteArray)
+      val bw = new BitWriter(out)
+      body(bw)
+      bw.flush()
+    }
+
+    // scan 1: DC first, Al=1 — diffs of (DC >> 1), arithmetic shift
+    sos(Array[Byte](1, 0x00), 0, 0, 0, 1) { bw =>
+      var pred = 0
+      qblocks.foreach { q =>
+        val hi = q(0) >> 1
+        val diff = hi - pred
+        pred = hi
+        val s = magCat(diff)
+        bw.put(dcL._1(s), dcL._2(s))
+        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+    }
+    // scan 2: DC refinement, Ah=1 Al=0 — the raw low bit per block
+    sos(Array[Byte](1, 0x00), 0, 0, 1, 0) { bw =>
+      qblocks.foreach(q => bw.put(q(0) & 1, 1))
+    }
+    // scan 3: AC first, band 1..63, Al=0 — baseline run/size coding
+    // with plain per-block EOB
+    sos(Array[Byte](1, 0x00), 1, 63, 0, 0) { bw =>
+      qblocks.foreach { q =>
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          if (q(k) == 0) run += 1
+          else {
+            while (run >= 16) { bw.put(acL._1(0xF0), acL._2(0xF0)); run -= 16 }
+            val sz = magCat(q(k))
+            bw.put(acL._1((run << 4) | sz), acL._2((run << 4) | sz))
+            bw.put(if (q(k) < 0) q(k) + (1 << sz) - 1 else q(k), sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) bw.put(acL._1(0x00), acL._2(0x00))
+      }
+    }
+    out.write(0xFF); out.write(0xD9)
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------- decoder
 
   /** Canonical Huffman decoding tables (T.81 F.2.2.3). */
@@ -586,6 +719,12 @@ object JpegCodec {
     var comps: Array[Component] = null
     var restartInterval = 0
     var pixels: Array[Int] = null
+    var progressive = false
+    // progressive state: per-component RAW (unquantized) coefficient
+    // storage over the MCU-padded block grid, accumulated across scans
+    // and rendered once at EOI
+    var progCoefs: Array[Array[Int]] = null
+    var sawProgScan = false
 
     def u8(): Int = { require(pos < bytes.length, "truncated"); val v = bytes(pos) & 0xFF; pos += 1; v }
     def u16(): Int = { val a = u8(); (a << 8) | u8() }
@@ -597,7 +736,10 @@ object JpegCodec {
       require(m == 0xFF, f"expected a marker, found $m%02X at ${pos - 1}")
       do m = u8() while (m == 0xFF)
       m match {
-        case 0xD9 => done = true // EOI
+          case 0xD9 => // EOI: progressive renders its accumulated state here
+          if (progressive && sawProgScan)
+            pixels = renderProgressive(width, height, comps, qtabs, progCoefs)
+          done = true
         case 0xDB => // DQT
           // NOTE: `pos + u16()` would read pos BEFORE u16 advances it
           // (Scala evaluates the left operand first) — bind len first
@@ -629,7 +771,8 @@ object JpegCodec {
             if ((tcTh >> 4) == 0) dcTabs(tcTh & 0xF) = tab
             else acTabs(tcTh & 0xF) = tab
           }
-        case 0xC0 | 0xC1 => // SOF0 / SOF1: baseline & extended sequential
+        case 0xC0 | 0xC1 | 0xC2 => // SOF0/1 sequential; SOF2 progressive
+          progressive = m == 0xC2
           u16()
           require(u8() == 8, "only 8-bit sample precision")
           height = u16(); width = u16()
@@ -663,11 +806,11 @@ object JpegCodec {
               comps(0) = n
             }
           }
-        case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+        case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
              0xCD | 0xCE | 0xCF =>
           throw new IllegalArgumentException(
             f"SOF$m%02X: only baseline/extended sequential (SOF0/SOF1) " +
-              "is supported")
+              "and progressive (SOF2) are supported")
         case 0xDD => // DRI
           require(u16() == 4, "bad DRI length")
           restartInterval = u16()
@@ -675,33 +818,86 @@ object JpegCodec {
           require(comps != null, "SOS before SOF")
           u16()
           val ns = u8()
-          require(ns == comps.length,
-            "only single interleaved scans are supported")
-          var i = 0
-          while (i < ns) {
-            val cs = u8(); val tdta = u8()
-            val c = comps.find(_.id == cs).getOrElse(
-              throw new IllegalArgumentException(s"scan names component $cs"))
-            // the MCU loop interleaves in SOF order; T.81 interleaves
-            // in SCAN order — refuse loudly on a reordered scan rather
-            // than silently swapping planes (they agree in practice)
-            require(c eq comps(i),
-              s"scan component order differs from SOF order at slot $i " +
-                s"(component $cs) — unsupported")
-            c.td = tdta >> 4; c.ta = tdta & 0xF
-            require(c.td <= 3 && c.ta <= 3,
-              s"scan Huffman table ids ${c.td}/${c.ta} > 3")
-            require(dcTabs(c.td) != null && acTabs(c.ta) != null,
-              s"scan references undefined Huffman table ${tdta}")
-            require(qtabs(c.tq) != null,
-              s"component ${c.id} references undefined DQT ${c.tq}")
-            i += 1
-          }
-          require(u8() == 0 && u8() == 63 && u8() == 0,
-            "spectral selection outside baseline")
-          pixels = decodeScan(bytes, pos, width, height, comps, qtabs,
-            dcTabs, acTabs, restartInterval) match {
-            case (px, endPos) => pos = endPos; px
+          if (!progressive) {
+            require(ns == comps.length,
+              "only single interleaved scans are supported")
+            var i = 0
+            while (i < ns) {
+              val cs = u8(); val tdta = u8()
+              val c = comps.find(_.id == cs).getOrElse(
+                throw new IllegalArgumentException(s"scan names component $cs"))
+              // the MCU loop interleaves in SOF order; T.81 interleaves
+              // in SCAN order — refuse loudly on a reordered scan rather
+              // than silently swapping planes (they agree in practice)
+              require(c eq comps(i),
+                s"scan component order differs from SOF order at slot $i " +
+                  s"(component $cs) — unsupported")
+              c.td = tdta >> 4; c.ta = tdta & 0xF
+              require(c.td <= 3 && c.ta <= 3,
+                s"scan Huffman table ids ${c.td}/${c.ta} > 3")
+              require(dcTabs(c.td) != null && acTabs(c.ta) != null,
+                s"scan references undefined Huffman table ${tdta}")
+              require(qtabs(c.tq) != null,
+                s"component ${c.id} references undefined DQT ${c.tq}")
+              i += 1
+            }
+            require(u8() == 0 && u8() == 63 && u8() == 0,
+              "spectral selection outside baseline")
+            pixels = decodeScan(bytes, pos, width, height, comps, qtabs,
+              dcTabs, acTabs, restartInterval) match {
+              case (px, endPos) => pos = endPos; px
+            }
+          } else {
+            // progressive scan: 1 component (non-interleaved) or all
+            // components (interleaved, DC only); spectral band +
+            // successive-approximation from the scan header
+            require(ns == 1 || ns == comps.length,
+              s"progressive scan with $ns of ${comps.length} components " +
+                "— only single-component and all-component scans supported")
+            val scanComps = Array.tabulate(ns) { i =>
+              val cs = u8(); val tdta = u8()
+              val c = comps.find(_.id == cs).getOrElse(
+                throw new IllegalArgumentException(s"scan names component $cs"))
+              if (ns > 1)
+                require(c eq comps(i),
+                  s"scan component order differs from SOF order at slot $i")
+              c.td = tdta >> 4; c.ta = tdta & 0xF
+              require(c.td <= 3 && c.ta <= 3,
+                s"scan Huffman table ids ${c.td}/${c.ta} > 3")
+              c
+            }
+            val ss = u8(); val se = u8(); val ahal = u8()
+            val ah = ahal >> 4; val al = ahal & 0xF
+            require(ss <= 63 && se <= 63 && ss <= se,
+              s"bad spectral band $ss..$se")
+            require(ah <= 13 && al <= 13, s"bad approximation $ah/$al")
+            if (ss == 0)
+              require(se == 0, "progressive DC scan must have Se = 0")
+            else
+              require(ns == 1,
+                "progressive AC scans are non-interleaved (one component)")
+            if (ss == 0 && ah == 0)
+              scanComps.foreach(c => require(dcTabs(c.td) != null,
+                s"DC scan references undefined Huffman table ${c.td}"))
+            if (ss > 0)
+              scanComps.foreach(c => require(acTabs(c.ta) != null,
+                s"AC scan references undefined Huffman table ${c.ta}"))
+            scanComps.foreach(c => require(qtabs(c.tq) != null,
+              s"component ${c.id} references undefined DQT ${c.tq}"))
+            if (progCoefs == null) {
+              val hmax = comps.map(_.h).max
+              val vmax = comps.map(_.v).max
+              val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+              val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+              require(mcusX.toLong * mcusY * hmax * vmax <= (8L << 20),
+                "absurd progressive block count")
+              progCoefs = comps.map(c =>
+                new Array[Int](mcusX * c.h * mcusY * c.v * 64))
+            }
+            pos = decodeProgressiveScan(bytes, pos, width, height, comps,
+              scanComps, ss, se, ah, al, dcTabs, acTabs, restartInterval,
+              progCoefs)
+            sawProgScan = true
           }
         case x if x >= 0xE0 && x <= 0xEF => // APPn
           val lenA = u16()
@@ -800,7 +996,226 @@ object JpegCodec {
       }
       my += 1
     }
-    // assemble RGB: replication upsample for subsampled chroma
+    (assemblePixels(width, height, comps, planes, planeW, hmax, vmax),
+      br.pos)
+  }
+
+  /** Decode ONE progressive scan (T.81 G.2) into the per-component
+    * RAW coefficient store; returns the position just past the
+    * entropy data. Four scan kinds: DC first (Huffman diffs, values
+    * `<< Al`), DC refinement (one raw bit per block, `+= bit << Al`),
+    * AC first (band Ss..Se with EOB-run codes), AC refinement
+    * (correction bits for nonzero history, ±1·2^Al insertions).
+    * Restart markers reset predictions AND the EOB run.
+    */
+  private def decodeProgressiveScan(bytes: Array[Byte], start: Int,
+      width: Int, height: Int, comps: Array[Component],
+      scanComps: Array[Component], ss: Int, se: Int, ah: Int, al: Int,
+      dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
+      restartInterval: Int, coefs: Array[Array[Int]]): Int = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    val br = new BitReader(bytes, start)
+    val preds = new Array[Int](comps.length)
+    var eobrun = 0
+    var rstCount = 0
+    var unit = 0 // restart-interval counter: MCUs or blocks
+
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        br.expectRestart(rstCount % 8)
+        rstCount += 1
+        java.util.Arrays.fill(preds, 0)
+        eobrun = 0
+      }
+
+    def dcBlock(ci: Int, off: Int): Unit =
+      if (ah == 0) {
+        val s = dcTabs(comps(ci).td).decode(br)
+        require(s <= 11, s"DC category $s outside the coded range")
+        preds(ci) += extend(br.receive(s), s)
+        coefs(ci)(off) = preds(ci) << al
+      } else coefs(ci)(off) += br.nextBit() << al
+
+    def firstAcBlock(co: Array[Int], off: Int, acTab: HuffTable): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = acTab.decode(br)
+        val r = rs >> 4
+        val s = rs & 0xF
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL: 16 zero coefficients
+          else {
+            eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0) - 1
+            return // EOBn ends this block; eobrun more blocks follow
+          }
+        } else {
+          k += r
+          require(k <= se, s"AC run overruns the $ss..$se band")
+          co(off + ZigZag(k)) = extend(br.receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+
+    /** Correction bit for a nonzero-history coefficient. */
+    def refineBit(co: Array[Int], idx: Int): Unit =
+      if (br.nextBit() == 1 && (co(idx) & (1 << al)) == 0)
+        co(idx) += (if (co(idx) >= 0) (1 << al) else -(1 << al))
+
+    def refineAcBlock(co: Array[Int], off: Int, acTab: HuffTable): Unit = {
+      var k = ss
+      if (eobrun == 0) {
+        var inEob = false
+        while (k <= se && !inEob) {
+          val rs = acTab.decode(br)
+          var r = rs >> 4
+          val s = rs & 0xF
+          var newVal = 0
+          if (s == 0) {
+            if (r < 15) {
+              // EOB run INCLUDING this block; the rest of this block
+              // still takes correction bits below
+              eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+              inEob = true
+            } // r == 15: ZRL — pass 16 zero-history coefficients
+          } else {
+            require(s == 1, s"AC refinement magnitude $s != 1")
+            newVal = if (br.nextBit() == 1) (1 << al) else -(1 << al)
+          }
+          if (!inEob) {
+            var placed = false
+            while (k <= se && !placed) {
+              val idx = off + ZigZag(k)
+              if (co(idx) != 0) refineBit(co, idx)
+              else if (r == 0) {
+                if (newVal != 0) co(idx) = newVal
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+            require(placed || s == 0,
+              "AC refinement placement overran the band")
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val idx = off + ZigZag(k)
+          if (co(idx) != 0) refineBit(co, idx)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    if (ss == 0 && scanComps.length > 1) {
+      // interleaved DC scan: MCU walk in SOF order
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          maybeRestart()
+          var i = 0
+          while (i < scanComps.length) {
+            val c = scanComps(i)
+            val ci = comps.indexWhere(_ eq c)
+            val bw = mcusX * c.h
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                dcBlock(ci,
+                  ((my * c.v + by) * bw + mx * c.h + bx) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+            i += 1
+          }
+          unit += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // non-interleaved: the single component's OWN block grid (no
+      // MCU padding), row-major; storage stride stays MCU-padded
+      val c = scanComps(0)
+      val ci = comps.indexWhere(_ eq c)
+      val bw = mcusX * c.h // padded stride
+      val cw = (width * c.h + hmax - 1) / hmax
+      val chh = (height * c.v + vmax - 1) / vmax
+      val nbW = (cw + 7) / 8
+      val nbH = (chh + 7) / 8
+      val acTab = if (ss > 0) acTabs(c.ta) else null
+      var by = 0
+      while (by < nbH) {
+        var bx = 0
+        while (bx < nbW) {
+          maybeRestart()
+          val off = (by * bw + bx) * 64
+          if (ss == 0) dcBlock(ci, off)
+          else if (ah == 0) firstAcBlock(coefs(ci), off, acTab)
+          else refineAcBlock(coefs(ci), off, acTab)
+          unit += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    br.pos
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficients into
+    * sample planes and assemble RGB — run once, at EOI.
+    */
+  private def renderProgressive(width: Int, height: Int,
+      comps: Array[Component], qtabs: Array[Array[Int]],
+      coefs: Array[Array[Int]]): Array[Int] = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    val planeW = comps.map(c => mcusX * c.h * 8).toSeq
+    val planes = comps.indices.map(ci =>
+      new Array[Int](planeW(ci) * mcusY * comps(ci).v * 8)).toArray
+    val block = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      require(qtabs(c.tq) != null,
+        s"component ${c.id} references undefined DQT ${c.tq}")
+      val qtab = qtabs(c.tq)
+      val bw = mcusX * c.h
+      val bh = mcusY * c.v
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val off = (by * bw + bx) * 64
+          var k = 0
+          while (k < 64) { block(k) = coefs(ci)(off + k) * qtab(k); k += 1 }
+          idctBlock(block, planes(ci), planeW(ci), bx * 8, by * 8)
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    assemblePixels(width, height, comps, planes, planeW, hmax, vmax)
+  }
+
+  /** Assemble RGB from per-component sample planes: replication
+    * upsample for subsampled chroma; shared by the baseline scan and
+    * the progressive renderer.
+    */
+  private def assemblePixels(width: Int, height: Int,
+      comps: Array[Component], planes: Array[Array[Int]],
+      planeW: Seq[Int], hmax: Int, vmax: Int): Array[Int] = {
     val px = new Array[Int](width * height)
     if (comps.length == 1) {
       val p = planes(0); val pw = planeW(0)
@@ -834,7 +1249,7 @@ object JpegCodec {
         y += 1
       }
     }
-    (px, br.pos)
+    px
   }
 
   /** Nearest-neighbor resample, mirroring the BMP/PNG siblings. */

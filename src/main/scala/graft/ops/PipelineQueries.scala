@@ -1134,6 +1134,27 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** [[imageDedupJpeg]] over a PROGRESSIVE (SOF2) corpus
+    * ([[graft.multimodal.JpegCodec.encodeGrayProgressive]]): DC
+    * successive approximation (first scan at Al=1, a refinement scan
+    * for the low bit) plus the AC band scan — the multi-scan
+    * coefficient-accumulation decode path real web JPEGs take. The
+    * refinement reaches exactly the baseline's quantized values on
+    * this gray corpus, so the oracle is the SHARED closed-form SQL:
+    * the hash match proves the progressive scan machinery, nothing
+    * else differs.
+    */
+  def imageDedupJpegProgressive(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.ImageDedup
+    val hashes = mediaHashCache.get(spark, dir + "#jpegprog") {
+      val ids = fanoutIds(spark, dir)
+      ImageDedup.dHashDf(
+        ImageDedup.syntheticImagesJpegProgressive(ids, "doc_id"), "doc_id")
+    }
+    ImageDedup.nearDupPairs(hashes, "doc_id", maxHamming = 3, bandBits = 16)
+      .orderBy("id_a", "id_b")
+  }
+
   /** JPEG round-trip over the FULL pixel field: every synthetic JPEG
     * decodes back and the per-image channel SUMS are emitted —
     * unlike the dHash queries (which sample only the 9×8 cell
@@ -4302,6 +4323,17 @@ object PipelineQueries {
          |FROM cand
          |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // The SOF2 twin: progressive encoding reaches the same quantized
+    // values on the gray corpus, so decoded pixels — and this SQL —
+    // are identical; the hash match proves the multi-scan
+    // coefficient-accumulation decode path
+    "image_dedup_jpeg_progressive" ->
+      raw"""WITH $jpegDhashCtes
+         |SELECT id_a, id_b,
+         |       CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     // Full-pixel-field replay: per-cell decoded value × cell area,
     // summed — covers every pixel including the cropped MCU padding
     // (the dHash oracles only touch cell corners). r = g = b by the
@@ -4950,6 +4982,7 @@ object PipelineQueries {
     "remove_repeated_spans" -> removeRepeatedSpans _,
     "image_dedup_dhash" -> imageDedupDhash _,
     "image_dedup_jpeg" -> imageDedupJpeg _,
+    "image_dedup_jpeg_progressive" -> imageDedupJpegProgressive _,
     "media_roundtrip_jpeg" -> mediaRoundtripJpeg _,
     "media_resize_jpeg" -> mediaResizeJpeg _,
     "image_dedup_clusters" -> imageDedupClusters _,

@@ -292,6 +292,152 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decode(okOut).pixels.forall(_ === 0x808080))
   }
 
+  // -------------------------------------------- progressive (SOF2)
+
+  /** Pack a binary string (spaces ignored) into scan bytes, padding
+    * the tail with 1s — keeps hand-built progressive bit streams
+    * readable and slip-free.
+    */
+  private def bits(s: String): Array[Int] = {
+    val b = s.filterNot(_ == ' ')
+    b.grouped(8).map { g =>
+      Integer.parseInt((g + "1" * (8 - g.length)), 2)
+    }.toArray
+  }
+
+  /** Minimal PROGRESSIVE grayscale skeleton: all-16 quant, 24×8
+    * (three blocks), one DC table (single length-1 code → `dcSym`) and
+    * one AC table (canonical over `acSyms` with the given code
+    * lengths), followed by the given scans (header fields + scan
+    * bytes). Layout written from T.81 directly — no round-trip
+    * circularity.
+    */
+  private def progFixture(dcSym: Int, acLens: Array[Int], acSyms: Array[Int],
+      scans: Seq[(Int, Int, Int, Int, Array[Int])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(out.write)
+    b(0xFF, 0xD8)
+    b(0xFF, 0xDB, 0x00, 0x43, 0x00)
+    (0 until 64).foreach(_ => out.write(16))
+    b(0xFF, 0xC2, 0x00, 0x0B, 0x08, 0x00, 8, 0x00, 24,
+      0x01, 0x01, 0x11, 0x00)
+    // DHT: DC 0 single-code; AC 0 canonical from (acLens, acSyms)
+    val counts = new Array[Int](16)
+    acLens.foreach(l => counts(l - 1) += 1)
+    b(0xFF, 0xC4, 0x00, 2 + (1 + 16 + 1) + (1 + 16 + acSyms.length))
+    b(0x00); b(1); (2 to 16).foreach(_ => out.write(0)); b(dcSym)
+    b(0x10); counts.foreach(out.write); acSyms.foreach(out.write)
+    scans.foreach { case (ss, se, ah, al, scan) =>
+      b(0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, ss, se, (ah << 4) | al)
+      scan.foreach(out.write)
+    }
+    b(0xFF, 0xD9)
+    out.toByteArray
+  }
+
+  test("progressive fixture: DC successive approximation — first scan " +
+    "at Al=1, refinement adds the low bit; blocks reconstruct exactly") {
+    // DC diffs (of the high half) +8, -8, +8 under the cat-4 table,
+    // refinement bits 1, 0, 1 → quantized DCs 17, 0, 17 → pixel
+    // columns 2·17+128 = 162, 128, 162
+    val img = JpegCodec.decode(progFixture(dcSym = 4,
+      acLens = Array(1), acSyms = Array(0x00),
+      scans = Seq(
+        (0, 0, 0, 1, bits("0 1000  0 0111  0 1000")),
+        (0, 0, 1, 0, bits("1 0 1")))))
+    assert(img.width === 24 && img.height === 8)
+    (0 until 8).foreach { y =>
+      (0 until 24).foreach { x =>
+        val want = if (x < 8 || x >= 16) 162 else 128
+        assert((img.pixels(y * 24 + x) & 0xFF) === want, s"($x,$y)")
+      }
+    }
+  }
+
+  test("progressive fixture: an EOB RUN spans blocks — block 0 takes " +
+    "an AC coefficient, EOB1(+1) covers blocks 1 and 2") {
+    // AC table: '0' → 0x01 (coef, s=1), '10' → 0x10 (EOB1).
+    // Scan: block0: coef +1 at k=1, then EOB1 with extra bit 1 →
+    // run = 2+1, covering this block's end AND blocks 1, 2 entirely
+    val img = JpegCodec.decode(progFixture(dcSym = 0,
+      acLens = Array(1, 2), acSyms = Array(0x01, 0x10),
+      scans = Seq((1, 63, 0, 0, bits("0 1 10 1")))))
+    assert(img.width === 24 && img.height === 8)
+    // blocks 1 and 2: all-zero coefficients → the exact 128 plane
+    (0 until 8).foreach { y =>
+      (8 until 24).foreach { x =>
+        assert((img.pixels(y * 24 + x) & 0xFF) === 128, s"($x,$y)")
+      }
+    }
+    // block 0 carries the AC wave — not constant 128 (a mis-counted
+    // EOB run would have failed the decode or zeroed it)
+    assert((0 until 8).exists(y => (0 until 8).exists(x =>
+      (img.pixels(y * 24 + x) & 0xFF) != 128)))
+  }
+
+  test("progressive fixtures: AC refinement (correction bit + ±1 " +
+    "insertion) and a spectral-selection split both land on the exact " +
+    "coefficients — pinned against a BASELINE stream of the same " +
+    "coefficients") {
+    // target block-0 coefficients: zigzag k=1 → 3, k=2 → 1 (blocks
+    // 1, 2 all-zero). Baseline reference: AC table '0'→0x02,
+    // '10'→0x01, '11'→0x00 (EOB); DC cat 0.
+    val base = JpegCodec.decode(grayFixtureWith(
+      acLens = Array(1, 2, 2), acSyms = Array(0x02, 0x01, 0x00),
+      scan = bits("0 0 11  10 1  11    0 11   0 11")))
+    // progressive: scan A (AC first, Al=1) puts k=1 → 1<<1 = 2 and
+    // EOB1(+1); scan B (AC refine, Al=0) corrects k=1 (bit 1 → 3) and
+    // INSERTS +1 at k=2, then EOB1(+1) refines the rest
+    val prog = JpegCodec.decode(progFixture(dcSym = 0,
+      acLens = Array(1, 2), acSyms = Array(0x01, 0x10),
+      scans = Seq(
+        (1, 63, 0, 1, bits("0 1 10 1")),
+        (1, 63, 1, 0, bits("0 1 1 10 1")))))
+    assert(prog.pixels.toSeq === base.pixels.toSeq,
+      "refined progressive coefficients must equal the baseline stream's")
+    // spectral split: scan k=1 alone, then k=2..63 — same coefficients
+    // via two bands (coef values 3 and 1 need s<=2 → table adds 0x02)
+    val split = JpegCodec.decode(progFixture(dcSym = 0,
+      acLens = Array(1, 2, 3, 3), acSyms = Array(0x02, 0x10, 0x01, 0xF0),
+      scans = Seq(
+        (1, 1, 0, 0, bits("0 11  10 1")),
+        (2, 63, 0, 0, bits("110 1  10 1")))))
+    assert(split.pixels.toSeq === base.pixels.toSeq,
+      "spectral-selection split must reach the same coefficients")
+  }
+
+  test("progressive encoder: decoded pixels are bit-identical to the " +
+    "baseline encoding of the same content (gradient + cell corpus)") {
+    def g1(x: Int, y: Int): Int = (x * 7 + y * 13) % 256
+    Seq((8, 8), (24, 16), (17, 9), (64, 48)).foreach { case (w, h) =>
+      val base = JpegCodec.decode(JpegCodec.encodeGray(w, h, g1))
+      val prog = JpegCodec.decode(JpegCodec.encodeGrayProgressive(w, h, g1))
+      assert(prog.width === w && prog.height === h)
+      assert(prog.pixels.toSeq === base.pixels.toSeq, s"${w}x$h")
+    }
+  }
+
+  /** [[grayFixture]] with a custom AC table (baseline SOF0). */
+  private def grayFixtureWith(acLens: Array[Int], acSyms: Array[Int],
+      scan: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(out.write)
+    b(0xFF, 0xD8)
+    b(0xFF, 0xDB, 0x00, 0x43, 0x00)
+    (0 until 64).foreach(_ => out.write(16))
+    b(0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 8, 0x00, 24,
+      0x01, 0x01, 0x11, 0x00)
+    val counts = new Array[Int](16)
+    acLens.foreach(l => counts(l - 1) += 1)
+    b(0xFF, 0xC4, 0x00, 2 + (1 + 16 + 1) + (1 + 16 + acSyms.length))
+    b(0x00); b(1); (2 to 16).foreach(_ => out.write(0)); b(0x00)
+    b(0x10); counts.foreach(out.write); acSyms.foreach(out.write)
+    b(0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00)
+    scan.foreach(out.write)
+    b(0xFF, 0xD9)
+    out.toByteArray
+  }
+
   test("corruption sweep: every single-byte corruption either decodes " +
     "or refuses with the loud IllegalArgumentException — never an " +
     "index/allocation error, never a hang") {
@@ -320,14 +466,41 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("refusals: progressive, non-JPEG, truncation, overfull DHT") {
-    // progressive: flip the hand-built fixture's SOF0 to SOF2
+  test("corruption sweep, PROGRESSIVE: single-byte corruptions of a " +
+    "multi-scan SOF2 file decode or refuse loudly — never an " +
+    "index/allocation error, never a hang") {
+    val base = JpegCodec.encodeGrayProgressive(24, 16,
+      (x, y) => (x * 31 + y * 57) % 256)
+    def attempt(b: Array[Byte], what: String): Unit =
+      try { JpegCodec.decode(b); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"$what: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    base.indices.foreach { i =>
+      val zeroed = base.clone(); zeroed(i) = 0
+      attempt(zeroed, s"byte $i zeroed")
+      val flipped = base.clone(); flipped(i) = (flipped(i) ^ 0xFF).toByte
+      attempt(flipped, s"byte $i flipped")
+    }
+    (0 until base.length by 7).foreach { n =>
+      attempt(base.take(n), s"truncated to $n bytes")
+    }
+  }
+
+  test("refusals: lossless SOF, non-JPEG, truncation, overfull DHT") {
+    // SOF3 (lossless) refuses; a SOF2 flip on a BASELINE scan header
+    // (Ss=0, Se=63) refuses too — as an invalid progressive DC scan
     val fx = grayFixture(8, 8, 0, Array(0x3F))
     val sofAt = fx.indices.find(i =>
       (fx(i) & 0xFF) == 0xFF && (fx(i + 1) & 0xFF) == 0xC0).get
+    val lossless = fx.clone(); lossless(sofAt + 1) = 0xC3.toByte
+    val e0 = intercept[IllegalArgumentException](JpegCodec.decode(lossless))
+    assert(e0.getMessage.contains("SOF"), e0.getMessage)
     val prog = fx.clone(); prog(sofAt + 1) = 0xC2.toByte
     val e1 = intercept[IllegalArgumentException](JpegCodec.decode(prog))
-    assert(e1.getMessage.contains("SOF"), e1.getMessage)
+    assert(e1.getMessage.contains("DC scan"), e1.getMessage)
     intercept[IllegalArgumentException](
       JpegCodec.decode("definitely not a jpeg".getBytes))
     // truncation inside the entropy stream
