@@ -170,6 +170,47 @@ object Streams {
       }
   }
 
+  /** Exactly-once STREAMING semantic dedup — [[corpusDedupSink]]'s
+    * decisions-first protocol over [[graft.sim.SemDedupIndex]]: each
+    * micro-batch of embedding rows is assigned against the STORED
+    * centroids, near-deduped within (cluster ∩ bucket) against the
+    * persisted corpus, its kept vectors admitted, and its per-vector
+    * decisions appended to `decisions` — the continuous-ingest form of
+    * the `semantic_dedup_incremental` batch arc, completing the sink
+    * family (text MinHash, 64/256-bit fingerprints, unit signatures,
+    * and now embeddings all stream through the same protocol). The
+    * decisions commit freezes the kept set under a
+    * `stream_semdedup[batch=N]` watermark; the admit replays FROM the
+    * stored rows, so a crash anywhere replays to exactly-once index
+    * contents (the [[corpusDedupSink]] argument, buckets-last admit
+    * ordering included). Per-vector decisions carry no clip-atomicity
+    * hazard. `maintainEvery` bin-packs the vecs/buckets/decisions
+    * small-file tails on a cadence (datachange=false commits).
+    */
+  def semanticDedupSink(idx: graft.sim.SemDedupIndex,
+      decisions: graft.lake.IncrementalTable,
+      maintainEvery: Int = 0): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val Op = """stream_semdedup\[batch=(\d+)\]""".r
+      if (!batch.isEmpty) {
+        val fresh: Option[DataFrame] =
+          if (decisions.latestOpId(Op).exists(batchId <= _)) None
+          else {
+            val d = idx.dedupBatch(batch)
+            val rows = d.withColumn("batch", lit(batchId))
+            decisions.commitFiles(decisions.stage(rows), Set.empty,
+              s"stream_semdedup[batch=$batchId]", schema = Some(rows.schema))
+            Some(d)
+          }
+        val frozen = fresh.getOrElse(decisions.snapshot()
+          .filter(col("batch") === batchId).drop("batch"))
+        idx.admitIdempotent(batch, frozen, batchId)
+        if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0)
+          Seq(idx.vecsTable, idx.bucketsTable, decisions)
+            .foreach(_.compactSmall())
+      }
+  }
+
   /** Exactly-once STREAMING media dedup — [[corpusDedupSink]]'s shape
     * over the single-table [[graft.dedup.FingerprintDedupIndex]]: each
     * micro-batch of fingerprints `(id, h_hi, h_lo)` is deduped against

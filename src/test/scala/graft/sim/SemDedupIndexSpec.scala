@@ -174,6 +174,25 @@ class SemDedupIndexSpec extends AnyFunSuite with SparkSpec {
       s"shifted corpus must trip the 0.95 trigger, got ${d2.ratio}")
   }
 
+  test("streaming sink rides the decisions-first protocol: decisions " +
+    "accumulate, kept vectors grow the index, a replayed batch no-ops") {
+    import graft.lake.IncrementalTable
+    val idx = freshIndex()
+    idx.bootstrap(emb(bootRows: _*))
+    val dec = new IncrementalTable(spark,
+      Files.createTempDirectory("sdi_dec_").toString + "/d")
+    val sink = graft.streaming.Streams.semanticDedupSink(idx, dec)
+    sink(emb(80L -> v(2, 0.7f, 3, 0.7f)), 0L) // kept + admitted
+    sink(emb(81L -> v(2, 0.69f, 3, 0.71f)), 1L) // near-dup of batch-0 kept
+    val rows = dec.snapshot().select("vec_id", "status", "batch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set((80L, "kept", 0L), (81L, "dup_corpus", 1L)))
+    val (decV, vecsV) = (dec.latestVersion.get, idx.vecsTable.latestVersion.get)
+    sink(emb(81L -> v(2, 0.69f, 3, 0.71f)), 1L) // replay no-ops
+    assert(dec.latestVersion.get === decV)
+    assert(idx.vecsTable.latestVersion.get === vecsV)
+  }
+
   test("bootstrap twice refuses; dedupBatch before bootstrap refuses") {
     val idx = freshIndex()
     intercept[IllegalArgumentException](idx.dedupBatch(emb(1L -> v(0, 1f, 1, 0f))))
