@@ -41,9 +41,13 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Scope: one `moov` per file, sample tables for every track with a
   * complete stbl; `stss`/`ctts`/edit lists are skipped by length
-  * (sync/composition metadata — not needed to extract samples);
-  * fragmented MP4 (`moof`) refuses loudly — its sample tables live in
-  * per-fragment `trun` boxes, a different (also public) protocol.
+  * (sync/composition metadata — not needed to extract samples).
+  * FRAGMENTED MP4 (fMP4, the DASH/HLS segment layout) decodes too
+  * ([[decodeFragments]]): `moov/mvex/trex` defaults, per-fragment
+  * `moof/traf/trun` sample tables with the base-data-offset /
+  * default-base-is-moof rules — [[encodeMjpegFragmented]] writes the
+  * segment form, and the `video_dedup_mp4` corpus mixes both layouts
+  * so one oracle hash match proves both protocols.
   */
 object Mp4Codec {
 
@@ -62,7 +66,8 @@ object Mp4Codec {
 
   // ------------------------------------------------------------ decode
 
-  private final case class Box(typ: String, payloadStart: Int, payloadEnd: Int)
+  private final case class Box(typ: String, start: Int, payloadStart: Int,
+      payloadEnd: Int)
 
   /** Walk the boxes of `[start, end)`; returns them in file order. */
   private def boxes(b: Array[Byte], start: Int, end: Int): Seq[Box] = {
@@ -84,7 +89,7 @@ object Mp4Codec {
       require(size >= hdr, s"box '$typ' at $pos: size $size < header $hdr")
       require(pos + size <= end,
         s"box '$typ' at $pos: size $size overruns enclosure end $end")
-      out += Box(typ, (pos + hdr).toInt, (pos + size).toInt)
+      out += Box(typ, pos, (pos + hdr).toInt, (pos + size).toInt)
       pos = (pos + size).toInt
     }
     out.toSeq
@@ -135,9 +140,6 @@ object Mp4Codec {
     require(ftyp.payloadEnd - ftyp.payloadStart >= 8,
       "ftyp too short for major_brand")
     val brand = new String(bytes, ftyp.payloadStart, 4, "ISO-8859-1")
-    require(!top.exists(_.typ == "moof"),
-      "fragmented MP4 (moof) is not supported — sample tables live in " +
-        "per-fragment trun boxes")
     val moov = top.find(_.typ == "moov").getOrElse(
       throw new IllegalArgumentException("no moov box (no sample tables)"))
 
@@ -246,7 +248,102 @@ object Mp4Codec {
         Mp4Track(tid, handler, codec, timescale, duration,
           (w16 >>> 16).toInt, (h16 >>> 16).toInt, samples.toArray)
       }
-    Mp4(brand, tracks)
+
+    val moofs = top.filter(_.typ == "moof")
+    if (moofs.isEmpty) Mp4(brand, tracks)
+    else Mp4(brand, decodeFragments(bytes, moov, moofs, tracks))
+  }
+
+  /** FRAGMENTED MP4 (fMP4 — the DASH/HLS segment layout): sample
+    * tables live in per-fragment `moof/traf/trun` boxes instead of
+    * `stbl`; `moov/mvex/trex` carries per-track defaults. Each traf's
+    * base data offset is the explicit `base-data-offset` when present,
+    * else the MOOF BOX START (the `default-base-is-moof` rule, also
+    * the spec default for the first traf); truns advance a running
+    * offset (explicit `data_offset` rebases it). Per-sample sizes come
+    * from the trun when present, else tfhd's default, else trex's —
+    * a fragment that resolves no size anywhere refuses loudly.
+    */
+  private def decodeFragments(bytes: Array[Byte], moov: Box,
+      moofs: Seq[Box], tracks: Seq[Mp4Track]): Seq[Mp4Track] = {
+    // trex defaults: track_id -> default_sample_size
+    val trexSize: Map[Long, Long] = child(bytes, moov, "mvex") match {
+      case None => Map.empty
+      case Some(mvex) =>
+        boxes(bytes, mvex.payloadStart, mvex.payloadEnd)
+          .filter(_.typ == "trex").map { trex =>
+            val (_, p) = fullBox(bytes, trex)
+            (u32(bytes, p, trex.payloadEnd, "trex.track_id"),
+              u32(bytes, p + 12, trex.payloadEnd, "trex.default_sample_size"))
+          }.toMap
+    }
+    val acc: Map[Long, ArrayBuffer[Array[Byte]]] =
+      tracks.map(t => t.trackId -> (ArrayBuffer.empty[Array[Byte]] ++=
+        t.samples)).toMap
+    moofs.foreach { moof =>
+      boxes(bytes, moof.payloadStart, moof.payloadEnd)
+        .filter(_.typ == "traf").foreach { traf =>
+          val tfhd = requiredChild(bytes, traf, "tfhd")
+          val (_, fp) = fullBox(bytes, tfhd)
+          val tfFlags = u32(bytes, tfhd.payloadStart, tfhd.payloadEnd,
+            "tfhd.flags") & 0xFFFFFF
+          val trackId = u32(bytes, fp, tfhd.payloadEnd, "tfhd.track_id")
+          val out = acc.getOrElse(trackId,
+            throw new IllegalArgumentException(
+              s"moof references unknown track $trackId"))
+          var q = fp + 4
+          val baseOffset: Long =
+            if ((tfFlags & 0x1) != 0) {
+              val v = u64(bytes, q, tfhd.payloadEnd, "tfhd.base_data_offset")
+              q += 8; v
+            } else moof.start.toLong // default-base-is-moof / first-traf rule
+          if ((tfFlags & 0x2) != 0) q += 4 // sample_description_index
+          if ((tfFlags & 0x8) != 0) q += 4 // default_sample_duration
+          val tfhdDefaultSize: Option[Long] =
+            if ((tfFlags & 0x10) != 0) {
+              val v = u32(bytes, q, tfhd.payloadEnd, "tfhd.default_sample_size")
+              q += 4; Some(v)
+            } else None
+          var off = baseOffset
+          boxes(bytes, traf.payloadStart, traf.payloadEnd)
+            .filter(_.typ == "trun").foreach { trun =>
+              val (_, tp0) = fullBox(bytes, trun)
+              val trFlags = u32(bytes, trun.payloadStart, trun.payloadEnd,
+                "trun.flags") & 0xFFFFFF
+              val n = u32(bytes, tp0, trun.payloadEnd, "trun.sample_count")
+              require(n <= Int.MaxValue, "trun: absurd sample count")
+              var p = tp0 + 4
+              if ((trFlags & 0x1) != 0) { // data_offset (signed) rebases
+                off = baseOffset +
+                  ByteBuffer.wrap(bytes, p, 4).order(ByteOrder.BIG_ENDIAN).getInt()
+                p += 4
+              }
+              if ((trFlags & 0x4) != 0) p += 4 // first_sample_flags
+              val perSample = Seq(0x100, 0x200, 0x400, 0x800)
+                .map(f => (trFlags & f) != 0)
+              val entryBytes = perSample.count(identity) * 4
+              require(p + n * entryBytes <= trun.payloadEnd,
+                s"trun: $n samples overrun the box")
+              var i = 0L
+              while (i < n) {
+                var e = (p + i * entryBytes).toInt
+                if (perSample(0)) e += 4 // duration
+                val sz: Long =
+                  if (perSample(1)) u32(bytes, e, trun.payloadEnd, "trun.size")
+                  else tfhdDefaultSize.orElse(trexSize.get(trackId)).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"track $trackId: no sample size in trun, tfhd or trex"))
+                require(off >= 0 && sz >= 0 && off + sz <= bytes.length,
+                  s"fragment sample: range [$off, ${off + sz}) outside the file")
+                out += java.util.Arrays.copyOfRange(
+                  bytes, off.toInt, (off + sz).toInt)
+                off += sz
+                i += 1
+              }
+            }
+        }
+    }
+    tracks.map(t => t.copy(samples = acc(t.trackId).toArray))
   }
 
   // ------------------------------------------------------------ encode
@@ -307,15 +404,6 @@ object Mp4Codec {
     val chunk2Off = chunk1Off + frames.take(firstChunkN).map(_.length).sum
     val duration = frameDuration * n
 
-    val stsd = full("stsd", 0, 0, concat(be((4, 1)),
-      box("jpeg", be(
-        (6, new Array[Byte](6)), (2, 1), // reserved + data_ref_index
-        (2, 0), (2, 0), (4, 0), (4, 0), (4, 0), // predefined/reserved
-        (2, width), (2, height),
-        (4, 0x00480000), (4, 0x00480000), // 72 dpi
-        (4, 0), (2, 1), // reserved, frame_count
-        (32, new Array[Byte](32)), // compressorname
-        (2, 24), (2, 0xFFFF))))) // depth, pre_defined = -1
     val stts = full("stts", 0, 0,
       be((4, 1), (4, n), (4, frameDuration)))
     val stsc = full("stsc", 0, 0, concat(
@@ -330,33 +418,101 @@ object Mp4Codec {
       be((4, if (n > firstChunkN) 2 else 1)),
       be((4, chunk1Off)),
       if (n > firstChunkN) be((4, chunk2Off)) else Array.emptyByteArray))
-    val stbl = box("stbl", concat(stsd, stts, stsc, stsz, stco))
+    val stbl = box("stbl", concat(stsdJpeg(width, height), stts, stsc,
+      stsz, stco))
+    val moov = box("moov", concat(mvhdBox(timescale, duration),
+      trakBox(width, height, timescale, duration, stbl)))
+    concat(ftyp, mdat, moov)
+  }
+
+  /** FRAGMENTED MJPEG-in-MP4 (fMP4 — the DASH/HLS segment layout): an
+    * empty `stbl` + `mvex/trex` defaults in moov, then one
+    * `moof(mfhd, traf(tfhd default-base-is-moof, trun data-offset +
+    * per-sample sizes)) + mdat` pair per `framesPerFragment` frames —
+    * the layout streaming corpora actually arrive in. Deterministic
+    * byte-for-byte; decoded samples are identical to [[encodeMjpeg]]'s
+    * of the same frames.
+    */
+  def encodeMjpegFragmented(frames: Seq[Array[Byte]], width: Int,
+      height: Int, framesPerFragment: Int = 2, timescale: Long = 600L,
+      frameDuration: Long = 25L): Array[Byte] = {
+    require(frames.nonEmpty, "encodeMjpegFragmented: no frames")
+    require(framesPerFragment >= 1, "framesPerFragment must be >= 1")
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val ftyp = box("ftyp", be(
+      (4, "isom".getBytes("ISO-8859-1")), (4, 0x200),
+      (4, "isom".getBytes("ISO-8859-1")), (4, "iso5".getBytes("ISO-8859-1"))))
+    val duration = frameDuration * frames.length
+    // empty sample tables: fragmented samples live in trun boxes
+    val stbl = box("stbl", concat(stsdJpeg(width, height),
+      full("stts", 0, 0, be((4, 0))),
+      full("stsc", 0, 0, be((4, 0))),
+      full("stsz", 0, 0, be((4, 0), (4, 0))),
+      full("stco", 0, 0, be((4, 0)))))
+    val trex = full("trex", 0, 0,
+      be((4, 1), (4, 1), (4, frameDuration), (4, 0), (4, 0)))
+    val moov = box("moov", concat(mvhdBox(timescale, duration),
+      trakBox(width, height, timescale, duration, stbl),
+      box("mvex", trex)))
+    val frags = frames.grouped(framesPerFragment).zipWithIndex.map {
+      case (fs, i) =>
+        def moofOf(dataOff: Int): Array[Byte] = {
+          val mfhd = full("mfhd", 0, 0, be((4, i + 1)))
+          val tfhd = full("tfhd", 0, 0x020000, be((4, 1))) // base-is-moof
+          val trun = full("trun", 0, 0x000201, concat( // data-offset+sizes
+            be((4, fs.length), (4, dataOff)),
+            concat(fs.map(f => be((4, f.length))): _*)))
+          box("moof", concat(mfhd, box("traf", concat(tfhd, trun))))
+        }
+        val moofLen = moofOf(0).length
+        concat(moofOf(moofLen + 8), box("mdat", concat(fs: _*)))
+    }.toSeq
+    concat((ftyp +: moov +: frags): _*)
+  }
+
+  /** The `jpeg` visual sample description (`stsd`). */
+  private def stsdJpeg(width: Int, height: Int): Array[Byte] =
+    full("stsd", 0, 0, concat(be((4, 1)),
+      box("jpeg", be(
+        (6, new Array[Byte](6)), (2, 1), // reserved + data_ref_index
+        (2, 0), (2, 0), (4, 0), (4, 0), (4, 0), // predefined/reserved
+        (2, width), (2, height),
+        (4, 0x00480000), (4, 0x00480000), // 72 dpi
+        (4, 0), (2, 1), // reserved, frame_count
+        (32, new Array[Byte](32)), // compressorname
+        (2, 24), (2, 0xFFFF))))) // depth, pre_defined = -1
+
+  private def identityMatrix: Array[Byte] = be(
+    (4, 0x00010000), (4, 0), (4, 0),
+    (4, 0), (4, 0x00010000), (4, 0),
+    (4, 0), (4, 0), (4, 0x40000000))
+
+  private def mvhdBox(timescale: Long, duration: Long): Array[Byte] =
+    full("mvhd", 0, 0, concat(be(
+      (4, 0), (4, 0), (4, timescale), (4, duration),
+      (4, 0x00010000), (2, 0x0100), (2, 0), (4, 0), (4, 0)),
+      identityMatrix,
+      be((4, 0), (4, 0), (4, 0), (4, 0), (4, 0), (4, 0), (4, 2))))
+
+  /** `trak(tkhd, mdia(mdhd, hdlr vide, minf(vmhd, dinf, stbl)))`. */
+  private def trakBox(width: Int, height: Int, timescale: Long,
+      duration: Long, stbl: Array[Byte]): Array[Byte] = {
     val dinf = box("dinf", full("dref", 0, 0, concat(
       be((4, 1)), full("url ", 0, 1, Array.emptyByteArray))))
     val vmhd = full("vmhd", 0, 1, be((2, 0), (2, 0), (2, 0), (2, 0)))
     val minf = box("minf", concat(vmhd, dinf, stbl))
     val hdlr = full("hdlr", 0, 0, concat(
       be((4, 0), (4, "vide".getBytes("ISO-8859-1")), (4, 0), (4, 0), (4, 0)),
-      "graft ".getBytes("ISO-8859-1")))
+      "graft".getBytes("ISO-8859-1")))
     val mdhd = full("mdhd", 0, 0, be(
       (4, 0), (4, 0), (4, timescale), (4, duration),
       (2, 0x55C4), (2, 0))) // language "und"
     val mdia = box("mdia", concat(mdhd, hdlr, minf))
-    val identity = be((4, 0x00010000), (4, 0), (4, 0),
-      (4, 0), (4, 0x00010000), (4, 0),
-      (4, 0), (4, 0), (4, 0x40000000))
     val tkhd = full("tkhd", 0, 7, be(
       (4, 0), (4, 0), (4, 1), (4, 0), (4, duration), // times, id, dur
       (4, 0), (4, 0), (2, 0), (2, 0), (2, 0), (2, 0), // reserved/layer/volume
-      (36, identity),
+      (36, identityMatrix),
       (4, width << 16), (4, height << 16)))
-    val trak = box("trak", concat(tkhd, mdia))
-    val mvhd = full("mvhd", 0, 0, concat(be(
-      (4, 0), (4, 0), (4, timescale), (4, duration),
-      (4, 0x00010000), (2, 0x0100), (2, 0), (4, 0), (4, 0)),
-      identity,
-      be((4, 0), (4, 0), (4, 0), (4, 0), (4, 0), (4, 0), (4, 2))))
-    val moov = box("moov", concat(mvhd, trak))
-    concat(ftyp, mdat, moov)
+    box("trak", concat(tkhd, mdia))
   }
 }

@@ -421,11 +421,14 @@ object VideoDedup {
     trimmedShotJpegCorpus(ids, idCol, mp4 = false)
 
   /** [[syntheticTrimmedShotVideosJpeg]]'s frames in a REAL ISO-BMFF
-    * container ([[Mp4Codec.encodeMjpeg]]) instead of GVID — the
-    * `video_dedup_mp4` corpus. Same ids → bit-identical frame bytes,
-    * so the two queries share one oracle: the hash match then proves
-    * the box walk + stsc/stsz/stco sample extraction end to end (the
-    * only thing that differs is the container).
+    * container instead of GVID — the `video_dedup_mp4` corpus. EVEN
+    * ids pack as plain MP4 ([[Mp4Codec.encodeMjpeg]], two-chunk
+    * stsc/stsz/stco layout); ODD ids as FRAGMENTED MP4
+    * ([[Mp4Codec.encodeMjpegFragmented]], moof/traf/trun segments) —
+    * so one query proves BOTH sample-table protocols. Same ids →
+    * bit-identical frame bytes, so the query shares the GVID twin's
+    * oracle: the hash match is the container-parse proof (the only
+    * thing that differs is the packaging).
     */
   def syntheticTrimmedShotVideosMp4(
       ids: DataFrame, idCol: String): DataFrame =
@@ -465,7 +468,9 @@ object VideoDedup {
           })
           Seq.fill(nFrames)(frame) // within a shot, frames bit-identical
         }
-        if (mp4) Row(id, "mp4", Mp4Codec.encodeMjpeg(frames, w, h))
+        if (mp4 && id % 2 == 1)
+          Row(id, "mp4", Mp4Codec.encodeMjpegFragmented(frames, w, h))
+        else if (mp4) Row(id, "mp4", Mp4Codec.encodeMjpeg(frames, w, h))
         else Row(id, "gvid", encodeGvid(frames.map(("jpeg", _))))
       }
     }(enc)

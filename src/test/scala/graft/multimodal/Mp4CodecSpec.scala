@@ -171,14 +171,102 @@ class Mp4CodecSpec extends AnyFunSuite {
     assert(Mp4Codec.decode(zero).tracks.head.samples.length === 1)
   }
 
-  test("refusals: non-BMFF, fragmented (moof), missing moov, no MJPEG " +
+  test("FRAGMENTED: encodeMjpegFragmented round-trips through " +
+    "moof/traf/trun — every frame bit-exact across fragments, trex " +
+    "defaults honored when the trun carries no sizes") {
+    val frames = (0 until 5).map(i =>
+      JpegCodec.encode420(16, 16, (x, y) => ((x * 13 + i) % 256,
+        (y * 31 + i) % 256, (x * y + i) % 256)))
+    val f = Mp4Codec.encodeMjpegFragmented(frames, 16, 16,
+      framesPerFragment = 2) // fragments of 2, 2, 1
+    val t = Mp4Codec.decode(f).mjpegTrack.getOrElse(fail("no mjpeg track"))
+    assert(t.samples.length === 5)
+    t.samples.zip(frames).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g.toSeq === w.toSeq, s"fragmented frame $i not bit-exact")
+    }
+    // the plain and fragmented packings of the SAME frames decode to
+    // the same samples — the video_dedup_mp4 mixed-corpus contract
+    val plain = Mp4Codec.decode(Mp4Codec.encodeMjpeg(frames, 16, 16))
+      .mjpegTrack.get.samples
+    assert(plain.zip(t.samples).forall { case (a, b) => a.toSeq == b.toSeq })
+
+    // trex default size path: constant-size samples, a trun with ONLY
+    // a data offset (flags 0x1) — sizes resolve from trex
+    val const = Seq(s(7, 7, 7, 7), s(9, 9, 9, 9))
+    val ftyp = beBox("ftyp", cat("isom".getBytes, ints(0x200)))
+    val stbl = beBox("stbl", cat(
+      beFull("stsd", 0, cat(ints(1), beBox("jpeg", cat(
+        new Array[Byte](6), Array[Byte](0, 1), new Array[Byte](16),
+        Array[Byte](0, 24, 0, 16), ints(0x00480000, 0x00480000, 0),
+        Array[Byte](0, 1), new Array[Byte](32),
+        Array[Byte](0, 24, 0xFF.toByte, 0xFF.toByte))))),
+      beFull("stts", 0, ints(0)), beFull("stsc", 0, ints(0)),
+      beFull("stsz", 0, ints(0, 0)), beFull("stco", 0, ints(0))))
+    val minf = beBox("minf", cat(beFull("vmhd", 1, new Array[Byte](8)),
+      beBox("dinf", beFull("dref", 0,
+        cat(ints(1), beFull("url ", 1, Array.emptyByteArray)))), stbl))
+    val mdia = beBox("mdia", cat(
+      beFull("mdhd", 0, cat(ints(0, 0, 600, 50),
+        Array[Byte](0x55, 0xC4.toByte, 0, 0))),
+      beFull("hdlr", 0, cat(ints(0), "vide".getBytes, ints(0, 0, 0))),
+      minf))
+    val tkhd = beFull("tkhd", 7, cat(ints(0, 0, 1, 0, 50), ints(0, 0),
+      new Array[Byte](8),
+      ints(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000),
+      ints(24 << 16, 16 << 16)))
+    val moov = beBox("moov", cat(
+      beFull("mvhd", 0, cat(ints(0, 0, 600, 50, 0x00010000),
+        Array[Byte](1, 0, 0, 0), ints(0, 0),
+        ints(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000),
+        ints(0, 0, 0, 0, 0, 0, 2))),
+      beBox("trak", cat(tkhd, mdia)),
+      beBox("mvex", beFull("trex", 0, ints(1, 1, 25, 4, 0))))) // size 4
+    def moofOf(off: Int): Array[Byte] = beBox("moof", cat(
+      beFull("mfhd", 0, ints(1)),
+      beBox("traf", cat(
+        beFull("tfhd", 0x020000, ints(1)), // default-base-is-moof
+        beFull("trun", 0x000001, ints(2, off)))))) // offset only
+    val frag = cat(moofOf(moofOf(0).length + 8), beBox("mdat", cat(const: _*)))
+    val whole = cat(ftyp, moov, frag)
+    val t2 = Mp4Codec.decode(whole).tracks.head
+    assert(t2.samples.length === 2)
+    t2.samples.zip(const).foreach { case (g, w) => assert(g.toSeq === w.toSeq) }
+  }
+
+  test("FRAGMENTED corruption sweep: single-byte corruptions of a " +
+    "moof/trun file parse or refuse loudly") {
+    val base = Mp4Codec.encodeMjpegFragmented(
+      (0 until 3).map(i => JpegCodec.encode420(16, 8,
+        (x, y) => ((x + i) % 256, (y * 3) % 256, 128))), 16, 8)
+    def attempt(b: Array[Byte], what: String): Unit =
+      try { Mp4Codec.decode(b); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"$what: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    base.indices.foreach { i =>
+      val zeroed = base.clone(); zeroed(i) = 0
+      attempt(zeroed, s"byte $i zeroed")
+      val flipped = base.clone(); flipped(i) = (flipped(i) ^ 0xFF).toByte
+      attempt(flipped, s"byte $i flipped")
+    }
+    (0 until base.length by 5).foreach { n =>
+      attempt(base.take(n), s"truncated to $n bytes")
+    }
+  }
+
+  test("refusals: non-BMFF, missing moov, unknown-track moof, no MJPEG " +
     "track for the frame hasher") {
     intercept[IllegalArgumentException](
       Mp4Codec.decode("not a container at all".getBytes))
     val ok = handFile(Seq(s(1)), runs = Seq((1, 1)), nChunks = 1)
+    // a moof naming a track the moov never declared refuses loudly
+    val badMoof = beBox("moof", beBox("traf",
+      beFull("tfhd", 0x020000, ints(99))))
     val e1 = intercept[IllegalArgumentException](
-      Mp4Codec.decode(cat(ok, beBox("moof", Array.emptyByteArray))))
-    assert(e1.getMessage.contains("moof"), e1.getMessage)
+      Mp4Codec.decode(cat(ok, badMoof)))
+    assert(e1.getMessage.contains("99"), e1.getMessage)
     val noMoov = {
       val ftyp = beBox("ftyp", cat("isom".getBytes, ints(0x200)))
       cat(ftyp, beBox("mdat", s(1, 2, 3)))
