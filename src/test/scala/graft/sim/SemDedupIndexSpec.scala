@@ -193,6 +193,42 @@ class SemDedupIndexSpec extends AnyFunSuite with SparkSpec {
     assert(idx.vecsTable.latestVersion.get === vecsV)
   }
 
+  test("dedupBatch plan shapes: no cartesian in ANY executed plan; the " +
+    "candidate generation runs broadcast hash joins (batch side small)") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        seen.synchronized { seen += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val idx = freshIndex()
+      idx.bootstrap(emb(bootRows: _*))
+      idx.dedupBatch(emb(
+        90L -> v(0, 0.98f, 1, 0.1f), 91L -> v(2, 0.6f, 3, 0.6f)))
+      // listener delivery is async: poll until the capture goes quiet
+      var last = -1
+      var quiet = 0
+      while (quiet < 3 && last < 200) {
+        Thread.sleep(100)
+        val now = seen.synchronized(seen.size)
+        if (now == last) quiet += 1 else { quiet = 0; last = now }
+      }
+      val plans = seen.synchronized(seen.toList)
+      assert(plans.nonEmpty, "no executed plans captured")
+      val cart = plans.filter(_.contains("CartesianProduct"))
+      assert(cart.isEmpty, "cartesian product in a dedupBatch plan:\n" +
+        cart.headOption.getOrElse(""))
+      assert(plans.exists(_.contains("BroadcastHashJoin")),
+        "no broadcast hash join anywhere in the batch's plans")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("bootstrap twice refuses; dedupBatch before bootstrap refuses") {
     val idx = freshIndex()
     intercept[IllegalArgumentException](idx.dedupBatch(emb(1L -> v(0, 1f, 1, 0f))))
