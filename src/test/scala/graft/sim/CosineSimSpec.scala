@@ -74,6 +74,40 @@ class CosineSimSpec extends AnyFunSuite with SparkSpec {
         "same-cluster (cap effects aside on this uncapped-size data)")
   }
 
+  test("signBucketRowsQ (the index-side bucket helper) agrees with the " +
+    "public signBucket formula on every table — the refactor cannot " +
+    "have forked the hyperplane family") {
+    val emb = Tables.load(spark, dir, "embeddings").limit(50)
+    val q = emb.select(col("vec_id"),
+      CosineSim.quantize(col("embedding")).as("q"))
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val planes = 8; val tables = 4
+    val got = CosineSim.signBucketRowsQ(q, dim, planes, tables)
+      .select("vec_id", "t", "b").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // table t's bucket must equal the signBucket fold over the SAME
+    // plane slice — rebuild it per table by shifting the plane index
+    // base: plane j of table t is global plane t*planes + j, which is
+    // signBucket's plane j when the formula's (j+1) multiplier is
+    // substituted — so compare against a direct driver-side model
+    val rows = q.select(col("vec_id"), col("q")).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Long](1).toArray
+      (0 until tables).foreach { t =>
+        var b = 0L
+        (0 until planes).foreach { j =>
+          val p = CosineSim.planeVector(dim, t * planes + j)
+          var d = 0L
+          var i = 0
+          while (i < dim) { d += v(i) * p(i); i += 1 }
+          if (d >= 0) b |= 1L << j
+        }
+        assert(got((id, t)) === b, s"vec $id table $t")
+      }
+    }
+  }
+
   test("blocked plan joins on the block key (equi-join, no cross product)") {
     val emb = Tables.load(spark, dir, "embeddings")
     val plan = CosineSim.similarPairs(emb, "vec_id", "embedding", 2, 5,
