@@ -81,10 +81,29 @@ object AudioDedup {
     (hi, lo)
   }
 
+  /** Decode a media row to mono 16-bit PCM: WAV ([[WavCodec]]) or an
+    * ISO-BMFF MP4 carrying a `sowt` (LE 16-bit PCM) audio track
+    * ([[Mp4Codec]] — the generic sample extraction concatenates to
+    * the signal, so real container bytes feed the SAME fingerprint
+    * chains). Anything else refuses loudly rather than fingerprinting
+    * undecoded bytes (the [[ImageDedup.dHashDf]] contract).
+    */
+  private def decodePcm(fmt: String, bytes: Array[Byte],
+      what: String): Array[Short] = fmt match {
+    case "wav" => WavCodec.decode(bytes).samples
+    case "mp4" =>
+      Mp4Codec.decode(bytes).pcmTrack.getOrElse(
+        throw new IllegalArgumentException(
+          s"$what: mp4 carries no PCM (sowt sample entry, soun " +
+            "handler) audio track")).pcm16
+    case other => throw new IllegalArgumentException(
+      s"$what needs decoded PCM; format '$other' is not a supported " +
+        "audio codec")
+  }
+
   /** Fingerprints over a media frame `(idCol, format, bytes)`: one
-    * narrow decode→hash pass. Only real PCM WAV is hashable; anything
-    * else refuses loudly rather than fingerprinting undecoded bytes
-    * (the [[ImageDedup.dHashDf]] contract).
+    * narrow decode→hash pass. Real PCM WAV and PCM-in-MP4 are
+    * hashable; anything else refuses loudly (see [[decodePcm]]).
     */
   def energyHashDf(media: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(
@@ -97,12 +116,9 @@ object AudioDedup {
     val bIx = media.schema.fieldIndex("bytes")
     media.mapPartitions { rows =>
       rows.map { r =>
-        val fmt = r.getString(fmtIx)
-        if (fmt != "wav") throw new IllegalArgumentException(
-          s"energy fingerprint needs decoded PCM; format '$fmt' is not " +
-            "a supported audio codec")
-        val wav = WavCodec.decode(r.getAs[Array[Byte]](bIx))
-        val (hi, lo) = energyHash64(wav.samples)
+        val samples = decodePcm(r.getString(fmtIx),
+          r.getAs[Array[Byte]](bIx), "energy fingerprint")
+        val (hi, lo) = energyHash64(samples)
         Row(r.getLong(idIx), hi, lo)
       }
     }(enc)
@@ -174,19 +190,16 @@ object AudioDedup {
     val bIx = media.schema.fieldIndex("bytes")
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val fmt = r.getString(fmtIx)
-        if (fmt != "wav") throw new IllegalArgumentException(
-          s"block fingerprints need decoded PCM; format '$fmt' is not " +
-            "a supported audio codec")
-        val wav = WavCodec.decode(r.getAs[Array[Byte]](bIx))
+        val samples = decodePcm(r.getString(fmtIx),
+          r.getAs[Array[Byte]](bIx), "block fingerprints")
         val id = r.getLong(idIx)
-        val n = wav.samples.length
+        val n = samples.length
         val nHops =
           if (n < blockSamples) 0 else (n - blockSamples) / hopSamples + 1
         (0 until nHops).iterator.map { k =>
           val start = k * hopSamples
           val (hi, lo) = energyHash64(java.util.Arrays.copyOfRange(
-            wav.samples, start, start + blockSamples))
+            samples, start, start + blockSamples))
           Row(id, k.toLong, hi, lo)
         }
       }
@@ -251,13 +264,10 @@ object AudioDedup {
     val bIx = media.schema.fieldIndex("bytes")
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val fmt = r.getString(fmtIx)
-        if (fmt != "wav") throw new IllegalArgumentException(
-          s"segmentation needs decoded PCM; format '$fmt' is not a " +
-            "supported audio codec")
-        val wav = WavCodec.decode(r.getAs[Array[Byte]](bIx))
+        val samples = decodePcm(r.getString(fmtIx),
+          r.getAs[Array[Byte]](bIx), "segmentation")
         val id = r.getLong(idIx)
-        segmentsOf(wav.samples).zipWithIndex.map {
+        segmentsOf(samples).zipWithIndex.map {
           case ((s, eW, nW, sum), i) =>
             Row(id, (i + 1).toLong, s.toLong, eW.toLong, nW.toLong, sum)
         }
@@ -280,7 +290,20 @@ object AudioDedup {
     * Variants `(v_a, v_b)` share the `6 - max(v_a, v_b)` trailing
     * master blocks.
     */
-  def syntheticOffsetAudio(ids: DataFrame, idCol: String): DataFrame = {
+  def syntheticOffsetAudio(ids: DataFrame, idCol: String): DataFrame =
+    syntheticOffsetAudioImpl(ids, idCol, mp4 = false)
+
+  /** [[syntheticOffsetAudio]]'s samples in a REAL ISO-BMFF container
+    * ([[Mp4Codec.encodePcm16]], `sowt` PCM track) instead of WAV —
+    * the `audio_dedup_mp4` corpus. Same ids → bit-identical PCM, so
+    * the query shares the WAV twin's oracle: the hash match proves
+    * the audio-track sample extraction end to end.
+    */
+  def syntheticOffsetAudioMp4(ids: DataFrame, idCol: String): DataFrame =
+    syntheticOffsetAudioImpl(ids, idCol, mp4 = true)
+
+  private def syntheticOffsetAudioImpl(
+      ids: DataFrame, idCol: String, mp4: Boolean): DataFrame = {
     val blockSamples = OffsetBlockSamples
     val winlen = blockSamples / Windows
     val outSchema = StructType(Seq(
@@ -324,7 +347,8 @@ object AudioDedup {
           }
           bi += 1
         }
-        Row(id, "wav", WavCodec.encodePcm16Mono(16000, samples))
+        if (mp4) Row(id, "mp4", Mp4Codec.encodePcm16(samples, 16000))
+        else Row(id, "wav", WavCodec.encodePcm16Mono(16000, samples))
       }
     }(enc)
   }

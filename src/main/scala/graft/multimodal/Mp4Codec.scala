@@ -56,12 +56,33 @@ object Mp4Codec {
     */
   final case class Mp4Track(trackId: Long, handler: String, codec: String,
       timescale: Long, duration: Long, width: Int, height: Int,
-      samples: Array[Array[Byte]])
+      samples: Array[Array[Byte]]) {
+
+    /** The track's samples as one concatenated little-endian 16-bit
+      * PCM signal (the `sowt` payload layout). Refuses on odd-length
+      * payloads rather than dropping a byte.
+      */
+    def pcm16: Array[Short] = {
+      val total = samples.iterator.map(_.length).sum
+      require(total % 2 == 0, "PCM payload is not 16-bit aligned")
+      val out = new Array[Short](total / 2)
+      var o = 0
+      samples.foreach { s =>
+        val bb = ByteBuffer.wrap(s).order(ByteOrder.LITTLE_ENDIAN)
+        while (bb.remaining() >= 2) { out(o) = bb.getShort(); o += 1 }
+      }
+      out
+    }
+  }
 
   final case class Mp4(majorBrand: String, tracks: Seq[Mp4Track]) {
     /** The first video track carrying `jpeg` samples, if any. */
     def mjpegTrack: Option[Mp4Track] =
       tracks.find(t => t.handler == "vide" && t.codec == "jpeg")
+
+    /** The first audio track carrying `sowt` (LE 16-bit PCM), if any. */
+    def pcmTrack: Option[Mp4Track] =
+      tracks.find(t => t.handler == "soun" && t.codec == "sowt")
   }
 
   // ------------------------------------------------------------ decode
@@ -468,6 +489,79 @@ object Mp4Codec {
         concat(moofOf(moofLen + 8), box("mdat", concat(fs: _*)))
     }.toSeq
     concat((ftyp +: moov +: frags): _*)
+  }
+
+  /** PCM-in-MP4 (`soun` track, `sowt` little-endian 16-bit sample
+    * entry — the QuickTime/ISO uncompressed-audio shape): mono 16-bit
+    * samples packed `samplesPerChunk` PCM frames per MP4 sample
+    * (per-sample sizes in `stsz`, two-chunk `stsc` layout like the
+    * video twin), so the generic sample extraction hands back
+    * contiguous little-endian PCM ranges that concatenate to the
+    * original signal — real audio container bytes feeding the
+    * EXISTING energy/block fingerprint chains
+    * ([[AudioDedup]]; the `audio_dedup_mp4` gate query).
+    */
+  def encodePcm16(samples: Array[Short], sampleRate: Int,
+      samplesPerChunk: Int = 4096): Array[Byte] = {
+    require(samples.nonEmpty, "encodePcm16: no samples")
+    require(sampleRate > 0 && samplesPerChunk > 0,
+      s"bad rate/chunk $sampleRate/$samplesPerChunk")
+    val pcm = {
+      val bb = ByteBuffer.allocate(samples.length * 2)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val ftyp = box("ftyp", be(
+      (4, "isom".getBytes("ISO-8859-1")), (4, 0x200),
+      (4, "isom".getBytes("ISO-8859-1")), (4, "iso2".getBytes("ISO-8859-1"))))
+    val mdat = box("mdat", pcm)
+    // MP4 samples: groups of samplesPerChunk PCM frames (last partial)
+    val sizes = (0 until samples.length by samplesPerChunk)
+      .map(i => math.min(samplesPerChunk, samples.length - i) * 2)
+    val n = sizes.length
+    val firstChunkN = (n + 1) / 2
+    val chunk1Off = ftyp.length + 8L
+    val chunk2Off = chunk1Off + sizes.take(firstChunkN).map(_.toLong).sum
+    val stsdSowt = full("stsd", 0, 0, concat(be((4, 1)),
+      box("sowt", be(
+        (6, new Array[Byte](6)), (2, 1), // reserved + data_ref_index
+        (2, 0), (2, 0), (4, 0), // version/revision/vendor
+        (2, 1), (2, 16), (2, 0), (2, 0), // mono, 16-bit, compression/pkt
+        (4, sampleRate << 16))))) // 16.16 rate
+    val stts = full("stts", 0, 0, be((4, 1), (4, n), (4, samplesPerChunk)))
+    val stsc = full("stsc", 0, 0, concat(
+      be((4, if (n > firstChunkN) 2 else 1)),
+      be((4, 1), (4, firstChunkN), (4, 1)),
+      if (n > firstChunkN) be((4, 2), (4, n - firstChunkN), (4, 1))
+      else Array.emptyByteArray))
+    val stsz = full("stsz", 0, 0, concat(
+      be((4, 0), (4, n)), concat(sizes.map(s => be((4, s))): _*)))
+    val stco = full("stco", 0, 0, concat(
+      be((4, if (n > firstChunkN) 2 else 1)),
+      be((4, chunk1Off)),
+      if (n > firstChunkN) be((4, chunk2Off)) else Array.emptyByteArray))
+    val stbl = box("stbl", concat(stsdSowt, stts, stsc, stsz, stco))
+    val duration = samples.length.toLong
+    val dinf = box("dinf", full("dref", 0, 0, concat(
+      be((4, 1)), full("url ", 0, 1, Array.emptyByteArray))))
+    val smhd = full("smhd", 0, 0, be((2, 0), (2, 0))) // balance + reserved
+    val minf = box("minf", concat(smhd, dinf, stbl))
+    val hdlr = full("hdlr", 0, 0, concat(
+      be((4, 0), (4, "soun".getBytes("ISO-8859-1")), (4, 0), (4, 0), (4, 0)),
+      "graft".getBytes("ISO-8859-1")))
+    val mdhd = full("mdhd", 0, 0, be(
+      (4, 0), (4, 0), (4, sampleRate.toLong), (4, duration),
+      (2, 0x55C4), (2, 0)))
+    val mdia = box("mdia", concat(mdhd, hdlr, minf))
+    val tkhd = full("tkhd", 0, 7, be(
+      (4, 0), (4, 0), (4, 1), (4, 0), (4, duration),
+      (4, 0), (4, 0), (2, 0), (2, 0), (2, 0x0100), (2, 0), // volume 1.0
+      (36, identityMatrix),
+      (4, 0), (4, 0))) // audio: zero visual dims
+    val trak = box("trak", concat(tkhd, mdia))
+    val moov = box("moov", concat(mvhdBox(sampleRate.toLong, duration), trak))
+    concat(ftyp, mdat, moov)
   }
 
   /** The `jpeg` visual sample description (`stsd`). */

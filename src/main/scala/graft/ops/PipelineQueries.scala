@@ -1775,6 +1775,27 @@ object PipelineQueries {
     * of matched block-index deltas — "B is A trimmed by k blocks".
     * One engine, two modalities, one shared oracle tail.
     */
+  /** [[audioDedupOffset]] through a REAL ISO-BMFF container
+    * ([[graft.multimodal.Mp4Codec.encodePcm16]]): the same ids
+    * produce bit-identical PCM, packed as an MP4 `sowt`-in-`soun`
+    * track (two-chunk stsc layout) instead of WAV — so the oracle is
+    * the SHARED block-unit SQL, and the hash match proves the audio
+    * sample-table resolution end to end: the container parse is the
+    * only new code on the path.
+    */
+  def audioDedupMp4(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{AudioDedup, SignatureDedup}
+    val sigs = mediaHashCache.get(spark, dir + "#audioblocksmp4") {
+      val ids = fanoutIds(spark, dir)
+      AudioDedup.blockHashDf(
+        AudioDedup.syntheticOffsetAudioMp4(ids, "doc_id"),
+        "doc_id", AudioDedup.OffsetBlockSamples)
+    }
+    SignatureDedup.nearDupPairsBySignature(sigs, "doc_id", "block_idx",
+      maxHamming = 3, minMatched = 2, bandBits = 16)
+      .orderBy("id_a", "id_b")
+  }
+
   def audioDedupOffsetEstimate(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{AudioDedup, SignatureDedup}
     val sigs = mediaHashCache.get(spark, dir + "#audioblocks") {
@@ -4728,6 +4749,12 @@ object PipelineQueries {
     "audio_dedup_offset" ->
       raw"""WITH $audioBlockUnitsCtes,
          |$sigOverlapTail""".stripMargin,
+    // The ISO-BMFF audio twin: bit-identical PCM in a real MP4 sowt
+    // track — same oracle; the hash match proves the audio-track
+    // sample extraction (Mp4Codec), nothing else differs
+    "audio_dedup_mp4" ->
+      raw"""WITH $audioBlockUnitsCtes,
+         |$sigOverlapTail""".stripMargin,
     // The audio twin of video_dedup_incremental: the SAME persisted
     // unit-signature index protocol over block fingerprints — the
     // membership-evolution replay swaps only the units chain
@@ -5005,6 +5032,7 @@ object PipelineQueries {
     "video_dedup_shot_clusters" -> videoDedupShotClusters _,
     "video_dedup_offset_estimate" -> videoDedupOffsetEstimate _,
     "audio_dedup_offset" -> audioDedupOffset _,
+    "audio_dedup_mp4" -> audioDedupMp4 _,
     "audio_dedup_offset_estimate" -> audioDedupOffsetEstimate _,
     "audio_dedup_hop" -> audioDedupHop _,
     "lang_id" -> langId _,

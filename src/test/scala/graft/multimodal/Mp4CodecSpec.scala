@@ -233,6 +233,21 @@ class Mp4CodecSpec extends AnyFunSuite {
     t2.samples.zip(const).foreach { case (g, w) => assert(g.toSeq === w.toSeq) }
   }
 
+  test("PCM audio track: encodePcm16 round-trips through the sowt " +
+    "sample tables — concatenated pcm16 is bit-exact, incl. a " +
+    "partial last chunk; pcmTrack and mjpegTrack don't cross-match") {
+    val samples = Array.tabulate(10000)(i =>
+      ((i * 131 + 7) % 65536 - 32768).toShort)
+    val f = Mp4Codec.encodePcm16(samples, 16000, samplesPerChunk = 4096)
+    val mp4 = Mp4Codec.decode(f)
+    val t = mp4.pcmTrack.getOrElse(fail("no pcm track"))
+    assert(t.handler === "soun" && t.codec === "sowt")
+    assert(t.timescale === 16000L && t.duration === 10000L)
+    assert(t.samples.length === 3, "10000 samples @ 4096/chunk = 3 MP4 samples")
+    assert(t.pcm16.toSeq === samples.toSeq, "PCM not bit-exact")
+    assert(mp4.mjpegTrack.isEmpty, "an audio file has no mjpeg track")
+  }
+
   test("FRAGMENTED corruption sweep: single-byte corruptions of a " +
     "moof/trun file parse or refuse loudly") {
     val base = Mp4Codec.encodeMjpegFragmented(
