@@ -56,6 +56,17 @@ object Clusters {
   /** `(id, cluster_id)` for every node appearing in `pairs`;
     * `cluster_id` = min node id of the connected component.
     *
+    * Round shape (optimization-round rework, measured): the edge list
+    * is symmetrized, given a SELF-LOOP per node, and hash-partitioned
+    * on `dst` ONCE at build — every propagation round then probes the
+    * same pre-partitioned frame, so a round is ONE join (the label
+    * side re-uses its previous round's `groupBy` partitioning through
+    * the alias) + ONE min-aggregate. The self-loop row carries the
+    * node's own previous label into the aggregate, which removes the
+    * old second join (labels LEFT JOIN neighbor-min) entirely — per
+    * propagation step: 1 exchange instead of 3 (guide §2.4: keyed
+    * operations share one exchange; remove shuffles outright).
+    *
     * @param pairs undirected edges, two columns `aCol`/`bCol`
     */
   def connectedComponents(
@@ -66,37 +77,48 @@ object Clusters {
     // both union branches below would execute that pipeline twice
     val p = materialize(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    // symmetric closure + one self-loop per node (so the min-aggregate
+    // below sees the node's own label), deduped, pre-partitioned on
+    // the per-round join key
     val edges = materialize(
       p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
-    var labels = materialize(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("cluster_id", col("id")))
-    // one lazy min-label propagation step; extra columns pass through
-    def step(ls: DataFrame): DataFrame = {
-      val neighborMin = edges
-        .join(ls.select(col("id").as("dst"), col("cluster_id")), "dst")
+        .union(p.select(col("src"), col("src").as("dst")))
+        .union(p.select(col("dst").as("src"), col("dst")))
+        .distinct()
+        .repartition(col("dst")))
+    // one min-label propagation step: every node takes the min label
+    // over its closed neighborhood (self-loop included) — one join +
+    // one aggregate, no label re-join
+    def step(ls: DataFrame): DataFrame =
+      edges.join(ls.select(col("id").as("dst"), col("cluster_id")), "dst")
         .groupBy(col("src").as("id"))
-        .agg(min("cluster_id").as("neighbor_min"))
-      ls.join(neighborMin, Seq("id"), "left")
-        .withColumn("cluster_id",
-          least(col("cluster_id"),
-            coalesce(col("neighbor_min"), col("cluster_id"))))
-        .drop("neighbor_min")
-    }
-    var converged = false
-    var i = 0
+        .agg(min("cluster_id").as("cluster_id"))
+    // step with a change flag: the self-loop row carries the node's
+    // PREVIOUS label, so "did this step change anything" falls out of
+    // the same aggregate — no old-vs-new join. If the LAST applied
+    // step changed nothing, the labels are a fixpoint.
+    def stepChg(ls: DataFrame): DataFrame =
+      edges.join(ls.select(col("id").as("dst"), col("cluster_id")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("cluster_id").as("cluster_id"),
+          (min(col("cluster_id")) <
+            min(when(col("dst") === col("src"), col("cluster_id"))))
+            .as("chg"))
+    // round 1 folds the init labels (id -> id) into the first step:
+    // min over the closed neighborhood of ids is just min(dst)
+    val step0 = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("cluster_id"))
+    // TWO lazy propagation steps per materialization: near-dup
+    // components have tiny diameters, so halving the number of
+    // checkpoint+convergence actions (each a fixed-latency job)
+    // matters more than the occasional extra lazy join after
+    // convergence.
+    var next = materialize(stepChg(step0))
+    var converged = next.filter(col("chg")).limit(1).isEmpty
+    var labels = next.drop("chg")
+    var i = 1
     while (!converged && i < maxIter) {
-      // TWO lazy propagation steps per materialization: near-dup
-      // components have tiny diameters, so halving the number of
-      // checkpoint+convergence actions (each a fixed-latency job)
-      // matters more than the occasional extra lazy join after
-      // convergence. The original label rides along so the convergence
-      // flag spans both steps without an old-vs-new join.
-      val next = materialize(
-        step(step(labels.withColumn("orig", col("cluster_id"))))
-          .withColumn("chg", col("cluster_id") < col("orig"))
-          .drop("orig"))
+      next = materialize(stepChg(step(labels)))
       converged = next.filter(col("chg")).limit(1).isEmpty
       labels = next.drop("chg")
       i += 1

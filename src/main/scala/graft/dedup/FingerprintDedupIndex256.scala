@@ -106,17 +106,19 @@ class FingerprintDedupIndex256(
       .filter(col("corpus_id") =!= col("new_id"))
       .select("corpus_id", "new_id", "cfp")
       .dropDuplicates("corpus_id", "new_id")
-    // exact 256-bit distance: candidate's carried limbs re-joined
-    // against the broadcast batch limbs per band, popcounts summed —
-    // relational, 16 rows per candidate, stays in codegen
+    // exact 256-bit distance: XOR+popcount over the PACKED words —
+    // the candidate's carried array packs inline (4 codegen'd
+    // expressions), the batch side broadcasts its packed words once;
+    // the previous relational verify posexploded 16 rows per
+    // candidate through a broadcast join + hash aggregate (guide
+    // §2.3: shuffle/scan bytes per decision down, two operators gone)
     val crossDup = cand
-      .select(col("corpus_id"), col("new_id"),
-        posexplode(col("cfp")).as(Seq("band", "cbv")))
-      .join(broadcast(allLimbs.select(col("new_id"), col("band"),
-        col("bv").as("nbv"))), Seq("new_id", "band"))
-      .groupBy("corpus_id", "new_id")
-      .agg(sum(bit_count(col("cbv").bitwiseXOR(col("nbv"))))
-        .cast("long").as("hamming"))
+      .join(broadcast(batch.select(
+        col(idCol).as("new_id") +:
+          ImageDedup.packedFp256(col("fp"), "q"): _*)), Seq("new_id"))
+      .withColumn("hamming", ImageDedup.packedHamming(
+        ImageDedup.packedWords256(col("cfp")),
+        (0 until 4).map(j => col(s"q$j"))))
       .filter(col("hamming") <= maxHamming)
       .select("new_id").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -189,15 +191,18 @@ class FingerprintDedupIndex256(
       .filter(col("nn_id") =!= col("probe_id"))
       .select("probe_id", "nn_id", "cfp")
       .dropDuplicates("probe_id", "nn_id")
+    // packed-word verify (the dedupBatch shape): probe words broadcast
+    // once, the candidate's carried array packs inline — no explode,
+    // no per-candidate aggregate
     val scored = cand
-      .select(col("probe_id"), col("nn_id"),
-        posexplode(col("cfp")).as(Seq("band", "cbv")))
-      .join(broadcast(qLimbs.select(col("probe_id"), col("band"),
-        col("bv").as("qbv"))), Seq("probe_id", "band"))
-      .groupBy("probe_id", "nn_id")
-      .agg(sum(bit_count(col("cbv").bitwiseXOR(col("qbv"))))
-        .cast("long").as("hamming"))
+      .join(broadcast(probes.select(
+        col(idCol).as("probe_id") +:
+          ImageDedup.packedFp256(col("fp"), "q"): _*)), Seq("probe_id"))
+      .withColumn("hamming", ImageDedup.packedHamming(
+        ImageDedup.packedWords256(col("cfp")),
+        (0 until 4).map(j => col(s"q$j"))))
       .filter(col("hamming") <= radius)
+      .select("probe_id", "nn_id", "hamming")
     graft.multimodal.HammingKnn.topKFinish(scored, k)
   }
 

@@ -45,6 +45,14 @@ object NgramJaccard {
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .groupBy(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .agg(count(lit(1)).as("inter_size"))
+    // NOTE (optimization round 17, measured): broadcasting the pair
+    // side through the size lookups — MinHashLSH.nearDuplicates' shape
+    // — REGRESSED here (1.94 -> 3.72 s at sf0.1, tight spreads): this
+    // operator deliberately does NOT persist `sh`, so the two nested
+    // broadcast builds re-execute the shingle self-join serially
+    // through the driver, where the shuffle joins below share `sh`'s
+    // exchanges. The broadcast form only pays off behind a persisted
+    // pair frame (which MinHashLSH has). Kept as shuffle joins.
     inter
       .join(sizes.withColumnRenamed(idCol, "a").withColumnRenamed("sz", "a_size"), "a")
       .join(sizes.withColumnRenamed(idCol, "b").withColumnRenamed("sz", "b_size"), "b")

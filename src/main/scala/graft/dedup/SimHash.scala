@@ -50,15 +50,21 @@ object SimHash {
         shiftright(col("simhash"), c * 8).bitwiseAND(lit(255L))): _*)))
       .withColumnRenamed("pos", "chunk_no")
       .withColumnRenamed("col", "chunk")
+    // exact popcount BEFORE the distinct (the SignatureDedup.matchedUnits
+    // rule): the filter is a codegen'd bit_count per collision row and
+    // commutes with distinct, so the distinct's exchange carries only
+    // the PASSING pairs — candidate collisions outnumber true pairs by
+    // the chunk-collision rate (guide §2.3: shuffle fewer bytes)
     chunks.as("x").join(chunks.as("y"),
       col("x.chunk_no") === col("y.chunk_no") &&
         col("x.chunk") === col("y.chunk") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
+      .filter(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+        <= maxHamming)
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
         col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
       .select("a", "b", "sig_a", "sig_b", "hamming")
   }
 }

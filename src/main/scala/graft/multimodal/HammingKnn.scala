@@ -75,31 +75,34 @@ object HammingKnn {
     * home configuration (Norouzi et al. evaluate 64–256-bit codes;
     * longer codes are WHY the multi-index exists): 16 limb-bands admit
     * radii up to 15, candidates block on (band, limb) equality at the
-    * same sampled substring, the exact distance re-joins both sides'
-    * limb rows relationally, and the same bounded top-k finishes.
+    * same sampled substring, the exact distance is XOR+popcount over
+    * the PACKED fingerprint words carried through the postings join
+    * (the [[ImageDedup.nearDupPairs256]] plan shape — the previous
+    * relational limb re-join cost two extra exchanges per probe set),
+    * and the same bounded top-k finishes.
     */
   def knnWithinRadius256(hashes: DataFrame, probes: DataFrame,
       idCol: String, k: Int, radius: Int): DataFrame = {
     require(radius >= 0 && radius < 16,
       s"radius=$radius: the 16-limb pigeonhole is exact only below 16")
     require(k >= 1, s"k=$k must be >= 1")
-    val idxLimbs = hashes
-      .select(col(idCol), posexplode(col("fp")).as(Seq("band", "bv")))
-    val qLimbs = probes
-      .select(col(idCol).as("probe_id"),
-        posexplode(col("fp")).as(Seq("band", "bv")))
-    val cand = qLimbs.join(idxLimbs, Seq("band", "bv"))
+    val idxLimbs = hashes.select(
+      (col(idCol) +: ImageDedup.packedFp256(col("fp"), "n")) :+
+        posexplode(col("fp")).as(Seq("band", "bv")): _*)
+    val qLimbs = probes.select(
+      (col(idCol).as("probe_id") +: ImageDedup.packedFp256(col("fp"), "q")) :+
+        posexplode(col("fp")).as(Seq("band", "bv")): _*)
+    val scored = qLimbs.join(idxLimbs, Seq("band", "bv"))
       .filter(col("probe_id") =!= col(idCol))
-      .select(col("probe_id"), col(idCol).as("nn_id")).distinct()
-    val la = qLimbs.select(col("probe_id"), col("band"),
-      col("bv").as("bva"))
-    val lb = idxLimbs.select(col(idCol).as("nn_id"), col("band"),
-      col("bv").as("bvb"))
-    val scored = cand.join(la, Seq("probe_id")).join(lb, Seq("nn_id", "band"))
-      .groupBy("probe_id", "nn_id")
-      .agg(sum(bit_count(col("bva").bitwiseXOR(col("bvb"))))
-        .cast("long").as("hamming"))
+      .select(Seq(col("probe_id"), col(idCol).as("nn_id")) ++
+        (0 until 4).map(j => col(s"q$j")) ++
+        (0 until 4).map(j => col(s"n$j")): _*)
+      .distinct() // fingerprints sharing several bands are one candidate
+      .withColumn("hamming", ImageDedup.packedHamming(
+        (0 until 4).map(j => col(s"q$j")),
+        (0 until 4).map(j => col(s"n$j"))))
       .filter(col("hamming") <= radius)
+      .select("probe_id", "nn_id", "hamming")
     topKFinish(scored, k)
   }
 }

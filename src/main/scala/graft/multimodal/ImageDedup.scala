@@ -308,10 +308,43 @@ object ImageDedup {
     }(enc)
   }
 
+  /** Packs the 16 × 16-bit limb array into four BIGINTs (4 limbs
+    * each, limb `4k+j` at bit `16j` of word `k`): XOR + popcount over
+    * the packed words IS the 256-bit Hamming distance, so candidate
+    * verification needs no relational limb re-join — the words ride
+    * the banded exchange like the 64-bit operator's (h_hi, h_lo). The
+    * top limb of word 3 can set bit 63 (a negative BIGINT); XOR and
+    * popcount are bit-level, so the sign is irrelevant.
+    */
+  private[graft] def packedWords256(
+      fpCol: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    (0 until 4).map { k =>
+      (0 until 4).map { j =>
+        shiftleft(element_at(fpCol, k * 4 + j + 1), 16 * j)
+      }.reduce(_.bitwiseOR(_))
+    }
+
+  private[graft] def packedFp256(fpCol: org.apache.spark.sql.Column,
+      prefix: String = "p"): Seq[org.apache.spark.sql.Column] =
+    packedWords256(fpCol).zipWithIndex.map { case (c, k) => c.as(s"$prefix$k") }
+
+  private[graft] def packedHamming(
+      a: Seq[org.apache.spark.sql.Column],
+      b: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    (0 until 4).map(k => bit_count(a(k).bitwiseXOR(b(k))))
+      .reduce(_ + _).cast("long")
+
   /** Near-duplicate pairs among 256-bit fingerprints `(idCol, fp)`:
     * limb-band blocking (pigeonhole-exact for `maxHamming < 16`) +
-    * relational exact-Hamming verify. The higher admissible threshold
-    * is paid for in candidate volume — 16 bands at 65,536-way
+    * exact-Hamming verify over the PACKED fingerprint (four BIGINT
+    * words carried through the banded join — the 64-bit operator's
+    * plan shape). The previous relational verify re-joined both
+    * sides' 16 limb rows per candidate (two joins + an aggregate,
+    * 16× the candidate volume through two exchanges); carrying 32
+    * bytes per band row instead removes those joins outright
+    * (optimization guide §2.3-2.4: shuffle a few extra bytes to
+    * delete whole exchanges). The higher admissible threshold is
+    * paid for in candidate volume — 16 bands at 65,536-way
     * selectivity is ~4× the 64-bit operator's blocking cost, the
     * standard long-hash trade.
     */
@@ -320,26 +353,28 @@ object ImageDedup {
     require(maxHamming >= 0 && maxHamming < 16,
       s"maxHamming=$maxHamming: the 16-limb pigeonhole is exact only " +
         "for thresholds < 16")
-    val limbs = hashes
-      .select(col(idCol), posexplode(col("fp")).as(Seq("band", "bv")))
-    // the cap applies to CANDIDATE GENERATION only; the verify below
-    // re-joins the UNCAPPED limb rows, so every emitted distance stays
-    // the exact 256-bit Hamming distance
+    val limbs = hashes.select(
+      (col(idCol) +: packedFp256(col("fp"))) :+
+        posexplode(col("fp")).as(Seq("band", "bv")): _*)
+    // the cap applies to CANDIDATE GENERATION only; the packed words
+    // are the whole uncapped fingerprint, so every emitted distance
+    // stays the exact 256-bit Hamming distance
     val blocked = capBuckets(limbs, maxBucketSize, "band", "bv")
-    val a = blocked.select(col(idCol).as("id_a"), col("band"), col("bv"))
-    val b = blocked.select(col(idCol).as("id_b"), col("band"), col("bv"))
-    val cand = a.join(b, Seq("band", "bv"))
+    def side(tag: String) = blocked.select(
+      col(idCol).as(s"id_$tag") +:
+        (0 until 4).map(k => col(s"p$k").as(s"p$k$tag")) :+
+        col("band") :+ col("bv"): _*)
+    side("a").join(side("b"), Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val la = limbs.select(col(idCol).as("id_a"), col("band"),
-      col("bv").as("bva"))
-    val lb = limbs.select(col(idCol).as("id_b"), col("band"),
-      col("bv").as("bvb"))
-    cand.join(la, Seq("id_a")).join(lb, Seq("id_b", "band"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(bit_count(col("bva").bitwiseXOR(col("bvb"))))
-        .cast("long").as("hamming"))
+      .select(Seq(col("id_a"), col("id_b")) ++
+        (0 until 4).map(k => col(s"p${k}a")) ++
+        (0 until 4).map(k => col(s"p${k}b")): _*)
+      .distinct() // fingerprints sharing several bands pair once
+      .withColumn("hamming", packedHamming(
+        (0 until 4).map(k => col(s"p${k}a")),
+        (0 until 4).map(k => col(s"p${k}b"))))
       .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Deterministic 17×16-cell synthetic corpus for the 256-bit query:

@@ -685,18 +685,34 @@ object RelationalQueries {
     val ord = Tables.load(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F")
       .select("o_orderkey", "o_orderdate")
-    val li = Tables.load(spark, dir, "lineitem")
+    // ONE pass over lineitem (optimization-round rework): the old shape
+    // consumed the lineitem⋈orders join twice (a per-order countDistinct
+    // aggregate AND the late-row side of a re-join), and the pre-exchange
+    // filter on the re-join side defeated exchange reuse — the join ran
+    // twice. Aggregating to (order, supplier) granularity first (guide
+    // §2.3: aggregate before you shuffle) preserves everything q21 needs:
+    // numwait counts LATE LINE ROWS per supplier = Σ n_late_rows, and the
+    // per-order supplier counts are counts over this frame. The explicit
+    // repartition on l_orderkey is the SHARED exchange: the (order,
+    // supplier) aggregate clusters by a superset of it and both window
+    // functions partition by exactly it, so one shuffle serves all three
+    // (guide §2.4).
+    val perOrderSupp = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("int"))
       .select("l_orderkey", "l_suppkey", "late")
-    val perOrder = li.groupBy("l_orderkey")
-      .agg(countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(when(col("late") === 1, col("l_suppkey"))).as("late_supps"))
-    val waiting = li.filter(col("late") === 1)
-      .join(perOrder, Seq("l_orderkey"))
-      .filter(col("n_supps") > 1 && col("late_supps") === 1)
+      .repartition(col("l_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(col("late")).as("n_late_rows"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+    val waiting = perOrderSupp
+      .withColumn("n_supps", count(lit(1)).over(w))
+      .withColumn("late_supps",
+        sum(when(col("n_late_rows") > 0, 1L).otherwise(0L)).over(w))
+      .filter(col("n_late_rows") > 0 &&
+        col("n_supps") > 1 && col("late_supps") === 1)
     waiting
       .join(broadcast(Tables.load(spark, dir, "supplier")),
         col("s_suppkey") === col("l_suppkey"))
@@ -705,7 +721,7 @@ object RelationalQueries {
             "NATION_14", "NATION_18", "NATION_22"))),
         col("n_nationkey") === col("s_nationkey"), "left_semi")
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late_rows")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
   }

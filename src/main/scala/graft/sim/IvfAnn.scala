@@ -88,12 +88,11 @@ object IvfAnn {
   def trainCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iterations: Int = 3): Array[Array[Long]] = {
+    // no persist: train makes exactly ONE pass over the corpus (the
+    // bounded sample selection) since the Lloyd loop went driver-local
     val q = corpus
       .select(col(idCol).as("id"), CosineSim.quantize(col(vecCol)).as("qv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val c = train(q, nCentroids, iterations)
-    q.unpersist()
-    c
+    train(q, nCentroids, iterations)
   }
 
   /** Per-centroid training points: 256 (FAISS's `cp.max_points_per_
@@ -132,29 +131,63 @@ object IvfAnn {
     require(nCentroids >= 1 && nCentroids <= MaxCentroids,
       s"nCentroids=$nCentroids outside [1, $MaxCentroids]: IvfAnn is a " +
         "coarse quantizer (interpreted per-row argmin over C centroids)")
-    val spark = q.sparkSession
     val cap = math.max(TrainPointsPerCentroid * nCentroids, TrainSampleFloor)
-    val sample = q.orderBy(xxhash64(col("id")), col("id")).limit(cap)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      var centroids: Array[Array[Long]] = sample
-        .orderBy("id").limit(nCentroids).collect()
-        .map(_.getSeq[Long](1).toArray)
-      val dim = centroids.head.length
-      for (_ <- 1 to iterations) {
-        val assigned = assignLists(sample, centroidsDf(spark, centroids), "id", "qv")
-        // exact integer mean per dimension: sum in int64, divide by count
-        val sums = assigned.groupBy("list_id").agg(
-          count(lit(1)).as("n"),
-          (0 until dim).map(d =>
-            sum(element_at(col("qv"), d + 1)).as(s"s$d")): _*)
-        centroids = sums.collect().sortBy(_.getInt(0)).map { r =>
-          val n = r.getLong(1)
-          Array.tabulate(dim)(d => r.getLong(d + 2) / math.max(n, 1L))
+    // ONE Spark action: the hash-ordered top-N selection
+    // (TakeOrderedAndProject — per-partition top-N then merge, no full
+    // sort) lands the ENTIRE bounded sample on the driver — it is a
+    // model-sized object by construction (≤ max(256·C, 4096) rows,
+    // ~2 MB at dim 64), the same bound that already justified the
+    // per-iteration centroid collects. The Lloyd loop then runs as
+    // driver-local integer arithmetic: zero per-iteration Spark jobs,
+    // where the previous shape paid persist + (assign + agg + collect)
+    // per iteration — 4-5 fixed-latency jobs per train call
+    // (optimization guide §1.2: fix the distributed algorithm first;
+    // a bounded model fit is driver work, like building a broadcast).
+    // The arithmetic REPLAYS the distributed form exactly — ascending
+    // cid visit order with replace-on-strictly-smaller (ties keep the
+    // lower cid), s = -(dot as double)/cnorm with cnorm =
+    // sqrt(Σ c_d²) in doubles, exact int64 sums, truncating integer
+    // mean, empty clusters dropped and renumbered by ascending old cid
+    // — so centroids are bit-for-bit what the Spark-side loop produced
+    // and every oracle replay still matches.
+    val sample: Array[(Long, Array[Long])] =
+      q.orderBy(xxhash64(col("id")), col("id")).limit(cap)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    var centroids: Array[Array[Long]] =
+      sample.sortBy(_._1).take(nCentroids).map(_._2)
+    val dim = centroids.head.length
+    for (_ <- 1 to iterations) {
+      val cnorms = centroids.map(c =>
+        math.sqrt(c.map(x => x.toDouble * x.toDouble).sum))
+      // per-cluster accumulators keyed by assigned cid
+      val counts = scala.collection.mutable.HashMap.empty[Int, Long]
+      val sums = scala.collection.mutable.HashMap.empty[Int, Array[Long]]
+      sample.foreach { case (_, v) =>
+        var best = Double.PositiveInfinity
+        var bestCid = -1
+        var c = 0
+        while (c < centroids.length) {
+          val cv = centroids(c)
+          var dot = 0L
+          var d = 0
+          while (d < dim) { dot += v(d) * cv(d); d += 1 }
+          val s = -dot.toDouble / cnorms(c)
+          if (s < best) { best = s; bestCid = c }
+          c += 1
         }
+        counts.update(bestCid, counts.getOrElse(bestCid, 0L) + 1L)
+        val acc = sums.getOrElseUpdate(bestCid, new Array[Long](dim))
+        var d = 0
+        while (d < dim) { acc(d) += v(d); d += 1 }
       }
-      centroids
-    } finally sample.unpersist()
+      // exact integer mean per dimension: sum in int64, divide by count
+      centroids = counts.keys.toArray.sorted.map { cid =>
+        val n = counts(cid)
+        val s = sums(cid)
+        Array.tabulate(dim)(d => s(d) / math.max(n, 1L))
+      }
+    }
+    centroids
   }
 
   /** Top-k ANN: train + index + probe in one plan. Output matches
