@@ -104,6 +104,22 @@ object Clusters {
           (min(col("cluster_id")) <
             min(when(col("dst") === col("src"), col("cluster_id"))))
             .as("chg"))
+    // pointer-jump (label doubling): label(u) <- label(label(u)). A
+    // label is always the id of a node in u's OWN component (it arrived
+    // via edges), so the jump preserves the component invariant while
+    // collapsing chains in O(log D) rounds instead of O(D) — the
+    // classic shortcutting upgrade, applied from round 2 on (round 1
+    // graphs are usually shallow and the extra join would be pure
+    // cost). The convergence certificate stays the propagation step's
+    // own no-change flag: a no-change application of the neighborhood-
+    // min map is a fixpoint proof regardless of how labels got there,
+    // and at fixpoint every label is the component min (induction
+    // along any path from the min node).
+    def shortcut(ls: DataFrame): DataFrame =
+      ls.join(ls.select(col("id").as("cluster_id"),
+          col("cluster_id").as("__c2")), Seq("cluster_id"), "left")
+        .select(col("id"),
+          coalesce(col("__c2"), col("cluster_id")).as("cluster_id"))
     // round 1 folds the init labels (id -> id) into the first step:
     // min over the closed neighborhood of ids is just min(dst)
     val step0 = edges.groupBy(col("src").as("id"))
@@ -118,7 +134,7 @@ object Clusters {
     var labels = next.drop("chg")
     var i = 1
     while (!converged && i < maxIter) {
-      next = materialize(stepChg(step(labels)))
+      next = materialize(stepChg(step(shortcut(labels))))
       converged = next.filter(col("chg")).limit(1).isEmpty
       labels = next.drop("chg")
       i += 1

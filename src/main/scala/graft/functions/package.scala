@@ -50,4 +50,14 @@ package object functions {
     def union(a: Column, b: Column): Column =
       org.apache.spark.sql.graftexpr.KmvSketchAgg.union(a, b)
   }
+
+  /** All `tables` sign-LSH bucket ids of a milli-quantized vector as
+    * one `array<long>` (codegen'd; the shared deterministic hyperplane
+    * family — see org.apache.spark.sql.graftexpr.SignBucketsExpr and
+    * graft.sim.CosineSim.planeVector).
+    */
+  object SignBuckets {
+    def apply(qvec: Column, planes: Int, tables: Int): Column =
+      org.apache.spark.sql.graftexpr.SignBucketsExpr.column(qvec, planes, tables)
+  }
 }

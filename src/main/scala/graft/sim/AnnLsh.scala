@@ -31,39 +31,35 @@ object AnnLsh {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, planes: Int = 6, tables: Int = 6,
       multiprobe: Boolean = true): DataFrame = {
-    // The hyperplane weights depend only on (dimension, plane index) —
-    // never on the row — so they are materialized ONCE driver-side as
-    // literal arrays and each sign bit is one codegen'd LongArrayDot,
-    // not an interpreted zip_with+aggregate fold per row (measured ~5×
-    // on the corpus hashing pass).
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
-    def planeVec(plane: Int): Array[Long] = Array.tabulate(dim) { i =>
-      ((2654435761L * (i + 1) * (plane + 1) + 40503L * (plane + 1)) % 2001L) - 1000L
-    }
-    // table t uses plane indices [t*planes, (t+1)*planes) — independent sets
-    def buckets(q: Column): Seq[Column] = (0 until tables).map { t =>
-      val bits = (0 until planes).map { j =>
-        val dot = CosineSim.dotQ(q, lit(planeVec(t * planes + j)))
-        when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
-    }
-
+    // Bucket hashing is ONE codegen'd SignBuckets node per side (the
+    // shared deterministic hyperplane family — identical values to the
+    // previous tables×planes literal-LongArrayDot columns, which baked
+    // a dim-length array literal per plane into the plan and needed a
+    // driver dim-probe job). Table t uses plane indices
+    // [t*planes, (t+1)*planes) — independent sets.
     val c = corpus.select(col(idCol).as("nn_id"),
       CosineSim.quantize(col(vecCol)).as("cq"))
       .withColumn("nb", CosineSim.normQ(col("cq")))
-      .withColumn("tb", explode(array(buckets(col("cq")).zipWithIndex.map {
-        case (b, t) => struct(lit(t).as("t"), b.as("b"))
-      }: _*)))
+      .select(col("nn_id"), col("cq"), col("nb"),
+        posexplode(graft.functions.SignBuckets(col("cq"), planes, tables))
+          .as(Seq("__t", "__b")))
+      .withColumn("tb", struct(col("__t").as("t"), col("__b").as("b")))
+      .drop("__t", "__b")
     val q0 = queries.select(col(idCol).as("q_id"),
       CosineSim.quantize(col(vecCol)).as("qq"))
       .withColumn("na", CosineSim.normQ(col("qq")))
+      .withColumn("__bk",
+        graft.functions.SignBuckets(col("qq"), planes, tables))
+    // multiprobe variants are cheap element_at/xor columns over the
+    // one hashed array — no extra dot products
     val probes = q0.withColumn("tb",
-      explode(array(buckets(col("qq")).zipWithIndex.flatMap { case (b, t) =>
+      explode(array((0 until tables).flatMap { t =>
+        val b = element_at(col("__bk"), t + 1)
         struct(lit(t).as("t"), b.as("b")) +: (if (!multiprobe) Nil
         else (0 until planes).map(j =>
           struct(lit(t).as("t"), b.bitwiseXOR(lit(1L << j)).as("b"))))
       }: _*)))
+      .drop("__bk")
     // a corpus vector can collide with a query in several tables — the
     // exact-duplicate candidates collapse inside the bounded top-k
     // buffer (no dropDuplicates shuffle, no full-candidate window sort)

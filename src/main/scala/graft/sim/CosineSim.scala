@@ -106,39 +106,38 @@ object CosineSim {
     */
   private[graft] def signBucketRowsQ(
       q: DataFrame, dim: Int, planes: Int, tables: Int): DataFrame = {
-    val tb = (0 until tables).map { t =>
-      val bits = (0 until planes).map { j =>
-        val d = dotQ(col("q"), lit(planeVector(dim, t * planes + j)))
-        when(d >= 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      struct(lit(t).as("t"), bits.reduce(_ + _).as("b"))
-    }
-    q.withColumn("__tb", explode(array(tb: _*)))
-      .withColumn("t", col("__tb.t"))
-      .withColumn("b", col("__tb.b"))
-      .drop("__tb")
+    // `dim` kept for signature stability but no longer needed at plan
+    // time: the codegen'd SignBuckets expression reads the dimension
+    // off each row's array, replacing tables×planes literal-hyperplane
+    // LongArrayDot columns (a plan-size and analysis-time tax on every
+    // query construction) with ONE plan node — the values are pinned
+    // identical to the planeVector closed form by CosineSimSpec.
+    val _ = dim
+    q.select(q.columns.map(col) :+
+      posexplode(graft.functions.SignBuckets(col("q"), planes, tables))
+        .as(Seq("t", "b")): _*)
   }
 
   private def signBuckets(
       emb: DataFrame, idCol: String, vecCol: String,
       planes: Int, tables: Int, maxBucketSize: Int,
       extraCols: Seq[String] = Nil): DataFrame = {
-    val dim = emb.select(size(col(vecCol))).head.getInt(0)
-    def planeVec(plane: Int): Array[Long] = planeVector(dim, plane)
+    // ONE codegen'd SignBuckets node replaces tables×planes literal-
+    // hyperplane dot columns (identical values — the expression builds
+    // its weight matrix from the same planeVector closed form) and
+    // with it the `select(size(vec)).head` dim-probe job the literal
+    // form needed per call.
     val q = emb.select(col(idCol) +: extraCols.map(col) :+
       quantize(col(vecCol)).as("q"): _*)
       .withColumn("nrm", normQ(col("q")))
-    val tb = (0 until tables).map { t =>
-      val bits = (0 until planes).map { j =>
-        val d = dotQ(col("q"), lit(planeVec(t * planes + j)))
-        when(d >= 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      struct(lit(t).as("t"), bits.reduce(_ + _).as("b"))
-    }
     // extra scoping columns join the bucket identity: the cap window's
     // partition is exactly the downstream pair join's distribution
     // (the shared-exchange rule), with or without them
-    q.withColumn("tb", explode(array(tb: _*)))
+    q.select(q.columns.map(col) :+
+        posexplode(graft.functions.SignBuckets(col("q"), planes, tables))
+          .as(Seq("__t", "__b")): _*)
+      .withColumn("tb", struct(col("__t").as("t"), col("__b").as("b")))
+      .drop("__t", "__b")
       .withColumn("bsz",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy((extraCols :+ "tb").map(col): _*)))
