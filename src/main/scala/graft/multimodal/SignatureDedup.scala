@@ -66,10 +66,11 @@ object SignatureDedup {
   def nearDupPairsBySignature(units: DataFrame, idCol: String,
       unitCol: String, maxHamming: Int, minMatched: Int,
       bandBits: Int = 16, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val u = persistUnits(units)
     val matched =
-      matchedUnits(units, idCol, unitCol, maxHamming, bandBits, maxBucketSize)
+      matchedUnits(u, idCol, unitCol, maxHamming, bandBits, maxBucketSize)
     val pairs = gatedPairs(matched, minMatched, Nil)
-    withUnitCounts(pairs, units, idCol, unitCol)
+    withUnitCounts(pairs, u, idCol, unitCol)
       .select(col("id_a"), col("id_b"),
         col("n_matched_a"), col("n_matched_b"),
         col("n_units_a"), col("n_units_b"))
@@ -96,16 +97,30 @@ object SignatureDedup {
   def nearDupPairsWithOffset(units: DataFrame, idCol: String,
       unitCol: String, maxHamming: Int, minMatched: Int,
       bandBits: Int = 16, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val u = persistUnits(units)
     val matched =
-      matchedUnits(units, idCol, unitCol, maxHamming, bandBits, maxBucketSize)
+      matchedUnits(u, idCol, unitCol, maxHamming, bandBits, maxBucketSize)
     val pairs = gatedPairs(matched, minMatched, Seq(
       mode((col("ua") - col("ub")).cast("long"), deterministic = true)
         .as("best_offset")))
-    withUnitCounts(pairs, units, idCol, unitCol)
+    withUnitCounts(pairs, u, idCol, unitCol)
       .select(col("id_a"), col("id_b"),
         col("n_matched_a"), col("n_matched_b"),
         col("n_units_a"), col("n_units_b"), col("best_offset"))
   }
+
+  /** The unit table feeds TWO branches with different shuffles — the
+    * banded match join and the `n_units` denominators — so uncached its
+    * upstream (a per-clip shot/block window chain over the frame table)
+    * executes once per branch: the KeyedFrameCache rule ("a frame
+    * consumed by N branches must persist or its upstream pass re-runs
+    * per branch"). Unit rows are per (clip, shot/block) — orders of
+    * magnitude smaller than frames — so the persist is cheap at any
+    * scale; Spark's plan-keyed cache manager also shares it across the
+    * queries that build the same unit table.
+    */
+  private def persistUnits(units: DataFrame): DataFrame =
+    units.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** The shared match pipeline: banding WITHOUT the unit index in the
     * join key (colliding at any position is what alignment-free
