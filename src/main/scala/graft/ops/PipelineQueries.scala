@@ -608,15 +608,20 @@ object PipelineQueries {
     */
   def semanticDedupClustered(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val kc = graft.sim.KMeans.assign(emb, "vec_id", "embedding",
+    // assignAll keeps the embedding next to its cluster in the SAME
+    // narrow broadcast-fold pass — the previous emb.join(assign(...))
+    // re-paired every vector with its own assignment through a full
+    // vec_id equi-join (two exchanges + sorts of the corpus for a
+    // per-row value; optimization guide §2.4)
+    val kc = graft.sim.KMeans.assignAll(emb, "vec_id", "embedding",
       k = 8, iterations = 3)
       .withColumnRenamed("cluster_id", "kcluster")
     val pairs = CosineSim.blockedSimilarPairsWithin(
-      emb.join(kc, "vec_id"), "vec_id", "embedding", "kcluster",
+      kc, "vec_id", "embedding", "kcluster",
       num = 2, den = 5)
       .select(col("a"), col("b"))
     val comps = graft.dedup.Clusters.connectedComponents(pairs)
-    kc
+    kc.select(col("vec_id"), col("kcluster"))
       .join(comps, col("vec_id") === col("id"), "left")
       .select(col("vec_id"), col("kcluster"),
         coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
@@ -782,12 +787,17 @@ object PipelineQueries {
     require(HhSketchK + 1 > HhSupportDenom,
       s"MG guarantee needs k+1 > support denominator " +
         s"($HhSketchK + 1 vs $HhSupportDenom)")
-    val bigrams = Tables.load(spark, dir, "documents")
-      .select(TextFunctions.tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(col("tk"), explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
-      .select(concat(element_at(col("tk"), col("i")), lit(" "),
-        element_at(col("tk"), col("i") + 1)).as("token"))
+    // the bigram frame feeds BOTH MG passes (sketch + exact recount) —
+    // the textFrameCache rule: uncached, the tokenize+explode+concat
+    // corpus scan ran once per pass
+    val bigrams = textFrameCache.get(spark, dir + "#hh_bigrams") {
+      Tables.load(spark, dir, "documents")
+        .select(TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("tk"), explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+        .select(concat(element_at(col("tk"), col("i")), lit(" "),
+          element_at(col("tk"), col("i") + 1)).as("token"))
+    }
     val sketch = bigrams.agg(
       count(lit(1)).as("__total"),
       graft.functions.MisraGriesAgg.candidates(HhSketchK)(col("token"))
@@ -811,13 +821,16 @@ object PipelineQueries {
     * away when a source is small.
     */
   def heavyHittersBySource(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = Tables.load(spark, dir, "documents")
-      .select(col("source"), TextFunctions.tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(col("source"),
-        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"), col("tk"))
-      .select(col("source"), concat(element_at(col("tk"), col("i")), lit(" "),
-        element_at(col("tk"), col("i") + 1)).as("token"))
+    // cached for the same two-pass reason as [[heavyHitters]]
+    val bigrams = textFrameCache.get(spark, dir + "#hh_bigrams_src") {
+      Tables.load(spark, dir, "documents")
+        .select(col("source"), TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("source"),
+          explode(sequence(lit(1), size(col("tk")) - 1)).as("i"), col("tk"))
+        .select(col("source"), concat(element_at(col("tk"), col("i")), lit(" "),
+          element_at(col("tk"), col("i") + 1)).as("token"))
+    }
     val sketch = bigrams.groupBy(col("source")).agg(
       count(lit(1)).as("__total"),
       graft.functions.MisraGriesAgg.candidates(HhSketchK)(col("token"))

@@ -45,4 +45,24 @@ object KMeans {
       "id", "qv")
       .select(col("id").as(idCol), col("list_id").cast("long").as("cluster_id"))
   }
+
+  /** [[assign]] KEEPING every corpus column: `(corpus.*, cluster_id)`.
+    * [[IvfAnn.assignLists]] already passes non-vector columns through
+    * its narrow broadcast-fold map, so a consumer that needs the
+    * original row next to its cluster (SemDeDup's scoped pair join)
+    * gets it here for free — where `corpus.join(assign(...), idCol)`
+    * re-pairs every row with its own assignment through a full
+    * equi-join (two exchanges + sorts of the corpus, guide §2.4:
+    * a shuffle that computes a per-row value).
+    */
+  def assignAll(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int = 3): DataFrame = {
+    val q = corpus.withColumn("__qv", CosineSim.quantize(col(vecCol)))
+    val centroids = IvfAnn.train(
+      q.select(col(idCol).as("id"), col("__qv").as("qv")), k, iterations)
+    IvfAnn.assignLists(q, IvfAnn.centroidsDf(corpus.sparkSession, centroids),
+      idCol, "__qv")
+      .withColumn("cluster_id", col("list_id").cast("long"))
+      .drop("list_id", "__qv")
+  }
 }
