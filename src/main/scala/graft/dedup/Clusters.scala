@@ -1,7 +1,8 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Connected components over a near-duplicate pair list — the step a
   * training-data pipeline runs AFTER pair detection ([[MinHashLSH]] /
@@ -77,6 +78,31 @@ object Clusters {
     // both union branches below would execute that pipeline twice
     val p = materialize(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    // TINY-GRAPH SHORT-CIRCUIT (guide §1.2 / §5: model-sized work is
+    // driver work, like building a broadcast): the pair list is orders
+    // of magnitude smaller than the corpus, and an incremental ingest
+    // batch's intra-batch graph is typically tens of edges — the
+    // symmetrize + repartition + per-round checkpoint scaffolding below
+    // is pure fixed cost there (measured 0.05 → 0.25 s per incremental
+    // dedup batch when the round-17 CC rework landed). When the
+    // (already materialized) edge list fits a broadcast-sized budget,
+    // run union-find on the driver instead: the output — (id, min node
+    // id of the component) — is a pure function of the graph, so the
+    // result is bit-identical by construction (orderings below match
+    // Spark's: numeric for integral ids, unsigned UTF-8 bytes for
+    // strings). Big graphs take the distributed path unchanged; the
+    // budget is a session conf, 0 disables.
+    val thresh = p.sparkSession.conf
+      .get("graft.cc.localEdgeThreshold", "100000").toInt
+    if (thresh > 0 && localOrdering(p.schema("src").dataType).isDefined &&
+        p.schema("dst").dataType == p.schema("src").dataType) {
+      val sample = p.take(thresh + 1)
+      if (sample.length <= thresh &&
+          !sample.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        return localComponents(p.sparkSession, sample,
+          p.schema("src").dataType,
+          p.schema("src").nullable || p.schema("dst").nullable)
+    }
     // symmetric closure + one self-loop per node (so the min-aggregate
     // below sees the node's own label), deduped, pre-partitioned on
     // the per-round join key
@@ -152,6 +178,84 @@ object Clusters {
       return connectedComponentsStar(p, "src", "dst")
     }
     labels
+  }
+
+  /** Total order matching Spark's `min` for the supported id types —
+    * the local path must pick the SAME component representative the
+    * distributed aggregate would. Strings compare as unsigned UTF-8
+    * bytes (Spark's `UTF8String.binaryCompare`), NOT as UTF-16
+    * `String.compareTo`, which diverges beyond the BMP.
+    */
+  private def localOrdering(dt: DataType): Option[Ordering[Any]] = dt match {
+    case LongType => Some(Ordering.by((v: Any) => v.asInstanceOf[Long]))
+    case IntegerType => Some(Ordering.by((v: Any) => v.asInstanceOf[Int]))
+    case StringType => Some(new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = {
+        val x = a.asInstanceOf[String].getBytes("UTF-8")
+        val y = b.asInstanceOf[String].getBytes("UTF-8")
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+    })
+    case _ => None
+  }
+
+  /** Driver-local union-find over a collected edge list; emits one row
+    * per node (either endpoint) labeled with its component's minimum id
+    * — exactly the distributed fixpoint, as a LocalRelation (so a
+    * downstream join can broadcast it without a single Spark job).
+    */
+  private def localComponents(spark: SparkSession, edges: Array[Row],
+      dt: DataType, idNullable: Boolean): DataFrame = {
+    val idx = new java.util.HashMap[Any, Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def intern(v: Any): Int = {
+      val e = idx.get(v)
+      if (e != null) e.intValue()
+      else {
+        idx.put(v, Integer.valueOf(ids.length))
+        ids += v
+        parent += parent.length
+        parent.length - 1
+      }
+    }
+    def find(x0: Int): Int = { // path halving
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x))
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { r =>
+      val a = find(intern(r.get(0)))
+      val b = find(intern(r.get(1)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val ord = localOrdering(dt).get
+    val minOf = new Array[Any](ids.length)
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      if (minOf(r) == null || ord.lt(ids(i), minOf(r))) minOf(r) = ids(i)
+      i += 1
+    }
+    val rows = new java.util.ArrayList[Row](ids.length)
+    i = 0
+    while (i < ids.length) {
+      rows.add(Row(ids(i), minOf(find(i))))
+      i += 1
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", dt, idNullable),
+      StructField("cluster_id", dt, nullable = true))))
   }
 
   /** Connected components via alternating large-star / small-star

@@ -1471,8 +1471,17 @@ object PipelineQueries {
       val b1 = slice(1)
       val d1 = idx.dedupBatch(b1).localCheckpoint()
       idx.admit(b1, d1)
-      dec.append(d1.withColumn("batch", lit(1L)))
-      dec.append(idx.dedupBatch(slice(2)).withColumn("batch", lit(2L)))
+      // REBALANCE before the write (guide §6: coalesce on write): the
+      // decisions frame inherits dedupBatch's full shuffle partitioning
+      // (32+ near-empty partitions for a few hundred rows at test
+      // scale), and every later snapshot() pays the per-file open cost
+      // — measured 66 tiny files / 0.22 s warm snapshot vs 4 files /
+      // 0.05 s on the arcs that came out right-sized. AQE sizes the
+      // rebalanced partitions by bytes, so a genuinely large batch
+      // still writes multiple right-sized files.
+      dec.append(d1.withColumn("batch", lit(1L)).hint("rebalance"))
+      dec.append(idx.dedupBatch(slice(2)).withColumn("batch", lit(2L))
+        .hint("rebalance"))
     }
     new IncrementalTable(spark, s"$base/decisions").snapshot()
       .select("doc_id", "batch", "status", "kept")
@@ -1488,7 +1497,7 @@ object PipelineQueries {
     * from the closed-form fingerprints.
     */
   def mediaDedupIncremental(spark: SparkSession, dir: String): DataFrame =
-    incDedupArc(spark, dir, "mediainc3",
+    incDedupArc(spark, dir, "mediainc4",
       base => new graft.dedup.FingerprintDedupIndex(spark, base, "doc_id",
         maxHamming = 3, bandBits = 16)) {
       mediaHashCache.get(spark, dir + "#image") {
@@ -1512,7 +1521,7 @@ object PipelineQueries {
     * closed-form limbs, exact distances summed per candidate.
     */
   def mediaDedupIncremental256(spark: SparkSession, dir: String): DataFrame =
-    incDedupArc(spark, dir, "mediainc256v3",
+    incDedupArc(spark, dir, "mediainc256v4",
       base => new graft.dedup.FingerprintDedupIndex256(spark, base,
         "doc_id", maxHamming = 9)) {
       mediaHashCache.get(spark, dir + "#image256") {
@@ -1534,7 +1543,7 @@ object PipelineQueries {
     * membership evolution from the closed-form shot signatures.
     */
   def videoDedupIncremental(spark: SparkSession, dir: String): DataFrame =
-    incDedupArc(spark, dir, "vidincv3",
+    incDedupArc(spark, dir, "vidincv4",
       base => new graft.dedup.SignatureDedupIndex(spark, base, "doc_id",
         "shot_idx", maxHamming = 3, minMatched = 2, bandBits = 16)) {
       import graft.multimodal.VideoDedup
@@ -1553,7 +1562,7 @@ object PipelineQueries {
     * identical (the index is unit-agnostic by design).
     */
   def audioDedupIncremental(spark: SparkSession, dir: String): DataFrame =
-    incDedupArc(spark, dir, "audincv3",
+    incDedupArc(spark, dir, "audincv4",
       base => new graft.dedup.SignatureDedupIndex(spark, base, "doc_id",
         "block_idx", maxHamming = 3, minMatched = 2, bandBits = 16)) {
       mediaHashCache.get(spark, dir + "#audioblocks") {
