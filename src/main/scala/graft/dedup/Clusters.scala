@@ -182,29 +182,10 @@ object Clusters {
 
   /** Total order matching Spark's `min` for the supported id types —
     * the local path must pick the SAME component representative the
-    * distributed aggregate would. Strings compare as unsigned UTF-8
-    * bytes (Spark's `UTF8String.binaryCompare`), NOT as UTF-16
-    * `String.compareTo`, which diverges beyond the BMP.
+    * distributed aggregate would ([[graft.functions.ValueOrdering]]).
     */
-  private def localOrdering(dt: DataType): Option[Ordering[Any]] = dt match {
-    case LongType => Some(Ordering.by((v: Any) => v.asInstanceOf[Long]))
-    case IntegerType => Some(Ordering.by((v: Any) => v.asInstanceOf[Int]))
-    case StringType => Some(new Ordering[Any] {
-      def compare(a: Any, b: Any): Int = {
-        val x = a.asInstanceOf[String].getBytes("UTF-8")
-        val y = b.asInstanceOf[String].getBytes("UTF-8")
-        var i = 0
-        val n = math.min(x.length, y.length)
-        while (i < n) {
-          val c = (x(i) & 0xff) - (y(i) & 0xff)
-          if (c != 0) return c
-          i += 1
-        }
-        x.length - y.length
-      }
-    })
-    case _ => None
-  }
+  private def localOrdering(dt: DataType): Option[Ordering[Any]] =
+    graft.functions.ValueOrdering.forType(dt)
 
   /** Driver-local union-find over a collected edge list; emits one row
     * per node (either endpoint) labeled with its component's minimum id

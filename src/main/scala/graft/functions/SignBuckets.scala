@@ -43,20 +43,21 @@ case class SignBucketsExpr(child: Expression, planes: Int, tables: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  // one cached (dim -> weight matrix); volatile single-slot cache is
-  // enough because a vector column has one dimension in practice
-  @transient private var cachedDim: Int = -1
-  @transient private var cachedW: Array[Array[Long]] = _
+  // single-slot cache of ONE immutable (dim, weights) pair behind a
+  // volatile reference: readers see either null or a fully built pair
+  // (safe publication), so a shared instance evaluating concurrently
+  // can never pair a stale matrix with a matching dim — worst case is
+  // a redundant recompute, never a wrong bucket
+  @volatile @transient private[this] var cachedRef: (Int, Array[Array[Long]]) = _
 
   private def weightsFor(dim: Int): Array[Array[Long]] = {
-    val c = cachedW
-    if (cachedDim == dim && c != null) c
+    val c = cachedRef
+    if (c != null && c._1 == dim) c._2
     else {
       val w = Array.tabulate(tables * planes, dim) { (j, d) =>
         ((2654435761L * (d + 1) * (j + 1) + 40503L * (j + 1)) % 2001L) - 1000L
       }
-      cachedDim = dim
-      cachedW = w
+      cachedRef = (dim, w)
       w
     }
   }

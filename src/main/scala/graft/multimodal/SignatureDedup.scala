@@ -116,11 +116,17 @@ object SignatureDedup {
     * consumed by N branches must persist or its upstream pass re-runs
     * per branch"). Unit rows are per (clip, shot/block) — orders of
     * magnitude smaller than frames — so the persist is cheap at any
-    * scale; Spark's plan-keyed cache manager also shares it across the
-    * queries that build the same unit table.
+    * scale. BOUNDED: entries route through a [[graft.ops.KeyedFrameCache]]
+    * keyed by the unit plan's semantic hash, so a long-lived session
+    * calling over many DIFFERENT unit tables LRU-evicts (with
+    * unpersist) instead of accumulating pinned blocks until session
+    * end; repeated calls over the same table share one entry.
     */
+  private val unitsCache = new graft.ops.KeyedFrameCache(8)
+
   private def persistUnits(units: DataFrame): DataFrame =
-    units.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    unitsCache.get(units.sparkSession,
+      "units#" + units.queryExecution.analyzed.semanticHash())(units)
 
   /** The shared match pipeline: banding WITHOUT the unit index in the
     * join key (colliding at any position is what alignment-free

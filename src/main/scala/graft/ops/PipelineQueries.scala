@@ -302,90 +302,10 @@ object PipelineQueries {
     * keyed, not per-call, so repeated invocations (bench warm passes,
     * notebooks) reuse one set of cached blocks instead of leaking a
     * new one each time — the persisted handle never escapes, so the
-    * caller could not release it.
-    *
-    * Lifetime rules (round-5 advice: `identityHashCode` keys can
-    * collide after GC and pinned blocks outlived every query):
-    *  - keyed by the session's STABLE uuid (identity-hash fallback
-    *    only for non-classic session impls) — a new session never sees
-    *    another session's frame;
-    *  - every access sweeps entries whose SparkContext has stopped and
-    *    LRU-evicts (with unpersist) beyond [[WinnowCacheMaxEntries]],
-    *    so long-lived sessions touching many datasets stay bounded;
-    *  - [[releaseWinnowCache]] drops a session's entries eagerly
-    *    (tests, notebook teardown, or after replacing the dataset at a
-    *    directory — the cache cannot see in-place dataset swaps).
+    * caller could not release it. Lifetime rules live on the shared
+    * [[KeyedFrameCache]] (stable session-uuid keys, dead-session sweep
+    * + LRU eviction with unpersist, eager [[releaseWinnowCache]]).
     */
-  private def sessionKey(spark: SparkSession): String =
-    org.apache.spark.sql.graftbridge.ColumnBridge.sessionUuid(spark)
-      .getOrElse("idhash-" + System.identityHashCode(spark))
-
-  /** A bounded (session, key) → persisted-DataFrame cache — the
-    * shared-subplan pattern several queries need (a frame feeding 2+
-    * join sides that Spark would otherwise recompute per side, exchange
-    * reuse notwithstanding). Same lifetime rules the winnow cache
-    * established in round 5: stable session-uuid keys, dead-session
-    * sweep + LRU eviction (with unpersist) on every access, and an
-    * eager per-session release hook because the persisted handle never
-    * escapes to the caller.
-    */
-  private final class KeyedFrameCache(maxEntries: Int) {
-    private val tick = new java.util.concurrent.atomic.AtomicLong
-    private final class Entry(val spark: SparkSession, val df: DataFrame) {
-      @volatile var lastUsed: Long = tick.incrementAndGet()
-    }
-    private val cache =
-      scala.collection.concurrent.TrieMap.empty[(String, String), Entry]
-
-    def keys: Set[(String, String)] = cache.keySet.toSet
-
-    /** Unpersist and drop every frame cached for `spark`. */
-    def release(spark: SparkSession): Unit = {
-      val k = sessionKey(spark)
-      cache.keys.filter(_._1 == k).foreach { key =>
-        cache.remove(key).foreach(e =>
-          try e.df.unpersist(blocking = true)
-          catch { case scala.util.control.NonFatal(_) => () })
-      }
-    }
-
-    /** The cached persisted frame for (session, key), building it on
-      * first access; housekeeping (dead sessions out, LRU bound kept)
-      * runs before every lookup.
-      */
-    def get(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-      cache.foreach { case (k, e) =>
-        if (e.spark.sparkContext.isStopped) cache.remove(k)
-      }
-      while (cache.size >= maxEntries &&
-          !cache.contains((sessionKey(spark), key))) {
-        val oldest = cache.toSeq.minBy(_._2.lastUsed)._1
-        cache.remove(oldest).foreach(e =>
-          try e.df.unpersist(blocking = false)
-          catch { case scala.util.control.NonFatal(_) => () })
-      }
-      val k = (sessionKey(spark), key)
-      // putIfAbsent, not getOrElseUpdate: the latter's value thunk runs
-      // persist() BEFORE the atomic insert, so two racing first accesses
-      // both persisted and the loser's storage leaked until session end
-      val entry = cache.get(k) match {
-        case Some(e) => e
-        case None =>
-          val fresh = new Entry(spark, build.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-          cache.putIfAbsent(k, fresh) match {
-            case None => fresh
-            case Some(winner) => // lost the race: release the loser
-              try fresh.df.unpersist(blocking = false)
-              catch { case scala.util.control.NonFatal(_) => () }
-              winner
-          }
-      }
-      entry.lastUsed = tick.incrementAndGet()
-      entry.df
-    }
-  }
-
   private val winnowCache = new KeyedFrameCache(8)
 
   /** The media-dedup fingerprint frames (tiny: an id + 2-4 int64s per
@@ -420,6 +340,15 @@ object PipelineQueries {
     * bearing).
     */
   private val textFrameCache = new KeyedFrameCache(2)
+
+  /** Corpus FILE identity (length+mtime) for session-cache keys — the
+    * bpeMemo / lake-build-cache contract: a dataset regenerated at the
+    * same path must miss the cache, not serve a stale persisted frame.
+    */
+  private def docsFileId(dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    s"${src.length}:${src.lastModified}"
+  }
 
   private[ops] def winnowCacheKeys: Set[(String, String)] = winnowCache.keys
   private[ops] def mediaHashCacheKeys: Set[(String, String)] = mediaHashCache.keys
@@ -789,8 +718,11 @@ object PipelineQueries {
         s"($HhSketchK + 1 vs $HhSupportDenom)")
     // the bigram frame feeds BOTH MG passes (sketch + exact recount) —
     // the textFrameCache rule: uncached, the tokenize+explode+concat
-    // corpus scan ran once per pass
-    val bigrams = textFrameCache.get(spark, dir + "#hh_bigrams") {
+    // corpus scan ran once per pass. Key folds corpus FILE identity
+    // (the bpejoined contract) so a dataset regenerated at the same
+    // path within a session rebuilds instead of serving stale bigrams.
+    val bigrams = textFrameCache.get(spark,
+        s"$dir#hh_bigrams@${docsFileId(dir)}") {
       Tables.load(spark, dir, "documents")
         .select(TextFunctions.tokens(col("text")).as("tk"))
         .filter(size(col("tk")) >= 2)
@@ -821,8 +753,10 @@ object PipelineQueries {
     * away when a source is small.
     */
   def heavyHittersBySource(spark: SparkSession, dir: String): DataFrame = {
-    // cached for the same two-pass reason as [[heavyHitters]]
-    val bigrams = textFrameCache.get(spark, dir + "#hh_bigrams_src") {
+    // cached for the same two-pass reason as [[heavyHitters]], keyed
+    // on corpus file identity for the same staleness reason
+    val bigrams = textFrameCache.get(spark,
+        s"$dir#hh_bigrams_src@${docsFileId(dir)}") {
       Tables.load(spark, dir, "documents")
         .select(col("source"), TextFunctions.tokens(col("text")).as("tk"))
         .filter(size(col("tk")) >= 2)
@@ -996,11 +930,8 @@ object PipelineQueries {
     // / lake-build-cache contract) so regenerating the dataset at the
     // same path within a session rebuilds instead of serving the stale
     // materialized frame
-    val srcId = {
-      val src = new java.io.File(s"$dir/documents.parquet")
-      s"${src.length}:${src.lastModified}"
-    }
-    val joined = textFrameCache.get(spark, s"$dir#bpejoined@$srcId") {
+    val joined = textFrameCache.get(spark,
+        s"$dir#bpejoined@${docsFileId(dir)}") {
       val docs = Tables.load(spark, dir, "documents")
       val lookup = graft.text.BpeTrainer.segment(
         bpeVocabDf(spark, dir)

@@ -150,9 +150,19 @@ object IvfAnn {
     // mean, empty clusters dropped and renumbered by ascending old cid
     // — so centroids are bit-for-bit what the Spark-side loop produced
     // and every oracle replay still matches.
-    val sample: Array[(Long, Array[Long])] =
+    // the id is read GENERICALLY (not getLong): public callers may
+    // carry int/string id columns; the smallest-id init sort below
+    // uses the Spark-equivalent ordering for the column's type
+    // (ValueOrdering — unsigned UTF-8 bytes for strings), so init
+    // centroids match what a Spark-side orderBy(id) would pick.
+    implicit val idOrd: Ordering[Any] =
+      graft.functions.ValueOrdering.forType(q.schema("id").dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"id column type ${q.schema("id").dataType} has no " +
+            "driver-side ordering; use an integral or string id"))
+    val sample: Array[(Any, Array[Long])] =
       q.orderBy(xxhash64(col("id")), col("id")).limit(cap)
-        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .collect().map(r => (r.get(0), r.getSeq[Long](1).toArray))
     var centroids: Array[Array[Long]] =
       sample.sortBy(_._1).take(nCentroids).map(_._2)
     val dim = centroids.head.length
