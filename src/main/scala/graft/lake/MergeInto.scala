@@ -31,10 +31,20 @@ import org.apache.spark.sql.functions._
   * string-built dictionaries. Update/insert values are cast to the
   * target column's type (Delta's implicit cast).
   *
-  * Physical shape: one left-outer join (target preserved) + one
-  * left-anti join (inserts), both on the same condition — equi-parts
-  * hash-partition, AQE broadcasts a small updates side. NOT MATCHED BY
-  * SOURCE clauses ride the same left-outer join (zero extra shuffles).
+  * Physical shape: ONE full-outer join serves both halves — its
+  * target-present rows ARE the old left-outer (update/delete) image
+  * and its target-absent rows ARE the old left-anti (insert) image —
+  * so each input subtree appears ONCE in the plan (guide §2.4/§3.3).
+  * This matters twice at scale: the previous left-outer + left-anti
+  * pair referenced the TARGET twice (and the anti join had to shuffle
+  * the full target anyway — an anti probe cannot broadcast the big
+  * build side), and when merges NEST (ScdApply runs merge #2 over
+  * merge #1's output) two references per level duplicated the whole
+  * upstream subtree per level: the two-batch SCD plan carried 46
+  * exchanges / 20 sort-merge-join subtrees before this rewrite,
+  * linear-in-depth after. NOT MATCHED BY SOURCE clauses ride the same
+  * join (zero extra shuffles); with no insert clause the join stays
+  * left-outer.
   */
 final class MergeInto private (
     target: DataFrame,
@@ -91,12 +101,30 @@ final class MergeInto private (
   /** Compute the full next table state (target schema). */
   def resolve(): DataFrame = {
     val targetSchema = target.schema
-    val t = target.alias(targetAlias)
+    val tMarker = s"__${targetAlias}_present"
+    val t = target.withColumn(tMarker, lit(true)).alias(targetAlias)
     val marker = s"__${updatesAlias}_matched"
     val u = updates.withColumn(marker, lit(true)).alias(updatesAlias)
 
-    val joined = t.join(u, expr(condition), "left_outer")
-    val matched = col(s"$updatesAlias.$marker") <=> lit(true)
+    // one join serves both halves (see the class doc's physical-shape
+    // note): target-present rows = the left-outer image the matched /
+    // by-source clauses read; target-absent rows = exactly the rows
+    // the old `updates LEFT ANTI target` produced (an unmatched source
+    // row appears once, null-extended — same multiplicity as the anti
+    // join). The two halves PARTITION the joined rows, so the whole
+    // merge is this one join + one gated projection below — the join
+    // subtree is referenced exactly once, no union. No insert clause →
+    // no need for the absent rows → plain left-outer.
+    val joinType = if (insertClauses.isEmpty) "left_outer" else "full_outer"
+    val joined = t.join(u, expr(condition), joinType)
+    val targetPresent = col(s"$targetAlias.$tMarker") <=> lit(true)
+    // clause gates: matched / by-source only ever apply to rows where
+    // the TARGET side is present (updates-only rows are the insert
+    // half — without the targetPresent conjunct a by-source clause
+    // would wrongly fire on them)
+    val matched = targetPresent && (col(s"$updatesAlias.$marker") <=> lit(true))
+    val notMatchedBySource =
+      targetPresent && !(col(s"$updatesAlias.$marker") <=> lit(true))
 
     // first-match-wins: applicable(i) = gate ∧ ¬cond(0..i-1) ∧ cond(i).
     // A clause condition that evaluates to SQL NULL means "not applied"
@@ -114,14 +142,24 @@ final class MergeInto private (
       }
 
     val applicable = firstWins(matchedClauses.map(_.condition), matched)
-    val bySrcApplicable = firstWins(bySourceClauses.map(_.condition), !matched)
+    val bySrcApplicable =
+      firstWins(bySourceClauses.map(_.condition), notMatchedBySource)
+    val insApplicable = firstWins(insertClauses.map(_.condition), lit(true))
 
     def deletePred(cls: Seq[MatchedClause], apps: Seq[Column]): Column =
       cls.zip(apps).collect { case (MatchedClause(_, None), app) => app }
         .reduceOption(_ || _).getOrElse(lit(false))
 
-    val survivors = joined.filter(!(deletePred(matchedClauses, applicable) ||
-      deletePred(bySourceClauses, bySrcApplicable)))
+    // one gated filter partitions the rows: target-present rows
+    // survive unless a delete clause fires; updates-only rows survive
+    // iff an insert clause fires (none exist under the left-outer
+    // degenerate, where the otherwise-branch is vacuous)
+    val insGate =
+      insApplicable.reduceOption(_ || _).getOrElse(lit(false))
+    val survivors = joined.filter(
+      when(targetPresent, !(deletePred(matchedClauses, applicable) ||
+        deletePred(bySourceClauses, bySrcApplicable)))
+        .otherwise(insGate))
     val allClauses = matchedClauses.zip(applicable) ++
       bySourceClauses.zip(bySrcApplicable)
     // schema evolution: SET/INSERT columns the target lacks become new
@@ -144,7 +182,11 @@ final class MergeInto private (
         }
       }
     val outFields = targetSchema.fields.toSeq ++ evolved
-    val updated = survivors.select(outFields.map { f =>
+    // fused projection: each surviving row is EITHER the update/
+    // by-source image (target present) or the insert image (target
+    // absent) — one select over the one join, no union branch that
+    // would re-reference the join subtree
+    survivors.select(outFields.map { f =>
       val base: Column =
         if (targetSchema.fieldNames.contains(f.name)) col(s"$targetAlias.${f.name}")
         else lit(null).cast(f.dataType)
@@ -156,25 +198,16 @@ final class MergeInto private (
           }
         case ((MatchedClause(_, None), _), els) => els // delete: filtered above
       }
-      withClauses.as(f.name)
-    }: _*)
-
-    val inserts =
-      if (insertClauses.isEmpty) updated.limit(0)
-      else {
-        val anti = updates.alias(updatesAlias).join(t, expr(condition), "left_anti")
-        val insApplicable = firstWins(insertClauses.map(_.condition), lit(true))
-        anti.filter(insApplicable.reduce(_ || _))
-          .select(outFields.map { f =>
-            val nul: Column = lit(null).cast(f.dataType)
-            insertClauses.zip(insApplicable).foldRight(nul) {
-              case ((cl, app), els) =>
-                val v = cl.values.get(f.name).map(expr(_).cast(f.dataType)).getOrElse(nul)
-                when(app, v).otherwise(els)
-            }.as(f.name)
-          }: _*)
+      val nul: Column = lit(null).cast(f.dataType)
+      val insertValue = insertClauses.zip(insApplicable).foldRight(nul) {
+        case ((cl, app), els) =>
+          val v = cl.values.get(f.name).map(expr(_).cast(f.dataType)).getOrElse(nul)
+          when(app, v).otherwise(els)
       }
-    updated.unionByName(inserts)
+      (if (insertClauses.isEmpty) withClauses
+       else when(targetPresent, withClauses).otherwise(insertValue))
+        .as(f.name)
+    }: _*)
   }
 }
 

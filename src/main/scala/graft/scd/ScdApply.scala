@@ -117,6 +117,15 @@ object ScdApply {
 
   /** Full next table state: split + both merges, one logical plan.
     * The caller (e.g. [[ScdTable.applyScd]]) owns persistence.
+    *
+    * Plan-size note (optimization round 18): with [[MergeEmulator]]'s
+    * previous left-outer + left-anti merge shape, merge #2 referencing
+    * merge #1's output twice (and each merge referencing the split's
+    * join subtree twice) blew the two-batch planner query up to 46
+    * exchanges / 20 sort-merge joins; the single-full-outer-join merge
+    * in [[graft.lake.MergeInto]] keeps this plan linear (14 exchanges
+    * / 6 joins measured on the same query) with no change to any
+    * output row.
     */
   def nextState(targetSnapshot: DataFrame, source: DataFrame, cfg: ScdConfig): DataFrame = {
     val delta = split(targetSnapshot, source, cfg)
