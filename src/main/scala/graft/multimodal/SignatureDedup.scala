@@ -154,7 +154,14 @@ object SignatureDedup {
         (bit_count(col("hia").bitwiseXOR(col("hib"))) +
           bit_count(col("loa").bitwiseXOR(col("lob")))) <= maxHamming)
       .select("id_a", "ua", "id_b", "ub")
-      .distinct() // units agreeing on several bands match once
+      // units agreeing on several bands match once. A round-18 probe
+      // tried pre-partitioning on (id_a, id_b) to share one exchange
+      // with the downstream aggregates (§2.4) — measured NEUTRAL-to-
+      // WORSE: the optimizer already removes this distinct under the
+      // no-mode variant (every downstream aggregate is countDistinct,
+      // duplicate-insensitive) and ExpandExec resets partitioning to
+      // Unknown, so the explicit shuffle was pure addition.
+      .distinct()
   }
 
   /** The symmetric distinct-unit gate (see the object doc), with

@@ -80,12 +80,19 @@ final class IvfIndex private (
         -CosineSim.dotQ(col("qq"), col("cvec")).cast("double") / col("cnorm"))
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("neg_sim").asc, col("cid").asc)
-    val probes = qs.withColumn("rn", row_number().over(pw))
+    val probesDf = qs.withColumn("rn", row_number().over(pw))
       .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("qq"), col("na"), col("cid").as("list_id"))
-      .localCheckpoint()
-    val probedLists = probes.select("list_id").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // ONE action lands the probe set on the driver: it was ALREADY a
+    // broadcast-bound frame (the candidate join broadcasts it, which
+    // collects to the driver anyway), so collecting it here costs the
+    // same memory while folding the old localCheckpoint action + the
+    // distinct list_id collect job into this single collect — and the
+    // rebuilt LocalRelation broadcasts without a job.
+    val probeRows = probesDf.collect()
+    val probedLists = probeRows.map(_.getInt(3)).distinct.toSeq
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesDf.schema)
     // tombstoned ids drop here, BEFORE scoring — they can never reach
     // the shortlist, so the re-rank fetch never sees them either
     val index = IvfIndex.maskRemoved(spark, path,
@@ -101,19 +108,25 @@ final class IvfIndex private (
             col("nbf").cast("double"))))
     val cw = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("approx_sim").desc, col("nn_id").asc)
-    val shortlist = cand.withColumn("crn", row_number().over(cw))
+    val shortlistDf = cand.withColumn("crn", row_number().over(cw))
       .filter(col("crn") <= math.max(rerank * k, k + 16))
       .select("q_id", "nn_id", "qq", "na")
-      .localCheckpoint() // feeds the id predicate AND the join probe
+    // same collect-fusion as the probe set: the shortlist feeds the id
+    // predicate AND the re-rank join's broadcast side, both
+    // driver-bounded by construction (<= queries x max(rerank·k, k+16)
+    // rows — the set broadcast() would collect anyway), so one collect
+    // replaces the old localCheckpoint action + distinct id collect.
+    val shortRows = shortlistDf.collect()
+    val shortlist = spark.createDataFrame(
+      java.util.Arrays.asList(shortRows: _*), shortlistDf.schema)
     // exact re-rank: fetch ONLY the shortlist's raw vectors by id. A
     // broadcast join alone would still SCAN all of raw/ (the hash probe
     // filters rows after the read); the candidate ids must also reach
     // the parquet scan as a pushed predicate so the id-clustered files
-    // prune on min/max stats — the collect is shortlist-sized, the very
-    // set the join broadcasts anyway. An oversized shortlist (huge
-    // query batch) drops the predicate: never wrong, only slower.
-    val ids = shortlist.select("nn_id").distinct()
-      .limit(IvfIndex.MaxRerankIdPredicate + 1).collect().map(_.get(0))
+    // prune on min/max stats. An oversized shortlist (huge query
+    // batch) drops the predicate: never wrong, only slower.
+    val ids = shortRows.iterator.map(_.get(1)).toSet
+      .take(IvfIndex.MaxRerankIdPredicate + 1).toArray
     val rawT = new graft.lake.IncrementalTable(spark, s"$path/raw")
     val raw =
       if (ids.length > IvfIndex.MaxRerankIdPredicate) rawT.snapshot()
