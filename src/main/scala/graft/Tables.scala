@@ -51,6 +51,26 @@ object Tables {
         s"events.ts has unsupported physical type $other; expected LONG nanos, TIMESTAMP, or TIMESTAMP_NTZ")
     }
 
+  /** Resolved-table memo — the metastore pattern: constructing a
+    * parquet DataFrame re-runs file listing + footer schema inference
+    * EVERY call (measured 77 ms warm for the sf0.1 lineitem), and the
+    * query registry re-loads its tables on every invocation, so the
+    * resolution cost was a per-query floor multiplied across the whole
+    * surface. The resolved frame is an immutable lazy plan — reusing
+    * it changes nothing about execution — and the key folds the
+    * parquet file's (length, lastModified), so a regenerated dataset
+    * at the same path re-resolves instead of serving a stale plan
+    * (the lake-cache / bpeMemo identity contract). Entries are plan
+    * objects only (nothing persisted); dead sessions are swept on
+    * access.
+    */
+  private val resolved = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String, String), (SparkSession, DataFrame)]
+
+  private def sessionKey(spark: SparkSession): String =
+    org.apache.spark.sql.graftbridge.ColumnBridge.sessionUuid(spark)
+      .getOrElse("idhash-" + System.identityHashCode(spark))
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // NANOS-annotated files (pre-round-6 testdata) need
     // `spark.sql.legacy.parquet.nanosAsLong=true` or Spark 4 rejects the
@@ -66,10 +86,19 @@ object Tables {
         "events.parquet may carry INT64 TIMESTAMP(NANOS); set " +
           "spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession " +
           "builder (see graft.Verify/Bench) before loading events")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema.fieldNames.contains("ts"))
-      df.withColumn("ts", tsAsLongNanos(df))
-    else df
+    resolved.foreach { case (k, (s, _)) =>
+      if (s.sparkContext.isStopped) resolved.remove(k)
+    }
+    val src = new java.io.File(s"$sfDir/$name.parquet")
+    val key = (sessionKey(spark), sfDir, name,
+      s"${src.length}:${src.lastModified}")
+    resolved.getOrElseUpdate(key, {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      (spark,
+        if (name == "events" && df.schema.fieldNames.contains("ts"))
+          df.withColumn("ts", tsAsLongNanos(df))
+        else df)
+    })._2
   }
 
   /** `events` with `ts` normalized to LONG nanos plus a derived `ts_utc`

@@ -225,13 +225,21 @@ class FingerprintDedupIndex(
     require(exists, s"fingerprint index at $base is not bootstrapped")
     ImageDedup.requireExactPigeonhole(radius, bandBits)
     require(k >= 1, s"k=$k must be >= 1")
-    val pBands = bandRows(
+    val pBandsDf = bandRows(
       probes.select(col(idCol), col("h_hi"), col("h_lo")))
       .select(col("band"), col("bv"), col(idCol).as("probe_id"),
         col("h_hi").as("qhi"), col("h_lo").as("qlo"))
-    val bvs = pBands.select("bv").distinct()
-      .limit(CorpusDedupIndex.MaxKeysInPredicate + 1)
-      .collect().map(_.getLong(0)).toSeq
+    // ONE action lands the probe band rows on the driver: the frame
+    // was already broadcast-bound (the pruned-scan join broadcasts
+    // it, which collects to the driver anyway), so this collect folds
+    // the old distinct-bv collect job into the broadcast's own cost
+    // and the rebuilt LocalRelation broadcasts without a job (the
+    // IvfIndex.topK fusion).
+    val pRows = pBandsDf.collect()
+    val bvs = pRows.iterator.map(_.getLong(1)).toSet
+      .take(CorpusDedupIndex.MaxKeysInPredicate + 1).toSeq
+    val pBands = probes.sparkSession.createDataFrame(
+      java.util.Arrays.asList(pRows: _*), pBandsDf.schema)
     val scored = prunedScan(bvs)
       .join(broadcast(pBands), Seq("band", "bv"))
       .filter(col(idCol) =!= col("probe_id"))

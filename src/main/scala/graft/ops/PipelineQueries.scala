@@ -654,8 +654,15 @@ object PipelineQueries {
     */
   def balanceClusters(spark: SparkSession, dir: String): DataFrame =
     Curation.balanceClusters(
+      // materialize the THIN (vec_id, cluster_id) assignment once:
+      // balanceClusters reads it in two branches (cluster counts + the
+      // per-cluster rank window), so left lazy the broadcast-argmin
+      // fold — the interpreted per-row C-way argmin the KMeans scaladoc
+      // prices — re-ran per branch. Two int64 columns per corpus row is
+      // the cheapest frame in the query (guide §5: persist only when
+      // recompute > memory pressure — here recompute is the fold).
       graft.sim.KMeans.assign(Tables.load(spark, dir, "embeddings"),
-        "vec_id", "embedding", k = 8, iterations = 3),
+        "vec_id", "embedding", k = 8, iterations = 3).localCheckpoint(),
       "vec_id")
       .orderBy("vec_id")
 
